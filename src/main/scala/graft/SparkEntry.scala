@@ -1,13 +1,131 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Logstash, Routing}
+import graft.sources.LogSource
+import graft.{OracleFragments => O}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a §2.4
+  * extension), expressed Spark-first; `oracleSql` holds its DuckDB twin
+  * run by the driver on the same parquet. Column names and row order are
+  * aligned on both sides (explicit ORDER BY everywhere).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rm(spark: SparkSession, dir: String): DataFrame =
+    LogSource.asRouterMessages(LogSource.readEvents(spark, dir))
+
+  /** Flagship: the reference's entire producer data path (S2→P1-P11→S4)
+    * on sf0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val msgs = rm(spark, "/root/testdata/sf0.001")
+    Logstash.producerPayload(msgs, O.dockerHost)
+  }
+
+  // ---- SURVEY §2.2 parity queries -----------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1-P11 composed: full V1 document serialization
+    "logstash_v1_json" -> ((s, dir) => {
+      val df = rm(s, dir)
+      df.select(col("event_id"),
+          Logstash.jsonize(Logstash.v1Doc(df, O.dockerHost)).as("log_json"))
+        .orderBy("event_id")
+    }),
+    // P9 alternative branch: V0 (double-nested) document
+    "logstash_v0_json" -> ((s, dir) => {
+      val df = rm(s, dir)
+      df.select(col("event_id"),
+          Logstash.jsonize(Logstash.v0Doc(df, O.dockerHost)).as("log_json"))
+        .orderBy("event_id")
+    }),
+    // P2: first-colon image split
+    "split_image" -> ((s, dir) => {
+      val df = rm(s, dir)
+      df.select(col("event_id"), col("image"),
+          Logstash.imageName(col("image")).as("image_name"),
+          Logstash.imageTag(col("image")).as("image_tag"))
+        .orderBy("event_id")
+    }),
+    // P3: fixed-width cid truncation
+    "short_cid" -> ((s, dir) =>
+      rm(s, dir).select(col("event_id"),
+          Logstash.shortCid(col("containerId")).as("cid"))
+        .orderBy("event_id")),
+    // P4: leading-slash strip
+    "strip_name" -> ((s, dir) =>
+      rm(s, dir).select(col("event_id"),
+          Logstash.stripLeadingChar(col("containerName")).as("name"))
+        .orderBy("event_id")),
+    // P5: RFC3339Nano timestamp formatting (trailing-zero trim)
+    "rfc3339_format" -> ((s, dir) =>
+      rm(s, dir).select(col("event_id"),
+          Logstash.rfc3339Nano(col("time")).as("ts_rfc3339"))
+        .orderBy("event_id")),
+    // P7: omitempty — empty string → NULL
+    "omitempty_null" -> ((s, dir) =>
+      rm(s, dir).select(col("event_id"),
+          Logstash.emptyToNull(Logstash.imageTag(col("image"))).as("image_tag"))
+        .orderBy("event_id")),
+    // S4: partition-key → shard routing
+    "partition_shard" -> ((s, dir) =>
+      rm(s, dir).select(col("event_id"), col("containerName").as("pkey"),
+          Routing.shardFor(col("containerName"), 4).as("shard"))
+        .orderBy("event_id")),
+    // S3/S11: per-shard batch grouping in arrival order
+    "batching" -> ((s, dir) => {
+      val df = rm(s, dir).withColumn("shard", Routing.shardFor(col("containerName"), 4))
+      Routing.withBatchIds(df, col("shard"), Seq(col("time"), col("event_id")), 10)
+        .select(col("event_id"), col("shard"), col("seq_in_shard"), col("batch_id"))
+        .orderBy("event_id")
+    }),
+    // S8: per-fetch limit (500)
+    "fetch_limit" -> ((s, dir) =>
+      Routing.fetchLimit(rm(s, dir).select(col("event_id"), col("data")),
+        col("event_id"), 500)),
+    // S6/S7: offset resume (AT_SEQUENCE_NUMBER analog)
+    "offset_resume" -> ((s, dir) =>
+      Routing.resumeFrom(rm(s, dir), col("event_id"), 500)
+        .select(col("event_id"), col("data")).orderBy("event_id"))
+  )
+
+  private def overRm(select: String): String =
+    s"WITH rm AS (${O.routerMessages}) $select"
+
+  def oracleSql: Map[String, String] = Map(
+    "logstash_v1_json" -> overRm(
+      s"SELECT event_id, ${O.logstashV1Json} AS log_json FROM rm ORDER BY event_id"),
+    "logstash_v0_json" -> overRm(
+      s"SELECT event_id, ${O.logstashV0Json} AS log_json FROM rm ORDER BY event_id"),
+    "split_image" -> overRm(
+      s"SELECT event_id, image, ${O.imageName("image")} AS image_name, " +
+      s"${O.imageTag("image")} AS image_tag FROM rm ORDER BY event_id"),
+    "short_cid" -> overRm(
+      "SELECT event_id, substr(container_id, 1, 12) AS cid FROM rm ORDER BY event_id"),
+    "strip_name" -> overRm(
+      "SELECT event_id, substr(container_name, 2) AS name FROM rm ORDER BY event_id"),
+    "rfc3339_format" -> overRm(
+      s"SELECT event_id, ${O.rfc3339("time")} AS ts_rfc3339 FROM rm ORDER BY event_id"),
+    "omitempty_null" -> overRm(
+      s"SELECT event_id, NULLIF(${O.imageTag("image")}, '') AS image_tag FROM rm ORDER BY event_id"),
+    "partition_shard" -> overRm(
+      s"SELECT event_id, container_name AS pkey, ${O.shard("container_name", 4)} AS shard " +
+      "FROM rm ORDER BY event_id"),
+    "batching" -> overRm(
+      s"""SELECT event_id, shard, seq_in_shard,
+            CAST((seq_in_shard - 1) // 10 AS BIGINT) AS batch_id
+          FROM (SELECT event_id, ${O.shard("container_name", 4)} AS shard,
+                  CAST(row_number() OVER (PARTITION BY ${O.shard("container_name", 4)}
+                    ORDER BY time, event_id) AS INTEGER) AS seq_in_shard
+                FROM rm)
+          ORDER BY event_id"""),
+    "fetch_limit" -> overRm(
+      "SELECT event_id, data FROM rm ORDER BY event_id LIMIT 500"),
+    "offset_resume" -> overRm(
+      "SELECT event_id, data FROM rm WHERE event_id >= 500 ORDER BY event_id")
+  )
 }
