@@ -1,24 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR. Discipline: one untimed warmup pass (JIT +
+  * page-cache), then min-of-3 timed runs per query so round-over-round
+  * numbers compare builder work, not JVM warmth. Prints ONE JSON line to
+  * stdout (the driver contract) and also writes it to bench_out.json so
+  * the driver's `parsed` field never depends on log scraping. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warmup pass (untimed)
+    SparkEntry.queries.foreach { case (_, fn) => timeOnce(fn) }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val ts = (1 to runs).map(_ => timeOnce(fn))
+      name -> (if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    println(line)
+    try Files.writeString(Paths.get("bench_out.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -71,8 +71,9 @@ object OracleFragments {
     '","@message":"' || data ||
     '","@fields":{"docker":' || $dockerJson || '}}'"""
 
-  /** md5-based shard routing — twin of Routing.shardFor: a deterministic,
-    * engine-portable stand-in for "hash(partition_key) % numShards". */
+  /** md5-based shard routing — twin of Routing.shardFor: full-width
+    * (32-bit) deterministic, engine-portable stand-in for
+    * "hash(partition_key) % numShards". */
   def shard(keyExpr: String, numShards: Int): String =
-    s"ascii(substr(md5($keyExpr), 1, 1)) % $numShards"
+    s"CAST(${graft.functions.PortableHash.sqlHash32(keyExpr)} % $numShards AS INTEGER)"
 }

@@ -79,7 +79,7 @@ object SparkEntry {
     // S3/S11: per-shard batch grouping in arrival order
     "batching" -> ((s, dir) => {
       val df = rm(s, dir).withColumn("shard", Routing.shardFor(col("containerName"), 4))
-      Routing.withBatchIds(df, col("shard"), Seq(col("time"), col("event_id")), 10)
+      Routing.withBatchIds(df, col("shard"), col("time"), col("event_id"), 10)
         .select(col("event_id"), col("shard"), col("seq_in_shard"), col("batch_id"))
         .orderBy("event_id")
     }),

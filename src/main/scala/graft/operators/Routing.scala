@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.PortableHash
+
 /** Sink-side physical semantics of the reference, expressed as relational
   * operators so they are oracle-checkable (SURVEY §2.1 S3/S4/S6/S8/S11).
   */
@@ -11,12 +13,13 @@ object Routing {
 
   /** S4: partition-key → shard routing (go :209, 2nd arg of Add).
     * Kinesis assigns a shard by hashing the partition key; we model it as
-    * an engine-portable deterministic hash (md5 first hex char) so the
-    * DuckDB oracle can reproduce shard ids exactly. At scale this is the
-    * column you `repartition(numShards, ...)` on — same hash-partition
-    * semantics Spark applies in its exchange. */
+    * a full-width deterministic hash (first 32 bits of md5) so the DuckDB
+    * oracle can reproduce shard ids exactly AND the distribution stays
+    * uniform at any shard count — at scale this is the column you
+    * `repartition(numShards, ...)` on, so its entropy caps cluster
+    * parallelism. */
   def shardFor(key: Column, numShards: Int): Column =
-    ascii(substring(md5(key.cast("binary")), 1, 1)) % numShards
+    (PortableHash.hash32(key) % numShards).cast("int")
 
   /** Route a payload DataFrame: assign shard and hash-partition by it so
     * each task writes one shard's records — the distributed equivalent of
@@ -27,19 +30,39 @@ object Routing {
 
   /** S3/S11: the producer groups buffered records into batches of
     * `batchSize` per shard in arrival order (go batchproducer, config
-    * :139). Batch assignment is a windowed row_number per shard — at
-    * scale each shard's window sorts only that shard's partition. */
-  def withBatchIds(df: DataFrame, shard: Column, orderBy: Seq[Column],
-                   batchSize: Int): DataFrame = {
-    val w = Window.partitionBy(shard).orderBy(orderBy: _*)
-    // floor-division (`div`), not `/` + cast: Spark casts double→long by
-    // truncation but DuckDB rounds, so both sides must use integer div.
-    df.withColumn("seq_in_shard", row_number().over(w))
+    * :139).
+    *
+    * Scale design: a naive `row_number() over (partition by shard)` sorts
+    * each shard's ENTIRE history in one task — with 4 shards that is a
+    * 4-task ceiling, unusable at 100 TB. Instead we bucket time (daily),
+    * number rows within (shard, bucket) — parallelism = shards × buckets
+    * — and add each bucket's start offset, computed from a tiny
+    * per-(shard, bucket) count table that is broadcast back. Output is
+    * identical to the global per-shard row_number because the order key
+    * (time, tieBreak) sorts bucket-majorly by construction. */
+  def withBatchIds(df: DataFrame, shard: Column, time: Column,
+                   tieBreak: Column, batchSize: Int): DataFrame = {
+    val bucketed = df.withColumn("__shard", shard)
+      .withColumn("__bucket", date_trunc("day", time))
+    val counts = bucketed.groupBy(col("__shard"), col("__bucket")).count()
+    val offsets = counts.withColumn("__offset",
+        coalesce(sum("count").over(
+          Window.partitionBy(col("__shard")).orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("count")
+    val w = Window.partitionBy(col("__shard"), col("__bucket"))
+      .orderBy(time, tieBreak)
+    bucketed
+      .join(broadcast(offsets), Seq("__shard", "__bucket"))
+      .withColumn("seq_in_shard",
+        (row_number().over(w) + col("__offset")).cast("int"))
       .withColumn("batch_id", expr(s"(seq_in_shard - 1) div $batchSize").cast("long"))
+      .drop("__shard", "__bucket", "__offset")
   }
 
   /** S8: per-fetch record cap (readstream.py:32, limit=500) — batch
-    * analog: deterministic top-N by offset. */
+    * analog: deterministic top-N by offset. Compiles to
+    * TakeOrderedAndProject (per-partition top-N + merge), no global sort. */
   def fetchLimit(df: DataFrame, orderKey: Column, n: Int): DataFrame =
     df.orderBy(orderKey).limit(n)
 

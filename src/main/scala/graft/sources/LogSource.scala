@@ -15,24 +15,26 @@ import org.apache.spark.sql.types._
   */
 object LogSource {
 
+  /** Schema for reading the events fixture: `ts` is parquet
+    * TIMESTAMP(NANOS). Declaring it LongType up front makes Spark hand us
+    * the raw ns — no schema inference, no legacy session conf, works in
+    * ANY caller's session (the driver passes its own). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType), // ns since epoch; convert to µs after read
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)
   ))
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read
-    * nanos as Long and truncate-divide to µs — byte-identical to DuckDB's
-    * ns→µs truncation (verified against epoch_us on the same file). */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  /** ns→µs truncate-divide — byte-identical to DuckDB's ns→µs truncation
+    * on the same file (verified against epoch_us). */
+  private def nsToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    nsToMicros(spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet"))
 
   /** events → RouterMessage-shaped DataFrame. Deterministic, 1:1, pure. */
   def asRouterMessages(events: DataFrame): DataFrame = {
@@ -60,7 +62,10 @@ object LogSource {
   }
 
   /** Structured Streaming variant of the same source (S2 streaming):
-    * identical schema and derivation over a file stream. */
+    * identical schema and derivation over a file stream. The explicit
+    * LongType-ns schema + µs conversion matches the batch path, so the
+    * stream reads the TIMESTAMP(NANOS) fixture correctly. */
   def streamRouterMessages(spark: SparkSession, dir: String): DataFrame =
-    asRouterMessages(spark.readStream.schema(eventsSchema).parquet(dir))
+    asRouterMessages(nsToMicros(
+      spark.readStream.schema(eventsSchema).parquet(dir)))
 }
