@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Logstash, Routing}
+import graft.operators.{Events, Logstash, Routing}
 import graft.sources.LogSource
 import graft.{OracleFragments => O}
 
@@ -90,7 +90,37 @@ object SparkEntry {
     // S6/S7: offset resume (AT_SEQUENCE_NUMBER analog)
     "offset_resume" -> ((s, dir) =>
       Routing.resumeFrom(rm(s, dir), col("event_id"), 500)
-        .select(col("event_id"), col("data")).orderBy("event_id"))
+        .select(col("event_id"), col("data")).orderBy("event_id")),
+
+    // ---- §2.4 LLM-data-pipeline: events table ----------------------
+    // Exact dedup: keep-first per (user_id, event_type)
+    "exact_dedup" -> ((s, dir) =>
+      Events.exactDedup(LogSource.readEvents(s, dir),
+          Seq(col("user_id"), col("event_type")), Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .orderBy("event_id")),
+    // Approx distinct (HLL++ sketch, exact at fixture cardinality)
+    "approx_distinct" -> ((s, dir) =>
+      Events.approxDistinctUsers(LogSource.readEvents(s, dir))
+        .orderBy("event_type")),
+    // JSON props parsing (typed, declared schema)
+    "props_parse" -> ((s, dir) =>
+      Events.parseProps(LogSource.readEvents(s, dir))
+        .select(col("event_id"), col("k")).orderBy("event_id")),
+    // P12 analog: malformed payloads dropped, stream continues
+    "malformed_drop" -> ((s, dir) =>
+      Events.dropMalformed(Events.parseProps(
+          Events.withCorruptedProps(LogSource.readEvents(s, dir))))
+        .select(col("event_id"), col("k")).orderBy("event_id")),
+    // Sessionization: 1-hour inactivity gap per user
+    "sessionize" -> ((s, dir) =>
+      Events.sessionize(LogSource.readEvents(s, dir), 3600L)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id")),
+    // Event-time tumbling windows (batch twin of stream window agg)
+    "event_windows" -> ((s, dir) =>
+      Events.hourlyWindows(LogSource.readEvents(s, dir))
+        .orderBy("window_start", "event_type"))
   )
 
   private def overRm(select: String): String =
@@ -126,6 +156,12 @@ object SparkEntry {
     "fetch_limit" -> overRm(
       "SELECT event_id, data FROM rm ORDER BY event_id LIMIT 500"),
     "offset_resume" -> overRm(
-      "SELECT event_id, data FROM rm WHERE event_id >= 500 ORDER BY event_id")
+      "SELECT event_id, data FROM rm WHERE event_id >= 500 ORDER BY event_id"),
+    "exact_dedup" -> OracleExt.exactDedup,
+    "approx_distinct" -> OracleExt.approxDistinct,
+    "props_parse" -> OracleExt.propsParse,
+    "malformed_drop" -> OracleExt.malformedDrop,
+    "sessionize" -> OracleExt.sessionize,
+    "event_windows" -> OracleExt.hourlyWindows
   )
 }
