@@ -52,4 +52,62 @@ object OracleExt {
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n, min(event_id) AS min_eid, max(event_id) AS max_eid
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---- documents ops (graft.operators.TextAnalysis) ------------------
+
+  /** Twin of TextAnalysis.tokens. */
+  private val toks =
+    "list_filter(string_split(lower(text), ' '), t -> t != '')"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def hits(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN ${inList(words)}))"
+
+  val termFreq: String = s"""
+    SELECT term, count(*) AS cnt
+    FROM (SELECT unnest($toks) AS term FROM documents)
+    GROUP BY term ORDER BY term"""
+
+  val tokenCounts: String = s"""
+    SELECT doc_id, len($toks) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents ORDER BY doc_id"""
+
+  def langId(stop: Map[String, Seq[String]]): String = s"""
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+                WHEN hits_en >= hits_es AND hits_en >= hits_de
+                     AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+                WHEN hits_de >= hits_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM (SELECT doc_id,
+                 ${hits(stop("en"))} AS hits_en, ${hits(stop("es"))} AS hits_es,
+                 ${hits(stop("de"))} AS hits_de, ${hits(stop("fr"))} AS hits_fr
+          FROM (SELECT doc_id, $toks AS toks FROM documents))
+    ORDER BY doc_id"""
+
+  def qualityScore(enStop: Seq[String], threshold: Long): String = s"""
+    SELECT doc_id, len_component, stop_component, punct_penalty,
+           len_component + stop_component - punct_penalty AS score,
+           len_component + stop_component - punct_penalty >= $threshold AS keep
+    FROM (SELECT doc_id,
+                 least(len(toks), 200) * 100 AS len_component,
+                 ${hits(enStop)} * 10 AS stop_component,
+                 (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 50
+                   AS punct_penalty
+          FROM (SELECT doc_id, text, $toks AS toks FROM documents))
+    ORDER BY doc_id"""
+
+  val fingerprints: String = s"""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> ascii(c))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll,
+           ${graft.functions.PortableHash.sqlHash32("text")} AS fp_md5
+    FROM documents ORDER BY doc_id"""
 }

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Events, Logstash, Routing}
-import graft.sources.LogSource
+import graft.operators.{Events, Logstash, Routing, TextAnalysis}
+import graft.sources.{LogSource, Tables}
 import graft.{OracleFragments => O}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -120,7 +120,24 @@ object SparkEntry {
     // Event-time tumbling windows (batch twin of stream window agg)
     "event_windows" -> ((s, dir) =>
       Events.hourlyWindows(LogSource.readEvents(s, dir))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // ---- §2.4 LLM-data-pipeline: documents table --------------------
+    // Term frequency (wordcount with map-side partial agg)
+    "text_termfreq" -> ((s, dir) =>
+      TextAnalysis.termFreq(Tables.documents(s, dir)).orderBy("term")),
+    // Whitespace + BPE-ish token accounting per document
+    "token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Stopword-heuristic language ID
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Integer quality scoring + keep verdict
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Rolling-hash + md5-lane fingerprints
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id"))
   )
 
   private def overRm(select: String): String =
@@ -162,6 +179,11 @@ object SparkEntry {
     "props_parse" -> OracleExt.propsParse,
     "malformed_drop" -> OracleExt.malformedDrop,
     "sessionize" -> OracleExt.sessionize,
-    "event_windows" -> OracleExt.hourlyWindows
+    "event_windows" -> OracleExt.hourlyWindows,
+    "text_termfreq" -> OracleExt.termFreq,
+    "token_count" -> OracleExt.tokenCounts,
+    "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
+    "quality_score" -> OracleExt.qualityScore(TextAnalysis.stopwords("en"), 3000),
+    "doc_fingerprint" -> OracleExt.fingerprints
   )
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (SURVEY §2.4): term frequency, token counting,
+  * language ID (stopword heuristic), quality scoring, and document
+  * fingerprinting.
+  *
+  * Everything is built-in higher-order/column functions — codegen'd, no
+  * UDFs — and integer arithmetic wherever a result crosses the oracle
+  * boundary, so any engine agrees bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of lower(text), empties dropped (single-space
+    * split + filter matches DuckDB string_split exactly; regex \s+ split
+    * differs on leading whitespace across engines). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Term frequency — the classic wordcount: explode + groupBy(term).
+    * At scale: map-side partial aggregation absorbs the Zipf head before
+    * the single shuffle on term; no skew problem. */
+  def termFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** A BPE-ish pre-tokenizer: letter runs | digit runs | single
+    * punctuation. Portable regex subset (works in Java regex and RE2). */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Per-document token accounting: whitespace tokens, BPE-ish tokens,
+    * characters. Pure per-row projection — pipelined in one codegen
+    * stage, no shuffle at any scale. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)))
+        .as("n_bpe_tokens"),
+      length(col("text")).as("n_chars"))
+
+  /** Stopword lists for the language-ID heuristic (tiny, broadcast as
+    * literals into the expression — no join). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "un", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "dans", "pour"))
+
+  /** n-gram-free language ID: count stopword hits per language over the
+    * token stream; argmax with a fixed priority tie-break; 'und' when no
+    * list hits. Per-row only — no shuffle. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      size(filter(toks, t => t.isInCollection(words))).as(s"hits_$lang")
+    }
+    val df = docs.select(col("doc_id") +: hits: _*)
+    val (en, es, de, fr) =
+      (col("hits_en"), col("hits_es"), col("hits_de"), col("hits_fr"))
+    df.withColumn("pred_lang",
+      when(greatest(en, es, de, fr) === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr"))
+  }
+
+  /** Integer quality score: rewards length (capped) and stopword
+    * density, penalizes punctuation noise. Integer-only so the oracle is
+    * bit-exact; `keep` is the pipeline's filter verdict. */
+  def qualityScore(docs: DataFrame, keepThreshold: Long = 3000): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks).cast("long")
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords("en"))))
+      .cast("long")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("long")
+    docs.select(col("doc_id"),
+        least(nTokens, lit(200L)).multiply(100).as("len_component"),
+        (stopHits * 10).as("stop_component"),
+        (punct * 50).as("punct_penalty"))
+      .withColumn("score",
+        col("len_component") + col("stop_component") - col("punct_penalty"))
+      .withColumn("keep", col("score") >= keepThreshold)
+  }
+
+  /** Document fingerprints: a 31-polynomial rolling hash over the raw
+    * characters (mod 1e9+7 — stays in 35 bits, no overflow in any
+    * engine) plus a 32-bit md5 lane. Content-addressed dedup keys; pure
+    * per-row, no shuffle. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      aggregate(transform(split(col("text"), ""), c => ascii(c)), lit(0L),
+        (acc, c) => (acc * 31 + c) % 1000000007L).as("fp_roll"),
+      PortableHash.hash32(col("text")).as("fp_md5"))
+}
