@@ -110,4 +110,143 @@ object OracleExt {
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll,
            ${graft.functions.PortableHash.sqlHash32("text")} AS fp_md5
     FROM documents ORDER BY doc_id"""
+
+  // ---- dedup ops (graft.operators.Dedup) ------------------------------
+
+  /** Twin of Dedup.shingles (3-grams, distinct, whole-text fallback). */
+  private val shingleCte = s"""
+    sh AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                         i -> array_to_string(toks[i+1:i+3], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM (SELECT doc_id, $toks AS toks FROM documents))"""
+
+  /** Twin of Dedup.minhashSig + minhashBands (16 lanes, 4 bands). */
+  private val bandsCte = s"""
+    WITH $shingleCte,
+    sig AS (SELECT doc_id,
+              list_transform(range(0, 16), s2 ->
+                list_min(list_transform(sh, x ->
+                  ${graft.functions.PortableHash.sqlHash32("CAST(s2 AS VARCHAR) || ':' || x")}))) AS sig
+            FROM sh),
+    bands AS (SELECT doc_id, CAST(b AS INTEGER) AS band_id,
+                array_to_string(list_transform(sig[b*4+1:b*4+4],
+                  v -> CAST(v AS VARCHAR)), '_') AS band_key
+              FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b))"""
+
+  val minhashBands: String = s"""
+    $bandsCte
+    SELECT doc_id, band_id, band_key FROM bands ORDER BY doc_id, band_id"""
+
+  val minhashPairs: String = s"""
+    $bandsCte
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b"""
+
+  def ngramJaccard(minMilli: Int): String = s"""
+    WITH $shingleCte,
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh FROM sh),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter, sa.nsh AS na, sb.nsh AS nb,
+           (1000 * inter) // (sa.nsh + sb.nsh - inter) AS jac_milli
+    FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+               JOIN sizes sb ON pairs.doc_b = sb.doc_id
+    WHERE (1000 * inter) // (sa.nsh + sb.nsh - inter) >= $minMilli
+    ORDER BY doc_a, doc_b"""
+
+  /** Twin of Dedup.simhash: 32 ±1 bit sums over frequency-weighted token
+    * hashes, recombined into a 32-bit signature. */
+  private val simhashCte: String = {
+    val bitSums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n                   ")
+    val recombine = (0 until 32).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""
+    WITH tok AS (SELECT doc_id, unnest(toks) AS tk
+                 FROM (SELECT doc_id, $toks AS toks FROM documents)),
+    h AS (SELECT doc_id, ${graft.functions.PortableHash.sqlHash32("tk")} AS h
+          FROM tok),
+    bits AS (SELECT doc_id,
+                   $bitSums
+             FROM h GROUP BY doc_id),
+    shash AS (SELECT doc_id, CAST($recombine AS BIGINT) AS simhash FROM bits)"""
+  }
+
+  val simhash: String = s"""
+    $simhashCte
+    SELECT doc_id, simhash FROM shash ORDER BY doc_id"""
+
+  def simhashPairs(maxHamming: Int): String = s"""
+    $simhashCte,
+    band AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS byte_id,
+                    (simhash >> (j * 8)) & 255 AS byte_val
+             FROM shash CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM band a JOIN band b
+        ON a.byte_id = b.byte_id AND a.byte_val = b.byte_val
+           AND a.doc_id < b.doc_id)
+    WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b"""
+
+  // ---- similarity ops (graft.operators.Similarity) --------------------
+
+  private def planeSql(p: Seq[Long]): String =
+    p.mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  private def bucketSql(ps: Seq[Seq[Long]]): String =
+    ps.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val normCte = """
+    n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings))"""
+
+  private val cosSql =
+    "list_dot_product(q.v, c.v) / (sqrt(q.norm2) * sqrt(c.norm2))"
+
+  def topkCosine(nQueries: Int, k: Int): String = s"""
+    WITH $normCte
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+           CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $cosSql AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY $cosSql DESC, c.vec_id) AS rank
+          FROM n q JOIN n c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < $nQueries)
+    WHERE rank <= $k ORDER BY query_id, rank"""
+
+  def lshTopK(nQueries: Int, k: Int, ps: Seq[Seq[Long]]): String = s"""
+    WITH $normCte,
+    nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+           CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $cosSql AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY $cosSql DESC, c.vec_id) AS rank
+          FROM nb q JOIN nb c
+            ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+          WHERE q.vec_id < $nQueries)
+    WHERE rank <= $k ORDER BY query_id, rank"""
+
+  def nearDupPairs(minSimMicro: Long, ps: Seq[Seq[Long]]): String = s"""
+    WITH $normCte,
+    nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n)
+    SELECT vec_a, vec_b, sim_micro FROM (
+      SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+             CAST(floor($cosSql * 1000000) AS BIGINT) AS sim_micro
+      FROM nb q JOIN nb c
+        ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+    WHERE sim_micro >= $minSimMicro ORDER BY vec_a, vec_b"""
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Events, Logstash, Routing, TextAnalysis}
+import graft.operators.{Dedup, Events, Logstash, Routing, Similarity, TextAnalysis}
 import graft.sources.{LogSource, Tables}
 import graft.{OracleFragments => O}
 
@@ -137,7 +137,39 @@ object SparkEntry {
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
     // Rolling-hash + md5-lane fingerprints
     "doc_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id"))
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ---- §2.4 LLM-data-pipeline: near-dup detection -----------------
+    // MinHash banded-LSH keys (16 lanes, 4 bands)
+    "minhash_bands" -> ((s, dir) =>
+      Dedup.minhashBands(Tables.documents(s, dir))
+        .orderBy("doc_id", "band_id")),
+    // LSH candidate pairs via band equi-join
+    "minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    // Exact n-gram Jaccard over shared-shingle pairs
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    // 32-bit frequency-weighted SimHash signatures
+    "simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    // SimHash byte-band candidates verified by Hamming distance
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // ---- §2.4 LLM-data-pipeline: similarity search ------------------
+    // Brute-force cosine top-k (broadcast query set)
+    "topk_cosine" -> ((s, dir) =>
+      Similarity.topkCosine(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rank")),
+    // Hyperplane-LSH bucketed ANN top-k (the scale path)
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rank")),
+    // Bucket-pruned embedding near-dup pairs
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir))
+        .orderBy("vec_a", "vec_b"))
   )
 
   private def overRm(select: String): String =
@@ -184,6 +216,14 @@ object SparkEntry {
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
     "quality_score" -> OracleExt.qualityScore(TextAnalysis.stopwords("en"), 3000),
-    "doc_fingerprint" -> OracleExt.fingerprints
+    "doc_fingerprint" -> OracleExt.fingerprints,
+    "minhash_bands" -> OracleExt.minhashBands,
+    "minhash_pairs" -> OracleExt.minhashPairs,
+    "ngram_jaccard" -> OracleExt.ngramJaccard(50),
+    "simhash" -> OracleExt.simhash,
+    "simhash_pairs" -> OracleExt.simhashPairs(6),
+    "topk_cosine" -> OracleExt.topkCosine(10, 5),
+    "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
+    "embed_neardup" -> OracleExt.nearDupPairs(350000, Similarity.planes())
   )
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Near-duplicate detection for a training-data pipeline (SURVEY §2.4):
+  * word-shingle MinHash + banded LSH, SimHash with byte-band candidate
+  * generation, and exact n-gram Jaccard verification.
+  *
+  * The 100 TB shape: all-pairs comparison is never materialized — LSH
+  * bands (minhash) or signature bytes (simhash) generate candidates via
+  * an equi-join on the band key (a hash-partitioned shuffle, linear in
+  * data size), and only candidates get exact verification. All hashing is
+  * md5-based (PortableHash) so DuckDB reproduces every value.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a document; single-token docs fall
+    * back to one whole-text shingle. Set semantics (array_distinct) —
+    * order never observed, only min/count aggregates consume these. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: numHashes independent md5 lanes, each the min
+    * over the shingle set. Pure per-row array math — no shuffle. */
+  def minhashSig(sh: Column, numHashes: Int = 16): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), s =>
+      array_min(transform(sh,
+        x => PortableHash.hash32(concat(s.cast("string"), lit(":"), x)))))
+
+  /** Banded LSH keys: split the signature into `bands` bands of `rows`
+    * values; docs agreeing on ANY band become candidates. One output row
+    * per (doc, band). */
+  def minhashBands(docs: DataFrame, numHashes: Int = 16, bands: Int = 4)
+      : DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSig(shingles(col("text")), numHashes)
+    docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
+          b.cast("int").as("band_id"),
+          concat_ws("_", transform(slice(sig, b * rows + 1, lit(rows)),
+            v => v.cast("string"))).as("band_key")))).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Candidate pairs: equi-join on (band_id, band_key) — the LSH scale
+    * path; hash-partitioned, never all-pairs. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val b = minhashBands(docs)
+    b.as("a").join(b.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing at least one shingle:
+    * explode the distinct shingle sets, self-join on the shingle (only
+    * co-occurring pairs materialize), count intersections, then join the
+    * per-doc set sizes (broadcast — it's one small row per doc) for
+    * |A∪B| = |A|+|B|-|A∩B|. Integer milli-Jaccard for engine parity.
+    * In production the self-join is replaced by minhashPairs candidates;
+    * the shared-shingle join shown here is already sub-quadratic. */
+  def ngramJaccard(docs: DataFrame, minMilli: Int = 50): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(shingles(col("text"))).as("sh"))
+    val sizes = docs.select(col("doc_id"),
+      size(shingles(col("text"))).cast("long").as("nsh"))
+    ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nsh", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nsh", "nb")), "doc_b")
+      .withColumn("jac_milli",
+        expr("(1000 * inter) div (na + nb - inter)"))
+      .filter(col("jac_milli") >= minMilli)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"), col("jac_milli"))
+  }
+
+  val simhashBits = 32
+
+  /** 32-bit SimHash: explode tokens (frequency-weighted), hash each once,
+    * then one groupBy(doc) with 32 codegen'd ±1 bit sums — partial
+    * aggregation map-side, single shuffle on doc_id. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val h = tok.withColumn("h", PortableHash.hash32(col("t")))
+    val bitSums = (0 until simhashBits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$i"))
+    val agg = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until simhashBits).map(i =>
+        when(col(s"b$i") > 0, 1L << i).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash candidate pairs: band the 32-bit signature into 4 bytes;
+    * pairs agreeing on any byte are candidates (equi-join, the scale
+    * path), then verified with exact Hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j => struct(
+          lit(j).as("byte_id"),
+          shiftright(col("simhash"), j * 8).bitwiseAND(255).as("byte_val"))): _*))
+          .as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.byte_id"), col("b.byte_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.byte_id") === col("b.byte_id")
+          && col("a.byte_val") === col("b.byte_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

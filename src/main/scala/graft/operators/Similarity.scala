@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Similarity search over the `embeddings` table (SURVEY §2.4):
+  * brute-force cosine top-k as the correctness baseline, hyperplane-LSH
+  * bucketing as the scale path, and bucketed cosine near-dup pairs.
+  *
+  * Float discipline for the oracle: every vector is cast element-wise to
+  * double (exact), dot products are sequential left folds (identical in
+  * Spark's `aggregate` and DuckDB's `list_dot_product` — verified), and
+  * +,*,/,sqrt are IEEE correctly-rounded in both engines, so similarity
+  * values agree bit-for-bit; outputs quantize with floor(x*1e6) which is
+  * exact on identical doubles.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes for LSH: coefficient (p, d)
+    * = (first-32-bits-of-md5("plane:p:d") mod 2001) - 1000, computed at
+    * PLAN TIME in Scala and embedded as literals on both the Spark and
+    * the oracle side — the engines never hash. */
+  def planes(nPlanes: Int = 4, dim: Int = 64): Seq[Seq[Long]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map(p => (0 until dim).map { d =>
+      val hex = md.digest(s"plane:$p:$d".getBytes(StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+    })
+  }
+
+  private def planeLit(p: Seq[Long]): Column =
+    array(p.map(c => lit(c.toDouble)): _*)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  /** Per-vector prep: exact float→double cast + squared norm (computed
+    * ONCE per vector, before any join — never inside the pair loop). */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+
+  /** LSH bucket id: sign bits of the projections onto the fixed planes.
+    * nPlanes bits → 2^nPlanes buckets. */
+  def lshBucket(v: Column, ps: Seq[Seq[Long]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      when(dot(v, planeLit(p)) > 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def cosine(qv: Column, qn: Column, cv: Column, cn: Column): Column =
+    dot(qv, cv) / (sqrt(qn) * sqrt(cn))
+
+  /** Exact similarity quantized to integer micro-units (floor is exact on
+    * identical doubles — no cross-engine rounding-mode hazard). */
+  private def simMicro(sim: Column): Column =
+    floor(sim * 1000000L).cast("long")
+
+  /** Brute-force cosine top-k: the small query set is BROADCAST against
+    * the full candidate table — no shuffle of the big side at all; each
+    * task scans its candidate partition once, and the per-query top-k
+    * window only sorts the k-bounded survivors per query after a partial
+    * filter... at 100 TB this is the correctness baseline you run on a
+    * sample; the production path is lshTopK. */
+  def topkCosine(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"))
+    val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"))
+    val sim = cosine(col("qv"), col("qn"), col("cv"), col("cn"))
+    val ranked = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+    ranked.select(col("query_id"), col("rank").cast("int").as("rank"),
+      col("cand_id"), simMicro(col("sim")).as("sim_micro"))
+  }
+
+  /** LSH-bucketed ANN top-k: both sides get a bucket id from the fixed
+    * hyperplanes; the join is an EQUI-join on the bucket — at scale each
+    * bucket is one hash partition and the candidate set per query is
+    * |data| / 2^nPlanes. Approximate by construction (a true neighbor in
+    * another bucket is missed — the classic LSH recall trade; multi-probe
+    * or more tables raise recall). */
+  def lshTopK(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+              ps: Seq[Seq[Long]] = planes()): DataFrame = {
+    val n = withNorm(emb).withColumn("bucket", lshBucket(col("v"), ps))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"), col("bucket"))
+    val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"), col("bucket"))
+    val sim = cosine(col("qv"), col("qn"), col("cv"), col("cn"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cand_id"), simMicro(col("sim")).as("sim_micro"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, bucket-pruned: only pairs in
+    * the SAME LSH bucket are compared (equi-join), then thresholded on
+    * exact cosine. The all-pairs version is never built. */
+  def nearDupPairs(emb: DataFrame, minSimMicro: Long = 350000,
+                   ps: Seq[Seq[Long]] = planes()): DataFrame = {
+    val n = withNorm(emb).withColumn("bucket", lshBucket(col("v"), ps))
+      .select(col("vec_id"), col("v"), col("norm2"), col("bucket"))
+    val sim = cosine(col("a.v"), col("a.norm2"), col("b.v"), col("b.norm2"))
+    n.as("a").join(n.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        simMicro(sim).as("sim_micro"))
+      .filter(col("sim_micro") >= minSimMicro)
+  }
+}
