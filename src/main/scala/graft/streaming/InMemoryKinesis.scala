@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** In-memory stand-in for the sharded stream service (no AWS egress in
+  * this environment — SURVEY §7.4). One JVM-global registry of streams;
+  * under local[*] executors share the JVM so `foreachPartition` tasks
+  * write here directly. In production this object is replaced by the
+  * real service client inside the same ForeachWriter/foreachBatch hooks.
+  *
+  * Semantics mirrored from the reference producer:
+  * - records land in per-shard append logs with a monotonically
+  *   increasing sequence number (shard iterator analog, readstream.py:33)
+  * - a put can be made to fail transiently via `failNextPuts` to
+  *   exercise the retry budget (logspoutkinesis.go:147-153)
+  * - a bounded per-stream capacity models the producer buffer
+  *   (go :123-129): when full, `put` either refuses (caller drops — the
+  *   reference's default) or the caller blocks, per
+  *   `add_blocks_when_buffer_full` (go :115-121, S13).
+  */
+object InMemoryKinesis {
+
+  final case class Record(seq: Long, partitionKey: String, data: String)
+
+  final class Stream(val numShards: Int, val capacity: Int) {
+    val shards: Vector[java.util.Queue[Record]] =
+      Vector.fill(numShards)(new java.util.concurrent.ConcurrentLinkedQueue[Record]())
+    val seq = new AtomicLong(0L)
+    val size = new AtomicInteger(0)
+    // failure injection + stats (tests / mute-unmute logging)
+    val failNextPuts = new AtomicInteger(0)
+    val putAttempts = new AtomicLong(0L)
+    val delivered = new AtomicLong(0L)
+    val dropped = new AtomicLong(0L)
+    val errorLogLines = new AtomicLong(0L)
+  }
+
+  private val streams = new ConcurrentHashMap[String, Stream]()
+
+  def create(name: String, numShards: Int, capacity: Int = 10000): Stream = {
+    val s = new Stream(numShards, capacity)
+    streams.put(name, s)
+    s
+  }
+
+  def get(name: String): Stream =
+    Option(streams.get(name)).getOrElse(
+      throw new IllegalStateException(s"stream $name does not exist"))
+
+  def delete(name: String): Unit = streams.remove(name)
+
+  /** One put attempt of one record to one shard. Returns false on an
+    * injected transient failure (caller retries) or when the stream is
+    * at capacity and blocking is disabled (caller drops). */
+  def tryPut(name: String, shard: Int, partitionKey: String,
+             data: String, block: Boolean): Boolean = {
+    val s = get(name)
+    s.putAttempts.incrementAndGet()
+    if (s.failNextPuts.getAndUpdate(n => math.max(0, n - 1)) > 0) return false
+    if (s.size.get() >= s.capacity) {
+      if (!block) return false
+      while (s.size.get() >= s.capacity) Thread.`yield`() // consumer drains
+    }
+    s.size.incrementAndGet()
+    s.shards(shard % s.numShards)
+      .add(Record(s.seq.getAndIncrement(), partitionKey, data))
+    s.delivered.incrementAndGet()
+    true
+  }
+
+  /** Consumer fetch: up to `limit` records from one shard starting at
+    * `afterSeq` (AT_SEQUENCE_NUMBER analog, readstream.py:26,32). */
+  def getRecords(name: String, shard: Int, afterSeq: Long,
+                 limit: Int): Vector[Record] =
+    get(name).shards(shard).iterator.asScala
+      .filter(_.seq >= afterSeq).take(limit).toVector
+
+  def shardSizes(name: String): Vector[Int] = get(name).shards.map(_.size)
+}

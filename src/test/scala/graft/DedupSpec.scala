@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** §2.4 near-dup detection: shingles, minhash LSH candidates, exact
+  * jaccard arithmetic, simhash properties. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  test("shingles: word 3-grams, distinct, ordered source") {
+    val r = docs((0L, "a b c d")).select(Dedup.shingles(col("text")))
+      .as[Seq[String]].head()
+    assert(r.toSet == Set("a b c", "b c d"))
+  }
+
+  test("shingles: short text falls back to whole-text shingle") {
+    val r = docs((0L, "a b")).select(Dedup.shingles(col("text")))
+      .as[Seq[String]].head()
+    assert(r == Seq("a b"))
+  }
+
+  test("shingles: repeated n-grams deduplicated (set semantics)") {
+    val r = docs((0L, "x y x y x y")).select(Dedup.shingles(col("text")))
+      .as[Seq[String]].head()
+    assert(r.toSet == Set("x y x", "y x y"))
+    assert(r.length == 2)
+  }
+
+  test("minhashPairs: identical docs always collide; unrelated never") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark catalyst tungsten"))
+    val pairs = Dedup.minhashPairs(d).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngramJaccard: exact arithmetic on a crafted pair") {
+    // shingles1 = {a b c, b c d, c d e}; shingles2 = {a b c, b c d, c d f}
+    // inter=2, union=4 -> 500 milli
+    val d = docs((1L, "a b c d e"), (2L, "a b c d f"))
+    val r = Dedup.ngramJaccard(d, minMilli = 1)
+      .select("doc_a", "doc_b", "inter", "na", "nb", "jac_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 2L, 3L, 3L, 500L)))
+  }
+
+  test("simhash: identical docs get identical signatures, hamming 0") {
+    val d = docs(
+      (1L, "spark catalyst optimizer rewrites logical plans"),
+      (2L, "spark catalyst optimizer rewrites logical plans"))
+    val sh = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val pairs = Dedup.simhashPairs(d)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0)))
+  }
+
+  test("simhash signature is a 32-bit value") {
+    val d = docs((1L, "some tokens here for hashing"))
+    val sh = Dedup.simhash(d).select("simhash").as[Long].head()
+    assert(sh >= 0L && sh < (1L << 32))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** §2.4 similarity search: cosine top-k ordering, LSH bucket stability,
+  * bucket-pruned near-dup detection. */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 64
+
+  private def vec(head: Float*): Seq[Float] =
+    head ++ Seq.fill(dim - head.size)(0f)
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("topkCosine ranks identical > orthogonal > opposite") {
+    val e = emb(
+      (0L, vec(1f, 0f), 0),         // query
+      (1L, vec(2f, 0f), 0),         // same direction, cos 1
+      (2L, vec(0f, 3f), 0),         // orthogonal, cos 0
+      (3L, vec(-1f, 0f), 0))        // opposite, cos -1
+    val r = Similarity.topkCosine(e, nQueries = 1, k = 3)
+      .select("rank", "cand_id", "sim_micro")
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(r.map(_._2) == Seq(1L, 2L, 3L))
+    assert(r.head._3 == 1000000L - 1 || r.head._3 == 1000000L) // floor(cos~1 *1e6)
+    assert(r(1)._3 == 0L)
+    assert(r(2)._3 == -1000000L)
+  }
+
+  test("planes are deterministic plan-time constants in [-1000, 1000]") {
+    val p1 = Similarity.planes()
+    val p2 = Similarity.planes()
+    assert(p1 == p2)
+    assert(p1.size == 4 && p1.forall(_.size == 64))
+    assert(p1.flatten.forall(c => c >= -1000L && c <= 1000L))
+  }
+
+  test("lshBucket: same vector same bucket; buckets within [0, 16)") {
+    val e = emb((0L, vec(1f, 2f, 3f), 0), (1L, vec(1f, 2f, 3f), 0),
+      (2L, vec(-5f, 1f), 0))
+    val r = Similarity.withNorm(e)
+      .select(col("vec_id"),
+        Similarity.lshBucket(col("v"), Similarity.planes()).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) == r(1L))
+    assert(r.values.forall(b => b >= 0L && b < 16L))
+  }
+
+  test("nearDupPairs finds a duplicated vector via its bucket") {
+    val e = emb(
+      (0L, vec(1f, 2f, 3f, 4f), 0),
+      (1L, vec(1f, 2f, 3f, 4f), 0),  // exact dup -> cos 1, same bucket
+      (2L, vec(9f, -7f, 2f, 1f), 0))
+    val pairs = Similarity.nearDupPairs(e, minSimMicro = 990000)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("lshTopK returns at most k ranked neighbors per query") {
+    val e = emb((0 until 20).map(i =>
+      (i.toLong, vec(i.toFloat + 1, (i % 3).toFloat), i % 4)): _*)
+    val r = Similarity.lshTopK(e, nQueries = 5, k = 3)
+      .select("query_id", "rank").as[(Long, Int)].collect().toSeq
+    val byQ = r.groupBy(_._1)
+    assert(byQ.values.forall(_.size <= 3))
+    assert(r.forall { case (_, rank) => rank >= 1 && rank <= 3 })
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.model.KinesisSinkConfig
+import graft.streaming.{ConsumerPipeline, InMemoryKinesis, ProducerPipeline}
+
+/** The streaming shell end-to-end (S2 stream, S3 batched put, S4
+  * routing, S7 offsets, S9 console, S11 trigger, S12 retry, S13
+  * backpressure config, P13 mute/unmute) against the in-memory sharded
+  * stream and a file-backed stream directory. */
+class StreamingSpec extends SparkTestBase {
+
+  /** Stage the sf0.001 events fixture as a file-stream source dir. */
+  private def stageSource(): String = {
+    val dir = Files.createTempDirectory("graft-src")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("producer delivers every record, sharded and batched (S2-S4,S11)") {
+    val src = stageSource()
+    InMemoryKinesis.delete("t-basic")
+    val s = InMemoryKinesis.create("t-basic", numShards = 4)
+    val cfg = KinesisSinkConfig(streamName = "t-basic", numShards = 4,
+      dockerHost = "dh-test")
+    val q = ProducerPipeline.start(spark, src, cfg, tmp("ckpt"))
+    q.processAllAvailable(); q.stop()
+    assert(s.delivered.get() == 1000L)
+    assert(s.putAttempts.get() == 1000L)
+    assert(s.dropped.get() == 0L)
+    // partition_key is the constant docker_host -> ONE shard gets all
+    // records (the reference's actual behavior: one key -> one shard)
+    assert(InMemoryKinesis.shardSizes("t-basic").sum == 1000)
+    assert(InMemoryKinesis.shardSizes("t-basic").count(_ > 0) == 1)
+  }
+
+  test("transient failures are retried within budget; one muted log (S12,P13)") {
+    val src = stageSource()
+    InMemoryKinesis.delete("t-retry")
+    val s = InMemoryKinesis.create("t-retry", numShards = 1)
+    s.failNextPuts.set(5)
+    val cfg = KinesisSinkConfig(streamName = "t-retry", numShards = 1,
+      maxAttemptsPerRecord = 10)
+    val q = ProducerPipeline.start(spark, src, cfg, tmp("ckpt"))
+    q.processAllAvailable(); q.stop()
+    assert(s.delivered.get() == 1000L)
+    assert(s.putAttempts.get() == 1005L) // 5 failed attempts + 1000 ok
+    assert(s.dropped.get() == 0L)
+    assert(s.errorLogLines.get() == 1L) // muted after the first (go :211-214)
+  }
+
+  test("records exceeding the attempt budget are dropped (S12)") {
+    val src = stageSource()
+    InMemoryKinesis.delete("t-drop")
+    val s = InMemoryKinesis.create("t-drop", numShards = 1)
+    s.failNextPuts.set(3)
+    val cfg = KinesisSinkConfig(streamName = "t-drop", numShards = 1,
+      maxAttemptsPerRecord = 3)
+    val q = ProducerPipeline.start(spark, src, cfg, tmp("ckpt"))
+    q.processAllAvailable(); q.stop()
+    // single partition -> the first record burns all 3 attempts, drops;
+    // every subsequent record succeeds first try
+    assert(s.dropped.get() == 1L)
+    assert(s.delivered.get() == 999L)
+    assert(s.errorLogLines.get() == 1L)
+  }
+
+  test("consumer reads every produced record with a fetch cap (S8)") {
+    val src = stageSource()
+    val out = tmp("stream-out")
+    val cfg = KinesisSinkConfig(streamName = "unused", numShards = 4)
+    val p = ProducerPipeline.startToFiles(spark, src, cfg, out, tmp("ckpt"))
+    p.processAllAvailable(); p.stop()
+
+    val c1 = ConsumerPipeline.startMemory(spark, out, "consumed1",
+      tmp("consumer-ckpt"), maxFilesPerTrigger = 1)
+    c1.processAllAvailable(); c1.stop()
+    assert(spark.table("consumed1").count() == 1000L)
+    val sample = spark.table("consumed1").select("log_json").head().getString(0)
+    assert(sample.contains("\"@timestamp\"") && sample.contains("\"docker\""))
+  }
+
+  test("consumer resumes from checkpointed offsets without re-reading (S6/S7)") {
+    // file sink supports checkpoint recovery (memory sink does not):
+    // a second run over the SAME checkpoint must deliver zero new rows
+    val src = stageSource()
+    val out = tmp("stream-out-r")
+    val cfg = KinesisSinkConfig(streamName = "unused", numShards = 4)
+    val p = ProducerPipeline.startToFiles(spark, src, cfg, out, tmp("ckpt"))
+    p.processAllAvailable(); p.stop()
+
+    val ckpt = tmp("resume-ckpt")
+    val sink = tmp("resume-sink")
+    def runOnce(): Unit = {
+      val q = ConsumerPipeline.readRecords(spark, out).writeStream
+        .format("json").option("path", sink)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.schema(ConsumerPipeline.recordSchema).json(sink).count()
+    runOnce() // same checkpoint: offsets already committed
+    val n2 = spark.read.schema(ConsumerPipeline.recordSchema).json(sink).count()
+    assert(n1 == 1000L)
+    assert(n2 == 1000L, "resumed run must not duplicate records")
+  }
+
+  test("console sink smoke (S9/S10)") {
+    val src = stageSource()
+    val out = tmp("stream-out2")
+    val cfg = KinesisSinkConfig(streamName = "unused", numShards = 4)
+    val p = ProducerPipeline.startToFiles(spark, src, cfg, out, tmp("ckpt"))
+    p.processAllAvailable(); p.stop()
+    val c = ConsumerPipeline.startConsole(spark, out, tmp("console-ckpt"))
+    c.processAllAvailable(); c.stop() // output on stdout; no exception = pass
+  }
+
+  test("backpressure: capacity overflow drops when blocking disabled (S13)") {
+    InMemoryKinesis.delete("t-cap")
+    val s = InMemoryKinesis.create("t-cap", numShards = 1, capacity = 10)
+    (0 until 15).foreach { i =>
+      InMemoryKinesis.tryPut("t-cap", 0, "k", s"rec-$i", block = false)
+    }
+    assert(s.delivered.get() == 10L)
+    assert(InMemoryKinesis.shardSizes("t-cap").sum == 10)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** §2.4 text analysis: tokenization, term frequency, language ID,
+  * quality scoring, fingerprints. */
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) = texts.toDF("doc_id", "text")
+
+  test("tokens: lowercases and drops empty tokens from double spaces") {
+    val r = docs((0L, "Hello  World a"))
+      .select(TextAnalysis.tokens(col("text"))).as[Seq[String]].head()
+    assert(r == Seq("hello", "world", "a"))
+  }
+
+  test("termFreq counts terms across documents") {
+    val r = TextAnalysis.termFreq(docs((0L, "a b a"), (1L, "b c")))
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish tokens vs chars") {
+    // "ab 12 c!d" -> ws tokens: [ab, 12, c!d]=3;
+    // bpe-ish: [ab],[12],[c],[!],[d]=5; chars=9
+    val r = TextAnalysis.tokenCounts(docs((0L, "ab 12 c!d")))
+      .select("n_ws_tokens", "n_bpe_tokens", "n_chars")
+      .as[(Int, Int, Int)].head()
+    assert(r == ((3, 5, 9)))
+  }
+
+  test("langId: stopword argmax with deterministic fallback") {
+    val r = TextAnalysis.langId(docs(
+        (0L, "the cat and the dog is in it"),
+        (1L, "el perro y la casa de que un"),
+        (2L, "zzz qqq www")))
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(r == Map(0L -> "en", 1L -> "es", 2L -> "und"))
+  }
+
+  test("qualityScore: integer component arithmetic") {
+    // text "the cat!!" -> toks [the, cat!!]=2 -> len_component 200
+    // en stop hits: "the"=1 -> stop_component 10
+    // punct: 2 ('!','!') -> penalty 100; score 110; keep false @3000
+    val r = TextAnalysis.qualityScore(docs((0L, "the cat!!")))
+      .select("len_component", "stop_component", "punct_penalty", "score", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(r == ((200L, 10L, 100L, 110L, false)))
+  }
+
+  test("fingerprints: known rolling-hash value, md5 lane nonzero") {
+    // (((0*31+'h')*31+'e')...) % 1e9+7 over "hello world" = 204910434
+    // (independently computed in DuckDB with the same fold)
+    val r = TextAnalysis.fingerprints(docs((0L, "hello world")))
+      .select("fp_roll", "fp_md5").as[(Long, Long)].head()
+    assert(r._1 == 204910434L)
+    assert(r._2 > 0L && r._2 < (1L << 32))
+  }
+}
