@@ -198,6 +198,55 @@ object OracleExt {
            AND a.doc_id < b.doc_id)
     WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b"""
 
+  // ---- multimodal ops (graft.multimodal.Multimodal) -------------------
+  // documents.text is pure ASCII (verified at every SF), so byte math on
+  // the BINARY payload mirrors exactly onto character math here.
+
+  private def h32(expr: String) = graft.functions.PortableHash.sqlHash32(expr)
+
+  val multimodalFeatures: String = s"""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           ${h32("text")} AS payload_h32,
+           CAST((length(text) + 254) // 255 AS INTEGER) AS n_frames,
+           CASE WHEN doc_id % 3 != 1
+                THEN CAST(320 + ${h32("text")} % 1280 AS INTEGER) END AS meta_width,
+           CASE WHEN doc_id % 3 = 1 THEN 16000 END AS meta_sample_rate,
+           ${h32("'0:' || text")} AS f0,
+           ${h32("'1:' || text")} AS f1,
+           ${h32("'2:' || text")} AS f2,
+           ${h32("'3:' || text")} AS f3
+    FROM documents ORDER BY asset_id"""
+
+  val frameSample: String = s"""
+    SELECT doc_id AS asset_id, CAST(fid AS INTEGER) AS frame_id,
+           CAST(length(substring(text, CAST(fid * 255 + 1 AS BIGINT), 255))
+                AS BIGINT) AS frame_len,
+           ${h32("substring(text, CAST(fid * 255 + 1 AS BIGINT), 255)")}
+             AS frame_h32
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, (length(text) + 254) // 255)) AS fid
+          FROM documents)
+    ORDER BY asset_id, frame_id"""
+
+  /** Twin of Multimodal.StubCodec over ASCII payloads: the rolling-31
+    * hash equals the char-code fold; byte sum equals the ascii sum. */
+  val multimodalDecode: String = """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(text, ''), c -> ascii(c))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS REAL) AS f0,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(text, ''), c -> ascii(c))),
+                (acc, c) -> acc + c) AS REAL) AS f1,
+           CAST(length(text) AS REAL) AS f2,
+           length(text) > 0 AS ok
+    FROM documents ORDER BY asset_id"""
+
   // ---- similarity ops (graft.operators.Similarity) --------------------
 
   private def planeSql(p: Seq[Long]): String =

@@ -35,41 +35,55 @@ object OracleFragments {
   def imageTag(c: String): String =
     s"CASE WHEN strpos($c, ':') > 0 THEN substr($c, strpos($c, ':') + 1) ELSE '' END"
 
-  /** Labels-map JSON — twin of LogSource labels + to_json rendering
-    * ({"env":"...","team":"t<n>"}; empty map omitted). */
-  val labelsJson: String =
-    """'{"env":"' ||
-       CASE WHEN user_id % 3 = 0 THEN 'dev' WHEN user_id % 3 = 1 THEN 'staging' ELSE 'prod' END ||
-       '","team":"t' || CAST(user_id % 3 AS VARCHAR) || '"}'"""
+  /** Labels-map JSON object, or SQL NULL for the empty map — twin of
+    * LogSource labels + omitempty. Built with json_object so escaping
+    * can never diverge from the engine's. */
+  val labelsJson: String = """
+    CASE WHEN user_id % 7 = 0 THEN NULL
+         ELSE json_object(
+           'env', CASE WHEN user_id % 3 = 0 THEN 'dev'
+                       WHEN user_id % 3 = 1 THEN 'staging'
+                       ELSE 'prod' END,
+           'team', 't' || CAST(user_id % 3 AS VARCHAR)) END"""
 
   val dockerHost = "dockerhost-a"
 
   /** The nested docker JSON object — twin of Logstash.dockerFields +
-    * to_json(ignoreNullFields). */
+    * to_json(ignoreNullFields). json_object preserves insertion order
+    * (Go struct-declaration order) and escapes exactly like Spark's
+    * Jackson; omitempty = one json_merge_patch that null-removes the
+    * conditional keys (RFC 7386 — removal keeps remaining key order). */
   val dockerJson: String = s"""
-    '{"name":"' || substr(container_name, 2) ||
-    '","cid":"' || substr(container_id, 1, 12) ||
-    '","image":"' || ${imageName("image")} || '"' ||
-    CASE WHEN ${imageTag("image")} = '' THEN ''
-         ELSE ',"image_tag":"' || ${imageTag("image")} || '"' END ||
-    ',"source":"' || source ||
-    '","docker_host":"$dockerHost"' ||
-    CASE WHEN user_id % 7 = 0 THEN '' ELSE ',"labels":' || $labelsJson END ||
-    '}'"""
+    json_merge_patch(
+      json_object(
+        'name', substr(container_name, 2),
+        'cid', substr(container_id, 1, 12),
+        'image', ${imageName("image")},
+        'image_tag', NULLIF(${imageTag("image")}, ''),
+        'source', source,
+        'docker_host', '$dockerHost',
+        'labels', $labelsJson),
+      CASE WHEN ${imageTag("image")} = '' AND user_id % 7 = 0
+             THEN '{"image_tag":null,"labels":null}'
+           WHEN ${imageTag("image")} = '' THEN '{"image_tag":null}'
+           WHEN user_id % 7 = 0 THEN '{"labels":null}'
+           ELSE '{}' END)"""
 
   /** Full Logstash V1 JSON document — twin of Logstash.toV1 + serialize. */
   val logstashV1Json: String = s"""
-    '{"@timestamp":"' || ${rfc3339("time")} ||
-    '","host":"' || hostname ||
-    '","message":"' || data ||
-    '","docker":' || $dockerJson || '}'"""
+    CAST(json_object(
+      '@timestamp', ${rfc3339("time")},
+      'host', hostname,
+      'message', data,
+      'docker', $dockerJson) AS VARCHAR)"""
 
   /** Full Logstash V0 JSON document — twin of Logstash.toV0 + serialize. */
   val logstashV0Json: String = s"""
-    '{"@timestamp":"' || ${rfc3339("time")} ||
-    '","@source_host":"' || hostname ||
-    '","@message":"' || data ||
-    '","@fields":{"docker":' || $dockerJson || '}}'"""
+    CAST(json_object(
+      '@timestamp', ${rfc3339("time")},
+      '@source_host', hostname,
+      '@message', data,
+      '@fields', json_object('docker', $dockerJson)) AS VARCHAR)"""
 
   /** md5-based shard routing — twin of Routing.shardFor: full-width
     * (32-bit) deterministic, engine-portable stand-in for

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Events, Logstash, Routing, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
 import graft.sources.{LogSource, Tables}
 import graft.{OracleFragments => O}
 
@@ -169,7 +170,27 @@ object SparkEntry {
     // Bucket-pruned embedding near-dup pairs
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir))
-        .orderBy("vec_a", "vec_b"))
+        .orderBy("vec_a", "vec_b")),
+
+    // ---- §2.4 LLM-data-pipeline: multimodal columns -----------------
+    // BINARY payload features + typed metadata
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.features(Multimodal.asAssets(Tables.documents(s, dir)))
+        .orderBy("asset_id")),
+    // Fixed-size binary frame sampling
+    "frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asAssets(Tables.documents(s, dir)))
+        .orderBy("asset_id", "frame_id")),
+    // mapPartitions batched decode through the (stub) codec seam
+    "multimodal_decode" -> ((s, dir) => {
+      val d = Multimodal.decodeBatched(
+        Multimodal.asAssets(Tables.documents(s, dir)), new Multimodal.StubCodec)
+      d.select(col("asset_id"), col("modality"),
+          element_at(col("feature"), 1).as("f0"),
+          element_at(col("feature"), 2).as("f1"),
+          element_at(col("feature"), 3).as("f2"), col("ok"))
+        .orderBy("asset_id")
+    })
   )
 
   private def overRm(select: String): String =
@@ -217,6 +238,9 @@ object SparkEntry {
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
     "quality_score" -> OracleExt.qualityScore(TextAnalysis.stopwords("en"), 3000),
     "doc_fingerprint" -> OracleExt.fingerprints,
+    "multimodal_features" -> OracleExt.multimodalFeatures,
+    "frame_sample" -> OracleExt.frameSample,
+    "multimodal_decode" -> OracleExt.multimodalDecode,
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
     "ngram_jaccard" -> OracleExt.ngramJaccard(50),

@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.PortableHash
+
+/** Multimodal columns for a training-data pipeline (SURVEY §2.4 /
+  * north-star mandate): media as opaque BINARY payloads with typed
+  * metadata, plus decode / feature-extract / frame-sample operators.
+  *
+  * The image/audio codec libraries are NOT in this container, so the
+  * byte→pixels step is a clearly-marked STUB (`StubCodec`) producing
+  * deterministic fake features — but every piece of Spark plumbing is
+  * real and tested: binary column handling, typed metadata structs, the
+  * per-partition batched-decode shape (`decodeBatched`, the Scala analog
+  * of `mapInPandas` — one codec instance per partition, batch iteration,
+  * no per-row setup), and frame sampling via binary slicing.
+  *
+  * The fixtures have no binary column, so assets derive payload bytes
+  * from `documents.text` (UTF-8, pure ASCII — verified — so the DuckDB
+  * oracle mirrors byte math with character math).
+  */
+object Multimodal {
+
+  /** documents → asset table: BINARY payload + modality + typed
+    * metadata struct. Deterministic stub metadata (a real pipeline gets
+    * these from the container headers). */
+  def asAssets(docs: DataFrame): DataFrame = {
+    val h = PortableHash.hash32(col("text"))
+    val modality = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+    docs.select(
+      col("doc_id").as("asset_id"),
+      modality.as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        when(modality =!= "audio", (lit(320) + h % 1280).cast("int"))
+          .as("width"),
+        when(modality =!= "audio", (lit(240) + h % 720).cast("int"))
+          .as("height"),
+        when(modality === "audio", lit(16000)).cast("int")
+          .as("sample_rate"),
+        (length(col("text")).cast("long") * 4).as("duration_ms"))
+        .as("meta"))
+  }
+
+  val frameBytes = 255
+
+  /** Per-asset features, pure column math over the binary payload:
+    * byte length, payload hash, frame count, and a 4-seed hashed
+    * "embedding" standing in for the decoded-feature vector. (Seeded
+    * hashes go over the UTF-8 decode of the payload, not base64 —
+    * Spark's base64 is MIME-wrapped at 76 chars, DuckDB's is not.) */
+  def features(assets: DataFrame): DataFrame = {
+    val txt = decode(col("payload"), "UTF-8")
+    val featureCols = (0 until 4).map(i =>
+      PortableHash.hash32Seeded(i, txt).as(s"f$i"))
+    assets.select(Seq(
+      col("asset_id"), col("modality"),
+      length(col("payload")).cast("long").as("byte_len"),
+      PortableHash.hash32(col("payload")).as("payload_h32"),
+      expr(s"(length(payload) + ${frameBytes - 1}) div $frameBytes")
+        .cast("int").as("n_frames"),
+      col("meta.width").as("meta_width"),
+      col("meta.sample_rate").as("meta_sample_rate")) ++ featureCols: _*)
+  }
+
+  /** Frame sampling: slice the payload into fixed-size binary frames
+    * (video frame / audio chunk analog) — explode stays proportional to
+    * payload size, no shuffle; at scale this is the map-side fan-out
+    * feeding a decode stage. */
+  def frameSample(assets: DataFrame): DataFrame =
+    assets
+      .select(col("asset_id"),
+        explode(expr(
+          s"""transform(sequence(0, (length(payload) + ${frameBytes - 1}) div $frameBytes - 1),
+                i -> struct(i AS frame_id,
+                            substring(payload, i * $frameBytes + 1, $frameBytes) AS fb))"""))
+          .as("f"))
+      .select(col("asset_id"), col("f.frame_id").cast("int").as("frame_id"),
+        length(col("f.fb")).cast("long").as("frame_len"),
+        PortableHash.hash32(col("f.fb")).as("frame_h32"))
+
+  /** Decoded-feature record produced by a codec. */
+  final case class Decoded(asset_id: Long, modality: String,
+                           feature: Array[Float], ok: Boolean)
+
+  /** The codec seam: a real implementation binds an image/audio library;
+    * this container has none, so the stub derives deterministic fake
+    * features from the bytes. */
+  trait Codec extends Serializable {
+    def decode(modality: String, payload: Array[Byte]): Decoded
+  }
+
+  /** STUB decode (no media libs in this environment): 4 deterministic
+    * pseudo-features from byte statistics. Replace with a JNI/library
+    * codec in production — the pipeline shape does not change. */
+  final class StubCodec extends Codec {
+    def decode(modality: String, payload: Array[Byte]): Decoded = {
+      var a = 0L; var b = 0L
+      var i = 0
+      while (i < payload.length) {
+        a = (a * 31 + (payload(i) & 0xff)) % 1000000007L
+        b += (payload(i) & 0xff)
+        i += 1
+      }
+      Decoded(-1L, modality,
+        Array(a.toFloat, b.toFloat, payload.length.toFloat,
+          if (payload.isEmpty) 0f else b.toFloat / payload.length),
+        ok = payload.nonEmpty)
+    }
+  }
+
+  /** The mapInPandas-shaped decode stage: ONE codec per partition (the
+    * expensive init — model load, JNI bind — happens once per task, not
+    * per row), then batch iteration. Returns a typed Dataset. */
+  def decodeBatched(assets: DataFrame, codec: Codec): DataFrame = {
+    val enc = Encoders.product[Decoded]
+    assets.select("asset_id", "modality", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          codec.decode(r.getString(1), r.getAs[Array[Byte]](2))
+            .copy(asset_id = r.getLong(0))
+        }
+      }(enc).toDF()
+  }
+}
