@@ -20,6 +20,16 @@ object SparkEntry {
   private def rm(spark: SparkSession, dir: String): DataFrame =
     LogSource.asRouterMessages(LogSource.readEvents(spark, dir))
 
+  /** The documents/embeddings fixtures are single parquet files -> a
+    * 1-partition scan, which serializes the hash/lambda-heavy operators
+    * on one core. Production multi-file tables get parallelism from the
+    * scan itself; here an explicit cheap repartition (5k rows) restores
+    * it — the same move you'd make for any small skewed input. */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+  private def embPar(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   /** Flagship: the reference's entire producer data path (S2→P1-P11→S4)
     * on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -126,65 +136,65 @@ object SparkEntry {
     // ---- §2.4 LLM-data-pipeline: documents table --------------------
     // Term frequency (wordcount with map-side partial agg)
     "text_termfreq" -> ((s, dir) =>
-      TextAnalysis.termFreq(Tables.documents(s, dir)).orderBy("term")),
+      TextAnalysis.termFreq(docsPar(s, dir)).orderBy("term")),
     // Whitespace + BPE-ish token accounting per document
     "token_count" -> ((s, dir) =>
-      TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+      TextAnalysis.tokenCounts(docsPar(s, dir)).orderBy("doc_id")),
     // Stopword-heuristic language ID
     "lang_id" -> ((s, dir) =>
-      TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+      TextAnalysis.langId(docsPar(s, dir)).orderBy("doc_id")),
     // Integer quality scoring + keep verdict
     "quality_score" -> ((s, dir) =>
-      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+      TextAnalysis.qualityScore(docsPar(s, dir)).orderBy("doc_id")),
     // Rolling-hash + md5-lane fingerprints
     "doc_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+      TextAnalysis.fingerprints(docsPar(s, dir)).orderBy("doc_id")),
 
     // ---- §2.4 LLM-data-pipeline: near-dup detection -----------------
     // MinHash banded-LSH keys (16 lanes, 4 bands)
     "minhash_bands" -> ((s, dir) =>
-      Dedup.minhashBands(Tables.documents(s, dir))
+      Dedup.minhashBands(docsPar(s, dir))
         .orderBy("doc_id", "band_id")),
     // LSH candidate pairs via band equi-join
     "minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+      Dedup.minhashPairs(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
     // Exact n-gram Jaccard over shared-shingle pairs
     "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+      Dedup.ngramJaccard(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
     // 32-bit frequency-weighted SimHash signatures
     "simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+      Dedup.simhash(docsPar(s, dir)).orderBy("doc_id")),
     // SimHash byte-band candidates verified by Hamming distance
     "simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+      Dedup.simhashPairs(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
 
     // ---- §2.4 LLM-data-pipeline: similarity search ------------------
     // Brute-force cosine top-k (broadcast query set)
     "topk_cosine" -> ((s, dir) =>
-      Similarity.topkCosine(Tables.embeddings(s, dir))
+      Similarity.topkCosine(embPar(s, dir))
         .orderBy("query_id", "rank")),
     // Hyperplane-LSH bucketed ANN top-k (the scale path)
     "ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(Tables.embeddings(s, dir))
+      Similarity.lshTopK(embPar(s, dir))
         .orderBy("query_id", "rank")),
     // Bucket-pruned embedding near-dup pairs
     "embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, dir))
+      Similarity.nearDupPairs(embPar(s, dir))
         .orderBy("vec_a", "vec_b")),
 
     // ---- §2.4 LLM-data-pipeline: multimodal columns -----------------
     // BINARY payload features + typed metadata
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.features(Multimodal.asAssets(Tables.documents(s, dir)))
+      Multimodal.features(Multimodal.asAssets(docsPar(s, dir)))
         .orderBy("asset_id")),
     // Fixed-size binary frame sampling
     "frame_sample" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.asAssets(Tables.documents(s, dir)))
+      Multimodal.frameSample(Multimodal.asAssets(docsPar(s, dir)))
         .orderBy("asset_id", "frame_id")),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
       val d = Multimodal.decodeBatched(
-        Multimodal.asAssets(Tables.documents(s, dir)), new Multimodal.StubCodec)
+        Multimodal.asAssets(docsPar(s, dir)), new Multimodal.StubCodec)
       d.select(col("asset_id"), col("modality"),
           element_at(col("feature"), 1).as("f0"),
           element_at(col("feature"), 2).as("f1"),

@@ -35,17 +35,33 @@ object Dedup {
       array_min(transform(sh,
         x => PortableHash.hash32(concat(s.cast("string"), lit(":"), x)))))
 
+  /** Shingle sets materialized as a COLUMN (a projection barrier).
+    * Interpreted higher-order lambdas re-evaluate their argument
+    * subtree per element, so composing shingles(tokens(split(...)))
+    * inline into the 16-seed × 4-band minhash tree re-splits the full
+    * text thousands of times per row; staging each step as a column
+    * makes every downstream lambda read an already-computed array. */
+  def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("__sh",
+        when(size(col("__toks")) >= n,
+          array_distinct(transform(sequence(lit(0), size(col("__toks")) - n),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+          .otherwise(array(concat_ws(" ", col("__toks")))))
+
   /** Banded LSH keys: split the signature into `bands` bands of `rows`
     * values; docs agreeing on ANY band become candidates. One output row
-    * per (doc, band). */
+    * per (doc, band). Each stage (tokens → shingles → signature) is a
+    * materialized column — evaluated once per row. */
   def minhashBands(docs: DataFrame, numHashes: Int = 16, bands: Int = 4)
       : DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSig(shingles(col("text")), numHashes)
-    docs.select(col("doc_id"),
+    withShingles(docs)
+      .withColumn("__sig", minhashSig(col("__sh"), numHashes))
+      .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
           b.cast("int").as("band_id"),
-          concat_ws("_", transform(slice(sig, b * rows + 1, lit(rows)),
+          concat_ws("_", transform(slice(col("__sig"), b * rows + 1, lit(rows)),
             v => v.cast("string"))).as("band_key")))).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
   }
@@ -70,10 +86,10 @@ object Dedup {
     * In production the self-join is replaced by minhashPairs candidates;
     * the shared-shingle join shown here is already sub-quadratic. */
   def ngramJaccard(docs: DataFrame, minMilli: Int = 50): DataFrame = {
-    val ex = docs.select(col("doc_id"),
-      explode(shingles(col("text"))).as("sh"))
-    val sizes = docs.select(col("doc_id"),
-      size(shingles(col("text"))).cast("long").as("nsh"))
+    val staged = withShingles(docs)
+    val ex = staged.select(col("doc_id"), explode(col("__sh")).as("sh"))
+    val sizes = staged.select(col("doc_id"),
+      size(col("__sh")).cast("long").as("nsh"))
     ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -55,11 +55,13 @@ object TextAnalysis {
     * token stream; argmax with a fixed priority tie-break; 'und' when no
     * list hits. Per-row only — no shuffle. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // stage the token array once; the per-language filters then scan an
+    // already-computed value instead of re-tokenizing 4x per row
+    val staged = docs.withColumn("__toks", tokens(col("text")))
     val hits = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      size(filter(toks, t => t.isInCollection(words))).as(s"hits_$lang")
+      size(filter(col("__toks"), t => t.isInCollection(words))).as(s"hits_$lang")
     }
-    val df = docs.select(col("doc_id") +: hits: _*)
+    val df = staged.select(col("doc_id") +: hits: _*)
     val (en, es, de, fr) =
       (col("hits_en"), col("hits_es"), col("hits_de"), col("hits_fr"))
     df.withColumn("pred_lang",
@@ -74,13 +76,13 @@ object TextAnalysis {
     * density, penalizes punctuation noise. Integer-only so the oracle is
     * bit-exact; `keep` is the pipeline's filter verdict. */
   def qualityScore(docs: DataFrame, keepThreshold: Long = 3000): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("__toks")
     val nTokens = size(toks).cast("long")
     val stopHits = size(filter(toks, t => t.isInCollection(stopwords("en"))))
       .cast("long")
     val punct = (length(col("text")) -
       length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("long")
-    docs.select(col("doc_id"),
+    docs.withColumn("__toks", tokens(col("text"))).select(col("doc_id"),
         least(nTokens, lit(200L)).multiply(100).as("len_component"),
         (stopHits * 10).as("stop_component"),
         (punct * 50).as("punct_penalty"))
