@@ -191,6 +191,27 @@ object SparkEntry {
     "frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.asAssets(docsPar(s, dir)))
         .orderBy("asset_id", "frame_id")),
+    // S1/S5/S6: DSv2 connector — format registration by short name, one
+    // partition per shard, offset positioning. The stream is populated
+    // deterministically from events (setup scaffolding — seq == event_id
+    // because the put loop is ordered); the OPERATOR under test is the
+    // format("graft-kinesis") scan with startingSeq pushdown.
+    "kinesis_source_scan" -> ((s, dir) => {
+      import graft.streaming.InMemoryKinesis
+      val name = "verify-kinesis"
+      InMemoryKinesis.delete(name)
+      InMemoryKinesis.create(name, numShards = 4, capacity = Int.MaxValue)
+      LogSource.readEvents(s, dir)
+        .select(col("event_id"), col("event_type")).orderBy("event_id")
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          InMemoryKinesis.tryPut(name, (id % 4).toInt, s"k$id",
+            s"${r.getString(1)} #$id", block = false)
+        }
+      s.read.format("graft-kinesis").option("stream", name)
+        .option("startingSeq", 100).load()
+        .orderBy("seq")
+    }),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
       val d = Multimodal.decodeBatched(
@@ -251,6 +272,11 @@ object SparkEntry {
     "multimodal_features" -> OracleExt.multimodalFeatures,
     "frame_sample" -> OracleExt.frameSample,
     "multimodal_decode" -> OracleExt.multimodalDecode,
+    "kinesis_source_scan" -> """
+      SELECT event_id AS seq, CAST(event_id % 4 AS INTEGER) AS shard,
+             'k' || CAST(event_id AS VARCHAR) AS partition_key,
+             event_type || ' #' || CAST(event_id AS VARCHAR) AS data
+      FROM events WHERE event_id >= 100 ORDER BY seq""",
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
     "ngram_jaccard" -> OracleExt.ngramJaccard(50),
