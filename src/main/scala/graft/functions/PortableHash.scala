@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
 object PortableHash {
 
   /** First 32 bits of md5(s) as a non-negative BIGINT in [0, 2^32).
-    * DuckDB twin: CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT). */
+    * DuckDB twin: CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT).
+    * Implemented as a native codegen'd Expression (PortableHash32Expr);
+    * `hash32Builtin` is the equivalent built-in composition kept for
+    * equivalence testing. */
   def hash32(s: Column): Column =
+    org.apache.spark.sql.graft.PortableHash32Expr(s)
+
+  def hash32Builtin(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** A keyed/seeded hash family for minhash: lane `i` hashes `i:s`.
