@@ -53,10 +53,29 @@ object OracleExt {
            count(*) AS n, min(event_id) AS min_eid, max(event_id) AS max_eid
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of Events.sessionWindows: lag-gap session derivation, then
+    * group per (user, session); session_end = last event + gap. */
+  val sessionWindows: String = """
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           count(*) AS n, min(event_id) AS first_eid
+    FROM (SELECT user_id, ts, event_id,
+                 SUM(CASE WHEN prev IS NULL
+                            OR epoch_us(ts) - prev > 3600000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM (SELECT user_id, ts, event_id,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev
+                FROM events))
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start"""
+
   // ---- documents ops (graft.operators.TextAnalysis) ------------------
 
   /** Twin of TextAnalysis.tokens. */
-  private val toks =
+  private def toks: String =
     "list_filter(string_split(lower(text), ' '), t -> t != '')"
 
   private def inList(words: Seq[String]): String =
@@ -103,6 +122,31 @@ object OracleExt {
           FROM (SELECT doc_id, text, $toks AS toks FROM documents))
     ORDER BY doc_id"""
 
+  val topTermsPerLang: String = s"""
+    SELECT lang, CAST(rank AS INTEGER) AS rank, term, cnt FROM (
+      SELECT lang, term, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, term) AS rank
+      FROM (SELECT lang, term, count(*) AS cnt
+            FROM (SELECT lang, unnest($toks) AS term FROM documents)
+            GROUP BY lang, term))
+    WHERE rank <= 5 ORDER BY lang, rank"""
+
+  val termStats: String = s"""
+    SELECT term, count(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+    GROUP BY term ORDER BY term"""
+
+  val dedupKeepList: String = s"""
+    $bandsCte
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)
+    ORDER BY doc_id"""
+
   val fingerprints: String = s"""
     SELECT doc_id,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -114,7 +158,7 @@ object OracleExt {
   // ---- dedup ops (graft.operators.Dedup) ------------------------------
 
   /** Twin of Dedup.shingles (3-grams, distinct, whole-text fallback). */
-  private val shingleCte = s"""
+  private def shingleCte: String = s"""
     sh AS (SELECT doc_id,
              CASE WHEN len(toks) >= 3
                   THEN list_distinct(list_transform(range(0, len(toks) - 2),
@@ -123,7 +167,7 @@ object OracleExt {
            FROM (SELECT doc_id, $toks AS toks FROM documents))"""
 
   /** Twin of Dedup.minhashSig + minhashBands (16 lanes, 4 bands). */
-  private val bandsCte = s"""
+  private def bandsCte: String = s"""
     WITH $shingleCte,
     sig AS (SELECT doc_id,
               list_transform(range(0, 16), s2 ->
@@ -164,7 +208,7 @@ object OracleExt {
 
   /** Twin of Dedup.simhash: 32 ±1 bit sums over frequency-weighted token
     * hashes, recombined into a 32-bit signature. */
-  private val simhashCte: String = {
+  private def simhashCte: String = {
     val bitSums = (0 until 32).map(i =>
       s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
       .mkString(",\n                   ")

@@ -132,6 +132,10 @@ object SparkEntry {
     "event_windows" -> ((s, dir) =>
       Events.hourlyWindows(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // Native session_window aggregation (engine twin of sessionize)
+    "session_windows" -> ((s, dir) =>
+      Events.sessionWindows(LogSource.readEvents(s, dir))
+        .orderBy("user_id", "session_start")),
 
     // ---- §2.4 LLM-data-pipeline: documents table --------------------
     // Term frequency (wordcount with map-side partial agg)
@@ -149,6 +153,15 @@ object SparkEntry {
     // Rolling-hash + md5-lane fingerprints
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docsPar(s, dir)).orderBy("doc_id")),
+    // Top-5 terms per language (grouped counts + rank window)
+    "top_terms" -> ((s, dir) =>
+      TextAnalysis.topTermsPerLang(docsPar(s, dir)).orderBy("lang", "rank")),
+    // Collection term statistics (TF + DF, the TF-IDF inputs)
+    "term_stats" -> ((s, dir) =>
+      TextAnalysis.termStats(docsPar(s, dir)).orderBy("term")),
+    // Canonical keep-list after LSH dedup (left-anti join)
+    "dedup_keeplist" -> ((s, dir) =>
+      Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
 
     // ---- §2.4 LLM-data-pipeline: near-dup detection -----------------
     // MinHash banded-LSH keys (16 lanes, 4 bands)
@@ -264,6 +277,10 @@ object SparkEntry {
     "malformed_drop" -> OracleExt.malformedDrop,
     "sessionize" -> OracleExt.sessionize,
     "event_windows" -> OracleExt.hourlyWindows,
+    "session_windows" -> OracleExt.sessionWindows,
+    "top_terms" -> OracleExt.topTermsPerLang,
+    "term_stats" -> OracleExt.termStats,
+    "dedup_keeplist" -> OracleExt.dedupKeepList,
     "text_termfreq" -> OracleExt.termFreq,
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),

@@ -105,6 +105,17 @@ object Dedup {
         col("nb"), col("jac_milli"))
   }
 
+  /** The dedup keep-list: drop every doc that appears as the HIGHER id
+    * of an LSH candidate pair (keep-lowest-canonical policy) via a
+    * LEFT ANTI join — the standard "subtract the duplicates" shape; at
+    * scale the anti-join is a hash join on doc_id against the (small)
+    * duplicate set. */
+  def dedupKeepList(docs: DataFrame): DataFrame = {
+    val dupes = minhashPairs(docs).select(col("doc_b").as("doc_id")).distinct()
+    docs.join(dupes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   val simhashBits = 32
 
   /** 32-bit SimHash: explode tokens (frequency-weighted), hash each once,

@@ -80,6 +80,18 @@ object Events {
       sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Native session windows (`session_window(ts, gap)`) — the operator
+    * Structured Streaming uses for keyed session state; in batch it
+    * compiles to a single shuffle on user_id + in-partition merge. The
+    * lag-gap `sessionize` above is the hand-rolled twin; this is the
+    * engine-native one. Session end = last event + gap (Spark's
+    * half-open-window contract), mirrored in the oracle. */
+  def sessionWindows(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"), min("event_id").as("first_eid"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("first_eid"))
+
   /** Event-time tumbling windows (the batch twin of the streaming
     * `window()` + watermark aggregation): per (hour, event_type) counts
     * and id bounds. Integer aggregates only — cross-engine determinism

@@ -91,6 +91,34 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= keepThreshold)
   }
 
+  /** Top-k terms per language label: grouped counts + a rank window.
+    * Two shuffles (term counts, then rank partition) — the rank
+    * partition count is |langs|, small, but each group is k-bounded so
+    * the window sorts only survivors of the partial-agg stage. */
+  def topTermsPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("int").as("rank"),
+        col("term"), col("cnt"))
+  }
+
+  /** Collection statistics per term: total term frequency + document
+    * frequency (the inputs to any TF-IDF weighting — the log transform
+    * is left to consumers; transcendentals don't cross the oracle
+    * boundary). One explode + one aggregation per quantity, both with
+    * map-side partial agg. */
+  def termStats(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    perDoc.groupBy("term").agg(
+      count(lit(1)).as("tf"),
+      count_distinct(col("doc_id")).as("df"))
+  }
+
   /** Document fingerprints: a 31-polynomial rolling hash over the raw
     * characters (mod 1e9+7 — stays in 35 bits, no overflow in any
     * engine) plus a 32-bit md5 lane. Content-addressed dedup keys; pure
