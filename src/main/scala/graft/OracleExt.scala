@@ -242,6 +242,71 @@ object OracleExt {
            AND a.doc_id < b.doc_id)
     WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b"""
 
+  // ---- k-means / IVF (graft.operators.KMeans) -------------------------
+
+  /** Sequential-fold squared distance — twin of KMeans.dist2. */
+  private def sqlDist2(a: String, b: String): String = s"""
+    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+      (acc, x) -> acc + x)"""
+
+  private val zeros64: String =
+    Seq.fill(64)("0").mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** One Lloyd round: assignment (argmin, ties to lowest cid) from
+    * centroids `cPrev`, then ordered-fold mean update into `cNext`. */
+  private def kmeansRound(i: Int, cPrev: String, cNext: String): String = s"""
+    d$i AS (SELECT e.vec_id, e.v, c.cid, ${sqlDist2("e.v", "c.c")} AS d2
+            FROM e CROSS JOIN $cPrev c),
+    a$i AS (SELECT vec_id, v, cid, d2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cid) AS rn
+              FROM d$i) WHERE rn = 1),
+    m$i AS (SELECT cid, count(*) AS cnt, list(v ORDER BY vec_id) AS members
+            FROM a$i GROUP BY cid),
+    u$i AS (SELECT cid, list_transform(
+              list_reduce(list_prepend($zeros64, members),
+                (acc, m) -> list_transform(range(1, 65), j -> acc[j] + m[j])),
+              x -> x / cnt) AS c_new
+            FROM m$i),
+    $cNext AS (SELECT p.cid, COALESCE(u.c_new, p.c) AS c
+               FROM $cPrev p LEFT JOIN u$i u ON p.cid = u.cid)"""
+
+  /** CTE chain ending in assignment `a{iters-1}` vs centroids
+    * `c{iters-1}`. */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    val rounds = (0 until iters)
+      .map(i => kmeansRound(i, s"c$i", s"c${i + 1}")).mkString(",")
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $k),
+    $rounds"""
+  }
+
+  def ivfKmeans(k: Int, iters: Int): String = s"""
+    ${kmeansCte(k, iters)}
+    SELECT vec_id, cid AS cluster,
+           CAST(floor(d2 * 1000) AS BIGINT) AS d2_milli
+    FROM a${iters - 1} ORDER BY vec_id"""
+
+  def annIvf(k: Int, iters: Int, nQueries: Int, topK: Int): String = s"""
+    ${kmeansCte(k, iters)},
+    nv AS (SELECT a.vec_id, a.v, a.cid,
+                  list_dot_product(a.v, a.v) AS norm2
+           FROM a${iters - 1} a)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+           CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 list_dot_product(q.v, c.v) / (sqrt(q.norm2) * sqrt(c.norm2)) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (sqrt(q.norm2) * sqrt(c.norm2)) DESC,
+                            c.vec_id) AS rank
+          FROM nv q JOIN nv c
+            ON q.cid = c.cid AND c.vec_id != q.vec_id
+          WHERE q.vec_id < $nQueries)
+    WHERE rank <= $topK ORDER BY query_id, rank"""
+
   // ---- multimodal ops (graft.multimodal.Multimodal) -------------------
   // documents.text is pure ASCII (verified at every SF), so byte math on
   // the BINARY payload mirrors exactly onto character math here.

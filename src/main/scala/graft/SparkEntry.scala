@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Logstash, Routing, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, KMeans, Logstash, Routing, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{LogSource, Tables}
 import graft.{OracleFragments => O}
@@ -194,6 +194,12 @@ object SparkEntry {
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embPar(s, dir))
         .orderBy("vec_a", "vec_b")),
+    // Deterministic Lloyd's k-means: the trained IVF coarse quantizer
+    "ivf_kmeans" -> ((s, dir) =>
+      KMeans.assignments(embPar(s, dir)).orderBy("vec_id")),
+    // IVF ANN: top-3 within the query's trained cluster
+    "ann_ivf" -> ((s, dir) =>
+      KMeans.annIvf(embPar(s, dir)).orderBy("query_id", "rank")),
 
     // ---- §2.4 LLM-data-pipeline: multimodal columns -----------------
     // BINARY payload features + typed metadata
@@ -289,6 +295,8 @@ object SparkEntry {
     "multimodal_features" -> OracleExt.multimodalFeatures,
     "frame_sample" -> OracleExt.frameSample,
     "multimodal_decode" -> OracleExt.multimodalDecode,
+    "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
+    "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
     "kinesis_source_scan" -> """
       SELECT event_id AS seq, CAST(event_id % 4 AS INTEGER) AS shard,
              'k' || CAST(event_id AS VARCHAR) AS partition_key,
