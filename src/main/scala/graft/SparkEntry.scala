@@ -123,6 +123,13 @@ object SparkEntry {
       Events.dropMalformed(Events.parseProps(
           Events.withCorruptedProps(LogSource.readEvents(s, dir))))
         .select(col("event_id"), col("k")).orderBy("event_id")),
+    // Grok-style log-line parsing via regexp_extract
+    "log_parse" -> ((s, dir) => {
+      val df = rm(s, dir)
+      Events.parseLogLine(df, col("data"))
+        .select(col("event_id"), col("msg_type"), col("msg_id"))
+        .orderBy("event_id")
+    }),
     // Sessionization: 1-hour inactivity gap per user
     "sessionize" -> ((s, dir) =>
       Events.sessionize(LogSource.readEvents(s, dir), 3600L)
@@ -281,6 +288,13 @@ object SparkEntry {
     "approx_distinct" -> OracleExt.approxDistinct,
     "props_parse" -> OracleExt.propsParse,
     "malformed_drop" -> OracleExt.malformedDrop,
+    // TRY_CAST: Spark's cast of the no-match '' yields NULL; DuckDB's
+    // plain CAST would error — TRY_CAST keeps both engines agreeing on
+    // lines that don't match the pattern
+    "log_parse" -> overRm("""
+      SELECT event_id, regexp_extract(data, '^(\w+) #(\d+)$', 1) AS msg_type,
+             TRY_CAST(regexp_extract(data, '^(\w+) #(\d+)$', 2) AS BIGINT) AS msg_id
+      FROM rm ORDER BY event_id"""),
     "sessionize" -> OracleExt.sessionize,
     "event_windows" -> OracleExt.hourlyWindows,
     "session_windows" -> OracleExt.sessionWindows,

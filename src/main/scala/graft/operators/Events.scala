@@ -44,6 +44,14 @@ object Events {
 
   val propsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
 
+  /** Structured log-line parsing via regexp_extract (the grok-style
+    * path for non-JSON payloads): "<word> #<id>" → typed columns.
+    * Pure per-row, codegen'd, no shuffle. */
+  def parseLogLine(df: DataFrame, line: Column): DataFrame =
+    df.withColumn("msg_type", regexp_extract(line, "^(\\w+) #(\\d+)$", 1))
+      .withColumn("msg_id",
+        regexp_extract(line, "^(\\w+) #(\\d+)$", 2).cast("long"))
+
   /** Parse the JSON `props` payload into typed columns (from_json is
     * codegen'd; schema declared, never inferred). */
   def parseProps(events: DataFrame): DataFrame =
