@@ -46,11 +46,16 @@ object Events {
 
   /** Structured log-line parsing via regexp_extract (the grok-style
     * path for non-JSON payloads): "<word> #<id>" → typed columns.
-    * Pure per-row, codegen'd, no shuffle. */
-  def parseLogLine(df: DataFrame, line: Column): DataFrame =
+    * Pure per-row, codegen'd, no shuffle. Non-matching lines yield ""
+    * from regexp_extract — explicitly nulled before the numeric cast
+    * because ANSI mode (Spark 4 default) THROWS on CAST('' AS BIGINT)
+    * rather than returning null. */
+  def parseLogLine(df: DataFrame, line: Column): DataFrame = {
+    val id = regexp_extract(line, "^(\\w+) #(\\d+)$", 2)
     df.withColumn("msg_type", regexp_extract(line, "^(\\w+) #(\\d+)$", 1))
       .withColumn("msg_id",
-        regexp_extract(line, "^(\\w+) #(\\d+)$", 2).cast("long"))
+        when(id === "", lit(null)).otherwise(id).cast("long"))
+  }
 
   /** Parse the JSON `props` payload into typed columns (from_json is
     * codegen'd; schema declared, never inferred). */

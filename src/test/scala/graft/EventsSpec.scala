@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+/** Unit coverage for the events-table operators (the oracle gate covers
+  * them end-to-end; these pin the semantics on crafted edges). */
+class EventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("exactDedup keeps the FIRST row by (ts, id) per key") {
+    val df = Seq(
+      (1L, 10L, "click", ts("2024-01-01T10:00:00Z")),
+      (2L, 10L, "click", ts("2024-01-01T09:00:00Z")), // earlier -> kept
+      (3L, 10L, "view", ts("2024-01-01T08:00:00Z")),
+      (4L, 11L, "click", ts("2024-01-01T10:00:00Z")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val kept = Events.exactDedup(df,
+        Seq(col("user_id"), col("event_type")), Seq(col("ts"), col("event_id")))
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("exactDedup breaks exact-timestamp ties by id") {
+    val t = ts("2024-01-01T10:00:00Z")
+    val df = Seq((7L, 1L, "x", t), (5L, 1L, "x", t))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val kept = Events.exactDedup(df,
+        Seq(col("user_id"), col("event_type")), Seq(col("ts"), col("event_id")))
+      .select("event_id").as[Long].collect().toSeq
+    assert(kept == Seq(5L))
+  }
+
+  test("sessionize splits strictly-greater-than-gap, keeps == gap") {
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01T10:00:00Z")),
+      (2L, 1L, ts("2024-01-01T11:00:00Z")), // exactly 1h -> same session
+      (3L, 1L, ts("2024-01-01T12:00:01Z")), // 1h + 1s -> new session
+      (4L, 2L, ts("2024-01-01T10:00:00Z")))
+      .toDF("event_id", "user_id", "ts")
+    val s = Events.sessionize(rows, 3600L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(s(1L) == 1L && s(2L) == 1L)
+    assert(s(3L) == 2L)
+    assert(s(4L) == 1L)
+  }
+
+  test("withCorruptedProps + dropMalformed: only multiples of 97 drop") {
+    val df = spark.range(200).select(col("id").as("event_id"),
+      lit("""{"k": 5}""").as("props"))
+    val out = Events.dropMalformed(Events.parseProps(
+      Events.withCorruptedProps(df)))
+    // 0, 97, 194 corrupted -> 197 survivors, all with k = 5
+    assert(out.count() == 197L)
+    assert(out.filter(col("k") =!= 5).count() == 0L)
+  }
+
+  test("parseLogLine extracts type and id; non-matching lines yield nulls") {
+    val df = Seq((1L, "click #42"), (2L, "garbage line!"))
+      .toDF("event_id", "data")
+    val rows = Events.parseLogLine(df, col("data"))
+      .select("event_id", "msg_type", "msg_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(rows(1L) == (("click", Some(42L))))
+    assert(rows(2L) == (("", None)))
+  }
+
+  test("hourlyWindows buckets on the event-time hour") {
+    val rows = Seq(
+      (1L, "a", ts("2024-01-01T10:05:00Z")),
+      (2L, "a", ts("2024-01-01T10:55:00Z")),
+      (3L, "a", ts("2024-01-01T11:00:00Z")))
+      .toDF("event_id", "event_type", "ts")
+    val w = Events.hourlyWindows(rows)
+      .select(col("window_start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(w == Map("2024-01-01 10:00:00" -> 2L, "2024-01-01 11:00:00" -> 1L))
+  }
+}
