@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{GraftFunctions, PortableHash32Expr}
+
+import graft.functions.PortableHash
+
+/** The custom-Catalyst registration story: SQL function registration,
+  * and the optimizer rule that rewrites the built-in md5-prefix chain
+  * into the native expression. */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("portable_hash32 is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT portable_hash32('abc') AS h").as[Long].head()
+    assert(r == 0x90015098L)
+  }
+
+  test("optimizer rule rewrites the built-in chain to the native expression") {
+    GraftFunctions.installOptimization(spark)
+    // non-foldable input: literal strings would be constant-folded into
+    // a LocalRelation before the rule could show its work
+    val df = spark.range(2)
+      .select(concat(lit("k"), col("id").cast("string")).as("s"))
+      .select(PortableHash.hash32Builtin(col("s")).as("h"))
+    val optimized = df.queryExecution.optimizedPlan
+    val rewritten = optimized.expressions.exists(_.exists {
+      case _: PortableHash32Expr => true
+      case _ => false
+    })
+    assert(rewritten, s"expected PortableHash32Expr in:\n$optimized")
+    // and the rewritten plan still computes the same values
+    assert(df.as[Long].collect().toSeq ==
+      Seq("k0", "k1").map(s => PortableHash32Expr.hash(s.getBytes("UTF-8"))))
+  }
+
+  test("GraftExtensions wires a fresh session via Builder.withExtensions") {
+    // (the spark.sql.extensions CONFIG route is static — it only takes
+    // effect when the SparkContext is first created, i.e. at cluster
+    // launch; in-JVM tests use the equivalent Builder.withExtensions)
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions()(_))
+        .getOrCreate()
+      assert(s2 ne prev)
+      val r = s2.sql("SELECT portable_hash32('abc') AS h")
+        .collect()(0).getLong(0)
+      assert(r == 0x90015098L)
+      // the injected optimizer rule is active in the new session
+      val df = s2.range(1)
+        .select(concat(lit("k"), col("id").cast("string")).as("s"))
+        .select(PortableHash.hash32Builtin(col("s")).as("h"))
+      assert(df.queryExecution.optimizedPlan.expressions.exists(_.exists {
+        case _: PortableHash32Expr => true
+        case _ => false
+      }))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+}
