@@ -32,6 +32,25 @@ final case class DockerFields(
     labels: Option[Map[String, String]]
 )
 
+/** Typed V1 output document (go :49-54) for the Dataset API boundary.
+  * Field names carry the JSON keys via the projection aliases; backtick
+  * names mirror the Go struct tags. */
+final case class LogstashV1(
+    `@timestamp`: String,
+    host: String,
+    message: String,
+    docker: DockerFields
+)
+
+/** Typed V0 output document (go :42-47, double-nested). */
+final case class LogstashFields(docker: DockerFields)
+final case class LogstashV0(
+    `@timestamp`: String,
+    `@source_host`: String,
+    `@message`: String,
+    `@fields`: LogstashFields
+)
+
 /** Producer/sink configuration surface (go :114-172). Defaults mirror the
   * reference exactly. NOTE the reference has a parse bug where
   * `buffer_size` reads the wrong option string (go :126); we implement the

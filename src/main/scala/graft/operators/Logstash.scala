@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The reference's per-record transform (`createLogstashMessage`,
@@ -91,6 +91,24 @@ object Logstash {
   /** V1 layout as a DataFrame */
   def toV1(df: DataFrame, dockerHost: String): DataFrame =
     df.select(v1Doc(df, dockerHost).as("doc")).select(col("doc.*"))
+
+  /** Typed Dataset API boundary: the same projections with case-class
+    * encoders — compile-time schema for library consumers; the plan is
+    * identical to the DataFrame path (encoders only type the boundary,
+    * Catalyst still sees the same column expressions). */
+  def toV1Typed(ds: Dataset[graft.model.RouterMessage], dockerHost: String)
+      : Dataset[graft.model.LogstashV1] = {
+    val df = ds.toDF()
+    toV1(df, dockerHost).as[graft.model.LogstashV1](
+      org.apache.spark.sql.Encoders.product[graft.model.LogstashV1])
+  }
+
+  def toV0Typed(ds: Dataset[graft.model.RouterMessage], dockerHost: String)
+      : Dataset[graft.model.LogstashV0] = {
+    val df = ds.toDF()
+    toV0(df, dockerHost).as[graft.model.LogstashV0](
+      org.apache.spark.sql.Encoders.product[graft.model.LogstashV0])
+  }
 
   /** V0 layout as a DataFrame */
   def toV0(df: DataFrame, dockerHost: String): DataFrame =
