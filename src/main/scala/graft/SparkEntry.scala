@@ -219,24 +219,31 @@ object SparkEntry {
         .orderBy("asset_id", "frame_id")),
     // S1/S5/S6: DSv2 connector — format registration by short name, one
     // partition per shard, offset positioning. The stream is populated
-    // deterministically from events (setup scaffolding — seq == event_id
-    // because the put loop is ordered); the OPERATOR under test is the
-    // format("graft-kinesis") scan with startingSeq pushdown.
+    // DISTRIBUTED (setup scaffolding): rows are hash-routed to one task
+    // per shard and put in event_id order, so each shard's sequence is
+    // deterministic (per-shard seq = event_id div 4 under round-robin) —
+    // no driver collect anywhere. The OPERATOR under test is the
+    // format("graft-kinesis") scan with per-shard startingSeq.
     "kinesis_source_scan" -> ((s, dir) => {
       import graft.streaming.InMemoryKinesis
       val name = "verify-kinesis"
       InMemoryKinesis.delete(name)
       InMemoryKinesis.create(name, numShards = 4, capacity = Int.MaxValue)
       LogSource.readEvents(s, dir)
-        .select(col("event_id"), col("event_type")).orderBy("event_id")
-        .collect().foreach { r =>
-          val id = r.getLong(0)
-          InMemoryKinesis.tryPut(name, (id % 4).toInt, s"k$id",
-            s"${r.getString(1)} #$id", block = false)
+        .select(col("event_id"), col("event_type"),
+          (col("event_id") % 4).cast("int").as("shard"))
+        .repartition(4, col("shard"))
+        .sortWithinPartitions("event_id")
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            InMemoryKinesis.tryPut(name, r.getInt(2), s"k$id",
+              s"${r.getString(1)} #$id", block = false)
+          }
         }
       s.read.format("graft-kinesis").option("stream", name)
         .option("startingSeq", 100).load()
-        .orderBy("seq")
+        .orderBy("seq", "shard")
     }),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
@@ -311,11 +318,14 @@ object SparkEntry {
     "multimodal_decode" -> OracleExt.multimodalDecode,
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
+    // per-shard sequences: shard = event_id % 4, so the k-th record of a
+    // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """
-      SELECT event_id AS seq, CAST(event_id % 4 AS INTEGER) AS shard,
+      SELECT CAST(event_id // 4 AS BIGINT) AS seq,
+             CAST(event_id % 4 AS INTEGER) AS shard,
              'k' || CAST(event_id AS VARCHAR) AS partition_key,
              event_type || ' #' || CAST(event_id AS VARCHAR) AS data
-      FROM events WHERE event_id >= 100 ORDER BY seq""",
+      FROM events WHERE event_id // 4 >= 100 ORDER BY seq, shard""",
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
     "ngram_jaccard" -> OracleExt.ngramJaccard(50),

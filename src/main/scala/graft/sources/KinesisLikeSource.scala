@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -25,14 +25,21 @@ import graft.streaming.InMemoryKinesis
   *   emits ONE InputPartition PER SHARD — Spark schedules a task per
   *   shard exactly as the reference builds one iterator per shard.
   * - S6 (offset positioning, readstream.py:26-27): option
-  *   `startingSeq` = AT_SEQUENCE_NUMBER analog (default 0 =
-  *   TRIM_HORIZON); streaming honors `startingOffsets` earliest/latest.
-  * - S7 (poll + offset advance, readstream.py:30-33): the micro-batch
-  *   stream's per-shard offsets are planned/committed by the engine —
-  *   checkpointable, unlike the reference's in-memory iterator tokens.
+  *   `startingSeq` = AT_SEQUENCE_NUMBER analog on each shard's own
+  *   sequence (default 0 = TRIM_HORIZON); streaming honors
+  *   `startingOffsets` earliest/latest.
+  * - S7 (poll + offset advance, readstream.py:30-33): the reference
+  *   keeps one iterator token PER SHARD; here the checkpointed offset is
+  *   a shard→sequence JSON map (`ShardOffsets`), advanced per shard by
+  *   the micro-batch engine. A production swap-in keeps the same offset
+  *   model — per-shard cursors are the real Kinesis shape.
   * - S8 (per-fetch limit, readstream.py:32): option `maxRecordsPerFetch`
-  *   caps records per shard per micro-batch (maxOffsetsPerTrigger
-  *   analog).
+  *   caps records per shard per micro-batch at OFFSET-ADMISSION time
+  *   (`latestOffset(start, limit)` advances each shard at most
+  *   `maxRecordsPerFetch` past the start), so uncapped records stay
+  *   UNPLANNED and are fetched by later batches — the reference's own
+  *   semantics (the 500-record cap delays, never drops). Batch scans
+  *   honor the same option as a per-shard top-N.
   *
   * Single-JVM caveat: the backing store is `InMemoryKinesis` (local[*]
   * executors share the JVM). A production implementation swaps the
@@ -81,53 +88,111 @@ final class KinesisLikeScan(stream: String, startingSeq: Long,
   override def readSchema(): StructType = KinesisLikeSource.schema
   override def description(): String = s"graft-kinesis scan of $stream"
 
-  // ---- batch: one partition per shard (S5), from startingSeq (S6) ----
+  // ---- batch: one partition per shard (S5), from startingSeq (S6),
+  //      at most maxRecordsPerFetch per shard (S8) ---------------------
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val s = InMemoryKinesis.get(stream)
       (0 until s.numShards).map(i =>
-        ShardRange(stream, i, startingSeq, Long.MaxValue)
+        ShardRange(stream, i, startingSeq, Long.MaxValue, maxPerFetch)
           : InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new ShardReaderFactory
   }
 
-  // ---- streaming: engine-managed per-shard offsets (S7) --------------
+  // ---- streaming: per-shard offsets + offset-time rate admission (S7/S8)
   override def toMicroBatchStream(checkpointLocation: String)
-      : MicroBatchStream = new MicroBatchStream {
-    private def currentSeq: Long = InMemoryKinesis.get(stream).seq.get()
+      : MicroBatchStream = new MicroBatchStream with SupportsAdmissionControl {
+    private def counts: Map[Int, Long] =
+      InMemoryKinesis.shardCounts(stream).zipWithIndex
+        .map { case (c, i) => i -> c }.toMap
+
+    /** Per-shard positions already acked to the store (drain cursor for
+      * the bounded producer buffer, S13); lazily seeded from the first
+      * planned start so checkpoint resume acks only NEW consumption. */
+    private var acked: Map[Int, Long] = _
 
     override def initialOffset(): Offset =
-      SeqOffset(if (startingOffsets == "latest") currentSeq else startingSeq)
-    override def latestOffset(): Offset = {
-      val latest = currentSeq
-      SeqOffset(latest) // maxPerFetch is applied per shard at plan time
+      if (startingOffsets == "latest") ShardOffsets(counts)
+      else ShardOffsets(counts.map { case (i, _) => i -> startingSeq })
+
+    /** S8 at admission time: each shard's end advances at most
+      * `maxRecordsPerFetch` past the start — records beyond the cap are
+      * simply not planned this trigger, never skipped. */
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[ShardOffsets].pos
+      if (acked == null) acked = s
+      ShardOffsets(counts.map { case (i, c) =>
+        val from = s.getOrElse(i, 0L)
+        i -> math.min(c, from + maxPerFetch.toLong)
+      })
     }
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "latestOffset(Offset, ReadLimit) should be called instead")
+    /** True (uncapped) high-water marks, so the engine knows more data is
+      * pending and keeps triggering until caught up. */
+    override def reportLatestOffset(): Offset = ShardOffsets(counts)
+    override def getDefaultReadLimit: ReadLimit =
+      if (maxPerFetch == Int.MaxValue) ReadLimit.allAvailable()
+      else ReadLimit.maxRows(maxPerFetch.toLong)
+
     override def planInputPartitions(start: Offset, end: Offset)
         : Array[InputPartition] = {
-      val (s, e) = (start.asInstanceOf[SeqOffset].seq,
-        end.asInstanceOf[SeqOffset].seq)
-      val st = InMemoryKinesis.get(stream)
-      (0 until st.numShards).map(i =>
-        ShardRange(stream, i, s, e, maxPerFetch): InputPartition).toArray
+      val (s, e) = (start.asInstanceOf[ShardOffsets].pos,
+        end.asInstanceOf[ShardOffsets].pos)
+      e.keys.toArray.sorted.map { i =>
+        ShardRange(stream, i, s.getOrElse(i, 0L), e(i)): InputPartition
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new ShardReaderFactory
     override def deserializeOffset(json: String): Offset =
-      SeqOffset(json.trim.toLong)
-    override def commit(end: Offset): Unit = ()
+      ShardOffsets.fromJson(json)
+    /** Offset commit == durable consumption: ack the newly committed
+      * record count so the bounded buffer drains (unblocks block-mode
+      * producers, S13). */
+    override def commit(end: Offset): Unit = {
+      val e = end.asInstanceOf[ShardOffsets].pos
+      if (acked != null) {
+        val delta = e.map { case (i, p) =>
+          math.max(0L, p - acked.getOrElse(i, 0L)) }.sum
+        if (delta > 0) InMemoryKinesis.ack(stream, delta)
+      }
+      acked = e
+    }
     override def stop(): Unit = ()
   }
 }
 
-/** Engine-checkpointable offset: the global sequence high-water mark
-  * (per-shard logs share one monotonic sequence). */
-final case class SeqOffset(seq: Long) extends Offset {
-  override def json(): String = seq.toString
+/** Engine-checkpointable offset: one cursor PER SHARD (shard → next
+  * per-shard sequence), JSON-serialized as {"0":12,"1":7,...} — the
+  * checkpointed analog of readstream.py:30-33's per-shard iterator
+  * tokens. */
+final case class ShardOffsets(pos: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    pos.toSeq.sortBy(_._1)
+      .map { case (i, p) => s""""$i":$p""" }.mkString("{", ",", "}")
 }
 
-/** One shard's [fromSeq, untilSeq) slice — the shard-iterator analog. */
+object ShardOffsets {
+  def fromJson(json: String): ShardOffsets = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
+    val pos =
+      if (body.isEmpty) Map.empty[Int, Long]
+      else body.split(",").map { kv =>
+        val Array(k, v) = kv.split(":")
+        k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+      }.toMap
+    ShardOffsets(pos)
+  }
+}
+
+/** One shard's [fromSeq, untilSeq) slice of its own sequence space — the
+  * shard-iterator analog. `limit` (batch S8) additionally caps emitted
+  * records; the streaming path never sets it (the cap is applied at
+  * offset admission instead, so no planned record is ever dropped). */
 final case class ShardRange(stream: String, shard: Int, fromSeq: Long,
                             untilSeq: Long, limit: Int = Int.MaxValue)
     extends InputPartition

@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
-import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 /** In-memory stand-in for the sharded stream service (no AWS egress in
@@ -11,24 +10,32 @@ import scala.jdk.CollectionConverters._
   * write here directly. In production this object is replaced by the
   * real service client inside the same ForeachWriter/foreachBatch hooks.
   *
-  * Semantics mirrored from the reference producer:
-  * - records land in per-shard append logs with a monotonically
-  *   increasing sequence number (shard iterator analog, readstream.py:33)
+  * Semantics mirrored from the reference producer/consumer:
+  * - every shard is an independent append log with its OWN monotonically
+  *   increasing sequence number starting at 0 — the true shape of
+  *   Kinesis sequence numbers and of readstream.py:30-33's per-shard
+  *   iterator tokens (one cursor per shard, never a global one)
   * - a put can be made to fail transiently via `failNextPuts` to
   *   exercise the retry budget (logspoutkinesis.go:147-153)
   * - a bounded per-stream capacity models the producer buffer
   *   (go :123-129): when full, `put` either refuses (caller drops — the
-  *   reference's default) or the caller blocks, per
-  *   `add_blocks_when_buffer_full` (go :115-121, S13).
+  *   reference's default) or the caller blocks until a consumer drains,
+  *   per `add_blocks_when_buffer_full` (go :115-121, S13). Draining is
+  *   explicit: consumers `ack(n)` records they have durably consumed
+  *   (the DSv2 micro-batch stream acks on offset commit), which frees
+  *   buffer space and unblocks waiting producers.
   */
 object InMemoryKinesis {
 
+  /** `seq` is the record's PER-SHARD sequence number (0-based). */
   final case class Record(seq: Long, partitionKey: String, data: String)
 
   final class Stream(val numShards: Int, val capacity: Int) {
     val shards: Vector[java.util.Queue[Record]] =
       Vector.fill(numShards)(new java.util.concurrent.ConcurrentLinkedQueue[Record]())
-    val seq = new AtomicLong(0L)
+    /** Next sequence number per shard == current record count per shard. */
+    val shardSeqs: Vector[AtomicLong] = Vector.fill(numShards)(new AtomicLong(0L))
+    /** Un-acked backlog across all shards (the producer-buffer model). */
     val size = new AtomicInteger(0)
     // failure injection + stats (tests / mute-unmute logging)
     val failNextPuts = new AtomicInteger(0)
@@ -54,7 +61,9 @@ object InMemoryKinesis {
 
   /** One put attempt of one record to one shard. Returns false on an
     * injected transient failure (caller retries) or when the stream is
-    * at capacity and blocking is disabled (caller drops). */
+    * at capacity and blocking is disabled (caller drops). With blocking
+    * enabled the caller parks until `ack` frees space (S13 block mode,
+    * go :115-121). */
   def tryPut(name: String, shard: Int, partitionKey: String,
              data: String, block: Boolean): Boolean = {
     val s = get(name)
@@ -62,21 +71,36 @@ object InMemoryKinesis {
     if (s.failNextPuts.getAndUpdate(n => math.max(0, n - 1)) > 0) return false
     if (s.size.get() >= s.capacity) {
       if (!block) return false
-      while (s.size.get() >= s.capacity) Thread.`yield`() // consumer drains
+      while (s.size.get() >= s.capacity) Thread.`yield`() // until ack() drains
     }
     s.size.incrementAndGet()
-    s.shards(shard % s.numShards)
-      .add(Record(s.seq.getAndIncrement(), partitionKey, data))
+    val sh = shard % s.numShards
+    s.shards(sh).add(Record(s.shardSeqs(sh).getAndIncrement(),
+      partitionKey, data))
     s.delivered.incrementAndGet()
     true
   }
 
+  /** Consumer acknowledgement: `n` records have been durably consumed —
+    * frees buffer capacity and unblocks producers waiting in block mode.
+    * The DSv2 stream calls this from `commit(offset)`. */
+  def ack(name: String, n: Long): Unit = {
+    val s = get(name)
+    s.size.getAndUpdate(v => math.max(0, v - math.min(n, Int.MaxValue).toInt))
+  }
+
   /** Consumer fetch: up to `limit` records from one shard starting at
-    * `afterSeq` (AT_SEQUENCE_NUMBER analog, readstream.py:26,32). */
+    * per-shard sequence `afterSeq` (AT_SEQUENCE_NUMBER analog,
+    * readstream.py:26,32). Read-only — does not ack. */
   def getRecords(name: String, shard: Int, afterSeq: Long,
                  limit: Int): Vector[Record] =
     get(name).shards(shard).iterator.asScala
       .filter(_.seq >= afterSeq).take(limit).toVector
+
+  /** Current record count (== next sequence number) per shard — the
+    * per-shard high-water marks the streaming source admits against. */
+  def shardCounts(name: String): Vector[Long] =
+    get(name).shardSeqs.map(_.get())
 
   def shardSizes(name: String): Vector[Int] = get(name).shards.map(_.size)
 }

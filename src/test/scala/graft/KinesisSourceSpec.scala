@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.sources.ShardOffsets
 import graft.streaming.InMemoryKinesis
 
 /** DSv2 connector: registration by short name (S1), one partition per
-  * shard (S5), offset positioning (S6), engine-managed micro-batch
-  * offsets (S7), per-fetch cap (S8). */
+  * shard (S5), per-shard offset positioning (S6), engine-managed
+  * per-shard micro-batch offsets (S7), per-fetch cap at offset-admission
+  * time (S8 — capped records are delayed, never dropped). */
 class KinesisSourceSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -27,12 +29,23 @@ class KinesisSourceSpec extends SparkTestBase {
     assert(df.select(count_distinct(col("shard"))).as[Long].head() == 4L)
   }
 
-  test("S6: startingSeq resumes mid-stream (AT_SEQUENCE_NUMBER analog)") {
+  test("S6: startingSeq resumes each shard mid-sequence (AT_SEQUENCE_NUMBER analog)") {
+    // 2 shards x 25 records each, per-shard seqs 0..24
     fill("dsv2-seq", shards = 2, n = 50)
     val df = spark.read.format("graft-kinesis")
-      .option("stream", "dsv2-seq").option("startingSeq", 40).load()
-    assert(df.count() == 10L)
-    assert(df.agg(min("seq")).as[Long].head() == 40L)
+      .option("stream", "dsv2-seq").option("startingSeq", 20).load()
+    assert(df.count() == 10L, "5 records per shard at seq >= 20")
+    assert(df.agg(min("seq")).as[Long].head() == 20L)
+  }
+
+  test("S8 batch: maxRecordsPerFetch caps records per shard") {
+    fill("dsv2-cap", shards = 4, n = 100)
+    val df = spark.read.format("graft-kinesis")
+      .option("stream", "dsv2-cap").option("maxRecordsPerFetch", 5).load()
+    assert(df.count() == 20L, "5 records x 4 shards")
+    val perShard = df.groupBy("shard").count().select("count").as[Long].collect()
+    assert(perShard.forall(_ == 5L))
+    assert(df.agg(max("seq")).as[Long].head() == 4L, "the FIRST 5 of each shard")
   }
 
   test("S7: micro-batch stream delivers existing + late-arriving records") {
@@ -50,8 +63,59 @@ class KinesisSourceSpec extends SparkTestBase {
     q.processAllAvailable()
     q.stop()
     assert(spark.table("dsv2out").count() == 40L)
-    assert(spark.table("dsv2out").select(count_distinct(col("seq")))
-      .as[Long].head() == 40L, "no duplicates across micro-batches")
+    assert(spark.table("dsv2out")
+      .select(count_distinct(col("shard"), col("seq"))).as[Long].head() == 40L,
+      "no duplicates across micro-batches (per-shard sequences)")
+  }
+
+  test("S8 streaming: maxRecordsPerFetch delays but NEVER drops records") {
+    // 100 records, cap 10/shard/trigger over 2 shards => >= 5 batches;
+    // every record must still arrive exactly once (the reference's own
+    // 500-record fetch cap semantics: readstream.py:32 fetches again,
+    // never skips)
+    fill("dsv2-throttle", shards = 2, n = 100)
+    val q = spark.readStream.format("graft-kinesis")
+      .option("stream", "dsv2-throttle").option("maxRecordsPerFetch", 10)
+      .load()
+      .writeStream.format("memory").queryName("dsv2throttle")
+      .trigger(Trigger.ProcessingTime(20L)).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dsv2throttle").count() == 100L,
+      "all 100 records arrive despite the per-trigger cap")
+    assert(spark.table("dsv2throttle")
+      .select(count_distinct(col("shard"), col("seq"))).as[Long].head() == 100L,
+      "exactly once — no duplicates, no gaps")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 5,
+      s"cap 10 x 2 shards = at most 20 records/trigger => >= 5 batches, got $batches")
+    val maxBatch = q.recentProgress.map(_.numInputRows).max
+    assert(maxBatch <= 20L,
+      s"no trigger may exceed cap x shards = 20 rows, got $maxBatch")
+  }
+
+  test("S7: unevenly-filled shards resume per shard without dup or gap") {
+    InMemoryKinesis.delete("dsv2-skew")
+    InMemoryKinesis.create("dsv2-skew", numShards = 3)
+    (0 until 30).foreach(i => InMemoryKinesis.tryPut("dsv2-skew", 0, s"a$i", s"a-$i", block = false))
+    (0 until 5).foreach(i => InMemoryKinesis.tryPut("dsv2-skew", 1, s"b$i", s"b-$i", block = false))
+    // shard 2 stays empty
+    val q = spark.readStream.format("graft-kinesis")
+      .option("stream", "dsv2-skew").option("maxRecordsPerFetch", 4).load()
+      .writeStream.format("memory").queryName("dsv2skew")
+      .trigger(Trigger.ProcessingTime(20L)).start()
+    q.processAllAvailable()
+    // late data lands on the SLOW shard only — its cursor must resume at
+    // its own seq 5, independent of shard 0's position
+    (5 until 12).foreach(i => InMemoryKinesis.tryPut("dsv2-skew", 1, s"b$i", s"b-$i", block = false))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dsv2skew")
+    assert(out.count() == 42L)
+    assert(out.select(count_distinct(col("shard"), col("seq")))
+      .as[Long].head() == 42L, "no duplicates")
+    assert(out.filter(col("shard") === 1).agg(max("seq")).as[Long].head() == 11L)
+    assert(out.filter(col("shard") === 0).count() == 30L)
   }
 
   test("S6 streaming: startingOffsets=latest skips history") {
@@ -69,5 +133,52 @@ class KinesisSourceSpec extends SparkTestBase {
     q.processAllAvailable()
     q.stop()
     assert(spark.table("dsv2latest").count() == 5L)
+  }
+
+  test("offset JSON round-trips the per-shard cursor map") {
+    val o = ShardOffsets(Map(0 -> 12L, 1 -> 7L, 5 -> 0L))
+    assert(o.json() == """{"0":12,"1":7,"5":0}""")
+    assert(ShardOffsets.fromJson(o.json()) == o)
+    assert(ShardOffsets.fromJson("{}") == ShardOffsets(Map.empty))
+  }
+
+  test("S13: block-mode put parks until a consumer acks (drain path)") {
+    InMemoryKinesis.delete("dsv2-block")
+    val s = InMemoryKinesis.create("dsv2-block", numShards = 1, capacity = 5)
+    (0 until 5).foreach(i => InMemoryKinesis.tryPut("dsv2-block", 0, "k", s"r$i", block = false))
+    assert(s.size.get() == 5)
+    @volatile var done = false
+    val producer = new Thread(() => {
+      (5 until 8).foreach(i => InMemoryKinesis.tryPut("dsv2-block", 0, "k", s"r$i", block = true))
+      done = true
+    })
+    producer.start()
+    Thread.sleep(100)
+    assert(!done, "producer must be parked at capacity")
+    InMemoryKinesis.ack("dsv2-block", 3) // consumer drains 3 records
+    producer.join(5000)
+    assert(done, "producer unblocks once the consumer drains")
+    assert(s.delivered.get() == 8L)
+    assert(s.size.get() == 5, "8 put - 3 acked")
+  }
+
+  test("S13: DSv2 offset commit acks the store (stream drains the buffer)") {
+    InMemoryKinesis.delete("dsv2-drain")
+    val s = InMemoryKinesis.create("dsv2-drain", numShards = 2, capacity = 100)
+    (0 until 40).foreach(i => InMemoryKinesis.tryPut("dsv2-drain", i % 2, s"k$i", s"rec-$i", block = false))
+    assert(s.size.get() == 40)
+    val q = spark.readStream.format("graft-kinesis")
+      .option("stream", "dsv2-drain").load()
+      .writeStream.format("memory").queryName("dsv2drain")
+      .trigger(Trigger.ProcessingTime(20L)).start()
+    q.processAllAvailable()
+    // the engine calls source.commit(batch N) while constructing batch
+    // N+1 — push a second wave so the first batch's ack lands
+    (40 until 50).foreach(i => InMemoryKinesis.tryPut("dsv2-drain", i % 2, s"k$i", s"rec-$i", block = false))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dsv2drain").count() == 50L)
+    assert(s.size.get() <= 10,
+      "batch-1 commit acked its 40 records (only the tail batch may remain un-acked)")
   }
 }
