@@ -250,27 +250,27 @@ object OracleExt {
         list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
       (acc, x) -> acc + x)"""
 
-  private val zeros64: String =
-    Seq.fill(64)("0").mkString("CAST([", ", ", "] AS DOUBLE[])")
-
   /** One Lloyd round: assignment (argmin, ties to lowest cid) from
-    * centroids `cPrev`, then ordered-fold mean update into `cNext`. */
-  private def kmeansRound(i: Int, cPrev: String, cNext: String): String = s"""
+    * centroids `cPrev`, then the fixed-point (long) element-sum mean —
+    * order-insensitive, the exact twin of KMeans.updateCentroids. */
+  private def kmeansRound(i: Int, cPrev: String, cNext: String): String = {
+    val sums = (0 until 64).map(j =>
+      s"SUM(CAST(floor(v[${j + 1}] * 1000000) AS BIGINT)) AS s$j")
+      .mkString(", ")
+    val mean = (0 until 64).map(j =>
+      s"CAST(s$j AS DOUBLE) / 1000000.0 / cnt").mkString("[", ", ", "]")
+    s"""
     d$i AS (SELECT e.vec_id, e.v, c.cid, ${sqlDist2("e.v", "c.c")} AS d2
             FROM e CROSS JOIN $cPrev c),
     a$i AS (SELECT vec_id, v, cid, d2 FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id
                                            ORDER BY d2, cid) AS rn
               FROM d$i) WHERE rn = 1),
-    m$i AS (SELECT cid, count(*) AS cnt, list(v ORDER BY vec_id) AS members
-            FROM a$i GROUP BY cid),
-    u$i AS (SELECT cid, list_transform(
-              list_reduce(list_prepend($zeros64, members),
-                (acc, m) -> list_transform(range(1, 65), j -> acc[j] + m[j])),
-              x -> x / cnt) AS c_new
-            FROM m$i),
+    m$i AS (SELECT cid, count(*) AS cnt, $sums FROM a$i GROUP BY cid),
+    u$i AS (SELECT cid, $mean AS c_new FROM m$i),
     $cNext AS (SELECT p.cid, COALESCE(u.c_new, p.c) AS c
                FROM $cPrev p LEFT JOIN u$i u ON p.cid = u.cid)"""
+  }
 
   /** CTE chain ending in assignment `a{iters-1}` vs centroids
     * `c{iters-1}`. */

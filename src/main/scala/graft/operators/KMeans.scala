@@ -13,19 +13,25 @@ import org.apache.spark.sql.expressions.Window
   * - init: centroids = the first k vectors by vec_id (deterministic)
   * - assignment: argmin of the sequential-fold squared distance, ties
   *   broken by lowest centroid id
-  * - update: member vectors summed IN vec_id ORDER (sorted collect_list
-  *   fold) then divided by the count — identical order in DuckDB's
-  *   `list(v ORDER BY vec_id)` fold, so the means agree bit-for-bit;
-  *   empty clusters keep their previous centroid
+  * - update: FIXED-POINT partial aggregation — each member element is
+  *   quantized to a long (floor(x * 1e6); x*1e6 and floor are IEEE
+  *   correctly-rounded, identical in any engine), then summed per
+  *   cluster with 64 plain `sum` aggregates. Integer addition is
+  *   associative, so Spark's map-side partial aggregation + unordered
+  *   merge is bit-exact against DuckDB's single-node sum — no ordering
+  *   discipline needed. The mean is (sum / 1e6) / count, two
+  *   correctly-rounded double ops in the same order on both sides.
+  *   Empty clusters keep their previous centroid.
   *
   * Scale notes: assignment broadcasts the k-row centroid table (k is
   * small by construction for a coarse quantizer); the update is one
-  * groupBy(cluster) shuffle. collect_list per cluster is the textbook
-  * scale hazard — per-cluster member counts are |data|/k, so for a real
-  * 100 TB run the update switches to a two-level mean (per-partition
-  * partial sums, then merge); the sorted-fold form here exists to make
-  * the ORACLE bit-exact, which a floating mean with unordered reduction
-  * cannot be. */
+  * groupBy(cluster) hash aggregation whose buffer is 64 longs + a
+  * count PER CLUSTER — constant size, map-side combined, no
+  * collect_list, no per-cluster materialization. That is the shape that
+  * survives |data|/k members per cluster at 100 TB. (At ~1e13 rows the
+  * per-element long sums approach 2^63 for unit-scale inputs; a
+  * production run drops the 1e6 quantizer to 1e4 or sums per-partition
+  * into doubles — the fixture keeps 1e6 for oracle bit-exactness.) */
 object KMeans {
 
   val dim = 64
@@ -43,17 +49,17 @@ object KMeans {
         Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
       .filter(col("rn") === 1).drop("rn")
 
-  /** Mean of members in vec_id order; empty clusters keep `prev`. */
+  /** Order-insensitive fixed-point mean (see scaladoc); empty clusters
+    * keep `prev`. */
   def updateCentroids(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val sums = (0 until dim).map(j =>
+      sum(floor(element_at(col("v"), j + 1) * 1000000L)).as(s"__s$j"))
     val means = assigned.groupBy("cid")
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("v"))))
-        .as("members"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
       .select(col("cid"),
-        transform(
-          aggregate(col("members"),
-            array_repeat(lit(0d), dim),
-            (acc, m) => zip_with(acc, m.getField("v"), (a, b) => a + b)),
-          x => x / size(col("members"))).as("c_new"))
+        array((0 until dim).map(j =>
+          col(s"__s$j").cast("double") / 1000000d / col("__n")): _*)
+          .as("c_new"))
     prev.join(means, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("c_new"), col("c")).as("c"))
   }
