@@ -22,6 +22,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // cold-cache discipline: operators that persist() intermediate
+      // projections (ngram_jaccard) must not carry cache across timed
+      // runs, or min-of-3 measures the cache, not the query
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9

@@ -191,10 +191,14 @@ object OracleExt {
          AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""
 
-  def ngramJaccard(minMilli: Int): String = s"""
+  def ngramJaccard(minMilli: Int, maxDf: Int): String = s"""
     WITH $shingleCte,
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-    sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh FROM sh),
+    ex0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    ex AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+             FROM ex0) WHERE df <= $maxDf),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+              FROM ex GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      count(*) AS inter
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -206,18 +210,25 @@ object OracleExt {
     WHERE (1000 * inter) // (sa.nsh + sb.nsh - inter) >= $minMilli
     ORDER BY doc_a, doc_b"""
 
-  /** Twin of Dedup.simhash: 32 ±1 bit sums over frequency-weighted token
-    * hashes, recombined into a 32-bit signature. */
+  /** Twin of Dedup.simhash: 64 ±1 bit sums over frequency-weighted token
+    * hashes (two independent md5 lanes), recombined into an int64
+    * signature. The bit-63 term is the BIGINT minimum literal (Scala's
+    * `1L << 63` renders as -9223372036854775808, which DuckDB parses;
+    * `1::BIGINT << 63` would overflow-error). The sum never overflows:
+    * bits 0-62 total at most 2^63-1 and the bit-63 term is negative. */
   private def simhashCte: String = {
-    val bitSums = (0 until 32).map(i =>
-      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
-      .mkString(",\n                   ")
-    val recombine = (0 until 32).map(i =>
-      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val bitSums = (0 until 64).map { i =>
+      val lane = if (i < 32) "h1" else "h2"
+      s"SUM(CASE WHEN ($lane >> ${i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n                   ")
+    val recombine = (0 until 64).map(i =>
+      s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
     s"""
     WITH tok AS (SELECT doc_id, unnest(toks) AS tk
                  FROM (SELECT doc_id, $toks AS toks FROM documents)),
-    h AS (SELECT doc_id, ${graft.functions.PortableHash.sqlHash32("tk")} AS h
+    h AS (SELECT doc_id, ${graft.functions.PortableHash.sqlHash32("tk")} AS h1,
+                 ${graft.functions.PortableHash.sqlHash32b("tk")} AS h2
           FROM tok),
     bits AS (SELECT doc_id,
                    $bitSums
@@ -231,14 +242,14 @@ object OracleExt {
 
   def simhashPairs(maxHamming: Int): String = s"""
     $simhashCte,
-    band AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS byte_id,
-                    (simhash >> (j * 8)) & 255 AS byte_val
+    band AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS band_id,
+                    (simhash >> (j * 16)) & 65535 AS band_val
              FROM shash CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
     SELECT doc_a, doc_b, hamming FROM (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
       FROM band a JOIN band b
-        ON a.byte_id = b.byte_id AND a.byte_val = b.byte_val
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.doc_id < b.doc_id)
     WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b"""
 

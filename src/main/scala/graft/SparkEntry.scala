@@ -328,7 +328,7 @@ object SparkEntry {
       FROM events WHERE event_id // 4 >= 100 ORDER BY seq, shard""",
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
-    "ngram_jaccard" -> OracleExt.ngramJaccard(50),
+    "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),

@@ -83,13 +83,29 @@ object Dedup {
     * co-occurring pairs materialize), count intersections, then join the
     * per-doc set sizes (broadcast — it's one small row per doc) for
     * |A∪B| = |A|+|B|-|A∩B|. Integer milli-Jaccard for engine parity.
-    * In production the self-join is replaced by minhashPairs candidates;
-    * the shared-shingle join shown here is already sub-quadratic. */
-  def ngramJaccard(docs: DataFrame, minMilli: Int = 50): DataFrame = {
+    *
+    * Two guards make this survive corpus scale:
+    * - DF-CAP: a shingle shared by D docs emits D²/2 join rows, so one
+    *   Zipf-head phrase is a quadratic blowup. Shingles with document
+    *   frequency > maxDf are dropped BEFORE the self-join (one window
+    *   count over the shingle key); Jaccard is then computed over the
+    *   capped shingle universe — set sizes count the same filtered
+    *   universe, so the metric stays internally consistent. Near-dup
+    *   pairs keep their (many, low-df) shared shingles.
+    * - REUSE: the filtered exploded-shingle projection feeds three
+    *   consumers (join left, join right, set sizes); it is persisted so
+    *   tokenize→shingle→explode→df-filter runs once, not 3×. The cached
+    *   data is ~|tokens| rows of (id, shingle) — MEMORY_AND_DISK spills
+    *   cleanly at scale and is strictly cheaper than recomputation. */
+  def ngramJaccard(docs: DataFrame, minMilli: Int = 50, maxDf: Int = 5)
+      : DataFrame = {
     val staged = withShingles(docs)
     val ex = staged.select(col("doc_id"), explode(col("__sh")).as("sh"))
-    val sizes = staged.select(col("doc_id"),
-      size(col("__sh")).cast("long").as("nsh"))
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("__df") <= maxDf).drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -116,40 +132,51 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
-  val simhashBits = 32
+  val simhashBits = 64
 
-  /** 32-bit SimHash: explode tokens (frequency-weighted), hash each once,
-    * then one groupBy(doc) with 32 codegen'd ±1 bit sums — partial
-    * aggregation map-side, single shuffle on doc_id. */
+  /** 64-bit SimHash: explode tokens (frequency-weighted), hash each once
+    * into two independent md5 lanes (bits 0-31 / 32-63), then one
+    * groupBy(doc) with 64 codegen'd ±1 bit sums — partial aggregation
+    * map-side, single shuffle on doc_id. 64 bits (vs 32) exist for the
+    * BANDS: 16-bit bands give 65 536 bucket values each, so a band
+    * bucket holds |data|/2^16 docs instead of |data|/2^8 — the
+    * within-bucket quadratic term shrinks 256×. The sign bit (i=63) is
+    * used like any other bit; the signature is an opaque int64. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("t"))
-    val h = tok.withColumn("h", PortableHash.hash32(col("t")))
-    val bitSums = (0 until simhashBits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"b$i"))
+    val h = tok.withColumn("h1", PortableHash.hash32(col("t")))
+      .withColumn("h2", PortableHash.hash32b(col("t")))
+    val bitSums = (0 until simhashBits).map { i =>
+      val lane = if (i < 32) col("h1") else col("h2")
+      sum(when(shiftright(lane, i % 32).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$i")
+    }
     val agg = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sh = (0 until simhashBits).map(i =>
-        when(col(s"b$i") > 0, 1L << i).otherwise(0L))
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select(col("doc_id"), sh.as("simhash"))
   }
 
-  /** SimHash candidate pairs: band the 32-bit signature into 4 bytes;
-    * pairs agreeing on any byte are candidates (equi-join, the scale
-    * path), then verified with exact Hamming distance ≤ maxHamming. */
+  /** SimHash candidate pairs: band the 64-bit signature into 4 16-bit
+    * bands; pairs agreeing on any band are candidates (equi-join, the
+    * scale path), then verified with exact Hamming distance ≤
+    * maxHamming. The shift is arithmetic in both engines; the & 65535
+    * mask makes the band value sign-independent. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j => struct(
-          lit(j).as("byte_id"),
-          shiftright(col("simhash"), j * 8).bitwiseAND(255).as("byte_val"))): _*))
+          lit(j).as("band_id"),
+          shiftright(col("simhash"), j * 16).bitwiseAND(65535)
+            .as("band_val"))): _*))
           .as("b"))
       .select(col("doc_id"), col("simhash"),
-        col("b.byte_id"), col("b.byte_val"))
+        col("b.band_id"), col("b.band_val"))
     banded.as("a").join(banded.as("b"),
-        col("a.byte_id") === col("b.byte_id")
-          && col("a.byte_val") === col("b.byte_val")
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_val") === col("b.band_val")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))

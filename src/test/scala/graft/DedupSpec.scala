@@ -62,9 +62,20 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Seq((1L, 2L, 0)))
   }
 
-  test("simhash signature is a 32-bit value") {
+  test("simhash signature uses all 64 bits (two independent lanes)") {
     val d = docs((1L, "some tokens here for hashing"))
     val sh = Dedup.simhash(d).select("simhash").as[Long].head()
-    assert(sh >= 0L && sh < (1L << 32))
+    assert((sh >>> 32) != 0L, "high lane (bits 32-63) populated")
+    assert((sh & 0xFFFFFFFFL) != 0L, "low lane (bits 0-31) populated")
+  }
+
+  test("simhash near-dup pair survives 16-bit banding; hamming is exact") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark catalyst tungsten"))
+    val pairs = Dedup.simhashPairs(d, maxHamming = 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
   }
 }
