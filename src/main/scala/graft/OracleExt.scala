@@ -409,6 +409,27 @@ object OracleExt {
           WHERE q.vec_id < $nQueries)
     WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Twin of Similarity.lshTopKMultiProbe: the query side is expanded
+    * with XOR masks {0, 1<<0, ..., 1<<(nPlanes-1)} — own bucket plus
+    * every 1-bit-flip neighbor. */
+  def lshTopKMultiProbe(nQueries: Int, k: Int, ps: Seq[Seq[Long]]): String = {
+    val masks = (0L +: ps.indices.map(i => 1L << i)).mkString("[", ", ", "]")
+    s"""
+    WITH $normCte,
+    nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n),
+    qp AS (SELECT vec_id, v, norm2, xor(bucket, CAST(m AS BIGINT)) AS bucket
+           FROM nb CROSS JOIN (SELECT unnest($masks) AS m)
+           WHERE vec_id < $nQueries)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+           CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $cosSql AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY $cosSql DESC, c.vec_id) AS rank
+          FROM qp q JOIN nb c
+            ON q.bucket = c.bucket AND c.vec_id != q.vec_id)
+    WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   def nearDupPairs(minSimMicro: Long, ps: Seq[Seq[Long]]): String = s"""
     WITH $normCte,
     nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n)

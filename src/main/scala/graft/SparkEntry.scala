@@ -197,6 +197,10 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embPar(s, dir))
         .orderBy("query_id", "rank")),
+    // Multi-probe LSH ANN: own bucket + 1-bit-flip neighbors (recall dial)
+    "ann_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.lshTopKMultiProbe(embPar(s, dir))
+        .orderBy("query_id", "rank")),
     // Bucket-pruned embedding near-dup pairs
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embPar(s, dir))
@@ -333,6 +337,7 @@ object SparkEntry {
     "simhash_pairs" -> OracleExt.simhashPairs(6),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
+    "ann_lsh_multiprobe" -> OracleExt.lshTopKMultiProbe(50, 3, Similarity.planes()),
     "embed_neardup" -> OracleExt.nearDupPairs(350000, Similarity.planes())
   )
 }

@@ -109,6 +109,38 @@ object Similarity {
         col("cand_id"), simMicro(col("sim")).as("sim_micro"))
   }
 
+  /** Multi-probe LSH ANN top-k: each query probes its OWN bucket plus
+    * every 1-bit-flip neighbor bucket (nPlanes flips — the buckets whose
+    * hyperplane decision was closest to flipping). The candidate set is
+    * a strict superset of single-probe's, so recall@k can only improve;
+    * cost grows by the probe count on the (small, broadcast) query side
+    * only — the big candidate side is still partitioned once by its own
+    * bucket and each probe is the same equi-join shape. This is the
+    * standard recall/latency dial for hyperplane LSH at scale: probes
+    * are a constant factor, never a second pass over the data. */
+  def lshTopKMultiProbe(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+                        ps: Seq[Seq[Long]] = planes()): DataFrame = {
+    val masks = 0L +: ps.indices.map(i => 1L << i)
+    val n = withNorm(emb).withColumn("bucket", lshBucket(col("v"), ps))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"),
+        explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"), col("bucket"))
+    val sim = cosine(col("qv"), col("qn"), col("cv"), col("cn"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cand_id"), simMicro(col("sim")).as("sim_micro"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, bucket-pruned: only pairs in
     * the SAME LSH bucket are compared (equi-join), then thresholded on
     * exact cosine. The all-pairs version is never built. */

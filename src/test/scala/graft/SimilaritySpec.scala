@@ -61,6 +61,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("multi-probe candidates are a superset; recall@3 strictly improves") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.topkCosine(e, nQueries = 50, k = 3))
+    val single = pairs(Similarity.lshTopK(e, nQueries = 50, k = 3))
+    val multi = pairs(Similarity.lshTopKMultiProbe(e, nQueries = 50, k = 3))
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    assert(rMulti > rSingle,
+      s"multi-probe recall@3 $rMulti must beat single-probe $rSingle")
+  }
+
   test("lshTopK returns at most k ranked neighbors per query") {
     val e = emb((0 until 20).map(i =>
       (i.toLong, vec(i.toFloat + 1, (i % 3).toFloat), i % 4)): _*)
