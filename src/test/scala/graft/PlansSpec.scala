@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan-regression gate: the physical-plan properties the scale story
+  * depends on, asserted in CI so a future change cannot silently
+  * reintroduce a driver collect, a cartesian product, or an unbounded
+  * per-group buffer, or lose filter pushdown to the parquet scan.
+  * Plans are built (not executed) for every SparkEntry query at
+  * sf0.001. */
+class PlansSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  test("no CartesianProduct in any query plan") {
+    val offenders = plans.filter(_._2.contains("CartesianProduct")).keys
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("no collect_list / collect_set aggregation buffers in any plan") {
+    // an unbounded per-group buffer is the k-means scale bug class;
+    // nothing in the library should need one
+    val offenders = plans.filter(p =>
+      p._2.contains("collect_list") || p._2.contains("collect_set")).keys
+    assert(offenders.isEmpty, s"unbounded agg buffers in: ${offenders.mkString(", ")}")
+  }
+
+  test("offset_resume pushes the seek predicate into the parquet scan") {
+    val p = plans("offset_resume")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(event_id,500)"),
+      s"expected event_id >= 500 pushed to the scan, plan:\n$p")
+  }
+
+  test("reference-parity projections stay inside WholeStageCodegen") {
+    // the per-record transform chain (P1-P11) must be one codegen'd
+    // stage over the scan — no interpreted seams in the hot path.
+    // AQE renders codegen spans only in the FINAL plan, so execute
+    // (cheap at sf0.001) before reading the plan string.
+    Seq("logstash_v1_json", "logstash_v0_json").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // executes df's OWN QueryExecution (count() would build another)
+      val p = df.queryExecution.executedPlan.toString
+      // the simple plan format marks WholeStageCodegen stages as *(n);
+      // the projection over the scan must be inside one
+      assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
+        s"$q projection fell out of whole-stage codegen:\n$p")
+    }
+  }
+
+  test("broadcast joins are used where a small side exists") {
+    // the similarity family must broadcast its query/centroid side, not
+    // shuffle the big candidate table against it
+    Seq("topk_cosine", "ann_lsh", "ann_lsh_multiprobe", "ann_ivf")
+      .foreach { q =>
+        assert(plans(q).contains("BroadcastExchange")
+          || plans(q).contains("BroadcastNestedLoopJoin"),
+          s"$q should broadcast its small side")
+      }
+  }
+
+  test("no driver-side collect() in any query path (source-level guard)") {
+    val src = Files.readString(
+      Paths.get("src/main/scala/graft/SparkEntry.scala"))
+    assert(!src.contains(".collect()"),
+      "SparkEntry must stay fully distributed — no driver collects")
+  }
+}
