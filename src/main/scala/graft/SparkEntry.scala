@@ -287,8 +287,8 @@ object SparkEntry {
       s"""SELECT event_id, shard, seq_in_shard,
             CAST((seq_in_shard - 1) // 10 AS BIGINT) AS batch_id
           FROM (SELECT event_id, ${O.shard("container_name", 4)} AS shard,
-                  CAST(row_number() OVER (PARTITION BY ${O.shard("container_name", 4)}
-                    ORDER BY time, event_id) AS INTEGER) AS seq_in_shard
+                  row_number() OVER (PARTITION BY ${O.shard("container_name", 4)}
+                    ORDER BY time, event_id) AS seq_in_shard
                 FROM rm)
           ORDER BY event_id"""),
     "fetch_limit" -> overRm(

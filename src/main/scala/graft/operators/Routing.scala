@@ -54,8 +54,10 @@ object Routing {
       .orderBy(time, tieBreak)
     bucketed
       .join(broadcast(offsets), Seq("__shard", "__bucket"))
+      // stays LONG: the whole point of bucketing is unbounded per-shard
+      // history, where a global position overflows int32
       .withColumn("seq_in_shard",
-        (row_number().over(w) + col("__offset")).cast("int"))
+        row_number().over(w) + col("__offset"))
       .withColumn("batch_id", expr(s"(seq_in_shard - 1) div $batchSize").cast("long"))
       .drop("__shard", "__bucket", "__offset")
   }

@@ -22,49 +22,56 @@ object StatefulSessions {
 
   final case class Event(user_id: Long, ts: Timestamp)
   final case class SessionState(startMs: Long, lastMs: Long, n: Int)
+  /** State = ALL of a user's not-yet-final sessions. A session whose
+    * gap was exceeded inside a batch is still PENDING, not emitted: a
+    * late event within the watermark could legitimately extend it or
+    * bridge it to the next session. Only the watermark finalizes. */
+  final case class Pending(sessions: List[SessionState])
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n: Int)
 
-  /** Sessions with `gapSec` inactivity, emitted when closed (append
-    * mode). Input must carry a watermark on `ts`. */
+  /** Sessions with `gapSec` inactivity, each emitted EXACTLY ONCE —
+    * when the event-time watermark passes its gap horizon (lastMs +
+    * gap), never earlier (append mode). Input must carry a watermark
+    * on `ts`. Late events inside the watermark merge into (or bridge)
+    * pending sessions instead of producing overlapping duplicates. */
   def sessions(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
     val gapMs = gapSec * 1000L
     implicit val sessionEnc = Encoders.product[Session]
-    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val stateEnc = Encoders.product[Pending]
     implicit val longEnc = Encoders.scalaLong
 
     def close(uid: Long, s: SessionState): Session =
       Session(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
 
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[Pending, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val out = ListBuffer.empty[Session]
-          if (state.hasTimedOut) {
-            // watermark passed start of the gap horizon: session is final
-            state.getOption.foreach(s => out += close(uid, s))
-            state.remove()
-          } else {
-            var st = state.getOption
-            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              st match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  st = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
-                case Some(s) => // gap exceeded inside the batch: emit, restart
-                  out += close(uid, s)
-                  st = Some(SessionState(t, t, 1))
-                case None =>
-                  st = Some(SessionState(t, t, 1))
-              }
-            }
-            st.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
+        (uid: Long, batch: Iterator[Event], state: GroupState[Pending]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // interval-merge pending sessions with the batch's events:
+          // sort by start, fold — an event (or session) within gap of
+          // the previous interval extends it; one that bridges two
+          // pending sessions merges them transitively
+          val pts = batch.map(e =>
+            SessionState(e.ts.getTime, e.ts.getTime, 1)).toList
+          val all = (state.getOption.map(_.sessions).getOrElse(Nil) ++ pts)
+            .sortBy(s => (s.startMs, s.lastMs))
+          val merged = all.foldLeft(List.empty[SessionState]) {
+            case (head :: tail, s) if s.startMs - head.lastMs <= gapMs =>
+              SessionState(head.startMs, math.max(head.lastMs, s.lastMs),
+                head.n + s.n) :: tail
+            case (acc, s) => s :: acc
+          }.reverse
+          // final = the watermark proves no late event can touch it
+          val (closed, open) = merged.partition(_.lastMs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(Pending(open))
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastMs + gapMs).min, wm + 1L))
           }
-          out.iterator
+          closed.sortBy(_.startMs).map(close(uid, _)).iterator
       }
   }
 }

@@ -45,12 +45,13 @@ class RoutingSpec extends SparkTestBase {
       col("event_id"), 7)
     val naiveW = Window.partitionBy(col("shard"))
       .orderBy(col("time"), col("event_id"))
-    val naive = df.withColumn("seq_in_shard", row_number().over(naiveW))
+    val naive = df.withColumn("seq_in_shard",
+      row_number().over(naiveW).cast("long"))
       .withColumn("batch_id", expr("(seq_in_shard - 1) div 7").cast("long"))
     val a = fast.select("event_id", "seq_in_shard", "batch_id")
-      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     val b = naive.select("event_id", "seq_in_shard", "batch_id")
-      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
 
