@@ -92,19 +92,23 @@ object Dedup {
     *   capped shingle universe — set sizes count the same filtered
     *   universe, so the metric stays internally consistent. Near-dup
     *   pairs keep their (many, low-df) shared shingles.
-    * - REUSE: the filtered exploded-shingle projection feeds three
-    *   consumers (join left, join right, set sizes); it is persisted so
-    *   tokenize→shingle→explode→df-filter runs once, not 3×. The cached
-    *   data is ~|tokens| rows of (id, shingle) — MEMORY_AND_DISK spills
-    *   cleanly at scale and is strictly cheaper than recomputation. */
+    * - REUSE: the per-doc shingle-array projection (the expensive
+    *   tokenize→shingle pass) is computed ONCE and persisted at doc
+    *   granularity — the smallest possible cache — then exploded
+    *   cheaply for each of its four consumers (df counts, join left,
+    *   join right, set sizes). The df-filter itself is a BROADCAST
+    *   anti-join against the hot-shingle list, which is tiny by
+    *   construction (only Zipf-head shingles exceed the cap), so no
+    *   extra shuffle of the exploded set. */
   def ngramJaccard(docs: DataFrame, minMilli: Int = 50, maxDf: Int = 5)
       : DataFrame = {
     val staged = withShingles(docs)
-    val ex = staged.select(col("doc_id"), explode(col("__sh")).as("sh"))
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("__df") <= maxDf).drop("__df")
+      .select(col("doc_id"), col("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex0 = staged.select(col("doc_id"), explode(col("__sh")).as("sh"))
+    val hot = ex0.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("sh")
+    val ex = ex0.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
