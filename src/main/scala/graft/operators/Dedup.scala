@@ -67,9 +67,12 @@ object Dedup {
   }
 
   /** Candidate pairs: equi-join on (band_id, band_key) — the LSH scale
-    * path; hash-partitioned, never all-pairs. */
+    * path; hash-partitioned, never all-pairs. The band table (4 small
+    * rows per doc) is persisted so the 16-lane md5 minhash — the
+    * dominant cost — is computed once, not once per join side. */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val b = minhashBands(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_key") === col("b.band_key")
@@ -169,7 +172,10 @@ object Dedup {
     * maxHamming. The shift is arithmetic in both engines; the & 65535
     * mask makes the band value sign-independent. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // one signature row per doc, persisted: the 64-bit-sum aggregation
+    // runs once, not once per join side
     val sh = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j => struct(
           lit(j).as("band_id"),

@@ -65,15 +65,25 @@ object KMeans {
   }
 
   /** `iters` Lloyd rounds from the deterministic init; returns the
-    * final assignment (vec_id, v, cluster, d2). */
-  def fit(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val vecs = emb.select(col("vec_id"),
+    * final assignment (vec_id, v, cluster, d2). The training vectors
+    * are cached (the standard move for iterative Lloyd's — every round
+    * rescans them) and each round's k-row centroid table is cached so
+    * later rounds don't re-run the whole preceding lineage. Caching
+    * pays above `cacheFromIters` rounds — at the fixture's 2 rounds
+    * the rescan is cheaper than the cache write, so it stays off. */
+  def fit(emb: DataFrame, k: Int = 8, iters: Int = 2,
+          cacheFromIters: Int = 3): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val doCache = iters >= cacheFromIters
+    val vecs0 = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    val vecs = if (doCache) vecs0.persist(lvl) else vecs0
     var centroids = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     var assigned = assign(vecs, centroids)
     (1 until iters).foreach { _ =>
       centroids = updateCentroids(assigned, centroids)
+      if (doCache) centroids = centroids.persist(lvl)
       assigned = assign(vecs, centroids)
     }
     assigned.select(col("vec_id"), col("v"), col("cid").as("cluster"),
