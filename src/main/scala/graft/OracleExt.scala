@@ -137,6 +137,21 @@ object OracleExt {
     FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
     GROUP BY term ORDER BY term"""
 
+  /** Twin of TextAnalysis.keywordExtract (top-N by integer tf/df
+    * ratio). DuckDB's // is floor division and Spark's div truncates,
+    * but both operands are positive, so they agree. */
+  def keywordExtract(topN: Int): String = s"""
+    WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score_micro
+    FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 (tf.tf * 1000000) // df.df AS score_micro,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term) AS rank
+          FROM tf JOIN df USING (term))
+    WHERE rank <= $topN ORDER BY doc_id, rank"""
+
   val dedupKeepList: String = s"""
     $bandsCte
     SELECT doc_id, lang, source FROM documents
@@ -300,6 +315,52 @@ object OracleExt {
     SELECT vec_id, cid AS cluster,
            CAST(floor(d2 * 1000) AS BIGINT) AS d2_milli
     FROM a${iters - 1} ORDER BY vec_id"""
+
+  /** Twin of KMeans.annIvfNprobe: queries ranked against the trained
+    * centroid table c{iters-1}, probing their `nprobe` nearest
+    * clusters. */
+  def annIvfNprobe(k: Int, iters: Int, nQueries: Int, topK: Int,
+                   nprobe: Int): String = s"""
+    ${kmeansCte(k, iters)},
+    nv AS (SELECT a.vec_id, a.v, a.cid,
+                  list_dot_product(a.v, a.v) AS norm2
+           FROM a${iters - 1} a),
+    qp AS (SELECT vec_id, v, norm2, cid FROM (
+             SELECT q.vec_id, q.v, q.norm2, c.cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${sqlDist2("q.v", "c.c")}, c.cid) AS crank
+             FROM nv q CROSS JOIN c${iters - 1} c
+             WHERE q.vec_id < $nQueries) WHERE crank <= $nprobe)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+           CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 list_dot_product(q.v, c.v) / (sqrt(q.norm2) * sqrt(c.norm2)) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (sqrt(q.norm2) * sqrt(c.norm2)) DESC,
+                            c.vec_id) AS rank
+          FROM qp q JOIN nv c
+            ON q.cid = c.cid AND c.vec_id != q.vec_id)
+    WHERE rank <= $topK ORDER BY query_id, rank"""
+
+  /** Twin of Similarity.quantizeInt8 (absmax int8 codes, scalar
+    * verification surface). */
+  val quantizeInt8: String = """
+    SELECT vec_id,
+           CAST(floor(scale * 1000000) AS BIGINT) AS scale_micro,
+           CAST(q[1] AS BIGINT) AS q_first,
+           CAST(q[len(q)] AS BIGINT) AS q_last,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_abs_sum
+    FROM (SELECT vec_id,
+                 CASE WHEN scale = 0
+                      THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                      ELSE list_transform(v, x -> floor(x * 127.0 / scale))
+                 END AS q, scale
+          FROM (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS scale
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings)))
+    ORDER BY vec_id"""
 
   def annIvf(k: Int, iters: Int, nQueries: Int, topK: Int): String = s"""
     ${kmeansCte(k, iters)},

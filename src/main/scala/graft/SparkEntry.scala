@@ -166,6 +166,9 @@ object SparkEntry {
     // Collection term statistics (TF + DF, the TF-IDF inputs)
     "term_stats" -> ((s, dir) =>
       TextAnalysis.termStats(docsPar(s, dir)).orderBy("term")),
+    // Per-doc keyword extraction (top-5 by integer tf/df ratio)
+    "keyword_extract" -> ((s, dir) =>
+      TextAnalysis.keywordExtract(docsPar(s, dir)).orderBy("doc_id", "rank")),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -211,6 +214,12 @@ object SparkEntry {
     // IVF ANN: top-3 within the query's trained cluster
     "ann_ivf" -> ((s, dir) =>
       KMeans.annIvf(embPar(s, dir)).orderBy("query_id", "rank")),
+    // IVF ANN with nprobe=2 (the IVF recall dial, like multi-probe LSH)
+    "ann_ivf_nprobe" -> ((s, dir) =>
+      KMeans.annIvfNprobe(embPar(s, dir)).orderBy("query_id", "rank")),
+    // Symmetric int8 absmax quantization of the embedding column
+    "embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(embPar(s, dir)).orderBy("vec_id")),
 
     // ---- §2.4 LLM-data-pipeline: multimodal columns -----------------
     // BINARY payload features + typed metadata
@@ -322,6 +331,9 @@ object SparkEntry {
     "multimodal_decode" -> OracleExt.multimodalDecode,
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
+    "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
+    "embed_quantize" -> OracleExt.quantizeInt8,
+    "keyword_extract" -> OracleExt.keywordExtract(5),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

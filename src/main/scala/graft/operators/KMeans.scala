@@ -72,7 +72,13 @@ object KMeans {
     * pays above `cacheFromIters` rounds — at the fixture's 2 rounds
     * the rescan is cheaper than the cache write, so it stays off. */
   def fit(emb: DataFrame, k: Int = 8, iters: Int = 2,
-          cacheFromIters: Int = 3): DataFrame = {
+          cacheFromIters: Int = 3): DataFrame =
+    fitModel(emb, k, iters, cacheFromIters)._1
+
+  /** Like fit, but also returns the trained centroid table (cid, c) —
+    * the quantizer model the nprobe search ranks clusters against. */
+  def fitModel(emb: DataFrame, k: Int = 8, iters: Int = 2,
+               cacheFromIters: Int = 3): (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val doCache = iters >= cacheFromIters
     val vecs0 = emb.select(col("vec_id"),
@@ -86,14 +92,52 @@ object KMeans {
       if (doCache) centroids = centroids.persist(lvl)
       assigned = assign(vecs, centroids)
     }
-    assigned.select(col("vec_id"), col("v"), col("cid").as("cluster"),
-      col("d2"))
+    (assigned.select(col("vec_id"), col("v"), col("cid").as("cluster"),
+      col("d2")), centroids)
   }
 
   /** The trained-quantizer assignment as an oracle-checked result. */
   def assignments(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
     fit(emb, k, iters).select(col("vec_id"), col("cluster"),
       floor(col("d2") * 1000).cast("long").as("d2_milli"))
+
+  /** IVF ANN with multi-cluster probing: each query searches its
+    * `nprobe` NEAREST clusters (ranked by distance to the trained
+    * centroids), not just its own — the standard IVF recall dial,
+    * mirroring multi-probe LSH. The probe factor lands on the small
+    * broadcast query side only: queries are replicated nprobe×, the
+    * big candidate table is still equi-joined once on its own cluster
+    * id. Clusters are disjoint, so no candidate pair duplicates. */
+  def annIvfNprobe(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                   nQueries: Int = 20, topK: Int = 3, nprobe: Int = 2)
+      : DataFrame = {
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    val (asg, centroids) = fitModel(emb, k, iters)
+    val nv = asg.select(col("vec_id"), col("v"), col("cluster"),
+      dot(col("v"), col("v")).as("norm2"))
+    val q = nv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(dist2(col("qv"), col("c")), col("cid"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("cid").as("cluster"))
+    val c = nv.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"), col("cluster"))
+    val sim = dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn")))
+    c.join(broadcast(q), Seq("cluster"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cand_id"), floor(col("sim") * 1000000L).cast("long").as("sim_micro"))
+  }
 
   /** IVF ANN: search only the query's own (trained) cluster — the
     * quantizer prunes the candidate set to |data|/k per query; at scale

@@ -141,6 +141,32 @@ object Similarity {
         col("cand_id"), simMicro(col("sim")).as("sim_micro"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage/
+    * bandwidth move a 100 TB vector corpus makes before ANN serving
+    * (4× smaller than float32, SIMD-friendly dot products). Per-vector
+    * absmax scaling: q_i = floor(x_i · 127 / scale) with scale =
+    * max|x_i|; abs/max/·/÷/floor are all IEEE correctly-rounded, so any
+    * engine produces identical codes. Pure per-row projection — one
+    * codegen stage, no shuffle at any scale. Output is the scalar
+    * verification surface (first/last code + code checksums); the full
+    * code array stays a column a consumer would select. Zero vectors
+    * quantize to all-zero codes with scale 0. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", when(col("scale") === 0d,
+          transform(col("v"), _ => lit(0L)))
+        .otherwise(transform(col("v"),
+          x => floor(x * lit(127d) / col("scale")))))
+      .select(col("vec_id"),
+        floor(col("scale") * 1000000L).cast("long").as("scale_micro"),
+        element_at(col("q"), 1).cast("long").as("q_first"),
+        element_at(col("q"), size(col("q"))).cast("long").as("q_last"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x.cast("long")))
+          .as("q_abs_sum"))
+
   /** Embedding-cosine near-duplicate pairs, bucket-pruned: only pairs in
     * the SAME LSH bucket are compared (equi-join), then thresholded on
     * exact cosine. The all-pairs version is never built. */

@@ -119,6 +119,29 @@ object TextAnalysis {
       count_distinct(col("doc_id")).as("df"))
   }
 
+  /** Per-document keyword extraction: top-N terms ranked by the
+    * integer tf/df ratio score (tf · 1e6 div df — a log-free TF-IDF
+    * surrogate: rare-in-corpus, frequent-in-doc terms win; integer so
+    * any engine agrees bit-for-bit). One explode feeds both the
+    * per-(doc, term) tf table and — via a reuse-persist, since tf is
+    * strictly smaller than the token stream — the corpus df table; the
+    * join is on term (df is NOT broadcast: vocabulary is unbounded at
+    * corpus scale), the final top-N is a bounded per-doc window. */
+  def keywordExtract(docs: DataFrame, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("score_micro", expr("(tf * 1000000) div df"))
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("term"))))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("tf"), col("df"), col("score_micro"))
+  }
+
   /** Document fingerprints: a 31-polynomial rolling hash over the raw
     * characters (mod 1e9+7 — stays in 35 bits, no overflow in any
     * engine) plus a 32-bit md5 lane. Content-addressed dedup keys; pure

@@ -38,6 +38,24 @@ class KMeansSpec extends SparkTestBase {
     assert(a.map(_._2).distinct.size > 1, "uses more than one cluster")
   }
 
+  test("annIvfNprobe(2) candidates span at most the 2 nearest clusters " +
+      "and results are a superset-quality refinement of nprobe=1") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def sims(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select("query_id", "rank", "sim_micro").as[(Long, Int, Long)]
+        .collect().map(t => (t._1, t._2.toLong) -> t._3).toMap
+    val one = sims(KMeans.annIvf(emb, nQueries = 10))
+    val two = sims(KMeans.annIvfNprobe(emb, nQueries = 10, nprobe = 2))
+    // widening the probe set can only raise (or keep) the similarity at
+    // each rank — candidates are a superset
+    one.keys.foreach { k =>
+      assert(two.getOrElse(k, Long.MinValue) >= one(k),
+        s"rank slot $k got worse with nprobe=2")
+    }
+    assert(two.values.sum > one.values.sum,
+      "at least one query found a strictly better neighbor in cluster #2")
+  }
+
   test("annIvf searches only the query's cluster") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val asg = KMeans.fit(emb).select(col("vec_id"), col("cluster"))

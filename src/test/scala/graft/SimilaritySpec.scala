@@ -74,6 +74,18 @@ class SimilaritySpec extends SparkTestBase {
       s"multi-probe recall@3 $rMulti must beat single-probe $rSingle")
   }
 
+  test("quantizeInt8: absmax scaling, signed codes, zero-vector safe") {
+    val e = emb(
+      (0L, vec(2f, -1f, 0.5f), 0),  // scale 2.0 -> codes 127, -64, 31, 0...
+      (1L, vec(0f), 0))             // zero vector -> scale 0, all-zero codes
+    val rows = Similarity.quantizeInt8(e)
+      .select("vec_id", "scale_micro", "q_first", "q_sum", "q_abs_sum")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    assert(rows(0L) == ((2000000L, 127L, 127L - 64L + 31L, 127L + 64L + 31L)))
+    assert(rows(1L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("lshTopK returns at most k ranked neighbors per query") {
     val e = emb((0 until 20).map(i =>
       (i.toLong, vec(i.toFloat + 1, (i % 3).toFloat), i % 4)): _*)

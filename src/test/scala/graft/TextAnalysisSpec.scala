@@ -59,4 +59,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r._1 == 204910434L)
     assert(r._2 > 0L && r._2 < (1L << 32))
   }
+
+  test("keywordExtract ranks doc-frequent corpus-rare terms first") {
+    val d = Seq(
+      (1L, "rust rust rust the the"),
+      (2L, "the spark"),
+      (3L, "the catalyst")).toDF("doc_id", "text")
+    val r = TextAnalysis.keywordExtract(d, topN = 1)
+      .select("doc_id", "term", "score_micro")
+      .as[(Long, String, Long)].collect().map(t => t._1 -> t._2).toMap
+    // 'the' appears in all 3 docs (df 3); content words have df 1
+    assert(r == Map(1L -> "rust", 2L -> "spark", 3L -> "catalyst"))
+  }
 }
