@@ -76,10 +76,21 @@ final class KinesisLikeTable(options: CaseInsensitiveStringMap)
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KinesisLikeScan(streamName,
-      opts.getLong("startingSeq", 0L),
-      opts.getInt("maxRecordsPerFetch", Int.MaxValue),
-      opts.getOrDefault("startingOffsets", "earliest"))
+    () => {
+      // reject bad option values loudly — a silently dead option is how
+      // the reference's own buffer_size bug happened (SURVEY §1.4)
+      val maxPerFetch = opts.getInt("maxRecordsPerFetch", Int.MaxValue)
+      require(maxPerFetch > 0,
+        s"maxRecordsPerFetch must be positive, got $maxPerFetch")
+      val startingSeq = opts.getLong("startingSeq", 0L)
+      require(startingSeq >= 0L,
+        s"startingSeq must be non-negative, got $startingSeq")
+      val startingOffsets = opts.getOrDefault("startingOffsets", "earliest")
+      require(startingOffsets == "earliest" || startingOffsets == "latest",
+        s"startingOffsets must be 'earliest' or 'latest', got '$startingOffsets'")
+      new KinesisLikeScan(streamName, startingSeq, maxPerFetch,
+        startingOffsets)
+    }
 }
 
 final class KinesisLikeScan(stream: String, startingSeq: Long,

@@ -171,6 +171,22 @@ class KinesisSourceSpec extends SparkTestBase {
     assert(out.filter(col("shard") === 1).agg(max("seq")).as[Long].head() == 11L)
   }
 
+  test("bad option values are rejected loudly, not silently ignored") {
+    fill("dsv2-opts", shards = 1, n = 1)
+    def failsWith(opts: (String, String)*): Unit = {
+      val e = intercept[Exception] {
+        opts.foldLeft(spark.read.format("graft-kinesis")
+            .option("stream", "dsv2-opts")) { case (r, (k, v)) => r.option(k, v) }
+          .load().count()
+      }
+      assert(e.getMessage != null)
+    }
+    failsWith("maxRecordsPerFetch" -> "0")
+    failsWith("maxRecordsPerFetch" -> "-5")
+    failsWith("startingSeq" -> "-1")
+    failsWith("startingOffsets" -> "trim_horizon")
+  }
+
   test("offset JSON round-trips the per-shard cursor map") {
     val o = ShardOffsets(Map(0 -> 12L, 1 -> 7L, 5 -> 0L))
     assert(o.json() == """{"0":12,"1":7,"5":0}""")
