@@ -56,7 +56,8 @@ class PlansSpec extends SparkTestBase {
   test("broadcast joins are used where a small side exists") {
     // the similarity family must broadcast its query/centroid side, not
     // shuffle the big candidate table against it
-    Seq("topk_cosine", "ann_lsh", "ann_lsh_multiprobe", "ann_ivf")
+    Seq("topk_cosine", "ann_lsh", "ann_lsh_multiprobe", "ann_ivf",
+        "ann_ivf_nprobe")
       .foreach { q =>
         assert(plans(q).contains("BroadcastExchange")
           || plans(q).contains("BroadcastNestedLoopJoin"),

@@ -87,4 +87,31 @@ class PropertySpec extends SparkTestBase {
       .select(to_json(col("docker")).as("d"))
     assert(v0docker.exceptAll(v1docker).count() == 0L)
   }
+
+  test("∀ vectors: int8 quantization codes bounded, signs preserved, " +
+      "absmax element hits ±127") {
+    val vecGen: Gen[Seq[Float]] =
+      Gen.listOfN(64, Gen.choose(-8f, 8f)).map(_.toSeq)
+    val vecs = sample(vecGen, N).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = graft.operators.Similarity.quantizeInt8(emb)
+      .select("vec_id", "q_first", "q_last", "q_abs_sum")
+      .as[(Long, Long, Long, Long)].collect()
+    // |floor(x*127/scale)| <= 127 element-wise => abs-sum <= 64*127;
+    // the first/last codes are individually bounded
+    assert(q.forall(r => math.abs(r._2) <= 127 && math.abs(r._3) <= 127))
+    assert(q.forall(_._4 <= 64L * 127L))
+    // sign preservation on the sampled elements
+    val signs = vecs.map { case (id, v) =>
+      id -> (math.signum(v.head), math.signum(v.last)) }.toMap
+    q.foreach { r =>
+      val (sFirst, sLast) = signs(r._1)
+      if (sFirst > 0) assert(r._2 >= 0)
+      if (sLast > 0) assert(r._3 >= 0)
+      // floor makes negative elements quantize to <= -1, never to +
+      if (sFirst < 0) assert(r._2 < 0)
+      if (sLast < 0) assert(r._3 < 0)
+    }
+  }
 }
