@@ -162,6 +162,24 @@ object OracleExt {
            AND a.doc_id < b.doc_id)
     ORDER BY doc_id"""
 
+  /** Twin of Curation.curate: dedup keep-list ∩ quality keep ∩
+    * language filter, composed from the same per-operator twins. */
+  def curation(stop: Map[String, Seq[String]], threshold: Long,
+               keepLang: String): String = s"""
+    $bandsCte
+    SELECT d.doc_id, l.pred_lang, q.score
+    FROM documents d
+    JOIN (${qualityScore(stop(keepLang), threshold)}) q
+      ON d.doc_id = q.doc_id AND q.keep
+    JOIN (${langId(stop)}) l
+      ON d.doc_id = l.doc_id AND l.pred_lang = '$keepLang'
+    WHERE d.doc_id NOT IN (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)
+    ORDER BY d.doc_id"""
+
   val fingerprints: String = s"""
     SELECT doc_id,
            list_reduce(list_prepend(CAST(0 AS BIGINT),

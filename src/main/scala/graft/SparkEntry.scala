@@ -172,6 +172,9 @@ object SparkEntry {
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
+    // Capstone: dedup ∩ quality ∩ language — the full curation pass
+    "curation_pipeline" -> ((s, dir) =>
+      graft.operators.Curation.curate(docsPar(s, dir)).orderBy("doc_id")),
 
     // ---- §2.4 LLM-data-pipeline: near-dup detection -----------------
     // MinHash banded-LSH keys (16 lanes, 4 bands)
@@ -321,6 +324,7 @@ object SparkEntry {
     "top_terms" -> OracleExt.topTermsPerLang,
     "term_stats" -> OracleExt.termStats,
     "dedup_keeplist" -> OracleExt.dedupKeepList,
+    "curation_pipeline" -> OracleExt.curation(TextAnalysis.stopwords, 3000, "en"),
     "text_termfreq" -> OracleExt.termFreq,
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
