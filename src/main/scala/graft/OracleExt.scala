@@ -53,6 +53,18 @@ object OracleExt {
            count(*) AS n, min(event_id) AS min_eid, max(event_id) AS max_eid
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of Events.slidingWindows: each event belongs to exactly
+    * duration/slide = 2 epoch-aligned windows — enumerate them by
+    * flooring to the 30-min grid and stepping back one slide. */
+  val slidingWindows: String = """
+    SELECT window_start, event_type, count(*) AS n,
+           min(event_id) AS min_eid, max(event_id) AS max_eid
+    FROM (SELECT event_type, event_id,
+                 make_timestamp(((epoch_us(ts) // 1800000000) - j)
+                                * 1800000000) AS window_start
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j))
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Twin of Events.sessionWindows: lag-gap session derivation, then
     * group per (user, session); session_end = last event + gap. */
   val sessionWindows: String = """

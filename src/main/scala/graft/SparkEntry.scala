@@ -139,6 +139,10 @@ object SparkEntry {
     "event_windows" -> ((s, dir) =>
       Events.hourlyWindows(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // Sliding event-time windows (1h / 30min slide — overlap factor 2)
+    "sliding_windows" -> ((s, dir) =>
+      Events.slidingWindows(LogSource.readEvents(s, dir))
+        .orderBy("window_start", "event_type")),
     // Native session_window aggregation (engine twin of sessionize)
     "session_windows" -> ((s, dir) =>
       Events.sessionWindows(LogSource.readEvents(s, dir))
@@ -320,6 +324,7 @@ object SparkEntry {
       FROM rm ORDER BY event_id"""),
     "sessionize" -> OracleExt.sessionize,
     "event_windows" -> OracleExt.hourlyWindows,
+    "sliding_windows" -> OracleExt.slidingWindows,
     "session_windows" -> OracleExt.sessionWindows,
     "top_terms" -> OracleExt.topTermsPerLang,
     "term_stats" -> OracleExt.termStats,

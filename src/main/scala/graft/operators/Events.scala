@@ -115,4 +115,18 @@ object Events {
         min("event_id").as("min_eid"), max("event_id").as("max_eid"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("min_eid"), col("max_eid"))
+
+  /** Sliding event-time windows (1 h duration, 30 min slide) — the
+    * overlapping-window member of the window family (tumbling =
+    * hourlyWindows, session = sessionWindows). Spark expands each
+    * event into its duration/slide = 2 member windows before the
+    * group-by; same single shuffle with map-side partial aggregation,
+    * input amplified by the constant overlap factor only. */
+  def slidingWindows(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("min_eid"), col("max_eid"))
 }

@@ -83,4 +83,18 @@ class EventsSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(w == Map("2024-01-01 10:00:00" -> 2L, "2024-01-01 11:00:00" -> 1L))
   }
+
+  test("slidingWindows: every event lands in exactly 2 overlapping windows") {
+    val rows = Seq(
+      (1L, "a", ts("2024-01-01T10:05:00Z")),   // windows 09:30 and 10:00
+      (2L, "a", ts("2024-01-01T10:40:00Z")))   // windows 10:00 and 10:30
+      .toDF("event_id", "event_type", "ts")
+    val w = Events.slidingWindows(rows)
+      .select(col("window_start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(w == Map(
+      "2024-01-01 09:30:00" -> 1L, "2024-01-01 10:00:00" -> 2L,
+      "2024-01-01 10:30:00" -> 1L))
+    assert(w.values.sum == 2L * rows.count(), "overlap factor is exactly 2")
+  }
 }
