@@ -139,6 +139,20 @@ object SparkEntry {
     "event_windows" -> ((s, dir) =>
       Events.hourlyWindows(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // Skew-safe salted join: hot event_type keys spread over 8 salts;
+    // result identical to the unsalted join (the oracle computes it
+    // join-free — the gate proves result equality, PlansSpec/spec
+    // prove the spreading)
+    "salted_join" -> ((s, dir) => {
+      import graft.functions.PortableHash
+      val ev = LogSource.readEvents(s, dir)
+        .select(col("event_id"), col("event_type"))
+      val dim = ev.select("event_type").distinct()
+        .withColumn("weight", PortableHash.hash32(col("event_type")) % 100)
+      graft.operators.Skew.saltedJoin(ev, dim, "event_type", col("event_id"), 8)
+        .select("event_id", "event_type", "weight")
+        .orderBy("event_id")
+    }),
     // Sliding event-time windows (1h / 30min slide — overlap factor 2)
     "sliding_windows" -> ((s, dir) =>
       Events.slidingWindows(LogSource.readEvents(s, dir))
@@ -325,6 +339,10 @@ object SparkEntry {
     "sessionize" -> OracleExt.sessionize,
     "event_windows" -> OracleExt.hourlyWindows,
     "sliding_windows" -> OracleExt.slidingWindows,
+    "salted_join" -> s"""
+      SELECT event_id, event_type,
+             ${graft.functions.PortableHash.sqlHash32("event_type")} % 100 AS weight
+      FROM events ORDER BY event_id""",
     "session_windows" -> OracleExt.sessionWindows,
     "top_terms" -> OracleExt.topTermsPerLang,
     "term_stats" -> OracleExt.termStats,

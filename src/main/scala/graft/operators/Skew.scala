@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Skew mitigation for joins (SURVEY §2.4 scale toolbox). A hash join
+  * on a skewed key puts every row of the hot key into ONE task; at
+  * 100 TB a single Zipf-head key can be a straggler that dominates the
+  * stage. Salting splits each key's rows across `salts` sub-partitions
+  * deterministically and replicates the (small) build side once per
+  * salt, so the hot key's probe rows spread over `salts` tasks while
+  * every row still meets its build match exactly once.
+  *
+  * This complements — not replaces — AQE's skew-join splitting
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default): AQE splits
+  * oversized SORT-MERGE partitions after the fact at shuffle-block
+  * granularity; explicit salting also covers broadcast-ineligible
+  * build sides, streaming state joins, and engines/plans AQE cannot
+  * rewrite. The salt is a deterministic hash of a caller-chosen
+  * tie-break column (never rand() — retries and speculative tasks
+  * must salt identically or rows duplicate/vanish). */
+object Skew {
+
+  /** Inner-join `big` (skewed on `key`) with `small`, spreading each
+    * key over `salts` sub-partitions. `tieBreak` is any big-side
+    * column with per-row entropy (an id); output = exactly the rows of
+    * the unsalted join, with a `__salt`-free schema. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 tieBreak: Column, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val salted = big.withColumn("__salt",
+      pmod(PortableHash.hash32(tieBreak.cast("string")), lit(salts.toLong))
+        .cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

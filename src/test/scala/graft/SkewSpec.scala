@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Salted-join skew mitigation: result equality with the plain join,
+  * actual spreading of the hot key, and salt determinism (speculative
+  * task re-execution must salt identically). */
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 1000 rows of the hot key + a handful of others: the Zipf shape
+  private def big = ((0 until 1000).map(i => (i.toLong, "hot")) ++
+    Seq((2000L, "warm"), (2001L, "warm"), (2002L, "cold")))
+    .toDF("id", "k")
+  private def small = Seq(("hot", 1L), ("warm", 2L), ("cold", 3L))
+    .toDF("k", "v")
+
+  test("salted join returns exactly the unsalted join's rows") {
+    val salted = Skew.saltedJoin(big, small, "k", col("id"), salts = 8)
+      .select("id", "k", "v")
+    val plain = big.join(small, "k").select("id", "k", "v")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0L)
+    assert(plain.exceptAll(salted).count() == 0L)
+  }
+
+  test("the hot key actually spreads over multiple salts, deterministically") {
+    def salts() = big.filter(col("k") === "hot")
+      .withColumn("__salt", pmod(graft.functions.PortableHash
+        .hash32(col("id").cast("string")), lit(8L)).cast("int"))
+      .groupBy("__salt").count()
+      .as[(Int, Long)].collect().toMap
+    val s1 = salts()
+    assert(s1.size == 8, s"1000 hot rows must hit all 8 salts, got ${s1.size}")
+    assert(s1.values.max <= 200L, "no salt bucket hoards the hot key")
+    assert(salts() == s1, "salt assignment is deterministic across evaluations")
+  }
+}
