@@ -53,6 +53,26 @@ object OracleExt {
            count(*) AS n, min(event_id) AS min_eid, max(event_id) AS max_eid
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of AsOf.lastPurchase: identical sort-based union shape —
+    * right rows (purchases) sort before left rows at equal
+    * timestamps (side 0 < 1), last_value IGNORE NULLS carries the
+    * match forward. */
+  val asofLastPurchase: String = """
+    WITH l AS (SELECT event_id, user_id, ts, 1 AS side,
+                      CAST(NULL AS BIGINT) AS pid,
+                      CAST(NULL AS BIGINT) AS pus FROM events),
+    r AS (SELECT event_id, user_id, ts, 0 AS side, event_id AS pid,
+                 epoch_us(ts) AS pus
+          FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT *, last_value(pid IGNORE NULLS) OVER w AS asof_id,
+                 last_value(pus IGNORE NULLS) OVER w AS asof_us
+          FROM (SELECT * FROM l UNION ALL SELECT * FROM r)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS UNBOUNDED PRECEDING))
+    SELECT event_id, user_id, asof_id AS last_purchase_id,
+           (epoch_us(ts) - asof_us) // 1000000 AS gap_sec
+    FROM u WHERE side = 1 ORDER BY event_id"""
+
   /** Twin of Events.slidingWindows: each event belongs to exactly
     * duration/slide = 2 epoch-aligned windows — enumerate them by
     * flooring to the 30-min grid and stepping back one slide. */

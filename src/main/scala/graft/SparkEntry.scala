@@ -139,6 +139,11 @@ object SparkEntry {
     "event_windows" -> ((s, dir) =>
       Events.hourlyWindows(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // AS-OF join: each event's most recent same-user purchase (sort-
+    // based union shape — one keyed shuffle, no join explosion)
+    "asof_join" -> ((s, dir) =>
+      graft.operators.AsOf.lastPurchase(LogSource.readEvents(s, dir))
+        .orderBy("event_id")),
     // Skew-safe salted join: hot event_type keys spread over 8 salts;
     // result identical to the unsalted join (the oracle computes it
     // join-free — the gate proves result equality, PlansSpec/spec
@@ -339,6 +344,7 @@ object SparkEntry {
     "sessionize" -> OracleExt.sessionize,
     "event_windows" -> OracleExt.hourlyWindows,
     "sliding_windows" -> OracleExt.slidingWindows,
+    "asof_join" -> OracleExt.asofLastPurchase,
     "salted_join" -> s"""
       SELECT event_id, event_type,
              ${graft.functions.PortableHash.sqlHash32("event_type")} % 100 AS weight
