@@ -53,6 +53,21 @@ object OracleExt {
            count(*) AS n, min(event_id) AS min_eid, max(event_id) AS max_eid
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of RangeJoin.campaignStats — the oracle needs no bucketing
+    * (single-process), so it joins on the raw containment predicate;
+    * the gate proves the bucketed plan returns the identical result. */
+  def rangeJoinCampaigns(n: Int): String = s"""
+    WITH c AS (SELECT CAST(k AS BIGINT) AS campaign_id,
+                      make_timestamp(1704067200000000 + k * 259200000000)
+                        AS start_ts,
+                      make_timestamp(1704067200000000 + k * 259200000000
+                                     + 129600000000) AS end_ts
+               FROM (SELECT unnest(range(0, $n)) AS k))
+    SELECT campaign_id, count(*) AS n,
+           min(event_id) AS min_eid, max(event_id) AS max_eid
+    FROM events e JOIN c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+    GROUP BY 1 ORDER BY 1"""
+
   /** Twin of AsOf.lastPurchase: identical sort-based union shape —
     * right rows (purchases) sort before left rows at equal
     * timestamps (side 0 < 1), last_value IGNORE NULLS carries the

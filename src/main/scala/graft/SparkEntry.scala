@@ -139,6 +139,12 @@ object SparkEntry {
     "event_windows" -> ((s, dir) =>
       Events.hourlyWindows(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // Range join: events ⋈ campaign windows via time bucketing (the
+    // equi-join scale path for interval containment; the oracle does a
+    // plain BETWEEN join — result equality through the gate)
+    "range_join" -> ((s, dir) =>
+      graft.operators.RangeJoin.campaignStats(LogSource.readEvents(s, dir))
+        .orderBy("campaign_id")),
     // AS-OF join: each event's most recent same-user purchase (sort-
     // based union shape — one keyed shuffle, no join explosion)
     "asof_join" -> ((s, dir) =>
@@ -345,6 +351,7 @@ object SparkEntry {
     "event_windows" -> OracleExt.hourlyWindows,
     "sliding_windows" -> OracleExt.slidingWindows,
     "asof_join" -> OracleExt.asofLastPurchase,
+    "range_join" -> OracleExt.rangeJoinCampaigns(10),
     "salted_join" -> s"""
       SELECT event_id, event_type,
              ${graft.functions.PortableHash.sqlHash32("event_type")} % 100 AS weight

@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Bucketed range join: equals the naive containment join, boundary
+  * semantics [start, end), bounded interval replication. */
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("bucketed join equals the naive BETWEEN join; boundaries are [start, end)") {
+    val events = Seq(
+      (1L, ts("2024-01-01T00:00:00Z")),  // == start of interval A -> in
+      (2L, ts("2024-01-01T11:59:59Z")),  // inside A
+      (3L, ts("2024-01-01T12:00:00Z")),  // == end of A -> out; == start of B -> in
+      (4L, ts("2024-01-02T00:00:00Z")))  // outside both
+      .toDF("event_id", "ts")
+    val intervals = Seq(
+      ("A", ts("2024-01-01T00:00:00Z"), ts("2024-01-01T12:00:00Z")),
+      ("B", ts("2024-01-01T12:00:00Z"), ts("2024-01-01T18:00:00Z")))
+      .toDF("interval_id", "start_ts", "end_ts")
+    val bucketed = RangeJoin.bucketedRangeJoin(events, intervals, 3600L)
+      .select("event_id", "interval_id").as[(Long, String)].collect().toSet
+    val naive = events.join(intervals,
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .select("event_id", "interval_id").as[(Long, String)].collect().toSet
+    assert(bucketed == naive)
+    assert(bucketed == Set((1L, "A"), (2L, "A"), (3L, "B")))
+  }
+
+  test("interval replication is bounded by ceil(length/bucket) buckets") {
+    val intervals = Seq(("A", ts("2024-01-01T00:00:00Z"),
+      ts("2024-01-02T12:00:00Z"))).toDF("interval_id", "start_ts", "end_ts")
+    // 36 h interval, 12 h buckets -> exactly 3 replicas
+    val replicas = intervals.withColumn("__bucket",
+        explode(sequence(
+          floor(unix_micros(col("start_ts")) / (12L * 3600 * 1000000L)),
+          floor((unix_micros(col("end_ts")) - 1) / (12L * 3600 * 1000000L)))))
+      .count()
+    assert(replicas == 3L)
+  }
+}
