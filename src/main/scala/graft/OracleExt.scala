@@ -53,6 +53,28 @@ object OracleExt {
            count(*) AS n, min(event_id) AS min_eid, max(event_id) AS max_eid
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of Events.rollupCounts. DuckDB defaults to NULLS LAST on
+    * ASC (Spark defaults NULLS FIRST) — both sides pin NULLS FIRST. */
+  val rollupCounts: String = """
+    SELECT event_type, user_decile, count(*) AS n,
+           min(event_id) AS min_eid
+    FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_decile,
+                 event_id FROM events)
+    GROUP BY ROLLUP (event_type, user_decile)
+    ORDER BY event_type NULLS FIRST, user_decile NULLS FIRST"""
+
+  /** Twin of Events.approxPercentiles: exact type-7 interpolated
+    * quantiles (quantile_cont == Spark `percentile`); the sketch-ok
+    * flag is Spark-side (DuckDB has no t-digest twin), asserted true. */
+  val approxPercentiles: String = """
+    SELECT event_type,
+           CAST(floor(quantile_cont(value, 0.5) * 1000000) AS BIGINT)
+             AS p50_micro,
+           CAST(floor(quantile_cont(value, 0.9) * 1000000) AS BIGINT)
+             AS p90_micro,
+           true AS sketch_ok
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** Twin of RangeJoin.campaignStats — the oracle needs no bucketing
     * (single-process), so it joins on the raw containment predicate;
     * the gate proves the bucketed plan returns the identical result. */

@@ -164,6 +164,15 @@ object SparkEntry {
         .select("event_id", "event_type", "weight")
         .orderBy("event_id")
     }),
+    // Hierarchical rollup (grouping sets) in one pass
+    "rollup_counts" -> ((s, dir) =>
+      Events.rollupCounts(LogSource.readEvents(s, dir))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("user_decile").asc_nulls_first)),
+    // Bound-gated percentile sketch (exact quantiles + sketch-ok flag)
+    "approx_percentiles" -> ((s, dir) =>
+      Events.approxPercentiles(LogSource.readEvents(s, dir))
+        .orderBy("event_type")),
     // Sliding event-time windows (1h / 30min slide — overlap factor 2)
     "sliding_windows" -> ((s, dir) =>
       Events.slidingWindows(LogSource.readEvents(s, dir))
@@ -352,6 +361,8 @@ object SparkEntry {
     "sliding_windows" -> OracleExt.slidingWindows,
     "asof_join" -> OracleExt.asofLastPurchase,
     "range_join" -> OracleExt.rangeJoinCampaigns(10),
+    "rollup_counts" -> OracleExt.rollupCounts,
+    "approx_percentiles" -> OracleExt.approxPercentiles,
     "salted_join" -> s"""
       SELECT event_id, event_type,
              ${graft.functions.PortableHash.sqlHash32("event_type")} % 100 AS weight

