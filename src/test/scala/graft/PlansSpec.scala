@@ -65,6 +65,15 @@ class PlansSpec extends SparkTestBase {
       }
   }
 
+  test("range_join executes as an equi-join, never a nested loop") {
+    // the whole point of the bucketing: the containment predicate must
+    // ride on a hash-partitioned bucket equi-join
+    val p = plans("range_join")
+    assert(!p.contains("NestedLoop"), s"range_join fell back to BNLJ:\n$p")
+    assert(p.contains("hashjoin") || p.contains("HashJoin")
+      || p.contains("SortMergeJoin"), s"range_join lost its equi-join:\n$p")
+  }
+
   test("no driver-side collect() in any query path (source-level guard)") {
     val src = Files.readString(
       Paths.get("src/main/scala/graft/SparkEntry.scala"))

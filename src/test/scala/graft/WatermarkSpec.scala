@@ -58,4 +58,30 @@ class WatermarkSpec extends SparkTestBase {
       s"got $out")
     assert(!out.exists { case (w, t, n) => w == "2024-01-01 10:00:00" && n == 3L })
   }
+
+  test("sliding windows stream: overlap factor 2 under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.operators.Events.slidingWindows(
+        in.toDF().toDF("event_id", "ts", "event_type")
+          .withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("slidestream")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, ts("2024-01-01T10:05:00Z"), "a"),
+      (2L, ts("2024-01-01T10:40:00Z"), "a"))
+    q.processAllAvailable()
+    // advance the watermark past every member window's end (11:10)
+    in.addData((3L, ts("2024-01-01T12:00:00Z"), "a"))
+    q.processAllAvailable()
+    in.addData((4L, ts("2024-01-01T13:00:00Z"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val w = spark.table("slidestream")
+      .select(col("window_start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(w.view.filterKeys(_ < "2024-01-01 11:00:00").toMap == Map(
+      "2024-01-01 09:30:00" -> 1L, "2024-01-01 10:00:00" -> 2L,
+      "2024-01-01 10:30:00" -> 1L),
+      s"each event lands in exactly 2 closed windows, got $w")
+  }
 }
