@@ -63,6 +63,15 @@ object OracleExt {
     GROUP BY ROLLUP (event_type, user_decile)
     ORDER BY event_type NULLS FIRST, user_decile NULLS FIRST"""
 
+  /** Twin of Events.pivotCounts via conditional aggregation. */
+  val pivotCounts: String = {
+    val cells = (0 to 9).map(i =>
+      s"count(*) FILTER (WHERE user_id % 10 = $i) AS d$i").mkString(", ")
+    s"""
+    SELECT event_type, $cells
+    FROM events GROUP BY event_type ORDER BY event_type"""
+  }
+
   /** Twin of Events.approxPercentiles: exact type-7 interpolated
     * quantiles (quantile_cont == Spark `percentile`); the sketch-ok
     * flag is Spark-side (DuckDB has no t-digest twin), asserted true. */

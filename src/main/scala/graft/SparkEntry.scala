@@ -169,6 +169,10 @@ object SparkEntry {
       Events.rollupCounts(LogSource.readEvents(s, dir))
         .orderBy(col("event_type").asc_nulls_first,
           col("user_decile").asc_nulls_first)),
+    // Pivot: type × decile count matrix (explicit value list — 1 shuffle)
+    "pivot_counts" -> ((s, dir) =>
+      Events.pivotCounts(LogSource.readEvents(s, dir))
+        .orderBy("event_type")),
     // Bound-gated percentile sketch (exact quantiles + sketch-ok flag)
     "approx_percentiles" -> ((s, dir) =>
       Events.approxPercentiles(LogSource.readEvents(s, dir))
@@ -362,6 +366,7 @@ object SparkEntry {
     "asof_join" -> OracleExt.asofLastPurchase,
     "range_join" -> OracleExt.rangeJoinCampaigns(10),
     "rollup_counts" -> OracleExt.rollupCounts,
+    "pivot_counts" -> OracleExt.pivotCounts,
     "approx_percentiles" -> OracleExt.approxPercentiles,
     "salted_join" -> s"""
       SELECT event_id, event_type,

@@ -126,6 +126,20 @@ object Events {
       .rollup(col("event_type"), col("user_decile"))
       .agg(count(lit(1)).as("n"), min("event_id").as("min_eid"))
 
+  /** Pivot: event_type × user-decile count matrix. Spark's pivot with
+    * an EXPLICIT value list is one shuffle (values known at plan time
+    * → no discovery pass); an unlisted pivot would first run a
+    * distinct scan to find the columns — never do that at scale.
+    * Empty cells are 0 (coalesce) to match SQL conditional counts. */
+  def pivotCounts(events: DataFrame): DataFrame = {
+    val d = events.withColumn("user_decile", (col("user_id") % 10).cast("long"))
+    val p = d.groupBy("event_type")
+      .pivot("user_decile", (0 to 9).map(i => java.lang.Long.valueOf(i.toLong)))
+      .agg(count(lit(1)))
+    p.select(col("event_type") +: (0 to 9).map(i =>
+      coalesce(col(i.toString), lit(0L)).as(s"d$i")): _*)
+  }
+
   /** Approximate percentile with the same oracle contract as the HLL
     * sketch (approxDistinctUsers): the checked values are the EXACT
     * integer-quantized p50/p90 of `value` (identical sort-based
