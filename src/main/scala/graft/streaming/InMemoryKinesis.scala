@@ -59,7 +59,12 @@ object InMemoryKinesis {
 
   def delete(name: String): Unit = streams.remove(name)
 
-  /** One put attempt of one record to one shard. Returns false on an
+  /** One put attempt of one record to one shard. Per-shard ordering
+    * (queue order == sequence order) is guaranteed under ONE WRITER
+    * PER SHARD — which every library path provides (the producer
+    * repartitions by shard, the scan-fixture put sorts one task per
+    * shard), matching real Kinesis's per-shard ordered-put contract.
+    * Returns false on an
     * injected transient failure (caller retries) or when the stream is
     * at capacity and blocking is disabled (caller drops). With blocking
     * enabled the caller parks until `ack` frees space (S13 block mode,
