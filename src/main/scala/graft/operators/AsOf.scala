@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Left rows + (id, event-time µs) of the as-of matched right row;
-    * NULL columns where a key has no right row yet. */
+    * NULL columns where a key has no right row yet. `right`'s columns
+    * must be a subset of `left`'s (right-only columns would leak into
+    * the output schema). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsCol: String, idCol: String): DataFrame = {
+    val reserved = Seq("__side", "__pid", "__pus", "__asof_id", "__asof_us")
+    require(!left.columns.exists(reserved.contains),
+      s"left side must not contain reserved columns ${reserved.mkString(", ")}")
+    require(right.columns.toSet.subsetOf(left.columns.toSet),
+      "right columns must be a subset of left's")
     val l = left.withColumn("__side", lit(1))
       .withColumn("__pid", lit(null).cast("long"))
       .withColumn("__pus", lit(null).cast("long"))
@@ -35,7 +42,7 @@ object AsOf {
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol), col("__side"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    l.unionByName(r, allowMissingColumns = true)
       .withColumn("__asof_id", last(col("__pid"), ignoreNulls = true).over(w))
       .withColumn("__asof_us", last(col("__pus"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

@@ -21,6 +21,10 @@ object RangeJoin {
     * `start_ts <= ts < end_ts`, bucketed at `bucketSec`. */
   def bucketedRangeJoin(events: DataFrame, intervals: DataFrame,
                         bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    require(!events.columns.contains("__bucket")
+      && !intervals.columns.contains("__bucket"),
+      "inputs must not contain a __bucket column")
     val bUs = bucketSec * 1000000L
     val ev = events.withColumn("__bucket",
       floor(unix_micros(col("ts")) / bUs))

@@ -30,6 +30,8 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  tieBreak: Column, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not contain a __salt column")
     val salted = big.withColumn("__salt",
       pmod(PortableHash.hash32(tieBreak.cast("string")), lit(salts.toLong))
         .cast("int"))
