@@ -63,6 +63,15 @@ object OracleExt {
     GROUP BY ROLLUP (event_type, user_decile)
     ORDER BY event_type NULLS FIRST, user_decile NULLS FIRST"""
 
+  /** Twin of Events.cubeCounts (GROUP BY CUBE, NULLS FIRST pinned). */
+  val cubeCounts: String = """
+    SELECT event_type, user_decile, count(*) AS n,
+           min(event_id) AS min_eid
+    FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_decile,
+                 event_id FROM events)
+    GROUP BY CUBE (event_type, user_decile)
+    ORDER BY event_type NULLS FIRST, user_decile NULLS FIRST"""
+
   /** Twin of Events.pivotCounts via conditional aggregation. */
   val pivotCounts: String = {
     val cells = (0 to 9).map(i =>

@@ -169,6 +169,11 @@ object SparkEntry {
       Events.rollupCounts(LogSource.readEvents(s, dir))
         .orderBy(col("event_type").asc_nulls_first,
           col("user_decile").asc_nulls_first)),
+    // CUBE: all 4 grouping sets in one pass
+    "cube_counts" -> ((s, dir) =>
+      Events.cubeCounts(LogSource.readEvents(s, dir))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("user_decile").asc_nulls_first)),
     // Pivot: type × decile count matrix (explicit value list — 1 shuffle)
     "pivot_counts" -> ((s, dir) =>
       Events.pivotCounts(LogSource.readEvents(s, dir))
@@ -367,6 +372,7 @@ object SparkEntry {
     "range_join" -> OracleExt.rangeJoinCampaigns(10),
     "rollup_counts" -> OracleExt.rollupCounts,
     "pivot_counts" -> OracleExt.pivotCounts,
+    "cube_counts" -> OracleExt.cubeCounts,
     "approx_percentiles" -> OracleExt.approxPercentiles,
     "salted_join" -> s"""
       SELECT event_id, event_type,

@@ -126,6 +126,13 @@ object Events {
       .rollup(col("event_type"), col("user_decile"))
       .agg(count(lit(1)).as("n"), min("event_id").as("min_eid"))
 
+  /** CUBE sibling of rollupCounts: all 4 grouping sets (leaf, per-type,
+    * per-decile, grand) in the same single-shuffle expansion. */
+  def cubeCounts(events: DataFrame): DataFrame =
+    events.withColumn("user_decile", (col("user_id") % 10).cast("long"))
+      .cube(col("event_type"), col("user_decile"))
+      .agg(count(lit(1)).as("n"), min("event_id").as("min_eid"))
+
   /** Pivot: event_type × user-decile count matrix. Spark's pivot with
     * an EXPLICIT value list is one shuffle (values known at plan time
     * → no discovery pass); an unlisted pivot would first run a
