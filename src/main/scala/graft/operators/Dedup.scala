@@ -18,15 +18,13 @@ import graft.functions.PortableHash
 object Dedup {
 
   /** Distinct word n-gram shingles of a document; single-token docs fall
-    * back to one whole-text shingle. Set semantics (array_distinct) —
-    * order never observed, only min/count aggregates consume these. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+    * back to one whole-text shingle. Computed by the native codegen'd
+    * `word_shingles` expression — one tight JVM loop per row instead of
+    * tokens × width interpreted-lambda tree walks (WordShinglesSpec
+    * proves it indistinguishable from the composed-builtins recipe the
+    * DuckDB twin mirrors). */
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.WordShinglesExpr(text, n)
 
   /** MinHash signature: numHashes independent md5 lanes, each the min
     * over the shingle set. Pure per-row array math — no shuffle. */
@@ -35,19 +33,13 @@ object Dedup {
       array_min(transform(sh,
         x => PortableHash.hash32(concat(s.cast("string"), lit(":"), x)))))
 
-  /** Shingle sets materialized as a COLUMN (a projection barrier).
-    * Interpreted higher-order lambdas re-evaluate their argument
-    * subtree per element, so composing shingles(tokens(split(...)))
-    * inline into the 16-seed × 4-band minhash tree re-splits the full
-    * text thousands of times per row; staging each step as a column
-    * makes every downstream lambda read an already-computed array. */
+  /** Shingle sets materialized as a COLUMN (a projection barrier so
+    * the 16-seed × 4-band minhash lambdas downstream read an
+    * already-computed array instead of re-deriving the shingle set per
+    * lane — interpreted higher-order lambdas re-evaluate their
+    * argument subtree per element). */
   def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.withColumn("__toks", TextAnalysis.tokens(col("text")))
-      .withColumn("__sh",
-        when(size(col("__toks")) >= n,
-          array_distinct(transform(sequence(lit(0), size(col("__toks")) - n),
-            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
-          .otherwise(array(concat_ws(" ", col("__toks")))))
+    docs.withColumn("__sh", shingles(col("text"), n))
 
   /** Banded LSH keys: split the signature into `bands` bands of `rows`
     * values; docs agreeing on ANY band become candidates. One output row
