@@ -50,7 +50,9 @@ final case class WordShinglesExpr(child: Expression, n: Int)
 
 object WordShinglesExpr {
 
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  /** Lowercased tokens split on the literal single space, empties
+    * dropped — the shared tokenizer for both native expressions. */
+  private[graft] def tokenize(text: UTF8String): java.util.ArrayList[String] = {
     val s = text.toLowerCase.toString
     val toks = new java.util.ArrayList[String](32)
     var i = 0
@@ -61,6 +63,11 @@ object WordShinglesExpr {
       if (j > i) toks.add(s.substring(i, j))
       i = j + 1
     }
+    toks
+  }
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
     val m = toks.size
     val out = new java.util.LinkedHashSet[String]()
     if (m >= n) {
@@ -84,4 +91,38 @@ object WordShinglesExpr {
 
   def apply(c: Column, n: Int): Column =
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(c), n))
+}
+
+/** Native tokenizer: `filter(split(lower(text), " "), t -> t != "")`
+  * as one JVM loop — the column every text-analysis operator starts
+  * from. Same parity/differential discipline as WordShinglesExpr. */
+final case class WordTokensExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordTokensExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.WordTokensExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordTokensExpr = copy(child = newChild)
+}
+
+object WordTokensExpr {
+  def compute(text: UTF8String): ArrayData = {
+    val toks = WordShinglesExpr.tokenize(text)
+    val arr = new Array[Any](toks.size)
+    var i = 0
+    while (i < toks.size) { arr(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def apply(c: Column): Column =
+    ExpressionUtils.column(WordTokensExpr(ExpressionUtils.expression(c)))
 }

@@ -17,10 +17,13 @@ import graft.functions.PortableHash
 object TextAnalysis {
 
   /** Whitespace tokens of lower(text), empties dropped (single-space
-    * split + filter matches DuckDB string_split exactly; regex \s+ split
-    * differs on leading whitespace across engines). */
+    * split + empty-drop matches DuckDB string_split + list_filter
+    * exactly; regex \s+ split differs on leading whitespace across
+    * engines). Computed by the native codegen'd `word_tokens`
+    * expression (one JVM loop; the composed filter-lambda form is the
+    * differential reference in WordShinglesSpec). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), " "), t => t =!= "")
+    org.apache.spark.sql.graft.WordTokensExpr(text)
 
   /** Term frequency — the classic wordcount: explode + groupBy(term).
     * At scale: map-side partial aggregation absorbs the Zipf head before

@@ -48,6 +48,18 @@ class WordShinglesSpec extends SparkTestBase {
     diff(texts, 3)
   }
 
+  test("word_tokens matches the composed filter(split(lower)) recipe") {
+    val texts = Seq("", " ", "A b  C ", "ünï  cöde", "one", " x y z ")
+    val df = texts.toDF("text")
+    val got = df.select(org.apache.spark.sql.graft.WordTokensExpr(col("text")))
+      .as[Seq[String]].collect()
+    val want = df.select(filter(split(lower(col("text")), " "), t => t =!= ""))
+      .as[Seq[String]].collect()
+    got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+      assert(g == w, s"mismatch for '$t': native=$g composed=$w")
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     val df = Seq("the quick brown fox", "a b").toDF("text")
     val whole = df.select(WordShinglesExpr(col("text"), 3).as("sh"))
