@@ -36,9 +36,12 @@ object KMeans {
 
   val dim = 64
 
+  /** Native codegen'd sequential-fold squared distance — bit-identical
+    * to the interpreted `aggregate(zip_with(...))` form (VectorExprsSpec)
+    * at one JVM loop per vector×centroid instead of ~2·dim interpreted
+    * tree walks. */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0d), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.Dist2F64Expr(a, b)
 
   /** Nearest centroid per vector (broadcast join + argmin window). */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
@@ -112,7 +115,7 @@ object KMeans {
                    nQueries: Int = 20, topK: Int = 3, nprobe: Int = 2)
       : DataFrame = {
     val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+      org.apache.spark.sql.graft.DotF64Expr(a, b)
     val (asg, centroids) = fitModel(emb, k, iters)
     // persisted: the broadcast query side and the candidate side both
     // derive from nv — without the cache each side re-runs the entire
@@ -150,7 +153,7 @@ object KMeans {
   def annIvf(emb: DataFrame, k: Int = 8, iters: Int = 2,
              nQueries: Int = 20, topK: Int = 3): DataFrame = {
     val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+      org.apache.spark.sql.graft.DotF64Expr(a, b)
     // persisted: query and candidate sides both derive from nv (see
     // annIvfNprobe — same duplicated-Lloyd-chain hazard)
     val nv = fit(emb, k, iters)

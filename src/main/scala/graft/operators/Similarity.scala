@@ -35,8 +35,12 @@ object Similarity {
   private def planeLit(p: Seq[Long]): Column =
     array(p.map(c => lit(c.toDouble)): _*)
 
+  /** Native codegen'd sequential-fold dot product — bit-identical to
+    * the interpreted `aggregate(zip_with(...))` form and to DuckDB's
+    * `list_dot_product` (VectorExprsSpec), one JVM loop per pair
+    * instead of ~2·dim expression-tree walks. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.DotF64Expr(a, b)
 
   /** Per-vector prep: exact float→double cast + squared norm (computed
     * ONCE per vector, before any join — never inside the pair loop). */
