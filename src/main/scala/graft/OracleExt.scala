@@ -605,4 +605,34 @@ object OracleExt {
       FROM nb q JOIN nb c
         ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
     WHERE sim_micro >= $minSimMicro ORDER BY vec_a, vec_b"""
+
+  /** Twin of Similarity.nearDupPairsBanded: `bands` independent plane
+    * tables; candidate = same bucket in ANY band, deduped, then exact
+    * cosine verify against the normed table. */
+  def nearDupPairsBanded(minSimMicro: Long, all: Seq[Seq[Long]],
+                         bands: Int, planesPerBand: Int): String = {
+    val bucketDefs = (0 until bands).map { b =>
+      val ps = all.slice(b * planesPerBand, (b + 1) * planesPerBand)
+      s"${bucketSql(ps)} AS b$b"
+    }.mkString(", ")
+    val unions = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band_id, b$b AS bucket FROM nb")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH $normCte,
+    nb AS (SELECT vec_id, v, norm2, $bucketDefs FROM n),
+    bb AS ($unions),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bb a JOIN bb b
+               ON a.band_id = b.band_id AND a.bucket = b.bucket
+                  AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, sim_micro FROM (
+      SELECT c.vec_a, c.vec_b,
+             CAST(floor(list_dot_product(x.v, y.v)
+                    / (sqrt(x.norm2) * sqrt(y.norm2)) * 1000000) AS BIGINT)
+               AS sim_micro
+      FROM cand c JOIN n x ON x.vec_id = c.vec_a
+                  JOIN n y ON y.vec_id = c.vec_b)
+    WHERE sim_micro >= $minSimMicro ORDER BY vec_a, vec_b"""
+  }
 }

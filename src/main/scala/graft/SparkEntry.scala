@@ -254,9 +254,14 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> ((s, dir) =>
       Similarity.lshTopKMultiProbe(embPar(s, dir))
         .orderBy("query_id", "rank")),
-    // Bucket-pruned embedding near-dup pairs
+    // Bucket-pruned embedding near-dup pairs (256-bucket single table)
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embPar(s, dir))
+        .orderBy("vec_a", "vec_b")),
+    // Multi-table banded near-dup: 4 independent 256-bucket tables —
+    // the recall dial that does NOT coarsen the candidate space
+    "embed_neardup_banded" -> ((s, dir) =>
+      Similarity.nearDupPairsBanded(embPar(s, dir))
         .orderBy("vec_a", "vec_b")),
     // Deterministic Lloyd's k-means: the trained IVF coarse quantizer
     "ivf_kmeans" -> ((s, dir) =>
@@ -412,6 +417,9 @@ object SparkEntry {
     "topk_cosine" -> OracleExt.topkCosine(10, 5),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
     "ann_lsh_multiprobe" -> OracleExt.lshTopKMultiProbe(50, 3, Similarity.planes()),
-    "embed_neardup" -> OracleExt.nearDupPairs(350000, Similarity.planes())
+    "embed_neardup" -> OracleExt.nearDupPairs(350000,
+      Similarity.planes(Similarity.nearDupPlanes)),
+    "embed_neardup_banded" -> OracleExt.nearDupPairsBanded(350000,
+      Similarity.planes(32), bands = 4, planesPerBand = 8)
   )
 }

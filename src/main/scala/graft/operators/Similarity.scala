@@ -171,19 +171,79 @@ object Similarity {
         aggregate(col("q"), lit(0L), (a, x) => a + abs(x.cast("long")))
           .as("q_abs_sum"))
 
+  /** Default plane count for near-dup bucketing. The bucket count is
+    * 2^planes and the within-bucket pair cost is (|data|/2^planes)² per
+    * bucket, so the plane count MUST grow with the corpus: 8 planes
+    * (256 buckets) fits the fixture; a 100 TB corpus wants 20+ planes
+    * (1M+ buckets), set per deployment — it is a parameter, not a
+    * constant, and the oracle twin regenerates from the same literals. */
+  val nearDupPlanes = 8
+
   /** Embedding-cosine near-duplicate pairs, bucket-pruned: only pairs in
     * the SAME LSH bucket are compared (equi-join), then thresholded on
-    * exact cosine. The all-pairs version is never built. */
+    * exact cosine. The all-pairs version is never built.
+    *
+    * The normed+bucketed table is PERSISTED across both self-join sides
+    * (the minhashPairs pattern): the per-vector norm + plane projections
+    * are computed once, and the plan shows one InMemoryTableScan feeding
+    * both sides instead of recomputing the prep on each. Raising
+    * `ps` shrinks the candidate space exponentially (recall follows the
+    * single-table LSH trade — pair with [[nearDupPairsBanded]] to buy
+    * recall back with independent tables instead of coarser buckets). */
   def nearDupPairs(emb: DataFrame, minSimMicro: Long = 350000,
-                   ps: Seq[Seq[Long]] = planes()): DataFrame = {
+                   ps: Seq[Seq[Long]] = planes(nearDupPlanes)): DataFrame = {
     val n = withNorm(emb).withColumn("bucket", lshBucket(col("v"), ps))
       .select(col("vec_id"), col("v"), col("norm2"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sim = cosine(col("a.v"), col("a.norm2"), col("b.v"), col("b.norm2"))
     n.as("a").join(n.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         simMicro(sim).as("sim_micro"))
+      .filter(col("sim_micro") >= minSimMicro)
+  }
+
+  /** Multi-table (banded) LSH near-dup: `bands` INDEPENDENT plane
+    * tables of `planesPerBand` planes each; a pair is a candidate if it
+    * shares a bucket in ANY band. This is the standard way to hold
+    * per-bucket precision (narrow buckets: 2^planesPerBand each) while
+    * buying recall back linearly in the band count — collision
+    * probability 1-(1-p^r)^B instead of p^r — without ever coarsening
+    * the candidate space the way fewer planes would.
+    *
+    * Scale shape: the banded key table is `bands` small rows per
+    * vector; candidates come from equi-joins on (band, bucket) — hash
+    * partitioned, never all-pairs; `distinct()` dedups cross-band
+    * repeats BEFORE the exact-cosine verify, so each surviving pair is
+    * verified exactly once (two hash joins on vec_id against the
+    * persisted normed table). */
+  def nearDupPairsBanded(emb: DataFrame, minSimMicro: Long = 350000,
+                         bands: Int = 4, planesPerBand: Int = 8): DataFrame = {
+    val all = planes(bands * planesPerBand)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bucketCols = (0 until bands).map(b => lshBucket(col("v"),
+      all.slice(b * planesPerBand, (b + 1) * planesPerBand)).as(s"__b$b"))
+    val n = withNorm(emb).select(
+        Seq(col("vec_id"), col("v"), col("norm2")) ++ bucketCols: _*)
+      .persist(lvl)
+    val banded = n.select(col("vec_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_id"), col(s"__b$b").as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band_id"), col("bb.bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val x = n.select(col("vec_id").as("vec_a"), col("v").as("av"),
+      col("norm2").as("an"))
+    val y = n.select(col("vec_id").as("vec_b"), col("v").as("bv"),
+      col("norm2").as("bn"))
+    cand.join(x, "vec_a").join(y, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        simMicro(cosine(col("av"), col("an"), col("bv"), col("bn")))
+          .as("sim_micro"))
       .filter(col("sim_micro") >= minSimMicro)
   }
 }

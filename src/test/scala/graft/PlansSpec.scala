@@ -6,8 +6,11 @@ import java.nio.file.{Files, Paths}
   * depends on, asserted in CI so a future change cannot silently
   * reintroduce a driver collect, a cartesian product, or an unbounded
   * per-group buffer, or lose filter pushdown to the parquet scan.
-  * Plans are built (not executed) for every SparkEntry query at
-  * sf0.001. */
+  * Plans are built for every SparkEntry query at sf0.001. NB: building
+  * a plan is not always side-effect-free — fixture setup inside a query
+  * closure DOES run (kinesis_source_scan executes its populate job, the
+  * dedup/ANN entries register persist()s); only the query's own job is
+  * deferred. */
 class PlansSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
@@ -63,6 +66,16 @@ class PlansSpec extends SparkTestBase {
           || plans(q).contains("BroadcastNestedLoopJoin"),
           s"$q should broadcast its small side")
       }
+  }
+
+  test("near-dup tables are persisted: one scan feeds both self-join sides") {
+    // the normed+bucketed prep (norm + plane projections per vector)
+    // must be computed once and cached, not recomputed per join side
+    Seq("embed_neardup", "embed_neardup_banded").foreach { q =>
+      val scans = "InMemoryTableScan".r.findAllIn(plans(q)).size
+      assert(scans >= 2,
+        s"$q should read the persisted normed table on both sides:\n${plans(q)}")
+    }
   }
 
   test("range_join executes as an equi-join, never a nested loop") {

@@ -86,6 +86,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(1L) == ((0L, 0L, 0L, 0L)))
   }
 
+  test("near-dup candidate space shrinks as the plane count grows") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // minSimMicro = MinValue -> no threshold: the count IS the candidate
+    // pair count of the bucket equi-join
+    def cands(nPlanes: Int): Long =
+      Similarity.nearDupPairs(e, minSimMicro = Long.MinValue,
+        ps = Similarity.planes(nPlanes)).count()
+    val c2 = cands(2); val c4 = cands(4); val c8 = cands(8)
+    assert(c2 >= c4 && c4 >= c8,
+      s"candidates must be nonincreasing in planes: $c2, $c4, $c8")
+    assert(c8 < c2, s"8 planes must strictly shrink the space vs 2 ($c8 vs $c2)")
+  }
+
+  test("banded near-dup pairs are a superset of the first band's single-table pairs") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // planes(8) == first band of planes(32): banded candidates include
+    // every band-0 candidate, so the verified pair set can only grow
+    val single = Similarity.nearDupPairs(e, minSimMicro = 300000,
+        ps = Similarity.planes(8))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val banded = Similarity.nearDupPairsBanded(e, minSimMicro = 300000,
+        bands = 4, planesPerBand = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(banded),
+      s"missing from banded: ${(single -- banded).take(5)}")
+  }
+
   test("lshTopK returns at most k ranked neighbors per query") {
     val e = emb((0 until 20).map(i =>
       (i.toLong, vec(i.toFloat + 1, (i % 3).toFloat), i % 4)): _*)
