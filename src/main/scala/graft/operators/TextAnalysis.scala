@@ -148,10 +148,12 @@ object TextAnalysis {
   /** Document fingerprints: a 31-polynomial rolling hash over the raw
     * characters (mod 1e9+7 — stays in 35 bits, no overflow in any
     * engine) plus a 32-bit md5 lane. Content-addressed dedup keys; pure
-    * per-row, no shuffle. */
+    * per-row, no shuffle. The rolling hash is the native codegen'd
+    * `rolling_hash31` expression — one allocation-free JVM loop instead
+    * of a per-character UTF8String array + interpreted fold
+    * (RollingHashSpec locks it to the composed form's values). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      aggregate(transform(split(col("text"), ""), c => ascii(c)), lit(0L),
-        (acc, c) => (acc * 31 + c) % 1000000007L).as("fp_roll"),
+      org.apache.spark.sql.graft.RollingHash31Expr(col("text")).as("fp_roll"),
       PortableHash.hash32(col("text")).as("fp_md5"))
 }

@@ -68,6 +68,14 @@ class PlansSpec extends SparkTestBase {
       }
   }
 
+  test("doc_fingerprint has no per-character split in its plan") {
+    // the rolling hash must be the native expression, not the
+    // split(text, '') -> per-char array -> interpreted fold recipe
+    val p = plans("doc_fingerprint")
+    assert(p.contains("rolling_hash31"), s"native expr missing:\n$p")
+    assert(!p.contains("split("), s"per-char split left in the plan:\n$p")
+  }
+
   test("near-dup tables are persisted: one scan feeds both self-join sides") {
     // the normed+bucketed prep (norm + plane projections per vector)
     // must be computed once and cached, not recomputed per join side
