@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -128,15 +128,29 @@ final class KinesisLikeScan(stream: String, startingSeq: Long,
       if (startingOffsets == "latest") ShardOffsets(counts)
       else ShardOffsets(counts.map { case (i, _) => i -> startingSeq })
 
-    /** S8 at admission time: each shard's end advances at most
-      * `maxRecordsPerFetch` past the start — records beyond the cap are
+    /** The per-shard admission cap, derived from the ENGINE-SUPPLIED
+      * ReadLimit (not the raw option): under Trigger.AvailableNow or a
+      * composite limit the engine's requested policy is what must hold.
+      * ReadMaxRows is applied per shard — the reference's fetch cap is
+      * per-shard (get_records(limit) per shard, readstream.py:32), and
+      * getDefaultReadLimit advertises exactly that value. */
+    private def perShardCap(limit: ReadLimit): Long = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _: ReadAllAvailable => Long.MaxValue
+      case c: CompositeReadLimit => c.getReadLimits.map(perShardCap).min
+      case _ => maxPerFetch.toLong
+    }
+
+    /** S8 at admission time: each shard's end advances at most the
+      * read-limit cap past the start — records beyond the cap are
       * simply not planned this trigger, never skipped. */
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val s = start.asInstanceOf[ShardOffsets].pos
       if (acked == null) acked = s
+      val cap = perShardCap(limit)
       ShardOffsets(counts.map { case (i, c) =>
         val from = s.getOrElse(i, 0L)
-        i -> math.min(c, from + maxPerFetch.toLong)
+        i -> math.min(c, if (cap == Long.MaxValue) c else from + cap)
       })
     }
     override def latestOffset(): Offset =
@@ -153,6 +167,12 @@ final class KinesisLikeScan(stream: String, startingSeq: Long,
         : Array[InputPartition] = {
       val (s, e) = (start.asInstanceOf[ShardOffsets].pos,
         end.asInstanceOf[ShardOffsets].pos)
+      // WAL-replay path: after a restart the engine re-plans the last
+      // uncommitted batch directly from checkpointed offsets WITHOUT
+      // calling latestOffset first — seed the drain cursor here too, so
+      // that batch's commit acks its full delta (otherwise block-mode
+      // producers stay parked on a phantom backlog after restart)
+      if (acked == null) acked = s
       e.keys.toArray.sorted.map { i =>
         ShardRange(stream, i, s.getOrElse(i, 0L), e(i)): InputPartition
       }

@@ -37,6 +37,10 @@ object InMemoryKinesis {
     val shardSeqs: Vector[AtomicLong] = Vector.fill(numShards)(new AtomicLong(0L))
     /** Un-acked backlog across all shards (the producer-buffer model). */
     val size = new AtomicInteger(0)
+    /** Block-mode producers park on this condition until `ack` signals —
+      * a real bounded-queue wait (thread state WAITING), not a spin. */
+    val lock = new java.util.concurrent.locks.ReentrantLock()
+    val notFull: java.util.concurrent.locks.Condition = lock.newCondition()
     // failure injection + stats (tests / mute-unmute logging)
     val failNextPuts = new AtomicInteger(0)
     val putAttempts = new AtomicLong(0L)
@@ -74,11 +78,18 @@ object InMemoryKinesis {
     val s = get(name)
     s.putAttempts.incrementAndGet()
     if (s.failNextPuts.getAndUpdate(n => math.max(0, n - 1)) > 0) return false
-    if (s.size.get() >= s.capacity) {
-      if (!block) return false
-      while (s.size.get() >= s.capacity) Thread.`yield`() // until ack() drains
-    }
-    s.size.incrementAndGet()
+    // capacity admission under the lock; blocked producers await the
+    // ack signal (no busy-wait — the thread parks in WAITING state)
+    s.lock.lock()
+    try {
+      if (s.size.get() >= s.capacity) {
+        if (!block) return false
+        while (s.size.get() >= s.capacity) s.notFull.await()
+      }
+      s.size.incrementAndGet()
+    } finally s.lock.unlock()
+    // append outside the lock: per-shard order is guaranteed by the
+    // one-writer-per-shard contract, not by this lock
     val sh = shard % s.numShards
     s.shards(sh).add(Record(s.shardSeqs(sh).getAndIncrement(),
       partitionKey, data))
@@ -87,11 +98,15 @@ object InMemoryKinesis {
   }
 
   /** Consumer acknowledgement: `n` records have been durably consumed —
-    * frees buffer capacity and unblocks producers waiting in block mode.
+    * frees buffer capacity and signals producers parked in block mode.
     * The DSv2 stream calls this from `commit(offset)`. */
   def ack(name: String, n: Long): Unit = {
     val s = get(name)
-    s.size.getAndUpdate(v => math.max(0, v - math.min(n, Int.MaxValue).toInt))
+    s.lock.lock()
+    try {
+      s.size.getAndUpdate(v => math.max(0, v - math.min(n, Int.MaxValue).toInt))
+      s.notFull.signalAll()
+    } finally s.lock.unlock()
   }
 
   /** Consumer fetch: up to `limit` records from one shard starting at

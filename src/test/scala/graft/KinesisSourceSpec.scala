@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.sources.ShardOffsets
+import graft.sources.{KinesisLikeScan, ShardOffsets}
 import graft.streaming.InMemoryKinesis
 
 /** DSv2 connector: registration by short name (S1), one partition per
@@ -212,6 +212,60 @@ class KinesisSourceSpec extends SparkTestBase {
     assert(done, "producer unblocks once the consumer drains")
     assert(s.delivered.get() == 8L)
     assert(s.size.get() == 5, "8 put - 3 acked")
+  }
+
+  test("S13: block-mode producer parks in WAITING state (condition wait, not a spin)") {
+    InMemoryKinesis.delete("dsv2-park")
+    val s = InMemoryKinesis.create("dsv2-park", numShards = 1, capacity = 2)
+    (0 until 2).foreach(i => InMemoryKinesis.tryPut("dsv2-park", 0, "k", s"r$i", block = false))
+    val producer = new Thread(() =>
+      InMemoryKinesis.tryPut("dsv2-park", 0, "k", "r2", block = true))
+    producer.start()
+    // a Condition.await parks the thread (WAITING); the old busy-wait
+    // would stay RUNNABLE and burn a core
+    val deadline = System.currentTimeMillis + 5000
+    while (producer.getState != Thread.State.WAITING
+           && System.currentTimeMillis < deadline) Thread.sleep(10)
+    assert(producer.getState == Thread.State.WAITING,
+      s"blocked producer must await the notFull condition, was ${producer.getState}")
+    InMemoryKinesis.ack("dsv2-park", 1)
+    producer.join(5000)
+    assert(!producer.isAlive, "producer resumes on the ack signal")
+    assert(s.delivered.get() == 3L)
+  }
+
+  test("restart WAL replay: first commit acks the replayed batch (no phantom backlog)") {
+    // after a restart the engine re-plans the last uncommitted batch via
+    // planInputPartitions straight from checkpointed offsets — no
+    // latestOffset call — then commits it; that commit must still drain
+    InMemoryKinesis.delete("dsv2-replay")
+    val s = InMemoryKinesis.create("dsv2-replay", numShards = 1, capacity = 100)
+    (0 until 10).foreach(i =>
+      InMemoryKinesis.tryPut("dsv2-replay", 0, "k", s"r$i", block = false))
+    assert(s.size.get() == 10)
+    val mbs = new KinesisLikeScan("dsv2-replay", 0L, Int.MaxValue, "earliest")
+      .toMicroBatchStream("unused-checkpoint")
+    mbs.planInputPartitions(ShardOffsets(Map(0 -> 0L)), ShardOffsets(Map(0 -> 10L)))
+    mbs.commit(ShardOffsets(Map(0 -> 10L)))
+    assert(s.size.get() == 0, "replayed batch must drain on its commit")
+  }
+
+  test("admission honors the engine-supplied ReadLimit, not the raw option") {
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl}
+    InMemoryKinesis.delete("dsv2-limit")
+    InMemoryKinesis.create("dsv2-limit", numShards = 1, capacity = 100)
+    (0 until 10).foreach(i =>
+      InMemoryKinesis.tryPut("dsv2-limit", 0, "k", s"r$i", block = false))
+    val mbs = new KinesisLikeScan("dsv2-limit", 0L, Int.MaxValue, "earliest")
+      .toMicroBatchStream("unused").asInstanceOf[SupportsAdmissionControl]
+    val start = ShardOffsets(Map(0 -> 0L))
+    assert(mbs.latestOffset(start, ReadLimit.maxRows(3L)) ==
+      ShardOffsets(Map(0 -> 3L)), "ReadMaxRows caps admission")
+    assert(mbs.latestOffset(start, ReadLimit.allAvailable()) ==
+      ShardOffsets(Map(0 -> 10L)), "ReadAllAvailable admits everything")
+    assert(mbs.latestOffset(start, ReadLimit.compositeLimit(
+        Array(ReadLimit.maxRows(4L), ReadLimit.allAvailable()))) ==
+      ShardOffsets(Map(0 -> 4L)), "composite takes the tightest cap")
   }
 
   test("S13: DSv2 offset commit acks the store (stream drains the buffer)") {
