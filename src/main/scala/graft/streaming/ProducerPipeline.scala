@@ -65,17 +65,36 @@ object ProducerPipeline {
   }
 
   /** Full producer: file-stream source → V0/V1 projection → routed
-    * delivery, flushing every `flushIntervalSec` (S11). */
+    * delivery, flushing every `flushIntervalSec` (S11), with periodic
+    * stats reporting every `statIntervalSec` (the reference's
+    * StatInterval, go :155-161) whose lifetime is tied to the query via
+    * a termination listener. */
   def start(spark: SparkSession, srcDir: String, cfg: KinesisSinkConfig,
             checkpointDir: String): StreamingQuery = {
     val msgs = LogSource.streamRouterMessages(spark, srcDir)
     val payload = Logstash.producerPayload(msgs, cfg.dockerHost, cfg.useV0Layout)
-    payload.writeStream
+    val query = payload.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.flushIntervalSec * 1000L))
       .foreachBatch { (df: DataFrame, _: Long) => deliverBatch(df, cfg) }
       .start()
+    if (cfg.statIntervalSec > 0) {
+      val reporter =
+        new ProducerStatsReporter(cfg.streamName, cfg.statIntervalSec).start()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            reporter.close()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+    }
+    query
   }
 
   /** File-backed variant: the sharded stream as a directory of JSON
