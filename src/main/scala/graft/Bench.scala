@@ -33,15 +33,30 @@ object Bench {
 
     // warmup pass (untimed)
     SparkEntry.queries.foreach { case (_, fn) => timeOnce(fn) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val ts = (1 to runs).map(_ => timeOnce(fn))
-      name -> (if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
+    // per-query min AND [min, median, max]: a contended host shows up
+    // as a wide spread, so a bad sample flags itself instead of
+    // reading as a code regression (the round-4 bench artifact lesson)
+    val samples = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to runs).map(_ => timeOnce(fn)).filter(_ >= 0).sorted
+    }
+    val results = samples.map { case (name, ts) =>
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val disp = samples.map { case (k, ts) =>
+      val (mn, md, mx) =
+        if (ts.isEmpty) (-1.0, -1.0, -1.0)
+        else (ts.min, ts(ts.size / 2), ts.max)
+      "\"" + k + "\":[" + f"$mn%.4f,$md%.4f,$mx%.4f" + "]"
+    }.mkString("{", ",", "}")
+    val unstable = samples.collect {
+      case (k, ts) if ts.nonEmpty && ts.min > 0.2 && ts.max > 2 * ts.min => k
+    }
+    val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"sf":"$sfDir","runs":$runs}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line)
     catch { case _: Throwable => () }

@@ -1,0 +1,59 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Lifecycle registry for the persist()ed intermediates the self-join
+  * operators (minhash/simhash/ngram-Jaccard candidate generation, IVF
+  * normed-vector tables, keyword tf) create so their expensive derived
+  * table is computed once, not once per join side.
+  *
+  * Those caches are load-bearing for a single pipeline run but would
+  * accumulate indefinitely in a long-lived session (one entry per
+  * library call) if nothing released them. Contract:
+  *
+  *   - operators register every internal persist via [[track]];
+  *   - callers invoke [[releaseAll]] once the consuming action has run
+  *     (e.g. between pipeline stages, or per batch in a service).
+  *
+  * The registry holds STRONG handles on purpose: Spark's CacheManager
+  * pins the cached plan (and its executor storage) regardless, so a
+  * weak handle would only lose the ability to release it — the pinned
+  * wrapper object is negligible next to the cache entry it controls.
+  *
+  * `spark.catalog.clearCache()` remains the blunt per-session
+  * equivalent (what Bench uses between timed runs); releaseAll only
+  * touches intermediates this library registered.
+  */
+object Caches {
+
+  private val tracked = new ConcurrentLinkedQueue[DataFrame]
+
+  /** Persist `df` at `lvl` and register it for later release. Returns
+    * the persisted frame (same object — persist is a mutation). */
+  def track(df: DataFrame,
+            lvl: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = df.persist(lvl)
+    tracked.add(p)
+    p
+  }
+
+  /** Unpersist every tracked intermediate; returns the number
+    * released. Safe to call at any time — unpersisting a frame another
+    * plan still needs only costs recomputation, never correctness. */
+  def releaseAll(blocking: Boolean = false): Int = {
+    var n = 0
+    var df = tracked.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      n += 1
+      df = tracked.poll()
+    }
+    n
+  }
+
+  /** Number of tracked entries awaiting release (tests/diagnostics). */
+  def liveCount: Int = tracked.size()
+}

@@ -120,7 +120,7 @@ object SparkEntry {
         .select(col("event_id"), col("k")).orderBy("event_id")),
     // P12 analog: malformed payloads dropped, stream continues
     "malformed_drop" -> ((s, dir) =>
-      Events.dropMalformed(Events.parseProps(
+      Events.dropMalformed(Events.parsePropsGuarded(
           Events.withCorruptedProps(LogSource.readEvents(s, dir))))
         .select(col("event_id"), col("k")).orderBy("event_id")),
     // Grok-style log-line parsing via regexp_extract

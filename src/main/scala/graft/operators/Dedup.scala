@@ -63,8 +63,7 @@ object Dedup {
     * rows per doc) is persisted so the 16-lane md5 minhash — the
     * dominant cost — is computed once, not once per join side. */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val b = minhashBands(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = graft.Caches.track(minhashBands(docs))
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_key") === col("b.band_key")
@@ -97,9 +96,8 @@ object Dedup {
     *   extra shuffle of the exploded set. */
   def ngramJaccard(docs: DataFrame, minMilli: Int = 50, maxDf: Int = 5)
       : DataFrame = {
-    val staged = withShingles(docs)
-      .select(col("doc_id"), col("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val staged = graft.Caches.track(withShingles(docs)
+      .select(col("doc_id"), col("__sh")))
     val ex0 = staged.select(col("doc_id"), explode(col("__sh")).as("sh"))
     val hot = ex0.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("sh")
@@ -166,8 +164,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     // one signature row per doc, persisted: the 64-bit-sum aggregation
     // runs once, not once per join side
-    val sh = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.Caches.track(simhash(docs))
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j => struct(
           lit(j).as("band_id"),

@@ -72,6 +72,26 @@ object Events {
         concat(lit("X"), expr("substring(props, 2)")))
         .otherwise(col("props")))
 
+  /** parseProps with an exception-free guard for the malformed-drop
+    * path: payloads that are not even object-shaped (truncated writes,
+    * garbage prefixes — the dominant corruption class in a log stream)
+    * are nulled by a cheap codegen'd prefix/suffix check BEFORE
+    * from_json, so a corrupt-record storm costs one branch per row
+    * instead of one Jackson parse exception per row (each of which
+    * pays a full stack-trace fill whenever the JVM's fast-throw
+    * elision hasn't compiled the throw site — the difference between
+    * 0.5 s and ~10 s on this very query under code-cache pressure).
+    * Shape-passing records that still fail to parse are nulled by
+    * from_json's PERMISSIVE contract exactly as before; the DuckDB
+    * twin's json_valid guard agrees on every class. */
+  def parsePropsGuarded(events: DataFrame): DataFrame = {
+    val shaped = col("props").isNotNull &&
+      ltrim(col("props")).startsWith("{") && rtrim(col("props")).endsWith("}")
+    events.withColumn("parsed",
+        when(shaped, from_json(col("props"), propsSchema)))
+      .withColumn("k", col("parsed.k")).drop("parsed")
+  }
+
   /** P12 analog (go :200-206): records whose payload fails to parse are
     * dropped and the stream continues. from_json yields NULL fields on
     * malformed input; the filter is pushed into the scan stage. */

@@ -86,13 +86,13 @@ object KMeans {
     val doCache = iters >= cacheFromIters
     val vecs0 = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val vecs = if (doCache) vecs0.persist(lvl) else vecs0
+    val vecs = if (doCache) graft.Caches.track(vecs0, lvl) else vecs0
     var centroids = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     var assigned = assign(vecs, centroids)
     (1 until iters).foreach { _ =>
       centroids = updateCentroids(assigned, centroids)
-      if (doCache) centroids = centroids.persist(lvl)
+      if (doCache) centroids = graft.Caches.track(centroids, lvl)
       assigned = assign(vecs, centroids)
     }
     (assigned.select(col("vec_id"), col("v"), col("cid").as("cluster"),
@@ -120,9 +120,9 @@ object KMeans {
     // persisted: the broadcast query side and the candidate side both
     // derive from nv — without the cache each side re-runs the entire
     // Lloyd chain (measured 2.6 s -> 1.9 s at sf0.1)
-    val nv = asg.select(col("vec_id"), col("v"), col("cluster"),
-      dot(col("v"), col("v")).as("norm2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nv = graft.Caches.track(
+      asg.select(col("vec_id"), col("v"), col("cluster"),
+        dot(col("v"), col("v")).as("norm2")))
     val q = nv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn"))
@@ -156,10 +156,9 @@ object KMeans {
       org.apache.spark.sql.graft.DotF64Expr(a, b)
     // persisted: query and candidate sides both derive from nv (see
     // annIvfNprobe — same duplicated-Lloyd-chain hazard)
-    val nv = fit(emb, k, iters)
+    val nv = graft.Caches.track(fit(emb, k, iters)
       .select(col("vec_id"), col("v"), col("cluster"),
-        dot(col("v"), col("v")).as("norm2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dot(col("v"), col("v")).as("norm2")))
     val q = nv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn"), col("cluster"))

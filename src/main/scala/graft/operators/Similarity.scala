@@ -192,9 +192,9 @@ object Similarity {
     * recall back with independent tables instead of coarser buckets). */
   def nearDupPairs(emb: DataFrame, minSimMicro: Long = 350000,
                    ps: Seq[Seq[Long]] = planes(nearDupPlanes)): DataFrame = {
-    val n = withNorm(emb).withColumn("bucket", lshBucket(col("v"), ps))
-      .select(col("vec_id"), col("v"), col("norm2"), col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = graft.Caches.track(
+      withNorm(emb).withColumn("bucket", lshBucket(col("v"), ps))
+        .select(col("vec_id"), col("v"), col("norm2"), col("bucket")))
     val sim = cosine(col("a.v"), col("a.norm2"), col("b.v"), col("b.norm2"))
     n.as("a").join(n.as("b"),
         col("a.bucket") === col("b.bucket")
@@ -224,9 +224,8 @@ object Similarity {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bucketCols = (0 until bands).map(b => lshBucket(col("v"),
       all.slice(b * planesPerBand, (b + 1) * planesPerBand)).as(s"__b$b"))
-    val n = withNorm(emb).select(
-        Seq(col("vec_id"), col("v"), col("norm2")) ++ bucketCols: _*)
-      .persist(lvl)
+    val n = graft.Caches.track(withNorm(emb).select(
+        Seq(col("vec_id"), col("v"), col("norm2")) ++ bucketCols: _*), lvl)
     val banded = n.select(col("vec_id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band_id"), col(s"__b$b").as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band_id"), col("bb.bucket"))

@@ -132,9 +132,9 @@ object TextAnalysis {
     * corpus scale), the final top-N is a bounded per-doc window. */
   def keywordExtract(docs: DataFrame, topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = graft.Caches.track(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
       .withColumn("score_micro", expr("(tf * 1000000) div df"))

@@ -61,6 +61,20 @@ class EventsSpec extends SparkTestBase {
     assert(out.filter(col("k") =!= 5).count() == 0L)
   }
 
+  test("parsePropsGuarded agrees with parseProps on every corruption class") {
+    // object-shaped valid, garbage prefix (the withCorruptedProps class),
+    // shape-passing-but-invalid, non-object scalar, empty, null
+    val df = Seq(
+      (1L, """{"k": 5}"""), (2L, """X"k": 5}"""), (3L, """{"k": """),
+      (4L, "5"), (5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("event_id", "props")
+    val a = Events.dropMalformed(Events.parseProps(df))
+      .select("event_id", "k").as[(Long, Int)].collect().toSet
+    val b = Events.dropMalformed(Events.parsePropsGuarded(df))
+      .select("event_id", "k").as[(Long, Int)].collect().toSet
+    assert(a == b && a == Set((1L, 5)))
+  }
+
   test("parseLogLine extracts type and id; non-matching lines yield nulls") {
     val df = Seq((1L, "click #42"), (2L, "garbage line!"))
       .toDF("event_id", "data")
