@@ -275,6 +275,89 @@ object OracleExt {
            ${graft.functions.PortableHash.sqlHash32("text")} AS fp_md5
     FROM documents ORDER BY doc_id"""
 
+  // ---- corpus partitioning & scrubbing (Sampling / Scrub) -------------
+
+  /** Twin of Sampling.trainTestSplit (salt "split", 100‰ test). */
+  val trainTestSplit: String = s"""
+    SELECT doc_id,
+           CASE WHEN ${graft.functions.PortableHash
+             .sqlHash32("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents ORDER BY doc_id"""
+
+  /** Twin of Sampling.stratifiedSample (salt "samp", 50 per lang). */
+  val stratifiedSample: String = s"""
+    SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ${graft.functions.PortableHash
+                 .sqlHash32("'samp:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+               AS rk
+      FROM documents)
+    WHERE rk <= 50 ORDER BY lang, rk"""
+
+  /** Twin of Sampling.domainCap — the salted two-phase top-k reduces to
+    * a plain per-domain rank. */
+  def domainCap(cap: Int): String = s"""
+    SELECT source, CAST(rk AS INTEGER) AS rk, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents)
+    WHERE rk <= $cap ORDER BY source, rk"""
+
+  /** Twin of TextAnalysis.repeatedNgrams (3-grams, flag at 200‰). */
+  val repeatNgrams: String = s"""
+    SELECT doc_id, total_ngrams, distinct_ngrams,
+           (1000 * (total_ngrams - distinct_ngrams)) // total_ngrams
+             AS dup_milli,
+           (1000 * (total_ngrams - distinct_ngrams)) // total_ngrams >= 200
+             AS flagged
+    FROM (SELECT doc_id,
+            CAST(greatest(len(toks) - 2, 1) AS BIGINT) AS total_ngrams,
+            CAST(len(CASE WHEN len(toks) >= 3
+                   THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                          i -> array_to_string(toks[i+1:i+3], ' ')))
+                   ELSE [array_to_string(toks, ' ')] END) AS BIGINT)
+              AS distinct_ngrams
+          FROM (SELECT doc_id, $toks AS toks FROM documents))
+    ORDER BY doc_id"""
+
+  /** Twin of Scrub.withInjectedPii + piiRedact. DuckDB regexp_replace
+    * replaces the FIRST match unless given the 'g' flag; Spark's always
+    * replaces all. */
+  val piiRedact: String = {
+    val email = graft.operators.Scrub.emailRe
+    val phone = graft.operators.Scrub.phoneRe
+    s"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '$email'))
+              + len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_pii,
+           regexp_replace(regexp_replace(t2, '$email', '<EMAIL>', 'g'),
+                          '$phone', '<PHONE>', 'g') AS redacted
+    FROM (SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 53 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 71 = 0
+                    THEN ' call 555-123-4567' ELSE '' END AS t2
+          FROM documents)
+    ORDER BY doc_id"""
+  }
+
+  /** Twin of Scrub.decontaminate (benchmark = doc_id % 100 = 0,
+    * minShared 2). */
+  val decontaminate: String = s"""
+    WITH $shingleCte,
+    corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh
+               WHERE doc_id % 100 <> 0),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+              WHERE doc_id % 100 = 0)
+    SELECT corpus.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM corpus JOIN bench ON corpus.s = bench.s
+    GROUP BY corpus.doc_id HAVING count(*) >= 2
+    ORDER BY doc_id"""
+
   // ---- dedup ops (graft.operators.Dedup) ------------------------------
 
   /** Twin of Dedup.shingles (3-grams, distinct, whole-text fallback). */

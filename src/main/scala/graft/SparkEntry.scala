@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, KMeans, Logstash, Routing, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, KMeans, Logstash, Routing, Sampling, Scrub, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{LogSource, Tables}
 import graft.{OracleFragments => O}
@@ -223,6 +223,33 @@ object SparkEntry {
     "curation_pipeline" -> ((s, dir) =>
       graft.operators.Curation.curate(docsPar(s, dir)).orderBy("doc_id")),
 
+    // ---- §2.4 corpus partitioning & scrubbing -----------------------
+    // Deterministic hash-based train/test assignment (~10% test)
+    "train_test_split" -> ((s, dir) =>
+      Sampling.trainTestSplit(docsPar(s, dir))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
+    // Per-language stratified sample: 50 lowest-hash docs per stratum
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docsPar(s, dir)).orderBy("lang", "rk")),
+    // Per-domain quota via salted two-phase top-k (10 docs/source)
+    "domain_cap" -> ((s, dir) =>
+      Sampling.domainCap(docsPar(s, dir), cap = 10).orderBy("source", "rk")),
+    // Gopher-style intra-doc repeated-ngram quality signal
+    "repeat_ngrams" -> ((s, dir) =>
+      TextAnalysis.repeatedNgrams(docsPar(s, dir)).orderBy("doc_id")),
+    // PII redaction (emails + phones) with audit count
+    "pii_redact" -> ((s, dir) =>
+      Scrub.piiRedact(Scrub.withInjectedPii(docsPar(s, dir)), col("text"))
+        .select(col("doc_id"), col("n_pii"), col("redacted"))
+        .orderBy("doc_id")),
+    // Benchmark decontamination: shingle-overlap flags vs doc_id%100 set
+    "decontaminate" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Scrub.decontaminate(d.filter(col("doc_id") % 100 =!= 0),
+          d.filter(col("doc_id") % 100 === 0))
+        .orderBy("doc_id")
+    }),
+
     // ---- §2.4 LLM-data-pipeline: near-dup detection -----------------
     // MinHash banded-LSH keys (16 lanes, 4 bands)
     "minhash_bands" -> ((s, dir) =>
@@ -388,6 +415,12 @@ object SparkEntry {
     "term_stats" -> OracleExt.termStats,
     "dedup_keeplist" -> OracleExt.dedupKeepList,
     "curation_pipeline" -> OracleExt.curation(TextAnalysis.stopwords, 3000, "en"),
+    "train_test_split" -> OracleExt.trainTestSplit,
+    "stratified_sample" -> OracleExt.stratifiedSample,
+    "domain_cap" -> OracleExt.domainCap(10),
+    "repeat_ngrams" -> OracleExt.repeatNgrams,
+    "pii_redact" -> OracleExt.piiRedact,
+    "decontaminate" -> OracleExt.decontaminate,
     "text_termfreq" -> OracleExt.termFreq,
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),

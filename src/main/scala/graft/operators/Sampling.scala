@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Deterministic corpus-partitioning operators a training-data pipeline
+  * runs between curation and tokenization (SURVEY §2.4): train/test
+  * splitting, per-stratum sampling, and per-domain caps.
+  *
+  * Everything is keyed on a content-independent md5 hash of the doc id
+  * (PortableHash — the same engine-portable lane minhash uses), never
+  * on rand(): a split must give the SAME answer on re-run, retry, or
+  * backfill, or eval contamination silently walks in through task
+  * retries. No operator here reads `text` — these run on metadata
+  * columns only, so column pruning keeps the 100 TB payload out of
+  * every shuffle.
+  */
+object Sampling {
+
+  private def splitHash(salt: String, key: Column): Column =
+    PortableHash.hash32(concat(lit(s"$salt:"), key.cast("string")))
+
+  /** Assign each doc to train/test by hashed doc_id: ~testPermille/1000
+    * of docs land in test. Pure per-row projection — no shuffle, no
+    * state, stable under any execution order. */
+  def trainTestSplit(docs: DataFrame, testPermille: Int = 100,
+                     salt: String = "split"): DataFrame =
+    docs.withColumn("split",
+      when(splitHash(salt, col("doc_id")) % 1000 < testPermille, "test")
+        .otherwise("train"))
+
+  /** Deterministic stratified sample: the `perStratum` docs with the
+    * LOWEST hash per stratum — an unbiased uniform draw per group whose
+    * membership never changes across runs. One shuffle on the stratum
+    * key; the per-group sort is a bounded top-k (rank ≤ k prunes in the
+    * window operator), not a global sort. */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 50,
+                       salt: String = "samp"): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(splitHash(salt, col("doc_id")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perStratum)
+      .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"))
+  }
+
+  /** Cap each domain (`source`) at `cap` docs, keeping the lowest
+    * doc_ids — the Common-Crawl-style per-domain quota that stops one
+    * mega-site from dominating the corpus.
+    *
+    * The naive single window shuffles ALL rows of a domain into one
+    * task — exactly the mega-domain that needed capping becomes the
+    * straggler. Instead: two-phase salted top-k. Phase 1 windows on
+    * (source, doc_id % salt) — a DETERMINISTIC salt (retry-safe, the
+    * Skew.saltedJoin lesson), spreading a hot domain over `salts`
+    * tasks — and keeps `cap` per salted group; any global-top-cap row
+    * is also top-cap within its group, so phase 1 never drops a
+    * survivor. Phase 2 runs the exact window on ≤ cap × salts rows per
+    * domain — bounded regardless of domain size. */
+  def domainCap(docs: DataFrame, cap: Int = 50, salts: Int = 32): DataFrame = {
+    val local = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(col("doc_id"))
+    val pruned = docs.withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= cap).drop("__lr")
+    val global = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    pruned.withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("rk").cast("int").as("rk"), col("doc_id"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-scrubbing operators for a training-data pipeline
+  * (SURVEY §2.4): PII redaction and benchmark decontamination.
+  *
+  * Both engines (Spark's Java regex, DuckDB's RE2) agree on the
+  * pattern subset used here — character classes, bounded quantifiers,
+  * \\b word boundaries — so the twins hash-match byte-for-byte.
+  */
+object Scrub {
+
+  /** Conservative, portable PII patterns: emails and NANP-style
+    * xxx-xxx-xxxx phone numbers. Real deployments layer more classes
+    * (IBANs, national ids, street addresses) — each is one more
+    * (pattern, tag) pair in `redactions`, same per-row plan. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val redactions: Seq[(String, String)] =
+    Seq(emailRe -> "<EMAIL>", phoneRe -> "<PHONE>")
+
+  /** Deterministically inject synthetic PII into the fixture corpus
+    * (every 53rd doc an email, every 71st a phone) — the documents
+    * fixture is synthetic words, so the redaction path needs planted
+    * positives to prove it fires (the withCorruptedProps pattern). */
+  def withInjectedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 53 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(""),
+      when(col("doc_id") % 71 === 0, lit(" call 555-123-4567"))
+        .otherwise("")))
+
+  /** Redact every PII match and count what was removed. Pure per-row
+    * regexp_replace chain — codegen'd, no shuffle, no UDF; at 100 TB
+    * this is a map-only pass whose cost is the regex engine itself.
+    * `n_pii` counts matches BEFORE redaction so the audit column can
+    * never disagree with the rewrite that produced the text. */
+  def piiRedact(docs: DataFrame, text: Column): DataFrame = {
+    val counted = redactions.map { case (re, _) =>
+      regexp_count(text, lit(re)) }.reduce(_ + _)
+    val redacted = redactions.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag) }
+    docs.withColumn("n_pii", counted.cast("long"))
+      .withColumn("redacted", redacted)
+  }
+
+  /** Benchmark decontamination: flag training docs sharing ≥ minShared
+    * word shingles with any doc in the benchmark set — the n-gram
+    * overlap check run before an eval set is trusted. Returns
+    * (doc_id, n_shared) for contaminated docs.
+    *
+    * 100 TB shape: the benchmark side is SMALL by construction (eval
+    * sets are thousands of docs, the corpus is billions), so its
+    * distinct shingle set is broadcast and the check is a map-side
+    * hash-join over the exploded corpus shingles — no shuffle of the
+    * corpus until the tiny per-doc count aggregation. Shingles are
+    * per-doc distinct (word_shingles), so count(*) counts distinct
+    * overlaps. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    minShared: Int = 2): DataFrame = {
+    val corpusSh = Dedup.withShingles(docs)
+      .select(col("doc_id"), explode(col("__sh")).as("sh"))
+    val benchSh = Dedup.withShingles(benchmark)
+      .select(explode(col("__sh")).as("sh")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

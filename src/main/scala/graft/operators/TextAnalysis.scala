@@ -156,4 +156,25 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       org.apache.spark.sql.graft.RollingHash31Expr(col("text")).as("fp_roll"),
       PortableHash.hash32(col("text")).as("fp_md5"))
+
+  /** Intra-document repetition (the Gopher-rules quality signal): the
+    * fraction of a doc's word n-grams that are repeats of an earlier
+    * n-gram in the SAME doc — boilerplate, scraped menus, and
+    * degenerate generations score high. dup_milli = 1000·(total −
+    * distinct)/total; total = tokens − n + 1, distinct = the native
+    * word_shingles set size (its <n-token fallback is one whole-text
+    * shingle → total clamps to 1 and dup is 0). Pure per-row
+    * projection over two native expressions — no shuffle, no explode:
+    * the per-doc n-gram multiset never materializes. */
+  def repeatedNgrams(docs: DataFrame, n: Int = 3,
+                     flagMilli: Long = 200L): DataFrame = {
+    val nToks = size(tokens(col("text"))).cast("long")
+    val total = greatest(nToks - (n - 1), lit(1L))
+    val distinctN = size(Dedup.shingles(col("text"), n)).cast("long")
+    docs.select(col("doc_id"), total.as("total_ngrams"),
+        distinctN.as("distinct_ngrams"))
+      .withColumn("dup_milli",
+        expr("(1000 * (total_ngrams - distinct_ngrams)) div total_ngrams"))
+      .withColumn("flagged", col("dup_milli") >= flagMilli)
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkTestBase {
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("trainTestSplit is deterministic, total, and ~testPermille sized") {
+    import spark.implicits._
+    val a = Sampling.trainTestSplit(docs, testPermille = 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.trainTestSplit(docs, testPermille = 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "same corpus must split identically on re-run")
+    assert(a.size == 500 && a.values.forall(s => s == "train" || s == "test"))
+    val nTest = a.values.count(_ == "test")
+    // md5 is uniform: 500 draws at p=0.1 — accept ±4σ (≈±27)
+    assert(nTest > 23 && nTest < 77, s"test fraction off: $nTest/500")
+    // a different salt is an independent split, not a shifted one
+    val c = Sampling.trainTestSplit(docs, testPermille = 100, salt = "v2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a != c, "salt must key the split family")
+  }
+
+  test("stratifiedSample takes exactly min(k, |stratum|) lowest-hash docs") {
+    import spark.implicits._
+    val out = Sampling.stratifiedSample(docs, perStratum = 50)
+    val perLang = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // every sf0.001 lang has >= 64 docs, so every stratum is exactly 50
+    assert(perLang.values.forall(_ == 50L), s"per-stratum sizes: $perLang")
+    // ranks are 1..50 dense per stratum
+    val ranks = out.groupBy("lang").agg(min("rk"), max("rk"),
+        countDistinct("rk")).collect()
+    assert(ranks.forall(r => r.getInt(1) == 1 && r.getInt(2) == 50
+      && r.getLong(3) == 50L))
+  }
+
+  test("domainCap two-phase == naive single-window rank (differential)") {
+    import spark.implicits._
+    val twoPhase = Sampling.domainCap(docs, cap = 10, salts = 4)
+      .select("source", "rk", "doc_id").as[(String, Int, Long)].collect().toSet
+    val naive = docs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk").cast("int"), col("doc_id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(twoPhase == naive,
+      "salted two-phase top-k must keep exactly the naive window's rows")
+    assert(twoPhase.groupBy(_._1).forall(_._2.size == 10))
+  }
+}

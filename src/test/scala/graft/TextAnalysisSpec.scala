@@ -71,4 +71,20 @@ class TextAnalysisSpec extends SparkTestBase {
     // 'the' appears in all 3 docs (df 3); content words have df 1
     assert(r == Map(1L -> "rust", 2L -> "spark", 3L -> "catalyst"))
   }
+
+  test("repeatedNgrams: dup fraction of a cyclic doc; short docs score 0") {
+    val d = Seq(
+      // 9 tokens -> 7 trigrams, only 3 distinct (a b c / b c a / c a b)
+      (1L, "a b c a b c a b c"),
+      (2L, "all distinct words in this doc"), // 4 trigrams, 4 distinct
+      (3L, "hi"))                             // <3 tokens: total=1, dup=0
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repeatedNgrams(d)
+      .select("doc_id", "total_ngrams", "distinct_ngrams", "dup_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == ((7L, 3L, 571L))) // 1000*4/7
+    assert(r(2L) == ((4L, 4L, 0L)))
+    assert(r(3L) == ((1L, 1L, 0L)))
+  }
 }
