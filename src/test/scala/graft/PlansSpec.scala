@@ -95,6 +95,22 @@ class PlansSpec extends SparkTestBase {
       || p.contains("SortMergeJoin"), s"range_join lost its equi-join:\n$p")
   }
 
+  test("per-row scrub/split/quality queries shuffle only for their ORDER BY") {
+    // trainTestSplit / repeatedNgrams / piiRedact are map-only passes:
+    // the single allowed Exchange is the final rangepartitioning sort
+    // that oracle determinism requires — a hashpartitioning Exchange
+    // would mean the operator itself grew a shuffle
+    Seq("train_test_split", "repeat_ngrams", "pii_redact").foreach { q =>
+      assert(!plans(q).contains("Exchange hashpartitioning"),
+        s"$q must stay a map-only pass:\n${plans(q)}")
+    }
+  }
+
+  test("decontaminate broadcasts the benchmark shingle set") {
+    assert(plans("decontaminate").contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n${plans("decontaminate")}")
+  }
+
   test("no driver-side collect() in any query path (source-level guard)") {
     val src = Files.readString(
       Paths.get("src/main/scala/graft/SparkEntry.scala"))
