@@ -358,6 +358,43 @@ object OracleExt {
     GROUP BY corpus.doc_id HAVING count(*) >= 2
     ORDER BY doc_id"""
 
+  /** Twin of Sampling.packSequences — the two-phase distributed prefix
+    * sum reduces to one window cumsum. */
+  def packSequences(budget: Long): String = s"""
+    SELECT doc_id, n_tokens, (cum - n_tokens) // $budget AS pack_id
+    FROM (SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+                FROM documents))
+    ORDER BY doc_id"""
+
+  /** Twin of Sampling.importanceSample (salt "imp", score×30 capped at
+    * 900 000 ppm). */
+  def importanceSample(enStop: Seq[String]): String = s"""
+    SELECT doc_id, score,
+           least(greatest(score, 0) * 30, 900000) AS prob_micro,
+           ${graft.functions.PortableHash
+             .sqlHash32("'imp:' || CAST(doc_id AS VARCHAR)")} % 1000000
+             < least(greatest(score, 0) * 30, 900000) AS sampled
+    FROM (SELECT doc_id,
+            least(len(toks), 200) * 100 + ${hits(enStop)} * 10
+              - (length(text) - length(regexp_replace(text,
+                  '[^A-Za-z0-9 ]', '', 'g'))) * 50 AS score
+          FROM (SELECT doc_id, text, $toks AS toks FROM documents))
+    ORDER BY doc_id"""
+
+  /** Twin of TextAnalysis.corpusStats. */
+  val corpusStats: String = s"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           CAST(max(t) AS BIGINT) AS max_tokens,
+           CAST(sum(c) AS BIGINT) // count(*) AS avg_chars
+    FROM (SELECT lang, CAST(len($toks) AS BIGINT) AS t,
+                 CAST(length(text) AS BIGINT) AS c
+          FROM documents)
+    GROUP BY lang ORDER BY lang"""
+
   // ---- dedup ops (graft.operators.Dedup) ------------------------------
 
   /** Twin of Dedup.shingles (3-grams, distinct, whole-text fallback). */

@@ -249,6 +249,15 @@ object SparkEntry {
           d.filter(col("doc_id") % 100 === 0))
         .orderBy("doc_id")
     }),
+    // Token-budget packing via two-phase distributed prefix sum
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(docsPar(s, dir)).orderBy("doc_id")),
+    // Quality-weighted deterministic Bernoulli sampling
+    "importance_sample" -> ((s, dir) =>
+      Sampling.importanceSample(docsPar(s, dir)).orderBy("doc_id")),
+    // Per-language corpus summary (one shuffle, integer aggregates)
+    "corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(docsPar(s, dir)).orderBy("lang")),
 
     // ---- §2.4 LLM-data-pipeline: near-dup detection -----------------
     // MinHash banded-LSH keys (16 lanes, 4 bands)
@@ -421,6 +430,9 @@ object SparkEntry {
     "repeat_ngrams" -> OracleExt.repeatNgrams,
     "pii_redact" -> OracleExt.piiRedact,
     "decontaminate" -> OracleExt.decontaminate,
+    "pack_sequences" -> OracleExt.packSequences(2048L),
+    "importance_sample" -> OracleExt.importanceSample(TextAnalysis.stopwords("en")),
+    "corpus_stats" -> OracleExt.corpusStats,
     "text_termfreq" -> OracleExt.termFreq,
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),

@@ -69,4 +69,49 @@ object Sampling {
       .filter(col("rk") <= cap)
       .select(col("source"), col("rk").cast("int").as("rk"), col("doc_id"))
   }
+
+  /** Assign docs (in doc_id order) to fixed token-budget packs — the
+    * sharding step that turns a curated corpus into bounded training
+    * chunks: pack_id = exclusive-prefix-sum(n_tokens) div budget, so
+    * each pack holds ~budget tokens of consecutive docs.
+    *
+    * A global running sum is the textbook single-task window trap
+    * (`Window.orderBy` with no partition = ALL rows through one task).
+    * Instead, the two-phase distributed prefix sum: doc_id ranges are
+    * contiguous blocks, so (1) a per-block cumsum runs partitioned and
+    * bounded; (2) block TOTALS — corpus/blockSize rows, ~1e5 at 100 TB
+    * with 1e6-doc blocks — take the single-task window, trivially; (3)
+    * the block prefix broadcast-joins back. Only aggregate-sized data
+    * ever converges on one task. */
+  def packSequences(docs: DataFrame, budget: Long = 2048L,
+                    blockSize: Long = 1000L): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $blockSize").as("__blk"))
+    val local = base.withColumn("__lcum", sum(col("n_tokens")).over(
+      Window.partitionBy("__blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val prefix = base.groupBy("__blk").agg(sum("n_tokens").as("__btot"))
+      .withColumn("__bprefix", coalesce(sum(col("__btot")).over(
+        Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__blk", "__bprefix")
+    local.join(broadcast(prefix), Seq("__blk"))
+      .withColumn("pack_id",
+        expr(s"(__bprefix + __lcum - n_tokens) div $budget"))
+      .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+  }
+
+  /** Quality-weighted deterministic Bernoulli sampling: keep doc with
+    * probability ∝ its (clamped) quality score, decided by the salted
+    * hash — the up-/down-weighting step of corpus mixing, with the
+    * same retry/backfill stability contract as trainTestSplit. Pure
+    * per-row; prob_micro is exposed so the draw is auditable. */
+  def importanceSample(docs: DataFrame, salt: String = "imp"): DataFrame =
+    TextAnalysis.qualityScore(docs)
+      .withColumn("prob_micro",
+        least(greatest(col("score"), lit(0L)) * 30, lit(900000L)))
+      .withColumn("sampled",
+        splitHash(salt, col("doc_id")) % 1000000L < col("prob_micro"))
+      .select(col("doc_id"), col("score"), col("prob_micro"), col("sampled"))
 }

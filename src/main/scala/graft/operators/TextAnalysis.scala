@@ -157,6 +157,19 @@ object TextAnalysis {
       org.apache.spark.sql.graft.RollingHash31Expr(col("text")).as("fp_roll"),
       PortableHash.hash32(col("text")).as("fp_md5"))
 
+  /** One-pass corpus summary per language — the dashboard numbers a
+    * pipeline run reports (doc/token volume, size profile). Single
+    * shuffle on lang with map-side partials; integer average (div) so
+    * any engine agrees. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("__t"),
+        length(col("text")).cast("long").as("__c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("total_tokens"),
+        max("__t").as("max_tokens"),
+        expr("sum(__c) div count(1)").as("avg_chars"))
+
   /** Intra-document repetition (the Gopher-rules quality signal): the
     * fraction of a doc's word n-grams that are repeats of an earlier
     * n-gram in the SAME doc — boilerplate, scraped menus, and

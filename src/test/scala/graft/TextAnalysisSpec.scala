@@ -72,6 +72,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r == Map(1L -> "rust", 2L -> "spark", 3L -> "catalyst"))
   }
 
+  test("corpusStats aggregates per language with integer averages") {
+    val d = Seq(
+      (1L, "one two three", "en"), (2L, "four five", "en"),
+      (3L, "uno", "es"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.corpusStats(d)
+      .select("lang", "n_docs", "total_tokens", "max_tokens", "avg_chars")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r("en") == ((2L, 5L, 3L, (13L + 9L) / 2)))
+    assert(r("es") == ((1L, 1L, 1L, 3L)))
+  }
+
   test("repeatedNgrams: dup fraction of a cyclic doc; short docs score 0") {
     val d = Seq(
       // 9 tokens -> 7 trigrams, only 3 distinct (a b c / b c a / c a b)
