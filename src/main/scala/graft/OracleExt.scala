@@ -587,6 +587,35 @@ object OracleExt {
                       FROM embeddings)))
     ORDER BY vec_id"""
 
+  /** Twin of Similarity.topkQuantized — integer code dots are exact in
+    * doubles (any summation order), so list_dot_product matches the
+    * Spark fold bit-for-bit. */
+  def topkQuantized(nQueries: Int, k: Int): String = """
+    WITH codes AS (
+      SELECT vec_id, q, list_dot_product(q, q) AS q2
+      FROM (SELECT vec_id,
+              CASE WHEN scale = 0
+                   THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                   ELSE list_transform(v, x -> floor(x * 127.0 / scale))
+              END AS q
+            FROM (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) AS scale
+                  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings))))
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+           CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 CASE WHEN q.q2 = 0 OR c.q2 = 0 THEN 0
+                      ELSE list_dot_product(q.q, c.q) / sqrt(q.q2 * c.q2)
+                 END AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CASE WHEN q.q2 = 0 OR c.q2 = 0 THEN 0
+                        ELSE list_dot_product(q.q, c.q) / sqrt(q.q2 * c.q2)
+                   END DESC, c.vec_id) AS rank
+          FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < """ + nQueries + s""")
+    WHERE rank <= $k ORDER BY query_id, rank"""
+
   def annIvf(k: Int, iters: Int, nQueries: Int, topK: Int): String = s"""
     ${kmeansCte(k, iters)},
     nv AS (SELECT a.vec_id, a.v, a.cid,

@@ -258,6 +258,9 @@ object SparkEntry {
     // Per-language corpus summary (one shuffle, integer aggregates)
     "corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(docsPar(s, dir)).orderBy("lang")),
+    // Brute-force top-k on int8 codes (4× smaller candidate stream)
+    "topk_quantized" -> ((s, dir) =>
+      Similarity.topkQuantized(embPar(s, dir)).orderBy("query_id", "rank")),
 
     // ---- §2.4 LLM-data-pipeline: near-dup detection -----------------
     // MinHash banded-LSH keys (16 lanes, 4 bands)
@@ -433,6 +436,7 @@ object SparkEntry {
     "pack_sequences" -> OracleExt.packSequences(2048L),
     "importance_sample" -> OracleExt.importanceSample(TextAnalysis.stopwords("en")),
     "corpus_stats" -> OracleExt.corpusStats,
+    "topk_quantized" -> OracleExt.topkQuantized(10, 5),
     "text_termfreq" -> OracleExt.termFreq,
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),

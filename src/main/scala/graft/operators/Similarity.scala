@@ -171,6 +171,43 @@ object Similarity {
         aggregate(col("q"), lit(0L), (a, x) => a + abs(x.cast("long")))
           .as("q_abs_sum"))
 
+  /** Brute-force top-k ranked on the int8 CODES instead of the float
+    * vectors — the serving path after [[quantizeInt8]]: the candidate
+    * table a scan streams is 4× smaller (the bandwidth, not the FLOPs,
+    * bounds a 100 TB ANN sweep). The absmax scales CANCEL in the
+    * cosine ratio, so the ranking depends only on the integer code
+    * vectors; codes are exact small integers carried as doubles
+    * (|code| ≤ 127, dots ≤ 127²·dim ≪ 2^53 — every sum is exact, any
+    * order), so the native dot_f64 loop does pure integer math and any
+    * engine reproduces the result bit-for-bit. Same broadcast-query
+    * shape as [[topkCosine]]; zero vectors rank with sim 0. */
+  def topkQuantized(emb: DataFrame, nQueries: Int = 10, k: Int = 5)
+      : DataFrame = {
+    val codes = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", when(col("scale") === 0d,
+          transform(col("v"), _ => lit(0d)))
+        .otherwise(transform(col("v"),
+          x => floor(x * lit(127d) / col("scale")))))
+      .select(col("vec_id"), col("q"), dot(col("q"), col("q")).as("q2"))
+    val qs = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("q2").as("qn2"))
+    val cs = codes.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+      col("q2").as("cn2"))
+    val sim = when(col("qn2") === 0d || col("cn2") === 0d, lit(0d))
+      .otherwise(dot(col("qq"), col("cq")) / sqrt(col("qn2") * col("cn2")))
+    cs.join(broadcast(qs), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cand_id"), simMicro(col("sim")).as("sim_micro"))
+  }
+
   /** Default plane count for near-dup bucketing. The bucket count is
     * 2^planes and the within-bucket pair cost is (|data|/2^planes)² per
     * bucket, so the plane count MUST grow with the corpus: 8 planes

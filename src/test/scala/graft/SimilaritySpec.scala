@@ -113,6 +113,23 @@ class SimilaritySpec extends SparkTestBase {
       s"missing from banded: ${(single -- banded).take(5)}")
   }
 
+  test("topkQuantized: high recall vs exact float top-k; zero vectors safe") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.topkCosine(e, nQueries = 10, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.topkQuantized(e, nQueries = 10, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // int8 absmax codes keep ~7 bits of precision per lane — the top-5
+    // sets should agree almost everywhere on real embeddings
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall@5 collapsed: $recall")
+    // a zero vector must neither divide by zero nor crash ranking
+    val z = emb((0L, vec(0f), 0), (1L, vec(1f, 1f), 0), (2L, vec(1f, 0f), 0))
+    val r = Similarity.topkQuantized(z, nQueries = 1, k = 2)
+      .select("rank", "sim_micro").as[(Int, Long)].collect()
+    assert(r.forall(_._2 == 0L), "zero-vector query must rank all sims 0")
+  }
+
   test("lshTopK returns at most k ranked neighbors per query") {
     val e = emb((0 until 20).map(i =>
       (i.toLong, vec(i.toFloat + 1, (i % 3).toFloat), i % 4)): _*)
