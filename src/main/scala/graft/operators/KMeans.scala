@@ -43,14 +43,23 @@ object KMeans {
   private def dist2(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Dist2F64Expr(a, b)
 
-  /** Nearest centroid per vector (broadcast join + argmin window). */
+  /** Nearest centroid per vector: broadcast join + `min_by` argmin.
+    * An aggregation, not a window, on purpose — the k candidate rows
+    * per vector are produced in place by the broadcast join, so the
+    * map-side partial `min_by` collapses them to ONE row per vector
+    * before the shuffle; a window would shuffle and sort all k.
+    * Tie-break on (d2, cid) via lexicographic struct ordering — the
+    * exact order the previous row_number() form used, so every oracle
+    * twin is unchanged. */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cid"),
         dist2(col("v"), col("c")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("v"), col("d2")),
+        struct(col("d2"), col("cid"))).as("__m"))
+      .select(col("vec_id"), col("__m.v").as("v"),
+        col("__m.cid").as("cid"), col("__m.d2").as("d2"))
 
   /** Order-insensitive fixed-point mean (see scaladoc); empty clusters
     * keep `prev`. */
