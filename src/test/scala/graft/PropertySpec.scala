@@ -114,4 +114,28 @@ class PropertySpec extends SparkTestBase {
       if (sLast < 0) assert(r._3 < 0)
     }
   }
+
+  test("∀ corpora: two-phase pack assignment == naive exclusive cumsum," +
+      " for any budget and block size") {
+    import graft.operators.Sampling
+    // random doc sizes incl. empty docs and ids with gaps (deletions)
+    val lens = sample(Gen.choose(0, 40), 200)
+    val ids = sample(Gen.choose(1L, 4L), 200)
+      .scanLeft(0L)(_ + _).tail // strictly increasing with gaps
+    val docs = ids.zip(lens).map { case (id, n) =>
+      (id, Seq.fill(n)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    val naive = {
+      val toks = ids.zip(lens).sortBy(_._1)
+      toks.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) =>
+        (id, n.toLong, cum + n)
+      }.tail.map { case (id, n, cum) => (id, n, (cum - n) / 100L) }.toSet
+    }
+    for (blockSize <- Seq(3L, 17L, 1000L)) {
+      val got = Sampling.packSequences(docs, budget = 100L,
+          blockSize = blockSize)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == naive, s"blockSize=$blockSize diverged from naive")
+    }
+  }
 }
