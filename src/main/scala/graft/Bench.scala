@@ -24,7 +24,11 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // cold-cache discipline: operators that persist() intermediate
       // projections (ngram_jaccard) must not carry cache across timed
-      // runs, or min-of-3 measures the cache, not the query
+      // runs, or min-of-3 measures the cache, not the query.
+      // releaseAll drains the Caches registry's strong handles too —
+      // clearCache alone frees storage but would let ~10 plan trees
+      // per query accumulate on the driver heap across the suite
+      graft.Caches.releaseAll()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -45,9 +49,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val disp = samples.map { case (k, ts) =>
+      // lower median: unbiased-low for even run counts (a 2-sample
+      // split like [1.0, 9.9] must not report the outlier as "median")
       val (mn, md, mx) =
         if (ts.isEmpty) (-1.0, -1.0, -1.0)
-        else (ts.min, ts(ts.size / 2), ts.max)
+        else (ts.min, ts((ts.size - 1) / 2), ts.max)
       "\"" + k + "\":[" + f"$mn%.4f,$md%.4f,$mx%.4f" + "]"
     }.mkString("{", ",", "}")
     val unstable = samples.collect {

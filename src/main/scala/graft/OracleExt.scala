@@ -331,7 +331,9 @@ object OracleExt {
     s"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(t2, '$email'))
-              + len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_pii,
+              + len(regexp_extract_all(
+                  regexp_replace(t2, '$email', '<EMAIL>', 'g'), '$phone'))
+             AS BIGINT) AS n_pii,
            regexp_replace(regexp_replace(t2, '$email', '<EMAIL>', 'g'),
                           '$phone', '<PHONE>', 'g') AS redacted
     FROM (SELECT doc_id,

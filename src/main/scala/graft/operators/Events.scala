@@ -85,8 +85,13 @@ object Events {
     * from_json's PERMISSIVE contract exactly as before; the DuckDB
     * twin's json_valid guard agrees on every class. */
   def parsePropsGuarded(events: DataFrame): DataFrame = {
+    // anchored rlike, not ltrim/startsWith: Spark's single-arg trims
+    // strip only the space character, and a payload padded with
+    // \t/\n/\r is still valid JSON to from_json AND to the twin's
+    // json_valid — the guard must accept every whitespace class both
+    // parsers accept
     val shaped = col("props").isNotNull &&
-      ltrim(col("props")).startsWith("{") && rtrim(col("props")).endsWith("}")
+      col("props").rlike("^\\s*\\{") && col("props").rlike("\\}\\s*$")
     events.withColumn("parsed",
         when(shaped, from_json(col("props"), propsSchema)))
       .withColumn("k", col("parsed.k")).drop("parsed")

@@ -14,9 +14,11 @@ import graft.functions.PortableHash
   * (PortableHash — the same engine-portable lane minhash uses), never
   * on rand(): a split must give the SAME answer on re-run, retry, or
   * backfill, or eval contamination silently walks in through task
-  * retries. No operator here reads `text` — these run on metadata
-  * columns only, so column pruning keeps the 100 TB payload out of
-  * every shuffle.
+  * retries. The split/sample/cap trio reads only metadata columns, so
+  * column pruning keeps the 100 TB payload out of their shuffles;
+  * packSequences and importanceSample DO tokenize/score `text` (one
+  * cached scan) — their cost is the scan, their shuffles still carry
+  * only ids and counters.
   */
 object Sampling {
 
@@ -85,9 +87,12 @@ object Sampling {
     * ever converges on one task. */
   def packSequences(docs: DataFrame, budget: Long = 2048L,
                     blockSize: Long = 1000L): DataFrame = {
-    val base = docs.select(col("doc_id"),
+    // tracked persist: cumsum AND block totals both derive from base —
+    // without the cache the tokenizing corpus scan (the dominant cost)
+    // runs twice. The cached projection is 3 longs per doc.
+    val base = graft.Caches.track(docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-      expr(s"doc_id div $blockSize").as("__blk"))
+      expr(s"doc_id div $blockSize").as("__blk")))
     val local = base.withColumn("__lcum", sum(col("n_tokens")).over(
       Window.partitionBy("__blk").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)))

@@ -36,13 +36,16 @@ object Scrub {
   /** Redact every PII match and count what was removed. Pure per-row
     * regexp_replace chain — codegen'd, no shuffle, no UDF; at 100 TB
     * this is a map-only pass whose cost is the regex engine itself.
-    * `n_pii` counts matches BEFORE redaction so the audit column can
-    * never disagree with the rewrite that produced the text. */
+    * `n_pii` counts each pattern on the text AS THE REPLACE CHAIN SEES
+    * IT (pattern i counted after patterns 0..i-1 redacted), so the
+    * audit equals the number of replacements performed — a
+    * phone-shaped substring inside an already-redacted email is
+    * neither double-counted nor double-tagged. */
   def piiRedact(docs: DataFrame, text: Column): DataFrame = {
-    val counted = redactions.map { case (re, _) =>
-      regexp_count(text, lit(re)) }.reduce(_ + _)
-    val redacted = redactions.foldLeft(text) { case (c, (re, tag)) =>
-      regexp_replace(c, re, tag) }
+    val (counted, redacted) = redactions.foldLeft((lit(0), text)) {
+      case ((n, c), (re, tag)) =>
+        (n + regexp_count(c, lit(re)), regexp_replace(c, re, tag))
+    }
     docs.withColumn("n_pii", counted.cast("long"))
       .withColumn("redacted", redacted)
   }

@@ -66,13 +66,14 @@ class EventsSpec extends SparkTestBase {
     // shape-passing-but-invalid, non-object scalar, empty, null
     val df = Seq(
       (1L, """{"k": 5}"""), (2L, """X"k": 5}"""), (3L, """{"k": """),
-      (4L, "5"), (5L, ""), (6L, null.asInstanceOf[String]))
+      (4L, "5"), (5L, ""), (6L, null.asInstanceOf[String]),
+      (7L, "\n\t {\"k\": 7} \r\n")) // whitespace-padded valid JSON
       .toDF("event_id", "props")
     val a = Events.dropMalformed(Events.parseProps(df))
       .select("event_id", "k").as[(Long, Int)].collect().toSet
     val b = Events.dropMalformed(Events.parsePropsGuarded(df))
       .select("event_id", "k").as[(Long, Int)].collect().toSet
-    assert(a == b && a == Set((1L, 5)))
+    assert(a == b && a == Set((1L, 5), (7L, 7)))
   }
 
   test("parseLogLine extracts type and id; non-matching lines yield nulls") {

@@ -24,6 +24,17 @@ class ScrubSpec extends SparkTestBase {
     assert(out(4L)._1 == 2L && out(4L)._2 == "mixed <EMAIL> and <PHONE> here")
   }
 
+  test("n_pii equals the number of tags actually emitted on overlaps") {
+    // the phone-shaped substring lives INSIDE the email match: one
+    // replacement happens, so the audit must say 1, not 2
+    val df = Seq((1L, "contact 555-123-4567@example.com now"))
+      .toDF("doc_id", "text")
+    val (n, t) = Scrub.piiRedact(df, col("text"))
+      .select("n_pii", "redacted").as[(Long, String)].head()
+    assert(t == "contact <EMAIL> now")
+    assert(n == 1L, s"audit count must match the single replacement: $n")
+  }
+
   test("phone word-boundary: digits embedded in longer runs don't match") {
     val df = Seq((1L, "id 9555-123-45678 is not a phone")).toDF("doc_id", "text")
     val (n, t) = Scrub.piiRedact(df, col("text"))
