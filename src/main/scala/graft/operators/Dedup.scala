@@ -101,7 +101,11 @@ object Dedup {
     val ex0 = staged.select(col("doc_id"), explode(col("__sh")).as("sh"))
     val hot = ex0.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("sh")
-    val ex = ex0.join(broadcast(hot), Seq("sh"), "left_anti")
+    // the capped exploded table feeds THREE consumers (both self-join
+    // sides + the set sizes) — persist it too, or each re-runs the
+    // explode + broadcast anti-join from the shingle cache
+    val ex = graft.Caches.track(
+      ex0.join(broadcast(hot), Seq("sh"), "left_anti"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
