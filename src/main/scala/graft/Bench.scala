@@ -7,7 +7,20 @@ import java.nio.file.{Files, Paths}
   * page-cache), then min-of-3 timed runs per query so round-over-round
   * numbers compare builder work, not JVM warmth. Prints ONE JSON line to
   * stdout (the driver contract) and also writes it to bench_out.json so
-  * the driver's `parsed` field never depends on log scraping. */
+  * the driver's `parsed` field never depends on log scraping.
+  *
+  * Host-contention self-diagnosis (VERDICT r6 "Next round" #2): three
+  * rounds running, the committed artifact was contaminated by co-tenant
+  * load and a naive reader mistook host noise for regression. The tell
+  * is now built in: a fixed CALIBRATION query (`short_cid`, a pure
+  * projection whose cost cannot change with builder work) is re-timed
+  * between every ~10 suite queries. If the calibration spread exceeds
+  * 2×, the artifact stamps `"contaminated": true` — an explicit marker
+  * that totals are not comparable round-over-round. Queries whose own
+  * samples spread >2× are re-sampled once more (min-of-N over the merged
+  * set), so a transient spike must strike the same query twice to
+  * survive into the reported minimum.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,14 +48,40 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val calibFn = SparkEntry.queries("short_cid")
+    val calib = collection.mutable.ArrayBuffer.empty[Double]
+
     // warmup pass (untimed)
     SparkEntry.queries.foreach { case (_, fn) => timeOnce(fn) }
+
     // per-query min AND [min, median, max]: a contended host shows up
     // as a wide spread, so a bad sample flags itself instead of
-    // reading as a code regression (the round-4 bench artifact lesson)
-    val samples = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to runs).map(_ => timeOnce(fn)).filter(_ >= 0).sorted
+    // reading as a code regression (the round-4 bench artifact lesson).
+    // The calibration probe interleaves every 10 queries so contention
+    // is localized in TIME, not just per-query.
+    calib += timeOnce(calibFn)
+    val samples = collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    SparkEntry.queries.zipWithIndex.foreach { case ((name, fn), i) =>
+      samples(name) = (1 to runs).map(_ => timeOnce(fn)).filter(_ >= 0).sorted
+      if ((i + 1) % 10 == 0) calib += timeOnce(calibFn)
     }
+    calib += timeOnce(calibFn)
+
+    def spread2x(ts: Seq[Double]): Boolean =
+      ts.nonEmpty && ts.min > 0.2 && ts.max > 2 * ts.min
+    // host-noise rescue pass: one extra min-of-N for each wide-spread
+    // query; the merged min stands. A genuine regression reproduces in
+    // the rerun; a co-tenant spike does not.
+    val firstUnstable = samples.collect { case (k, ts) if spread2x(ts) => k }.toSeq
+    firstUnstable.foreach { name =>
+      val extra = (1 to runs).map(_ => timeOnce(SparkEntry.queries(name))).filter(_ >= 0)
+      samples(name) = (samples(name) ++ extra).sorted
+    }
+
+    val calibOk = calib.filter(_ >= 0)
+    val contaminated =
+      calibOk.isEmpty || (calibOk.min > 0 && calibOk.max > 2 * calibOk.min)
+
     val results = samples.map { case (name, ts) =>
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
@@ -56,13 +95,12 @@ object Bench {
         else (ts.min, ts((ts.size - 1) / 2), ts.max)
       "\"" + k + "\":[" + f"$mn%.4f,$md%.4f,$mx%.4f" + "]"
     }.mkString("{", ",", "}")
-    val unstable = samples.collect {
-      case (k, ts) if ts.nonEmpty && ts.min > 0.2 && ts.max > 2 * ts.min => k
-    }
+    val unstable = samples.collect { case (k, ts) if spread2x(ts) => k }
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibJson = calibOk.map(t => f"$t%.4f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"sf":"$sfDir","runs":$runs}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"calibration":$calibJson,"contaminated":$contaminated,"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line)
     catch { case _: Throwable => () }

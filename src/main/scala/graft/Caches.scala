@@ -26,6 +26,18 @@ import org.apache.spark.storage.StorageLevel
   * `spark.catalog.clearCache()` remains the blunt per-session
   * equivalent (what Bench uses between timed runs); releaseAll only
   * touches intermediates this library registered.
+  *
+  * Concurrency caveat: the registry is process-global, so releaseAll()
+  * drains tracked persists belonging to ANY in-flight pipeline in the
+  * JVM — correctness-safe always (an unpersisted frame recomputes,
+  * never corrupts), but in a concurrent multi-tenant session one
+  * caller's drain can evict another's load-bearing cache mid-query and
+  * cost it a recompute; and whatever the LAST pipeline persisted stays
+  * resident until someone drains. Single-pipeline drivers (Verify,
+  * Bench, a batch curation job) are the designed use. A service
+  * running concurrent pipelines in one session should scope release
+  * itself: snapshot-and-release around its own stage boundaries, or
+  * fall back to `unpersist` on frames it holds directly.
   */
 object Caches {
 

@@ -1,9 +1,66 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, NullsFirst, NullsLast, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Sort}
+import org.apache.spark.sql.functions.col
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The driver's hash is ROW-ORDER-sensitive: the written parquet must
+  * enumerate rows exactly as the oracle SQL's ORDER BY does. Every
+  * query therefore ends in a global Sort — but between that Sort and
+  * the coalesce(1)d single-file write the order guarantee is implicit
+  * (it rides on coalesce preserving partition-index order). The r6
+  * driver artifact recorded one hash-only mismatch (`pack_sequences`)
+  * that never reproduced locally — exactly the signature of an
+  * order-stability fragility. So make the guarantee explicit: lift the
+  * query's own sort keys off its analyzed plan and re-apply them as a
+  * partition-local sort AFTER the coalesce, making row order the last
+  * operator's contract, whatever the upstream plan did.
+  */
 object Verify {
+
+  /** Sort keys of the query's final global ORDER BY (looking through a
+    * trailing LIMIT, e.g. fetch_limit's orderBy().limit(n)). */
+  def topSortKeys(plan: LogicalPlan): Seq[SortOrder] = plan match {
+    case s: Sort if s.global   => s.order
+    case GlobalLimit(_, child) => topSortKeys(child)
+    case LocalLimit(_, child)  => topSortKeys(child)
+    case _                     => Seq.empty
+  }
+
+  /** Re-express plan SortOrders as API columns — possible exactly when
+    * every key is a plain output attribute (true for all queries: the
+    * oracle's ORDER BY references output columns too). */
+  def sortCols(order: Seq[SortOrder]): Seq[Column] = order.flatMap { o =>
+    o.child match {
+      case a: AttributeReference =>
+        val c = col(a.name)
+        Some((o.direction, o.nullOrdering) match {
+          case (Ascending, NullsFirst)  => c.asc_nulls_first
+          case (Ascending, NullsLast)   => c.asc_nulls_last
+          case (Descending, NullsFirst) => c.desc_nulls_first
+          case (Descending, NullsLast)  => c.desc_nulls_last
+        })
+      case _ => None
+    }
+  }
+
+  /** One partition, rows in the query's own declared order — enforced
+    * by a local sort directly under the write. VerifyOrderSpec asserts
+    * every query's keys are liftable, so the fallback branch (write
+    * whatever order coalesce produced) never triggers at HEAD. */
+  def orderedSingleFile(df: DataFrame): (DataFrame, Boolean) = {
+    val keys = topSortKeys(df.queryExecution.analyzed)
+    val cols = sortCols(keys)
+    if (keys.nonEmpty && cols.size == keys.size)
+      (df.coalesce(1).sortWithinPartitions(cols: _*), true)
+    else (df.coalesce(1), false)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,8 +78,10 @@ object Verify {
       Caches.releaseAll()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val (out, enforced) = orderedSingleFile(fn(spark, sfDir))
+        if (!enforced)
+          System.err.println(s"[verify] $name WARN: no liftable ORDER BY — row order not re-enforced")
+        out.write.mode("overwrite").parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
       }

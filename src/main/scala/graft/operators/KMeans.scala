@@ -50,7 +50,16 @@ object KMeans {
     * before the shuffle; a window would shuffle and sort all k.
     * Tie-break on (d2, cid) via lexicographic struct ordering — the
     * exact order the previous row_number() form used, so every oracle
-    * twin is unchanged. */
+    * twin is unchanged.
+    *
+    * Null handling (differs from the old window form): `min_by` SKIPS
+    * candidates whose ordering key is NULL, so a null/NaN-poisoned d2
+    * never wins the argmin (the window's asc_nulls_first would have
+    * ranked it FIRST); if every candidate's d2 is NULL the group emits
+    * one all-null row rather than an arbitrary centroid. Embeddings
+    * are non-null finite doubles in this library's contract — this
+    * note exists so a future caller feeding NaN vectors reads a
+    * deliberate choice, not an accident. */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cid"),

@@ -183,14 +183,18 @@ object Similarity {
     * shape as [[topkCosine]]; zero vectors rank with sim 0. */
   def topkQuantized(emb: DataFrame, nQueries: Int = 10, k: Int = 5)
       : DataFrame = {
-    val codes = emb.select(col("vec_id"),
+    // tracked persist: both the broadcast query side and the candidate
+    // side read `codes`, so without the cache the cast + absmax +
+    // quantization scan runs twice (same pattern as minhashPairs /
+    // annIvf — the r6 ADVICE consistency nit)
+    val codes = graft.Caches.track(emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
       .withColumn("q", when(col("scale") === 0d,
           transform(col("v"), _ => lit(0d)))
         .otherwise(transform(col("v"),
           x => floor(x * lit(127d) / col("scale")))))
-      .select(col("vec_id"), col("q"), dot(col("q"), col("q")).as("q2"))
+      .select(col("vec_id"), col("q"), dot(col("q"), col("q")).as("q2")))
     val qs = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("q2").as("qn2"))

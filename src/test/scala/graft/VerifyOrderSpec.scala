@@ -1,0 +1,57 @@
+package graft
+
+/** Gate for the driver-hash order contract (VERDICT r6 "Next round" #1):
+  * the driver hashes rows IN ORDER, so a query whose written row order
+  * could drift from its oracle's ORDER BY is a latent hash-red even when
+  * every value matches. Two invariants, asserted for every SparkEntry
+  * query at sf0.001:
+  *
+  *   1. the query ends in a global Sort (possibly under a LIMIT) — a
+  *      query with no ORDER BY has no defined row order at all;
+  *   2. every sort key is a plain output attribute, so Verify can lift
+  *      the keys and RE-ENFORCE the order with a partition-local sort
+  *      after coalesce(1) — the written file's order then comes from
+  *      the last operator before the write, not from an implicit
+  *      order-preservation argument about coalesce.
+  *
+  * NB building the plans has the same side effects PlansSpec documents
+  * (kinesis populate job, tracked persists) — drained at the end.
+  */
+class VerifyOrderSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every query ends in a liftable global ORDER BY") {
+    try {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val keys = Verify.topSortKeys(fn(spark, sf).queryExecution.analyzed)
+        assert(keys.nonEmpty,
+          s"$name has no top-level global sort — driver hash is row-order-sensitive")
+        assert(Verify.sortCols(keys).size == keys.size,
+          s"$name sort keys are not plain output attributes — Verify cannot re-enforce order")
+      }
+    } finally Caches.releaseAll()
+  }
+
+  test("orderedSingleFile enforces the declared order even on disordered input") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // simulate the failure class: a frame whose partition order is NOT
+    // the declared order (descending-ish arrival), declared ORDER BY id
+    val df = spark.range(0, 1000).select(col("id"))
+      .repartition(7, pmod(col("id") * 37 + 11, lit(7)))
+      .orderBy("id")
+    val (out, enforced) = Verify.orderedSingleFile(df)
+    assert(enforced, "plain orderBy(id) keys must be liftable")
+    assert(out.rdd.getNumPartitions == 1)
+    val ids = out.as[Long].collect()
+    assert(ids.sameElements(ids.sorted), "written order must be the declared ORDER BY")
+  }
+
+  test("topSortKeys looks through a trailing LIMIT (fetch_limit shape)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 100).orderBy(col("id").desc).limit(10)
+    val keys = Verify.topSortKeys(df.queryExecution.analyzed)
+    assert(keys.size == 1 && Verify.sortCols(keys).size == 1)
+  }
+}
