@@ -94,12 +94,28 @@ object KMeans {
     * the rescan is cheaper than the cache write, so it stays off. */
   def fit(emb: DataFrame, k: Int = 8, iters: Int = 2,
           cacheFromIters: Int = 3): DataFrame =
-    fitModel(emb, k, iters, cacheFromIters)._1
+    fitCore(emb, k, iters, cacheFromIters)._1
 
   /** Like fit, but also returns the trained centroid table (cid, c) —
-    * the quantizer model the nprobe search ranks clusters against. */
+    * the quantizer model the nprobe search ranks clusters against.
+    *
+    * The returned centroids are tracked-persisted (k rows — storage is
+    * negligible): a dual-output consumer reads the centroid table
+    * BESIDE the assignment (annIvfNprobe broadcasts it next to the
+    * nv candidate table), and without the cache that second consumer
+    * re-runs the entire Lloyd chain just to rebuild k rows (measured:
+    * ann_ivf_nprobe 3.00 s -> 2.15 s quiet min-of-3 at sf0.1). fit()
+    * deliberately does NOT do this — forcing the k-row materialization
+    * in the single-consumer path broke assign-chain fusion and cost
+    * ivf_kmeans 0.54 s -> 1.31 s in the same experiment. */
   def fitModel(emb: DataFrame, k: Int = 8, iters: Int = 2,
                cacheFromIters: Int = 3): (DataFrame, DataFrame) = {
+    val (assigned, centroids) = fitCore(emb, k, iters, cacheFromIters)
+    (assigned, graft.Caches.track(centroids))
+  }
+
+  private def fitCore(emb: DataFrame, k: Int, iters: Int,
+                      cacheFromIters: Int): (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val doCache = iters >= cacheFromIters
     val vecs0 = emb.select(col("vec_id"),
