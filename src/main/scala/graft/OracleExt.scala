@@ -433,6 +433,26 @@ object OracleExt {
          AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""
 
+  /** Twin of Dedup.dedupClusters: connected components over the LSH
+    * candidate-pair graph via a recursive CTE — `reach` enumerates every
+    * (node, reachable-label) pair of the undirected graph (UNION dedups,
+    * so it terminates), and min over the reachable set IS the component
+    * minimum. Equivalent to Spark's min-label propagation fixpoint by
+    * induction on path length. */
+  val dedupClusters: String = s"""
+    ${bandsCte.replaceFirst("WITH", "WITH RECURSIVE")},
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT src AS node, src AS lbl FROM edges
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+    SELECT node AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id"""
+
   def ngramJaccard(minMilli: Int, maxDf: Int): String = s"""
     WITH $shingleCte,
     ex0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),

@@ -273,6 +273,10 @@ object SparkEntry {
     // Exact n-gram Jaccard over shared-shingle pairs
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // Connected components over the LSH pair graph: transitive near-dup
+    // clusters via iterative min-label propagation
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(docsPar(s, dir)).orderBy("doc_id")),
     // 32-bit frequency-weighted SimHash signatures
     "simhash" -> ((s, dir) =>
       Dedup.simhash(docsPar(s, dir)).orderBy("doc_id")),
@@ -460,6 +464,7 @@ object SparkEntry {
       FROM events WHERE event_id // 4 >= 100 ORDER BY seq, shard""",
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
+    "dedup_clusters" -> OracleExt.dedupClusters,
     "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),

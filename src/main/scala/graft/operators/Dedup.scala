@@ -133,6 +133,71 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Connected components over an undirected pair graph (doc_a, doc_b):
+    * every node gets the MINIMUM doc_id reachable from it as its
+    * cluster_id. This is the transitive-closure step real MinHash dedup
+    * needs between candidate pairs and a keep-list — A~B and B~C must
+    * collapse to ONE cluster even when A and C share no band, which the
+    * pairwise keep-lowest policy (dedupKeepList) approximates but never
+    * guarantees (it can drop B for A while C survives because its only
+    * pair named B, now gone).
+    *
+    * Algorithm: iterative min-label propagation (pull min over
+    * neighbors, keep own label if smaller), the textbook distributed CC
+    * — each round is ONE hash-partitioned equi-join + groupBy shuffle
+    * on doc ids (never all-pairs, no per-group state beyond a single
+    * min), and the round count is the component DIAMETER, which for
+    * near-dup graphs is small (duplicate clusters are dense — most are
+    * cliques from a shared band, diameter 1-2). The per-round
+    * convergence probe (`isEmpty` on the changed set) is an
+    * aggregate-sized driver action, same class as packSequences'
+    * max(doc_id). Labels are persisted per round, and the probe
+    * materializes the cache, so round N+1 reads round N's table instead
+    * of its lineage. For adversarial long-chain graphs at corpus scale,
+    * the known upgrade is the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log n) rounds with the same join-per-round shape;
+    * maxIters bounds the loop either way. */
+  def connectedComponents(pairs0: DataFrame, maxIters: Int = 50): DataFrame = {
+    val pairs = graft.Caches.track(pairs0.select("doc_a", "doc_b"))
+    val edges = graft.Caches.track(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = graft.Caches.track(
+      edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(
+          labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")),
+          "dst")
+        .groupBy("src").agg(min(col("nl")).as("nmin"))
+        .select(col("src").as("doc_id"), col("nmin"))
+      val next = graft.Caches.track(labels.join(nbrMin, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("nmin")).as("cluster_id")))
+      val prev = labels.select(col("doc_id").as("pid"),
+        col("cluster_id").as("old"))
+      converged = next.join(prev, col("doc_id") === col("pid"))
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster assignment for every doc that appears in any LSH
+    * candidate pair: (doc_id, cluster_id = min doc_id of its component).
+    * The cluster table is what a curation pipeline joins to pick ONE
+    * canonical doc per near-dup group (keep doc_id == cluster_id) or to
+    * audit cluster sizes. Singleton docs (no pair) are by definition
+    * their own cluster and are not materialized — at corpus scale the
+    * paired set is the small output, the identity rows would be the
+    * whole corpus. */
+  def dedupClusters(docs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponents(minhashPairs(docs), maxIters)
+
   val simhashBits = 64
 
   /** 64-bit SimHash: explode tokens (frequency-weighted), hash each once

@@ -50,6 +50,38 @@ class DedupSpec extends SparkTestBase {
     assert(r == Seq((1L, 2L, 2L, 3L, 3L, 500L)))
   }
 
+  test("connectedComponents: transitive chains collapse; components stay separate") {
+    // chain 1-2, 2-3, 3-4 (1 and 4 share NO pair) + island 10-11:
+    // the pairwise keep-lowest policy cannot see 1~4; CC must
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupClusters == union-find over minhashPairs (fixture differential)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashPairs(d)
+      .as[(Long, Long)].collect().toSeq
+    // test-side union-find reference
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.dedupClusters(d).as[(Long, Long)].collect().toMap
+    assert(got == expect, "label propagation must agree with union-find")
+    Caches.releaseAll()
+  }
+
   test("simhash: identical docs get identical signatures, hamming 0") {
     val d = docs(
       (1L, "spark catalyst optimizer rewrites logical plans"),
