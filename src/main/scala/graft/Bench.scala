@@ -87,9 +87,15 @@ object Bench {
       samples(name) = (samples(name) ++ extra).sorted
     }
 
-    val calibOk = calib.filter(_ >= 0)
+    // contamination = any calibration point spiking >2× the MEDIAN
+    // point. Max/min is the wrong test: the min drifts DOWN across the
+    // run as the JVM warms (observed quiet-host sequences decline
+    // 0.12 → 0.06 and read as "2× spread"), while genuine co-tenant
+    // load shows as points FAR ABOVE the center (the r6 contaminated
+    // artifacts had probes 6-14× typical). Median is warmth-robust.
+    val calibOk = calib.filter(_ >= 0).toSeq.sorted
     val contaminated =
-      calibOk.isEmpty || (calibOk.min > 0 && calibOk.max > 2 * calibOk.min)
+      calibOk.isEmpty || calibOk.last > 2 * calibOk((calibOk.size - 1) / 2)
 
     val results = samples.map { case (name, ts) =>
       name -> (if (ts.nonEmpty) ts.min else -1.0)
@@ -115,7 +121,8 @@ object Bench {
         && ts((ts.size - 1) / 2) > 2 * ts.min => k
     }
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calibJson = calibOk.map(t => f"$t%.4f").mkString("[", ",", "]")
+    // emit in TEMPORAL order (drift vs spike is visible), sort only for the stamp
+    val calibJson = calib.filter(_ >= 0).map(t => f"$t%.4f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"calibration":$calibJson,"contaminated":$contaminated,"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs}"""

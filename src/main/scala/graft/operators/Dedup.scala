@@ -174,14 +174,14 @@ object Dedup {
           "dst")
         .groupBy("src").agg(min(col("nl")).as("nmin"))
         .select(col("src").as("doc_id"), col("nmin"))
+      // the changed flag rides in the SAME projection (nmin < old label)
+      // — no separate next⋈prev comparison join per round
       val next = graft.Caches.track(labels.join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"),
-          least(col("cluster_id"), col("nmin")).as("cluster_id")))
-      val prev = labels.select(col("doc_id").as("pid"),
-        col("cluster_id").as("old"))
-      converged = next.join(prev, col("doc_id") === col("pid"))
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+          least(col("cluster_id"), col("nmin")).as("cluster_id"),
+          (col("nmin") < col("cluster_id")).as("__changed")))
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
     labels
