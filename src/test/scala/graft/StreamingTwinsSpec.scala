@@ -64,4 +64,18 @@ class StreamingTwinsSpec extends SparkTestBase {
   test("importanceSample: streaming ≡ batch row-for-row") {
     parity("twin_imp")(Sampling.importanceSample(_))
   }
+
+  // the rest of the stateless text-analysis family runs unchanged on a
+  // stream for the same reason — pin that with twins too
+  test("qualityScore: streaming ≡ batch row-for-row") {
+    parity("twin_q")(graft.operators.TextAnalysis.qualityScore(_))
+  }
+
+  test("langId: streaming ≡ batch row-for-row") {
+    parity("twin_lang")(graft.operators.TextAnalysis.langId(_))
+  }
+
+  test("tokenCounts: streaming ≡ batch row-for-row") {
+    parity("twin_tok")(graft.operators.TextAnalysis.tokenCounts(_))
+  }
 }

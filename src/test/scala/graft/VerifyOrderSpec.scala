@@ -33,6 +33,32 @@ class VerifyOrderSpec extends SparkTestBase {
     } finally Caches.releaseAll()
   }
 
+  test("ties on the sort keys are hash-stable (identical full rows)") {
+    // the driver hash is row-order-sensitive: if two DIFFERENT rows tie
+    // on a query's ORDER BY keys, their relative order in the written
+    // file is planner-dependent and the hash can flicker between runs
+    // even with Verify's enforcement (a local sort cannot order what
+    // the keys don't distinguish). Assert the gate-relevant totality:
+    // within any tie group the full rows are identical, so every tie
+    // permutation hashes the same. Executes all queries at sf0.001 —
+    // doubles as an end-to-end smoke.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    try {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val df = fn(spark, sf)
+        val keyNames = Verify.topSortKeys(df.queryExecution.analyzed)
+          .map(_.child.asInstanceOf[AttributeReference].name)
+        val worst = df
+          .groupBy(keyNames.map(col): _*)
+          .agg(countDistinct(struct(df.columns.map(col): _*)).as("n"))
+          .agg(max(col("n"))).head().getLong(0)
+        assert(worst <= 1L,
+          s"$name: distinct rows tie on ORDER BY ${keyNames.mkString(", ")} — driver hash unstable")
+      }
+    } finally Caches.releaseAll()
+  }
+
   test("orderedSingleFile enforces the declared order even on disordered input") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
