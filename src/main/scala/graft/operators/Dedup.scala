@@ -163,9 +163,15 @@ object Dedup {
     val edges = graft.Caches.track(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // round-0 labels fused into ONE aggregation: min(self, neighbors)
+    // straight off the edge list — identical to running a propagation
+    // round over identity labels, but without the distinct() shuffle or
+    // the identity-join (cliques converge here; the loop then only
+    // confirms). Every node appears as src because edges are symmetric.
     var labels = graft.Caches.track(
-      edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+      edges.groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("nmin"))
+        .select(col("doc_id"),
+          least(col("doc_id"), col("nmin")).as("cluster_id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
