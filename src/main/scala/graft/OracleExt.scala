@@ -439,7 +439,7 @@ object OracleExt {
     * so it terminates), and min over the reachable set IS the component
     * minimum. Equivalent to Spark's min-label propagation fixpoint by
     * induction on path length. */
-  val dedupClusters: String = s"""
+  private def clustersCte: String = s"""
     ${bandsCte.replaceFirst("WITH", "WITH RECURSIVE")},
     pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bands a JOIN bands b
@@ -449,9 +449,22 @@ object OracleExt {
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach AS (SELECT src AS node, src AS lbl FROM edges
               UNION
-              SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
-    SELECT node AS doc_id, min(lbl) AS cluster_id
-    FROM reach GROUP BY node ORDER BY doc_id"""
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                 FROM reach GROUP BY node)"""
+
+  val dedupClusters: String = s"""
+    $clustersCte
+    SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
+
+  /** Twin of Dedup.clusterKeepList: anti-join against the non-canonical
+    * members of every connected component. */
+  val clusterKeepList: String = s"""
+    $clustersCte
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN
+      (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+    ORDER BY doc_id"""
 
   def ngramJaccard(minMilli: Int, maxDf: Int): String = s"""
     WITH $shingleCte,

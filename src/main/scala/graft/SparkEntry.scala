@@ -277,6 +277,10 @@ object SparkEntry {
     // clusters via iterative min-label propagation
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(docsPar(s, dir)).orderBy("doc_id")),
+    // Cluster-correct canonical keep-list (transitive dup closure —
+    // strictly stronger than the pairwise dedup_keeplist policy)
+    "cluster_keeplist" -> ((s, dir) =>
+      Dedup.clusterKeepList(docsPar(s, dir)).orderBy("doc_id")),
     // 32-bit frequency-weighted SimHash signatures
     "simhash" -> ((s, dir) =>
       Dedup.simhash(docsPar(s, dir)).orderBy("doc_id")),
@@ -465,6 +469,7 @@ object SparkEntry {
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
     "dedup_clusters" -> OracleExt.dedupClusters,
+    "cluster_keeplist" -> OracleExt.clusterKeepList,
     "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),

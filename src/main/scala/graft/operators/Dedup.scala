@@ -204,6 +204,22 @@ object Dedup {
   def dedupClusters(docs: DataFrame, maxIters: Int = 50): DataFrame =
     connectedComponents(minhashPairs(docs), maxIters)
 
+  /** Cluster-correct keep-list: keep exactly one canonical doc — the
+    * component minimum — per near-dup cluster, plus every unpaired doc.
+    * Strictly stronger than [[dedupKeepList]]'s pairwise policy: a doc
+    * that is lowest in all of ITS OWN pairs can still be a transitive
+    * duplicate of a lower doc two hops away (edges (2,3) and (1,3):
+    * pairwise keeps 2, clusters drop it — 2~1 via 3). Same anti-join
+    * shape at scale; the duplicate set is the clusters table minus its
+    * canonicals, still small relative to the corpus. */
+  def clusterKeepList(docs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val dupes = dedupClusters(docs, maxIters)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(dupes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   val simhashBits = 64
 
   /** 64-bit SimHash: explode tokens (frequency-weighted), hash each once

@@ -82,6 +82,25 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("clusterKeepList keeps exactly the component minima plus unpaired docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val clusters = Dedup.dedupClusters(d).as[(Long, Long)].collect().toMap
+    val paired = clusters.keySet
+    val canonical = clusters.values.toSet
+    val kept = Dedup.clusterKeepList(d).select("doc_id")
+      .as[Long].collect().toSet
+    val all = d.select("doc_id").as[Long].collect().toSet
+    assert(kept == (all -- paired) ++ canonical,
+      "kept = unpaired docs + one canonical (component min) per cluster")
+    // cluster policy is at least as strict as the pairwise one: every
+    // doc the pairwise keep-list drops is also cluster-dropped
+    val pairwiseKept = Dedup.dedupKeepList(d).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.subsetOf(pairwiseKept),
+      "cluster keep-list must never resurrect a pairwise-dropped doc")
+    Caches.releaseAll()
+  }
+
   test("simhash: identical docs get identical signatures, hamming 0") {
     val d = docs(
       (1L, "spark catalyst optimizer rewrites logical plans"),
