@@ -457,6 +457,14 @@ object OracleExt {
     $clustersCte
     SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
 
+  /** Twin of Dedup.textExactDedup: lowest doc_id per identical text
+    * (md5 hex is engine-identical on the pure-ASCII fixture text). */
+  val textExactDedup: String = """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      FROM documents) WHERE rk = 1 ORDER BY doc_id"""
+
   /** Twin of Dedup.clusterKeepList: anti-join against the non-canonical
     * members of every connected component. */
   val clusterKeepList: String = s"""

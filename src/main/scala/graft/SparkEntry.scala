@@ -281,6 +281,14 @@ object SparkEntry {
     // strictly stronger than the pairwise dedup_keeplist policy)
     "cluster_keeplist" -> ((s, dir) =>
       Dedup.clusterKeepList(docsPar(s, dir)).orderBy("doc_id")),
+    // Same clusters via alternating large-star/small-star (O(log n)
+    // rounds — the adversarial-graph path), gated on the SAME oracle
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.connectedComponentsStar(Dedup.minhashPairs(docsPar(s, dir)))
+        .orderBy("doc_id")),
+    // Exact-duplicate removal by full-text md5 (keep lowest doc_id)
+    "text_exact_dedup" -> ((s, dir) =>
+      Dedup.textExactDedup(docsPar(s, dir)).orderBy("doc_id")),
     // 32-bit frequency-weighted SimHash signatures
     "simhash" -> ((s, dir) =>
       Dedup.simhash(docsPar(s, dir)).orderBy("doc_id")),
@@ -470,6 +478,8 @@ object SparkEntry {
     "minhash_pairs" -> OracleExt.minhashPairs,
     "dedup_clusters" -> OracleExt.dedupClusters,
     "cluster_keeplist" -> OracleExt.clusterKeepList,
+    "dedup_clusters_star" -> OracleExt.dedupClusters,
+    "text_exact_dedup" -> OracleExt.textExactDedup,
     "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),

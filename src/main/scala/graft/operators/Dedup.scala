@@ -158,6 +158,17 @@ object Dedup {
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — O(log n) rounds with the same join-per-round shape;
     * maxIters bounds the loop either way. */
+  /** Plan-tree barrier between iterative rounds: re-wrap the round's
+    * result as a fresh LogicalRDD. Chaining DataFrame ops across rounds
+    * nests the logical plan TREE exponentially — each round references
+    * the prior frame k≥2 times, so after ~10 rounds analysis and plan
+    * stringification OOM even though execution would read a cache. The
+    * RDD DAG underneath is a GRAPH (shared by reference, linear
+    * growth), so the wrap costs nothing; tracked-persist makes each
+    * round execute once and keeps storage releasable. */
+  private def roundBarrier(df: DataFrame): DataFrame =
+    graft.Caches.track(df.sparkSession.createDataFrame(df.rdd, df.schema))
+
   def connectedComponents(pairs0: DataFrame, maxIters: Int = 50): DataFrame = {
     val pairs = graft.Caches.track(pairs0.select("doc_a", "doc_b"))
     val edges = graft.Caches.track(
@@ -182,7 +193,7 @@ object Dedup {
         .select(col("src").as("doc_id"), col("nmin"))
       // the changed flag rides in the SAME projection (nmin < old label)
       // — no separate next⋈prev comparison join per round
-      val next = graft.Caches.track(labels.join(nbrMin, Seq("doc_id"))
+      val next = roundBarrier(labels.join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"),
           least(col("cluster_id"), col("nmin")).as("cluster_id"),
           (col("nmin") < col("cluster_id")).as("__changed")))
@@ -203,6 +214,82 @@ object Dedup {
     * whole corpus. */
   def dedupClusters(docs: DataFrame, maxIters: Int = 50): DataFrame =
     connectedComponents(minhashPairs(docs), maxIters)
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
+    * O(log n)-round algorithm (public MapReduce-CC literature: Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") that
+    * [[connectedComponents]]' scaladoc names as the upgrade for
+    * adversarial long-chain graphs, implemented rather than merely
+    * cited. Round count is O(log n) regardless of component DIAMETER,
+    * where min-label propagation pays one round per hop; each round is
+    * the same primitive (groupBy min + equi-join on node ids), so the
+    * per-round cost profile is identical and the choice is purely
+    * graph-shape-driven: band-clique near-dup graphs → min-label
+    * (fewer rounds in practice); path-like graphs (e.g. chained
+    * shingle overlaps across a crawl) → star.
+    *
+    * large-star: every node's strictly-larger neighbors reattach to
+    * min(self ∪ neighbors); small-star: the ≤-neighbors do. Both
+    * preserve connectivity; the fixpoint is a star per component with
+    * every node pointing at the component minimum. Convergence probe:
+    * new-edges \ old-edges empty at equal counts (edge labels only
+    * decrease, sets are distinct) — aggregate-sized driver action, as
+    * elsewhere. Output is identical to [[connectedComponents]]
+    * (differential-tested, and `dedup_clusters_star` runs against the
+    * SAME DuckDB oracle in the driver gate). */
+  def connectedComponentsStar(pairs0: DataFrame, maxIters: Int = 30)
+      : DataFrame = {
+    val pairs = pairs0.select("doc_a", "doc_b")
+    // directed large→small; self-loops impossible (doc_a < doc_b)
+    var edges = graft.Caches.track(
+      pairs.select(col("doc_b").as("a"), col("doc_a").as("b")).distinct())
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // large-star over the symmetric view: for each u, neighbors v > u
+      // attach to m(u) = min(u ∪ Γ(u)); result is again large→small
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("m0"))
+        .select(col("a").as("u"), least(col("a"), col("m0")).as("m"))
+      val ls = sym.join(mins, col("a") === col("u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star on the large→small edges: ≤-neighbors attach to the
+      // min, and u keeps an edge to it
+      val g = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = ls.join(g, Seq("a"))
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(g.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+      val next = roundBarrier(ss)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    // fixpoint is a star per component: non-roots point at the root,
+    // roots (component minima) label themselves
+    edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .union(edges.select(col("b").as("doc_id"), col("b").as("cluster_id")))
+      .distinct()
+  }
+
+  /** Exact-duplicate removal by full-text hash: keep the lowest doc_id
+    * per identical text (md5 — cross-engine-stable hex). One window
+    * shuffle on the content hash; Spark 4's WindowGroupLimit prunes the
+    * rank-1 filter map-side, so no text group ever sorts more than its
+    * survivors. The md5 COLLISION risk is the standard exact-dedup
+    * trade at corpus scale; byte-compare within hash groups is the
+    * paranoid upgrade. */
+  def textExactDedup(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
 
   /** Cluster-correct keep-list: keep exactly one canonical doc — the
     * component minimum — per near-dup cluster, plus every unpaired doc.

@@ -82,6 +82,41 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("connectedComponentsStar == min-label propagation (adversarial differential)") {
+    import org.apache.spark.sql.DataFrame
+    def cc(pairs: DataFrame) = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    def star(pairs: DataFrame) = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    // adversarial for min-label: one long path (diameter = n-1), where
+    // star's O(log n) rounds shine; plus a clique and an island pair
+    val path = (1L until 28L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val graph = (path ++ clique ++ Seq((500L, 501L)))
+      .toDF("doc_a", "doc_b")
+    assert(star(graph) == cc(graph), "star and min-label must agree")
+    // seeded random graphs (deterministic): several shapes
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val es = (1 to 60).map { _ =>
+        val x = rnd.nextInt(50).toLong; val y = rnd.nextInt(50).toLong
+        (math.min(x, y), math.max(x, y))
+      }.filter(p => p._1 != p._2).distinct
+      val g = es.toDF("doc_a", "doc_b")
+      assert(star(g) == cc(g), s"divergence on random graph: $es")
+    }
+    Caches.releaseAll()
+  }
+
+  test("textExactDedup keeps the lowest doc_id per identical text") {
+    val d = docs((5L, "same text here"), (2L, "same text here"),
+      (9L, "unique words entirely"), (7L, "same text here"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val kept = Dedup.textExactDedup(d).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(2L, 9L))
+  }
+
   test("clusterKeepList keeps exactly the component minima plus unpaired docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val clusters = Dedup.dedupClusters(d).as[(Long, Long)].collect().toMap
