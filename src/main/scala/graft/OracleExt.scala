@@ -177,10 +177,10 @@ object OracleExt {
     GROUP BY term ORDER BY term"""
 
   val tokenCounts: String = s"""
-    SELECT doc_id, len($toks) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
-             AS n_bpe_tokens,
-           length(text) AS n_chars
+    SELECT doc_id, CAST(len($toks) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS INTEGER) AS n_bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
     FROM documents ORDER BY doc_id"""
 
   def langId(stop: Map[String, Seq[String]]): String = s"""
@@ -192,8 +192,10 @@ object OracleExt {
                 WHEN hits_de >= hits_fr THEN 'de'
                 ELSE 'fr' END AS pred_lang
     FROM (SELECT doc_id,
-                 ${hits(stop("en"))} AS hits_en, ${hits(stop("es"))} AS hits_es,
-                 ${hits(stop("de"))} AS hits_de, ${hits(stop("fr"))} AS hits_fr
+                 CAST(${hits(stop("en"))} AS INTEGER) AS hits_en,
+                 CAST(${hits(stop("es"))} AS INTEGER) AS hits_es,
+                 CAST(${hits(stop("de"))} AS INTEGER) AS hits_de,
+                 CAST(${hits(stop("fr"))} AS INTEGER) AS hits_fr
           FROM (SELECT doc_id, $toks AS toks FROM documents))
     ORDER BY doc_id"""
 
@@ -361,9 +363,20 @@ object OracleExt {
     ORDER BY doc_id"""
 
   /** Twin of Sampling.packSequences — the two-phase distributed prefix
-    * sum reduces to one window cumsum. */
+    * sum reduces to one window cumsum.
+    *
+    * The outer CAST on pack_id is load-bearing: DuckDB's window
+    * `sum(BIGINT)` yields HUGEINT, and HUGEINT propagates through
+    * `-`/`//` into the OUTPUT column. Our fetchall-based gate coerces
+    * it to a python int (hash-identical to Spark's BIGINT), but any
+    * arrow/pandas fetch path renders HUGEINT as decimal128/float64
+    * ("12.0" vs "12") and every row hash-flickers while rows+schema
+    * stay green — the exact r6/r7 driver-red signature. Keep every
+    * oracle OUTPUT column a non-HUGEINT concrete type (enforced by
+    * tools/check_oracle.py's type gate). */
   def packSequences(budget: Long): String = s"""
-    SELECT doc_id, n_tokens, (cum - n_tokens) // $budget AS pack_id
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // $budget AS BIGINT) AS pack_id
     FROM (SELECT doc_id, n_tokens,
             sum(n_tokens) OVER (ORDER BY doc_id
               ROWS UNBOUNDED PRECEDING) AS cum

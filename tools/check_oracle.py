@@ -65,6 +65,21 @@ for name, sql in sorted(oracle.items()):
     srows = sres.fetchall()
     if sorted(scols) != sorted(ocols):
         print(f"FAIL {name}: schema spark={sorted(scols)} oracle={sorted(ocols)}"); fails += 1; continue
+    # Type gate: our fetchall() path coerces DuckDB HUGEINT to python int,
+    # but an arrow/pandas fetch (the driver may use one) renders HUGEINT as
+    # decimal128/float64 and every row hash-flickers while rows+schema stay
+    # green (the r6/r7 pack_sequences signature). Enforce that every oracle
+    # output column has a concrete non-HUGEINT type that exactly matches the
+    # Spark parquet type, so the mismatch class can't ride on fetch-path luck.
+    orel = con.sql(sql)
+    otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
+    srel = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
+    stypes = dict(zip(srel.columns, [str(t) for t in srel.types]))
+    tbad = [f"{c}: spark={stypes.get(c)} oracle={ot}" for c, ot in sorted(otypes.items())
+            if ot in ("HUGEINT", "UHUGEINT") or ot.startswith("DECIMAL")
+            or stypes.get(c) != ot]
+    if tbad:
+        print(f"FAIL {name}: type mismatch {tbad}"); fails += 1; continue
     if len(srows) != len(orows):
         print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}"); fails += 1; continue
     hs, ho = table_hash(scols, srows), table_hash(ocols, orows)
