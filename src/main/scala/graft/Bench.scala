@@ -5,9 +5,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR. Discipline: one untimed warmup pass (JIT +
   * page-cache), then min-of-3 timed runs per query so round-over-round
-  * numbers compare builder work, not JVM warmth. Prints ONE JSON line to
-  * stdout (the driver contract) and also writes it to bench_out.json so
-  * the driver's `parsed` field never depends on log scraping.
+  * numbers compare builder work, not JVM warmth. The LAST stdout line is
+  * the compact driver-contract JSON (≤1800 chars — the driver parses it
+  * out of a 2000-char stdout tail that sbt's trailer also shares); the
+  * full diagnostics go to bench_out.json and an earlier [bench-full]
+  * stdout line.
   *
   * Host-contention self-diagnosis (VERDICT r6 "Next round" #2): three
   * rounds running, the committed artifact was contaminated by co-tenant
@@ -62,6 +64,7 @@ object Bench {
 
     // warmup pass (untimed)
     SparkEntry.queries.foreach { case (_, fn) => timeOnce(fn) }
+    val t0Wall = System.nanoTime()
 
     // per-query min AND [min, median, max]: a contended host shows up
     // as a wide spread, so a bad sample flags itself instead of
@@ -86,6 +89,10 @@ object Bench {
       val extra = (1 to runs).map(_ => timeOnce(SparkEntry.queries(name))).filter(_ >= 0)
       samples(name) = (samples(name) ++ extra).sorted
     }
+    // one more calibration point AFTER the rescue pass: co-tenant load
+    // arriving during the reruns must be visible to the contamination
+    // stamp, since the rerun samples feed the reported minima
+    if (firstUnstable.nonEmpty) calib += calibOnce()
 
     // contamination = any calibration point spiking >2× the MEDIAN
     // point. Max/min is the wrong test: the min drifts DOWN across the
@@ -123,12 +130,35 @@ object Bench {
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     // emit in TEMPORAL order (drift vs spike is visible), sort only for the stamp
     val calibJson = calib.filter(_ >= 0).map(t => f"$t%.4f").mkString("[", ",", "]")
+    val calibMedian = if (calibOk.isEmpty) -1.0 else calibOk((calibOk.size - 1) / 2)
     val total = results.values.filter(_ >= 0).sum
-    val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"calibration":$calibJson,"contaminated":$contaminated,"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs}"""
-    println(line)
-    try Files.writeString(Paths.get("bench_out.json"), line)
+    val wallSec = (System.nanoTime() - t0Wall) / 1e9
+
+    // The driver captures only the LAST ~2000 chars of stdout and parses
+    // the JSON line out of that tail (BENCH_r07 recorded parsed:null when
+    // the dispersion+calibration fields pushed the line past the window
+    // and the tail began mid-line). Two artifacts now:
+    //  - bench_out.json (+ an early stdout line): the FULL diagnostics —
+    //    dispersion, calibration sequence + cross-round absolute median,
+    //    rescue list, wall clock;
+    //  - the FINAL stdout line: the compact driver contract, kept under
+    //    1800 chars (sbt's trailing "[success]" line shares the window) by
+    //    degrading per-query decimal places before ever dropping a field.
+    val rich =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"calibration":$calibJson,"calib_median":$calibMedian%.4f,"contaminated":$contaminated,"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"wall_sec":$wallSec%.1f,"sf":"$sfDir","runs":$runs}"""
+    println("[bench-full] " + rich)
+    try Files.writeString(Paths.get("bench_out.json"), rich)
     catch { case _: Throwable => () }
+
+    def compactLine(dec: Int): String = {
+      val q = results.map { case (k, v) =>
+        "\"" + k + "\":" + s"%.${dec}f".format(v)
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$q,"unstable":$unstableJson,"contaminated":$contaminated,"sf":"$sfDir","runs":$runs}"""
+    }
+    val line = Seq(3, 2).map(compactLine).find(_.length <= 1800)
+      .getOrElse(compactLine(1))
+    println(line)
     spark.stop()
   }
 }
