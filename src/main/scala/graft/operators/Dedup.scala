@@ -169,6 +169,20 @@ object Dedup {
   private def roundBarrier(df: DataFrame): DataFrame =
     graft.Caches.track(df.sparkSession.createDataFrame(df.rdd, df.schema))
 
+  /** Unconverged labels are SILENTLY WRONG output for a dedup keep-list
+    * (under-merged components keep extra duplicates), so exhausting the
+    * round budget is an error, never a result. The defaults (50
+    * min-label rounds ≥ graph diameter 50; 30 star rounds ≫ log₂ of any
+    * physical node count) only trip on adversarial graphs or a
+    * too-small caller override — raising maxIters is always safe, the
+    * loops stop at the convergence probe. */
+  private def requireConverged(converged: Boolean, algo: String,
+                               maxIters: Int): Unit =
+    if (!converged) throw new IllegalStateException(
+      s"$algo did not converge within maxIters=$maxIters rounds; " +
+        "labels would be under-merged (extra duplicates kept). " +
+        "Raise maxIters.")
+
   def connectedComponents(pairs0: DataFrame, maxIters: Int = 50): DataFrame = {
     val pairs = graft.Caches.track(pairs0.select("doc_a", "doc_b"))
     val edges = graft.Caches.track(
@@ -201,6 +215,7 @@ object Dedup {
       labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
+    requireConverged(converged, "connectedComponents (min-label)", maxIters)
     labels
   }
 
@@ -269,6 +284,7 @@ object Dedup {
       edges = next
       iter += 1
     }
+    requireConverged(converged, "connectedComponentsStar", maxIters)
     // fixpoint is a star per component: non-roots point at the root,
     // roots (component minima) label themselves
     edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))

@@ -61,6 +61,25 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: maxIters exhaustion throws, never returns under-merged labels") {
+    // path of diameter 9 cannot converge in 2 min-label rounds; the old
+    // behavior silently returned partial labels (keep-list then keeps
+    // extra duplicates) — exhaustion must be an error instead
+    val path = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val e2 = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStar(path, maxIters = 1).collect()
+    }
+    assert(e2.getMessage.contains("did not converge"))
+    // and the same graph converges fine under the defaults
+    assert(Dedup.connectedComponents(path).as[(Long, Long)].collect()
+      .toMap.values.toSet == Set(1L))
+    Caches.releaseAll()
+  }
+
   test("dedupClusters == union-find over minhashPairs (fixture differential)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.minhashPairs(d)
