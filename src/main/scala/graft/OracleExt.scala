@@ -689,6 +689,43 @@ object OracleExt {
           WHERE q.vec_id < $nQueries)
     WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** Twin of KMeans.semDedup — cluster-scoped cosine near-dup keep
+    * list. dup_sim_micro coalesces to -1 for kept vectors so the
+    * output has no nullable-int column (fetch paths widen int+NULL to
+    * float; the pack_sequences HUGEINT lesson generalized). */
+  def semDedup(k: Int, iters: Int, minSimMicro: Long): String = s"""
+    ${kmeansCte(k, iters)},
+    nv AS (SELECT a.vec_id, a.v, a.cid,
+                  list_dot_product(a.v, a.v) AS norm2
+           FROM a${iters - 1} a),
+    drops AS (
+      SELECT vec_id, max(sim_micro) AS dup_sim_micro
+      FROM (SELECT b.vec_id,
+                   CAST(floor(list_dot_product(a.v, b.v)
+                       / (sqrt(a.norm2) * sqrt(b.norm2)) * 1000000)
+                     AS BIGINT) AS sim_micro
+            FROM nv a JOIN nv b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      WHERE sim_micro >= $minSimMicro
+      GROUP BY vec_id)
+    SELECT n.vec_id, n.cid AS cluster,
+           d.vec_id IS NULL AS keep,
+           COALESCE(d.dup_sim_micro, -1) AS dup_sim_micro
+    FROM nv n LEFT JOIN drops d ON n.vec_id = d.vec_id
+    ORDER BY n.vec_id"""
+
+  /** Twin of KMeans.clusterOutliers — farthest-from-centroid top-k per
+    * trained cluster. */
+  def clusterOutliers(k: Int, iters: Int, perCluster: Int): String = s"""
+    ${kmeansCte(k, iters)}
+    SELECT cluster, CAST(rk AS INTEGER) AS rk, vec_id,
+           CAST(floor(d2 * 1000) AS BIGINT) AS d2_milli
+    FROM (SELECT cid AS cluster, vec_id, d2,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY d2 DESC, vec_id) AS rk
+          FROM a${iters - 1})
+    WHERE rk <= $perCluster ORDER BY cluster, rk"""
+
   // ---- multimodal ops (graft.multimodal.Multimodal) -------------------
   // documents.text is pure ASCII (verified at every SF), so byte math on
   // the BINARY payload mirrors exactly onto character math here.

@@ -327,6 +327,12 @@ object SparkEntry {
     // IVF ANN with nprobe=2 (the IVF recall dial, like multi-probe LSH)
     "ann_ivf_nprobe" -> ((s, dir) =>
       KMeans.annIvfNprobe(embPar(s, dir)).orderBy("query_id", "rank")),
+    // SemDeDup: cluster-scoped embedding near-dedup keep list
+    "sem_dedup" -> ((s, dir) =>
+      KMeans.semDedup(embPar(s, dir)).orderBy("vec_id")),
+    // Prototypicality: farthest-from-centroid top-5 per trained cluster
+    "cluster_outliers" -> ((s, dir) =>
+      KMeans.clusterOutliers(embPar(s, dir)).orderBy("cluster", "rk")),
     // Symmetric int8 absmax quantization of the embedding column
     "embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embPar(s, dir)).orderBy("vec_id")),
@@ -464,6 +470,8 @@ object SparkEntry {
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
     "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
+    "sem_dedup" -> OracleExt.semDedup(8, 2, 350000L),
+    "cluster_outliers" -> OracleExt.clusterOutliers(8, 2, 5),
     "embed_quantize" -> OracleExt.quantizeInt8,
     "keyword_extract" -> OracleExt.keywordExtract(5),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a

@@ -208,4 +208,69 @@ object KMeans {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("cand_id"), floor(col("sim") * 1000000L).cast("long").as("sim_micro"))
   }
+
+  /** SemDeDup — semantic (embedding-space) deduplication, the published
+    * cluster-scoped recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): k-means
+    * the embeddings, then look for near-identical COSINE pairs only
+    * WITHIN a cluster; a vector is dropped when a lower-id cluster-mate
+    * sits above the similarity threshold.
+    *
+    * This is the scale story in one line: the pairwise search is an
+    * equi-join on the trained cluster id, so the candidate set per
+    * vector is |data|/k, never all-pairs — at 100 TB you raise k to
+    * keep clusters bounded (the paper runs ~100k clusters for web
+    * scale) and the join stays one hash shuffle. Keep policy matches
+    * [[graft.operators.Dedup.dedupKeepList]]'s pairwise-lowest-id
+    * convention. The fixture threshold mirrors embed_neardup's 0.35
+    * (synthetic embeddings have no planted near-dups; production runs
+    * ~0.95).
+    *
+    * Output: (vec_id, cluster, keep, dup_sim_micro) with dup_sim_micro
+    * = max similarity to a lower-id cluster-mate above the threshold,
+    * or -1 for kept vectors (kept non-null so the oracle never depends
+    * on a fetch path's NULL-int widening). */
+  def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
+               minSimMicro: Long = 350000L): DataFrame = {
+    val dot = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.DotF64Expr(a, b)
+    // persisted: both self-join sides derive from nv (the annIvf lesson
+    // — without the cache each side re-runs the full Lloyd chain)
+    val nv = graft.Caches.track(fit(emb, k, iters)
+      .select(col("vec_id"), col("v"), col("cluster"),
+        dot(col("v"), col("v")).as("norm2")))
+    val a = nv.select(col("vec_id").as("vec_a"), col("v").as("av"),
+      col("norm2").as("an"), col("cluster"))
+    val b = nv.select(col("vec_id").as("vec_b"), col("v").as("bv"),
+      col("norm2").as("bn"), col("cluster"))
+    val sim = dot(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn")))
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_b").as("vec_id"),
+        floor(sim * 1000000L).cast("long").as("sim_micro"))
+      .filter(col("sim_micro") >= minSimMicro)
+      .groupBy("vec_id").agg(max(col("sim_micro")).as("dup_sim_micro"))
+    nv.select(col("vec_id"), col("cluster"))
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_sim_micro").isNull.as("keep"),
+        coalesce(col("dup_sim_micro"), lit(-1L)).as("dup_sim_micro"))
+  }
+
+  /** Per-cluster embedding outliers — the prototypicality filter that
+    * rides beside SemDeDup in a curation pipeline: the `perCluster`
+    * vectors FARTHEST from their trained centroid (rank 1 = farthest)
+    * are the un-prototypical candidates a quality pass reviews or
+    * drops. Pure composition over the trained assignment: one bounded
+    * per-cluster top-k window (WindowGroupLimit prunes map-side), no
+    * extra scan of the training data. */
+  def clusterOutliers(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                      perCluster: Int = 5): DataFrame =
+    fit(emb, k, iters)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("d2").desc, col("vec_id"))))
+      .filter(col("rk") <= perCluster)
+      .select(col("cluster"), col("rk").cast("int").as("rk"),
+        col("vec_id"), floor(col("d2") * 1000).cast("long").as("d2_milli"))
 }

@@ -66,4 +66,61 @@ class KMeansSpec extends SparkTestBase {
     assert(ann.forall { case (q, c) => asg(q) == asg(c) },
       "every neighbor shares the query's trained cluster")
   }
+
+  test("semDedup: crafted near-identical cluster-mates drop, lowest id kept") {
+    // blob A: three near-identical vectors (cos ~1) + blob B: one far
+    // vector and one near-identical partner; init (vec_id 0, 1) puts a
+    // centroid in each blob
+    val rows = Seq(
+      (0L, vec(100f, 0f)), (2L, vec(100f, 0.1f)), (4L, vec(100f, -0.1f)),
+      (1L, vec(-100f, 0f)), (3L, vec(-100f, 0.2f)))
+      .map { case (id, v) => (id, v, 0) }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = KMeans.semDedup(emb, k = 2, iters = 2, minSimMicro = 990000L)
+      .select("vec_id", "keep", "dup_sim_micro")
+      .as[(Long, Boolean, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(0L)._1 && r(1L)._1, "lowest ids are kept")
+    assert(!r(2L)._1 && !r(4L)._1 && !r(3L)._1,
+      "near-identical higher-id cluster-mates are dropped")
+    assert(r(0L)._2 == -1L, "kept rows carry the -1 sentinel")
+    assert(r(2L)._2 >= 990000L, "dropped rows carry the duplicate sim")
+    Caches.releaseAll()
+  }
+
+  test("semDedup pairs are cluster-scoped; keep-count + drops = corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val asg = KMeans.fit(emb).select(col("vec_id"), col("cluster"))
+      .as[(Long, Long)].collect().toMap
+    val r = KMeans.semDedup(emb).select("vec_id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(r.length == asg.size, "one row per vector, kept or not")
+    assert(r.forall { case (id, cl, _) => asg(id) == cl })
+    val dropped = r.filter(!_._3).map(_._1).toSet
+    // every dropped vector must have a LOWER-id cluster-mate (the
+    // pairwise keep-lowest policy can never drop a cluster minimum)
+    val minPerCluster = asg.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    assert(dropped.forall(id => minPerCluster(asg(id)) < id))
+    Caches.releaseAll()
+  }
+
+  test("clusterOutliers: rank 1 is the cluster's max distance, bounded per cluster") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = KMeans.clusterOutliers(emb, perCluster = 3)
+      .as[(Long, Int, Long, Long)].collect()
+    val byCluster = out.groupBy(_._1)
+    assert(byCluster.values.forall(_.length <= 3))
+    val full = KMeans.fit(emb)
+      .select(col("cluster"), col("vec_id"),
+        floor(col("d2") * 1000).cast("long").as("d2_milli"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    byCluster.foreach { case (cl, rows) =>
+      val top = rows.sortBy(_._2).map(_._4)
+      assert(top.toSeq == top.sorted.reverse.toSeq,
+        s"cluster $cl outlier ranks are distance-descending")
+      assert(top.head == full(cl).map(_._3).max,
+        s"cluster $cl rank 1 is the true farthest member")
+    }
+    Caches.releaseAll()
+  }
 }
