@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -258,30 +259,41 @@ object Dedup {
     // directed large→small; self-loops impossible (doc_a < doc_b)
     var edges = graft.Caches.track(
       pairs.select(col("doc_b").as("a"), col("doc_a").as("b")).distinct())
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      // Each star step is ONE window (min over the node's partition)
+      // instead of the groupBy+self-join pair — half the shuffles per
+      // round; the intermediate large-star result deliberately skips
+      // its distinct() (duplicate edges ride one round and fold into
+      // the final distinct, cheaper than an extra exchange).
+      val w = Window.partitionBy("a")
       // large-star over the symmetric view: for each u, neighbors v > u
       // attach to m(u) = min(u ∪ Γ(u)); result is again large→small
       val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      val mins = sym.groupBy("a").agg(min(col("b")).as("m0"))
-        .select(col("a").as("u"), least(col("a"), col("m0")).as("m"))
-      val ls = sym.join(mins, col("a") === col("u"))
+      val ls = sym
+        .withColumn("m", least(min(col("b")).over(w), col("a")))
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
       // small-star on the large→small edges: ≤-neighbors attach to the
-      // min, and u keeps an edge to it
-      val g = ls.groupBy("a").agg(min(col("b")).as("m"))
-      val ss = ls.join(g, Seq("a"))
-        .filter(col("b") =!= col("m"))
+      // min, and u keeps an edge to it ((a,m) once per edge here — the
+      // final distinct folds the copies)
+      val lsm = ls.withColumn("m", min(col("b")).over(w))
+      val ss = lsm.filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
-        .union(g.select(col("a"), col("m").as("b")))
+        .union(lsm.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct()
       val next = roundBarrier(ss)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // convergence probe: |next| from this round's one count action;
+      // |edges| carried from the previous round. Equal counts + empty
+      // left-anti ⟺ set equality (both sides are distinct sets) — the
+      // anti-join replaces the strictly costlier exceptAll.
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     requireConverged(converged, "connectedComponentsStar", maxIters)
