@@ -689,6 +689,42 @@ object OracleExt {
           WHERE q.vec_id < $nQueries)
     WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** Twin of TextAnalysis.bm25Rank — rational-idf BM25 (ln-free; see
+    * the operator scaladoc). Every double expression mirrors the Spark
+    * column tree token-for-token: same cast points, same
+    * parenthesization, same term-order sum, constants as decimal
+    * literals (2.2e0 forces DOUBLE — a bare 2.2 is DECIMAL in DuckDB). */
+  def bm25Rank(queryTerms: Seq[String], topN: Int): String = {
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfAggs = queryTerms.indices.map(i =>
+      s"sum(CAST(tf$i > 0 AS BIGINT)) AS df$i").mkString(", ")
+    def idf(i: Int) =
+      s"(CAST(n - df$i AS DOUBLE) + 0.5e0) / (CAST(df$i AS DOUBLE) + 0.5e0)"
+    def tfSat(i: Int) =
+      s"""(CAST(tf$i AS DOUBLE) * 2.2e0) / (CAST(tf$i AS DOUBLE)
+         + 1.2e0 * (0.25e0 + (0.75e0 * CAST(dl AS DOUBLE))
+                    / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))"""
+    val score = queryTerms.indices
+      .map(i => s"(${idf(i)}) * (${tfSat(i)})").mkString(" + ")
+    val tfOut = queryTerms.indices.map(i => s"tf$i").mkString(", ")
+    s"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfCols
+      FROM (SELECT doc_id, $toks AS toks FROM documents)),
+    stats AS (SELECT count(*) AS n, sum(dl) AS sdl, $dfAggs FROM base),
+    scored AS (
+      SELECT doc_id, $tfOut,
+             CAST(floor(($score) * 1000000) AS BIGINT) AS score_micro
+      FROM base CROSS JOIN stats)
+    SELECT CAST(rank AS INTEGER) AS rank, doc_id, $tfOut, score_micro
+    FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                      AS rank
+          FROM scored)
+    WHERE rank <= $topN ORDER BY rank"""
+  }
+
   /** Twin of KMeans.semDedup — cluster-scoped cosine near-dup keep
     * list. dup_sim_micro coalesces to -1 for kept vectors so the
     * output has no nullable-int column (fetch paths widen int+NULL to

@@ -216,6 +216,9 @@ object SparkEntry {
     // Per-doc keyword extraction (top-5 by integer tf/df ratio)
     "keyword_extract" -> ((s, dir) =>
       TextAnalysis.keywordExtract(docsPar(s, dir)).orderBy("doc_id", "rank")),
+    // Retrieval: rational-idf BM25 top-20 for a fixed query term set
+    "bm25_rank" -> ((s, dir) =>
+      TextAnalysis.bm25Rank(docsPar(s, dir)).orderBy("rank")),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -474,6 +477,7 @@ object SparkEntry {
     "cluster_outliers" -> OracleExt.clusterOutliers(8, 2, 5),
     "embed_quantize" -> OracleExt.quantizeInt8,
     "keyword_extract" -> OracleExt.keywordExtract(5),
+    "bm25_rank" -> OracleExt.bm25Rank(Seq("spark", "join", "filter"), 20),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

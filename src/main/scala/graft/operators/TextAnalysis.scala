@@ -190,4 +190,79 @@ object TextAnalysis {
         expr("(1000 * (total_ngrams - distinct_ngrams)) div total_ngrams"))
       .withColumn("flagged", col("dup_milli") >= flagMilli)
   }
+
+  /** BM25-style retrieval ranking of the corpus against a fixed,
+    * plan-time query term set — the search primitive a curation
+    * pipeline runs for targeted decontamination sweeps and quality
+    * probes (keywordExtract is per-doc top terms; this is the inverse:
+    * docs ranked for a query).
+    *
+    * Scoring is Robertson tf-saturation (k1=1.2, b=0.75) with a
+    * RATIONAL idf: idf_r = (N − df + 0.5)/(df + 0.5), i.e. the
+    * standard BM25 idf WITHOUT the log. ln is the one transcendental
+    * whose last-ulp differs across engines (the library's float
+    * discipline allows only correctly-rounded +,*,/,sqrt), and since
+    * per-term weights just rescale monotonically, the ranking stays
+    * BM25-shaped while every double op is bit-reproducible. All
+    * divisions/multiplications are written in one fixed order, summed
+    * over terms in query order, and quantized floor(·1e6) at output.
+    *
+    * Scale shape: query terms are plan-time constants, so per-doc term
+    * frequencies are array-filter counts over the one tokens pass — a
+    * pure map, NO explode and NO join on term. Corpus stats (N, Σdl,
+    * per-term df) are ONE single-row aggregate broadcast back; the
+    * global top-N is orderBy+limit, which Spark executes as
+    * TakeOrdered (per-partition partial top-k, no single-task window);
+    * the rank column is a window over the ≤topN survivors only. */
+  def bm25Rank(docs: DataFrame,
+               queryTerms: Seq[String] = Seq("spark", "join", "filter"),
+               topN: Int = 20): DataFrame = {
+    // constants appear as DECIMAL LITERALS on both sides (never
+    // computed: "k1 + 1" at plan time vs a parsed "2.2e0" literal is a
+    // round-to-even coin flip away from a one-ulp divergence)
+    val k1Plus1 = lit(2.2d); val k1 = lit(1.2d)
+    val oneMinusB = lit(0.25d); val b = lit(0.75d)
+    // projection barrier: tf lambdas must read the materialized token
+    // array, not re-derive it per element (the interpreted-HOF lesson)
+    val tokedCols =
+      Seq(col("doc_id"), size(col("__toks")).cast("long").as("dl")) ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"tf$i")
+        }
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(tokedCols: _*)
+    // tiny per-doc projection (doc_id + 1+|terms| longs) feeds both the
+    // stats aggregate and the scored output — persist, don't recompute
+    // the tokenizing scan twice
+    val base = graft.Caches.track(toked)
+    val statCols =
+      Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
+        queryTerms.indices.map(i =>
+          sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    def idf(i: Int): Column =
+      ((col("n") - col(s"df$i")).cast("double") + lit(0.5d)) /
+        (col(s"df$i").cast("double") + lit(0.5d))
+    def tfSat(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      (tf * k1Plus1) /
+        (tf + k1 * (oneMinusB + (b * col("dl").cast("double")) / avgdl))
+    }
+    val score = queryTerms.indices
+      .map(i => idf(i) * tfSat(i))
+      .reduce(_ + _) // left fold in query-term order — fixed sum order
+    val scoredCols = Seq(col("doc_id")) ++
+      queryTerms.indices.map(i => col(s"tf$i")) :+
+      floor(score * 1000000L).cast("long").as("score_micro")
+    val scored = base.crossJoin(broadcast(stats))
+      .select(scoredCols: _*)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topN)
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(Seq(col("rank").cast("int").as("rank"), col("doc_id")) ++
+        queryTerms.indices.map(i => col(s"tf$i")) :+ col("score_micro"): _*)
+  }
 }

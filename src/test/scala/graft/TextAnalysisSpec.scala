@@ -100,4 +100,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(2L) == ((4L, 4L, 0L)))
     assert(r(3L) == ((1L, 1L, 0L)))
   }
+
+  test("bm25Rank: rare-term matches beat common-term matches; saturation caps tf") {
+    val d = Seq(
+      (1L, "spark spark spark spark spark spark spark spark"), // tf-spam
+      (2L, "spark join other words here"),   // both terms, short doc
+      (3L, "join and more text"),            // common term only
+      (4L, "join stuff padding words"),      // common term only
+      (5L, "nothing relevant at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25Rank(d, Seq("spark", "join"), topN = 5)
+      .select("rank", "doc_id", "score_micro")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    val scores = r.map(t => t._2 -> t._3).toMap
+    // the two spark-matching docs (rare term, df 2) occupy the top —
+    // rare-term matches outweigh common-term-only matches (df 3)
+    assert(r.take(2).map(_._2).toSet == Set(1L, 2L))
+    assert(scores(2L) > scores(3L) && scores(2L) > scores(4L))
+    // tf saturation: 8x the term frequency buys well under 2x the
+    // score of a single occurrence (a tf-linear scorer would give ~5x)
+    assert(scores(1L) < 2 * scores(2L), "saturation caps tf spam")
+    assert(r.map(_._3).toSeq == r.map(_._3).sortBy(-_).toSeq,
+      "ranks are score-descending")
+    // every doc present (topN covers corpus), zero-match doc scores 0
+    assert(r.length == 5 && scores(5L) == 0L)
+    Caches.releaseAll()
+  }
 }
