@@ -111,6 +111,30 @@ class PlansSpec extends SparkTestBase {
       s"benchmark side must broadcast:\n${plans("decontaminate")}")
   }
 
+  test("sem_dedup pairs ride a cluster equi-join over the persisted assignment") {
+    val p = plans("sem_dedup")
+    // the within-cluster pair search must be an EQUI-join on the
+    // trained cluster id (|data|/k candidates per vector), never a
+    // nested loop over all pairs. (One BNLJ is expected and allowed:
+    // KMeans.assign's deliberate k-row centroid broadcast — the same
+    // documented pattern as topk_cosine.)
+    assert(p.contains("Join [cluster") || p.contains("join [cluster"),
+      s"sem_dedup pair search lost its cluster equi-join:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"sem_dedup should read the persisted nv table on both sides:\n$p")
+  }
+
+  test("bm25_rank: no explode, no term join; stats broadcast; TakeOrdered top-N") {
+    val p = plans("bm25_rank")
+    assert(!p.contains("Generate explode"),
+      s"bm25 tf counts must be array filters, not an exploded token join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row corpus-stats aggregate must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-N must be TakeOrdered (per-partition partial top-k), " +
+        s"not a single-task sort/window over the corpus:\n$p")
+  }
+
   test("no driver-side collect() in any query path (source-level guard)") {
     val src = Files.readString(
       Paths.get("src/main/scala/graft/SparkEntry.scala"))
