@@ -446,6 +446,23 @@ object OracleExt {
          AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""
 
+  /** Twin of Dedup.minhashJaccardEst — lane-agreement Jaccard estimate
+    * over the LSH candidate pairs (16 lanes). */
+  val minhashJaccardEst: String = s"""
+    $bandsCte,
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, matches, (1000 * matches) // 16 AS est_milli
+    FROM (SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_filter(range(1, 17),
+                     i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS matches
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.doc_a
+          JOIN sig sb ON sb.doc_id = p.doc_b)
+    ORDER BY doc_a, doc_b"""
+
   /** Twin of Dedup.dedupClusters: connected components over the LSH
     * candidate-pair graph via a recursive CTE — `reach` enumerates every
     * (node, reachable-label) pair of the undirected graph (UNION dedups,

@@ -273,6 +273,9 @@ object SparkEntry {
     // LSH candidate pairs via band equi-join
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // Lane-agreement Jaccard estimate for the candidate pairs
+    "minhash_est" -> ((s, dir) =>
+      Dedup.minhashJaccardEst(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
     // Exact n-gram Jaccard over shared-shingle pairs
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
@@ -488,6 +491,7 @@ object SparkEntry {
       FROM events WHERE event_id // 4 >= 100 ORDER BY seq, shard""",
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
+    "minhash_est" -> OracleExt.minhashJaccardEst,
     "dedup_clusters" -> OracleExt.dedupClusters,
     "cluster_keeplist" -> OracleExt.clusterKeepList,
     "dedup_clusters_star" -> OracleExt.dedupClusters,

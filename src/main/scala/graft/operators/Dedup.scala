@@ -42,22 +42,31 @@ object Dedup {
   def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.withColumn("__sh", shingles(col("text"), n))
 
-  /** Banded LSH keys: split the signature into `bands` bands of `rows`
-    * values; docs agreeing on ANY band become candidates. One output row
-    * per (doc, band). Each stage (tokens → shingles → signature) is a
-    * materialized column — evaluated once per row. */
-  def minhashBands(docs: DataFrame, numHashes: Int = 16, bands: Int = 4)
-      : DataFrame = {
-    val rows = numHashes / bands
+  /** (doc_id, __sig) signature table — the shared input of the band
+    * table and the lane-agreement estimator. */
+  private def sigTable(docs: DataFrame, numHashes: Int): DataFrame =
     withShingles(docs)
       .withColumn("__sig", minhashSig(col("__sh"), numHashes))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("__sig"))
+
+  private def bandsFromSigs(sigs: DataFrame, numHashes: Int,
+                            bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
           b.cast("int").as("band_id"),
           concat_ws("_", transform(slice(col("__sig"), b * rows + 1, lit(rows)),
             v => v.cast("string"))).as("band_key")))).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
   }
+
+  /** Banded LSH keys: split the signature into `bands` bands of `rows`
+    * values; docs agreeing on ANY band become candidates. One output row
+    * per (doc, band). Each stage (tokens → shingles → signature) is a
+    * materialized column — evaluated once per row. */
+  def minhashBands(docs: DataFrame, numHashes: Int = 16, bands: Int = 4)
+      : DataFrame =
+    bandsFromSigs(sigTable(docs, numHashes), numHashes, bands)
 
   /** Candidate pairs: equi-join on (band_id, band_key) — the LSH scale
     * path; hash-partitioned, never all-pairs. The band table (4 small
@@ -71,6 +80,35 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction
+    * of agreeing signature lanes is the classic unbiased estimator of
+    * true Jaccard (each lane's min-hash agrees with probability J).
+    * This is the cheap middle tier between candidate generation
+    * (minhashPairs) and exact verification (ngramJaccard): per pair it
+    * costs ONE 16-element array comparison — no shingle explode, no
+    * df-cap machinery — so at 100 TB the exact pass runs only on pairs
+    * the estimate keeps. The signature table is computed once,
+    * persisted, and feeds the band join and both estimator sides. */
+  def minhashJaccardEst(docs: DataFrame, numHashes: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val sigs = graft.Caches.track(sigTable(docs, numHashes))
+    val b0 = bandsFromSigs(sigs, numHashes, bands)
+    val pairs = b0.as("a").join(b0.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("__sig").as("__sa"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("__sig").as("__sb"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("matches",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
+          m => m)).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("matches"),
+        expr(s"(1000 * matches) div $numHashes").as("est_milli"))
   }
 
   /** Exact n-gram Jaccard for pairs sharing at least one shingle:

@@ -61,6 +61,26 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("minhashJaccardEst: identical docs estimate 1000; estimate tracks exact Jaccard") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical to 1
+      (3L, "alpha beta gamma delta epsilon different"), // high overlap
+      (4L, "totally unrelated words in here"))
+    val est = Dedup.minhashJaccardEst(d)
+      .select("doc_a", "doc_b", "matches", "est_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // identical docs agree on every lane
+    assert(est((1L, 2L)) == ((16L, 1000L)))
+    // est_milli is the integer lane fraction for every pair
+    est.values.foreach { case (m, e) => assert(e == 1000L * m / 16) }
+    // the high-overlap pair (if banded as a candidate) estimates above
+    // any unrelated pair that might share a band
+    est.get((1L, 3L)).foreach { case (m, _) => assert(m >= 8L) }
+    Caches.releaseAll()
+  }
+
   test("connectedComponents: maxIters exhaustion throws, never returns under-merged labels") {
     // path of diameter 9 cannot converge in 2 min-label rounds; the old
     // behavior silently returned partial labels (keep-list then keeps
