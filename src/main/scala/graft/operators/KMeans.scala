@@ -230,6 +230,17 @@ object KMeans {
     * = max similarity to a lower-id cluster-mate above the threshold,
     * or -1 for kept vectors (kept non-null so the oracle never depends
     * on a fetch path's NULL-int widening). */
+  /** k that bounds the EXPECTED within-cluster pair work: the SemDeDup
+    * self-join emits ~Σ|cluster|²/2 candidate rows, so clusters must
+    * stay bounded as the corpus grows — k = corpus/targetClusterSize
+    * (the paper's web-scale runs use ~100k clusters for ~1e8 docs ≈
+    * 1e3-doc clusters). Same scale-knob pattern as
+    * Sampling.deriveBlockSize: correctness never depends on it (any k
+    * produces a valid keep-list; the dial trades recall vs join work). */
+  def deriveK(corpusCount: Long, targetClusterSize: Long = 1000L): Int =
+    math.max(1L, math.min(corpusCount / math.max(1L, targetClusterSize),
+      Int.MaxValue.toLong)).toInt
+
   def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
                minSimMicro: Long = 350000L): DataFrame = {
     val dot = (a: Column, b: Column) =>

@@ -104,6 +104,39 @@ class KMeansSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("semDedup == brute-force within-cluster near-dup (fixture differential)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 350000L
+    // test-side reference: exact all-pairs cosine WITHIN each trained
+    // cluster, drop policy = any lower-id mate with floor(sim*1e6) >= τ
+    val asg = KMeans.fit(emb)
+      .select(col("vec_id"), col("cluster"), col("v"))
+      .as[(Long, Long, Seq[Double])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val expectDropped = (for {
+      Seq((ia, ca, va), (ib, cb, vb)) <- asg.sortBy(_._1).toSeq.combinations(2)
+      if ca == cb
+      sim = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      if math.floor(sim * 1000000L).toLong >= tau
+    } yield math.max(ia, ib)).toSet
+    val got = KMeans.semDedup(emb, minSimMicro = tau)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect()
+      .filter(!_._2).map(_._1).toSet
+    assert(got == expectDropped,
+      s"drop sets differ: extra=${got -- expectDropped} missing=${expectDropped -- got}")
+    assert(got.nonEmpty, "fixture should produce at least one drop at τ=0.35")
+    Caches.releaseAll()
+  }
+
+  test("deriveK bounds expected cluster size at any corpus scale") {
+    assert(KMeans.deriveK(0) == 1)
+    assert(KMeans.deriveK(500) == 1)             // fixture-sized: 1 cluster ok
+    assert(KMeans.deriveK(100000000L) == 100000) // the paper's web-scale shape
+    assert(KMeans.deriveK(10000000000000L) == Int.MaxValue) // clamped, no overflow
+    assert(KMeans.deriveK(Long.MaxValue) == Int.MaxValue)
+  }
+
   test("clusterOutliers: rank 1 is the cluster's max distance, bounded per cluster") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = KMeans.clusterOutliers(emb, perCluster = 3)
