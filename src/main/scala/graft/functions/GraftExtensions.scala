@@ -34,7 +34,7 @@ object RewriteMd5PrefixHash extends Rule[LogicalPlan] {
   * "register by name" mechanism for engine extensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.portableHash32Descriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteMd5PrefixHash)
   }
 }
@@ -51,12 +51,41 @@ object GraftFunctions {
     (children: Seq[Expression]) =>
       PortableHash32Expr(Cast(children.head, BinaryType)))
 
-  /** Register `portable_hash32` for spark.sql(...) on a live session. */
+  private def descriptor(name: String, clazz: Class[_],
+                         build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), build)
+
+  /** The full SQL surface of the native expression library — every
+    * codegen'd Expression the DataFrame operators use is also callable
+    * from spark.sql(...): `dot_f64`/`dist2_f64` (sequential-fold vector
+    * math), `word_tokens`/`word_shingles` (tokenizer + distinct n-gram
+    * shingles), `rolling_hash31`, and `portable_hash32`. */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    portableHash32Descriptor,
+    descriptor("dot_f64", classOf[DotF64Expr],
+      cs => DotF64Expr(cs(0), cs(1))),
+    descriptor("dist2_f64", classOf[Dist2F64Expr],
+      cs => Dist2F64Expr(cs(0), cs(1))),
+    descriptor("rolling_hash31", classOf[RollingHash31Expr],
+      cs => RollingHash31Expr(cs.head)),
+    descriptor("word_tokens", classOf[WordTokensExpr],
+      cs => WordTokensExpr(cs.head)),
+    descriptor("word_shingles", classOf[WordShinglesExpr], {
+      case Seq(c) => WordShinglesExpr(c, 3)
+      case Seq(c, Literal(n: Int, _)) => WordShinglesExpr(c, n)
+      case cs => throw new IllegalArgumentException(
+        s"word_shingles(text[, n literal]): got ${cs.size} args")
+    }))
+
+  /** Register the full function surface for spark.sql(...) on a live
+    * session (extensions only apply at session construction). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "portable_hash32",
-      children => PortableHash32Expr(Cast(children.head, BinaryType)),
-      "built-in")
+    descriptors.foreach { case (id, _, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, build, "built-in")
+    }
 
   /** Add the rewrite rule to a live session (public experimental hook). */
   def installOptimization(spark: SparkSession): Unit =

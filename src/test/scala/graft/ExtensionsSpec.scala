@@ -18,6 +18,31 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r == 0x90015098L)
   }
 
+  test("the full native-function surface is callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT dot_f64(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS dot,
+             dist2_f64(array(0d, 0d), array(3d, 4d)) AS d2,
+             rolling_hash31('abc') AS rh,
+             word_tokens('The  quick   fox') AS toks,
+             word_shingles('a b c d', 3) AS sh3,
+             word_shingles('a b c d') AS shDefault
+    """).collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getLong(2) > 0)
+    assert(r.getSeq[String](3) == Seq("the", "quick", "fox"))
+    assert(r.getSeq[String](4).toSet == Set("a b c", "b c d"))
+    assert(r.getSeq[String](5) == r.getSeq[String](4))
+    // and they agree with the Column-API forms the operators use
+    val viaSql = spark.sql("SELECT word_shingles('x y z w', 2) AS s")
+      .collect()(0).getSeq[String](0).toSet
+    val viaCol = Seq("x y z w").toDF("t")
+      .select(graft.operators.Dedup.shingles(col("t"), 2).as("s"))
+      .collect()(0).getSeq[String](0).toSet
+    assert(viaSql == viaCol)
+  }
+
   test("optimizer rule rewrites the built-in chain to the native expression") {
     GraftFunctions.installOptimization(spark)
     // non-foldable input: literal strings would be constant-folded into
