@@ -78,4 +78,12 @@ class StreamingTwinsSpec extends SparkTestBase {
   test("tokenCounts: streaming ≡ batch row-for-row") {
     parity("twin_tok")(graft.operators.TextAnalysis.tokenCounts(_))
   }
+
+  test("fingerprints: streaming ≡ batch row-for-row") {
+    parity("twin_fp")(graft.operators.TextAnalysis.fingerprints(_))
+  }
+
+  test("repeatedNgrams: streaming ≡ batch row-for-row") {
+    parity("twin_rep")(graft.operators.TextAnalysis.repeatedNgrams(_))
+  }
 }
