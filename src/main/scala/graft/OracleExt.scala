@@ -706,6 +706,22 @@ object OracleExt {
           WHERE q.vec_id < $nQueries)
     WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** Twin of TextAnalysis.heavyHitters — HLL-style gate: exact top-N
+    * counts cross the hash compare; the CMS estimate stays
+    * engine-internal and only its guarantees (≥ truth, ≤ truth+ε·total)
+    * cross, as literal TRUE (deterministic for a fixed seed — a false
+    * flag on the Spark side is a real gate failure). */
+  def heavyHitters(topN: Int): String = s"""
+    WITH tf AS (SELECT term, count(*) AS cnt
+                FROM (SELECT unnest($toks) AS term FROM documents)
+                GROUP BY term)
+    SELECT CAST(rank AS INTEGER) AS rank, term, cnt,
+           TRUE AS est_ge_true, TRUE AS est_within_eps
+    FROM (SELECT term, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, term) AS rank
+          FROM tf)
+    WHERE rank <= $topN ORDER BY rank"""
+
   /** Twin of TextAnalysis.bm25Rank — rational-idf BM25 (ln-free; see
     * the operator scaladoc). Every double expression mirrors the Spark
     * column tree token-for-token: same cast points, same

@@ -219,6 +219,9 @@ object SparkEntry {
     // Retrieval: rational-idf BM25 top-20 for a fixed query term set
     "bm25_rank" -> ((s, dir) =>
       TextAnalysis.bm25Rank(docsPar(s, dir)).orderBy("rank")),
+    // Count-Min-sketch heavy hitters (bound-gated like approx_distinct)
+    "heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(docsPar(s, dir)).orderBy("rank")),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -481,6 +484,7 @@ object SparkEntry {
     "embed_quantize" -> OracleExt.quantizeInt8,
     "keyword_extract" -> OracleExt.keywordExtract(5),
     "bm25_rank" -> OracleExt.bm25Rank(Seq("spark", "join", "filter"), 20),
+    "heavy_hitters" -> OracleExt.heavyHitters(10),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

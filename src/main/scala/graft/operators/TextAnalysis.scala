@@ -191,6 +191,46 @@ object TextAnalysis {
       .withColumn("flagged", col("dup_milli") >= flagMilli)
   }
 
+  /** Heavy hitters with a Count-Min sketch cross-check — the
+    * bounded-memory frequency sketch beside the library's HLL
+    * (approx_distinct) and t-digest (approx_percentiles): the CMS is
+    * depth×width counters REGARDLESS of vocabulary size, the
+    * streaming/low-memory path to frequent-term detection when the
+    * exact groupBy's map-side hash table would blow the budget.
+    *
+    * Shape: ONE pass over the exploded terms feeds both the exact tf
+    * aggregate and Spark's built-in codegen'd `count_min_sketch`
+    * aggregate (counter merges are integer adds — commutative, so the
+    * sketch is bit-deterministic under any partition layout with a
+    * fixed seed). The top-N exact terms then probe the broadcast 1-row
+    * sketch via [[org.apache.spark.sql.graft.CmsEstimateExpr]] (the
+    * scalar read half Spark doesn't ship). Oracled HLL-style: the
+    * ESTIMATE stays engine-internal; what crosses the gate are the
+    * exact counts and the CMS guarantees (estimate ≥ truth always;
+    * ≤ truth + ε·total at the configured confidence), which DuckDB
+    * states as literal booleans. */
+  def heavyHitters(docs: DataFrame, topN: Int = 10, eps: Double = 0.005,
+                   confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = graft.Caches.track(
+      docs.select(explode(tokens(col("text"))).as("term")))
+    val sketch = terms.agg(
+      expr(s"count_min_sketch(term, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)").as("__sk"),
+      count(lit(1)).as("__total"))
+    val top = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("__est",
+        org.apache.spark.sql.graft.CmsEstimateExpr(col("__sk"), col("term")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+      .select(col("rank").cast("int").as("rank"), col("term"), col("cnt"),
+        (col("__est") >= col("cnt")).as("est_ge_true"),
+        (col("__est") <= col("cnt")
+          + ceil(lit(eps) * col("__total")).cast("long")).as("est_within_eps"))
+  }
+
   /** BM25-style retrieval ranking of the corpus against a fixed,
     * plan-time query term set — the search primitive a curation
     * pipeline runs for targeted decontamination sweeps and quality

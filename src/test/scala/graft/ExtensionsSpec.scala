@@ -34,6 +34,14 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getSeq[String](3) == Seq("the", "quick", "fox"))
     assert(r.getSeq[String](4).toSet == Set("a b c", "b c d"))
     assert(r.getSeq[String](5) == r.getSeq[String](4))
+    // cms_estimate probes the built-in aggregate's sketch end-to-end
+    val est = spark.sql("""
+      SELECT cms_estimate(sk, 'a') AS ea, cms_estimate(sk, 'b') AS eb
+      FROM (SELECT count_min_sketch(t, CAST(0.01 AS DOUBLE),
+                     CAST(0.99 AS DOUBLE), 42) AS sk
+            FROM (SELECT explode(array('a','a','a','b')) AS t))
+    """).collect()(0)
+    assert(est.getLong(0) >= 3L && est.getLong(1) >= 1L)
     // and they agree with the Column-API forms the operators use
     val viaSql = spark.sql("SELECT word_shingles('x y z w', 2) AS s")
       .collect()(0).getSeq[String](0).toSet

@@ -101,6 +101,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(3L) == ((1L, 1L, 0L)))
   }
 
+  test("heavyHitters: CMS estimate >= exact for EVERY term; top-N exact counts") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // probe every term of the vocabulary, not just the query's top-N
+    val vocabSize = TextAnalysis.termFreq(d).count().toInt
+    val r = TextAnalysis.heavyHitters(d, topN = vocabSize)
+      .select("rank", "term", "cnt", "est_ge_true", "est_within_eps")
+      .as[(Int, String, Long, Boolean, Boolean)].collect()
+    assert(r.length == vocabSize)
+    assert(r.forall(_._4), "CMS one-sided error: estimate must never undercount")
+    assert(r.forall(_._5), "estimate exceeded the eps*total bound")
+    // exact counts agree with the independent termFreq aggregate
+    val tf = TextAnalysis.termFreq(d).as[(String, Long)].collect().toMap
+    assert(r.forall { case (_, t, c, _, _) => tf(t) == c })
+    // ranks are count-descending with term tiebreak
+    val sorted = r.sortBy(_._1).map(x => (-x._3, x._2)).toSeq
+    assert(sorted == sorted.sorted, "rank order must be cnt desc, term asc")
+    Caches.releaseAll()
+  }
+
   test("bm25Rank: rare-term matches beat common-term matches; saturation caps tf") {
     val d = Seq(
       (1L, "spark spark spark spark spark spark spark spark"), // tf-spam
