@@ -61,4 +61,12 @@ class LayoutInvarianceSpec extends SparkTestBase {
     sweep("sem_dedup", emb, e => KMeans.semDedup(e).orderBy("vec_id"))
     sweep("bm25_rank", docs, d => TextAnalysis.bm25Rank(d).orderBy("rank"))
   }
+
+  test("heavy_hitters is layout-invariant (CMS merges commute)") {
+    // the sketch's counter merges are integer adds, so the ESTIMATE
+    // (not just the gated flags) must be identical under any partition
+    // layout — probe flags + exact counts via the query output
+    sweep("heavy_hitters", docs,
+      d => TextAnalysis.heavyHitters(d).orderBy("rank"))
+  }
 }
