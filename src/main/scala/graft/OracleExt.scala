@@ -140,6 +140,34 @@ object OracleExt {
           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j))
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of Events.valueHistogram: floor(value × 2) is exact in any
+    * IEEE-754 engine (×2 bumps the exponent; floor is
+    * correctly-rounded), so bins are bit-identical. bin × 0.5 goes
+    * through explicit DOUBLE casts — a bare 0.5 literal is DECIMAL in
+    * DuckDB and would trip the gate's strict type check. */
+  val valueHistogram: String = """
+    SELECT bin, CAST(bin AS DOUBLE) * CAST(0.5 AS DOUBLE) AS bin_lo,
+           count(*) AS n, min(event_id) AS min_eid, max(event_id) AS max_eid
+    FROM (SELECT CAST(floor(value * 2) AS BIGINT) AS bin, event_id
+          FROM events)
+    GROUP BY bin ORDER BY bin"""
+
+  /** Twin of Events.rateAnomaly (hourly windows, 200% threshold).
+    * sum(BIGINT) is HUGEINT in DuckDB — CAST back to BIGINT before it
+    * reaches arithmetic or output (the pack_sequences lesson). */
+  val rateAnomaly: String = """
+    WITH wc AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                   count(*) AS n_windows
+            FROM wc GROUP BY 1)
+    SELECT window_start, wc.event_type, n,
+           (1000 * n * n_windows) // total AS rate_milli,
+           (n * n_windows * 100 > total * 200) AS anomaly
+    FROM wc JOIN tot ON wc.event_type = tot.event_type
+    ORDER BY window_start, wc.event_type"""
+
   /** Twin of Events.sessionWindows: lag-gap session derivation, then
     * group per (user, session); session_end = last event + gap. */
   val sessionWindows: String = """
@@ -297,6 +325,15 @@ object OracleExt {
                AS rk
       FROM documents)
     WHERE rk <= 50 ORDER BY lang, rk"""
+
+  /** Twin of Sampling.uniformSample (salt "uni", k = 100). */
+  val uniformSample: String = s"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source FROM documents
+      ORDER BY ${graft.functions.PortableHash
+        .sqlHash32("'uni:' || CAST(doc_id AS VARCHAR)")}, doc_id
+      LIMIT 100)
+    ORDER BY doc_id"""
 
   /** Twin of Sampling.domainCap — the salted two-phase top-k reduces to
     * a plain per-domain rank. */
@@ -522,6 +559,25 @@ object OracleExt {
                JOIN sizes sb ON pairs.doc_b = sb.doc_id
     WHERE (1000 * inter) // (sa.nsh + sb.nsh - inter) >= $minMilli
     ORDER BY doc_a, doc_b"""
+
+  /** Twin of Dedup.dupSpans: per-doc duplicated-shingle stats. Shingles
+    * are distinct per doc (shingleCte), so count(*) per hash is the
+    * document frequency. */
+  val dupSpans: String = s"""
+    WITH $shingleCte,
+    ex AS (SELECT doc_id,
+             ${graft.functions.PortableHash.sqlHash32("s")} AS h
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+    dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+    per AS (SELECT doc_id, count(*) AS n_spans FROM ex GROUP BY doc_id),
+    dp AS (SELECT doc_id, count(*) AS n_dup0
+           FROM ex JOIN dup USING (h) GROUP BY doc_id)
+    SELECT per.doc_id, n_spans,
+           coalesce(n_dup0, CAST(0 AS BIGINT)) AS n_dup,
+           (1000 * coalesce(n_dup0, CAST(0 AS BIGINT))) // n_spans
+             AS dup_milli
+    FROM per LEFT JOIN dp ON per.doc_id = dp.doc_id
+    ORDER BY per.doc_id"""
 
   /** Twin of Dedup.simhash: 64 ±1 bit sums over frequency-weighted token
     * hashes (two independent md5 lanes), recombined into an int64

@@ -190,6 +190,13 @@ object SparkEntry {
     "session_windows" -> ((s, dir) =>
       Events.sessionWindows(LogSource.readEvents(s, dir))
         .orderBy("user_id", "session_start")),
+    // Fixed-width value histogram (exact ×2 binning, constant output)
+    "value_histogram" -> ((s, dir) =>
+      Events.valueHistogram(LogSource.readEvents(s, dir)).orderBy("bin")),
+    // Per-type windowed rate spikes (integer mean test, broadcast stats)
+    "rate_anomaly" -> ((s, dir) =>
+      Events.rateAnomaly(LogSource.readEvents(s, dir))
+        .orderBy("window_start", "event_type")),
 
     // ---- §2.4 LLM-data-pipeline: documents table --------------------
     // Term frequency (wordcount with map-side partial agg)
@@ -237,6 +244,9 @@ object SparkEntry {
     // Per-language stratified sample: 50 lowest-hash docs per stratum
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docsPar(s, dir)).orderBy("lang", "rk")),
+    // Fixed-size global uniform sample (TakeOrdered on salted hash)
+    "uniform_sample" -> ((s, dir) =>
+      Sampling.uniformSample(docsPar(s, dir)).orderBy("doc_id")),
     // Per-domain quota via salted two-phase top-k (10 docs/source)
     "domain_cap" -> ((s, dir) =>
       Sampling.domainCap(docsPar(s, dir), cap = 10).orderBy("source", "rk")),
@@ -282,6 +292,9 @@ object SparkEntry {
     // Exact n-gram Jaccard over shared-shingle pairs
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // Span-level duplication stats (Lee et al.) — no self-join
+    "dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(docsPar(s, dir)).orderBy("doc_id")),
     // Connected components over the LSH pair graph: transitive near-dup
     // clusters via iterative min-label propagation
     "dedup_clusters" -> ((s, dir) =>
@@ -454,12 +467,15 @@ object SparkEntry {
              ${graft.functions.PortableHash.sqlHash32("event_type")} % 100 AS weight
       FROM events ORDER BY event_id""",
     "session_windows" -> OracleExt.sessionWindows,
+    "value_histogram" -> OracleExt.valueHistogram,
+    "rate_anomaly" -> OracleExt.rateAnomaly,
     "top_terms" -> OracleExt.topTermsPerLang,
     "term_stats" -> OracleExt.termStats,
     "dedup_keeplist" -> OracleExt.dedupKeepList,
     "curation_pipeline" -> OracleExt.curation(TextAnalysis.stopwords, 3000, "en"),
     "train_test_split" -> OracleExt.trainTestSplit,
     "stratified_sample" -> OracleExt.stratifiedSample,
+    "uniform_sample" -> OracleExt.uniformSample,
     "domain_cap" -> OracleExt.domainCap(10),
     "repeat_ngrams" -> OracleExt.repeatNgrams,
     "pii_redact" -> OracleExt.piiRedact,
@@ -501,6 +517,7 @@ object SparkEntry {
     "dedup_clusters_star" -> OracleExt.dedupClusters,
     "text_exact_dedup" -> OracleExt.textExactDedup,
     "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
+    "dup_spans" -> OracleExt.dupSpans,
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),

@@ -161,6 +161,43 @@ object Dedup {
         col("nb"), col("jac_milli"))
   }
 
+  /** Span-level duplication stats — the "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al., 2022) signal at shingle
+    * granularity: for each doc, how much of it is text that ALSO occurs
+    * verbatim in some other doc. Doc-level dedup (minhash/simhash/exact)
+    * misses boilerplate spans pasted across otherwise-distinct pages;
+    * this operator measures exactly that, per doc, so a curation
+    * pipeline can drop or trim high-`dup_milli` docs.
+    *
+    * Recipe: every distinct word shingle of every doc is hashed to a
+    * 32-bit key (one explode, linear in corpus tokens — the same cost
+    * class as ngramJaccard's candidate pass, but with NO self-join: the
+    * quadratic pair table never exists here). A shingle is "duplicated"
+    * when ≥2 docs contain it; the duplicated-hash list is filtered
+    * BEFORE joining back (in real corpora most shingles are unique, so
+    * the join's build side is the small minority). All shuffles carry
+    * (long, long) pairs — the span text itself never shuffles.
+    *
+    * At 100 TB, 32-bit keys alias distinct spans (~N²/2³³ false dup
+    * marks); production widens the key to two independent md5 lanes
+    * (PortableHash.hash32b) — same plan shape, double the key bytes.
+    * Output is NULL-free: docs with no duplicated span get n_dup = 0. */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val ex = graft.Caches.track(withShingles(docs)
+      .select(col("doc_id"), explode(col("__sh")).as("s"))
+      .select(col("doc_id"), PortableHash.hash32(col("s")).as("h")))
+    // shingles are distinct per doc, so count(*) per hash == doc freq
+    val dup = ex.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select("h")
+    val perDoc = ex.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = ex.join(dup, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup0"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup0"), lit(0L)).as("n_dup"),
+        expr("(1000 * coalesce(n_dup0, 0L)) div n_spans").as("dup_milli"))
+  }
+
   /** The dedup keep-list: drop every doc that appears as the HIGHER id
     * of an LSH candidate pair (keep-lowest-canonical policy) via a
     * LEFT ANTI join — the standard "subtract the duplicates" shape; at

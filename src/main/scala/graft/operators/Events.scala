@@ -206,4 +206,48 @@ object Events {
         min("event_id").as("min_eid"), max("event_id").as("max_eid"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("min_eid"), col("max_eid"))
+
+  /** Fixed-width histogram over the metric column — the profiling
+    * primitive behind distribution dashboards and outlier triage. One
+    * groupBy on the bin id with map-side partial aggregation; output
+    * size is the bin count, independent of input size, so at 100 TB
+    * this is a full scan into a few-KB result.
+    *
+    * Bin width is 0.5 so the bin id is floor(value × 2): ×2 only bumps
+    * the double's exponent (always exact) and floor is
+    * correctly-rounded in every engine — the bin assignment is
+    * bit-identical cross-engine with NO epsilon anywhere. bin_lo
+    * (= bin × 0.5) is exact for the same reason. */
+  def valueHistogram(events: DataFrame): DataFrame =
+    events.groupBy(floor(col("value") * 2).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      .select(col("bin"), (col("bin") * lit(0.5)).as("bin_lo"),
+        col("n"), col("min_eid"), col("max_eid"))
+
+  /** Per-window rate anomalies: flag (event_type, hour) windows whose
+    * event count exceeds `factorPct`% of that type's per-window mean —
+    * the spike detector a log pipeline runs over its ingest stream.
+    *
+    * Two aggregations: the windowed counts (one shuffle, map-side
+    * partials — the only pass over the raw events), then per-type
+    * totals over the ALREADY-windowed table (input = windows × types,
+    * millions of rows at most, never raw events). The per-type stats
+    * table has one row per event type, so it broadcast-joins back onto
+    * the windowed counts — no second shuffle of the window table.
+    * rate_milli = 1000 × n / mean stays in BIGINT arithmetic (the mean
+    * is never materialized as a double): n × n_windows × 1000 at
+    * worst ~1e9 × 1e5 × 1e3 needs the full i64 but fits. */
+  def rateAnomaly(events: DataFrame, factorPct: Int = 200): DataFrame = {
+    val wc = events.groupBy(
+        date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = wc.groupBy("event_type")
+      .agg(sum("n").as("total"), count(lit(1)).as("n_windows"))
+    wc.join(broadcast(tot), "event_type")
+      .select(col("window_start"), col("event_type"), col("n"),
+        expr("(1000 * n * n_windows) div total").as("rate_milli"),
+        (col("n") * col("n_windows") * 100 > col("total") * factorPct)
+          .as("anomaly"))
+  }
 }

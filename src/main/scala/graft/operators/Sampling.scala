@@ -48,6 +48,28 @@ object Sampling {
       .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"))
   }
 
+  /** Deterministic fixed-size GLOBAL uniform sample: the `k` docs with
+    * the lowest salted hash corpus-wide. Complements the other two
+    * draw shapes — stratifiedSample fixes the size per group,
+    * importanceSample draws Bernoulli (size ~ Binomial, not fixed);
+    * this is the "give me exactly 100k random docs" primitive an eval
+    * or inspection job wants.
+    *
+    * The plan is TakeOrderedAndProject — every partition keeps its own
+    * k smallest hashes and only those k·numPartitions rows reach the
+    * driver-side merge, so there is NO global sort and NO single-task
+    * window even when k is large relative to a partition. Hash order is
+    * a uniform permutation, so the k lowest are an unbiased uniform
+    * draw — and, like every Sampling key, it is content-independent
+    * salted md5, never rand(): retries, backfills, and re-runs all
+    * select the same docs. */
+  def uniformSample(docs: DataFrame, k: Int = 100,
+                    salt: String = "uni"): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        splitHash(salt, col("doc_id")).as("__h"))
+      .orderBy(col("__h"), col("doc_id")).limit(k)
+      .select("doc_id", "lang", "source")
+
   /** Cap each domain (`source`) at `cap` docs, keeping the lowest
     * doc_ids — the Common-Crawl-style per-domain quota that stops one
     * mega-site from dominating the corpus.

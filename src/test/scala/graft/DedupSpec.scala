@@ -203,4 +203,27 @@ class DedupSpec extends SparkTestBase {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("dupSpans: per-doc duplicated-shingle stats, NULL-free zeros") {
+    // doc1 {a b c, b c d, c d e}, doc2 {a b c, b c x, c x y} share ONE
+    // span; doc3 shares none
+    val d = docs((1L, "a b c d e"), (2L, "a b c x y"), (3L, "p q r s"))
+    val r = Dedup.dupSpans(d)
+      .select("doc_id", "n_spans", "n_dup", "dup_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r == Map(
+      1L -> ((3L, 1L, 333L)),
+      2L -> ((3L, 1L, 333L)),
+      3L -> ((2L, 0L, 0L))))
+  }
+
+  test("dupSpans counts spans, not pair multiplicity") {
+    // a span shared by THREE docs still counts once per doc
+    val d = docs((1L, "a b c x1 y1"), (2L, "a b c x2 y2"),
+      (3L, "a b c x3 y3"))
+    val r = Dedup.dupSpans(d)
+      .select("doc_id", "n_dup").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -129,4 +129,37 @@ class EventsSpec extends SparkTestBase {
     assert(leaves.filter(_._1 == "a").map(_._2).sum == 3L)
     assert(r.length == 1 + 2 + 3, "grand + 2 types + 3 leaf groups")
   }
+
+  test("valueHistogram: exact ×2 binning, including negatives and edges") {
+    val rows = Seq(
+      (1L, 0.0), (2L, 0.49), (3L, 0.5), (4L, 1.0), (5L, -0.3))
+      .toDF("event_id", "value")
+    val r = Events.valueHistogram(rows)
+      .select("bin", "bin_lo", "n")
+      .as[(Long, Double, Long)].collect()
+      .map { case (b, lo, n) => b -> ((lo, n)) }.toMap
+    // floor(v*2): 0.0→0, 0.49→0, 0.5→1, 1.0→2, -0.3→-1 (floor, not trunc)
+    assert(r == Map(
+      0L -> ((0.0, 2L)), 1L -> ((0.5, 1L)),
+      2L -> ((1.0, 1L)), -1L -> ((-0.5, 1L))))
+  }
+
+  test("rateAnomaly: integer mean test flags only the spiky window") {
+    // type "a": hourly counts 1, 1, 6 -> total 8 over 3 windows
+    val rows = (Seq(
+      (1L, "a", ts("2024-01-01T10:05:00Z")),
+      (2L, "a", ts("2024-01-01T11:05:00Z"))) ++
+      (10L to 15L).map(i => (i, "a", ts("2024-01-01T12:05:00Z"))))
+      .toDF("event_id", "event_type", "ts")
+    val r = Events.rateAnomaly(rows)
+      .select(col("window_start").cast("string"), col("n"),
+        col("rate_milli"), col("anomaly"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // spike: 1000*6*3 div 8 = 2250; 6*3*100 = 1800 > 8*200 = 1600
+    assert(r("2024-01-01 12:00:00") == ((6L, 2250L, true)))
+    // normal: 1000*1*3 div 8 = 375; 300 < 1600
+    assert(r("2024-01-01 10:00:00") == ((1L, 375L, false)))
+    assert(r("2024-01-01 11:00:00") == ((1L, 375L, false)))
+  }
 }

@@ -135,6 +135,31 @@ class PlansSpec extends SparkTestBase {
         s"not a single-task sort/window over the corpus:\n$p")
   }
 
+  test("uniform_sample is TakeOrdered, never a global sort or window") {
+    val p = plans("uniform_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fixed-size sample must be per-partition partial top-k:\n$p")
+    assert(!p.contains("Window"),
+      s"no window operator in the sample path:\n$p")
+  }
+
+  test("rate_anomaly broadcasts the per-type stats back onto the windows") {
+    val p = plans("rate_anomaly")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row-per-type stats table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"stats join must never shuffle the windowed counts:\n$p")
+  }
+
+  test("dup_spans reads the persisted span table on every consumer") {
+    val p = plans("dup_spans")
+    // every consumer must be an InMemoryTableScan over the one persisted
+    // (doc_id, h) table; the explode lineage shown inside each
+    // InMemoryRelation block is display-only, it executes once
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"exploded span-hash table must be computed once and reused:\n$p")
+  }
+
   test("no driver-side collect() in any query path (source-level guard)") {
     val src = Files.readString(
       Paths.get("src/main/scala/graft/SparkEntry.scala"))

@@ -120,4 +120,27 @@ class SamplingSpec extends SparkTestBase {
       "salted two-phase top-k must keep exactly the naive window's rows")
     assert(twoPhase.groupBy(_._1).forall(_._2.size == 10))
   }
+
+  test("uniformSample: exact size, deterministic, layout-independent, prefix-nested") {
+    import spark.implicits._
+    val k50 = Sampling.uniformSample(docs, k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k50.size == 50)
+    // same draw on re-run AND under a different physical layout
+    val again = Sampling.uniformSample(docs.repartition(7), k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k50 == again, "sample must not depend on partitioning or run")
+    // hash order is a fixed permutation: smaller k is a prefix of larger
+    val k100 = Sampling.uniformSample(docs, k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k50.subsetOf(k100), "k=50 must be a prefix of k=100")
+    // k >= corpus returns everything
+    val all = Sampling.uniformSample(docs, k = 100000)
+      .select("doc_id").as[Long].collect()
+    assert(all.length == docs.count())
+    // a different salt is an independent permutation
+    val other = Sampling.uniformSample(docs, k = 50, salt = "v2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(k50 != other, "salt must key the draw")
+  }
 }
