@@ -62,6 +62,14 @@ class LayoutInvarianceSpec extends SparkTestBase {
     sweep("bm25_rank", docs, d => TextAnalysis.bm25Rank(d).orderBy("rank"))
   }
 
+  test("uniform_sample and dup_spans are layout-invariant (TakeOrdered + joins)") {
+    // TakeOrdered merges per-partition top-ks — the (hash, doc_id)
+    // tie-break makes the merged k identical under any deal
+    sweep("uniform_sample", docs,
+      d => Sampling.uniformSample(d, k = 50).orderBy("doc_id"))
+    sweep("dup_spans", docs, d => Dedup.dupSpans(d).orderBy("doc_id"))
+  }
+
   test("heavy_hitters is layout-invariant (CMS merges commute)") {
     // the sketch's counter merges are integer adds, so the ESTIMATE
     // (not just the gated flags) must be identical under any partition
