@@ -168,6 +168,33 @@ object OracleExt {
     FROM wc JOIN tot ON wc.event_type = tot.event_type
     ORDER BY window_start, wc.event_type"""
 
+  /** Twin of Layout.zValue over events (10 bits per dimension): the
+    * same 20 disjoint-bit shift/mask terms, summed. Spark's
+    * cast(ts as long) floors to seconds; epoch_us // 1000000 is the
+    * same floor. */
+  val zorderLayout: String = {
+    val terms = (0 until 10).flatMap { i =>
+      Seq(s"(((a >> $i) & 1) << ${2 * i})",
+          s"(((b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    s"""
+    SELECT event_id, CAST($terms AS BIGINT) AS z
+    FROM (SELECT event_id, user_id % 1024 AS a,
+                 ((epoch_us(ts) // 1000000) // 3600) % 1024 AS b
+          FROM events)
+    ORDER BY event_id"""
+  }
+
+  /** Twin of the bloom_semi_join query: the bloom is a pure pruning
+    * intermediate (exactness comes from the final semi-join), so the
+    * oracle is the plain relational semi-join. */
+  val bloomSemiJoin: String = """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE user_id IN (SELECT user_id FROM events
+                      WHERE event_type = 'purchase'
+                      GROUP BY user_id HAVING count(*) >= 4)
+    ORDER BY event_id"""
+
   /** Twin of Events.sessionWindows: lag-gap session derivation, then
     * group per (user, session); session_end = last event + gap. */
   val sessionWindows: String = """

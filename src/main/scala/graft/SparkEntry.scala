@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, KMeans, Logstash, Routing, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{BloomJoin, Dedup, Events, KMeans, Logstash, Routing, Sampling, Scrub, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{LogSource, Tables}
 import graft.{OracleFragments => O}
@@ -197,6 +197,25 @@ object SparkEntry {
     "rate_anomaly" -> ((s, dir) =>
       Events.rateAnomaly(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // Z-order (Morton) key derivation — the write-side layout pass that
+    // makes BOTH filter dimensions' file stats prune at read time
+    "zorder_layout" -> ((s, dir) => {
+      val ev = LogSource.readEvents(s, dir)
+      ev.select(col("event_id"),
+          graft.operators.Layout.zValue(col("user_id") % 1024,
+            expr("(cast(ts as long) div 3600) % 1024")).as("z"))
+        .orderBy("event_id")
+    }),
+    // Bloom-prefiltered EXACT semi-join (runtime row-level filter shape)
+    "bloom_semi_join" -> ((s, dir) => {
+      val ev = LogSource.readEvents(s, dir)
+      val heavy = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 4).select("user_id")
+      BloomJoin.bloomPrunedSemiJoin(ev, heavy, "user_id", 100000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
 
     // ---- §2.4 LLM-data-pipeline: documents table --------------------
     // Term frequency (wordcount with map-side partial agg)
@@ -469,6 +488,8 @@ object SparkEntry {
     "session_windows" -> OracleExt.sessionWindows,
     "value_histogram" -> OracleExt.valueHistogram,
     "rate_anomaly" -> OracleExt.rateAnomaly,
+    "bloom_semi_join" -> OracleExt.bloomSemiJoin,
+    "zorder_layout" -> OracleExt.zorderLayout,
     "top_terms" -> OracleExt.topTermsPerLang,
     "term_stats" -> OracleExt.termStats,
     "dedup_keeplist" -> OracleExt.dedupKeepList,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Z-order layout: bit-interleave correctness (differential vs a plain
+  * Scala reference) and the actual PRUNING claim — a filter on the
+  * non-major dimension touches few z-range buckets but every
+  * one-dimension-sorted bucket. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def zRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map(i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+
+  test("zValue interleaves bits (known value + exhaustive 4-bit differential)") {
+    assert(zRef(5L, 3L, 4) == 27L) // a bits at even slots, b at odd
+    val pairs = for (a <- 0L to 15L; b <- 0L to 15L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 4).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pairs.map { case (a, b) => zRef(a, b, 4) })
+  }
+
+  test("z-order layout prunes on the non-major dimension; 1-d sort cannot") {
+    // 64x64 grid split into 16 range buckets ("files"); query filters
+    // y only. x-major layout puts every y in every bucket — zero
+    // skipping. The z curve keeps y-locality too, so the y-slab lives
+    // in a handful of buckets.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def bucketsTouched(key: Column): Long =
+      grid.withColumn("bucket", ntile(16).over(Window.orderBy(key)))
+        .filter(col("y") >= 8 && col("y") < 16)
+        .select("bucket").distinct().count()
+    val zTouched = bucketsTouched(Layout.zValue(col("x"), col("y"), 6))
+    val xMajorTouched = bucketsTouched(col("x") * 64 + col("y"))
+    assert(xMajorTouched == 16L, "1-d layout must touch every bucket")
+    assert(zTouched <= 8L,
+      s"z layout should confine the y-slab to few buckets, got $zTouched")
+  }
+
+  test("zorderRepartition: range partition + intra-partition sort on z") {
+    val grid = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val out = Layout.zorderRepartition(grid, col("x"), col("y"), 4, 4)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"),
+      s"layout pass must range-partition on the z key:\n$p")
+    assert(out.count() == 256, "layout pass must not change the data")
+    // every partition's z values must be sorted and partitions must
+    // cover disjoint, increasing z ranges
+    val zs = out.select(Layout.zValue(col("x"), col("y"), 4).as("z"))
+      .rdd.mapPartitionsWithIndex { case (i, it) =>
+        Iterator((i, it.map(_.getLong(0)).toSeq)) }.collect().toSeq
+      .sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    zs.foreach(p => assert(p == p.sorted, "z must be sorted within files"))
+    zs.sliding(2).foreach {
+      case Seq(lo, hi) => assert(lo.last <= hi.head,
+        "file z ranges must be disjoint and increasing")
+      case _ =>
+    }
+  }
+}

@@ -160,6 +160,18 @@ class PlansSpec extends SparkTestBase {
       s"exploded span-hash table must be computed once and reused:\n$p")
   }
 
+  test("bloom_semi_join: might_contain prefilter + exact LeftSemi join") {
+    val p = plans("bloom_semi_join")
+    assert(p.contains("might_contain"),
+      s"bloom prefilter must sit on the big side:\n$p")
+    assert(p.contains("LeftSemi"), s"exactness semi-join missing:\n$p")
+  }
+
+  test("zorder_layout stays a map-only projection") {
+    assert(!plans("zorder_layout").contains("Exchange hashpartitioning"),
+      s"z-value derivation must not shuffle:\n${plans("zorder_layout")}")
+  }
+
   test("no driver-side collect() in any query path (source-level guard)") {
     val src = Files.readString(
       Paths.get("src/main/scala/graft/SparkEntry.scala"))
