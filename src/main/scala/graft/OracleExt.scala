@@ -353,6 +353,28 @@ object OracleExt {
       FROM documents)
     WHERE rk <= 50 ORDER BY lang, rk"""
 
+  /** Twin of Sampling.qualityDeciles: quantile_cont matches Spark's
+    * type-7 percentile bit-for-bit (the approx_percentiles
+    * equivalence); the decile comparison is pure BIGINT. */
+  def qualityDeciles(enStop: Seq[String]): String = {
+    val cutDefs = (1 to 9).map(j =>
+      s"CAST(floor(quantile_cont(score, 0.$j) * 1000000) AS BIGINT) AS c$j")
+      .mkString(",\n                 ")
+    val below = (1 to 9).map(j =>
+      s"(CASE WHEN score * 1000000 > c$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH scored AS (
+      SELECT doc_id,
+             least(len(toks), 200) * 100 + ${hits(enStop)} * 10
+               - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 50
+               AS score
+      FROM (SELECT doc_id, text, $toks AS toks FROM documents)),
+    cuts AS (SELECT $cutDefs FROM scored)
+    SELECT doc_id, score, CAST($below + 1 AS BIGINT) AS decile
+    FROM scored CROSS JOIN cuts ORDER BY doc_id"""
+  }
+
   /** Twin of Sampling.uniformSample (salt "uni", k = 100). */
   val uniformSample: String = s"""
     SELECT doc_id, lang, source FROM (

@@ -266,6 +266,9 @@ object SparkEntry {
     // Fixed-size global uniform sample (TakeOrdered on salted hash)
     "uniform_sample" -> ((s, dir) =>
       Sampling.uniformSample(docsPar(s, dir)).orderBy("doc_id")),
+    // Corpus-wide quality deciles WITHOUT a global sort (cuts broadcast)
+    "quality_deciles" -> ((s, dir) =>
+      Sampling.qualityDeciles(docsPar(s, dir)).orderBy("doc_id")),
     // Per-domain quota via salted two-phase top-k (10 docs/source)
     "domain_cap" -> ((s, dir) =>
       Sampling.domainCap(docsPar(s, dir), cap = 10).orderBy("source", "rk")),
@@ -497,6 +500,7 @@ object SparkEntry {
     "train_test_split" -> OracleExt.trainTestSplit,
     "stratified_sample" -> OracleExt.stratifiedSample,
     "uniform_sample" -> OracleExt.uniformSample,
+    "quality_deciles" -> OracleExt.qualityDeciles(TextAnalysis.stopwords("en")),
     "domain_cap" -> OracleExt.domainCap(10),
     "repeat_ngrams" -> OracleExt.repeatNgrams,
     "pii_redact" -> OracleExt.piiRedact,

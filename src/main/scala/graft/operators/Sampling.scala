@@ -70,6 +70,38 @@ object Sampling {
       .orderBy(col("__h"), col("doc_id")).limit(k)
       .select("doc_id", "lang", "source")
 
+  /** Assign every doc its corpus-wide quality DECILE — the bucketing a
+    * curriculum/mixture pipeline uses ("train on the top 3 deciles",
+    * "sample decile-balanced") — WITHOUT the global sort that `ntile`
+    * over an unpartitioned window costs (one task sorting the whole
+    * corpus: the canonical at-scale anti-pattern).
+    *
+    * Instead: ONE exact-percentile aggregation computes the 9 cut
+    * points (a single reduce to a 1-row frame), which broadcast back
+    * onto the scored docs; the decile is then 1 + count(cuts below the
+    * score) — a pure map-side projection. Total cost: two scans and a
+    * 9-value broadcast, no shuffle wider than the percentile partials.
+    * At 100 TB the exact percentile becomes approx_percentile with the
+    * same plan shape (the bound-gating pattern of approxPercentiles).
+    *
+    * Cross-engine exactness: scores are integers, so `score > cut` ⟺
+    * `score·10⁶ > floor(cut·10⁶)` — the comparison happens in BIGINT
+    * and the one double quantile per cut is floored identically by
+    * both engines (the approx_percentiles type-7 equivalence). */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("score"))
+    val cutCols = (1 to 9).map(j =>
+      floor(expr(s"percentile(score, 0.$j)") * 1000000L).cast("long")
+        .as(s"__c$j"))
+    val cuts = scored.agg(cutCols.head, cutCols.tail: _*)
+    val s = col("score") * 1000000L
+    val decile = (1 to 9).map(j =>
+      when(s > col(s"__c$j"), 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+    scored.join(broadcast(cuts))
+      .select(col("doc_id"), col("score"), decile.as("decile"))
+  }
+
   /** Cap each domain (`source`) at `cap` docs, keeping the lowest
     * doc_ids — the Common-Crawl-style per-domain quota that stops one
     * mega-site from dominating the corpus.

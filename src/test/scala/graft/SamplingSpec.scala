@@ -121,6 +121,27 @@ class SamplingSpec extends SparkTestBase {
     assert(twoPhase.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("qualityDeciles: monotone in score, total, 1..10, near-balanced") {
+    import spark.implicits._
+    val r = Sampling.qualityDeciles(docs)
+      .select("doc_id", "score", "decile")
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == docs.count(), "every doc gets a decile")
+    assert(r.forall(x => x._3 >= 1 && x._3 <= 10))
+    // deciles must be a monotone function of the score
+    val byScore = r.sortBy(_._2)
+    byScore.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._3 <= hi._3,
+        s"decile not monotone: $lo vs $hi")
+      case _ =>
+    }
+    // percentile cuts keep buckets within 2x of even (ties permitting)
+    val sizes = r.groupBy(_._3).view.mapValues(_.length)
+    assert(sizes.values.max <= r.length / 5,
+      s"a decile collapsed the distribution: ${sizes.toMap}")
+    assert(sizes.size >= 8, s"expected ~10 distinct deciles: ${sizes.toMap}")
+  }
+
   test("uniformSample: exact size, deterministic, layout-independent, prefix-nested") {
     import spark.implicits._
     val k50 = Sampling.uniformSample(docs, k = 50)

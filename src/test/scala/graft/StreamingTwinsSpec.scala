@@ -86,4 +86,38 @@ class StreamingTwinsSpec extends SparkTestBase {
   test("repeatedNgrams: streaming ≡ batch row-for-row") {
     parity("twin_rep")(graft.operators.TextAnalysis.repeatedNgrams(_))
   }
+
+  test("zValue: streaming ≡ batch row-for-row") {
+    import org.apache.spark.sql.functions._
+    parity("twin_z") { df =>
+      df.select(col("doc_id"),
+        graft.operators.Layout.zValue(col("doc_id") % 64,
+          length(col("text")).cast("long") % 64, 6).as("z"))
+    }
+  }
+
+  test("valueHistogram: streaming (complete mode) ≡ batch") {
+    // an aggregation twin: same library call, complete output mode —
+    // each trigger emits the full up-to-date histogram
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def toEvents(df: DataFrame): DataFrame =
+      df.select(col("doc_id").as("event_id"),
+        (length(col("text")).cast("double") / 8.0).as("value"))
+    val input = MemoryStream[TwinDoc]
+    val q = graft.operators.Events.valueHistogram(toEvents(input.toDF()))
+      .writeStream.format("memory").queryName("twin_hist")
+      .outputMode("complete").start()
+    input.addData(fixture.take(50): _*)
+    q.processAllAvailable()
+    input.addData(fixture.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("twin_hist")
+    val batch = graft.operators.Events.valueHistogram(toEvents(fixture.toDF()))
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "complete-mode streaming histogram != batch histogram")
+    assert(streamed.count() > 1, "fixture must span several bins")
+  }
 }
