@@ -185,6 +185,43 @@ object OracleExt {
     ORDER BY event_id"""
   }
 
+  /** Twin of Events.funnelLevels (6 h step window, strict ordering):
+    * the same three earliest-qualifying-step phases in integer µs. */
+  val funnelLevels: String = """
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+                 AND epoch_us(e.ts) <= s1.t1 + 21600000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+                 AND epoch_us(e.ts) <= s2.t2 + 21600000000
+           GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     WHEN s1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_level
+    FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+           LEFT JOIN s2 ON u.user_id = s2.user_id
+           LEFT JOIN s3 ON u.user_id = s3.user_id
+    ORDER BY u.user_id"""
+
+  /** Twin of Events.cohortRetention — integer epoch-day arithmetic. */
+  val cohortRetention: String = """
+    WITH ev AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day FROM events),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev
+               GROUP BY user_id)
+    SELECT cohort_day, day - cohort_day AS offset_days,
+           count(*) AS n_users
+    FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Twin of the bloom_semi_join query: the bloom is a pure pruning
     * intermediate (exactness comes from the final semi-join), so the
     * oracle is the plain relational semi-join. */
@@ -373,6 +410,25 @@ object OracleExt {
     cuts AS (SELECT $cutDefs FROM scored)
     SELECT doc_id, score, CAST($below + 1 AS BIGINT) AS decile
     FROM scored CROSS JOIN cuts ORDER BY doc_id"""
+  }
+
+  /** Twin of Sampling.domainMix — identical BIGINT rate derivation. */
+  def domainMix(targets: Map[String, Int], salt: String = "mix"): String = {
+    val values = targets.toSeq.sortBy(_._1)
+      .map { case (s, t) => s"('$s', $t)" }.mkString(", ")
+    s"""
+    WITH t(source, t_s0) AS (VALUES $values),
+    c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    ct AS (SELECT c.source, n_s, CAST(t_s0 AS BIGINT) AS t_s
+           FROM c JOIN t ON c.source = t.source),
+    m AS (SELECT min((n_s * 1000000) // t_s) AS mm FROM ct),
+    r AS (SELECT source, least(1000000, (t_s * mm) // n_s) AS p_ppm
+          FROM ct CROSS JOIN m)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE ${graft.functions.PortableHash
+      .sqlHash32(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000 < p_ppm
+    ORDER BY d.doc_id"""
   }
 
   /** Twin of Sampling.uniformSample (salt "uni", k = 100). */

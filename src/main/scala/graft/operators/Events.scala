@@ -238,6 +238,65 @@ object Events {
     * rate_milli = 1000 × n / mean stays in BIGINT arithmetic (the mean
     * is never materialized as a double): n × n_windows × 1000 at
     * worst ~1e9 × 1e5 × 1e3 needs the full i64 but fits. */
+  /** Ordered-funnel analysis: how far each user progresses through
+    * view → click → purchase, where every step must happen STRICTLY
+    * after the previous one and within `windowUs` of it — the
+    * conversion query every event pipeline runs.
+    *
+    * Each step is one filtered groupBy(user) for the earliest
+    * qualifying event, then a hash join back on user_id; the candidate
+    * set shrinks every step (only users who completed step k are
+    * joined for step k+1), so the expensive scans are the per-step
+    * event filters — partition-pruned by event_type at a real
+    * deployment's layout — and every shuffle is keyed on user_id. No
+    * per-user event list is ever collected: state per user per step is
+    * ONE timestamp, never the history (the collect_list funnel is the
+    * unbounded-buffer anti-pattern this shape exists to avoid).
+    * Timestamps are compared in integer epoch-µs. */
+  def funnelLevels(events: DataFrame,
+                   windowUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").as("e")
+      .join(s1.as("p"), col("e.user_id") === col("p.user_id")
+        && col("e.us") > col("p.t1")
+        && col("e.us") <= col("p.t1") + windowUs)
+      .groupBy(col("e.user_id")).agg(min("us").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("e")
+      .join(s2.as("p"), col("e.user_id") === col("p.user_id")
+        && col("e.us") > col("p.t2")
+        && col("e.us") <= col("p.t2") + windowUs)
+      .groupBy(col("e.user_id")).agg(min("us").as("t3"))
+    ev.select("user_id").distinct()
+      .join(s1.select(col("user_id"), lit(1L).as("__l1")), Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), lit(1L).as("__l2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(1L).as("__l3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("__l3").isNotNull, 3L)
+          .when(col("__l2").isNotNull, 2L)
+          .when(col("__l1").isNotNull, 1L)
+          .otherwise(0L).as("funnel_level"))
+  }
+
+  /** Cohort retention: users bucketed by their FIRST-activity day, then
+    * counted per (cohort, day-offset) — the activation/retention matrix.
+    * Day arithmetic stays in integer epoch-days (µs div 86400e6), so
+    * no timezone or calendar function can diverge cross-engine. Three
+    * keyed shuffles: first-day per user, the distinct (user, day)
+    * activity set, and the final (cohort, offset) count — each carries
+    * two longs per row. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.distinct().join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def rateAnomaly(events: DataFrame, factorPct: Int = 200): DataFrame = {
     val wc = events.groupBy(
         date_trunc("hour", col("ts")).as("window_start"), col("event_type"))

@@ -102,6 +102,39 @@ object Sampling {
       .select(col("doc_id"), col("score"), decile.as("decile"))
   }
 
+  /** Rebalance the corpus to TARGET per-domain shares — the mixture
+    * step ("40% web, 30% books, 30% code") a training pipeline runs
+    * after curation, expressed as deterministic per-domain Bernoulli
+    * keep rates. Unlike domainCap (an absolute count quota) this hits
+    * a SHAPE: the largest achievable corpus with the requested
+    * proportions, scaled down by whichever domain is the binding
+    * constraint (M = min over domains of n_s·10⁶/t_s; domain s then
+    * keeps with probability t_s·M/n_s ppm — the binding domain keeps
+    * everything, oversupplied domains thin down).
+    *
+    * The per-domain counts are a tiny aggregate (|domains| rows); the
+    * rate table broadcasts back; the keep decision is the same salted
+    * per-row hash draw as every Sampling op — retry/backfill-stable,
+    * and at 100 TB the only full-data cost is one scan + one broadcast
+    * hash join. Domains absent from `targetsPermille` are dropped
+    * (target 0). All arithmetic is BIGINT div — no double ever decides
+    * membership. */
+  def domainMix(docs: DataFrame, targetsPermille: Map[String, Int],
+                salt: String = "mix"): DataFrame = {
+    val target = typedLit(targetsPermille)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("t_s",
+        coalesce(element_at(target, col("source")), lit(0)).cast("long"))
+      .filter(col("t_s") > 0)
+    val m = counts.agg(min(expr("(n_s * 1000000) div t_s")).as("__m"))
+    val rates = counts.crossJoin(broadcast(m))
+      .select(col("source"),
+        least(lit(1000000L), expr("(t_s * __m) div n_s")).as("p_ppm"))
+    docs.join(broadcast(rates), "source")
+      .filter(splitHash(salt, col("doc_id")) % 1000000 < col("p_ppm"))
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   /** Cap each domain (`source`) at `cap` docs, keeping the lowest
     * doc_ids — the Common-Crawl-style per-domain quota that stops one
     * mega-site from dominating the corpus.
