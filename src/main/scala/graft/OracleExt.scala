@@ -171,7 +171,15 @@ object OracleExt {
   /** Twin of Layout.zValue over events (10 bits per dimension): the
     * same 20 disjoint-bit shift/mask terms, summed. Spark's
     * cast(ts as long) floors to seconds; epoch_us // 1000000 is the
-    * same floor. */
+    * same floor.
+    *
+    * NON-NEGATIVE-DOMAIN ASSUMPTION (here and in [[cohortRetention]]):
+    * DuckDB's `//` floors while Spark's `div` truncates toward zero —
+    * identical for non-negative operands, divergent below zero. Both
+    * twins divide epoch-µs by a positive constant, so the assumption is
+    * "no pre-1970 timestamps", which the events fixture (and any log
+    * pipeline) satisfies; a corpus with pre-epoch times would need
+    * floor() on the Spark side to keep twin parity. */
   val zorderLayout: String = {
     val terms = (0 until 10).flatMap { i =>
       Seq(s"(((a >> $i) & 1) << ${2 * i})",
@@ -211,7 +219,9 @@ object OracleExt {
            LEFT JOIN s3 ON u.user_id = s3.user_id
     ORDER BY u.user_id"""
 
-  /** Twin of Events.cohortRetention — integer epoch-day arithmetic. */
+  /** Twin of Events.cohortRetention — integer epoch-day arithmetic.
+    * `//` vs `div` parity rests on the non-negative-domain assumption
+    * documented at [[zorderLayout]] (no pre-1970 timestamps). */
   val cohortRetention: String = """
     WITH ev AS (SELECT DISTINCT user_id,
                        epoch_us(ts) // 86400000000 AS day FROM events),
@@ -665,18 +675,20 @@ object OracleExt {
     WHERE (1000 * inter) // (sa.nsh + sb.nsh - inter) >= $minMilli
     ORDER BY doc_a, doc_b"""
 
-  /** Twin of Dedup.dupSpans: per-doc duplicated-shingle stats. Shingles
-    * are distinct per doc (shingleCte), so count(*) per hash is the
+  /** Twin of Dedup.dupSpans: per-doc duplicated-shingle stats keyed on
+    * the same dual 32-bit md5 lanes (64-bit combined key). Shingles
+    * are distinct per doc (shingleCte), so count(*) per key is the
     * document frequency. */
   val dupSpans: String = s"""
     WITH $shingleCte,
     ex AS (SELECT doc_id,
-             ${graft.functions.PortableHash.sqlHash32("s")} AS h
+             ${graft.functions.PortableHash.sqlHash32("s")} AS h1,
+             ${graft.functions.PortableHash.sqlHash32b("s")} AS h2
            FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
-    dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+    dup AS (SELECT h1, h2 FROM ex GROUP BY h1, h2 HAVING count(*) >= 2),
     per AS (SELECT doc_id, count(*) AS n_spans FROM ex GROUP BY doc_id),
     dp AS (SELECT doc_id, count(*) AS n_dup0
-           FROM ex JOIN dup USING (h) GROUP BY doc_id)
+           FROM ex JOIN dup USING (h1, h2) GROUP BY doc_id)
     SELECT per.doc_id, n_spans,
            coalesce(n_dup0, CAST(0 AS BIGINT)) AS n_dup,
            (1000 * coalesce(n_dup0, CAST(0 AS BIGINT))) // n_spans

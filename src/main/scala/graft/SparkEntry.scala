@@ -197,6 +197,15 @@ object SparkEntry {
     "rate_anomaly" -> ((s, dir) =>
       Events.rateAnomaly(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // Ordered funnel (view→click→purchase, strict 6h step windows):
+    // per-step earliest-qualifying-event joins, no per-user event lists
+    "funnel_levels" -> ((s, dir) =>
+      Events.funnelLevels(LogSource.readEvents(s, dir))
+        .orderBy("user_id")),
+    // Cohort retention matrix in integer epoch-day arithmetic
+    "cohort_retention" -> ((s, dir) =>
+      Events.cohortRetention(LogSource.readEvents(s, dir))
+        .orderBy("cohort_day", "offset_days")),
     // Z-order (Morton) key derivation — the write-side layout pass that
     // makes BOTH filter dimensions' file stats prune at read time
     "zorder_layout" -> ((s, dir) => {
@@ -272,6 +281,9 @@ object SparkEntry {
     // Per-domain quota via salted two-phase top-k (10 docs/source)
     "domain_cap" -> ((s, dir) =>
       Sampling.domainCap(docsPar(s, dir), cap = 10).orderBy("source", "rk")),
+    // Target-share domain mixture (50/30/20) via BIGINT keep rates
+    "domain_mix" -> ((s, dir) =>
+      Sampling.domainMix(docsPar(s, dir), domainMixTargets).orderBy("doc_id")),
     // Gopher-style intra-doc repeated-ngram quality signal
     "repeat_ngrams" -> ((s, dir) =>
       TextAnalysis.repeatedNgrams(docsPar(s, dir)).orderBy("doc_id")),
@@ -430,6 +442,11 @@ object SparkEntry {
     })
   )
 
+  /** domain_mix gate fixture: src0 binds (keeps all), src1/src2 thin to
+    * 60%/40%; the other 17 sources have target 0 and drop. */
+  private val domainMixTargets: Map[String, Int] =
+    Map("src0" -> 500, "src1" -> 300, "src2" -> 200)
+
   private def overRm(select: String): String =
     s"WITH rm AS (${O.routerMessages}) $select"
 
@@ -491,6 +508,9 @@ object SparkEntry {
     "session_windows" -> OracleExt.sessionWindows,
     "value_histogram" -> OracleExt.valueHistogram,
     "rate_anomaly" -> OracleExt.rateAnomaly,
+    "funnel_levels" -> OracleExt.funnelLevels,
+    "cohort_retention" -> OracleExt.cohortRetention,
+    "domain_mix" -> OracleExt.domainMix(domainMixTargets),
     "bloom_semi_join" -> OracleExt.bloomSemiJoin,
     "zorder_layout" -> OracleExt.zorderLayout,
     "top_terms" -> OracleExt.topTermsPerLang,

@@ -33,7 +33,10 @@ object BloomJoin {
   def bloomPrunedSemiJoin(big: DataFrame, keys: DataFrame,
                           key: String, expectedItems: Long): DataFrame = {
     val bloom = keys.agg(BloomExprs.bloomAgg(col(key), expectedItems).as("__bf"))
+    // no .distinct() on the build side: a left_semi hash join already
+    // tolerates duplicate build keys, and the distinct would add a full
+    // shuffle+aggregate over the key set the join makes redundant
     big.filter(BloomExprs.mightContain(bloom, col(key)))
-      .join(keys.distinct(), Seq(key), "left_semi")
+      .join(keys, Seq(key), "left_semi")
   }
 }

@@ -170,27 +170,32 @@ object Dedup {
     * pipeline can drop or trim high-`dup_milli` docs.
     *
     * Recipe: every distinct word shingle of every doc is hashed to a
-    * 32-bit key (one explode, linear in corpus tokens — the same cost
+    * 64-bit key — TWO independent 32-bit md5 lanes, grouped/joined
+    * together (one explode, linear in corpus tokens — the same cost
     * class as ngramJaccard's candidate pass, but with NO self-join: the
     * quadratic pair table never exists here). A shingle is "duplicated"
-    * when ≥2 docs contain it; the duplicated-hash list is filtered
+    * when ≥2 docs contain it; the duplicated-key list is filtered
     * BEFORE joining back (in real corpora most shingles are unique, so
     * the join's build side is the small minority). All shuffles carry
-    * (long, long) pairs — the span text itself never shuffles.
+    * (long, long, long) triples — the span text itself never shuffles.
     *
-    * At 100 TB, 32-bit keys alias distinct spans (~N²/2³³ false dup
-    * marks); production widens the key to two independent md5 lanes
-    * (PortableHash.hash32b) — same plan shape, double the key bytes.
+    * The dual lane is the scale guarantee: a single 32-bit key aliases
+    * distinct spans at ~N²/2³³ expected false dup marks (≥1 false mark
+    * once the corpus passes ~10⁵ distinct spans); the combined 64-bit
+    * key pushes that to N²/2⁶⁵ — under one expected false mark up to
+    * ~6×10⁹ distinct spans, and vanishing at fixture scale (DedupSpec
+    * pins the bound). Same plan shape, double the key bytes.
     * Output is NULL-free: docs with no duplicated span get n_dup = 0. */
   def dupSpans(docs: DataFrame): DataFrame = {
     val ex = graft.Caches.track(withShingles(docs)
       .select(col("doc_id"), explode(col("__sh")).as("s"))
-      .select(col("doc_id"), PortableHash.hash32(col("s")).as("h")))
-    // shingles are distinct per doc, so count(*) per hash == doc freq
-    val dup = ex.groupBy("h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2).select("h")
+      .select(col("doc_id"), PortableHash.hash32(col("s")).as("h1"),
+        PortableHash.hash32b(col("s")).as("h2")))
+    // shingles are distinct per doc, so count(*) per key == doc freq
+    val dup = ex.groupBy("h1", "h2").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select("h1", "h2")
     val perDoc = ex.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val dupPerDoc = ex.join(dup, "h")
+    val dupPerDoc = ex.join(dup, Seq("h1", "h2"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup0"))
     perDoc.join(dupPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),

@@ -225,19 +225,6 @@ object Events {
       .select(col("bin"), (col("bin") * lit(0.5)).as("bin_lo"),
         col("n"), col("min_eid"), col("max_eid"))
 
-  /** Per-window rate anomalies: flag (event_type, hour) windows whose
-    * event count exceeds `factorPct`% of that type's per-window mean —
-    * the spike detector a log pipeline runs over its ingest stream.
-    *
-    * Two aggregations: the windowed counts (one shuffle, map-side
-    * partials — the only pass over the raw events), then per-type
-    * totals over the ALREADY-windowed table (input = windows × types,
-    * millions of rows at most, never raw events). The per-type stats
-    * table has one row per event type, so it broadcast-joins back onto
-    * the windowed counts — no second shuffle of the window table.
-    * rate_milli = 1000 × n / mean stays in BIGINT arithmetic (the mean
-    * is never materialized as a double): n × n_windows × 1000 at
-    * worst ~1e9 × 1e5 × 1e3 needs the full i64 but fits. */
   /** Ordered-funnel analysis: how far each user progresses through
     * view → click → purchase, where every step must happen STRICTLY
     * after the previous one and within `windowUs` of it — the
@@ -297,6 +284,19 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-window rate anomalies: flag (event_type, hour) windows whose
+    * event count exceeds `factorPct`% of that type's per-window mean —
+    * the spike detector a log pipeline runs over its ingest stream.
+    *
+    * Two aggregations: the windowed counts (one shuffle, map-side
+    * partials — the only pass over the raw events), then per-type
+    * totals over the ALREADY-windowed table (input = windows × types,
+    * millions of rows at most, never raw events). The per-type stats
+    * table has one row per event type, so it broadcast-joins back onto
+    * the windowed counts — no second shuffle of the window table.
+    * rate_milli = 1000 × n / mean stays in BIGINT arithmetic (the mean
+    * is never materialized as a double): n × n_windows × 1000 at
+    * worst ~1e9 × 1e5 × 1e3 needs the full i64 but fits. */
   def rateAnomaly(events: DataFrame, factorPct: Int = 200): DataFrame = {
     val wc = events.groupBy(
         date_trunc("hour", col("ts")).as("window_start"), col("event_type"))

@@ -26,9 +26,13 @@ object Layout {
     * form every engine reproduces bit-identically. */
   def zValue(a: Column, b: Column, bits: Int = 10): Column = {
     require(bits >= 1 && bits <= 31, "bits must fit both lanes in a long")
+    // widen to long FIRST: shiftleft preserves the input's type, so an
+    // int-typed column with bits > 15 would place bits at position >= 31
+    // and wrap inside the 32-bit lane instead of filling the long
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     val terms = (0 until bits).flatMap { i =>
-      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
-          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      Seq(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_ + _)
   }

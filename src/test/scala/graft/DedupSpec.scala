@@ -226,4 +226,34 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id", "n_dup").as[(Long, Long)].collect().toMap
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("dupSpans keys on BOTH md5 lanes (64-bit collision bound)") {
+    // Differential vs hash-free truth: on a corpus where every doc pair
+    // shares some shingles, the dual-lane keyed result must equal the
+    // span-TEXT computation exactly — i.e. zero lane-32 aliasing leaks
+    // into the output. (Single-lane expected false marks are ~N²/2³³;
+    // the dual 64-bit key drives that to N²/2⁶⁵ — <1 expected false
+    // mark below ~6e9 distinct spans. Fixture scale verifies the
+    // mechanism; the bound is arithmetic.)
+    val d = docs((0L until 40L).map(i =>
+      (i, s"common prefix words here then t$i u$i v$i w$i")): _*)
+    val byHash = Dedup.dupSpans(d)
+      .select("doc_id", "n_spans", "n_dup")
+      .as[(Long, Long, Long)].collect().toSet
+    val byText = {
+      import org.apache.spark.sql.functions._
+      val ex = Dedup.withShingles(d)
+        .select(col("doc_id"), explode(col("__sh")).as("s"))
+      val dup = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("s")
+      val per = ex.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val dp = ex.join(dup, "s").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup0"))
+      per.join(dp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup0"), lit(0L)).as("n_dup"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(byHash == byText, "dual-lane keys must reproduce text-keyed truth")
+  }
 }

@@ -162,4 +162,71 @@ class EventsSpec extends SparkTestBase {
     assert(r("2024-01-01 10:00:00") == ((1L, 375L, false)))
     assert(r("2024-01-01 11:00:00") == ((1L, 375L, false)))
   }
+
+  test("funnelLevels: strict ordering — same-instant next step doesn't count") {
+    val t0 = ts("2024-01-01T10:00:00Z")
+    val rows = Seq(
+      // u1: click AT the view instant -> not strictly after -> level 1
+      (1L, 1L, "view", t0), (2L, 1L, "click", t0),
+      // u2: proper view < click < purchase chain -> level 3
+      (3L, 2L, "view", t0),
+      (4L, 2L, "click", ts("2024-01-01T11:00:00Z")),
+      (5L, 2L, "purchase", ts("2024-01-01T12:00:00Z")),
+      // u3: click with NO view -> level 0 (ordered funnel, not any-step)
+      (6L, 3L, "click", t0),
+      // u4: view only -> level 1
+      (7L, 4L, "view", t0))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val lv = Events.funnelLevels(rows)
+      .as[(Long, Long)].collect().toMap
+    assert(lv == Map(1L -> 1L, 2L -> 3L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("funnelLevels: window edge — exactly windowUs counts, beyond doesn't") {
+    val rows = Seq(
+      // u1: click at t1 + 6h exactly (<= boundary) -> level 2
+      (1L, 1L, "view", ts("2024-01-01T10:00:00Z")),
+      (2L, 1L, "click", ts("2024-01-01T16:00:00Z")),
+      // u2: click at t1 + 6h + 1µs -> out of window -> level 1
+      (3L, 2L, "view", ts("2024-01-01T10:00:00Z")),
+      (4L, 2L, "click", ts("2024-01-01T16:00:00.000001Z")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val lv = Events.funnelLevels(rows).as[(Long, Long)].collect().toMap
+    assert(lv == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("funnelLevels: each step anchors on the EARLIEST qualifying event") {
+    // u1's first click lands out of the purchase's window, but the funnel
+    // must anchor step 2 at the EARLIEST in-window click (11:00), from
+    // which the 15:00 purchase IS reachable.
+    val rows = Seq(
+      (1L, 1L, "view", ts("2024-01-01T10:00:00Z")),
+      (2L, 1L, "click", ts("2024-01-01T11:00:00Z")),
+      (3L, 1L, "click", ts("2024-01-01T14:00:00Z")),
+      (4L, 1L, "purchase", ts("2024-01-01T15:00:00Z")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val lv = Events.funnelLevels(rows).as[(Long, Long)].collect().toMap
+    assert(lv == Map(1L -> 3L))
+  }
+
+  test("cohortRetention: day-boundary split and same-day dedup") {
+    val rows = Seq(
+      // u1: first activity 1µs before midnight -> cohort day 19723;
+      // second event 1µs later falls on the NEXT epoch day
+      (1L, 1L, ts("2024-01-01T23:59:59.999999Z")),
+      (2L, 1L, ts("2024-01-02T00:00:00Z")),
+      // u2: two events the SAME day (distinct (user, day) dedups them),
+      // one more 2 days later
+      (3L, 2L, ts("2024-01-02T05:00:00Z")),
+      (4L, 2L, ts("2024-01-02T18:00:00Z")),
+      (5L, 2L, ts("2024-01-04T01:00:00Z")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Events.cohortRetention(rows)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    val d0 = 19723L // 2024-01-01 in epoch days
+    assert(r == Map(
+      (d0, 0L) -> 1L, (d0, 1L) -> 1L,      // u1 on both sides of midnight
+      (d0 + 1, 0L) -> 1L, (d0 + 1, 2L) -> 1L)) // u2: same-day pair collapsed
+  }
 }

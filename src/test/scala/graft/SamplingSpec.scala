@@ -164,4 +164,45 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(k50 != other, "salt must key the draw")
   }
+
+  test("domainMix: binding domain keeps all, others thin to target shares") {
+    import spark.implicits._
+    // a: 100 docs / target 500‰ -> binding (100e6/500 is the min ratio)
+    // b: 300 docs / target 500‰ -> keep rate 333333 ppm (~100 expected)
+    // c: 50 docs, NOT in targets -> dropped entirely
+    val mixDocs = ((0L until 100L).map(i => (i, "a", "en")) ++
+      (100L until 400L).map(i => (i, "b", "en")) ++
+      (400L until 450L).map(i => (i, "c", "en")))
+      .toDF("doc_id", "source", "lang")
+    val out = Sampling.domainMix(mixDocs, Map("a" -> 500, "b" -> 500))
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("a", 0) == 100, "binding domain must keep all")
+    assert(!bySrc.contains("c"), "untargeted domains must drop")
+    // b draws Bernoulli(1/3) over 300 docs: mean 100, σ≈8.2 — accept ±5σ
+    val nb = bySrc.getOrElse("b", 0)
+    assert(nb > 59 && nb < 141, s"b keep count off: $nb/300 at p=1/3")
+    // deterministic: same corpus, same targets -> identical mixture,
+    // regardless of physical layout
+    val again = Sampling.domainMix(mixDocs.repartition(7),
+        Map("a" -> 500, "b" -> 500))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == again, "mixture must be retry-stable")
+  }
+
+  test("domainMix: achieved proportions match targets within quantization") {
+    import spark.implicits._
+    // equal supply, skewed targets 50/30/20 — the SparkEntry gate shape
+    val mixDocs = (0L until 900L).map(i =>
+      (i, s"s${i % 3}", "en")).toDF("doc_id", "source", "lang")
+    val out = Sampling.domainMix(mixDocs,
+        Map("s0" -> 500, "s1" -> 300, "s2" -> 200))
+      .select("source").as[String].collect()
+    val n = out.groupBy(identity).view.mapValues(_.length).toMap
+    // s0 binds (largest target over equal supply) -> keeps all 300;
+    // expected s1 = 180, s2 = 120 (Bernoulli: σ≈11 and ≈10 — ±5σ)
+    assert(n("s0") == 300)
+    assert(n("s1") > 125 && n("s1") < 235, s"s1 off: ${n("s1")}")
+    assert(n("s2") > 70 && n("s2") < 170, s"s2 off: ${n("s2")}")
+  }
 }
