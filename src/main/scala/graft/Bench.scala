@@ -162,9 +162,15 @@ object Bench {
                  else s""""unstable_n":${unstable.size}"""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$q,$unst,"contaminated":$contaminated,"sf":"$sfDir","runs":$runs}"""
     }
-    val line = Seq((3, true), (2, true), (1, true), (1, false), (0, false))
+    // integer-rounded per-query values are worse than none (BENCH_r09
+    // recorded 0/1/2-second "timings" useless for regression tracking):
+    // when even 1 decimal can't fit, the line drops the map entirely and
+    // points at the committed full-precision artifact instead
+    val pointerLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_file":"bench_out.json","n_queries":${results.size},"unstable_n":${unstable.size},"contaminated":$contaminated,"sf":"$sfDir","runs":$runs}"""
+    val line = Seq((3, true), (2, true), (1, true), (1, false))
       .map { case (d, l) => compactLine(d, l) }.find(_.length <= 1800)
-      .getOrElse(compactLine(0, fullLists = false))
+      .getOrElse(pointerLine)
     println(line)
     spark.stop()
   }

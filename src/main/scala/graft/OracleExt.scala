@@ -173,13 +173,15 @@ object OracleExt {
     * cast(ts as long) floors to seconds; epoch_us // 1000000 is the
     * same floor.
     *
-    * NON-NEGATIVE-DOMAIN ASSUMPTION (here and in [[cohortRetention]]):
-    * DuckDB's `//` floors while Spark's `div` truncates toward zero —
-    * identical for non-negative operands, divergent below zero. Both
-    * twins divide epoch-µs by a positive constant, so the assumption is
-    * "no pre-1970 timestamps", which the events fixture (and any log
-    * pipeline) satisfies; a corpus with pre-epoch times would need
-    * floor() on the Spark side to keep twin parity. */
+    * NON-NEGATIVE-DOMAIN ASSUMPTION (this twin only): DuckDB's `//`
+    * floors while Spark's `div` truncates toward zero — identical for
+    * non-negative operands, divergent below zero. This twin divides
+    * epoch-µs by a positive constant, so the assumption is "no
+    * pre-1970 timestamps", which the events fixture (and any log
+    * pipeline) satisfies. [[cohortRetention]] used to share the
+    * assumption but no longer needs it: its Spark side now floors
+    * explicitly (`µs - pmod(µs, d)` before the exact `div`), so the
+    * day twins agree on the full timestamp domain. */
   val zorderLayout: String = {
     val terms = (0 until 10).flatMap { i =>
       Seq(s"(((a >> $i) & 1) << ${2 * i})",
@@ -422,17 +424,25 @@ object OracleExt {
     FROM scored CROSS JOIN cuts ORDER BY doc_id"""
   }
 
-  /** Twin of Sampling.domainMix — identical BIGINT rate derivation. */
+  /** Twin of Sampling.domainMix — identical BIGINT rate derivation
+    * (binding-ratio domains pinned to exactly 1e6 ppm, like the
+    * operator). Source names are SQL-escaped; an empty target map has
+    * no valid VALUES clause, so it is rejected here exactly as an
+    * empty mixture spec should be. */
   def domainMix(targets: Map[String, Int], salt: String = "mix"): String = {
+    require(targets.nonEmpty, "domainMix oracle: empty targets map")
     val values = targets.toSeq.sortBy(_._1)
-      .map { case (s, t) => s"('$s', $t)" }.mkString(", ")
+      .map { case (s, t) => s"('${s.replace("'", "''")}', $t)" }
+      .mkString(", ")
     s"""
     WITH t(source, t_s0) AS (VALUES $values),
     c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
     ct AS (SELECT c.source, n_s, CAST(t_s0 AS BIGINT) AS t_s
            FROM c JOIN t ON c.source = t.source),
     m AS (SELECT min((n_s * 1000000) // t_s) AS mm FROM ct),
-    r AS (SELECT source, least(1000000, (t_s * mm) // n_s) AS p_ppm
+    r AS (SELECT source,
+                 CASE WHEN (n_s * 1000000) // t_s = mm THEN 1000000
+                      ELSE least(1000000, (t_s * mm) // n_s) END AS p_ppm
           FROM ct CROSS JOIN m)
     SELECT d.doc_id, d.source, d.lang
     FROM documents d JOIN r ON d.source = r.source

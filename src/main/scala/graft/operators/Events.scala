@@ -269,14 +269,19 @@ object Events {
 
   /** Cohort retention: users bucketed by their FIRST-activity day, then
     * counted per (cohort, day-offset) — the activation/retention matrix.
-    * Day arithmetic stays in integer epoch-days (µs div 86400e6), so
-    * no timezone or calendar function can diverge cross-engine. Three
-    * keyed shuffles: first-day per user, the distinct (user, day)
-    * activity set, and the final (cohort, offset) count — each carries
-    * two longs per row. */
+    * Day arithmetic stays in integer epoch-days (FLOOR of µs / 86400e6:
+    * `µs - pmod(µs, d)` is the largest multiple of d ≤ µs, so the final
+    * `div` is exact), so no timezone or calendar function can diverge
+    * cross-engine — including for pre-1970 timestamps, where a bare
+    * `div` (truncate toward zero) would bucket day −0.5 into day 0
+    * while DuckDB's flooring `//` puts it in day −1. Three keyed
+    * shuffles: first-day per user, the distinct (user, day) activity
+    * set, and the final (cohort, offset) count — each carries two longs
+    * per row. */
   def cohortRetention(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"),
-      expr("unix_micros(ts) div 86400000000").as("day"))
+      expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+        " div 86400000000").as("day"))
     val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
     ev.distinct().join(cohort, "user_id")
       .groupBy(col("cohort_day"),

@@ -127,9 +127,16 @@ object Sampling {
         coalesce(element_at(target, col("source")), lit(0)).cast("long"))
       .filter(col("t_s") > 0)
     val m = counts.agg(min(expr("(n_s * 1000000) div t_s")).as("__m"))
+    // binding domain(s) — any source achieving the min ratio — keep
+    // EXACTLY 1e6 ppm: composing the two integer divisions can lose a
+    // quantization ulp ((t_s*M) div n_s = 999999 when they don't cancel
+    // exactly), which would silently drop ~1 ppm of the domain the
+    // whole mixture is scaled around
     val rates = counts.crossJoin(broadcast(m))
       .select(col("source"),
-        least(lit(1000000L), expr("(t_s * __m) div n_s")).as("p_ppm"))
+        when(expr("(n_s * 1000000) div t_s") === col("__m"), lit(1000000L))
+          .otherwise(least(lit(1000000L), expr("(t_s * __m) div n_s")))
+          .as("p_ppm"))
     docs.join(broadcast(rates), "source")
       .filter(splitHash(salt, col("doc_id")) % 1000000 < col("p_ppm"))
       .select(col("doc_id"), col("source"), col("lang"))

@@ -229,4 +229,19 @@ class EventsSpec extends SparkTestBase {
       (d0, 0L) -> 1L, (d0, 1L) -> 1L,      // u1 on both sides of midnight
       (d0 + 1, 0L) -> 1L, (d0 + 1, 2L) -> 1L)) // u2: same-day pair collapsed
   }
+
+  test("cohortRetention: pre-epoch timestamps floor into the correct day") {
+    // 1µs before the epoch is day −1 under floor division; a truncating
+    // `div` would bucket it into day 0, merging both events into one
+    // (cohort 0, offset 0) cell and breaking parity with DuckDB's
+    // flooring `//`
+    val rows = Seq(
+      (1L, 1L, ts("1969-12-31T23:59:59.999999Z")),
+      (2L, 1L, ts("1970-01-01T00:00:00Z")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Events.cohortRetention(rows)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    assert(r == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
+  }
 }

@@ -190,6 +190,30 @@ class SamplingSpec extends SparkTestBase {
     assert(out.map(_._1).toSet == again, "mixture must be retry-stable")
   }
 
+  test("domainMix: binding domain keeps all even when quantization doesn't cancel") {
+    import spark.implicits._
+    import graft.functions.PortableHash
+    // n=3, t=7: M = floor(3e6/7) = 428571 and (7·M) div 3 = 999999 — the
+    // composed divisions lose one ppm, so a doc whose salted draw lands
+    // on the last ppm cell would be dropped by a naive least(1e6, ·)
+    // rate. Find exactly such a victim id and put it IN the binding
+    // domain: the binding-ratio pin must keep it.
+    val victim = spark.range(0, 3000000)
+      .filter(PortableHash.hash32(
+        concat(lit("mix:"), col("id").cast("string"))) % 1000000 === 999999)
+      .select(min(col("id"))).as[Long].head()
+    val mixDocs = (Seq(victim, victim + 3000000L, victim + 6000000L)
+        .map(i => (i, "a", "en")) ++
+      (0L until 1000L).map(i => (i, "b", "en")))
+      .toDF("doc_id", "source", "lang")
+    val out = Sampling.domainMix(mixDocs, Map("a" -> 7, "b" -> 1))
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val aKept = out.filter(_._2 == "a").map(_._1).toSet
+    assert(aKept.contains(victim),
+      "binding domain must keep its last-ppm-cell doc (exact 1e6 rate)")
+    assert(aKept.size == 3, "binding domain must keep ALL its docs")
+  }
+
   test("domainMix: achieved proportions match targets within quantization") {
     import spark.implicits._
     // equal supply, skewed targets 50/30/20 — the SparkEntry gate shape
