@@ -1,26 +1,28 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Throwaway probe (see .claude/skills/verify): checked-in empty-ish. */
+/** Throwaway timing probe (verify-skill pattern): times one named
+  * SparkEntry query min-of-N on a given SF dir. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .appName("probe").getOrCreate()
+    val name = if (args.nonEmpty) args(0) else "heavy_hitters"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val df = Seq(1L, 2L, 3L).toDF("k")
-    try {
-      val b = df.agg(expr("bloom_filter_agg(xxhash64(k), 10L, 100L)").as("bf"))
-      b.show()
-      println("[probe] bloom_filter_agg OK")
-      val r = df.crossJoin(b)
-        .select(col("k"), expr("might_contain(bf, xxhash64(k))").as("hit"))
-      r.show()
-      println("[probe] might_contain OK")
-    } catch { case e: Exception => println("[probe] bloom FAIL: " + e.getMessage.take(300)) }
+    val fn = graft.SparkEntry.queries(name)
+    def once(): Double = {
+      graft.Caches.releaseAll(); spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup
+    val ts = (1 to 5).map(_ => once())
+    println(f"[probe] $name min=${ts.min}%.4f all=${ts.map(t => f"$t%.3f").mkString(",")}")
     spark.stop()
   }
 }

@@ -120,6 +120,32 @@ class TextAnalysisSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("CmsBuildAgg: weighted build is byte-identical to unit adds") {
+    import org.apache.spark.sql.graft.CmsBuildAgg
+    // (term, cnt) folded with one weighted add per term must serialize
+    // to EXACTLY the sketch the built-in produces over the stream with
+    // each term repeated cnt times — counters and totalCount are pure
+    // sums, so the wire bytes can't differ
+    val tf = Seq(("alpha", 5L), ("beta", 3L), ("gamma", 1L),
+      ("delta", 400L), ("epsilon", 17L)).toDF("term", "cnt")
+    val weighted = tf
+      .agg(CmsBuildAgg(col("term"), col("cnt"), 0.005, 0.99, 42).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val unit = tf
+      .select(explode(expr("transform(sequence(1, cnt), x -> term)")).as("term"))
+      .agg(expr("count_min_sketch(term, CAST(0.005 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(weighted, unit),
+      "weighted CMS build diverged from the built-in unit-add sketch")
+    // partition-layout invariance: merges are commutative integer adds
+    val weighted7 = tf.repartition(7)
+      .agg(CmsBuildAgg(col("term"), col("cnt"), 0.005, 0.99, 42).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(weighted, weighted7),
+      "sketch must be layout-invariant")
+  }
+
   test("bm25Rank: rare-term matches beat common-term matches; saturation caps tf") {
     val d = Seq(
       (1L, "spark spark spark spark spark spark spark spark"), // tf-spam
