@@ -120,4 +120,43 @@ class StreamingTwinsSpec extends SparkTestBase {
       "complete-mode streaming histogram != batch histogram")
     assert(streamed.count() > 1, "fixture must span several bins")
   }
+
+  test("CMS frequency sketch: streaming (complete mode) ≡ batch, byte-identical") {
+    // the heavy_hitters sketch run ONLINE: each trigger folds the new
+    // batch's terms into the state-store aggregation buffer (CmsBuildAgg
+    // serialize/merge — counter merges are commutative integer adds), so
+    // the final sketch must equal the one-shot batch sketch BYTE for
+    // byte, and every estimate read off it inherits the CMS guarantees
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.{CmsBuildAgg, CmsEstimateExpr}
+    implicit val sqlCtx = spark.sqlContext
+    def sketchOf(df: DataFrame): DataFrame =
+      df.select(explode(
+          graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+        .agg(CmsBuildAgg(col("term"), lit(1L), 0.005, 0.99, 42).as("sk"))
+    val input = MemoryStream[TwinDoc]
+    val q = sketchOf(input.toDF()).writeStream.format("memory")
+      .queryName("twin_cms").outputMode("complete").start()
+    input.addData(fixture.take(50): _*)
+    q.processAllAvailable()
+    input.addData(fixture.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("twin_cms").head().getAs[Array[Byte]]("sk")
+    val batch = sketchOf(fixture.toDF()).head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(streamed, batch),
+      "streaming-merged CMS != one-shot batch CMS")
+    // estimates off the streamed sketch dominate the exact counts
+    val exact = fixture.toDF()
+      .select(explode(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val probed = exact
+      .crossJoin(spark.table("twin_cms"))
+      .select(col("term"), col("cnt"),
+        CmsEstimateExpr(col("sk"), col("term")).as("est"))
+      .as[(String, Long, Long)].collect()
+    assert(probed.nonEmpty && probed.forall { case (_, c, e) => e >= c },
+      "streamed-sketch estimate undercounted a term")
+  }
 }
