@@ -780,16 +780,26 @@ object OracleExt {
   }
 
   /** CTE chain ending in assignment `a{iters-1}` vs centroids
-    * `c{iters-1}`. */
-  private def kmeansCte(k: Int, iters: Int): String = {
+    * `c{iters-1}`. `kSql` is either a literal ("8") or the
+    * [[deriveKSql]] scalar subquery — the dynamic twin of
+    * KMeans.resolveK's k=0 sentinel. */
+  private def kmeansCte(kSql: String, iters: Int): String = {
     val rounds = (0 until iters)
       .map(i => kmeansRound(i, s"c$i", s"c${i + 1}")).mkString(",")
     s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $k),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < ($kSql)),
     $rounds"""
   }
+  private def kmeansCte(k: Int, iters: Int): String =
+    kmeansCte(k.toString, iters)
+
+  /** Twin of KMeans.deriveK over the embeddings CTE `e`: the k that a
+    * k=0 sentinel call derives from the corpus count. */
+  def deriveKSql(targetClusterSize: Long): String =
+    s"SELECT GREATEST(1, LEAST(count(*) // $targetClusterSize," +
+      s" 2147483647)) FROM e"
 
   def ivfKmeans(k: Int, iters: Int): String = s"""
     ${kmeansCte(k, iters)}
@@ -945,8 +955,8 @@ object OracleExt {
     * list. dup_sim_micro coalesces to -1 for kept vectors so the
     * output has no nullable-int column (fetch paths widen int+NULL to
     * float; the pack_sequences HUGEINT lesson generalized). */
-  def semDedup(k: Int, iters: Int, minSimMicro: Long): String = s"""
-    ${kmeansCte(k, iters)},
+  def semDedup(kSql: String, iters: Int, minSimMicro: Long): String = s"""
+    ${kmeansCte(kSql, iters)},
     nv AS (SELECT a.vec_id, a.v, a.cid,
                   list_dot_product(a.v, a.v) AS norm2
            FROM a${iters - 1} a),
@@ -968,8 +978,8 @@ object OracleExt {
 
   /** Twin of KMeans.clusterOutliers — farthest-from-centroid top-k per
     * trained cluster. */
-  def clusterOutliers(k: Int, iters: Int, perCluster: Int): String = s"""
-    ${kmeansCte(k, iters)}
+  def clusterOutliers(kSql: String, iters: Int, perCluster: Int): String = s"""
+    ${kmeansCte(kSql, iters)}
     SELECT cluster, CAST(rk AS INTEGER) AS rk, vec_id,
            CAST(floor(d2 * 1000) AS BIGINT) AS d2_milli
     FROM (SELECT cid AS cluster, vec_id, d2,

@@ -383,12 +383,18 @@ object SparkEntry {
     // IVF ANN with nprobe=2 (the IVF recall dial, like multi-probe LSH)
     "ann_ivf_nprobe" -> ((s, dir) =>
       KMeans.annIvfNprobe(embPar(s, dir)).orderBy("query_id", "rank")),
-    // SemDeDup: cluster-scoped embedding near-dedup keep list
+    // SemDeDup: cluster-scoped embedding near-dedup keep list. k is
+    // NOT pinned: the k=0 sentinel derives it from the corpus count
+    // (targetClusterSize=64 keeps the small fixture multi-cluster —
+    // 500 rows -> k=7 — the same dial a 100 TB run leaves at 1000)
     "sem_dedup" -> ((s, dir) =>
-      KMeans.semDedup(embPar(s, dir)).orderBy("vec_id")),
+      KMeans.semDedup(embPar(s, dir), targetClusterSize = 64)
+        .orderBy("vec_id")),
     // Prototypicality: farthest-from-centroid top-5 per trained cluster
+    // (k derived via the same sentinel as sem_dedup)
     "cluster_outliers" -> ((s, dir) =>
-      KMeans.clusterOutliers(embPar(s, dir)).orderBy("cluster", "rk")),
+      KMeans.clusterOutliers(embPar(s, dir), targetClusterSize = 64)
+        .orderBy("cluster", "rk")),
     // Symmetric int8 absmax quantization of the embedding column
     "embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embPar(s, dir)).orderBy("vec_id")),
@@ -540,8 +546,9 @@ object SparkEntry {
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
     "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
-    "sem_dedup" -> OracleExt.semDedup(8, 2, 350000L),
-    "cluster_outliers" -> OracleExt.clusterOutliers(8, 2, 5),
+    "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),
+    "cluster_outliers" ->
+      OracleExt.clusterOutliers(OracleExt.deriveKSql(64), 2, 5),
     "embed_quantize" -> OracleExt.quantizeInt8,
     "keyword_extract" -> OracleExt.keywordExtract(5),
     "bm25_rank" -> OracleExt.bm25Rank(Seq("spark", "join", "filter"), 20),

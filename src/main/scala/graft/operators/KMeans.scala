@@ -218,9 +218,11 @@ object KMeans {
     *
     * This is the scale story in one line: the pairwise search is an
     * equi-join on the trained cluster id, so the candidate set per
-    * vector is |data|/k, never all-pairs — at 100 TB you raise k to
-    * keep clusters bounded (the paper runs ~100k clusters for web
-    * scale) and the join stays one hash shuffle. Keep policy matches
+    * vector is |data|/k, never all-pairs — and the DEFAULT k=0
+    * sentinel derives k = corpus/targetClusterSize (the paper runs
+    * ~100k clusters for web scale), so clusters stay bounded at 100 TB
+    * without the caller touching a dial and the join stays one hash
+    * shuffle. Keep policy matches
     * [[graft.operators.Dedup.dedupKeepList]]'s pairwise-lowest-id
     * convention. The fixture threshold mirrors embed_neardup's 0.35
     * (synthetic embeddings have no planted near-dups; production runs
@@ -241,13 +243,26 @@ object KMeans {
     math.max(1L, math.min(corpusCount / math.max(1L, targetClusterSize),
       Int.MaxValue.toLong)).toInt
 
-  def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
-               minSimMicro: Long = 350000L): DataFrame = {
+  /** k ≤ 0 (the DEFAULT) auto-scales via [[deriveK]] from a corpus
+    * count — a one-row aggregate action, the same eager scale-knob
+    * pattern as `Sampling.packSequences`' blockSize sentinel. A caller
+    * who pins k gets exactly that k; everyone else gets clusters whose
+    * EXPECTED size stays `targetClusterSize` at any corpus scale, so
+    * the within-cluster self-join below never silently re-grows
+    * quadratic as the data does. */
+  private def resolveK(emb: DataFrame, k: Int,
+                       targetClusterSize: Long): Int =
+    if (k > 0) k else deriveK(emb.count(), targetClusterSize)
+
+  def semDedup(emb: DataFrame, k: Int = 0, iters: Int = 2,
+               minSimMicro: Long = 350000L,
+               targetClusterSize: Long = 1000L): DataFrame = {
+    val kk = resolveK(emb, k, targetClusterSize)
     val dot = (a: Column, b: Column) =>
       org.apache.spark.sql.graft.DotF64Expr(a, b)
     // persisted: both self-join sides derive from nv (the annIvf lesson
     // — without the cache each side re-runs the full Lloyd chain)
-    val nv = graft.Caches.track(fit(emb, k, iters)
+    val nv = graft.Caches.track(fit(emb, kk, iters)
       .select(col("vec_id"), col("v"), col("cluster"),
         dot(col("v"), col("v")).as("norm2")))
     val a = nv.select(col("vec_id").as("vec_a"), col("v").as("av"),
@@ -275,9 +290,10 @@ object KMeans {
     * drops. Pure composition over the trained assignment: one bounded
     * per-cluster top-k window (WindowGroupLimit prunes map-side), no
     * extra scan of the training data. */
-  def clusterOutliers(emb: DataFrame, k: Int = 8, iters: Int = 2,
-                      perCluster: Int = 5): DataFrame =
-    fit(emb, k, iters)
+  def clusterOutliers(emb: DataFrame, k: Int = 0, iters: Int = 2,
+                      perCluster: Int = 5,
+                      targetClusterSize: Long = 1000L): DataFrame =
+    fit(emb, resolveK(emb, k, targetClusterSize), iters)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cluster"))
           .orderBy(col("d2").desc, col("vec_id"))))

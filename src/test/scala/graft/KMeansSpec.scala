@@ -92,7 +92,7 @@ class KMeansSpec extends SparkTestBase {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val asg = KMeans.fit(emb).select(col("vec_id"), col("cluster"))
       .as[(Long, Long)].collect().toMap
-    val r = KMeans.semDedup(emb).select("vec_id", "cluster", "keep")
+    val r = KMeans.semDedup(emb, k = 8).select("vec_id", "cluster", "keep")
       .as[(Long, Long, Boolean)].collect()
     assert(r.length == asg.size, "one row per vector, kept or not")
     assert(r.forall { case (id, cl, _) => asg(id) == cl })
@@ -120,7 +120,7 @@ class KMeansSpec extends SparkTestBase {
       sim = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
       if math.floor(sim * 1000000L).toLong >= tau
     } yield math.max(ia, ib)).toSet
-    val got = KMeans.semDedup(emb, minSimMicro = tau)
+    val got = KMeans.semDedup(emb, k = 8, minSimMicro = tau)
       .select("vec_id", "keep").as[(Long, Boolean)].collect()
       .filter(!_._2).map(_._1).toSet
     assert(got == expectDropped,
@@ -137,9 +137,35 @@ class KMeansSpec extends SparkTestBase {
     assert(KMeans.deriveK(Long.MaxValue) == Int.MaxValue)
   }
 
+  test("k=0 sentinel: semDedup/clusterOutliers derive k from the corpus count") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val kd = KMeans.deriveK(n, 64)
+    assert(kd == 7, "500-row fixture at targetClusterSize=64 derives k=7")
+    // the derived k bounds expected pair work: E[|cluster|] ≤ target,
+    // so the within-cluster self-join emits ~n·target/2 candidate
+    // rows, linear in the corpus — not n²/2
+    assert(n / kd <= 64 + 64, "expected cluster size stays ~target")
+    val auto = KMeans.semDedup(emb, targetClusterSize = 64)
+      .select("vec_id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    Caches.releaseAll()
+    val pinned = KMeans.semDedup(emb, k = kd)
+      .select("vec_id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(auto == pinned, "sentinel path must equal the pinned derived k")
+    Caches.releaseAll()
+    val autoOut = KMeans.clusterOutliers(emb, targetClusterSize = 64)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val pinnedOut = KMeans.clusterOutliers(emb, k = kd)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(autoOut == pinnedOut)
+    Caches.releaseAll()
+  }
+
   test("clusterOutliers: rank 1 is the cluster's max distance, bounded per cluster") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val out = KMeans.clusterOutliers(emb, perCluster = 3)
+    val out = KMeans.clusterOutliers(emb, k = 8, perCluster = 3)
       .as[(Long, Int, Long, Long)].collect()
     val byCluster = out.groupBy(_._1)
     assert(byCluster.values.forall(_.length <= 3))

@@ -58,7 +58,11 @@ class LayoutInvarianceSpec extends SparkTestBase {
   }
 
   test("sem_dedup and bm25_rank are layout-invariant (agg + broadcast)") {
-    sweep("sem_dedup", emb, e => KMeans.semDedup(e).orderBy("vec_id"))
+    // targetClusterSize=64 keeps the small fixture multi-cluster (k=7)
+    // so the sweep exercises real cluster-scoped joins, and the k=0
+    // sentinel's count() is itself layout-invariant
+    sweep("sem_dedup", emb,
+      e => KMeans.semDedup(e, targetClusterSize = 64).orderBy("vec_id"))
     sweep("bm25_rank", docs, d => TextAnalysis.bm25Rank(d).orderBy("rank"))
   }
 
