@@ -43,8 +43,11 @@ object Dedup {
     docs.withColumn("__sh", shingles(col("text"), n))
 
   /** (doc_id, __sig) signature table — the shared input of the band
-    * table and the lane-agreement estimator. */
-  private def sigTable(docs: DataFrame, numHashes: Int): DataFrame =
+    * table and the lane-agreement estimator. The 16 md5 lanes are the
+    * dominant cost of the whole minhash family, so every composition
+    * point takes THIS frame (persisted once by the caller) rather than
+    * re-deriving signatures from text. */
+  def signatures(docs: DataFrame, numHashes: Int = 16): DataFrame =
     withShingles(docs)
       .withColumn("__sig", minhashSig(col("__sh"), numHashes))
       .select(col("doc_id"), col("__sig"))
@@ -66,21 +69,30 @@ object Dedup {
     * materialized column — evaluated once per row. */
   def minhashBands(docs: DataFrame, numHashes: Int = 16, bands: Int = 4)
       : DataFrame =
-    bandsFromSigs(sigTable(docs, numHashes), numHashes, bands)
+    bandsFromSigs(signatures(docs, numHashes), numHashes, bands)
 
-  /** Candidate pairs: equi-join on (band_id, band_key) — the LSH scale
-    * path; hash-partitioned, never all-pairs. The band table (4 small
-    * rows per doc) is persisted so the 16-lane md5 minhash — the
-    * dominant cost — is computed once, not once per join side. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val b = graft.Caches.track(minhashBands(docs))
-    b.as("a").join(b.as("b"),
+  /** THE band-join pair generator — the one LSH candidate path every
+    * minhash consumer composes (minhashPairs, minhashJaccardEst, the
+    * keep-list/cluster family): band keys derived per join side from
+    * the SAME signature frame (persist it — band derivation off the
+    * cache is a cheap projection; the md5 lanes behind it are not),
+    * equi-joined on (band_id, band_key). Hash-partitioned, never
+    * all-pairs. */
+  def pairsFromSigs(sigs: DataFrame, numHashes: Int = 16,
+                    bands: Int = 4): DataFrame = {
+    val b0 = bandsFromSigs(sigs, numHashes, bands)
+    b0.as("a").join(b0.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Candidate pairs from raw docs: persist the signature table once,
+    * then the shared band join. */
+  def minhashPairs(docs: DataFrame): DataFrame =
+    pairsFromSigs(graft.Caches.track(signatures(docs)))
 
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction
     * of agreeing signature lanes is the classic unbiased estimator of
@@ -90,17 +102,20 @@ object Dedup {
     * costs ONE 16-element array comparison — no shingle explode, no
     * df-cap machinery — so at 100 TB the exact pass runs only on pairs
     * the estimate keeps. The signature table is computed once,
-    * persisted, and feeds the band join and both estimator sides. */
+    * persisted, and feeds the shared [[pairsFromSigs]] band join and
+    * both estimator sides — a caller composing pairs + estimate pays
+    * the md5 lanes exactly once. */
   def minhashJaccardEst(docs: DataFrame, numHashes: Int = 16,
                         bands: Int = 4): DataFrame = {
-    val sigs = graft.Caches.track(sigTable(docs, numHashes))
-    val b0 = bandsFromSigs(sigs, numHashes, bands)
-    val pairs = b0.as("a").join(b0.as("b"),
-        col("a.band_id") === col("b.band_id")
-          && col("a.band_key") === col("b.band_key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val sigs = graft.Caches.track(signatures(docs, numHashes))
+    jaccardEstForPairs(sigs, pairsFromSigs(sigs, numHashes, bands),
+      numHashes)
+  }
+
+  /** Lane-agreement estimate for an existing candidate-pair frame
+    * against the signature table both its sides came from. */
+  def jaccardEstForPairs(sigs: DataFrame, pairs: DataFrame,
+                         numHashes: Int = 16): DataFrame = {
     val sa = sigs.select(col("doc_id").as("doc_a"), col("__sig").as("__sa"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("__sig").as("__sb"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")

@@ -81,6 +81,34 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("one band-join path: pairs + estimate compose off a single persisted sig table") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // external composition — the caller-facing contract: persist the
+    // signature table once, derive candidates AND estimates from it
+    val sigs = Caches.track(Dedup.signatures(d))
+    val pairs = Dedup.pairsFromSigs(sigs)
+    val composed = Dedup.jaccardEstForPairs(sigs, pairs)
+    // every consumer side reads the ONE cached sig frame (two band-join
+    // sides + two estimator sides), so the md5 lanes run exactly once
+    val p = composed.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "band join + estimator must all scan the persisted sig table")
+    val got = composed.select("doc_a", "doc_b", "matches", "est_milli")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    Caches.releaseAll()
+    // and it is THE SAME result minhashJaccardEst produces internally
+    val direct = Dedup.minhashJaccardEst(d)
+      .select("doc_a", "doc_b", "matches", "est_milli")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == direct, "composed path diverged from minhashJaccardEst")
+    // and minhashPairs' candidates are exactly the shared generator's
+    val viaPairs = Dedup.minhashPairs(d)
+      .as[(Long, Long)].collect().toSet
+    assert(viaPairs == got.map(t => (t._1, t._2)),
+      "minhashPairs diverged from pairsFromSigs")
+    Caches.releaseAll()
+  }
+
   test("connectedComponents: maxIters exhaustion throws, never returns under-merged labels") {
     // path of diameter 9 cannot converge in 2 min-label rounds; the old
     // behavior silently returned partial labels (keep-list then keeps
