@@ -159,4 +159,39 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(probed.nonEmpty && probed.forall { case (_, c, e) => e >= c },
       "streamed-sketch estimate undercounted a term")
   }
+
+  test("HLL distinct sketch: streaming (complete mode) ≡ batch") {
+    // the approx_distinct sketch run ONLINE: HLL++ buffers merge by
+    // register-wise max — commutative and idempotent — so the grouped
+    // estimate after N triggers must equal the one-shot batch estimate
+    // exactly (the third mergeable-sketch twin beside CMS and the
+    // histogram). Exact count_distinct is deliberately absent: distinct
+    // aggregation doesn't stream, WHICH IS THE POINT of shipping HLL.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def hllOf(df: DataFrame): DataFrame =
+      df.select((col("doc_id") % 3).as("grp"), (col("doc_id") % 37).as("u"))
+        .groupBy("grp")
+        .agg(approx_count_distinct(col("u"), 0.005).as("n_approx"))
+    val input = MemoryStream[TwinDoc]
+    val q = hllOf(input.toDF()).writeStream.format("memory")
+      .queryName("twin_hll").outputMode("complete").start()
+    input.addData(fixture.take(50): _*)
+    q.processAllAvailable()
+    input.addData(fixture.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("twin_hll")
+    val batch = hllOf(fixture.toDF())
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "complete-mode streaming HLL != batch HLL")
+    // sparse regime: the estimate is exact — every group sees 37 users
+    // across the 120-doc fixture... (groups of 40 docs, doc_id%37 hits
+    // at most 37 distinct values; assert against the true count)
+    val truth = fixture.groupBy(_.doc_id % 3)
+      .map { case (g, ds) => g -> ds.map(_.doc_id % 37).distinct.size.toLong }
+    val got = streamed.as[(Long, Long)].collect().toMap
+    assert(got == truth, s"sparse-regime HLL must be exact: $got vs $truth")
+  }
 }
