@@ -625,6 +625,37 @@ object OracleExt {
           JOIN sig sb ON sb.doc_id = p.doc_b)
     ORDER BY doc_a, doc_b"""
 
+  /** Twin of Dedup.tieredNearDup — LSH candidates → lane-agreement
+    * estimate gate → exact shingle Jaccard for survivors only. Union
+    * size floored at 1 exactly like the operator (DuckDB `// 0` errors
+    * where Spark `div 0` nulls — the floor keeps the case unreachable
+    * in BOTH engines the same way). */
+  def tieredNearDup(estMilli: Long, dupMilli: Long): String = s"""
+    $bandsCte,
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+    est AS (SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_filter(range(1, 17),
+                     i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS matches
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.doc_a
+            JOIN sig sb ON sb.doc_id = p.doc_b),
+    surv AS (SELECT doc_a, doc_b, (1000 * matches) // 16 AS est_milli
+             FROM est WHERE (1000 * matches) // 16 >= $estMilli),
+    ex AS (SELECT s.doc_a, s.doc_b, s.est_milli,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                GREATEST(CAST(len(a.sh) + len(b.sh) AS BIGINT)
+                  - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT),
+                  1) AS u
+           FROM surv s
+           JOIN sh a ON a.doc_id = s.doc_a
+           JOIN sh b ON b.doc_id = s.doc_b)
+    SELECT doc_a, doc_b, est_milli, (1000 * inter) // u AS jac_milli,
+           (1000 * inter) // u >= $dupMilli AS is_dup
+    FROM ex ORDER BY doc_a, doc_b"""
+
   /** Twin of Dedup.dedupClusters: connected components over the LSH
     * candidate-pair graph via a recursive CTE — `reach` enumerates every
     * (node, reachable-label) pair of the undirected graph (UNION dedups,

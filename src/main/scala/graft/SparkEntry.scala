@@ -323,6 +323,10 @@ object SparkEntry {
     // Lane-agreement Jaccard estimate for the candidate pairs
     "minhash_est" -> ((s, dir) =>
       Dedup.minhashJaccardEst(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // Tiered verification: candidates → estimate gate → exact Jaccard
+    // for survivors only (the production dedup judgement call)
+    "tiered_neardup" -> ((s, dir) =>
+      Dedup.tieredNearDup(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
     // Exact n-gram Jaccard over shared-shingle pairs
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
@@ -564,6 +568,7 @@ object SparkEntry {
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
     "minhash_est" -> OracleExt.minhashJaccardEst,
+    "tiered_neardup" -> OracleExt.tieredNearDup(500L, 800L),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "cluster_keeplist" -> OracleExt.clusterKeepList,
     "dedup_clusters_star" -> OracleExt.dedupClusters,

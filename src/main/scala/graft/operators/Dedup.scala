@@ -112,6 +112,48 @@ object Dedup {
       numHashes)
   }
 
+  /** Tiered near-dup verification — the PRODUCTION composition of the
+    * three minhash tiers: banded LSH candidates ([[pairsFromSigs]]) →
+    * cheap lane-agreement estimate gate ([[jaccardEstForPairs]],
+    * est_milli ≥ estMilli) → EXACT shingle Jaccard computed ONLY for
+    * the survivors. This is the end-to-end dedup judgement call a
+    * curation pipeline actually makes; the single-tier operators exist
+    * so each stage is independently oracle-checked.
+    *
+    * 100 TB shape: the exact tier — the expensive one — touches only
+    * the estimate-gated pair list. Survivors join back to the docs
+    * table per side and shingle sets are re-derived for just those
+    * rows (a deliberate second text scan instead of a corpus-sized
+    * shingle-array cache — the heavyHitters lesson; the join against
+    * the small survivor frame is broadcast-able and AQE takes it),
+    * while the dominant md5 signature table is computed once,
+    * persisted, and feeds both earlier tiers. All thresholds are
+    * integer milli so both engines' math is identical; the union size
+    * is floored at 1 so an empty∩empty pair divides safely — and
+    * identically — in both engines. */
+  def tieredNearDup(docs: DataFrame, estMilli: Long = 500L,
+                    dupMilli: Long = 800L, numHashes: Int = 16,
+                    bands: Int = 4): DataFrame = {
+    val sigs = graft.Caches.track(signatures(docs, numHashes))
+    val survivors =
+      jaccardEstForPairs(sigs, pairsFromSigs(sigs, numHashes, bands),
+          numHashes)
+        .filter(col("est_milli") >= estMilli)
+        .select(col("doc_a"), col("doc_b"), col("est_milli"))
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("__sh"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("__sh").as("__sha"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("__sh").as("__shb"))
+    survivors.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("__inter",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("__union",
+        greatest(size(col("__sha")).cast("long")
+          + size(col("__shb")).cast("long") - col("__inter"), lit(1L)))
+      .select(col("doc_a"), col("doc_b"), col("est_milli"),
+        expr("(1000 * __inter) div __union").as("jac_milli"))
+      .withColumn("is_dup", col("jac_milli") >= dupMilli)
+  }
+
   /** Lane-agreement estimate for an existing candidate-pair frame
     * against the signature table both its sides came from. */
   def jaccardEstForPairs(sigs: DataFrame, pairs: DataFrame,

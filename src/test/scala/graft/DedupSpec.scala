@@ -81,6 +81,47 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("tieredNearDup: est-gated exact verification, consistent across all tiers") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),      // identical to 1
+      (3L, "alpha beta gamma delta epsilon different"), // 3/5 shingle overlap
+      (4L, "totally unrelated words in here"))
+    val out = Dedup.tieredNearDup(d)
+      .select("doc_a", "doc_b", "est_milli", "jac_milli", "is_dup")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    Caches.releaseAll()
+    // the identical pair passes every tier with exact 1000s
+    assert(out((1L, 2L)) == ((1000L, 1000L, true)))
+    // test-side exact Jaccard from the raw shingle sets — every emitted
+    // row's exact tier must match it, and is_dup must be jac >= 800
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ").toSeq
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val texts = Map(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "alpha beta gamma delta epsilon different",
+      4L -> "totally unrelated words in here")
+    out.foreach { case ((a, b), (est, jac, dup)) =>
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      val expect = 1000L * sa.intersect(sb).size /
+        math.max(sa.union(sb).size, 1)
+      assert(jac == expect, s"($a,$b) exact tier: $jac != $expect")
+      assert(dup == (jac >= 800L), s"($a,$b) is_dup flag")
+      assert(est >= 500L, s"($a,$b) leaked through the estimate gate")
+    }
+    // the output is EXACTLY the est-gated slice of the estimate tier
+    val gated = Dedup.minhashJaccardEst(d)
+      .filter(col("est_milli") >= 500)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out.keySet == gated,
+      "tiered output must be the est-gated candidate set, nothing else")
+    Caches.releaseAll()
+  }
+
   test("one band-join path: pairs + estimate compose off a single persisted sig table") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // external composition — the caller-facing contract: persist the
