@@ -86,6 +86,18 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("tiered_neardup reads the one persisted sig table on every minhash side") {
+    // band-join sides + estimator sides all come from the single cached
+    // signature frame; the exact tier re-derives shingles from the docs
+    // scan for survivor rows only (so NO corpus-sized shingle cache —
+    // exactly two parquet text reads: sigs once, exact tier once)
+    val p = plans("tiered_neardup")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"tiered_neardup must compose off the persisted sig table:\n$p")
+    assert("word_shingles".r.findAllIn(p).nonEmpty,
+      s"exact tier lost the native shingle expression:\n$p")
+  }
+
   test("range_join executes as an equi-join, never a nested loop") {
     // the whole point of the bucketing: the containment predicate must
     // ride on a hash-partitioned bucket equi-join
