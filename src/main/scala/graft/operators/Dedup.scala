@@ -52,16 +52,27 @@ object Dedup {
       .withColumn("__sig", minhashSig(col("__sh"), numHashes))
       .select(col("doc_id"), col("__sig"))
 
-  private def bandsFromSigs(sigs: DataFrame, numHashes: Int,
-                            bands: Int): DataFrame = {
+  /** (doc_id, __sig, band_id, band_key) — the band-key recipe in ONE
+    * place: batch pair generation drops `__sig` before its join so the
+    * shuffle stays lean; the streaming bucket operator
+    * ([[graft.streaming.StreamingNearDup]]) carries it into state for
+    * in-bucket lane agreement. */
+  private[graft] def bandedSigs(sigs: DataFrame, numHashes: Int,
+                                bands: Int): DataFrame = {
     val rows = numHashes / bands
-    sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"), col("__sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
           b.cast("int").as("band_id"),
           concat_ws("_", transform(slice(col("__sig"), b * rows + 1, lit(rows)),
             v => v.cast("string"))).as("band_key")))).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .select(col("doc_id"), col("__sig"),
+        col("band.band_id"), col("band.band_key"))
   }
+
+  private def bandsFromSigs(sigs: DataFrame, numHashes: Int,
+                            bands: Int): DataFrame =
+    bandedSigs(sigs, numHashes, bands)
+      .select(col("doc_id"), col("band_id"), col("band_key"))
 
   /** Banded LSH keys: split the signature into `bands` bands of `rows`
     * values; docs agreeing on ANY band become candidates. One output row
