@@ -269,8 +269,14 @@ object OracleExt {
   private def toks: String =
     "list_filter(string_split(lower(text), ' '), t -> t != '')"
 
+  /** SQL string literal with quotes escaped — every caller-provided
+    * string interpolated into oracle SQL goes through here (the
+    * domainMix ADVICE generalized: a term/stopword/lang containing a
+    * quote must not produce malformed SQL). */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
   private def inList(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString("(", ", ", ")")
+    words.map(sqlStr).mkString("(", ", ", ")")
 
   private def hits(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN ${inList(words)}))"
@@ -365,7 +371,7 @@ object OracleExt {
     JOIN (${qualityScore(stop(keepLang), threshold)}) q
       ON d.doc_id = q.doc_id AND q.keep
     JOIN (${langId(stop)}) l
-      ON d.doc_id = l.doc_id AND l.pred_lang = '$keepLang'
+      ON d.doc_id = l.doc_id AND l.pred_lang = ${sqlStr(keepLang)}
     WHERE d.doc_id NOT IN (
       SELECT DISTINCT b.doc_id
       FROM bands a JOIN bands b
@@ -432,7 +438,7 @@ object OracleExt {
   def domainMix(targets: Map[String, Int], salt: String = "mix"): String = {
     require(targets.nonEmpty, "domainMix oracle: empty targets map")
     val values = targets.toSeq.sortBy(_._1)
-      .map { case (s, t) => s"('${s.replace("'", "''")}', $t)" }
+      .map { case (s, t) => s"(${sqlStr(s)}, $t)" }
       .mkString(", ")
     s"""
     WITH t(source, t_s0) AS (VALUES $values),
@@ -447,7 +453,7 @@ object OracleExt {
     SELECT d.doc_id, d.source, d.lang
     FROM documents d JOIN r ON d.source = r.source
     WHERE ${graft.functions.PortableHash
-      .sqlHash32(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000 < p_ppm
+      .sqlHash32(s"${sqlStr(salt + ":")} || CAST(doc_id AS VARCHAR)")} % 1000000 < p_ppm
     ORDER BY d.doc_id"""
   }
 
@@ -953,7 +959,7 @@ object OracleExt {
     * literals (2.2e0 forces DOUBLE — a bare 2.2 is DECIMAL in DuckDB). */
   def bm25Rank(queryTerms: Seq[String], topN: Int): String = {
     val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
-      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+      s"CAST(len(list_filter(toks, x -> x = ${sqlStr(t)})) AS BIGINT) AS tf$i"
     }.mkString(", ")
     val dfAggs = queryTerms.indices.map(i =>
       s"sum(CAST(tf$i > 0 AS BIGINT)) AS df$i").mkString(", ")
