@@ -225,10 +225,11 @@ object Events {
       .select(col("bin"), (col("bin") * lit(0.5)).as("bin_lo"),
         col("n"), col("min_eid"), col("max_eid"))
 
-  /** Ordered-funnel analysis: how far each user progresses through
-    * view → click → purchase, where every step must happen STRICTLY
-    * after the previous one and within `windowUs` of it — the
-    * conversion query every event pipeline runs.
+  /** Ordered-funnel analysis: how far each user progresses through the
+    * `steps` sequence (default view → click → purchase), where every
+    * step must happen STRICTLY after the previous one and within
+    * `windowUs` of it — the conversion query every event pipeline runs,
+    * for ANY number of steps.
     *
     * Each step is one filtered groupBy(user) for the earliest
     * qualifying event, then a hash join back on user_id; the candidate
@@ -241,30 +242,34 @@ object Events {
     * unbounded-buffer anti-pattern this shape exists to avoid).
     * Timestamps are compared in integer epoch-µs. */
   def funnelLevels(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
                    windowUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
     val ev = events.select(col("user_id"), col("event_type"),
       expr("unix_micros(ts)").as("us"))
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("us").as("t1"))
-    val s2 = ev.filter(col("event_type") === "click").as("e")
-      .join(s1.as("p"), col("e.user_id") === col("p.user_id")
-        && col("e.us") > col("p.t1")
-        && col("e.us") <= col("p.t1") + windowUs)
-      .groupBy(col("e.user_id")).agg(min("us").as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase").as("e")
-      .join(s2.as("p"), col("e.user_id") === col("p.user_id")
-        && col("e.us") > col("p.t2")
-        && col("e.us") <= col("p.t2") + windowUs)
-      .groupBy(col("e.user_id")).agg(min("us").as("t3"))
-    ev.select("user_id").distinct()
-      .join(s1.select(col("user_id"), lit(1L).as("__l1")), Seq("user_id"), "left")
-      .join(s2.select(col("user_id"), lit(1L).as("__l2")), Seq("user_id"), "left")
-      .join(s3.select(col("user_id"), lit(1L).as("__l3")), Seq("user_id"), "left")
-      .select(col("user_id"),
-        when(col("__l3").isNotNull, 3L)
-          .when(col("__l2").isNotNull, 2L)
-          .when(col("__l1").isNotNull, 1L)
-          .otherwise(0L).as("funnel_level"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    // scanLeft: step k+1's earliest qualifying event anchors on step
+    // k's earliest time — the same per-step join/agg the 3-step form
+    // hand-unrolled, identical plan for the default steps
+    val stepTimes = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("event_type") === step).as("e")
+        .join(prev.as("p"), col("e.user_id") === col("p.user_id")
+          && col("e.us") > col("p.t")
+          && col("e.us") <= col("p.t") + windowUs)
+        .groupBy(col("e.user_id")).agg(min("us").as("t"))
+    }
+    val joined = stepTimes.zipWithIndex.foldLeft(
+        ev.select("user_id").distinct()) { case (acc, (s, i)) =>
+      acc.join(s.select(col("user_id"), lit(1L).as(s"__l${i + 1}")),
+        Seq("user_id"), "left")
+    }
+    val n = steps.size
+    val level = (1 until n).foldLeft(
+        when(col(s"__l$n").isNotNull, n.toLong)) { (w, d) =>
+      w.when(col(s"__l${n - d}").isNotNull, (n - d).toLong)
+    }.otherwise(0L)
+    joined.select(col("user_id"), level.as("funnel_level"))
   }
 
   /** Cohort retention: users bucketed by their FIRST-activity day, then

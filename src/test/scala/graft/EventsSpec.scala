@@ -209,6 +209,25 @@ class EventsSpec extends SparkTestBase {
     assert(lv == Map(1L -> 3L))
   }
 
+  test("funnelLevels generalizes to arbitrary step sequences") {
+    val rows = Seq(
+      (1L, 1L, "a", ts("2024-01-01T10:00:00Z")),
+      (2L, 1L, "b", ts("2024-01-01T11:00:00Z")),
+      (3L, 1L, "c", ts("2024-01-01T12:00:00Z")),
+      (4L, 1L, "d", ts("2024-01-01T13:00:00Z")),
+      (5L, 2L, "a", ts("2024-01-01T10:00:00Z")),
+      (6L, 2L, "c", ts("2024-01-01T11:00:00Z")), // skipped b: stuck at 1
+      (7L, 3L, "b", ts("2024-01-01T10:00:00Z"))) // never did a: level 0
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val lv = Events.funnelLevels(rows, steps = Seq("a", "b", "c", "d"))
+      .as[(Long, Long)].collect().toMap
+    assert(lv == Map(1L -> 4L, 2L -> 1L, 3L -> 0L))
+    // a single-step funnel degenerates to "did the user ever do it"
+    val one = Events.funnelLevels(rows, steps = Seq("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("cohortRetention: day-boundary split and same-day dedup") {
     val rows = Seq(
       // u1: first activity 1µs before midnight -> cohort day 19723;
