@@ -108,6 +108,24 @@ object OracleExt {
     FROM events e JOIN c ON e.ts >= c.start_ts AND e.ts < c.end_ts
     GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of the interval_join gate query — per-user first-activity
+    * half-hours overlap-joined with the stream's hour windows. The
+    * oracle joins on the raw overlap predicate; the gate proves the
+    * bucketed first-overlap-bucket plan returns the identical pair
+    * set exactly once. (`//` vs `div`: non-negative epoch-µs domain,
+    * same documented assumption as zorderLayout.) */
+  val intervalOverlapJoin: String = """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    a AS (SELECT user_id AS a_id, min(us) AS a_lo,
+                 min(us) + 1800000000 AS a_hi
+          FROM ev GROUP BY user_id),
+    b AS (SELECT h AS b_id, h * 3600000000 AS b_lo,
+                 (h + 1) * 3600000000 - 1 AS b_hi
+          FROM (SELECT DISTINCT us // 3600000000 AS h FROM ev))
+    SELECT a_id, a_lo, a_hi, b_id, b_lo, b_hi
+    FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+    ORDER BY a_id, b_id"""
+
   /** Twin of AsOf.lastPurchase: identical sort-based union shape —
     * right rows (purchases) sort before left rows at equal
     * timestamps (side 0 < 1), last_value IGNORE NULLS carries the

@@ -145,6 +145,22 @@ object SparkEntry {
     "range_join" -> ((s, dir) =>
       graft.operators.RangeJoin.campaignStats(LogSource.readEvents(s, dir))
         .orderBy("campaign_id")),
+    // Interval OVERLAP join (both sides intervals): per-user first-
+    // activity half-hours ⋈ the hour windows seen in the stream —
+    // bucketed equi-join, exactly-once via first-overlap-bucket (no
+    // distinct); oracle does the plain overlap-predicate join
+    "interval_join" -> ((s, dir) => {
+      val ev = LogSource.readEvents(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      val a = ev.groupBy("user_id").agg(min("us").as("a_lo"))
+        .select(col("user_id").as("a_id"), col("a_lo"),
+          (col("a_lo") + 1800000000L).as("a_hi"))
+      val b = ev.select(expr("us div 3600000000").as("h")).distinct()
+        .select(col("h").as("b_id"), (col("h") * 3600000000L).as("b_lo"),
+          ((col("h") + 1) * 3600000000L - 1).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlapJoin(a, b, 3600000000L)
+        .orderBy("a_id", "b_id")
+    }),
     // AS-OF join: each event's most recent same-user purchase (sort-
     // based union shape — one keyed shuffle, no join explosion)
     "asof_join" -> ((s, dir) =>
@@ -507,6 +523,7 @@ object SparkEntry {
     "sliding_windows" -> OracleExt.slidingWindows,
     "asof_join" -> OracleExt.asofLastPurchase,
     "range_join" -> OracleExt.rangeJoinCampaigns(10),
+    "interval_join" -> OracleExt.intervalOverlapJoin,
     "rollup_counts" -> OracleExt.rollupCounts,
     "pivot_counts" -> OracleExt.pivotCounts,
     "cube_counts" -> OracleExt.cubeCounts,

@@ -36,6 +36,39 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Interval-OVERLAP join — both sides are intervals (µs bounds
+    * `[lo, hi]`, inclusive), matched when they overlap:
+    * `a_lo <= b_hi && b_lo <= a_hi`. Same bucketing scale path as the
+    * containment join — each interval replicates into the buckets it
+    * covers, candidates meet on a bucket equi-join — plus the
+    * FIRST-OVERLAP-BUCKET trick: a pair sharing several buckets would
+    * otherwise need a `distinct()` (a full extra shuffle of the
+    * result); instead each candidate is emitted only from the bucket
+    * containing `greatest(a_lo, b_lo)` — the first bucket the two
+    * intervals share — so the output is exactly-once BY CONSTRUCTION
+    * and the plan has one shuffle, on the bucket key.
+    *
+    * Inputs: a(a_id, a_lo, a_hi), b(b_id, b_lo, b_hi); keep `bucketUs`
+    * no larger than the minimum interval length so the replication
+    * factor stays a small constant (the bucketedRangeJoin sizing
+    * rule). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    // FLOOR division (the cohortRetention lesson): truncating `div`
+    // would mis-bucket negative bounds; (x - pmod(x, d)) div d is the
+    // exact integer floor on the full domain
+    def fdiv(x: String) = s"(($x - pmod($x, $bucketUs)) div $bucketUs)"
+    val ab = a.withColumn("__bucket",
+      explode(sequence(expr(fdiv("a_lo")), expr(fdiv("a_hi")))))
+    val bb = b.withColumn("__bucket",
+      explode(sequence(expr(fdiv("b_lo")), expr(fdiv("b_hi")))))
+    ab.join(bb, Seq("__bucket"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .filter(col("__bucket") === expr(fdiv("greatest(a_lo, b_lo)")))
+      .drop("__bucket")
+  }
+
   /** Deterministic plan-time campaign windows over the events month:
     * campaign k = [Jan 1 2024 + 3k days, +36 h). */
   def campaigns(s: SparkSession, n: Int = 10): DataFrame = {

@@ -45,4 +45,32 @@ class RangeJoinSpec extends SparkTestBase {
       .count()
     assert(replicas == 3L)
   }
+
+  test("intervalOverlapJoin == naive overlap join, exactly-once, negatives floored") {
+    // crafted bounds: touching-at-endpoint (inclusive: overlaps),
+    // disjoint-by-1µs, nested, multi-bucket spans, and NEGATIVE bounds
+    // (the floor-division class the truncating div would mis-bucket)
+    val a = Seq(
+      (1L, 0L, 999L),            // touches b10's lo at 999
+      (2L, 1000L, 4999L),        // spans several 1000-µs buckets
+      (3L, -2500L, -1500L),      // fully negative
+      (4L, 7000L, 7000L))        // degenerate point interval
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 999L, 2000L),        // touches a1, overlaps a2
+      (11L, 2001L, 2001L),       // inside a2
+      (12L, -2000L, -1000L),     // overlaps a3 across bucket -2/-1
+      (13L, 5000L, 6999L))       // disjoint from everything by 1µs
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlapJoin(a, b, 1000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val naive = a.join(b,
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // exactly-once: no distinct() anywhere, yet no pair repeats even
+    // when intervals share several buckets
+    assert(got.length == got.toSet.size, "first-overlap-bucket must dedup")
+    assert(got.toSet == naive)
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)))
+  }
 }
