@@ -73,4 +73,33 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.toSet == naive)
     assert(got.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)))
   }
+
+  test("intervalOverlapJoin property: random interval sets ≡ naive join (one Spark job)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // bounds spanning negative/positive across many bucket widths;
+    // evaluated as ONE Spark job per side (the PropertySpec discipline)
+    def sample[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val ivGen = for {
+      lo <- Gen.choose(-50000L, 50000L)
+      len <- Gen.choose(0L, 15000L)
+    } yield (lo, lo + len)
+    val as = sample(ivGen, 120).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("a_id", "a_lo", "a_hi")
+    val bs = sample(ivGen, 120).zipWithIndex
+      .map { case ((lo, hi), i) => (1000L + i, lo, hi) }
+      .toDF("b_id", "b_lo", "b_hi")
+    Seq(1000L, 3777L, 60000L).foreach { bucket =>
+      val got = RangeJoin.intervalOverlapJoin(as, bs, bucket)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      val naive = as.join(bs,
+          col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got.length == got.toSet.size,
+        s"bucket=$bucket emitted a pair twice")
+      assert(got.toSet == naive, s"bucket=$bucket diverged from naive")
+    }
+  }
 }
