@@ -806,33 +806,47 @@ object OracleExt {
 
   // ---- k-means / IVF (graft.operators.KMeans) -------------------------
 
-  /** Sequential-fold squared distance — twin of KMeans.dist2. */
-  private def sqlDist2(a: String, b: String): String = s"""
+  /** Sequential-fold squared distance — twin of KMeans.dist2, over the
+    * first `dim` components. */
+  private def sqlDist2D(a: String, b: String, dim: Int): String = s"""
     list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+        list_transform(range(1, ${dim + 1}),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
       (acc, x) -> acc + x)"""
+
+  private def sqlDist2(a: String, b: String): String = sqlDist2D(a, b, 64)
 
   /** One Lloyd round: assignment (argmin, ties to lowest cid) from
     * centroids `cPrev`, then the fixed-point (long) element-sum mean —
-    * order-insensitive, the exact twin of KMeans.updateCentroids. */
-  private def kmeansRound(i: Int, cPrev: String, cNext: String): String = {
-    val sums = (0 until 64).map(j =>
+    * order-insensitive, the exact twin of KMeans.updateCentroids.
+    * `p` prefixes every intermediate CTE name and `eName`/`dim` select
+    * the source frame and vector width, so independent chains (the PQ
+    * subspaces) coexist in one WITH clause. */
+  private def kmeansRoundP(p: String, i: Int, cPrev: String,
+                           cNext: String, dim: Int,
+                           eName: String): String = {
+    val sums = (0 until dim).map(j =>
       s"SUM(CAST(floor(v[${j + 1}] * 1000000) AS BIGINT)) AS s$j")
       .mkString(", ")
-    val mean = (0 until 64).map(j =>
+    val mean = (0 until dim).map(j =>
       s"CAST(s$j AS DOUBLE) / 1000000.0 / cnt").mkString("[", ", ", "]")
     s"""
-    d$i AS (SELECT e.vec_id, e.v, c.cid, ${sqlDist2("e.v", "c.c")} AS d2
-            FROM e CROSS JOIN $cPrev c),
-    a$i AS (SELECT vec_id, v, cid, d2 FROM (
+    ${p}d$i AS (SELECT e.vec_id, e.v, c.cid,
+                       ${sqlDist2D("e.v", "c.c", dim)} AS d2
+            FROM $eName e CROSS JOIN $cPrev c),
+    ${p}a$i AS (SELECT vec_id, v, cid, d2 FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id
                                            ORDER BY d2, cid) AS rn
-              FROM d$i) WHERE rn = 1),
-    m$i AS (SELECT cid, count(*) AS cnt, $sums FROM a$i GROUP BY cid),
-    u$i AS (SELECT cid, $mean AS c_new FROM m$i),
+              FROM ${p}d$i) WHERE rn = 1),
+    ${p}m$i AS (SELECT cid, count(*) AS cnt, $sums
+                FROM ${p}a$i GROUP BY cid),
+    ${p}u$i AS (SELECT cid, $mean AS c_new FROM ${p}m$i),
     $cNext AS (SELECT p.cid, COALESCE(u.c_new, p.c) AS c
-               FROM $cPrev p LEFT JOIN u$i u ON p.cid = u.cid)"""
+               FROM $cPrev p LEFT JOIN ${p}u$i u ON p.cid = u.cid)"""
   }
+
+  private def kmeansRound(i: Int, cPrev: String, cNext: String): String =
+    kmeansRoundP("", i, cPrev, cNext, 64, "e")
 
   /** CTE chain ending in assignment `a{iters-1}` vs centroids
     * `c{iters-1}`. `kSql` is either a literal ("8") or the
@@ -1004,6 +1018,38 @@ object OracleExt {
                       AS rank
           FROM scored)
     WHERE rank <= $topN ORDER BY rank"""
+  }
+
+  /** Twin of KMeans.pqEncode — m independent per-subspace Lloyd chains
+    * (prefixed CTEs so they coexist), final codes joined on vec_id;
+    * recon_err_milli sums the per-block d2 in fixed block order before
+    * the one output quantization, mirroring the Spark fold. */
+  def pqEncode(m: Int, k: Int, iters: Int): String = {
+    val sub = 64 / m
+    val blocks = (0 until m).map { j =>
+      val chain = (0 until iters)
+        .map(i => kmeansRoundP(s"b$j", i, s"b${j}c$i", s"b${j}c${i + 1}",
+          sub, s"e$j")).mkString(",")
+      s"""e$j AS (SELECT vec_id, v[${j * sub + 1}:${(j + 1) * sub}] AS v
+             FROM eb),
+      b${j}c0 AS (SELECT vec_id AS cid, v AS c FROM e$j
+                  WHERE vec_id < $k),
+      $chain"""
+    }.mkString(",")
+    val codeCols = (0 until m)
+      .map(j => s"CAST(a$j.cid AS INTEGER) AS c$j").mkString(", ")
+    val err = (0 until m).map(j => s"a$j.d2").mkString(" + ")
+    val joins = (1 until m)
+      .map(j => s"JOIN b${j}a${iters - 1} a$j ON a0.vec_id = a$j.vec_id")
+      .mkString(" ")
+    s"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    $blocks
+    SELECT a0.vec_id, $codeCols,
+           CAST(floor(($err) * 1000) AS BIGINT) AS recon_err_milli
+    FROM b0a${iters - 1} a0 $joins
+    ORDER BY a0.vec_id"""
   }
 
   /** Twin of KMeans.semDedup — cluster-scoped cosine near-dup keep

@@ -418,6 +418,10 @@ object SparkEntry {
     // Symmetric int8 absmax quantization of the embedding column
     "embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embPar(s, dir)).orderBy("vec_id")),
+    // Product quantization: 4 independent 16-dim codebooks (k=4), each
+    // vector -> 4 codeword ids + total squared reconstruction error
+    "pq_encode" -> ((s, dir) =>
+      KMeans.pqEncode(embPar(s, dir)).orderBy("vec_id")),
 
     // ---- §2.4 LLM-data-pipeline: multimodal columns -----------------
     // BINARY payload features + typed metadata
@@ -571,6 +575,7 @@ object SparkEntry {
     "cluster_outliers" ->
       OracleExt.clusterOutliers(OracleExt.deriveKSql(64), 2, 5),
     "embed_quantize" -> OracleExt.quantizeInt8,
+    "pq_encode" -> OracleExt.pqEncode(4, 4, 2),
     "keyword_extract" -> OracleExt.keywordExtract(5),
     "bm25_rank" -> OracleExt.bm25Rank(Seq("spark", "join", "filter"), 20),
     "heavy_hitters" -> OracleExt.heavyHitters(10),

@@ -72,13 +72,14 @@ object KMeans {
 
   /** Order-insensitive fixed-point mean (see scaladoc); empty clusters
     * keep `prev`. */
-  def updateCentroids(assigned: DataFrame, prev: DataFrame): DataFrame = {
-    val sums = (0 until dim).map(j =>
+  def updateCentroids(assigned: DataFrame, prev: DataFrame,
+                      vecDim: Int = dim): DataFrame = {
+    val sums = (0 until vecDim).map(j =>
       sum(floor(element_at(col("v"), j + 1) * 1000000L)).as(s"__s$j"))
     val means = assigned.groupBy("cid")
       .agg(count(lit(1)).as("__n"), sums: _*)
       .select(col("cid"),
-        array((0 until dim).map(j =>
+        array((0 until vecDim).map(j =>
           col(s"__s$j").cast("double") / 1000000d / col("__n")): _*)
           .as("c_new"))
     prev.join(means, Seq("cid"), "left")
@@ -115,17 +116,25 @@ object KMeans {
   }
 
   private def fitCore(emb: DataFrame, k: Int, iters: Int,
-                      cacheFromIters: Int): (DataFrame, DataFrame) = {
+                      cacheFromIters: Int): (DataFrame, DataFrame) =
+    fitVecs(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")), k, iters,
+      cacheFromIters, dim)
+
+  /** Lloyd's over an already-projected (vec_id, v) frame of `vecDim`
+    * components — the dimension-generic core fitCore wraps for the
+    * full 64-dim column and [[pqEncode]] runs per 16-dim subvector. */
+  private def fitVecs(vecs0: DataFrame, k: Int, iters: Int,
+                      cacheFromIters: Int,
+                      vecDim: Int): (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val doCache = iters >= cacheFromIters
-    val vecs0 = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
     val vecs = if (doCache) graft.Caches.track(vecs0, lvl) else vecs0
     var centroids = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     var assigned = assign(vecs, centroids)
     (1 until iters).foreach { _ =>
-      centroids = updateCentroids(assigned, centroids)
+      centroids = updateCentroids(assigned, centroids, vecDim)
       if (doCache) centroids = graft.Caches.track(centroids, lvl)
       assigned = assign(vecs, centroids)
     }
@@ -290,6 +299,44 @@ object KMeans {
     * drops. Pure composition over the trained assignment: one bounded
     * per-cluster top-k window (WindowGroupLimit prunes map-side), no
     * extra scan of the training data. */
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each vector into `m`
+    * subvectors, train an independent k-codeword quantizer per
+    * subspace, and encode every vector as its m codeword ids — 64
+    * doubles become m small ints (m·log2 k bits), the compression
+    * step between int8 absmax ([[Similarity.quantizeInt8]]) and raw
+    * floats in the embedding-storage ladder. `recon_err_milli` is the
+    * total squared reconstruction error Σ_j d²(v_j, codeword_j) — the
+    * training objective, summed in fixed block order so both engines
+    * produce the identical double before the output quantization.
+    *
+    * Scale shape: m independent Lloyd chains, each the SAME
+    * constant-buffer fixed-point aggregation as the full-width fit
+    * (k-row broadcast per assign, no collect_list), over a SLICE
+    * projection of the one tracked base frame; the final code table is
+    * m vec_id-keyed equi-joins of (vec_id, small-int) frames. Nothing
+    * here is wider than the IVF trainer the library already runs — PQ
+    * at 100 TB is m of those, embarrassingly parallel. */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 4,
+               iters: Int = 2): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val base = graft.Caches.track(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")))
+    val blocks = (0 until m).map { j =>
+      fitVecs(base.select(col("vec_id"),
+          slice(col("v"), j * sub + 1, sub).as("v")),
+        k, iters, cacheFromIters = 3, vecDim = sub)._1
+        .select(col("vec_id"), col("cluster").cast("int").as(s"c$j"),
+          col("d2").as(s"__d$j"))
+    }
+    val joined = blocks.reduce(_.join(_, Seq("vec_id")))
+    val err = (0 until m).map(j => col(s"__d$j")).reduce(_ + _)
+    joined.select(col("vec_id") +:
+      (0 until m).map(j => col(s"c$j")) :+
+      floor(err * 1000).cast("long").as("recon_err_milli"): _*)
+  }
+
   def clusterOutliers(emb: DataFrame, k: Int = 0, iters: Int = 2,
                       perCluster: Int = 5,
                       targetClusterSize: Long = 1000L): DataFrame =

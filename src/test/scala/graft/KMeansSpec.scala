@@ -137,6 +137,72 @@ class KMeansSpec extends SparkTestBase {
     assert(KMeans.deriveK(Long.MaxValue) == Int.MaxValue)
   }
 
+  test("pqEncode == per-subspace brute-force fixed-point Lloyd (differential)") {
+    // 8 vectors of 4 16-dim blocks; block j of vector i follows
+    // prototype (i+j)%4 with a small per-vector jitter (no ties)
+    val vecs: Map[Long, Seq[Double]] = (0L until 8L).map { i =>
+      i -> (0 until 64).map { d =>
+        val proto = ((i + d / 16) % 4 + 1).toDouble
+        proto + i * 0.001 + d * 0.0001
+      }
+    }.toMap
+    val emb = vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    // test-side reference: the EXACT fixed-point Lloyd of
+    // KMeans.updateCentroids (sum of floor(x*1e6) / 1e6 / n — all
+    // doubles exact below 2^53, so bit-equality is expected)
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    def lloyd(sub: Map[Long, Seq[Double]], k: Int,
+              iters: Int): Map[Long, (Int, Double)] = {
+      var cents: Map[Long, Seq[Double]] = sub.filter(_._1 < k)
+      def assignAll() = sub.map { case (id, v) =>
+        val best = cents.toSeq
+          .map { case (cid, c) => (d2(v, c), cid) }.minBy(identity)
+        id -> (best._2, best._1)
+      }
+      var asg = assignAll()
+      (1 until iters).foreach { _ =>
+        val upd = asg.groupBy(_._2._1).map { case (cid, members) =>
+          val vs = members.keys.map(sub).toSeq
+          cid -> vs.head.indices.map(d =>
+            vs.map(v => math.floor(v(d) * 1e6)).sum / 1e6 / vs.size)
+        }
+        cents = cents.map { case (cid, c) => cid -> upd.getOrElse(cid, c) }
+        asg = assignAll()
+      }
+      asg.map { case (id, (cid, dd)) => id -> (cid.toInt, dd) }
+    }
+    // float32 storage: mirror the cast the operator reads back
+    val asDouble = vecs.map { case (id, v) =>
+      id -> v.map(x => x.toFloat.toDouble)
+    }
+    val expect = (0L until 8L).map { i =>
+      val perBlock = (0 until 4).map { j =>
+        lloyd(asDouble.map { case (id, v) =>
+          id -> v.slice(j * 16, (j + 1) * 16)
+        }, k = 4, iters = 2)(i)
+      }
+      i -> (perBlock.map(_._1),
+        math.floor(perBlock.map(_._2).sum * 1000).toLong)
+    }.toMap
+    val got = KMeans.pqEncode(emb)
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+      .map(t => t._1 -> ((Seq(t._2, t._3, t._4, t._5), t._6))).toMap
+    Caches.releaseAll()
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (codes, err)) =>
+      assert(codes == expect(id)._1, s"vec $id codes: $codes != ${expect(id)._1}")
+      assert(err == expect(id)._2, s"vec $id err: $err != ${expect(id)._2}")
+    }
+    // layout invariance: same codes under a different physical deal
+    val again = KMeans.pqEncode(emb.repartition(5))
+      .as[(Long, Int, Int, Int, Int, Long)].collect().toSet
+    assert(again == KMeans.pqEncode(emb)
+      .as[(Long, Int, Int, Int, Int, Long)].collect().toSet)
+    Caches.releaseAll()
+  }
+
   test("k=0 sentinel: semDedup/clusterOutliers derive k from the corpus count") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
