@@ -1024,9 +1024,11 @@ object OracleExt {
     * (prefixed CTEs so they coexist), final codes joined on vec_id;
     * recon_err_milli sums the per-block d2 in fixed block order before
     * the one output quantization, mirroring the Spark fold. */
-  def pqEncode(m: Int, k: Int, iters: Int): String = {
+  /** The m prefixed per-subspace Lloyd chains over base frame `eb` —
+    * shared by the pqEncode and topkPqAdc twins. */
+  private def pqBlocksCte(m: Int, k: Int, iters: Int): String = {
     val sub = 64 / m
-    val blocks = (0 until m).map { j =>
+    (0 until m).map { j =>
       val chain = (0 until iters)
         .map(i => kmeansRoundP(s"b$j", i, s"b${j}c$i", s"b${j}c${i + 1}",
           sub, s"e$j")).mkString(",")
@@ -1036,6 +1038,9 @@ object OracleExt {
                   WHERE vec_id < $k),
       $chain"""
     }.mkString(",")
+  }
+
+  def pqEncode(m: Int, k: Int, iters: Int): String = {
     val codeCols = (0 until m)
       .map(j => s"CAST(a$j.cid AS INTEGER) AS c$j").mkString(", ")
     val err = (0 until m).map(j => s"a$j.d2").mkString(" + ")
@@ -1045,11 +1050,49 @@ object OracleExt {
     s"""
     WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                 FROM embeddings),
-    $blocks
+    ${pqBlocksCte(m, k, iters)}
     SELECT a0.vec_id, $codeCols,
            CAST(floor(($err) * 1000) AS BIGINT) AS recon_err_milli
     FROM b0a${iters - 1} a0 $joins
     ORDER BY a0.vec_id"""
+  }
+
+  /** Twin of KMeans.topkPqAdc — per-query ADC tables against the
+    * trained per-subspace codebooks (`c{iters-1}`, the same final
+    * centroid table the assignment ran against), summed in fixed
+    * block order; rank on the raw double, quantize at output. */
+  def topkPqAdc(m: Int, k: Int, iters: Int, nQueries: Int,
+                topK: Int): String = {
+    val sub = 64 / m
+    val li = iters - 1
+    val dtabs = (0 until m).map { j =>
+      s"""t$j AS (SELECT q.vec_id AS query_id, c.cid,
+                   ${sqlDist2D("q.v", "c.c", sub)} AS dj
+           FROM (SELECT vec_id, v FROM e$j WHERE vec_id < $nQueries) q
+           CROSS JOIN b${j}c$li c)"""
+    }.mkString(",")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN b${j}a$li a$j ON a$j.vec_id = a0.vec_id")
+      .mkString(" ")
+    val tJoins = (0 until m).map { j =>
+      if (j == 0) s"JOIN t0 ON t0.cid = a0.cid"
+      else s"JOIN t$j ON t$j.cid = a$j.cid AND t$j.query_id = t0.query_id"
+    }.mkString(" ")
+    val dist = (0 until m).map(j => s"t$j.dj").mkString(" + ")
+    s"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    ${pqBlocksCte(m, k, iters)},
+    $dtabs,
+    cand AS (SELECT t0.query_id, a0.vec_id, ($dist) AS dist
+             FROM b0a$li a0 $codeJoins $tJoins
+             WHERE t0.query_id != a0.vec_id)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+           CAST(floor(dist * 1000) AS BIGINT) AS adc_milli
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, vec_id) AS rank
+          FROM cand)
+    WHERE rank <= $topK ORDER BY query_id, rank"""
   }
 
   /** Twin of KMeans.semDedup — cluster-scoped cosine near-dup keep

@@ -422,6 +422,10 @@ object SparkEntry {
     // vector -> 4 codeword ids + total squared reconstruction error
     "pq_encode" -> ((s, dir) =>
       KMeans.pqEncode(embPar(s, dir)).orderBy("vec_id")),
+    // ADC top-k over the PQ codes: raw-query-vs-codeword distance
+    // tables, m lookups + adds per candidate, rank-limited window
+    "topk_pq" -> ((s, dir) =>
+      KMeans.topkPqAdc(embPar(s, dir)).orderBy("query_id", "rank")),
 
     // ---- §2.4 LLM-data-pipeline: multimodal columns -----------------
     // BINARY payload features + typed metadata
@@ -576,6 +580,7 @@ object SparkEntry {
       OracleExt.clusterOutliers(OracleExt.deriveKSql(64), 2, 5),
     "embed_quantize" -> OracleExt.quantizeInt8,
     "pq_encode" -> OracleExt.pqEncode(4, 4, 2),
+    "topk_pq" -> OracleExt.topkPqAdc(4, 4, 2, 10, 3),
     "keyword_extract" -> OracleExt.keywordExtract(5),
     "bm25_rank" -> OracleExt.bm25Rank(Seq("spark", "join", "filter"), 20),
     "heavy_hitters" -> OracleExt.heavyHitters(10),

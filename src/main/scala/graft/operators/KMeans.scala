@@ -337,6 +337,58 @@ object KMeans {
       floor(err * 1000).cast("long").as("recon_err_milli"): _*)
   }
 
+  /** ADC (asymmetric distance computation) top-k search over PQ codes
+    * — the read half of [[pqEncode]]: a query keeps its RAW subvectors
+    * and every database vector is represented only by its m codeword
+    * ids, so distance(q, x) ≈ Σ_j d²(q_j, codeword_{j, c_j(x)}) — m
+    * integer table lookups + adds per candidate instead of a 64-dim
+    * float scan. The per-query distance tables are (nQueries × k)-row
+    * frames built against the broadcast k-row codebooks, themselves
+    * broadcast into map-side hash joins keyed on the code ids; the
+    * per-query top-k is a rank-limited window (WindowGroupLimit prunes
+    * map-side). ADC alone still scans every CODE (that is its point —
+    * bytes instead of floats); for sublinear candidate sets compose
+    * with the IVF cluster pruning ([[annIvf]]) exactly as IVFADC does
+    * in the paper. Ranking orders on the raw double sum (bit-exact
+    * cross-engine) and quantizes only the output column. */
+  def topkPqAdc(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
+                nQueries: Int = 10, topK: Int = 3): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val d2e = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.Dist2F64Expr(a, b)
+    val base = graft.Caches.track(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")))
+    val parts = (0 until m).map { j =>
+      val block = base.select(col("vec_id"),
+        slice(col("v"), j * sub + 1, sub).as("v"))
+      val (asg, cents) = fitVecs(block, k, iters, cacheFromIters = 3,
+        vecDim = sub)
+      val codes = asg.select(col("vec_id"), col("cluster").as(s"__c$j"))
+      val dtab = block.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("__qv"))
+        .crossJoin(broadcast(graft.Caches.track(cents)))
+        .select(col("query_id"), col("cid").as(s"__c$j"),
+          d2e(col("__qv"), col("c")).as(s"__d$j"))
+      (codes, dtab)
+    }
+    val codes = parts.map(_._1).reduce(_.join(_, Seq("vec_id")))
+    val withD = (1 until m).foldLeft(
+        codes.join(broadcast(parts(0)._2), Seq("__c0"))) { (acc, j) =>
+      acc.join(broadcast(parts(j)._2), Seq(s"__c$j", "query_id"))
+    }
+    val dist = (0 until m).map(j => col(s"__d$j")).reduce(_ + _)
+    withD.filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), dist.as("__dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__dist"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"),
+        floor(col("__dist") * 1000).cast("long").as("adc_milli"))
+  }
+
   def clusterOutliers(emb: DataFrame, k: Int = 0, iters: Int = 2,
                       perCluster: Int = 5,
                       targetClusterSize: Long = 1000L): DataFrame =

@@ -203,6 +203,33 @@ class KMeansSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("topkPqAdc: shape, self-exclusion, ADC ordering, code-equivalence") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = KMeans.topkPqAdc(emb).as[(Long, Int, Long, Long)].collect()
+    Caches.releaseAll()
+    val byQ = r.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet, "one block per query")
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length),
+        s"query $q ranks must be 1..k")
+      assert(rows.forall(_._3 != q), s"query $q must exclude itself")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"query $q ADC distance must ascend with rank")
+    }
+    // ADC sees only codes: two vectors with identical codewords are
+    // indistinguishable — any that appear for the same query must
+    // carry the same distance
+    val codes = KMeans.pqEncode(emb)
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    Caches.releaseAll()
+    r.groupBy(t => (t._1, codes(t._3))).values.foreach { grp =>
+      assert(grp.map(_._4).toSet.size == 1,
+        "identical codes must be ADC-indistinguishable")
+    }
+  }
+
   test("k=0 sentinel: semDedup/clusterOutliers derive k from the corpus count") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
