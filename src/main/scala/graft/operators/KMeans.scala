@@ -317,24 +317,84 @@ object KMeans {
     * m vec_id-keyed equi-joins of (vec_id, small-int) frames. Nothing
     * here is wider than the IVF trainer the library already runs — PQ
     * at 100 TB is m of those, embarrassingly parallel. */
+  /** All m subspace quantizers trained in ONE blocked Lloyd chain:
+    * vectors go long-format — one (blk, vec_id, subvector) row per
+    * subspace — so each round is ONE broadcast-assign + ONE
+    * (blk, vec_id)-keyed min_by + ONE (blk, cid)-keyed fixed-point
+    * update for ALL m codebooks, instead of m separate chains of tiny
+    * stages (measured: the per-chain version cost m× the scheduler
+    * round-trips for identical arithmetic; total data volume is
+    * unchanged — m× the rows at 1/m the width). The per-(blk, cid)
+    * math is bit-identical to m independent [[fitVecs]] runs: same
+    * init (vec_id < k per block), same (d2, cid) tie-break, same
+    * order-free integer sums — the pqEncode differential spec pins
+    * this against a per-subspace scalar reference.
+    * Returns (assigned(blk, vec_id, cid, d2), cents(blk, cid, c)). */
+  private def fitBlocks(base: DataFrame, m: Int, k: Int, iters: Int,
+                        sub: Int): (DataFrame, DataFrame) = {
+    val d2e = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.Dist2F64Expr(a, b)
+    val vecs = graft.Caches.track(base.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          b => slice(col("v"), b * sub + 1, lit(sub)))))
+      .select(col("vec_id"), col("pos").cast("int").as("blk"),
+        col("col").as("v")))
+    def assignB(cs: DataFrame): DataFrame =
+      vecs.join(broadcast(cs), Seq("blk"))
+        .select(col("blk"), col("vec_id"), col("v"), col("cid"),
+          d2e(col("v"), col("c")).as("d2"))
+        .groupBy("blk", "vec_id")
+        .agg(min_by(struct(col("cid"), col("v"), col("d2")),
+          struct(col("d2"), col("cid"))).as("__m"))
+        .select(col("blk"), col("vec_id"), col("__m.v").as("v"),
+          col("__m.cid").as("cid"), col("__m.d2").as("d2"))
+    def updateB(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val sums = (0 until sub).map(j =>
+        sum(floor(element_at(col("v"), j + 1) * 1000000L)).as(s"__s$j"))
+      val means = assigned.groupBy("blk", "cid")
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("blk"), col("cid"),
+          array((0 until sub).map(j =>
+            col(s"__s$j").cast("double") / 1000000d / col("__n")): _*)
+            .as("c_new"))
+      prev.join(means, Seq("blk", "cid"), "left")
+        .select(col("blk"), col("cid"),
+          coalesce(col("c_new"), col("c")).as("c"))
+    }
+    var cents = vecs.filter(col("vec_id") < k)
+      .select(col("blk"), col("vec_id").as("cid"), col("v").as("c"))
+    var assigned = assignB(cents)
+    (1 until iters).foreach { _ =>
+      cents = updateB(assigned, cents)
+      assigned = assignB(cents)
+    }
+    (assigned, cents)
+  }
+
+  /** Per-vector wide code row off the blocked assignment: codes (and
+    * optionally per-block d2) pivot through ONE (vec_id)-keyed
+    * aggregation — no m-way self-join. */
+  private def pqCodesWide(assigned: DataFrame, m: Int,
+                          withD2: Boolean): DataFrame = {
+    val codeAggs = (0 until m).map(j =>
+      max(when(col("blk") === j, col("cid"))).cast("int").as(s"c$j"))
+    val d2Aggs = if (withD2) (0 until m).map(j =>
+      max(when(col("blk") === j, col("d2"))).as(s"__d$j")) else Seq.empty
+    val aggs = codeAggs ++ d2Aggs
+    assigned.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 4,
                iters: Int = 2): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-    val base = graft.Caches.track(emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v")))
-    val blocks = (0 until m).map { j =>
-      fitVecs(base.select(col("vec_id"),
-          slice(col("v"), j * sub + 1, sub).as("v")),
-        k, iters, cacheFromIters = 3, vecDim = sub)._1
-        .select(col("vec_id"), col("cluster").cast("int").as(s"c$j"),
-          col("d2").as(s"__d$j"))
-    }
-    val joined = blocks.reduce(_.join(_, Seq("vec_id")))
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val (assigned, _) = fitBlocks(base, m, k, iters, dim / m)
     val err = (0 until m).map(j => col(s"__d$j")).reduce(_ + _)
-    joined.select(col("vec_id") +:
-      (0 until m).map(j => col(s"c$j")) :+
-      floor(err * 1000).cast("long").as("recon_err_milli"): _*)
+    pqCodesWide(assigned, m, withD2 = true)
+      .select(col("vec_id") +:
+        (0 until m).map(j => col(s"c$j")) :+
+        floor(err * 1000).cast("long").as("recon_err_milli"): _*)
   }
 
   /** ADC (asymmetric distance computation) top-k search over PQ codes
@@ -354,31 +414,30 @@ object KMeans {
   def topkPqAdc(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
                 nQueries: Int = 10, topK: Int = 3): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
     val d2e = (a: Column, b: Column) =>
       org.apache.spark.sql.graft.Dist2F64Expr(a, b)
-    val base = graft.Caches.track(emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v")))
-    val parts = (0 until m).map { j =>
-      val block = base.select(col("vec_id"),
-        slice(col("v"), j * sub + 1, sub).as("v"))
-      val (asg, cents) = fitVecs(block, k, iters, cacheFromIters = 3,
-        vecDim = sub)
-      val codes = asg.select(col("vec_id"), col("cluster").as(s"__c$j"))
-      val dtab = block.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("__qv"))
-        .crossJoin(broadcast(graft.Caches.track(cents)))
-        .select(col("query_id"), col("cid").as(s"__c$j"),
-          d2e(col("__qv"), col("c")).as(s"__d$j"))
-      (codes, dtab)
-    }
-    val codes = parts.map(_._1).reduce(_.join(_, Seq("vec_id")))
-    val withD = (1 until m).foldLeft(
-        codes.join(broadcast(parts(0)._2), Seq("__c0"))) { (acc, j) =>
-      acc.join(broadcast(parts(j)._2), Seq(s"__c$j", "query_id"))
-    }
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val (assigned, cents) = fitBlocks(base, m, k, iters, dim / m)
+    // (query, blk, cid, dj) table — nQueries × m × k rows, broadcast;
+    // queries reuse the same long-format cached frame the trainer read
+    val dtab = assigned.filter(col("vec_id") < nQueries)
+      .select(col("blk"), col("vec_id").as("query_id"),
+        col("v").as("__qv"))
+      .join(broadcast(graft.Caches.track(cents)), Seq("blk"))
+      .select(col("blk"), col("query_id"), col("cid"),
+        d2e(col("__qv"), col("c")).as("dj"))
+    // candidates: every (blk, code) row meets its per-query lookup
+    // map-side; ONE (query, vec) aggregation folds the m partial
+    // distances in fixed block order
+    val perBlock = assigned.select(col("blk"), col("vec_id"), col("cid"))
+      .join(broadcast(dtab), Seq("blk", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val dAggs = (0 until m).map(j =>
+      max(when(col("blk") === j, col("dj"))).as(s"__d$j"))
     val dist = (0 until m).map(j => col(s"__d$j")).reduce(_ + _)
-    withD.filter(col("query_id") =!= col("vec_id"))
+    perBlock.groupBy("query_id", "vec_id")
+      .agg(dAggs.head, dAggs.tail: _*)
       .select(col("query_id"), col("vec_id"), dist.as("__dist"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
