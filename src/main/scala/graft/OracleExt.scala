@@ -1057,12 +1057,16 @@ object OracleExt {
     ORDER BY a0.vec_id"""
   }
 
-  /** Twin of KMeans.topkPqAdc — per-query ADC tables against the
-    * trained per-subspace codebooks (`c{iters-1}`, the same final
-    * centroid table the assignment ran against), summed in fixed
-    * block order; rank on the raw double, quantize at output. */
-  def topkPqAdc(m: Int, k: Int, iters: Int, nQueries: Int,
-                topK: Int): String = {
+  /** Shared ADC search tail over PQ codes: per-query distance tables
+    * against the per-subspace codebooks (`b*c{iters-1}`, the same
+    * final centroid tables the assignment ran against), summed in
+    * fixed block order; rank on the raw double, quantize at output.
+    * `withPrefix` supplies everything up to and including the `eb`
+    * base frame the PQ chains slice; `candJoins` appends extra
+    * candidate-pruning joins (the IVFADC coarse-cell filter). */
+  private def pqAdcQuery(m: Int, k: Int, iters: Int, nQueries: Int,
+                         topK: Int, withPrefix: String,
+                         candJoins: String): String = {
     val sub = 64 / m
     val li = iters - 1
     val dtabs = (0 until m).map { j =>
@@ -1072,27 +1076,54 @@ object OracleExt {
            CROSS JOIN b${j}c$li c)"""
     }.mkString(",")
     val codeJoins = (1 until m)
-      .map(j => s"JOIN b${j}a$li a$j ON a$j.vec_id = a0.vec_id")
+      .map(j => s"JOIN b${j}a$li pa$j ON pa$j.vec_id = pa0.vec_id")
       .mkString(" ")
     val tJoins = (0 until m).map { j =>
-      if (j == 0) s"JOIN t0 ON t0.cid = a0.cid"
-      else s"JOIN t$j ON t$j.cid = a$j.cid AND t$j.query_id = t0.query_id"
+      if (j == 0) s"JOIN t0 ON t0.cid = pa0.cid"
+      else s"JOIN t$j ON t$j.cid = pa$j.cid AND t$j.query_id = t0.query_id"
     }.mkString(" ")
     val dist = (0 until m).map(j => s"t$j.dj").mkString(" + ")
     s"""
-    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                FROM embeddings),
+    $withPrefix,
     ${pqBlocksCte(m, k, iters)},
     $dtabs,
-    cand AS (SELECT t0.query_id, a0.vec_id, ($dist) AS dist
-             FROM b0a$li a0 $codeJoins $tJoins
-             WHERE t0.query_id != a0.vec_id)
+    cand AS (SELECT t0.query_id, pa0.vec_id, ($dist) AS dist
+             FROM b0a$li pa0 $codeJoins $tJoins $candJoins
+             WHERE t0.query_id != pa0.vec_id)
     SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
            CAST(floor(dist * 1000) AS BIGINT) AS adc_milli
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY dist, vec_id) AS rank
           FROM cand)
     WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
+
+  /** Twin of KMeans.topkPqAdc — ADC over codes of the raw vectors. */
+  def topkPqAdc(m: Int, k: Int, iters: Int, nQueries: Int,
+                topK: Int): String =
+    pqAdcQuery(m, k, iters, nQueries, topK,
+      withPrefix = """
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings)""",
+      candJoins = "")
+
+  /** Twin of KMeans.annIvfAdc — the coarse Lloyd chain feeds a
+    * residual base frame (x − coarse centroid), the PQ chains train on
+    * it, and candidates are filtered to the query's coarse cell. */
+  def annIvfAdc(kc: Int, citers: Int, m: Int, k: Int, iters: Int,
+                nQueries: Int, topK: Int): String = {
+    val ci = citers - 1
+    pqAdcQuery(m, k, iters, nQueries, topK,
+      withPrefix = s"""
+    ${kmeansCte(kc.toString, citers)},
+    eb AS (SELECT a.vec_id, a.cid AS ccell,
+                  list_transform(range(1, 65),
+                    i -> a.v[i] - c.c[i]) AS v
+           FROM a$ci a JOIN c$ci c ON a.cid = c.cid)""",
+      candJoins = """
+             JOIN eb x ON x.vec_id = pa0.vec_id
+             JOIN eb q ON q.vec_id = t0.query_id
+                          AND q.ccell = x.ccell""")
   }
 
   /** Twin of KMeans.semDedup — cluster-scoped cosine near-dup keep

@@ -426,6 +426,10 @@ object SparkEntry {
     // tables, m lookups + adds per candidate, rank-limited window
     "topk_pq" -> ((s, dir) =>
       KMeans.topkPqAdc(embPar(s, dir)).orderBy("query_id", "rank")),
+    // IVFADC: coarse-cell pruning + residual-PQ ADC ranking (the full
+    // Jegou et al. composition)
+    "ann_ivfadc" -> ((s, dir) =>
+      KMeans.annIvfAdc(embPar(s, dir)).orderBy("query_id", "rank")),
 
     // ---- §2.4 LLM-data-pipeline: multimodal columns -----------------
     // BINARY payload features + typed metadata
@@ -581,6 +585,7 @@ object SparkEntry {
     "embed_quantize" -> OracleExt.quantizeInt8,
     "pq_encode" -> OracleExt.pqEncode(4, 4, 2),
     "topk_pq" -> OracleExt.topkPqAdc(4, 4, 2, 10, 3),
+    "ann_ivfadc" -> OracleExt.annIvfAdc(8, 2, 4, 4, 2, 10, 3),
     "keyword_extract" -> OracleExt.keywordExtract(5),
     "bm25_rank" -> OracleExt.bm25Rank(Seq("spark", "join", "filter"), 20),
     "heavy_hitters" -> OracleExt.heavyHitters(10),

@@ -448,6 +448,71 @@ object KMeans {
         floor(col("__dist") * 1000).cast("long").as("adc_milli"))
   }
 
+  /** IVFADC (Jégou et al. §IV): the full paper system — a coarse IVF
+    * quantizer prunes candidates to the query's cluster, and a product
+    * quantizer trained on RESIDUALS (x − coarse_centroid(x)) ranks
+    * them by ADC. Residual encoding is what makes the composition
+    * better than either half: the PQ codebooks only have to cover the
+    * within-cell displacement, not the whole space.
+    *
+    * Scale shape: everything reuses the audited pieces — the coarse
+    * Lloyd chain (broadcast kc rows), ONE blocked residual-PQ chain
+    * ([[fitBlocks]]), broadcast (nQ × m × k) distance tables, and a
+    * coarse-cell filter via one broadcast (nQ)-row join; the only
+    * corpus-keyed shuffles are the residual projection and the final
+    * (query, vec) fold. Candidates per query are |corpus|/kc by
+    * construction — the IVF dial — and each costs m lookups + adds. */
+  def annIvfAdc(emb: DataFrame, kc: Int = 8, citers: Int = 2,
+                m: Int = 4, k: Int = 4, iters: Int = 2,
+                nQueries: Int = 10, topK: Int = 3): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val d2e = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.Dist2F64Expr(a, b)
+    val (asg, coarse) = fitModel(emb, kc, citers)
+    // residuals: one broadcast join against the kc-row centroid table;
+    // persisted — the PQ trainer, the query side, and the coarse-cell
+    // lookup all read it
+    // explicit aliases: asg and coarse share lineage (fitModel), so
+    // unqualified references after the join are ambiguous
+    val resBase = graft.Caches.track(
+      asg.select(col("vec_id"), col("cluster"), col("v")).as("A")
+        .join(broadcast(coarse.select(col("cid"), col("c")).as("C")),
+          col("A.cluster") === col("C.cid"))
+        .select(col("A.vec_id").as("vec_id"),
+          col("A.cluster").as("cluster"),
+          zip_with(col("A.v"), col("C.c"), (a, b) => a - b).as("v")))
+    val (passigned, pcents) =
+      fitBlocks(resBase.select(col("vec_id"), col("v")), m, k, iters,
+        dim / m)
+    val dtab = passigned.filter(col("vec_id") < nQueries)
+      .select(col("blk"), col("vec_id").as("query_id"),
+        col("v").as("__qv"))
+      .join(broadcast(graft.Caches.track(pcents)), Seq("blk"))
+      .select(col("blk"), col("query_id"), col("cid"),
+        d2e(col("__qv"), col("c")).as("dj"))
+    val qCell = resBase.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cluster").as("__qc"))
+    val perBlock = passigned.select(col("blk"), col("vec_id"), col("cid"))
+      .join(resBase.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .join(broadcast(dtab), Seq("blk", "cid"))
+      .join(broadcast(qCell), Seq("query_id"))
+      .filter(col("cluster") === col("__qc")
+        && col("query_id") =!= col("vec_id"))
+    val dAggs = (0 until m).map(j =>
+      max(when(col("blk") === j, col("dj"))).as(s"__d$j"))
+    val dist = (0 until m).map(j => col(s"__d$j")).reduce(_ + _)
+    perBlock.groupBy("query_id", "vec_id")
+      .agg(dAggs.head, dAggs.tail: _*)
+      .select(col("query_id"), col("vec_id"), dist.as("__dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__dist"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"),
+        floor(col("__dist") * 1000).cast("long").as("adc_milli"))
+  }
+
   def clusterOutliers(emb: DataFrame, k: Int = 0, iters: Int = 2,
                       perCluster: Int = 5,
                       targetClusterSize: Long = 1000L): DataFrame =

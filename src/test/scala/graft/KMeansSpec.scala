@@ -230,6 +230,29 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("annIvfAdc: candidates stay in the query's coarse cell; ADC ordering") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = KMeans.annIvfAdc(emb).as[(Long, Int, Long, Long)].collect()
+    Caches.releaseAll()
+    // independent coarse assignment with the same parameters
+    val cells = KMeans.fit(emb, k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster"))
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (q, rows) =>
+      rows.foreach { t =>
+        assert(cells(t._3) == cells(q),
+          s"query $q: candidate ${t._3} escaped the coarse cell")
+      }
+      assert(rows.forall(_._3 != q), s"query $q must exclude itself")
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"query $q ADC distance must ascend with rank")
+    }
+  }
+
   test("k=0 sentinel: semDedup/clusterOutliers derive k from the corpus count") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
