@@ -680,6 +680,28 @@ object OracleExt {
            (1000 * inter) // u >= $dupMilli AS is_dup
     FROM ex ORDER BY doc_a, doc_b"""
 
+  /** Twin of StreamingNearDup.nearDupStream in BATCH execution — the
+    * same band-bucket candidate generation the streaming operator runs
+    * per trigger: one row per (pair, SHARED BAND) — deliberately NOT
+    * DISTINCT, because per-band emission is the streaming operator's
+    * documented cross-band-duplicate contract — lane-agreement
+    * estimated and gated at estMilli. */
+  def nearDupCandidates(estMilli: Long): String = s"""
+    $bandsCte,
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, matches, (1000 * matches) // 16 AS est_milli
+    FROM (SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_filter(range(1, 17),
+                     i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS matches
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.doc_a
+          JOIN sig sb ON sb.doc_id = p.doc_b)
+    WHERE (1000 * matches) // 16 >= $estMilli
+    ORDER BY doc_a, doc_b"""
+
   /** Twin of Dedup.dedupClusters: connected components over the LSH
     * candidate-pair graph via a recursive CTE — `reach` enumerates every
     * (node, reachable-label) pair of the undirected graph (UNION dedups,

@@ -343,6 +343,12 @@ object SparkEntry {
     // for survivors only (the production dedup judgement call)
     "tiered_neardup" -> ((s, dir) =>
       Dedup.tieredNearDup(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // The streaming band-bucket operator in batch execution: one row
+    // per (pair, shared band), est-gated — oracle-checks the exact
+    // candidate stream StreamingNearDup emits per trigger
+    "neardup_candidates" -> ((s, dir) =>
+      graft.streaming.StreamingNearDup.nearDupStream(docsPar(s, dir))
+        .toDF().orderBy("doc_a", "doc_b")),
     // Exact n-gram Jaccard over shared-shingle pairs
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
@@ -601,6 +607,7 @@ object SparkEntry {
     "minhash_pairs" -> OracleExt.minhashPairs,
     "minhash_est" -> OracleExt.minhashJaccardEst,
     "tiered_neardup" -> OracleExt.tieredNearDup(500L, 800L),
+    "neardup_candidates" -> OracleExt.nearDupCandidates(500L),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "cluster_keeplist" -> OracleExt.clusterKeepList,
     "dedup_clusters_star" -> OracleExt.dedupClusters,
