@@ -160,6 +160,32 @@ class StreamingTwinsSpec extends SparkTestBase {
       "streamed-sketch estimate undercounted a term")
   }
 
+  test("decontaminate: stream-static broadcast join (complete mode) ≡ batch") {
+    // a twin CLASS the others don't cover: the benchmark shingle set is
+    // a STATIC frame broadcast-joined against the streaming corpus,
+    // then a streaming aggregation counts shared shingles per doc —
+    // exactly how a decontamination sweep runs over an arriving corpus
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = fixture.filter(_.doc_id % 10 == 0).toDF()
+    def op(df: DataFrame): DataFrame = Scrub.decontaminate(df, bench)
+    val stream = fixture.filter(_.doc_id % 10 != 0)
+    val input = MemoryStream[TwinDoc]
+    val q = op(input.toDF()).writeStream.format("memory")
+      .queryName("twin_decon").outputMode("complete").start()
+    input.addData(stream.take(50): _*)
+    q.processAllAvailable()
+    input.addData(stream.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("twin_decon")
+    val batch = op(stream.toDF())
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "stream-static decontaminate != batch decontaminate")
+    assert(streamed.count() > 0, "fixture must flag contaminated docs")
+  }
+
   test("HLL distinct sketch: streaming (complete mode) ≡ batch") {
     // the approx_distinct sketch run ONLINE: HLL++ buffers merge by
     // register-wise max — commutative and idempotent — so the grouped
