@@ -1148,6 +1148,66 @@ object OracleExt {
                           AND q.ccell = x.ccell""")
   }
 
+  /** Twin of KMeans.annIvfAdcNprobe — nprobe nearest coarse cells per
+    * query (full-vector distance, (d2, cid) tie-break), query residual
+    * recomputed PER PROBED CELL, codeword lookups joined on the
+    * candidate's own cell. */
+  def annIvfAdcNprobe(kc: Int, citers: Int, m: Int, k: Int, iters: Int,
+                      nQueries: Int, topK: Int, nprobe: Int): String = {
+    val ci = citers - 1
+    val li = iters - 1
+    val sub = 64 / m
+    val dtabs = (0 until m).map { j =>
+      s"""t$j AS (SELECT query_id, qcell, c.cid,
+                   ${sqlDist2D("q.v", "c.c", sub)} AS dj
+           FROM (SELECT query_id, qcell,
+                        vr[${j * sub + 1}:${(j + 1) * sub}] AS v
+                 FROM qres) q
+           CROSS JOIN b${j}c$li c)"""
+    }.mkString(",")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN b${j}a$li pa$j ON pa$j.vec_id = pa0.vec_id")
+      .mkString(" ")
+    val tJoins = (0 until m).map { j =>
+      if (j == 0) "JOIN t0 ON t0.cid = pa0.cid AND t0.qcell = x.ccell"
+      else s"JOIN t$j ON t$j.cid = pa$j.cid" +
+        s" AND t$j.query_id = t0.query_id AND t$j.qcell = t0.qcell"
+    }.mkString(" ")
+    val dist = (0 until m).map(j => s"t$j.dj").mkString(" + ")
+    s"""
+    ${kmeansCte(kc.toString, citers)},
+    eb AS (SELECT a.vec_id, a.cid AS ccell,
+                  list_transform(range(1, 65),
+                    i -> a.v[i] - c.c[i]) AS v
+           FROM a$ci a JOIN c$ci c ON a.cid = c.cid),
+    ${pqBlocksCte(m, k, iters)},
+    qc AS (SELECT query_id, cid AS qcell FROM (
+             SELECT q.vec_id AS query_id, c.cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${sqlDist2D("q.v", "c.c", 64)}, c.cid)
+                      AS rn
+             FROM (SELECT vec_id, v FROM e WHERE vec_id < $nQueries) q
+             CROSS JOIN c$ci c)
+           WHERE rn <= $nprobe),
+    qres AS (SELECT qc.query_id, qc.qcell,
+                    list_transform(range(1, 65),
+                      i -> q.v[i] - c.c[i]) AS vr
+             FROM qc JOIN e q ON q.vec_id = qc.query_id
+                     JOIN c$ci c ON c.cid = qc.qcell),
+    $dtabs,
+    cand AS (SELECT t0.query_id, pa0.vec_id, ($dist) AS dist
+             FROM b0a$li pa0 $codeJoins
+             JOIN eb x ON x.vec_id = pa0.vec_id
+             $tJoins
+             WHERE t0.query_id != pa0.vec_id)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+           CAST(floor(dist * 1000) AS BIGINT) AS adc_milli
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, vec_id) AS rank
+          FROM cand)
+    WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
+
   /** Twin of KMeans.semDedup — cluster-scoped cosine near-dup keep
     * list. dup_sim_micro coalesces to -1 for kept vectors so the
     * output has no nullable-int column (fetch paths widen int+NULL to

@@ -436,6 +436,10 @@ object SparkEntry {
     // Jegou et al. composition)
     "ann_ivfadc" -> ((s, dir) =>
       KMeans.annIvfAdc(embPar(s, dir)).orderBy("query_id", "rank")),
+    // IVFADC recall dial: nprobe=2 nearest cells, query residual
+    // recomputed per probed cell before the codeword lookup
+    "ann_ivfadc_nprobe" -> ((s, dir) =>
+      KMeans.annIvfAdcNprobe(embPar(s, dir)).orderBy("query_id", "rank")),
 
     // ---- §2.4 LLM-data-pipeline: multimodal columns -----------------
     // BINARY payload features + typed metadata
@@ -592,6 +596,7 @@ object SparkEntry {
     "pq_encode" -> OracleExt.pqEncode(4, 4, 2),
     "topk_pq" -> OracleExt.topkPqAdc(4, 4, 2, 10, 3),
     "ann_ivfadc" -> OracleExt.annIvfAdc(8, 2, 4, 4, 2, 10, 3),
+    "ann_ivfadc_nprobe" -> OracleExt.annIvfAdcNprobe(8, 2, 4, 4, 2, 10, 3, 2),
     "keyword_extract" -> OracleExt.keywordExtract(5),
     "bm25_rank" -> OracleExt.bm25Rank(Seq("spark", "join", "filter"), 20),
     "heavy_hitters" -> OracleExt.heavyHitters(10),

@@ -513,6 +513,77 @@ object KMeans {
         floor(col("__dist") * 1000).cast("long").as("adc_milli"))
   }
 
+  /** IVFADC with multi-cell probing — the recall dial
+    * ([[annIvfNprobe]]'s, applied to the ADC path): each query probes
+    * its `nprobe` nearest coarse cells, and because database codes
+    * encode OWN-cell residuals, the query's residual is recomputed PER
+    * PROBED CELL (q − centroid(cell)) before the codeword lookup —
+    * the per-cell lookup tables the paper's IVFADC scan builds. The
+    * probe factor lands only on query-sized frames (nQ × nprobe
+    * residuals, nQ × nprobe × m × k distance tables — all broadcast);
+    * the corpus-side work is unchanged: candidates are the probed
+    * cells' members at m lookups + adds each. */
+  def annIvfAdcNprobe(emb: DataFrame, kc: Int = 8, citers: Int = 2,
+                      m: Int = 4, k: Int = 4, iters: Int = 2,
+                      nQueries: Int = 10, topK: Int = 3,
+                      nprobe: Int = 2): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val d2e = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.Dist2F64Expr(a, b)
+    val (asg, coarse) = fitModel(emb, kc, citers)
+    val resBase = graft.Caches.track(
+      asg.select(col("vec_id"), col("cluster"), col("v")).as("A")
+        .join(broadcast(coarse.select(col("cid"), col("c")).as("C")),
+          col("A.cluster") === col("C.cid"))
+        .select(col("A.vec_id").as("vec_id"),
+          col("A.cluster").as("cluster"),
+          col("A.v").as("vfull"),
+          zip_with(col("A.v"), col("C.c"), (a, b) => a - b).as("v")))
+    val (passigned, pcents) =
+      fitBlocks(resBase.select(col("vec_id"), col("v")), m, k, iters, sub)
+    val pcentsT = graft.Caches.track(pcents)
+    // nprobe nearest coarse cells per query, by FULL-vector distance
+    val qCells = resBase.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vfull"))
+      .crossJoin(broadcast(coarse.select(col("cid"), col("c")).as("C2")))
+      .select(col("query_id"), col("vfull"), col("cid"),
+        d2e(col("vfull"), col("c")).as("__qd"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__qd"), col("cid"))))
+      .filter(col("__r") <= nprobe)
+    // per-(query, probed cell) residual, long-format by block
+    val qblk = qCells
+      .join(broadcast(coarse.select(col("cid"), col("c").as("__cc"))),
+        Seq("cid"))
+      .select(col("query_id"), col("cid").as("cluster"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), b =>
+          slice(zip_with(col("vfull"), col("__cc"), (a, x) => a - x),
+            b * sub + 1, lit(sub)))))
+      .select(col("query_id"), col("cluster"),
+        col("pos").cast("int").as("blk"), col("col").as("__qv"))
+    val dtab = qblk.join(broadcast(pcentsT), Seq("blk"))
+      .select(col("blk"), col("query_id"), col("cluster"), col("cid"),
+        d2e(col("__qv"), col("c")).as("dj"))
+    val perBlock = passigned.select(col("blk"), col("vec_id"), col("cid"))
+      .join(resBase.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .join(broadcast(dtab), Seq("blk", "cid", "cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val dAggs = (0 until m).map(j =>
+      max(when(col("blk") === j, col("dj"))).as(s"__d$j"))
+    val dist = (0 until m).map(j => col(s"__d$j")).reduce(_ + _)
+    perBlock.groupBy("query_id", "vec_id")
+      .agg(dAggs.head, dAggs.tail: _*)
+      .select(col("query_id"), col("vec_id"), dist.as("__dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__dist"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"),
+        floor(col("__dist") * 1000).cast("long").as("adc_milli"))
+  }
+
   def clusterOutliers(emb: DataFrame, k: Int = 0, iters: Int = 2,
                       perCluster: Int = 5,
                       targetClusterSize: Long = 1000L): DataFrame =

@@ -253,6 +253,26 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("annIvfAdcNprobe(2) refines annIvfAdc: wider probe never worsens ADC top-k") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val one = KMeans.annIvfAdc(emb)
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._4)).toMap
+    Caches.releaseAll()
+    val two = KMeans.annIvfAdcNprobe(emb, nprobe = 2)
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._4)).toMap
+    Caches.releaseAll()
+    assert(one.keySet == two.keySet)
+    // nprobe=2's candidate pool is a superset (own cell ⊆ 2 nearest
+    // cells), so at every rank its ADC distance can only improve
+    one.keySet.foreach { q =>
+      one(q).zip(two(q)).zipWithIndex.foreach { case ((d1, d2x), r) =>
+        assert(d2x <= d1, s"query $q rank ${r + 1}: nprobe=2 worsened")
+      }
+    }
+  }
+
   test("k=0 sentinel: semDedup/clusterOutliers derive k from the corpus count") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
