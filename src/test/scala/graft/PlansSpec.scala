@@ -60,7 +60,8 @@ class PlansSpec extends SparkTestBase {
     // the similarity family must broadcast its query/centroid side, not
     // shuffle the big candidate table against it
     Seq("topk_cosine", "ann_lsh", "ann_lsh_multiprobe", "ann_ivf",
-        "ann_ivf_nprobe", "pq_encode", "topk_pq", "ann_ivfadc")
+        "ann_ivf_nprobe", "pq_encode", "topk_pq", "ann_ivfadc",
+        "ann_ivfadc_nprobe")
       .foreach { q =>
         assert(plans(q).contains("BroadcastExchange")
           || plans(q).contains("BroadcastNestedLoopJoin"),
