@@ -77,7 +77,10 @@ object StreamingNearDup {
                  state: GroupState[BucketState]): Iterator[Candidate] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+        // Vector, not List: a hot bucket appends per arrival, and a
+        // List `:+` is O(n) — quadratic over the bucket's lifetime
+        var entries = state.getOption
+          .map(_.entries.toVector).getOrElse(Vector.empty)
         val out = Seq.newBuilder[Candidate]
         // deterministic within-trigger order so a re-run of the same
         // batch emits identically
