@@ -113,6 +113,53 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec on the JDK's built-in `javax.imageio` — no
+    * external library required, so "no media libs in the container" no
+    * longer stubs the IMAGE path: PNG/JPEG/BMP/GIF payloads decode to
+    * pixels and yield 4 deterministic features (width, height, mean
+    * luma, luma variance). Non-image modalities and undecodable
+    * payloads return ok = false — the malformed-drop contract, which
+    * also keeps the synthetic parquet fixtures (text bytes, not real
+    * images) flowing through the same pipeline they always did. Audio/
+    * video decoding genuinely has no JDK codec; those stay behind
+    * [[StubCodec]] as before. */
+  final class ImageIoCodec extends Codec {
+    private def fail(modality: String): Decoded =
+      Decoded(-1L, modality, Array.fill(4)(0f), ok = false)
+    def decode(modality: String, payload: Array[Byte]): Decoded = {
+      if (modality != "image") fail(modality)
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) fail(modality)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0.0
+          var sum2 = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (((rgb >> 16) & 0xff) * 299L
+                + ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 1000.0
+              sum += luma
+              sum2 += luma * luma
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          val mean = sum / n
+          Decoded(-1L, modality,
+            Array(w.toFloat, h.toFloat, mean.toFloat,
+              (sum2 / n - mean * mean).toFloat), ok = true)
+        }
+      } catch { case _: Exception => fail(modality) }
+    }
+  }
+
   /** The mapInPandas-shaped decode stage: ONE codec per partition (the
     * expensive init — model load, JNI bind — happens once per task, not
     * per row), then batch iteration. Returns a typed Dataset. */

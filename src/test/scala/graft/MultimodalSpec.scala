@@ -39,4 +39,42 @@ class MultimodalSpec extends SparkTestBase {
       .filter("asset_id = 0").select("feature").as[Seq[Float]].head()
     assert(f0.head == 204910434f)
   }
+
+  test("ImageIoCodec: real PNG decode through the batched seam") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // two REAL PNGs (pure-JDK encode): a 7×5 solid mid-gray and a 4×4
+    // black/white checkerboard with known mean and variance
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val gray = png(7, 5)((_, _) => 0x808080)      // luma = 128 exactly
+    val checker = png(4, 4)((x, y) =>
+      if ((x + y) % 2 == 0) 0x000000 else 0xffffff) // mean 127.5, var 127.5²
+    val rows = Seq(
+      (0L, "image", gray), (1L, "image", checker),
+      (2L, "image", "not a png".getBytes("UTF-8")), // undecodable
+      (3L, "audio", gray))                          // wrong modality
+      .toDF("asset_id", "modality", "payload")
+    val d = Multimodal.decodeBatched(rows, new Multimodal.ImageIoCodec)
+      .select("asset_id", "ok", "feature")
+      .as[(Long, Boolean, Seq[Float])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(d(0L)._1 && d(1L)._1, "real PNGs must decode")
+    assert(!d(2L)._1, "garbage bytes must fail closed")
+    assert(!d(3L)._1, "non-image modality must fail closed")
+    val (gw, gf) = (d(0L)._2, d(1L)._2)
+    assert(gw(0) == 7f && gw(1) == 5f, s"gray dims: $gw")
+    assert(math.abs(gw(2) - 128f) < 0.5f, s"gray mean luma: ${gw(2)}")
+    assert(gw(3) < 1f, "solid color has ~zero variance")
+    assert(gf(0) == 4f && gf(1) == 4f)
+    assert(math.abs(gf(2) - 127.5f) < 0.5f, s"checker mean: ${gf(2)}")
+    assert(math.abs(gf(3) - 127.5f * 127.5f) < 200f,
+      s"checker variance: ${gf(3)}")
+  }
 }
