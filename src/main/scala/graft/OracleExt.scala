@@ -53,6 +53,15 @@ object OracleExt {
            count(*) AS n, min(event_id) AS min_eid, max(event_id) AS max_eid
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of Events.windowedDistinctUsers — HLL-style gate: the exact
+    * per-window distinct crosses the hash compare; the sketch only as
+    * its ≤1% bound flag (exact in the sparse regime the per-window
+    * cardinalities sit in). */
+  val windowedDistinct: String = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(DISTINCT user_id) AS n_users, true AS hll_ok
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Twin of Events.rollupCounts. DuckDB defaults to NULLS LAST on
     * ASC (Spark defaults NULLS FIRST) — both sides pin NULLS FIRST. */
   val rollupCounts: String = """

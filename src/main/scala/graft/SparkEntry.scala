@@ -135,6 +135,11 @@ object SparkEntry {
       Events.sessionize(LogSource.readEvents(s, dir), 3600L)
         .select(col("event_id"), col("user_id"), col("session_id"))
         .orderBy("event_id")),
+    // Windowed HLL distinct: per-(hour, type) distinct users, sketch
+    // merged map-side inside the one windowed shuffle
+    "windowed_distinct" -> ((s, dir) =>
+      Events.windowedDistinctUsers(LogSource.readEvents(s, dir))
+        .orderBy("window_start", "event_type")),
     // Event-time tumbling windows (batch twin of stream window agg)
     "event_windows" -> ((s, dir) =>
       Events.hourlyWindows(LogSource.readEvents(s, dir))
@@ -542,6 +547,7 @@ object SparkEntry {
       FROM rm ORDER BY event_id"""),
     "sessionize" -> OracleExt.sessionize,
     "event_windows" -> OracleExt.hourlyWindows,
+    "windowed_distinct" -> OracleExt.windowedDistinct,
     "sliding_windows" -> OracleExt.slidingWindows,
     "asof_join" -> OracleExt.asofLastPurchase,
     "range_join" -> OracleExt.rangeJoinCampaigns(10),

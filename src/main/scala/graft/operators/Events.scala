@@ -141,6 +141,24 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("min_eid"), col("max_eid"))
 
+  /** Per-(hour, type) approximate distinct users — the WINDOWED form
+    * of [[approxDistinctUsers]]: the HLL sketch rides the same
+    * one-shuffle windowed aggregation as [[hourlyWindows]] (partial
+    * sketches merge map-side), which is the 100 TB answer to
+    * per-window COUNT(DISTINCT) — per-window cardinality never costs a
+    * second distinct shuffle. Gated like approx_distinct: the exact
+    * count crosses the hash compare, the estimate only as a ≤1% bound
+    * flag (exact in the sketch's sparse regime, which per-window
+    * cardinalities sit in at any fixture SF). */
+  def windowedDistinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.005).as("__a"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_users"),
+        (abs(col("__a") - col("n_users")) * 100 <= col("n_users"))
+          .as("hll_ok"))
+
   /** Hierarchical rollup: per-(event_type, user decile) counts plus
     * the per-type and grand totals in ONE pass — Spark expands rollup
     * grouping sets before the single shuffle with map-side partial
