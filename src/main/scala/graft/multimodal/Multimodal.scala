@@ -10,10 +10,13 @@ import graft.functions.PortableHash
   * north-star mandate): media as opaque BINARY payloads with typed
   * metadata, plus decode / feature-extract / frame-sample operators.
   *
-  * The image/audio codec libraries are NOT in this container, so the
-  * byte→pixels step is a clearly-marked STUB (`StubCodec`) producing
-  * deterministic fake features — but every piece of Spark plumbing is
-  * real and tested: binary column handling, typed metadata structs, the
+  * Image and audio decode run on REAL pure-JDK codecs
+  * ([[Multimodal.ImageIoCodec]] on `javax.imageio`,
+  * [[Multimodal.WavCodec]] on `javax.sound.sampled`); only video —
+  * which the JDK cannot decode — stays behind a clearly-marked STUB
+  * (`StubCodec`) producing deterministic fake features. Every piece of
+  * Spark plumbing is real and tested either way: binary column
+  * handling, typed metadata structs, the
   * per-partition batched-decode shape (`decodeBatched`, the Scala analog
   * of `mapInPandas` — one codec instance per partition, batch iteration,
   * no per-row setup), and frame sampling via binary slicing.
@@ -158,6 +161,83 @@ object Multimodal {
         }
       } catch { case _: Exception => fail(modality) }
     }
+  }
+
+  /** REAL audio codec on the JDK's built-in `javax.sound.sampled` — the
+    * WAV/AIFF/AU container parsers ship with the JRE, so PCM audio needs
+    * no external library either. Decodes 16-bit PCM (any channel count,
+    * either endianness; channels mix down to mono) and yields 4
+    * features: sample rate, frame count, RMS amplitude (full scale =
+    * 1.0), and zero-crossing rate per frame — the classic cheap audio
+    * quality/speechiness signals. Non-audio modalities, undecodable
+    * payloads, and unsupported encodings (compressed, non-16-bit)
+    * return ok = false, same malformed-drop contract as
+    * [[ImageIoCodec]]. Video remains the one genuinely environmental
+    * stub: the JDK has no video codec. */
+  final class WavCodec extends Codec {
+    private def fail(modality: String): Decoded =
+      Decoded(-1L, modality, Array.fill(4)(0f), ok = false)
+    def decode(modality: String, payload: Array[Byte]): Decoded = {
+      if (modality != "audio") fail(modality)
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        val ok16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels >= 1
+        if (!ok16) fail(modality)
+        else {
+          val bytes = in.readAllBytes()
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          val n = bytes.length / (2 * ch)
+          if (n == 0) fail(modality)
+          else {
+            var sum2 = 0.0
+            var crossings = 0L
+            var prev = 0.0
+            var i = 0
+            while (i < n) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = (i * ch + c) * 2
+                val s =
+                  if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+                  else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+                acc += s / 32768.0
+                c += 1
+              }
+              val v = acc / ch
+              sum2 += v * v
+              if (i > 0 && (v >= 0) != (prev >= 0)) crossings += 1
+              prev = v
+              i += 1
+            }
+            Decoded(-1L, modality,
+              Array(fmt.getSampleRate, n.toFloat,
+                math.sqrt(sum2 / n).toFloat, crossings.toFloat / n),
+              ok = true)
+          }
+        }
+      } catch { case _: Exception => fail(modality) }
+    }
+  }
+
+  /** The codec a production binding would actually install: image and
+    * audio decode on pure-JDK codecs; only video — which the JDK cannot
+    * decode — fails closed. One instance per partition via
+    * [[decodeBatched]], exactly like the single-modality codecs. */
+  final class JdkCodec extends Codec {
+    private val image = new ImageIoCodec
+    private val audio = new WavCodec
+    def decode(modality: String, payload: Array[Byte]): Decoded =
+      modality match {
+        case "image" => image.decode(modality, payload)
+        case "audio" => audio.decode(modality, payload)
+        case _ => Decoded(-1L, modality, Array.fill(4)(0f), ok = false)
+      }
   }
 
   /** The mapInPandas-shaped decode stage: ONE codec per partition (the

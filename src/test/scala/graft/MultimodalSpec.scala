@@ -77,4 +77,65 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(gf(3) - 127.5f * 127.5f) < 200f,
       s"checker variance: ${gf(3)}")
   }
+
+  // a REAL mono 16-bit PCM WAV (pure-JDK encode): sine at `freq` Hz,
+  // amplitude `amp` of full scale, 1 second at `sr` Hz
+  private def sineWav(sr: Int, freq: Double, amp: Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](sr * 2)
+    for (i <- 0 until sr) {
+      val s = (math.sin(2 * math.Pi * freq * i / sr) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, sr.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WavCodec: real WAV decode — rate, frames, RMS, zero crossings") {
+    val wav = sineWav(sr = 8000, freq = 440.0, amp = 0.5)
+    val rows = Seq(
+      (0L, "audio", wav),
+      (1L, "audio", "not a wav".getBytes("UTF-8")), // undecodable
+      (2L, "image", wav))                           // wrong modality
+      .toDF("asset_id", "modality", "payload")
+    val d = Multimodal.decodeBatched(rows, new Multimodal.WavCodec)
+      .select("asset_id", "ok", "feature")
+      .as[(Long, Boolean, Seq[Float])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(d(0L)._1, "real WAV must decode")
+    assert(!d(1L)._1, "garbage bytes must fail closed")
+    assert(!d(2L)._1, "non-audio modality must fail closed")
+    val f = d(0L)._2
+    assert(f(0) == 8000f, s"sample rate: ${f(0)}")
+    assert(f(1) == 8000f, s"frame count: ${f(1)}")
+    // sine RMS = amp/sqrt(2) ≈ 0.3536; ZCR = 2·freq/sr = 0.11/frame
+    assert(math.abs(f(2) - 0.3536f) < 0.01f, s"RMS: ${f(2)}")
+    assert(math.abs(f(3) - 0.11f) < 0.005f, s"ZCR: ${f(3)}")
+  }
+
+  test("JdkCodec: dispatches image and audio to real codecs, video fails closed") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val img = new BufferedImage(3, 3, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 3) img.setRGB(x, y, 0x808080)
+    val po = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", po)
+    val rows = Seq(
+      (0L, "image", po.toByteArray),
+      (1L, "audio", sineWav(8000, 440.0, 0.5)),
+      (2L, "video", po.toByteArray))
+      .toDF("asset_id", "modality", "payload")
+    val d = Multimodal.decodeBatched(rows, new Multimodal.JdkCodec)
+      .select("asset_id", "ok", "feature")
+      .as[(Long, Boolean, Seq[Float])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(d(0L)._1 && d(0L)._2.take(2) == Seq(3f, 3f))
+    assert(d(1L)._1 && d(1L)._2.head == 8000f)
+    assert(!d(2L)._1, "video has no JDK codec — fail closed")
+  }
 }
