@@ -358,6 +358,25 @@ object OracleExt {
             GROUP BY lang, term))
     WHERE rank <= 5 ORDER BY lang, rank"""
 
+  /** Twin of TextAnalysis.unigramSurprisal — whole-bit quantized
+    * unigram surprisal: bits = length(bin(T // c)) - 1 is exact
+    * floor(log2) in integer math (`bin` unpadded in both engines), all
+    * divisions floor over positive operands, so `//` == Spark `div`. */
+  def unigramSurprisal(keepLo: Long, keepHi: Long): String = s"""
+    WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT sum(c) AS t FROM vocab),
+    bits AS (SELECT term, CAST(length(bin(t // c)) - 1 AS BIGINT) AS b
+             FROM vocab, tot)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST((sum(tf * b) * 1000) // sum(tf) AS BIGINT)
+             AS surprisal_milli,
+           (sum(tf * b) * 1000) // sum(tf) BETWEEN $keepLo AND $keepHi
+             AS keep
+    FROM tf JOIN bits USING (term)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   val termStats: String = s"""
     SELECT term, count(*) AS tf, COUNT(DISTINCT doc_id) AS df
     FROM (SELECT doc_id, unnest($toks) AS term FROM documents)

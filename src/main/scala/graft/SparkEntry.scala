@@ -278,6 +278,10 @@ object SparkEntry {
     // Count-Min-sketch heavy hitters (bound-gated like approx_distinct)
     "heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(docsPar(s, dir)).orderBy("rank")),
+    // Unigram-LM surprisal band filter (whole-bit quantized, exact)
+    "unigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(docsPar(s, dir), 4000, 4179)
+        .orderBy("doc_id")),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -606,6 +610,7 @@ object SparkEntry {
     "keyword_extract" -> OracleExt.keywordExtract(5),
     "bm25_rank" -> OracleExt.bm25Rank(Seq("spark", "join", "filter"), 20),
     "heavy_hitters" -> OracleExt.heavyHitters(10),
+    "unigram_surprisal" -> OracleExt.unigramSurprisal(4000, 4179),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

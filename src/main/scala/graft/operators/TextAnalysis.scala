@@ -311,4 +311,50 @@ object TextAnalysis {
       .select(Seq(col("rank").cast("int").as("rank"), col("doc_id")) ++
         queryTerms.indices.map(i => col(s"tf$i")) :+ col("score_micro"): _*)
   }
+
+  /** Unigram-LM surprisal scoring — the CCNet/Gopher-style "perplexity
+    * band" quality filter: train the unigram model on the corpus
+    * itself, score each doc by its mean per-token surprisal, and keep
+    * docs inside a band (too LOW = repetitive boilerplate, too HIGH =
+    * gibberish/OOV soup).
+    *
+    * The surprisal of a token with corpus count c out of total T is
+    * quantized to WHOLE BITS: bits = floor(log2(T div c)), computed as
+    * `length(bin(T div c)) - 1` — exact integer math on any engine
+    * (`bin` is unpadded in both Spark and DuckDB), where a float
+    * `ln`/`log2` would be the one transcendental whose last ulp
+    * differs across engines (the bm25Rank discipline). The doc score
+    * is the tf-weighted mean in millibits: (Σ tf·bits · 1000) div Σ tf.
+    *
+    * Scale shape: TWO corpus passes, NOTHING corpus-sized persisted
+    * (the heavy_hitters lesson): pass 1 explodes to the per-doc tf
+    * aggregate (map-side combine on (doc_id, term)); pass 2 aggregates
+    * straight to the VOCAB-sized model (the only tracked cache). T is
+    * a 1-row aggregate broadcast back onto the model. The scoring join
+    * tf ⋈ bits is declared plain: Spark auto-broadcasts the
+    * vocab-sized build side when it fits, and AQE's skew handling
+    * covers the Zipf head when it doesn't — exactly the decision the
+    * optimizer owns. */
+  def unigramSurprisal(docs: DataFrame, keepLoMilli: Long = 2000,
+                       keepHiMilli: Long = 9000): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = graft.Caches.track(
+      docs.select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c")))
+    val total = vocab.agg(sum(col("c")).as("t"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("term"),
+        (length(bin(expr("t div c"))) - 1).cast("long").as("b"))
+    tf.join(bits, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("b")).as("sum_bits"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(sum_bits * 1000) div n_tokens").as("surprisal_milli"))
+      .withColumn("keep",
+        col("surprisal_milli").between(keepLoMilli, keepHiMilli))
+      .orderBy("doc_id")
+  }
 }

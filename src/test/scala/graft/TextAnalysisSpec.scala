@@ -146,6 +146,30 @@ class TextAnalysisSpec extends SparkTestBase {
       "sketch must be layout-invariant")
   }
 
+  test("unigramSurprisal: hand-computed whole-bit scores; band verdict") {
+    // corpus: "a a a a" + "a b" -> vocab a=5, b=1, T=6
+    // bits(a) = floor(log2(6 div 5 = 1)) = 0
+    // bits(b) = floor(log2(6 div 1 = 6)) = 2   (bin(6)='110')
+    // doc 0: (4·0·1000) div 4 = 0 milli; doc 1: (0+1·2·1000) div 2 = 1000
+    val r = TextAnalysis
+      .unigramSurprisal(docs((0L, "a a a a"), (1L, "a b")),
+        keepLoMilli = 500, keepHiMilli = 1500)
+      .select("doc_id", "n_tokens", "surprisal_milli", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((0L, 4L, 0L, false), (1L, 2L, 1000L, true)))
+  }
+
+  test("unigramSurprisal: rarer tokens always score higher (Zipf corpus)") {
+    // doc k repeats token t_k 2^k times -> c(t_k) doubles each step, so
+    // surprisal strictly decreases with k (rarer token = more bits)
+    val corpus = (0 until 5).map(k => (k.toLong, (s"t$k " * (1 << k)).trim))
+    val r = TextAnalysis.unigramSurprisal(docs(corpus: _*))
+      .select("doc_id", "surprisal_milli")
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(r == r.sorted.reverse && r.distinct.size == r.size,
+      s"surprisal must strictly decrease with token frequency: $r")
+  }
+
   test("bm25Rank: rare-term matches beat common-term matches; saturation caps tf") {
     val d = Seq(
       (1L, "spark spark spark spark spark spark spark spark"), // tf-spam
