@@ -1351,6 +1351,54 @@ object OracleExt {
           WHERE q.vec_id < $nQueries)
     WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Twin of Similarity.rrfFusion — the exact-cosine and int8-code
+    * rank CTEs full-outer joined; each contributes 1e9 // (C + rank)
+    * ppb, missing-list candidates contribute 0. All-integer fusion, so
+    * the only float work is inside the two composed rank paths. */
+  def rrfFusion(nQueries: Int, k: Int, fuseK: Int, rrfC: Int): String = s"""
+    WITH $normCte,
+    codes AS (
+      SELECT vec_id, q, list_dot_product(q, q) AS q2
+      FROM (SELECT vec_id,
+              CASE WHEN scale = 0
+                   THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                   ELSE list_transform(v, x -> floor(x * 127.0 / scale))
+              END AS q
+            FROM (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) AS scale
+                  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings)))),
+    ex AS (SELECT query_id, cand_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $fuseK),
+    qt AS (SELECT query_id, cand_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CASE WHEN q.q2 = 0 OR c.q2 = 0 THEN 0
+                      ELSE list_dot_product(q.q, c.q) / sqrt(q.q2 * c.q2)
+                 END DESC, c.vec_id) AS rank
+        FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $fuseK),
+    f AS (SELECT coalesce(ex.query_id, qt.query_id) AS query_id,
+                 coalesce(ex.cand_id, qt.cand_id) AS cand_id,
+                 ex.rank AS rank_exact, qt.rank AS rank_quant,
+                 CAST(coalesce(1000000000 // ($rrfC + ex.rank), 0)
+                    + coalesce(1000000000 // ($rrfC + qt.rank), 0)
+                   AS BIGINT) AS rrf_ppb
+          FROM ex FULL OUTER JOIN qt
+            ON ex.query_id = qt.query_id AND ex.cand_id = qt.cand_id)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, rrf_ppb,
+           CAST(rank_exact AS INTEGER) AS rank_exact,
+           CAST(rank_quant AS INTEGER) AS rank_quant
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_ppb DESC, cand_id) AS rank FROM f)
+    WHERE rank <= $k ORDER BY query_id, rank"""
+
   def lshTopK(nQueries: Int, k: Int, ps: Seq[Seq[Long]]): String = s"""
     WITH $normCte,
     nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n)

@@ -389,6 +389,9 @@ object SparkEntry {
 
     // ---- §2.4 LLM-data-pipeline: similarity search ------------------
     // Brute-force cosine top-k (broadcast query set)
+    // Hybrid retrieval: reciprocal-rank fusion of exact + int8 paths
+    "rrf_fusion" -> ((s, dir) =>
+      Similarity.rrfFusion(embPar(s, dir)).orderBy("query_id", "rank")),
     "topk_cosine" -> ((s, dir) =>
       Similarity.topkCosine(embPar(s, dir))
         .orderBy("query_id", "rank")),
@@ -633,6 +636,7 @@ object SparkEntry {
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),
+    "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
     "ann_lsh_multiprobe" -> OracleExt.lshTopKMultiProbe(50, 3, Similarity.planes()),
     "embed_neardup" -> OracleExt.nearDupPairs(350000,

@@ -212,6 +212,41 @@ object Similarity {
         col("cand_id"), simMicro(col("sim")).as("sim_micro"))
   }
 
+  /** Reciprocal-rank fusion of the exact-cosine and int8-code retrieval
+    * paths — the hybrid-retrieval primitive (Cormack et al., SIGIR'09):
+    * each list contributes 1/(C + rank) for every candidate it ranked,
+    * candidates missing from a list contribute 0 from it, and the fused
+    * order is the score sum. Fixed-point in parts-per-billion
+    * (1e9 div (C + rank)) so the fusion is exact integer math on any
+    * engine — ranks are small, so ppb parts are distinct per rank and
+    * sums stay far below 2^63.
+    *
+    * Scale shape: pure composition — both inputs are the k-bounded
+    * broadcast-query rank paths ([[topkCosine]], [[topkQuantized]]),
+    * so the fusion's full-outer join and per-query window run over at
+    * most nQueries × 2·fuseK rows TOTAL, regardless of corpus size;
+    * the heavy lifting stays inside the composed operators, which keep
+    * their own scan/broadcast/window guarantees. */
+  def rrfFusion(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                fuseK: Int = 10, rrfC: Int = 60): DataFrame = {
+    val exact = topkCosine(emb, nQueries, fuseK)
+      .select(col("query_id"), col("cand_id"), col("rank").as("rank_exact"))
+    val quant = topkQuantized(emb, nQueries, fuseK)
+      .select(col("query_id"), col("cand_id"), col("rank").as("rank_quant"))
+    def part(rank: String): Column =
+      coalesce(expr(s"1000000000 div ($rrfC + $rank)").cast("long"), lit(0L))
+    exact.join(quant, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf_ppb", part("rank_exact") + part("rank_quant"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_ppb").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cand_id"), col("rrf_ppb"),
+        col("rank_exact").cast("int").as("rank_exact"),
+        col("rank_quant").cast("int").as("rank_quant"))
+  }
+
   /** Default plane count for near-dup bucketing. The bucket count is
     * 2^planes and the within-bucket pair cost is (|data|/2^planes)² per
     * bucket, so the plane count MUST grow with the corpus: 8 planes

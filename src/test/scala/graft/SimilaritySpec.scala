@@ -130,6 +130,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.forall(_._2 == 0L), "zero-vector query must rank all sims 0")
   }
 
+  test("rrfFusion equals RRF recomputed from the two composed rank lists") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.topkCosine(e, nQueries = 5, k = 8)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val quant = Similarity.topkQuantized(e, nQueries = 5, k = 8)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    def ppb(r: Option[Int]): Long =
+      r.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+    val expected = (exact.keySet ++ quant.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        keys.toSeq
+          .map(key => (key._2, ppb(exact.get(key)) + ppb(quant.get(key))))
+          .sortBy { case (cand, s) => (-s, cand) }
+          .take(4).zipWithIndex
+          .map { case ((cand, s), i) => (q, i + 1, cand, s) }
+    }.toSet
+    val fused = Similarity
+      .rrfFusion(e, nQueries = 5, k = 4, fuseK = 8, rrfC = 60)
+      .select("query_id", "rank", "cand_id", "rrf_ppb")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(fused == expected, "fusion must equal hand-recomputed RRF")
+    // a candidate both lists rank #1 must fuse to #1 with 2/61 ppb
+    val both1 = exact.collect { case ((q, c), 1) if quant.get((q, c))
+      .contains(1) => (q, c) }
+    both1.foreach { case (q, c) =>
+      assert(fused.contains((q, 1, c, 2L * (1000000000L / 61))))
+    }
+  }
+
   test("lshTopK returns at most k ranked neighbors per query") {
     val e = emb((0 until 20).map(i =>
       (i.toLong, vec(i.toFloat + 1, (i % 3).toFloat), i % 4)): _*)
