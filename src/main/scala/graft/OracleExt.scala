@@ -261,6 +261,20 @@ object OracleExt {
     FROM ev JOIN cohort ON ev.user_id = cohort.user_id
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of Events.timeDecayAgg — dyadic decay weight 1e6 >> age_days
+    * is exact integer on both engines; `//` == Spark `div` (positive
+    * operands: us ≤ ref_us by construction). */
+  val timeDecayAgg: String = """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    ref AS (SELECT max(us) AS ref_us FROM ev),
+    w AS (SELECT user_id,
+                 1000000 >> least((ref_us - us) // 86400000000, 40)
+                   AS w
+          FROM ev, ref)
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(w) AS BIGINT) AS recency_ppm
+    FROM w GROUP BY user_id ORDER BY user_id"""
+
   /** Twin of the bloom_semi_join query: the bloom is a pure pruning
     * intermediate (exactness comes from the final semi-join), so the
     * oracle is the plain relational semi-join. */

@@ -227,6 +227,10 @@ object SparkEntry {
     "cohort_retention" -> ((s, dir) =>
       Events.cohortRetention(LogSource.readEvents(s, dir))
         .orderBy("cohort_day", "offset_days")),
+    // Recency-weighted engagement (dyadic decay, exact integer)
+    "time_decay_agg" -> ((s, dir) =>
+      Events.timeDecayAgg(LogSource.readEvents(s, dir))
+        .orderBy("user_id")),
     // Z-order (Morton) key derivation — the write-side layout pass that
     // makes BOTH filter dimensions' file stats prune at read time
     "zorder_layout" -> ((s, dir) => {
@@ -572,6 +576,7 @@ object SparkEntry {
     "rate_anomaly" -> OracleExt.rateAnomaly,
     "funnel_levels" -> OracleExt.funnelLevels,
     "cohort_retention" -> OracleExt.cohortRetention,
+    "time_decay_agg" -> OracleExt.timeDecayAgg,
     "domain_mix" -> OracleExt.domainMix(domainMixTargets),
     "bloom_semi_join" -> OracleExt.bloomSemiJoin,
     "zorder_layout" -> OracleExt.zorderLayout,

@@ -312,6 +312,35 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Recency-weighted per-user engagement — the time-decay feature a
+    * ranking/curation pipeline derives from an activity stream: each
+    * event contributes weight 1e6 >> age_days, i.e. EXPONENTIAL decay
+    * with a one-day half-life quantized to the dyadic grid, so the
+    * whole aggregate is exact integer arithmetic on any engine (a
+    * float exp(-λ·age) would hit the transcendental last-ulp hazard;
+    * the right shift IS floor(1e6 / 2^age)). The shift amount is
+    * capped at 40: Java long shifts wrap at 64 (a 70-day-old event
+    * would DECAY WRONG, not to zero) and the weight is already 0 past
+    * age 20, so the cap changes nothing within i64 while making the
+    * expression total.
+    *
+    * Scale shape: the reference time is the corpus max timestamp — ONE
+    * 1-row aggregate broadcast back (the rateAnomaly pattern), never a
+    * driver collect; then a single map-side weight projection feeds
+    * one user-keyed aggregation (map-side partial sums). Two passes
+    * over the raw events, nothing persisted, shuffles carry only
+    * (user_id, two longs). */
+  def timeDecayAgg(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), expr("unix_micros(ts)").as("us"))
+    val ref = ev.agg(max("us").as("ref_us"))
+    ev.crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        expr("shiftright(1000000L, cast(least((ref_us - us)" +
+          " div 86400000000, 40L) as int))").as("w"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("recency_ppm"))
+  }
+
   /** Per-window rate anomalies: flag (event_type, hour) windows whose
     * event count exceeds `factorPct`% of that type's per-window mean —
     * the spike detector a log pipeline runs over its ingest stream.

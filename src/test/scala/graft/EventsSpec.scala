@@ -263,4 +263,35 @@ class EventsSpec extends SparkTestBase {
       .map { case (c, o, n) => (c, o) -> n }.toMap
     assert(r == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
   }
+
+  test("timeDecayAgg: dyadic day decay, same-day floor, deep-past zero") {
+    val rows = Seq(
+      // u1: event AT the reference instant (age 0 -> 1e6) plus one
+      // 1 day earlier (500000) and one 23h59m earlier -> SAME-day
+      // floor: age 0 -> 1e6
+      (1L, 1L, ts("2024-01-10T00:00:00Z")), // the corpus max = reference
+      (2L, 1L, ts("2024-01-09T00:00:00Z")),
+      (3L, 1L, ts("2024-01-09T00:00:01Z")),
+      // u2: 3 days old (125000) + 21 days old (0: 1e6 >> 21 underflows)
+      (4L, 2L, ts("2024-01-07T00:00:00Z")),
+      (5L, 2L, ts("2023-12-20T00:00:00Z")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Events.timeDecayAgg(rows)
+      .select("user_id", "n_events", "recency_ppm")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    assert(r == Map(1L -> ((3L, 2500000L)), 2L -> ((2L, 125000L))))
+  }
+
+  test("timeDecayAgg: shift cap makes 64+-day ages decay to 0, not wrap") {
+    // Java's long shift wraps the amount mod 64: without the cap an
+    // exactly-64-day-old event would get weight 1e6 >> 0 = 1e6
+    val rows = Seq(
+      (1L, 1L, ts("2024-03-05T00:00:00Z")),  // reference
+      (2L, 1L, ts("2024-01-01T00:00:00Z")))  // exactly 64 days earlier
+      .toDF("event_id", "user_id", "ts")
+    val r = Events.timeDecayAgg(rows)
+      .select("recency_ppm").as[Long].head()
+    assert(r == 1000000L, s"64-day-old event must contribute 0: $r")
+  }
 }
