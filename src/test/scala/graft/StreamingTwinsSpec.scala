@@ -220,4 +220,55 @@ class StreamingTwinsSpec extends SparkTestBase {
     val got = streamed.as[(Long, Long)].collect().toMap
     assert(got == truth, s"sparse-regime HLL must be exact: $got vs $truth")
   }
+
+  test("stateful sessions: streaming ≡ batch session_window on fixture events") {
+    // the FOURTH twin class: custom flatMapGroupsWithState state vs the
+    // built-in batch session_window, on the real fixture stream. The
+    // stateful operator emits session_end = last event; session_window
+    // emits last + gap — shift by the gap and the two session sets must
+    // match exactly once the watermark has flushed everything.
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StatefulSessions
+    implicit val sqlCtx = spark.sqlContext
+    // quantize to millis first: the stateful operator keys its state on
+    // epoch-ms (java.sql.Timestamp.getTime), so parity is defined on
+    // ms-precision events — both sides see the same quantized input
+    val ev = graft.sources.LogSource
+      .readEvents(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"),
+        expr("timestamp_millis(unix_millis(ts))").as("ts"))
+    val rows = ev.as[(Long, java.sql.Timestamp)].collect()
+      .sortBy(t => (t._2.getTime, t._1))
+    val input = MemoryStream[StatefulSessions.Event]
+    val q = StatefulSessions.sessions(
+        input.toDS().withWatermark("ts", "1 minute"), gapSec = 3600L)
+      .writeStream.format("memory").queryName("twin_sessions")
+      .outputMode("append").start()
+    rows.grouped((rows.length + 2) / 3).foreach { b =>
+      input.addData(b.map(t => StatefulSessions.Event(t._1, t._2)): _*)
+      q.processAllAvailable()
+    }
+    // sentinel user far past every gap horizon flushes all real
+    // sessions; a second sentinel event triggers its timeout eval
+    val maxMs = rows.map(_._2.getTime).max
+    Seq(10L, 11L).foreach { d =>
+      input.addData(StatefulSessions.Event(-1L,
+        new java.sql.Timestamp(maxMs + d * 86400000L)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("twin_sessions")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"),
+        expr("session_end + INTERVAL 1 HOUR").as("session_end"),
+        col("n").cast("long").as("n"))
+    val batch = graft.operators.Events
+      .sessionWindows(ev.withColumn("event_id", lit(0L)), "1 hour")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n"))
+    assert(streamed.count() > 10, "fixture must yield many sessions")
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "stateful streaming sessions != batch session_window sessions")
+  }
 }
