@@ -457,6 +457,14 @@ object OracleExt {
                 THEN 'test' ELSE 'train' END AS split
     FROM documents ORDER BY doc_id"""
 
+  /** Twin of Sampling.kfoldSplit (salt "fold", k folds). */
+  def kfoldSplit(k: Int): String = s"""
+    SELECT doc_id, lang, source,
+           CAST(${graft.functions.PortableHash
+             .sqlHash32("'fold:' || CAST(doc_id AS VARCHAR)")} % $k
+             AS INTEGER) AS fold
+    FROM documents ORDER BY doc_id"""
+
   /** Twin of Sampling.stratifiedSample (salt "samp", 50 per lang). */
   val stratifiedSample: String = s"""
     SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id FROM (

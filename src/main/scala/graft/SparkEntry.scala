@@ -298,6 +298,9 @@ object SparkEntry {
     "train_test_split" -> ((s, dir) =>
       Sampling.trainTestSplit(docsPar(s, dir))
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
+    // k-fold CV assignment (salted hash mod k, retry-stable)
+    "kfold_split" -> ((s, dir) =>
+      Sampling.kfoldSplit(docsPar(s, dir)).orderBy("doc_id")),
     // Per-language stratified sample: 50 lowest-hash docs per stratum
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docsPar(s, dir)).orderBy("lang", "rk")),
@@ -585,6 +588,7 @@ object SparkEntry {
     "dedup_keeplist" -> OracleExt.dedupKeepList,
     "curation_pipeline" -> OracleExt.curation(TextAnalysis.stopwords, 3000, "en"),
     "train_test_split" -> OracleExt.trainTestSplit,
+    "kfold_split" -> OracleExt.kfoldSplit(5),
     "stratified_sample" -> OracleExt.stratifiedSample,
     "uniform_sample" -> OracleExt.uniformSample,
     "quality_deciles" -> OracleExt.qualityDeciles(TextAnalysis.stopwords("en")),

@@ -34,6 +34,20 @@ object Sampling {
       when(splitHash(salt, col("doc_id")) % 1000 < testPermille, "test")
         .otherwise("train"))
 
+  /** k-fold cross-validation assignment: fold = salted hash mod k —
+    * the CV generalization of [[trainTestSplit]]. Pure per-row
+    * projection (no shuffle, no state); folds are disjoint, exhaustive,
+    * and stable under retries/backfills because the draw is
+    * content-independent salted md5, never rand(). Downstream, "train
+    * on folds ≠ i, validate on fold i" is a pair of filters on this one
+    * column — no per-fold data copies. */
+  def kfoldSplit(docs: DataFrame, k: Int = 5,
+                 salt: String = "fold"): DataFrame = {
+    require(k >= 2, s"kfoldSplit: need k >= 2, got $k")
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      (splitHash(salt, col("doc_id")) % k).cast("int").as("fold"))
+  }
+
   /** Deterministic stratified sample: the `perStratum` docs with the
     * LOWEST hash per stratum — an unbiased uniform draw per group whose
     * membership never changes across runs. One shuffle on the stratum

@@ -11,6 +11,26 @@ class SamplingSpec extends SparkTestBase {
   private lazy val docs: DataFrame =
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("kfoldSplit: disjoint exhaustive folds, balanced, salt-keyed") {
+    import spark.implicits._
+    val a = Sampling.kfoldSplit(docs, k = 5)
+      .select("doc_id", "fold").as[(Long, Int)].collect().toMap
+    val b = Sampling.kfoldSplit(docs, k = 5)
+      .select("doc_id", "fold").as[(Long, Int)].collect().toMap
+    assert(a == b, "same corpus must fold identically on re-run")
+    assert(a.size == 500, "every doc gets exactly one fold")
+    assert(a.values.forall(f => f >= 0 && f < 5))
+    // uniform hash: 500 draws at p=0.2 per fold — accept ±4σ (≈±36)
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(n => n > 64 && n < 136),
+      s"fold sizes off: ${sizes.toMap}")
+    // a different salt is an independent fold family
+    val c = Sampling.kfoldSplit(docs, k = 5, salt = "v2")
+      .select("doc_id", "fold").as[(Long, Int)].collect().toMap
+    assert(a != c, "salt must key the fold family")
+    intercept[IllegalArgumentException](Sampling.kfoldSplit(docs, k = 1))
+  }
+
   test("trainTestSplit is deterministic, total, and ~testPermille sized") {
     import spark.implicits._
     val a = Sampling.trainTestSplit(docs, testPermille = 100)
