@@ -185,6 +185,30 @@ class PlansSpec extends SparkTestBase {
       s"z-value derivation must not shuffle:\n${plans("zorder_layout")}")
   }
 
+  test("time_decay_agg broadcasts the 1-row reference time, never sorts") {
+    val p = plans("time_decay_agg")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      s"the max-ts reference must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"reference join must never shuffle the event stream:\n$p")
+  }
+
+  test("unigram_surprisal computes the vocab model once (persisted)") {
+    val p = plans("unigram_surprisal")
+    // the vocab aggregate feeds both the total and the bits table; the
+    // tracked persist must serve both consumers
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"vocab model must be computed once and reused:\n$p")
+  }
+
+  test("rrf_fusion composes the persisted code table, no cartesian tails") {
+    val p = plans("rrf_fusion")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"int8 code table must be computed once and reused:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"both rank paths broadcast their query side:\n$p")
+  }
+
   test("no driver-side collect() in any query path (source-level guard)") {
     val src = Files.readString(
       Paths.get("src/main/scala/graft/SparkEntry.scala"))
