@@ -209,6 +209,21 @@ class PlansSpec extends SparkTestBase {
       s"both rank paths broadcast their query side:\n$p")
   }
 
+  test("every rank-filtered window prunes map-side via WindowGroupLimit") {
+    // rank() <= k over a partitioned window is only scale-safe because
+    // Spark 3.5+'s WindowGroupLimit keeps a per-partition top-k BEFORE
+    // the shuffle — each map task forwards k rows per group instead of
+    // its whole group. SURVEY claims this for the rank-filter family;
+    // assert it so a filter rewrite can't silently lose the pruning.
+    val rankFiltered = Seq("stratified_sample", "text_exact_dedup",
+      "keyword_extract", "topk_cosine", "topk_quantized", "top_terms",
+      "cluster_outliers", "rrf_fusion")
+    val missing = rankFiltered.filterNot(q =>
+      plans(q).contains("WindowGroupLimit"))
+    assert(missing.isEmpty,
+      s"rank-filter queries lost WindowGroupLimit pruning: $missing")
+  }
+
   test("no driver-side collect() in any query path (source-level guard)") {
     val src = Files.readString(
       Paths.get("src/main/scala/graft/SparkEntry.scala"))

@@ -221,6 +221,46 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(got == truth, s"sparse-regime HLL must be exact: $got vs $truth")
   }
 
+  test("percentile sketch: streaming (complete mode) ≡ batch") {
+    // the FIFTH mergeable-sketch twin (CMS, HLL, histogram, sessions):
+    // approx_percentile's QuantileSummaries buffers merge associatively,
+    // so the grouped streamed digest after N triggers must equal the
+    // one-shot batch digest on the same rows — and at fixture
+    // cardinality the summaries are exact, so pin against the true
+    // per-group percentiles too
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def pctOf(df: DataFrame): DataFrame =
+      df.select((col("doc_id") % 3).as("grp"),
+          length(col("text")).cast("double").as("v"))
+        .groupBy("grp")
+        .agg(percentile_approx(col("v"), array(lit(0.5), lit(0.9)),
+          lit(10000)).as("p"))
+    val input = MemoryStream[TwinDoc]
+    val q = pctOf(input.toDF()).writeStream.format("memory")
+      .queryName("twin_pct").outputMode("complete").start()
+    input.addData(fixture.take(50): _*)
+    q.processAllAvailable()
+    input.addData(fixture.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("twin_pct")
+    val batch = pctOf(fixture.toDF())
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "complete-mode streaming percentile digest != batch digest")
+    // exact-regime truth: percentile_approx with a generous accuracy is
+    // exact below the compression threshold
+    val truth = fixture.groupBy(_.doc_id % 3).map { case (g, ds) =>
+      val sorted = ds.map(_.text.length.toDouble).sorted
+      def pct(p: Double) =
+        sorted(math.ceil(p * sorted.size).toInt - 1)
+      g -> Seq(pct(0.5), pct(0.9))
+    }
+    val got = streamed.as[(Long, Seq[Double])].collect().toMap
+    assert(got == truth, s"exact-regime percentiles: $got vs $truth")
+  }
+
   test("stateful sessions: streaming ≡ batch session_window on fixture events") {
     // the FOURTH twin class: custom flatMapGroupsWithState state vs the
     // built-in batch session_window, on the real fixture stream. The
