@@ -816,6 +816,42 @@ object OracleExt {
     * the same dual 32-bit md5 lanes (64-bit combined key). Shingles
     * are distinct per doc (shingleCte), so count(*) per key is the
     * document frequency. */
+  /** Twin of Dedup.cdcChunks — identical boundary/window/positional-
+    * hash math; DuckDB's indexed list lambda (1-based i) supplies the
+    * token positions Spark gets from posexplode. */
+  def cdcChunks(avgWords: Int): String = s"""
+    WITH tok AS (
+      SELECT doc_id, s.pos AS pos, s.w AS w
+      FROM (SELECT doc_id,
+              unnest(list_transform($toks,
+                (x, i) -> {'w': x, 'pos': i - 1})) AS s
+            FROM documents)),
+    b AS (SELECT doc_id, pos, w,
+                 CASE WHEN ${graft.functions.PortableHash
+                   .sqlHash32("'cdc:' || w")} % $avgWords = 0
+                      THEN 1 ELSE 0 END AS bnd
+          FROM tok),
+    ch AS (SELECT doc_id, pos, w,
+                  sum(bnd) OVER wf AS chunk_id,
+                  coalesce(max(CASE WHEN bnd = 1 THEN pos END) OVER wf, 0)
+                    AS start_pos
+           FROM b
+           WINDOW wf AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING)),
+    chunks AS (
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             count(*) AS n_words,
+             CAST(sum(${graft.functions.PortableHash.sqlHash32(
+               "CAST(pos - start_pos AS VARCHAR) || ':' || w")})
+               AS BIGINT) AS chunk_hash
+      FROM ch GROUP BY doc_id, chunk_id),
+    shared AS (SELECT chunk_hash FROM chunks
+               GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2)
+    SELECT c.doc_id, c.chunk_id, c.n_words, c.chunk_hash,
+           s.chunk_hash IS NOT NULL AS dup
+    FROM chunks c LEFT JOIN shared s ON c.chunk_hash = s.chunk_hash
+    ORDER BY c.doc_id, c.chunk_id"""
+
   val dupSpans: String = s"""
     WITH $shingleCte,
     ex AS (SELECT doc_id,

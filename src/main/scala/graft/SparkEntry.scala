@@ -371,6 +371,9 @@ object SparkEntry {
     // Span-level duplication stats (Lee et al.) — no self-join
     "dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(docsPar(s, dir)).orderBy("doc_id")),
+    // Content-defined chunks: hash-boundary variable-size chunking
+    "cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(docsPar(s, dir)).orderBy("doc_id", "chunk_id")),
     // Connected components over the LSH pair graph: transitive near-dup
     // clusters via iterative min-label propagation
     "dedup_clusters" -> ((s, dir) =>
@@ -642,6 +645,7 @@ object SparkEntry {
     "text_exact_dedup" -> OracleExt.textExactDedup,
     "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
     "dup_spans" -> OracleExt.dupSpans,
+    "cdc_chunks" -> OracleExt.cdcChunks(16),
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),

@@ -271,6 +271,56 @@ object Dedup {
         expr("(1000 * coalesce(n_dup0, 0L)) div n_spans").as("dup_milli"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS boundary trick, word
+    * granularity): a word is a BOUNDARY when its salted hash lands in a
+    * 1/avgWords slice of the hash space, and every boundary starts a
+    * new chunk — so chunk edges are decided by CONTENT, not position,
+    * and an edit perturbs only its own chunk: the next boundary
+    * re-synchronizes, and every chunk after it hashes identically
+    * (the re-alignment property fixed windows like [[dupSpans]] lack —
+    * there an insertion shifts every downstream span). Expected chunk
+    * length is avgWords, geometric.
+    *
+    * Each chunk gets an order-sensitive hash: Σ hash32("p:w") over its
+    * words, p = position within chunk — associative/commutative per
+    * the aggregation but position-encoding, so any engine and any
+    * partial-aggregation order agrees. `dup` marks chunks whose hash
+    * occurs in ≥2 docs — verbatim shared passages at variable
+    * granularity.
+    *
+    * Scale shape: one explode ∝ corpus tokens; ONE window shuffle
+    * keyed on doc_id computes BOTH the running boundary count (chunk
+    * id) and the running boundary position (chunk start) in a single
+    * pass; the chunk aggregate is map-side-combinable groupBy
+    * (doc_id, chunk_id); dup detection aggregates the CHUNK table
+    * (corpus/avgWords rows) by hash and broadcasts nothing
+    * corpus-sized. No self-join, no per-doc lists. */
+  def cdcChunks(docs: DataFrame, avgWords: Int = 16): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val bnd = (PortableHash.hash32(concat(lit("cdc:"), col("w")))
+      % avgWords === 0).cast("long")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunked = tok
+      .withColumn("chunk_id", sum(bnd).over(w))
+      .withColumn("start_pos",
+        coalesce(max(when(bnd === 1L, col("pos"))).over(w), lit(0L)))
+      .withColumn("ph", PortableHash.hash32(
+        concat((col("pos") - col("start_pos")).cast("string"),
+          lit(":"), col("w"))))
+    val chunks = chunked.groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_words"), sum("ph").as("chunk_hash"))
+    val shared = chunks.groupBy("chunk_hash")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2).select("chunk_hash")
+    chunks.join(shared.withColumn("dup", lit(true)),
+        Seq("chunk_hash"), "left")
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("n_words"), col("chunk_hash"),
+        coalesce(col("dup"), lit(false)).as("dup"))
+  }
+
   /** The dedup keep-list: drop every doc that appears as the HIGHER id
     * of an LSH candidate pair (keep-lowest-canonical policy) via a
     * LEFT ANTI join — the standard "subtract the duplicates" shape; at

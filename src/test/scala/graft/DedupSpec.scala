@@ -31,6 +31,40 @@ class DedupSpec extends SparkTestBase {
     assert(r.length == 2)
   }
 
+  test("cdcChunks: chunks partition each doc; edits re-align at the next boundary") {
+    // deterministic word stream; ~1/16 of distinct words are boundaries
+    val words = (0 until 200).map(i => s"w$i")
+    val a = words.mkString(" ")
+    // insert ONE word near the front of doc B
+    val b = (words.take(10) ++ Seq("inserted") ++ words.drop(10))
+      .mkString(" ")
+    val r = Dedup.cdcChunks(docs((0L, a), (1L, b)))
+      .select("doc_id", "chunk_id", "n_words", "chunk_hash", "dup")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val byDoc = r.groupBy(_._1)
+    // chunks partition the doc exactly
+    assert(byDoc(0L).map(_._3).sum == 200L, "doc 0 words covered")
+    assert(byDoc(1L).map(_._3).sum == 201L, "doc 1 words covered")
+    assert(byDoc.values.forall(c =>
+      c.map(_._2).sorted.toSeq == (c.map(_._2).min to c.map(_._2).max)),
+      "chunk ids contiguous per doc")
+    // THE CDC property: the insertion perturbs only the chunk it lands
+    // in — every chunk from the next boundary on hashes identically, so
+    // the two docs share all but a constant number of chunk hashes
+    // (a fixed-window scheme like dupSpans shifts EVERY downstream span)
+    val ha = byDoc(0L).map(_._4).toSet
+    val hb = byDoc(1L).map(_._4).toSet
+    assert(ha.size > 8, s"expect ~12 chunks, got ${ha.size}")
+    assert((ha diff hb).size <= 2 && (hb diff ha).size <= 2,
+      s"edit must stay local: only the containing chunk may differ " +
+        s"(a-only=${(ha diff hb).size}, b-only=${(hb diff ha).size})")
+    // shared chunks are marked dup on both sides; unshared ones never
+    r.foreach { case (_, _, _, h, dup) =>
+      assert(dup == (ha.contains(h) && hb.contains(h)),
+        s"dup mark wrong for chunk hash $h")
+    }
+  }
+
   test("minhashPairs: identical docs always collide; unrelated never") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
