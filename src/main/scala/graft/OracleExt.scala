@@ -391,6 +391,29 @@ object OracleExt {
     FROM tf JOIN bits USING (term)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Twin of TextAnalysis.bigramSurprisal — bigram instances from an
+    * indexed list lambda (1-based i indexes the PREVIOUS token of the
+    * [2:]-sliced stream); prefix totals derived from the bigram vocab;
+    * same exact whole-bit floor(log2). */
+  val bigramSurprisal: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(toks[2:],
+                    (x, i) -> toks[i] || ' ' || x)) AS b
+           FROM t),
+    tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY 1, 2),
+    vocab AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+    pre AS (SELECT split_part(b, ' ', 1) AS w1,
+                   CAST(sum(c2) AS BIGINT) AS c1
+            FROM vocab GROUP BY 1),
+    bits AS (SELECT b, CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS bi
+             FROM vocab JOIN pre ON split_part(vocab.b, ' ', 1) = pre.w1)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST((sum(tf * bi) * 1000) // sum(tf) AS BIGINT)
+             AS surprisal_milli
+    FROM tf JOIN bits USING (b)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   val termStats: String = s"""
     SELECT term, count(*) AS tf, COUNT(DISTINCT doc_id) AS df
     FROM (SELECT doc_id, unnest($toks) AS term FROM documents)

@@ -286,6 +286,9 @@ object SparkEntry {
     "unigram_surprisal" -> ((s, dir) =>
       TextAnalysis.unigramSurprisal(docsPar(s, dir), 4000, 4179)
         .orderBy("doc_id")),
+    // Bigram-LM conditional surprisal (word-salad detector)
+    "bigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(docsPar(s, dir)).orderBy("doc_id")),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -626,6 +629,7 @@ object SparkEntry {
     "bm25_rank" -> OracleExt.bm25Rank(Seq("spark", "join", "filter"), 20),
     "heavy_hitters" -> OracleExt.heavyHitters(10),
     "unigram_surprisal" -> OracleExt.unigramSurprisal(4000, 4179),
+    "bigram_surprisal" -> OracleExt.bigramSurprisal,
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -357,4 +357,55 @@ object TextAnalysis {
         col("surprisal_milli").between(keepLoMilli, keepHiMilli))
       .orderBy("doc_id")
   }
+
+  /** Bigram instances of a staged token array (`__toks`), WITH
+    * multiplicity — [[graft.operators.Dedup.shingles]] is set-semantic,
+    * which is right for LSH but wrong for language-model counts. Docs
+    * under 2 tokens yield no bigrams. */
+  private def bigramsOfStaged: Column =
+    when(size(col("__toks")) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        """zip_with(slice(__toks, 1, size(__toks) - 1),
+                    slice(__toks, 2, size(__toks) - 1),
+                    (x, y) -> concat(x, ' ', y))"""))
+
+  /** Bigram-LM conditional surprisal — [[unigramSurprisal]] upgraded
+    * from context-free token rarity to SEQUENCE fluency: each bigram
+    * (w1, w2) costs floor(log2(c1' div c2)) whole bits, where c2 is
+    * the corpus count of the bigram and c1' the corpus count of w1 as
+    * a bigram PREFIX (so probabilities per context sum to 1 and c1' ≥
+    * c2 keeps the ratio ≥ 1). A doc of common words in an UNSEEN order
+    * scores high here while unigramSurprisal stays blind — the
+    * word-salad detector. Same integer discipline: `length(bin(x))-1`
+    * is exact floor(log2), no transcendental crosses the oracle.
+    *
+    * Scale shape mirrors [[unigramSurprisal]]: two corpus passes (per-
+    * doc bigram tf; bigram vocab), the bigram construction is a pure
+    * map (zip_with over the staged token array — no position join, no
+    * explode-then-self-join); ONLY the vocab-sized model is cached,
+    * and the prefix totals derive from the vocab itself (a vocab-sized
+    * aggregate, not a third corpus pass). Both model joins are
+    * declared plain for Catalyst/AQE to broadcast or skew-split. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    def bg(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), explode(bigramsOfStaged).as("b"))
+    val tf = bg(docs).groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val vocab = graft.Caches.track(
+      bg(docs).groupBy("b").agg(count(lit(1)).as("c2")))
+    val pre = vocab
+      .groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val bits = vocab
+      .join(pre, substring_index(col("b"), " ", 1) === col("w1"))
+      .select(col("b"),
+        (length(bin(expr("c1 div c2"))) - 1).cast("long").as("bi"))
+    tf.join(bits, "b")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("bi")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(sum_bits * 1000) div n_bigrams").as("surprisal_milli"))
+      .orderBy("doc_id")
+  }
 }

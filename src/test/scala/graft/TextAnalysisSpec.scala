@@ -170,6 +170,34 @@ class TextAnalysisSpec extends SparkTestBase {
       s"surprisal must strictly decrease with token frequency: $r")
   }
 
+  test("bigramSurprisal: detects word salad that unigram scoring cannot") {
+    // A and B have IDENTICAL unigram multisets (3×a, 3×b) — only the
+    // ORDER differs. Hand-computed model over the 2-doc corpus:
+    //   bigram vocab: 'a b'=3, 'b a'=3, 'b b'=2, 'a a'=2
+    //   prefix totals: a→5, b→5
+    //   bits: 'a b'/'b a' = log2(5 div 3 = 1) = 0; 'b b'/'a a' = 1
+    //   A: 5 bigrams all 0 bits → 0 milli
+    //   B: bb,bb,ba,aa,aa → 4 bits / 5 → 800 milli
+    val d = docs((0L, "a b a b a b"), (1L, "b b b a a a"))
+    val uni = TextAnalysis.unigramSurprisal(d)
+      .select("doc_id", "surprisal_milli")
+      .as[(Long, Long)].collect().toMap
+    assert(uni(0L) == uni(1L), "unigram scoring is blind to order")
+    val bi = TextAnalysis.bigramSurprisal(d)
+      .select("doc_id", "n_bigrams", "surprisal_milli")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    assert(bi == Map(0L -> ((5L, 0L)), 1L -> ((5L, 800L))),
+      s"hand-computed conditional bits: $bi")
+  }
+
+  test("bigramSurprisal: sub-2-token docs yield no bigrams, no rows") {
+    val r = TextAnalysis.bigramSurprisal(
+        docs((0L, "solo"), (1L, ""), (2L, "two words")))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r == Seq(2L))
+  }
+
   test("bm25Rank: rare-term matches beat common-term matches; saturation caps tf") {
     val d = Seq(
       (1L, "spark spark spark spark spark spark spark spark"), // tf-spam
