@@ -1480,6 +1480,35 @@ object OracleExt {
             ORDER BY rrf_ppb DESC, cand_id) AS rank FROM f)
     WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Twin of Similarity.annRecall — the exact and LSH rank CTEs
+    * left-joined; recall_pct in exact integer percent. */
+  def annRecall(nQueries: Int, k: Int, ps: Seq[Seq[Long]]): String = s"""
+    WITH $normCte,
+    nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n),
+    ex AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k),
+    ap AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM nb q JOIN nb c
+          ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k)
+    SELECT ex.query_id, count(*) AS n_true,
+           CAST(sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_hit,
+           CAST((100 * sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1
+                           END)) // $k AS BIGINT) AS recall_pct
+    FROM ex LEFT JOIN ap
+      ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
+    GROUP BY ex.query_id ORDER BY ex.query_id"""
+
   def lshTopK(nQueries: Int, k: Int, ps: Seq[Seq[Long]]): String = s"""
     WITH $normCte,
     nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n)

@@ -416,6 +416,9 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> ((s, dir) =>
       Similarity.lshTopKMultiProbe(embPar(s, dir))
         .orderBy("query_id", "rank")),
+    // Recall@k evaluator: exact top-k vs the LSH path, integer percent
+    "ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(embPar(s, dir)).orderBy("query_id")),
     // Bucket-pruned embedding near-dup pairs (256-bucket single table)
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embPar(s, dir))
@@ -655,6 +658,7 @@ object SparkEntry {
     "topk_cosine" -> OracleExt.topkCosine(10, 5),
     "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
+    "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),
     "ann_lsh_multiprobe" -> OracleExt.lshTopKMultiProbe(50, 3, Similarity.planes()),
     "embed_neardup" -> OracleExt.nearDupPairs(350000,
       Similarity.planes(Similarity.nearDupPlanes)),

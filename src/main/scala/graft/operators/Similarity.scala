@@ -212,6 +212,32 @@ object Similarity {
         col("cand_id"), simMicro(col("sim")).as("sim_micro"))
   }
 
+  /** Recall@k evaluator for the ANN family — the measurement a pipeline
+    * runs before turning an index parameter dial: per query, how many
+    * of the TRUE top-k (exact cosine) the approximate path ([[lshTopK]]
+    * by default) actually returned. All-integer output
+    * (recall_pct = 100·hits div k), so the eval itself is oracle-exact
+    * even though it measures an approximation.
+    *
+    * Scale shape: pure composition of two k-bounded rank paths; the
+    * scoring join and per-query aggregate touch ≤ nQueries·k rows
+    * regardless of corpus size. On a 100 TB corpus you run this on a
+    * query sample — the evaluator's own cost is the two composed
+    * searches, nothing more. */
+  def annRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                ps: Seq[Seq[Long]] = planes()): DataFrame = {
+    val exact = topkCosine(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = lshTopK(emb, nQueries, k, ps)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        expr(s"(100 * n_hit) div $k").as("recall_pct"))
+  }
+
   /** Reciprocal-rank fusion of the exact-cosine and int8-code retrieval
     * paths — the hybrid-retrieval primitive (Cormack et al., SIGIR'09):
     * each list contributes 1/(C + rank) for every candidate it ranked,

@@ -130,6 +130,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.forall(_._2 == 0L), "zero-vector query must rank all sims 0")
   }
 
+  test("annRecall equals recall recomputed from the two rank lists") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.topkCosine(e, nQueries = 10, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(e, nQueries = 10, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = exact.map { case (q, ts) =>
+      val hits = (ts & lsh.getOrElse(q, Set.empty)).size.toLong
+      (q, 5L, hits, 100L * hits / 5L)
+    }.toSet
+    val got = Similarity.annRecall(e, nQueries = 10, k = 5)
+      .select("query_id", "n_true", "n_hit", "recall_pct")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"recall must match recomputation: $got")
+    // sanity: the evaluator measures something real — neither vacuous
+    // 0 everywhere nor (given 16-bucket LSH on 500 vectors) perfect
+    val pcts = got.map(_._4)
+    assert(pcts.exists(_ > 0L), "LSH recall collapsed to zero")
+  }
+
   test("rrfFusion equals RRF recomputed from the two composed rank lists") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.topkCosine(e, nQueries = 5, k = 8)
