@@ -775,6 +775,33 @@ object OracleExt {
     WHERE (1000 * matches) // 16 >= $estMilli
     ORDER BY doc_a, doc_b"""
 
+  /** Twin of Dedup.incrementalDedup over a doc_id split of the one
+    * documents table (corpus = ids < split, batch = ids >= split).
+    * Because every corpus id sits below every batch id, the operator's
+    * asymmetric partner condition (any corpus doc, or a lower-id batch
+    * doc) reduces to doc_prior < doc_new over the all-docs band table —
+    * same pair set, same values. */
+  def incrementalDedup(split: Long, estMilli: Long): String = s"""
+    $bandsCte,
+    cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_prior
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+             WHERE a.doc_id >= $split AND b.doc_id < a.doc_id),
+    d AS (SELECT doc_new, count(*) AS n_dup
+          FROM (SELECT c.doc_new,
+                  CAST(len(list_filter(range(1, 17),
+                      i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS matches
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.doc_new
+                JOIN sig sb ON sb.doc_id = c.doc_prior)
+          WHERE (1000 * matches) // 16 >= $estMilli
+          GROUP BY doc_new)
+    SELECT b.doc_id, CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+           coalesce(d.n_dup, 0) = 0 AS kept
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= $split) b
+    LEFT JOIN d ON d.doc_new = b.doc_id
+    ORDER BY doc_id"""
+
   /** Twin of Dedup.dedupClusters: connected components over the LSH
     * candidate-pair graph via a recursive CTE — `reach` enumerates every
     * (node, reachable-label) pair of the undirected graph (UNION dedups,

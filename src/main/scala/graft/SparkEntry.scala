@@ -362,6 +362,14 @@ object SparkEntry {
     // for survivors only (the production dedup judgement call)
     "tiered_neardup" -> ((s, dir) =>
       Dedup.tieredNearDup(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // Continuous ingestion: dedup an arriving batch (ids >= 350)
+    // against the curated corpus (ids < 350) and itself — asymmetric
+    // band join, never old×old
+    "incremental_dedup" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.incrementalDedup(d.filter(col("doc_id") < 350),
+        d.filter(col("doc_id") >= 350)).orderBy("doc_id")
+    }),
     // The streaming band-bucket operator in batch execution: one row
     // per (pair, shared band), est-gated — oracle-checks the exact
     // candidate stream StreamingNearDup emits per trigger
@@ -645,6 +653,7 @@ object SparkEntry {
     "minhash_pairs" -> OracleExt.minhashPairs,
     "minhash_est" -> OracleExt.minhashJaccardEst,
     "tiered_neardup" -> OracleExt.tieredNearDup(500L, 800L),
+    "incremental_dedup" -> OracleExt.incrementalDedup(350L, 500L),
     "neardup_candidates" -> OracleExt.nearDupCandidates(500L),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "cluster_keeplist" -> OracleExt.clusterKeepList,

@@ -165,6 +165,60 @@ object Dedup {
       .withColumn("is_dup", col("jac_milli") >= dupMilli)
   }
 
+  /** Incremental dedup — the CONTINUOUS-INGESTION judgement call: a
+    * newly-arrived batch is deduplicated against an already-curated
+    * corpus AND against itself, and each batch doc comes back with its
+    * duplicate count and a keep verdict. Greedy drop-higher semantics
+    * within the batch (the [[dedupKeepList]] contract); the corpus is
+    * always canonical, so any corpus partner disqualifies a batch doc.
+    * Requires disjoint doc_id spaces between the two inputs.
+    *
+    * 100 TB shape: the band join is ASYMMETRIC by construction — the
+    * probe side is batch bands only, so candidate generation is
+    * new×old plus new×lower-new, NEVER old×old. A hot bucket with B
+    * corpus members costs B·(batch members in it), not B², which is
+    * what makes re-deduping a daily batch against a year of corpus
+    * affordable: cost scales with the batch, while the corpus
+    * contributes one linear signature scan (precomputed and stored in
+    * production — [[signatures]] is public exactly so the corpus side
+    * can be read from a sig table instead of re-hashed). Only the
+    * batch-side signature table (small) is persisted. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       estMilli: Long = 500L, numHashes: Int = 16,
+                       bands: Int = 4): DataFrame = {
+    val sigsNew = graft.Caches.track(signatures(batch, numHashes))
+    val sigsOld = signatures(corpus, numHashes)
+    val bNew = bandsFromSigs(sigsNew, numHashes, bands)
+    val bAll = bandsFromSigs(sigsOld, numHashes, bands)
+      .withColumn("__new", lit(false))
+      .unionByName(bNew.withColumn("__new", lit(true)))
+    val cand = bNew.as("a").join(bAll.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_key") === col("b.band_key")
+          && (!col("b.__new") || col("b.doc_id") < col("a.doc_id")))
+      .select(col("a.doc_id").as("doc_new"),
+        col("b.doc_id").as("doc_prior"), col("b.__new").as("__pn"))
+      .distinct()
+    val sn = sigsNew.select(col("doc_id").as("doc_new"),
+      col("__sig").as("__sa"))
+    val sp = sigsOld.withColumn("__pn", lit(false))
+      .unionByName(sigsNew.withColumn("__pn", lit(true)))
+      .select(col("doc_id").as("doc_prior"), col("__pn"),
+        col("__sig").as("__sb"))
+    val dups = cand.join(sn, "doc_new").join(sp, Seq("doc_prior", "__pn"))
+      .withColumn("matches",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
+          m => m)).cast("long"))
+      .filter(expr(s"(1000 * matches) div $numHashes") >= estMilli)
+      .groupBy("doc_new").agg(count(lit(1)).as("n_dup"))
+    batch.select(col("doc_id"))
+      .join(dups.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("kept", col("n_dup") === 0L)
+  }
+
   /** Lane-agreement estimate for an existing candidate-pair frame
     * against the signature table both its sides came from. */
   def jaccardEstForPairs(sigs: DataFrame, pairs: DataFrame,

@@ -156,6 +156,43 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("incrementalDedup: corpus canonical, greedy within batch, unique kept") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = docs((0L, base), (1L, "completely different words here"))
+    val batch = docs(
+      (10L, base),                       // dup of corpus 0 → dropped
+      (11L, "utterly unrelated fresh content nobody wrote before"),
+      (12L, "utterly unrelated fresh content nobody wrote before"))
+    val r = Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id", "n_dup", "kept").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(10L, 11L, 12L), "one row per batch doc")
+    assert(!r(0)._3 && r(0)._2 >= 1L, "corpus dup must be dropped")
+    assert(r(1)._3 && r(1)._2 == 0L, "lower twin kept (greedy drop-higher)")
+    assert(!r(2)._3, "higher twin dropped against lower batch sibling")
+  }
+
+  test("incrementalDedup == per-doc recount over the full-corpus estimate table") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = 350L
+    // ground truth: over ALL distinct LSH pairs (a<b), batch doc n's
+    // duplicate partners are exactly the est-gated pairs with doc_b = n
+    // (corpus ids and lower batch ids both sit below n)
+    val full = Dedup.minhashJaccardEst(d)
+      .filter(col("est_milli") >= 500L)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val expected = d.select("doc_id").as[Long].collect()
+      .filter(_ >= split).map(n => (n, full.getOrElse(n, 0L))).toSet
+    val got = Dedup.incrementalDedup(
+        d.filter(col("doc_id") < split), d.filter(col("doc_id") >= split))
+      .select("doc_id", "n_dup").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.exists(_._2 > 0L), "fixture must exercise the dup path")
+    assert(got.exists(_._2 == 0L), "fixture must exercise the kept path")
+  }
+
   test("one band-join path: pairs + estimate compose off a single persisted sig table") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // external composition — the caller-facing contract: persist the

@@ -99,6 +99,18 @@ class PlansSpec extends SparkTestBase {
       s"exact tier lost the native shingle expression:\n$p")
   }
 
+  test("incremental_dedup: hash band join off the persisted batch sigs") {
+    // the asymmetric candidate join must ride the (band_id, band_key)
+    // equi-keys — the side predicate is a residual filter, not a join
+    // strategy downgrade — and the batch-side signature table (the only
+    // thing persisted) feeds probe + estimator sides from the cache
+    val p = plans("incremental_dedup")
+    assert(!p.contains("NestedLoop"),
+      s"incremental_dedup band join downgraded to a nested loop:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"incremental_dedup must reuse the persisted batch sig table:\n$p")
+  }
+
   test("range_join executes as an equi-join, never a nested loop") {
     // the whole point of the bucketing: the containment predicate must
     // ride on a hash-partitioned bucket equi-join
