@@ -179,37 +179,33 @@ object Dedup {
     * corpus members costs B·(batch members in it), not B², which is
     * what makes re-deduping a daily batch against a year of corpus
     * affordable: cost scales with the batch, while the corpus
-    * contributes one linear signature scan (precomputed and stored in
-    * production — [[signatures]] is public exactly so the corpus side
-    * can be read from a sig table instead of re-hashed). Only the
-    * batch-side signature table (small) is persisted. */
+    * contributes EXACTLY one linear signature scan (precomputed and
+    * stored in production — [[signatures]] is public exactly so the
+    * corpus side can be read from a sig table instead of re-hashed).
+    * Both sides carry their signature INTO the band join (the
+    * [[graft.streaming.StreamingNearDup]] in-bucket recipe), so lane
+    * agreement is a projection on the join output — no estimator
+    * joins, no second corpus pass. Only the batch-side signature
+    * table (small) is persisted. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
                        estMilli: Long = 500L, numHashes: Int = 16,
                        bands: Int = 4): DataFrame = {
     val sigsNew = graft.Caches.track(signatures(batch, numHashes))
-    val sigsOld = signatures(corpus, numHashes)
-    val bNew = bandsFromSigs(sigsNew, numHashes, bands)
-    val bAll = bandsFromSigs(sigsOld, numHashes, bands)
+    val bNew = bandedSigs(sigsNew, numHashes, bands)
+    val bAll = bandedSigs(signatures(corpus, numHashes), numHashes, bands)
       .withColumn("__new", lit(false))
       .unionByName(bNew.withColumn("__new", lit(true)))
-    val cand = bNew.as("a").join(bAll.as("b"),
+    val dups = bNew.as("a").join(bAll.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_key") === col("b.band_key")
           && (!col("b.__new") || col("b.doc_id") < col("a.doc_id")))
-      .select(col("a.doc_id").as("doc_new"),
-        col("b.doc_id").as("doc_prior"), col("b.__new").as("__pn"))
-      .distinct()
-    val sn = sigsNew.select(col("doc_id").as("doc_new"),
-      col("__sig").as("__sa"))
-    val sp = sigsOld.withColumn("__pn", lit(false))
-      .unionByName(sigsNew.withColumn("__pn", lit(true)))
-      .select(col("doc_id").as("doc_prior"), col("__pn"),
-        col("__sig").as("__sb"))
-    val dups = cand.join(sn, "doc_new").join(sp, Seq("doc_prior", "__pn"))
       .withColumn("matches",
-        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
-          m => m)).cast("long"))
+        size(filter(zip_with(col("a.__sig"), col("b.__sig"),
+          (x, y) => x === y), m => m)).cast("long"))
       .filter(expr(s"(1000 * matches) div $numHashes") >= estMilli)
+      .select(col("a.doc_id").as("doc_new"),
+        col("b.doc_id").as("doc_prior"))
+      .distinct()
       .groupBy("doc_new").agg(count(lit(1)).as("n_dup"))
     batch.select(col("doc_id"))
       .join(dups.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"),
