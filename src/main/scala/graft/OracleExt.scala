@@ -462,6 +462,51 @@ object OracleExt {
            AND a.doc_id < b.doc_id)
     ORDER BY d.doc_id"""
 
+  /** Twin of Curation.gopherRules: the published rule thresholds as
+    * cross-multiplied BIGINT inequalities — the same integer forms the
+    * Spark side computes, so the flags (not just the counters) hash
+    * across engines. */
+  def gopherRules(reqStop: Seq[String], minWords: Long,
+                  maxWords: Long): String = s"""
+    WITH t AS (
+      SELECT doc_id, text, $toks AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+          AS BIGINT) AS sum_word_len,
+        CAST((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3
+          AS BIGINT) AS n_symbols,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines, l -> starts_with(l, '-')
+          OR starts_with(l, '*') OR starts_with(l, '•')))
+          AS BIGINT) AS n_bullet_lines,
+        CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+          AS BIGINT) AS n_ellipsis_lines,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+          AS BIGINT) AS n_alpha_words,
+        CAST(len(list_filter([${reqStop.map(sqlStr).mkString(", ")}],
+          w -> list_contains(toks, w))) AS BIGINT) AS n_req_stopwords
+      FROM t)
+    SELECT *,
+      r_wordcount AND r_meanlen AND r_symbol AND r_bullet
+        AND r_ellipsis AND r_alpha AND r_stopwords AS keep
+    FROM (
+      SELECT *,
+        n_words >= $minWords AND n_words <= $maxWords AS r_wordcount,
+        3 * n_words <= sum_word_len
+          AND sum_word_len <= 10 * n_words AS r_meanlen,
+        10 * n_symbols <= n_words AS r_symbol,
+        10 * n_bullet_lines <= 9 * n_lines AS r_bullet,
+        10 * n_ellipsis_lines <= 3 * n_lines AS r_ellipsis,
+        5 * n_alpha_words >= 4 * n_words AS r_alpha,
+        n_req_stopwords >= 2 AS r_stopwords
+      FROM c)
+    ORDER BY doc_id"""
+
   val fingerprints: String = s"""
     SELECT doc_id,
            list_reduce(list_prepend(CAST(0 AS BIGINT),

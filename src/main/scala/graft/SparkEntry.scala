@@ -295,6 +295,9 @@ object SparkEntry {
     // Capstone: dedup ∩ quality ∩ language — the full curation pass
     "curation_pipeline" -> ((s, dir) =>
       graft.operators.Curation.curate(docsPar(s, dir)).orderBy("doc_id")),
+    // Gopher rule filter (published thresholds, exact integer forms)
+    "gopher_rules" -> ((s, dir) =>
+      graft.operators.Curation.gopherRules(docsPar(s, dir)).orderBy("doc_id")),
 
     // ---- §2.4 corpus partitioning & scrubbing -----------------------
     // Deterministic hash-based train/test assignment (~10% test)
@@ -604,6 +607,8 @@ object SparkEntry {
     "term_stats" -> OracleExt.termStats,
     "dedup_keeplist" -> OracleExt.dedupKeepList,
     "curation_pipeline" -> OracleExt.curation(TextAnalysis.stopwords, 3000, "en"),
+    "gopher_rules" -> OracleExt.gopherRules(
+      graft.operators.Curation.gopherStopwords, 50, 100000),
     "train_test_split" -> OracleExt.trainTestSplit,
     "kfold_split" -> OracleExt.kfoldSplit(5),
     "stratified_sample" -> OracleExt.stratifiedSample,

@@ -30,4 +30,80 @@ object Curation {
       .join(lang, Seq("doc_id"))
       .select(col("doc_id"), col("pred_lang"), col("score"))
   }
+
+  /** The required-stopword set of the Gopher rule filter (Rae et al.
+    * 2021, "Scaling Language Models", appendix A1.1): a document must
+    * contain at least two of these to survive. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule-based quality filter (Rae et al. 2021, appendix
+    * A1.1) — the published heuristic rule set used to clean MassiveWeb,
+    * re-expressed in exact integer arithmetic so the verdict is
+    * bit-identical across engines (every published ratio threshold
+    * r = p/10 becomes a cross-multiplied BIGINT inequality — no double
+    * ever decides a keep):
+    *
+    *  - word count in [minWords, maxWords]            (paper: 50..100k)
+    *  - mean word length in [3, 10] chars             (3n ≤ Σlen ≤ 10n)
+    *  - symbol-to-word ratio ≤ 0.1 ('#' + '...')      (10·sym ≤ n)
+    *  - ≤ 90% of lines start with a bullet (-, *, •)  (10·b ≤ 9·lines)
+    *  - ≤ 30% of lines end with an ellipsis ('...')   (10·e ≤ 3·lines)
+    *  - ≥ 80% of words contain an alphabetic char     (5·alpha ≥ 4·n)
+    *  - ≥ 2 distinct words from [[gopherStopwords]]
+    *
+    * One row per doc with each rule's verdict plus the conjunction —
+    * per-rule flags (not just the AND) because a production pipeline
+    * audits WHICH rule fired before dropping a domain.
+    *
+    * 100 TB shape: a pure per-row projection over one scan — no
+    * shuffle, no state, trivially parallel, and every function here is
+    * a codegen'd builtin (the tokenizer is the shared native
+    * [[TextAnalysis.tokens]] expression), so the whole filter runs
+    * inside one WholeStageCodegen span at scan speed. */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+                  maxWords: Long = 100000L): DataFrame = {
+    val toks = col("__toks")
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // '#' count + non-overlapping '...' count (leftmost, same in both
+    // engines' replace); these are Gopher's two "symbol" classes
+    val nHash = length(col("text")) -
+      length(expr("replace(text, '#', '')"))
+    val nEllipsis =
+      expr("(length(text) - length(replace(text, '...', ''))) div 3")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+      .cast("long")
+    val nEllLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val nReq = size(array_intersect(toks,
+      typedLit(gopherStopwords))).cast("long")
+    docs.withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), nWords.as("n_words"), sumLen.as("sum_word_len"),
+        (nHash + nEllipsis).cast("long").as("n_symbols"),
+        nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+        nEllLines.as("n_ellipsis_lines"), nAlpha.as("n_alpha_words"),
+        nReq.as("n_req_stopwords"))
+      .select(col("*"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_wordcount"),
+        (lit(3L) * col("n_words") <= col("sum_word_len")
+          && col("sum_word_len") <= lit(10L) * col("n_words"))
+          .as("r_meanlen"),
+        (lit(10L) * col("n_symbols") <= col("n_words")).as("r_symbol"),
+        (lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
+          .as("r_bullet"),
+        (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+          .as("r_ellipsis"),
+        (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+          .as("r_alpha"),
+        (col("n_req_stopwords") >= 2L).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanlen") && col("r_symbol")
+          && col("r_bullet") && col("r_ellipsis") && col("r_alpha")
+          && col("r_stopwords"))
+  }
 }
