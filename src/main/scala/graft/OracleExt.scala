@@ -304,6 +304,30 @@ object OracleExt {
     GROUP BY user_id, sid
     ORDER BY user_id, session_start"""
 
+  /** Twin of Profile.dataProfile over events: one UNION ALL branch per
+    * column (DuckDB re-scans per branch; the Spark side does it in one
+    * aggregate — the twin checks values, not plans). Timestamps profile
+    * as epoch-µs, doubles through DECIMAL(28,9), matching the Spark
+    * side's deterministic stringification. */
+  val dataProfile: String = {
+    def id(s: String) = s"CAST($s AS VARCHAR)"
+    def dec(s: String) = s"CAST(CAST($s AS DECIMAL(28,9)) AS VARCHAR)"
+    def b(name: String, e: String, mm: String => String): String = s"""
+      SELECT '$name' AS "column", count(*) AS n_rows,
+             count(*) - count($e) AS n_null,
+             CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+             ${mm(s"min($e)")} AS min_str, ${mm(s"max($e)")} AS max_str
+      FROM events"""
+    Seq(
+      b("event_id", "event_id", id),
+      b("ts", "epoch_us(ts)", id),
+      b("user_id", "user_id", id),
+      b("event_type", "event_type", id),
+      b("value", "value", dec),
+      b("props", "props", id)
+    ).mkString("", " UNION ALL ", " ORDER BY \"column\"")
+  }
+
   // ---- documents ops (graft.operators.TextAnalysis) ------------------
 
   /** Twin of TextAnalysis.tokens. */

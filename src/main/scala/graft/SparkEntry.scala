@@ -218,6 +218,10 @@ object SparkEntry {
     "rate_anomaly" -> ((s, dir) =>
       Events.rateAnomaly(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // Single-aggregate per-column table profile (exact-distinct mode)
+    "data_profile" -> ((s, dir) =>
+      graft.operators.Profile.dataProfile(LogSource.readEvents(s, dir))
+        .orderBy("column")),
     // Ordered funnel (view→click→purchase, strict 6h step windows):
     // per-step earliest-qualifying-event joins, no per-user event lists
     "funnel_levels" -> ((s, dir) =>
@@ -597,6 +601,7 @@ object SparkEntry {
     "session_windows" -> OracleExt.sessionWindows,
     "value_histogram" -> OracleExt.valueHistogram,
     "rate_anomaly" -> OracleExt.rateAnomaly,
+    "data_profile" -> OracleExt.dataProfile,
     "funnel_levels" -> OracleExt.funnelLevels,
     "cohort_retention" -> OracleExt.cohortRetention,
     "time_decay_agg" -> OracleExt.timeDecayAgg,
