@@ -1149,6 +1149,33 @@ object OracleExt {
                       FROM embeddings)))
     ORDER BY vec_id"""
 
+  /** Twin of Similarity.randProj — the ±1 matrix is interpolated as
+    * literals from the same plan-time signMatrix recipe the Spark side
+    * embeds; integer code dots are exact in doubles, so
+    * list_dot_product matches the Spark fold bit-for-bit. */
+  def randProj(dOut: Int, dIn: Int): String = {
+    val m = graft.operators.Similarity.signMatrix(dOut, dIn)
+      .zipWithIndex.map { case (row, j) =>
+        s"SELECT $j AS j, [${row.mkString(", ")}]::DOUBLE[] AS s"
+      }.mkString(" UNION ALL ")
+    s"""
+    WITH codes AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(v, x -> floor(x * 127.0 / scale))
+             END AS q
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS scale
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings))),
+    m AS ($m)
+    SELECT vec_id, CAST(j AS INTEGER) AS j,
+           CAST(list_dot_product(q, s) AS BIGINT) AS p
+    FROM codes, m
+    ORDER BY vec_id, j"""
+  }
+
   /** Twin of Similarity.topkQuantized — integer code dots are exact in
     * doubles (any summation order), so list_dot_product matches the
     * Spark fold bit-for-bit. */

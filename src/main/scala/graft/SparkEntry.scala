@@ -467,6 +467,9 @@ object SparkEntry {
     // Symmetric int8 absmax quantization of the embedding column
     "embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embPar(s, dir)).orderBy("vec_id")),
+    // JL sign random projection of the int8 codes (64 -> 16 dims)
+    "rand_proj" -> ((s, dir) =>
+      Similarity.randProj(embPar(s, dir)).orderBy("vec_id", "j")),
     // Product quantization: 4 independent 16-dim codebooks (k=4), each
     // vector -> 4 codeword ids + total squared reconstruction error
     "pq_encode" -> ((s, dir) =>
@@ -642,6 +645,7 @@ object SparkEntry {
     "cluster_outliers" ->
       OracleExt.clusterOutliers(OracleExt.deriveKSql(64), 2, 5),
     "embed_quantize" -> OracleExt.quantizeInt8,
+    "rand_proj" -> OracleExt.randProj(16, 64),
     "pq_encode" -> OracleExt.pqEncode(4, 4, 2),
     "topk_pq" -> OracleExt.topkPqAdc(4, 4, 2, 10, 3),
     "ann_ivfadc" -> OracleExt.annIvfAdc(8, 2, 4, 4, 2, 10, 3),

@@ -347,4 +347,49 @@ object Similarity {
           .as("sim_micro"))
       .filter(col("sim_micro") >= minSimMicro)
   }
+
+  /** Deterministic ±1 sign matrix for the JL projection: sign(j, i) =
+    * 1 − 2·(first-32-bits-of-md5("proj:j:i") mod 2). Same plan-time
+    * recipe as [[planes]] — both engines get the matrix as literals,
+    * neither ever hashes. */
+  def signMatrix(dOut: Int, dIn: Int): Seq[Seq[Long]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until dOut).map(j => (0 until dIn).map { i =>
+      val hex = md.digest(s"proj:$j:$i".getBytes(StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      1L - 2L * (java.lang.Long.parseLong(hex, 16) % 2L)
+    })
+  }
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2003):
+    * dIn-dim vectors compressed to dOut dims by a fixed ±1 matrix —
+    * the cheap dimensionality-reduction step before clustering or
+    * coarse candidate generation when even the int8 codes are too wide
+    * to scan. Projecting the int8 CODES (the [[quantizeInt8]] recipe)
+    * keeps every product an exact small integer (|p| ≤ 127·dIn ≪ 2⁵³),
+    * so the output is engine-exact with no float printer or rounding
+    * mode in the loop.
+    *
+    * Long-format output (vec_id, j, p) — one row per output dim.
+    *
+    * 100 TB shape: a pure per-row projection — dOut codegen'd dot
+    * products against literal arrays, no shuffle, no join, no state;
+    * the 4×-narrower projected table is what downstream sweeps scan. */
+  def randProj(emb: DataFrame, dOut: Int = 16, dIn: Int = 64): DataFrame = {
+    val s = signMatrix(dOut, dIn)
+    val codes = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", when(col("scale") === 0d,
+          transform(col("v"), _ => lit(0d)))
+        .otherwise(transform(col("v"),
+          x => floor(x * lit(127d) / col("scale")))))
+    val projs = s.zipWithIndex.map { case (row, j) =>
+      struct(lit(j).cast("integer").as("j"),
+        dot(col("q"), array(row.map(c => lit(c.toDouble)): _*))
+          .cast("long").as("p"))
+    }
+    codes.select(col("vec_id"), explode(array(projs: _*)).as("e"))
+      .select(col("vec_id"), col("e.j"), col("e.p"))
+  }
 }
