@@ -1632,6 +1632,58 @@ object OracleExt {
       ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
     GROUP BY ex.query_id ORDER BY ex.query_id"""
 
+  /** Twin of Similarity.projRecall — exact-cosine top-k vs the
+    * JL-projected ranking; the projected vectors are rebuilt from the
+    * same literal sign matrix and the same quantize recipe, so the
+    * approximate path (and hence the recall) is engine-exact. */
+  def projRecall(nQueries: Int, k: Int, dOut: Int, dIn: Int): String = {
+    val m = graft.operators.Similarity.signMatrix(dOut, dIn)
+      .zipWithIndex.map { case (row, j) =>
+        s"SELECT $j AS j, [${row.mkString(", ")}]::DOUBLE[] AS s"
+      }.mkString(" UNION ALL ")
+    val pcos = "list_dot_product(q.pv, c.pv) / (sqrt(q.pn) * sqrt(c.pn))"
+    s"""
+    WITH $normCte,
+    codes AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(v, x -> floor(x * 127.0 / scale))
+             END AS q
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS scale
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings))),
+    m AS ($m),
+    np AS (SELECT vec_id, pv, list_dot_product(pv, pv) AS pn FROM (
+        SELECT vec_id, list(p ORDER BY j) AS pv
+        FROM (SELECT vec_id, j, list_dot_product(q, s) AS p
+              FROM codes, m)
+        GROUP BY vec_id)),
+    ex AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k),
+    ap AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $pcos DESC, c.vec_id) AS rank
+        FROM np q JOIN np c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k)
+    SELECT ex.query_id, count(*) AS n_true,
+           CAST(sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_hit,
+           CAST((100 * sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1
+                           END)) // $k AS BIGINT) AS recall_pct
+    FROM ex LEFT JOIN ap
+      ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
+    GROUP BY ex.query_id ORDER BY ex.query_id"""
+  }
+
   def lshTopK(nQueries: Int, k: Int, ps: Seq[Seq[Long]]): String = s"""
     WITH $normCte,
     nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n)

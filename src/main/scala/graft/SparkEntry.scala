@@ -434,6 +434,9 @@ object SparkEntry {
     // Recall@k evaluator: exact top-k vs the LSH path, integer percent
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(embPar(s, dir)).orderBy("query_id")),
+    // Recall@k of the JL-projected ranking against exact cosine
+    "proj_recall" -> ((s, dir) =>
+      Similarity.projRecall(embPar(s, dir)).orderBy("query_id")),
     // Bucket-pruned embedding near-dup pairs (256-bucket single table)
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embPar(s, dir))
@@ -682,6 +685,7 @@ object SparkEntry {
     "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
     "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),
+    "proj_recall" -> OracleExt.projRecall(10, 5, 16, 64),
     "ann_lsh_multiprobe" -> OracleExt.lshTopKMultiProbe(50, 3, Similarity.planes()),
     "embed_neardup" -> OracleExt.nearDupPairs(350000,
       Similarity.planes(Similarity.nearDupPlanes)),

@@ -375,21 +375,70 @@ object Similarity {
     * 100 TB shape: a pure per-row projection — dOut codegen'd dot
     * products against literal arrays, no shuffle, no join, no state;
     * the 4×-narrower projected table is what downstream sweeps scan. */
-  def randProj(emb: DataFrame, dOut: Int = 16, dIn: Int = 64): DataFrame = {
+  /** Projected-vector table (vec_id, pv, pn): the dOut-dim JL
+    * projection of each vector's int8 codes as exact-integer doubles,
+    * plus its squared norm — the one recipe [[randProj]] (gate surface)
+    * and [[projTopK]] (search path) both read. */
+  private def projVectors(emb: DataFrame, dOut: Int, dIn: Int): DataFrame = {
     val s = signMatrix(dOut, dIn)
-    val codes = emb.select(col("vec_id"),
+    emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
       .withColumn("q", when(col("scale") === 0d,
           transform(col("v"), _ => lit(0d)))
         .otherwise(transform(col("v"),
           x => floor(x * lit(127d) / col("scale")))))
-    val projs = s.zipWithIndex.map { case (row, j) =>
-      struct(lit(j).cast("integer").as("j"),
-        dot(col("q"), array(row.map(c => lit(c.toDouble)): _*))
-          .cast("long").as("p"))
-    }
-    codes.select(col("vec_id"), explode(array(projs: _*)).as("e"))
-      .select(col("vec_id"), col("e.j"), col("e.p"))
+      .select(col("vec_id"), array(s.map(row =>
+        dot(col("q"), array(row.map(c => lit(c.toDouble)): _*))): _*)
+        .as("pv"))
+      .withColumn("pn", dot(col("pv"), col("pv")))
+  }
+
+  def randProj(emb: DataFrame, dOut: Int = 16, dIn: Int = 64): DataFrame =
+    projVectors(emb, dOut, dIn)
+      .select(col("vec_id"), posexplode(col("pv")).as(Seq("j", "p")))
+      .select(col("vec_id"), col("j").cast("integer").as("j"),
+        col("p").cast("long").as("p"))
+
+  /** Top-k in the PROJECTED space — the coarse candidate generator the
+    * JL projection exists for: cosine over dOut-dim integer
+    * projections, a 4× narrower scan and 4× fewer multiplies per pair
+    * than the full vectors. Same broadcast-query + per-query-window
+    * shape as [[topkCosine]]; approximate by construction —
+    * [[projRecall]] measures how approximate. */
+  def projTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+               dOut: Int = 16, dIn: Int = 64): DataFrame = {
+    val n = graft.Caches.track(projVectors(emb, dOut, dIn))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pv").as("qv"),
+        col("pn").as("qn"))
+    val c = n.select(col("vec_id").as("cand_id"), col("pv").as("cv"),
+      col("pn").as("cn"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cand_id"), simMicro(col("sim")).as("sim_micro"))
+  }
+
+  /** Recall@k of the projected-space ranking against exact cosine —
+    * the [[annRecall]] evaluator pointed at the JL path: all-integer
+    * recall_pct, scoring join ≤ nQueries·k rows at any corpus size. */
+  def projRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                 dOut: Int = 16, dIn: Int = 64): DataFrame = {
+    val exact = topkCosine(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = projTopK(emb, nQueries, k, dOut, dIn)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        expr(s"(100 * n_hit) div $k").as("recall_pct"))
   }
 }

@@ -43,4 +43,25 @@ class RandProjSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"))
   }
+
+  test("projRecall equals recall recomputed from the two rank lists") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.topkCosine(emb).select("query_id", "cand_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val proj = Similarity.projTopK(emb).select("query_id", "cand_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.projRecall(emb)
+      .select("query_id", "n_true", "n_hit", "recall_pct")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == exact.size)
+    got.foreach { case (qid, nTrue, nHit, pct) =>
+      val hits = (exact(qid) intersect proj.getOrElse(qid, Set.empty)).size
+      assert(nTrue == exact(qid).size && nHit == hits, s"query $qid")
+      assert(pct == (100L * hits) / 5, s"query $qid pct")
+    }
+    // the projection must actually retrieve something at 16 dims
+    assert(got.map(_._3).sum > 0)
+  }
 }
