@@ -61,7 +61,7 @@ class PlansSpec extends SparkTestBase {
     // shuffle the big candidate table against it
     Seq("topk_cosine", "ann_lsh", "ann_lsh_multiprobe", "ann_ivf",
         "ann_ivf_nprobe", "pq_encode", "topk_pq", "ann_ivfadc",
-        "ann_ivfadc_nprobe")
+        "ann_ivfadc_nprobe", "proj_recall")
       .foreach { q =>
         assert(plans(q).contains("BroadcastExchange")
           || plans(q).contains("BroadcastNestedLoopJoin"),
@@ -229,7 +229,7 @@ class PlansSpec extends SparkTestBase {
     // assert it so a filter rewrite can't silently lose the pruning.
     val rankFiltered = Seq("stratified_sample", "text_exact_dedup",
       "keyword_extract", "topk_cosine", "topk_quantized", "top_terms",
-      "cluster_outliers", "rrf_fusion")
+      "cluster_outliers", "rrf_fusion", "proj_recall")
     val missing = rankFiltered.filterNot(q =>
       plans(q).contains("WindowGroupLimit"))
     assert(missing.isEmpty,
