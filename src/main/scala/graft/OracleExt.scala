@@ -304,6 +304,20 @@ object OracleExt {
     GROUP BY user_id, sid
     ORDER BY user_id, session_start"""
 
+  /** Twin of Events.attributionJoin — boundary semantics in integer
+    * µs on both sides (strictly after, inclusive window end), immune
+    * to the ns-vs-µs precision gap because the comparison is on
+    * epoch_us like every other events twin. */
+  def attributionJoin(windowSec: Long): String = s"""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+         AND epoch_us(c.ts) > epoch_us(v.ts)
+         AND epoch_us(c.ts) <= epoch_us(v.ts) + ${windowSec * 1000000L}
+    ORDER BY view_id, click_id"""
+
   /** Twin of Profile.dataProfile over events: one UNION ALL branch per
     * column (DuckDB re-scans per branch; the Spark side does it in one
     * aggregate — the twin checks values, not plans). Timestamps profile

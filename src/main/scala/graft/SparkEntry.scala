@@ -222,6 +222,13 @@ object SparkEntry {
     "data_profile" -> ((s, dir) =>
       graft.operators.Profile.dataProfile(LogSource.readEvents(s, dir))
         .orderBy("column")),
+    // View->click attribution pairs (stream-stream-join-shaped)
+    "attribution_join" -> ((s, dir) => {
+      val ev = LogSource.readEvents(s, dir)
+      Events.attributionJoin(ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"))
+        .orderBy("view_id", "click_id")
+    }),
     // Ordered funnel (view→click→purchase, strict 6h step windows):
     // per-step earliest-qualifying-event joins, no per-user event lists
     "funnel_levels" -> ((s, dir) =>
@@ -608,6 +615,7 @@ object SparkEntry {
     "value_histogram" -> OracleExt.valueHistogram,
     "rate_anomaly" -> OracleExt.rateAnomaly,
     "data_profile" -> OracleExt.dataProfile,
+    "attribution_join" -> OracleExt.attributionJoin(3600),
     "funnel_levels" -> OracleExt.funnelLevels,
     "cohort_retention" -> OracleExt.cohortRetention,
     "time_decay_agg" -> OracleExt.timeDecayAgg,

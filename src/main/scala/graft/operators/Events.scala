@@ -366,4 +366,34 @@ object Events {
         (col("n") * col("n_windows") * 100 > col("total") * factorPct)
           .as("anomaly"))
   }
+
+  /** View→click attribution: every (view, click) pair of the same user
+    * where the click lands strictly after the view and within
+    * `windowSec` — the ad-tech join that credits a click to the
+    * impressions that preceded it. Written so the SAME code runs as a
+    * batch join and as a Spark stream-stream join: an equi-join on
+    * user_id plus an event-time range condition, which is exactly the
+    * shape Structured Streaming requires to buffer both sides and (when
+    * watermarks are set on the inputs) evict state older than
+    * view_ts + window.
+    *
+    * 100 TB shape: one hash shuffle per side on user_id; the time
+    * predicate filters inside each joined group, so cost is bounded by
+    * per-user view×click density in the window, not by the cross
+    * product. Boundary semantics are integer-µs exact (timestamps ARE
+    * µs longs internally): strictly after, inclusive window end. */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+                      windowSec: Long = 3600L): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+      col("user_id"), col("ts").as("view_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("__cu"), col("ts").as("click_ts"))
+    v.join(c, col("user_id") === col("__cu")
+        && col("click_ts") > col("view_ts")
+        && col("click_ts") <= col("view_ts")
+          + expr(s"INTERVAL $windowSec SECOND"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
 }

@@ -9,6 +9,8 @@ import graft.operators.{Sampling, Scrub}
   * scope (an inner case class fails ResolveNewInstance in streaming). */
 case class TwinDoc(doc_id: Long, text: String)
 
+case class TwinEvt(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+
 /** Streaming twins for the round-6 per-row corpus operators (VERDICT r6
   * "Next round" #4): trainTestSplit / piiRedact / importanceSample are
   * stateless per-row projections, so the SAME library call runs
@@ -310,5 +312,53 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty
       && batch.exceptAll(streamed).isEmpty,
       "stateful streaming sessions != batch session_window sessions")
+  }
+
+  test("attribution join: STREAM-STREAM join ≡ batch join on fixture events") {
+    // the sixth twin class — Spark's stream-stream join: both sides are
+    // unbounded, both are watermarked, and the equi-join + event-time
+    // range condition is what lets the engine buffer and evict state.
+    // Same library call on both sides; inner-join matches emit as soon
+    // as both rows have arrived, so interleaved chunked arrival must
+    // reproduce the batch join exactly.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Events
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.LogSource
+      .readEvents(spark, "/root/testdata/sf0.001")
+    def arrivals(t: String): Seq[TwinEvt] = ev
+      .filter(col("event_type") === t)
+      .select("event_id", "user_id", "ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .sortBy(r => (r._3.getTime, r._1)).toSeq
+      .map(r => TwinEvt(r._1, r._2, r._3))
+    val views = arrivals("view")
+    val clicks = arrivals("click")
+    val vIn = MemoryStream[TwinEvt]
+    val cIn = MemoryStream[TwinEvt]
+    // generous watermark delay: state eviction is exercised structurally
+    // (the plan requires the watermarks), while no row can be evicted
+    // before its cross-chunk partner arrives
+    val q = Events.attributionJoin(
+        vIn.toDF().withWatermark("ts", "90 days"),
+        cIn.toDF().withWatermark("ts", "90 days"))
+      .writeStream.format("memory").queryName("twin_attr")
+      .outputMode("append").start()
+    val vChunks = views.grouped((views.size + 2) / 3).toSeq
+    val cChunks = clicks.grouped((clicks.size + 2) / 3).toSeq
+    (0 until 3).foreach { i =>
+      if (i < vChunks.size) vIn.addData(vChunks(i): _*)
+      if (i < cChunks.size) cIn.addData(cChunks(i): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("twin_attr")
+    val batch = Events.attributionJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+    assert(streamed.count() > 0, "fixture must yield attribution pairs")
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "stream-stream attribution != batch attribution")
   }
 }
