@@ -285,6 +285,21 @@ object OracleExt {
                       GROUP BY user_id HAVING count(*) >= 4)
     ORDER BY event_id"""
 
+  /** Twin of Skew.skewProfile on events.event_type: top-N keys by row
+    * count with integer ppm corpus share and ceil(n/target) recommended
+    * salts. All-integer (`//` floor ≡ Spark `div` on the non-negative
+    * count domain); SUM cast back to BIGINT (DuckDB widens to HUGEINT). */
+  def skewProfile(topN: Int, target: Long): String = s"""
+    WITH counts AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n
+      FROM events GROUP BY 1),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+    top AS (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT $topN)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank,
+           key, n, (1000000 * n) // t AS share_ppm,
+           (n + $target - 1) // $target AS rec_salts
+    FROM top, total ORDER BY rank"""
+
   /** Twin of Events.sessionWindows: lag-gap session derivation, then
     * group per (user, session); session_end = last event + gap. */
   val sessionWindows: String = """

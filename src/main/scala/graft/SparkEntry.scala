@@ -185,6 +185,14 @@ object SparkEntry {
         .select("event_id", "event_type", "weight")
         .orderBy("event_id")
     }),
+    // Skew profile: the measurement that decides whether/how much to
+    // salt — top-N hot keys with integer corpus share and the salt
+    // factor capping any (key, salt) sub-partition at targetPerTask
+    "skew_profile" -> ((s, dir) =>
+      graft.operators.Skew.skewProfile(
+        LogSource.readEvents(s, dir), "event_type",
+        topN = 10, targetPerTask = 500L)
+        .orderBy("rank")),
     // Hierarchical rollup (grouping sets) in one pass
     "rollup_counts" -> ((s, dir) =>
       Events.rollupCounts(LogSource.readEvents(s, dir))
@@ -611,6 +619,7 @@ object SparkEntry {
       SELECT event_id, event_type,
              ${graft.functions.PortableHash.sqlHash32("event_type")} % 100 AS weight
       FROM events ORDER BY event_id""",
+    "skew_profile" -> OracleExt.skewProfile(10, 500L),
     "session_windows" -> OracleExt.sessionWindows,
     "value_histogram" -> OracleExt.valueHistogram,
     "rate_anomaly" -> OracleExt.rateAnomaly,

@@ -39,4 +39,34 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew diagnostics — the measurement that DECIDES whether
+    * (and how much) to salt before anyone pays for [[saltedJoin]]'s
+    * build-side replication: the top-N keys by row count with their
+    * corpus share in ppm and the salt factor that would cap any one
+    * (key, salt) sub-partition at `targetPerTask` rows
+    * (ceil(n / target), 1 for keys already under the cap).
+    *
+    * 100 TB shape: one map-side-combined groupBy on the key (the same
+    * shuffle the join itself would pay), a 1-row total broadcast back,
+    * and a rank window over the k-bounded survivors — the profile's
+    * output is top-N-sized regardless of corpus size. All-integer
+    * shares and ceilings so the recommendation is engine-exact. */
+  def skewProfile(df: DataFrame, key: String, topN: Int = 10,
+                  targetPerTask: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__total"))
+    // orderBy+limit → TakeOrderedAndProject (map-side partial top-N,
+    // never a global sort); the rank window then runs over topN rows
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topN)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("key"))))
+      .select(col("rank").cast("int").as("rank"), col("key"), col("n"),
+        expr("(1000000 * n) div __total").as("share_ppm"),
+        expr(s"(n + $targetPerTask - 1) div $targetPerTask")
+          .as("rec_salts"))
+  }
 }

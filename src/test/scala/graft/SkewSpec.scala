@@ -26,6 +26,22 @@ class SkewSpec extends SparkTestBase {
     assert(plain.exceptAll(salted).count() == 0L)
   }
 
+  test("skewProfile: hand-computed shares and salt recommendations") {
+    // hot=1000, warm=2, cold=1, total=1003; target 300 → ceil(1000/300)=4
+    val rows = Skew.skewProfile(big, "k", topN = 10, targetPerTask = 300L)
+      .as[(Int, String, Long, Long, Long)].collect().toList
+    assert(rows == List(
+      (1, "hot", 1000L, 1000000L * 1000 / 1003, 4L),
+      (2, "warm", 2L, 2000000L / 1003, 1L),
+      (3, "cold", 1L, 1000000L / 1003, 1L)))
+  }
+
+  test("skewProfile: topN bounds the output regardless of key cardinality") {
+    val rows = Skew.skewProfile(big, "k", topN = 2, targetPerTask = 300L)
+      .as[(Int, String, Long, Long, Long)].collect().toList
+    assert(rows.map(r => (r._1, r._2)) == List((1, "hot"), (2, "warm")))
+  }
+
   test("the hot key actually spreads over multiple salts, deterministically") {
     def salts() = big.filter(col("k") === "hot")
       .withColumn("__salt", pmod(graft.functions.PortableHash
