@@ -171,17 +171,20 @@ object SparkEntry {
     "asof_join" -> ((s, dir) =>
       graft.operators.AsOf.lastPurchase(LogSource.readEvents(s, dir))
         .orderBy("event_id")),
-    // Skew-safe salted join: hot event_type keys spread over 8 salts;
-    // result identical to the unsalted join (the oracle computes it
-    // join-free — the gate proves result equality, PlansSpec/spec
-    // prove the spreading)
+    // Skew-safe salted join: hot event_type keys spread over a DERIVED
+    // salt factor (deriveSalts caps each (key, salt) sub-partition at
+    // 500 probe rows — the skewProfile recommendation wired in as
+    // code); result identical to the unsalted join (the oracle
+    // computes it join-free — the gate proves result equality,
+    // PlansSpec/spec prove the spreading)
     "salted_join" -> ((s, dir) => {
       import graft.functions.PortableHash
       val ev = LogSource.readEvents(s, dir)
         .select(col("event_id"), col("event_type"))
       val dim = ev.select("event_type").distinct()
         .withColumn("weight", PortableHash.hash32(col("event_type")) % 100)
-      graft.operators.Skew.saltedJoin(ev, dim, "event_type", col("event_id"), 8)
+      val salts = graft.operators.Skew.deriveSalts(ev, "event_type", 500L)
+      graft.operators.Skew.saltedJoin(ev, dim, "event_type", col("event_id"), salts)
         .select("event_id", "event_type", "weight")
         .orderBy("event_id")
     }),

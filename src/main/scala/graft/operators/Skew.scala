@@ -40,6 +40,20 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Derive the salt factor [[saltedJoin]] needs so no (key, salt)
+    * sub-partition exceeds `targetPerTask` probe rows:
+    * ceil(max key count / target), min 1. Driver-side cost is ONE
+    * aggregate row — the same sentinel pattern as `KMeans.deriveK` and
+    * `Sampling.deriveBlockSize`, so the 100 TB salting decision is
+    * code, not a hand-tuned constant. Equals the max `rec_salts` of
+    * [[skewProfile]] over the same key by construction. */
+  def deriveSalts(big: DataFrame, key: String, targetPerTask: Long): Int = {
+    require(targetPerTask > 0, s"targetPerTask must be positive, got $targetPerTask")
+    val maxN = big.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+    math.max(1L, (maxN + targetPerTask - 1) / targetPerTask).toInt
+  }
+
   /** Join-key skew diagnostics — the measurement that DECIDES whether
     * (and how much) to salt before anyone pays for [[saltedJoin]]'s
     * build-side replication: the top-N keys by row count with their

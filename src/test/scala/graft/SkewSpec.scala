@@ -42,6 +42,22 @@ class SkewSpec extends SparkTestBase {
     assert(rows.map(r => (r._1, r._2)) == List((1, "hot"), (2, "warm")))
   }
 
+  test("deriveSalts = skewProfile's max rec_salts, and the derived join is exact") {
+    // hot=1000, target 300 → ceil = 4; profile must recommend the same
+    val derived = Skew.deriveSalts(big, "k", targetPerTask = 300L)
+    assert(derived == 4)
+    val profileMax = Skew.skewProfile(big, "k", topN = 10, targetPerTask = 300L)
+      .agg(max("rec_salts")).as[Long].head()
+    assert(derived.toLong == profileMax)
+    val auto = Skew.saltedJoin(big, small, "k", col("id"), derived)
+      .select("id", "k", "v")
+    val plain = big.join(small, "k").select("id", "k", "v")
+    assert(auto.exceptAll(plain).count() == 0L &&
+      plain.exceptAll(auto).count() == 0L)
+    // keys already under the cap derive the identity factor
+    assert(Skew.deriveSalts(big.filter(col("k") =!= "hot"), "k", 300L) == 1)
+  }
+
   test("the hot key actually spreads over multiple salts, deterministically") {
     def salts() = big.filter(col("k") === "hot")
       .withColumn("__salt", pmod(graft.functions.PortableHash
