@@ -467,6 +467,34 @@ object OracleExt {
     FROM tf JOIN bits USING (b)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Twin of TextAnalysis.pmiPhrases — bigram-event-space PMI lift in
+    * exact integer math: the product c_xy·W runs in HUGEINT (Spark
+    * side: DECIMAL(38,0)), the quotient is ≤ W so the BIGINT cast-back
+    * is lossless, and pmi_bits is the shared whole-bit floor(log2). */
+  def pmiPhrases(minCount: Long, topN: Int): String = s"""
+    WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    bg AS (SELECT unnest(list_transform(toks[2:],
+                    (x, i) -> toks[i] || ' ' || x)) AS b
+           FROM t),
+    vocab AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS w FROM vocab),
+    pre AS (SELECT split_part(b, ' ', 1) AS w1,
+                   CAST(sum(n) AS BIGINT) AS c1 FROM vocab GROUP BY 1),
+    suf AS (SELECT split_part(b, ' ', -1) AS w2,
+                   CAST(sum(n) AS BIGINT) AS c2 FROM vocab GROUP BY 1),
+    lift AS (
+      SELECT b AS phrase, n,
+             CAST(CAST(n AS HUGEINT) * w
+                  // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS ratio
+      FROM vocab
+      JOIN pre ON split_part(vocab.b, ' ', 1) = pre.w1
+      JOIN suf ON split_part(vocab.b, ' ', -1) = suf.w2
+      CROSS JOIN tot
+      WHERE n >= $minCount)
+    SELECT phrase, n, CAST(length(bin(ratio)) - 1 AS BIGINT) AS pmi_bits
+    FROM lift WHERE ratio >= 1
+    ORDER BY pmi_bits DESC, n DESC, phrase LIMIT $topN"""
+
   val termStats: String = s"""
     SELECT term, count(*) AS tf, COUNT(DISTINCT doc_id) AS df
     FROM (SELECT doc_id, unnest($toks) AS term FROM documents)

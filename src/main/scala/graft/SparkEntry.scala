@@ -311,6 +311,10 @@ object SparkEntry {
     // Bigram-LM conditional surprisal (word-salad detector)
     "bigram_surprisal" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(docsPar(s, dir)).orderBy("doc_id")),
+    // PMI phrase miner: top collocations by integer likelihood lift
+    "pmi_phrases" -> ((s, dir) =>
+      TextAnalysis.pmiPhrases(docsPar(s, dir), minCount = 5L, topN = 50)
+        .orderBy(col("pmi_bits").desc, col("n").desc, col("phrase"))),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -678,6 +682,7 @@ object SparkEntry {
     "heavy_hitters" -> OracleExt.heavyHitters(10),
     "unigram_surprisal" -> OracleExt.unigramSurprisal(4000, 4179),
     "bigram_surprisal" -> OracleExt.bigramSurprisal,
+    "pmi_phrases" -> OracleExt.pmiPhrases(5L, 50),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -386,10 +386,15 @@ object TextAnalysis {
     * and the prefix totals derive from the vocab itself (a vocab-sized
     * aggregate, not a third corpus pass). Both model joins are
     * declared plain for Catalyst/AQE to broadcast or skew-split. */
+  /** (doc_id, bigram) instance stream with multiplicity — shared by
+    * [[bigramSurprisal]] and [[pmiPhrases]] so both LMs count the
+    * same bigrams. Pure map over the staged token array. */
+  private def bigramInstances(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(bigramsOfStaged).as("b"))
+
   def bigramSurprisal(docs: DataFrame): DataFrame = {
-    def bg(d: DataFrame): DataFrame =
-      d.select(col("doc_id"), tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), explode(bigramsOfStaged).as("b"))
+    def bg(d: DataFrame): DataFrame = bigramInstances(d)
     val tf = bg(docs).groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
     val vocab = graft.Caches.track(
       bg(docs).groupBy("b").agg(count(lit(1)).as("c2")))
@@ -407,5 +412,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         expr("(sum_bits * 1000) div n_bigrams").as("surprisal_milli"))
       .orderBy("doc_id")
+  }
+
+  /** PMI phrase miner — the top-N adjacent word pairs that co-occur
+    * far more than their parts predict: over the bigram event space,
+    * PMI(x,y) = log2(c_xy·W / (c_x·c_y)) with W the total bigram
+    * count, c_x the count of x as a bigram FIRST element and c_y of y
+    * as SECOND (so P1 and P2 are proper marginals of P(x,y) and the
+    * ratio is the exact likelihood lift). Where the surprisal LMs
+    * score DOCS for fluency, this mines the CORPUS for collocations —
+    * the phrase lexicon a tokenizer/stopword pipeline is built from
+    * (Church & Hanks 1990).
+    *
+    * Integer discipline: the lift ratio is computed in DECIMAL(38,0)
+    * (c_xy·W can overflow a 64-bit lane at corpus scale; the QUOTIENT
+    * is ≤ W and cast back to BIGINT), pmi_bits = length(bin(ratio))-1
+    * is exact floor(log2), min-count pruning happens BEFORE the
+    * marginal joins. Scale shape: one corpus pass to the vocab-sized
+    * bigram table (the only tracked cache); W is a 1-row broadcast;
+    * both marginals are vocab-sized aggregates of the vocab itself;
+    * final top-N via TakeOrdered (never a global sort). */
+  def pmiPhrases(docs: DataFrame, minCount: Long = 5L,
+                 topN: Int = 50): DataFrame = {
+    val vocab = graft.Caches.track(
+      bigramInstances(docs).groupBy("b").agg(count(lit(1)).as("n")))
+    val total = vocab.agg(sum(col("n")).as("w"))
+    val pre = vocab.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("n")).as("c1"))
+    val suf = vocab.groupBy(substring_index(col("b"), " ", -1).as("w2"))
+      .agg(sum(col("n")).as("c2"))
+    vocab.filter(col("n") >= minCount)
+      .join(pre, substring_index(col("b"), " ", 1) === col("w1"))
+      .join(suf, substring_index(col("b"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("b").as("phrase"), col("n"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * w)
+                     div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)""")
+          .as("ratio"))
+      .filter(col("ratio") >= 1L)
+      .select(col("phrase"), col("n"),
+        (length(bin(col("ratio"))) - 1).cast("long").as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("n").desc, col("phrase"))
+      .limit(topN)
   }
 }

@@ -221,6 +221,26 @@ class PlansSpec extends SparkTestBase {
       s"both rank paths broadcast their query side:\n$p")
   }
 
+  test("pmi_phrases: one persisted bigram vocab feeds all marginals; TakeOrdered") {
+    val p = plans("pmi_phrases")
+    // vocab serves the total, both marginal aggregates, and the pruned
+    // main branch — four consumers of ONE cached corpus pass
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"bigram vocab must be computed once and reused:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row bigram total must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N phrases must be per-partition partial top-k:\n$p")
+  }
+
+  test("skew_profile: top-N keys via TakeOrdered, never a global sort") {
+    val p = plans("skew_profile")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hot-key selection must be map-side partial top-N:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      s"the 1-row total must broadcast back:\n$p")
+  }
+
   test("every rank-filtered window prunes map-side via WindowGroupLimit") {
     // rank() <= k over a partitioned window is only scale-safe because
     // Spark 3.5+'s WindowGroupLimit keeps a per-partition top-k BEFORE

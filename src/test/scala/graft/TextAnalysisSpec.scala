@@ -191,6 +191,21 @@ class TextAnalysisSpec extends SparkTestBase {
       s"hand-computed conditional bits: $bi")
   }
 
+  test("pmiPhrases: hand-computed integer lift, ordering, min-count pruning") {
+    // corpus bigrams: d0 'a b a b' → ab, ba, ab; d1 'c d' → cd
+    //   vocab: ab=2, ba=1, cd=1; W=4
+    //   first-word marginals: a→2, b→1, c→1; second: b→2, a→1, d→1
+    //   lift(ab) = 2·4/(2·2) = 2 → 1 bit; lift(ba) = lift(cd) = 4 → 2 bits
+    val d = docs((0L, "a b a b"), (1L, "c d"))
+    val all = TextAnalysis.pmiPhrases(d, minCount = 1L, topN = 10)
+      .as[(String, Long, Long)].collect().toList
+    assert(all == List(("b a", 1L, 2L), ("c d", 1L, 2L), ("a b", 2L, 1L)),
+      s"bits desc, count desc, phrase asc: $all")
+    val pruned = TextAnalysis.pmiPhrases(d, minCount = 2L, topN = 10)
+      .as[(String, Long, Long)].collect().toList
+    assert(pruned == List(("a b", 2L, 1L)), s"min-count prunes the tail: $pruned")
+  }
+
   test("bigramSurprisal: sub-2-token docs yield no bigrams, no rows") {
     val r = TextAnalysis.bigramSurprisal(
         docs((0L, "solo"), (1L, ""), (2L, "two words")))
