@@ -1567,6 +1567,43 @@ object OracleExt {
           FROM documents)
     ORDER BY asset_id, frame_id"""
 
+  /** Twin of Multimodal.mimeSniff over the magic-enriched assets: both
+    * engines sniff the UPPERCASE hex encoding of the payload, so the
+    * byte checks mirror exactly; the %5 buckets prepend the same PNG /
+    * JPEG / RIFF-WAVE / GIF signatures the gate query does. */
+  val mimeSniff: String = s"""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+             CASE doc_id % 5
+               WHEN 0 THEN '89504E470D0A1A0A' || hex(encode(text))
+               WHEN 1 THEN 'FFD8FFE0' || hex(encode(text))
+               WHEN 2 THEN '524946462400000057415645666D7420' || hex(encode(text))
+               WHEN 3 THEN '474946383961' || hex(encode(text))
+               ELSE hex(encode(text)) END AS hx
+      FROM documents),
+    sn AS (
+      SELECT asset_id, modality,
+             CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN 'png'
+                  WHEN hx LIKE 'FFD8FF%' THEN 'jpeg'
+                  WHEN hx LIKE '474946383761%' OR hx LIKE '474946383961%' THEN 'gif'
+                  WHEN hx LIKE '424D%' THEN 'bmp'
+                  WHEN hx LIKE '52494646%' AND substring(hx, 17, 8) = '57415645' THEN 'wav'
+                  WHEN hx LIKE '464F524D%' AND substring(hx, 17, 8) = '41494646' THEN 'aiff'
+                  WHEN hx LIKE '2E736E64%' THEN 'au'
+                  ELSE 'unknown' END AS container
+      FROM assets),
+    m AS (
+      SELECT asset_id, modality, container,
+             CASE WHEN container IN ('png', 'jpeg', 'gif', 'bmp') THEN 'image'
+                  WHEN container IN ('wav', 'aiff', 'au') THEN 'audio'
+                  ELSE 'unknown' END AS sniffed_modality
+      FROM sn)
+    SELECT asset_id, modality, container, sniffed_modality,
+           sniffed_modality = modality AS agree
+    FROM m ORDER BY asset_id"""
+
   /** Twin of Multimodal.StubCodec over ASCII payloads: the rolling-31
     * hash equals the char-code fold; byte sum equals the ascii sum. */
   val multimodalDecode: String = """

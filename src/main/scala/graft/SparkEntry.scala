@@ -521,6 +521,25 @@ object SparkEntry {
     "frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.asAssets(docsPar(s, dir)))
         .orderBy("asset_id", "frame_id")),
+    // Magic-byte container sniff vs claimed modality (mislabel audit).
+    // Fixture enrichment prepends REAL container signatures by id
+    // bucket (the malformed_drop move): PNG / JPEG / RIFF-WAVE / GIF,
+    // with the %5==4 bucket left as raw text → 'unknown'
+    "mime_sniff" -> ((s, dir) => {
+      val assets = Multimodal.asAssets(docsPar(s, dir))
+      val withMagic = assets.withColumn("payload",
+        when(col("asset_id") % 5 === 0,
+          concat(unhex(lit("89504E470D0A1A0A")), col("payload")))
+          .when(col("asset_id") % 5 === 1,
+            concat(unhex(lit("FFD8FFE0")), col("payload")))
+          .when(col("asset_id") % 5 === 2,
+            concat(unhex(lit("524946462400000057415645666D7420")),
+              col("payload")))
+          .when(col("asset_id") % 5 === 3,
+            concat(unhex(lit("474946383961")), col("payload")))
+          .otherwise(col("payload")))
+      Multimodal.mimeSniff(withMagic).orderBy("asset_id")
+    }),
     // S1/S5/S6: DSv2 connector — format registration by short name, one
     // partition per shard, offset positioning. The stream is populated
     // DISTRIBUTED (setup scaffolding): rows are hash-routed to one task
@@ -664,6 +683,7 @@ object SparkEntry {
     "doc_fingerprint" -> OracleExt.fingerprints,
     "multimodal_features" -> OracleExt.multimodalFeatures,
     "frame_sample" -> OracleExt.frameSample,
+    "mime_sniff" -> OracleExt.mimeSniff,
     "multimodal_decode" -> OracleExt.multimodalDecode,
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),

@@ -86,6 +86,35 @@ object Multimodal {
         length(col("f.fb")).cast("long").as("frame_len"),
         PortableHash.hash32(col("f.fb")).as("frame_h32"))
 
+  /** Magic-byte container sniff — the dispatch decision [[JdkCodec]]
+    * makes implicitly, surfaced as data: classify each payload by its
+    * container signature (PNG/JPEG/GIF/BMP/RIFF-WAVE/AIFF/AU), map the
+    * container to its modality, and flag disagreement with the CLAIMED
+    * modality column — the "mislabeled asset" audit a real media
+    * pipeline runs before paying for decode. Pure map-side column math
+    * over `hex(payload)` (uppercase hex in both Spark and DuckDB, so
+    * the oracle mirrors the byte checks exactly); codegen'd, no UDF,
+    * no shuffle — at 100 TB this is a free rider on the decode scan. */
+  def mimeSniff(assets: DataFrame): DataFrame = {
+    val hx = hex(col("payload"))
+    def pfx(h: String): Column = hx.startsWith(h)
+    val container =
+      when(pfx("89504E470D0A1A0A"), "png")
+        .when(pfx("FFD8FF"), "jpeg")
+        .when(pfx("474946383761") || pfx("474946383961"), "gif")
+        .when(pfx("424D"), "bmp")
+        .when(pfx("52494646") && substring(hx, 17, 8) === "57415645", "wav")
+        .when(pfx("464F524D") && substring(hx, 17, 8) === "41494646", "aiff")
+        .when(pfx("2E736E64"), "au")
+        .otherwise("unknown")
+    val sniffed = when(container.isin("png", "jpeg", "gif", "bmp"), "image")
+      .when(container.isin("wav", "aiff", "au"), "audio")
+      .otherwise("unknown")
+    assets.select(col("asset_id"), col("modality"),
+      container.as("container"), sniffed.as("sniffed_modality"),
+      (sniffed === col("modality")).as("agree"))
+  }
+
   /** Decoded-feature record produced by a codec. */
   final case class Decoded(asset_id: Long, modality: String,
                            feature: Array[Float], ok: Boolean)

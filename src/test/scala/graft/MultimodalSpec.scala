@@ -138,4 +138,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(d(1L)._1 && d(1L)._2.head == 8000f)
     assert(!d(2L)._1, "video has no JDK codec — fail closed")
   }
+
+  test("mimeSniff: signatures classify; mislabeled assets flagged") {
+    val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 1, 2)
+      .map(_.toByte)
+    val jpg = Array(0xFF, 0xD8, 0xFF, 0xE0, 9).map(_.toByte)
+    val wav = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0x24, 0, 0, 0) ++
+      "WAVEfmt ".getBytes("US-ASCII")
+    val rows = Seq(
+      (0L, "image", png), (1L, "image", jpg), (2L, "audio", wav),
+      (3L, "image", "GIF87a12".getBytes("US-ASCII")),
+      (4L, "audio", ".snd1234".getBytes("US-ASCII")),
+      (5L, "video", "plain text".getBytes("UTF-8")),
+      (6L, "audio", png)) // mislabeled: PNG bytes claimed as audio
+      .toDF("asset_id", "modality", "payload")
+    val r = Multimodal.mimeSniff(rows).orderBy("asset_id")
+      .as[(Long, String, String, String, Boolean)].collect().toList
+    assert(r == List(
+      (0L, "image", "png", "image", true),
+      (1L, "image", "jpeg", "image", true),
+      (2L, "audio", "wav", "audio", true),
+      (3L, "image", "gif", "image", true),
+      (4L, "audio", "au", "audio", true),
+      (5L, "video", "unknown", "unknown", false),
+      (6L, "audio", "png", "image", false)), s"got $r")
+  }
+
+  test("mimeSniff: agrees with what JdkCodec actually decodes on real payloads") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    val po = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", po)
+    val rows = Seq(
+      (0L, "image", po.toByteArray),
+      (1L, "audio", sineWav(8000, 440.0, 0.25)))
+      .toDF("asset_id", "modality", "payload")
+    val sniff = Multimodal.mimeSniff(rows)
+      .select("asset_id", "agree").as[(Long, Boolean)].collect().toMap
+    val dec = Multimodal.decodeBatched(rows, new Multimodal.JdkCodec)
+      .select("asset_id", "ok").as[(Long, Boolean)].collect().toMap
+    assert(sniff == dec, "sniff verdicts must match real decode outcomes")
+  }
 }
