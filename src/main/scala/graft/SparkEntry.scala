@@ -262,6 +262,18 @@ object SparkEntry {
             expr("(cast(ts as long) div 3600) % 1024")).as("z"))
         .orderBy("event_id")
     }),
+    // Hive-partitioned parquet sink: write documents partitioned by
+    // (lang, source), read the manifest back — the oracle pins BOTH
+    // round-trip row fidelity and the one-file-per-directory layout
+    // (n_files is hard-coded 1 in the twin, so losing the compacting
+    // repartition fails the gate)
+    "partitioned_write" -> ((s, dir) => {
+      val out = s"/tmp/graft_pw_${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.operators.Layout.partitionedWrite(
+        docsPar(s, dir).select("doc_id", "text", "lang", "source"),
+        out, Seq("lang", "source"))
+        .orderBy("lang", "source")
+    }),
     // Bloom-prefiltered EXACT semi-join (runtime row-level filter shape)
     "bloom_semi_join" -> ((s, dir) => {
       val ev = LogSource.readEvents(s, dir)
@@ -657,6 +669,9 @@ object SparkEntry {
     "domain_mix" -> OracleExt.domainMix(domainMixTargets),
     "bloom_semi_join" -> OracleExt.bloomSemiJoin,
     "zorder_layout" -> OracleExt.zorderLayout,
+    "partitioned_write" -> """
+      SELECT lang, source, count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
+      FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "top_terms" -> OracleExt.topTermsPerLang,
     "term_stats" -> OracleExt.termStats,
     "dedup_keeplist" -> OracleExt.dedupKeepList,

@@ -37,6 +37,30 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** Hive-partitioned parquet sink with a compaction guarantee + the
+    * manifest that PROVES it: repartition by the partition columns
+    * first, so every partition-directory's rows land in exactly ONE
+    * task and each directory gets exactly ONE file — the small-files
+    * discipline a 100 TB table needs (partitionBy without the
+    * repartition writes up to `shuffle.partitions` files per directory;
+    * a 1000-executor job would shred the table into millions of tiny
+    * files). Returns the read-back manifest (partition values, row
+    * count, file count via `_metadata.file_path`), so a gate on the
+    * manifest checks BOTH round-trip row fidelity and the one-file
+    * layout — the write path is verified end-to-end, not assumed. */
+  def partitionedWrite(df: DataFrame, outDir: String,
+                       partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val spark = df.sparkSession
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+  }
+
   /** The write-side layout pass: range-partition on the z-value into
     * `numFiles` output tasks and sort within each — after this, every
     * written file covers one tight z-range, i.e. a small rectangle of

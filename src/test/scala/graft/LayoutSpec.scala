@@ -65,4 +65,22 @@ class LayoutSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("partitionedWrite: one file per directory, exact manifest, pruned reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pw").toString
+    val df = Seq((1L, "en", "a"), (2L, "en", "a"), (3L, "de", "b"),
+      (4L, "en", "b"), (5L, "de", "a")).toDF("id", "lang", "src")
+    val m = Layout.partitionedWrite(df, out, Seq("lang", "src"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(m == Set(("en", "a", 2L, 1L), ("en", "b", 1L, 1L),
+      ("de", "a", 1L, 1L), ("de", "b", 1L, 1L)),
+      s"manifest must show every partition compacted to ONE file: $m")
+    val rb = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(rb == Set(1L, 2L, 3L, 4L, 5L), "round-trip must lose nothing")
+    // the layout's point: a partition-column filter prunes at the source
+    val p = spark.read.parquet(out).filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("= en"),
+      s"lang filter must prune partition directories, not scan-and-filter:\n$p")
+  }
 }
