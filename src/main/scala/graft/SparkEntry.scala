@@ -196,6 +196,15 @@ object SparkEntry {
         LogSource.readEvents(s, dir), "event_type",
         topN = 10, targetPerTask = 500L)
         .orderBy("rank")),
+    // Pre-join cardinality audit: exact join output size + hottest-key
+    // contribution from the two vocab-sized count tables — never the
+    // join itself
+    "join_cardinality" -> ((s, dir) => {
+      val ev = LogSource.readEvents(s, dir)
+      graft.operators.Skew.joinCardinality(
+        ev, ev.filter(col("event_type") === "purchase"), "user_id")
+        .orderBy("matching_keys") // 1 row; satisfies the order contract
+    }),
     // Hierarchical rollup (grouping sets) in one pass
     "rollup_counts" -> ((s, dir) =>
       Events.rollupCounts(LogSource.readEvents(s, dir))
@@ -658,6 +667,15 @@ object SparkEntry {
              ${graft.functions.PortableHash.sqlHash32("event_type")} % 100 AS weight
       FROM events ORDER BY event_id""",
     "skew_profile" -> OracleExt.skewProfile(10, 500L),
+    "join_cardinality" -> """
+      WITH l AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS nl
+                 FROM events GROUP BY 1),
+      r AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS nr
+            FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS matching_keys,
+             CAST(coalesce(sum(nl * nr), 0) AS BIGINT) AS join_rows,
+             CAST(coalesce(max(nl * nr), 0) AS BIGINT) AS max_key_rows
+      FROM l JOIN r USING (k)""",
     "session_windows" -> OracleExt.sessionWindows,
     "value_histogram" -> OracleExt.valueHistogram,
     "rate_anomaly" -> OracleExt.rateAnomaly,

@@ -54,6 +54,29 @@ object Skew {
     math.max(1L, (maxN + targetPerTask - 1) / targetPerTask).toInt
   }
 
+  /** Pre-join cardinality audit: EXACTLY how many rows an inner
+    * equi-join on `key` would emit — computed without running the join.
+    * Each side reduces to its per-key count table (map-side-combined
+    * groupBy, the cheapest possible pass), the two VOCAB-sized count
+    * tables join, and Σ n_left·n_right over matching keys is the join's
+    * output size; max n_left·n_right is the single hottest key's
+    * contribution — the "will this join explode / straggle" check run
+    * BEFORE committing a 100 TB shuffle. Output is ONE row
+    * (matching_keys, join_rows, max_key_rows); all-integer, engine-
+    * exact. */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      key: String): DataFrame = {
+    val l = left.groupBy(col(key).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__nl"))
+    val r = right.groupBy(col(key).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__nr"))
+    l.join(r, "__k")
+      .select((col("__nl") * col("__nr")).as("__rows"))
+      .agg(count(lit(1)).as("matching_keys"),
+        coalesce(sum("__rows"), lit(0L)).as("join_rows"),
+        coalesce(max("__rows"), lit(0L)).as("max_key_rows"))
+  }
+
   /** Join-key skew diagnostics — the measurement that DECIDES whether
     * (and how much) to salt before anyone pays for [[saltedJoin]]'s
     * build-side replication: the top-N keys by row count with their

@@ -58,6 +58,19 @@ class SkewSpec extends SparkTestBase {
     assert(Skew.deriveSalts(big.filter(col("k") =!= "hot"), "k", 300L) == 1)
   }
 
+  test("joinCardinality predicts the real join size without running it") {
+    // hand-computed: hot 1000·1, warm 2·1, cold 1·1 → 1003 rows, max 1000
+    val card = Skew.joinCardinality(big, small, "k")
+      .as[(Long, Long, Long)].head()
+    assert(card == ((3L, 1003L, 1000L)))
+    // differential: the prediction equals the executed join's count
+    assert(card._2 == big.join(small, "k").count())
+    // no matching keys → all-zero row, not an empty frame
+    val none = Skew.joinCardinality(big, small.filter(col("k") === "zzz"), "k")
+      .as[(Long, Long, Long)].head()
+    assert(none == ((0L, 0L, 0L)))
+  }
+
   test("the hot key actually spreads over multiple salts, deterministically") {
     def salts() = big.filter(col("k") === "hot")
       .withColumn("__salt", pmod(graft.functions.PortableHash

@@ -49,10 +49,12 @@ class VerifyOrderSpec extends SparkTestBase {
         val df = fn(spark, sf)
         val keyNames = Verify.topSortKeys(df.queryExecution.analyzed)
           .map(_.child.asInstanceOf[AttributeReference].name)
+        // reserved alias: a query output column named "n" (pmi_phrases)
+        // must not collide with the harness's own aggregate
         val worst = df
           .groupBy(keyNames.map(col): _*)
-          .agg(countDistinct(struct(df.columns.map(col): _*)).as("n"))
-          .agg(max(col("n"))).head().getLong(0)
+          .agg(countDistinct(struct(df.columns.map(col): _*)).as("__tie_n"))
+          .agg(max(col("__tie_n"))).head().getLong(0)
         assert(worst <= 1L,
           s"$name: distinct rows tie on ORDER BY ${keyNames.mkString(", ")} — driver hash unstable")
       }
