@@ -196,6 +196,11 @@ object SparkEntry {
         LogSource.readEvents(s, dir), "event_type",
         topN = 10, targetPerTask = 500L)
         .orderBy("rank")),
+    // Per-event trailing-hour burst count (row-anchored RANGE frame —
+    // the window class the fixed grids can't express)
+    "trailing_window" -> ((s, dir) =>
+      Events.trailingCounts(LogSource.readEvents(s, dir))
+        .orderBy("event_id")),
     // Pre-join cardinality audit: exact join output size + hottest-key
     // contribution from the two vocab-sized count tables — never the
     // join itself
@@ -655,6 +660,13 @@ object SparkEntry {
     "event_windows" -> OracleExt.hourlyWindows,
     "windowed_distinct" -> OracleExt.windowedDistinct,
     "sliding_windows" -> OracleExt.slidingWindows,
+    "trailing_window" -> """
+      SELECT event_id, user_id, us,
+             count(*) OVER (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+               AS n_trailing
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+      ORDER BY event_id""",
     "asof_join" -> OracleExt.asofLastPurchase,
     "range_join" -> OracleExt.rangeJoinCampaigns(10),
     "interval_join" -> OracleExt.intervalOverlapJoin,

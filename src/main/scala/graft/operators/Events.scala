@@ -225,6 +225,29 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("min_eid"), col("max_eid"))
 
+  /** Per-event TRAILING window count — for every event, how many events
+    * its user produced in the preceding `windowUs` microseconds
+    * (inclusive of the event itself): the rate-limit / burst-detection
+    * primitive, and the window CLASS the grid aggregations can't
+    * express (event_windows/sliding_windows bucket time into a fixed
+    * grid; this frame is anchored at each row). A RANGE frame over the
+    * µs ordinal keeps the semantics purely integer and engine-exact.
+    *
+    * 100 TB shape: ONE user-keyed shuffle + per-partition sort; the
+    * running frame is maintained by two pointers over the sorted run —
+    * state is O(events inside the window span), never the user's whole
+    * history. No self-join (the naive twin is events ⋈ events on user
+    * + time-range — quadratic in the hot user). */
+  def trailingCounts(events: DataFrame, windowUs: Long = 3600000000L): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-(windowUs - 1), Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+  }
+
   /** Fixed-width histogram over the metric column — the profiling
     * primitive behind distribution dashboards and outlier triage. One
     * groupBy on the bin id with map-side partial aggregation; output

@@ -294,4 +294,32 @@ class EventsSpec extends SparkTestBase {
       .select("recency_ppm").as[Long].head()
     assert(r == 1000000L, s"64-day-old event must contribute 0: $r")
   }
+
+  test("trailingCounts: row-anchored frame, window edges, peers, per-user") {
+    def mk(id: Long, uid: Long, us: Long) =
+      (id, uid, new Timestamp(us / 1000)) // µs exactness: use whole-ms here
+    // user 1: bursts at 0ms, 10ms, then isolated at 10s (window 50ms);
+    // user 2: one event inside user 1's burst span — frames never mix
+    val rows = Seq(
+      mk(1L, 1L, 0L), mk(2L, 1L, 10000L), mk(3L, 1L, 10000000L),
+      mk(4L, 2L, 5000L),
+      mk(5L, 1L, 10000L)) // exact tie with id 2: RANGE includes peers
+      .toDF("event_id", "user_id", "ts")
+    val got = Events.trailingCounts(rows, windowUs = 50000L)
+      .select("event_id", "n_trailing").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 3L, 5L -> 3L, 3L -> 1L, 4L -> 1L),
+      s"hand-computed trailing frame: $got")
+    // edge exactness: an event EXACTLY windowUs later is OUT of frame
+    // (frame spans [us-windowUs+1, us]); anything later than t0 is IN
+    val edge = Seq(mk(1L, 1L, 0L), mk(2L, 1L, 50000L))
+      .toDF("event_id", "user_id", "ts")
+    val e = Events.trailingCounts(edge, windowUs = 50000L)
+      .select("event_id", "n_trailing").as[(Long, Long)].collect().toMap
+    assert(e == Map(1L -> 1L, 2L -> 1L), s"t0 + window must be excluded: $e")
+    val in = Seq(mk(1L, 1L, 1000L), mk(2L, 1L, 50000L))
+      .toDF("event_id", "user_id", "ts")
+    val i = Events.trailingCounts(in, windowUs = 50000L)
+      .select("event_id", "n_trailing").as[(Long, Long)].collect().toMap
+    assert(i == Map(1L -> 1L, 2L -> 2L), s"t0 + window - 1ms must be included: $i")
+  }
 }
