@@ -201,6 +201,23 @@ object SparkEntry {
     "trailing_window" -> ((s, dir) =>
       Events.trailingCounts(LogSource.readEvents(s, dir))
         .orderBy("event_id")),
+    // Bucketed co-located join: both sides written bucketBy(8, user_id)
+    // then joined with ZERO exchanges (PlansSpec asserts no shuffle) —
+    // the pay-once-at-ingest answer to the recurring fact⋈fact shuffle
+    "bucketed_join" -> ((s, dir) => {
+      val ev = LogSource.readEvents(s, dir)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val (tu, tp) = (s"graft_bu_${tag}_users", s"graft_bu_${tag}_purch")
+      graft.operators.Bucketing.writeBucketed(
+        ev.groupBy("user_id").agg(count(lit(1)).as("n_events")),
+        tu, 8, "user_id")
+      graft.operators.Bucketing.writeBucketed(
+        ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(count(lit(1)).as("n_purchases")),
+        tp, 8, "user_id")
+      graft.operators.Bucketing.bucketedEquiJoin(s, tu, tp, "user_id")
+        .orderBy("user_id")
+    }),
     // Pre-join cardinality audit: exact join output size + hottest-key
     // contribution from the two vocab-sized count tables — never the
     // join itself
@@ -679,6 +696,13 @@ object SparkEntry {
              ${graft.functions.PortableHash.sqlHash32("event_type")} % 100 AS weight
       FROM events ORDER BY event_id""",
     "skew_profile" -> OracleExt.skewProfile(10, 500L),
+    "bucketed_join" -> """
+      WITH u AS (SELECT user_id, count(*) AS n_events
+                 FROM events GROUP BY 1),
+      p AS (SELECT user_id, count(*) AS n_purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id, n_events, n_purchases
+      FROM u JOIN p USING (user_id) ORDER BY user_id""",
     "join_cardinality" -> """
       WITH l AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS nl
                  FROM events GROUP BY 1),

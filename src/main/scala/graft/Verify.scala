@@ -62,7 +62,12 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional dev-only filter: comma-separated query names (the driver
+    // always passes exactly two args, so the gate path is unchanged)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,7 +77,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // release the previous query's tracked persists: 65 queries in
       // one session would otherwise stack cache entries + plan handles
       Caches.releaseAll()

@@ -241,6 +241,15 @@ class PlansSpec extends SparkTestBase {
       s"the 1-row total must broadcast back:\n$p")
   }
 
+  test("bucketed_join: sort-merge join with ZERO exchanges on either side") {
+    val p = plans("bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed join must stay sort-merge (broadcast would hide the layout):\n$p")
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"both sides are bucketed on the join key — no shuffle allowed:\n$p")
+  }
+
   test("every rank-filtered window prunes map-side via WindowGroupLimit") {
     // rank() <= k over a partitioned window is only scale-safe because
     // Spark 3.5+'s WindowGroupLimit keeps a per-partition top-k BEFORE

@@ -16,9 +16,15 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+ONLY = None
+for a in sys.argv:
+    if a.startswith("--only="):
+        ONLY = a.split("=", 1)[1]
+
 if "--skip-verify" not in sys.argv:
+    cmd = f'runMain graft.Verify {SF} {OUT}' + (f' {ONLY}' if ONLY else '')
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", cmd],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
@@ -50,6 +56,8 @@ def table_hash(cols, rows):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if ONLY and name not in ONLY.split(","):
+        continue
     pdir = f"{OUT}/{name}"
     files = glob.glob(f"{pdir}/*.parquet")
     if not files:
