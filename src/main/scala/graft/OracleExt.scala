@@ -992,6 +992,50 @@ object OracleExt {
     * the same dual 32-bit md5 lanes (64-bit combined key). Shingles
     * are distinct per doc (shingleCte), so count(*) per key is the
     * document frequency. */
+  /** Twin of TextAnalysis.winnowFingerprints — identical k-gram
+    * assembly (lead over the token stream, null past the tail),
+    * identical min-with-rightmost-tie encoding v = gh·2³¹+(2³¹−1−pos),
+    * identical full-window gate (frame count = winSize). */
+  def winnowFingerprints(k: Int, winSize: Int): String = {
+    val gram = (0 until k)
+      .map(i => if (i == 0) "w" else s"lead(w, $i) OVER wd")
+      .mkString(" || ' ' || ")
+    s"""
+    WITH tok AS (
+      SELECT doc_id, s.pos AS pos, s.w AS w
+      FROM (SELECT doc_id,
+              unnest(list_transform($toks,
+                (x, i) -> {'w': x, 'pos': i - 1})) AS s
+            FROM documents)),
+    g0 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  $gram AS gram
+           FROM tok
+           WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+    g AS (SELECT doc_id, pos,
+                 ${graft.functions.PortableHash
+                   .sqlHash32("'wf:' || gram")} AS gh
+          FROM g0 WHERE gram IS NOT NULL),
+    v AS (SELECT doc_id, pos,
+                 gh * 2147483648 + (2147483647 - pos) AS v
+          FROM g),
+    mv AS (SELECT doc_id,
+                  min(v) OVER wf AS minv, count(*) OVER wf AS cnt
+           FROM v
+           WINDOW wf AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW
+                         AND ${winSize - 1} FOLLOWING)),
+    sel AS (SELECT DISTINCT doc_id,
+                   minv // 2147483648 AS fp_hash,
+                   2147483647 - (minv % 2147483648) AS fp_pos
+            FROM mv WHERE cnt = $winSize),
+    shared AS (SELECT fp_hash FROM sel
+               GROUP BY fp_hash HAVING count(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id, s.fp_pos, s.fp_hash,
+           sh.fp_hash IS NOT NULL AS shared
+    FROM sel s LEFT JOIN shared sh ON s.fp_hash = sh.fp_hash
+    ORDER BY s.doc_id, s.fp_pos"""
+  }
+
   /** Twin of Dedup.cdcChunks — identical boundary/window/positional-
     * hash math; DuckDB's indexed list lambda (1-based i) supplies the
     * token positions Spark gets from posexplode. */

@@ -457,6 +457,11 @@ object SparkEntry {
     // Content-defined chunks: hash-boundary variable-size chunking
     "cdc_chunks" -> ((s, dir) =>
       Dedup.cdcChunks(docsPar(s, dir)).orderBy("doc_id", "chunk_id")),
+    // Winnowing fingerprints (MOSS): rolling-window min k-gram hashes,
+    // guaranteed density + shared-passage detection
+    "winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(docsPar(s, dir))
+        .orderBy("doc_id", "fp_pos")),
     // Connected components over the LSH pair graph: transitive near-dup
     // clusters via iterative min-label propagation
     "dedup_clusters" -> ((s, dir) =>
@@ -793,6 +798,7 @@ object SparkEntry {
     "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
     "dup_spans" -> OracleExt.dupSpans,
     "cdc_chunks" -> OracleExt.cdcChunks(16),
+    "winnow_fingerprints" -> OracleExt.winnowFingerprints(3, 4),
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),

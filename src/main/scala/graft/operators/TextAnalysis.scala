@@ -455,4 +455,78 @@ object TextAnalysis {
       .orderBy(col("pmi_bits").desc, col("n").desc, col("phrase"))
       .limit(topN)
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): hash every k-gram of the token stream, slide a
+    * window of `winSize` consecutive k-gram hashes over each document,
+    * and select the MINIMUM hash in every window (ties → the RIGHTMOST
+    * occurrence, the paper's "robust winnowing" rule, so a repeated
+    * hash is re-selected only when it must be). Selections of
+    * overlapping windows dedupe, giving the paper's two guarantees:
+    * expected density 2/(winSize+1), and at least one fingerprint in
+    * every winSize-gram window — so any shared passage of length ≥
+    * k + winSize - 1 tokens shares at least one fingerprint, which is
+    * what makes the selection a LOCAL function of the text (an edit
+    * perturbs only fingerprints within winSize+k tokens of it, unlike
+    * position-keyed schemes where everything downstream shifts).
+    *
+    * The min-with-rightmost-tie-break rides in ONE ordered BIGINT:
+    * v = gh·2³¹ + (2³¹−1−pos). min(v) picks the smallest hash and,
+    * among equal hashes, the largest pos; gh < 2³² keeps the encoding
+    * at Long.MaxValue exactly, overflow-free in any engine. Windows
+    * shorter than winSize (document tail) select nothing — the paper
+    * considers full windows only — enforced by count(*) over the same
+    * frame.
+    *
+    * Scale shape: one explode ∝ corpus tokens, then ONE doc-keyed
+    * window sort feeds all three window functions (k-gram assembly via
+    * lead, frame min, frame count — same partitioning + ordering, so
+    * Catalyst plans a single Exchange+Sort); the dedup of repeated
+    * selections is a distinct that rides the SAME doc partitioning (no
+    * extra shuffle); `shared` (fingerprint in ≥2 docs) is a
+    * first-doc-occurrence marker + full-frame sum over ONE fp_hash
+    * window — a groupBy+join would either recompute the whole corpus
+    * pass on the build side or persist the fingerprint table
+    * (corpus-proportional, the heavy_hitters memory lesson); the
+    * window form is one density-sized shuffle, no persist, no
+    * self-join. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3,
+                         winSize: Int = 4): DataFrame = {
+    require(k >= 1 && winSize >= 1, s"k=$k winSize=$winSize")
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    // k-gram at gram-position pos: words pos..pos+k-1, null past the end
+    val gramCols = (0 until k).map(i =>
+      if (i == 0) col("w") else lead(col("w"), i).over(wd))
+    val gram = gramCols.reduce((a, b) => concat(a, lit(" "), b))
+    val grams = tok
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        PortableHash.hash32(concat(lit("wf:"), gram)).as("gh"))
+      .filter(col("gh").isNotNull) // tail positions with < k words
+    val wf = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, winSize - 1)
+    val sel = grams
+      .withColumn("v",
+        col("gh") * lit(2147483648L) + (lit(2147483647L) - col("pos")))
+      .withColumn("minv", min(col("v")).over(wf))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .filter(col("cnt") === winSize)
+      .select(col("doc_id"),
+        expr("minv div 2147483648").as("fp_hash"),
+        expr("2147483647 - (minv % 2147483648)").as("fp_pos"))
+      .distinct()
+    val wh = Window.partitionBy("fp_hash").orderBy("doc_id", "fp_pos")
+    sel
+      .withColumn("__first", when(
+        lag(col("doc_id"), 1).over(wh).isNull ||
+          lag(col("doc_id"), 1).over(wh) =!= col("doc_id"), 1L)
+        .otherwise(0L))
+      .withColumn("__nd",
+        sum(col("__first")).over(Window.partitionBy("fp_hash")))
+      .select(col("doc_id"), col("fp_pos"), col("fp_hash"),
+        (col("__nd") >= 2).as("shared"))
+  }
 }

@@ -241,6 +241,22 @@ class PlansSpec extends SparkTestBase {
       s"the 1-row total must broadcast back:\n$p")
   }
 
+  test("winnow_fingerprints: one doc-keyed exchange feeds all three window fns") {
+    // lead (k-gram assembly), frame min, and frame count all ride the
+    // same (doc_id, pos) partitioning+ordering — a second
+    // hashpartitioning(doc_id) exchange would mean Catalyst stopped
+    // collapsing the window passes and the corpus shuffles twice
+    val p = plans("winnow_fingerprints")
+    val docExchanges = "Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(p).size
+    assert(docExchanges == 1,
+      s"expected exactly 1 doc-keyed exchange, found $docExchanges:\n$p")
+    // the shared-fingerprint marker must NOT recompute the corpus pass
+    // (one explode total) nor persist it — one fp_hash window instead
+    val explodes = "Generate posexplode".r.findAllIn(p).size
+    assert(explodes == 1, s"corpus pass duplicated ($explodes explodes):\n$p")
+  }
+
   test("bucketed_join: sort-merge join with ZERO exchanges on either side") {
     val p = plans("bucketed_join")
     assert(p.contains("SortMergeJoin"),
