@@ -333,6 +333,34 @@ object OracleExt {
          AND epoch_us(c.ts) <= epoch_us(v.ts) + ${windowSec * 1000000L}
     ORDER BY view_id, click_id"""
 
+  /** Twin of Profile.ksDrift — identical per-distinct-value CDF steps
+    * and cross-multiplied integer statistic; DuckDB's single window
+    * cumsum replaces the distributed two-phase prefix sum (same
+    * values, any plan). HUGEINT lanes mirror Spark's DECIMAL(38,0). */
+  def ksDrift(typeA: String, typeB: String): String = s"""
+    WITH c AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = ${sqlStr(typeA)}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = ${sqlStr(typeB)}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN (${sqlStr(typeA)}, ${sqlStr(typeB)})
+        AND value IS NOT NULL
+      GROUP BY value),
+    cum AS (SELECT value,
+                   sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+            FROM c
+            WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b FROM c)
+    SELECT n_a, n_b, CAST(count(*) AS BIGINT) AS n_values,
+           CAST((1000000 * max(abs(CAST(cum_a AS HUGEINT) * n_b
+                                   - CAST(cum_b AS HUGEINT) * n_a)))
+                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
+    FROM cum, t
+    GROUP BY n_a, n_b"""
+
   /** Twin of Profile.dataProfile over events: one UNION ALL branch per
     * column (DuckDB re-scans per branch; the Spark side does it in one
     * aggregate — the twin checks values, not plans). Timestamps profile

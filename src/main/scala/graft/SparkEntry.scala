@@ -264,6 +264,11 @@ object SparkEntry {
     "data_profile" -> ((s, dir) =>
       graft.operators.Profile.dataProfile(LogSource.readEvents(s, dir))
         .orderBy("column")),
+    // Two-sample KS drift statistic, exact integer cross-multiplication
+    "ks_drift" -> ((s, dir) =>
+      graft.operators.Profile.ksDrift(
+          LogSource.readEvents(s, dir), "click", "error")
+        .orderBy("n_a")), // 1 row; satisfies the order contract
     // View->click attribution pairs (stream-stream-join-shaped)
     "attribution_join" -> ((s, dir) => {
       val ev = LogSource.readEvents(s, dir)
@@ -721,6 +726,7 @@ object SparkEntry {
     "value_histogram" -> OracleExt.valueHistogram,
     "rate_anomaly" -> OracleExt.rateAnomaly,
     "data_profile" -> OracleExt.dataProfile,
+    "ks_drift" -> OracleExt.ksDrift("click", "error"),
     "attribution_join" -> OracleExt.attributionJoin(3600),
     "funnel_levels" -> OracleExt.funnelLevels,
     "cohort_retention" -> OracleExt.cohortRetention,

@@ -55,4 +55,74 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift test between the `value`
+    * distributions of two event types — the standard "did this week's
+    * data shift?" check a training pipeline runs between corpus drops.
+    * D = max over observed values of |F_a(v) − F_b(v)|; with integer
+    * cross-multiplication D·n_a·n_b = max |cum_a(v)·n_b − cum_b(v)·n_a|
+    * the statistic is EXACT BIGINT arithmetic end-to-end (no float CDF
+    * crosses the oracle), reported as d_ppm = 1e6·d_num div (n_a·n_b).
+    * Ties are handled the textbook way: the CDF steps after ALL rows of
+    * an equal value, which the per-distinct-value aggregation gives for
+    * free.
+    *
+    * Scale shape: one scan → groupBy(value) with map-side combine (the
+    * per-side counts), then the two-phase distributed prefix sum over
+    * the distinct-value table (the packSequences pattern — a global
+    * `Window.orderBy` would drag every distinct value through ONE
+    * task): per-block cumsums partition on floor(value); block totals
+    * (value-range-sized, not corpus-sized) take the trivial serial
+    * window; the block prefix broadcast-joins back. Output is ONE row.
+    * Assumes a value range dense enough that integer floors bound
+    * per-block row counts — true for bounded metrics (latencies,
+    * prices); re-block by floor(value·s) for narrow ranges. */
+  def ksDrift(events: DataFrame, typeA: String, typeB: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tracked persist: cumsum, block prefix, AND the 1-row totals all
+    // read this table — without the cache the corpus scan runs three
+    // times. The cached projection is one double + three longs per
+    // DISTINCT value (the packSequences discipline).
+    val counts = graft.Caches.track(events
+      .filter(col("event_type").isin(typeA, typeB) &&
+        col("value").isNotNull)
+      .groupBy("value")
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("__blk", floor(col("value")).cast("long")))
+    val local = Window.partitionBy("__blk").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__la", sum(col("ca")).over(local))
+      .withColumn("__lb", sum(col("cb")).over(local))
+    val prefix = counts.groupBy("__blk")
+      .agg(sum("ca").as("__ta"), sum("cb").as("__tb"))
+      .withColumn("__pa", coalesce(sum(col("__ta")).over(
+        Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__pb", coalesce(sum(col("__tb")).over(
+        Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__blk", "__pa", "__pb")
+    val totals = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    cum.join(broadcast(prefix), Seq("__blk"))
+      .select(col("value"),
+        (col("__pa") + col("__la")).as("cum_a"),
+        (col("__pb") + col("__lb")).as("cum_b"))
+      .crossJoin(broadcast(totals))
+      // cross-multiplied CDF steps overflow a 64-bit lane once
+      // n_a·n_b > 2^63 (~3e9 rows per side) — DECIMAL(38,0) lanes for
+      // the products (HUGEINT in the twin), BIGINT ppm out
+      .agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_values"),
+        max(abs(expr("CAST(cum_a AS DECIMAL(38,0)) * n_b") -
+          expr("CAST(cum_b AS DECIMAL(38,0)) * n_a"))).as("__dnum"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        expr("""CAST((1000000 * __dnum)
+                     div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("d_ppm"))
+  }
 }

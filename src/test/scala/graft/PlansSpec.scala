@@ -241,6 +241,18 @@ class PlansSpec extends SparkTestBase {
       s"the 1-row total must broadcast back:\n$p")
   }
 
+  test("ks_drift: cached distinct-value table feeds all passes; prefix broadcasts") {
+    val p = plans("ks_drift")
+    // the corpus scan must run ONCE: cumsum, block totals, and the
+    // 1-row totals all read the tracked persist of the counts table
+    // (FileScan appears once per InMemoryRelation PRINTOUT — the cached
+    // lineage — but executes once; the cache hits are the real check)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"expected >=3 scans of the cached counts table:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"block prefix and totals must broadcast back:\n$p")
+  }
+
   test("winnow_fingerprints: one doc-keyed exchange feeds all three window fns") {
     // lead (k-gram assembly), frame min, and frame count all ride the
     // same (doc_id, pos) partitioning+ordering — a second

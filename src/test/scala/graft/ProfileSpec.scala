@@ -41,4 +41,60 @@ class ProfileSpec extends SparkTestBase {
     // HLL at these cardinalities is exact
     assert(pa == Map("id" -> 4L, "s" -> 2L, "d" -> 2L, "t" -> 2L))
   }
+
+  // ---- ksDrift --------------------------------------------------------
+
+  private def evFix(rows: (String, Double)*) =
+    rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+
+  private def ks(df: org.apache.spark.sql.DataFrame) =
+    Profile.ksDrift(df, "a", "b")
+      .as[(Long, Long, Long, Long)].head()
+
+  test("ksDrift: hand-computed statistic with a tie across samples") {
+    // A = {1,2,3}, B = {2,3,4}: CDF gap is 1/3 at v=1,2,3 -> 333333 ppm
+    val r = ks(evFix(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)))
+    assert(r == ((3L, 3L, 4L, 333333L)))
+  }
+
+  test("ksDrift: identical samples -> 0; disjoint supports -> 1e6 ppm") {
+    val same = ks(evFix(("a", 1.0), ("a", 2.5), ("b", 1.0), ("b", 2.5)))
+    assert(same == ((2L, 2L, 2L, 0L)))
+    val disjoint = ks(evFix(("a", 1.0), ("a", 2.0),
+      ("b", 10.0), ("b", 11.0), ("b", 12.0)))
+    assert(disjoint._4 == 1000000L)
+  }
+
+  test("ksDrift: ties collapse to one CDF step (value counted fully)") {
+    // A = {5,5,9}, B = {5,9,9}: at v=5 |2/3-1/3|=1/3; at 9 both 1 -> 1/3
+    val r = ks(evFix(("a", 5.0), ("a", 5.0), ("a", 9.0),
+      ("b", 5.0), ("b", 9.0), ("b", 9.0)))
+    assert(r == ((3L, 3L, 2L, 333333L)))
+  }
+
+  test("ksDrift: two-phase prefix sum equals a single global-window brute force") {
+    val ev = graft.sources.LogSource
+      .readEvents(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val got = Profile.ksDrift(ev, "click", "error")
+      .as[(Long, Long, Long, Long)].head()
+    // brute force: collect the per-value counts, cumsum in Scala
+    val counts = ev
+      .filter(col("event_type").isin("click", "error") &&
+        col("value").isNotNull)
+      .groupBy("value").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("cb"))
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    val na = counts.map(_._2).sum; val nb = counts.map(_._3).sum
+    var (cumA, cumB, dnum) = (0L, 0L, 0L)
+    counts.foreach { case (_, ca, cb) =>
+      cumA += ca; cumB += cb
+      dnum = math.max(dnum, math.abs(cumA * nb - cumB * na))
+    }
+    assert(got == ((na, nb, counts.length.toLong,
+      1000000L * dnum / (na * nb))))
+  }
 }
