@@ -997,8 +997,12 @@ object OracleExt {
       (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
     ORDER BY doc_id"""
 
-  def ngramJaccard(minMilli: Int, maxDf: Int): String = s"""
-    WITH $shingleCte,
+  /** Shared twin of Dedup.cappedIntersections — the df-capped exact
+    * shingle-intersection CTE chain composed by ngramJaccard and
+    * containmentSim, ending in a `joined` relation of
+    * (doc_a, doc_b, inter, na, nb). */
+  private def cappedIntersectionsCte(maxDf: Int): String = s"""
+    $shingleCte,
     ex0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
     ex AS (SELECT doc_id, s FROM (
              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
@@ -1008,12 +1012,32 @@ object OracleExt {
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      count(*) AS inter
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT doc_a, doc_b, inter, sa.nsh AS na, sb.nsh AS nb,
-           (1000 * inter) // (sa.nsh + sb.nsh - inter) AS jac_milli
-    FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
-               JOIN sizes sb ON pairs.doc_b = sb.doc_id
-    WHERE (1000 * inter) // (sa.nsh + sb.nsh - inter) >= $minMilli
+              GROUP BY 1, 2),
+    joined AS (
+      SELECT doc_a, doc_b, inter, sa.nsh AS na, sb.nsh AS nb
+      FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+                 JOIN sizes sb ON pairs.doc_b = sb.doc_id)"""
+
+  def ngramJaccard(minMilli: Int, maxDf: Int): String = s"""
+    WITH ${cappedIntersectionsCte(maxDf)}
+    SELECT doc_a, doc_b, inter, na, nb,
+           (1000 * inter) // (na + nb - inter) AS jac_milli
+    FROM joined
+    WHERE (1000 * inter) // (na + nb - inter) >= $minMilli
+    ORDER BY doc_a, doc_b"""
+
+  /** Twin of Dedup.containmentSim — same capped intersections, the
+    * asymmetric containment law and contained-side naming. */
+  def containmentSim(minMilli: Int, maxDf: Int): String = s"""
+    WITH ${cappedIntersectionsCte(maxDf)}
+    SELECT doc_a, doc_b, inter, na, nb,
+           (1000 * inter) // na AS cont_a_milli,
+           (1000 * inter) // nb AS cont_b_milli,
+           CASE WHEN (1000 * inter) // na >= (1000 * inter) // nb
+                THEN doc_a ELSE doc_b END AS inner_doc
+    FROM joined
+    WHERE greatest((1000 * inter) // na, (1000 * inter) // nb)
+          >= $minMilli
     ORDER BY doc_a, doc_b"""
 
   /** Twin of Dedup.dupSpans: per-doc duplicated-shingle stats keyed on

@@ -456,6 +456,11 @@ object SparkEntry {
     // Exact n-gram Jaccard over shared-shingle pairs
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // Asymmetric containment (quote/subset detection) over the same
+    // rare-shingle candidate path
+    "containment_sim" -> ((s, dir) =>
+      Dedup.containmentSim(docsPar(s, dir), minMilli = 300)
+        .orderBy("doc_a", "doc_b")),
     // Span-level duplication stats (Lee et al.) — no self-join
     "dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(docsPar(s, dir)).orderBy("doc_id")),
@@ -802,6 +807,7 @@ object SparkEntry {
     "dedup_clusters_star" -> OracleExt.dedupClusters,
     "text_exact_dedup" -> OracleExt.textExactDedup,
     "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
+    "containment_sim" -> OracleExt.containmentSim(300, 5),
     "dup_spans" -> OracleExt.dupSpans,
     "cdc_chunks" -> OracleExt.cdcChunks(16),
     "winnow_fingerprints" -> OracleExt.winnowFingerprints(3, 4),

@@ -251,7 +251,15 @@ object Dedup {
     *   anti-join against the hot-shingle list, which is tiny by
     *   construction (only Zipf-head shingles exceed the cap), so no
     *   extra shuffle of the exploded set. */
-  def ngramJaccard(docs: DataFrame, minMilli: Int = 50, maxDf: Int = 5)
+  /** The shared df-capped exact-intersection path: candidate pairs =
+    * docs sharing ≥1 RARE shingle (document frequency ≤ maxDf — the cap
+    * is what makes the shingle self-join survive a Zipf corpus: a
+    * boilerplate shingle shared by B docs would contribute B² join
+    * rows), with exact |A∩B| and per-doc set sizes measured over the
+    * SAME capped shingle space. [[ngramJaccard]] (symmetric) and
+    * [[containmentSim]] (asymmetric) both compose this — one candidate
+    * generator, two similarity laws (the pairsFromSigs lesson). */
+  private[operators] def cappedIntersections(docs: DataFrame, maxDf: Int)
       : DataFrame = {
     val staged = graft.Caches.track(withShingles(docs)
       .select(col("doc_id"), col("__sh")))
@@ -272,12 +280,41 @@ object Dedup {
         .withColumnRenamed("nsh", "na")), "doc_a")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("nsh", "nb")), "doc_b")
+  }
+
+  def ngramJaccard(docs: DataFrame, minMilli: Int = 50, maxDf: Int = 5)
+      : DataFrame =
+    cappedIntersections(docs, maxDf)
       .withColumn("jac_milli",
         expr("(1000 * inter) div (na + nb - inter)"))
       .filter(col("jac_milli") >= minMilli)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
         col("nb"), col("jac_milli"))
-  }
+
+  /** Asymmetric containment similarity C(A,B) = |A∩B|/|A| — the
+    * quote/subset detector Jaccard structurally misses: a short doc
+    * fully quoted inside a 100× larger one has J ≈ |A|/|B| ≈ 0.01 but
+    * C(A→B) = 1.0. Jaccard-banded LSH candidates would miss exactly
+    * those pairs, so candidates come from the shared-RARE-shingle join
+    * ([[cappedIntersections]]) instead — a quoted passage of ≥ n words
+    * contributes its own rare shingles, surfacing the pair regardless
+    * of the size ratio. `inner_doc` names the CONTAINED side (the one
+    * to drop under a subset-dedup policy), tie → lower doc_id.
+    * Containments are exact integer milli over the capped shingle
+    * space; keep pairs where the larger direction ≥ minMilli. */
+  def containmentSim(docs: DataFrame, minMilli: Int = 500,
+                     maxDf: Int = 5): DataFrame =
+    cappedIntersections(docs, maxDf)
+      .withColumn("cont_a_milli", expr("(1000 * inter) div na"))
+      .withColumn("cont_b_milli", expr("(1000 * inter) div nb"))
+      .filter(greatest(col("cont_a_milli"), col("cont_b_milli"))
+        >= minMilli)
+      .withColumn("inner_doc",
+        when(col("cont_a_milli") >= col("cont_b_milli"), col("doc_a"))
+          .otherwise(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"), col("cont_a_milli"), col("cont_b_milli"),
+        col("inner_doc"))
 
   /** Span-level duplication stats — the "Deduplicating Training Data
     * Makes Language Models Better" (Lee et al., 2022) signal at shingle

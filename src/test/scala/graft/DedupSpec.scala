@@ -84,6 +84,49 @@ class DedupSpec extends SparkTestBase {
     assert(r == Seq((1L, 2L, 2L, 3L, 3L, 500L)))
   }
 
+  test("containmentSim: full quote scores 1000 where Jaccard stays low") {
+    // doc 2 = doc 1's text embedded in 4x more material: C(1->2)=1000
+    // exactly, while J = na/(nb) stays well under the dup threshold —
+    // the asymmetric pair Jaccard-gated dedup structurally misses
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, small), (2L, filler + " " + small))
+    val r = Dedup.containmentSim(d, minMilli = 500, maxDf = 5)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(r.size == 1)
+    val (da, db, inter, na, nb, ca, cb, inner) = r.head
+    assert((da, db) == ((1L, 2L)))
+    assert(inter == na && ca == 1000L, "small side fully contained")
+    assert(cb == 1000L * inter / nb && cb < 200L)
+    assert(inner == 1L, "the contained (droppable) side is the small doc")
+    // the symmetric law on the same candidate path scores it far lower
+    val j = Dedup.ngramJaccard(d, minMilli = 1, maxDf = 5)
+      .select("jac_milli").as[Long].head()
+    assert(j < 200L, s"jaccard $j should stay low on a 1:5 size ratio")
+  }
+
+  test("containmentSim: identical docs tie -> inner_doc is the lower id") {
+    val d = docs((7L, "a b c d e"), (9L, "a b c d e"))
+    val r = Dedup.containmentSim(d, minMilli = 500, maxDf = 5)
+      .select("cont_a_milli", "cont_b_milli", "inner_doc")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1000L, 1000L, 7L)))
+  }
+
+  test("containmentSim: df-capped shingles drop out of BOTH inter and sizes") {
+    // "x y z" appears in 7 docs (> maxDf=5) -> removed everywhere; docs
+    // 1,2 still share the rare tail, measured over capped sets only
+    val boiler = (3L to 7L).map(i => (i, "x y z"))
+    val d = docs(Seq((1L, "x y z p q r"), (2L, "x y z p q r")) ++ boiler: _*)
+    val r = Dedup.containmentSim(d, minMilli = 500, maxDf = 5)
+      .select("doc_a", "doc_b", "inter", "na", "nb")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // shingles of doc1/doc2: {x y z, y z p, z p q, p q r}; "x y z" has
+    // df 7 -> capped; the other 3 are df 2 -> inter=3, na=nb=3
+    assert(r == Seq((1L, 2L, 3L, 3L, 3L)))
+  }
+
   test("connectedComponents: transitive chains collapse; components stay separate") {
     // chain 1-2, 2-3, 3-4 (1 and 4 share NO pair) + island 10-11:
     // the pairwise keep-lowest policy cannot see 1~4; CC must
