@@ -980,6 +980,26 @@ object OracleExt {
     $clustersCte
     SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
 
+  /** Twin of Dedup.clusterStats: size histogram over the recursive-CTE
+    * components plus the singleton difference row. */
+  val clusterStats: String = s"""
+    $clustersCte,
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY 1),
+    hist AS (SELECT CAST(sz AS BIGINT) AS cluster_size,
+                    CAST(count(*) AS BIGINT) AS n_clusters,
+                    CAST(sum(sz) AS BIGINT) AS n_docs
+             FROM sizes GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM documents),
+    ctot AS (SELECT count(*) AS n FROM clusters)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             CAST(tot.n - ctot.n AS BIGINT) AS n_clusters,
+             CAST(tot.n - ctot.n AS BIGINT) AS n_docs
+      FROM tot, ctot
+      UNION ALL
+      SELECT cluster_size, n_clusters, n_docs FROM hist)
+    ORDER BY cluster_size"""
+
   /** Twin of Dedup.textExactDedup: lowest doc_id per identical text
     * (md5 hex is engine-identical on the pure-ASCII fixture text). */
   val textExactDedup: String = """

@@ -476,6 +476,9 @@ object SparkEntry {
     // clusters via iterative min-label propagation
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(docsPar(s, dir)).orderBy("doc_id")),
+    // Cluster-size distribution incl. the singleton difference row
+    "dup_cluster_stats" -> ((s, dir) =>
+      Dedup.clusterStats(docsPar(s, dir)).orderBy("cluster_size")),
     // Cluster-correct canonical keep-list (transitive dup closure —
     // strictly stronger than the pairwise dedup_keeplist policy)
     "cluster_keeplist" -> ((s, dir) =>
@@ -803,6 +806,7 @@ object SparkEntry {
     "incremental_dedup" -> OracleExt.incrementalDedup(350L, 500L),
     "neardup_candidates" -> OracleExt.nearDupCandidates(500L),
     "dedup_clusters" -> OracleExt.dedupClusters,
+    "dup_cluster_stats" -> OracleExt.clusterStats,
     "cluster_keeplist" -> OracleExt.clusterKeepList,
     "dedup_clusters_star" -> OracleExt.dedupClusters,
     "text_exact_dedup" -> OracleExt.textExactDedup,

@@ -516,6 +516,33 @@ object Dedup {
   def dedupClusters(docs: DataFrame, maxIters: Int = 50): DataFrame =
     connectedComponents(minhashPairs(docs), maxIters)
 
+  /** Duplication dashboard: the cluster-SIZE distribution of the
+    * near-dup graph — how many pairs, triples, …, N-doc pileups the
+    * corpus carries, the number a curation run reports before anyone
+    * pays for dedup ("0.4% of docs sit in clusters ≥ 10" decides the
+    * policy). Composes [[dedupClusters]]; singleton docs (no candidate
+    * pair — deliberately not materialized there) surface here as the
+    * cluster_size=1 row computed by DIFFERENCE of two 1-row aggregates
+    * (corpus count − clustered count), so nothing corpus-sized is
+    * materialized for them either. Everything above the CC output is
+    * aggregate-on-aggregate: per-cluster sizes (cluster-count rows) →
+    * size histogram (distinct-size rows); broadcast cross of the two
+    * 1-row counts. */
+  def clusterStats(docs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val cc = dedupClusters(docs, maxIters)
+    val hist = cc.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        col("n_docs"))
+    val singles = docs.agg(count(lit(1)).as("__all"))
+      .crossJoin(broadcast(cc.agg(count(lit(1)).as("__cl"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("__all") - col("__cl")).as("n_clusters"),
+        (col("__all") - col("__cl")).as("n_docs"))
+    singles.union(hist)
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
     * O(log n)-round algorithm (public MapReduce-CC literature: Kiveris
     * et al., "Connected Components in MapReduce and Beyond") that

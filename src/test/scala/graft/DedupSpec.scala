@@ -127,6 +127,23 @@ class DedupSpec extends SparkTestBase {
     assert(r == Seq((1L, 2L, 3L, 3L, 3L)))
   }
 
+  test("clusterStats: size histogram plus the singleton difference row") {
+    // two identical pairs -> one size-2 cluster per pair; 1 loner
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "pack my box with five dozen liquor jugs right now"),
+      (4L, "pack my box with five dozen liquor jugs right now"),
+      (5L, "completely unrelated text about catalyst and tungsten"))
+    val r = Dedup.clusterStats(d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 1L, 1L), (2L, 2L, 4L)))
+    // fully-clustered corpus: singleton row present with zero counts
+    val all = Dedup.clusterStats(d.filter(col("doc_id") <= 2L))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(all == Seq((1L, 0L, 0L), (2L, 1L, 2L)))
+  }
+
   test("connectedComponents: transitive chains collapse; components stay separate") {
     // chain 1-2, 2-3, 3-4 (1 and 4 share NO pair) + island 10-11:
     // the pairwise keep-lowest policy cannot see 1~4; CC must
