@@ -762,6 +762,32 @@ object OracleExt {
     ORDER BY doc_id"""
   }
 
+  /** Twin of Scrub.withDenormalizedText + normalizeText — identical
+    * injection (chr() builds the combining sequences), identical
+    * strip → NFC → lower → collapse → trim chain; nfc_normalize is
+    * DuckDB's UAX #15 implementation of the Spark side's
+    * java.text.Normalizer. */
+  val normalizeText: String = """
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 13 = 0
+               THEN ' cafe' || chr(769) || '  nai' || chr(776) || 've'
+                    || chr(9) || 'x ' || chr(7) || 'bell'
+               ELSE '' END AS text
+      FROM documents),
+    n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               lower(nfc_normalize(regexp_replace(
+                 text, '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'))),
+               '\s+', ' ', 'g')) AS text_norm
+      FROM d)
+    SELECT doc_id, text_norm,
+           CAST(length(text) AS BIGINT) AS n_chars_in,
+           CAST(length(text_norm) AS BIGINT) AS n_chars_out,
+           text_norm != text AS changed
+    FROM n ORDER BY doc_id"""
+
   /** Twin of Scrub.decontaminate (benchmark = doc_id % 100 = 0,
     * minShared 2). */
   val decontaminate: String = s"""

@@ -404,6 +404,12 @@ object SparkEntry {
       Scrub.piiRedact(Scrub.withInjectedPii(docsPar(s, dir)), col("text"))
         .select(col("doc_id"), col("n_pii"), col("redacted"))
         .orderBy("doc_id")),
+    // Canonical text normalization: strip/NFC/lower/collapse/trim with
+    // planted decomposed-unicode + control-char positives
+    "text_normalize" -> ((s, dir) =>
+      Scrub.normalizeText(
+          Scrub.withDenormalizedText(docsPar(s, dir)), col("text"))
+        .orderBy("doc_id")),
     // Benchmark decontamination: shingle-overlap flags vs doc_id%100 set
     "decontaminate" -> ((s, dir) => {
       val d = docsPar(s, dir)
@@ -759,6 +765,7 @@ object SparkEntry {
     "domain_cap" -> OracleExt.domainCap(10),
     "repeat_ngrams" -> OracleExt.repeatNgrams,
     "pii_redact" -> OracleExt.piiRedact,
+    "text_normalize" -> OracleExt.normalizeText,
     "decontaminate" -> OracleExt.decontaminate,
     "pack_sequences" -> OracleExt.packSequences(2048L),
     "importance_sample" -> OracleExt.importanceSample(TextAnalysis.stopwords("en")),

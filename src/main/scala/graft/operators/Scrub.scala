@@ -72,4 +72,44 @@ object Scrub {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Deterministically append DENORMALIZED unicode + control characters
+    * to every 13th doc (combining-accent "café"/"naïve", a tab, a BEL)
+    * — the documents fixture is pure ASCII, where NFC is the identity,
+    * so the normalization path needs planted positives to prove it
+    * fires (the withInjectedPii pattern). */
+  def withDenormalizedText(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 13 === 0,
+        // "cafe"+U+0301 combining acute, "nai"+U+0308 combining
+        // diaeresis (NFC composes), double space + \t (collapse),
+        // BEL (control strip)
+        lit(" cafe\u0301  nai\u0308ve\tx \u0007bell"))
+        .otherwise("")))
+
+  /** Canonical text normalization — the pass every dedup/hash/tokenize
+    * stage assumes has already happened: strip control characters,
+    * Unicode NFC (combining sequences → precomposed, via the native
+    * codegen'd [[org.apache.spark.sql.graft.NfcNormalizeExpr]] — Spark
+    * ships no normalization builtin), lowercase, collapse whitespace
+    * runs, trim. Order matters and is pinned: control-strip first,
+    * NFC before lower (case-mapping composed chars is the
+    * well-defined direction), collapse last. The strip class removes
+    * NON-whitespace controls only — \\t \\n \\f \\r stay and collapse
+    * to one space (tab-separated words must not merge) — plus \\x0B,
+    * which Java's \\s matches but RE2's does not, so eliminating it
+    * up front removes the one cross-engine \\s divergence. Audit
+    * columns count code points in/out and whether the row changed.
+    * Pure per-row projection — one codegen'd map stage, no shuffle at
+    * any scale. */
+  def normalizeText(docs: DataFrame, text: Column): DataFrame = {
+    val norm = trim(regexp_replace(
+      lower(org.apache.spark.sql.graft.NfcNormalizeExpr(
+        regexp_replace(text, "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", ""))),
+      "\\s+", " "))
+    docs.select(col("doc_id"), norm.as("text_norm"),
+      length(text).cast("long").as("n_chars_in"),
+      length(norm).cast("long").as("n_chars_out"),
+      (norm =!= text).as("changed"))
+  }
 }

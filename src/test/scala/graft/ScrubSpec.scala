@@ -64,4 +64,42 @@ class ScrubSpec extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "corpus-side shuffle of exploded shingles must not pay a join shuffle")
   }
+
+  test("NfcNormalizeExpr: combining sequences compose exactly as java.text.Normalizer") {
+    val samples = Seq(
+      "café",            // e + combining acute -> é
+      "naïve",           // i + combining diaeresis -> ï
+      "각",    // Hangul jamo -> precomposed syllable 각
+      "already plain ascii",
+      "ﬁligature stays")  // ﬁ is NFC-invariant (compat only in NFKC)
+    val got = samples.toDF("s")
+      .select(org.apache.spark.sql.graft.NfcNormalizeExpr(col("s")))
+      .as[String].collect().toSeq
+    val want = samples.map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got == want)
+    assert(got(0) == "café" && got(2).length == 1)
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(org.apache.spark.sql.graft.NfcNormalizeExpr(col("s")))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("normalizeText: strip -> NFC -> lower -> collapse -> trim, with audit") {
+    val df = Seq(
+      (1L, "  Café\tX Y  z "),
+      (2L, "already clean")).toDF("doc_id", "text")
+    val out = Scrub.normalizeText(df, col("text"))
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // BEL strips (Y stays glued to the following space), tab collapses,
+    // combining acute composes, case lowers, edges trim
+    assert(out(1L) == (("café x y z", 16L, 10L, true)))
+    assert(out(2L) == (("already clean", 13L, 13L, false)))
+    // the whole pass is one codegen'd projection — no shuffle
+    val p = Scrub.normalizeText(df, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"map-only pass expected:\n$p")
+  }
 }
