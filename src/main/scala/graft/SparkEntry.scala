@@ -404,6 +404,14 @@ object SparkEntry {
       Scrub.piiRedact(Scrub.withInjectedPii(docsPar(s, dir)), col("text"))
         .select(col("doc_id"), col("n_pii"), col("redacted"))
         .orderBy("doc_id")),
+    // JSONL interchange round-trip: explicit wire schema, epoch-µs
+    // timestamps, drop-malformed read discipline
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val path = s"/tmp/graft_jsonl_$tag"
+      graft.sources.JsonlSource.writeJsonl(LogSource.readEvents(s, dir), path)
+      graft.sources.JsonlSource.readJsonl(s, path).orderBy("event_id")
+    }),
     // Canonical text normalization: strip/NFC/lower/collapse/trim with
     // planted decomposed-unicode + control-char positives
     "text_normalize" -> ((s, dir) =>
@@ -766,6 +774,10 @@ object SparkEntry {
     "repeat_ngrams" -> OracleExt.repeatNgrams,
     "pii_redact" -> OracleExt.piiRedact,
     "text_normalize" -> OracleExt.normalizeText,
+    "jsonl_roundtrip" -> """
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             value, props
+      FROM events ORDER BY event_id""",
     "decontaminate" -> OracleExt.decontaminate,
     "pack_sequences" -> OracleExt.packSequences(2048L),
     "importance_sample" -> OracleExt.importanceSample(TextAnalysis.stopwords("en")),
