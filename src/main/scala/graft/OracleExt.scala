@@ -762,6 +762,34 @@ object OracleExt {
     ORDER BY doc_id"""
   }
 
+  /** Twin of Assoc.assocRules — identical basket/support/pair math,
+    * HUGEINT lanes for the lift product. */
+  def assocRules(minUsers: Long): String = s"""
+    WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM baskets),
+    item AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+             FROM baskets GROUP BY 1),
+    pairs AS (SELECT a.event_type AS antecedent,
+                     b.event_type AS consequent,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM baskets a JOIN baskets b
+                ON a.user_id = b.user_id
+                   AND a.event_type <> b.event_type
+              GROUP BY 1, 2
+              HAVING count(*) >= $minUsers)
+    SELECT antecedent, consequent,
+           ia.n_item AS n_a, ic.n_item AS n_b, n_ab,
+           (1000000 * n_ab) // n_users AS supp_ppm,
+           (1000000 * n_ab) // ia.n_item AS conf_ppm,
+           CAST((CAST(1000000 AS HUGEINT) * n_ab * n_users)
+                // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN item ia ON pairs.antecedent = ia.event_type
+    JOIN item ic ON pairs.consequent = ic.event_type
+    CROSS JOIN n
+    ORDER BY antecedent, consequent"""
+
   /** Twin of Scrub.withDenormalizedText + normalizeText — identical
     * injection (chr() builds the combining sequences), identical
     * strip → NFC → lower → collapse → trim chain; nfc_normalize is

@@ -404,6 +404,11 @@ object SparkEntry {
       Scrub.piiRedact(Scrub.withInjectedPii(docsPar(s, dir)), col("text"))
         .select(col("doc_id"), col("n_pii"), col("redacted"))
         .orderBy("doc_id")),
+    // Association rules over per-user event-type baskets (ppm-exact
+    // support/confidence/lift)
+    "assoc_rules" -> ((s, dir) =>
+      graft.operators.Assoc.assocRules(LogSource.readEvents(s, dir))
+        .orderBy("antecedent", "consequent")),
     // JSONL interchange round-trip: explicit wire schema, epoch-µs
     // timestamps, drop-malformed read discipline
     "jsonl_roundtrip" -> ((s, dir) => {
@@ -774,6 +779,7 @@ object SparkEntry {
     "repeat_ngrams" -> OracleExt.repeatNgrams,
     "pii_redact" -> OracleExt.piiRedact,
     "text_normalize" -> OracleExt.normalizeText,
+    "assoc_rules" -> OracleExt.assocRules(1L),
     "jsonl_roundtrip" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
              value, props
