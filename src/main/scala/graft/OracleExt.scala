@@ -762,6 +762,48 @@ object OracleExt {
     ORDER BY doc_id"""
   }
 
+  /** Twin of UrlOps.withInjectedUrls + urlParse — identical injection
+    * CASE chain and the SAME regex pattern text (interpolated from
+    * UrlOps.sqlPatterns, single source of truth). */
+  val urlParse: String = {
+    val p = graft.operators.UrlOps.sqlPatterns
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+             || source || '.example'
+             || (CASE WHEN doc_id % 4 = 0 THEN '.com'
+                      WHEN doc_id % 4 = 1 THEN '.org'
+                      WHEN doc_id % 4 = 2 THEN '.net'
+                      ELSE '.co.uk' END)
+             || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+             || '/p/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '?q=' || lang ELSE '' END)
+             || (CASE WHEN doc_id % 9 = 0 THEN '#s1' ELSE '' END) AS url
+      FROM documents),
+    h AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '${p("hostport")}', 1) AS hostport
+      FROM d),
+    f AS (
+      SELECT doc_id, url,
+             regexp_replace(hostport, ':[0-9]+$$', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$$', 1) AS portstr
+      FROM h)
+    SELECT f.doc_id, f.url,
+           regexp_extract(f.url, '${p("scheme")}', 1) AS scheme,
+           f.host,
+           CASE WHEN f.portstr = '' THEN NULL
+                ELSE CAST(f.portstr AS BIGINT) END AS port,
+           regexp_extract(f.url, '${p("path")}', 1) AS path,
+           regexp_extract(f.url, '${p("query")}', 1) AS query,
+           regexp_extract(f.url, '${p("fragment")}', 1) AS fragment,
+           regexp_extract(f.host, '${p("regdomain")}', 1) AS reg_domain
+    FROM f ORDER BY f.doc_id"""
+  }
+
   /** Twin of Assoc.assocRules — identical basket/support/pair math,
     * HUGEINT lanes for the lift product. */
   def assocRules(minUsers: Long): String = s"""

@@ -404,6 +404,12 @@ object SparkEntry {
       Scrub.piiRedact(Scrub.withInjectedPii(docsPar(s, dir)), col("text"))
         .select(col("doc_id"), col("n_pii"), col("redacted"))
         .orderBy("doc_id")),
+    // URL field extraction with public-suffix-aware registrable domain
+    "url_parse" -> ((s, dir) =>
+      graft.operators.UrlOps.urlParse(
+          graft.operators.UrlOps.withInjectedUrls(docsPar(s, dir)),
+          col("url"))
+        .orderBy("doc_id")),
     // Association rules over per-user event-type baskets (ppm-exact
     // support/confidence/lift)
     "assoc_rules" -> ((s, dir) =>
@@ -780,6 +786,7 @@ object SparkEntry {
     "pii_redact" -> OracleExt.piiRedact,
     "text_normalize" -> OracleExt.normalizeText,
     "assoc_rules" -> OracleExt.assocRules(1L),
+    "url_parse" -> OracleExt.urlParse,
     "jsonl_roundtrip" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
              value, props
