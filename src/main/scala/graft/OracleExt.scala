@@ -182,6 +182,31 @@ object OracleExt {
   /** Twin of Events.rateAnomaly (hourly windows, 200% threshold).
     * sum(BIGINT) is HUGEINT in DuckDB — CAST back to BIGINT before it
     * reaches arithmetic or output (the pack_sequences lesson). */
+  /** Twin of Events.cusumChangepoints — same ceil-mean allowance and
+    * prefix-max identity (P − min(0, running min P)). */
+  def cusumChangepoints(hMult: Int): String = s"""
+    WITH wc AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type,
+                   (CAST(sum(n) AS BIGINT) + count(*) - 1) // count(*) AS k
+            FROM wc GROUP BY 1),
+    p1 AS (SELECT window_start, wc.event_type, n, k,
+                  CAST(sum(n - k) OVER w AS BIGINT) AS pf
+           FROM wc JOIN tot ON wc.event_type = tot.event_type
+           WINDOW w AS (PARTITION BY wc.event_type ORDER BY window_start
+                        ROWS UNBOUNDED PRECEDING)),
+    p2 AS (SELECT window_start, event_type, n, k, pf,
+                  min(pf) OVER (PARTITION BY event_type
+                                ORDER BY window_start
+                                ROWS UNBOUNDED PRECEDING) AS pmin
+           FROM p1)
+    SELECT window_start, event_type, n, k,
+           pf - least(pmin, 0) AS cusum,
+           (pf - least(pmin, 0)) > k * $hMult AS alarm
+    FROM p2
+    ORDER BY window_start, event_type"""
+
   val rateAnomaly: String = """
     WITH wc AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
                        count(*) AS n

@@ -260,6 +260,10 @@ object SparkEntry {
     "rate_anomaly" -> ((s, dir) =>
       Events.rateAnomaly(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // CUSUM sustained-drift alarms via the prefix-max identity
+    "cusum_changepoint" -> ((s, dir) =>
+      Events.cusumChangepoints(LogSource.readEvents(s, dir))
+        .orderBy("window_start", "event_type")),
     // Single-aggregate per-column table profile (exact-distinct mode)
     "data_profile" -> ((s, dir) =>
       graft.operators.Profile.dataProfile(LogSource.readEvents(s, dir))
@@ -758,6 +762,7 @@ object SparkEntry {
     "session_windows" -> OracleExt.sessionWindows,
     "value_histogram" -> OracleExt.valueHistogram,
     "rate_anomaly" -> OracleExt.rateAnomaly,
+    "cusum_changepoint" -> OracleExt.cusumChangepoints(5),
     "data_profile" -> OracleExt.dataProfile,
     "ks_drift" -> OracleExt.ksDrift("click", "error"),
     "attribution_join" -> OracleExt.attributionJoin(3600),

@@ -377,6 +377,42 @@ object Events {
     * rate_milli = 1000 × n / mean stays in BIGINT arithmetic (the mean
     * is never materialized as a double): n × n_windows × 1000 at
     * worst ~1e9 × 1e5 × 1e3 needs the full i64 but fits. */
+  /** CUSUM change-point detection (Page 1954) over per-type hourly
+    * counts — the sequential drift detector that catches a SUSTAINED
+    * small shift [[rateAnomaly]]'s single-window threshold misses (ten
+    * consecutive hours at 1.3× never trip a 2× spike test, but their
+    * deviations ACCUMULATE). Textbook recurrence S_t = max(0, S_{t-1}
+    * + (x_t − k)) is sequential; the distributed form uses the
+    * prefix-max identity S_t = P_t − min(0, min_{j≤t} P_j) with
+    * P = running Σ(x−k), turning the recurrence into two window
+    * functions over the SAME per-type frame — one partitioned shuffle,
+    * no iteration, exact BIGINT arithmetic. The allowance k is the
+    * per-type ceil-mean hourly count (broadcast back from a vocab-sized
+    * aggregate); alarm when S_t > hMult·k. Hours with zero events are
+    * skipped, not zero-filled: absence pulls no S downward, which is
+    * conservative for upward-shift detection and keeps the plan
+    * grid-free. Per-type window rows = observed hours — time-range-
+    * sized, never event-count-sized. */
+  def cusumChangepoints(events: DataFrame, hMult: Int = 5): DataFrame = {
+    val hourly = events.groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy("event_type")
+      .agg(sum("n").as("__total"), count(lit(1)).as("__nh"))
+      .select(col("event_type"),
+        expr("(__total + __nh - 1) div __nh").as("__k"))
+    val w = Window.partitionBy("event_type").orderBy("window_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(tot), "event_type")
+      .withColumn("__p", sum(col("n") - col("__k")).over(w))
+      .withColumn("cusum",
+        col("__p") - least(min(col("__p")).over(w), lit(0L)))
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("__k").as("k"), col("cusum"),
+        (col("cusum") > col("__k") * hMult).as("alarm"))
+  }
+
   def rateAnomaly(events: DataFrame, factorPct: Int = 200): DataFrame = {
     val wc = events.groupBy(
         date_trunc("hour", col("ts")).as("window_start"), col("event_type"))

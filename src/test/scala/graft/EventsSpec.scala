@@ -144,6 +144,46 @@ class EventsSpec extends SparkTestBase {
       2L -> ((1.0, 1L)), -1L -> ((-0.5, 1L))))
   }
 
+  test("cusumChangepoints: sustained small drift accumulates to an alarm") {
+    // type "a": 6 hours at 2, then 6 hours at 4 — a 2x shift whose
+    // SINGLE-window rate never reaches rateAnomaly's spike bar, but
+    // whose deviations accumulate. total=36, nh=12, k=ceil(36/12)=3.
+    // P walks -1..-6 then +1 each hour; S = P - min(0, minP):
+    // hours 0-5: S=0; hours 6-11: S=1..6. hMult=1 -> alarm once S>3.
+    def rows(h: Int, n: Int) = (0 until n).map(i =>
+      ((h * 100 + i).toLong, "a",
+        ts(f"2024-01-01T$h%02d:10:00Z")))
+    val ev = ((0 until 6).flatMap(rows(_, 2)) ++
+      (6 until 12).flatMap(rows(_, 4)))
+      .toDF("event_id", "event_type", "ts")
+    val r = Events.cusumChangepoints(ev, hMult = 1)
+      .select(col("window_start").cast("string"), col("n"), col("k"),
+        col("cusum"), col("alarm"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(x => x._1.substring(11, 13).toInt -> ((x._2, x._4, x._5)))
+      .toMap
+    (0 until 6).foreach(h =>
+      assert(r(h) == ((2L, 0L, false)), s"pre-shift hour $h"))
+    (6 until 12).foreach { h =>
+      val s = (h - 5).toLong
+      assert(r(h) == ((4L, s, s > 3L)), s"post-shift hour $h")
+    }
+    // rateAnomaly's 2x spike test never fires on the same series
+    assert(Events.rateAnomaly(ev).filter(col("anomaly")).count() == 0L)
+  }
+
+  test("cusumChangepoints: alarm state is per-type isolated") {
+    val ev = ((0 until 4).map(h => (h.toLong, "quiet",
+        ts(f"2024-01-01T$h%02d:00:00Z"))) ++
+      (0 until 4).flatMap(h => (0 until (if (h >= 2) 9 else 1)).map(i =>
+        (100L + h * 10 + i, "bursty", ts(f"2024-01-01T$h%02d:00:00Z")))))
+      .toDF("event_id", "event_type", "ts")
+    val alarms = Events.cusumChangepoints(ev, hMult = 1)
+      .filter(col("alarm")).select("event_type").as[String]
+      .collect().toSet
+    assert(alarms == Set("bursty"), s"quiet type must stay quiet: $alarms")
+  }
+
   test("rateAnomaly: integer mean test flags only the spiky window") {
     // type "a": hourly counts 1, 1, 6 -> total 8 over 3 windows
     val rows = (Seq(
