@@ -997,6 +997,28 @@ object OracleExt {
           JOIN sig sb ON sb.doc_id = p.doc_b)
     ORDER BY doc_a, doc_b"""
 
+  /** Twin of Dedup.minhashEval — the tieredNearDup twin with the est
+    * gate open, aggregated to the same confusion row. */
+  def minhashEval(thresh: Long): String = s"""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN est_milli >= $thresh AND jac_milli >= $thresh
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN est_milli >= $thresh AND jac_milli < $thresh
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN est_milli < $thresh AND jac_milli >= $thresh
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN est_milli < $thresh AND jac_milli < $thresh
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           (1000000 * CAST(sum(CASE WHEN est_milli >= $thresh
+                AND jac_milli >= $thresh THEN 1 ELSE 0 END) AS BIGINT))
+             // greatest(CAST(sum(CASE WHEN est_milli >= $thresh
+                THEN 1 ELSE 0 END) AS BIGINT), 1) AS precision_ppm,
+           (1000000 * CAST(sum(CASE WHEN est_milli >= $thresh
+                AND jac_milli >= $thresh THEN 1 ELSE 0 END) AS BIGINT))
+             // greatest(CAST(sum(CASE WHEN jac_milli >= $thresh
+                THEN 1 ELSE 0 END) AS BIGINT), 1) AS recall_ppm
+    FROM (${tieredNearDup(0L, thresh)})"""
+
   /** Twin of Dedup.tieredNearDup — LSH candidates → lane-agreement
     * estimate gate → exact shingle Jaccard for survivors only. Union
     * size floored at 1 exactly like the operator (DuckDB `// 0` errors

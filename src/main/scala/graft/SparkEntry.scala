@@ -468,6 +468,9 @@ object SparkEntry {
     // for survivors only (the production dedup judgement call)
     "tiered_neardup" -> ((s, dir) =>
       Dedup.tieredNearDup(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // Estimator-vs-truth confusion row for the minhash dedup path
+    "minhash_eval" -> ((s, dir) =>
+      Dedup.minhashEval(docsPar(s, dir)).orderBy("n_pairs")),
     // Continuous ingestion: dedup an arriving batch (ids >= 350)
     // against the curated corpus (ids < 350) and itself — asymmetric
     // band join, never old×old
@@ -840,6 +843,7 @@ object SparkEntry {
     "minhash_pairs" -> OracleExt.minhashPairs,
     "minhash_est" -> OracleExt.minhashJaccardEst,
     "tiered_neardup" -> OracleExt.tieredNearDup(500L, 800L),
+    "minhash_eval" -> OracleExt.minhashEval(500L),
     "incremental_dedup" -> OracleExt.incrementalDedup(350L, 500L),
     "neardup_candidates" -> OracleExt.nearDupCandidates(500L),
     "dedup_clusters" -> OracleExt.dedupClusters,

@@ -408,6 +408,36 @@ object Dedup {
         coalesce(col("dup"), lit(false)).as("dup"))
   }
 
+  /** MinHash estimator quality evaluation — the measurement that
+    * justifies (or indicts) running dedup off the 16-lane estimate:
+    * over ALL banded candidate pairs, score the estimate against the
+    * exact shingle Jaccard at the dup threshold and report the
+    * confusion counts + precision/recall in exact ppm. Pure
+    * composition of [[tieredNearDup]] with the est gate OPEN
+    * (estMilli = 0), so the est/exact join machinery exists once; the
+    * eval itself is a 1-row aggregate over the candidate-pair table.
+    * (Recall here is relative to banded candidates — pairs no band
+    * surfaced are invisible to both estimator and truth, which is the
+    * estimator-vs-truth question, not the banding-recall question
+    * `ann_recall` answers for the vector path.) */
+  def minhashEval(docs: DataFrame, threshMilli: Long = 500L): DataFrame = {
+    val t = threshMilli
+    tieredNearDup(docs, estMilli = 0L, dupMilli = t)
+      .select(
+        (col("est_milli") >= t).cast("long").as("__pe"),
+        (col("jac_milli") >= t).cast("long").as("__pt"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__pe") * col("__pt")).as("tp"),
+        sum(col("__pe") * (lit(1L) - col("__pt"))).as("fp"),
+        sum((lit(1L) - col("__pe")) * col("__pt")).as("fn"),
+        sum((lit(1L) - col("__pe")) * (lit(1L) - col("__pt"))).as("tn"))
+      .select(col("n_pairs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(1000000 * tp) div greatest(tp + fp, 1)")
+          .as("precision_ppm"),
+        expr("(1000000 * tp) div greatest(tp + fn, 1)")
+          .as("recall_ppm"))
+  }
+
   /** The dedup keep-list: drop every doc that appears as the HIGHER id
     * of an LSH candidate pair (keep-lowest-canonical policy) via a
     * LEFT ANTI join — the standard "subtract the duplicates" shape; at

@@ -127,6 +127,30 @@ class DedupSpec extends SparkTestBase {
     assert(r == Seq((1L, 2L, 3L, 3L, 3L)))
   }
 
+  test("minhashEval: confusion row equals recomputation from the pair table") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "the quick brown fox jumps over the lazy dog today ok"),
+      (3L, "the quick brown fox jumps over the lazy dog yesterday no"),
+      (4L, "pack my box with five dozen liquor jugs right now then"),
+      (5L, "pack my box with five dozen liquor jugs right now then"))
+    val t = 500L
+    val got = Dedup.minhashEval(d, t)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val pairs = Dedup.tieredNearDup(d, estMilli = 0L, dupMilli = t)
+      .select("est_milli", "jac_milli").as[(Long, Long)].collect()
+    val tp = pairs.count(p => p._1 >= t && p._2 >= t).toLong
+    val fp = pairs.count(p => p._1 >= t && p._2 < t).toLong
+    val fn = pairs.count(p => p._1 < t && p._2 >= t).toLong
+    val tn = pairs.count(p => p._1 < t && p._2 < t).toLong
+    assert(got == ((pairs.length.toLong, tp, fp, fn, tn,
+      1000000L * tp / math.max(tp + fp, 1L),
+      1000000L * tp / math.max(tp + fn, 1L))))
+    assert(got._1 == got._2 + got._3 + got._4 + got._5,
+      "confusion cells must partition the candidate pairs")
+    assert(tp >= 2L, "both identical pairs must land in tp")
+  }
+
   test("clusterStats: size histogram plus the singleton difference row") {
     // two identical pairs -> one size-2 cluster per pair; 1 loner
     val d = docs(
