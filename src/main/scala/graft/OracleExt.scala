@@ -918,6 +918,17 @@ object OracleExt {
                 FROM documents))
     ORDER BY doc_id"""
 
+  /** Twin of Sampling.packFill — the packSequences twin aggregated per
+    * pack. */
+  def packFill(budget: Long): String = s"""
+    SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           (100 * CAST(sum(n_tokens) AS BIGINT)) // $budget AS fill_pct,
+           CAST(sum(n_tokens) AS BIGINT) > $budget AS overflow
+    FROM (${packSequences(budget)})
+    GROUP BY pack_id
+    ORDER BY pack_id"""
+
   /** Twin of Sampling.importanceSample (salt "imp", score×30 capped at
     * 900 000 ppm). */
   def importanceSample(enStop: Seq[String]): String = s"""

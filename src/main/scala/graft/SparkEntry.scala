@@ -443,6 +443,9 @@ object SparkEntry {
     // Token-budget packing via two-phase distributed prefix sum
     "pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(docsPar(s, dir)).orderBy("doc_id")),
+    // Per-pack fill audit over the greedy sequence packing
+    "pack_fill" -> ((s, dir) =>
+      Sampling.packFill(docsPar(s, dir)).orderBy("pack_id")),
     // Quality-weighted deterministic Bernoulli sampling
     "importance_sample" -> ((s, dir) =>
       Sampling.importanceSample(docsPar(s, dir)).orderBy("doc_id")),
@@ -801,6 +804,7 @@ object SparkEntry {
       FROM events ORDER BY event_id""",
     "decontaminate" -> OracleExt.decontaminate,
     "pack_sequences" -> OracleExt.packSequences(2048L),
+    "pack_fill" -> OracleExt.packFill(2048L),
     "importance_sample" -> OracleExt.importanceSample(TextAnalysis.stopwords("en")),
     "corpus_stats" -> OracleExt.corpusStats,
     "topk_quantized" -> OracleExt.topkQuantized(10, 5),

@@ -237,6 +237,25 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("pack_id"))
   }
 
+  /** Packing-efficiency audit over [[packSequences]]' output — the
+    * number a training run checks before trusting its batch shape:
+    * per-pack doc/token totals, fill percentage against the budget,
+    * and the overflow flag. Greedy prefix packing assigns a doc to the
+    * pack its FIRST token falls in, so any doc straddling a budget
+    * boundary overfills its pack by up to that doc's length — the
+    * audit quantifies exactly how much truncation (or dynamic
+    * re-batching) the training loader must absorb. Pure
+    * aggregate-on-aggregate: pack count = corpus tokens / budget rows.
+    * Composes the operator rather than re-deriving the prefix sum. */
+  def packFill(docs: DataFrame, budget: Long = 2048L,
+               blockSize: Long = 0L): DataFrame =
+    packSequences(docs, budget, blockSize)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        expr(s"(100 * n_tokens) div $budget").as("fill_pct"),
+        (col("n_tokens") > budget).as("overflow"))
+
   /** Quality-weighted deterministic Bernoulli sampling: keep doc with
     * probability ∝ its (clamped) quality score, decided by the salted
     * hash — the up-/down-weighting step of corpus mixing, with the

@@ -249,4 +249,25 @@ class SamplingSpec extends SparkTestBase {
     assert(n("s1") > 125 && n("s1") < 235, s"s1 off: ${n("s1")}")
     assert(n("s2") > 70 && n("s2") < 170, s"s2 off: ${n("s2")}")
   }
+
+  test("packFill: per-pack totals, fill pct, and first-doc-only overflow") {
+    import spark.implicits._
+    // token counts: 6,6,6,20,6 with budget 10 — exclusive prefix sums
+    // 0,6,12,18,38: packs 0,0,1,1,3. Pack 1 = 6+20 = 26 tokens BUT its
+    // first doc entered under budget (prefix 12 -> pack 1) and the
+    // 20-token doc STARTS there: overflow flag fires on pack 1 only.
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d e f"),
+      (4L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (5L, "a b c d e f")).toDF("doc_id", "text")
+    val r = Sampling.packFill(d, budget = 10L)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1).toSeq
+    assert(r == Seq(
+      (0L, 2L, 12L, 120L, true),   // 6+6 crosses 10 at the tail: 120%
+      (1L, 2L, 26L, 260L, true),   // the giant doc lands here
+      (3L, 1L, 6L, 60L, false)))
+    // totals conserve the corpus
+    assert(r.map(_._3).sum == 12L + 26L + 6L)
+  }
 }
