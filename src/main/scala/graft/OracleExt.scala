@@ -1458,6 +1458,31 @@ object OracleExt {
 
   /** Twin of Similarity.quantizeInt8 (absmax int8 codes, scalar
     * verification surface). */
+  /** Twin of Similarity.codeStats — the codes8 recipe exploded with
+    * DuckDB's indexed lambda, per-dim exact integer stats. */
+  val codeStats: String = """
+    WITH q AS (SELECT vec_id,
+                 CASE WHEN scale = 0
+                      THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                      ELSE list_transform(v, x -> floor(x * 127.0 / scale))
+                 END AS q
+               FROM (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS scale
+                     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings))),
+    ex AS (SELECT CAST(s.dim AS BIGINT) AS dim, CAST(s.qv AS BIGINT) AS qv
+           FROM (SELECT unnest(list_transform(q,
+                   (x, i) -> {'qv': x, 'dim': i - 1})) AS s
+                 FROM q))
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           min(qv) AS min_q, max(qv) AS max_q,
+           CAST(sum(qv) AS BIGINT) AS sum_q,
+           CAST(sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sat,
+           (1000000 * CAST(sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END)
+              AS BIGINT)) // count(*) AS sat_ppm
+    FROM ex GROUP BY dim ORDER BY dim"""
+
   val quantizeInt8: String = """
     SELECT vec_id,
            CAST(floor(scale * 1000000) AS BIGINT) AS scale_micro,
@@ -1907,6 +1932,14 @@ object OracleExt {
 
   private val cosSql =
     "list_dot_product(q.v, c.v) / (sqrt(q.norm2) * sqrt(c.norm2))"
+
+  /** Twin of Similarity.hubDegree — the topkCosine twin aggregated to
+    * per-candidate in-degrees. */
+  def hubDegree(nQueries: Int, k: Int): String = s"""
+    SELECT cand_id, CAST(count(*) AS BIGINT) AS in_degree
+    FROM (${topkCosine(nQueries, k)})
+    GROUP BY cand_id
+    ORDER BY cand_id"""
 
   def topkCosine(nQueries: Int, k: Int): String = s"""
     WITH $normCte

@@ -588,6 +588,12 @@ object SparkEntry {
     // Symmetric int8 absmax quantization of the embedding column
     "embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embPar(s, dir)).orderBy("vec_id")),
+    // Per-dim quantization-health audit (saturation, range, bias)
+    "code_stats" -> ((s, dir) =>
+      Similarity.codeStats(embPar(s, dir)).orderBy("dim")),
+    // Hubness audit: in-degree of the exact top-k neighbor graph
+    "hub_degree" -> ((s, dir) =>
+      Similarity.hubDegree(embPar(s, dir)).orderBy("cand_id")),
     // JL sign random projection of the int8 codes (64 -> 16 dims)
     "rand_proj" -> ((s, dir) =>
       Similarity.randProj(embPar(s, dir)).orderBy("vec_id", "j")),
@@ -824,6 +830,8 @@ object SparkEntry {
     "cluster_outliers" ->
       OracleExt.clusterOutliers(OracleExt.deriveKSql(64), 2, 5),
     "embed_quantize" -> OracleExt.quantizeInt8,
+    "code_stats" -> OracleExt.codeStats,
+    "hub_degree" -> OracleExt.hubDegree(10, 5),
     "rand_proj" -> OracleExt.randProj(16, 64),
     "pq_encode" -> OracleExt.pqEncode(4, 4, 2),
     "topk_pq" -> OracleExt.topkPqAdc(4, 4, 2, 10, 3),

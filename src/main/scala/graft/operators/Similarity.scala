@@ -155,14 +155,23 @@ object Similarity {
     * verification surface (first/last code + code checksums); the full
     * code array stays a column a consumer would select. Zero vectors
     * quantize to all-zero codes with scale 0. */
-  def quantizeInt8(emb: DataFrame): DataFrame =
+  /** The shared absmax-int8 code recipe: (vec_id, scale, q) with q an
+    * array of integer-valued doubles in [−127, 127]. [[quantizeInt8]]
+    * (the summary projection), [[topkQuantized]] (the serving path),
+    * and [[codeStats]] (the per-dim audit) all derive from this one
+    * definition — a drifted copy of the floor/absmax math would be a
+    * silent ranking-vs-audit inconsistency. */
+  private[operators] def codes8(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
       .withColumn("q", when(col("scale") === 0d,
-          transform(col("v"), _ => lit(0L)))
+          transform(col("v"), _ => lit(0d)))
         .otherwise(transform(col("v"),
           x => floor(x * lit(127d) / col("scale")))))
+
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    codes8(emb)
       .select(col("vec_id"),
         floor(col("scale") * 1000000L).cast("long").as("scale_micro"),
         element_at(col("q"), 1).cast("long").as("q_first"),
@@ -187,13 +196,7 @@ object Similarity {
     // side read `codes`, so without the cache the cast + absmax +
     // quantization scan runs twice (same pattern as minhashPairs /
     // annIvf — the r6 ADVICE consistency nit)
-    val codes = graft.Caches.track(emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("q", when(col("scale") === 0d,
-          transform(col("v"), _ => lit(0d)))
-        .otherwise(transform(col("v"),
-          x => floor(x * lit(127d) / col("scale")))))
+    val codes = graft.Caches.track(codes8(emb)
       .select(col("vec_id"), col("q"), dot(col("q"), col("q")).as("q2")))
     val qs = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
@@ -211,6 +214,42 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("cand_id"), simMicro(col("sim")).as("sim_micro"))
   }
+
+  /** Per-dimension audit of the int8 codes — the quantization-health
+    * numbers (saturation rate, dynamic-range use, dim bias) a pipeline
+    * checks before trusting the 4×-smaller serving path: a dim
+    * saturating at ±127 everywhere means the absmax scale is dominated
+    * by one outlier dim and the rest of the vector quantizes to noise.
+    * Codes are exact small integers, so every stat is exact BIGINT.
+    * One explode ∝ rows × dim, one groupBy(dim) with map-side combine
+    * → dim-sized output at any corpus size. */
+  def codeStats(emb: DataFrame): DataFrame =
+    codes8(emb)
+      .select(posexplode(col("q")).as(Seq("dim", "qv")))
+      .select(col("dim").cast("long").as("dim"),
+        col("qv").cast("long").as("qv"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min("qv").as("min_q"), max("qv").as("max_q"),
+        sum("qv").as("sum_q"),
+        sum(when(abs(col("qv")) === 127L, 1L).otherwise(0L))
+          .as("n_sat"))
+      .select(col("dim"), col("n"), col("min_q"), col("max_q"),
+        col("sum_q"), col("n_sat"),
+        expr("(1000000 * n_sat) div n").as("sat_ppm"))
+
+  /** Hubness audit of the exact top-k graph — the known ANN pathology
+    * where a few "hub" vectors appear in a disproportionate share of
+    * neighbor lists (Radovanović et al., JMLR 2010) and drag every
+    * downstream dedup/retrieval decision toward them. Composes
+    * [[topkCosine]]: in-degree per candidate over the nQ·k result
+    * rows, so the audit costs an aggregate over an ALREADY-small
+    * table, never a new similarity pass. */
+  def hubDegree(emb: DataFrame, nQueries: Int = 10, k: Int = 5)
+      : DataFrame =
+    topkCosine(emb, nQueries, k)
+      .groupBy(col("cand_id"))
+      .agg(count(lit(1)).as("in_degree"))
 
   /** Recall@k evaluator for the ANN family — the measurement a pipeline
     * runs before turning an index parameter dial: per query, how many

@@ -192,4 +192,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(byQ.values.forall(_.size <= 3))
     assert(r.forall { case (_, rank) => rank >= 1 && rank <= 3 })
   }
+
+  test("codeStats: per-dim saturation and range from known codes") {
+    // v1 = [1.0, 0.5, -1.0, 0...]: scale 1 -> q = [127, 63, -127, 0..]
+    // v2 = [0.5, 0.25, 0, 0...]:  scale .5 -> q = [127, 63, 0, 0..]
+    val e = emb(
+      (0L, vec(1f, 0.5f, -1f), 0),
+      (1L, vec(0.5f, 0.25f, 0f), 0))
+    val r = Similarity.codeStats(e)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(0L) == ((0L, 2L, 127L, 127L, 254L, 2L, 1000000L)),
+      s"dim0: ${r(0L)}")
+    assert(r(1L) == ((1L, 2L, 63L, 63L, 126L, 0L, 0L)))
+    assert(r(2L) == ((2L, 2L, -127L, 0L, -127L, 1L, 500000L)))
+    assert(r(3L) == ((3L, 2L, 0L, 0L, 0L, 0L, 0L)))
+    assert(r.size == dim)
+  }
+
+  test("hubDegree: in-degrees recount the top-k lists; hub surfaces") {
+    // 0..2 are queries; 10..12 cluster tightly around the query
+    // direction -> they dominate every list
+    val e = emb(
+      (0L, vec(1f, 0.01f), 0), (1L, vec(1f, -0.01f), 0),
+      (2L, vec(0.99f, 0.02f), 0),
+      (10L, vec(1f, 0f), 0), (11L, vec(1f, 0.005f), 0),
+      (12L, vec(1f, -0.005f), 0),
+      (20L, vec(0f, 1f), 0), (21L, vec(0f, -1f), 0))
+    val nQ = 3; val k = 3
+    val got = Similarity.hubDegree(e, nQ, k)
+      .as[(Long, Long)].collect().toMap
+    val lists = Similarity.topkCosine(e, nQ, k)
+      .select("cand_id").as[Long].collect()
+    assert(got.values.sum == nQ.toLong * k)
+    assert(got == lists.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap)
+    // the tight cluster out-degrees the orthogonal tail
+    assert(Seq(10L, 11L, 12L).map(got.getOrElse(_, 0L)).sum >
+      Seq(20L, 21L).map(got.getOrElse(_, 0L)).sum)
+  }
 }
