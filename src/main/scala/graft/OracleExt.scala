@@ -918,6 +918,21 @@ object OracleExt {
                 FROM documents))
     ORDER BY doc_id"""
 
+  /** Twin of Sampling.temporalSplit — single-window rank-select over
+    * per-µs counts (same values as the distributed two-phase form). */
+  def temporalSplit(trainPct: Int): String = s"""
+    WITH c AS (SELECT epoch_us(ts) AS us, CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    cum AS (SELECT us, CAST(sum(n) OVER (ORDER BY us
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+            FROM c),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    q AS (SELECT min(us) AS cutoff_us, min(cn) AS n_train
+          FROM cum, t WHERE cn * 100 >= total * $trainPct)
+    SELECT q.cutoff_us, q.n_train, t.total - q.n_train AS n_test,
+           (1000000 * q.n_train) // t.total AS train_ppm
+    FROM q, t"""
+
   /** Twin of Sampling.packFill — the packSequences twin aggregated per
     * pack. */
   def packFill(budget: Long): String = s"""

@@ -446,6 +446,10 @@ object SparkEntry {
     // Per-pack fill audit over the greedy sequence packing
     "pack_fill" -> ((s, dir) =>
       Sampling.packFill(docsPar(s, dir)).orderBy("pack_id")),
+    // Leakage-safe temporal split at the exact 80th time percentile
+    "temporal_split" -> ((s, dir) =>
+      Sampling.temporalSplit(LogSource.readEvents(s, dir))
+        .orderBy("cutoff_us")), // 1 row; satisfies the order contract
     // Quality-weighted deterministic Bernoulli sampling
     "importance_sample" -> ((s, dir) =>
       Sampling.importanceSample(docsPar(s, dir)).orderBy("doc_id")),
@@ -811,6 +815,7 @@ object SparkEntry {
     "decontaminate" -> OracleExt.decontaminate,
     "pack_sequences" -> OracleExt.packSequences(2048L),
     "pack_fill" -> OracleExt.packFill(2048L),
+    "temporal_split" -> OracleExt.temporalSplit(80),
     "importance_sample" -> OracleExt.importanceSample(TextAnalysis.stopwords("en")),
     "corpus_stats" -> OracleExt.corpusStats,
     "topk_quantized" -> OracleExt.topkQuantized(10, 5),

@@ -79,10 +79,9 @@ object Profile {
     * prices); re-block by floor(value·s) for narrow ranges. */
   def ksDrift(events: DataFrame, typeA: String, typeB: String)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // tracked persist: cumsum, block prefix, AND the 1-row totals all
     // read this table — without the cache the corpus scan runs three
-    // times. The cached projection is one double + three longs per
+    // times. The cached projection is one double + two longs per
     // DISTINCT value (the packSequences discipline).
     val counts = graft.Caches.track(events
       .filter(col("event_type").isin(typeA, typeB) &&
@@ -90,27 +89,11 @@ object Profile {
       .groupBy("value")
       .agg(
         sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
-        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
-      .withColumn("__blk", floor(col("value")).cast("long")))
-    val local = Window.partitionBy("__blk").orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("__la", sum(col("ca")).over(local))
-      .withColumn("__lb", sum(col("cb")).over(local))
-    val prefix = counts.groupBy("__blk")
-      .agg(sum("ca").as("__ta"), sum("cb").as("__tb"))
-      .withColumn("__pa", coalesce(sum(col("__ta")).over(
-        Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__pb", coalesce(sum(col("__tb")).over(
-        Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("__blk", "__pa", "__pb")
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb")))
     val totals = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
-    cum.join(broadcast(prefix), Seq("__blk"))
-      .select(col("value"),
-        (col("__pa") + col("__la")).as("cum_a"),
-        (col("__pb") + col("__lb")).as("cum_b"))
+    Prefix.inclusiveCumsum(counts, floor(col("value")).cast("long"),
+        col("value"), Seq("a" -> col("ca"), "b" -> col("cb")))
+      .select(col("value"), col("cum_a"), col("cum_b"))
       .crossJoin(broadcast(totals))
       // cross-multiplied CDF steps overflow a 64-bit lane once
       // n_a·n_b > 2^63 (~3e9 rows per side) — DECIMAL(38,0) lanes for

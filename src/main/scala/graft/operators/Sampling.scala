@@ -219,22 +219,44 @@ object Sampling {
       }
     // tracked persist: cumsum AND block totals both derive from base —
     // without the cache the tokenizing corpus scan (the dominant cost)
-    // runs twice. The cached projection is 3 longs per doc.
+    // runs twice. The cached projection is 2 longs per doc.
     val base = graft.Caches.track(docs.select(col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-      expr(s"doc_id div $blk").as("__blk")))
-    val local = base.withColumn("__lcum", sum(col("n_tokens")).over(
-      Window.partitionBy("__blk").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)))
-    val prefix = base.groupBy("__blk").agg(sum("n_tokens").as("__btot"))
-      .withColumn("__bprefix", coalesce(sum(col("__btot")).over(
-        Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("__blk", "__bprefix")
-    local.join(broadcast(prefix), Seq("__blk"))
-      .withColumn("pack_id",
-        expr(s"(__bprefix + __lcum - n_tokens) div $budget"))
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
+    // exclusive prefix = inclusive cum − own tokens (Prefix is the
+    // shared two-phase implementation — see operators/Prefix.scala)
+    Prefix.inclusiveCumsum(base, expr(s"doc_id div $blk"),
+        col("doc_id"), Seq("t" -> col("n_tokens")))
+      .withColumn("pack_id", expr(s"(cum_t - n_tokens) div $budget"))
       .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+  }
+
+  /** Temporal train/test split at an EXACT empirical time quantile —
+    * the leakage-safe split for forecasting/recommendation corpora
+    * (random splits let the model peek at the future). cutoff = the
+    * smallest timestamp whose inclusive rank reaches trainPct of the
+    * corpus, found by distributed rank-select: per-µs counts →
+    * [[Prefix.inclusiveCumsum]] over hour blocks (the serial stage
+    * sees block totals, time-range-sized) → the first qualifying row
+    * via two 1-row aggregates. Everything is integer µs and counts —
+    * no interpolated quantile crosses the oracle. Output is ONE row
+    * (cutoff_us, n_train, n_test, train_ppm); the caller splits with
+    * `unix_micros(ts) <= cutoff_us`. */
+  def temporalSplit(events: DataFrame, trainPct: Int = 80): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct=$trainPct")
+    val counts = graft.Caches.track(events
+      .filter(col("ts").isNotNull)
+      .select(unix_micros(col("ts")).as("us"))
+      .groupBy("us").agg(count(lit(1)).as("n")))
+    val total = counts.agg(sum("n").as("total"))
+    Prefix.inclusiveCumsum(counts, expr("us div 3600000000"),
+        col("us"), Seq("n" -> col("n")))
+      .crossJoin(broadcast(total))
+      .filter(col("cum_n") * 100 >= col("total") * trainPct)
+      .agg(min("us").as("cutoff_us"), min("cum_n").as("n_train"),
+        max("total").as("__total"))
+      .select(col("cutoff_us"), col("n_train"),
+        (col("__total") - col("n_train")).as("n_test"),
+        expr("(1000000 * n_train) div __total").as("train_ppm"))
   }
 
   /** Packing-efficiency audit over [[packSequences]]' output — the

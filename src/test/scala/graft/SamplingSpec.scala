@@ -250,6 +250,25 @@ class SamplingSpec extends SparkTestBase {
     assert(n("s2") > 70 && n("s2") < 170, s"s2 off: ${n("s2")}")
   }
 
+  test("temporalSplit: exact rank-select cutoff; ties stay on one side") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 10 events: 6 distinct µs then a 3-way tie then one more.
+    // 80% of 10 = 8: cum at tie-µs (rows 7,8,9 share ts) reaches 9 —
+    // the first µs with cum*100 >= 800 is the TIE µs, all of it train.
+    val times = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 7L, 7L, 8L)
+    val ev = times.zipWithIndex.map { case (sec, i) =>
+      (i.toLong, new Timestamp(sec * 1000L))
+    }.toDF("event_id", "ts")
+    val r = Sampling.temporalSplit(ev, trainPct = 80)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((7000000L, 9L, 1L, 900000L)),
+      s"cutoff must land on the tie and keep it whole: $r")
+    // the split predicate reproduces the counts (no leakage, no gap)
+    val nTrain = ev.filter(unix_micros(col("ts")) <= r._1).count()
+    assert(nTrain == r._2 && ev.count() - nTrain == r._3)
+  }
+
   test("packFill: per-pack totals, fill pct, and first-doc-only overflow") {
     import spark.implicits._
     // token counts: 6,6,6,20,6 with budget 10 — exclusive prefix sums
