@@ -358,6 +358,33 @@ object OracleExt {
          AND epoch_us(c.ts) <= epoch_us(v.ts) + ${windowSec * 1000000L}
     ORDER BY view_id, click_id"""
 
+  /** Twin of Profile.madOutliers — the two rank-selects as plain
+    * window cumsums; identical single-IEEE-op float comparisons. */
+  def madOutliers(eventType: String, k: Int): String = s"""
+    WITH v AS (SELECT value FROM events
+               WHERE event_type = ${sqlStr(eventType)}
+                 AND value IS NOT NULL),
+    c1 AS (SELECT value, count(*) AS n FROM v GROUP BY 1),
+    t1 AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c1),
+    cum1 AS (SELECT value, CAST(sum(n) OVER (ORDER BY value
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn FROM c1),
+    med AS (SELECT min(value) AS median
+            FROM cum1, t1 WHERE cn * 100 >= total * 50),
+    dev AS (SELECT abs(value - median) AS d FROM v, med),
+    c2 AS (SELECT d, count(*) AS n FROM dev GROUP BY 1),
+    t2 AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c2),
+    cum2 AS (SELECT d, CAST(sum(n) OVER (ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn FROM c2),
+    madq AS (SELECT min(d) AS mad
+             FROM cum2, t2 WHERE cn * 100 >= total * 50)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           max(median) AS median, max(mad) AS mad,
+           CAST(sum(CASE WHEN abs(value - median) > mad * $k
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           (1000000 * CAST(sum(CASE WHEN abs(value - median) > mad * $k
+                THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS outlier_ppm
+    FROM v, med, madq"""
+
   /** Twin of Profile.ksDrift — identical per-distinct-value CDF steps
     * and cross-multiplied integer statistic; DuckDB's single window
     * cumsum replaces the distributed two-phase prefix sum (same

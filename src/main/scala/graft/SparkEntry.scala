@@ -268,6 +268,11 @@ object SparkEntry {
     "data_profile" -> ((s, dir) =>
       graft.operators.Profile.dataProfile(LogSource.readEvents(s, dir))
         .orderBy("column")),
+    // Robust median/MAD outlier flags (50% breakdown, unlike z-scores)
+    "mad_outliers" -> ((s, dir) =>
+      graft.operators.Profile.madOutliers(
+          LogSource.readEvents(s, dir), "purchase")
+        .orderBy("n")), // 1 row; satisfies the order contract
     // Two-sample KS drift statistic, exact integer cross-multiplication
     "ks_drift" -> ((s, dir) =>
       graft.operators.Profile.ksDrift(
@@ -781,6 +786,7 @@ object SparkEntry {
     "cusum_changepoint" -> OracleExt.cusumChangepoints(5),
     "data_profile" -> OracleExt.dataProfile,
     "ks_drift" -> OracleExt.ksDrift("click", "error"),
+    "mad_outliers" -> OracleExt.madOutliers("purchase", 3),
     "attribution_join" -> OracleExt.attributionJoin(3600),
     "funnel_levels" -> OracleExt.funnelLevels,
     "cohort_retention" -> OracleExt.cohortRetention,

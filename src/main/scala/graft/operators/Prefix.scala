@@ -56,4 +56,25 @@ object Prefix {
         Seq(s"__l_$name", s"__p_$name")
       }: _*)
   }
+
+  /** Distributed rank-select over a per-distinct-value count table:
+    * the smallest value whose INCLUSIVE rank reaches pct% of the total
+    * (the empirical lower quantile — always an existing value, never
+    * an interpolation, so nothing synthetic crosses an oracle).
+    * Returns ONE row (q_value, q_cum, q_total). `block` maps the value
+    * column to its order-preserving block. Composed by
+    * [[Sampling.temporalSplit]] (time cutoff) and
+    * [[Profile.madOutliers]] (median and MAD). */
+  def rankSelect(counts: DataFrame, value: Column, n: Column,
+                 block: Column => Column, pct: Int): DataFrame = {
+    require(pct > 0 && pct < 100, s"pct=$pct")
+    val base = counts.select(value.as("__v"), n.as("__n"))
+    val total = base.agg(sum("__n").as("__total"))
+    inclusiveCumsum(base, block(col("__v")), col("__v"),
+        Seq("n" -> col("__n")))
+      .crossJoin(broadcast(total))
+      .filter(col("cum_n") * 100 >= col("__total") * pct)
+      .agg(min(col("__v")).as("q_value"), min(col("cum_n")).as("q_cum"),
+        max(col("__total")).as("q_total"))
+  }
 }

@@ -56,6 +56,44 @@ object Profile {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Robust outlier detection by median absolute deviation — the
+    * outlier law that survives the outliers themselves (a mean/stddev
+    * z-score lets one 1e9 reading inflate σ until nothing flags; the
+    * median and MAD have 50% breakdown). median = empirical lower
+    * median via [[Prefix.rankSelect]]; MAD = the same rank-select over
+    * |v − median|; flag |v − median| > k·MAD. Every comparison is a
+    * SINGLE IEEE operation on values both engines read from the same
+    * parquet (subtract, abs, one multiply — no reassociated sums), so
+    * the float path is oracle-exact without fixed-point gymnastics.
+    * Scale: two rank-selects over distinct-value count tables (the
+    * two-phase serial stage sees value-range-sized block totals) + one
+    * final aggregate; the deviation pass re-reads the persisted
+    * values projection, one double per row. */
+  def madOutliers(events: DataFrame, eventType: String, k: Int = 3)
+      : DataFrame = {
+    val vals = graft.Caches.track(events
+      .filter(col("event_type") === eventType && col("value").isNotNull)
+      .select(col("value")))
+    val blk = (v: Column) => floor(v).cast("long")
+    val med = Prefix.rankSelect(
+      vals.groupBy("value").agg(count(lit(1)).as("n")),
+      col("value"), col("n"), blk, 50)
+      .select(col("q_value").as("median"))
+    val devs = vals.crossJoin(broadcast(med))
+      .select(abs(col("value") - col("median")).as("d"))
+    val mad = Prefix.rankSelect(
+      devs.groupBy("d").agg(count(lit(1)).as("n")),
+      col("d"), col("n"), blk, 50)
+      .select(col("q_value").as("mad"))
+    vals.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .agg(count(lit(1)).as("n"),
+        max(col("median")).as("median"), max(col("mad")).as("mad"),
+        sum(when(abs(col("value") - col("median")) > col("mad") * k, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("n"), col("median"), col("mad"), col("n_outliers"),
+        expr("(1000000 * n_outliers) div n").as("outlier_ppm"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift test between the `value`
     * distributions of two event types — the standard "did this week's
     * data shift?" check a training pipeline runs between corpus drops.

@@ -243,20 +243,18 @@ object Sampling {
     * `unix_micros(ts) <= cutoff_us`. */
   def temporalSplit(events: DataFrame, trainPct: Int = 80): DataFrame = {
     require(trainPct > 0 && trainPct < 100, s"trainPct=$trainPct")
-    val counts = graft.Caches.track(events
+    val counts = events
       .filter(col("ts").isNotNull)
       .select(unix_micros(col("ts")).as("us"))
-      .groupBy("us").agg(count(lit(1)).as("n")))
-    val total = counts.agg(sum("n").as("total"))
-    Prefix.inclusiveCumsum(counts, expr("us div 3600000000"),
-        col("us"), Seq("n" -> col("n")))
-      .crossJoin(broadcast(total))
-      .filter(col("cum_n") * 100 >= col("total") * trainPct)
-      .agg(min("us").as("cutoff_us"), min("cum_n").as("n_train"),
-        max("total").as("__total"))
-      .select(col("cutoff_us"), col("n_train"),
-        (col("__total") - col("n_train")).as("n_test"),
-        expr("(1000000 * n_train) div __total").as("train_ppm"))
+      .groupBy("us").agg(count(lit(1)).as("n"))
+    // block = hour index; floor of a positive-constant division is
+    // monotone in us, which is all rankSelect requires of a block
+    Prefix.rankSelect(counts, col("us"), col("n"),
+        v => floor(v / lit(3600000000d)).cast("long"), trainPct)
+      .select(col("q_value").as("cutoff_us"),
+        col("q_cum").as("n_train"),
+        (col("q_total") - col("q_cum")).as("n_test"),
+        expr("(1000000 * q_cum) div q_total").as("train_ppm"))
   }
 
   /** Packing-efficiency audit over [[packSequences]]' output — the

@@ -74,6 +74,26 @@ class ProfileSpec extends SparkTestBase {
     assert(r == ((3L, 3L, 2L, 333333L)))
   }
 
+  test("madOutliers: median/MAD flag the spike a z-score would absorb") {
+    // 9 values near 10 plus one 1e9 reading. median=10 (5th of the
+    // sorted 10), deviations {0x4, 1x5, 1e9-10} -> lower median (rank
+    // 5) lands on 1, so MAD=1; only the spike exceeds 3*MAD. A
+    // mean/stddev rule would put sigma ~3e8 and flag nothing.
+    val vals = Seq(10.0, 10.0, 10.0, 10.0, 11.0, 9.0, 11.0, 9.0, 9.0, 1e9)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "purchase", v)
+    }.toDF("event_id", "event_type", "value")
+    val r = Profile.madOutliers(ev, "purchase", k = 3)
+      .as[(Long, Double, Double, Long, Long)].head()
+    assert(r == ((10L, 10.0, 1.0, 1L, 100000L)), s"got $r")
+    // all-identical values: MAD = 0, nothing can exceed 0*k
+    val flat = Profile.madOutliers(
+      Seq((1L, "purchase", 5.0), (2L, "purchase", 5.0))
+        .toDF("event_id", "event_type", "value"), "purchase")
+      .as[(Long, Double, Double, Long, Long)].head()
+    assert(flat == ((2L, 5.0, 0.0, 0L, 0L)))
+  }
+
   test("ksDrift: two-phase prefix sum equals a single global-window brute force") {
     val ev = graft.sources.LogSource
       .readEvents(spark, "/root/testdata/sf0.001")
