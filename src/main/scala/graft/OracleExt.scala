@@ -182,6 +182,23 @@ object OracleExt {
   /** Twin of Events.rateAnomaly (hourly windows, 200% threshold).
     * sum(BIGINT) is HUGEINT in DuckDB — CAST back to BIGINT before it
     * reaches arithmetic or output (the pack_sequences lesson). */
+  /** Twin of Events.transitionMatrix — same µs-truncated ordering key
+    * + event_id tie-break (ns-precision ordering would diverge). */
+  val transitionMatrix: String = """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS to_type
+      FROM events),
+    pairs AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+               FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           (1000000 * p.n) // t.row_total AS p_ppm
+    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    ORDER BY p.from_type, p.to_type"""
+
   /** Twin of Events.cusumChangepoints — same ceil-mean allowance and
     * prefix-max identity (P − min(0, running min P)). */
   def cusumChangepoints(hMult: Int): String = s"""

@@ -260,6 +260,10 @@ object SparkEntry {
     "rate_anomaly" -> ((s, dir) =>
       Events.rateAnomaly(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // Per-user Markov transition matrix (ppm row-normalized)
+    "transition_matrix" -> ((s, dir) =>
+      Events.transitionMatrix(LogSource.readEvents(s, dir))
+        .orderBy("from_type", "to_type")),
     // CUSUM sustained-drift alarms via the prefix-max identity
     "cusum_changepoint" -> ((s, dir) =>
       Events.cusumChangepoints(LogSource.readEvents(s, dir))
@@ -784,6 +788,7 @@ object SparkEntry {
     "value_histogram" -> OracleExt.valueHistogram,
     "rate_anomaly" -> OracleExt.rateAnomaly,
     "cusum_changepoint" -> OracleExt.cusumChangepoints(5),
+    "transition_matrix" -> OracleExt.transitionMatrix,
     "data_profile" -> OracleExt.dataProfile,
     "ks_drift" -> OracleExt.ksDrift("click", "error"),
     "mad_outliers" -> OracleExt.madOutliers("purchase", 3),

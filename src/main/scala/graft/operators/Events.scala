@@ -377,6 +377,32 @@ object Events {
     * rate_milli = 1000 × n / mean stays in BIGINT arithmetic (the mean
     * is never materialized as a double): n × n_windows × 1000 at
     * worst ~1e9 × 1e5 × 1e3 needs the full i64 but fits. */
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the "what do users do next" path analysis behind
+    * funnel design: for every ordered pair (from, to) of CONSECUTIVE
+    * events of one user, the transition count and row-normalized
+    * probability in exact ppm. Ordering is (epoch-µs, event_id): the
+    * explicit µs key matters because the parquet carries NANOSECOND
+    * timestamps — an engine ordering raw ns against an engine reading
+    * µs-truncated values would disagree exactly on sub-µs neighbors,
+    * so both engines order on the truncated integer and tie-break on
+    * the unique event_id. One user-keyed window shuffle (lead), then
+    * a |vocab|²-sized aggregate; row totals broadcast back. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val pairs = events
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum("n").as("__row_total"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) div __row_total").as("p_ppm"))
+  }
+
   /** CUSUM change-point detection (Page 1954) over per-type hourly
     * counts — the sequential drift detector that catches a SUSTAINED
     * small shift [[rateAnomaly]]'s single-window threshold misses (ten

@@ -144,6 +144,37 @@ class EventsSpec extends SparkTestBase {
       2L -> ((1.0, 1L)), -1L -> ((-0.5, 1L))))
   }
 
+  test("transitionMatrix: per-user consecutive pairs, ppm row-normalized") {
+    // u1: a->b->a ; u2: a->b ; u3: c (no transition)
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01T10:00:00Z")),
+      (2L, 1L, "b", ts("2024-01-01T10:01:00Z")),
+      (3L, 1L, "a", ts("2024-01-01T10:02:00Z")),
+      (4L, 2L, "a", ts("2024-01-01T09:00:00Z")),
+      (5L, 2L, "b", ts("2024-01-01T09:05:00Z")),
+      (6L, 3L, "c", ts("2024-01-01T08:00:00Z")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.transitionMatrix(ev)
+      .as[(String, String, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4))).toMap
+    // from 'a': 2x a->b (rows total 2 -> 1e6); from 'b': 1x b->a
+    assert(r == Map(
+      ("a", "b") -> ((2L, 1000000L)),
+      ("b", "a") -> ((1L, 1000000L))))
+  }
+
+  test("transitionMatrix: equal-µs events order by event_id, not arrival") {
+    val t0 = ts("2024-01-01T10:00:00Z")
+    val ev = Seq( // inserted out of order; same timestamp
+      (30L, 1L, "c", t0), (10L, 1L, "a", t0), (20L, 1L, "b", t0))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.transitionMatrix(ev)
+      .select("from_type", "to_type").as[(String, String)]
+      .collect().toSet
+    assert(r == Set(("a", "b"), ("b", "c")),
+      "sequence must be a->b->c by event_id tie-break")
+  }
+
   test("cusumChangepoints: sustained small drift accumulates to an alarm") {
     // type "a": 6 hours at 2, then 6 hours at 4 — a 2x shift whose
     // SINGLE-window rate never reaches rateAnomaly's spike bar, but
