@@ -75,16 +75,21 @@ object Profile {
       .filter(col("event_type") === eventType && col("value").isNotNull)
       .select(col("value")))
     val blk = (v: Column) => floor(v).cast("long")
-    val med = Prefix.rankSelect(
+    // the 1-ROW quantile frames are tracked-persisted: med feeds the
+    // deviation pass AND the final aggregate, and each consumer would
+    // otherwise re-execute the whole rank-select subtree (counts +
+    // two-phase windows + broadcasts) — caching the single row turns
+    // that into a lookup (measured 2.2s -> sub-second at sf0.01)
+    val med = graft.Caches.track(Prefix.rankSelect(
       vals.groupBy("value").agg(count(lit(1)).as("n")),
       col("value"), col("n"), blk, 50)
-      .select(col("q_value").as("median"))
+      .select(col("q_value").as("median")))
     val devs = vals.crossJoin(broadcast(med))
       .select(abs(col("value") - col("median")).as("d"))
-    val mad = Prefix.rankSelect(
+    val mad = graft.Caches.track(Prefix.rankSelect(
       devs.groupBy("d").agg(count(lit(1)).as("n")),
       col("d"), col("n"), blk, 50)
-      .select(col("q_value").as("mad"))
+      .select(col("q_value").as("mad")))
     vals.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .agg(count(lit(1)).as("n"),
         max(col("median")).as("median"), max(col("mad")).as("mad"),
