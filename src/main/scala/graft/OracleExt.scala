@@ -477,6 +477,39 @@ object OracleExt {
     FROM (SELECT unnest($toks) AS term FROM documents)
     GROUP BY term ORDER BY term"""
 
+  /** Twin of TextAnalysis.vocabCoverage — the count-descending
+    * cumulative as one window over the distinct-count table, same
+    * integer ceil split of the boundary frequency group. */
+  def vocabCoverage(pcts: Seq[Int]): String = {
+    val branches = pcts.map { p =>
+      s"""
+      (SELECT CAST($p AS INTEGER) AS pct,
+             cum_nb - nb + ((($p * t.t + 99) // 100) - (cum_tok - tok)
+               + cnt - 1) // cnt AS vocab_size,
+             cum_tok - tok + (((($p * t.t + 99) // 100) - (cum_tok - tok)
+               + cnt - 1) // cnt) * cnt AS tokens_covered,
+             t.t AS total_tokens
+      FROM cum, t
+      WHERE cum_tok >= ($p * t.t + 99) // 100
+      ORDER BY cnt DESC LIMIT 1)"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest($toks) AS term FROM documents) GROUP BY term),
+    bc AS (SELECT cnt, CAST(count(*) AS BIGINT) AS nb,
+                  CAST(cnt * count(*) AS BIGINT) AS tok
+           FROM tf GROUP BY cnt),
+    cum AS (SELECT cnt, nb, tok,
+                   CAST(sum(tok) OVER w AS BIGINT) AS cum_tok,
+                   CAST(sum(nb) OVER w AS BIGINT) AS cum_nb
+            FROM bc
+            WINDOW w AS (ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING)),
+    t AS (SELECT CAST(max(cum_tok) AS BIGINT) AS t FROM cum)
+    SELECT * FROM ($branches)
+    ORDER BY pct"""
+  }
+
   val tokenCounts: String = s"""
     SELECT doc_id, CAST(len($toks) AS INTEGER) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))

@@ -336,6 +336,8 @@ object SparkEntry {
 
     // ---- §2.4 LLM-data-pipeline: documents table --------------------
     // Term frequency (wordcount with map-side partial agg)
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(docsPar(s, dir)).orderBy("pct")),
     "text_termfreq" -> ((s, dir) =>
       TextAnalysis.termFreq(docsPar(s, dir)).orderBy("term")),
     // Whitespace + BPE-ish token accounting per document
@@ -831,6 +833,7 @@ object SparkEntry {
     "corpus_stats" -> OracleExt.corpusStats,
     "topk_quantized" -> OracleExt.topkQuantized(10, 5),
     "text_termfreq" -> OracleExt.termFreq,
+    "vocab_coverage" -> OracleExt.vocabCoverage(Seq(50, 90, 99)),
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
     "quality_score" -> OracleExt.qualityScore(TextAnalysis.stopwords("en"), 3000),

@@ -456,6 +456,49 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Vocabulary-coverage curve — the tokenizer-sizing question "how
+    * many vocabulary entries cover X% of corpus tokens", answered
+    * EXACTLY without ever sorting the vocabulary globally: terms are
+    * grouped BY THEIR COUNT VALUE (distinct-count table ≪ vocab —
+    * Zipf gives O(√tokens) distinct frequencies), the cumulative
+    * token/type totals run count-descending through the shared
+    * [[Prefix.inclusiveCumsum]] (block = bit-length of the count, a
+    * monotone coarsening), and the boundary frequency group is split
+    * by integer ceil-division — terms with equal count are
+    * interchangeable for coverage, so the answer is deterministic
+    * without naming which boundary terms are "in". One row per
+    * requested percentage: the minimal vocab size, the tokens it
+    * covers, and the total. */
+  def vocabCoverage(docs: DataFrame,
+                    pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100))
+    val byCount = termFreq(docs).groupBy("cnt")
+      .agg(count(lit(1)).as("nb"))
+      .select(col("cnt"), col("nb"), (col("cnt") * col("nb")).as("tok"))
+    // count-DESCENDING cumulatives: order key = −cnt, block = −bitlen
+    val cum = graft.Caches.track(Prefix.inclusiveCumsum(
+      byCount, -length(bin(col("cnt"))).cast("long"), -col("cnt"),
+      Seq("tok" -> col("tok"), "nb" -> col("nb"))))
+    val total = broadcast(cum.agg(max(col("cum_tok")).as("__t")))
+    val rows = pcts.map { p =>
+      cum.crossJoin(total)
+        .withColumn("__need", expr(s"($p * __t + 99) div 100"))
+        .filter(col("cum_tok") >= col("__need"))
+        // first qualifying row in count-desc order = max cnt among
+        // qualifiers (cum_tok is monotone along descending cnt)
+        .sort(col("cnt").desc).limit(1)
+        .select(lit(p).as("pct"),
+          (col("cum_nb") - col("nb") +
+            expr("(__need - (cum_tok - tok) + cnt - 1) div cnt"))
+            .as("vocab_size"),
+          (col("cum_tok") - col("tok") +
+            expr("((__need - (cum_tok - tok) + cnt - 1) div cnt) * cnt"))
+            .as("tokens_covered"),
+          col("__t").as("total_tokens"))
+    }
+    rows.reduce(_.union(_))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
     * MOSS algorithm): hash every k-gram of the token stream, slide a

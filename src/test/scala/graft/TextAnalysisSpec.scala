@@ -17,6 +17,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r == Seq("hello", "world", "a"))
   }
 
+  test("vocabCoverage: minimal vocab vs a brute-force frequency walk") {
+    // Zipf-ish: "a"x8, "b"x4, "c"x4, d..g x1 -> T=20
+    val d = docs(
+      (0L, "a a a a a a a a"), (1L, "b b b b c c c c"),
+      (2L, "d e f g"))
+    val got = TextAnalysis.vocabCoverage(d, Seq(40, 50, 90, 100))
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // brute force: counts desc [8,4,4,1,1,1,1]; need=ceil(p*20/100)
+    def brute(p: Int): (Long, Long) = {
+      val cs = Seq(8L, 4L, 4L, 1L, 1L, 1L, 1L)
+      val need = (p * 20L + 99L) / 100L
+      var (cum, k) = (0L, 0L)
+      val it = cs.iterator
+      while (cum < need) { cum += it.next(); k += 1 }
+      (k, cum)
+    }
+    got.foreach { case (p, vs, tc, tot) =>
+      assert(tot == 20L)
+      assert((vs, tc) == brute(p), s"pct=$p got ($vs,$tc)")
+    }
+    // spot values: 40% -> need 8 -> 1 term; 50% -> need 10 -> 2 terms;
+    // 90% -> need 18 -> 5 terms; 100% -> all 7
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map(40 -> 1L, 50 -> 2L, 90 -> 5L, 100 -> 7L))
+  }
+
   test("termFreq counts terms across documents") {
     val r = TextAnalysis.termFreq(docs((0L, "a b a"), (1L, "b c")))
       .as[(String, Long)].collect().toMap
