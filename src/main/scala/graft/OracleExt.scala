@@ -264,6 +264,37 @@ object OracleExt {
     ORDER BY event_id"""
   }
 
+  /** Twin of Events.funnelLag — the same three-phase chain; the
+    * empirical p50/p90 as single-window rank-selects over the gap
+    * counts. */
+  val funnelLag: String = """
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+                 AND epoch_us(e.ts) <= s1.t1 + 21600000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+                 AND epoch_us(e.ts) <= s2.t2 + 21600000000
+           GROUP BY e.user_id),
+    gaps AS (SELECT s3.t3 - s1.t1 AS gap_us
+             FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+    c AS (SELECT gap_us, CAST(count(*) AS BIGINT) AS n
+          FROM gaps GROUP BY 1),
+    cum AS (SELECT gap_us, CAST(sum(n) OVER (ORDER BY gap_us
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn FROM c),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    p50 AS (SELECT min(gap_us) AS v FROM cum, t
+            WHERE cn * 100 >= total * 50),
+    p90 AS (SELECT min(gap_us) AS v FROM cum, t
+            WHERE cn * 100 >= total * 90)
+    SELECT t.total AS n_converted, p50.v AS p50_gap_us,
+           p90.v AS p90_gap_us
+    FROM t, p50, p90"""
+
   /** Twin of Events.funnelLevels (6 h step window, strict ordering):
     * the same three earliest-qualifying-step phases in integer µs. */
   val funnelLevels: String = """

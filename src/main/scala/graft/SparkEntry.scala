@@ -260,6 +260,10 @@ object SparkEntry {
     "rate_anomaly" -> ((s, dir) =>
       Events.rateAnomaly(LogSource.readEvents(s, dir))
         .orderBy("window_start", "event_type")),
+    // Conversion-time p50/p90 through the whole funnel chain
+    "funnel_lag" -> ((s, dir) =>
+      Events.funnelLag(LogSource.readEvents(s, dir))
+        .orderBy("n_converted")), // 1 row; satisfies the order contract
     // Per-user Markov transition matrix (ppm row-normalized)
     "transition_matrix" -> ((s, dir) =>
       Events.transitionMatrix(LogSource.readEvents(s, dir))
@@ -791,6 +795,7 @@ object SparkEntry {
     "rate_anomaly" -> OracleExt.rateAnomaly,
     "cusum_changepoint" -> OracleExt.cusumChangepoints(5),
     "transition_matrix" -> OracleExt.transitionMatrix,
+    "funnel_lag" -> OracleExt.funnelLag,
     "data_profile" -> OracleExt.dataProfile,
     "ks_drift" -> OracleExt.ksDrift("click", "error"),
     "mad_outliers" -> OracleExt.madOutliers("purchase", 3),

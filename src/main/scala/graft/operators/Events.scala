@@ -282,9 +282,13 @@ object Events {
     * ONE timestamp, never the history (the collect_list funnel is the
     * unbounded-buffer anti-pattern this shape exists to avoid).
     * Timestamps are compared in integer epoch-µs. */
-  def funnelLevels(events: DataFrame,
-                   steps: Seq[String] = Seq("view", "click", "purchase"),
-                   windowUs: Long = 6L * 3600 * 1000000): DataFrame = {
+  /** Per-step earliest-qualifying times (the shared funnel chain):
+    * element k is (user_id, t) for users reaching step k, t the
+    * earliest time step k qualified given step k−1's anchor.
+    * [[funnelLevels]] (levels) and [[funnelLag]] (conversion-time
+    * distribution) both compose this. */
+  private def funnelStepTimes(events: DataFrame, steps: Seq[String],
+                              windowUs: Long): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val ev = events.select(col("user_id"), col("event_type"),
       expr("unix_micros(ts)").as("us"))
@@ -293,13 +297,21 @@ object Events {
     // scanLeft: step k+1's earliest qualifying event anchors on step
     // k's earliest time — the same per-step join/agg the 3-step form
     // hand-unrolled, identical plan for the default steps
-    val stepTimes = steps.tail.scanLeft(first) { (prev, step) =>
+    steps.tail.scanLeft(first) { (prev, step) =>
       ev.filter(col("event_type") === step).as("e")
         .join(prev.as("p"), col("e.user_id") === col("p.user_id")
           && col("e.us") > col("p.t")
           && col("e.us") <= col("p.t") + windowUs)
         .groupBy(col("e.user_id")).agg(min("us").as("t"))
     }
+  }
+
+  def funnelLevels(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
+                   windowUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"))
+    val stepTimes = funnelStepTimes(events, steps, windowUs)
     val joined = stepTimes.zipWithIndex.foldLeft(
         ev.select("user_id").distinct()) { case (acc, (s, i)) =>
       acc.join(s.select(col("user_id"), lit(1L).as(s"__l${i + 1}")),
@@ -311,6 +323,31 @@ object Events {
       w.when(col(s"__l${n - d}").isNotNull, (n - d).toLong)
     }.otherwise(0L)
     joined.select(col("user_id"), level.as("funnel_level"))
+  }
+
+  /** Conversion-TIME distribution through the whole funnel — "how long
+    * does view→purchase take for the users who make it": per
+    * converting user the µs gap between the first-step anchor and the
+    * last step's earliest qualifying time, summarized as the exact
+    * empirical p50/p90 via [[Prefix.rankSelect]] (minute blocks).
+    * Converters and their two times come from the SAME
+    * [[funnelStepTimes]] chain the level report uses, so the two
+    * queries can never disagree about who converted. One row out. */
+  def funnelLag(events: DataFrame,
+                steps: Seq[String] = Seq("view", "click", "purchase"),
+                windowUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    val times = funnelStepTimes(events, steps, windowUs)
+    val gaps = times.last.select(col("user_id"), col("t").as("__tl"))
+      .join(times.head.select(col("user_id"), col("t").as("__tf")),
+        "user_id")
+      .select((col("__tl") - col("__tf")).as("gap_us"))
+    val counts = gaps.groupBy("gap_us").agg(count(lit(1)).as("n"))
+    val blk = (v: Column) => floor(v / lit(60000000d)).cast("long")
+    val p50 = Prefix.rankSelect(counts, col("gap_us"), col("n"), blk, 50)
+    val p90 = Prefix.rankSelect(counts, col("gap_us"), col("n"), blk, 90)
+    p50.select(col("q_total").as("n_converted"),
+        col("q_value").as("p50_gap_us"))
+      .crossJoin(broadcast(p90.select(col("q_value").as("p90_gap_us"))))
   }
 
   /** Cohort retention: users bucketed by their FIRST-activity day, then

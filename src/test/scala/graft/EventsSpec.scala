@@ -144,6 +144,26 @@ class EventsSpec extends SparkTestBase {
       2L -> ((1.0, 1L)), -1L -> ((-0.5, 1L))))
   }
 
+  test("funnelLag: p50/p90 conversion gaps; converters match funnelLevels") {
+    def u(uid: Long, base: String, gapSec: Long, ids: Long) = Seq(
+      (ids, uid, "view", ts(base)),
+      (ids + 1, uid, "click", ts("2024-01-01T10:00:30Z")),
+      (ids + 2, uid, "purchase",
+        new java.sql.Timestamp(ts(base).getTime + gapSec * 1000)))
+    // converters with view->purchase gaps 60s, 120s, 300s; u4 stalls
+    val ev = (u(1L, "2024-01-01T10:00:00Z", 60L, 10L) ++
+      u(2L, "2024-01-01T10:00:00Z", 120L, 20L) ++
+      u(3L, "2024-01-01T10:00:00Z", 300L, 30L) ++
+      Seq((40L, 4L, "view", ts("2024-01-01T10:00:00Z"))))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.funnelLag(ev)
+      .as[(Long, Long, Long)].head()
+    assert(r == ((3L, 120000000L, 300000000L)), s"got $r")
+    val nLvl3 = Events.funnelLevels(ev)
+      .filter(col("funnel_level") === 3L).count()
+    assert(nLvl3 == r._1, "lag and levels must agree on who converted")
+  }
+
   test("transitionMatrix: per-user consecutive pairs, ppm row-normalized") {
     // u1: a->b->a ; u2: a->b ; u3: c (no transition)
     val ev = Seq(
