@@ -442,6 +442,13 @@ object SparkEntry {
       graft.sources.JsonlSource.writeJsonl(LogSource.readEvents(s, dir), path)
       graft.sources.JsonlSource.readJsonl(s, path).orderBy("event_id")
     }),
+    // CSV interchange round-trip: RFC 4180 quoting, explicit NULL token
+    "csv_roundtrip" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val path = s"/tmp/graft_csv_$tag"
+      graft.sources.CsvSource.writeCsv(LogSource.readEvents(s, dir), path)
+      graft.sources.CsvSource.readCsv(s, path).orderBy("event_id")
+    }),
     // Canonical text normalization: strip/NFC/lower/collapse/trim with
     // planted decomposed-unicode + control-char positives
     "text_normalize" -> ((s, dir) =>
@@ -827,6 +834,10 @@ object SparkEntry {
     "assoc_rules" -> OracleExt.assocRules(1L),
     "url_parse" -> OracleExt.urlParse,
     "jsonl_roundtrip" -> """
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             value, props
+      FROM events ORDER BY event_id""",
+    "csv_roundtrip" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
              value, props
       FROM events ORDER BY event_id""",
