@@ -182,6 +182,25 @@ object OracleExt {
   /** Twin of Events.rateAnomaly (hourly windows, 200% threshold).
     * sum(BIGINT) is HUGEINT in DuckDB — CAST back to BIGINT before it
     * reaches arithmetic or output (the pack_sequences lesson). */
+  /** Twin of Events.topPaths — same ordering key, conditional-agg
+    * pivot, skip-null concat_ws. */
+  def topPaths(pathLen: Int, topN: Int): String = {
+    val cases = (1 to pathLen).map(i =>
+      s"max(CASE WHEN rn = $i THEN event_type END)").mkString(", ")
+    s"""
+    WITH r AS (SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS rn
+               FROM events),
+    p AS (SELECT user_id, concat_ws('>', $cases) AS path
+          FROM r WHERE rn <= $pathLen GROUP BY user_id),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM p)
+    SELECT path, CAST(count(*) AS BIGINT) AS n,
+           (1000000 * CAST(count(*) AS BIGINT)) // t.total AS share_ppm
+    FROM p, t GROUP BY path, t.total
+    ORDER BY n DESC, path LIMIT $topN"""
+  }
+
   /** Twin of Events.transitionMatrix — same µs-truncated ordering key
     * + event_id tie-break (ns-precision ordering would diverge). */
   val transitionMatrix: String = """

@@ -264,6 +264,10 @@ object SparkEntry {
     "funnel_lag" -> ((s, dir) =>
       Events.funnelLag(LogSource.readEvents(s, dir))
         .orderBy("n_converted")), // 1 row; satisfies the order contract
+    // Top first-3-event user journeys with corpus share
+    "top_paths" -> ((s, dir) =>
+      Events.topPaths(LogSource.readEvents(s, dir))
+        .orderBy(col("n").desc, col("path"))),
     // Per-user Markov transition matrix (ppm row-normalized)
     "transition_matrix" -> ((s, dir) =>
       Events.transitionMatrix(LogSource.readEvents(s, dir))
@@ -803,6 +807,7 @@ object SparkEntry {
     "cusum_changepoint" -> OracleExt.cusumChangepoints(5),
     "transition_matrix" -> OracleExt.transitionMatrix,
     "funnel_lag" -> OracleExt.funnelLag,
+    "top_paths" -> OracleExt.topPaths(3, 20),
     "data_profile" -> OracleExt.dataProfile,
     "ks_drift" -> OracleExt.ksDrift("click", "error"),
     "mad_outliers" -> OracleExt.madOutliers("purchase", 3),

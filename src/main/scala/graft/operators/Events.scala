@@ -414,6 +414,40 @@ object Events {
     * rate_milli = 1000 × n / mean stays in BIGINT arithmetic (the mean
     * is never materialized as a double): n × n_windows × 1000 at
     * worst ~1e9 × 1e5 × 1e3 needs the full i64 but fits. */
+  /** Top user-journey prefixes: each user's first `pathLen` event
+    * types joined as "a>b>c", counted and share-ranked — the
+    * onboarding-flow question [[transitionMatrix]]'s one-step view
+    * can't answer (a>b then b>c popular separately ≠ a>b>c popular
+    * jointly). No collect_list: the prefix pivots out of the
+    * rank-filtered rows with conditional aggregates, so the per-group
+    * state is `pathLen` scalars; row_number ≤ k keeps Spark's
+    * map-side WindowGroupLimit pruning. Ordering key (epoch-µs,
+    * event_id) as in [[transitionMatrix]]. Short journeys keep their
+    * short path (concat_ws skips absent steps identically in both
+    * engines). */
+  def topPaths(events: DataFrame, pathLen: Int = 3,
+               topN: Int = 20): DataFrame = {
+    require(pathLen >= 1 && topN >= 1)
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val stepCols = (1 to pathLen).map(i =>
+      max(when(col("rn") === i, col("event_type"))).as(s"__s$i"))
+    val paths = events
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= pathLen)
+      .groupBy("user_id").agg(stepCols.head, stepCols.tail: _*)
+      .select(concat_ws(">",
+        (1 to pathLen).map(i => col(s"__s$i")): _*).as("path"))
+    val total = paths.agg(count(lit(1)).as("__total"))
+    paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        expr("(1000000 * n) div __total").as("share_ppm"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences — the "what do users do next" path analysis behind
     * funnel design: for every ordered pair (from, to) of CONSECUTIVE

@@ -144,6 +144,27 @@ class EventsSpec extends SparkTestBase {
       2L -> ((1.0, 1L)), -1L -> ((-0.5, 1L))))
   }
 
+  test("topPaths: journey prefixes pivot without lists; short paths kept") {
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01T10:00:00Z")),
+      (2L, 1L, "b", ts("2024-01-01T10:01:00Z")),
+      (3L, 1L, "c", ts("2024-01-01T10:02:00Z")),
+      (4L, 1L, "d", ts("2024-01-01T10:03:00Z")), // 4th event ignored
+      (5L, 2L, "a", ts("2024-01-01T11:00:00Z")),
+      (6L, 2L, "b", ts("2024-01-01T11:01:00Z")),
+      (7L, 2L, "c", ts("2024-01-01T11:02:00Z")),
+      (8L, 3L, "a", ts("2024-01-01T12:00:00Z")))  // 1-event journey
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.topPaths(ev)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("a>b>c", 2L, 666666L), ("a", 1L, 333333L)),
+      s"got $r")
+    // the plan must keep Spark's map-side top-k pruning and no lists
+    val p = Events.topPaths(ev).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"rank filter must prune:\n$p")
+    assert(!p.contains("collect_list"), "no unbounded per-group buffers")
+  }
+
   test("funnelLag: p50/p90 conversion gaps; converters match funnelLevels") {
     def u(uid: Long, base: String, gapSec: Long, ids: Long) = Seq(
       (ids, uid, "view", ts(base)),
