@@ -567,6 +567,22 @@ object OracleExt {
            CAST(length(text) AS INTEGER) AS n_chars
     FROM documents ORDER BY doc_id"""
 
+  /** Twin of TextAnalysis.langConfusion — the langId twin joined back
+    * to the declared label and aggregated. */
+  def langConfusion(stop: Map[String, Seq[String]]): String = s"""
+    WITH pred AS (${langId(stop).replace("ORDER BY doc_id", "")}),
+    pairs AS (SELECT d.lang AS declared, p.pred_lang AS detected,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+              GROUP BY 1, 2),
+    totals AS (SELECT declared, CAST(sum(n) AS BIGINT) AS rt
+               FROM pairs GROUP BY 1)
+    SELECT p.declared, p.detected, p.n,
+           (1000000 * p.n) // t.rt AS share_ppm,
+           p.declared <> p.detected AS mismatch
+    FROM pairs p JOIN totals t ON p.declared = t.declared
+    ORDER BY p.declared, p.detected"""
+
   def langId(stop: Map[String, Seq[String]]): String = s"""
     SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
            CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'

@@ -344,6 +344,9 @@ object SparkEntry {
 
     // ---- §2.4 LLM-data-pipeline: documents table --------------------
     // Term frequency (wordcount with map-side partial agg)
+    "lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(docsPar(s, dir))
+        .orderBy("declared", "detected")),
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(docsPar(s, dir)).orderBy("pct")),
     "text_termfreq" -> ((s, dir) =>
@@ -857,6 +860,7 @@ object SparkEntry {
     "vocab_coverage" -> OracleExt.vocabCoverage(Seq(50, 90, 99)),
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
+    "lang_confusion" -> OracleExt.langConfusion(TextAnalysis.stopwords),
     "quality_score" -> OracleExt.qualityScore(TextAnalysis.stopwords("en"), 3000),
     "doc_fingerprint" -> OracleExt.fingerprints,
     "multimodal_features" -> OracleExt.multimodalFeatures,

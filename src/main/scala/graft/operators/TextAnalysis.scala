@@ -75,6 +75,26 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
+  /** Declared-vs-detected language confusion matrix — the audit run
+    * before trusting EITHER label: per (declared, detected) pair the
+    * doc count and its ppm share of the declared language's rows. A
+    * high-mismatch declared language means its metadata lies (or the
+    * detector's stopword lists miss it: 'und' rows are the detector
+    * abstaining). Composes [[langId]]; vocab²-sized aggregate with a
+    * broadcast row-total join. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val pairs = langId(docs)
+      .join(docs.select(col("doc_id"), col("lang").as("declared")),
+        "doc_id")
+      .groupBy(col("declared"), col("pred_lang").as("detected"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("declared").agg(sum("n").as("__rt"))
+    pairs.join(broadcast(totals), "declared")
+      .select(col("declared"), col("detected"), col("n"),
+        expr("(1000000 * n) div __rt").as("share_ppm"),
+        (col("declared") =!= col("detected")).as("mismatch"))
+  }
+
   /** Integer quality score: rewards length (capped) and stopword
     * density, penalizes punctuation noise. Integer-only so the oracle is
     * bit-exact; `keep` is the pipeline's filter verdict. */

@@ -17,6 +17,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r == Seq("hello", "world", "a"))
   }
 
+  test("langConfusion: confusion cells, row shares, und abstention") {
+    val d = Seq(
+      (1L, "the quick fox is in the den", "en"),  // en detected, en declared
+      (2L, "el la de y que un", "en"),            // es detected, en declared
+      (3L, "xyzzy plugh qwert", "de"))            // und: no stopword hits
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langConfusion(d)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    assert(r == Map(
+      ("en", "en") -> ((1L, 500000L, false)),
+      ("en", "es") -> ((1L, 500000L, true)),
+      ("de", "und") -> ((1L, 1000000L, true))))
+  }
+
   test("vocabCoverage: minimal vocab vs a brute-force frequency walk") {
     // Zipf-ish: "a"x8, "b"x4, "c"x4, d..g x1 -> T=20
     val d = docs(
