@@ -739,6 +739,28 @@ object OracleExt {
            AND a.doc_id < b.doc_id)
     ORDER BY d.doc_id"""
 
+  /** Twin of Curation.sourceQuality — both scoring twins composed as
+    * CTEs, |sources|-row dashboard; DuckDB // floors, matching the
+    * Spark side's pmod floor-division for possibly-negative sums. */
+  def sourceQuality(enStop: Seq[String], threshold: Long,
+                    reqStop: Seq[String], minWords: Long,
+                    maxWords: Long): String = s"""
+    WITH q AS (${qualityScore(enStop, threshold)
+      .replace("ORDER BY doc_id", "")}),
+    g AS (${gopherRules(reqStop, minWords, maxWords)
+      .replace("ORDER BY doc_id", "")}),
+    j AS (SELECT d.source, q.score, q.keep AS qk, g.keep AS gk
+          FROM documents d
+          JOIN q ON d.doc_id = q.doc_id
+          JOIN g ON d.doc_id = g.doc_id)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(score) AS BIGINT) // count(*) AS mean_score,
+           (1000000 * CAST(sum(CASE WHEN qk THEN 1 ELSE 0 END)
+              AS BIGINT)) // count(*) AS quality_keep_ppm,
+           (1000000 * CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END)
+              AS BIGINT)) // count(*) AS gopher_keep_ppm
+    FROM j GROUP BY source ORDER BY source"""
+
   /** Twin of Curation.gopherRules: the published rule thresholds as
     * cross-multiplied BIGINT inequalities — the same integer forms the
     * Spark side computes, so the flags (not just the counters) hash

@@ -398,6 +398,10 @@ object SparkEntry {
     // Gopher rule filter (published thresholds, exact integer forms)
     "gopher_rules" -> ((s, dir) =>
       graft.operators.Curation.gopherRules(docsPar(s, dir)).orderBy("doc_id")),
+    // Per-source quality dashboard: both quality laws side by side
+    "source_quality" -> ((s, dir) =>
+      graft.operators.Curation.sourceQuality(docsPar(s, dir))
+        .orderBy("source")),
 
     // ---- §2.4 corpus partitioning & scrubbing -----------------------
     // Deterministic hash-based train/test assignment (~10% test)
@@ -829,6 +833,9 @@ object SparkEntry {
     "dedup_keeplist" -> OracleExt.dedupKeepList,
     "curation_pipeline" -> OracleExt.curation(TextAnalysis.stopwords, 3000, "en"),
     "gopher_rules" -> OracleExt.gopherRules(
+      graft.operators.Curation.gopherStopwords, 50, 100000),
+    "source_quality" -> OracleExt.sourceQuality(
+      TextAnalysis.stopwords("en"), 3000,
       graft.operators.Curation.gopherStopwords, 50, 100000),
     "train_test_split" -> OracleExt.trainTestSplit,
     "kfold_split" -> OracleExt.kfoldSplit(5),

@@ -106,4 +106,35 @@ object Curation {
           && col("r_bullet") && col("r_ellipsis") && col("r_alpha")
           && col("r_stopwords"))
   }
+
+  /** Per-source curation dashboard — the table that decides which
+    * crawl sources to up/down-weight before any expensive dedup runs:
+    * doc volume, integer mean quality score, and the keep rates of
+    * BOTH quality laws ([[TextAnalysis.qualityScore]]'s additive score
+    * and [[gopherRules]]' rule conjunction) side by side per source.
+    * Two map-only scoring passes joined on doc_id, then a
+    * |sources|-sized aggregate — the joins are doc-keyed hash joins,
+    * nothing corpus-sized is held. */
+  def sourceQuality(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("score"), col("keep").as("__qk"))
+    val g = gopherRules(docs)
+      .select(col("doc_id"), col("keep").as("__gk"))
+    docs.select(col("doc_id"), col("source"))
+      .join(q, "doc_id").join(g, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        // FLOOR division (pmod form): score sums can be negative, and
+        // Spark `div` truncates where DuckDB `//` floors — the
+        // cohortRetention lesson
+        expr("(sum(score) - pmod(sum(score), count(1))) div count(1)")
+          .as("mean_score"),
+        sum(when(col("__qk"), 1L).otherwise(0L)).as("n_quality_keep"),
+        sum(when(col("__gk"), 1L).otherwise(0L)).as("n_gopher_keep"))
+      .select(col("source"), col("n_docs"), col("mean_score"),
+        expr("(1000000 * n_quality_keep) div n_docs")
+          .as("quality_keep_ppm"),
+        expr("(1000000 * n_gopher_keep) div n_docs")
+          .as("gopher_keep_ppm"))
+  }
 }

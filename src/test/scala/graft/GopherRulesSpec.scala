@@ -82,4 +82,33 @@ class GopherRulesSpec extends SparkTestBase {
     val g = flags(5, 100, "quick brown fox jumps over lazy dog today")
     assert(g._7 == false && g._8 == false && g._1 && g._2 && g._3)
   }
+
+  test("sourceQuality: per-source means and keep rates recount the two laws") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val got = graft.operators.Curation.sourceQuality(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // differential: recount from the two scoring operators directly
+    val q = graft.operators.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("score"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val g = graft.operators.Curation.gopherRules(docs)
+      .select(col("doc_id"), col("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    val bySrc = docs.select("doc_id", "source")
+      .as[(Long, String)].collect().groupBy(_._2)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val ids = ds.map(_._1)
+      val sumScore = ids.map(q(_)._2).sum
+      val floorMean = Math.floorDiv(sumScore, ids.length.toLong)
+      val (nq, ng) = (ids.count(q(_)._3).toLong, ids.count(g).toLong)
+      assert(got(src) == ((src, ids.length.toLong, floorMean,
+        1000000L * nq / ids.length, 1000000L * ng / ids.length)),
+        s"source $src mismatch: ${got(src)}")
+    }
+  }
 }
