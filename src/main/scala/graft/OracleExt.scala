@@ -1314,6 +1314,42 @@ object OracleExt {
     $clustersCte
     SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
 
+  /** Twin of Dedup.mirrorAudit — the band-join pairs lifted to source
+    * cells. */
+  val mirrorAudit: String = s"""
+    $bandsCte,
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id)
+    SELECT da.source AS source_a, db.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.doc_a) AS BIGINT) AS n_docs_a,
+           CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_b,
+           da.source <> db.source AS cross_source
+    FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+                 JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY da.source, db.source
+    ORDER BY source_a, source_b"""
+
+  /** Twin of Dedup.dedupSavings — the recursive-CTE clusters' dropped
+    * set joined back for the one-row savings case. */
+  val dedupSavings: String = s"""
+    $clustersCte,
+    dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_dropped,
+           (1000000 * CAST(sum(CASE WHEN dr.doc_id IS NOT NULL
+              THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS docs_ppm,
+           (1000000 * CAST(sum(CASE WHEN dr.doc_id IS NOT NULL
+              THEN d.n_chars ELSE 0 END) AS BIGINT))
+             // CAST(sum(d.n_chars) AS BIGINT) AS chars_ppm
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id"""
+
   /** Twin of Dedup.clusterStats: size histogram over the recursive-CTE
     * components plus the singleton difference row. */
   val clusterStats: String = s"""

@@ -551,6 +551,12 @@ object SparkEntry {
     // Cluster-size distribution incl. the singleton difference row
     "dup_cluster_stats" -> ((s, dir) =>
       Dedup.clusterStats(docsPar(s, dir)).orderBy("cluster_size")),
+    // Source-level mirror/scrape audit over the LSH pair graph
+    "mirror_audit" -> ((s, dir) =>
+      Dedup.mirrorAudit(docsPar(s, dir)).orderBy("source_a", "source_b")),
+    // One-row business case for cluster-correct dedup
+    "dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavings(docsPar(s, dir)).orderBy("n_docs")),
     // Cluster-correct canonical keep-list (transitive dup closure —
     // strictly stronger than the pairwise dedup_keeplist policy)
     "cluster_keeplist" -> ((s, dir) =>
@@ -911,6 +917,8 @@ object SparkEntry {
     "neardup_candidates" -> OracleExt.nearDupCandidates(500L),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dup_cluster_stats" -> OracleExt.clusterStats,
+    "mirror_audit" -> OracleExt.mirrorAudit,
+    "dedup_savings" -> OracleExt.dedupSavings,
     "cluster_keeplist" -> OracleExt.clusterKeepList,
     "dedup_clusters_star" -> OracleExt.dedupClusters,
     "text_exact_dedup" -> OracleExt.textExactDedup,

@@ -408,6 +408,50 @@ object Dedup {
         coalesce(col("dup"), lit(false)).as("dup"))
   }
 
+  /** Source-level mirror audit — which SOURCES near-duplicate each
+    * other: LSH candidate pairs lifted to (source_a, source_b) cells
+    * with pair counts and the distinct docs of each side involved. A
+    * heavy off-diagonal cell is a mirror/scrape relationship (drop one
+    * side wholesale instead of paying per-doc dedup); a heavy diagonal
+    * is within-source boilerplate. The pair table is the SMALL side
+    * (near-dup pairs, not the corpus): two doc-keyed hash joins
+    * attach sources, then a |sources|²-bounded aggregate. */
+  def mirrorAudit(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashPairs(docs)
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b")), "doc_b")
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("doc_a")).as("n_docs_a"),
+        count_distinct(col("doc_b")).as("n_docs_b"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+  }
+
+  /** What cluster-correct dedup would SAVE — the one-row business case
+    * computed before running the drop: docs and characters removed by
+    * the keep-lowest-canonical policy over the transitive near-dup
+    * clusters, as counts and ppm. Composes [[dedupClusters]]; the
+    * dropped set (cluster non-canonicals) is near-dup-sized, the char
+    * sums ride the doc-keyed hash join. */
+  def dedupSavings(docs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val dropped = dedupClusters(docs, maxIters)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val d = docs
+      .join(dropped.withColumn("__drop", lit(1L)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(coalesce(col("__drop"), lit(0L))).as("n_dropped"),
+        sum(when(col("__drop").isNotNull, col("n_chars"))
+          .otherwise(0L)).as("chars_dropped"))
+    d.select(col("n_docs"), col("n_dropped"),
+      col("total_chars"), col("chars_dropped"),
+      expr("(1000000 * n_dropped) div n_docs").as("docs_ppm"),
+      expr("(1000000 * chars_dropped) div total_chars").as("chars_ppm"))
+  }
+
   /** MinHash estimator quality evaluation — the measurement that
     * justifies (or indicts) running dedup off the 16-lane estimate:
     * over ALL banded candidate pairs, score the estimate against the

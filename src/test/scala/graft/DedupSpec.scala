@@ -127,6 +127,34 @@ class DedupSpec extends SparkTestBase {
     assert(r == Seq((1L, 2L, 3L, 3L, 3L)))
   }
 
+  test("mirrorAudit: cross-source mirror cell vs within-source boilerplate") {
+    val txt = "the quick brown fox jumps over the lazy dog again today"
+    val txt2 = "pack my box with five dozen liquor jugs right now then"
+    val d = Seq(
+      (1L, txt, "en", "srcA"), (2L, txt, "en", "srcB"),   // A mirrors B
+      (3L, txt2, "en", "srcC"), (4L, txt2, "en", "srcC"), // C boilerplate
+      (5L, "completely different words about catalyst", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.mirrorAudit(d)
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6))).toMap
+    assert(r == Map(
+      ("srcA", "srcB") -> ((1L, 1L, 1L, true)),
+      ("srcC", "srcC") -> ((1L, 1L, 1L, false))))
+  }
+
+  test("dedupSavings: counts and chars of the cluster non-canonicals") {
+    val txt = "the quick brown fox jumps over the lazy dog again today"
+    val d = Seq(
+      (1L, txt, "en", "s", 10L), (2L, txt, "en", "s", 30L),
+      (3L, "other words entirely here about tungsten", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.dedupSavings(d)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // cluster {1,2}: canonical 1, dropped 2 (30 chars of 100 total)
+    assert(r == ((3L, 1L, 100L, 30L, 333333L, 300000L)), s"got $r")
+  }
+
   test("minhashEval: confusion row equals recomputation from the pair table") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog today ok"),
