@@ -1048,6 +1048,27 @@ object OracleExt {
            text_norm != text AS changed
     FROM n ORDER BY doc_id"""
 
+  /** Twin of Scrub.decontaminateWeighted — same whole-bit rarity law
+    * (bin is unpadded in both engines). */
+  val decontaminateWeighted: String = s"""
+    WITH $shingleCte,
+    corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh
+               WHERE doc_id % 100 <> 0),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+          FROM corpus),
+    df AS (SELECT s, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM corpus GROUP BY s),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+              WHERE doc_id % 100 = 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+           CAST(sum(length(bin(n.n // df.df)) - 1) AS BIGINT)
+             AS shared_bits
+    FROM corpus c JOIN bench b ON c.s = b.s
+         JOIN df ON c.s = df.s CROSS JOIN n
+    GROUP BY c.doc_id
+    HAVING CAST(sum(length(bin(n.n // df.df)) - 1) AS BIGINT) >= 8
+    ORDER BY doc_id"""
+
   /** Twin of Scrub.decontaminate (benchmark = doc_id % 100 = 0,
     * minShared 2). */
   val decontaminate: String = s"""

@@ -473,6 +473,13 @@ object SparkEntry {
           d.filter(col("doc_id") % 100 === 0))
         .orderBy("doc_id")
     }),
+    // IDF-weighted contamination: rarity-scored shared shingles
+    "decontam_weighted" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Scrub.decontaminateWeighted(d.filter(col("doc_id") % 100 =!= 0),
+          d.filter(col("doc_id") % 100 === 0))
+        .orderBy("doc_id")
+    }),
     // Token-budget packing via two-phase distributed prefix sum
     "pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(docsPar(s, dir)).orderBy("doc_id")),
@@ -863,6 +870,7 @@ object SparkEntry {
              value, props
       FROM events ORDER BY event_id""",
     "decontaminate" -> OracleExt.decontaminate,
+    "decontam_weighted" -> OracleExt.decontaminateWeighted,
     "pack_sequences" -> OracleExt.packSequences(2048L),
     "pack_fill" -> OracleExt.packFill(2048L),
     "temporal_split" -> OracleExt.temporalSplit(80),

@@ -73,6 +73,36 @@ object Scrub {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** IDF-weighted decontamination — [[decontaminate]]'s raw shared-
+    * shingle count treats "the quick brown" and a rare 3-gram of an
+    * eval answer as equal evidence; here each shared shingle scores
+    * its corpus rarity in WHOLE BITS, floor(log2(N/df)) computed as
+    * `length(bin(N div df)) − 1` (the unigram_surprisal discipline —
+    * exact integer, no transcendental crosses the oracle), so one
+    * verbatim rare passage outweighs any amount of common-phrase
+    * overlap. Scale shape unchanged from decontaminate: benchmark
+    * shingles broadcast, corpus-side map joins + per-doc aggregate;
+    * the df table adds ONE aggregate over the exploded corpus
+    * shingles (vocab-sized, broadcast-joined to the matches). */
+  def decontaminateWeighted(docs: DataFrame, benchmark: DataFrame,
+                            minBits: Long = 8L): DataFrame = {
+    val corpusSh = graft.Caches.track(Dedup.withShingles(docs)
+      .select(col("doc_id"), explode(col("__sh")).as("sh")))
+    val n = corpusSh.agg(count_distinct(col("doc_id")).as("__n"))
+    val df = corpusSh.groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("__df"))
+    val benchSh = Dedup.withShingles(benchmark)
+      .select(explode(col("__sh")).as("sh")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("sh"))
+      .join(df, Seq("sh"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        (length(bin(expr("__n div __df"))) - 1).cast("long").as("__b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"), sum("__b").as("shared_bits"))
+      .filter(col("shared_bits") >= minBits)
+  }
+
   /** Deterministically append DENORMALIZED unicode + control characters
     * to every 13th doc (combining-accent "café"/"naïve", a tab, a BEL)
     * — the documents fixture is pure ASCII, where NFC is the identity,

@@ -65,6 +65,31 @@ class ScrubSpec extends SparkTestBase {
       "corpus-side shuffle of exploded shingles must not pay a join shuffle")
   }
 
+  test("decontaminateWeighted: one rare passage outweighs common-phrase overlap") {
+    // benchmark carries a rare 4-word passage AND a common phrase.
+    // doc 1 shares only the common phrase (df=9 of 10 docs -> ~0 bits
+    // per shingle); doc 2 shares the rare passage (df=1 -> log2(10)=3
+    // bits per shingle). With minBits=5, only doc 2 flags.
+    val common = "the quick brown fox"
+    val rare = "zyzzyva quine fermion haiku"
+    val filler = (1 to 8).map(i => (i.toLong, s"$common filler$i words here"))
+    val docs = (filler ++ Seq(
+      (9L, s"$common and some other padding text"),
+      (10L, s"prefix words $rare suffix words")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$common $rare")).toDF("doc_id", "text")
+    val flagged = Scrub.decontaminateWeighted(docs, bench, minBits = 5L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(flagged.contains(10L), "rare-passage doc must flag")
+    assert(!flagged.contains(9L) && !flagged.exists(_._1 <= 8L),
+      s"common-phrase docs must stay under the bits floor: $flagged")
+    // raw-count decontaminate at the same shingle overlap CAN'T tell
+    // them apart: doc 9 and doc 10 both share 2 shingles with bench
+    val raw = Scrub.decontaminate(docs, bench, minShared = 2)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(raw.contains(9L) == raw.contains(10L) || raw.contains(10L))
+  }
+
   test("NfcNormalizeExpr: combining sequences compose exactly as java.text.Normalizer") {
     val samples = Seq(
       "café",            // e + combining acute -> é
