@@ -567,6 +567,30 @@ object OracleExt {
            CAST(length(text) AS INTEGER) AS n_chars
     FROM documents ORDER BY doc_id"""
 
+  /** Twin of TextAnalysis.charProfile — same strip-count classes and
+    * residual-other arithmetic. */
+  val charProfile: String = """
+    WITH c AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text,
+               '[A-Za-z]', '', 'g')) AS BIGINT) AS a,
+             CAST(length(text) - length(regexp_replace(text,
+               '[0-9]', '', 'g')) AS BIGINT) AS d,
+             CAST(length(text) - length(regexp_replace(text,
+               '[ ]', '', 'g')) AS BIGINT) AS s,
+             CAST(length(text) - length(regexp_replace(text,
+               '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS x,
+             greatest(CAST(length(text) AS BIGINT), 1) AS n
+      FROM documents)
+    SELECT doc_id, n_chars,
+           (1000000 * a) // n AS alpha_ppm,
+           (1000000 * d) // n AS digit_ppm,
+           (1000000 * s) // n AS space_ppm,
+           (1000000 * x) // n AS nonascii_ppm,
+           1000000 - (1000000 * a) // n - (1000000 * d) // n
+             - (1000000 * s) // n - (1000000 * x) // n AS other_ppm
+    FROM c ORDER BY doc_id"""
+
   /** Twin of TextAnalysis.langConfusion — the langId twin joined back
     * to the declared label and aggregated. */
   def langConfusion(stop: Map[String, Seq[String]]): String = s"""

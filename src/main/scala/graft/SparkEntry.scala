@@ -344,6 +344,8 @@ object SparkEntry {
 
     // ---- §2.4 LLM-data-pipeline: documents table --------------------
     // Term frequency (wordcount with map-side partial agg)
+    "char_profile" -> ((s, dir) =>
+      TextAnalysis.charProfile(docsPar(s, dir)).orderBy("doc_id")),
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(docsPar(s, dir))
         .orderBy("declared", "detected")),
@@ -882,6 +884,7 @@ object SparkEntry {
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
     "lang_confusion" -> OracleExt.langConfusion(TextAnalysis.stopwords),
+    "char_profile" -> OracleExt.charProfile,
     "quality_score" -> OracleExt.qualityScore(TextAnalysis.stopwords("en"), 3000),
     "doc_fingerprint" -> OracleExt.fingerprints,
     "multimodal_features" -> OracleExt.multimodalFeatures,

@@ -75,6 +75,31 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
+  /** Per-document character-class composition in exact ppm — the
+    * cheapest corpus-health signal there is (a binary blob mislabeled
+    * as text shows up as non-ASCII/"other" ppm before any tokenizer
+    * runs; a table dump shows as digit-heavy). Counts are
+    * length-minus-stripped with RE2-portable classes; pure codegen'd
+    * projection, no shuffle. `other` = 1e6 − the named classes, so
+    * rows always sum exactly. */
+  def charProfile(docs: DataFrame): DataFrame = {
+    def cnt(cls: String) = (length(col("text")) -
+      length(regexp_replace(col("text"), cls, ""))).cast("long")
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").as("__a"), cnt("[0-9]").as("__d"),
+        cnt("[ ]").as("__s"), cnt("[^\\x00-\\x7F]").as("__x"))
+      .withColumn("__n", greatest(col("n_chars"), lit(1L)))
+      .select(col("doc_id"), col("n_chars"),
+        expr("(1000000 * __a) div __n").as("alpha_ppm"),
+        expr("(1000000 * __d) div __n").as("digit_ppm"),
+        expr("(1000000 * __s) div __n").as("space_ppm"),
+        expr("(1000000 * __x) div __n").as("nonascii_ppm"),
+        expr("""1000000 - (1000000 * __a) div __n
+                - (1000000 * __d) div __n - (1000000 * __s) div __n
+                - (1000000 * __x) div __n""").as("other_ppm"))
+  }
+
   /** Declared-vs-detected language confusion matrix — the audit run
     * before trusting EITHER label: per (declared, detected) pair the
     * doc count and its ppm share of the declared language's rows. A

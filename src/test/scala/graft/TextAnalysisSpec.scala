@@ -17,6 +17,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r == Seq("hello", "world", "a"))
   }
 
+  test("charProfile: exact class ppm; rows sum to 1e6; unicode counts once") {
+    val d = Seq(
+      (1L, "ab 12!é"),     // 7 cp: 2 alpha, 2 digit, 1 space, 1 other, 1 nonascii
+      (2L, ""))            // empty: all zero, other absorbs the full 1e6
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.charProfile(d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    val (_, n, a, dg, sp, na, ot) = r(1L)
+    assert(n == 7L)
+    assert(a == 1000000L * 2 / 7 && dg == a && sp == 1000000L / 7)
+    assert(na == 1000000L / 7)
+    assert(a + dg + sp + na + ot == 1000000L, "classes must sum exactly")
+    assert(r(2L) == ((2L, 0L, 0L, 0L, 0L, 0L, 1000000L)))
+  }
+
   test("langConfusion: confusion cells, row shares, und abstention") {
     val d = Seq(
       (1L, "the quick fox is in the den", "en"),  // en detected, en declared
