@@ -64,6 +64,15 @@ object Bench {
 
     // warmup pass (untimed)
     SparkEntry.queries.foreach { case (_, fn) => timeOnce(fn) }
+    // settle the warmup boundary: the heap is full of warmup garbage and
+    // the first probe after the pass reliably catches the collection
+    // (r11: calib[0]=0.35 vs 0.077 median on a quiet host, stamping the
+    // artifact contaminated with zero actual co-tenant load). One
+    // explicit GC + one DISCARDED calibration probe puts the boundary
+    // cost outside the timed window; the 16+ timed points that follow
+    // keep their full sensitivity to genuine external load.
+    System.gc()
+    calibOnce()
     val t0Wall = System.nanoTime()
 
     // per-query min AND [min, median, max]: a contended host shows up

@@ -50,11 +50,17 @@ class VerifyOrderSpec extends SparkTestBase {
         val keyNames = Verify.topSortKeys(df.queryExecution.analyzed)
           .map(_.child.asInstanceOf[AttributeReference].name)
         // reserved alias: a query output column named "n" (pmi_phrases)
-        // must not collide with the harness's own aggregate
+        // must not collide with the harness's own aggregate.
+        // coalesce: max over an EMPTY aggregate is NULL — an empty query
+        // result trivially has no unstable ties, but it deserves its own
+        // readable failure (a 0-row gated query at sf0.001 is almost
+        // always an upstream bug, e.g. the r10 ts-unit regression).
         val worst = df
           .groupBy(keyNames.map(col): _*)
           .agg(countDistinct(struct(df.columns.map(col): _*)).as("__tie_n"))
-          .agg(max(col("__tie_n"))).head().getLong(0)
+          .agg(coalesce(max(col("__tie_n")), lit(-1L))).head().getLong(0)
+        assert(worst != -1L,
+          s"$name: query returned 0 rows at sf0.001 — likely an upstream source/unit bug")
         assert(worst <= 1L,
           s"$name: distinct rows tie on ORDER BY ${keyNames.mkString(", ")} — driver hash unstable")
       }
