@@ -506,6 +506,49 @@ object OracleExt {
 
   // ---- documents ops (graft.operators.TextAnalysis) ------------------
 
+  /** Twin of Bpe.train — `merges` unrolled merge rounds over the word-
+    * type table. Symbols are sentinel-wrapped `chr(1)||sym||chr(2)` (see
+    * Bpe.scala for why wrapping makes plain `replace` a correct greedy
+    * merge application); the argmax tie-break is (count DESC, pattern
+    * ASC) via the same max-then-min two-step. */
+  def bpeTrain(merges: Int): String = {
+    def segs(s: String): String =
+      s"list_transform(list_filter(string_split($s, chr(2)), z -> z != ''), z -> z[2:])"
+    // MATERIALIZED CTEs: each round references its predecessor twice
+    // (argmax + merge application); DuckDB inlines plain CTEs, so the
+    // unmaterialized plan re-evaluates round i-1 per reference —
+    // exponential, exactly the blowup Bpe.train's localCheckpoint
+    // truncates on the Spark side.
+    val rounds = (0 until merges).map { i =>
+      s"""
+    p$i AS MATERIALIZED (SELECT pat, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        SELECT cnt, unnest(list_transform(syms[2:],
+          (x, j) -> chr(1) || syms[j] || chr(2) || chr(1) || x || chr(2))) AS pat
+        FROM (SELECT ${segs("s")} AS syms, cnt FROM w$i))
+      GROUP BY pat),
+    b$i AS MATERIALIZED (SELECT min(pat) AS pat, max(pc) AS pc FROM p$i
+            WHERE pc = (SELECT max(pc) FROM p$i)),
+    w${i + 1} AS MATERIALIZED (SELECT replace(s, b.pat,
+            chr(1) || replace(replace(b.pat, chr(1), ''), chr(2), '') || chr(2)) AS s,
+          cnt FROM w$i, b$i b)"""
+    }.mkString(",")
+    val outs = (0 until merges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step,
+          ${segs("pat")}[1] AS lhs,
+          ${segs("pat")}[2] AS rhs,
+          replace(replace(pat, chr(1), ''), chr(2), '') AS merged,
+          pc AS pair_count FROM b$i"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH w0 AS MATERIALIZED (
+                SELECT regexp_replace(term, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest($toks) AS term FROM documents)
+                GROUP BY term),$rounds
+    SELECT step, lhs, rhs, merged, pair_count FROM ($outs)
+    ORDER BY step"""
+  }
+
   /** Twin of TextAnalysis.tokens. */
   private def toks: String =
     "list_filter(string_split(lower(text), ' '), t -> t != '')"

@@ -391,6 +391,10 @@ object SparkEntry {
     "pmi_phrases" -> ((s, dir) =>
       TextAnalysis.pmiPhrases(docsPar(s, dir), minCount = 5L, topN = 50)
         .orderBy(col("pmi_bits").desc, col("n").desc, col("phrase"))),
+    // Distributed BPE trainer: 8 merge rounds over word types
+    "bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.train(docsPar(s, dir), merges = 8)
+        .orderBy("step")),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -911,6 +915,7 @@ object SparkEntry {
     "unigram_surprisal" -> OracleExt.unigramSurprisal(4000, 4179),
     "bigram_surprisal" -> OracleExt.bigramSurprisal,
     "pmi_phrases" -> OracleExt.pmiPhrases(5L, 50),
+    "bpe_train" -> OracleExt.bpeTrain(8),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding trainer (Sennrich et al. 2016) — the
+  * vocabulary-induction step a training-data pipeline runs before
+  * tokenizing a corpus. Classic BPE: start from characters, repeatedly
+  * merge the most frequent adjacent symbol pair.
+  *
+  * Scale shape — the reason this is 100 TB-safe: the corpus is touched
+  * in exactly ONE pass (word-type counts — explode + groupBy(term),
+  * map-side combined, the termFreq shape). Every merge round after that
+  * runs on the VOCAB-sized word-type table (≤ millions of rows at web
+  * scale, cached), and each round is one explode + count aggregate plus
+  * a 1-ROW broadcast argmax — the `mad_outliers` pattern. Nothing
+  * corpus-sized ever re-shuffles.
+  *
+  * Determinism — the reason this is oracle-twinnable (OracleExt.bpeTrain
+  * unrolls the same rounds as CTEs): segmentations are held in a
+  * sentinel-wrapped form `<L>sym<R><L>sym<R>…`, so applying
+  * a merge is a PLAIN substring replace — `replace` is left-to-right
+  * non-overlapping in both Spark and DuckDB, and the wrappers make the
+  * pair pattern unambiguous. (A space-separated form would fail twice:
+  * the pattern could straddle symbol boundaries — symbols "cx","yd"
+  * contain "x y" — and consecutive occurrences share the delimiter
+  * space, so "a b a b" merges only once.) Pair counts are integer sums
+  * of word counts; the argmax tie-breaks (count DESC, pattern ASC) via
+  * max-then-min aggregates — a total order in both engines. */
+object Bpe {
+
+  private val L = "\u0001" // symbol open sentinel
+  private val R = "\u0002" // symbol close sentinel
+
+  /** word → wrapped initial segmentation: every character becomes a
+    * wrapped single-char symbol. Portable regex subset (Java + RE2):
+    * `(.)` capture + backreference replacement. */
+  private def wrapChars(word: Column): Column =
+    regexp_replace(word, "(.)", s"$L$$1$R")
+
+  /** wrapped form → symbol array: split on the CLOSE sentinel (every
+    * cell but the trailing empty one starts with the open sentinel),
+    * drop the empty tail cell, strip each cell's leading sentinel. */
+  private def symbols(s: Column): Column =
+    transform(filter(split(s, R), x => x =!= ""),
+      x => substring(x, 2, Int.MaxValue))
+
+  /** Train `merges` BPE merge rounds over the corpus's word types.
+    * Returns one row per round: (step, lhs, rhs, merged, pair_count)
+    * where pair_count is the corpus frequency (sum of word counts) of
+    * the pair at the time of its merge. (`lhs`/`rhs`, not left/right —
+    * those are SQL keywords and the oracle twin shares column names.) */
+  def train(docs: DataFrame, merges: Int = 8): DataFrame = {
+    // ONE corpus pass: word-type counts (Zipf head absorbed map-side).
+    // Each round ends in an EAGER localCheckpoint — without lineage
+    // truncation the round-i plan embeds the round-(i-1) tree twice
+    // (once via the argmax, once via the merge application), so the
+    // final plan holds ~2^merges copies of the base subtree and
+    // Catalyst analysis alone runs for minutes. Checkpointing keeps the
+    // work distributed (vocab-sized partitions stay on executors; a
+    // production run would use checkpoint() to reliable storage for
+    // fault tolerance) and makes each round's plan O(1) deep.
+    var words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .select(wrapChars(col("term")).as("s"), col("cnt"))
+      .localCheckpoint()
+
+    val steps = (0 until merges).map { step =>
+      // adjacent pairs, re-wrapped as the replace PATTERN ("⟨x⟩⟨y⟩"),
+      // weighted by word count — a vocab-sized explode + aggregate
+      val syms = symbols(col("s"))
+      val pairs = words
+        .select(col("cnt"), explode(
+          when(size(syms) < 2, array().cast("array<string>"))
+            .otherwise(zip_with(
+              slice(syms, lit(1), size(syms) - 1),
+              slice(syms, lit(2), size(syms) - 1),
+              (x, y) => concat(lit(L), x, lit(R), lit(L), y, lit(R)))))
+          .as("pat"))
+        .groupBy("pat").agg(sum(col("cnt")).as("pc"))
+      // 1-row argmax with total-order tie-break (pc DESC, pat ASC):
+      // max count first, then min pattern among the tied — two tiny
+      // aggregates instead of a global sort
+      val maxc = pairs.agg(max(col("pc")).as("__mpc"))
+      val best = pairs.crossJoin(broadcast(maxc))
+        .filter(col("pc") === col("__mpc"))
+        .agg(min(col("pat")).as("pat"), max(col("pc")).as("pc"))
+        .select(col("pat"), col("pc"),
+          // fused replacement symbol: "⟨xy⟩"
+          concat(lit(L), translate(col("pat"), L + R, ""), lit(R))
+            .as("rep"))
+        .localCheckpoint()
+      words = words.crossJoin(broadcast(best))
+        .select(expr("replace(s, pat, rep)").as("s"), col("cnt"))
+        .localCheckpoint()
+      best.select(lit(step).cast("long").as("step"),
+        element_at(symbols(col("pat")), 1).as("lhs"),
+        element_at(symbols(col("pat")), 2).as("rhs"),
+        translate(col("pat"), L + R, "").as("merged"),
+        col("pc").as("pair_count"))
+    }
+    steps.reduce(_.union(_)).orderBy("step")
+  }
+}
