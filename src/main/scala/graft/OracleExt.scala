@@ -549,6 +549,69 @@ object OracleExt {
     ORDER BY step"""
   }
 
+  /** Twin of TextAnalysis.stutterTrim — DuckDB's lambda index and []
+    * are 1-based where Spark's are 0-based; both reference the same
+    * previous element. */
+  val stutterTrim: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+    f AS (SELECT doc_id, len(l) AS n_tokens,
+                 list_filter(l, (x, i) -> i = 1 OR x != l[i-1]) AS kept
+          FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           array_to_string(kept, ' ') AS cleaned
+    FROM f ORDER BY doc_id"""
+
+  /** Twin of TextAnalysis.trigramSurprisal — trigram instances from the
+    * indexed-lambda form (i indexes the FIRST token of each trigram in
+    * the [3:]-sliced stream); prefix totals from the trigram vocab. */
+  val trigramSurprisal: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    tg AS (SELECT doc_id,
+                  unnest(list_transform(toks[3:],
+                    (x, i) -> toks[i] || ' ' || toks[i+1] || ' ' || x)) AS t3
+           FROM t),
+    tf AS (SELECT doc_id, t3, count(*) AS tf FROM tg GROUP BY 1, 2),
+    vocab AS (SELECT t3, count(*) AS c3 FROM tg GROUP BY t3),
+    pre AS (SELECT split_part(t3, ' ', 1) || ' ' || split_part(t3, ' ', 2)
+                     AS w12,
+                   CAST(sum(c3) AS BIGINT) AS c12
+            FROM vocab GROUP BY 1),
+    bits AS (SELECT t3,
+                    CAST(length(bin(c12 // c3)) - 1 AS BIGINT) AS bi
+             FROM vocab JOIN pre
+               ON split_part(t3, ' ', 1) || ' ' || split_part(t3, ' ', 2)
+                    = w12)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           CAST((sum(tf * bi) * 1000) // sum(tf) AS BIGINT)
+             AS surprisal_milli
+    FROM tf JOIN bits USING (t3)
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Twin of TextAnalysis.zipfFit — integer sums, one IEEE divide+floor
+    * (integer division would diverge: Spark `div` truncates toward
+    * zero, DuckDB `//` floors, and the slope is negative). */
+  def zipfFit(topK: Int): String = s"""
+    WITH tf AS (SELECT term, count(*) AS cnt
+                FROM (SELECT unnest($toks) AS term FROM documents)
+                GROUP BY term),
+    top AS (SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, term) AS rank
+            FROM tf ORDER BY cnt DESC, term LIMIT $topK),
+    xy AS (SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+                  CAST(length(bin(cnt)) - 1 AS BIGINT) AS y FROM top),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+    SELECT n AS n_terms, n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den,
+           CAST(floor((n * sxy - sx * sy) * 1000000.0
+                        / (n * sxx - sx * sx)) AS BIGINT) AS slope_ppm
+    FROM s ORDER BY n_terms"""
+
   /** Twin of TextAnalysis.tokens. */
   private def toks: String =
     "list_filter(string_split(lower(text), ' '), t -> t != '')"

@@ -395,6 +395,16 @@ object SparkEntry {
     "bpe_train" -> ((s, dir) =>
       graft.operators.Bpe.train(docsPar(s, dir), merges = 8)
         .orderBy("step")),
+    // Adjacent-duplicate token scrub with before/after token budget
+    "stutter_trim" -> ((s, dir) =>
+      TextAnalysis.stutterTrim(docsPar(s, dir)).orderBy("doc_id")),
+    // Trigram-LM conditional surprisal (two words of context)
+    "trigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.trigramSurprisal(docsPar(s, dir)).orderBy("doc_id")),
+    // Zipf rank-frequency slope over the top-256 terms
+    "zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(docsPar(s, dir), topK = 256)
+        .orderBy("n_terms")),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -916,6 +926,9 @@ object SparkEntry {
     "bigram_surprisal" -> OracleExt.bigramSurprisal,
     "pmi_phrases" -> OracleExt.pmiPhrases(5L, 50),
     "bpe_train" -> OracleExt.bpeTrain(8),
+    "stutter_trim" -> OracleExt.stutterTrim,
+    "trigram_surprisal" -> OracleExt.trigramSurprisal,
+    "zipf_fit" -> OracleExt.zipfFit(256),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -579,6 +579,105 @@ object TextAnalysis {
     * (corpus-proportional, the heavy_hitters memory lesson); the
     * window form is one density-sized shuffle, no persist, no
     * self-join. */
+  /** Adjacent-duplicate token removal ("stutter trim") — the cheapest
+    * intra-document repetition scrub: OCR/scraper artifacts and template
+    * echoes commonly duplicate a word in place ("the the"), and LM
+    * training corpora drop them before tokenization. One narrow
+    * projection per doc — a single indexed filter lambda over the token
+    * array, no shuffle at all until the caller aggregates; survives any
+    * scale trivially. Emits the cleaned text plus before/after counts so
+    * downstream token budgeting sees the delta. */
+  def stutterTrim(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        // Spark lambda index is 0-based and [] is 0-based apply; the
+        // DuckDB twin's are both 1-based — same element either way
+        expr("filter(__toks, (x, i) -> i = 0 OR x != __toks[i-1])")
+          .as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("n_tokens") - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        concat_ws(" ", col("__kept")).as("cleaned"))
+
+  /** Trigram instances of a staged token array, with multiplicity —
+    * [[bigramsOfStaged]] one order up. Docs under 3 tokens yield none. */
+  private def trigramsOfStaged: Column =
+    when(size(col("__toks")) < 3, array().cast("array<string>"))
+      .otherwise(expr(
+        """zip_with(
+             zip_with(slice(__toks, 1, size(__toks) - 2),
+                      slice(__toks, 2, size(__toks) - 2),
+                      (x, y) -> concat(x, ' ', y)),
+             slice(__toks, 3, size(__toks) - 2),
+             (p, z) -> concat(p, ' ', z))"""))
+
+  /** Trigram-LM conditional surprisal — [[bigramSurprisal]] with one
+    * more word of context: each trigram (w1, w2, w3) costs
+    * floor(log2(c12' div c3)) whole bits, where c3 is the corpus count
+    * of the trigram and c12' the count of (w1, w2) as a trigram PREFIX.
+    * Sharper word-salad detection at the cost of a sparser table — the
+    * standard LM bias/variance ladder, and the last rung worth an exact
+    * integer oracle (4-grams are nearly all singletons at fixture
+    * scale). Scale shape identical to [[bigramSurprisal]]: two corpus
+    * passes, vocab-sized join frames, no global sort. */
+  def trigramSurprisal(docs: DataFrame): DataFrame = {
+    def tg(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), explode(trigramsOfStaged).as("t"))
+    val tf = tg(docs).groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val vocab = graft.Caches.track(
+      tg(docs).groupBy("t").agg(count(lit(1)).as("c3")))
+    val pre = vocab
+      .groupBy(substring_index(col("t"), " ", 2).as("w12"))
+      .agg(sum(col("c3")).as("c12"))
+    val bits = vocab
+      .join(pre, substring_index(col("t"), " ", 2) === col("w12"))
+      .select(col("t"),
+        (length(bin(expr("c12 div c3"))) - 1).cast("long").as("bi"))
+    tf.join(bits, "t")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("tf") * col("bi")).as("sum_bits"))
+      .select(col("doc_id"), col("n_trigrams"),
+        expr("(sum_bits * 1000) div n_trigrams").as("surprisal_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipf rank-frequency fit over the top-K terms: least-squares slope
+    * of floor(log2 cnt) against floor(log2 rank) — the corpus-health
+    * check that a crawl slice actually looks like natural language
+    * (healthy text sits near slope −1; templated/generated text goes
+    * flat or cliff-shaped). All-integer until the final division:
+    * whole-bit logs via length(bin(x))−1, the closed-form numerator
+    * n·Σxy − Σx·Σy and denominator n·Σxx − Σx² are exact BIGINT sums
+    * over ≤ K rows, and the only floating step is one IEEE divide +
+    * floor — bit-identical in any engine. (Integer `div` would NOT be:
+    * Spark truncates toward zero, DuckDB floors, and the slope is
+    * negative.) Scale: termFreq's single corpus pass, TakeOrdered for
+    * the top-K (never a global sort), then a 1-row aggregate over K. */
+  def zipfFit(docs: DataFrame, topK: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = termFreq(docs)
+      .orderBy(col("cnt").desc, col("term")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+      .select((length(bin(col("rank"))) - 1).cast("long").as("x"),
+        (length(bin(col("cnt"))) - 1).cast("long").as("y"))
+    top.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("long").as("n_terms"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("long")
+          .as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("long")
+          .as("den"))
+      .select(col("n_terms"), col("num"), col("den"),
+        floor(col("num") * lit(1000000.0) / col("den")).cast("long")
+          .as("slope_ppm"))
+  }
+
   def winnowFingerprints(docs: DataFrame, k: Int = 3,
                          winSize: Int = 4): DataFrame = {
     require(k >= 1 && winSize >= 1, s"k=$k winSize=$winSize")

@@ -294,4 +294,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.length == 5 && scores(5L) == 0L)
     Caches.releaseAll()
   }
+
+  test("stutterTrim: removes only ADJACENT duplicates, keeps counts") {
+    val r = TextAnalysis.stutterTrim(
+      docs((1L, "the the cat cat cat sat the"), (2L, "a b a b")))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // doc 1: 7 tokens, "the cat sat the" kept (non-adjacent "the" stays)
+    assert(r(0) == ((1L, 7L, 4L, 3L, "the cat sat the")))
+    // doc 2: alternating pattern has no adjacent dup - identity
+    assert(r(1) == ((2L, 4L, 4L, 0L, "a b a b")))
+  }
+
+  test("trigramSurprisal: repeated trigram costs 0 bits, unseen context splits") {
+    // "a b c a b c": trigrams abc, bca, cab, abc - each prefix count
+    // equals each trigram count except (a b)->c appears 2/2 = 1 -> 0 bits
+    val r = TextAnalysis.trigramSurprisal(docs((1L, "a b c a b c")))
+      .as[(Long, Long, Long)].head()
+    assert(r._2 == 4L)            // 4 trigram instances
+    assert(r._3 == 0L)            // every trigram fully predicted by its prefix
+    Caches.releaseAll()
+  }
+
+  test("trigramSurprisal: docs under 3 tokens contribute no rows") {
+    val r = TextAnalysis.trigramSurprisal(
+      docs((1L, "a b"), (2L, "x y z")))
+      .as[(Long, Long, Long)].collect()
+    assert(r.map(_._1).toSeq == Seq(2L))
+    Caches.releaseAll()
+  }
+
+  test("zipfFit: perfect power-law ranks produce the expected integer sums") {
+    // counts 8,4,2,1 -> y = 3,2,1,0 at ranks 1..4 -> x = 0,1,1,2
+    // n=4 sx=4 sy=6 sxy=(0*3+1*2+1*1+2*0)=3 sxx=6
+    // num = 4*3-4*6 = -12, den = 4*6-16 = 8, slope = -1.5 -> -1500000 ppm
+    val text = Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++
+      Seq.fill(2)("w3") ++ Seq("w4")
+    val r = TextAnalysis.zipfFit(docs((1L, text.mkString(" "))), topK = 256)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((4L, -12L, 8L, -1500000L)))
+  }
 }
