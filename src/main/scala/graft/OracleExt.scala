@@ -612,6 +612,42 @@ object OracleExt {
                         / (n * sxx - sx * sx)) AS BIGINT) AS slope_ppm
     FROM s ORDER BY n_terms"""
 
+  /** Twin of LinearProbe.train — `iters` unrolled full-batch rounds.
+    * Hard-sigmoid link, fixed-point BIGINT gradient sums, identical
+    * float association everywhere (see LinearProbe.scala). */
+  def linearProbe(iters: Int, lr: Double): String = {
+    val p = "least(greatest((x0*w0 + x1*w1 + x2*w2 + x3*w3) * 0.25 + 0.5, 0.0), 1.0)"
+    def g(j: Int) =
+      s"CAST(sum(CAST(floor(((p - y) * x$j) * 1000000.0) AS BIGINT)) AS BIGINT) AS g$j"
+    def upd(j: Int) =
+      s"w.w$j - $lr * (CAST(g.g$j AS DOUBLE) / 1000000.0 / CAST(g.n AS DOUBLE)) AS w$j"
+    val rounds = (0 until iters).map { k =>
+      s"""
+    gr$k AS (SELECT count(*) AS n, ${(0 to 3).map(g).mkString(", ")}
+          FROM (SELECT f.*, $p AS p FROM f, wt$k)),
+    wt${k + 1} AS (SELECT ${(0 to 3).map(upd).mkString(", ")}
+          FROM wt$k w, gr$k g)"""
+    }.mkString(",")
+    val outs = Seq("w0" -> "bias", "w1" -> "chars_1k",
+      "w2" -> "tokens_64", "w3" -> "ttr").map { case (c, name) =>
+      s"""SELECT '$name' AS feature,
+          CAST(floor($c * 1000000.0) AS BIGINT) AS weight_micro
+          FROM wt$iters"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH f AS MATERIALIZED (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             CAST(n_chars AS DOUBLE) / 1024.0 AS x1,
+             CAST(len(l) AS DOUBLE) / 64.0 AS x2,
+             CASE WHEN len(l) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(l)) AS DOUBLE)
+                         / CAST(len(l) AS DOUBLE) END AS x3
+      FROM (SELECT $toks AS l, lang, n_chars FROM documents)),
+    wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),$rounds
+    SELECT feature, weight_micro FROM ($outs) ORDER BY feature"""
+  }
+
   /** Twin of TextAnalysis.tokens. */
   private def toks: String =
     "list_filter(string_split(lower(text), ' '), t -> t != '')"

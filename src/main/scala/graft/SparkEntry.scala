@@ -405,6 +405,10 @@ object SparkEntry {
     "zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(docsPar(s, dir), topK = 256)
         .orderBy("n_terms")),
+    // Deterministic GD linear probe (hard sigmoid, integer gradients)
+    "linear_probe" -> ((s, dir) =>
+      graft.operators.LinearProbe.train(docsPar(s, dir), iters = 3)
+        .orderBy("feature")),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -929,6 +933,7 @@ object SparkEntry {
     "stutter_trim" -> OracleExt.stutterTrim,
     "trigram_surprisal" -> OracleExt.trigramSurprisal,
     "zipf_fit" -> OracleExt.zipfFit(256),
+    "linear_probe" -> OracleExt.linearProbe(3, 0.5),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.LinearProbe
+
+/** Gates for the deterministic GD linear probe (LinearProbe.scala):
+  * a hand-computed single round, sign/direction on a separable corpus,
+  * and run-to-run determinism (the fixed-point gradient claim). */
+class LinearProbeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, Long)*) =
+    rows.toDF("doc_id", "text", "lang", "n_chars")
+
+  private def weights(rows: Array[(String, Long)]) = rows.toMap
+
+  test("one round matches the closed form") {
+    // doc1: x=(1, 1, 2/64, 1)   y=1 ; doc2: x=(1, 2, 2/64, 0.5) y=0
+    // w=0 → p=0.5 → quantized sums G=(0, 500000, 0, -250000), n=2
+    // w' = -0.5·(G/1e6/2) = (0, -0.125, 0, 0.0625)
+    val w = weights(LinearProbe.train(
+      docs((1L, "a b", "en", 1024L), (2L, "a a", "fr", 2048L)),
+      iters = 1)
+      .as[(String, Long)].collect())
+    assert(w == Map("bias" -> 0L, "chars_1k" -> -125000L,
+      "tokens_64" -> 0L, "ttr" -> 62500L))
+    Caches.releaseAll()
+  }
+
+  test("separable corpus: the discriminative feature gets the sign") {
+    // en docs are long, non-en short; everything else identical → the
+    // chars_1k weight must come out positive (longer ⇒ more en-like)
+    val d = docs(
+      (1L, "w x", "en", 4096L), (2L, "w x", "en", 4096L),
+      (3L, "w x", "fr", 512L), (4L, "w x", "de", 512L))
+    val w = weights(LinearProbe.train(d, iters = 3)
+      .as[(String, Long)].collect())
+    assert(w("chars_1k") > 0L,
+      s"expected positive chars_1k weight, got $w")
+    Caches.releaseAll()
+  }
+
+  test("training is bit-deterministic across runs") {
+    val d = docs(
+      (1L, "a b c a", "en", 100L), (2L, "d d d", "fr", 900L),
+      (3L, "e f", "en", 300L), (4L, "g g h", "zh", 700L))
+    val a = LinearProbe.train(d).as[(String, Long)].collect().toSeq
+    Caches.releaseAll()
+    val b = LinearProbe.train(d).as[(String, Long)].collect().toSeq
+    assert(a == b)
+    Caches.releaseAll()
+  }
+}
