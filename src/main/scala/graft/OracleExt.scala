@@ -612,6 +612,38 @@ object OracleExt {
                         / (n * sxx - sx * sx)) AS BIGINT) AS slope_ppm
     FROM s ORDER BY n_terms"""
 
+  /** Twin of Graph.pagerankEvents — `iters` unrolled power iterations
+    * in exact ppm integer arithmetic (positive operands, so truncating
+    * division agrees between Spark `div` and DuckDB `//`). */
+  def pagerankEvents(iters: Int): String = {
+    val rounds = (0 until iters).map { k =>
+      s"""
+    c$k AS (SELECT e.dst, CAST(sum(r.r_ppm * e.p_ppm) AS BIGINT) AS s
+          FROM r$k r JOIN edges e ON r.node = e.src GROUP BY e.dst),
+    r${k + 1} AS (SELECT n.node,
+            (850000 * (COALESCE(c.s, 0) // 1000000)) // 1000000
+              + (150000 // nc.n) AS r_ppm
+          FROM nodes n LEFT JOIN c$k c ON n.node = c.dst, nc)"""
+    }.mkString(",")
+    s"""
+    WITH pairs AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL GROUP BY 1, 2),
+    edges AS MATERIALIZED (
+      SELECT p.src, p.dst, (1000000 * p.c) // t.o AS p_ppm
+      FROM pairs p
+      JOIN (SELECT src, CAST(sum(c) AS BIGINT) AS o FROM pairs
+            GROUP BY src) t USING (src)),
+    nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+    nc AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1000000 // n AS r_ppm FROM nodes, nc),$rounds
+    SELECT node AS event_type, CAST(r_ppm AS BIGINT) AS rank_ppm
+    FROM r$iters ORDER BY event_type"""
+  }
+
   /** Twin of LinearProbe.train — `iters` unrolled full-batch rounds.
     * Hard-sigmoid link, fixed-point BIGINT gradient sums, identical
     * float association everywhere (see LinearProbe.scala). */

@@ -409,6 +409,10 @@ object SparkEntry {
     "linear_probe" -> ((s, dir) =>
       graft.operators.LinearProbe.train(docsPar(s, dir), iters = 3)
         .orderBy("feature")),
+    // Integer-ppm PageRank over the event-type transition digraph
+    "pagerank_events" -> ((s, dir) =>
+      graft.operators.Graph.pagerankEvents(LogSource.readEvents(s, dir))
+        .orderBy("event_type")),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -472,6 +476,14 @@ object SparkEntry {
       val path = s"/tmp/graft_jsonl_$tag"
       graft.sources.JsonlSource.writeJsonl(LogSource.readEvents(s, dir), path)
       graft.sources.JsonlSource.readJsonl(s, path).orderBy("event_id")
+    }),
+    // ORC interchange round-trip: columnar warehouse format, same wire
+    // schema discipline as JSONL/CSV (epoch-µs BIGINTs, no inference)
+    "orc_roundtrip" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val path = s"/tmp/graft_orc_$tag"
+      graft.sources.OrcSource.writeOrc(LogSource.readEvents(s, dir), path)
+      graft.sources.OrcSource.readOrc(s, path).orderBy("event_id")
     }),
     // CSV interchange round-trip: RFC 4180 quoting, explicit NULL token
     "csv_roundtrip" -> ((s, dir) => {
@@ -889,6 +901,10 @@ object SparkEntry {
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
              value, props
       FROM events ORDER BY event_id""",
+    "orc_roundtrip" -> """
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             value, props
+      FROM events ORDER BY event_id""",
     "decontaminate" -> OracleExt.decontaminate,
     "decontam_weighted" -> OracleExt.decontaminateWeighted,
     "pack_sequences" -> OracleExt.packSequences(2048L),
@@ -934,6 +950,7 @@ object SparkEntry {
     "trigram_surprisal" -> OracleExt.trigramSurprisal,
     "zipf_fit" -> OracleExt.zipfFit(256),
     "linear_probe" -> OracleExt.linearProbe(3, 0.5),
+    "pagerank_events" -> OracleExt.pagerankEvents(5),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

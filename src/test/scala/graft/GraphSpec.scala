@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Gates for integer-ppm PageRank (Graph.scala): the symmetric-cycle
+  * fixed point, sink-vs-source ordering, and exact ppm arithmetic on a
+  * hand-computable graph. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def events(rows: (Long, Long, Long, String)*) =
+    rows.toDF("event_id", "ts_us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+
+  test("a 2-cycle is a fixed point at exactly 500000 ppm each") {
+    // one user alternating a,b,a,b → edges a→b and b→a, both p=1.
+    // r = 0.85·0.5 + 0.15/2 = 0.5 every round — integer-exact.
+    val ev = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+      (3L, 3000L, 1L, "a"), (4L, 4000L, 1L, "b"))
+    val r = Graph.pagerankEvents(ev).orderBy("event_type")
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq("a" -> 500000L, "b" -> 500000L))
+    Caches.releaseAll()
+  }
+
+  test("a pure sink outranks its sources; sources keep teleport mass only") {
+    // two users each do a→b: a has no inbound mass after round 1, so
+    // it settles at the teleport floor 150000 div 2 = 75000
+    val ev = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+      (3L, 1000L, 2L, "a"), (4L, 2000L, 2L, "b"))
+    val r = Graph.pagerankEvents(ev)
+      .as[(String, Long)].collect().toMap
+    assert(r("a") == 75000L)
+    assert(r("b") > r("a"))
+    Caches.releaseAll()
+  }
+
+  test("rank mass is bounded by 1e6 and every node keeps the teleport floor") {
+    val ev = events(
+      (1L, 1000L, 1L, "x"), (2L, 2000L, 1L, "y"), (3L, 3000L, 1L, "z"),
+      (4L, 1000L, 2L, "y"), (5L, 2000L, 2L, "x"))
+    val r = Graph.pagerankEvents(ev).as[(String, Long)].collect()
+    assert(r.map(_._2).sum <= 1000000L, "truncation only ever leaks mass")
+    assert(r.forall(_._2 >= 150000L / 3), "teleport floor holds")
+    Caches.releaseAll()
+  }
+}
