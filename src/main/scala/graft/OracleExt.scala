@@ -644,6 +644,122 @@ object OracleExt {
     FROM r$iters ORDER BY event_type"""
   }
 
+  /** Twin of Lifecycle.activeUsers — DuckDB can afford the naive
+    * distinct-over-trailing-window join at gate scale; the Spark side's
+    * interval-merge + delta sweep must agree with it exactly. */
+  def activeUsers(wauDays: Int, mauDays: Int): String = s"""
+    WITH ud AS MATERIALIZED (
+      SELECT DISTINCT (epoch_us(ts) - (epoch_us(ts) % 86400000000))
+               // 86400000000 AS day, user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    wau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+            FROM days d JOIN ud u ON u.day BETWEEN d.day - ${wauDays - 1} AND d.day
+            GROUP BY d.day),
+    mau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+            FROM days d JOIN ud u ON u.day BETWEEN d.day - ${mauDays - 1} AND d.day
+            GROUP BY d.day)
+    SELECT d.day, dau.dau, wau.wau, mau.mau,
+           (1000000 * dau.dau) // mau.mau AS stickiness_ppm
+    FROM days d JOIN dau USING (day)
+    JOIN wau ON wau.day = d.day JOIN mau ON mau.day = d.day
+    ORDER BY d.day"""
+
+  /** Twin of Lifecycle.cdcApply — the window-function formulation of
+    * the same latest-per-key compaction (DuckDB plans it fine at gate
+    * scale; Spark avoids the per-key history sort via max(struct)). */
+  def cdcApply(tombstoneType: String): String = s"""
+    WITH ranked AS (
+      SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+             event_type AS last_type,
+             CAST(floor(value * 1000000) AS BIGINT) AS last_value_micro,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, last_us, last_event_id, last_type, last_value_micro
+    FROM ranked WHERE rn = 1 AND last_type <> ${sqlStr(tombstoneType)}
+    ORDER BY user_id"""
+
+  /** Twin of Lifecycle.scd2Intervals. */
+  val scd2Intervals: String = """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT * FROM base WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS version,
+           event_type, us AS from_us,
+           lead(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS to_us
+    FROM changes ORDER BY user_id, version"""
+
+  /** Twin of Stats.trendSlope. */
+  val trendSlope: String = """
+    WITH hourly AS (
+      SELECT event_type,
+             (epoch_us(ts) - (epoch_us(ts) % 3600000000)) // 3600000000 AS hour,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    h0 AS (SELECT min(hour) AS h0 FROM hourly),
+    pts AS (SELECT event_type, hour - h0 AS x, y FROM hourly, h0)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+           (count(*) * sum(x * y) - sum(x) * sum(y)) > 0 AS rising
+    FROM pts GROUP BY event_type ORDER BY event_type"""
+
+  /** Twin of Stats.abTest — HUGEINT lanes mirror the Spark side's
+    * DECIMAL(38,0). */
+  def abTest(convType: String): String = s"""
+    WITH conv AS (
+      SELECT user_id, user_id % 2 AS arm,
+             max(CASE WHEN event_type = ${sqlStr(convType)}
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+      FROM conv),
+    lanes AS (
+      SELECT n0, c0, n1, c1,
+             CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0 AS d
+      FROM agg),
+    l2 AS (
+      SELECT n0, c0, n1, c1,
+             CAST(1000000 AS HUGEINT) * d * d * (n0 + n1) AS num,
+             CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
+               * (n0 + n1 - c0 - c1) AS den
+      FROM lanes)
+    SELECT n0, c0, n1, c1,
+           CAST(num // NULLIF(den, 0) AS BIGINT) AS z2_ppm,
+           den > 0 AND num >= CAST(3841459 AS HUGEINT) * den AS significant
+    FROM l2 ORDER BY n0"""
+
+  /** Twin of Stats.seasonality. */
+  val seasonality: String = """
+    WITH byhod AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    pt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+                  CAST(max(cnt) AS BIGINT) AS mx
+           FROM byhod GROUP BY event_type)
+    SELECT b.event_type, b.hod, b.cnt,
+           (1000000 * b.cnt) // t.total AS share_ppm,
+           b.cnt = t.mx AS is_peak
+    FROM byhod b JOIN pt t USING (event_type)
+    ORDER BY b.event_type, b.hod"""
+
   /** Twin of LinearProbe.train — `iters` unrolled full-batch rounds.
     * Hard-sigmoid link, fixed-point BIGINT gradient sums, identical
     * float association everywhere (see LinearProbe.scala). */

@@ -413,6 +413,25 @@ object SparkEntry {
     "pagerank_events" -> ((s, dir) =>
       graft.operators.Graph.pagerankEvents(LogSource.readEvents(s, dir))
         .orderBy("event_type")),
+    // DAU/WAU/MAU via interval-merge + delta sweep (no window re-scan)
+    "active_users" -> ((s, dir) =>
+      graft.operators.Lifecycle.activeUsers(LogSource.readEvents(s, dir))),
+    // Changelog compaction: latest row per key, tombstones filtered
+    "cdc_apply" -> ((s, dir) =>
+      graft.operators.Lifecycle.cdcApply(LogSource.readEvents(s, dir))),
+    // SCD2 validity intervals over each user's event_type stream
+    "scd2_intervals" -> ((s, dir) =>
+      graft.operators.Lifecycle.scd2Intervals(LogSource.readEvents(s, dir))),
+    // Exact OLS slope of hourly counts per type (integer rational)
+    "trend_slope" -> ((s, dir) =>
+      graft.operators.Stats.trendSlope(LogSource.readEvents(s, dir))),
+    // Two-proportion z-test between user_id-parity arms (DECIMAL lanes)
+    "ab_test" -> ((s, dir) =>
+      graft.operators.Stats.abTest(LogSource.readEvents(s, dir))
+        .orderBy("n0")),
+    // Hour-of-day traffic profile with ppm share + peak flag
+    "seasonality" -> ((s, dir) =>
+      graft.operators.Stats.seasonality(LogSource.readEvents(s, dir))),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -951,6 +970,12 @@ object SparkEntry {
     "zipf_fit" -> OracleExt.zipfFit(256),
     "linear_probe" -> OracleExt.linearProbe(3, 0.5),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
+    "active_users" -> OracleExt.activeUsers(7, 30),
+    "cdc_apply" -> OracleExt.cdcApply("error"),
+    "scd2_intervals" -> OracleExt.scd2Intervals,
+    "trend_slope" -> OracleExt.trendSlope,
+    "ab_test" -> OracleExt.abTest("purchase"),
+    "seasonality" -> OracleExt.seasonality,
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inferential statistics over the event stream in exact integer
+  * lanes: OLS trend slope, a two-proportion z-test, and hour-of-day
+  * seasonality. Complements the detection family (rate_anomaly /
+  * cusum_changepoint / ks_drift) with the "is this trend/lift real"
+  * questions a data-curation dashboard asks.
+  *
+  * Discipline (shared with Profile.ksDrift / Assoc): every statistic
+  * that would normally be a float is either emitted as an exact
+  * integer numerator/denominator pair or cross-multiplied into a
+  * DECIMAL(38,0)-lane inequality, so the verdict hashes identically
+  * in any engine and survives >2^31-row inputs. */
+object Stats {
+
+  /** Per-type OLS slope of hourly event counts against the hour index
+    * — the "is traffic growing" regression, exact. x = hour - global
+    * min hour (one broadcast scalar keeps x small and shared across
+    * types), y = events in that hour; only observed (type, hour)
+    * points enter the fit, identically in both engines.
+    *
+    * slope = slope_num/slope_den with slope_num = n·Σxy − Σx·Σy and
+    * slope_den = n·Σx² − (Σx)² — emitted as the exact BIGINT pair
+    * (slope_num may be negative; integer division of negatives is
+    * where Spark `div` and DuckDB `//` part ways, so the gate hashes
+    * the rational, not a quotient). rising = slope_num > 0 (den > 0
+    * whenever ≥ 2 distinct hours).
+    *
+    * Scale shape: one (type, hour)-keyed count aggregate (map-side
+    * combined), then a vocab-sized per-type aggregate; Σ lanes stay
+    * in BIGINT up to ~4e5 hours × 2^31 events/hour. */
+  def trendSlope(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))" +
+          " div 3600000000").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("y"))
+    val minHour = hourly.agg(min(col("hour")).as("h0"))
+    hourly.crossJoin(broadcast(minHour))
+      .select(col("event_type"), (col("hour") - col("h0")).as("x"), col("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("rising", col("slope_num") > 0)
+      .orderBy("event_type")
+  }
+
+  /** Two-proportion z-test on user-level conversion between the two
+    * halves of a deterministic user_id split — the A/B readout, with
+    * the significance verdict computed entirely in integer lanes.
+    *
+    * With c/n converted/total users per arm, pooled C/N, and
+    * D = c0·n1 − c1·n0:  z² = D²·N / (n0·n1·C·(N−C)).  The gate emits
+    * z2_ppm = ⌊1e6·z²⌋ (all factors positive — floor and truncation
+    * agree) and significant = z² ≥ 3.841459 (χ²₁ at α=0.05), decided
+    * by cross-multiplication, never a float. DECIMAL(38,0) lanes
+    * (HUGEINT twin): D² alone overflows int64 past ~3e9 users/arm.
+    *
+    * Scale shape: one user-keyed aggregate (conversion flag via max),
+    * then a single conditional-sum row — nothing user-sized leaves
+    * the first shuffle. */
+  def abTest(events: DataFrame, convType: String = "purchase"): DataFrame =
+    events
+      .select(col("user_id"), pmod(col("user_id"), lit(2L)).as("arm"),
+        when(col("event_type") === convType, 1L).otherwise(0L).as("c"))
+      .groupBy("user_id", "arm").agg(max(col("c")).as("conv"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+      .withColumn("__d",
+        expr("CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0"))
+      .withColumn("__num",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * __d * __d * (n0 + n1)"))
+      .withColumn("__den",
+        expr("""CAST(n0 AS DECIMAL(38,0)) * n1 * (c0 + c1)
+                * (n0 + n1 - c0 - c1)"""))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        expr("CAST(__num div NULLIF(__den, 0) AS BIGINT)").as("z2_ppm"),
+        // den = 0 ⇔ zero or total conversion ⇔ no variance to test
+        // against — the undefined-z case reads as "not significant".
+        expr("""__den > 0
+                AND __num >= CAST(3841459 AS DECIMAL(38,0)) * __den""")
+          .as("significant"))
+
+  /** Hour-of-day seasonality profile per event type: count, ppm share
+    * of the type's traffic, and a peak-hour flag. The load-shaping
+    * input for crawl/ingest scheduling; hod = (µs div 3600e6) mod 24
+    * is pure integer arithmetic (UTC, no calendar functions — nothing
+    * timezone-dependent crosses the oracle).
+    *
+    * One (type, hod)-keyed aggregate, then per-type totals/max
+    * broadcast back — output is vocab×24-sized at any corpus size. */
+  def seasonality(events: DataFrame): DataFrame = {
+    val byHod = events
+      .select(col("event_type"),
+        pmod(expr("unix_micros(ts) div 3600000000"), lit(24L)).as("hod"))
+      .groupBy("event_type", "hod").agg(count(lit(1)).as("cnt"))
+    val perType = byHod.groupBy("event_type")
+      .agg(sum(col("cnt")).as("total"), max(col("cnt")).as("mx"))
+    byHod.join(broadcast(perType), Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("cnt"),
+        expr("(1000000 * cnt) div total").as("share_ppm"),
+        (col("cnt") === col("mx")).as("is_peak"))
+      .orderBy("event_type", "hod")
+  }
+}
