@@ -2666,6 +2666,61 @@ object OracleExt {
     WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Twin of Similarity.mutualTop1: same bucketed top-1, mutuality via
+    * the reversed-key self-join. */
+  def mutualTop1(ps: Seq[Seq[Long]]): String = s"""
+    WITH $normCte,
+    nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n),
+    t1 AS (SELECT query_id, cand_id, sim_micro FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(floor($cosSql * 1000000) AS BIGINT) AS sim_micro,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM nb q JOIN nb c
+          ON q.bucket = c.bucket AND c.vec_id != q.vec_id)
+      WHERE rank = 1)
+    SELECT x.query_id AS vec_a, x.cand_id AS vec_b, x.sim_micro
+    FROM t1 x JOIN t1 y
+      ON x.cand_id = y.query_id AND x.query_id = y.cand_id
+         AND x.query_id < x.cand_id
+    ORDER BY vec_a"""
+
+  /** Twin of Graph.triangleCount. */
+  val triangleCount: String = """
+    WITH pairs AS (
+      SELECT src, dst FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS dst
+        FROM events)
+      WHERE dst IS NOT NULL AND src <> dst),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM pairs),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS event_type FROM tri)
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** Twin of Relational.revenueByNation — per-row floor to exact cents
+    * before the sum, 30-epoch-day buckets. */
+  val revenueByNation: String = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             (epoch_us(o_orderdate) - (epoch_us(o_orderdate) % 86400000000))
+               // 86400000000 // 30 AS bucket
+      FROM orders)
+    SELECT n.n_name, o.bucket, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.bucket ORDER BY n.n_name, o.bucket"""
+
   def nearDupPairs(minSimMicro: Long, ps: Seq[Seq[Long]]): String = s"""
     WITH $normCte,
     nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n)

@@ -432,6 +432,18 @@ object SparkEntry {
     // Hour-of-day traffic profile with ppm share + peak flag
     "seasonality" -> ((s, dir) =>
       graft.operators.Stats.seasonality(LogSource.readEvents(s, dir))),
+    // Per-node triangle counts via ordered wedge join (a<b<c, found once)
+    "triangle_count" -> ((s, dir) =>
+      graft.operators.Graph.triangleCount(LogSource.readEvents(s, dir))),
+    // Star-schema revenue rollup: fact⋈fact shuffle joins + broadcast dim
+    "star_join" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.revenueByNation(R.lineitem(s, dir), R.orders(s, dir),
+        R.customer(s, dir), R.nation(s, dir))
+    }),
+    // Reciprocal top-1 neighbors within LSH buckets (bitext-mining shape)
+    "mutual_knn" -> ((s, dir) =>
+      Similarity.mutualTop1(embPar(s, dir))),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -976,6 +988,9 @@ object SparkEntry {
     "trend_slope" -> OracleExt.trendSlope,
     "ab_test" -> OracleExt.abTest("purchase"),
     "seasonality" -> OracleExt.seasonality,
+    "triangle_count" -> OracleExt.triangleCount,
+    "star_join" -> OracleExt.revenueByNation,
+    "mutual_knn" -> OracleExt.mutualTop1(Similarity.planes()),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -62,4 +62,44 @@ object Graph {
     }
     r.select(col("node").as("event_type"), col("r_ppm").as("rank_ppm"))
   }
+
+  /** Per-node triangle counts on the undirected event-type transition
+    * graph — the clustering/cohesion signal next to [[pagerankEvents]]'s
+    * centrality (triangle density is the classic spam-vs-community
+    * discriminator in link-graph curation).
+    *
+    * Algorithm: compact-forward / ordered wedge join (Latapy 2008;
+    * node-iterator family). Every undirected edge is stored once as
+    * (a < b); a triangle {a<b<c} is found EXACTLY once as wedge
+    * (a,b)+(b,c) closed by (a,c) — two equi-joins on the edge table,
+    * never a per-node neighbor explode. Per-node counts come from
+    * exploding each found triangle to its three corners (triangle-
+    * count-sized, bounded far below wedge count).
+    *
+    * Scale shape: the corpus pass is the same user-keyed lead window
+    * every transition op shares; after it the edge table is vocab²-
+    * bounded, so the wedge join's cost is independent of corpus size.
+    * On a BIG graph (edges ∝ corpus) the same two-equi-join plan is
+    * the standard distributed triangle enumeration — shuffle keyed on
+    * edge endpoints, skew-handled by the a<b<c orientation (each
+    * triangle probes its lowest-degree-ordered corner once). */
+  def triangleCount(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val edges = graft.Caches.track(events
+      .select(col("event_type").as("s"),
+        lead(col("event_type"), 1).over(w).as("d"))
+      .filter(col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct())
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("event_type")
+  }
 }

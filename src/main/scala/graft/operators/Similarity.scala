@@ -145,6 +145,43 @@ object Similarity {
         col("cand_id"), simMicro(col("sim")).as("sim_micro"))
   }
 
+  /** Reciprocal nearest neighbors within LSH buckets — pairs (a, b)
+    * where b is a's top-1 cosine neighbor AND a is b's, the mutual-NN
+    * criterion of bitext mining (Artetxe & Schwenk 2019) and
+    * agglomerative dedup: one-sided nearest-neighbor hits are mostly
+    * hubness noise, mutual hits are aligned content.
+    *
+    * EVERY vector is a query here (unlike the sampled-query top-k
+    * ops), so the all-pairs form would be O(n²) in the corpus; the
+    * bucket equi-join keeps the candidate set |data|/2^nPlanes per
+    * vector, and the mutuality check is a self-join of the top-1 table
+    * (corpus-sized, two BIGINTs per row) on the reversed key pair.
+    * Emitted once per pair (a < b) with the shared sim_micro. */
+  def mutualTop1(emb: DataFrame, ps: Seq[Seq[Long]] = planes()): DataFrame = {
+    val n = withNorm(emb).withColumn("bucket", lshBucket(col("v"), ps))
+    val q = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("norm2").as("qn"), col("bucket"))
+    val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"), col("bucket"))
+    val sim = cosine(col("qv"), col("qn"), col("cv"), col("cn"))
+    val top1 = c.join(q, Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cand_id"), simMicro(col("sim")).as("sim_micro"))
+    top1.as("x")
+      .join(top1.as("y"),
+        col("x.cand_id") === col("y.query_id")
+          && col("x.query_id") === col("y.cand_id")
+          && col("x.query_id") < col("x.cand_id"))
+      .select(col("x.query_id").as("vec_a"), col("x.cand_id").as("vec_b"),
+        col("x.sim_micro").as("sim_micro"))
+      .orderBy("vec_a")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage/
     * bandwidth move a 100 TB vector corpus makes before ANN serving
     * (4× smaller than float32, SIMD-friendly dot products). Per-vector
