@@ -1506,6 +1506,49 @@ object OracleExt {
          AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""
 
+  /** Twin of Dedup.editDistConfirm — same band-join candidates, plain
+    * Levenshtein on the same bounded prefixes. */
+  def editDistConfirm(prefixLen: Int, maxDist: Int): String = s"""
+    $bandsCte,
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+    pref AS (SELECT doc_id, substr(text, 1, $prefixLen) AS p FROM documents)
+    SELECT pr.doc_a, pr.doc_b,
+           CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist,
+           levenshtein(pa.p, pb.p) <= $maxDist AS confirmed
+    FROM pairs pr
+    JOIN pref pa ON pa.doc_id = pr.doc_a
+    JOIN pref pb ON pb.doc_id = pr.doc_b
+    ORDER BY doc_a, doc_b"""
+
+  /** Twin of Dedup.prefixDup — md5 of the first-k-token join; the key
+    * itself never crosses the oracle, only cluster membership. */
+  def prefixDup(k: Int): String = s"""
+    WITH keyed AS (
+      SELECT doc_id, md5(array_to_string(($toks)[1:$k], ' ')) AS pk
+      FROM documents),
+    groups AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_docs,
+                      min(doc_id) AS canonical_id
+               FROM keyed GROUP BY pk HAVING count(*) > 1)
+    SELECT k.doc_id, g.canonical_id, g.n_docs
+    FROM keyed k JOIN groups g USING (pk) ORDER BY doc_id"""
+
+  /** Twin of TextAnalysis.invertedIndex. */
+  def invertedIndex(minDf: Int, maxDf: Int): String = s"""
+    WITH postings AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest($toks) AS term FROM documents)),
+    dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM postings GROUP BY term
+            HAVING count(*) BETWEEN $minDf AND $maxDf)
+    SELECT p.term, d.df,
+           string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id)
+             AS postings
+    FROM postings p JOIN dfs d USING (term)
+    GROUP BY p.term, d.df ORDER BY p.term"""
+
   /** Twin of Dedup.minhashJaccardEst — lane-agreement Jaccard estimate
     * over the LSH candidate pairs (16 lanes). */
   val minhashJaccardEst: String = s"""

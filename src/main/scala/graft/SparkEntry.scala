@@ -444,6 +444,15 @@ object SparkEntry {
     // Reciprocal top-1 neighbors within LSH buckets (bitext-mining shape)
     "mutual_knn" -> ((s, dir) =>
       Similarity.mutualTop1(embPar(s, dir))),
+    // Levenshtein confirmation of LSH candidates (bounded prefixes only)
+    "editdist_confirm" -> ((s, dir) =>
+      Dedup.editDistConfirm(docsPar(s, dir))),
+    // First-k-token prefix-dup clusters with keep-lowest canonical
+    "prefix_dup" -> ((s, dir) =>
+      Dedup.prefixDup(docsPar(s, dir), k = 3)),
+    // df-banded inverted index with sorted posting strings
+    "inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(docsPar(s, dir), minDf = 2, maxDf = 380)),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -991,6 +1000,9 @@ object SparkEntry {
     "triangle_count" -> OracleExt.triangleCount,
     "star_join" -> OracleExt.revenueByNation,
     "mutual_knn" -> OracleExt.mutualTop1(Similarity.planes()),
+    "editdist_confirm" -> OracleExt.editDistConfirm(80, 40),
+    "prefix_dup" -> OracleExt.prefixDup(3),
+    "inverted_index" -> OracleExt.invertedIndex(2, 380),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -105,6 +105,55 @@ object Dedup {
   def minhashPairs(docs: DataFrame): DataFrame =
     pairsFromSigs(graft.Caches.track(signatures(docs)))
 
+  /** Edit-distance confirmation of the LSH candidate pairs — the
+    * character-level second opinion after set-based (Jaccard) tiers:
+    * token-set similarity is blind to word ORDER, so a reshuffled
+    * near-dup and a truly-close pair estimate alike; Levenshtein on a
+    * bounded prefix separates them. Cost discipline at 100 TB:
+    * Levenshtein is O(len²) per pair, so it NEVER runs corpus-wide —
+    * only on the band-join candidate list, and only on `prefixLen`
+    * characters (O(prefixLen²) constant per pair, and the join ships
+    * prefixes, not documents). Both engines' levenshtein is the plain
+    * unit-cost insert/delete/substitute distance. */
+  def editDistConfirm(docs: DataFrame, prefixLen: Int = 80,
+                      maxDist: Int = 40): DataFrame = {
+    val prefixes = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("p"))
+    minhashPairs(docs)
+      .join(prefixes.select(col("doc_id").as("doc_a"), col("p").as("pa")),
+        Seq("doc_a"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("p").as("pb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+      .withColumn("confirmed", col("edit_dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Prefix-duplicate clusters: documents whose first `k` tokens agree
+    * exactly — the cheap boilerplate/mirror detector that catches
+    * template pages and scrape echoes long before any shingle
+    * machinery runs (one md5 per doc, one groupBy). Emits one row per
+    * member of a non-trivial cluster with the keep-lowest canonical,
+    * the same keep-list contract as the LSH path.
+    *
+    * Scale shape: map-only key derivation (native tokenizer, slice,
+    * md5), one key groupBy whose output is CLUSTER-sized, and a join
+    * back that touches only clustered keys. The prefix key is text,
+    * not a 64-bit hash, so collisions are exact-prefix by
+    * construction. */
+  def prefixDup(docs: DataFrame, k: Int = 16): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(array_join(slice(TextAnalysis.tokens(col("text")), 1, k), " "))
+        .as("pk"))
+    val groups = keyed.groupBy("pk")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_docs") > 1)
+    keyed.join(groups, Seq("pk"))
+      .select(col("doc_id"), col("canonical_id"), col("n_docs"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction
     * of agreeing signature lanes is the classic unbiased estimator of
     * true Jaccard (each lane's min-hash agrees with probability J).

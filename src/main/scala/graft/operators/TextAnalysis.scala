@@ -32,6 +32,31 @@ object TextAnalysis {
     docs.select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
 
+  /** Inverted index for the df-band of DISCRIMINATIVE terms: term →
+    * sorted posting list of doc_ids, restricted to df ∈ [minDf, maxDf]
+    * (retrieval only ever posts the middle of the Zipf curve —
+    * hapaxes don't generalize, stopwords post everything).
+    *
+    * The df cap is also the SCALE contract: df is computed FIRST (a
+    * count aggregate, map-side combined), and only surviving terms
+    * join back to collect postings — so a stopword's corpus-sized
+    * posting list is never materialized anywhere, and every state the
+    * aggregate holds is ≤ maxDf entries. The list is emitted as a
+    * comma-joined sorted string (the one deterministic cross-engine
+    * rendering of a list column). */
+  def invertedIndex(docs: DataFrame, minDf: Int = 2, maxDf: Int = 400): DataFrame = {
+    val postings = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("term"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    postings.join(dfs, Seq("term"))
+      .groupBy("term", "df")
+      .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy("term")
+  }
+
   /** A BPE-ish pre-tokenizer: letter runs | digit runs | single
     * punctuation. Portable regex subset (works in Java regex and RE2). */
   val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"

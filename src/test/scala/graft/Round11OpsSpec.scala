@@ -110,4 +110,58 @@ class Round11OpsSpec extends SparkTestBase {
     val ps = Seq(Seq(1L, 0L))
     assert(Similarity.mutualTop1(emb, ps).count() == 0)
   }
+
+  // ---- editDistConfirm / prefixDup / invertedIndex -----------------
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("editDistConfirm: identical docs pair at distance 0, confirmed") {
+    // identical token sets → identical minhash signatures → candidate
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "utterly different words entirely here now"))
+    val r = graft.operators.Dedup.editDistConfirm(d)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq((1L, 2L, 0L, true)))
+    Caches.releaseAll()
+  }
+
+  test("editDistConfirm: a candidate pair beyond maxDist is unconfirmed") {
+    // Long shared tail → the shingle min-lanes land in shared shingles
+    // and at least one band agrees (deterministic for this fixture);
+    // the differing HEADS sit inside the prefix, so the character tier
+    // rejects what the set tier proposed.
+    val tail = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, s"zebra zulu $tail"),
+      (2L, s"quark quill $tail"))
+    val r = graft.operators.Dedup.editDistConfirm(d, maxDist = 1)
+      .select("edit_dist", "confirmed").as[(Long, Boolean)].collect().toSeq
+    assert(r.size == 1, "the shared-tail pair must survive banding")
+    assert(r.head._1 > 1L && !r.head._2)
+    Caches.releaseAll()
+  }
+
+  test("prefixDup: clusters on first-k tokens, keep-lowest canonical") {
+    val d = docs(
+      (7L, "the quick brown fox"),
+      (3L, "the quick red panda"), // shares first 2 tokens with 7
+      (9L, "a different start entirely"))
+    val r = graft.operators.Dedup.prefixDup(d, k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((3L, 3L, 2L), (7L, 3L, 2L)))
+  }
+
+  test("invertedIndex: df band filters, postings sorted, per-doc distinct") {
+    val d = docs(
+      (5L, "apple banana apple"), // apple df-counts once here
+      (2L, "apple cherry"),
+      (8L, "apple banana"))
+    // apple df=3 (> maxDf 2, dropped), banana df=2, cherry df=1 (< minDf)
+    val r = graft.operators.TextAnalysis.invertedIndex(d, minDf = 2, maxDf = 2)
+      .as[(String, Long, String)].collect().toSeq
+    assert(r == Seq(("banana", 2L, "5,8")))
+  }
 }
