@@ -925,6 +925,79 @@ object OracleExt {
           FROM (SELECT doc_id, text, $toks AS toks FROM documents))
     ORDER BY doc_id"""
 
+  /** Twin of Sampling.paretoDocs — same score law as qualityScore,
+    * skyline via the per-score min-length sweep. */
+  def paretoDocs(enStop: Seq[String]): String = s"""
+    WITH scored AS (
+      SELECT doc_id,
+             least(len(toks), 200) * 100 + ${hits(enStop)} * 10
+               - (length(text) - length(regexp_replace(text,
+                   '[^A-Za-z0-9 ]', '', 'g'))) * 50 AS score,
+             n_chars
+      FROM (SELECT doc_id, text, n_chars, $toks AS toks FROM documents)),
+    bys AS (SELECT score, min(n_chars) AS minc FROM scored GROUP BY score),
+    bet AS (SELECT score, minc,
+                   min(minc) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS best_above
+            FROM bys)
+    SELECT s.doc_id, s.score, s.n_chars
+    FROM scored s JOIN bet b USING (score)
+    WHERE s.n_chars = b.minc
+      AND (b.best_above IS NULL OR s.n_chars < b.best_above)
+    ORDER BY s.doc_id"""
+
+  /** Twin of Profile.groupedPercentiles — per-type lower empirical
+    * quantiles over the distinct-value count table. */
+  def groupedPercentiles(pcts: Seq[Int]): String = {
+    val lanes = pcts.map(p =>
+      s"min(CASE WHEN cc * 100 >= total * $p THEN value END) AS p$p")
+      .mkString(",\n           ")
+    s"""
+    WITH c AS (SELECT event_type, value, CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    cum AS (SELECT event_type, value, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY value
+                     ROWS UNBOUNDED PRECEDING) AS cc
+            FROM c),
+    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+          FROM c GROUP BY 1)
+    SELECT cum.event_type,
+           $lanes
+    FROM cum JOIN t USING (event_type)
+    GROUP BY cum.event_type ORDER BY event_type"""
+  }
+
+  /** Twin of Relational.pricingSummary — every money lane floored to
+    * integer units per row before the sum. */
+  val pricingSummary: String = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                    * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+             AS sum_charge_cents,
+           CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_disc_bp,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Twin of Relational.topCustomers. */
+  def topCustomers(k: Int): String = s"""
+    WITH agg AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1),
+    topk AS (SELECT * FROM agg
+             ORDER BY revenue_cents DESC, o_custkey LIMIT $k)
+    SELECT c.c_custkey, c.c_name, t.n_orders, t.revenue_cents
+    FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
+    ORDER BY revenue_cents DESC, c_custkey"""
+
   val topTermsPerLang: String = s"""
     SELECT lang, CAST(rank AS INTEGER) AS rank, term, cnt FROM (
       SELECT lang, term, cnt,

@@ -453,6 +453,22 @@ object SparkEntry {
     // df-banded inverted index with sorted posting strings
     "inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(docsPar(s, dir), minDf = 2, maxDf = 380)),
+    // TPC-H Q1-shape pricing summary: one wide exact-cents aggregate
+    "pricing_summary" -> ((s, dir) =>
+      graft.operators.Relational.pricingSummary(
+        graft.operators.Relational.lineitem(s, dir))),
+    // Top-k customers by order value: TakeOrdered, then a k-row dim join
+    "top_customers" -> ((s, dir) =>
+      graft.operators.Relational.topCustomers(
+        graft.operators.Relational.orders(s, dir),
+        graft.operators.Relational.customer(s, dir))),
+    // Exact per-type p50/p90 via the global Prefix sweep (no group-sized
+    // window partitions)
+    "grouped_percentiles" -> ((s, dir) =>
+      graft.operators.Profile.groupedPercentiles(LogSource.readEvents(s, dir))),
+    // Quality-vs-length Pareto frontier (2-D skyline, no pairwise pass)
+    "pareto_docs" -> ((s, dir) =>
+      Sampling.paretoDocs(docsPar(s, dir))),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -1003,6 +1019,10 @@ object SparkEntry {
     "editdist_confirm" -> OracleExt.editDistConfirm(80, 40),
     "prefix_dup" -> OracleExt.prefixDup(3),
     "inverted_index" -> OracleExt.invertedIndex(2, 380),
+    "pricing_summary" -> OracleExt.pricingSummary,
+    "top_customers" -> OracleExt.topCustomers(10),
+    "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
+    "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -151,4 +151,44 @@ object Profile {
                      div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
           .as("d_ppm"))
   }
+
+  /** Exact per-GROUP empirical quantiles (lower-quantile convention —
+    * the smallest observed value whose inclusive rank reaches pct% —
+    * the same definition as [[Prefix.rankSelect]], so nothing
+    * interpolated crosses an oracle).
+    *
+    * The naive per-group form is a window over every row partitioned
+    * by group — per-partition state is GROUP-sized, a straggler when
+    * one event type carries half the corpus. Here the cumsum runs on
+    * the per-(group, value) COUNT table through the shared global
+    * [[Prefix.inclusiveCumsum]] (order = struct(group, value), block =
+    * struct(group, floor(value)) — a lawful coarsening of the order),
+    * and the cross-group carry is stripped afterwards: each group's
+    * local rank = global cum − (global cum at the group's end − group
+    * total), a groups-sized broadcast. Serial state never exceeds
+    * block totals; no partition is ever group-sized. */
+  def groupedPercentiles(events: DataFrame, pcts: Seq[Int] = Seq(50, 90))
+      : DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p < 100))
+    val counts = graft.Caches.track(events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("n")))
+    val cum = Prefix.inclusiveCumsum(counts,
+      struct(col("event_type"), floor(col("value")).cast("long")),
+      struct(col("event_type"), col("value")),
+      Seq("n" -> col("n")))
+    val offsets = cum.groupBy("event_type")
+      .agg(max(col("cum_n")).as("__end"), sum(col("n")).as("total"))
+      .select(col("event_type"), (col("__end") - col("total")).as("off"),
+        col("total"))
+    val local = cum.join(broadcast(offsets), Seq("event_type"))
+      .withColumn("__c", col("cum_n") - col("off"))
+    val aggs = pcts.map(p =>
+      min(when(col("__c") * 100 >= col("total") * p, col("value")))
+        .as(s"p$p"))
+    local.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("event_type")
+  }
 }

@@ -75,4 +75,58 @@ object Relational {
       .groupBy(col("n_name"), col("bucket"))
       .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
       .orderBy("n_name", "bucket")
+
+  /** Pricing summary by (returnflag, linestatus) — the TPC-H Q1 shape:
+    * a single wide aggregate over the fact table, every money lane
+    * floored to exact cents PER ROW so the sums are associative BIGINT.
+    * The three-factor charge lane multiplies in one fixed order
+    * (price·(1−disc)·(1+tax)) — both engines fold the identical IEEE
+    * product before the one floor. Averages are deliberately NOT
+    * emitted as quotients: n_rows plus the sums IS the average, and a
+    * divided double would put a float printer between the engines.
+    *
+    * Scale shape: one map-side-combined aggregate, output =
+    * |flags|×|statuses| at any corpus size; nothing else. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("base_cents"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("disc_cents"),
+        expr("""CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                * 100) AS BIGINT)""").as("charge_cents"),
+        expr("CAST(floor(l_discount * 10000) AS BIGINT)").as("disc_bp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty")).as("sum_qty"),
+        sum(col("base_cents")).as("sum_base_cents"),
+        sum(col("disc_cents")).as("sum_disc_cents"),
+        sum(col("charge_cents")).as("sum_charge_cents"),
+        sum(col("disc_bp")).as("sum_disc_bp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Top-k customers by lifetime order value — the "who matters" top-N
+    * that must NEVER become a global sort: the per-customer aggregate
+    * shuffles once on custkey, then `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject (per-partition top-k heaps + a k-sized
+    * driver merge; CI-asserted in the spec). Ties break on custkey so
+    * the emitted set and order are total. */
+  def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame = {
+    // top-k BEFORE the name join: the dim join then touches k rows
+    // (broadcast), not every customer.
+    val topk = orders
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_custkey"))
+      .limit(k)
+    broadcast(topk)
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"),
+        col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+  }
 }

@@ -288,4 +288,36 @@ object Sampling {
       .withColumn("sampled",
         splitHash(salt, col("doc_id")) % 1000000L < col("prob_micro"))
       .select(col("doc_id"), col("score"), col("prob_micro"), col("sampled"))
+
+  /** Pareto frontier of the corpus under two objectives — maximize
+    * quality score, minimize length: the documents no other document
+    * beats on both axes at once. The principled "best docs per token
+    * budget" selection when quality and cost trade off (a fixed
+    * quality threshold ignores that a shorter doc at equal quality
+    * strictly dominates).
+    *
+    * Scale shape — the 2-D skyline needs NO pairwise comparison: group
+    * to per-score min length (score domain is BOUNDED integer — the
+    * quality law's range — so this table is score-domain-sized), take
+    * the running min of minc over scores DESC (a window over the tiny
+    * score table), and a doc survives iff it achieves its score's min
+    * length AND beats every strictly-higher score's best length.
+    * Ties on both axes are mutually non-dominating and all survive. */
+  def paretoDocs(docs: DataFrame): DataFrame = {
+    val scored = graft.Caches.track(
+      TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("score"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id")))
+    val byScore = scored.groupBy("score").agg(min(col("n_chars")).as("minc"))
+    // best (smallest) length among STRICTLY higher scores; the score
+    // table is bounded-domain, so this window is never corpus-sized
+    val better = byScore.withColumn("best_above",
+      min(col("minc")).over(Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    scored.join(broadcast(better), Seq("score"))
+      .filter(col("n_chars") === col("minc")
+        && (col("best_above").isNull || col("n_chars") < col("best_above")))
+      .select(col("doc_id"), col("score"), col("n_chars"))
+      .orderBy("doc_id")
+  }
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Relational, Similarity}
+import graft.operators.{Graph, Relational, Sampling, Similarity}
 
 /** Gates for the round-11 join/graph/embedding operators: ordered-wedge
   * triangle counting, the star-schema revenue rollup, and mutual-NN
@@ -163,5 +163,69 @@ class Round11OpsSpec extends SparkTestBase {
     val r = graft.operators.TextAnalysis.invertedIndex(d, minDf = 2, maxDf = 2)
       .as[(String, Long, String)].collect().toSeq
     assert(r == Seq(("banana", 2L, "5,8")))
+  }
+
+  // ---- pricingSummary / topCustomers -------------------------------
+
+  test("pricingSummary: per-row cent floors, grouped lanes") {
+    val li = Seq(
+      ("A", "F", 2.0, 10.555, 0.1, 0.2), // base 1055, disc 949, charge 1139
+      ("A", "F", 1.0, 1.004, 0.0, 0.0), //  base 100,  disc 100, charge 100
+      ("R", "O", 3.0, 50.0, 0.5, 0.1) //   base 5000, disc 2500, charge 2750
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax")
+    val r = Relational.pricingSummary(li)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(r == Seq(
+      ("A", "F", 3L, 1155L, 1049L, 1239L, 1000L, 2L),
+      ("R", "O", 3L, 5000L, 2500L, 2750L, 5000L, 1L)))
+  }
+
+  test("topCustomers: plans as TakeOrdered (no global sort) and tie-breaks on key") {
+    val ord = Seq(
+      (1L, 10.0), (1L, 10.0), // cust 1: 2000 cents
+      (2L, 20.0), //             cust 2: 2000 cents — tie, lower key first
+      (3L, 5.0) //               cust 3: 500, cut by k=2
+    ).toDF("o_custkey", "o_totalprice")
+    val cust = Seq((1L, "alice"), (2L, "bo"), (3L, "kai"))
+      .toDF("c_custkey", "c_name")
+    val q = Relational.topCustomers(ord, cust, k = 2)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrdered"),
+      "top-k must be a TakeOrderedAndProject, not a global Sort")
+    val r = q.select("c_custkey", "revenue_cents").as[(Long, Long)]
+      .collect().toSeq
+    assert(r == Seq((1L, 2000L), (2L, 2000L)))
+  }
+
+  // ---- groupedPercentiles / paretoDocs -----------------------------
+
+  test("groupedPercentiles: lower empirical quantile per group, no cross-group carry") {
+    // type a: values 1..10 → p50 = 5 (smallest with cum ≥ 50%), p90 = 9.
+    // type b: all 100s → both quantiles 100 (carry from a would shift
+    // b's ranks and break this).
+    val rows = (1 to 10).map(i => (i.toLong, 1000L + i, 1L, "a", i.toDouble)) ++
+      (1 to 4).map(i => (100L + i, 2000L + i, 2L, "b", 100.0))
+    val ev = rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val r = graft.operators.Profile.groupedPercentiles(ev)
+      .as[(String, Double, Double)].collect().toSeq
+    assert(r == Seq(("a", 5.0, 9.0), ("b", 100.0, 100.0)))
+    Caches.releaseAll()
+  }
+
+  test("paretoDocs: skyline keeps per-score best length and strict improvements only") {
+    // stopword-free all-alpha texts → score = n_tokens·100 exactly.
+    val d = Seq(
+      (1L, "aa bb cc", 20L), //   score 300, len 20 — top score, survives
+      (2L, "aa bb", 10L), //      score 200, len 10 — beaten by doc 3
+      (3L, "aa bb", 5L), //       score 200, len  5 — survives (5 < 20)
+      (4L, "aa", 3L), //          score 100, len  3 — survives (3 < 5)
+      (5L, "aa", 8L) //           score 100, len  8 — beaten by doc 4
+    ).toDF("doc_id", "text", "n_chars")
+    val r = Sampling.paretoDocs(d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 300L, 20L), (3L, 200L, 5L), (4L, 100L, 3L)))
+    Caches.releaseAll()
   }
 }
