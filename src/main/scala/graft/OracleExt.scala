@@ -745,6 +745,58 @@ object OracleExt {
            den > 0 AND num >= CAST(3841459 AS HUGEINT) * den AS significant
     FROM l2 ORDER BY n0"""
 
+  /** Twin of Stats.weeklyProfile — ISO dow from epoch-day arithmetic
+    * (day 0 = Thursday → +3 mod 7), no calendar functions. */
+  val weeklyProfile: String = """
+    WITH cells AS (
+      SELECT event_type,
+             ((epoch_us(ts) - (epoch_us(ts) % 86400000000))
+               // 86400000000 + 3) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+          FROM cells GROUP BY 1)
+    SELECT c.event_type, c.dow, c.hod, c.cnt,
+           (1000000 * c.cnt) // t.total AS share_ppm
+    FROM cells c JOIN t USING (event_type)
+    ORDER BY c.event_type, c.dow, c.hod"""
+
+  /** Twin of TextAnalysis.tfidfSim — same whole-bit idf lanes, same
+    * quantized-sim² ranking key. */
+  def tfidfSim(nQueries: Int, k: Int, maxDf: Int): String = s"""
+    WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+                GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    w AS (SELECT term,
+                 CAST(length(bin((1048576 * nd.nd) // df)) - 1 AS BIGINT) AS w
+          FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term) d, nd
+          WHERE df <= $maxDf),
+    wtf AS (SELECT tf.doc_id, tf.term, tf.tf * w.w AS x
+            FROM tf JOIN w USING (term)),
+    norms AS (SELECT doc_id, CAST(sum(x * x) AS BIGINT) AS n2
+              FROM wtf GROUP BY doc_id),
+    dots AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+                    CAST(sum(q.x * c.x) AS BIGINT) AS dot
+             FROM wtf q JOIN wtf c
+               ON q.term = c.term AND c.doc_id != q.doc_id
+             WHERE q.doc_id < $nQueries GROUP BY 1, 2)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, sim2_ppm
+    FROM (
+      SELECT d.query_id, d.cand_id,
+             CAST((CAST(1000000 AS HUGEINT) * d.dot * d.dot)
+                  // (CAST(nq.n2 AS HUGEINT) * nc.n2) AS BIGINT) AS sim2_ppm,
+             row_number() OVER (PARTITION BY d.query_id ORDER BY
+               (CAST(1000000 AS HUGEINT) * d.dot * d.dot)
+                 // (CAST(nq.n2 AS HUGEINT) * nc.n2) DESC, d.cand_id) AS rank
+      FROM dots d
+      JOIN norms nq ON nq.doc_id = d.query_id
+      JOIN norms nc ON nc.doc_id = d.cand_id)
+    WHERE rank <= $k
+    ORDER BY query_id, rank"""
+
   /** Twin of Stats.seasonality. */
   val seasonality: String = """
     WITH byhod AS (

@@ -469,6 +469,12 @@ object SparkEntry {
     // Quality-vs-length Pareto frontier (2-D skyline, no pairwise pass)
     "pareto_docs" -> ((s, dir) =>
       Sampling.paretoDocs(docsPar(s, dir))),
+    // dow×hod weekly traffic heatmap in pure epoch arithmetic
+    "weekly_profile" -> ((s, dir) =>
+      graft.operators.Stats.weeklyProfile(LogSource.readEvents(s, dir))),
+    // Sparse tf-idf doc-doc top-k via the shared-term join (lexical ANN)
+    "tfidf_sim" -> ((s, dir) =>
+      TextAnalysis.tfidfSim(docsPar(s, dir))),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -1023,6 +1029,8 @@ object SparkEntry {
     "top_customers" -> OracleExt.topCustomers(10),
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),
+    "weekly_profile" -> OracleExt.weeklyProfile,
+    "tfidf_sim" -> OracleExt.tfidfSim(10, 5, 100000),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -92,6 +92,30 @@ object Stats {
                 AND __num >= CAST(3841459 AS DECIMAL(38,0)) * __den""")
           .as("significant"))
 
+  /** Full weekly traffic fingerprint per event type: (day-of-week ×
+    * hour-of-day) counts with ppm share of the type's traffic — the
+    * 168-cell heatmap behind capacity planning and "is this bot or
+    * human" traffic triage (humans have weekends; cron does not).
+    * dow is pure epoch arithmetic: epoch day 0 (1970-01-01) was a
+    * Thursday, so ISO dow (0=Mon) = (epochDay + 3) mod 7 — no
+    * calendar/locale function on either engine.
+    *
+    * One (type, dow, hod) aggregate + a vocab-sized totals broadcast;
+    * output ≤ vocab×168 at any corpus size. */
+  def weeklyProfile(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        pmod(expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " div 86400000000") + 3, lit(7L)).as("dow"),
+        pmod(expr("unix_micros(ts) div 3600000000"), lit(24L)).as("hod"))
+      .groupBy("event_type", "dow", "hod").agg(count(lit(1)).as("cnt"))
+    val totals = cells.groupBy("event_type").agg(sum(col("cnt")).as("total"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("hod"), col("cnt"),
+        expr("(1000000 * cnt) div total").as("share_ppm"))
+      .orderBy("event_type", "dow", "hod")
+  }
+
   /** Hour-of-day seasonality profile per event type: count, ppm share
     * of the type's traffic, and a peak-hour flag. The load-shaping
     * input for crawl/ingest scheduling; hod = (µs div 3600e6) mod 24

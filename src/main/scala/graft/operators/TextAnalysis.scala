@@ -164,6 +164,66 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= keepThreshold)
   }
 
+  /** Doc-to-doc sparse tf-idf similarity top-k — the lexical twin of
+    * the dense-embedding ANN family: documents as sparse integer
+    * vectors (weight = tf × whole-bit idf), similarity through the
+    * SHARED-TERM join (the only pairs that can have nonzero dot are
+    * pairs sharing a term — the inverted-index identity), never an
+    * all-pairs pass.
+    *
+    * Integer discipline: idf is the 2²⁰-scaled whole-bit rarity
+    * w(term) = ⌊log2(2²⁰·N/df)⌋ (bin-length floor-log2, the
+    * unigram_surprisal lanes), weights/dots/norms are exact BIGINTs,
+    * and the ranking key is the quantized squared cosine sim2_ppm =
+    * ⌊1e6·dot²/(‖q‖²‖c‖²)⌋ in DECIMAL(38,0) lanes — dot ≥ 0 always
+    * (weights are positive), so sim² orders like sim. Ranking on the
+    * QUANTIZED value with a cand_id tie-break is the operator's
+    * defined semantics (both engines rank identical integers).
+    *
+    * Scale shape: df cap drops stopword postings BEFORE the join (a
+    * stopword joins everything × everything); the term join's fan-out
+    * per query doc is Σ df(term) over the doc's capped terms; norms
+    * broadcast is queries-sized on one side, doc-keyed join on the
+    * other. */
+  def tfidfSim(docs: DataFrame, nQueries: Int = 10, k: Int = 5,
+               maxDf: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.Caches.track(docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val w = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .crossJoin(broadcast(nd))
+      .select(col("term"),
+        (length(bin(expr("(1048576 * nd) div df"))) - 1).cast("long").as("w"))
+    val wtf = graft.Caches.track(tf.join(w, Seq("term"))
+      .select(col("doc_id"), col("term"), (col("tf") * col("w")).as("x")))
+    val norms = graft.Caches.track(
+      wtf.groupBy("doc_id").agg(sum(col("x") * col("x")).as("n2")))
+    val q = wtf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term"), col("x").as("qx"))
+    val dots = q.join(wtf, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qx") * col("x")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id"), col("n2").as("cn2")), Seq("doc_id"))
+      .join(broadcast(norms.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("query_id"), col("n2").as("qn2"))),
+        Seq("query_id"))
+      .withColumn("sim2_ppm",
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot)
+                     div (CAST(qn2 AS DECIMAL(38,0)) * cn2) AS BIGINT)"""))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim2_ppm").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id").as("cand_id"), col("sim2_ppm"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Top-k terms per language label: grouped counts + a rank window.
     * Two shuffles (term counts, then rank partition) — the rank
     * partition count is |langs|, small, but each group is k-bounded so

@@ -126,6 +126,16 @@ class LifecycleSpec extends SparkTestBase {
     assert(!b, "identical conversion in both arms: z² = 0")
   }
 
+  test("weeklyProfile: epoch day 0 is Thursday (dow=3) and shares are ppm-exact") {
+    val ev = events(
+      (1L, 5L, 1L, "t", 0.0), //                        1970-01-01 (Thu), hod 0
+      (2L, 4L * 86400000000L + 3600000000L, 1L, "t", 0.0)) // Mon, hod 1
+    val r = graft.operators.Stats.weeklyProfile(ev)
+      .select("dow", "hod", "cnt", "share_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 1L, 1L, 500000L), (3L, 0L, 1L, 500000L)))
+  }
+
   test("seasonality: shares sum to ~1e6 per type and the peak flag is unique-max") {
     val ev = events(
       (1L, 1L * 3600000000L + 1L, 1L, "t", 0.0),

@@ -165,6 +165,36 @@ class Round11OpsSpec extends SparkTestBase {
     assert(r == Seq(("banana", 2L, "5,8")))
   }
 
+  // ---- tfidfSim ----------------------------------------------------
+
+  test("tfidfSim: rare shared terms outrank common ones; self excluded") {
+    // 8 docs so idf bits differ: "rare" df=2, "mid" df=4, "stop" df=8.
+    // Query doc 0 shares "rare" with doc 4 and "mid" with doc 5 — the
+    // rare-term pair must rank first.
+    val d = Seq(
+      (0L, "rare mid stop"),
+      (1L, "stop x1 x2"), (2L, "stop x1 x3"), (3L, "stop x2 x4"),
+      (4L, "rare stop x5"),
+      (5L, "mid stop x6"), (6L, "mid stop x7"), (7L, "mid stop x8")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.tfidfSim(d, nQueries = 1, k = 3)
+      .select("rank", "cand_id").as[(Int, Long)].collect().toSeq
+    assert(r.head == (1, 4L), "the rare-term pair wins")
+    assert(!r.exists(_._2 == 0L), "a doc never retrieves itself")
+    Caches.releaseAll()
+  }
+
+  test("tfidfSim: maxDf cap drops a term from both dot AND norm") {
+    // With maxDf = 1 every term (df >= 2 here) is dropped -> no vectors,
+    // no pairs: the cap is part of the vector definition, not a
+    // post-filter.
+    val d = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.tfidfSim(d, nQueries = 1, k = 3,
+      maxDf = 1)
+    assert(r.count() == 0)
+    Caches.releaseAll()
+  }
+
   // ---- pricingSummary / topCustomers -------------------------------
 
   test("pricingSummary: per-row cent floors, grouped lanes") {
