@@ -1020,6 +1020,71 @@ object OracleExt {
     GROUP BY cum.event_type ORDER BY event_type"""
   }
 
+  /** Twin of Profile.quantileNormalize. */
+  val quantileNormalize: String = """
+    WITH c AS (SELECT event_type, value, CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    cum AS (SELECT event_type, value,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY value
+                     ROWS UNBOUNDED PRECEDING) AS cc
+            FROM c),
+    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+          FROM c GROUP BY 1),
+    r AS (SELECT cum.event_type, cum.value,
+                 CAST((1000000 * cum.cc) // t.total AS BIGINT) AS cdf_ppm
+          FROM cum JOIN t USING (event_type))
+    SELECT e.event_id, e.event_type, e.value, r.cdf_ppm
+    FROM events e
+    JOIN r ON e.event_type = r.event_type AND e.value = r.value
+    WHERE e.value IS NOT NULL
+    ORDER BY e.event_id"""
+
+  /** Twin of Profile.winsorize. */
+  def winsorize(pLo: Int, pHi: Int): String = s"""
+    WITH c AS (SELECT event_type, value, CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    cum AS (SELECT event_type, value,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY value
+                     ROWS UNBOUNDED PRECEDING) AS cc
+            FROM c),
+    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+          FROM c GROUP BY 1),
+    cuts AS (SELECT cum.event_type,
+                    min(CASE WHEN cc * 100 >= total * $pLo THEN value END)
+                      AS lo,
+                    min(CASE WHEN cc * 100 >= total * $pHi THEN value END)
+                      AS hi
+             FROM cum JOIN t USING (event_type) GROUP BY cum.event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, c.lo), c.hi) AS clipped,
+           e.value < c.lo OR e.value > c.hi AS was_clipped
+    FROM events e JOIN cuts c USING (event_type)
+    WHERE e.value IS NOT NULL ORDER BY e.event_id"""
+
+  /** Twin of Lifecycle.userChurn. */
+  def userChurn(horizonDays: Int): String = s"""
+    WITH ls AS (SELECT user_id,
+                       max((epoch_us(ts) - (epoch_us(ts) % 86400000000))
+                         // 86400000000) AS last_day
+                FROM events GROUP BY 1),
+    h AS (SELECT max(last_day) AS h FROM ls)
+    SELECT user_id, last_day, h - last_day AS days_inactive,
+           h - last_day > $horizonDays AS churned
+    FROM ls, h ORDER BY user_id"""
+
+  /** Twin of Stats.engagementGini — the naive ranked form (tie-order
+    * invariant, so it equals the Spark side's run-sum form exactly). */
+  val engagementGini: String = """
+    WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+                FROM events GROUP BY 1),
+    r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM uc),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+                 CAST(sum(i * x) AS BIGINT) AS six FROM r)
+    SELECT n AS n_users, s AS total_events,
+           2 * six - (n + 1) * s AS gini_num, n * s AS gini_den,
+           (1000000 * (2 * six - (n + 1) * s)) // (n * s) AS gini_ppm
+    FROM t ORDER BY n_users"""
+
   /** Twin of Relational.pricingSummary — every money lane floored to
     * integer units per row before the sum. */
   val pricingSummary: String = """

@@ -475,6 +475,18 @@ object SparkEntry {
     // Sparse tf-idf doc-doc top-k via the shared-term join (lexical ANN)
     "tfidf_sim" -> ((s, dir) =>
       TextAnalysis.tfidfSim(docsPar(s, dir))),
+    // Per-type empirical-CDF feature scaling (rank table, not row sort)
+    "quantile_normalize" -> ((s, dir) =>
+      graft.operators.Profile.quantileNormalize(LogSource.readEvents(s, dir))),
+    // Clamp to per-type [p10, p90] cuts (rows kept, outliers pinned)
+    "winsorize" -> ((s, dir) =>
+      graft.operators.Profile.winsorize(LogSource.readEvents(s, dir))),
+    // Last-seen horizon churn flags (data-defined "today")
+    "user_churn" -> ((s, dir) =>
+      graft.operators.Lifecycle.userChurn(LogSource.readEvents(s, dir))),
+    // Exact Gini of per-user event counts via the count-value sweep
+    "engagement_gini" -> ((s, dir) =>
+      graft.operators.Stats.engagementGini(LogSource.readEvents(s, dir))),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -1031,6 +1043,10 @@ object SparkEntry {
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),
     "weekly_profile" -> OracleExt.weeklyProfile,
     "tfidf_sim" -> OracleExt.tfidfSim(10, 5, 100000),
+    "quantile_normalize" -> OracleExt.quantileNormalize,
+    "winsorize" -> OracleExt.winsorize(10, 90),
+    "user_churn" -> OracleExt.userChurn(7),
+    "engagement_gini" -> OracleExt.engagementGini,
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

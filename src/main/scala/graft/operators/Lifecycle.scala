@@ -115,6 +115,24 @@ object Lifecycle {
       .filter(col("last_type") =!= tombstoneType)
       .orderBy("user_id")
 
+  /** Churn flags: each user's last-activity day against the corpus
+    * horizon (max observed day — a 1-row broadcast, so "today" is
+    * data-defined and reproducible, never wall-clock). days_inactive >
+    * `horizonDays` ⇒ churned. One user-keyed max aggregate; output is
+    * users-sized. The retention follow-up to [[activeUsers]]: that op
+    * counts the living, this one names the dead. */
+  def userChurn(events: DataFrame, horizonDays: Int = 7): DataFrame = {
+    val lastSeen = events
+      .select(col("user_id"), dayOf.as("day"))
+      .groupBy("user_id").agg(max(col("day")).as("last_day"))
+    val horizon = lastSeen.agg(max(col("last_day")).as("h"))
+    lastSeen.crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("last_day"),
+        (col("h") - col("last_day")).as("days_inactive"),
+        (col("h") - col("last_day") > horizonDays).as("churned"))
+      .orderBy("user_id")
+  }
+
   /** SCD type-2 history — compress each user's event_type stream into
     * versioned validity intervals [from_us, to_us) (to_us NULL = the
     * current version). The standard warehouse answer to "what was this

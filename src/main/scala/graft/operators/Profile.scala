@@ -191,4 +191,60 @@ object Profile {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("event_type")
   }
+
+  /** Per-type empirical-CDF (quantile) normalization: each event's
+    * value becomes its within-type inclusive rank in ppm — the
+    * distribution-free feature scaling that makes heterogenous metrics
+    * comparable before any model sees them (and the standard defense
+    * against heavy tails that z-scoring can't survive).
+    *
+    * Same machinery as [[groupedPercentiles]]: the rank table is built
+    * ONCE on the per-(type, value) counts via the global Prefix sweep
+    * + carry strip, then events join it on (type, value) — the rank
+    * work is distinct-value-sized, only the final join touches corpus
+    * rows. cdf_ppm = ⌊1e6·rank/total⌋, all integer. */
+  def quantileNormalize(events: DataFrame): DataFrame = {
+    val counts = graft.Caches.track(events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("n")))
+    val cum = Prefix.inclusiveCumsum(counts,
+      struct(col("event_type"), floor(col("value")).cast("long")),
+      struct(col("event_type"), col("value")),
+      Seq("n" -> col("n")))
+    val offsets = cum.groupBy("event_type")
+      .agg(max(col("cum_n")).as("__end"), sum(col("n")).as("total"))
+      .select(col("event_type"), (col("__end") - col("total")).as("off"),
+        col("total"))
+    val ranks = cum.join(broadcast(offsets), Seq("event_type"))
+      .select(col("event_type"), col("value"),
+        expr("(1000000 * (cum_n - off)) div total").as("cdf_ppm"))
+    events.filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(ranks, Seq("event_type", "value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("cdf_ppm"))
+      .orderBy("event_id")
+  }
+
+  /** Winsorization at per-type empirical [pLo, pHi]: values clamp to
+    * the quantile cuts instead of being dropped — the robust-stats
+    * alternative to outlier deletion that keeps row counts (and
+    * therefore joins) intact. Cuts come from [[groupedPercentiles]]
+    * (types-sized, broadcast back); the clamp itself is a pure
+    * projection. Both cut values and clamped values are fixture
+    * doubles compared/copied bit-for-bit — no arithmetic touches
+    * them, so the float path crosses the oracle exactly. */
+  def winsorize(events: DataFrame, pLo: Int = 10, pHi: Int = 90): DataFrame = {
+    val cuts = groupedPercentiles(events, Seq(pLo, pHi))
+      .select(col("event_type"), col(s"p$pLo").as("lo"),
+        col(s"p$pHi").as("hi"))
+    events.filter(col("value").isNotNull)
+      .join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("clipped"),
+        (col("value") < col("lo") || col("value") > col("hi"))
+          .as("was_clipped"))
+      .orderBy("event_id")
+  }
 }

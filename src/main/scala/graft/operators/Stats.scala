@@ -92,6 +92,39 @@ object Stats {
                 AND __num >= CAST(3841459 AS DECIMAL(38,0)) * __den""")
           .as("significant"))
 
+  /** Exact Gini coefficient of per-user event counts — the one-number
+    * engagement-concentration law (0 = everyone equal, →1 = one whale
+    * is the corpus). The skew economics input next to skew_profile:
+    * Gini says WHETHER load is concentrated, skew_profile names the
+    * keys.
+    *
+    * Exact WITHOUT a global sort over users: Gini's Σ rank·x only
+    * needs, per DISTINCT count value v, the number of users below it —
+    * a run of n_v tied users starting at rank R contributes
+    * v·(R·n_v + n_v(n_v+1)/2) regardless of tie order. So the sweep
+    * runs over the COUNT-VALUE table (Zipf: O(√corpus) distinct
+    * values) via the shared Prefix cumsum, blocked by count
+    * bit-length (the vocab_coverage discipline). One BIGINT row out:
+    * gini_num/gini_den exact, ppm floor for the headline. */
+  def engagementGini(events: DataFrame): DataFrame = {
+    val cv = events.groupBy("user_id").agg(count(lit(1)).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("nv"))
+    Prefix.inclusiveCumsum(cv, length(bin(col("x"))).cast("long"),
+        col("x"), Seq("nv" -> col("nv")))
+      .select(
+        (col("x") * ((col("cum_nv") - col("nv")) * col("nv")
+          + expr("(nv * (nv + 1)) div 2"))).as("six"),
+        (col("x") * col("nv")).as("s"), col("nv"))
+      .agg(sum(col("nv")).as("n"), sum(col("s")).as("s"),
+        sum(col("six")).as("six"))
+      .select(col("n").as("n_users"), col("s").as("total_events"),
+        (lit(2L) * col("six") - (col("n") + 1) * col("s")).as("gini_num"),
+        (col("n") * col("s")).as("gini_den"),
+        expr("(1000000 * (2 * six - (n + 1) * s)) div (n * s)")
+          .as("gini_ppm"))
+      .orderBy("n_users")
+  }
+
   /** Full weekly traffic fingerprint per event type: (day-of-week ×
     * hour-of-day) counts with ppm share of the type's traffic — the
     * 168-cell heatmap behind capacity planning and "is this bot or

@@ -89,6 +89,40 @@ class LifecycleSpec extends SparkTestBase {
       (3L, "a", 400L, None)))
   }
 
+  // ---- userChurn ---------------------------------------------------
+
+  test("userChurn: horizon is data-defined max day; strict > threshold") {
+    val ev = events(
+      (1L, 0L, 1L, "view", 0.0), //               last day 0
+      (2L, 7L * DayUs + 1L, 2L, "view", 0.0), //  last day 7 (inactive 3)
+      (3L, 10L * DayUs + 1L, 3L, "view", 0.0)) // last day 10 = horizon
+    val r = Lifecycle.userChurn(ev, horizonDays = 7)
+      .select("user_id", "days_inactive", "churned")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq((1L, 10L, true), (2L, 3L, false), (3L, 0L, false)))
+  }
+
+  // ---- engagementGini ----------------------------------------------
+
+  test("engagementGini: 0 for equal counts, exact rational otherwise") {
+    val equal = events(
+      (1L, 1L, 1L, "a", 0.0), (2L, 2L, 2L, "a", 0.0))
+    val g0 = Stats.engagementGini(equal)
+      .select("gini_num", "gini_ppm").as[(Long, Long)].head()
+    assert(g0 == (0L, 0L))
+
+    // counts (1, 3): sorted Σi·x = 1 + 6 = 7; num = 14 − 3·4 = 2,
+    // den = 2·4 = 8 → gini = 0.25
+    val skewed = events(
+      (1L, 1L, 1L, "a", 0.0),
+      (2L, 2L, 2L, "a", 0.0), (3L, 3L, 2L, "a", 0.0),
+      (4L, 4L, 2L, "a", 0.0))
+    val g = Stats.engagementGini(skewed)
+      .select("gini_num", "gini_den", "gini_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(g == (2L, 8L, 250000L))
+  }
+
   // ---- Stats -------------------------------------------------------
 
   test("trendSlope: exact rational slope on a hand-computed series") {

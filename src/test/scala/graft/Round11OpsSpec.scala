@@ -244,6 +244,33 @@ class Round11OpsSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("quantileNormalize: within-type inclusive-rank ppm, no cross-type carry") {
+    val rows = (1 to 4).map(i => (i.toLong, 1000L + i, 1L, "a", i.toDouble)) ++
+      Seq((9L, 2000L, 2L, "b", 50.0))
+    val ev = rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val r = graft.operators.Profile.quantileNormalize(ev)
+      .select("event_id", "cdf_ppm").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 250000L, 2L -> 500000L, 3L -> 750000L,
+      4L -> 1000000L, 9L -> 1000000L))
+    Caches.releaseAll()
+  }
+
+  test("winsorize: values clamp to the per-type cuts, rows preserved") {
+    val rows = (1 to 10).map(i => (i.toLong, 1000L + i, 1L, "a", i.toDouble))
+    val ev = rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    // lower-quantile cuts on 1..10: p10 = 1 (cum 1/10 hits 10%), p90 = 9
+    val m = graft.operators.Profile.winsorize(ev)
+      .select("event_id", "clipped", "was_clipped")
+      .as[(Long, Double, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(10L) == (9.0, true), "10 clamps down to p90 = 9")
+    assert(m(9L) == (9.0, false) && m(1L) == (1.0, false))
+    assert(m.size == 10, "winsorize never drops rows")
+    Caches.releaseAll()
+  }
+
   test("paretoDocs: skyline keeps per-score best length and strict improvements only") {
     // stopword-free all-alpha texts → score = n_tokens·100 exactly.
     val d = Seq(
