@@ -1020,6 +1020,54 @@ object OracleExt {
     GROUP BY cum.event_type ORDER BY event_type"""
   }
 
+  /** Twin of Events.recencyFeatures. */
+  val recencyFeatures: String = """
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           row_number() OVER w AS ordinal
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ORDER BY event_id"""
+
+  /** Twin of Stats.targetEncode. */
+  val targetEncode: String = """
+    WITH r AS (SELECT event_id, event_type,
+                      CAST(floor(value * 1000000) AS BIGINT) AS value_micro
+               FROM events WHERE value IS NOT NULL),
+    t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(value_micro) AS BIGINT) AS s
+          FROM r GROUP BY 1)
+    SELECT r.event_id, r.event_type, r.value_micro,
+           t.s - r.value_micro AS loo_num, t.n - 1 AS loo_den
+    FROM r JOIN t USING (event_type) ORDER BY event_id"""
+
+  /** Twin of TextAnalysis.featureHash — same md5 32-bit lane. */
+  def featureHash(nBuckets: Int): String = {
+    val h = graft.functions.PortableHash.sqlHash32("term")
+    s"""
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT doc_id, $h % $nBuckets AS bucket FROM (
+        SELECT doc_id, unnest($toks) AS term FROM documents))
+    GROUP BY 1, 2 ORDER BY doc_id, bucket"""
+  }
+
+  /** Twin of TextAnalysis.docChunks — DuckDB's inclusive 1-based list
+    * slice mirrors Spark's (start, length) slice exactly here. */
+  def docChunks(window: Int, stride: Int): String = s"""
+    WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+          FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(range(0, (n - 1) // $stride + 1)) AS chunk_id
+          FROM n)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * $stride AS BIGINT) AS start_tok,
+           CAST(least(chunk_id * $stride + $window, n) AS BIGINT) AS end_tok,
+           array_to_string(
+             toks[(chunk_id * $stride + 1):(least(chunk_id * $stride
+               + $window, n))], ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id"""
+
   /** Twin of Profile.quantileNormalize. */
   val quantileNormalize: String = """
     WITH c AS (SELECT event_type, value, CAST(count(*) AS BIGINT) AS n

@@ -487,6 +487,18 @@ object SparkEntry {
     // Exact Gini of per-user event counts via the count-value sweep
     "engagement_gini" -> ((s, dir) =>
       graft.operators.Stats.engagementGini(LogSource.readEvents(s, dir))),
+    // Per-event gap-since-last + user ordinal (one window, O(1) state)
+    "recency_features" -> ((s, dir) =>
+      Events.recencyFeatures(LogSource.readEvents(s, dir))),
+    // Leave-one-out target encoding as exact rationals
+    "target_encode" -> ((s, dir) =>
+      graft.operators.Stats.targetEncode(LogSource.readEvents(s, dir))),
+    // Hashing-trick vectorizer: md5-lane bucket counts, no vocab pass
+    "feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(docsPar(s, dir))),
+    // Overlapping context-window chunking (map-only sequence explode)
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.docChunks(docsPar(s, dir))),
     // Canonical keep-list after LSH dedup (left-anti join)
     "dedup_keeplist" -> ((s, dir) =>
       Dedup.dedupKeepList(docsPar(s, dir)).orderBy("doc_id")),
@@ -1047,6 +1059,10 @@ object SparkEntry {
     "winsorize" -> OracleExt.winsorize(10, 90),
     "user_churn" -> OracleExt.userChurn(7),
     "engagement_gini" -> OracleExt.engagementGini,
+    "recency_features" -> OracleExt.recencyFeatures,
+    "target_encode" -> OracleExt.targetEncode,
+    "feature_hash" -> OracleExt.featureHash(64),
+    "doc_chunks" -> OracleExt.docChunks(64, 48),
     // per-shard sequences: shard = event_id % 4, so the k-th record of a
     // shard is event_id = 4k + shard => per-shard seq = event_id // 4
     "kinesis_source_scan" -> """

@@ -248,6 +248,25 @@ object Events {
       .withColumn("n_trailing", count(lit(1)).over(w))
   }
 
+  /** Per-event recency features — the two behavioral columns every
+    * event-level model starts with: gap_us (µs since this user's
+    * previous event; NULL on the first — a synthetic 0 would be an
+    * invented observation) and ordinal (the user's 1-based event
+    * index). ONE user-keyed window (lag and row_number share the same
+    * sort), per-partition state O(1); the feature-engineering twin of
+    * sessionize's gap test. */
+  def recencyFeatures(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+      .select(col("event_id"), col("user_id"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+        row_number().over(w).cast("long").as("ordinal"))
+      .orderBy("event_id")
+  }
+
   /** Fixed-width histogram over the metric column — the profiling
     * primitive behind distribution dashboards and outlier triage. One
     * groupBy on the bin id with map-side partial aggregation; output

@@ -92,6 +92,30 @@ object Stats {
                 AND __num >= CAST(3841459 AS DECIMAL(38,0)) * __den""")
           .as("significant"))
 
+  /** Leave-one-out target encoding of event_type against the value
+    * target — the classic high-cardinality categorical encoder, with
+    * the self-exclusion that prevents the target leaking into its own
+    * row's feature. Integer lanes: target quantizes to value_micro
+    * per row, the encoding ships as the exact rational (loo_num =
+    * Σ−self, loo_den = n−1) — a divided double would hand the verdict
+    * to a float printer, and n=1 categories (den 0) stay visibly
+    * undefined instead of silently NaN.
+    *
+    * Scale shape: one vocab-sized (category) aggregate broadcast back;
+    * the encode is a pure projection. */
+  def targetEncode(events: DataFrame): DataFrame = {
+    val rows = events.filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_micro"))
+    val perType = rows.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_micro")).as("s"))
+    rows.join(broadcast(perType), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value_micro"),
+        (col("s") - col("value_micro")).as("loo_num"),
+        (col("n") - 1).as("loo_den"))
+      .orderBy("event_id")
+  }
+
   /** Exact Gini coefficient of per-user event counts — the one-number
     * engagement-concentration law (0 = everyone equal, →1 = one whale
     * is the corpus). The skew economics input next to skew_profile:

@@ -164,6 +164,57 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= keepThreshold)
   }
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009): each
+    * term maps to bucket = portable_hash32(term) mod nBuckets, and a
+    * document becomes its sparse bucket-count vector — the fixed-width
+    * vectorizer that needs NO vocabulary pass, no dictionary broadcast,
+    * and no OOV handling, which is why it's the default featurizer at
+    * corpus scale. Collisions are the accepted trade (documented, not
+    * hidden — nBuckets is the dial).
+    *
+    * One explode + one (doc, bucket) aggregate with map-side combine;
+    * the hash is the codegen'd md5-lane PortableHash32Expr, so DuckDB
+    * reproduces every bucket id exactly. */
+  def featureHash(docs: DataFrame, nBuckets: Int = 64): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"),
+        pmod(graft.functions.PortableHash.hash32(col("term")),
+          lit(nBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+
+  /** Context-window chunking: split each document into fixed-size
+    * token windows with overlap (window w, stride s < w) — the
+    * pre-training/RAG segmentation step that turns documents into
+    * model-sized pieces without losing cross-boundary context. Chunk i
+    * covers tokens [i·s, min(i·s + w, n)); the last chunk starts at
+    * the last i with i·s < n, so every token lands in ≥ 1 chunk and
+    * consecutive chunks share w − s tokens.
+    *
+    * Map-only: tokens once per doc (native tokenizer), a `sequence`
+    * explode of ceil factor (n−1)/s chunk ids — fan-out is n/s rows
+    * per doc, the output's inherent size, with no shuffle at all. */
+  def docChunks(docs: DataFrame, window: Int = 64, stride: Int = 48)
+      : DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(expr(s"sequence(0L, (__n - 1) div $stride)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(col("chunk_id") * stride + window, col("__n")).as("end_tok"),
+        array_join(slice(col("__toks"),
+          (col("chunk_id") * stride + 1).cast("int"),
+          least(lit(window),
+            col("__n") - col("chunk_id") * stride).cast("int")), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Doc-to-doc sparse tf-idf similarity top-k — the lexical twin of
     * the dense-embedding ANN family: documents as sparse integer
     * vectors (weight = tf × whole-bit idf), similarity through the

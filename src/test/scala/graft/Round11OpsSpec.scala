@@ -165,6 +165,65 @@ class Round11OpsSpec extends SparkTestBase {
     assert(r == Seq(("banana", 2L, "5,8")))
   }
 
+  // ---- recencyFeatures / targetEncode ------------------------------
+
+  test("recencyFeatures: first-event gap is NULL, ordinals count per user") {
+    val ev = Seq(
+      (1L, 100L, 1L, "a", 0.0), (2L, 350L, 1L, "b", 0.0),
+      (3L, 200L, 2L, "a", 0.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val r = graft.operators.Events.recencyFeatures(ev)
+      .as[(Long, Long, Option[Long], Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, None, 1L), (2L, 1L, Some(250L), 2L),
+      (3L, 2L, None, 1L)))
+  }
+
+  test("targetEncode: LOO excludes self; singleton category is den=0") {
+    val ev = Seq(
+      (1L, 10L, 1L, "a", 1.0), (2L, 20L, 1L, "a", 2.0),
+      (3L, 30L, 1L, "a", 3.0),
+      (4L, 40L, 1L, "b", 9.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val r = graft.operators.Stats.targetEncode(ev)
+      .select("event_id", "loo_num", "loo_den")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 5000000L, 2L), (2L, 4000000L, 2L),
+      (3L, 3000000L, 2L), (4L, 0L, 0L)))
+  }
+
+  // ---- featureHash / docChunks -------------------------------------
+
+  test("featureHash: buckets match the builtin md5 lane, counts conserve tokens") {
+    val d = docs((1L, "aa bb aa"), (2L, "cc"))
+    val r = graft.operators.TextAnalysis.featureHash(d, nBuckets = 8)
+    val rows = r.as[(Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._3).sum == 4L, "every token lands in a bucket")
+    assert(rows.forall(t => t._2 >= 0 && t._2 < 8))
+    // differential vs the composed builtin form
+    import graft.functions.PortableHash
+    val expect = d.select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        pmod(PortableHash.hash32Builtin(col("t")), lit(8L)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == expect)
+  }
+
+  test("docChunks: overlap, tail cap, and full coverage") {
+    val d = docs((1L, "a b c d e"))
+    val r = graft.operators.TextAnalysis.docChunks(d, window = 3, stride = 2)
+      .select("chunk_id", "start_tok", "end_tok", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (0L, 0L, 3L, "a b c"),
+      (1L, 2L, 5L, "c d e"),
+      (2L, 4L, 5L, "e")))
+  }
+
   // ---- tfidfSim ----------------------------------------------------
 
   test("tfidfSim: rare shared terms outrank common ones; self excluded") {
