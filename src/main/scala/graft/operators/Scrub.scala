@@ -86,15 +86,26 @@ object Scrub {
     * shingles (vocab-sized, broadcast-joined to the matches). */
   def decontaminateWeighted(docs: DataFrame, benchmark: DataFrame,
                             minBits: Long = 8L): DataFrame = {
-    val corpusSh = graft.Caches.track(Dedup.withShingles(docs)
-      .select(col("doc_id"), explode(col("__sh")).as("sh")))
-    val n = corpusSh.agg(count_distinct(col("doc_id")).as("__n"))
-    val df = corpusSh.groupBy("sh")
-      .agg(count_distinct(col("doc_id")).as("__df"))
+    val shingled = Dedup.withShingles(docs)
+    // n = docs contributing ≥1 shingle — a map-only scan aggregate,
+    // never a distinct over the exploded stream
+    val n = shingled.agg(
+      sum(when(size(col("__sh")) > 0, 1L).otherwise(0L)).as("__n"))
+    val corpusSh = shingled.select(col("doc_id"), explode(col("__sh")).as("sh"))
     val benchSh = Dedup.withShingles(benchmark)
       .select(explode(col("__sh")).as("sh")).distinct()
-    corpusSh.join(broadcast(benchSh), Seq("sh"))
-      .join(df, Seq("sh"))
+    // df is only ever READ for benchmark shingles, and `matched`
+    // already holds EVERY corpus occurrence of those shingles — so the
+    // df aggregate runs on the matched slice (benchmark-overlap-sized)
+    // instead of the full corpus vocabulary. Same values, and the one
+    // corpus-sized shuffle this operator had is gone: the corpus side
+    // is now map-only (explode + broadcast-join) into a tiny groupBy.
+    val matched = graft.Caches.track(
+      corpusSh.join(broadcast(benchSh), Seq("sh")))
+    val df = matched.groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("__df"))
+    matched
+      .join(broadcast(df), Seq("sh"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"),
         (length(bin(expr("__n div __df"))) - 1).cast("long").as("__b"))

@@ -576,9 +576,12 @@ object TextAnalysis {
 
   def bigramSurprisal(docs: DataFrame): DataFrame = {
     def bg(d: DataFrame): DataFrame = bigramInstances(d)
-    val tf = bg(docs).groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
-    val vocab = graft.Caches.track(
-      bg(docs).groupBy("b").agg(count(lit(1)).as("c2")))
+    // tf is cached and the vocabulary derives from it (Σ tf ≡ corpus
+    // count) — ONE tokenize+explode pass serves the model build and
+    // the per-doc join, instead of two full corpus scans
+    val tf = graft.Caches.track(
+      bg(docs).groupBy("doc_id", "b").agg(count(lit(1)).as("tf")))
+    val vocab = tf.groupBy("b").agg(sum(col("tf")).as("c2"))
     val pre = vocab
       .groupBy(substring_index(col("b"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
@@ -762,9 +765,11 @@ object TextAnalysis {
     def tg(d: DataFrame): DataFrame =
       d.select(col("doc_id"), tokens(col("text")).as("__toks"))
         .select(col("doc_id"), explode(trigramsOfStaged).as("t"))
-    val tf = tg(docs).groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val vocab = graft.Caches.track(
-      tg(docs).groupBy("t").agg(count(lit(1)).as("c3")))
+    // same one-pass shape as bigramSurprisal: cache tf, fold the
+    // vocabulary off it instead of re-scanning the corpus
+    val tf = graft.Caches.track(
+      tg(docs).groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
+    val vocab = tf.groupBy("t").agg(sum(col("tf")).as("c3"))
     val pre = vocab
       .groupBy(substring_index(col("t"), " ", 2).as("w12"))
       .agg(sum(col("c3")).as("c12"))
