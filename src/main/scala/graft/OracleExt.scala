@@ -1150,6 +1150,31 @@ object OracleExt {
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of Relational.regionalVolume. */
+  def regionalVolume(regionName: String): String = s"""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = ${sqlStr(regionName)}
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC, n_name"""
+
+  /** Twin of Relational.priorityExists. */
+  def priorityExists(minQty: Double): String = s"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity >= $minQty)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   /** Twin of Relational.topCustomers. */
   def topCustomers(k: Int): String = s"""
     WITH agg AS (

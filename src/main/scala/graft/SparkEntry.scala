@@ -462,6 +462,19 @@ object SparkEntry {
       graft.operators.Relational.topCustomers(
         graft.operators.Relational.orders(s, dir),
         graft.operators.Relational.customer(s, dir))),
+    // Q5 shape: 6-table join, local-supplier correlation, region pushed
+    // into the broadcast side
+    "regional_volume" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.regionalVolume(R.lineitem(s, dir), R.orders(s, dir),
+        R.customer(s, dir), R.supplier(s, dir), R.nation(s, dir),
+        R.region(s, dir))
+    }),
+    // Q4 shape: EXISTS as a LeftSemi join (orders counted at most once)
+    "priority_exists" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.priorityExists(R.orders(s, dir), R.lineitem(s, dir))
+    }),
     // Exact per-type p50/p90 via the global Prefix sweep (no group-sized
     // window partitions)
     "grouped_percentiles" -> ((s, dir) =>
@@ -1051,6 +1064,8 @@ object SparkEntry {
     "inverted_index" -> OracleExt.invertedIndex(2, 380),
     "pricing_summary" -> OracleExt.pricingSummary,
     "top_customers" -> OracleExt.topCustomers(10),
+    "regional_volume" -> OracleExt.regionalVolume("ASIA"),
+    "priority_exists" -> OracleExt.priorityExists(45.0),
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),
     "weekly_profile" -> OracleExt.weeklyProfile,

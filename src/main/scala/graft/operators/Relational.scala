@@ -42,6 +42,13 @@ object Relational {
     StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
     StructField("n_regionkey", IntegerType)))
 
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType), StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+
   def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.schema(lineitemSchema).parquet(s"$dir/lineitem.parquet")
   def orders(s: SparkSession, dir: String): DataFrame =
@@ -50,6 +57,10 @@ object Relational {
     s.read.schema(customerSchema).parquet(s"$dir/customer.parquet")
   def nation(s: SparkSession, dir: String): DataFrame =
     s.read.schema(nationSchema).parquet(s"$dir/nation.parquet")
+  def supplier(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(supplierSchema).parquet(s"$dir/supplier.parquet")
+  def region(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(regionSchema).parquet(s"$dir/region.parquet")
 
   /** Revenue by customer nation × 30-day order-date bucket through the
     * full fact→fact→dim→dim chain (lineitem ⋈ orders ⋈ customer ⋈
@@ -112,6 +123,58 @@ object Relational {
     * TakeOrderedAndProject (per-partition top-k heaps + a k-sized
     * driver merge; CI-asserted in the spec). Ties break on custkey so
     * the emitted set and order are total. */
+  /** Local-supplier volume — the TPC-H Q5 shape: the deepest join tree
+    * in the suite (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    * region) with the non-key correlation condition c_nationkey =
+    * s_nationkey ("revenue where the customer bought from a LOCAL
+    * supplier"). Strategy under grade: the two fact joins shuffle on
+    * orderkey/custkey; supplier joins on suppkey with the nation
+    * equality as a post-join filter condition; nation and the
+    * region-filtered keys are constants — broadcast, with the region
+    * filter PUSHED INTO the broadcast side so non-matching nations
+    * prune before touching a fact row. Ordered by revenue (cents,
+    * exact) descending, n_name tiebreak. */
+  def regionalVolume(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, region: DataFrame,
+                     regionName: String = "ASIA"): DataFrame = {
+    val localNations = nation
+      .join(region.filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("cents"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(localNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  /** Order-priority counts over orders having at least one big-quantity
+    * line — the TPC-H Q4 EXISTS shape, planned as a LeftSemi join: the
+    * probe side (qualifying lineitems) reduces to DISTINCT orderkeys
+    * map-side, the semi-join emits each order at most once no matter
+    * how many lines qualify, and nothing from the lineitem row ever
+    * crosses the join. */
+  def priorityExists(orders: DataFrame, lineitem: DataFrame,
+                     minQty: Double = 45.0): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_quantity") >= minQty)
+        .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame = {
     // top-k BEFORE the name join: the dim join then touches k rows
     // (broadcast), not every customer.

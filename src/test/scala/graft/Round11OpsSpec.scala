@@ -287,6 +287,40 @@ class Round11OpsSpec extends SparkTestBase {
     assert(r == Seq((1L, 2000L), (2L, 2000L)))
   }
 
+  test("regionalVolume: only local-supplier revenue in the named region counts") {
+    val li = Seq(
+      (1L, 10L, 100.0, 0.0), // order 1, supp 10 (nation 1) — local ✓
+      (2L, 20L, 50.0, 0.0), //  order 2, supp 20 (nation 2) — cust nation 1 ✗
+      (3L, 30L, 25.0, 0.0) //   order 3, supp 30 (nation 3, region B) ✗ region
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = Seq((1L, 5L), (2L, 5L), (3L, 6L))
+      .toDF("o_orderkey", "o_custkey")
+    val cust = Seq((5L, 1), (6L, 3)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((10L, 1), (20L, 2), (30L, 3))
+      .toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1, "JAPAN", 0), (2, "CHINA", 0), (3, "FRANCE", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val r = Relational.regionalVolume(li, ord, cust, supp, nat, reg, "ASIA")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("JAPAN", 1L, 10000L)),
+      "non-local supplier and out-of-region nation must both drop")
+  }
+
+  test("priorityExists: LeftSemi plan; an order with many qualifying lines counts once") {
+    val ord = Seq((1L, "1-URGENT"), (2L, "1-URGENT"), (3L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val li = Seq(
+      (1L, 50.0), (1L, 49.0), // two qualifying lines, ONE order
+      (3L, 10.0) //              below threshold
+    ).toDF("l_orderkey", "l_quantity")
+    val q = Relational.priorityExists(ord, li, minQty = 45.0)
+    assert(q.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "EXISTS must plan as a semi-join")
+    val r = q.as[(String, Long)].collect().toSeq
+    assert(r == Seq(("1-URGENT", 1L)))
+  }
+
   // ---- groupedPercentiles / paretoDocs -----------------------------
 
   test("groupedPercentiles: lower empirical quantile per group, no cross-group carry") {
