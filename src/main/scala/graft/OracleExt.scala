@@ -1150,6 +1150,56 @@ object OracleExt {
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Twin of Relational.fkOrphans over the degraded-parent gate inputs
+    * (every 97th order / 53rd customer withheld so the audit provably
+    * fires). */
+  def fkOrphans(orderMod: Long, custMod: Long): String = s"""
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % $orderMod != 0),
+    c AS (SELECT * FROM customer WHERE c_custkey % $custMod != 0),
+    e1 AS (SELECT 'lineitem.l_orderkey->orders' AS fk,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM o) p
+             ON l.l_orderkey = p.o_orderkey),
+    e2 AS (SELECT 'orders.o_custkey->customer' AS fk,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+           FROM o
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM c) p
+             ON o.o_custkey = p.c_custkey)
+    SELECT fk, n_rows, n_orphans, n_orphans = 0 AS clean
+    FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) ORDER BY fk"""
+
+  /** Twin of Events.outageGaps. */
+  def outageGaps(k: Int): String = s"""
+    WITH m AS (SELECT DISTINCT epoch_us(ts) // 60000000 AS m FROM events),
+    g AS (SELECT m, lead(m) OVER (ORDER BY m) AS next_m FROM m)
+    SELECT m + 1 AS gap_start_min, next_m - m - 1 AS gap_minutes,
+           next_m AS resumed_min
+    FROM g WHERE next_m - m > 1
+    ORDER BY gap_minutes DESC, gap_start_min LIMIT $k"""
+
+  /** Twin of Similarity.embedExactDedup over withInjectedDupVecs — the
+    * marker vector's components are dyadic rationals (k/8), exact in
+    * FLOAT, so the literal list matches the Spark-planted bits. */
+  def embedExactDedup(dim: Int): String = {
+    val marker = (0 until dim).map(i => s"${(i % 7) / 8.0}").mkString(", ")
+    s"""
+    WITH e AS (SELECT vec_id,
+                 CASE WHEN vec_id % 25 = 0
+                   THEN CAST([$marker] AS FLOAT[]) ELSE embedding END
+                   AS embedding
+               FROM embeddings),
+    g AS (SELECT embedding, CAST(count(*) AS BIGINT) AS n_dups,
+                 min(vec_id) AS canonical_id
+          FROM e GROUP BY embedding HAVING count(*) > 1)
+    SELECT e.vec_id, g.canonical_id, g.n_dups
+    FROM e JOIN g USING (embedding) ORDER BY vec_id"""
+  }
+
   /** Twin of Relational.regionalVolume. */
   def regionalVolume(regionName: String): String = s"""
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_items,

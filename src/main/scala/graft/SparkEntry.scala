@@ -475,6 +475,21 @@ object SparkEntry {
       val R = graft.operators.Relational
       R.priorityExists(R.orders(s, dir), R.lineitem(s, dir))
     }),
+    // FK referential-integrity audit (LeftAnti) on degraded parents so
+    // the orphan counters provably fire
+    "fk_orphans" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.fkOrphans(R.lineitem(s, dir),
+        R.orders(s, dir).filter(expr("pmod(o_orderkey, 97) != 0")),
+        R.customer(s, dir).filter(expr("pmod(c_custkey, 53) != 0")))
+    }),
+    // Top-k silent gaps between non-empty minutes (outage detector)
+    "outage_gaps" -> ((s, dir) =>
+      Events.outageGaps(LogSource.readEvents(s, dir))),
+    // Exact duplicate embeddings (planted markers; keep-lowest canonical)
+    "embed_exact_dedup" -> ((s, dir) =>
+      Similarity.embedExactDedup(
+        Similarity.withInjectedDupVecs(embPar(s, dir)))),
     // Exact per-type p50/p90 via the global Prefix sweep (no group-sized
     // window partitions)
     "grouped_percentiles" -> ((s, dir) =>
@@ -1066,6 +1081,9 @@ object SparkEntry {
     "top_customers" -> OracleExt.topCustomers(10),
     "regional_volume" -> OracleExt.regionalVolume("ASIA"),
     "priority_exists" -> OracleExt.priorityExists(45.0),
+    "fk_orphans" -> OracleExt.fkOrphans(97, 53),
+    "outage_gaps" -> OracleExt.outageGaps(20),
+    "embed_exact_dedup" -> OracleExt.embedExactDedup(64),
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),
     "weekly_profile" -> OracleExt.weeklyProfile,

@@ -248,6 +248,31 @@ object Events {
       .withColumn("n_trailing", count(lit(1)).over(w))
   }
 
+  /** Ingestion-outage detector: the top-k largest silent gaps between
+    * consecutive NON-EMPTY minutes of the event stream — the "did the
+    * shipper die at 3am" audit (the reference's whole job is to never
+    * create such gaps; this op is how you'd catch one).
+    *
+    * Scale shape: the corpus collapses to the distinct-minute table
+    * first (one map-side-combined aggregate; its size is bounded by
+    * the TIME SPAN, never the corpus — 43 200 rows per month), the
+    * lead window runs over that bounded table, and the top-k is
+    * TakeOrdered. Total order: (gap desc, start asc). */
+  def outageGaps(events: DataFrame, k: Int = 20): DataFrame = {
+    val minutes = events
+      .select(expr("unix_micros(ts) div 60000000").as("m"))
+      .distinct()
+    val w = Window.orderBy(col("m"))
+    minutes
+      .withColumn("next_m", lead(col("m"), 1).over(w))
+      .filter(col("next_m") - col("m") > 1)
+      .select((col("m") + 1).as("gap_start_min"),
+        (col("next_m") - col("m") - 1).as("gap_minutes"),
+        col("next_m").as("resumed_min"))
+      .orderBy(col("gap_minutes").desc, col("gap_start_min"))
+      .limit(k)
+  }
+
   /** Per-event recency features — the two behavioral columns every
     * event-level model starts with: gap_us (µs since this user's
     * previous event; NULL on the first — a synthetic 0 would be an

@@ -175,6 +175,33 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Referential-integrity audit over the star schema's two FK edges
+    * (lineitem→orders, orders→customer): per edge, total child rows
+    * and orphan rows (children whose parent key is missing) — the
+    * first data-quality gate a warehouse load runs, and the LeftAnti
+    * join shape: the parent side reduces to DISTINCT keys, nothing
+    * but the key crosses the join, and a clean edge costs one semi
+    * probe per child row. Output is 2 rows at any scale. */
+  def fkOrphans(lineitem: DataFrame, orders: DataFrame,
+                customer: DataFrame): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_rows"))
+      val orphans = child
+        .join(parent.select(col(parentKey)).distinct(),
+          col(childKey) === col(parentKey), "leftanti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+          (col("n_orphans") === 0).as("clean"))
+    }
+    edge("lineitem.l_orderkey->orders", lineitem.select(col("l_orderkey")),
+        "l_orderkey", orders, "o_orderkey")
+      .unionAll(edge("orders.o_custkey->customer",
+        orders.select(col("o_custkey")), "o_custkey", customer, "c_custkey"))
+      .orderBy("fk")
+  }
+
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame = {
     // top-k BEFORE the name join: the dim join then touches k rows
     // (broadcast), not every customer.

@@ -145,6 +145,36 @@ object Similarity {
         col("cand_id"), simMicro(col("sim")).as("sim_micro"))
   }
 
+  /** Exact duplicate VECTORS — identical embeddings under elementwise
+    * equality (re-encoded copies, retried batches, default-vector
+    * bugs: the embedding table's version of exact text dedup, run
+    * before any ANN index is built so duplicates can't vote twice).
+    * The groupBy key is the array value itself — float equality, not
+    * tolerance: both engines read identical parquet bits, so grouping
+    * agrees exactly. Keep-lowest canonical, members of non-trivial
+    * groups only. At production scale you'd pre-hash the array to a
+    * 128-bit key to shrink the shuffle; the semantics under test are
+    * the same. */
+  def embedExactDedup(emb: DataFrame): DataFrame = {
+    val groups = emb.groupBy(col("embedding"))
+      .agg(count(lit(1)).as("n_dups"), min(col("vec_id")).as("canonical_id"))
+      .filter(col("n_dups") > 1)
+    emb.join(groups, Seq("embedding"))
+      .select(col("vec_id"), col("canonical_id"), col("n_dups"))
+      .orderBy("vec_id")
+  }
+
+  /** The embeddings fixture has no exact-duplicate vectors, so the
+    * dedup gate plants them: every 25th vector's embedding is replaced
+    * by a constant marker vector (deterministic, engine-portable) —
+    * the withInjectedPii pattern for the vector table. */
+  def withInjectedDupVecs(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val marker = array((0 until dim).map(i => lit((i % 7).toFloat / 8f)): _*)
+    emb.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(25L)) === 0, marker)
+        .otherwise(col("embedding")))
+  }
+
   /** Reciprocal nearest neighbors within LSH buckets — pairs (a, b)
     * where b is a's top-1 cosine neighbor AND a is b's, the mutual-NN
     * criterion of bitext mining (Artetxe & Schwenk 2019) and

@@ -321,6 +321,38 @@ class Round11OpsSpec extends SparkTestBase {
     assert(r == Seq(("1-URGENT", 1L)))
   }
 
+  test("fkOrphans: orphan children counted, clean edge flagged clean") {
+    val li = Seq(1L, 1L, 2L, 9L).toDF("l_orderkey") // 9 has no parent
+    val ord = Seq((1L, 5L), (2L, 5L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq(Tuple1(5L)).toDF("c_custkey")
+    val r = Relational.fkOrphans(li, ord, cust)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(
+      ("lineitem.l_orderkey->orders", 4L, 1L, false),
+      ("orders.o_custkey->customer", 2L, 0L, true)))
+  }
+
+  test("outageGaps: gaps between non-empty minutes, largest first") {
+    val ev = events(
+      (1L, 0L, 1L, "a"), (2L, 60000000L, 1L, "a"), // minutes 0, 1
+      (3L, 5L * 60000000L, 1L, "a"), (4L, 6L * 60000000L, 1L, "a"), // 5, 6
+      (5L, 20L * 60000000L, 1L, "a")) //                               20
+    val r = graft.operators.Events.outageGaps(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((7L, 13L, 20L), (2L, 3L, 5L)))
+  }
+
+  test("embedExactDedup: identical vectors cluster to the lowest id") {
+    val emb = Seq(
+      (3L, Array(1.0f, 2.0f)),
+      (7L, Array(1.0f, 2.0f)),
+      (5L, Array(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embedExactDedup(emb)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((3L, 3L, 2L), (7L, 3L, 2L)))
+  }
+
   // ---- groupedPercentiles / paretoDocs -----------------------------
 
   test("groupedPercentiles: lower empirical quantile per group, no cross-group carry") {
