@@ -1041,6 +1041,29 @@ object OracleExt {
            t.s - r.value_micro AS loo_num, t.n - 1 AS loo_den
     FROM r JOIN t USING (event_type) ORDER BY event_id"""
 
+  /** Twin of TextAnalysis.sourceTerms — HUGEINT lift lanes. */
+  def sourceTerms(k: Int, minCount: Long): String = s"""
+    WITH st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+                FROM (SELECT source, unnest($toks) AS term FROM documents)
+                GROUP BY 1, 2),
+    s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s
+          FROM st GROUP BY 1),
+    t AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS t_total FROM st),
+    lifted AS (
+      SELECT st.source, st.term, st.c_st,
+             CAST((CAST(1000000 AS HUGEINT) * st.c_st * tot.t_total)
+                  // (CAST(s.c_s AS HUGEINT) * t.c_t) AS BIGINT)
+               AS lift_ppm
+      FROM st JOIN s USING (source) JOIN t USING (term), tot
+      WHERE st.c_st >= $minCount)
+    SELECT source, CAST(rank AS INTEGER) AS rank, term, c_st, lift_ppm
+    FROM (SELECT source, term, c_st, lift_ppm,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY lift_ppm DESC, term) AS rank
+          FROM lifted)
+    WHERE rank <= $k ORDER BY source, rank"""
+
   /** Twin of TextAnalysis.featureHash — same md5 32-bit lane. */
   def featureHash(nBuckets: Int): String = {
     val h = graft.functions.PortableHash.sqlHash32("term")

@@ -490,6 +490,9 @@ object SparkEntry {
     "embed_exact_dedup" -> ((s, dir) =>
       Similarity.embedExactDedup(
         Similarity.withInjectedDupVecs(embPar(s, dir)))),
+    // Top-k distinctive terms per source by integer lift (mislabel audit)
+    "source_terms" -> ((s, dir) =>
+      TextAnalysis.sourceTerms(docsPar(s, dir))),
     // Exact per-type p50/p90 via the global Prefix sweep (no group-sized
     // window partitions)
     "grouped_percentiles" -> ((s, dir) =>
@@ -1084,6 +1087,7 @@ object SparkEntry {
     "fk_orphans" -> OracleExt.fkOrphans(97, 53),
     "outage_gaps" -> OracleExt.outageGaps(20),
     "embed_exact_dedup" -> OracleExt.embedExactDedup(64),
+    "source_terms" -> OracleExt.sourceTerms(5, 10L),
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),
     "weekly_profile" -> OracleExt.weeklyProfile,

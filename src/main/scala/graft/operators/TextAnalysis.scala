@@ -51,8 +51,8 @@ object TextAnalysis {
       .filter(col("df") >= minDf && col("df") <= maxDf)
     postings.join(dfs, Seq("term"))
       .groupBy("term", "df")
-      .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
-        _.cast("string")), ",").as("postings"))
+      .agg(expr("string_agg(CAST(doc_id AS STRING), ',')" +
+        " WITHIN GROUP (ORDER BY doc_id)").as("postings"))
       .select(col("term"), col("df"), col("postings"))
       .orderBy("term")
   }
@@ -162,6 +162,45 @@ object TextAnalysis {
       .withColumn("score",
         col("len_component") + col("stop_component") - col("punct_penalty"))
       .withColumn("keep", col("score") >= keepThreshold)
+  }
+
+  /** Distinctive terms per source — top-k by integer LIFT (the
+    * source's term share vs the corpus share, in ppm): the per-source
+    * vocabulary fingerprint that catches a mislabeled crawl slice or
+    * a source gone off-topic, where raw top terms would just show
+    * stopwords everywhere.
+    *
+    * lift_ppm = (1e6 · c_st · T) div (c_s · c_t) in DECIMAL(38,0)
+    * lanes (HUGEINT twin — c_st·T alone passes 2^63 on a 1e13-token
+    * corpus), with c_st = term-in-source count, c_s = source tokens,
+    * c_t = corpus term count, T = corpus tokens. A minCount floor
+    * keeps one-off terms from posting infinite lift. Shapes:
+    * one (source, term) aggregate, vocab-sized marginals broadcast
+    * back, rank window pruned map-side by WindowGroupLimit. */
+  def sourceTerms(docs: DataFrame, k: Int = 5, minCount: Long = 10L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = graft.Caches.track(docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_st")))
+    val bySource = st.groupBy("source").agg(sum(col("c_st")).as("c_s"))
+    val byTerm = st.groupBy("term").agg(sum(col("c_st")).as("c_t"))
+    val total = st.agg(sum(col("c_st")).as("t_total"))
+    st.filter(col("c_st") >= minCount)
+      .join(broadcast(bySource), Seq("source"))
+      .join(broadcast(byTerm), Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("term"), col("c_st"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * c_st * t_total)
+                     div (CAST(c_s AS DECIMAL(38,0)) * c_t) AS BIGINT)""")
+          .as("lift_ppm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("lift_ppm").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank").cast("int").as("rank"),
+        col("term"), col("c_st"), col("lift_ppm"))
+      .orderBy("source", "rank")
   }
 
   /** Feature hashing (the hashing trick, Weinberger et al. 2009): each

@@ -193,6 +193,21 @@ class Round11OpsSpec extends SparkTestBase {
       (3L, 3000000L, 2L), (4L, 0L, 0L)))
   }
 
+  test("sourceTerms: lift ranks the source-distinctive term first") {
+    // "zzz" appears only in source A (10×); "common" is everywhere.
+    // Lift(zzz | A) = (c_st·T)/(c_s·c_t) > 1e6; lift(common) ≈ 1e6.
+    val d = (1 to 10).map(i => (i.toLong, "zzz common", "A")) ++
+      (11 to 20).map(i => (i.toLong, "common common", "B"))
+    val df = d.toDF("doc_id", "text", "source")
+    val r = graft.operators.TextAnalysis.sourceTerms(df, k = 1, minCount = 5)
+      .select("source", "term", "lift_ppm")
+      .as[(String, String, Long)].collect().toSeq
+    assert(r.head == ("A", "zzz", 2000000L),
+      "zzz: (10·40)/(20·10) = 2× corpus share")
+    assert(r.map(_._1) == Seq("A", "B"))
+    Caches.releaseAll()
+  }
+
   // ---- featureHash / docChunks -------------------------------------
 
   test("featureHash: buckets match the builtin md5 lane, counts conserve tokens") {
