@@ -1143,6 +1143,89 @@ object OracleExt {
            h - last_day > $horizonDays AS churned
     FROM ls, h ORDER BY user_id"""
 
+  /** Twin of Stats.independenceTest — same defined per-cell ppm floor,
+    * HUGEINT lanes. */
+  val independenceTest: String = """
+    WITH cells AS (
+      SELECT event_type,
+             ((epoch_us(ts) - epoch_us(ts) % 86400000000)
+               // 86400000000 + 3) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+          FROM cells GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+                 CAST(count(DISTINCT dow) AS BIGINT) AS nc
+          FROM cells),
+    grid AS (
+      SELECT r.event_type, c.dow, r.r, c.c, COALESCE(cells.o, 0) AS o
+      FROM r CROSS JOIN c
+      LEFT JOIN cells ON cells.event_type = r.event_type
+                     AND cells.dow = c.dow)
+    SELECT n.n AS n_events, CAST(count(*) AS BIGINT) AS n_cells,
+           (n.nr - 1) * (n.nc - 1) AS dof,
+           CAST(sum(CAST(((CAST(o AS HUGEINT) * n.n
+                           - CAST(g.r AS HUGEINT) * g.c)
+                          * (CAST(o AS HUGEINT) * n.n
+                             - CAST(g.r AS HUGEINT) * g.c) * 1000000)
+                         // (CAST(n.n AS HUGEINT) * g.r * g.c) AS BIGINT))
+             AS BIGINT) AS chi2_ppm
+    FROM grid g, n
+    GROUP BY n.n, n.nr, n.nc ORDER BY n_events"""
+
+  /** Twin of Stats.sourceDivergence. */
+  def sourceDivergence: String = s"""
+    WITH st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT source, unnest($toks) AS term FROM documents)
+                GROUP BY 1, 2),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b
+              FROM (SELECT DISTINCT source FROM st) a,
+                   (SELECT DISTINCT source FROM st) b
+              WHERE a.source < b.source),
+    cells AS (
+      SELECT p.src_a, p.src_b, sa.term, sa.cnt AS ca,
+             COALESCE(sb.cnt, 0) AS cb
+      FROM pairs p JOIN st sa ON sa.source = p.src_a
+      LEFT JOIN st sb ON sb.source = p.src_b AND sb.term = sa.term
+      UNION ALL
+      SELECT p.src_a, p.src_b, sb.term, 0 AS ca, sb.cnt AS cb
+      FROM pairs p JOIN st sb ON sb.source = p.src_b
+      WHERE NOT EXISTS (SELECT 1 FROM st sa
+                        WHERE sa.source = p.src_a AND sa.term = sb.term)),
+    t AS (SELECT src_a, src_b, CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb
+          FROM cells GROUP BY 1, 2)
+    SELECT c.src_a, c.src_b, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(CAST(((CAST(ca AS HUGEINT) * nb
+                           - CAST(cb AS HUGEINT) * na)
+                          * (CAST(ca AS HUGEINT) * nb
+                             - CAST(cb AS HUGEINT) * na) * 1000000)
+                         // (CAST(na AS HUGEINT) * nb * (ca + cb))
+                    AS BIGINT)) AS BIGINT) AS chi2_ppm
+    FROM cells c JOIN t USING (src_a, src_b)
+    GROUP BY c.src_a, c.src_b ORDER BY src_a, src_b"""
+
+  /** Twin of Stats.survivalCurve. */
+  val survivalCurve: String = """
+    WITH lt AS (SELECT user_id,
+                  max((epoch_us(ts) - epoch_us(ts) % 86400000000)
+                    // 86400000000)
+                - min((epoch_us(ts) - epoch_us(ts) % 86400000000)
+                    // 86400000000) AS lt
+                FROM events GROUP BY 1),
+    lv AS (SELECT lt, CAST(count(*) AS BIGINT) AS nu FROM lt GROUP BY 1),
+    c AS (SELECT lt, nu,
+                 sum(nu) OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS cum
+          FROM lv),
+    t AS (SELECT CAST(sum(nu) AS BIGINT) AS total FROM lv)
+    SELECT lt AS lifetime_days, CAST(total - cum + nu AS BIGINT) AS surviving,
+           total,
+           CAST((1000000 * (total - cum + nu)) // total AS BIGINT)
+             AS survival_ppm
+    FROM c, t ORDER BY lifetime_days"""
+
   /** Twin of Stats.engagementGini — the naive ranked form (tie-order
     * invariant, so it equals the Spark side's run-sum form exactly). */
   val engagementGini: String = """

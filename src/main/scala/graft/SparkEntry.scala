@@ -493,6 +493,15 @@ object SparkEntry {
     // Top-k distinctive terms per source by integer lift (mislabel audit)
     "source_terms" -> ((s, dir) =>
       TextAnalysis.sourceTerms(docsPar(s, dir))),
+    // Chi-square independence of event_type × dow (defined ppm floors)
+    "independence_test" -> ((s, dir) =>
+      graft.operators.Stats.independenceTest(LogSource.readEvents(s, dir))),
+    // Pairwise two-sample chi-square between sources over terms
+    "source_divergence" -> ((s, dir) =>
+      graft.operators.Stats.sourceDivergence(docsPar(s, dir))),
+    // Share of users surviving to each observed lifetime (suffix sweep)
+    "survival_curve" -> ((s, dir) =>
+      graft.operators.Stats.survivalCurve(LogSource.readEvents(s, dir))),
     // Exact per-type p50/p90 via the global Prefix sweep (no group-sized
     // window partitions)
     "grouped_percentiles" -> ((s, dir) =>
@@ -1088,6 +1097,9 @@ object SparkEntry {
     "outage_gaps" -> OracleExt.outageGaps(20),
     "embed_exact_dedup" -> OracleExt.embedExactDedup(64),
     "source_terms" -> OracleExt.sourceTerms(5, 10L),
+    "independence_test" -> OracleExt.independenceTest,
+    "source_divergence" -> OracleExt.sourceDivergence,
+    "survival_curve" -> OracleExt.survivalCurve,
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),
     "weekly_profile" -> OracleExt.weeklyProfile,

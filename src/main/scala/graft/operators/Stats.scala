@@ -116,6 +116,129 @@ object Stats {
       .orderBy("event_id")
   }
 
+  /** Chi-square independence test between event_type and ISO
+    * day-of-week — "is traffic shape a function of event type" (a
+    * significant result means per-type weekly seasonality models are
+    * worth their cost; an insignificant one means one shared model
+    * does). The statistic is DEFINED as the sum of per-cell
+    * ppm-floored terms — chi2_ppm = Σ_cells ⌊1e6·(o·N − r·c)² /
+    * (N·r·c)⌋ — so both engines sum identical integers (exact
+    * rational summation has no common BIGINT denominator; a defined
+    * quantization beats a float fold). DECIMAL(38,0)/HUGEINT lanes;
+    * dof = (R−1)(C−1) emitted for the caller's significance lookup.
+    *
+    * Scale shape: one (type, dow) cell aggregate (vocab×7), marginals
+    * fold from the cell table, everything after the first shuffle is
+    * cells-sized. */
+  def independenceTest(events: DataFrame): DataFrame = {
+    val cells = graft.Caches.track(events
+      .select(col("event_type"),
+        pmod(expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " div 86400000000") + 3, lit(7L)).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o")))
+    val rowM = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val colM = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("event_type")).as("nr"),
+      count_distinct(col("dow")).as("nc"))
+    // the FULL R×C grid — an absent cell is an OBSERVATION of zero and
+    // contributes r·c/N to the statistic; dropping it would understate
+    // chi² exactly where the association is strongest
+    rowM.crossJoin(colM)
+      .join(cells, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(
+        expr("""CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+                      * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+                      * 1000000)
+                     div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""")
+          .as("term"),
+        col("n"), col("nr"), col("nc"))
+      .groupBy("n", "nr", "nc")
+      .agg(sum(col("term")).as("chi2_ppm"), count(lit(1)).as("n_cells"))
+      .select(col("n").as("n_events"), col("n_cells"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"), col("chi2_ppm"))
+      .orderBy("n_events")
+  }
+
+  /** Pairwise chi-square divergence between SOURCES over their term
+    * distributions — "which crawl slices are drawn from different
+    * populations": for each source pair, the two-sample chi-square
+    * over the shared term vocabulary, same defined per-cell ppm-floor
+    * quantization as [[independenceTest]] (cells here are (term,
+    * source-of-pair) counts; a term absent from one side contributes
+    * with o = 0, which the full outer cell join materializes).
+    *
+    * Scale shape: ONE (source, term) aggregate; the pair loop is over
+    * the SOURCE VOCABULARY squared (sources are few — never
+    * corpus-driven), each pair's cell table is term-vocab-sized. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val st = graft.Caches.track(docs
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt")))
+    val pairs = st.select(col("source").as("src_a")).distinct()
+      .crossJoin(st.select(col("source").as("src_b")).distinct())
+      .filter(col("src_a") < col("src_b"))
+    val a = st.select(col("source").as("src_a"), col("term"),
+      col("cnt").as("ca"))
+    val b = st.select(col("source").as("src_b"), col("term"),
+      col("cnt").as("cb"))
+    // cells per pair = union of both sides' terms: A's terms with B's
+    // count (0 if absent), plus B-only terms (LeftAnti against A)
+    val cells = broadcast(pairs)
+      .join(a, Seq("src_a"))
+      .join(b.withColumnRenamed("cb", "cb0"), Seq("src_b", "term"), "left")
+      .select(col("src_a"), col("src_b"), col("term"), col("ca"),
+        coalesce(col("cb0"), lit(0L)).as("cb"))
+      .unionByName(broadcast(pairs)
+        .join(b, Seq("src_b"))
+        .join(a.withColumnRenamed("ca", "ca0"), Seq("src_a", "term"),
+          "leftanti")
+        .select(col("src_a"), col("src_b"), col("term"), lit(0L).as("ca"),
+          col("cb")))
+    val totals = cells.groupBy("src_a", "src_b")
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cells.join(broadcast(totals), Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("""CAST(((CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)
+                      * (CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)
+                      * 1000000)
+                     div (CAST(na AS DECIMAL(38,0)) * nb * (ca + cb))
+                  AS BIGINT)""").as("term_chi"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_chi")).as("chi2_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Retention/survival curve: the share of users whose observed
+    * lifetime (last day − first day) reaches k days, for every k with
+    * survivors — the aggregate "how long do users stay" law that
+    * cohort_retention's per-cohort matrix rolls up to. Suffix counts
+    * come from the complement of the shared Prefix cumsum over the
+    * LIFETIME-VALUE table (≤ span-days rows), never a per-user sort:
+    * survivors(k) = total − (users with lifetime < k). */
+  def survivalCurve(events: DataFrame): DataFrame = {
+    val lifetimes = events
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " div 86400000000").as("day"))
+      .groupBy("user_id")
+      .agg((max(col("day")) - min(col("day"))).as("lt"))
+      .groupBy("lt").agg(count(lit(1)).as("nu"))
+    val total = lifetimes.agg(sum(col("nu")).as("total"))
+    Prefix.inclusiveCumsum(lifetimes, expr("lt div 8"), col("lt"),
+        Seq("nu" -> col("nu")))
+      .crossJoin(broadcast(total))
+      .select(col("lt").as("lifetime_days"),
+        (col("total") - col("cum_nu") + col("nu")).as("surviving"),
+        col("total"),
+        expr("(1000000 * (total - cum_nu + nu)) div total")
+          .as("survival_ppm"))
+      .orderBy("lifetime_days")
+  }
+
   /** Exact Gini coefficient of per-user event counts — the one-number
     * engagement-concentration law (0 = everyone equal, →1 = one whale
     * is the corpus). The skew economics input next to skew_profile:

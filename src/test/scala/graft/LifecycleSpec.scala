@@ -170,6 +170,48 @@ class LifecycleSpec extends SparkTestBase {
     assert(r == Seq((0L, 1L, 1L, 500000L), (3L, 0L, 1L, 500000L)))
   }
 
+  test("independenceTest: perfect association gives chi2 = N; zero cells counted") {
+    val DayUs2 = 86400000000L
+    // type a only on Thursday (epoch day 0), type b only on Monday
+    // (day 4): 2×2 table with zero off-diagonal -> phi^2 = 1, chi2 = N = 4.
+    val ev = events(
+      (1L, 1L, 1L, "a", 0.0), (2L, 2L, 1L, "a", 0.0),
+      (3L, 4L * DayUs2 + 1L, 1L, "b", 0.0),
+      (4L, 4L * DayUs2 + 2L, 1L, "b", 0.0))
+    val r = Stats.independenceTest(ev)
+      .select("n_events", "n_cells", "dof", "chi2_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == (4L, 4L, 1L, 4000000L),
+      "chi2_ppm = 4e6 requires the two ZERO cells' r·c/N terms")
+  }
+
+  test("survivalCurve: suffix counts over observed lifetimes") {
+    val ev = events(
+      (1L, 0L, 1L, "a", 0.0), //                 user 1: lifetime 0
+      (2L, 0L, 2L, "a", 0.0),
+      (3L, 2L * DayUs + 1L, 2L, "a", 0.0), //    user 2: lifetime 2
+      (4L, 0L, 3L, "a", 0.0),
+      (5L, 5L * DayUs + 1L, 3L, "a", 0.0)) //    user 3: lifetime 5
+    val r = Stats.survivalCurve(ev)
+      .select("lifetime_days", "surviving", "survival_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 3L, 1000000L), (2L, 2L, 666666L),
+      (5L, 1L, 333333L)))
+  }
+
+  test("sourceDivergence: identical sources diverge zero, disjoint ones don't") {
+    val d = Seq(
+      (1L, "x y z", "A"), (2L, "x y z", "B"), // identical term dists
+      (3L, "q q q", "C")) //                     disjoint from both
+      .toDF("doc_id", "text", "source")
+    val r = Stats.sourceDivergence(d)
+      .select("src_a", "src_b", "chi2_ppm").as[(String, String, Long)]
+      .collect().map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(r(("A", "B")) == 0L, "same distribution: every cell term is 0")
+    assert(r(("A", "C")) > 0L && r(("B", "C")) > 0L)
+    Caches.releaseAll()
+  }
+
   test("seasonality: shares sum to ~1e6 per type and the peak flag is unique-max") {
     val ev = events(
       (1L, 1L * 3600000000L + 1L, 1L, "t", 0.0),
