@@ -2007,6 +2007,50 @@ object OracleExt {
                 THEN 1 ELSE 0 END) AS BIGINT), 1) AS recall_ppm
     FROM (${tieredNearDup(0L, thresh)})"""
 
+  /** Twin of Dedup.dedupThresholdSweep — the open-gate tiered frame
+    * crossed with the threshold grid. */
+  def dedupThresholdSweep(threshMillis: Seq[Long]): String = s"""
+    WITH base AS (SELECT est_milli, jac_milli
+                  FROM (${tieredNearDup(0L, 0L)})),
+    th AS (SELECT CAST(unnest([${threshMillis.mkString(", ")}]) AS BIGINT)
+             AS thresh_milli),
+    j AS (SELECT th.thresh_milli,
+                 CASE WHEN est_milli >= th.thresh_milli
+                      THEN 1 ELSE 0 END AS pe,
+                 CASE WHEN jac_milli >= th.thresh_milli
+                      THEN 1 ELSE 0 END AS pt
+          FROM base, th)
+    SELECT thresh_milli, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(pe * pt) AS BIGINT) AS tp,
+           CAST(sum(pe * (1 - pt)) AS BIGINT) AS fp,
+           CAST(sum((1 - pe) * pt) AS BIGINT) AS fn,
+           (1000000 * CAST(sum(pe * pt) AS BIGINT))
+             // greatest(CAST(sum(pe) AS BIGINT), 1) AS precision_ppm,
+           (1000000 * CAST(sum(pe * pt) AS BIGINT))
+             // greatest(CAST(sum(pt) AS BIGINT), 1) AS recall_ppm
+    FROM j GROUP BY thresh_milli ORDER BY thresh_milli"""
+
+  /** Twin of TextAnalysis.termCooc — whole-bit PPMI over document
+    * co-occurrence, HUGEINT lift lanes. */
+  def termCooc(maxDf: Int, minPairCount: Long): String = s"""
+    WITH dt AS (SELECT DISTINCT doc_id, term FROM (
+                  SELECT doc_id, unnest($toks) AS term FROM documents)),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM dt GROUP BY term HAVING count(*) <= $maxDf),
+    kept AS (SELECT dt.doc_id, dt.term, dfs.df
+             FROM dt JOIN dfs USING (term)),
+    pairs AS (SELECT a.term AS ta, b.term AS tb, a.df AS dfa, b.df AS dfb,
+                     CAST(count(*) AS BIGINT) AS c_ab
+              FROM kept a JOIN kept b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2, 3, 4 HAVING count(*) >= $minPairCount)
+    SELECT ta, tb, c_ab,
+           greatest(0, CAST(length(bin(CAST((CAST(c_ab AS HUGEINT) * nd.nd)
+                  // (CAST(dfa AS HUGEINT) * dfb) AS BIGINT))) - 1
+             AS BIGINT)) AS ppmi_bits
+    FROM pairs, nd ORDER BY ta, tb"""
+
   /** Twin of Dedup.tieredNearDup — LSH candidates → lane-agreement
     * estimate gate → exact shingle Jaccard for survivors only. Union
     * size floored at 1 exactly like the operator (DuckDB `// 0` errors

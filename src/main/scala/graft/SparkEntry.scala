@@ -502,6 +502,12 @@ object SparkEntry {
     // Share of users surviving to each observed lifetime (suffix sweep)
     "survival_curve" -> ((s, dir) =>
       graft.operators.Stats.survivalCurve(LogSource.readEvents(s, dir))),
+    // Estimator P/R curve across thresholds (one cached exact pass)
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.dedupThresholdSweep(docsPar(s, dir))),
+    // Doc-level term co-occurrence with whole-bit positive PMI
+    "term_cooc" -> ((s, dir) =>
+      TextAnalysis.termCooc(docsPar(s, dir))),
     // Exact per-type p50/p90 via the global Prefix sweep (no group-sized
     // window partitions)
     "grouped_percentiles" -> ((s, dir) =>
@@ -1100,6 +1106,9 @@ object SparkEntry {
     "independence_test" -> OracleExt.independenceTest,
     "source_divergence" -> OracleExt.sourceDivergence,
     "survival_curve" -> OracleExt.survivalCurve,
+    "dedup_threshold_sweep" -> OracleExt.dedupThresholdSweep(
+      Seq(300L, 400L, 500L, 600L, 700L, 800L)),
+    "term_cooc" -> OracleExt.termCooc(100000, 5L),
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),
     "weekly_profile" -> OracleExt.weeklyProfile,

@@ -531,6 +531,42 @@ object Dedup {
           .as("recall_ppm"))
   }
 
+  /** Precision/recall sweep of the minhash lane-agreement estimator
+    * against exact Jaccard, across a threshold grid — the curve (not
+    * the single [[minhashEval]] point) that picks the production
+    * est-gate threshold: where does estimator precision collapse, and
+    * what recall does each notch buy.
+    *
+    * The expensive part — candidates + exact Jaccard — is computed
+    * ONCE ([[tieredNearDup]] with open gates) and cached; the sweep
+    * is a thresholds×pairs explode over that cached frame (thresholds
+    * are a literal handful). All confusion-matrix lanes are exact
+    * BIGINTs, P/R in ppm with the minhashEval div-by-zero guard. */
+  def dedupThresholdSweep(docs: DataFrame,
+                          threshMillis: Seq[Long] = Seq(300L, 400L, 500L,
+                            600L, 700L, 800L)): DataFrame = {
+    require(threshMillis.nonEmpty)
+    val base = graft.Caches.track(
+      tieredNearDup(docs, estMilli = 0L, dupMilli = 0L)
+        .select(col("est_milli"), col("jac_milli")))
+    base
+      .select(col("est_milli"), col("jac_milli"),
+        explode(array(threshMillis.map(lit): _*)).as("thresh_milli"))
+      .select(col("thresh_milli"),
+        (col("est_milli") >= col("thresh_milli")).cast("long").as("__pe"),
+        (col("jac_milli") >= col("thresh_milli")).cast("long").as("__pt"))
+      .groupBy("thresh_milli")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__pe") * col("__pt")).as("tp"),
+        sum(col("__pe") * (lit(1L) - col("__pt"))).as("fp"),
+        sum((lit(1L) - col("__pe")) * col("__pt")).as("fn"))
+      .select(col("thresh_milli"), col("n_pairs"), col("tp"), col("fp"),
+        col("fn"),
+        expr("(1000000 * tp) div greatest(tp + fp, 1)").as("precision_ppm"),
+        expr("(1000000 * tp) div greatest(tp + fn, 1)").as("recall_ppm"))
+      .orderBy("thresh_milli")
+  }
+
   /** The dedup keep-list: drop every doc that appears as the HIGHER id
     * of an LSH candidate pair (keep-lowest-canonical policy) via a
     * LEFT ANTI join — the standard "subtract the duplicates" shape; at

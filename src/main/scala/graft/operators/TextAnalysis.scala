@@ -164,6 +164,47 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= keepThreshold)
   }
 
+  /** Doc-level term co-occurrence with positive PMI in whole bits —
+    * the PPMI matrix of the pre-embedding era, still the fastest
+    * "which concepts travel together" signal and the input to
+    * count-based topic/association mining. PPMI(a,b) =
+    * max(0, ⌊log2(c_ab·N / (df_a·df_b))⌋) over DOCUMENT co-occurrence
+    * (distinct terms per doc — multiplicity is tf's business, not
+    * co-occurrence's), computed via bin-length on the BIGINT lift
+    * ratio (the decontam_weighted discipline).
+    *
+    * Scale shape: the within-doc self-join's fan-out is (distinct
+    * terms per doc)² — bounded by the df cap which drops stopwords
+    * BEFORE the join (they co-occur with everything and their PMI is
+    * ~0 by construction); a min-pair-count floor keeps the output in
+    * the statistically-meaningful band. One (term, term) aggregate
+    * after the map-side join. */
+  def termCooc(docs: DataFrame, maxDf: Int = 100000,
+               minPairCount: Long = 5L): DataFrame = {
+    val dt = graft.Caches.track(docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("term")))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val dfs = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val kept = dt.join(dfs, Seq("term"))
+    val pairs = kept.select(col("doc_id"), col("term").as("ta"),
+        col("df").as("dfa"))
+      .join(kept.select(col("doc_id"), col("term").as("tb"),
+        col("df").as("dfb")), Seq("doc_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb", "dfa", "dfb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    pairs.crossJoin(broadcast(nd))
+      .select(col("ta"), col("tb"), col("c_ab"),
+        greatest(lit(0L),
+          (length(bin(expr(
+            """CAST((CAST(c_ab AS DECIMAL(38,0)) * nd)
+                    div (CAST(dfa AS DECIMAL(38,0)) * dfb) AS BIGINT)""")))
+            - 1).cast("long")).as("ppmi_bits"))
+      .orderBy("ta", "tb")
+  }
+
   /** Distinctive terms per source — top-k by integer LIFT (the
     * source's term share vs the corpus share, in ppm): the per-source
     * vocabulary fingerprint that catches a mislabeled crawl slice or

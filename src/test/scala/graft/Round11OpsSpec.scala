@@ -208,6 +208,31 @@ class Round11OpsSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("dedupThresholdSweep: an identical pair is perfect at every threshold") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "wholly different content with other words"))
+    val r = graft.operators.Dedup.dedupThresholdSweep(d)
+      .select("thresh_milli", "n_pairs", "tp", "precision_ppm", "recall_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.size == 6)
+    assert(r.forall(t => t._2 == 1L && t._3 == 1L
+      && t._4 == 1000000L && t._5 == 1000000L))
+    Caches.releaseAll()
+  }
+
+  test("termCooc: perfectly-coupled rare terms earn positive PPMI bits") {
+    val d = docs(
+      (1L, "aa bb"), (2L, "aa bb"), // aa,bb always together
+      (3L, "cc dd"), (4L, "cc dd"))
+    // df(aa)=df(bb)=2, c_ab=2, N=4: lift = 2·4/(2·2) = 2 → 1 bit
+    val r = graft.operators.TextAnalysis.termCooc(d, minPairCount = 1L)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(r == Seq(("aa", "bb", 2L, 1L), ("cc", "dd", 2L, 1L)))
+    Caches.releaseAll()
+  }
+
   // ---- featureHash / docChunks -------------------------------------
 
   test("featureHash: buckets match the builtin md5 lane, counts conserve tokens") {
