@@ -2475,6 +2475,45 @@ object OracleExt {
   private def kmeansCte(k: Int, iters: Int): String =
     kmeansCte(k.toString, iters)
 
+  /** kmeansCte over an arbitrary (vec_id, v DOUBLE[]) producing query —
+    * the twin of KMeans.fit's input-frame genericity (fitVecs). */
+  private def kmeansCteOver(eSql: String, kSql: String, iters: Int,
+                            dim: Int): String = {
+    val rounds = (0 until iters)
+      .map(i => kmeansRoundP("", i, s"c$i", s"c${i + 1}", dim, "e"))
+      .mkString(",")
+    s"""
+    WITH e AS ($eSql),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < ($kSql)),
+    $rounds"""
+  }
+
+  /** Twin of KMeans.assignments over TextAnalysis.docVectors — lexical
+    * k-means end to end: feature-hash cells → dense integer-count
+    * vectors (exact in double lanes) → the SAME unrolled Lloyd twin
+    * the embedding path uses. */
+  def docClusters(k: Int, iters: Int, nBuckets: Int): String = {
+    val h = graft.functions.PortableHash.sqlHash32("term")
+    val eSql = s"""
+      WITH fh AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+                  FROM (SELECT doc_id, $h % $nBuckets AS bucket FROM (
+                          SELECT doc_id, unnest($toks) AS term
+                          FROM documents))
+                  GROUP BY 1, 2)
+      SELECT vec_id, list(cnt_z ORDER BY b) AS v FROM (
+        SELECT d.doc_id AS vec_id, r.b,
+               CAST(COALESCE(f.cnt, 0) AS DOUBLE) AS cnt_z
+        FROM (SELECT DISTINCT doc_id FROM fh) d
+        CROSS JOIN (SELECT unnest(range(0, $nBuckets)) AS b) r
+        LEFT JOIN fh f ON f.doc_id = d.doc_id AND f.bucket = r.b)
+      GROUP BY vec_id"""
+    s"""
+    ${kmeansCteOver(eSql, k.toString, iters, nBuckets)}
+    SELECT vec_id AS doc_id, cid AS cluster,
+           CAST(floor(d2 * 1000) AS BIGINT) AS d2_milli
+    FROM a${iters - 1} ORDER BY doc_id"""
+  }
+
   /** Twin of KMeans.deriveK over the embeddings CTE `e`: the k that a
     * k=0 sentinel call derives from the corpus count. */
   def deriveKSql(targetClusterSize: Long): String =

@@ -508,6 +508,11 @@ object SparkEntry {
     // Doc-level term co-occurrence with whole-bit positive PMI
     "term_cooc" -> ((s, dir) =>
       TextAnalysis.termCooc(docsPar(s, dir))),
+    // Lexical k-means end to end: hashed count vectors -> Lloyd
+    "doc_clusters" -> ((s, dir) =>
+      KMeans.assignments(TextAnalysis.docVectors(docsPar(s, dir)))
+        .select(col("vec_id").as("doc_id"), col("cluster"), col("d2_milli"))
+        .orderBy("doc_id")),
     // Exact per-type p50/p90 via the global Prefix sweep (no group-sized
     // window partitions)
     "grouped_percentiles" -> ((s, dir) =>
@@ -1109,6 +1114,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> OracleExt.dedupThresholdSweep(
       Seq(300L, 400L, 500L, 600L, 700L, 800L)),
     "term_cooc" -> OracleExt.termCooc(100000, 5L),
+    "doc_clusters" -> OracleExt.docClusters(8, 2, 64),
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),
     "weekly_profile" -> OracleExt.weeklyProfile,

@@ -164,6 +164,23 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= keepThreshold)
   }
 
+  /** Dense hashed-count vectors per document — [[featureHash]] buckets
+    * widened to a fixed `nBuckets`-dim array (absent bucket = 0), the
+    * bridge from text to every vector operator in the engine: counts
+    * are exact integers in double lanes, so k-means/ANN arithmetic on
+    * them is deterministic cross-engine. The widening is `nBuckets`
+    * conditional-sum lanes in ONE aggregate — no collect_list buffer,
+    * per-group state is exactly nBuckets longs. */
+  def docVectors(docs: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val fh = featureHash(docs, nBuckets)
+    val lanes = (0 until nBuckets).map(i =>
+      sum(when(col("bucket") === i, col("cnt")).otherwise(0L))
+        .cast("double").as(s"__b$i"))
+    fh.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id").as("vec_id"),
+        array((0 until nBuckets).map(i => col(s"__b$i")): _*).as("embedding"))
+  }
+
   /** Doc-level term co-occurrence with positive PMI in whole bits —
     * the PPMI matrix of the pre-embedding era, still the fastest
     * "which concepts travel together" signal and the input to

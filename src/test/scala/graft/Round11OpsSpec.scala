@@ -233,6 +233,22 @@ class Round11OpsSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("docVectors + kmeans: identical docs share a vector and a cluster") {
+    val d = docs(
+      (0L, "aa aa aa"), (2L, "aa aa aa"), (4L, "aa aa aa"),
+      (1L, "zz zz zz"), (3L, "zz zz zz"), (5L, "zz zz zz"))
+    // nBuckets must match KMeans's fixed 64-dim contract
+    val vecs = graft.operators.TextAnalysis.docVectors(d)
+    assert(vecs.select("embedding").distinct().count() == 2,
+      "two distinct texts -> two distinct hashed vectors")
+    val r = graft.operators.KMeans.assignments(vecs, k = 2, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(r(0L) == r(2L) && r(2L) == r(4L))
+    assert(r(1L) == r(3L) && r(3L) == r(5L))
+    assert(r(0L) != r(1L), "seeded one side each: groups must separate")
+    Caches.releaseAll()
+  }
+
   // ---- featureHash / docChunks -------------------------------------
 
   test("featureHash: buckets match the builtin md5 lane, counts conserve tokens") {
