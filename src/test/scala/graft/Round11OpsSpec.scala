@@ -409,6 +409,41 @@ class Round11OpsSpec extends SparkTestBase {
     assert(r == Seq((3L, 3L, 2L), (7L, 3L, 2L)))
   }
 
+  // ---- plan-shape guards for the r11 SURVEY claims -----------------
+
+  test("cdcApply plans as an aggregate, never a per-key history sort window") {
+    val ev = Seq((1L, 100L, 1L, "view", 1.0), (2L, 200L, 1L, "click", 2.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val plan = graft.operators.Lifecycle.cdcApply(ev)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "latest-per-key must ride max(struct) partial aggregation")
+    assert(plan.contains("Aggregate"))
+  }
+
+  test("fkOrphans plans both edges as LeftAnti joins") {
+    val li = Seq(1L).toDF("l_orderkey")
+    val ord = Seq((1L, 5L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq(Tuple1(5L)).toDF("c_custkey")
+    val plan = Relational.fkOrphans(li, ord, cust)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"))
+  }
+
+  test("regionalVolume broadcasts the region-filtered nation dim") {
+    val li = Seq((1L, 10L, 1.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = Seq((1L, 5L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((5L, 1)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((10L, 1)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1, "JAPAN", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0, "ASIA")).toDF("r_regionkey", "r_name")
+    val plan = Relational.regionalVolume(li, ord, cust, supp, nat, reg, "ASIA")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   // ---- groupedPercentiles / paretoDocs -----------------------------
 
   test("groupedPercentiles: lower empirical quantile per group, no cross-group carry") {
