@@ -3305,4 +3305,207 @@ object OracleExt {
                   JOIN n y ON y.vec_id = c.vec_b)
     WHERE sim_micro >= $minSimMicro ORDER BY vec_a, vec_b"""
   }
+
+  /** Twin of Relational.shippingPriority (TPC-H Q3 shape). */
+  def shippingPriority(segment: String, cutoffMicros: Long, k: Int): String = s"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      epoch_us(o_orderdate) // 86400000000 AS order_day
+               FROM orders WHERE epoch_us(o_orderdate) < $cutoffMicros)
+    SELECT l.l_orderkey, o.order_day,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+    WHERE epoch_us(l.l_shipdate) > $cutoffMicros
+      AND o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = ${sqlStr(segment)})
+    GROUP BY 1, 2 ORDER BY revenue_cents DESC, l_orderkey LIMIT $k"""
+
+  /** Twin of Relational.promoRevenue (TPC-H Q14 shape) — HUGEINT lane
+    * mirrors Spark's DECIMAL(38,0). */
+  val promoRevenue: String = """
+    WITH j AS (SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS cents, p_type
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    a AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                   AS BIGINT) AS promo_cents,
+                 CAST(sum(cents) AS BIGINT) AS total_cents FROM j)
+    SELECT promo_cents, total_cents,
+           CAST(CAST(promo_cents AS HUGEINT) * 1000000 // total_cents
+             AS BIGINT) AS promo_ppm
+    FROM a"""
+
+  /** Twin of Relational.volumeShipping (TPC-H Q7 shape). */
+  val volumeShipping: String = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           epoch_us(l.l_shipdate) // 86400000000 // 365 AS year_bucket,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name != cn.n_name
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** Twin of Relational.marketShare (TPC-H Q8 shape) — HUGEINT ppm
+    * lane. */
+  def marketShare(regionName: String, targetNation: String): String = s"""
+    WITH j AS (SELECT epoch_us(l.l_shipdate) // 86400000000 // 365
+                        AS year_bucket,
+                      CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS cents,
+                      sn.n_name = ${sqlStr(targetNation)} AS is_target
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+               WHERE c.c_nationkey IN
+                 (SELECT n.n_nationkey FROM nation n
+                  JOIN region r ON n.n_regionkey = r.r_regionkey
+                  WHERE r.r_name = ${sqlStr(regionName)})),
+    a AS (SELECT year_bucket,
+                 CAST(sum(CASE WHEN is_target THEN cents ELSE 0 END)
+                   AS BIGINT) AS target_cents,
+                 CAST(sum(cents) AS BIGINT) AS market_cents
+          FROM j GROUP BY 1)
+    SELECT year_bucket, target_cents, market_cents,
+           CAST(CAST(target_cents AS HUGEINT) * 1000000 // market_cents
+             AS BIGINT) AS share_ppm
+    FROM a ORDER BY year_bucket"""
+
+  /** Twin of Relational.smallQtyRevenue (TPC-H Q17 shape) — the
+    * below-20%-of-part-average test is the exact cross-multiplication
+    * 5·n·qty < Σqty, never a float quotient. */
+  val smallQtyRevenue: String = """
+    WITH li AS (SELECT l_partkey,
+                       CAST(floor(l_quantity * 100) AS BIGINT) AS qty_x100,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem),
+    pp AS (SELECT l_partkey AS pp_key, CAST(count(*) AS BIGINT) AS pp_n,
+                  CAST(sum(qty_x100) AS BIGINT) AS pp_qty
+           FROM li GROUP BY 1)
+    SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(cents) // 7 AS BIGINT) AS avg_yearly_cents
+    FROM li JOIN pp ON li.l_partkey = pp.pp_key
+    JOIN part p ON li.l_partkey = p.p_partkey
+    WHERE 5 * pp_n * qty_x100 < pp_qty
+    GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Relational.largeOrders (TPC-H Q18 shape). */
+  def largeOrders(minQtyX100: Long, k: Int): String = s"""
+    WITH big AS (SELECT l_orderkey,
+                        CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                          AS BIGINT) AS total_qty_x100
+                 FROM lineitem GROUP BY 1
+                 HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                        > $minQtyX100),
+    topk AS (SELECT o.o_orderkey, o.o_custkey, big.total_qty_x100,
+                    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+                    epoch_us(o_orderdate) // 86400000000 AS order_day
+             FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+             ORDER BY price_cents DESC, o_orderkey LIMIT $k)
+    SELECT c.c_name, c.c_custkey, t.o_orderkey, t.order_day, t.price_cents,
+           t.total_qty_x100
+    FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
+    ORDER BY price_cents DESC, o_orderkey"""
+
+  /** Twin of Behavior.peakDays: strict two-sided local maxima on the
+    * per-type daily series. */
+  val peakDays: String = """
+    WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS n_events
+                   FROM events GROUP BY 1, 2),
+    w AS (SELECT *,
+            lag(n_events) OVER (PARTITION BY event_type ORDER BY day) AS p,
+            lead(n_events) OVER (PARTITION BY event_type ORDER BY day) AS nx
+          FROM daily)
+    SELECT event_type, day, n_events FROM w
+    WHERE n_events > p AND n_events > nx
+    ORDER BY event_type, day"""
+
+  /** Twin of Behavior.botRegularity — HUGEINT lanes mirror Spark's
+    * DECIMAL(38,0) CV² cross-multiplication. */
+  def botRegularity(minGaps: Long, k: Int): String = s"""
+    WITH g AS (SELECT user_id,
+                 (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+                 // 1000000 AS gap_s
+               FROM events),
+    a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+                 CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap2
+          FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+          HAVING count(*) >= $minGaps AND sum(gap_s) > 0)
+    SELECT user_id, n_gaps, sum_gap_s,
+           CAST(CAST(1000000 AS HUGEINT)
+                * (n_gaps * CAST(sum_gap2 AS HUGEINT)
+                   - CAST(sum_gap_s AS HUGEINT) * sum_gap_s)
+                // (CAST(sum_gap_s AS HUGEINT) * sum_gap_s) AS BIGINT)
+             AS cv2_ppm
+    FROM a ORDER BY cv2_ppm, user_id LIMIT $k"""
+
+  /** Twin of Behavior.userDiversity: exact Gini–Simpson ppm, centile
+    * histogram. */
+  val userDiversity: String = """
+    WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c * c) AS BIGINT) AS sum_c2
+          FROM c GROUP BY 1),
+    d AS (SELECT CAST((CAST(1000000 AS HUGEINT)
+                       * (CAST(n AS HUGEINT) * n - sum_c2)
+                       // (CAST(n AS HUGEINT) * n)) // 10000 AS BIGINT)
+                   AS diversity_centile FROM u)
+    SELECT diversity_centile, CAST(count(*) AS BIGINT) AS n_users
+    FROM d GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Behavior.hourDowHeatmap: calendar-free dow/hour cells. */
+  val hourDowHeatmap: String = """
+    SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+           (epoch_us(ts) // 3600000000) % 24 AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Twin of Behavior.typeRuns: islands-and-gaps run detection. */
+  val typeRuns: String = """
+    WITH r AS (SELECT user_id, event_type,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                 - row_number() OVER
+                   (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                   AS island
+               FROM events),
+    runs AS (SELECT user_id, event_type, island,
+                    CAST(count(*) AS BIGINT) AS run_len
+             FROM r GROUP BY 1, 2, 3)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run,
+           CAST(sum(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END)
+             AS BIGINT) AS repeated_events
+    FROM runs GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Relational.idleCustomers (TPC-H Q22 shape) — the
+    * above-average test cross-multiplies against the one-row positive
+    * balance aggregate. */
+  def idleCustomers(cutoffMicros: Long): String = s"""
+    WITH cust AS (SELECT c_custkey, c_mktsegment,
+                         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+                  FROM customer),
+    pa AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                  CAST(sum(bal_cents) AS BIGINT) AS sum_pos
+           FROM cust WHERE bal_cents > 0),
+    recent AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE epoch_us(o_orderdate) >= $cutoffMicros)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
+    FROM cust, pa
+    WHERE bal_cents * n_pos > sum_pos
+      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY 1 ORDER BY 1"""
 }

@@ -483,6 +483,62 @@ object SparkEntry {
         R.orders(s, dir).filter(expr("pmod(o_orderkey, 97) != 0")),
         R.customer(s, dir).filter(expr("pmod(c_custkey, 53) != 0")))
     }),
+    // Q3 shape: segment-pruned dim semi-join, two fact shuffles, TakeOrdered
+    "shipping_priority" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.shippingPriority(R.lineitem(s, dir), R.orders(s, dir),
+        R.customer(s, dir))
+    }),
+    // Q14 shape: broadcast part, one conditional aggregate, ppm share in
+    // a DECIMAL(38,0) lane
+    "promo_revenue" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.promoRevenue(R.lineitem(s, dir), R.part(s, dir))
+    }),
+    // Q7 shape: nation-pair yearly volume, same 25-row broadcast twice
+    "volume_shipping" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.volumeShipping(R.lineitem(s, dir), R.orders(s, dir),
+        R.customer(s, dir), R.supplier(s, dir), R.nation(s, dir))
+    }),
+    // Q8 shape: supplier-nation share of a regional market, ppm lanes
+    "market_share" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.marketShare(R.lineitem(s, dir), R.orders(s, dir),
+        R.customer(s, dir), R.supplier(s, dir), R.nation(s, dir),
+        R.region(s, dir))
+    }),
+    // Q17 shape: pre-aggregate joined back; below-average by exact
+    // cross-multiplication
+    "small_qty_revenue" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.smallQtyRevenue(R.lineitem(s, dir), R.part(s, dir))
+    }),
+    // Q18 shape: HAVING pre-aggregate reduces the fact first; TakeOrdered
+    "large_orders" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.largeOrders(R.lineitem(s, dir), R.orders(s, dir), R.customer(s, dir))
+    }),
+    // Q22 shape: LeftAnti no-recent-order + broadcast scalar average test
+    "idle_customers" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.idleCustomers(R.customer(s, dir), R.orders(s, dir))
+    }),
+    // Strict two-sided daily peaks per type (window over the daily table)
+    "peak_days" -> ((s, dir) =>
+      graft.operators.Behavior.peakDays(LogSource.readEvents(s, dir))),
+    // Clock-like users by exact CV² ppm of inter-event gaps (bot audit)
+    "bot_regularity" -> ((s, dir) =>
+      graft.operators.Behavior.botRegularity(LogSource.readEvents(s, dir))),
+    // Exact Gini–Simpson engagement diversity, centile histogram
+    "user_diversity" -> ((s, dir) =>
+      graft.operators.Behavior.userDiversity(LogSource.readEvents(s, dir))),
+    // Calendar-free (dow × hour) activity heatmap, ≤168 rows at any scale
+    "hour_dow_heatmap" -> ((s, dir) =>
+      graft.operators.Behavior.hourDowHeatmap(LogSource.readEvents(s, dir))),
+    // Islands-and-gaps repetition runs per event type (stuck-client audit)
+    "type_runs" -> ((s, dir) =>
+      graft.operators.Behavior.typeRuns(LogSource.readEvents(s, dir))),
     // Top-k silent gaps between non-empty minutes (outage detector)
     "outage_gaps" -> ((s, dir) =>
       Events.outageGaps(LogSource.readEvents(s, dir))),
@@ -1102,6 +1158,19 @@ object SparkEntry {
     "inverted_index" -> OracleExt.invertedIndex(2, 380),
     "pricing_summary" -> OracleExt.pricingSummary,
     "top_customers" -> OracleExt.topCustomers(10),
+    "shipping_priority" -> OracleExt.shippingPriority("BUILDING",
+      883612800000000L, 10),
+    "promo_revenue" -> OracleExt.promoRevenue,
+    "volume_shipping" -> OracleExt.volumeShipping,
+    "market_share" -> OracleExt.marketShare("ASIA", "NATION_12"),
+    "small_qty_revenue" -> OracleExt.smallQtyRevenue,
+    "large_orders" -> OracleExt.largeOrders(15000L, 20),
+    "idle_customers" -> OracleExt.idleCustomers(936144000000000L),
+    "peak_days" -> OracleExt.peakDays,
+    "bot_regularity" -> OracleExt.botRegularity(10, 20),
+    "user_diversity" -> OracleExt.userDiversity,
+    "hour_dow_heatmap" -> OracleExt.hourDowHeatmap,
+    "type_runs" -> OracleExt.typeRuns,
     "regional_volume" -> OracleExt.regionalVolume("ASIA"),
     "priority_exists" -> OracleExt.priorityExists(45.0),
     "fk_orphans" -> OracleExt.fkOrphans(97, 53),

@@ -49,6 +49,11 @@ object Relational {
   val regionSchema: StructType = StructType(Seq(
     StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
 
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType), StructField("p_name", StringType),
+    StructField("p_brand", StringType), StructField("p_type", StringType),
+    StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+
   def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.schema(lineitemSchema).parquet(s"$dir/lineitem.parquet")
   def orders(s: SparkSession, dir: String): DataFrame =
@@ -61,6 +66,8 @@ object Relational {
     s.read.schema(supplierSchema).parquet(s"$dir/supplier.parquet")
   def region(s: SparkSession, dir: String): DataFrame =
     s.read.schema(regionSchema).parquet(s"$dir/region.parquet")
+  def part(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(partSchema).parquet(s"$dir/part.parquet")
 
   /** Revenue by customer nation × 30-day order-date bucket through the
     * full fact→fact→dim→dim chain (lineitem ⋈ orders ⋈ customer ⋈
@@ -200,6 +207,212 @@ object Relational {
       .unionAll(edge("orders.o_custkey->customer",
         orders.select(col("o_custkey")), "o_custkey", customer, "c_custkey"))
       .orderBy("fk")
+  }
+
+  /** Unshipped-revenue top-k — the TPC-H Q3 shape: segment-filtered
+    * customers ⋈ pre-cutoff orders ⋈ post-cutoff lineitems, grouped by
+    * order, top-k by revenue. Strategy: the customer filter prunes
+    * ~4/5 of the dim BEFORE its join; both fact joins shuffle on their
+    * natural keys; the final top-k plans as TakeOrderedAndProject (no
+    * global sort). Order date is emitted as epoch-day (calendar-free
+    * integer, engine-portable). */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, segment: String = "BUILDING",
+                       cutoffMicros: Long = 883612800000000L, // 1998-01-01
+                       k: Int = 10): DataFrame =
+    lineitem
+      .filter(expr(s"unix_micros(l_shipdate) > ${cutoffMicros}L"))
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("cents"))
+      .join(orders
+        .filter(expr(s"unix_micros(o_orderdate) < ${cutoffMicros}L"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === segment)
+        .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "leftsemi")
+      .groupBy(col("l_orderkey"), col("order_day"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(k)
+
+  /** Promotion-revenue share — the TPC-H Q14 shape: lineitem ⋈
+    * broadcast(part), one conditional aggregate, output ONE row. The
+    * share is parts-per-million by exact integer division in a
+    * DECIMAL(38,0) lane (cents × 1e6 would overflow BIGINT at
+    * warehouse scale), so the ppm is bit-identical on any engine and
+    * any combine order. */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("cents"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("cents")).otherwise(lit(0L)))
+          .as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("""CAST(CAST(promo_cents AS DECIMAL(38,0)) * 1000000
+                div total_cents AS BIGINT)""").as("promo_ppm"))
+
+  /** Cross-border volume — the TPC-H Q7 shape: revenue between every
+    * (supplier nation, customer nation) pair per year bucket. Both
+    * nation lookups are the SAME 25-row broadcast applied twice under
+    * different aliases; the year bucket is epoch-day div 365
+    * (calendar-free). Output ≤ |nations|²×|years| at any scale. */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("unix_micros(l_shipdate) div 86400000000 div 365")
+          .as("year_bucket"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("cents"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("year_bucket"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("year_bucket"))
+
+  /** National market share — the TPC-H Q8 shape: within one region's
+    * customer market, the revenue share (ppm) supplied by one target
+    * nation, per year bucket. The region membership and the target
+    * flag ride the SAME two broadcast nation lookups as Q7; the share
+    * divides two BIGINT sums in a DECIMAL(38,0) lane. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  nation: DataFrame, region: DataFrame,
+                  regionName: String = "ASIA",
+                  targetNation: String = "NATION_12"): DataFrame = {
+    val marketNations = nation
+      .join(region.filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("mkt_key"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("unix_micros(l_shipdate) div 86400000000 div 365")
+          .as("year_bucket"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("cents"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(marketNations), col("c_nationkey") === col("mkt_key"),
+        "leftsemi")
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        (col("n_name") === targetNation).as("is_target"))),
+        col("s_nationkey") === col("sn_key"))
+      .groupBy(col("year_bucket"))
+      .agg(
+        sum(when(col("is_target"), col("cents")).otherwise(lit(0L)))
+          .as("target_cents"),
+        sum(col("cents")).as("market_cents"))
+      .select(col("year_bucket"), col("target_cents"), col("market_cents"),
+        expr("""CAST(CAST(target_cents AS DECIMAL(38,0)) * 1000000
+                div market_cents AS BIGINT)""").as("share_ppm"))
+      .orderBy(col("year_bucket"))
+
+  }
+
+  /** Small-quantity revenue — the TPC-H Q17 shape: lines whose
+    * quantity is below 20% of their part's average, rolled up per
+    * brand. The per-part average is a pre-aggregate JOINED BACK (never
+    * a correlated subquery per row), and the "below 20% of average"
+    * test is the exact integer cross-multiplication
+    * 5·n·qty < Σqty (quantities ×100) — no float quotient anywhere.
+    * The per-part aggregate and the join both shuffle on partkey, so
+    * AQE coalesces them into one exchange reuse. */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("qty_x100"),
+      expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val perPart = li.groupBy(col("l_partkey").as("pp_key"))
+      .agg(count(lit(1)).as("pp_n"), sum(col("qty_x100")).as("pp_qty"))
+    li.join(perPart, col("l_partkey") === col("pp_key"))
+      .filter(expr("5 * pp_n * qty_x100 < pp_qty"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
+      .select(col("p_brand"), col("n_items"), col("sum_cents"),
+        expr("sum_cents div 7").as("avg_yearly_cents"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Large-volume orders — the TPC-H Q18 shape: orders whose total
+    * line quantity exceeds a threshold, with their customer, top-k by
+    * order value. The HAVING pre-aggregate reduces lineitem to
+    * qualifying orderkeys FIRST (map-side combined, one shuffle);
+    * orders then semi-joins that small set before touching customer;
+    * the final top-k is TakeOrdered, never a global sort. */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, minQtyX100: Long = 15000L,
+                  k: Int = 20): DataFrame = {
+    val bigOrders = lineitem
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("qty_x100"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty_x100")).as("total_qty_x100"))
+      .filter(col("total_qty_x100") > minQtyX100)
+    val topk = orders
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("total_qty_x100"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("order_day"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(k)
+    broadcast(topk)
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("order_day"), col("price_cents"), col("total_qty_x100"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+  }
+
+  /** Idle high-balance customers — the TPC-H Q22 shape: customers with
+    * no order after a cutoff AND an account balance above the average
+    * positive balance, counted per market segment. The "above average"
+    * test cross-multiplies against a broadcast ONE-ROW (n, Σcents)
+    * aggregate (cents·n > Σcents — exact), and the "no recent order"
+    * test is a LeftAnti against DISTINCT recent custkeys — the classic
+    * NOT EXISTS plan with nothing but the key crossing the join. */
+  def idleCustomers(customer: DataFrame, orders: DataFrame,
+                    cutoffMicros: Long = 936144000000000L // 1999-09-01
+                   ): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_mktsegment"),
+      expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+    val posAvg = cust.filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("sum_pos"))
+    val recent = orders
+      .filter(expr(s"unix_micros(o_orderdate) >= ${cutoffMicros}L"))
+      .select(col("o_custkey"))
+    cust
+      .crossJoin(broadcast(posAvg))
+      .filter(expr("bal_cents * n_pos > sum_pos"))
+      .join(recent.distinct(), col("c_custkey") === col("o_custkey"),
+        "leftanti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("bal_cents_sum"))
+      .orderBy(col("c_mktsegment"))
   }
 
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame = {

@@ -233,6 +233,28 @@ class PlansSpec extends SparkTestBase {
       s"top-N phrases must be per-partition partial top-k:\n$p")
   }
 
+  test("shipping_priority / large_orders / bot_regularity: top-k is TakeOrdered") {
+    Seq("shipping_priority", "large_orders", "bot_regularity").foreach { q =>
+      assert(plans(q).contains("TakeOrderedAndProject"),
+        s"$q top-k must be per-partition heaps + k-row merge, " +
+          s"never a global sort:\n${plans(q)}")
+    }
+  }
+
+  test("promo_revenue / market_share: the part/nation dims broadcast") {
+    Seq("promo_revenue", "market_share").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q dim joins must broadcast:\n${plans(q)}")
+    }
+  }
+
+  test("idle_customers: no-recent-order is LeftAnti; scalar average broadcasts") {
+    val p = plans("idle_customers")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as LeftAnti:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      s"the 1-row positive-average aggregate must broadcast:\n$p")
+  }
+
   test("skew_profile: top-N keys via TakeOrdered, never a global sort") {
     val p = plans("skew_profile")
     assert(p.contains("TakeOrderedAndProject"),
