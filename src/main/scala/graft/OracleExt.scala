@@ -3414,6 +3414,71 @@ object OracleExt {
     FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
     ORDER BY price_cents DESC, o_orderkey"""
 
+  /** Twin of TextShape.wordLenHist. */
+  val wordLenHist: String = s"""
+    WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest($toks) AS term FROM documents)
+                GROUP BY term)
+    SELECT CAST(length(term) AS BIGINT) AS word_len,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_terms
+    FROM tf GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of TextShape.hapaxStats. */
+  val hapaxStats: String = s"""
+    WITH c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT source, unnest($toks) AS term FROM documents)
+               GROUP BY 1, 2)
+    SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(1000000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS hapax_ppm
+    FROM c GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of TextShape.lengthBuckets — ⌊log2⌋ via binary-string length
+    * on both engines, never a float log. */
+  val lengthBuckets: String = s"""
+    WITH n AS (SELECT CAST(len($toks) AS BIGINT) AS n FROM documents)
+    SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens
+    FROM n WHERE n > 0 GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of TextShape.heapsLaw: checkpoints are bit-shifted BIGINTs
+    * (power(2, g) would round through a double). */
+  val heapsLaw: String = s"""
+    WITH pd AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_toks
+                FROM documents),
+    fs AS (SELECT term, min(doc_id) AS first_doc
+           FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+           GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM pd),
+    cps AS (SELECT CAST(1 AS BIGINT) << g AS cp
+            FROM generate_series(0, 32) t(g), nd
+            WHERE (CAST(1 AS BIGINT) << g) < n_docs
+            UNION ALL SELECT n_docs FROM nd),
+    v AS (SELECT cp, CAST(sum(CASE WHEN first_doc < cp THEN 1 ELSE 0 END)
+                       AS BIGINT) AS vocab
+          FROM fs, cps GROUP BY cp),
+    t AS (SELECT cp, CAST(sum(CASE WHEN doc_id < cp THEN n_toks ELSE 0 END)
+                       AS BIGINT) AS total_tokens
+          FROM pd, cps GROUP BY cp)
+    SELECT v.cp AS n_docs_cp, vocab, total_tokens
+    FROM v JOIN t USING (cp) ORDER BY 1"""
+
+  /** Twin of TextShape.docTtr. */
+  val docTtr: String = s"""
+    WITH d AS (SELECT CAST(len($toks) AS BIGINT) AS n,
+                      CAST(len(list_distinct($toks)) AS BIGINT) AS d
+               FROM documents)
+    SELECT CAST((1000000 * d // n) // 10000 AS BIGINT) AS ttr_centile,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM d WHERE n > 0 GROUP BY 1 ORDER BY 1"""
+
   /** Twin of Behavior.peakDays: strict two-sided local maxima on the
     * per-type daily series. */
   val peakDays: String = """

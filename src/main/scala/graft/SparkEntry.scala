@@ -539,6 +539,21 @@ object SparkEntry {
     // Islands-and-gaps repetition runs per event type (stuck-client audit)
     "type_runs" -> ((s, dir) =>
       graft.operators.Behavior.typeRuns(LogSource.readEvents(s, dir))),
+    // Token-length spectrum over the corpus vocabulary
+    "word_len_hist" -> ((s, dir) =>
+      graft.operators.TextShape.wordLenHist(docsPar(s, dir))),
+    // Singleton-term (hapax) share per source, exact ppm
+    "hapax_stats" -> ((s, dir) =>
+      graft.operators.TextShape.hapaxStats(docsPar(s, dir))),
+    // Power-of-2 doc-length buckets via integer bit-length (no float log)
+    "length_buckets" -> ((s, dir) =>
+      graft.operators.TextShape.lengthBuckets(docsPar(s, dir))),
+    // Heaps'-law vocabulary-growth curve at 2^k-doc checkpoints
+    "heaps_law" -> ((s, dir) =>
+      graft.operators.TextShape.heapsLaw(docsPar(s, dir))),
+    // Type-token-ratio centile histogram (boilerplate sinks low)
+    "doc_ttr" -> ((s, dir) =>
+      graft.operators.TextShape.docTtr(docsPar(s, dir))),
     // Top-k silent gaps between non-empty minutes (outage detector)
     "outage_gaps" -> ((s, dir) =>
       Events.outageGaps(LogSource.readEvents(s, dir))),
@@ -1166,6 +1181,11 @@ object SparkEntry {
     "small_qty_revenue" -> OracleExt.smallQtyRevenue,
     "large_orders" -> OracleExt.largeOrders(15000L, 20),
     "idle_customers" -> OracleExt.idleCustomers(936144000000000L),
+    "word_len_hist" -> OracleExt.wordLenHist,
+    "hapax_stats" -> OracleExt.hapaxStats,
+    "length_buckets" -> OracleExt.lengthBuckets,
+    "heaps_law" -> OracleExt.heapsLaw,
+    "doc_ttr" -> OracleExt.docTtr,
     "peak_days" -> OracleExt.peakDays,
     "bot_regularity" -> OracleExt.botRegularity(10, 20),
     "user_diversity" -> OracleExt.userDiversity,

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.tokens
+
+/** Corpus-shape statistics over `documents` (SURVEY §2.4 extension
+  * surface): the distributional profiles a training-data curator reads
+  * before deciding tokenizer vocabulary, sequence length, and dedup
+  * thresholds — word-length spectrum, hapax (singleton-term) rates,
+  * power-of-2 document-length buckets, the Heaps'-law vocabulary-growth
+  * curve, and a lexical-diversity (type-token-ratio) histogram.
+  *
+  * All statistics are exact integers (counts, ppm by integer division,
+  * log2 via binary-string length — never a float log); every aggregate
+  * is map-side combined with output bounded by |vocab|, |sources|, or a
+  * fixed bucket count, not corpus size. */
+object TextShape {
+
+  /** Token-length spectrum: for each word length, total occurrences and
+    * distinct terms. One explode + one shuffle on (length-bounded)
+    * term, second aggregate over the vocab-sized table. */
+  def wordLenHist(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(length(col("term")).cast("long").as("word_len"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_terms"))
+      .orderBy(col("word_len"))
+
+  /** Hapax-legomena audit per source: vocabulary size, singleton terms,
+    * and the hapax share of the vocabulary in ppm. A high hapax rate
+    * signals noisy/OCR text; a low one, template spam. Shape:
+    * (source, term) counts shuffle once; the per-source rollup runs on
+    * the vocab-sized table. */
+  def hapaxStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("cnt")).as("n_tokens"))
+      .select(col("source"), col("vocab"), col("n_hapax"), col("n_tokens"),
+        expr("1000000 * n_hapax div vocab").as("hapax_ppm"))
+      .orderBy(col("source"))
+
+  /** Power-of-2 document-length buckets (the batching curriculum view:
+    * which padded sequence lengths the corpus needs and how full each
+    * bucket runs). bucket = ⌊log2(n_tokens)⌋, computed as
+    * length(bin(n)) − 1 — exact integer bit-length on any engine,
+    * never a float log that could round across the boundary. */
+  def lengthBuckets(docs: DataFrame): DataFrame =
+    docs.select(size(tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .groupBy((length(bin(col("n"))) - 1).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .orderBy(col("len_bucket"))
+
+  /** Heaps'-law vocabulary-growth curve: distinct terms and total
+    * tokens after the first 1, 2, 4, … 2ᵏ documents (by doc_id), plus
+    * the full corpus. The curve's flattening rate is the empirical
+    * Heaps exponent — the "how much new vocabulary does more data buy"
+    * dial. Scale shape: vocabulary growth needs only each term's FIRST
+    * document (min(doc_id) per term — one vocab-sized aggregate), and
+    * each checkpoint is a conditional count over that table against a
+    * ≤33-row broadcast checkpoint list — the corpus is never rescanned
+    * per checkpoint. */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val nDocs = perDoc.agg(count(lit(1)).as("n_docs"))
+    // powers of two below n_docs, plus n_docs itself (the full corpus)
+    val cps = nDocs.select(explode(
+        filter(
+          array((0 until 33).map(i => lit(1L << i)): _*),
+          p => p < col("n_docs"))).as("cp"))
+      .unionByName(nDocs.select(col("n_docs").as("cp")))
+    val vocabAt = firstSeen.crossJoin(broadcast(cps))
+      .groupBy(col("cp"))
+      .agg(sum(when(col("first_doc") < col("cp"), 1L).otherwise(0L))
+        .as("vocab"))
+    val toksAt = perDoc.crossJoin(broadcast(cps))
+      .groupBy(col("cp"))
+      .agg(sum(when(col("doc_id") < col("cp"), col("n_toks"))
+        .otherwise(0L)).as("total_tokens"))
+    vocabAt.join(toksAt, "cp")
+      .select(col("cp").as("n_docs_cp"), col("vocab"), col("total_tokens"))
+      .orderBy(col("n_docs_cp"))
+  }
+
+  /** Lexical-diversity histogram: per-document type-token ratio
+    * (distinct/total, exact ppm) bucketed into centiles. Repetitive
+    * boilerplate sinks to low centiles; natural prose sits high — the
+    * doc-granular companion to [[hapaxStats]]. */
+  def docTtr(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("d"))
+      .filter(col("n") > 0)
+      .select(expr("(1000000 * d div n) div 10000").as("ttr_centile"))
+      .groupBy(col("ttr_centile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("ttr_centile"))
+}
