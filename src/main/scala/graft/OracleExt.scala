@@ -3414,6 +3414,83 @@ object OracleExt {
     FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
     ORDER BY price_cents DESC, o_orderkey"""
 
+  /** Twin of Classify.knnClassify — same sequential-fold cosine, same
+    * (sim desc, cand_id) rank tie-break, same (votes desc, label asc)
+    * vote tie-break. */
+  def knnClassify(nTest: Long, k: Int): String = s"""
+    WITH n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS norm2
+               FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings)),
+    t AS (SELECT vec_id AS test_id, label AS true_label, v, norm2
+          FROM n WHERE vec_id < $nTest),
+    tr AS (SELECT vec_id AS cand_id, label AS cand_label, v, norm2
+           FROM n WHERE vec_id >= $nTest),
+    sims AS (SELECT t.test_id, t.true_label, tr.cand_id, tr.cand_label,
+                    list_dot_product(t.v, tr.v)
+                      / (sqrt(t.norm2) * sqrt(tr.norm2)) AS sim
+             FROM tr, t WHERE tr.cand_id != t.test_id),
+    topk AS (SELECT * FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY test_id ORDER BY sim DESC, cand_id) AS rank
+               FROM sims) WHERE rank <= $k),
+    v AS (SELECT test_id, true_label, cand_label,
+                 CAST(count(*) AS BIGINT) AS votes
+          FROM topk GROUP BY 1, 2, 3),
+    p AS (SELECT *, row_number() OVER
+            (PARTITION BY test_id ORDER BY votes DESC, cand_label) AS vr
+          FROM v)
+    SELECT test_id AS vec_id, true_label, cand_label AS pred_label, votes,
+           true_label = cand_label AS correct
+    FROM p WHERE vr = 1 ORDER BY vec_id"""
+
+  /** Twin of Classify.centroidClassify — quantize-then-sum integer
+    * centroids; `//` and Spark's `div` both truncate toward zero, so
+    * negative scores agree. */
+  def centroidClassify(nTest: Long, qScale: Long): String = s"""
+    WITH q AS (SELECT vec_id, label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * $qScale) AS BIGINT)) AS qv
+               FROM embeddings),
+    tr AS (SELECT * FROM q WHERE vec_id >= $nTest),
+    counts AS (SELECT label AS c_label, CAST(count(*) AS BIGINT) AS n_c
+               FROM tr GROUP BY 1),
+    ex AS (SELECT c_label, s['pos'] AS pos, s['qx'] AS qx FROM
+           (SELECT label AS c_label,
+                   unnest(list_transform(qv, (x, i) -> {'pos': i - 1, 'qx': x}))
+                     AS s FROM tr)),
+    cent AS (SELECT c_label, pos, CAST(sum(qx) AS BIGINT) AS csum
+             FROM ex GROUP BY 1, 2),
+    te AS (SELECT vec_id, true_label, s['pos'] AS pos, s['qx'] AS qx FROM
+           (SELECT vec_id, label AS true_label,
+                   unnest(list_transform(qv, (x, i) -> {'pos': i - 1, 'qx': x}))
+                     AS s FROM q WHERE vec_id < $nTest)),
+    sc AS (SELECT vec_id, true_label, c_label,
+                  CAST(sum(qx * csum) AS BIGINT) AS dot_q
+           FROM te JOIN cent USING (pos) GROUP BY 1, 2, 3),
+    s2 AS (SELECT vec_id, true_label, c_label,
+                  CAST((1000000 * dot_q) // n_c AS BIGINT) AS score
+           FROM sc JOIN counts USING (c_label)),
+    p AS (SELECT *, row_number() OVER
+            (PARTITION BY vec_id ORDER BY score DESC, c_label) AS vr
+          FROM s2)
+    SELECT vec_id, true_label, c_label AS pred_label, score,
+           true_label = c_label AS correct
+    FROM p WHERE vr = 1 ORDER BY vec_id"""
+
+  /** Twin of Classify.dimStats. */
+  def dimStats(qScale: Long): String = s"""
+    WITH ex AS (SELECT s['pos'] AS pos, s['qx'] AS qx FROM
+           (SELECT unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                     (x, i) -> {'pos': i - 1,
+                                'qx': CAST(floor(x * $qScale) AS BIGINT)}))
+                     AS s FROM embeddings))
+    SELECT CAST(pos AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qx) AS BIGINT) AS sum_q,
+           CAST(sum(qx * qx) AS BIGINT) AS sum_q2,
+           CAST(min(qx) AS BIGINT) AS min_q,
+           CAST(max(qx) AS BIGINT) AS max_q
+    FROM ex GROUP BY 1 ORDER BY 1"""
+
   /** Twin of TextShape.wordLenHist. */
   val wordLenHist: String = s"""
     WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt

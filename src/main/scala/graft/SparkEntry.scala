@@ -554,6 +554,17 @@ object SparkEntry {
     // Type-token-ratio centile histogram (boilerplate sinks low)
     "doc_ttr" -> ((s, dir) =>
       graft.operators.TextShape.docTtr(docsPar(s, dir))),
+    // k-NN majority-vote label propagation (broadcast test set; the
+    // fixture's labels are uniform-random, so accuracy ≈ chance — the
+    // gate pins the exact votes and tie-breaks, not model quality)
+    "knn_classify" -> ((s, dir) =>
+      graft.operators.Classify.knnClassify(embPar(s, dir))),
+    // Nearest-centroid on quantize-then-sum integer centroids
+    "centroid_classify" -> ((s, dir) =>
+      graft.operators.Classify.centroidClassify(embPar(s, dir))),
+    // Per-dimension embedding-collapse audit (n, Σq, Σq², min, max)
+    "dim_stats" -> ((s, dir) =>
+      graft.operators.Classify.dimStats(embPar(s, dir))),
     // Top-k silent gaps between non-empty minutes (outage detector)
     "outage_gaps" -> ((s, dir) =>
       Events.outageGaps(LogSource.readEvents(s, dir))),
@@ -1181,6 +1192,9 @@ object SparkEntry {
     "small_qty_revenue" -> OracleExt.smallQtyRevenue,
     "large_orders" -> OracleExt.largeOrders(15000L, 20),
     "idle_customers" -> OracleExt.idleCustomers(936144000000000L),
+    "knn_classify" -> OracleExt.knnClassify(50, 5),
+    "centroid_classify" -> OracleExt.centroidClassify(50, 1024),
+    "dim_stats" -> OracleExt.dimStats(1024),
     "word_len_hist" -> OracleExt.wordLenHist,
     "hapax_stats" -> OracleExt.hapaxStats,
     "length_buckets" -> OracleExt.lengthBuckets,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding-space classification and health audits over `embeddings`
+  * (SURVEY §2.4 extension surface): k-NN and nearest-centroid label
+  * prediction — the two classifiers a data pipeline runs to propagate
+  * labels from a seed set onto an unlabeled corpus — plus per-dimension
+  * distribution statistics (the embedding-collapse audit).
+  *
+  * Determinism discipline: similarities are the shared sequential-fold
+  * double dot (bit-identical to DuckDB's list_dot_product); votes,
+  * centroid sums, and scores are exact integers on per-element-quantized
+  * values (never a float mean, whose value depends on combine order);
+  * every argmax tie-breaks on (score, label) totally. */
+object Classify {
+
+  private def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DotF64Expr(a, b)
+
+  /** k-NN majority-vote classification of the first `nTest` vectors
+    * against the rest. Scale shape: the test set is BROADCAST against
+    * the train table (no shuffle of the big side); the per-test top-k
+    * is a WindowGroupLimit-pruned rank window; votes aggregate k rows
+    * per test vector. Prediction tie-breaks (votes desc, label asc).
+    * At 100 TB the train side stays partition-parallel and only
+    * |test|×k rows ever shuffle. */
+  def knnClassify(emb: DataFrame, nTest: Long = 50, k: Int = 5): DataFrame = {
+    val n = Similarity.withNorm(emb)
+    val test = n.filter(col("vec_id") < nTest)
+      .select(col("vec_id").as("test_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("norm2").as("qn"))
+    val train = n.filter(col("vec_id") >= nTest)
+      .select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+        col("v").as("cv"), col("norm2").as("cn"))
+    val sim = dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn")))
+    val topk = train.join(broadcast(test), col("cand_id") =!= col("test_id"))
+      .select(col("test_id"), col("true_label"), col("cand_id"),
+        col("cand_label"), sim.as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("test_id"))
+        .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+    val votes = topk.groupBy(col("test_id"), col("true_label"),
+        col("cand_label"))
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .withColumn("vr", row_number().over(Window.partitionBy(col("test_id"))
+        .orderBy(col("votes").desc, col("cand_label"))))
+      .filter(col("vr") === 1)
+      .select(col("test_id").as("vec_id"), col("true_label"),
+        col("cand_label").as("pred_label"), col("votes"),
+        (col("true_label") === col("cand_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Nearest-centroid classification: per-label centroids from the
+    * train split as exact integer sums of per-element-quantized
+    * components (⌊x·2¹⁰⌋ — quantize FIRST, so the sum is associative
+    * and engine-independent, unlike a float mean), score =
+    * (1e6·⟨test,Σ⟩) div n_c (the mean centroid dot, scaled — both
+    * engines truncate toward zero). Scale shape: centroids live in
+    * long format (label × dim rows — |labels|·dim, broadcastable at
+    * any corpus size); the test side explodes to dim rows and the
+    * score join is a broadcast equi-join on dim, partial-aggregated
+    * map-side. The corpus contributes one map-side-combined aggregate
+    * and is never re-scanned per label. */
+  def centroidClassify(emb: DataFrame, nTest: Long = 50,
+                       qScale: Long = 1024): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * qScale).cast("long")).as("qv"))
+    val train = q.filter(col("vec_id") >= nTest)
+    val counts = train.groupBy(col("label").as("c_label"))
+      .agg(count(lit(1)).as("n_c"))
+    val cent = train
+      .select(col("label").as("c_label"), posexplode(col("qv")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(sum(col("col")).as("csum"))
+    val testLong = q.filter(col("vec_id") < nTest)
+      .select(col("vec_id"), col("label").as("true_label"),
+        posexplode(col("qv")))
+      .withColumnRenamed("col", "qx")
+    testLong.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("true_label"), col("c_label"))
+      .agg(sum(expr("qx * csum")).as("dot_q"))
+      .join(broadcast(counts), "c_label")
+      .select(col("vec_id"), col("true_label"), col("c_label"),
+        expr("(1000000 * dot_q) div n_c").as("score"))
+      .withColumn("vr", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("c_label"))))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("true_label"),
+        col("c_label").as("pred_label"), col("score"),
+        (col("true_label") === col("c_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Per-dimension distribution audit: n, Σq, Σq², min, max of the
+    * ⌊x·2¹⁰⌋-quantized component per dimension — the dead-dimension /
+    * variance-collapse check run before trusting an embedding space.
+    * One posexplode + one map-side-combined aggregate; output = dim
+    * rows at any scale. */
+  def dimStats(emb: DataFrame, qScale: Long = 1024): DataFrame =
+    emb.select(posexplode(transform(col("embedding").cast("array<double>"),
+        x => floor(x * qScale).cast("long"))))
+      .withColumnRenamed("col", "qx")
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("sum_q"),
+        sum(expr("qx * qx")).as("sum_q2"),
+        min(col("qx")).as("min_q"), max(col("qx")).as("max_q"))
+      .orderBy(col("dim"))
+}
