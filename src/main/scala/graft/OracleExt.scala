@@ -3414,6 +3414,57 @@ object OracleExt {
     FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
     ORDER BY price_cents DESC, o_orderkey"""
 
+  /** Twin of Events.groupingSetsCounts — explicit non-hierarchical
+    * grouping sets, NULLS FIRST pinned. */
+  val groupingSetsCounts: String = """
+    SELECT event_type, dow, count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                 user_id FROM events)
+    GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+    ORDER BY event_type NULLS FIRST, dow NULLS FIRST"""
+
+  /** Twin of Integrity.checksumShards — hex-literal cast mirrors
+    * Spark's conv(…, 16, 10); HUGEINT sum mirrors the DECIMAL(38,0)
+    * lane. */
+  def checksumShards(nShards: Int): String = s"""
+    WITH h AS (SELECT user_id % $nShards AS shard,
+                 CAST(('0x' || substring(md5(concat_ws('|', event_id,
+                   epoch_us(ts), user_id, event_type, props)), 1, 12))
+                   AS BIGINT) AS h48
+               FROM events)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(h48 AS HUGEINT)) % 4611686018427387904 AS BIGINT)
+             AS checksum
+    FROM h GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Graph.typeJaccard (user-day bipartite co-engagement). */
+  val typeJaccard: String = """
+    WITH ut AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+                       event_type FROM events),
+    deg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+            FROM ut GROUP BY 1),
+    sh AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                  CAST(count(*) AS BIGINT) AS shared_days
+           FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.day = b.day
+                              AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT ta, tb, shared_days, da.nu AS na, db.nu AS nb,
+           CAST(1000000 * shared_days // (da.nu + db.nu - shared_days)
+             AS BIGINT) AS jaccard_ppm
+    FROM sh JOIN deg da ON sh.ta = da.event_type
+            JOIN deg db ON sh.tb = db.event_type
+    ORDER BY ta, tb"""
+
+  /** Twin of Graph.degreeDistribution. */
+  val degreeDistribution: String = """
+    WITH ut AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+                       event_type FROM events),
+    d AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS degree
+          FROM ut GROUP BY 1, 2)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_user_days
+    FROM d GROUP BY 1 ORDER BY 1"""
+
   /** Twin of Classify.knnClassify — same sequential-fold cosine, same
     * (sim desc, cand_id) rank tie-break, same (votes desc, label asc)
     * vote tie-break. */

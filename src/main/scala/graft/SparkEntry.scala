@@ -565,6 +565,20 @@ object SparkEntry {
     // Per-dimension embedding-collapse audit (n, Σq, Σq², min, max)
     "dim_stats" -> ((s, dir) =>
       graft.operators.Classify.dimStats(embPar(s, dir))),
+    // Explicit GROUPING SETS (type×dow, type, dow — no grand total)
+    "grouping_sets_counts" -> ((s, dir) =>
+      Events.groupingSetsCounts(LogSource.readEvents(s, dir))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("dow").asc_nulls_first)),
+    // Order-independent per-shard table checksums (anti-entropy repair)
+    "checksum_shards" -> ((s, dir) =>
+      graft.operators.Integrity.checksumShards(LogSource.readEvents(s, dir))),
+    // Bipartite co-engagement Jaccard between event types (user-days)
+    "type_jaccard" -> ((s, dir) =>
+      graft.operators.Graph.typeJaccard(LogSource.readEvents(s, dir))),
+    // User-day degree histogram of the bipartite engagement graph
+    "degree_distribution" -> ((s, dir) =>
+      graft.operators.Graph.degreeDistribution(LogSource.readEvents(s, dir))),
     // Top-k silent gaps between non-empty minutes (outage detector)
     "outage_gaps" -> ((s, dir) =>
       Events.outageGaps(LogSource.readEvents(s, dir))),
@@ -1192,6 +1206,10 @@ object SparkEntry {
     "small_qty_revenue" -> OracleExt.smallQtyRevenue,
     "large_orders" -> OracleExt.largeOrders(15000L, 20),
     "idle_customers" -> OracleExt.idleCustomers(936144000000000L),
+    "grouping_sets_counts" -> OracleExt.groupingSetsCounts,
+    "checksum_shards" -> OracleExt.checksumShards(16),
+    "type_jaccard" -> OracleExt.typeJaccard,
+    "degree_distribution" -> OracleExt.degreeDistribution,
     "knn_classify" -> OracleExt.knnClassify(50, 5),
     "centroid_classify" -> OracleExt.centroidClassify(50, 1024),
     "dim_stats" -> OracleExt.dimStats(1024),

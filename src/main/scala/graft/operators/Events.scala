@@ -176,6 +176,20 @@ object Events {
       .cube(col("event_type"), col("user_decile"))
       .agg(count(lit(1)).as("n"), min("event_id").as("min_eid"))
 
+  /** GROUPING SETS sibling of rollup/cube: an EXPLICIT, non-hierarchical
+    * set list — (type × dow), (type), (dow) but NO grand total — which
+    * neither ROLLUP nor CUBE can express. Same single-shuffle grouping
+    * expansion; the distinct-user count rides the same pass. */
+  def groupingSetsCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        expr("pmod(unix_micros(ts) div 86400000000 + 4, 7)").as("dow"),
+        col("user_id"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")),
+          Seq(col("dow"))),
+        col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+
   /** Pivot: event_type × user-decile count matrix. Spark's pivot with
     * an EXPLICIT value list is one shuffle (values known at plan time
     * → no discovery pass); an unlisted pivot would first run a

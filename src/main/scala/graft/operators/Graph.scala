@@ -102,4 +102,55 @@ object Graph {
       .groupBy("event_type").agg(count(lit(1)).as("n_triangles"))
       .orderBy("event_type")
   }
+
+  /** Bipartite (user-day ↔ event-type) incidence table: each
+    * (user, day, type) triple once. Day granularity (not lifetime)
+    * because long-lived fixture users eventually touch every type —
+    * the per-day view is where co-engagement actually varies. One
+    * distinct — the shared base of the two audits below. */
+  private def incidence(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .distinct()
+
+  /** Jaccard similarity between event types by shared user-days — the
+    * bipartite co-engagement audit (same shape as item-item
+    * collaborative similarity). Exact ppm: |A∩B| from the
+    * (user, day)-keyed self-join of the incidence table,
+    * |A∪B| = nA + nB − |A∩B| by inclusion-exclusion — set sizes from
+    * ONE aggregate, broadcast back. Scale: the self-join shuffles on
+    * (user, day); one user-day with d types contributes d² pairs (d is
+    * capped by the type vocabulary, not corpus size); output is
+    * |types|²-bounded. */
+  def typeJaccard(events: DataFrame): DataFrame = {
+    val ut = graft.Caches.track(incidence(events))
+    val deg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+    val shared = ut
+      .select(col("user_id"), col("day"), col("event_type").as("ta"))
+      .join(ut.select(col("user_id"), col("day"),
+        col("event_type").as("tb")), Seq("user_id", "day"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("shared_days"))
+    shared
+      .join(broadcast(deg.select(col("event_type").as("ta"),
+        col("nu").as("na"))), "ta")
+      .join(broadcast(deg.select(col("event_type").as("tb"),
+        col("nu").as("nb"))), "tb")
+      .select(col("ta"), col("tb"), col("shared_days"), col("na"), col("nb"),
+        expr("1000000 * shared_days div (na + nb - shared_days)")
+          .as("jaccard_ppm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** Degree distribution of the bipartite graph's user-day side: how
+    * many distinct event types a user touches within one day,
+    * histogrammed. The breadth-of-engagement complement to
+    * [[typeJaccard]]; output ≤ |types| rows. */
+  def degreeDistribution(events: DataFrame): DataFrame =
+    incidence(events)
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_user_days"))
+      .orderBy(col("degree"))
 }

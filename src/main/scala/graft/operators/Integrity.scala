@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Anti-entropy table checksums (SURVEY §2.4 extension surface): the
+  * order-independent fingerprint two replicas (or a source and its
+  * replicated/exported copy) compare to detect divergence without
+  * shipping rows — the Merkle-leaf primitive of Dynamo/Cassandra-style
+  * repair, expressed as one aggregate.
+  *
+  * Determinism: each row serializes to an explicit, typed string
+  * (epoch-µs for time — no formatter), hashes through md5 (the
+  * engine-portable lane this library already uses for routing and
+  * dedup), keeps 48 bits, and SUMS — addition is commutative, so the
+  * checksum is independent of row order, partitioning, and combine
+  * order. The sum runs in a DECIMAL(38,0) lane and reduces mod 2⁶² so
+  * the emitted value is a plain BIGINT on any engine at any row count. */
+object Integrity {
+
+  private val Mod = 4611686018427387904L // 2^62
+
+  /** Per-shard checksums over `events` (shard = user_id mod nShards —
+    * the same key a replicated store would range-partition on): each
+    * shard row carries its row count and order-independent checksum, so
+    * two copies diff shard-by-shard and re-sync only unequal shards.
+    * One map-side-combined aggregate; output = nShards rows at any
+    * scale. `value` (IEEE double) is deliberately NOT serialized — a
+    * float printer is an engine-specific function; the checksum covers
+    * the identity/time/dimension columns. */
+  def checksumShards(events: DataFrame, nShards: Int = 16): DataFrame =
+    events
+      .select(pmod(col("user_id"), lit(nShards.toLong)).as("shard"),
+        expr("""CAST(conv(substring(md5(CAST(concat_ws('|',
+                  event_id, unix_micros(ts), user_id, event_type, props)
+                AS BINARY)), 1, 12), 16, 10) AS BIGINT)""").as("h48"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST(pmod(sum(CAST(h48 AS DECIMAL(38,0))), ${Mod}L) AS BIGINT)")
+          .as("checksum"))
+      .orderBy(col("shard"))
+}
