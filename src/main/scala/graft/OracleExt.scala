@@ -3414,6 +3414,69 @@ object OracleExt {
     FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
     ORDER BY price_cents DESC, o_orderkey"""
 
+  /** Twin of Stats.autocorr — HUGEINT lane for the sign-preserving
+    * squared correlation. */
+  def autocorr(minPairs: Long): String = s"""
+    WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1, 2),
+    p AS (SELECT event_type, x AS a,
+                 lead(x) OVER (PARTITION BY event_type ORDER BY day) AS b
+          FROM daily),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+                 CAST(sum(a * b) AS BIGINT) AS sab,
+                 CAST(sum(a * a) AS BIGINT) AS sa2,
+                 CAST(sum(b * b) AS BIGINT) AS sb2
+          FROM p WHERE b IS NOT NULL GROUP BY 1
+          HAVING count(*) >= $minPairs),
+    c AS (SELECT event_type, m, m * sab - sa * sb AS num,
+                 m * sa2 - sa * sa AS dena, m * sb2 - sb * sb AS denb
+          FROM s)
+    SELECT event_type, m, num, dena, denb,
+           CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END
+                * ((CAST(1000000 AS HUGEINT) * num * num)
+                   // (CAST(dena AS HUGEINT) * denb)) AS BIGINT)
+             AS corr2_signed_ppm
+    FROM c WHERE dena > 0 AND denb > 0 ORDER BY event_type"""
+
+  /** Twin of Stats.benfordCheck — the Benford expectation ppm are the
+    * SAME plan-time literals the Spark side embeds (computed by the
+    * same JVM log10), so neither engine takes a log. */
+  val benfordCheck: String = {
+    val lits = (1 to 9).map(d =>
+      s"($d, ${math.floor(1e6 * math.log10(1 + 1.0 / d)).toLong})")
+      .mkString(", ")
+    s"""
+    WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c FROM events
+               WHERE floor(value * 100) >= 1),
+    dg AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit FROM v),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM dg),
+    e(digit, benford_ppm) AS (VALUES $lits),
+    o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1)
+    SELECT o.digit, n, CAST(1000000 * n // total AS BIGINT) AS obs_ppm,
+           CAST(benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(1000000 * n // total - benford_ppm AS BIGINT) AS dev_ppm
+    FROM o, t JOIN e ON o.digit = e.digit ORDER BY o.digit"""
+  }
+
+  /** Twin of Stats.trendCycle — count-guarded full 7-day windows
+    * only. */
+  val trendCycle: String = """
+    WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS n_events
+                   FROM events GROUP BY 1),
+    w AS (SELECT day, n_events,
+                 CAST(sum(n_events) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+                 count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7
+          FROM daily)
+    SELECT day, n_events, CAST(s7 // 7 AS BIGINT) AS trend7,
+           CAST(n_events - s7 // 7 AS BIGINT) AS residual
+    FROM w WHERE w7 = 7 ORDER BY day"""
+
   /** Twin of Events.groupingSetsCounts — explicit non-hierarchical
     * grouping sets, NULLS FIRST pinned. */
   val groupingSetsCounts: String = """

@@ -579,6 +579,15 @@ object SparkEntry {
     // User-day degree histogram of the bipartite engagement graph
     "degree_distribution" -> ((s, dir) =>
       graft.operators.Graph.degreeDistribution(LogSource.readEvents(s, dir))),
+    // Lag-1 persistence of the daily series, exact rational + signed r²
+    "autocorr" -> ((s, dir) =>
+      graft.operators.Stats.autocorr(LogSource.readEvents(s, dir))),
+    // Benford first-digit audit with plan-time expectation literals
+    "benford_check" -> ((s, dir) =>
+      graft.operators.Stats.benfordCheck(LogSource.readEvents(s, dir))),
+    // Centered 7-day trend + residual on the daily table (full windows)
+    "trend_cycle" -> ((s, dir) =>
+      graft.operators.Stats.trendCycle(LogSource.readEvents(s, dir))),
     // Top-k silent gaps between non-empty minutes (outage detector)
     "outage_gaps" -> ((s, dir) =>
       Events.outageGaps(LogSource.readEvents(s, dir))),
@@ -1206,6 +1215,9 @@ object SparkEntry {
     "small_qty_revenue" -> OracleExt.smallQtyRevenue,
     "large_orders" -> OracleExt.largeOrders(15000L, 20),
     "idle_customers" -> OracleExt.idleCustomers(936144000000000L),
+    "autocorr" -> OracleExt.autocorr(3),
+    "benford_check" -> OracleExt.benfordCheck,
+    "trend_cycle" -> OracleExt.trendCycle,
     "grouping_sets_counts" -> OracleExt.groupingSetsCounts,
     "checksum_shards" -> OracleExt.checksumShards(16),
     "type_jaccard" -> OracleExt.typeJaccard,

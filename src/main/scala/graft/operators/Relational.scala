@@ -258,6 +258,9 @@ object Relational {
       .select(col("promo_cents"), col("total_cents"),
         expr("""CAST(CAST(promo_cents AS DECIMAL(38,0)) * 1000000
                 div total_cents AS BIGINT)""").as("promo_ppm"))
+      // single-row result, but the Verify contract wants an explicit
+      // total ORDER BY on every gated query
+      .orderBy(col("promo_cents"))
 
   /** Cross-border volume — the TPC-H Q7 shape: revenue between every
     * (supplier nation, customer nation) pair per year bucket. Both

@@ -323,4 +323,97 @@ object Stats {
         (col("cnt") === col("mx")).as("is_peak"))
       .orderBy("event_type", "hod")
   }
+
+  /** Lag-1 autocorrelation of the per-type daily series — the "is
+    * today's volume predicted by yesterday's" persistence test. Pairs
+    * are consecutive rows of the daily table in day order (per-type
+    * lead window on the |types|×|days| aggregate, never over raw
+    * events). The correlation is emitted as its exact integer pieces
+    * (num = mΣab − ΣaΣb and the two variance denominators), plus a
+    * sign-preserving squared form — sign(num)·1e6·num² div (denₐ·den_b)
+    * in a DECIMAL(38,0)/HUGEINT lane — because r itself needs a square
+    * root. Constant or too-short series are filtered, identically on
+    * both engines. */
+  def autocorr(events: DataFrame, minPairs: Long = 3): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val pairs = daily
+      .withColumn("b", lead(col("x"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))))
+      .filter(col("b").isNotNull)
+      .select(col("event_type"), col("x").as("a"), col("b"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), sum(col("a")).as("sa"),
+        sum(col("b")).as("sb"), sum(expr("a * b")).as("sab"),
+        sum(expr("a * a")).as("sa2"), sum(expr("b * b")).as("sb2"))
+      .filter(col("m") >= minPairs)
+      .select(col("event_type"), col("m"),
+        expr("m * sab - sa * sb").as("num"),
+        expr("m * sa2 - sa * sa").as("dena"),
+        expr("m * sb2 - sb * sb").as("denb"))
+      .filter(col("dena") > 0 && col("denb") > 0)
+      .select(col("event_type"), col("m"), col("num"), col("dena"),
+        col("denb"),
+        (when(col("num") >= 0, lit(1L)).otherwise(lit(-1L)) *
+          expr("""(CAST(1000000 AS DECIMAL(38,0)) * num * num)
+                  div (CAST(dena AS DECIMAL(38,0)) * denb)"""))
+          .as("corr2_signed_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Benford's-law first-digit audit of the `value` column (in cents,
+    * so the digit comes from an INTEGER's decimal string — a float
+    * printer never runs). Emits per digit the observed share and its
+    * deviation from the Benford expectation log10(1+1/d), the latter
+    * embedded as plan-time ppm literals — the engines never take a
+    * log. One map-side-combined aggregate; 9 rows at any scale. */
+  def benfordCheck(events: DataFrame): DataFrame = {
+    // ⌊1e6·log10(1+1/d)⌋ for d = 1..9, computed here at plan time
+    val benfordPpm = (1 to 9).map(d => math.floor(1e6 * math.log10(1 + 1.0 / d)).toLong)
+    val digits = events
+      .select(expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
+      .filter(col("c") >= 1)
+      .select(expr("CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+    val total = digits.agg(count(lit(1)).as("total"))
+    val exp = benfordPpm.zipWithIndex
+      .map { case (p, i) => struct(lit(i + 1L).as("digit"),
+        lit(p).as("benford_ppm")) }
+    val expDf = digits.sparkSession.range(1)
+      .select(explode(array(exp: _*)).as("s"))
+      .select(col("s.digit"), col("s.benford_ppm"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .join(broadcast(expDf), "digit")
+      .select(col("digit"), col("n"),
+        expr("1000000 * n div total").as("obs_ppm"),
+        col("benford_ppm"),
+        (expr("1000000 * n div total") - col("benford_ppm")).as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** Trend/cycle decomposition of the daily total: a centered 7-day
+    * moving trend (Σ div 7 — exact) and the residual, emitted only for
+    * interior days with a full window (the count-guard makes edge
+    * truncation explicit rather than a shrunken average). The window
+    * runs partition-less over the DAILY table — bounded by calendar
+    * days, not corpus size, so the single-task sort is constant work
+    * at any scale; raw events never see a window. */
+  def trendCycle(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+      .withColumn("s7", sum(col("n_events")).over(w))
+      .withColumn("w7", count(lit(1)).over(w))
+      .filter(col("w7") === 7)
+      .select(col("day"), col("n_events"),
+        expr("s7 div 7").as("trend7"),
+        expr("n_events - s7 div 7").as("residual"))
+      .orderBy(col("day"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** Gates for the time-series/data-quality trio: lag-1 autocorrelation
+  * rationals, the Benford first-digit audit, and the 7-day trend/cycle
+  * decomposition. */
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val day = 86400000000L // µs
+
+  private def events(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+
+  // ---- autocorr ----------------------------------------------------
+
+  test("autocorr: perfectly alternating series has negative num") {
+    // daily counts 1,2,1,2,1,2 → adjacent pairs anti-correlated.
+    var eid = 0L
+    val rows = (0 until 6).flatMap { d =>
+      val c = if (d % 2 == 0) 1 else 2
+      (0 until c).map { i => eid += 1; (eid, d * day + i * 1000L, 1L, "a", 0.0) }
+    }
+    val r = Stats.autocorr(events(rows: _*))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.size == 1)
+    val (_, m, num, dena, denb, c2) = r.head
+    assert(m == 5L && num < 0 && c2 < 0, s"got $r")
+    // exact: a=(1,2,1,2,1) b=(2,1,2,1,2): num = 5·10−7·8 = −6,
+    // dena = 5·11−49 = 6, denb = 5·14−64 = 6 → r = −1 exactly
+    assert((num, dena, denb) == ((-6L, 6L, 6L)))
+    assert(c2 == -1000000L) // sign · 1e6·num²/(dena·denb) = −1e6·36/36
+  }
+
+  test("autocorr: constant series is filtered (zero variance)") {
+    val rows = (0 until 6).map(d => (d.toLong, d * day, 1L, "a", 0.0))
+    assert(Stats.autocorr(events(rows: _*)).count() == 0)
+  }
+
+  // ---- benfordCheck ------------------------------------------------
+
+  test("benfordCheck: digits come from cents, sub-cent values drop") {
+    val vals = Seq(1.23, 12.3, 0.19, 0.001, 9.5)
+    // cents: 123→1, 1230→1, 19→1, 0→dropped, 950→9
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i * 1000L, 1L, "a", v) }
+    val r = Stats.benfordCheck(events(rows: _*))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(t => (t._1, t._2)) == Seq((1L, 3L), (9L, 1L)))
+    val d1 = r.head
+    assert(d1._3 == 750000L)               // 3 of 4
+    assert(d1._4 == 301029L)               // ⌊1e6·log10(2)⌋
+    assert(d1._5 == 750000L - 301029L)
+  }
+
+  // ---- trendCycle --------------------------------------------------
+
+  test("trendCycle: only full 7-day windows emit; trend is sum div 7") {
+    // 9 days: counts 1..9 → interior days 3..5 (0-indexed) have full
+    // windows; trend at day d = (7d+7) div 7 = d+1 → residual 0.
+    var eid = 0L
+    val rows = (0 until 9).flatMap { d =>
+      (0 to d).map { i => eid += 1; (eid, d * day + i * 1000L, 1L, "a", 0.0) }
+    }
+    val r = Stats.trendCycle(events(rows: _*))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(3L, 4L, 5L))
+    assert(r.forall(t => t._3 == t._1 + 1 && t._4 == 0L), s"got $r")
+  }
+}
