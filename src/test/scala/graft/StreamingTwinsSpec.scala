@@ -123,6 +123,38 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(streamed.count() > 1, "fixture must span several bins")
   }
 
+  test("checksumShards: streaming (complete mode) ≡ batch anti-entropy") {
+    // the replica-divergence checksum run ONLINE: sums are commutative
+    // integer adds in a DECIMAL(38,0) buffer, so the complete-mode
+    // aggregate after any batch split must equal the one-shot batch
+    // checksum — the property that lets a replica maintain its Merkle
+    // leaves incrementally instead of rescanning.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def toEvents(df: DataFrame): DataFrame =
+      df.select(col("doc_id").as("event_id"),
+        timestamp_micros(col("doc_id") * 60000000L).as("ts"),
+        (col("doc_id") % 7).as("user_id"),
+        substring(col("text"), 1, 3).as("event_type"),
+        lit("{}").as("props"))
+    val input = MemoryStream[TwinDoc]
+    val q = graft.operators.Integrity.checksumShards(toEvents(input.toDF()), 4)
+      .writeStream.format("memory").queryName("twin_checksum")
+      .outputMode("complete").start()
+    input.addData(fixture.take(50): _*)
+    q.processAllAvailable()
+    input.addData(fixture.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("twin_checksum")
+    val batch = graft.operators.Integrity.checksumShards(
+      toEvents(fixture.toDF()), 4)
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "complete-mode streaming checksum != batch checksum")
+    assert(streamed.count() == 4, "all four shards must report")
+  }
+
   test("CMS frequency sketch: streaming (complete mode) ≡ batch, byte-identical") {
     // the heavy_hitters sketch run ONLINE: each trigger folds the new
     // batch's terms into the state-store aggregation buffer (CmsBuildAgg
