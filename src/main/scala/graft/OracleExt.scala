@@ -3414,6 +3414,44 @@ object OracleExt {
     FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
     ORDER BY price_cents DESC, o_orderkey"""
 
+  /** Twin of Relational.orderBacklog — interval sweep with a window
+    * cumsum standing in for the distributed prefix sum. */
+  val orderBacklog: String = """
+    WITH opens AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day
+                   FROM orders),
+    closes AS (SELECT max(epoch_us(l_shipdate) // 86400000000) AS day
+               FROM lineitem GROUP BY l_orderkey),
+    deltas AS (SELECT day, CAST(sum(opened) AS BIGINT) AS n_opened,
+                      CAST(sum(closed) AS BIGINT) AS n_closed
+               FROM (SELECT day, 1 AS opened, 0 AS closed FROM opens
+                     UNION ALL SELECT day, 0, 1 FROM closes)
+               GROUP BY day)
+    SELECT day, n_opened, n_closed,
+           CAST(sum(n_opened) OVER (ORDER BY day)
+                - sum(n_closed) OVER (ORDER BY day) AS BIGINT) AS backlog
+    FROM deltas ORDER BY day"""
+
+  /** Twin of Sampling.neymanAlloc — the same HUGEINT→DOUBLE→sqrt→floor
+    * chain (round-to-nearest cast and correctly-rounded IEEE sqrt on
+    * both engines make the irrational σ lane bit-identical). */
+  def neymanAlloc(budget: Long): String = s"""
+    WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS sv,
+                      CAST(sum(CAST(floor(value * 100) AS BIGINT)
+                               * CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS sv2
+               FROM events GROUP BY 1),
+    w AS (SELECT event_type, n,
+                 CAST(floor(sqrt(CAST(CAST(n AS HUGEINT) * sv2
+                   - CAST(sv AS HUGEINT) * sv AS DOUBLE))) AS BIGINT)
+                   AS weight
+          FROM s),
+    t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+    SELECT event_type, n, weight,
+           CAST(($budget * weight) // tw AS BIGINT) AS alloc
+    FROM w, t ORDER BY event_type"""
+
   /** Twin of Stats.autocorr — HUGEINT lane for the sign-preserving
     * squared correlation. */
   def autocorr(minPairs: Long): String = s"""

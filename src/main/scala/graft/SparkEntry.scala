@@ -588,6 +588,14 @@ object SparkEntry {
     // Centered 7-day trend + residual on the daily table (full windows)
     "trend_cycle" -> ((s, dir) =>
       graft.operators.Stats.trendCycle(LogSource.readEvents(s, dir))),
+    // Open-order backlog via the interval-sweep prefix sum
+    "order_backlog" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.orderBacklog(R.orders(s, dir), R.lineitem(s, dir))
+    }),
+    // Neyman sample allocation across value strata (portable isqrt lane)
+    "neyman_alloc" -> ((s, dir) =>
+      Sampling.neymanAlloc(LogSource.readEvents(s, dir))),
     // Top-k silent gaps between non-empty minutes (outage detector)
     "outage_gaps" -> ((s, dir) =>
       Events.outageGaps(LogSource.readEvents(s, dir))),
@@ -1215,6 +1223,8 @@ object SparkEntry {
     "small_qty_revenue" -> OracleExt.smallQtyRevenue,
     "large_orders" -> OracleExt.largeOrders(15000L, 20),
     "idle_customers" -> OracleExt.idleCustomers(936144000000000L),
+    "order_backlog" -> OracleExt.orderBacklog,
+    "neyman_alloc" -> OracleExt.neymanAlloc(10000),
     "autocorr" -> OracleExt.autocorr(3),
     "benford_check" -> OracleExt.benfordCheck,
     "trend_cycle" -> OracleExt.trendCycle,

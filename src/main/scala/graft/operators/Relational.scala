@@ -418,6 +418,33 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Open-order backlog curve: for each day, orders opened, orders
+    * fully shipped (their LAST line's ship day), and the running count
+    * of open orders — the warehouse work-in-progress series. The
+    * interval sweep shape (shared with Lifecycle.activeUsers): each
+    * order contributes a +1 at its open day and a −1 at its close day,
+    * the deltas aggregate to the bounded DAILY table, and the running
+    * backlog is the two-phase distributed prefix sum — never a global
+    * sort over orders. */
+  def orderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val opens = orders.select(col("o_orderkey"),
+      expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+    val closes = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_micros(l_shipdate) div 86400000000")).as("day"))
+    val deltas = opens.select(col("day"), lit(1L).as("opened"),
+        lit(0L).as("closed"))
+      .unionByName(closes.select(col("day"), lit(0L).as("opened"),
+        lit(1L).as("closed")))
+      .groupBy(col("day"))
+      .agg(sum(col("opened")).as("n_opened"), sum(col("closed")).as("n_closed"))
+    Prefix.inclusiveCumsum(deltas, expr("day div 64"), col("day"),
+        Seq("opened" -> col("n_opened"), "closed" -> col("n_closed")))
+      .select(col("day"), col("n_opened"), col("n_closed"),
+        (col("cum_opened") - col("cum_closed")).as("backlog"))
+      .orderBy(col("day"))
+  }
+
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame = {
     // top-k BEFORE the name join: the dim join then touches k rows
     // (broadcast), not every customer.

@@ -320,4 +320,37 @@ object Sampling {
       .select(col("doc_id"), col("score"), col("n_chars"))
       .orderBy("doc_id")
   }
+
+  /** Neyman allocation: split a sample budget across strata
+    * proportionally to Nᵢ·σᵢ — the textbook minimum-variance design for
+    * stratified estimation of the mean of `value` (in cents). Per
+    * stratum, one map-side-combined aggregate yields N, Σv, Σv²; the
+    * variance numerator N·Σv²−(Σv)² is exact in a DECIMAL(38,0) lane;
+    * σ's square root runs ONCE per stratum through an
+    * engine-portable chain — DECIMAL→DOUBLE (round-to-nearest in both
+    * engines), IEEE-754 sqrt (correctly rounded in both), floor — so
+    * the integer s_floor is bit-identical cross-engine even though σ is
+    * irrational. Weights and the final allocation divide BIGINTs.
+    * Output = |strata| rows; the allocation row set is broadcast-sized
+    * for the downstream stratified sampler at any corpus scale. */
+  def neymanAlloc(events: DataFrame, budget: Long = 10000): DataFrame = {
+    val strata = events
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(expr("v * v")).as("sv2"))
+      .select(col("event_type"), col("n"),
+        // σ = sqrt(N·Σv² − (Σv)²)/N, so this floor is already the
+        // N·σ Neyman weight (up to the shared floor truncation)
+        expr("""CAST(floor(sqrt(CAST(
+                  CAST(n AS DECIMAL(38,0)) * sv2
+                  - CAST(sv AS DECIMAL(38,0)) * sv AS DOUBLE)))
+                AS BIGINT)""").as("weight"))
+    val totalW = strata.agg(sum(col("weight")).as("tw"))
+    strata.crossJoin(broadcast(totalW))
+      .select(col("event_type"), col("n"), col("weight"),
+        expr(s"(${budget}L * weight) div tw").as("alloc"))
+      .orderBy(col("event_type"))
+  }
 }

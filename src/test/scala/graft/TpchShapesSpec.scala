@@ -160,6 +160,47 @@ class TpchShapesSpec extends SparkTestBase {
     assert(r == Seq(("A", 1L, 9000L)))
   }
 
+  // ---- orderBacklog ------------------------------------------------
+
+  test("orderBacklog: opens and closes net out day by day") {
+    val ord = Seq(
+      (1L, new Timestamp(10L * day)),
+      (2L, new Timestamp(10L * day)),
+      (3L, new Timestamp(12L * day))
+    ).toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, new Timestamp(11L * day)), // order 1 ships day 11
+      (2L, new Timestamp(11L * day)), // order 2: two lines,
+      (2L, new Timestamp(14L * day))  //   closes at the LAST line (14)
+      // order 3 never ships → stays open
+    ).toDF("l_orderkey", "l_shipdate")
+    val r = graft.operators.Relational.orderBacklog(ord, li)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (10L, 2L, 0L, 2L),  // both open
+      (11L, 0L, 1L, 1L),  // order 1 closes
+      (12L, 1L, 0L, 2L),  // order 3 opens
+      (14L, 0L, 1L, 1L))) // order 2 finally closes; order 3 still open
+  }
+
+  // ---- neymanAlloc -------------------------------------------------
+
+  test("neymanAlloc: zero-variance strata get zero budget, allocation ∝ N·σ") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val ev = Seq(
+      // type a: values 1.00 and 3.00 (σ>0, N=2: weight ⌊sqrt(2·1e5−4e4·…)⌋)
+      (1L, 1L, "a", 1.0), (2L, 1L, "a", 3.0),
+      // type b: constant value → σ = 0 → weight 0 → alloc 0
+      (3L, 1L, "b", 2.0), (4L, 1L, "b", 2.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("event_id")))
+    val r = graft.operators.Sampling.neymanAlloc(ev, budget = 100)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // a: v = (100, 300): num = 2·100000 − 400² /... = 2·(1e4+9e4) − 160000
+    //   = 200000 − 160000 = 40000 → weight ⌊√40000⌋ = 200
+    assert(r == Seq(("a", 2L, 200L, 100L), ("b", 2L, 0L, 0L)))
+  }
+
   test("idleCustomers: no-recent-order test plans as LeftAnti") {
     val cust = Seq((1L, "A", 90.0)).toDF("c_custkey", "c_mktsegment", "c_acctbal")
     val ord = Seq((1L, 1L, new Timestamp(150L * day)))
