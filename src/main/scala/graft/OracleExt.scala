@@ -3414,6 +3414,76 @@ object OracleExt {
     FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
     ORDER BY price_cents DESC, o_orderkey"""
 
+  /** Twin of Featurize.rfmSegments — the exclusive-CDF quintile scores
+    * as window cumsums. */
+  val rfmSegments: String = """
+    WITH md AS (SELECT max(epoch_us(ts) // 86400000000) AS maxd FROM events),
+    pu AS (SELECT user_id, maxd - max(epoch_us(ts) // 86400000000) AS r,
+                  CAST(count(*) AS BIGINT) AS f,
+                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+           FROM events, md GROUP BY user_id, maxd),
+    rm AS (SELECT v AS r, 5 * (cum - n) // t + 1 AS r_score FROM (
+           SELECT v, n, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS t
+           FROM (SELECT r AS v, CAST(count(*) AS BIGINT) AS n
+                 FROM pu GROUP BY 1))),
+    fm AS (SELECT v AS f, 5 * (cum - n) // t + 1 AS f_score FROM (
+           SELECT v, n, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS t
+           FROM (SELECT f AS v, CAST(count(*) AS BIGINT) AS n
+                 FROM pu GROUP BY 1))),
+    mm AS (SELECT v AS m, 5 * (cum - n) // t + 1 AS m_score FROM (
+           SELECT v, n, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS t
+           FROM (SELECT m AS v, CAST(count(*) AS BIGINT) AS n
+                 FROM pu GROUP BY 1)))
+    SELECT CAST((6 - r_score) * 100 + f_score * 10 + m_score AS BIGINT)
+             AS segment,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM pu JOIN rm USING (r) JOIN fm USING (f) JOIN mm USING (m)
+    GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Featurize.varintEstimate — ⌈bitlen/7⌉ varint lengths via
+    * binary-string length. */
+  val varintEstimate: String = """
+    WITH g AS (SELECT epoch_us(ts) AS us,
+                      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS prev
+               FROM events),
+    v AS (SELECT CASE WHEN prev IS NULL
+                   THEN CAST((length(bin(us)) + 6) // 7 AS BIGINT)
+                   ELSE CAST((length(bin(us - prev)) + 6) // 7 AS BIGINT)
+                 END AS vbytes
+          FROM g)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+           CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+           CAST(1000000 * sum(vbytes) // (8 * count(*)) AS BIGINT)
+             AS ratio_ppm
+    FROM v ORDER BY n_events"""
+
+  /** Twin of Featurize.recordLinkage over degradeCustomers — the same
+    * deterministic name perturbation, blocking, and Levenshtein
+    * confirmation. */
+  def recordLinkage(maxDist: Int): String = s"""
+    WITH deg AS (SELECT c_custkey + 1000000 AS d_id,
+                        CASE WHEN c_custkey % 3 = 0 THEN
+                          concat(substring(c_name, 1,
+                              CAST(c_custkey % (length(c_name) - 1) AS INT)),
+                            substring(c_name,
+                              CAST(c_custkey % (length(c_name) - 1) AS INT)
+                                + 2, 1000000))
+                        ELSE c_name END AS c_name,
+                        c_nationkey, c_acctbal
+                 FROM customer),
+    a AS (SELECT c_custkey AS a_id, c_name AS a_name, c_nationkey AS a_nat,
+                 CAST(floor(c_acctbal) AS BIGINT) // 100 AS a_band
+          FROM customer),
+    b AS (SELECT d_id AS b_id, c_name AS b_name, c_nationkey AS b_nat,
+                 CAST(floor(c_acctbal) AS BIGINT) // 100 AS b_band
+          FROM deg)
+    SELECT a_id, b_id, CAST(levenshtein(a_name, b_name) AS INT) AS dist
+    FROM a JOIN b ON a_nat = b_nat AND a_band = b_band
+    WHERE levenshtein(a_name, b_name) <= $maxDist
+    ORDER BY a_id, b_id"""
+
   /** Twin of Relational.orderBacklog — interval sweep with a window
     * cumsum standing in for the distributed prefix sum. */
   val orderBacklog: String = """

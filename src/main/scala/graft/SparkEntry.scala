@@ -596,6 +596,18 @@ object SparkEntry {
     // Neyman sample allocation across value strata (portable isqrt lane)
     "neyman_alloc" -> ((s, dir) =>
       Sampling.neymanAlloc(LogSource.readEvents(s, dir))),
+    // RFM quintile segmentation via distributed CDF joins (no global sort)
+    "rfm_segments" -> ((s, dir) =>
+      graft.operators.Featurize.rfmSegments(LogSource.readEvents(s, dir))),
+    // Varint delta-encoding size estimate for the event stream
+    "varint_estimate" -> ((s, dir) =>
+      graft.operators.Featurize.varintEstimate(LogSource.readEvents(s, dir))),
+    // Two-table entity resolution: blocking + Levenshtein confirm
+    "record_linkage" -> ((s, dir) => {
+      val F = graft.operators.Featurize
+      val cust = graft.operators.Relational.customer(s, dir)
+      F.recordLinkage(cust, F.degradeCustomers(cust))
+    }),
     // Top-k silent gaps between non-empty minutes (outage detector)
     "outage_gaps" -> ((s, dir) =>
       Events.outageGaps(LogSource.readEvents(s, dir))),
@@ -1223,6 +1235,9 @@ object SparkEntry {
     "small_qty_revenue" -> OracleExt.smallQtyRevenue,
     "large_orders" -> OracleExt.largeOrders(15000L, 20),
     "idle_customers" -> OracleExt.idleCustomers(936144000000000L),
+    "rfm_segments" -> OracleExt.rfmSegments,
+    "varint_estimate" -> OracleExt.varintEstimate,
+    "record_linkage" -> OracleExt.recordLinkage(2),
     "order_backlog" -> OracleExt.orderBacklog,
     "neyman_alloc" -> OracleExt.neymanAlloc(10000),
     "autocorr" -> OracleExt.autocorr(3),
