@@ -3872,4 +3872,218 @@ object OracleExt {
     WHERE bal_cents * n_pos > sum_pos
       AND c_custkey NOT IN (SELECT o_custkey FROM recent)
     GROUP BY 1 ORDER BY 1"""
+
+  /** Shared derived supply catalog (Supply.catalog twin): one row per
+    * observed (part, supplier) pair. */
+  private def catalogCte: String = """
+    cat AS (SELECT l_partkey, l_suppkey,
+                   CAST(min(floor(l_extendedprice * 1000000 / l_quantity))
+                     AS BIGINT) AS cost_microcents,
+                   CAST(sum(floor(l_quantity)) AS BIGINT) AS total_qty,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY 1, 2)"""
+
+  /** Twin of Supply.minCostSupplier (TPC-H Q2 shape). */
+  def minCostSupplier(regionName: String, pType: String, k: Int): String = s"""
+    WITH $catalogCte,
+    rs AS (SELECT s_suppkey, s_name, n_name,
+                  CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+           JOIN region r ON n_regionkey = r_regionkey
+           WHERE r_name = ${sqlStr(regionName)}),
+    c AS (SELECT cat.l_partkey, rs.s_suppkey, rs.s_name, rs.n_name,
+                 rs.bal_cents, cat.cost_microcents
+          FROM cat JOIN rs ON cat.l_suppkey = rs.s_suppkey
+          WHERE cat.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_type = ${sqlStr(pType)})),
+    m AS (SELECT l_partkey, min(cost_microcents) AS min_cost
+          FROM c GROUP BY 1)
+    SELECT c.bal_cents, c.s_name, c.n_name,
+           CAST(c.l_partkey AS BIGINT) AS p_partkey, c.cost_microcents
+    FROM c JOIN m ON c.l_partkey = m.l_partkey
+                 AND c.cost_microcents = m.min_cost
+    ORDER BY bal_cents DESC, n_name, s_name, p_partkey LIMIT $k"""
+
+  /** Twin of Supply.importantParts (TPC-H Q11 shape) — HUGEINT value
+    * lane mirrors Spark's DECIMAL(38,0). */
+  def importantParts(regionName: String, thresholdPpm: Long): String = s"""
+    WITH $catalogCte,
+    rs AS (SELECT s_suppkey FROM supplier s
+           JOIN nation n ON s_nationkey = n_nationkey
+           JOIN region r ON n_regionkey = r_regionkey
+           WHERE r_name = ${sqlStr(regionName)}),
+    v AS (SELECT l_partkey,
+                 sum(CAST(cost_microcents AS HUGEINT) * total_qty)
+                   AS value_dec
+          FROM cat WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
+          GROUP BY 1),
+    t AS (SELECT sum(value_dec) AS total_dec FROM v)
+    SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+           CAST(value_dec AS BIGINT) AS value_microcents,
+           CAST(value_dec * 1000000 // total_dec AS BIGINT) AS share_ppm
+    FROM v, t WHERE value_dec * 1000000 > $thresholdPpm * total_dec
+    ORDER BY value_microcents DESC, p_partkey"""
+
+  /** Twin of Supply.partSupplierCounts (TPC-H Q16 shape). */
+  def partSupplierCounts(excludedBrand: String, sizes: Seq[Int]): String = s"""
+    WITH $catalogCte
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM cat JOIN part ON l_partkey = p_partkey
+    WHERE p_brand != ${sqlStr(excludedBrand)}
+      AND p_size IN (${sizes.mkString(", ")})
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_suppkey % 13 = 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Twin of Supply.excessShippers (TPC-H Q20 shape) — dominance by
+    * exact cross-multiplication against the fair share. */
+  def excessShippers(nameToken: String, regionName: String): String = s"""
+    WITH $catalogCte,
+    named AS (SELECT cat.* FROM cat
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                WHERE p_name LIKE ${sqlStr("%" + nameToken + "%")})),
+    pp AS (SELECT l_partkey AS pp_key, sum(total_qty) AS part_qty,
+                  CAST(count(*) AS BIGINT) AS n_supp
+           FROM named GROUP BY 1),
+    dom AS (SELECT DISTINCT l_suppkey FROM named
+            JOIN pp ON l_partkey = pp_key
+            WHERE total_qty * n_supp > 2 * part_qty)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+      AND r_name = ${sqlStr(regionName)}
+    ORDER BY s_name, s_suppkey"""
+
+  /** Twin of Relational.nationProfit (TPC-H Q9 shape). */
+  def nationProfit(nameToken: String): String = s"""
+    SELECT n_name, epoch_us(l_shipdate) // 86400000000 // 365 AS year_bucket,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)
+                    - CAST(floor(p_retailprice * 100) AS BIGINT)
+                      * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+             AS profit_cents
+    FROM lineitem l
+    JOIN part p ON l_partkey = p_partkey
+    JOIN supplier s ON l_suppkey = s_suppkey
+    JOIN nation n ON s_nationkey = n_nationkey
+    WHERE p_name LIKE ${sqlStr("%" + nameToken + "%")}
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Twin of Relational.latePriority (TPC-H Q12 shape). */
+  def latePriority(lateDays: Int): String = s"""
+    SELECT epoch_us(l_shipdate) // 86400000000 // 365 AS year_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+    WHERE epoch_us(l_shipdate) >
+          epoch_us(o_orderdate) + $lateDays * 86400000000
+    GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Relational.custOrderDist (TPC-H Q13 shape) — the left
+    * outer join keeps zero-order customers. */
+  def custOrderDist(excludedPriority: String): String = s"""
+    WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+                FROM orders
+                WHERE o_orderpriority != ${sqlStr(excludedPriority)}
+                GROUP BY 1)
+    SELECT coalesce(n, 0) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+    GROUP BY 1 ORDER BY n_customers DESC, n_orders DESC"""
+
+  /** Twin of Relational.topSupplier (TPC-H Q15 shape) — exact-BIGINT
+    * max equality keeps all ties. */
+  def topSupplier(startMicros: Long, days: Int): String = s"""
+    WITH ps AS (SELECT l_suppkey,
+                  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS BIGINT)
+                    AS revenue_cents
+                FROM lineitem
+                WHERE epoch_us(l_shipdate) >= $startMicros
+                  AND epoch_us(l_shipdate) <
+                      ${startMicros + days.toLong * 86400000000L}
+                GROUP BY 1),
+    m AS (SELECT max(revenue_cents) AS max_cents FROM ps)
+    SELECT s_suppkey, s_name, revenue_cents
+    FROM ps JOIN supplier ON l_suppkey = s_suppkey
+    WHERE revenue_cents = (SELECT max_cents FROM m) ORDER BY s_suppkey"""
+
+  /** Twin of Relational.disjunctiveRevenue (TPC-H Q19 shape). */
+  val disjunctiveRevenue: String = """
+    WITH j AS (SELECT
+        p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 15 AS b1,
+        p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+          AND l_quantity BETWEEN 10 AND 30 AS b2,
+        p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
+          AND l_quantity BETWEEN 20 AND 45 AS b3,
+        CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          AS cents
+      FROM lineitem l JOIN part p ON l_partkey = p_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS branch1_items,
+           CAST(sum(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS branch2_items,
+           CAST(sum(CASE WHEN b3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS branch3_items,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM j WHERE b1 OR b2 OR b3"""
+
+  /** Twin of Relational.lateSuppliers (TPC-H Q21 shape) — the
+    * exists/not-exists collapses to one per-order aggregate. */
+  def lateSuppliers(lateDays: Int, k: Int): String = s"""
+    WITH j AS (SELECT l_orderkey, l_suppkey,
+                 epoch_us(l_shipdate) >
+                   epoch_us(o_orderdate) + $lateDays * 86400000000 AS late
+               FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+               WHERE o_orderstatus = 'F'),
+    g AS (SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                   AS n_late_supp,
+                 max(CASE WHEN late THEN l_suppkey END) AS late_suppkey
+          FROM j GROUP BY 1),
+    w AS (SELECT late_suppkey, CAST(count(*) AS BIGINT) AS numwait
+          FROM g WHERE n_supp >= 2 AND n_late_supp = 1 GROUP BY 1)
+    SELECT s_name, n_name, numwait
+    FROM w JOIN supplier ON late_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY numwait DESC, s_name LIMIT $k"""
+
+  /** Twin of Classify.dimCorr — exact r² ppm over quantized component
+    * moments; HUGEINT mirrors Spark's DECIMAL(38,0). */
+  def dimCorr(qScale: Long, k: Int): String = s"""
+    WITH ex AS (SELECT vec_id, s['pos'] AS dim, s['qx'] AS qx FROM
+           (SELECT vec_id, unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                     (x, i) -> {'pos': i - 1,
+                                'qx': CAST(floor(x * $qScale) AS BIGINT)}))
+                     AS s FROM embeddings)),
+    pc AS (SELECT a.dim AS dim_a, b.dim AS dim_b,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(a.qx * b.qx) AS BIGINT) AS sum_xy
+           FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
+           GROUP BY 1, 2),
+    mo AS (SELECT dim, CAST(sum(qx) AS BIGINT) AS s1,
+                  CAST(sum(qx * qx) AS BIGINT) AS s2
+           FROM ex GROUP BY 1),
+    c AS (SELECT dim_a, dim_b,
+                 n * sum_xy - ma.s1 * mb.s1 AS num,
+                 n * ma.s2 - ma.s1 * ma.s1 AS var_a,
+                 n * mb.s2 - mb.s1 * mb.s1 AS var_b
+          FROM pc JOIN mo ma ON dim_a = ma.dim
+                  JOIN mo mb ON dim_b = mb.dim)
+    SELECT CAST(dim_a AS BIGINT) AS dim_a, CAST(dim_b AS BIGINT) AS dim_b,
+           CAST(CAST(num AS HUGEINT) * num * 1000000
+                // (CAST(var_a AS HUGEINT) * var_b) AS BIGINT) AS r2_ppm,
+           CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+             AS BIGINT) AS sign
+    FROM c WHERE var_a > 0 AND var_b > 0
+    ORDER BY r2_ppm DESC, dim_a, dim_b LIMIT $k"""
 }

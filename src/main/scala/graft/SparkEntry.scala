@@ -524,6 +524,70 @@ object SparkEntry {
       val R = graft.operators.Relational
       R.idleCustomers(R.customer(s, dir), R.orders(s, dir))
     }),
+    // Q2 shape: derived supply catalog, per-part min joined back,
+    // region dims broadcast, TakeOrdered
+    "min_cost_supplier" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      graft.operators.Supply.minCostSupplier(R.lineitem(s, dir),
+        R.supplier(s, dir), R.nation(s, dir), R.region(s, dir),
+        R.part(s, dir))
+    }),
+    // Q11 shape: catalog value share vs broadcast one-row total,
+    // DECIMAL(38,0) cross-multiplied HAVING
+    "important_parts" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      graft.operators.Supply.importantParts(R.lineitem(s, dir),
+        R.supplier(s, dir), R.nation(s, dir), R.region(s, dir))
+    }),
+    // Q16 shape: distinct supplier breadth per part attr, complaint
+    // suppliers LeftAnti'd on the key alone
+    "part_supplier_counts" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      graft.operators.Supply.partSupplierCounts(R.lineitem(s, dir),
+        R.supplier(s, dir), R.part(s, dir))
+    }),
+    // Q20 shape: fair-share dominance over the derived catalog,
+    // semi-join chain down to region suppliers
+    "excess_shippers" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      graft.operators.Supply.excessShippers(R.lineitem(s, dir),
+        R.supplier(s, dir), R.nation(s, dir), R.region(s, dir),
+        R.part(s, dir))
+    }),
+    // Q9 shape: token-filtered parts broadcast with their cost lane,
+    // profit per supplier nation × year
+    "nation_profit" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.nationProfit(R.lineitem(s, dir), R.part(s, dir),
+        R.supplier(s, dir), R.nation(s, dir))
+    }),
+    // Q12 shape: late-shipment priority mix per year bucket
+    "late_priority" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.latePriority(R.lineitem(s, dir), R.orders(s, dir))
+    }),
+    // Q13 shape: left outer keeps zero-order customers; histogram of
+    // per-customer order counts
+    "cust_order_dist" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.custOrderDist(R.customer(s, dir), R.orders(s, dir))
+    }),
+    // Q15 shape: quarter revenue per supplier, exact-BIGINT global max
+    "top_supplier" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.topSupplier(R.lineitem(s, dir), R.supplier(s, dir))
+    }),
+    // Q19 shape: OR-of-conjunctions pushed through the broadcast join
+    "disjunctive_revenue" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.disjunctiveRevenue(R.lineitem(s, dir), R.part(s, dir))
+    }),
+    // Q21 shape: exists/not-exists collapsed to one per-order aggregate
+    "late_suppliers" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      R.lateSuppliers(R.lineitem(s, dir), R.orders(s, dir),
+        R.supplier(s, dir), R.nation(s, dir))
+    }),
     // Strict two-sided daily peaks per type (window over the daily table)
     "peak_days" -> ((s, dir) =>
       graft.operators.Behavior.peakDays(LogSource.readEvents(s, dir))),
@@ -565,6 +629,9 @@ object SparkEntry {
     // Per-dimension embedding-collapse audit (n, Σq, Σq², min, max)
     "dim_stats" -> ((s, dir) =>
       graft.operators.Classify.dimStats(embPar(s, dir))),
+    // Redundant-dimension audit: top-k correlated dim pairs, exact r² ppm
+    "dim_corr" -> ((s, dir) =>
+      graft.operators.Classify.dimCorr(embPar(s, dir))),
     // Explicit GROUPING SETS (type×dow, type, dow — no grand total)
     "grouping_sets_counts" -> ((s, dir) =>
       Events.groupingSetsCounts(LogSource.readEvents(s, dir))
@@ -1235,6 +1302,18 @@ object SparkEntry {
     "small_qty_revenue" -> OracleExt.smallQtyRevenue,
     "large_orders" -> OracleExt.largeOrders(15000L, 20),
     "idle_customers" -> OracleExt.idleCustomers(936144000000000L),
+    "min_cost_supplier" -> OracleExt.minCostSupplier("EUROPE", "ECONOMY", 20),
+    "important_parts" -> OracleExt.importantParts("ASIA", 1000L),
+    "part_supplier_counts" -> OracleExt.partSupplierCounts("Brand#13",
+      Seq(3, 9, 14, 19, 23, 36, 45, 49)),
+    "excess_shippers" -> OracleExt.excessShippers("widget", "EUROPE"),
+    "nation_profit" -> OracleExt.nationProfit("widget"),
+    "late_priority" -> OracleExt.latePriority(60),
+    "cust_order_dist" -> OracleExt.custOrderDist("4-NOT SPECIFIED"),
+    "top_supplier" -> OracleExt.topSupplier(946684800000000L, 90),
+    "disjunctive_revenue" -> OracleExt.disjunctiveRevenue,
+    "late_suppliers" -> OracleExt.lateSuppliers(90, 20),
+    "dim_corr" -> OracleExt.dimCorr(1024, 20),
     "rfm_segments" -> OracleExt.rfmSegments,
     "varint_estimate" -> OracleExt.varintEstimate,
     "record_linkage" -> OracleExt.recordLinkage(2),

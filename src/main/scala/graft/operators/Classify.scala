@@ -111,4 +111,59 @@ object Classify {
         sum(expr("qx * qx")).as("sum_q2"),
         min(col("qx")).as("min_q"), max(col("qx")).as("max_q"))
       .orderBy(col("dim"))
+
+  /** Redundant-dimension audit: the top-k most-correlated embedding
+    * dimension PAIRS by exact squared Pearson correlation over the
+    * quantized component lane — the "did the encoder collapse two
+    * coordinates onto one axis" health check next to [[dimStats]].
+    *
+    * Exactness: with q = floor(x·qScale), every moment (n, Σqᵢ, Σqᵢ²,
+    * Σqᵢqⱼ) is an exact BIGINT; r² lands in ppm via one DECIMAL(38,0)
+    * division — num²·1e6 div (A·B) where num = nΣxy−ΣxΣy,
+    * A = nΣx²−(Σx)², B = nΣy²−(Σy)² — so no square root or float
+    * quotient ever crosses the oracle. Lane-width audit at the fixture
+    * quantization: |q| ≤ ~2¹¹, so num ≤ n·2²² and num²·1e6 ≤ 10⁶·n²·2⁴⁴
+    * — inside DECIMAL(38,0) up to n ≈ 10⁶ vectors; at 100 TB this
+    * audit runs on a bounded sample (like ann_recall), not the corpus.
+    *
+    * Scale shape: one posexplode (n·d rows), one vec_id equi-join
+    * producing the n·d(d−1)/2 component-pair stream — d is a model
+    * constant, so this is linear in the corpus — then a d²-bounded
+    * aggregate; the per-dim moment table (d rows) broadcasts back onto
+    * the pair cells; top-k via TakeOrdered. */
+  def dimCorr(emb: DataFrame, qScale: Long = 1024, k: Int = 20): DataFrame = {
+    val ex = emb.select(col("vec_id"),
+        posexplode(transform(col("embedding").cast("array<double>"),
+          x => floor(x * qScale).cast("long"))))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("qx"))
+    val pairCells = ex.alias("a")
+      .join(ex.alias("b"), col("a.vec_id") === col("b.vec_id")
+        && col("a.dim") < col("b.dim"))
+      .select(col("a.dim").as("dim_a"), col("b.dim").as("dim_b"),
+        (col("a.qx") * col("b.qx")).as("qxy"))
+      .groupBy(col("dim_a"), col("dim_b"))
+      .agg(count(lit(1)).as("n"), sum(col("qxy")).as("sum_xy"))
+    val moments = ex.groupBy(col("dim"))
+      .agg(sum(col("qx")).as("s1"), sum(expr("qx * qx")).as("s2"))
+    pairCells
+      .join(broadcast(moments.select(col("dim").as("ma_dim"),
+        col("s1").as("sx"), col("s2").as("sxx"))),
+        col("dim_a") === col("ma_dim"))
+      .join(broadcast(moments.select(col("dim").as("mb_dim"),
+        col("s1").as("sy"), col("s2").as("syy"))),
+        col("dim_b") === col("mb_dim"))
+      .select(col("dim_a"), col("dim_b"),
+        expr("n * sum_xy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("var_a"),
+        expr("n * syy - sy * sy").as("var_b"))
+      .filter(col("var_a") > 0 && col("var_b") > 0)
+      .select(col("dim_a"), col("dim_b"),
+        expr("""CAST(CAST(num AS DECIMAL(38,0)) * num * 1000000
+                div (CAST(var_a AS DECIMAL(38,0)) * var_b) AS BIGINT)""")
+          .as("r2_ppm"),
+        signum(col("num")).cast("long").as("sign"))
+      .orderBy(col("r2_ppm").desc, col("dim_a"), col("dim_b"))
+      .limit(k)
+  }
 }

@@ -462,4 +462,176 @@ object Relational {
         col("revenue_cents"))
       .orderBy(col("revenue_cents").desc, col("c_custkey"))
   }
+
+  /** Product-line profit by supplier nation × year — the TPC-H Q9
+    * shape: name-token-filtered parts ⋈ lineitem ⋈ supplier ⋈ nation,
+    * profit = revenue − cost where cost is retailprice·quantity (the
+    * fixture's stand-in for ps_supplycost). Both the filtered part
+    * list (with its cost column) and the 25-row nation dim broadcast;
+    * the only fact-sized shuffle is the final groupBy, map-side
+    * combined to |nations|×|years| rows. Profit lanes floor to exact
+    * cents per row, so the sums are associative BIGINT. */
+  def nationProfit(lineitem: DataFrame, part: DataFrame,
+                   supplier: DataFrame, nation: DataFrame,
+                   nameToken: String = "widget"): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameToken))
+        .select(col("p_partkey"),
+          expr("CAST(floor(p_retailprice * 100) AS BIGINT)")
+            .as("retail_cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey"),
+        expr("unix_micros(l_shipdate) div 86400000000 div 365")
+          .as("year_bucket"),
+        (expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          - col("retail_cents") * expr("CAST(floor(l_quantity) AS BIGINT)"))
+          .as("profit_cents"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("year_bucket"))
+      .agg(count(lit(1)).as("n_items"), sum(col("profit_cents")).as("profit_cents"))
+      .orderBy(col("n_name"), col("year_bucket"))
+
+  /** Late-shipment priority mix — the TPC-H Q12 shape (the fixture has
+    * no l_shipmode, so the lateness split itself is the grouped
+    * dimension): lines shipped more than `lateDays` after their order
+    * date, per ship-year bucket, counted into high-priority
+    * (1-URGENT/2-HIGH) vs lower-priority orders — one fact⋈fact join
+    * on orderkey and one conditional aggregate. */
+  def latePriority(lineitem: DataFrame, orders: DataFrame,
+                   lateDays: Int = 60): DataFrame =
+    lineitem
+      .select(col("l_orderkey"),
+        expr("unix_micros(l_shipdate)").as("ship_us"),
+        expr("unix_micros(l_shipdate) div 86400000000 div 365")
+          .as("year_bucket"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate)").as("order_us")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(expr(s"ship_us > order_us + ${lateDays}L * 86400000000"))
+      .groupBy(col("year_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("year_bucket"))
+
+  /** Customer order-count distribution — the TPC-H Q13 shape: how many
+    * customers placed exactly N orders (excluding one "special"
+    * priority class), INCLUDING the zero-order customers the inner
+    * join would silently drop. The left outer join keeps every
+    * customer; coalesce(n, 0) makes silence an observation; the
+    * second aggregate is distribution-sized. */
+  def custOrderDist(customer: DataFrame, orders: DataFrame,
+                    excludedPriority: String = "4-NOT SPECIFIED"): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= excludedPriority)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    customer.select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
+  /** Top revenue supplier — the TPC-H Q15 shape: per-supplier revenue
+    * over one quarter, keeping exactly the supplier(s) at the global
+    * maximum. The max is a broadcast ONE-ROW aggregate over the
+    * already-small per-supplier table and the equality is exact BIGINT
+    * (the float-quotient tie hazard of the original's view is gone);
+    * ties all surface, suppkey-ordered. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  startMicros: Long = 946684800000000L, // 2000-01-01
+                  days: Int = 90): DataFrame = {
+    val endMicros = startMicros + days.toLong * 86400000000L
+    val perSupp = lineitem
+      .filter(expr(s"unix_micros(l_shipdate) >= ${startMicros}L")
+        && expr(s"unix_micros(l_shipdate) < ${endMicros}L"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("revenue_cents"))
+    val maxRev = perSupp.agg(max(col("revenue_cents")).as("max_cents"))
+    perSupp
+      .crossJoin(broadcast(maxRev))
+      .filter(col("revenue_cents") === col("max_cents"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Disjunctive-predicate revenue — the TPC-H Q19 shape: one
+    * lineitem ⋈ broadcast(part) join whose filter is an OR of three
+    * (brand, size band, quantity band) conjunctions — the plan shape
+    * that tests whether the engine pushes a disjunction of
+    * conjunctions down to the scan instead of materializing the whole
+    * join. Output is ONE row: total and per-branch line counts plus
+    * the exact-cents revenue over all matching lines. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val b1 = expr("p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 " +
+      "AND l_quantity BETWEEN 1 AND 15")
+    val b2 = expr("p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 " +
+      "AND l_quantity BETWEEN 10 AND 30")
+    val b3 = expr("p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 " +
+      "AND l_quantity BETWEEN 20 AND 45")
+    lineitem
+      .select(col("l_partkey"), col("l_quantity"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("cents"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"),
+        col("p_size"))), col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(b1, 1L).otherwise(0L)).as("branch1_items"),
+        sum(when(b2, 1L).otherwise(0L)).as("branch2_items"),
+        sum(when(b3, 1L).otherwise(0L)).as("branch3_items"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("n_items"))
+  }
+
+  /** Suppliers who kept orders waiting — the TPC-H Q21 shape, adapted
+    * to the columns at hand (lateness = shipped more than `lateDays`
+    * after the order date; the original's commit/receipt dates don't
+    * exist): for finished orders with at least two distinct suppliers
+    * where EXACTLY ONE supplier shipped late, charge that supplier.
+    * The exists/not-exists double correlated subquery collapses to ONE
+    * orderkey-grouped aggregate — n_supp, n_late_supp, and (read only
+    * when n_late_supp = 1, where it is total) max(late suppkey) — so
+    * the fact shuffles once instead of three times. Top-k waiters via
+    * TakeOrdered after the supplier-sized count. */
+  def lateSuppliers(lineitem: DataFrame, orders: DataFrame,
+                    supplier: DataFrame, nation: DataFrame,
+                    lateDays: Int = 90, k: Int = 20): DataFrame = {
+    val perOrder = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("unix_micros(l_shipdate)").as("ship_us"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"),
+          expr("unix_micros(o_orderdate)").as("order_us")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("ship_us") > col("order_us")
+          + lit(lateDays.toLong * 86400000000L)).as("late"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("late"), col("l_suppkey"))).as("late_suppkey"))
+    perOrder
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("late_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier.select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey")), col("late_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
 }
