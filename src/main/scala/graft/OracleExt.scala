@@ -4086,4 +4086,95 @@ object OracleExt {
              AS BIGINT) AS sign
     FROM c WHERE var_a > 0 AND var_b > 0
     ORDER BY r2_ppm DESC, dim_a, dim_b LIMIT $k"""
+
+  /** Twin of Integrity.snapshotDiff over the deterministically-derived
+    * orders snapshots (A drops keys ≡0 mod 23; B drops ≡0 mod 29 and
+    * shifts price by 101 cents on ≡0 mod 41). Row identity is one md5
+    * hash over the explicit serialization, exactly as Spark computes
+    * it. */
+  val snapshotDiff: String = """
+    WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+                    epoch_us(o_orderdate) AS od_us, o_orderpriority
+                  FROM orders),
+    a AS (SELECT o_orderkey,
+            md5(concat_ws('|', o_custkey, o_orderstatus, price_cents,
+                od_us, o_orderpriority)) AS h
+          FROM base WHERE o_orderkey % 23 != 0),
+    b AS (SELECT o_orderkey,
+            md5(concat_ws('|', o_custkey, o_orderstatus,
+                price_cents + CASE WHEN o_orderkey % 41 = 0
+                              THEN 101 ELSE 0 END,
+                od_us, o_orderpriority)) AS h
+          FROM base WHERE o_orderkey % 29 != 0)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM (
+      SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.h != b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Graph.labelCommunities — the fixed `rounds` synchronous
+    * label-propagation updates unroll to one CTE chain per round (same
+    * majority + (count desc, label asc) tie-break). */
+  def labelCommunities(rounds: Int, maxCellUsers: Int,
+                       minShared: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = s"l${k - 1}"
+      s"""
+    c$k AS (SELECT s.src, l.label AS nbr_label, count(*) AS c
+            FROM sym s JOIN $prev l ON s.dst = l.node GROUP BY 1, 2),
+    w$k AS (SELECT src, nbr_label FROM (
+              SELECT src, nbr_label,
+                     row_number() OVER (PARTITION BY src
+                       ORDER BY c DESC, nbr_label) AS rn FROM c$k) r$k
+            WHERE rn = 1),
+    l$k AS (SELECT n.node, coalesce(w.nbr_label, n.node) AS label
+            FROM nodes n LEFT JOIN w$k w ON n.node = w.src)"""
+    }.mkString(",")
+    s"""
+    WITH inc AS (SELECT DISTINCT user_id,
+                   event_type || '#' ||
+                     CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS cell
+                 FROM events),
+    cold AS (SELECT cell FROM inc GROUP BY 1
+             HAVING count(*) <= $maxCellUsers),
+    i2 AS (SELECT inc.* FROM inc
+           WHERE cell IN (SELECT cell FROM cold)),
+    pr AS (SELECT a.user_id AS ua, b.user_id AS ub
+           FROM i2 a JOIN i2 b ON a.cell = b.cell
+                             AND a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING count(*) >= $minShared),
+    sym AS (SELECT ua AS src, ub AS dst FROM pr
+            UNION ALL SELECT ub AS src, ua AS dst FROM pr),
+    nodes AS (SELECT DISTINCT user_id AS node FROM events),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    $roundCtes
+    SELECT node AS user_id, label AS community FROM l$rounds
+    ORDER BY user_id"""
+  }
+
+  /** Twin of Sampling.halfSampleCi — hash-bit replica membership via
+    * the hex-literal cast of the same salted md5. */
+  def halfSampleCi(nReplicas: Int, salt: String): String = s"""
+    WITH base AS (SELECT
+        CAST(('0x' || substr(md5(${sqlStr(salt + ":")} ||
+             CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+        CAST(floor(value * 1000) AS BIGINT) AS v_milli
+      FROM events),
+    rep AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v_milli) AS BIGINT) AS sv
+            FROM base, (SELECT unnest(range(0, $nReplicas)) AS b) bs
+            WHERE ((h >> b) & 1) = 1 GROUP BY 1),
+    pm AS (SELECT b, sv // n AS mean_milli FROM rep),
+    o AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(v_milli) AS BIGINT) AS sa FROM base)
+    SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+           CAST(min(mean_milli) AS BIGINT) AS mean_milli_min,
+           CAST(max(mean_milli) AS BIGINT) AS mean_milli_max,
+           CAST(max(mean_milli) - min(mean_milli) AS BIGINT) AS spread_milli,
+           (SELECT CAST(sa // n_rows AS BIGINT) FROM o) AS mean_milli_all,
+           (SELECT n_rows FROM o) AS n_rows
+    FROM pm"""
 }

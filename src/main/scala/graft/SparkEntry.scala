@@ -640,6 +640,31 @@ object SparkEntry {
     // Order-independent per-shard table checksums (anti-entropy repair)
     "checksum_shards" -> ((s, dir) =>
       graft.operators.Integrity.checksumShards(LogSource.readEvents(s, dir))),
+    // Snapshot reconciliation: added/removed/changed/unchanged counts
+    // between two keyed table versions (derived deterministically from
+    // orders: A drops keys ≡0 mod 23, B drops ≡0 mod 29 and shifts
+    // price on ≡0 mod 41)
+    "snapshot_diff" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      val base = R.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        expr("unix_micros(o_orderdate)").as("od_us"), col("o_orderpriority"))
+      val snapA = base.filter(expr("pmod(o_orderkey, 23) != 0"))
+      val snapB = base.filter(expr("pmod(o_orderkey, 29) != 0"))
+        .withColumn("price_cents", expr(
+          "price_cents + CASE WHEN pmod(o_orderkey, 41) = 0 THEN 101 ELSE 0 END"))
+      graft.operators.Integrity.snapshotDiff(snapA, snapB, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "price_cents", "od_us",
+          "o_orderpriority"))
+    }),
+    // Deterministic label-propagation communities on the user
+    // co-occurrence graph (capped activity cells, fixed rounds)
+    "label_communities" -> ((s, dir) =>
+      graft.operators.Graph.labelCommunities(LogSource.readEvents(s, dir))),
+    // Half-sample stability band for the corpus mean (hash-bit replicas)
+    "half_sample_ci" -> ((s, dir) =>
+      graft.operators.Sampling.halfSampleCi(LogSource.readEvents(s, dir))),
     // Bipartite co-engagement Jaccard between event types (user-days)
     "type_jaccard" -> ((s, dir) =>
       graft.operators.Graph.typeJaccard(LogSource.readEvents(s, dir))),
@@ -1324,6 +1349,9 @@ object SparkEntry {
     "trend_cycle" -> OracleExt.trendCycle,
     "grouping_sets_counts" -> OracleExt.groupingSetsCounts,
     "checksum_shards" -> OracleExt.checksumShards(16),
+    "snapshot_diff" -> OracleExt.snapshotDiff,
+    "label_communities" -> OracleExt.labelCommunities(3, 64, 2),
+    "half_sample_ci" -> OracleExt.halfSampleCi(32, "hs"),
     "type_jaccard" -> OracleExt.typeJaccard,
     "degree_distribution" -> OracleExt.degreeDistribution,
     "knn_classify" -> OracleExt.knnClassify(50, 5),

@@ -153,4 +153,68 @@ object Graph {
       .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_user_days"))
       .orderBy(col("degree"))
+
+  /** Community detection on the USER co-occurrence graph — synchronous
+    * label propagation (Raghavan et al. 2007), made fully deterministic:
+    * a fixed number of rounds, every node updates from the PREVIOUS
+    * round's labels, and the update is the neighbor-majority label with
+    * a total (count desc, label asc) tie-break — so both engines land
+    * on identical communities with no randomness anywhere.
+    *
+    * The graph: users are adjacent when they share ≥ `minShared`
+    * activity cells (event_type × hour). Hot cells are CAPPED at
+    * `maxCellUsers` distinct users before pairing — the same
+    * hot-shingle discipline as ngram_jaccard — because one viral cell
+    * with u users mints u² pairs; dropping it loses no community
+    * signal (a cell everyone touched distinguishes nobody) and bounds
+    * the pair fan-out at cells·cap² regardless of corpus size.
+    *
+    * Scale shape per round: one (edge ⋈ label) shuffle on the node key
+    * + one per-node window over ≤ degree distinct neighbor labels —
+    * rounds are a constant, so total cost is O(rounds · |edges|).
+    * Isolated users keep their own label (left join + coalesce: silence
+    * is an observation, not a dropped row). */
+  def labelCommunities(events: DataFrame, rounds: Int = 3,
+                       maxCellUsers: Int = 64, minShared: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inc = events.select(col("user_id"),
+        concat_ws("#", col("event_type"),
+          expr("CAST(unix_micros(ts) div 3600000000 AS STRING)")).as("cell"))
+      .distinct()
+    val coldCells = inc.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cu"))
+      .filter(col("cu") <= maxCellUsers)
+      .select(col("cell"))
+    val capped = graft.Caches.track(
+      inc.join(coldCells, Seq("cell"), "leftsemi"))
+    val pairs = capped.select(col("cell"), col("user_id").as("ua"))
+      .join(capped.select(col("cell"), col("user_id").as("ub")), Seq("cell"))
+      .filter(col("ua") < col("ub"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minShared)
+    val sym = graft.Caches.track(
+      pairs.select(col("ua").as("src"), col("ub").as("dst"))
+        .unionByName(pairs.select(col("ub").as("src"), col("ua").as("dst"))))
+    val nodes = graft.Caches.track(
+      events.select(col("user_id").as("node")).distinct())
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val counted = sym
+        .join(labels.select(col("node").as("dst"),
+          col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src"), col("nbr_label"))
+        .agg(count(lit(1)).as("c"))
+      val won = counted
+        .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("c").desc, col("nbr_label"))))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("nbr_label").as("new_label"))
+      labels = nodes.join(won, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("node"))
+          .as("label"))
+    }
+    labels.select(col("node").as("user_id"), col("label").as("community"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -353,4 +353,48 @@ object Sampling {
         expr(s"(${budget}L * weight) div tw").as("alloc"))
       .orderBy(col("event_type"))
   }
+
+  /** Half-sample stability band for the corpus mean — the deterministic
+    * replication answer to "how much would this statistic move on a
+    * different draw of the data?": `nReplicas` half-samples, membership
+    * of replica b = bit b of the salted row hash, each replica's
+    * integer mean compared across the set. Hash-bit membership makes
+    * every replica an unbiased ~50% subsample, the replicas are as
+    * anti-correlated as delete-half jackknife groups, and — unlike
+    * rand() bootstrap — reruns, retries, and both engines see the
+    * identical replica assignment.
+    *
+    * Scale shape: ONE scan with a constant ×nReplicas row expansion
+    * (explode over the bit list is map-only), one nReplicas-row
+    * aggregate, one final single-row reduce. No per-replica pass over
+    * the corpus — the 32 replicas cost one corpus read total. Means are
+    * exact integer milli-units (sum div n), so the band is
+    * engine-identical. */
+  def halfSampleCi(events: DataFrame, nReplicas: Int = 32,
+                   salt: String = "hs"): DataFrame = {
+    require(nReplicas >= 2 && nReplicas <= 32,
+      s"halfSampleCi: need 2 <= nReplicas <= 32, got $nReplicas")
+    val perReplica = events
+      .select(splitHash(salt, col("event_id")).as("h"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_milli"))
+      .select(col("h"), col("v_milli"),
+        explode(expr(s"sequence(0, ${nReplicas - 1})")).as("b"))
+      .filter(expr("((h >> b) & 1) = 1"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("v_milli")).as("sv"))
+      .select(col("b"), expr("sv div n").as("mean_milli"))
+    val overall = events
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("sv_all"))
+      .select(col("n_rows"), expr("sv_all div n_rows").as("mean_milli_all"))
+    perReplica
+      .agg(count(lit(1)).as("n_replicas"),
+        min(col("mean_milli")).as("mean_milli_min"),
+        max(col("mean_milli")).as("mean_milli_max"))
+      .crossJoin(overall)
+      .select(col("n_replicas"), col("mean_milli_min"), col("mean_milli_max"),
+        (col("mean_milli_max") - col("mean_milli_min")).as("spread_milli"),
+        col("mean_milli_all"), col("n_rows"))
+      .orderBy(col("n_replicas"))
+  }
 }
