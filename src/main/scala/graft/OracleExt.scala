@@ -4177,4 +4177,38 @@ object OracleExt {
            (SELECT CAST(sa // n_rows AS BIGINT) FROM o) AS mean_milli_all,
            (SELECT n_rows FROM o) AS n_rows
     FROM pm"""
+
+  /** Twin of Behavior.seqNgrams — the k−1 leads unroll over one
+    * per-user ordering. */
+  def seqNgrams(k: Int, topN: Int): String = {
+    val leads = (1 until k).map(i =>
+      s"""lead(event_type, $i) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS t$i""").mkString(",\n      ")
+    val notNull = (1 until k).map(i => s"t$i IS NOT NULL").mkString(" AND ")
+    val seq = ("event_type" +: (1 until k).map(i => s"t$i"))
+      .mkString(" || '>' || ")
+    s"""
+    WITH s AS (SELECT event_type,
+      $leads
+      FROM events)
+    SELECT $seq AS seq, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE $notNull
+    GROUP BY 1 ORDER BY n DESC, seq LIMIT $topN"""
+  }
+
+  /** Twin of Behavior.fanoFactor — HUGEINT lane mirrors the
+    * DECIMAL(38,0) cross-multiplication; the numerator is a population
+    * variance (non-negative), so // and div agree. */
+  val fanoFactor: String = """
+    WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(sum(c * c) AS BIGINT) AS sc2
+          FROM d GROUP BY 1)
+    SELECT event_type, n_days, sc AS n_events,
+           CAST(CAST(1000000 AS HUGEINT) * (n_days * sc2 - sc * sc)
+                // (CAST(n_days AS HUGEINT) * sc) AS BIGINT) AS fano_ppm
+    FROM g ORDER BY event_type"""
 }

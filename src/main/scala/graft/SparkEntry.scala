@@ -603,6 +603,12 @@ object SparkEntry {
     // Islands-and-gaps repetition runs per event type (stuck-client audit)
     "type_runs" -> ((s, dir) =>
       graft.operators.Behavior.typeRuns(LogSource.readEvents(s, dir))),
+    // Top order-3 event sequences (joint-path generalization of top_paths)
+    "seq_ngrams" -> ((s, dir) =>
+      graft.operators.Behavior.seqNgrams(LogSource.readEvents(s, dir))),
+    // Variance-to-mean overdispersion of per-type daily counts
+    "fano_factor" -> ((s, dir) =>
+      graft.operators.Behavior.fanoFactor(LogSource.readEvents(s, dir))),
     // Token-length spectrum over the corpus vocabulary
     "word_len_hist" -> ((s, dir) =>
       graft.operators.TextShape.wordLenHist(docsPar(s, dir))),
@@ -1367,6 +1373,8 @@ object SparkEntry {
     "user_diversity" -> OracleExt.userDiversity,
     "hour_dow_heatmap" -> OracleExt.hourDowHeatmap,
     "type_runs" -> OracleExt.typeRuns,
+    "seq_ngrams" -> OracleExt.seqNgrams(3, 20),
+    "fano_factor" -> OracleExt.fanoFactor,
     "regional_volume" -> OracleExt.regionalVolume("ASIA"),
     "priority_exists" -> OracleExt.priorityExists(45.0),
     "fk_orphans" -> OracleExt.fkOrphans(97, 53),

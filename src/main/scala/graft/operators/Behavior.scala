@@ -132,4 +132,58 @@ object Behavior {
           .as("repeated_events"))
       .orderBy(col("event_type"))
   }
+
+  /** Order-k event-type sequences: every k-consecutive-event window in
+    * each user's timeline, counted corpus-wide, top-N. The joint-
+    * sequence generalization of the first-3-only `top_paths` and the
+    * one-step `transition_matrix` — "what do users actually DO, in
+    * order" at arbitrary depth. Sequence formation is k−1 lead windows
+    * over ONE per-user sort (Spark reuses the single (user) partition
+    * sort for all leads — one shuffle total); counting is a
+    * map-side-combined aggregate bounded by |types|^k; the final top-N
+    * is TakeOrdered. */
+  def seqNgrams(events: DataFrame, k: Int = 3, topN: Int = 20): DataFrame = {
+    require(k >= 2 && k <= 5, s"seqNgrams: need 2 <= k <= 5, got $k")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val leads = (1 until k).map(i =>
+      lead(col("event_type"), i).over(w).as(s"t$i"))
+    val seqCol = concat_ws(">",
+      col("event_type") +: (1 until k).map(i => col(s"t$i")): _*)
+    events
+      .select((col("user_id") +: col("event_type") +: col("ts") +:
+        col("event_id") +: leads): _*)
+      .filter((1 until k).map(i => col(s"t$i").isNotNull)
+        .reduce(_ && _))
+      .select(seqCol.as("seq"))
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("seq"))
+      .limit(topN)
+  }
+
+  /** Fano factor (variance-to-mean, a.k.a. index of dispersion) of the
+    * per-type daily count series — the overdispersion audit: F ≈ 1 is
+    * Poisson-like organic traffic, F ≫ 1 is bursty/campaign-driven,
+    * F ≪ 1 is suspiciously metronomic (the count-domain complement of
+    * botRegularity's gap-domain CV²). Exact ppm by one DECIMAL(38,0)
+    * cross-multiplication: F·1e6 = 1e6·(n·Σc² − (Σc)²) div (n·Σc) —
+    * population variance over mean, no float anywhere. Input is the
+    * |types|×|days| daily table (one map-side-combined shuffle);
+    * output is |types| rows. */
+  def fanoFactor(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(expr("c * c")).as("sc2"))
+      .select(col("event_type"), col("n_days"), col("sc").as("n_events"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0))
+                * (n_days * sc2 - sc * sc)
+                div (CAST(n_days AS DECIMAL(38,0)) * sc) AS BIGINT)""")
+          .as("fano_ppm"))
+      .orderBy(col("event_type"))
 }

@@ -105,4 +105,45 @@ class BehaviorSpec extends SparkTestBase {
     // user), user 2 a run of 1.
     assert(r == Seq(("a", 2L, 2L, 2L)))
   }
+
+  // ---- seqNgrams ---------------------------------------------------
+
+  test("seqNgrams: overlapping order-3 windows per user, never across") {
+    val ev = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+      (3L, 3000L, 1L, "c"), (4L, 4000L, 1L, "d"),
+      (5L, 1000L, 2L, "a"), (6L, 2000L, 2L, "b"), (7L, 3000L, 2L, "c"))
+    val r = Behavior.seqNgrams(ev, k = 3, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    // a>b>c appears for both users; b>c>d only for user 1; user 2's
+    // tail never chains into user 1's events
+    assert(r == Seq(("a>b>c", 2L), ("b>c>d", 1L)))
+  }
+
+  test("seqNgrams: k=2 equals the raw transition pair counts") {
+    val ev = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"), (3L, 3000L, 1L, "a"))
+    val r = Behavior.seqNgrams(ev, k = 2, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("a>b", 1L), ("b>a", 1L)))
+  }
+
+  // ---- fanoFactor --------------------------------------------------
+
+  test("fanoFactor: constant daily counts give F = 0; bursty > 1e6") {
+    // type a: 2 events/day for 3 days (variance 0); type b: days with
+    // 1, 1, 7 events -> mean 3, var ((1-3)^2+(1-3)^2+(7-3)^2)/3 = 8,
+    // F = 8/3 -> 2666666 ppm (floor)
+    val rows = Seq.newBuilder[(Long, Long, Long, String)]
+    var id = 0L
+    for (d <- 0L to 2L; i <- 0 until 2) {
+      id += 1; rows += ((id, d * day + i * 1000L, 1L, "a"))
+    }
+    for ((d, c) <- Seq((0L, 1), (1L, 1), (2L, 7)); i <- 0 until c) {
+      id += 1; rows += ((id, d * day + i * 1000L, 2L, "b"))
+    }
+    val r = Behavior.fanoFactor(events(rows.result(): _*))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 3L, 6L, 0L), ("b", 3L, 9L, 2666666L)))
+  }
 }
