@@ -4211,4 +4211,32 @@ object OracleExt {
            CAST(CAST(1000000 AS HUGEINT) * (n_days * sc2 - sc * sc)
                 // (CAST(n_days AS HUGEINT) * sc) AS BIGINT) AS fano_ppm
     FROM g ORDER BY event_type"""
+
+  /** Twin of Events.lateDataAudit — running event-time max over the
+    * arrival (event_id) order, exact empirical p`pct` lateness. */
+  def lateDataAudit(pct: Int): String = s"""
+    WITH l AS (SELECT CASE WHEN pm IS NOT NULL AND pm > us
+                      THEN pm - us ELSE 0 END AS late_us
+               FROM (SELECT epoch_us(ts) AS us,
+                       max(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS pm
+                     FROM events) r),
+    c AS (SELECT late_us, CAST(count(*) AS BIGINT) AS n
+          FROM l WHERE late_us > 0 GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c),
+    q AS (SELECT min(late_us) AS qv FROM
+            (SELECT late_us, sum(n) OVER (ORDER BY late_us) AS cum FROM c) s,
+            t
+          WHERE cum * 100 >= tt * $pct),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_late,
+                 CAST(max(late_us) AS BIGINT) AS max_late_us
+          FROM l)
+    SELECT n_events, n_late,
+           (1000000 * n_late) // n_events AS late_ppm, max_late_us,
+           (SELECT CAST(coalesce(qv, 0) AS BIGINT) FROM q) AS p_late_us
+    FROM a"""
 }

@@ -609,6 +609,10 @@ object SparkEntry {
     // Variance-to-mean overdispersion of per-type daily counts
     "fano_factor" -> ((s, dir) =>
       graft.operators.Behavior.fanoFactor(LogSource.readEvents(s, dir))),
+    // Out-of-orderness audit: lateness vs arrival order, p95 for
+    // watermark sizing
+    "late_data_audit" -> ((s, dir) =>
+      graft.operators.Events.lateDataAudit(LogSource.readEvents(s, dir))),
     // Token-length spectrum over the corpus vocabulary
     "word_len_hist" -> ((s, dir) =>
       graft.operators.TextShape.wordLenHist(docsPar(s, dir))),
@@ -1375,6 +1379,7 @@ object SparkEntry {
     "type_runs" -> OracleExt.typeRuns,
     "seq_ngrams" -> OracleExt.seqNgrams(3, 20),
     "fano_factor" -> OracleExt.fanoFactor,
+    "late_data_audit" -> OracleExt.lateDataAudit(95),
     "regional_volume" -> OracleExt.regionalVolume("ASIA"),
     "priority_exists" -> OracleExt.priorityExists(45.0),
     "fk_orphans" -> OracleExt.fkOrphans(97, 53),

@@ -434,4 +434,31 @@ class EventsSpec extends SparkTestBase {
       .select("event_id", "n_trailing").as[(Long, Long)].collect().toMap
     assert(i == Map(1L -> 1L, 2L -> 2L), s"t0 + window - 1ms must be included: $i")
   }
+
+  test("lateDataAudit: running-max lateness, exact p95, per-user isolation") {
+    def mk(id: Long, uid: Long, us: Long) =
+      (id, uid, new Timestamp(us / 1000))
+    // user 1 arrival order (by id): ts 100ms, 300ms, 200ms (late by
+    // 100ms), 250ms (late by 50ms); user 2: 50ms then 400ms (in order
+    // — user 1's 300ms max must not leak into user 2)
+    val rows = Seq(
+      mk(1L, 1L, 100000L), mk(2L, 1L, 300000L), mk(3L, 1L, 200000L),
+      mk(4L, 1L, 250000L), mk(5L, 2L, 50000L), mk(6L, 2L, 400000L)
+    ).toDF("event_id", "user_id", "ts")
+    val r = Events.lateDataAudit(rows, pct = 95)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // 6 events, 2 late; max lateness 100000µs; p95 over {50000, 100000}
+    // = 100000 (cum 1/2 = 50% < 95 at 50000)
+    assert(r == ((6L, 2L, 333333L, 100000L, 100000L)))
+  }
+
+  test("lateDataAudit: fully ordered stream reports zero lateness") {
+    def mk(id: Long, uid: Long, us: Long) =
+      (id, uid, new Timestamp(us / 1000))
+    val rows = Seq(mk(1L, 1L, 1000L), mk(2L, 1L, 2000L), mk(3L, 1L, 3000L))
+      .toDF("event_id", "user_id", "ts")
+    val r = Events.lateDataAudit(rows)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((3L, 0L, 0L, 0L, 0L)))
+  }
 }
