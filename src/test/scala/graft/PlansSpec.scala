@@ -241,6 +241,34 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("min_cost_supplier / late_suppliers / seq_ngrams / dim_corr: " +
+      "top-k is TakeOrdered") {
+    Seq("min_cost_supplier", "late_suppliers", "seq_ngrams", "dim_corr")
+      .foreach { q =>
+        assert(plans(q).contains("TakeOrderedAndProject"),
+          s"$q top-k must be per-partition heaps + k-row merge, " +
+            s"never a global sort:\n${plans(q)}")
+      }
+  }
+
+  test("Q2/Q11/Q16/Q20 catalog shapes: dims broadcast, key-only anti/semi") {
+    Seq("min_cost_supplier", "important_parts", "part_supplier_counts",
+      "excess_shippers").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q must broadcast its dim/filter side:\n${plans(q)}")
+    }
+    assert(plans("part_supplier_counts").contains("LeftAnti"),
+      "complaint suppliers must LeftAnti on the key alone")
+    assert(plans("excess_shippers").contains("LeftSemi"),
+      "name filter and dominant-supplier probe must be semi-joins")
+  }
+
+  test("snapshot_diff: one full-outer join, no cartesian") {
+    val p = plans("snapshot_diff")
+    assert(p.contains("FullOuter"),
+      s"snapshot_diff must be ONE full-outer equi-join:\n$p")
+  }
+
   test("promo_revenue / market_share: the part/nation dims broadcast") {
     Seq("promo_revenue", "market_share").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"),
