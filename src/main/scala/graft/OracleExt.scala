@@ -4239,4 +4239,30 @@ object OracleExt {
            (1000000 * n_late) // n_events AS late_ppm, max_late_us,
            (SELECT CAST(coalesce(qv, 0) AS BIGINT) FROM q) AS p_late_us
     FROM a"""
+
+  /** Twin of Stats.changepointLocate — per-type prefix sums + argmax
+    * over the daily table; HUGEINT score lane mirrors DECIMAL(38,0);
+    * every divided quantity is non-negative, so // and div agree. */
+  val changepointLocate: String = """
+    WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT event_type, day, c,
+            row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+            sum(c) OVER (PARTITION BY event_type ORDER BY day) AS sl,
+            count(*) OVER (PARTITION BY event_type) AS n,
+            sum(c) OVER (PARTITION BY event_type) AS s
+          FROM d),
+    sc AS (SELECT event_type, day, i, n, sl, s,
+             CAST(CAST(sl * n - s * i AS HUGEINT) * (sl * n - s * i)
+                  * 1000000
+                  // (CAST(i AS HUGEINT) * (n - i)) AS BIGINT)
+               AS score_micro
+           FROM p WHERE i < n),
+    r AS (SELECT sc.*, row_number() OVER (PARTITION BY event_type
+            ORDER BY score_micro DESC, day) AS rn FROM sc)
+    SELECT event_type, day AS split_day, score_micro,
+           CAST((sl * 1000) // i AS BIGINT) AS left_mean_milli,
+           CAST(((s - sl) * 1000) // (n - i) AS BIGINT) AS right_mean_milli
+    FROM r WHERE rn = 1 ORDER BY event_type"""
 }

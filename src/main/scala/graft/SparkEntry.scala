@@ -613,6 +613,10 @@ object SparkEntry {
     // watermark sizing
     "late_data_audit" -> ((s, dir) =>
       graft.operators.Events.lateDataAudit(LogSource.readEvents(s, dir))),
+    // Change-point localization: best single split of each type's
+    // daily series by exact variance-reduction score
+    "changepoint_locate" -> ((s, dir) =>
+      graft.operators.Stats.changepointLocate(LogSource.readEvents(s, dir))),
     // Token-length spectrum over the corpus vocabulary
     "word_len_hist" -> ((s, dir) =>
       graft.operators.TextShape.wordLenHist(docsPar(s, dir))),
@@ -1380,6 +1384,7 @@ object SparkEntry {
     "seq_ngrams" -> OracleExt.seqNgrams(3, 20),
     "fano_factor" -> OracleExt.fanoFactor,
     "late_data_audit" -> OracleExt.lateDataAudit(95),
+    "changepoint_locate" -> OracleExt.changepointLocate,
     "regional_volume" -> OracleExt.regionalVolume("ASIA"),
     "priority_exists" -> OracleExt.priorityExists(45.0),
     "fk_orphans" -> OracleExt.fkOrphans(97, 53),

@@ -416,4 +416,56 @@ object Stats {
         expr("n_events - s7 div 7").as("residual"))
       .orderBy(col("day"))
   }
+
+  /** Change-point LOCALIZATION per event type — the "when did it
+    * change" answer after cusum_changepoint says "something changed":
+    * the single split of the daily count series that maximizes the
+    * between-segment variance reduction (one step of binary
+    * segmentation, Scott & Knott). For a split after day-index i of n
+    * (left sum Sl of total S) the reduction is proportional to
+    * (Sl·n − S·i)² / (i·(n−i)); the score is that ratio in an exact
+    * micro-units DECIMAL(38,0) lane (numerator ≤ (S·n)² ≈ 10²² at
+    * fixture scale — far inside DECIMAL(38,0); the divisor is the
+    * i·(n−i) integer, so the quantized score is engine-exact), and
+    * the argmax tie-breaks on the earlier day. Output: per type, the
+    * last left-segment day, both exact segment means (milli), and the
+    * score.
+    *
+    * Scale shape: everything after the one daily aggregate runs on the
+    * |types|×|days| table — per-type prefix sums and the argmax are
+    * windows over day-bounded partitions, raw events never see a
+    * window. */
+  def changepointLocate(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val scored = daily
+      .withColumn("i", row_number().over(byType))
+      .withColumn("sl", sum(col("c")).over(
+        byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("s", sum(col("c")).over(whole))
+      .filter(col("i") < col("n")) // a split needs a non-empty right side
+      .select(col("event_type"), col("day"), col("i"), col("n"),
+        col("sl"), col("s"),
+        expr("""CAST(CAST(sl * n - s * i AS DECIMAL(38,0))
+                * (sl * n - s * i) * 1000000
+                div (CAST(i AS DECIMAL(38,0)) * (n - i)) AS BIGINT)""")
+          .as("score_micro"))
+    scored
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("score_micro").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("score_micro"),
+        expr("(sl * 1000) div i").as("left_mean_milli"),
+        expr("((s - sl) * 1000) div (n - i)").as("right_mean_milli"))
+      .orderBy(col("event_type"))
+  }
 }

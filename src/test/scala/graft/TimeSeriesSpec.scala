@@ -71,4 +71,33 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(r.map(_._1) == Seq(3L, 4L, 5L))
     assert(r.forall(t => t._3 == t._1 + 1 && t._4 == 0L), s"got $r")
   }
+
+  // ---- changepointLocate -------------------------------------------
+
+  test("changepointLocate: step series splits at the step, exact means") {
+    // type a daily counts [1, 1, 9, 9]: the split after day 1
+    // maximizes (Sl·n − S·i)²/(i·(n−i)) — score 256e6/1... per-split:
+    // i=1: 256e6/3, i=2: 1024e6/4 = 256e6, i=3: 256e6/3. Max at i=2.
+    var eid = 0L
+    val rows = Seq((0L, 1), (1L, 1), (2L, 9), (3L, 9)).flatMap {
+      case (d, c) => (0 until c).map { i =>
+        eid += 1; (eid, d * day + i * 1000L, 1L, "a", 0.0)
+      }
+    }
+    val r = Stats.changepointLocate(events(rows: _*))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 1L, 256000000L, 1000L, 9000L)))
+  }
+
+  test("changepointLocate: flat series scores zero and splits earliest") {
+    var eid = 0L
+    val rows = (0L to 3L).flatMap { d =>
+      (0 until 2).map { i =>
+        eid += 1; (eid, d * day + i * 1000L, 1L, "a", 0.0)
+      }
+    }
+    val r = Stats.changepointLocate(events(rows: _*))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 0L, 0L, 2000L, 2000L)))
+  }
 }
