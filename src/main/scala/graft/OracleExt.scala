@@ -1473,8 +1473,11 @@ object OracleExt {
     ORDER BY d.doc_id"""
 
   /** Twin of Curation.sourceQuality — both scoring twins composed as
-    * CTEs, |sources|-row dashboard; DuckDB // floors, matching the
-    * Spark side's pmod floor-division for possibly-negative sums. */
+    * CTEs, |sources|-row dashboard. NB: on BIGINT lanes DuckDB's `//`
+    * TRUNCATES toward zero (probed: −1000//3 = −333) while the Spark
+    * side floors via the pmod form, so the mean_score lane spells out
+    * the same floor explicitly — ((x%n)+n)%n is DuckDB's pmod — to
+    * stay exact when a source's score sum goes negative. */
   def sourceQuality(enStop: Seq[String], threshold: Long,
                     reqStop: Seq[String], minWords: Long,
                     maxWords: Long): String = s"""
@@ -1487,7 +1490,10 @@ object OracleExt {
           JOIN q ON d.doc_id = q.doc_id
           JOIN g ON d.doc_id = g.doc_id)
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(score) AS BIGINT) // count(*) AS mean_score,
+           (CAST(sum(score) AS BIGINT)
+             - ((CAST(sum(score) AS BIGINT) % count(*) + count(*))
+                % count(*)))
+             // count(*) AS mean_score,
            (1000000 * CAST(sum(CASE WHEN qk THEN 1 ELSE 0 END)
               AS BIGINT)) // count(*) AS quality_keep_ppm,
            (1000000 * CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END)
@@ -4265,4 +4271,63 @@ object OracleExt {
            CAST((sl * 1000) // i AS BIGINT) AS left_mean_milli,
            CAST(((s - sl) * 1000) // (n - i) AS BIGINT) AS right_mean_milli
     FROM r WHERE rn = 1 ORDER BY event_type"""
+
+  /** Twin of Events.sessionSummary — the sessionize CTE plus four
+    * inclusive-rank scalar quantiles (same lower-quantile convention
+    * as Prefix.rankSelect). */
+  def sessionSummary(gapSec: Long): String = {
+    def q(table: String, v: String, pct: Int): String = s"""
+      (SELECT min($v) FROM
+         (SELECT $v, sum(cnt) OVER (ORDER BY $v) AS cum
+          FROM (SELECT $v, CAST(count(*) AS BIGINT) AS cnt
+                FROM $table GROUP BY 1) g) s,
+         (SELECT CAST(count(*) AS BIGINT) AS t FROM $table) tt
+       WHERE cum * 100 >= t * $pct)"""
+    s"""
+    WITH sess AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - prev > ${gapSec * 1000000L}
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (SELECT event_id, user_id, ts,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+            FROM events) l),
+    per AS (SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_ev,
+                   CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+                     AS dur_us
+            FROM sess GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(${q("per", "n_ev", 50)} AS BIGINT) AS p50_events,
+           CAST(${q("per", "n_ev", 90)} AS BIGINT) AS p90_events,
+           CAST(${q("per", "dur_us", 50)} AS BIGINT) AS p50_dur_us,
+           CAST(${q("per", "dur_us", 90)} AS BIGINT) AS p90_dur_us
+    FROM per"""
+  }
+
+  /** Twin of Stats.theilsenSlope — on BIGINT lanes DuckDB's `//`
+    * truncates toward zero exactly like Spark's `div` (probed:
+    * −1000//3 = −333), so the slope lanes agree without a floor
+    * workaround. */
+  val theilsenSlope: String = """
+    WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    pr AS (SELECT a.event_type,
+             CAST(((b.c - a.c) * 1000) // (b.day - a.day) AS BIGINT)
+               AS slope_milli
+           FROM d a JOIN d b ON a.event_type = b.event_type
+                            AND a.day < b.day),
+    r AS (SELECT event_type, slope_milli,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY slope_milli) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS np
+          FROM pr)
+    SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+           CAST(min(slope_milli) AS BIGINT) AS theilsen_milli
+    FROM r WHERE rn * 100 >= np * 50 GROUP BY 1 ORDER BY 1"""
 }

@@ -617,6 +617,12 @@ object SparkEntry {
     // daily series by exact variance-reduction score
     "changepoint_locate" -> ((s, dir) =>
       graft.operators.Stats.changepointLocate(LogSource.readEvents(s, dir))),
+    // One-row session-shape dashboard (composes sessionize + rankSelect)
+    "session_summary" -> ((s, dir) =>
+      graft.operators.Events.sessionSummary(LogSource.readEvents(s, dir))),
+    // Theil-Sen robust daily trend (median of pairwise slopes)
+    "theilsen_slope" -> ((s, dir) =>
+      graft.operators.Stats.theilsenSlope(LogSource.readEvents(s, dir))),
     // Token-length spectrum over the corpus vocabulary
     "word_len_hist" -> ((s, dir) =>
       graft.operators.TextShape.wordLenHist(docsPar(s, dir))),
@@ -1385,6 +1391,8 @@ object SparkEntry {
     "fano_factor" -> OracleExt.fanoFactor,
     "late_data_audit" -> OracleExt.lateDataAudit(95),
     "changepoint_locate" -> OracleExt.changepointLocate,
+    "session_summary" -> OracleExt.sessionSummary(3600L),
+    "theilsen_slope" -> OracleExt.theilsenSlope,
     "regional_volume" -> OracleExt.regionalVolume("ASIA"),
     "priority_exists" -> OracleExt.priorityExists(45.0),
     "fk_orphans" -> OracleExt.fkOrphans(97, 53),

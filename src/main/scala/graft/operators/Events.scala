@@ -611,6 +611,39 @@ object Events {
           .as("lag_us"))
   }
 
+  /** Session-shape summary — the one-row dashboard over [[sessionize]]:
+    * session count, sessioned users, and exact empirical p50/p90 of
+    * events-per-session and session duration. The quantiles run
+    * through the shared [[Prefix.rankSelect]] over DISTINCT-VALUE
+    * count tables (session shapes have tiny vocabularies — a handful
+    * of lengths and durations cover most sessions), so after the one
+    * sessionize shuffle everything is value-vocabulary-sized; four
+    * single-row quantile frames broadcast onto one base aggregate. */
+  def sessionSummary(events: DataFrame, gapSec: Long = 3600L): DataFrame = {
+    val per = graft.Caches.track(
+      sessionize(events, gapSec)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+        .select(col("user_id"), col("n_ev"),
+          (col("t1") - col("t0")).as("dur_us")))
+    val evCounts = per.groupBy(col("n_ev")).agg(count(lit(1)).as("n"))
+    val durCounts = per.groupBy(col("dur_us")).agg(count(lit(1)).as("n"))
+    def q(counts: DataFrame, v: String, pct: Int, out: String) =
+      broadcast(Prefix.rankSelect(counts, col(v), col("n"),
+        x => length(bin(x)).cast("long"), pct)
+        .select(col("q_value").as(out)))
+    per
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(q(evCounts, "n_ev", 50, "p50_events"))
+      .crossJoin(q(evCounts, "n_ev", 90, "p90_events"))
+      .crossJoin(q(durCounts, "dur_us", 50, "p50_dur_us"))
+      .crossJoin(q(durCounts, "dur_us", 90, "p90_dur_us"))
+      .orderBy(col("n_sessions"))
+  }
+
   /** Late-data audit — the measurement that SIZES a watermark before
     * anyone picks one: treating event_id assignment order as the
     * arrival proxy, an event's lateness is how far its event time lags

@@ -417,6 +417,44 @@ object Stats {
       .orderBy(col("day"))
   }
 
+  /** Theil–Sen robust trend per event type — the median of all
+    * pairwise daily-count slopes, the estimator that survives the 29%
+    * outlier contamination OLS (`trend_slope`) cannot: one corrupted
+    * day moves every OLS residual but only reorders a minority of the
+    * pairwise slopes. Each slope lands in an exact integer milli lane
+    * via TRUNCATING division — slope numerators go negative, and on
+    * plain BIGINT lanes Spark `div` and DuckDB `//` both truncate
+    * toward zero (probed: −1000//3 = −333 in DuckDB 1.0), so the
+    * median is a plain integer on both engines.
+    *
+    * Scale shape: the pair table is days²-bounded PER TYPE (calendar,
+    * not corpus — ~10³ pairs for a month of days), so the per-type
+    * rank window is bounded constant work; raw events only ever see
+    * the one daily aggregate. */
+  def theilsenSlope(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.Caches.track(events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c")))
+    val pairs = daily.alias("a")
+      .join(daily.alias("b"), col("a.event_type") === col("b.event_type")
+        && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("((b.c - a.c) * 1000) div (b.day - a.day)").as("slope_milli"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope_milli"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rn") * 100 >= col("np") * 50)
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"),
+        min(col("slope_milli")).as("theilsen_milli"))
+      .orderBy(col("event_type"))
+  }
+
   /** Change-point LOCALIZATION per event type — the "when did it
     * change" answer after cusum_changepoint says "something changed":
     * the single split of the daily count series that maximizes the

@@ -452,6 +452,24 @@ class EventsSpec extends SparkTestBase {
     assert(r == ((6L, 2L, 333333L, 100000L, 100000L)))
   }
 
+  test("sessionSummary: counts, users, and exact p50/p90 shapes") {
+    def mk(id: Long, uid: Long, us: Long) =
+      (id, uid, new Timestamp(us / 1000))
+    // user 1: session A = events at 0s and 10s; session B (2h later) =
+    // 3 events over 20s. user 2: one single-event session.
+    val rows = Seq(
+      mk(1L, 1L, 0L), mk(2L, 1L, 10000000L),
+      mk(3L, 1L, 7200000000L), mk(4L, 1L, 7210000000L),
+      mk(5L, 1L, 7220000000L),
+      mk(6L, 2L, 0L)
+    ).toDF("event_id", "user_id", "ts")
+    val r = Events.sessionSummary(rows, gapSec = 3600L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // sessions: sizes {2,3,1} durations {10s,20s,0}; p50 size = 2,
+    // p90 size = 3, p50 dur = 10s, p90 dur = 20s
+    assert(r == ((3L, 2L, 2L, 3L, 10000000L, 20000000L)))
+  }
+
   test("lateDataAudit: fully ordered stream reports zero lateness") {
     def mk(id: Long, uid: Long, us: Long) =
       (id, uid, new Timestamp(us / 1000))

@@ -72,6 +72,37 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(r.forall(t => t._3 == t._1 + 1 && t._4 == 0L), s"got $r")
   }
 
+  // ---- theilsenSlope -----------------------------------------------
+
+  test("theilsenSlope: median pairwise slope resists the outlier day") {
+    // type a daily counts [1, 2, 3, 10]: slopes (milli) are
+    // [1000, 1000, 3000, 1000, 4000, 7000] -> median 1000 — the
+    // day-3 spike does not move it (OLS would).
+    var eid = 0L
+    val rows = Seq((0L, 1), (1L, 2), (2L, 3), (3L, 10)).flatMap {
+      case (d, c) => (0 until c).map { i =>
+        eid += 1; (eid, d * day + i * 1000L, 1L, "a", 0.0)
+      }
+    }
+    val r = Stats.theilsenSlope(events(rows: _*))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 6L, 1000L)))
+  }
+
+  test("theilsenSlope: negative slopes truncate identically cross-engine") {
+    // days {0, 3} counts {2, 1}: slope = -1000/3 -> -333 (both Spark
+    // div and DuckDB // truncate toward zero on BIGINT lanes)
+    var eid = 0L
+    val rows = Seq((0L, 2), (3L, 1)).flatMap {
+      case (d, c) => (0 until c).map { i =>
+        eid += 1; (eid, d * day + i * 1000L, 1L, "a", 0.0)
+      }
+    }
+    val r = Stats.theilsenSlope(events(rows: _*))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 1L, -333L)))
+  }
+
   // ---- changepointLocate -------------------------------------------
 
   test("changepointLocate: step series splits at the step, exact means") {
