@@ -261,8 +261,9 @@ object OracleExt {
     * cast(ts as long) floors to seconds; epoch_us // 1000000 is the
     * same floor.
     *
-    * NON-NEGATIVE-DOMAIN ASSUMPTION (this twin only): DuckDB's `//`
-    * floors while Spark's `div` truncates toward zero — identical for
+    * NON-NEGATIVE-DOMAIN ASSUMPTION (this twin only): the µs→s
+    * conversion must agree between Spark's cast (floor) and the
+    * twin's integer division (truncation on BIGINT) — identical for
     * non-negative operands, divergent below zero. This twin divides
     * epoch-µs by a positive constant, so the assumption is "no
     * pre-1970 timestamps", which the events fixture (and any log
@@ -590,8 +591,9 @@ object OracleExt {
     GROUP BY doc_id ORDER BY doc_id"""
 
   /** Twin of TextAnalysis.zipfFit — integer sums, one IEEE divide+floor
-    * (integer division would diverge: Spark `div` truncates toward
-    * zero, DuckDB `//` floors, and the slope is negative). */
+    * on both engines (the slope is negative, so the shared IEEE
+    * divide-then-floor keeps the lanes exact without relying on either
+    * engine's integer-division rounding). */
   def zipfFit(topK: Int): String = s"""
     WITH tf AS (SELECT term, count(*) AS cnt
                 FROM (SELECT unnest($toks) AS term FROM documents)
@@ -1430,8 +1432,9 @@ object OracleExt {
     GROUP BY term ORDER BY term"""
 
   /** Twin of TextAnalysis.keywordExtract (top-N by integer tf/df
-    * ratio). DuckDB's // is floor division and Spark's div truncates,
-    * but both operands are positive, so they agree. */
+    * ratio). On BIGINT lanes DuckDB's // truncates toward zero exactly
+    * like Spark's div (and both operands are positive here anyway), so
+    * the score lanes agree. */
   def keywordExtract(topN: Int): String = s"""
     WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
