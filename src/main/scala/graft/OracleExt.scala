@@ -4333,4 +4333,29 @@ object OracleExt {
     SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
            CAST(min(slope_milli) AS BIGINT) AS theilsen_milli
     FROM r WHERE rn * 100 >= np * 50 GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Layout.rangePartitionAudit — the k−1 exact lower-quantile
+    * cuts as scalar subqueries over one shared cumulative, bucket =
+    * count of cuts strictly below the value. */
+  def rangePartitionAudit(k: Int): String = {
+    val cutDefs = (1 until k).map { i =>
+      val pct = math.max(1, math.min(99, 100 * i / k))
+      s"""(SELECT min(v) FROM cum, t WHERE cums * 100 >= tt * $pct)
+            AS c$i"""
+    }.mkString(",\n      ")
+    val bucket = (1 until k)
+      .map(i => s"(CASE WHEN v > c$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+    WITH vals AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS v
+                  FROM events WHERE value IS NOT NULL),
+    g AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1),
+    cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS cums FROM g),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM vals),
+    cuts AS (SELECT
+      $cutDefs),
+    b AS (SELECT CAST($bucket AS BIGINT) AS bucket, v FROM vals, cuts)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+    FROM b GROUP BY 1 ORDER BY 1"""
+  }
 }

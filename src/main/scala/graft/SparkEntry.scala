@@ -623,6 +623,9 @@ object SparkEntry {
     // Theil-Sen robust daily trend (median of pairwise slopes)
     "theilsen_slope" -> ((s, dir) =>
       graft.operators.Stats.theilsenSlope(LogSource.readEvents(s, dir))),
+    // Exact range-partitioner audit: quantile cuts + resulting sizes
+    "range_partition_audit" -> ((s, dir) =>
+      graft.operators.Layout.rangePartitionAudit(LogSource.readEvents(s, dir))),
     // Token-length spectrum over the corpus vocabulary
     "word_len_hist" -> ((s, dir) =>
       graft.operators.TextShape.wordLenHist(docsPar(s, dir))),
@@ -1393,6 +1396,7 @@ object SparkEntry {
     "changepoint_locate" -> OracleExt.changepointLocate,
     "session_summary" -> OracleExt.sessionSummary(3600L),
     "theilsen_slope" -> OracleExt.theilsenSlope,
+    "range_partition_audit" -> OracleExt.rangePartitionAudit(8),
     "regional_volume" -> OracleExt.regionalVolume("ASIA"),
     "priority_exists" -> OracleExt.priorityExists(45.0),
     "fk_orphans" -> OracleExt.fkOrphans(97, 53),

@@ -67,6 +67,42 @@ object Layout {
     * the (a, b) space, and both dimensions' file stats prune. This is
     * the operator a compaction/OPTIMIZE job runs; downstream readers
     * need nothing special. */
+  /** Range-partitioner audit — the EXACT version of what Spark's
+    * RangePartitioner estimates by reservoir sampling: the k−1 value
+    * cut points that would split rows into k range partitions, and the
+    * size histogram those cuts actually produce. This is the planning
+    * read before a `repartitionByRange`/sort at 100 TB: heavy value
+    * ties make range partitions lopsided no matter where the cuts land
+    * (all ties go to one side of a strict cut), and this audit SHOWS
+    * that skew exactly instead of sampling around it.
+    *
+    * Cuts are the exact p=⌊100·i/k⌋ lower quantiles via the shared
+    * [[graft.operators.Prefix.rankSelect]] over the distinct-value
+    * count table; bucket id = number of cuts strictly below the value
+    * (one broadcast row of cuts, a codegen'd sum of comparisons — no
+    * per-row join). Output is k rows: bucket, rows, min/max value. */
+  def rangePartitionAudit(events: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 32, s"rangePartitionAudit: need 2 <= k <= 32, got $k")
+    val vals = graft.Caches.track(events
+      .filter(col("value").isNotNull)
+      .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+    val counts = vals.groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val cutsRow = (1 until k).map { i =>
+      val pct = math.max(1, math.min(99, 100 * i / k))
+      broadcast(Prefix.rankSelect(counts, col("v"), col("n"),
+        x => length(bin(x)).cast("long"), pct)
+        .select(col("q_value").as(s"c$i")))
+    }.reduce(_.crossJoin(_))
+    val bucket = (1 until k).map(i => when(col("v") > col(s"c$i"), 1L)
+      .otherwise(0L)).reduce(_ + _)
+    vals.crossJoin(cutsRow)
+      .select(bucket.as("bucket"), col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("bucket"))
+  }
+
   def zorderRepartition(df: DataFrame, a: Column, b: Column,
                         numFiles: Int, bits: Int = 10): DataFrame = {
     val z = zValue(a, b, bits).as("__z")

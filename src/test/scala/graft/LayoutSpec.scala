@@ -83,4 +83,23 @@ class LayoutSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters: [") && p.contains("= en"),
       s"lang filter must prune partition directories, not scan-and-filter:\n$p")
   }
+
+  test("rangePartitionAudit: balanced values split evenly at exact cuts") {
+    val ev = (1L to 8L).map(i => (i, (i % 4 + 1).toDouble))
+      .toDF("event_id", "value") // values 1..4 milli 1000..4000, 2 each
+    val r = Layout.rangePartitionAudit(ev, k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 2L, 1000L, 1000L), (1L, 2L, 2000L, 2000L),
+      (2L, 2L, 3000L, 3000L), (3L, 2L, 4000L, 4000L)))
+  }
+
+  test("rangePartitionAudit: heavy ties make range partitions lopsided") {
+    // nine 1.0s and one 2.0 with k=2: the median cut IS 1.0, every tie
+    // lands left of the strict cut — the audit must SHOW the 9/1 skew
+    val ev = ((1L to 9L).map(i => (i, 1.0)) :+ (10L, 2.0))
+      .toDF("event_id", "value")
+    val r = Layout.rangePartitionAudit(ev, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 9L, 1000L, 1000L), (1L, 1L, 2000L, 2000L)))
+  }
 }
