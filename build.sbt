@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 236 gated queries × warmup+3 timed passes generate thousands of
+  // whole-stage-codegen classes; the JVM's default 240 MB reserved
+  // code cache fills mid-suite and the JIT degrades to interpreted
+  // tails (probed: queries late in Map order ran 2-10× their solo-warm
+  // cost, same bytecode). A larger code cache keeps the bench
+  // measuring the queries, not JIT eviction.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -630,17 +630,18 @@ object Events {
           (col("t1") - col("t0")).as("dur_us")))
     val evCounts = per.groupBy(col("n_ev")).agg(count(lit(1)).as("n"))
     val durCounts = per.groupBy(col("dur_us")).agg(count(lit(1)).as("n"))
-    def q(counts: DataFrame, v: String, pct: Int, out: String) =
-      broadcast(Prefix.rankSelect(counts, col(v), col("n"),
-        x => length(bin(x)).cast("long"), pct)
-        .select(col("q_value").as(out)))
+    // one Prefix sweep per distribution answers BOTH percentiles
+    def q(counts: DataFrame, v: String, out: String) =
+      broadcast(Prefix.rankSelectMulti(counts, col(v), col("n"),
+        x => length(bin(x)).cast("long"), Seq(50, 90))
+        .select(col("q50").as(s"p50_$out"), col("q90").as(s"p90_$out")))
     per
       .agg(count(lit(1)).as("n_sessions"),
         countDistinct(col("user_id")).as("n_users"))
-      .crossJoin(q(evCounts, "n_ev", 50, "p50_events"))
-      .crossJoin(q(evCounts, "n_ev", 90, "p90_events"))
-      .crossJoin(q(durCounts, "dur_us", 50, "p50_dur_us"))
-      .crossJoin(q(durCounts, "dur_us", 90, "p90_dur_us"))
+      .crossJoin(q(evCounts, "n_ev", "events"))
+      .crossJoin(q(durCounts, "dur_us", "dur_us"))
+      .select(col("n_sessions"), col("n_users"), col("p50_events"),
+        col("p90_events"), col("p50_dur_us"), col("p90_dur_us"))
       .orderBy(col("n_sessions"))
   }
 

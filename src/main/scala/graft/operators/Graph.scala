@@ -176,7 +176,6 @@ object Graph {
     * is an observation, not a dropped row). */
   def labelCommunities(events: DataFrame, rounds: Int = 3,
                        maxCellUsers: Int = 64, minShared: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val inc = events.select(col("user_id"),
         concat_ws("#", col("event_type"),
           expr("CAST(unix_micros(ts) div 3600000000 AS STRING)")).as("cell"))
@@ -205,11 +204,13 @@ object Graph {
           col("label").as("nbr_label")), Seq("dst"))
         .groupBy(col("src"), col("nbr_label"))
         .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as ONE struct-max aggregate —
+      // lexicographic struct ordering makes max(struct(c, −label)) the
+      // majority label with the min-label tie-break, no sort window
       val won = counted
-        .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
-          .orderBy(col("c").desc, col("nbr_label"))))
-        .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("nbr_label").as("new_label"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("nbr_label")).as("neg"))).as("m"))
+        .select(col("src").as("node"), (-col("m.neg")).as("new_label"))
       labels = nodes.join(won, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_label"), col("node"))
           .as("label"))

@@ -87,12 +87,15 @@ object Layout {
       .filter(col("value").isNotNull)
       .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
     val counts = vals.groupBy(col("v")).agg(count(lit(1)).as("n"))
-    val cutsRow = (1 until k).map { i =>
-      val pct = math.max(1, math.min(99, 100 * i / k))
-      broadcast(Prefix.rankSelect(counts, col("v"), col("n"),
-        x => length(bin(x)).cast("long"), pct)
-        .select(col("q_value").as(s"c$i")))
-    }.reduce(_.crossJoin(_))
+    // ONE cumulative pass yields every cut (duplicate pcts collapse to
+    // one column, re-aliased per cut index)
+    val cutPcts = (1 until k).map(i => math.max(1, math.min(99, 100 * i / k)))
+    val multi = Prefix.rankSelectMulti(counts, col("v"), col("n"),
+      x => length(bin(x)).cast("long"), cutPcts.distinct)
+    val cutsRow = broadcast(multi.select(
+      cutPcts.zipWithIndex.map { case (p, i0) =>
+        col(s"q$p").as(s"c${i0 + 1}")
+      }: _*))
     val bucket = (1 until k).map(i => when(col("v") > col(s"c$i"), 1L)
       .otherwise(0L)).reduce(_ + _)
     vals.crossJoin(cutsRow)

@@ -77,4 +77,26 @@ object Prefix {
       .agg(min(col("__v")).as("q_value"), min(col("cum_n")).as("q_cum"),
         max(col("__total")).as("q_total"))
   }
+
+  /** Multi-percentile [[rankSelect]]: ONE cumulative pass answers every
+    * requested percentile (same lower-quantile convention), emitted as
+    * a single row with one `q<pct>` column per pct. Callers that need
+    * several quantiles of the same distribution (session_summary's
+    * p50+p90, range_partition_audit's k−1 cuts) pay one Prefix sweep
+    * instead of one per percentile. */
+  def rankSelectMulti(counts: DataFrame, value: Column, n: Column,
+                      block: Column => Column, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p < 100),
+      s"pcts=$pcts")
+    require(pcts.distinct.size == pcts.size, s"duplicate pcts: $pcts")
+    val base = counts.select(value.as("__v"), n.as("__n"))
+    val total = base.agg(sum("__n").as("__total"))
+    val cum = inclusiveCumsum(base, block(col("__v")), col("__v"),
+        Seq("n" -> col("__n")))
+      .crossJoin(broadcast(total))
+    val aggs = pcts.map(p =>
+      min(when(col("cum_n") * 100 >= col("__total") * p, col("__v")))
+        .as(s"q$p"))
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
 }
