@@ -4124,11 +4124,11 @@ object OracleExt {
       FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
     GROUP BY 1 ORDER BY 1"""
 
-  /** Twin of Graph.labelCommunities — the fixed `rounds` synchronous
-    * label-propagation updates unroll to one CTE chain per round (same
-    * majority + (count desc, label asc) tie-break). */
-  def labelCommunities(rounds: Int, maxCellUsers: Int,
-                       minShared: Int): String = {
+  /** Shared LPA CTE chain (graph construction + `rounds` unrolled
+    * synchronous updates, same majority + (count desc, label asc)
+    * tie-break as Graph.propagate); final labels live in l`rounds`. */
+  private def lpaCtes(rounds: Int, maxCellUsers: Int,
+                      minShared: Int): String = {
     val roundCtes = (1 to rounds).map { k =>
       val prev = s"l${k - 1}"
       s"""
@@ -4142,8 +4142,7 @@ object OracleExt {
     l$k AS (SELECT n.node, coalesce(w.nbr_label, n.node) AS label
             FROM nodes n LEFT JOIN w$k w ON n.node = w.src)"""
     }.mkString(",")
-    s"""
-    WITH inc AS (SELECT DISTINCT user_id,
+    s"""inc AS (SELECT DISTINCT user_id,
                    event_type || '#' ||
                      CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS cell
                  FROM events),
@@ -4159,10 +4158,49 @@ object OracleExt {
             UNION ALL SELECT ub AS src, ua AS dst FROM pr),
     nodes AS (SELECT DISTINCT user_id AS node FROM events),
     l0 AS (SELECT node, node AS label FROM nodes),
-    $roundCtes
+    $roundCtes"""
+  }
+
+  /** Twin of Graph.labelCommunities. */
+  def labelCommunities(rounds: Int, maxCellUsers: Int,
+                       minShared: Int): String = s"""
+    WITH ${lpaCtes(rounds, maxCellUsers, minShared)}
     SELECT node AS user_id, label AS community FROM l$rounds
     ORDER BY user_id"""
-  }
+
+  /** Twin of Graph.communityModularity — exact rational + explicit
+    * sign·(1e6·|num| // den) ppm (truncation toward zero spelled out,
+    * so neither engine's negative-division choice matters). */
+  def communityModularity(rounds: Int, maxCellUsers: Int,
+                          minShared: Int): String = s"""
+    WITH ${lpaCtes(rounds, maxCellUsers, minShared)},
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pr),
+    lab AS (SELECT node, label FROM l$rounds),
+    ein AS (SELECT CAST(count(*) AS BIGINT) AS ein FROM pr
+            JOIN lab la ON pr.ua = la.node
+            JOIN lab lb ON pr.ub = lb.node
+            WHERE la.label = lb.label),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+              (SELECT ua AS node FROM pr
+               UNION ALL SELECT ub AS node FROM pr) u GROUP BY 1),
+    dc AS (SELECT la.label, CAST(sum(deg.d) AS BIGINT) AS dsum
+           FROM deg JOIN lab la ON deg.node = la.node GROUP BY 1),
+    sd AS (SELECT CAST(coalesce(sum(dsum * dsum), 0) AS BIGINT) AS sd2
+           FROM dc),
+    nc AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_communities
+           FROM lab)
+    SELECT mm.m AS n_edges, nc.n_communities,
+           CAST(4 * mm.m * ein.ein - sd.sd2 AS BIGINT) AS q_num,
+           CAST(4 * mm.m * mm.m AS BIGINT) AS q_den,
+           CASE WHEN mm.m = 0 THEN NULL ELSE
+             CAST((CASE WHEN 4 * mm.m * ein.ein - sd.sd2 < 0
+                   THEN -1 WHEN 4 * mm.m * ein.ein - sd.sd2 > 0
+                   THEN 1 ELSE 0 END)
+                  * ((CAST(1000000 AS HUGEINT)
+                      * abs(4 * mm.m * ein.ein - sd.sd2))
+                     // (CAST(4 AS HUGEINT) * mm.m * mm.m)) AS BIGINT)
+           END AS q_ppm
+    FROM mm, ein, sd, nc ORDER BY n_edges"""
 
   /** Twin of Sampling.halfSampleCi — hash-bit replica membership via
     * the hex-literal cast of the same salted md5. */

@@ -685,6 +685,9 @@ object SparkEntry {
     // co-occurrence graph (capped activity cells, fixed rounds)
     "label_communities" -> ((s, dir) =>
       graft.operators.Graph.labelCommunities(LogSource.readEvents(s, dir))),
+    // Newman modularity of the LPA partition (exact rational + ppm)
+    "community_modularity" -> ((s, dir) =>
+      graft.operators.Graph.communityModularity(LogSource.readEvents(s, dir))),
     // Half-sample stability band for the corpus mean (hash-bit replicas)
     "half_sample_ci" -> ((s, dir) =>
       graft.operators.Sampling.halfSampleCi(LogSource.readEvents(s, dir))),
@@ -1374,6 +1377,7 @@ object SparkEntry {
     "checksum_shards" -> OracleExt.checksumShards(16),
     "snapshot_diff" -> OracleExt.snapshotDiff,
     "label_communities" -> OracleExt.labelCommunities(3, 64, 2),
+    "community_modularity" -> OracleExt.communityModularity(3, 64, 2),
     "half_sample_ci" -> OracleExt.halfSampleCi(32, "hs"),
     "type_jaccard" -> OracleExt.typeJaccard,
     "degree_distribution" -> OracleExt.degreeDistribution,

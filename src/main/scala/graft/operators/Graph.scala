@@ -176,6 +176,18 @@ object Graph {
     * is an observation, not a dropped row). */
   def labelCommunities(events: DataFrame, rounds: Int = 3,
                        maxCellUsers: Int = 64, minShared: Int = 2): DataFrame = {
+    val pairs = graft.Caches.track(
+      userPairs(events, maxCellUsers, minShared))
+    propagate(events, pairs, rounds)
+      .select(col("node").as("user_id"), col("label").as("community"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The undirected user co-occurrence edge set (ua < ub): users
+    * adjacent when they share ≥ `minShared` capped activity cells.
+    * Shared base of [[labelCommunities]] and [[communityModularity]]. */
+  private def userPairs(events: DataFrame, maxCellUsers: Int,
+                        minShared: Int): DataFrame = {
     val inc = events.select(col("user_id"),
         concat_ws("#", col("event_type"),
           expr("CAST(unix_micros(ts) div 3600000000 AS STRING)")).as("cell"))
@@ -186,12 +198,19 @@ object Graph {
       .select(col("cell"))
     val capped = graft.Caches.track(
       inc.join(coldCells, Seq("cell"), "leftsemi"))
-    val pairs = capped.select(col("cell"), col("user_id").as("ua"))
+    capped.select(col("cell"), col("user_id").as("ua"))
       .join(capped.select(col("cell"), col("user_id").as("ub")), Seq("cell"))
       .filter(col("ua") < col("ub"))
       .groupBy(col("ua"), col("ub"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minShared)
+      .select(col("ua"), col("ub"))
+  }
+
+  /** Fixed-round synchronous LPA over a given edge set; returns
+    * (node, label). */
+  private def propagate(events: DataFrame, pairs: DataFrame,
+                        rounds: Int): DataFrame = {
     val sym = graft.Caches.track(
       pairs.select(col("ua").as("src"), col("ub").as("dst"))
         .unionByName(pairs.select(col("ub").as("src"), col("ua").as("dst"))))
@@ -215,7 +234,53 @@ object Graph {
         .select(col("node"), coalesce(col("new_label"), col("node"))
           .as("label"))
     }
-    labels.select(col("node").as("user_id"), col("label").as("community"))
-      .orderBy(col("user_id"))
+    labels
+  }
+
+  /** Newman modularity of the [[labelCommunities]] partition — the
+    * "was that clustering any good" evaluation, exact:
+    * Q = (4m·e_in − Σ_c d_c²) / (4m²) where m = edges, e_in = edges
+    * inside a community, d_c = community degree sum. Emitted as the
+    * exact BIGINT rational (q_num, q_den) PLUS a ppm headline whose
+    * truncation toward zero is made explicit via sign·(1e6·|num| div
+    * den) — engine-independent even where the engines' native
+    * negative-division semantics differ. Q > 0 means the partition
+    * beats random edge placement; NULL on an edgeless graph.
+    *
+    * Lane audit: q_num ≤ 4m², inside BIGINT up to m ≈ 1.5e9 edges; the
+    * ppm product runs in DECIMAL(38,0)/HUGEINT regardless. Everything
+    * after the shared pair table is communities-sized aggregates. */
+  def communityModularity(events: DataFrame, rounds: Int = 3,
+                          maxCellUsers: Int = 64,
+                          minShared: Int = 2): DataFrame = {
+    val pairs = graft.Caches.track(
+      userPairs(events, maxCellUsers, minShared))
+    val labels = graft.Caches.track(propagate(events, pairs, rounds))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val inside = pairs
+      .join(labels.select(col("node").as("ua"), col("label").as("ca")),
+        Seq("ua"))
+      .join(labels.select(col("node").as("ub"), col("label").as("cb")),
+        Seq("ub"))
+      .filter(col("ca") === col("cb"))
+      .agg(count(lit(1)).as("ein"))
+    val deg = pairs.select(col("ua").as("node"))
+      .unionByName(pairs.select(col("ub").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val sd2 = labels.join(deg, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("d")).as("dsum"))
+      .agg(coalesce(sum(expr("dsum * dsum")), lit(0L)).as("sd2"))
+    val nc = labels.agg(countDistinct(col("label")).as("n_communities"))
+    m.crossJoin(inside).crossJoin(broadcast(sd2)).crossJoin(broadcast(nc))
+      .select(col("m").as("n_edges"), col("n_communities"),
+        expr("4 * m * ein - sd2").as("q_num"),
+        expr("4 * m * m").as("q_den"),
+        when(col("m") === 0, lit(null).cast("long")).otherwise(
+          signum(expr("4 * m * ein - sd2")).cast("long") *
+            expr("""CAST(CAST(1000000 AS DECIMAL(38,0))
+                    * abs(4 * m * ein - sd2)
+                    div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"""))
+          .as("q_ppm"))
+      .orderBy(col("n_edges"))
   }
 }

@@ -76,6 +76,31 @@ class Round11Wave4Spec extends SparkTestBase {
     assert(r == Seq((1L, 1L), (2L, 2L)))
   }
 
+  // ---- communityModularity -----------------------------------------
+
+  test("communityModularity: two clean cliques score Q = 1/2 exactly") {
+    val events = Seq(
+      ev(1, "a", 0), ev(2, "a", 0), ev(3, "a", 0),
+      ev(1, "a", 1), ev(2, "a", 1), ev(3, "a", 1),
+      ev(10, "b", 2), ev(11, "b", 2), ev(12, "b", 2),
+      ev(10, "b", 3), ev(11, "b", 3), ev(12, "b", 3),
+      ev(20, "c", 4)
+    ).toDF("user_id", "event_type", "ts")
+    val r = Graph.communityModularity(events)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    // m=6 (two triangles), all edges inside; degrees all 2, two
+    // communities of degree-sum 6 plus the isolated singleton:
+    // Q = (4·6·6 − 72)/(4·36) = 72/144 = 1/2
+    assert(r == ((6L, 3L, 72L, 144L, Some(500000L))))
+  }
+
+  test("communityModularity: edgeless graph emits NULL ppm") {
+    val events = Seq(ev(1, "a", 0)).toDF("user_id", "event_type", "ts")
+    val r = Graph.communityModularity(events)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((0L, 1L, 0L, 0L, None)))
+  }
+
   // ---- halfSampleCi ------------------------------------------------
 
   test("halfSampleCi: constant values give zero spread, exact mean") {
