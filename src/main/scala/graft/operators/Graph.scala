@@ -271,7 +271,8 @@ object Graph {
       .groupBy(col("label")).agg(sum(col("d")).as("dsum"))
       .agg(coalesce(sum(expr("dsum * dsum")), lit(0L)).as("sd2"))
     val nc = labels.agg(countDistinct(col("label")).as("n_communities"))
-    m.crossJoin(inside).crossJoin(broadcast(sd2)).crossJoin(broadcast(nc))
+    m.crossJoin(broadcast(inside)).crossJoin(broadcast(sd2))
+      .crossJoin(broadcast(nc))
       .select(col("m").as("n_edges"), col("n_communities"),
         expr("4 * m * ein - sd2").as("q_num"),
         expr("4 * m * m").as("q_den"),
