@@ -208,15 +208,29 @@ object Graph {
   }
 
   /** Fixed-round synchronous LPA over a given edge set; returns
-    * (node, label). */
+    * (node, label).
+    *
+    * `truncatePerRound` applies the pagerank discipline
+    * (Graph.scala:28-30): eagerly localCheckpoint each round's
+    * nodes-sized label frame. A consumer that embeds the RESULT in
+    * several sibling subtrees (communityModularity) MUST truncate —
+    * each subtree re-embeds the full iterative lineage otherwise, and
+    * the plan explodes combinatorially (probed: a 15 399-line physical
+    * plan with 2 495 exchanges and zero reuse). A single-occurrence
+    * consumer (labelCommunities) should NOT: its linear plan executes
+    * in ~4 AQE jobs, while per-round checkpoint actions cost more in
+    * scheduling than they save (probed 0.6 s vs 4.2 s). */
   private def propagate(events: DataFrame, pairs: DataFrame,
-                        rounds: Int): DataFrame = {
+                        rounds: Int,
+                        truncatePerRound: Boolean = false): DataFrame = {
+    def trunc(df: DataFrame): DataFrame =
+      if (truncatePerRound) df.localCheckpoint() else df
     val sym = graft.Caches.track(
       pairs.select(col("ua").as("src"), col("ub").as("dst"))
         .unionByName(pairs.select(col("ub").as("src"), col("ua").as("dst"))))
     val nodes = graft.Caches.track(
       events.select(col("user_id").as("node")).distinct())
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    var labels = trunc(nodes.select(col("node"), col("node").as("label")))
     for (_ <- 1 to rounds) {
       val counted = sym
         .join(labels.select(col("node").as("dst"),
@@ -230,9 +244,9 @@ object Graph {
         .groupBy(col("src"))
         .agg(max(struct(col("c"), (-col("nbr_label")).as("neg"))).as("m"))
         .select(col("src").as("node"), (-col("m.neg")).as("new_label"))
-      labels = nodes.join(won, Seq("node"), "left")
+      labels = trunc(nodes.join(won, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_label"), col("node"))
-          .as("label"))
+          .as("label")))
     }
     labels
   }
@@ -253,26 +267,52 @@ object Graph {
   def communityModularity(events: DataFrame, rounds: Int = 3,
                           maxCellUsers: Int = 64,
                           minShared: Int = 2): DataFrame = {
-    val pairs = graft.Caches.track(
-      userPairs(events, maxCellUsers, minShared))
-    val labels = graft.Caches.track(propagate(events, pairs, rounds))
-    val m = pairs.agg(count(lit(1)).as("m"))
-    val inside = pairs
+    // pairs is eagerly localCheckpoint'd: it feeds sym (via propagate)
+    // AND the three annot branches below, and an un-truncated pair
+    // plan would be re-embedded in each — the same combinatorial
+    // blowup the per-round checkpoint in propagate prevents. labels
+    // arrives already checkpointed (nodes-sized blocks), so every
+    // occurrence below is a shallow scan.
+    val pairs = userPairs(events, maxCellUsers, minShared)
+      .localCheckpoint()
+    val labels = propagate(events, pairs, rounds, truncatePerRound = true)
+    // annot: each edge with both endpoint communities — ONE pass over
+    // the pair table; everything below derives from it or from labels.
+    val annot = pairs
       .join(labels.select(col("node").as("ua"), col("label").as("ca")),
         Seq("ua"))
       .join(labels.select(col("node").as("ub"), col("label").as("cb")),
         Seq("ub"))
-      .filter(col("ca") === col("cb"))
-      .agg(count(lit(1)).as("ein"))
-    val deg = pairs.select(col("ua").as("node"))
-      .unionByName(pairs.select(col("ub").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val sd2 = labels.join(deg, Seq("node"))
-      .groupBy(col("label")).agg(sum(col("d")).as("dsum"))
-      .agg(coalesce(sum(expr("dsum * dsum")), lit(0L)).as("sd2"))
-    val nc = labels.agg(countDistinct(col("label")).as("n_communities"))
-    m.crossJoin(broadcast(inside)).crossJoin(broadcast(sd2))
-      .crossJoin(broadcast(nc))
+      .select(col("ca"), col("cb"))
+    // ONE linear tree for all four statistics — a first attempt that
+    // combined four broadcast one-row aggregates raced each other past
+    // lazy caches (43 jobs / 1100 tasks re-running the pair join per
+    // subtree): the union-tagged two-level aggregate answers m, e_in,
+    // Σd_c², and the community count in one execution.
+    //   kind=pair: one lvl1 row (lbl null) carrying m and e_in;
+    //   kind=end : one lvl1 row per community, c = d_c;
+    //   kind=node: one lvl1 row per community (n_comm = row count).
+    val tall = annot
+      .select(lit("pair").as("kind"), lit(null).cast("long").as("lbl"),
+        when(col("ca") === col("cb"), 1L).otherwise(0L).as("x"))
+      .unionByName(annot.select(lit("end").as("kind"),
+        col("ca").as("lbl"), lit(0L).as("x")))
+      .unionByName(annot.select(lit("end").as("kind"),
+        col("cb").as("lbl"), lit(0L).as("x")))
+      .unionByName(labels.select(lit("node").as("kind"),
+        col("label").as("lbl"), lit(0L).as("x")))
+    tall
+      .groupBy(col("kind"), col("lbl"))
+      .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"))
+      .agg(
+        coalesce(sum(when(col("kind") === "pair", col("c"))), lit(0L))
+          .as("m"),
+        coalesce(sum(when(col("kind") === "pair", col("sx"))), lit(0L))
+          .as("ein"),
+        coalesce(sum(when(col("kind") === "end", expr("c * c"))), lit(0L))
+          .as("sd2"),
+        sum(when(col("kind") === "node", 1L).otherwise(0L))
+          .as("n_communities"))
       .select(col("m").as("n_edges"), col("n_communities"),
         expr("4 * m * ein - sd2").as("q_num"),
         expr("4 * m * m").as("q_den"),
