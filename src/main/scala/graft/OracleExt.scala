@@ -3557,6 +3557,33 @@ object OracleExt {
              AS corr2_signed_ppm
     FROM c WHERE dena > 0 AND denb > 0 ORDER BY event_type"""
 
+  /** Twin of Stats.typeCorr — autocorr's signed-r² lane turned
+    * pairwise over the day-aligned daily counts. */
+  def typeCorr(minDays: Long): String = s"""
+    WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2),
+    j AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                 a.c AS x, b.c AS y
+          FROM daily a JOIN daily b
+            ON a.day = b.day AND a.event_type < b.event_type),
+    s AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM j GROUP BY 1, 2 HAVING count(*) >= $minDays),
+    c AS (SELECT ta, tb, n_days, n_days * sxy - sx * sy AS num,
+                 n_days * sxx - sx * sx AS varx,
+                 n_days * syy - sy * sy AS vary
+          FROM s)
+    SELECT ta, tb, n_days, num, varx, vary,
+           CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END
+                * ((CAST(1000000 AS HUGEINT) * num * num)
+                   // (CAST(varx AS HUGEINT) * vary)) AS BIGINT)
+             AS corr2_signed_ppm
+    FROM c WHERE varx > 0 AND vary > 0 ORDER BY ta, tb"""
+
   /** Twin of Stats.benfordCheck — the Benford expectation ppm are the
     * SAME plan-time literals the Spark side embeds (computed by the
     * same JVM log10), so neither engine takes a log. */

@@ -623,6 +623,9 @@ object SparkEntry {
     // Theil-Sen robust daily trend (median of pairwise slopes)
     "theilsen_slope" -> ((s, dir) =>
       graft.operators.Stats.theilsenSlope(LogSource.readEvents(s, dir))),
+    // Cross-series co-movement: signed r² ppm between type pairs' dailies
+    "type_corr" -> ((s, dir) =>
+      graft.operators.Stats.typeCorr(LogSource.readEvents(s, dir))),
     // Exact range-partitioner audit: quantile cuts + resulting sizes
     "range_partition_audit" -> ((s, dir) =>
       graft.operators.Layout.rangePartitionAudit(LogSource.readEvents(s, dir))),
@@ -1400,6 +1403,7 @@ object SparkEntry {
     "changepoint_locate" -> OracleExt.changepointLocate,
     "session_summary" -> OracleExt.sessionSummary(3600L),
     "theilsen_slope" -> OracleExt.theilsenSlope,
+    "type_corr" -> OracleExt.typeCorr(3),
     "range_partition_audit" -> OracleExt.rangePartitionAudit(8),
     "regional_volume" -> OracleExt.regionalVolume("ASIA"),
     "priority_exists" -> OracleExt.priorityExists(45.0),

@@ -364,6 +364,48 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Cross-series correlation between event types — the co-movement
+    * matrix over per-type daily counts ([[autocorr]]'s exact lane
+    * turned pairwise): for every type pair, the signed squared Pearson
+    * correlation of their counts on the days BOTH were observed. The
+    * "do these streams move together" triage that separates
+    * shared-cause traffic (deploys, outages, campaigns move everything)
+    * from independent behavior.
+    *
+    * Same exactness discipline as autocorr: integer moments, num =
+    * n·Σxy − ΣxΣy, sign·(num²·1e6 div (varx·vary)) in a DECIMAL(38,0)
+    * lane — no sqrt, no float quotient. Scale shape: one daily
+    * aggregate, a day-keyed self-join bounded by |types|² per day,
+    * |types|²-sized output. */
+  def typeCorr(events: DataFrame, minDays: Long = 3): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    daily.alias("a")
+      .join(daily.alias("b"), col("a.day") === col("b.day")
+        && col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("a.c").as("x"), col("b.c").as("y"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .filter(col("n") >= minDays)
+      .select(col("ta"), col("tb"), col("n").as("n_days"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("varx"),
+        expr("n * syy - sy * sy").as("vary"))
+      .filter(col("varx") > 0 && col("vary") > 0)
+      .select(col("ta"), col("tb"), col("n_days"), col("num"),
+        col("varx"), col("vary"),
+        (when(col("num") >= 0, lit(1L)).otherwise(lit(-1L)) *
+          expr("""(CAST(1000000 AS DECIMAL(38,0)) * num * num)
+                  div (CAST(varx AS DECIMAL(38,0)) * vary)"""))
+          .as("corr2_signed_ppm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** Benford's-law first-digit audit of the `value` column (in cents,
     * so the digit comes from an INTEGER's decimal string — a float
     * printer never runs). Emits per digit the observed share and its

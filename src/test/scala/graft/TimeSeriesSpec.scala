@@ -103,6 +103,39 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(r == Seq(("a", 1L, -333L)))
   }
 
+  // ---- typeCorr ------------------------------------------------------
+
+  test("typeCorr: proportional series hit +1e6, mirrored series -1e6") {
+    // over days 0..2: a = [1,2,3], b = [2,4,6] (r=+1), c = [3,2,1]
+    // (r=-1 vs both)
+    var eid = 0L
+    val rows = Seq.newBuilder[(Long, Long, Long, String, Double)]
+    for ((t, counts) <- Seq(("a", Seq(1, 2, 3)), ("b", Seq(2, 4, 6)),
+        ("c", Seq(3, 2, 1))); (cnt, d) <- counts.zipWithIndex;
+        i <- 0 until cnt) {
+      eid += 1; rows += ((eid, d * day + i * 1000L, 1L, t, 0.0))
+    }
+    val r = Stats.typeCorr(events(rows.result(): _*))
+      .select("ta", "tb", "corr2_signed_ppm")
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("a", "b", 1000000L), ("a", "c", -1000000L),
+      ("b", "c", -1000000L)))
+  }
+
+  test("typeCorr: pairs below minDays of shared observation drop") {
+    var eid = 0L
+    val rows = Seq.newBuilder[(Long, Long, Long, String, Double)]
+    // a on days 0..2 (counts 1,2,3); d only on days 0..1 (counts 1,2):
+    // 2 shared days < minDays=3, so the pair drops despite positive
+    // variance on both sides
+    for ((t, dcs) <- Seq(("a", Seq((0L, 1), (1L, 2), (2L, 3))),
+        ("d", Seq((0L, 1), (1L, 2)))); (d, cnt) <- dcs; i <- 0 until cnt) {
+      eid += 1; rows += ((eid, d * day + i * 1000L, 1L, t, 0.0))
+    }
+    val r = Stats.typeCorr(events(rows.result(): _*)).count()
+    assert(r == 0L)
+  }
+
   // ---- changepointLocate -------------------------------------------
 
   test("changepointLocate: step series splits at the step, exact means") {
