@@ -512,20 +512,24 @@ object OracleExt {
     * Bpe.scala for why wrapping makes plain `replace` a correct greedy
     * merge application); the argmax tie-break is (count DESC, pattern
     * ASC) via the same max-then-min two-step. */
-  def bpeTrain(merges: Int): String = {
-    def segs(s: String): String =
-      s"list_transform(list_filter(string_split($s, chr(2)), z -> z != ''), z -> z[2:])"
-    // MATERIALIZED CTEs: each round references its predecessor twice
-    // (argmax + merge application); DuckDB inlines plain CTEs, so the
-    // unmaterialized plan re-evaluates round i-1 per reference —
-    // exponential, exactly the blowup Bpe.train's localCheckpoint
-    // truncates on the Spark side.
+  private def bpeSegs(s: String): String =
+    s"list_transform(list_filter(string_split($s, chr(2)), z -> z != ''), z -> z[2:])"
+
+  /** Shared CTE chain of the two BPE twins: w0 (wrapped word types) then
+    * per round i the pair counts p_i, the argmax b_i, and the merged
+    * vocab w_{i+1}.
+    * MATERIALIZED CTEs: each round references its predecessor twice
+    * (argmax + merge application); DuckDB inlines plain CTEs, so the
+    * unmaterialized plan re-evaluates round i-1 per reference —
+    * exponential, exactly the blowup Bpe.train's localCheckpoint
+    * truncates on the Spark side. */
+  private def bpeRounds(merges: Int): String = {
     val rounds = (0 until merges).map { i =>
       s"""
     p$i AS MATERIALIZED (SELECT pat, CAST(sum(cnt) AS BIGINT) AS pc FROM (
         SELECT cnt, unnest(list_transform(syms[2:],
           (x, j) -> chr(1) || syms[j] || chr(2) || chr(1) || x || chr(2))) AS pat
-        FROM (SELECT ${segs("s")} AS syms, cnt FROM w$i))
+        FROM (SELECT ${bpeSegs("s")} AS syms, cnt FROM w$i))
       GROUP BY pat),
     b$i AS MATERIALIZED (SELECT min(pat) AS pat, max(pc) AS pc FROM p$i
             WHERE pc = (SELECT max(pc) FROM p$i)),
@@ -533,21 +537,58 @@ object OracleExt {
             chr(1) || replace(replace(b.pat, chr(1), ''), chr(2), '') || chr(2)) AS s,
           cnt FROM w$i, b$i b)"""
     }.mkString(",")
+    s"""w0 AS MATERIALIZED (
+                SELECT regexp_replace(term, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest($toks) AS term FROM documents)
+                GROUP BY term),$rounds"""
+  }
+
+  def bpeTrain(merges: Int): String = {
     val outs = (0 until merges).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS step,
-          ${segs("pat")}[1] AS lhs,
-          ${segs("pat")}[2] AS rhs,
+          ${bpeSegs("pat")}[1] AS lhs,
+          ${bpeSegs("pat")}[2] AS rhs,
           replace(replace(pat, chr(1), ''), chr(2), '') AS merged,
           pc AS pair_count FROM b$i"""
     }.mkString(" UNION ALL ")
     s"""
-    WITH w0 AS MATERIALIZED (
-                SELECT regexp_replace(term, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s,
-                       CAST(count(*) AS BIGINT) AS cnt
-                FROM (SELECT unnest($toks) AS term FROM documents)
-                GROUP BY term),$rounds
+    WITH ${bpeRounds(merges)}
     SELECT step, lhs, rhs, merged, pair_count FROM ($outs)
     ORDER BY step"""
+  }
+
+  /** Twin of Bpe.encode — the training rounds rebuilt via [[bpeRounds]]
+    * (the Spark side reads the staged merge artifact; the twin re-derives
+    * the identical table), then each round's (pattern, replacement)
+    * applied IN ORDER to the chr(3)-joined wrapped-token doc string.
+    * Token counts are chr(1)-sentinel counts, as on the Spark side. */
+  def bpeEncode(merges: Int): String = {
+    val applied = (0 until merges).map { i =>
+      s"""
+    enc${i + 1} AS MATERIALIZED (SELECT doc_id, n_tokens, n_chars,
+          replace(s, b.pat,
+            chr(1) || replace(replace(b.pat, chr(1), ''), chr(2), '') || chr(2)) AS s
+        FROM enc$i, b$i b)"""
+    }.mkString(",")
+    s"""
+    WITH ${bpeRounds(merges)},
+    enc0 AS MATERIALIZED (
+      SELECT doc_id, n_tokens,
+             CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
+               AS n_chars,
+             s
+      FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+                   array_to_string(list_transform($toks,
+                     t -> regexp_replace(t, '(.)', chr(1) || '\\1' || chr(2), 'g')),
+                     chr(3)) AS s
+            FROM documents)),$applied
+    SELECT doc_id, n_tokens, n_chars,
+           CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(n_chars - (length(s) - length(replace(s, chr(1), '')))
+             AS BIGINT) AS n_merges_applied
+    FROM enc$merges ORDER BY doc_id"""
   }
 
   /** Twin of TextAnalysis.stutterTrim — DuckDB's lambda index and []

@@ -361,7 +361,7 @@ object SparkEntry {
       TextAnalysis.langId(docsPar(s, dir)).orderBy("doc_id")),
     // Integer quality scoring + keep verdict
     "quality_score" -> ((s, dir) =>
-      TextAnalysis.qualityScore(docsPar(s, dir)).orderBy("doc_id")),
+      TextAnalysis.qualityScoreStaged(docsPar(s, dir)).orderBy("doc_id")),
     // Rolling-hash + md5-lane fingerprints
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docsPar(s, dir)).orderBy("doc_id")),
@@ -393,8 +393,13 @@ object SparkEntry {
         .orderBy(col("pmi_bits").desc, col("n").desc, col("phrase"))),
     // Distributed BPE trainer: 8 merge rounds over word types
     "bpe_train" -> ((s, dir) =>
-      graft.operators.Bpe.train(docsPar(s, dir), merges = 8)
+      graft.operators.Bpe.stagedMerges(docsPar(s, dir), merges = 8)
         .orderBy("step")),
+    // BPE encoder: the staged merge table applied to the corpus —
+    // per-doc whitespace/char/BPE token counts, one map-only pass
+    "bpe_encode" -> ((s, dir) =>
+      graft.operators.Bpe.encode(docsPar(s, dir), merges = 8)
+        .orderBy("doc_id")),
     // Adjacent-duplicate token scrub with before/after token budget
     "stutter_trim" -> ((s, dir) =>
       TextAnalysis.stutterTrim(docsPar(s, dir)).orderBy("doc_id")),
@@ -1329,6 +1334,7 @@ object SparkEntry {
     "bigram_surprisal" -> OracleExt.bigramSurprisal,
     "pmi_phrases" -> OracleExt.pmiPhrases(5L, 50),
     "bpe_train" -> OracleExt.bpeTrain(8),
+    "bpe_encode" -> OracleExt.bpeEncode(8),
     "stutter_trim" -> OracleExt.stutterTrim,
     "trigram_surprisal" -> OracleExt.trigramSurprisal,
     "zipf_fit" -> OracleExt.zipfFit(256),

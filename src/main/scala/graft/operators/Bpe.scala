@@ -102,4 +102,57 @@ object Bpe {
     }
     steps.reduce(_.union(_)).orderBy("step")
   }
+
+  /** The trained merge table, staged once per (corpus, merges) via
+    * [[graft.Stage]] — `bpe_train` and [[encode]] are co-gated over the
+    * same corpus, and the 8-barrier training loop is exactly the "train
+    * once / serve many" artifact class the IVFADC model established: a
+    * real pipeline persists the tokenizer and every encode pass reads
+    * it back. */
+  def stagedMerges(docs: DataFrame, merges: Int = 8): DataFrame =
+    graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "bpe_merges", merges)) {
+      train(docs, merges)
+    }
+
+  /** Apply the learned merge list to tokenize the corpus — the encoder
+    * half of the BPE loop (the trainer without it can't feed
+    * `pack_sequences`/`token_count` with real subword units). Per doc:
+    * whitespace-token count, initial symbol (character) count, and the
+    * BPE token count after applying all merges IN TRAINING ORDER.
+    *
+    * Mechanics: each token is sentinel-wrapped ([[wrapChars]]) and the
+    * doc's tokens are joined with a `\u0003` separator — a byte that
+    * appears in no merge pattern (patterns are `⟨x⟩⟨y⟩` adjacencies), so
+    * merges can NEVER cross a token boundary, mirroring training where
+    * pairs are counted within words only. Each merge round is then one
+    * plain `replace` over the doc string (left-to-right non-overlapping
+    * in both engines — the trainer's determinism contract), applied via
+    * a 1-row broadcast of that round's (pattern, replacement) — the
+    * merge table is merges-sized, so `merges` chained broadcasts keep
+    * the whole encode a single map-only pass over the corpus: no
+    * shuffle, no state, scan-speed at 100 TB. Token counts fall out as
+    * sentinel counts: every live symbol carries exactly one `\u0001` sentinel. */
+  def encode(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val ms = stagedMerges(docs, merges)
+    def countL(s: Column): Column =
+      (length(s) - length(regexp_replace(s, L, ""))).cast("long")
+    var enc = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      array_join(transform(TextAnalysis.tokens(col("text")),
+        t => regexp_replace(t, "(.)", s"$L$$1$R")), "\u0003").as("s"))
+      .withColumn("n_chars", countL(col("s")))
+    (0 until merges).foreach { i =>
+      val m = ms.filter(col("step") === i).select(
+        concat(lit(L), col("lhs"), lit(R), lit(L), col("rhs"), lit(R))
+          .as("pat"),
+        concat(lit(L), col("merged"), lit(R)).as("rep"))
+      enc = enc.crossJoin(broadcast(m))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          expr("replace(s, pat, rep)").as("s"))
+    }
+    enc.select(col("doc_id"), col("n_tokens"), col("n_chars"),
+      countL(col("s")).as("n_bpe_tokens"),
+      (col("n_chars") - countL(col("s"))).as("n_merges_applied"))
+  }
 }

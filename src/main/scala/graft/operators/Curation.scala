@@ -21,7 +21,7 @@ object Curation {
   def curate(docs: DataFrame, keepLang: String = "en",
              keepThreshold: Long = 3000L): DataFrame = {
     val survivors = Dedup.dedupKeepList(docs).select("doc_id")
-    val quality = TextAnalysis.qualityScore(docs, keepThreshold)
+    val quality = TextAnalysis.qualityScoreStaged(docs, keepThreshold)
       .filter(col("keep")).select(col("doc_id"), col("score"))
     val lang = TextAnalysis.langId(docs)
       .filter(col("pred_lang") === keepLang)
@@ -116,7 +116,7 @@ object Curation {
     * |sources|-sized aggregate — the joins are doc-keyed hash joins,
     * nothing corpus-sized is held. */
   def sourceQuality(docs: DataFrame): DataFrame = {
-    val q = TextAnalysis.qualityScore(docs)
+    val q = TextAnalysis.qualityScoreStaged(docs)
       .select(col("doc_id"), col("score"), col("keep").as("__qk"))
     val g = gopherRules(docs)
       .select(col("doc_id"), col("keep").as("__gk"))

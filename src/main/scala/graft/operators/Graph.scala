@@ -175,12 +175,40 @@ object Graph {
     * Isolated users keep their own label (left join + coalesce: silence
     * is an observation, not a dropped row). */
   def labelCommunities(events: DataFrame, rounds: Int = 3,
-                       maxCellUsers: Int = 64, minShared: Int = 2): DataFrame = {
-    val pairs = graft.Caches.track(
-      userPairs(events, maxCellUsers, minShared))
-    propagate(events, pairs, rounds)
+                       maxCellUsers: Int = 64, minShared: Int = 2): DataFrame =
+    stagedLabels(events, rounds, maxCellUsers, minShared)
       .select(col("node").as("user_id"), col("label").as("community"))
       .orderBy(col("user_id"))
+
+  /** The edge set, staged once per (corpus, params) via [[graft.Stage]]:
+    * [[labelCommunities]] and [[communityModularity]] are co-gated over
+    * the same graph, and re-deriving the pair table (the corpus-keyed
+    * cell self-join — the expensive pass) per query is exactly the
+    * re-staging the IVFADC model artifact eliminated for the ANN
+    * family. The read-back is also what makes the modularity consumer
+    * safe: every occurrence below embeds a parquet scan, not the
+    * self-join plan. */
+  private def stagedPairs(events: DataFrame, maxCellUsers: Int,
+                          minShared: Int): DataFrame =
+    graft.Stage.parquet(events.sparkSession,
+      graft.Stage.key(events, "graph_user_pairs", maxCellUsers, minShared)) {
+      userPairs(events, maxCellUsers, minShared)
+    }
+
+  /** The LPA partition, staged once per (corpus, params): propagate runs
+    * a single time (untruncated — the write is a single-occurrence
+    * consumer, so the linear 3-round plan executes as ~4 AQE jobs; see
+    * the probe note on [[propagate]]) and every consumer reads the
+    * nodes-sized parquet back. NB resolve the pairs artifact BEFORE
+    * entering the labels build: Stage's computeIfAbsent must not nest. */
+  private def stagedLabels(events: DataFrame, rounds: Int,
+                           maxCellUsers: Int, minShared: Int): DataFrame = {
+    val pairs = stagedPairs(events, maxCellUsers, minShared)
+    graft.Stage.parquet(events.sparkSession,
+      graft.Stage.key(events, "graph_lpa_labels", rounds, maxCellUsers,
+        minShared)) {
+      propagate(events, pairs, rounds)
+    }
   }
 
   /** The undirected user co-occurrence edge set (ua < ub): users
@@ -208,29 +236,24 @@ object Graph {
   }
 
   /** Fixed-round synchronous LPA over a given edge set; returns
-    * (node, label).
-    *
-    * `truncatePerRound` applies the pagerank discipline
-    * (Graph.scala:28-30): eagerly localCheckpoint each round's
-    * nodes-sized label frame. A consumer that embeds the RESULT in
-    * several sibling subtrees (communityModularity) MUST truncate —
-    * each subtree re-embeds the full iterative lineage otherwise, and
-    * the plan explodes combinatorially (probed: a 15 399-line physical
-    * plan with 2 495 exchanges and zero reuse). A single-occurrence
-    * consumer (labelCommunities) should NOT: its linear plan executes
-    * in ~4 AQE jobs, while per-round checkpoint actions cost more in
-    * scheduling than they save (probed 0.6 s vs 4.2 s). */
+    * (node, label). Now only ever run as [[stagedLabels]]' build — a
+    * single-occurrence consumer (the parquet write), so the linear
+    * 3-round plan needs NO per-round lineage truncation: it executes in
+    * ~4 AQE jobs, while per-round localCheckpoint actions cost more in
+    * scheduling than they save (probed 0.6 s vs 4.2 s). The historical
+    * hazard this file documents (a consumer embedding the iterative
+    * RESULT in several sibling subtrees re-embeds the full lineage per
+    * occurrence — probed at a 15 399-line physical plan with 2 495
+    * exchanges) is now structurally impossible: consumers read the
+    * staged artifact, never this plan. */
   private def propagate(events: DataFrame, pairs: DataFrame,
-                        rounds: Int,
-                        truncatePerRound: Boolean = false): DataFrame = {
-    def trunc(df: DataFrame): DataFrame =
-      if (truncatePerRound) df.localCheckpoint() else df
+                        rounds: Int): DataFrame = {
     val sym = graft.Caches.track(
       pairs.select(col("ua").as("src"), col("ub").as("dst"))
         .unionByName(pairs.select(col("ub").as("src"), col("ua").as("dst"))))
     val nodes = graft.Caches.track(
       events.select(col("user_id").as("node")).distinct())
-    var labels = trunc(nodes.select(col("node"), col("node").as("label")))
+    var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       val counted = sym
         .join(labels.select(col("node").as("dst"),
@@ -244,9 +267,9 @@ object Graph {
         .groupBy(col("src"))
         .agg(max(struct(col("c"), (-col("nbr_label")).as("neg"))).as("m"))
         .select(col("src").as("node"), (-col("m.neg")).as("new_label"))
-      labels = trunc(nodes.join(won, Seq("node"), "left")
+      labels = nodes.join(won, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_label"), col("node"))
-          .as("label")))
+          .as("label"))
     }
     labels
   }
@@ -267,15 +290,14 @@ object Graph {
   def communityModularity(events: DataFrame, rounds: Int = 3,
                           maxCellUsers: Int = 64,
                           minShared: Int = 2): DataFrame = {
-    // pairs is eagerly localCheckpoint'd: it feeds sym (via propagate)
-    // AND the three annot branches below, and an un-truncated pair
-    // plan would be re-embedded in each — the same combinatorial
-    // blowup the per-round checkpoint in propagate prevents. labels
-    // arrives already checkpointed (nodes-sized blocks), so every
-    // occurrence below is a shallow scan.
-    val pairs = userPairs(events, maxCellUsers, minShared)
-      .localCheckpoint()
-    val labels = propagate(events, pairs, rounds, truncatePerRound = true)
+    // Both inputs are staged artifacts shared with [[labelCommunities]]
+    // (computed once per corpus, read back as parquet), so every
+    // occurrence in the branches below embeds a shallow scan — the
+    // plan-explosion hazard the old localCheckpoint discipline managed
+    // is gone by construction, and the expensive passes (cell self-join
+    // + 3 LPA rounds) never re-run for this query.
+    val pairs = stagedPairs(events, maxCellUsers, minShared)
+    val labels = stagedLabels(events, rounds, maxCellUsers, minShared)
     // annot: each edge with both endpoint communities — ONE pass over
     // the pair table; everything below derives from it or from labels.
     val annot = pairs

@@ -103,7 +103,7 @@ object Sampling {
     * and the one double quantile per cut is floored identically by
     * both engines (the approx_percentiles type-7 equivalence). */
   def qualityDeciles(docs: DataFrame): DataFrame = {
-    val scored = TextAnalysis.qualityScore(docs)
+    val scored = TextAnalysis.qualityScoreStaged(docs)
       .select(col("doc_id"), col("score"))
     val cutCols = (1 to 9).map(j =>
       floor(expr(s"percentile(score, 0.$j)") * 1000000L).cast("long")
@@ -282,7 +282,7 @@ object Sampling {
     * same retry/backfill stability contract as trainTestSplit. Pure
     * per-row; prob_micro is exposed so the draw is auditable. */
   def importanceSample(docs: DataFrame, salt: String = "imp"): DataFrame =
-    TextAnalysis.qualityScore(docs)
+    TextAnalysis.qualityScoreStaged(docs)
       .withColumn("prob_micro",
         least(greatest(col("score"), lit(0L)) * 30, lit(900000L)))
       .withColumn("sampled",
@@ -305,7 +305,7 @@ object Sampling {
     * Ties on both axes are mutually non-dominating and all survive. */
   def paretoDocs(docs: DataFrame): DataFrame = {
     val scored = graft.Caches.track(
-      TextAnalysis.qualityScore(docs)
+      TextAnalysis.qualityScoreStaged(docs)
         .select(col("doc_id"), col("score"))
         .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id")))
     val byScore = scored.groupBy("score").agg(min(col("n_chars")).as("minc"))

@@ -23,9 +23,21 @@ object Supply {
 
   /** The derived supply catalog: per (part, supplier), the minimum
     * observed unit price (micro-cents), total shipped quantity, and
-    * line count. One groupBy shuffle over the fact; everything in this
-    * file composes this. */
+    * line count. One groupBy shuffle over the fact — STAGED once per
+    * lineitem source via [[graft.Stage]]: all four Q2/Q11/Q16/Q20
+    * analogues in this file compose the catalog, and staging it is
+    * literally the warehouse discipline the scaladoc above describes
+    * ("computed once... never re-scanning lineitem") — previously each
+    * query re-ran the fact scan + aggregate; now the first caller
+    * materializes the catalog-sized parquet and the other three read it
+    * back. */
   def catalog(lineitem: DataFrame): DataFrame =
+    graft.Stage.parquet(lineitem.sparkSession,
+      graft.Stage.key(lineitem, "supply_catalog")) {
+      catalogPlan(lineitem)
+    }
+
+  private def catalogPlan(lineitem: DataFrame): DataFrame =
     lineitem
       .select(col("l_partkey"), col("l_suppkey"),
         expr("CAST(floor(l_extendedprice * 1000000 / l_quantity) AS BIGINT)")

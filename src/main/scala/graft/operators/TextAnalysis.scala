@@ -164,6 +164,26 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= keepThreshold)
   }
 
+  /** [[qualityScore]] staged once per (corpus, threshold) via
+    * [[graft.Stage]]: six gated queries consume the scored frame
+    * (quality_score, pareto_docs, quality_deciles, importance_sample,
+    * curation_pipeline, source_quality), and each was re-running the
+    * token pass over the full text column. The scored frame is
+    * doc-count-sized but text-free — a few narrow integer columns — so
+    * the read-back is a fraction of the scoring scan, which is exactly
+    * how a production pipeline stages per-doc quality: score once on
+    * ingest, let every downstream selection read the score table. */
+  def qualityScoreStaged(docs: DataFrame,
+                         keepThreshold: Long = 3000): DataFrame =
+    // a streaming input can't be materialized (and the score is a pure
+    // per-row projection there anyway — the streaming twin applies it
+    // per micro-batch): stage only batch frames
+    if (docs.isStreaming) qualityScore(docs, keepThreshold)
+    else graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "quality_score", keepThreshold)) {
+      qualityScore(docs, keepThreshold)
+    }
+
   /** Dense hashed-count vectors per document — [[featureHash]] buckets
     * widened to a fixed `nBuckets`-dim array (absent bucket = 0), the
     * bridge from text to every vector operator in the engine: counts
