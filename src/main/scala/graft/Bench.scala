@@ -22,6 +22,13 @@ import java.nio.file.{Files, Paths}
   * samples spread >2× are re-sampled once more (min-of-N over the merged
   * set), so a transient spike must strike the same query twice to
   * survive into the reported minimum.
+  *
+  * A would-be contaminated artifact first tries to SELF-HEAL (VERDICT
+  * r11 #5): fresh calibration probes decide whether the spike was
+  * transient; if the host is quiet again, the queries timed inside each
+  * spiked window are re-sampled from the now-clean host and the stamp is
+  * recomputed over the widened probe set (`healed_n` records how many
+  * queries were re-timed). Sustained load keeps the stamp.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -109,9 +116,44 @@ object Bench {
     // 0.12 → 0.06 and read as "2× spread"), while genuine co-tenant
     // load shows as points FAR ABOVE the center (the r6 contaminated
     // artifacts had probes 6-14× typical). Median is warmth-robust.
-    val calibOk = calib.filter(_ >= 0).toSeq.sorted
-    val contaminated =
-      calibOk.isEmpty || calibOk.last > 2 * calibOk((calibOk.size - 1) / 2)
+    def contamOf(cs: Seq[Double]): Boolean = {
+      val s = cs.filter(_ >= 0).sorted
+      s.isEmpty || s.last > 2 * s((s.size - 1) / 2)
+    }
+    var contaminated = contamOf(calib.toSeq)
+    // transient-noise self-heal (the r11 artifact lesson: ONE co-tenant
+    // spike in one ~10-query window stamped the whole round even though
+    // every reported minimum was already spike-robust). When the stamp
+    // WOULD be set, probe again: if the host is quiet now, the spike was
+    // transient — re-time the queries sampled inside each spiked window
+    // so their merged minima include clean-window samples, and stamp
+    // from the widened probe set. Sustained load keeps the stamp.
+    var healedN = 0
+    if (contaminated) {
+      val fresh = (1 to 4).map(_ => calibOnce())
+      if (!contamOf(fresh)) {
+        val sortedC = calib.filter(_ >= 0).toSeq.sorted
+        val med = sortedC((sortedC.size - 1) / 2)
+        val qnames = SparkEntry.queries.keys.toSeq
+        val affected = calib.zipWithIndex.collect {
+          case (v, j) if v >= 0 && v > 2 * med => j
+        }.flatMap { j =>
+          qnames.slice(math.max(0, (j - 1) * 10),
+            math.min(qnames.size, (j + 1) * 10))
+        }.distinct
+        affected.foreach { name =>
+          val extra = (1 to runs).map(_ => timeOnce(SparkEntry.queries(name)))
+            .filter(_ >= 0)
+          samples(name) = (samples(name) ++ extra).sorted
+        }
+        val post = (1 to 2).map(_ => calibOnce())
+        if (!contamOf(fresh ++ post)) {
+          contaminated = false
+          healedN = affected.size
+          calib ++= fresh ++ post
+        }
+      }
+    }
 
     val results = samples.map { case (name, ts) =>
       name -> (if (ts.nonEmpty) ts.min else -1.0)
@@ -139,6 +181,7 @@ object Bench {
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     // emit in TEMPORAL order (drift vs spike is visible), sort only for the stamp
     val calibJson = calib.filter(_ >= 0).map(t => f"$t%.4f").mkString("[", ",", "]")
+    val calibOk = calib.filter(_ >= 0).toSeq.sorted
     val calibMedian = if (calibOk.isEmpty) -1.0 else calibOk((calibOk.size - 1) / 2)
     val total = results.values.filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - t0Wall) / 1e9
@@ -154,7 +197,7 @@ object Bench {
     //    1800 chars (sbt's trailing "[success]" line shares the window) by
     //    degrading per-query decimal places before ever dropping a field.
     val rich =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"calibration":$calibJson,"calib_median":$calibMedian%.4f,"contaminated":$contaminated,"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"wall_sec":$wallSec%.1f,"sf":"$sfDir","runs":$runs}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"calibration":$calibJson,"calib_median":$calibMedian%.4f,"contaminated":$contaminated,"healed_n":$healedN,"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"wall_sec":$wallSec%.1f,"sf":"$sfDir","runs":$runs}"""
     println("[bench-full] " + rich)
     try Files.writeString(Paths.get("bench_out.json"), rich)
     catch { case _: Throwable => () }

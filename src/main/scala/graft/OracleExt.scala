@@ -267,10 +267,12 @@ object OracleExt {
     * non-negative operands, divergent below zero. This twin divides
     * epoch-µs by a positive constant, so the assumption is "no
     * pre-1970 timestamps", which the events fixture (and any log
-    * pipeline) satisfies. [[cohortRetention]] used to share the
-    * assumption but no longer needs it: its Spark side now floors
-    * explicitly (`µs - pmod(µs, d)` before the exact `div`), so the
-    * day twins agree on the full timestamp domain. */
+    * pipeline) satisfies. [[cohortRetention]]'s day lanes share the
+    * same non-negative-domain assumption: its Spark side floors
+    * explicitly (`µs - pmod(µs, d)` before the exact `div`) while the
+    * twin's `//` TRUNCATES on BIGINT (probed: −1000//3 = −333), so the
+    * two agree exactly where floor ≡ truncation — epoch-µs ≥ 0, i.e.
+    * no pre-1970 timestamps. */
   val zorderLayout: String = {
     val terms = (0 until 10).flatMap { i =>
       Seq(s"(((a >> $i) & 1) << ${2 * i})",
@@ -900,6 +902,16 @@ object OracleExt {
     * domainMix ADVICE generalized: a term/stopword/lang containing a
     * quote must not produce malformed SQL). */
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** `LIKE '%token%'` contains-predicate whose token is LITERAL — the
+    * Spark sides use Column.contains (no wildcard semantics), so a
+    * token containing % or _ must match itself, not act as a pattern:
+    * escape LIKE metacharacters and declare the escape char. */
+  private def sqlContains(col: String, token: String): String = {
+    val esc = token.replace("\\", "\\\\")
+      .replace("%", "\\%").replace("_", "\\_")
+    s"$col LIKE ${sqlStr("%" + esc + "%")} ESCAPE '\\'"
+  }
 
   private def inList(words: Seq[String]): String =
     words.map(sqlStr).mkString("(", ", ", ")")
@@ -3672,14 +3684,25 @@ object OracleExt {
     GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
     ORDER BY event_type NULLS FIRST, dow NULLS FIRST"""
 
+  /** Escaped NULL-sentinel field serialization mirroring
+    * Integrity.serField: backslash then delimiter escaped, NULL → `\N`
+    * (injective — see the Spark-side scaladoc). DuckDB string literals
+    * take backslash literally, so '\\' below is two characters. */
+  private def serField(x: String): String =
+    s"coalesce(replace(replace(CAST($x AS VARCHAR), '\\', '\\\\'), " +
+      s"'|', '\\|'), '\\N')"
+
+  private def rowSer(cols: Seq[String]): String =
+    s"concat_ws('|', ${cols.map(serField).mkString(", ")})"
+
   /** Twin of Integrity.checksumShards — hex-literal cast mirrors
     * Spark's conv(…, 16, 10); HUGEINT sum mirrors the DECIMAL(38,0)
-    * lane. */
+    * lane; row serialization mirrors Integrity.rowSer. */
   def checksumShards(nShards: Int): String = s"""
     WITH h AS (SELECT user_id % $nShards AS shard,
-                 CAST(('0x' || substring(md5(concat_ws('|', event_id,
-                   epoch_us(ts), user_id, event_type, props)), 1, 12))
-                   AS BIGINT) AS h48
+                 CAST(('0x' || substring(md5(${rowSer(Seq("event_id",
+                   "epoch_us(ts)", "user_id", "event_type", "props"))}),
+                   1, 12)) AS BIGINT) AS h48
                FROM events)
     SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(h48 AS HUGEINT)) % 4611686018427387904 AS BIGINT)
@@ -4020,7 +4043,7 @@ object OracleExt {
     WITH $catalogCte,
     named AS (SELECT cat.* FROM cat
               WHERE l_partkey IN (SELECT p_partkey FROM part
-                WHERE p_name LIKE ${sqlStr("%" + nameToken + "%")})),
+                WHERE ${sqlContains("p_name", nameToken)})),
     pp AS (SELECT l_partkey AS pp_key, sum(total_qty) AS part_qty,
                   CAST(count(*) AS BIGINT) AS n_supp
            FROM named GROUP BY 1),
@@ -4047,7 +4070,7 @@ object OracleExt {
     JOIN part p ON l_partkey = p_partkey
     JOIN supplier s ON l_suppkey = s_suppkey
     JOIN nation n ON s_nationkey = n_nationkey
-    WHERE p_name LIKE ${sqlStr("%" + nameToken + "%")}
+    WHERE ${sqlContains("p_name", nameToken)}
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Twin of Relational.latePriority (TPC-H Q12 shape). */
@@ -4169,20 +4192,20 @@ object OracleExt {
     * shifts price by 101 cents on ≡0 mod 41). Row identity is one md5
     * hash over the explicit serialization, exactly as Spark computes
     * it. */
-  val snapshotDiff: String = """
+  val snapshotDiff: String = s"""
     WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
                     CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
                     epoch_us(o_orderdate) AS od_us, o_orderpriority
                   FROM orders),
     a AS (SELECT o_orderkey,
-            md5(concat_ws('|', o_custkey, o_orderstatus, price_cents,
-                od_us, o_orderpriority)) AS h
+            md5(${rowSer(Seq("o_custkey", "o_orderstatus", "price_cents",
+              "od_us", "o_orderpriority"))}) AS h
           FROM base WHERE o_orderkey % 23 != 0),
     b AS (SELECT o_orderkey,
-            md5(concat_ws('|', o_custkey, o_orderstatus,
-                price_cents + CASE WHEN o_orderkey % 41 = 0
-                              THEN 101 ELSE 0 END,
-                od_us, o_orderpriority)) AS h
+            md5(${rowSer(Seq("o_custkey", "o_orderstatus",
+              """price_cents + CASE WHEN o_orderkey % 41 = 0
+                              THEN 101 ELSE 0 END""",
+              "od_us", "o_orderpriority"))}) AS h
           FROM base WHERE o_orderkey % 29 != 0)
     SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM (
       SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'

@@ -67,7 +67,14 @@ final case class KinesisSinkConfig(
     statIntervalSec: Int = 1,                 // go :155
     dockerHost: String = "unknown-docker-host", // env LK_DOCKER_HOST, go :81
     useV0Layout: Boolean = false,             // opt use_v0_layout / env LK_USE_V0_LAYOUT, go :84-87
-    numShards: Int = 4
+    numShards: Int = 4,
+    /** Extension beyond the reference (which is at-least-once by
+      * construction, go :147-153): when true, a replayed micro-batch —
+      * the standard foreachBatch failure mode after a driver restart —
+      * skips (batchId, partition) delivery units that already completed,
+      * upgrading the sink to effectively-once at unit granularity. The
+      * default stays reference-faithful at-least-once. */
+    idempotentSink: Boolean = false
 )
 
 object KinesisSinkConfig {
@@ -92,7 +99,8 @@ object KinesisSinkConfig {
       dockerHost = env.getOrElse("LK_DOCKER_HOST", "unknown-docker-host"),
       useV0Layout = opts.get("use_v0_layout").exists(_.nonEmpty) ||
         env.get("LK_USE_V0_LAYOUT").exists(_.nonEmpty),
-      numShards = int("num_shards", 4)
+      numShards = int("num_shards", 4),
+      idempotentSink = bool("idempotent_sink", false)
     )
   }
 }

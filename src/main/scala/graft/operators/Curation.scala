@@ -124,9 +124,11 @@ object Curation {
       .join(q, "doc_id").join(g, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        // FLOOR division (pmod form): score sums can be negative, and
-        // Spark `div` truncates where DuckDB `//` floors — the
-        // cohortRetention lesson
+        // FLOOR division, spelled out via the pmod form on BOTH sides:
+        // score sums can be negative, and while Spark `div` and DuckDB
+        // `//` both TRUNCATE toward zero on BIGINT (probed), the
+        // explicit floor makes the negative-mean semantics a stated
+        // contract instead of a coincidence of matching truncation
         expr("(sum(score) - pmod(sum(score), count(1))) div count(1)")
           .as("mean_score"),
         sum(when(col("__qk"), 1L).otherwise(0L)).as("n_quality_keep"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Anti-entropy table checksums (SURVEY §2.4 extension surface): the
@@ -20,6 +20,21 @@ object Integrity {
 
   private val Mod = 4611686018427387904L // 2^62
 
+  /** Collision-proof field serialization (the r11 ADVICE finding: bare
+    * concat_ws skips NULLs and leaves the delimiter unescaped, so
+    * ('a|b', NULL) and ('a','b') — or a NULL/empty shift across
+    * columns — collided to one hash and misread as "unchanged").
+    * Every field escapes backslash then the delimiter; NULL renders as
+    * the sentinel `\N`, which no non-null field can produce (a literal
+    * "\N" escapes to "\\N"). The serialization is therefore injective
+    * per row, so equal hashes ⇔ equal rows up to md5 collision. */
+  private def serField(c: Column): Column =
+    coalesce(replace(replace(c.cast("string"), lit("\\"), lit("\\\\")),
+      lit("|"), lit("\\|")), lit("\\N"))
+
+  private def rowSer(cols: Seq[Column]): Column =
+    concat_ws("|", cols.map(serField): _*)
+
   /** Per-shard checksums over `events` (shard = user_id mod nShards —
     * the same key a replicated store would range-partition on): each
     * shard row carries its row count and order-independent checksum, so
@@ -31,9 +46,10 @@ object Integrity {
   def checksumShards(events: DataFrame, nShards: Int = 16): DataFrame =
     events
       .select(pmod(col("user_id"), lit(nShards.toLong)).as("shard"),
-        expr("""CAST(conv(substring(md5(CAST(concat_ws('|',
-                  event_id, unix_micros(ts), user_id, event_type, props)
-                AS BINARY)), 1, 12), 16, 10) AS BIGINT)""").as("h48"))
+        conv(substring(md5(rowSer(Seq(col("event_id"),
+            unix_micros(col("ts")), col("user_id"), col("event_type"),
+            col("props"))).cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("h48"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
         expr(s"CAST(pmod(sum(CAST(h48 AS DECIMAL(38,0))), ${Mod}L) AS BIGINT)")
@@ -57,9 +73,9 @@ object Integrity {
     * so the join only runs over suspect partitions. */
   def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
                    hashCols: Seq[String]): DataFrame = {
-    val ser = s"md5(CAST(concat_ws('|', ${hashCols.mkString(", ")}) AS BINARY))"
-    val ha = a.select(col(key).as("key_a"), expr(ser).as("hash_a"))
-    val hb = b.select(col(key).as("key_b"), expr(ser).as("hash_b"))
+    val ser = md5(rowSer(hashCols.map(col)).cast("binary"))
+    val ha = a.select(col(key).as("key_a"), ser.as("hash_a"))
+    val hb = b.select(col(key).as("key_b"), ser.as("hash_b"))
     ha.join(hb, col("key_a") === col("key_b"), "full_outer")
       .select(
         when(col("key_a").isNull, "added")

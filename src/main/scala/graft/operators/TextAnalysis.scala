@@ -911,9 +911,11 @@ object TextAnalysis {
     * whole-bit logs via length(bin(x))−1, the closed-form numerator
     * n·Σxy − Σx·Σy and denominator n·Σxx − Σx² are exact BIGINT sums
     * over ≤ K rows, and the only floating step is one IEEE divide +
-    * floor — bit-identical in any engine. (Integer `div` would NOT be:
-    * Spark truncates toward zero, DuckDB floors, and the slope is
-    * negative.) Scale: termFreq's single corpus pass, TakeOrdered for
+    * floor — bit-identical in any engine. (Integer `div` would agree
+    * too — both engines truncate BIGINT division toward zero — but
+    * truncation rounds a negative slope UP; flooring the IEEE quotient
+    * keeps the conventional floor(a/b) definition for the negative
+    * lane.) Scale: termFreq's single corpus pass, TakeOrdered for
     * the top-K (never a global sort), then a 1-row aggregate over K. */
   def zipfFit(docs: DataFrame, topK: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window

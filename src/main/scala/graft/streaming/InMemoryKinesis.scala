@@ -41,6 +41,12 @@ object InMemoryKinesis {
       * a real bounded-queue wait (thread state WAITING), not a spin. */
     val lock = new java.util.concurrent.locks.ReentrantLock()
     val notFull: java.util.concurrent.locks.Condition = lock.newCondition()
+    /** (batchId, partitionId) delivery units already fully put — the
+      * idempotent-sink ledger (a real Kinesis producer would keep this
+      * in the checkpoint store or a dedup table; the in-memory service
+      * models it next to the shards it guards). */
+    val committedUnits: java.util.Set[(Long, Int)] =
+      ConcurrentHashMap.newKeySet[(Long, Int)]()
     // failure injection + stats (tests / mute-unmute logging)
     val failNextPuts = new AtomicInteger(0)
     val putAttempts = new AtomicLong(0L)
@@ -96,6 +102,16 @@ object InMemoryKinesis {
     s.delivered.incrementAndGet()
     true
   }
+
+  /** Record that one (batchId, partitionId) delivery unit has been put
+    * in full — consulted by the idempotent producer mode before
+    * re-putting a replayed micro-batch. */
+  def markUnit(name: String, batchId: Long, partitionId: Int): Unit =
+    get(name).committedUnits.add((batchId, partitionId))
+
+  /** Whether a (batchId, partitionId) delivery unit already completed. */
+  def unitDone(name: String, batchId: Long, partitionId: Int): Boolean =
+    get(name).committedUnits.contains((batchId, partitionId))
 
   /** Consumer acknowledgement: `n` records have been durably consumed —
     * frees buffer capacity and signals producers parked in block mode.

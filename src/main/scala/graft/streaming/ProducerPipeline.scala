@@ -29,37 +29,54 @@ object ProducerPipeline {
     * partition, group into `batchSize` chunks (the PutRecords batch, go
     * :139) and put each record with up to `maxAttemptsPerRecord`
     * attempts (go :147-153). Mute/unmute logging per the reference
-    * (go :194-219): log the first failure, mute until a success. */
-  def deliverBatch(batch: DataFrame, cfg: KinesisSinkConfig): Unit = {
+    * (go :194-219): log the first failure, mute until a success.
+    *
+    * `batchId` + `cfg.idempotentSink` opt into replay protection: the
+    * row→partition mapping (hash of the shard column) is deterministic,
+    * so a replayed micro-batch re-presents the same row set per
+    * partition; a (batchId, partitionId) unit whose puts all completed
+    * is skipped wholesale and the replay is a no-op. Granularity is
+    * honest at-least-once underneath: a task that FAILS mid-unit never
+    * marks it, so its retry re-puts the partial prefix (duplicates
+    * within that unit survive, as with any non-transactional sink) —
+    * what the ledger eliminates is the common case, a whole-batch
+    * foreachBatch replay after restart double-writing every record. */
+  def deliverBatch(batch: DataFrame, cfg: KinesisSinkConfig,
+                   batchId: Long = -1L): Unit = {
     val n = cfg.numShards
     val stream = cfg.streamName
     val maxAttempts = cfg.maxAttemptsPerRecord
     val batchSize = cfg.batchSize
     val block = cfg.addBlocksWhenBufferFull
+    val idempotent = cfg.idempotentSink && batchId >= 0L
     batch
       .withColumn("shard", Routing.shardFor(col("partition_key"), n))
       .repartition(n, col("shard"))
       .select(col("shard"), col("partition_key"), col("log_json"))
       .foreachPartition { rows: Iterator[Row] =>
-        var muted = false
-        rows.grouped(batchSize).foreach { group =>
-          group.foreach { row =>
-            val shard = row.getInt(0)
-            val key = row.getString(1)
-            val data = row.getString(2)
-            var attempts = 0
-            var ok = false
-            while (!ok && attempts < maxAttempts) {
-              attempts += 1
-              ok = InMemoryKinesis.tryPut(stream, shard, key, data, block)
-              if (!ok && !muted) {
-                InMemoryKinesis.get(stream).errorLogLines.incrementAndGet()
-                muted = true // mute until a record succeeds (go :211-214)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        if (!(idempotent && InMemoryKinesis.unitDone(stream, batchId, pid))) {
+          var muted = false
+          rows.grouped(batchSize).foreach { group =>
+            group.foreach { row =>
+              val shard = row.getInt(0)
+              val key = row.getString(1)
+              val data = row.getString(2)
+              var attempts = 0
+              var ok = false
+              while (!ok && attempts < maxAttempts) {
+                attempts += 1
+                ok = InMemoryKinesis.tryPut(stream, shard, key, data, block)
+                if (!ok && !muted) {
+                  InMemoryKinesis.get(stream).errorLogLines.incrementAndGet()
+                  muted = true // mute until a record succeeds (go :211-214)
+                }
               }
+              if (ok) muted = false // unmute on success (go :219)
+              else InMemoryKinesis.get(stream).dropped.incrementAndGet()
             }
-            if (ok) muted = false // unmute on success (go :219)
-            else InMemoryKinesis.get(stream).dropped.incrementAndGet()
           }
+          if (idempotent) InMemoryKinesis.markUnit(stream, batchId, pid)
         }
       }
   }
@@ -77,7 +94,7 @@ object ProducerPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.flushIntervalSec * 1000L))
-      .foreachBatch { (df: DataFrame, _: Long) => deliverBatch(df, cfg) }
+      .foreachBatch { (df: DataFrame, id: Long) => deliverBatch(df, cfg, id) }
       .start()
     if (cfg.statIntervalSec > 0) {
       val reporter =

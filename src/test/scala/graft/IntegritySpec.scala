@@ -60,6 +60,32 @@ class IntegritySpec extends SparkTestBase {
     assert(Seq(0L, 2L, 3L).forall(s => a(s) == b(s)))
   }
 
+  // ---- snapshotDiff serialization injectivity ----------------------
+
+  test("snapshotDiff: delimiter-in-field and NULL shifts never read as unchanged") {
+    // the r11 ADVICE collision classes: ('a|b', NULL) vs ('a', 'b')
+    // concat_ws-collided to 'a|b' on both sides; NULL vs '' likewise.
+    // With escaped fields + the \N sentinel each pair must classify
+    // as changed.
+    val a = Seq((1L, "a|b", null.asInstanceOf[String]),
+        (2L, null.asInstanceOf[String], "x"),
+        (3L, "p", "q"))
+      .toDF("k", "c1", "c2")
+    val b = Seq((1L, "a", "b"), (2L, "", "x"), (3L, "p", "q"))
+      .toDF("k", "c1", "c2")
+    val r = Integrity.snapshotDiff(a, b, "k", Seq("c1", "c2"))
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("changed" -> 2L, "unchanged" -> 1L))
+  }
+
+  test("snapshotDiff: a field containing the literal NULL sentinel is not NULL") {
+    val a = Seq((1L, "\\N")).toDF("k", "c1")
+    val b = Seq((1L, null.asInstanceOf[String])).toDF("k", "c1")
+    val r = Integrity.snapshotDiff(a, b, "k", Seq("c1"))
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("changed" -> 1L))
+  }
+
   // ---- typeJaccard / degreeDistribution ----------------------------
 
   test("typeJaccard: user-day co-occurrence, inclusion-exclusion union") {

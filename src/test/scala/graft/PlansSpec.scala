@@ -343,6 +343,34 @@ class PlansSpec extends SparkTestBase {
       s"rank-filter queries lost WindowGroupLimit pruning: $missing")
   }
 
+  test("every physical plan stays inside the size budget (no lineage explosion)") {
+    // the round-11 lesson: a consumer embedding an iterative result in
+    // several sibling subtrees re-embeds the full lineage per occurrence
+    // — the un-truncated modularity draft reached a 15 399-line plan
+    // with 2 495 exchanges and was only caught at bench time. Budget the
+    // plan TEXT so the next multiply-embedded lineage fails here in CI:
+    // the largest legitimate plans at HEAD (the dedup/tiered families)
+    // sit well under these bounds, while any combinatorial re-embedding
+    // blows past them immediately.
+    val overLines = plans.collect {
+      case (q, p) if p.linesIterator.size > 500 =>
+        s"$q (${p.linesIterator.size} lines)"
+    }
+    assert(overLines.isEmpty,
+      s"plan line budget (500) exceeded: ${overLines.mkString(", ")}")
+    // NB "Exchange" also matches ReusedExchange back-references and the
+    // display-only lineage inside InMemoryRelation blocks (vocab_coverage
+    // legitimately shows 66 mentions for ~45 operators), so the budget is
+    // a text-mention count with 2× headroom over the densest real plan —
+    // still ~20× under the pathological draft it exists to catch
+    val overEx = plans.collect {
+      case (q, p) if "Exchange".r.findAllIn(p).size > 128 =>
+        s"$q (${"Exchange".r.findAllIn(p).size} exchanges)"
+    }
+    assert(overEx.isEmpty,
+      s"exchange budget (128) exceeded: ${overEx.mkString(", ")}")
+  }
+
   test("no driver-side collect() in any query path (source-level guard)") {
     val src = Files.readString(
       Paths.get("src/main/scala/graft/SparkEntry.scala"))

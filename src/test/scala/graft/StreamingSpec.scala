@@ -157,4 +157,48 @@ class StreamingSpec extends SparkTestBase {
     assert(s.delivered.get() == 10L)
     assert(InMemoryKinesis.shardSizes("t-cap").sum == 10)
   }
+
+  /** A micro-batch frame shaped like producerPayload's output. */
+  private def payloadBatch(n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(n).select(
+      concat(lit("{\"m\":"), col("id"), lit("}")).as("log_json"),
+      concat(lit("key-"), col("id") % 7).as("partition_key"))
+  }
+
+  test("idempotent sink: a replayed micro-batch is a no-op; new batches deliver") {
+    InMemoryKinesis.delete("t-idem")
+    val s = InMemoryKinesis.create("t-idem", numShards = 4)
+    val cfg = KinesisSinkConfig(streamName = "t-idem", numShards = 4,
+      idempotentSink = true)
+    val batch = payloadBatch(100)
+    ProducerPipeline.deliverBatch(batch, cfg, batchId = 7L)
+    assert(s.delivered.get() == 100L)
+    // foreachBatch replay after a restart: same frame, same batch id
+    ProducerPipeline.deliverBatch(batch, cfg, batchId = 7L)
+    assert(s.delivered.get() == 100L, "replayed batch must not double-write")
+    assert(InMemoryKinesis.shardSizes("t-idem").sum == 100)
+    // genuinely new data under a new id still flows
+    ProducerPipeline.deliverBatch(payloadBatch(40), cfg, batchId = 8L)
+    assert(s.delivered.get() == 140L)
+  }
+
+  test("at-least-once default: a replay double-writes (reference-faithful)") {
+    InMemoryKinesis.delete("t-alo")
+    val s = InMemoryKinesis.create("t-alo", numShards = 2)
+    val cfg = KinesisSinkConfig(streamName = "t-alo", numShards = 2)
+    val batch = payloadBatch(50)
+    ProducerPipeline.deliverBatch(batch, cfg, batchId = 3L)
+    ProducerPipeline.deliverBatch(batch, cfg, batchId = 3L)
+    assert(s.delivered.get() == 100L,
+      "without idempotent_sink the reference's at-least-once stands")
+  }
+
+  test("idempotent_sink config parses from the options map") {
+    val cfg = KinesisSinkConfig.fromOptions("s",
+      Map("idempotent_sink" -> "true"), env = Map.empty)
+    assert(cfg.idempotentSink)
+    assert(!KinesisSinkConfig.fromOptions("s", Map.empty,
+      env = Map.empty).idempotentSink)
+  }
 }
