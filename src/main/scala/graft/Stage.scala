@@ -50,4 +50,19 @@ object Stage {
     })
     spark.read.parquet(dir)
   }
+
+  /** Multi-artifact variant for models with several output frames (a
+    * trained quantizer's assignment + centroid tables): `build(dir)`
+    * writes its artifacts under `dir` the first time `cacheKey` is
+    * seen; returns the directory for the caller to read subpaths back.
+    * NB `build` must not call Stage with another key on the SAME map
+    * re-entrantly from the mapping function — resolve nested staged
+    * inputs BEFORE entering the build (computeIfAbsent must not nest). */
+  def dir(cacheKey: String)(build: String => Unit): String =
+    staged.computeIfAbsent(cacheKey, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stage_")
+        .toAbsolutePath.toString
+      build(d)
+      d
+    })
 }

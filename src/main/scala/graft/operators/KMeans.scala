@@ -87,32 +87,35 @@ object KMeans {
   }
 
   /** `iters` Lloyd rounds from the deterministic init; returns the
-    * final assignment (vec_id, v, cluster, d2). The training vectors
-    * are cached (the standard move for iterative Lloyd's — every round
-    * rescans them) and each round's k-row centroid table is cached so
-    * later rounds don't re-run the whole preceding lineage. Caching
-    * pays above `cacheFromIters` rounds — at the fixture's 2 rounds
-    * the rescan is cheaper than the cache write, so it stays off. */
+    * final assignment (vec_id, v, cluster, d2), read back from the
+    * staged model artifact (see [[fitModel]]). */
   def fit(emb: DataFrame, k: Int = 8, iters: Int = 2,
           cacheFromIters: Int = 3): DataFrame =
-    fitCore(emb, k, iters, cacheFromIters)._1
+    fitModel(emb, k, iters, cacheFromIters)._1
 
-  /** Like fit, but also returns the trained centroid table (cid, c) —
-    * the quantizer model the nprobe search ranks clusters against.
-    *
-    * The returned centroids are tracked-persisted (k rows — storage is
-    * negligible): a dual-output consumer reads the centroid table
-    * BESIDE the assignment (annIvfNprobe broadcasts it next to the
-    * nv candidate table), and without the cache that second consumer
-    * re-runs the entire Lloyd chain just to rebuild k rows (measured:
-    * ann_ivf_nprobe 3.00 s -> 2.15 s quiet min-of-3 at sf0.1). fit()
-    * deliberately does NOT do this — forcing the k-row materialization
-    * in the single-consumer path broke assign-chain fusion and cost
-    * ivf_kmeans 0.54 s -> 1.31 s in the same experiment. */
+  /** The trained Lloyd model (assignment, centroids), STAGED once per
+    * (corpus, k, iters) via [[graft.Stage]] — r12, the IVFADC artifact
+    * pattern widened to the whole quantizer family: ivf_kmeans /
+    * doc_clusters / ann_ivf / ann_ivf_nprobe / sem_dedup /
+    * cluster_outliers and the IVFADC coarse stage all train
+    * byte-identical models (the IVFADC coarse call even shares
+    * ann_ivf's exact key), and each was re-running the full Lloyd chain
+    * per query. Inside the one build: the final centroid frame is
+    * tracked-persisted BEFORE the assignment write so the write's
+    * broadcast-assign populates the k-row cache and the centroid
+    * artifact then writes from cache, not by re-running the chain. */
   def fitModel(emb: DataFrame, k: Int = 8, iters: Int = 2,
                cacheFromIters: Int = 3): (DataFrame, DataFrame) = {
-    val (assigned, centroids) = fitCore(emb, k, iters, cacheFromIters)
-    (assigned, graft.Caches.track(centroids))
+    val spark = emb.sparkSession
+    val d = graft.Stage.dir(
+      graft.Stage.key(emb, "kmeans_model", k, iters)) { dir =>
+      val (assigned, centroids) = fitCore(emb, k, iters, cacheFromIters)
+      val cen = graft.Caches.track(centroids)
+      assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+      cen.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+    (spark.read.parquet(s"$d/assigned"),
+      spark.read.parquet(s"$d/centroids"))
   }
 
   private def fitCore(emb: DataFrame, k: Int, iters: Int,
@@ -371,6 +374,24 @@ object KMeans {
     (assigned, cents)
   }
 
+  /** [[fitBlocks]] staged once per (base, m, k, iters, sub) — the
+    * pqEncode / topk_pq pair trains byte-identical codebooks (same
+    * artifact discipline as [[fitModel]]; the IVFADC residual trainer
+    * keeps its own artifact directory and calls fitBlocks directly). */
+  private def stagedBlocks(base: DataFrame, m: Int, k: Int, iters: Int,
+                           sub: Int): (DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    val d = graft.Stage.dir(
+      graft.Stage.key(base, "pq_blocks", m, k, iters, sub)) { dir =>
+      val (assigned, cents) = fitBlocks(base, m, k, iters, sub)
+      val cen = graft.Caches.track(cents)
+      assigned.write.mode("overwrite").parquet(s"$dir/passigned")
+      cen.coalesce(1).write.mode("overwrite").parquet(s"$dir/pcents")
+    }
+    (spark.read.parquet(s"$d/passigned"),
+      spark.read.parquet(s"$d/pcents"))
+  }
+
   /** Per-vector wide code row off the blocked assignment: codes (and
     * optionally per-block d2) pivot through ONE (vec_id)-keyed
     * aggregation — no m-way self-join. */
@@ -389,7 +410,7 @@ object KMeans {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val (assigned, _) = fitBlocks(base, m, k, iters, dim / m)
+    val (assigned, _) = stagedBlocks(base, m, k, iters, dim / m)
     val err = (0 until m).map(j => col(s"__d$j")).reduce(_ + _)
     pqCodesWide(assigned, m, withD2 = true)
       .select(col("vec_id") +:
@@ -418,13 +439,13 @@ object KMeans {
       org.apache.spark.sql.graft.Dist2F64Expr(a, b)
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val (assigned, cents) = fitBlocks(base, m, k, iters, dim / m)
+    val (assigned, cents) = stagedBlocks(base, m, k, iters, dim / m)
     // (query, blk, cid, dj) table — nQueries × m × k rows, broadcast;
-    // queries reuse the same long-format cached frame the trainer read
+    // queries reuse the staged long-format assignment the trainer wrote
     val dtab = assigned.filter(col("vec_id") < nQueries)
       .select(col("blk"), col("vec_id").as("query_id"),
         col("v").as("__qv"))
-      .join(broadcast(graft.Caches.track(cents)), Seq("blk"))
+      .join(broadcast(cents), Seq("blk"))
       .select(col("blk"), col("query_id"), col("cid"),
         d2e(col("__qv"), col("c")).as("dj"))
     // candidates: every (blk, code) row meets its per-query lookup

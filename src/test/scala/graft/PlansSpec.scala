@@ -58,9 +58,12 @@ class PlansSpec extends SparkTestBase {
 
   test("broadcast joins are used where a small side exists") {
     // the similarity family must broadcast its query/centroid side, not
-    // shuffle the big candidate table against it
+    // shuffle the big candidate table against it. (pq_encode is no
+    // longer here: since the r12 model staging its query plan is the
+    // artifact read-back + ONE vec_id-keyed pivot aggregate — the
+    // codebook broadcasts live inside the one-time staged build.)
     Seq("topk_cosine", "ann_lsh", "ann_lsh_multiprobe", "ann_ivf",
-        "ann_ivf_nprobe", "pq_encode", "topk_pq", "ann_ivfadc",
+        "ann_ivf_nprobe", "topk_pq", "ann_ivfadc",
         "ann_ivfadc_nprobe", "proj_recall")
       .foreach { q =>
         assert(plans(q).contains("BroadcastExchange")
