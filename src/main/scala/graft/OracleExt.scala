@@ -790,6 +790,40 @@ object OracleExt {
            den > 0 AND num >= CAST(3841459 AS HUGEINT) * den AS significant
     FROM l2 ORDER BY n0"""
 
+  /** Twin of Stats.mannWhitney — doubled-U integer lanes, cumulative
+    * #B via a plain value-ordered window (the count table is
+    * value-domain-sized; the Spark side's Prefix sweep computes the
+    * identical inclusive cumsum), HUGEINT cross-multiplication for the
+    * z² verdict mirroring the DECIMAL(38,0) lanes. */
+  def mannWhitney(typeA: String, typeB: String): String = s"""
+    WITH v AS (SELECT event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events
+               WHERE event_type IN (${sqlStr(typeA)}, ${sqlStr(typeB)})),
+    c AS (SELECT cents,
+            CAST(sum(CASE WHEN event_type = ${sqlStr(typeA)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+            CAST(sum(CASE WHEN event_type = ${sqlStr(typeB)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+          FROM v GROUP BY cents),
+    cum AS (SELECT na_v, nb_v,
+              sum(nb_v) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nb
+            FROM c),
+    agg AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+              CAST(sum(nb_v) AS BIGINT) AS n_b,
+              CAST(sum(na_v * (2 * (cum_nb - nb_v) + nb_v)) AS BIGINT)
+                AS u2_a
+            FROM cum)
+    SELECT n_a, n_b, u2_a,
+           CAST(CAST(1000000 AS HUGEINT) * u2_a
+             // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS auc_ppm,
+           CAST(3 AS HUGEINT) * (u2_a - n_a * n_b) * (u2_a - n_a * n_b)
+             * 1000000
+             >= CAST(3841459 AS HUGEINT) * n_a * n_b * (n_a + n_b + 1)
+             AS significant
+    FROM agg ORDER BY n_a"""
+
   /** Twin of Stats.weeklyProfile — ISO dow from epoch-day arithmetic
     * (day 0 = Thursday → +3 mod 7), no calendar functions. */
   val weeklyProfile: String = """
@@ -2549,6 +2583,67 @@ object OracleExt {
     c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < ($kSql)),
     $rounds"""
   }
+
+  /** Shared CTE chain of the PCA twins — the exact float choreography
+    * of Pca.model: fixed-point BIGINT lanes for every corpus-sized sum,
+    * list_dot_product (sequential fold, matches DotF64Expr
+    * bit-for-bit) for the per-row scalars, e₁ init, `iters` unrolled
+    * power rounds ending in w$iters (w, nrm). */
+  private def pcaCtes(iters: Int): String = {
+    val d = 64
+    val muSums = (0 until d).map(j =>
+      s"SUM(CAST(floor(v[${j + 1}] * 1000000) AS BIGINT)) AS s$j")
+      .mkString(", ")
+    val muList = (0 until d).map(j =>
+      s"CAST(s$j AS DOUBLE) / 1000000.0 / n").mkString("[", ", ", "]")
+    val w0 = (0 until d).map(j => if (j == 0) "1" else "0")
+      .mkString("CAST([", ", ", "] AS DOUBLE[])")
+    val rounds = (1 to iters).map { i =>
+      val lanes = (0 until d).map(j =>
+        s"SUM(CAST(floor(s * v[${j + 1}] * 1000000) AS BIGINT)) AS y$j")
+        .mkString(", ")
+      val yList = (0 until d).map(j =>
+        s"CAST(y$j AS DOUBLE) / 1000000.0 - m.mu[${j + 1}]" +
+          s" * (CAST(ss AS DOUBLE) / 1000000.0)")
+        .mkString("[", ", ", "]")
+      s"""
+    s$i AS MATERIALIZED (SELECT e.v,
+            list_dot_product(e.v, w.w) - list_dot_product(m.mu, w.w) AS s
+          FROM e, w${i - 1} w, mu m),
+    y0$i AS (SELECT SUM(CAST(floor(s * 1000000) AS BIGINT)) AS ss, $lanes
+             FROM s$i),
+    y$i AS (SELECT $yList AS y FROM y0$i, mu m),
+    n$i AS (SELECT y, sqrt(list_dot_product(y, y)) AS nrm FROM y$i),
+    w$i AS MATERIALIZED (SELECT list_transform(y, x -> x / nrm) AS w, nrm
+                         FROM n$i)"""
+    }.mkString(",")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    mu0 AS (SELECT count(*) AS n, $muSums FROM e),
+    mu AS MATERIALIZED (SELECT $muList AS mu FROM mu0),
+    w0 AS (SELECT $w0 AS w, CAST(0 AS DOUBLE) AS nrm FROM mu),$rounds"""
+  }
+
+  /** Twin of Pca.topComponent. */
+  def pcaTop(iters: Int): String = s"""
+    WITH ${pcaCtes(iters)}
+    SELECT CAST(t.range AS BIGINT) AS j,
+           CAST(floor(w.w[CAST(t.range AS INT)] * 1000000) AS BIGINT)
+             AS comp_micro,
+           CAST(floor(w.nrm * 1000) AS BIGINT) AS eigval_milli
+    FROM w$iters w, range(1, 65) t
+    ORDER BY j"""
+
+  /** Twin of Pca.projectionOutliers. */
+  def pcaOutliers(iters: Int, topK: Int): String = s"""
+    WITH ${pcaCtes(iters)},
+    p AS (SELECT e.vec_id,
+            CAST(floor((list_dot_product(e.v, w.w)
+              - list_dot_product(m.mu, w.w)) * 1000000) AS BIGINT)
+              AS proj_micro
+          FROM e, w$iters w, mu m)
+    SELECT vec_id, proj_micro, abs(proj_micro) AS mag_micro
+    FROM p ORDER BY mag_micro DESC, vec_id LIMIT $topK"""
 
   /** Twin of KMeans.assignments over TextAnalysis.docVectors — lexical
     * k-means end to end: feature-hash cells → dense integer-count

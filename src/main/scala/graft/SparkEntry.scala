@@ -434,6 +434,16 @@ object SparkEntry {
     "ab_test" -> ((s, dir) =>
       graft.operators.Stats.abTest(LogSource.readEvents(s, dir))
         .orderBy("n0")),
+    // Mann-Whitney U rank-sum test between two types' value
+    // distributions (doubled-U integer lanes, Prefix cumulative)
+    "mannwhitney_u" -> ((s, dir) =>
+      graft.operators.Stats.mannWhitney(LogSource.readEvents(s, dir))),
+    // Top principal component via covariance-free power iteration
+    "pca_top" -> ((s, dir) =>
+      graft.operators.Pca.topComponent(embPar(s, dir))),
+    // Spectral outliers: top-k |projection| onto the top component
+    "pca_outliers" -> ((s, dir) =>
+      graft.operators.Pca.projectionOutliers(embPar(s, dir))),
     // Hour-of-day traffic profile with ppm share + peak flag
     "seasonality" -> ((s, dir) =>
       graft.operators.Stats.seasonality(LogSource.readEvents(s, dir))),
@@ -1345,6 +1355,9 @@ object SparkEntry {
     "scd2_intervals" -> OracleExt.scd2Intervals,
     "trend_slope" -> OracleExt.trendSlope,
     "ab_test" -> OracleExt.abTest("purchase"),
+    "mannwhitney_u" -> OracleExt.mannWhitney("click", "purchase"),
+    "pca_top" -> OracleExt.pcaTop(3),
+    "pca_outliers" -> OracleExt.pcaOutliers(3, 20),
     "seasonality" -> OracleExt.seasonality,
     "triangle_count" -> OracleExt.triangleCount,
     "star_join" -> OracleExt.revenueByNation,

@@ -548,4 +548,52 @@ object Stats {
         expr("((s - sl) * 1000) div (n - i)").as("right_mean_milli"))
       .orderBy(col("event_type"))
   }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) between two event types' value
+    * distributions — the nonparametric two-sample location test beside
+    * the parametric [[abTest]] and the distributional [[Profile]] KS
+    * drift: no normality assumption, robust to the heavy right tails
+    * revenue-like values actually have.
+    *
+    * Exact integer throughout: values floor to cents; U is computed
+    * from the per-distinct-value count table via
+    * U_A = Σ_v nA(v)·(#B below v) + ½·nA(v)·nB(v), carried DOUBLED
+    * (u2 = 2U) so ties never mint a fraction. The cumulative #B rides
+    * the shared [[Prefix]] sweep over the value-domain-sized count
+    * table — never a corpus-sized single-task window. Effect size is
+    * the common-language AUC ppm = U_A/(nA·nB); significance is the
+    * normal approximation decided by exact cross-multiplication
+    * (z² ≥ 3.841459 ⟺ 3·D²·10⁶ ≥ 3 841 459·nA·nB·(n+1) with
+    * D = u2_a − nA·nB = 2U_A − nA·nB) in DECIMAL(38,0)/HUGEINT lanes —
+    * no sqrt, no float, no tie-correction term (fixture cents ties are
+    * rare; the conservative untied variance is the documented choice).
+    * One output row at any corpus scale. */
+  def mannWhitney(events: DataFrame, typeA: String = "click",
+                  typeB: String = "purchase"): DataFrame = {
+    val counts = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L))
+          .as("na_v"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L))
+          .as("nb_v"))
+    Prefix.inclusiveCumsum(counts,
+        floor(col("cents") / lit(1000d)).cast("long"), col("cents"),
+        Seq("nb" -> col("nb_v")))
+      .select(col("na_v"), col("nb_v"), col("cum_nb"))
+      .agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
+        sum(col("na_v") * (lit(2L) * (col("cum_nb") - col("nb_v"))
+          + col("nb_v"))).as("u2_a"))
+      .select(col("n_a"), col("n_b"), col("u2_a"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * u2_a" +
+          " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("auc_ppm"),
+        expr("""CAST(3 AS DECIMAL(38,0)) * (u2_a - n_a * n_b)
+                * (u2_a - n_a * n_b) * 1000000
+                >= CAST(3841459 AS DECIMAL(38,0)) * n_a * n_b
+                   * (n_a + n_b + 1)""").as("significant"))
+      .orderBy(col("n_a"))
+  }
 }
