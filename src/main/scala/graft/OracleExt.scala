@@ -824,6 +824,78 @@ object OracleExt {
              AS significant
     FROM agg ORDER BY n_a"""
 
+  /** Twin of Curation.filterKappa — both scoring twins composed as
+    * CTEs; HUGEINT lanes mirror the DECIMAL(38,0) sides; the κ ppm is
+    * the sign-explicit truncation (the communityModularity rendering,
+    * since κ can be negative). */
+  def filterKappa(enStop: Seq[String], threshold: Long,
+                  reqStop: Seq[String], minWords: Long,
+                  maxWords: Long): String = s"""
+    WITH q AS (${qualityScore(enStop, threshold)
+      .replace("ORDER BY doc_id", "")}),
+    g AS (${gopherRules(reqStop, minWords, maxWords)
+      .replace("ORDER BY doc_id", "")}),
+    j AS (SELECT q.keep AS qk, g.keep AS gk
+          FROM q JOIN g ON q.doc_id = g.doc_id),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN qk AND gk THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_both_keep,
+            CAST(sum(CASE WHEN qk AND NOT gk THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_q_only,
+            CAST(sum(CASE WHEN NOT qk AND gk THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_g_only,
+            CAST(sum(CASE WHEN NOT qk AND NOT gk THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both_drop
+          FROM j),
+    l AS (SELECT *,
+            CAST(n_both_keep + n_both_drop AS HUGEINT) * n_docs
+              - (CAST(n_both_keep + n_q_only AS HUGEINT)
+                   * (n_both_keep + n_g_only)
+                 + CAST(n_g_only + n_both_drop AS HUGEINT)
+                   * (n_q_only + n_both_drop)) AS knum,
+            CAST(n_docs AS HUGEINT) * n_docs
+              - (CAST(n_both_keep + n_q_only AS HUGEINT)
+                   * (n_both_keep + n_g_only)
+                 + CAST(n_g_only + n_both_drop AS HUGEINT)
+                   * (n_q_only + n_both_drop)) AS kden
+          FROM a)
+    SELECT n_docs, n_both_keep, n_q_only, n_g_only, n_both_drop,
+           CAST(1000000 * (n_both_keep + n_both_drop) // n_docs AS BIGINT)
+             AS agree_ppm,
+           CASE WHEN kden = 0 THEN NULL ELSE
+             CAST((CASE WHEN knum < 0 THEN -1
+                        WHEN knum > 0 THEN 1 ELSE 0 END)
+               * (CAST(1000000 AS HUGEINT) * abs(knum) // kden) AS BIGINT)
+           END AS kappa_ppm
+    FROM l ORDER BY n_docs"""
+
+  /** Twin of Coreset.kCenter — the greedy rounds unrolled; min-dist²
+    * per vector against the cumulative chosen set, argmax by
+    * (d2 DESC, vec_id ASC). */
+  def coresetKCenter(k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      s"""
+    d$i AS (SELECT e.vec_id, min(${sqlDist2("e.v", "c.v")}) AS d2
+            FROM e, a${i - 1} c GROUP BY e.vec_id),
+    b$i AS (SELECT vec_id, d2 FROM d$i ORDER BY d2 DESC, vec_id LIMIT 1),
+    ch$i AS MATERIALIZED (SELECT e.vec_id, e.v, b.d2
+                          FROM e JOIN b$i b USING (vec_id)),
+    a$i AS (SELECT vec_id, v FROM a${i - 1}
+            UNION ALL SELECT vec_id, v FROM ch$i)"""
+    }.mkString(",")
+    val outs = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, vec_id,
+          CAST(floor(d2 * 1000) AS BIGINT) AS sel_d2_milli FROM ch$i"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ch1 AS MATERIALIZED (SELECT vec_id, v, CAST(0 AS DOUBLE) AS d2
+            FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+    a1 AS (SELECT vec_id, v FROM ch1),$rounds
+    SELECT round, vec_id, sel_d2_milli FROM ($outs) ORDER BY round"""
+  }
+
   /** Twin of Stats.weeklyProfile — ISO dow from epoch-day arithmetic
     * (day 0 = Thursday → +3 mod 7), no calendar functions. */
   val weeklyProfile: String = """

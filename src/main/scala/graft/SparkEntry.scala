@@ -820,6 +820,12 @@ object SparkEntry {
     // Gopher rule filter (published thresholds, exact integer forms)
     "gopher_rules" -> ((s, dir) =>
       graft.operators.Curation.gopherRules(docsPar(s, dir)).orderBy("doc_id")),
+    // Cohen's kappa between the two quality laws (chance-corrected)
+    "filter_kappa" -> ((s, dir) =>
+      graft.operators.Curation.filterKappa(docsPar(s, dir))),
+    // Greedy k-center coreset (farthest-point traversal, k=8)
+    "coreset_kcenter" -> ((s, dir) =>
+      graft.operators.Coreset.kCenter(embPar(s, dir))),
     // Per-source quality dashboard: both quality laws side by side
     "source_quality" -> ((s, dir) =>
       graft.operators.Curation.sourceQuality(docsPar(s, dir))
@@ -1280,6 +1286,10 @@ object SparkEntry {
     "source_quality" -> OracleExt.sourceQuality(
       TextAnalysis.stopwords("en"), 3000,
       graft.operators.Curation.gopherStopwords, 50, 100000),
+    "filter_kappa" -> OracleExt.filterKappa(
+      TextAnalysis.stopwords("en"), 3000,
+      graft.operators.Curation.gopherStopwords, 50, 100000),
+    "coreset_kcenter" -> OracleExt.coresetKCenter(8),
     "train_test_split" -> OracleExt.trainTestSplit,
     "kfold_split" -> OracleExt.kfoldSplit(5),
     "stratified_sample" -> OracleExt.stratifiedSample,

@@ -107,6 +107,58 @@ object Curation {
           && col("r_stopwords"))
   }
 
+  /** Agreement audit between the two quality laws — Cohen's kappa of
+    * [[TextAnalysis.qualityScore]]'s additive keep verdict vs
+    * [[gopherRules]]' rule-conjunction verdict, chance-corrected: raw
+    * agreement flatters any pair of filters that both keep (or both
+    * drop) nearly everything, which is exactly the regime corpus
+    * filters live in. κ > ~0.6 means the cheap score can stand in for
+    * the rule set on a pre-pass; κ near 0 means they test different
+    * things and must compose.
+    *
+    * Exact arithmetic: with a = both-keep + both-drop and
+    * p = Σ marginal products, κ = (a·n − p)/(n² − p) — emitted as the
+    * exact rational plus the sign-explicit truncated ppm (the
+    * community_modularity convention, since κ can be negative).
+    * DECIMAL(38,0) lanes carry n² beyond BIGINT at warehouse scale.
+    * One doc-keyed join of two per-row projections (the quality side
+    * reads the staged score frame), then a 1-row aggregate. */
+  def filterKappa(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityScoreStaged(docs)
+      .select(col("doc_id"), col("keep").as("__qk"))
+      .join(gopherRules(docs).select(col("doc_id"), col("keep").as("__gk")),
+        "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__qk") && col("__gk"), 1L).otherwise(0L))
+          .as("n_both_keep"),
+        sum(when(col("__qk") && !col("__gk"), 1L).otherwise(0L))
+          .as("n_q_only"),
+        sum(when(!col("__qk") && col("__gk"), 1L).otherwise(0L))
+          .as("n_g_only"),
+        sum(when(!col("__qk") && !col("__gk"), 1L).otherwise(0L))
+          .as("n_both_drop"))
+      .select(col("*"),
+        expr("1000000 * (n_both_keep + n_both_drop) div n_docs")
+          .as("agree_ppm"),
+        expr("""CAST((n_both_keep + n_both_drop) AS DECIMAL(38,0)) * n_docs
+                - (CAST(n_both_keep + n_q_only AS DECIMAL(38,0))
+                     * (n_both_keep + n_g_only)
+                   + CAST(n_g_only + n_both_drop AS DECIMAL(38,0))
+                     * (n_q_only + n_both_drop))""").as("__knum"),
+        expr("""CAST(n_docs AS DECIMAL(38,0)) * n_docs
+                - (CAST(n_both_keep + n_q_only AS DECIMAL(38,0))
+                     * (n_both_keep + n_g_only)
+                   + CAST(n_g_only + n_both_drop AS DECIMAL(38,0))
+                     * (n_q_only + n_both_drop))""").as("__kden"))
+      .select(col("n_docs"), col("n_both_keep"), col("n_q_only"),
+        col("n_g_only"), col("n_both_drop"), col("agree_ppm"),
+        when(col("__kden") === 0, lit(null).cast("long"))
+          .otherwise(signum(col("__knum")).cast("long") *
+            expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * abs(__knum)
+                    div __kden AS BIGINT)"""))
+          .as("kappa_ppm"))
+      .orderBy(col("n_docs"))
+
   /** Per-source curation dashboard — the table that decides which
     * crawl sources to up/down-weight before any expensive dedup runs:
     * doc volume, integer mean quality score, and the keep rates of

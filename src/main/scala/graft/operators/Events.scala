@@ -518,19 +518,34 @@ object Events {
     * the unique event_id. One user-keyed window shuffle (lead), then
     * a |vocab|²-sized aggregate; row totals broadcast back. */
   def transitionMatrix(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(unix_micros(col("ts")), col("event_id"))
-    val pairs = events
-      .select(col("event_type").as("from_type"),
-        lead(col("event_type"), 1).over(w).as("to_type"))
-      .filter(col("to_type").isNotNull)
-      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val pairs = stagedTransitionPairs(events)
+      .select(col("src").as("from_type"), col("dst").as("to_type"),
+        col("c").as("n"))
     val totals = pairs.groupBy("from_type")
       .agg(sum("n").as("__row_total"))
     pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
         expr("(1000000 * n) div __row_total").as("p_ppm"))
   }
+
+  /** Directed consecutive-transition pair counts (src, dst, c), STAGED
+    * once per corpus via [[graft.Stage]]: [[transitionMatrix]],
+    * [[graft.operators.Graph.pagerankEvents]], and
+    * [[graft.operators.Graph.triangleCount]] each collapsed the same
+    * user-keyed lead window to this vocab²-bounded table — one corpus
+    * window pass now serves all three. */
+  private[operators] def stagedTransitionPairs(events: DataFrame)
+      : DataFrame =
+    graft.Stage.parquet(events.sparkSession,
+      graft.Stage.key(events, "event_transition_pairs")) {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      events
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    }
 
   /** CUSUM change-point detection (Page 1954) over per-type hourly
     * counts — the sequential drift detector that catches a SUSTAINED

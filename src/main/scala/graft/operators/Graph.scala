@@ -31,13 +31,7 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   def pagerankEvents(events: DataFrame, iters: Int = 5): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(unix_micros(col("ts")), col("event_id"))
-    val pairs = events
-      .select(col("event_type").as("src"),
-        lead(col("event_type"), 1).over(w).as("dst"))
-      .filter(col("dst").isNotNull)
-      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    val pairs = Events.stagedTransitionPairs(events)
     val edges = graft.Caches.track(
       pairs.join(pairs.groupBy("src").agg(sum(col("c")).as("out")), "src")
         .select(col("src"), col("dst"),
@@ -84,14 +78,10 @@ object Graph {
     * edge endpoints, skew-handled by the a<b<c orientation (each
     * triangle probes its lowest-degree-ordered corner once). */
   def triangleCount(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(unix_micros(col("ts")), col("event_id"))
-    val edges = graft.Caches.track(events
-      .select(col("event_type").as("s"),
-        lead(col("event_type"), 1).over(w).as("d"))
-      .filter(col("d").isNotNull && col("s") =!= col("d"))
-      .select(least(col("s"), col("d")).as("a"),
-        greatest(col("s"), col("d")).as("b"))
+    val edges = graft.Caches.track(Events.stagedTransitionPairs(events)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
       .distinct())
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
