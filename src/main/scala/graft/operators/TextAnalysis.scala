@@ -25,12 +25,30 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     org.apache.spark.sql.graft.WordTokensExpr(text)
 
-  /** Term frequency — the classic wordcount: explode + groupBy(term).
-    * At scale: map-side partial aggregation absorbs the Zipf head before
-    * the single shuffle on term; no skew problem. */
+  /** Per-(doc, term) term frequencies — THE base table of the lexical
+    * family, staged once per corpus via [[graft.Stage]] (r12):
+    * termFreq/termStats/keywordExtract/termCooc/invertedIndex/tfidfSim
+    * each re-ran the tokenize+explode corpus pass to reach (a
+    * projection of) this exact table. The artifact is the classic
+    * warehouse "term posting base": smaller than the raw token stream
+    * (tf collapses repeats, map-side combined), doc_id-and-term keyed,
+    * and every consumer's first aggregate now starts from a columnar
+    * scan of it. Streaming inputs bypass staging (per micro-batch). */
+  def stagedDocTermTf(docs: DataFrame): DataFrame = {
+    def plan = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    if (docs.isStreaming) plan
+    else graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "doc_term_tf"))(plan)
+  }
+
+  /** Term frequency — the classic wordcount, as the term-marginal of
+    * the staged (doc, term, tf) table: one vocab-keyed aggregate over
+    * the artifact instead of a corpus tokenize+explode. */
   def termFreq(docs: DataFrame): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    stagedDocTermTf(docs)
+      .groupBy("term").agg(sum(col("tf")).as("cnt"))
 
   /** Inverted index for the df-band of DISCRIMINATIVE terms: term →
     * sorted posting list of doc_ids, restricted to df ∈ [minDf, maxDf]
@@ -45,8 +63,7 @@ object TextAnalysis {
     * comma-joined sorted string (the one deterministic cross-engine
     * rendering of a list column). */
   def invertedIndex(docs: DataFrame, minDf: Int = 2, maxDf: Int = 400): DataFrame = {
-    val postings = docs.select(col("doc_id"),
-      explode(array_distinct(tokens(col("text")))).as("term"))
+    val postings = stagedDocTermTf(docs).select(col("doc_id"), col("term"))
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
     postings.join(dfs, Seq("term"))
@@ -218,9 +235,7 @@ object TextAnalysis {
     * after the map-side join. */
   def termCooc(docs: DataFrame, maxDf: Int = 100000,
                minPairCount: Long = 5L): DataFrame = {
-    val dt = graft.Caches.track(docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
-        .as("term")))
+    val dt = stagedDocTermTf(docs).select(col("doc_id"), col("term"))
     val nd = docs.agg(count(lit(1)).as("nd"))
     val dfs = dt.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -356,9 +371,7 @@ object TextAnalysis {
   def tfidfSim(docs: DataFrame, nQueries: Int = 10, k: Int = 5,
                maxDf: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = graft.Caches.track(docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val tf = stagedDocTermTf(docs)
     val nd = docs.agg(count(lit(1)).as("nd"))
     val w = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -412,13 +425,13 @@ object TextAnalysis {
     * is left to consumers; transcendentals don't cross the oracle
     * boundary). One explode + one aggregation per quantity, both with
     * map-side partial agg. */
-  def termStats(docs: DataFrame): DataFrame = {
-    val perDoc = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("term"))
-    perDoc.groupBy("term").agg(
-      count(lit(1)).as("tf"),
-      count_distinct(col("doc_id")).as("df"))
-  }
+  def termStats(docs: DataFrame): DataFrame =
+    // tf = Σ per-doc tf, df = rows per term — both marginals of the
+    // staged table (the old count_distinct(doc_id) needed a second
+    // corpus-wide expand; the (doc, term) key makes df a plain count)
+    stagedDocTermTf(docs).groupBy("term").agg(
+      sum(col("tf")).as("tf"),
+      count(lit(1)).as("df"))
 
   /** Per-document keyword extraction: top-N terms ranked by the
     * integer tf/df ratio score (tf · 1e6 div df — a log-free TF-IDF
@@ -430,9 +443,7 @@ object TextAnalysis {
     * corpus scale), the final top-N is a bounded per-doc window. */
   def keywordExtract(docs: DataFrame, topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = graft.Caches.track(
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val tf = stagedDocTermTf(docs)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
       .withColumn("score_micro", expr("(tf * 1000000) div df"))
