@@ -167,13 +167,26 @@ object Profile {
     * local rank = global cum − (global cum at the group's end − group
     * total), a groups-sized broadcast. Serial state never exceeds
     * block totals; no partition is ever group-sized. */
+  /** Per-(event_type, value) counts — the shared base of the
+    * distributional Profile family, staged once per corpus via
+    * [[graft.Stage]] (r12): groupedPercentiles (and winsorize through
+    * it) and quantileNormalize each re-ran the same corpus groupBy to
+    * reach this distinct-value-sized table. Streaming inputs bypass
+    * staging. */
+  private def stagedTypeValueCounts(events: DataFrame): DataFrame = {
+    def plan = events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    if (events.isStreaming) plan
+    else graft.Stage.parquet(events.sparkSession,
+      graft.Stage.key(events, "type_value_counts"))(plan)
+  }
+
   def groupedPercentiles(events: DataFrame, pcts: Seq[Int] = Seq(50, 90))
       : DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p > 0 && p < 100))
-    val counts = graft.Caches.track(events
-      .filter(col("value").isNotNull)
-      .groupBy(col("event_type"), col("value"))
-      .agg(count(lit(1)).as("n")))
+    val counts = graft.Caches.track(stagedTypeValueCounts(events))
     val cum = Prefix.inclusiveCumsum(counts,
       struct(col("event_type"), floor(col("value")).cast("long")),
       struct(col("event_type"), col("value")),
@@ -204,10 +217,7 @@ object Profile {
     * work is distinct-value-sized, only the final join touches corpus
     * rows. cdf_ppm = ⌊1e6·rank/total⌋, all integer. */
   def quantileNormalize(events: DataFrame): DataFrame = {
-    val counts = graft.Caches.track(events
-      .filter(col("value").isNotNull)
-      .groupBy(col("event_type"), col("value"))
-      .agg(count(lit(1)).as("n")))
+    val counts = graft.Caches.track(stagedTypeValueCounts(events))
     val cum = Prefix.inclusiveCumsum(counts,
       struct(col("event_type"), floor(col("value")).cast("long")),
       struct(col("event_type"), col("value")),
