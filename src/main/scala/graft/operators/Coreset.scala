@@ -31,7 +31,18 @@ object Coreset {
   private def dist2(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Dist2F64Expr(a, b)
 
-  def kCenter(emb: DataFrame, k: Int = 8): DataFrame = {
+  /** The selection is staged once per (corpus, k) via [[graft.Stage]]
+    * — a chosen seed/eval set is a STORED pipeline artifact (that is
+    * its entire point), and the greedy traversal is an iterative
+    * trainer like the Lloyd chain: select once, read back everywhere. */
+  def kCenter(emb: DataFrame, k: Int = 8): DataFrame =
+    graft.Stage.parquet(emb.sparkSession,
+        graft.Stage.key(emb, "kcenter_coreset", k)) {
+        kCenterPlan(emb, k)
+      }
+      .orderBy(col("round"))
+
+  private def kCenterPlan(emb: DataFrame, k: Int): DataFrame = {
     val vecs = graft.Caches.track(emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v")))
     val seed = vecs.orderBy(col("vec_id")).limit(1)
@@ -54,6 +65,6 @@ object Coreset {
     chosen.zipWithIndex.map { case (c, i) =>
       c.select(lit(i + 1L).as("round"), col("vec_id"),
         floor(col("d2") * 1000L).cast("long").as("sel_d2_milli"))
-    }.reduce(_.unionByName(_)).orderBy(col("round"))
+    }.reduce(_.unionByName(_))
   }
 }
