@@ -1634,6 +1634,93 @@ object OracleExt {
            AND a.doc_id < b.doc_id)
     ORDER BY d.doc_id"""
 
+  /** Twin of Curation.sourceDupRates — the keep-list's duplicate set
+    * LEFT-joined onto documents, sources-sized dashboard. */
+  val sourceDupRates: String = s"""
+    $bandsCte
+    SELECT source, n_docs, n_dupes,
+           CAST(1000000 * n_dupes // n_docs AS BIGINT) AS dup_ppm
+    FROM (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dupes
+          FROM documents d
+          LEFT JOIN (SELECT DISTINCT b.doc_id
+                     FROM bands a JOIN bands b
+                       ON a.band_id = b.band_id
+                          AND a.band_key = b.band_key
+                          AND a.doc_id < b.doc_id) dup
+            ON d.doc_id = dup.doc_id
+          GROUP BY d.source)
+    ORDER BY source"""
+
+  /** Twin of Curation.dupQualityGap — quality twin composed beside the
+    * duplicate set; the mean gap as the sign-explicit HUGEINT milli. */
+  def dupQualityGap(enStop: Seq[String], threshold: Long): String = s"""
+    $bandsCte,
+    q AS (${qualityScore(enStop, threshold)
+      .replace("ORDER BY doc_id", "")}),
+    dup AS (SELECT DISTINCT b.doc_id
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id),
+    agg AS (SELECT
+        CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(sum(CASE WHEN d.doc_id IS NULL THEN q.score ELSE 0 END)
+          AS BIGINT) AS sum_kept,
+        CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dupes,
+        CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN q.score ELSE 0 END)
+          AS BIGINT) AS sum_dupes
+      FROM q LEFT JOIN dup d ON q.doc_id = d.doc_id)
+    SELECT n_kept, sum_kept, n_dupes, sum_dupes,
+           CASE WHEN n_kept = 0 OR n_dupes = 0 THEN NULL ELSE
+             CAST((CASE WHEN sum_kept * CAST(n_dupes AS HUGEINT)
+                             - sum_dupes * CAST(n_kept AS HUGEINT) < 0
+                        THEN -1
+                        WHEN sum_kept * CAST(n_dupes AS HUGEINT)
+                             - sum_dupes * CAST(n_kept AS HUGEINT) > 0
+                        THEN 1 ELSE 0 END)
+               * (CAST(1000 AS HUGEINT)
+                  * abs(sum_kept * CAST(n_dupes AS HUGEINT)
+                        - sum_dupes * CAST(n_kept AS HUGEINT))
+                  // (CAST(n_kept AS HUGEINT) * n_dupes)) AS BIGINT)
+           END AS gap_milli
+    FROM agg ORDER BY n_kept"""
+
+  /** Twin of Sampling.budgetAllocation — per-source token totals off
+    * the token-list lengths, floor-mean quality (pmod form), greedy
+    * cumulative window over the sources-sized frame. */
+  def budgetAllocation(enStop: Seq[String], threshold: Long,
+                       budgetTokens: Long): String = s"""
+    WITH toks AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS t
+                  FROM documents),
+    q AS (${qualityScore(enStop, threshold)
+      .replace("ORDER BY doc_id", "")}),
+    per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(t.t) AS BIGINT) AS n_tokens,
+              CAST(sum(q.score) AS BIGINT) AS ss
+            FROM documents d
+            JOIN toks t ON d.doc_id = t.doc_id
+            JOIN q ON d.doc_id = q.doc_id
+            GROUP BY d.source),
+    m AS (SELECT source, n_docs, n_tokens,
+            (ss - ((ss % n_docs) + n_docs) % n_docs) // n_docs
+              AS mean_score
+          FROM per),
+    c AS (SELECT *,
+            CAST(sum(n_tokens) OVER (ORDER BY mean_score DESC, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+          FROM m)
+    SELECT source, n_docs, n_tokens, CAST(mean_score AS BIGINT)
+             AS mean_score, cum_tokens,
+           CAST(CASE WHEN cum_tokens <= $budgetTokens THEN 1000000
+                WHEN cum_tokens - n_tokens >= $budgetTokens THEN 0
+                ELSE (1000000 * ($budgetTokens - (cum_tokens - n_tokens)))
+                     // n_tokens END AS BIGINT) AS take_ppm
+    FROM c ORDER BY mean_score DESC, source"""
+
   /** Twin of Curation.sourceQuality — both scoring twins composed as
     * CTEs, |sources|-row dashboard. NB: on BIGINT lanes DuckDB's `//`
     * TRUNCATES toward zero (probed: −1000//3 = −333) while the Spark
@@ -2447,12 +2534,40 @@ object OracleExt {
     * assembly (lead over the token stream, null past the tail),
     * identical min-with-rightmost-tie encoding v = gh·2³¹+(2³¹−1−pos),
     * identical full-window gate (frame count = winSize). */
-  def winnowFingerprints(k: Int, winSize: Int): String = {
+  def winnowFingerprints(k: Int, winSize: Int): String = s"""
+    WITH ${winnowCtes(k, winSize)},
+    shared AS (SELECT fp_hash FROM sel
+               GROUP BY fp_hash HAVING count(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id, s.fp_pos, s.fp_hash,
+           sh.fp_hash IS NOT NULL AS shared
+    FROM sel s LEFT JOIN shared sh ON s.fp_hash = sh.fp_hash
+    ORDER BY s.doc_id, s.fp_pos"""
+
+  /** Twin of TextAnalysis.winnowPairs — the shared winnow chain, hot
+    * fingerprints dropped before the self-join. */
+  def winnowPairs(k: Int, winSize: Int, maxDf: Int,
+                  minShared: Long): String = s"""
+    WITH ${winnowCtes(k, winSize)},
+    fps AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+    cold AS (SELECT fp_hash FROM fps
+             GROUP BY fp_hash HAVING count(*) <= $maxDf),
+    kept AS (SELECT f.doc_id, f.fp_hash
+             FROM fps f JOIN cold USING (fp_hash))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b
+      ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= $minShared
+    ORDER BY doc_a, doc_b"""
+
+  /** Shared winnowing CTE chain (k-gram assembly → select → `sel`
+    * fingerprints) of the two winnow twins. */
+  private def winnowCtes(k: Int, winSize: Int): String = {
     val gram = (0 until k)
       .map(i => if (i == 0) "w" else s"lead(w, $i) OVER wd")
       .mkString(" || ' ' || ")
     s"""
-    WITH tok AS (
+    tok AS (
       SELECT doc_id, s.pos AS pos, s.w AS w
       FROM (SELECT doc_id,
               unnest(list_transform($toks,
@@ -2478,13 +2593,7 @@ object OracleExt {
     sel AS (SELECT DISTINCT doc_id,
                    minv // 2147483648 AS fp_hash,
                    2147483647 - (minv % 2147483648) AS fp_pos
-            FROM mv WHERE cnt = $winSize),
-    shared AS (SELECT fp_hash FROM sel
-               GROUP BY fp_hash HAVING count(DISTINCT doc_id) >= 2)
-    SELECT s.doc_id, s.fp_pos, s.fp_hash,
-           sh.fp_hash IS NOT NULL AS shared
-    FROM sel s LEFT JOIN shared sh ON s.fp_hash = sh.fp_hash
-    ORDER BY s.doc_id, s.fp_pos"""
+            FROM mv WHERE cnt = $winSize)"""
   }
 
   /** Twin of Dedup.cdcChunks — identical boundary/window/positional-

@@ -823,6 +823,18 @@ object SparkEntry {
     // Cohen's kappa between the two quality laws (chance-corrected)
     "filter_kappa" -> ((s, dir) =>
       graft.operators.Curation.filterKappa(docsPar(s, dir))),
+    // Per-source duplicate rates off the LSH keep-list
+    "source_dup_rates" -> ((s, dir) =>
+      graft.operators.Curation.sourceDupRates(docsPar(s, dir))),
+    // Mean quality gap: keep-list survivors vs dropped duplicates
+    "dup_quality_gap" -> ((s, dir) =>
+      graft.operators.Curation.dupQualityGap(docsPar(s, dir))),
+    // Greedy token-budget allocation across sources (knapsack greedy)
+    "budget_allocation" -> ((s, dir) =>
+      Sampling.budgetAllocation(docsPar(s, dir))),
+    // Winnowing (MOSS-style) positional near-dup candidate pairs
+    "winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(docsPar(s, dir))),
     // Greedy k-center coreset (farthest-point traversal, k=8)
     "coreset_kcenter" -> ((s, dir) =>
       graft.operators.Coreset.kCenter(embPar(s, dir))),
@@ -1289,6 +1301,12 @@ object SparkEntry {
     "filter_kappa" -> OracleExt.filterKappa(
       TextAnalysis.stopwords("en"), 3000,
       graft.operators.Curation.gopherStopwords, 50, 100000),
+    "source_dup_rates" -> OracleExt.sourceDupRates,
+    "dup_quality_gap" -> OracleExt.dupQualityGap(
+      TextAnalysis.stopwords("en"), 3000),
+    "budget_allocation" -> OracleExt.budgetAllocation(
+      TextAnalysis.stopwords("en"), 3000, 10000L),
+    "winnow_pairs" -> OracleExt.winnowPairs(3, 4, 64, 2L),
     "coreset_kcenter" -> OracleExt.coresetKCenter(8),
     "train_test_split" -> OracleExt.trainTestSplit,
     "kfold_split" -> OracleExt.kfoldSplit(5),

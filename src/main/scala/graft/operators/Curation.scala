@@ -107,6 +107,60 @@ object Curation {
           && col("r_stopwords"))
   }
 
+  /** Per-source duplicate rates — the FIRST column a crawl dashboard
+    * adds after volume: which sources are mirror farms. Composes the
+    * LSH keep-list ([[Dedup.dedupKeepList]]); one doc-keyed left join
+    * + a sources-sized aggregate. */
+  def sourceDupRates(docs: DataFrame): DataFrame = {
+    val kept = Dedup.dedupKeepList(docs)
+      .select(col("doc_id"), lit(1L).as("__k"))
+    docs.select(col("doc_id"), col("source"))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_dupes"))
+      .select(col("source"), col("n_docs"), col("n_dupes"),
+        expr("(1000000 * n_dupes) div n_docs").as("dup_ppm"))
+      .orderBy("source")
+  }
+
+  /** Are duplicates lower quality than survivors? The mean quality gap
+    * between the LSH keep-list and the dropped set — the empirical
+    * check behind the "dedup improves quality" assumption (Lee et al.
+    * 2022 report exactly this audit). Exact lanes: integer score sums
+    * per side, the gap as sign·(1000·|s_k·n_d − s_d·n_k| div n_k·n_d)
+    * in DECIMAL(38,0)/HUGEINT (the modularity convention — a mean gap
+    * can be negative), NULL when either side is empty. 1 row. */
+  def dupQualityGap(docs: DataFrame): DataFrame = {
+    val kept = Dedup.dedupKeepList(docs)
+      .select(col("doc_id"), lit(1L).as("__k"))
+    TextAnalysis.qualityScoreStaged(docs)
+      .select(col("doc_id"), col("score"))
+      .join(kept, Seq("doc_id"), "left")
+      .agg(
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__k").isNotNull, col("score")).otherwise(0L))
+          .as("sum_kept"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_dupes"),
+        sum(when(col("__k").isNull, col("score")).otherwise(0L))
+          .as("sum_dupes"))
+      .select(col("n_kept"), col("sum_kept"), col("n_dupes"),
+        col("sum_dupes"),
+        when(col("n_kept") === 0 || col("n_dupes") === 0,
+          lit(null).cast("long"))
+          .otherwise(
+            signum(expr("""sum_kept * CAST(n_dupes AS DECIMAL(38,0))
+                           - sum_dupes * CAST(n_kept AS DECIMAL(38,0))"""))
+              .cast("long") *
+              expr("""CAST(CAST(1000 AS DECIMAL(38,0))
+                      * abs(sum_kept * CAST(n_dupes AS DECIMAL(38,0))
+                            - sum_dupes * CAST(n_kept AS DECIMAL(38,0)))
+                      div (CAST(n_kept AS DECIMAL(38,0)) * n_dupes)
+                      AS BIGINT)"""))
+          .as("gap_milli"))
+      .orderBy(col("n_kept"))
+  }
+
   /** Agreement audit between the two quality laws — Cohen's kappa of
     * [[TextAnalysis.qualityScore]]'s additive keep verdict vs
     * [[gopherRules]]' rule-conjunction verdict, chance-corrected: raw

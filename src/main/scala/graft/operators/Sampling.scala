@@ -397,4 +397,48 @@ object Sampling {
         col("mean_milli_all"), col("n_rows"))
       .orderBy(col("n_replicas"))
   }
+
+  /** Greedy token-budget allocation across sources — the planning
+    * table a corpus-mixing run produces before any sampling happens:
+    * sources ranked by floor-mean quality (best first), cumulative
+    * token cost, and the take fraction that exactly exhausts
+    * `budgetTokens` (1e6 ppm for fully-funded sources, a partial ppm
+    * for the boundary source, 0 beyond it — the fractional-knapsack
+    * greedy, optimal when docs within a source are interchangeable).
+    *
+    * Scale: per-source token totals come from the staged (doc, term)
+    * tf table + the staged quality frame — two doc-keyed aggregates —
+    * and the ranking/cumsum window runs over the SOURCES-sized frame
+    * only (bounded domain, never corpus rows). Floor-mean uses the
+    * pmod form (scores can be negative); ordering ties break on the
+    * source name so both engines rank identically. */
+  def budgetAllocation(docs: DataFrame,
+                       budgetTokens: Long = 10000L): DataFrame = {
+    val toks = TextAnalysis.stagedDocTermTf(docs)
+      .groupBy("doc_id").agg(sum(col("tf")).as("__t"))
+    val scored = TextAnalysis.qualityScoreStaged(docs)
+      .select(col("doc_id"), col("score"))
+    val perSource = docs.select(col("doc_id"), col("source"))
+      .join(toks, Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_tokens"),
+        sum(col("score")).as("__ss"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(__ss - pmod(__ss, n_docs)) div n_docs").as("mean_score"))
+    val rank = Window.orderBy(col("mean_score").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSource
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(rank))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_score"), col("cum_tokens"),
+        when(col("cum_tokens") <= budgetTokens, lit(1000000L))
+          .when(col("cum_tokens") - col("n_tokens") >= budgetTokens,
+            lit(0L))
+          .otherwise(expr(s"(1000000 * (${budgetTokens}L" +
+            " - (cum_tokens - n_tokens))) div n_tokens"))
+          .as("take_ppm"))
+      .orderBy(col("mean_score").desc, col("source"))
+  }
 }

@@ -987,4 +987,30 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp_pos"), col("fp_hash"),
         (col("__nd") >= 2).as("shared"))
   }
+
+  /** Winnowing-based near-dup candidate pairs — the MOSS-style
+    * complement to the minhash band join: winnow fingerprints are
+    * POSITIONAL (a guaranteed hit for any shared window of ≥ winSize
+    * k-grams), so a long verbatim passage produces shared fingerprints
+    * even when whole-document Jaccard is tiny — the same blind spot
+    * containmentSim covers, caught at the fingerprint layer. Same
+    * scale discipline as every candidate generator here: hot
+    * fingerprints (shared by > maxDf docs — boilerplate) are dropped
+    * BEFORE the self-join, so pair fan-out is df-bounded, and pairs
+    * must share ≥ minShared surviving fingerprints to surface. */
+  def winnowPairs(docs: DataFrame, k: Int = 3, winSize: Int = 4,
+                  maxDf: Int = 64, minShared: Long = 2L): DataFrame = {
+    val fps = winnowFingerprints(docs, k, winSize)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val cold = fps.groupBy("fp_hash").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp_hash")
+    val kept = graft.Caches.track(fps.join(cold, Seq("fp_hash"), "leftsemi"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.fp_hash") === col("b.fp_hash")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }
