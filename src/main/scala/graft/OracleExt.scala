@@ -3614,6 +3614,75 @@ object OracleExt {
         ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
     WHERE sim_micro >= $minSimMicro ORDER BY vec_a, vec_b"""
 
+  /** Shared CTE chain of the Density.dbscan twins: the blocked
+    * ε-neighbor pairs (same bucket + exact cosine ≥ minSim — verbatim
+    * the [[nearDupPairs]] candidate definition), degrees, the core
+    * set, min-label components over the CORE-CORE subgraph (recursive
+    * reach, as in the dedup-cluster twins), and border attachment to
+    * the min core-neighbor cluster. `lab` ends with one row per
+    * embedding: (vec_id, n_neighbors, role, cluster_id). */
+  private def dbscanCtes(minSimMicro: Long, minPts: Int,
+                         ps: Seq[Seq[Long]]): String = s"""
+    WITH RECURSIVE $normCte,
+    nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n),
+    pairs AS (SELECT vec_a, vec_b FROM (
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+               CAST(floor($cosSql * 1000000) AS BIGINT) AS sim_micro
+        FROM nb q JOIN nb c
+          ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+      WHERE sim_micro >= $minSimMicro),
+    es AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+           UNION ALL SELECT vec_b, vec_a FROM pairs),
+    deg AS (SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+            FROM es GROUP BY 1),
+    core AS MATERIALIZED (SELECT vec_id FROM deg
+                          WHERE n_neighbors >= $minPts),
+    ce AS (SELECT p.vec_a AS src, p.vec_b AS dst FROM pairs p
+           WHERE p.vec_a IN (SELECT vec_id FROM core)
+             AND p.vec_b IN (SELECT vec_id FROM core)),
+    ces AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+    reach AS (SELECT src AS node, src AS lbl FROM ces
+              UNION
+              SELECT e.src, r.lbl FROM ces e JOIN reach r ON r.node = e.dst),
+    cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    corelbl AS MATERIALIZED (
+      SELECT c.vec_id, coalesce(cc.cluster_id, c.vec_id) AS cluster_id
+      FROM core c LEFT JOIN cc ON cc.node = c.vec_id),
+    borderlbl AS (SELECT s.src AS vec_id, min(cl.cluster_id) AS cluster_id
+                  FROM es s JOIN corelbl cl ON s.dst = cl.vec_id
+                  WHERE s.src NOT IN (SELECT vec_id FROM core)
+                  GROUP BY 1),
+    lab AS (SELECT e.vec_id,
+                   coalesce(d.n_neighbors, 0) AS n_neighbors,
+                   CASE WHEN co.vec_id IS NOT NULL THEN 'core'
+                        WHEN b.vec_id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   coalesce(co.cluster_id, b.cluster_id) AS cluster_id
+            FROM embeddings e
+            LEFT JOIN deg d ON d.vec_id = e.vec_id
+            LEFT JOIN corelbl co ON co.vec_id = e.vec_id
+            LEFT JOIN borderlbl b ON b.vec_id = e.vec_id)"""
+
+  /** Twin of Density.dbscan. */
+  def dbscanClusters(minSimMicro: Long, minPts: Int,
+                     ps: Seq[Seq[Long]]): String = s"""
+    ${dbscanCtes(minSimMicro, minPts, ps)}
+    SELECT vec_id, n_neighbors, role, cluster_id
+    FROM lab ORDER BY vec_id"""
+
+  /** Twin of Density.dbscanStats — noise keyed −1 so the sort key is
+    * never NULL. */
+  def dbscanStats(minSimMicro: Long, minPts: Int,
+                  ps: Seq[Seq[Long]]): String = s"""
+    ${dbscanCtes(minSimMicro, minPts, ps)}
+    SELECT coalesce(cluster_id, -1) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_core,
+           CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_border
+    FROM lab GROUP BY 1 ORDER BY 1"""
+
   /** Twin of Similarity.nearDupPairsBanded: `bands` independent plane
     * tables; candidate = same bucket in ANY band, deduped, then exact
     * cosine verify against the normed table. */
@@ -4509,7 +4578,18 @@ object OracleExt {
     l$k AS (SELECT n.node, coalesce(w.nbr_label, n.node) AS label
             FROM nodes n LEFT JOIN w$k w ON n.node = w.src)"""
     }.mkString(",")
-    s"""inc AS (SELECT DISTINCT user_id,
+    s"""${userGraphCtes(maxCellUsers, minShared)},
+    nodes AS (SELECT DISTINCT user_id AS node FROM events),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    $roundCtes"""
+  }
+
+  /** The user co-occurrence graph construction shared by the LPA
+    * twins and [[kCore]] — same capped-cell self-join as
+    * Graph.userPairs; `pr` is the undirected (ua < ub) edge list and
+    * `sym` its symmetric closure. */
+  private def userGraphCtes(maxCellUsers: Int, minShared: Int): String = s"""
+    inc AS (SELECT DISTINCT user_id,
                    event_type || '#' ||
                      CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS cell
                  FROM events),
@@ -4522,10 +4602,37 @@ object OracleExt {
                              AND a.user_id < b.user_id
            GROUP BY 1, 2 HAVING count(*) >= $minShared),
     sym AS (SELECT ua AS src, ub AS dst FROM pr
-            UNION ALL SELECT ub AS src, ua AS dst FROM pr),
-    nodes AS (SELECT DISTINCT user_id AS node FROM events),
-    l0 AS (SELECT node, node AS label FROM nodes),
-    $roundCtes"""
+            UNION ALL SELECT ub AS src, ua AS dst FROM pr)"""
+
+  /** Twin of Graph.kCore — the peeling fixpoint unrolled to `rounds`
+    * alive-set stages. Peeling is monotone (alive sets only shrink),
+    * so any unroll ≥ the convergence round count lands on the same
+    * fixpoint the Spark loop converges to — and the Spark side ERRORS
+    * past its round budget rather than returning, so the two can never
+    * silently disagree on round count. Each alive stage is
+    * MATERIALIZED: it is referenced three times downstream, and
+    * DuckDB's default CTE inlining would otherwise grow the plan
+    * 3^rounds. */
+  def kCore(k: Int, rounds: Int, maxCellUsers: Int,
+            minShared: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      val prev = s"a${i - 1}"
+      s"""
+    a$i AS MATERIALIZED (
+      SELECT s.src AS node, count(*) AS deg FROM sym s
+      WHERE s.src IN (SELECT node FROM $prev)
+        AND s.dst IN (SELECT node FROM $prev)
+      GROUP BY 1 HAVING count(*) >= $k)"""
+    }.mkString(",")
+    s"""
+    WITH ${userGraphCtes(maxCellUsers, minShared)},
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+    $stages
+    SELECT s.src AS user_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM sym s
+    WHERE s.src IN (SELECT node FROM a$rounds)
+      AND s.dst IN (SELECT node FROM a$rounds)
+    GROUP BY 1 ORDER BY 1"""
   }
 
   /** Twin of Graph.labelCommunities. */

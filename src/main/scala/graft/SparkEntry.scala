@@ -706,6 +706,12 @@ object SparkEntry {
     // Newman modularity of the LPA partition (exact rational + ppm)
     "community_modularity" -> ((s, dir) =>
       graft.operators.Graph.communityModularity(LogSource.readEvents(s, dir))),
+    // k-core peeling fixpoint of the same staged user graph: the
+    // densely-embedded cohort + in-core degrees (12-round budget
+    // matches the twin's unroll; past it the op errors, never drifts)
+    "k_core" -> ((s, dir) =>
+      graft.operators.Graph.kCore(LogSource.readEvents(s, dir),
+        maxRounds = 12)),
     // Half-sample stability band for the corpus mean (hash-bit replicas)
     "half_sample_ci" -> ((s, dir) =>
       graft.operators.Sampling.halfSampleCi(LogSource.readEvents(s, dir))),
@@ -1062,6 +1068,14 @@ object SparkEntry {
     "embed_neardup_banded" -> ((s, dir) =>
       Similarity.nearDupPairsBanded(embPar(s, dir))
         .orderBy("vec_a", "vec_b")),
+    // DBSCAN over the LSH-blocked ε-graph: core/border/noise roles +
+    // density-component ids (the outlier list k-means can't give)
+    "dbscan_clusters" -> ((s, dir) =>
+      graft.operators.Density.dbscan(embPar(s, dir)).orderBy("vec_id")),
+    // The density dashboard: per-cluster core/border split + noise row
+    "dbscan_stats" -> ((s, dir) =>
+      graft.operators.Density.dbscanStats(embPar(s, dir))
+        .orderBy("cluster_id")),
     // Deterministic Lloyd's k-means: the trained IVF coarse quantizer
     "ivf_kmeans" -> ((s, dir) =>
       KMeans.assignments(embPar(s, dir)).orderBy("vec_id")),
@@ -1515,6 +1529,11 @@ object SparkEntry {
     "embed_neardup" -> OracleExt.nearDupPairs(350000,
       Similarity.planes(Similarity.nearDupPlanes)),
     "embed_neardup_banded" -> OracleExt.nearDupPairsBanded(350000,
-      Similarity.planes(32), bands = 4, planesPerBand = 8)
+      Similarity.planes(32), bands = 4, planesPerBand = 8),
+    "dbscan_clusters" -> OracleExt.dbscanClusters(250000, 3,
+      Similarity.planes(graft.operators.Density.defaultPlanes)),
+    "dbscan_stats" -> OracleExt.dbscanStats(250000, 3,
+      Similarity.planes(graft.operators.Density.defaultPlanes)),
+    "k_core" -> OracleExt.kCore(3, 12, 64, 2)
   )
 }

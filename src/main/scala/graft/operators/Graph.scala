@@ -336,4 +336,70 @@ object Graph {
           .as("q_ppm"))
       .orderBy(col("n_edges"))
   }
+
+  /** k-core of the user co-occurrence graph (Seidman 1983): the
+    * maximal subgraph in which every surviving user still has ≥ k
+    * surviving neighbors, found by the classic peeling fixpoint —
+    * repeatedly delete nodes whose degree WITHIN THE REMAINDER falls
+    * below k. Where [[labelCommunities]] partitions the graph, k-core
+    * grades embeddedness: the densely-woven cohort that survives
+    * peeling is the bot-ring/power-user candidate set a curation run
+    * inspects (and, on a similarity graph, the template-family core),
+    * while the peeled fringe is the long tail no pruning policy needs
+    * to fear. Output: (user_id, core_degree) for members of the k-core,
+    * with degree measured inside the core.
+    *
+    * Scale shape: the edge set is the staged pair artifact shared with
+    * the LPA family (computed once per corpus); each round is two
+    * hash semi-joins of the edge table against the shrinking alive set
+    * plus one aggregation — never anything corpus²; rounds terminate
+    * at the fixpoint (each non-final round removes ≥ 1 node, and the
+    * alive frame is localCheckpoint'd per round so the iterative
+    * lineage never nests). Like the CC loop, an unconverged budget is
+    * an ERROR, not a result: a half-peeled "core" silently overstates
+    * embeddedness. */
+  def kCore(events: DataFrame, k: Int = 3, maxRounds: Int = 32,
+            maxCellUsers: Int = 64, minShared: Int = 2): DataFrame = {
+    val pairs = stagedPairs(events, maxCellUsers, minShared)
+    // the loop state is the SYMMETRIC LIVE EDGE SET, not an alive-node
+    // list: each round's semi-joins then run against the shrinking
+    // remainder (never re-filtering the full graph), and the
+    // convergence round's degree table IS the answer — no final pass.
+    var cur = pairs.select(col("ua").as("src"), col("ub").as("dst"))
+      .union(pairs.select(col("ub").as("src"), col("ua").as("dst")))
+      .localCheckpoint()
+    var curEdges = cur.count()
+    var coreDeg: DataFrame = null
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = cur.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= k).select("node")
+      val next = cur
+        .join(alive.select(col("node").as("src")), Seq("src"), "leftsemi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "leftsemi")
+        .localCheckpoint()
+      val n = next.count()
+      // next ⊆ cur by construction, so equal edge counts ⇒ equal sets
+      // ⇒ no node fell below k this round: `deg ≥ k` is the fixpoint
+      converged = n == curEdges
+      if (converged) coreDeg = deg.filter(col("deg") >= k)
+      cur = next
+      curEdges = n
+      round += 1
+      // an emptied graph is a converged (empty) core — don't spend
+      // the remaining budget confirming nothing shrinks further
+      if (n == 0 && !converged) {
+        converged = true
+        coreDeg = deg.filter(col("deg") >= k).limit(0)
+      }
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore(k=$k) did not reach the peeling fixpoint within " +
+        s"maxRounds=$maxRounds; a partially-peeled core overstates " +
+        "embeddedness. Raise maxRounds.")
+    coreDeg.select(col("node").as("user_id"), col("deg").as("core_degree"))
+      .orderBy("user_id")
+  }
 }

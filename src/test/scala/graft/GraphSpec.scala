@@ -48,4 +48,34 @@ class GraphSpec extends SparkTestBase {
     assert(r.forall(_._2 >= 150000L / 3), "teleport floor holds")
     Caches.releaseAll()
   }
+
+  // triangle {1,2,3} (all pairs share cells a#0+b#0) + pendant user 4
+  // (shares c#0+d#0 with user 1 only)
+  private def trianglePlusPendant = events(
+    (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+    (3L, 3000L, 1L, "c"), (4L, 4000L, 1L, "d"),
+    (5L, 1000L, 2L, "a"), (6L, 2000L, 2L, "b"),
+    (7L, 1000L, 3L, "a"), (8L, 2000L, 3L, "b"),
+    (9L, 3000L, 4L, "c"), (10L, 4000L, 4L, "d"))
+
+  test("kCore(2) peels the pendant and keeps the triangle at degree 2") {
+    val r = Graph.kCore(trianglePlusPendant, k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    Caches.releaseAll()
+  }
+
+  test("kCore(3): cascade peeling empties the triangle-plus-pendant") {
+    // round 1 drops users 2,3,4 (degree < 3), which strands user 1
+    assert(Graph.kCore(trianglePlusPendant, k = 3).isEmpty)
+    Caches.releaseAll()
+  }
+
+  test("an exhausted peeling budget is an error, never a result") {
+    // k=2 needs 2 rounds (peel user 4, then confirm the fixpoint)
+    intercept[IllegalStateException] {
+      Graph.kCore(trianglePlusPendant, k = 2, maxRounds = 1)
+    }
+    Caches.releaseAll()
+  }
 }
