@@ -2864,6 +2864,34 @@ object OracleExt {
            CAST(floor(d2 * 1000) AS BIGINT) AS d2_milli
     FROM a${iters - 1} ORDER BY vec_id"""
 
+  /** Twin of KMeans.clusterQuality — per-point micro quantization
+    * BEFORE the sums (order-free BIGINT lanes), nearest-centroid
+    * tie-break (d2u, other) via row_number, `//` on non-negative
+    * operands = Spark's `div`. */
+  def clusterQuality(k: Int, iters: Int): String = s"""
+    ${kmeansCte(k, iters)},
+    intra AS (SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_points,
+                     SUM(CAST(floor(d2 * 1000000) AS BIGINT)) AS sum_intra
+              FROM a${iters - 1} GROUP BY 1),
+    cpairs AS (SELECT a.cid AS cluster, b.cid AS other,
+                      CAST(floor(${sqlDist2("a.c", "b.c")} * 1000000)
+                        AS BIGINT) AS d2u
+               FROM c${iters - 1} a JOIN c${iters - 1} b
+                 ON a.cid <> b.cid),
+    inter AS (SELECT cluster, other AS nearest_cluster,
+                     d2u AS min_inter_micro
+              FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                      ORDER BY d2u, other) AS rn FROM cpairs)
+              WHERE rn = 1)
+    SELECT i.cluster, i.n_points,
+           CAST(i.sum_intra // i.n_points AS BIGINT) AS mean_intra_micro,
+           n.nearest_cluster, n.min_inter_micro,
+           CAST(CASE WHEN n.min_inter_micro > 0 THEN
+             ((i.sum_intra // i.n_points) * 1000000) // n.min_inter_micro
+           END AS BIGINT) AS sep_ratio_ppm
+    FROM intra i LEFT JOIN inter n ON n.cluster = i.cluster
+    ORDER BY i.cluster"""
+
   /** Twin of KMeans.annIvfNprobe: queries ranked against the trained
     * centroid table c{iters-1}, probing their `nprobe` nearest
     * clusters. */
@@ -4634,6 +4662,66 @@ object OracleExt {
       AND s.dst IN (SELECT node FROM a$rounds)
     GROUP BY 1 ORDER BY 1"""
   }
+
+  /** Twin of Graph.kTruss — triangle-support edge peeling unrolled to
+    * `rounds` stages (same monotone-unroll argument as [[kCore]]: live
+    * edge sets only shrink, the Spark side ERRORS past its budget, so
+    * an unroll ≥ the convergence round count lands on the identical
+    * fixpoint). Each stage recounts common neighbors inside the
+    * previous stage's survivors; HAVING ≥ k−2 peels — edges with ZERO
+    * triangles drop out of the aggregate itself, which for k ≥ 3 is
+    * exactly the peel. Stages MATERIALIZED (each feeds its symmetric
+    * closure twice plus the next stage). */
+  def kTruss(k: Int, rounds: Int, maxCellUsers: Int,
+             minShared: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""
+    s$i AS (SELECT ua AS src, ub AS dst FROM $prev
+            UNION ALL SELECT ub, ua FROM $prev),
+    e$i AS MATERIALIZED (
+      SELECT e.ua, e.ub, CAST(count(*) AS BIGINT) AS support
+      FROM $prev e
+      JOIN s$i n1 ON n1.src = e.ua
+      JOIN s$i n2 ON n2.src = e.ub AND n2.dst = n1.dst
+      GROUP BY 1, 2 HAVING count(*) >= ${k - 2})"""
+    }.mkString(",")
+    s"""
+    WITH ${userGraphCtes(maxCellUsers, minShared)},
+    e0 AS MATERIALIZED (SELECT ua, ub FROM pr),
+    $stages
+    SELECT ua AS user_a, ub AS user_b, support FROM e$rounds
+    ORDER BY 1, 2"""
+  }
+
+  /** Twin of Graph.degreeAssortativity — Newman's degree correlation
+    * over both orientations of every edge, HUGEINT lanes (the DuckDB
+    * face of Spark's DECIMAL(38,0)); `//` on the non-negative
+    * 1e6·num² with a positive denominator truncates = floors, matching
+    * Spark's `div`. */
+  def degreeAssortativity(maxCellUsers: Int, minShared: Int): String = s"""
+    WITH ${userGraphCtes(maxCellUsers, minShared)},
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1),
+    xy AS (SELECT dx.deg AS x, dy.deg AS y
+           FROM sym s
+           JOIN deg dx ON dx.node = s.src
+           JOIN deg dy ON dy.node = s.dst),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(x * y) AS HUGEINT) AS sxy,
+                   CAST(sum(x * x) AS HUGEINT) AS sxx FROM xy),
+    lanes AS (SELECT n,
+                     CAST(n AS HUGEINT) * sxy - sx * sx AS num,
+                     CAST(n AS HUGEINT) * sxx - sx * sx AS varr
+              FROM agg)
+    SELECT n AS n_edges,
+           CASE WHEN varr > 0 THEN
+             CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+               ((CAST(1000000 AS HUGEINT) * num * num)
+                 // (varr * varr)) AS BIGINT)
+           END AS assort2_signed_ppm
+    FROM lanes"""
 
   /** Twin of Graph.labelCommunities. */
   def labelCommunities(rounds: Int, maxCellUsers: Int,

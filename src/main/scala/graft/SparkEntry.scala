@@ -712,6 +712,16 @@ object SparkEntry {
     "k_core" -> ((s, dir) =>
       graft.operators.Graph.kCore(LogSource.readEvents(s, dir),
         maxRounds = 12)),
+    // k-truss: the triangle-interlocked edge cohort of the same graph
+    // (12-round budget matches the twin's unroll; errors past it)
+    "k_truss" -> ((s, dir) =>
+      graft.operators.Graph.kTruss(LogSource.readEvents(s, dir),
+        maxRounds = 12)),
+    // Newman degree assortativity: hub-hub vs hub-leaf attachment,
+    // exact DECIMAL(38,0) lanes, sign-explicit squared corr in ppm
+    "degree_assort" -> ((s, dir) =>
+      graft.operators.Graph.degreeAssortativity(
+        LogSource.readEvents(s, dir))),
     // Half-sample stability band for the corpus mean (hash-bit replicas)
     "half_sample_ci" -> ((s, dir) =>
       graft.operators.Sampling.halfSampleCi(LogSource.readEvents(s, dir))),
@@ -1079,6 +1089,10 @@ object SparkEntry {
     // Deterministic Lloyd's k-means: the trained IVF coarse quantizer
     "ivf_kmeans" -> ((s, dir) =>
       KMeans.assignments(embPar(s, dir)).orderBy("vec_id")),
+    // Cohesion/separation dashboard of the shared Lloyd model:
+    // Davies-Bouldin-style per-cluster spread vs nearest-centroid gap
+    "cluster_quality" -> ((s, dir) =>
+      KMeans.clusterQuality(embPar(s, dir))),
     // IVF ANN: top-3 within the query's trained cluster
     "ann_ivf" -> ((s, dir) =>
       KMeans.annIvf(embPar(s, dir)).orderBy("query_id", "rank")),
@@ -1366,6 +1380,7 @@ object SparkEntry {
     "mime_sniff" -> OracleExt.mimeSniff,
     "multimodal_decode" -> OracleExt.multimodalDecode,
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
+    "cluster_quality" -> OracleExt.clusterQuality(8, 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
     "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
     "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),
@@ -1534,6 +1549,8 @@ object SparkEntry {
       Similarity.planes(graft.operators.Density.defaultPlanes)),
     "dbscan_stats" -> OracleExt.dbscanStats(250000, 3,
       Similarity.planes(graft.operators.Density.defaultPlanes)),
-    "k_core" -> OracleExt.kCore(3, 12, 64, 2)
+    "k_core" -> OracleExt.kCore(3, 12, 64, 2),
+    "k_truss" -> OracleExt.kTruss(3, 12, 64, 2),
+    "degree_assort" -> OracleExt.degreeAssortativity(64, 2)
   )
 }

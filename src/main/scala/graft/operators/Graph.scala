@@ -402,4 +402,108 @@ object Graph {
     coreDeg.select(col("node").as("user_id"), col("deg").as("core_degree"))
       .orderBy("user_id")
   }
+
+  /** k-truss of the user co-occurrence graph (Cohen 2008): the maximal
+    * subgraph in which every surviving EDGE still closes ≥ k−2
+    * triangles with surviving edges. Where [[kCore]] grades NODE
+    * embeddedness (a star center survives k-core on degree alone),
+    * k-truss demands the neighborhoods actually interlock — the
+    * community-grade cohesion signal: a bot ring stamping the same
+    * cells triangulates densely, a popular-hub coincidence does not.
+    * Output: (user_a, user_b, support) for the truss edges, support
+    * measured inside the truss.
+    *
+    * Scale shape: same discipline as [[kCore]] — the loop state is the
+    * live undirected edge list (localCheckpoint'd per round, so the
+    * iterative lineage never nests); each round's support table is the
+    * standard edge ⋈ adjacency ⋈ adjacency common-neighbor count
+    * (|E|·avgdeg work on the SHRINKING remainder, never corpus²; the
+    * hot-cell cap in [[userPairs]] already bounds degree skew);
+    * convergence-round supports ARE the answer. An exhausted budget is
+    * an ERROR — a half-peeled truss overstates cohesion. */
+  def kTruss(events: DataFrame, k: Int = 3, maxRounds: Int = 32,
+             maxCellUsers: Int = 64, minShared: Int = 2): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3 (got $k): below that the " +
+      "support threshold is 0 and every edge trivially survives")
+    val pairs = stagedPairs(events, maxCellUsers, minShared)
+    var cur = pairs.select(col("ua"), col("ub")).localCheckpoint()
+    var curEdges = cur.count()
+    var truss: DataFrame = null
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val sym = cur.select(col("ua").as("src"), col("ub").as("dst"))
+        .union(cur.select(col("ub").as("src"), col("ua").as("dst")))
+      // common neighbor w of (ua, ub): both endpoints reach w through
+      // live edges — edges with ZERO triangles vanish from the
+      // aggregate, which is exactly the k ≥ 3 peel
+      val sup = cur
+        .join(sym.select(col("src").as("ua"), col("dst").as("w")), "ua")
+        .join(sym.select(col("src").as("ub"), col("dst").as("w")),
+          Seq("ub", "w"), "leftsemi")
+        .groupBy(col("ua"), col("ub"))
+        .agg(count(lit(1)).as("support"))
+      val next = sup.filter(col("support") >= k - 2).localCheckpoint()
+      val n = next.count()
+      // next ⊆ cur, so equal counts ⇒ equal sets ⇒ every edge's
+      // support was measured inside the surviving set: the fixpoint
+      converged = n == curEdges
+      if (converged) truss = next
+      cur = next.select(col("ua"), col("ub"))
+      curEdges = n
+      round += 1
+      if (n == 0 && !converged) { converged = true; truss = next }
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kTruss(k=$k) did not reach the peeling fixpoint within " +
+        s"maxRounds=$maxRounds; a partially-peeled truss overstates " +
+        "cohesion. Raise maxRounds.")
+    truss.select(col("ua").as("user_a"), col("ub").as("user_b"),
+        col("support"))
+      .orderBy("user_a", "user_b")
+  }
+
+  /** Degree assortativity of the user co-occurrence graph (Newman
+    * 2002): the Pearson correlation between the degrees at the two
+    * ends of an edge, over BOTH orientations of every undirected edge
+    * (the standard estimator — the (x, y) multiset is then symmetric,
+    * so the two marginals coincide and ONE variance lane serves both).
+    * Positive = hubs attach to hubs (a social core), negative = hubs
+    * attach to leaves (a broadcast/star topology — the bot-farm
+    * signature where one driver account touches many throwaways).
+    *
+    * Integer discipline ([[graft.operators.Stats.typeCorr]]'s): the
+    * correlation never leaves exact arithmetic — numerator n·Σxy−Σx·Σy
+    * and variance n·Σxx−(Σx)² in DECIMAL(38,0) lanes (Σ deg² at 100 TB
+    * outgrows a 64-bit product), reported as the sign-explicit squared
+    * correlation in ppm. Scale shape: one degree aggregate off the
+    * staged edge artifact, one edges-sized join to annotate endpoint
+    * degrees (declared plain — the degree side is nodes-sized and
+    * Catalyst broadcasts it when it fits), one 1-row aggregate. */
+  def degreeAssortativity(events: DataFrame, maxCellUsers: Int = 64,
+                          minShared: Int = 2): DataFrame = {
+    val pairs = stagedPairs(events, maxCellUsers, minShared)
+    val sym = pairs.select(col("ua").as("src"), col("ub").as("dst"))
+      .union(pairs.select(col("ub").as("src"), col("ua").as("dst")))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n").as("n_edges"),
+        expr("""CAST(n AS DECIMAL(38,0)) * sxy -
+                CAST(sx AS DECIMAL(38,0)) * sx""").as("num"),
+        expr("""CAST(n AS DECIMAL(38,0)) * sxx -
+                CAST(sx AS DECIMAL(38,0)) * sx""").as("varr"))
+      // the decimal lanes stay internal: the reported quotient is
+      // ppm-bounded BIGINT, the oracle-portable face
+      .select(col("n_edges"),
+        when(col("varr") > 0,
+          when(col("num") >= 0, lit(1L)).otherwise(lit(-1L)) *
+            expr("""(CAST(1000000 AS DECIMAL(38,0)) * num * num)
+                    div (varr * varr)""").cast("long"))
+          .as("assort2_signed_ppm"))
+  }
 }

@@ -649,4 +649,49 @@ object KMeans {
       .filter(col("rk") <= perCluster)
       .select(col("cluster"), col("rk").cast("int").as("rk"),
         col("vec_id"), floor(col("d2") * 1000).cast("long").as("d2_milli"))
+
+  /** Clustering-quality audit of the staged Lloyd model — the
+    * Davies-Bouldin-style cohesion/separation dashboard a curation run
+    * reads before trusting `sem_dedup`/`doc_clusters` output: per
+    * cluster its population, mean intra-cluster dist² (cohesion), the
+    * nearest other centroid and its dist² (separation), and their
+    * ratio in ppm — a cluster whose mean spread rivals its
+    * centroid gap is a mush the downstream pruning policy should not
+    * treat as a semantic unit. Empty clusters never appear (they have
+    * no assignment rows, the frame this aggregates).
+    *
+    * Integer discipline: d2 doubles are floor-quantized to micro units
+    * PER POINT, then everything downstream is BIGINT sums/divs — the
+    * sum is order-free, so no float fold order crosses the oracle.
+    * Scale shape: ONE aggregate over the staged assignment artifact
+    * (no retrain — the [[fitModel]] artifact is shared with the whole
+    * quantizer family) + a k² broadcast self-join of the k-row
+    * centroid frame. */
+  def clusterQuality(emb: DataFrame, k: Int = 8,
+                     iters: Int = 2): DataFrame = {
+    val (assigned, centroids) = fitModel(emb, k, iters)
+    val intra = assigned
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(floor(col("d2") * 1000000L).cast("long")).as("sum_intra"))
+      .select(col("cluster"), col("n_points"),
+        expr("sum_intra div n_points").as("mean_intra_micro"))
+    val inter = centroids.alias("a")
+      .crossJoin(broadcast(centroids.alias("b")))
+      .filter(col("a.cid") =!= col("b.cid"))
+      .select(col("a.cid").as("cluster"), col("b.cid").as("other"),
+        floor(dist2(col("a.c"), col("b.c")) * 1000000L).cast("long")
+          .as("d2u"))
+      .groupBy("cluster")
+      .agg(min_by(col("other"), struct(col("d2u"), col("other")))
+          .as("nearest_cluster"),
+        min(col("d2u")).as("min_inter_micro"))
+    intra.join(inter, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_points"), col("mean_intra_micro"),
+        col("nearest_cluster"), col("min_inter_micro"),
+        when(col("min_inter_micro") > 0,
+          expr("(mean_intra_micro * 1000000) div min_inter_micro"))
+          .as("sep_ratio_ppm"))
+      .orderBy("cluster")
+  }
 }

@@ -78,4 +78,53 @@ class GraphSpec extends SparkTestBase {
     }
     Caches.releaseAll()
   }
+
+  test("kTruss(3) keeps the triangle (support 1 each) and peels the " +
+    "pendant edge (support 0)") {
+    val r = Graph.kTruss(trianglePlusPendant, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    Caches.releaseAll()
+  }
+
+  test("kTruss(4) empties the graph: one triangle can't give any edge " +
+    "support 2") {
+    assert(Graph.kTruss(trianglePlusPendant, k = 4).isEmpty)
+    Caches.releaseAll()
+  }
+
+  test("kTruss: exhausted budget errors; k < 3 is rejected") {
+    intercept[IllegalStateException] {
+      // round 1 peels the pendant edge; round 2 confirms the fixpoint
+      Graph.kTruss(trianglePlusPendant, k = 3, maxRounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(trianglePlusPendant, k = 2)
+    }
+    Caches.releaseAll()
+  }
+
+  test("degreeAssortativity: star-heavy toy graph is disassortative, " +
+    "exact lanes") {
+    // degrees 1→3, 2→2, 3→2, 4→1; both orientations: n=8, Σx=18,
+    // Σxy=38, Σx²=44 → num=8·38−18²=−20, varr=8·44−18²=28,
+    // ppm = −(1e6·400 div 784) = −510204
+    val r = Graph.degreeAssortativity(trianglePlusPendant)
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(r == Seq((8L, Some(-510204L))))
+    Caches.releaseAll()
+  }
+
+  test("degreeAssortativity: a regular graph (zero variance) yields " +
+    "NULL ppm") {
+    // triangle only: every degree 2 → varr = 0
+    val tri = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+      (3L, 1000L, 2L, "a"), (4L, 2000L, 2L, "b"),
+      (5L, 1000L, 3L, "a"), (6L, 2000L, 3L, "b"))
+    val r = Graph.degreeAssortativity(tri)
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(r == Seq((6L, None)))
+    Caches.releaseAll()
+  }
 }

@@ -318,4 +318,47 @@ class KMeansSpec extends SparkTestBase {
     }
     Caches.releaseAll()
   }
+
+  test("clusterQuality: exact dashboard on two separable blobs") {
+    // blob A at x≈±100 (spread 1 on y), blob B mirrored; init takes
+    // vec_ids 0 and 1 — converged after iters=2, centroids at the
+    // fixed-point means
+    val rows = Seq(
+      (0L, vec(100f, 0f)), (2L, vec(100f, 1f)), (4L, vec(100f, -1f)),
+      (1L, vec(-100f, 0f)), (3L, vec(-100f, 1f)), (5L, vec(-100f, -1f)))
+      .map { case (id, v) => (id, v, 0) }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = KMeans.clusterQuality(emb, k = 2, iters = 2)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(r.map(t => (t._1, t._2)) == Seq(0L -> 3L, 1L -> 3L))
+    // per-cluster mean dist²: centroid at y = 0 exactly (sum of
+    // {0, 1e6, −1e6} micro lanes), members at y ∈ {0, ±1} → d2 ∈
+    // {0, 1, 1} → sum_intra = 2e6, mean = 666666
+    assert(r.forall(_._3 == 666666L))
+    // nearest (only) other centroid: gap 200 on x → d2 = 40000
+    assert(r.map(_._4) == Seq(Some(1L), Some(0L)))
+    assert(r.forall(_._5.contains(40000000000L)))
+    assert(r.forall(_._6.contains(666666L * 1000000L / 40000000000L)))
+    Caches.releaseAll()
+  }
+
+  test("clusterQuality rows cover exactly the populated clusters of " +
+    "the shared model") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = KMeans.clusterQuality(emb)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    val pops = KMeans.fit(emb).groupBy("cluster")
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(q.map(_._1).toSet == pops.keySet)
+    q.foreach { case (cl, n, mean, near, gap, ratio) =>
+      assert(n == pops(cl))
+      assert(mean >= 0L)
+      assert(near.isDefined && gap.isDefined, s"cluster $cl has a rival")
+      assert(ratio.isDefined == gap.exists(_ > 0L))
+    }
+    Caches.releaseAll()
+  }
 }
