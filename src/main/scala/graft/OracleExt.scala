@@ -4694,6 +4694,34 @@ object OracleExt {
     ORDER BY 1, 2"""
   }
 
+  /** Shared CTE chain of the component twins: min-reachable-label over
+    * the symmetric user graph (recursive reach — the dedup-cluster
+    * twins' device), singletons self-labeled via the left join. */
+  private def userComponentCtes(maxCellUsers: Int,
+                                minShared: Int): String = s"""
+    WITH RECURSIVE ${userGraphCtes(maxCellUsers, minShared)},
+    reach AS (SELECT src AS node, src AS lbl FROM sym
+              UNION
+              SELECT e.src, r.lbl FROM sym e JOIN reach r ON r.node = e.dst),
+    cc AS (SELECT node, min(lbl) AS component_id FROM reach GROUP BY node),
+    allu AS (SELECT DISTINCT user_id FROM events),
+    lab AS (SELECT u.user_id,
+                   coalesce(c.component_id, u.user_id) AS component_id
+            FROM allu u LEFT JOIN cc c ON c.node = u.user_id)"""
+
+  /** Twin of Graph.userComponents. */
+  def userComponents(maxCellUsers: Int, minShared: Int): String = s"""
+    ${userComponentCtes(maxCellUsers, minShared)}
+    SELECT user_id, component_id FROM lab ORDER BY user_id"""
+
+  /** Twin of Graph.componentSizes. */
+  def componentSizes(maxCellUsers: Int, minShared: Int): String = s"""
+    ${userComponentCtes(maxCellUsers, minShared)}
+    SELECT component_size, CAST(count(*) AS BIGINT) AS n_components
+    FROM (SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+          FROM lab GROUP BY 1)
+    GROUP BY 1 ORDER BY 1"""
+
   /** Twin of Graph.degreeAssortativity — Newman's degree correlation
     * over both orientations of every edge, HUGEINT lanes (the DuckDB
     * face of Spark's DECIMAL(38,0)); `//` on the non-negative

@@ -722,6 +722,12 @@ object SparkEntry {
     "degree_assort" -> ((s, dir) =>
       graft.operators.Graph.degreeAssortativity(
         LogSource.readEvents(s, dir))),
+    // Connected components of the staged user graph (large/small-star),
+    // singletons self-labeled; and the giant-component size audit
+    "user_components" -> ((s, dir) =>
+      graft.operators.Graph.userComponents(LogSource.readEvents(s, dir))),
+    "component_sizes" -> ((s, dir) =>
+      graft.operators.Graph.componentSizes(LogSource.readEvents(s, dir))),
     // Half-sample stability band for the corpus mean (hash-bit replicas)
     "half_sample_ci" -> ((s, dir) =>
       graft.operators.Sampling.halfSampleCi(LogSource.readEvents(s, dir))),
@@ -1551,6 +1557,8 @@ object SparkEntry {
       Similarity.planes(graft.operators.Density.defaultPlanes)),
     "k_core" -> OracleExt.kCore(3, 12, 64, 2),
     "k_truss" -> OracleExt.kTruss(3, 12, 64, 2),
-    "degree_assort" -> OracleExt.degreeAssortativity(64, 2)
+    "degree_assort" -> OracleExt.degreeAssortativity(64, 2),
+    "user_components" -> OracleExt.userComponents(64, 2),
+    "component_sizes" -> OracleExt.componentSizes(64, 2)
   )
 }

@@ -463,6 +463,56 @@ object Graph {
       .orderBy("user_a", "user_b")
   }
 
+  /** Connected components of the user co-occurrence graph: every user
+    * labeled with the MIN user id reachable through shared-activity
+    * edges — singletons (users with no qualifying co-occurrence) are
+    * their own component. The population-structure complement of
+    * [[labelCommunities]]: LPA splits a connected mass into dense
+    * regions, components answer the prior question of what is connected
+    * AT ALL — the unit an incident/abuse investigation quarantines, and
+    * the frame [[componentSizes]] turns into the giant-component audit.
+    *
+    * Scale shape: the edge set is the staged pair artifact (shared with
+    * the whole graph family); labels come from
+    * [[Dedup.connectedComponentsStar]]'s O(log n)-round large/small-star
+    * alternation (diameter-proof — a min-label propagate would pay
+    * path-length rounds on chains); the labeled frame is STAGED once
+    * per corpus so both gated consumers read a nodes-sized artifact. */
+  def userComponents(events: DataFrame, maxCellUsers: Int = 64,
+                     minShared: Int = 2): DataFrame = {
+    val labels = stagedComponents(events, maxCellUsers, minShared)
+    labels.select(col("user_id"), col("component_id"))
+      .orderBy("user_id")
+  }
+
+  /** The component-size histogram off the same staged component frame:
+    * (component_size, n_components) — the giant-component/fragmentation
+    * audit read before trusting any per-community statistic. Two
+    * nested aggregates; nothing user-sized survives the first. */
+  def componentSizes(events: DataFrame, maxCellUsers: Int = 64,
+                     minShared: Int = 2): DataFrame =
+    stagedComponents(events, maxCellUsers, minShared)
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy("component_size")
+
+  private def stagedComponents(events: DataFrame, maxCellUsers: Int,
+                               minShared: Int): DataFrame = {
+    val pairs = stagedPairs(events, maxCellUsers, minShared)
+    graft.Stage.parquet(events.sparkSession,
+      graft.Stage.key(events, "graph_components", maxCellUsers,
+        minShared)) {
+      val cc = Dedup.connectedComponentsStar(
+        pairs.select(col("ua").as("doc_a"), col("ub").as("doc_b")))
+      events.select(col("user_id")).distinct()
+        .join(cc, col("user_id") === col("doc_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("cluster_id"), col("user_id")).as("component_id"))
+    }
+  }
+
   /** Degree assortativity of the user co-occurrence graph (Newman
     * 2002): the Pearson correlation between the degrees at the two
     * ends of an edge, over BOTH orientations of every undirected edge

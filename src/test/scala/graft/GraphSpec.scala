@@ -115,6 +115,25 @@ class GraphSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("userComponents: two islands plus an isolated singleton, " +
+    "min-id labels") {
+    // island {1,2,3} (cells a,b), island {5,6} (cells c,d); user 9
+    // never shares ≥2 cells with anyone → singleton self-label
+    val e = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+      (3L, 1000L, 2L, "a"), (4L, 2000L, 2L, "b"),
+      (5L, 1000L, 3L, "a"), (6L, 2000L, 3L, "b"),
+      (7L, 3000L, 5L, "c"), (8L, 4000L, 5L, "d"),
+      (9L, 3000L, 6L, "c"), (10L, 4000L, 6L, "d"),
+      (11L, 9000L, 9L, "a"))
+    val r = Graph.userComponents(e).as[(Long, Long)].collect().toSeq
+    assert(r == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      9L -> 9L))
+    val sizes = Graph.componentSizes(e).as[(Long, Long)].collect().toSeq
+    assert(sizes == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    Caches.releaseAll()
+  }
+
   test("degreeAssortativity: a regular graph (zero variance) yields " +
     "NULL ppm") {
     // triangle only: every degree 2 → varr = 0
