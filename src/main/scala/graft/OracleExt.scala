@@ -4694,6 +4694,32 @@ object OracleExt {
     ORDER BY 1, 2"""
   }
 
+  /** Twin of Graph.clusteringCoeff — oriented 2-path + closing-edge
+    * EXISTS (each triangle a < b < c once), one explode credits all
+    * three corners, BIGINT ppm with deg < 2 NULL. */
+  def clusteringCoeff(maxCellUsers: Int, minShared: Int): String = s"""
+    WITH ${userGraphCtes(maxCellUsers, minShared)},
+    deg AS (SELECT src AS user_id, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY 1),
+    tri AS (SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+            FROM pr e1
+            JOIN pr e2 ON e2.ua = e1.ub
+            WHERE EXISTS (SELECT 1 FROM pr e3
+                          WHERE e3.ua = e1.ua AND e3.ub = e2.ub)),
+    pern AS (SELECT node AS user_id,
+                    CAST(count(*) AS BIGINT) AS n_triangles
+             FROM (SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri) GROUP BY 1)
+    SELECT d.user_id, d.degree,
+           coalesce(p.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+             CAST((2000000 * coalesce(p.n_triangles, 0))
+               // (d.degree * (d.degree - 1)) AS BIGINT)
+           END AS coeff_ppm
+    FROM deg d LEFT JOIN pern p ON p.user_id = d.user_id
+    ORDER BY d.user_id"""
+
   /** Shared CTE chain of the component twins: min-reachable-label over
     * the symmetric user graph (recursive reach — the dedup-cluster
     * twins' device), singletons self-labeled via the left join. */

@@ -728,6 +728,9 @@ object SparkEntry {
       graft.operators.Graph.userComponents(LogSource.readEvents(s, dir))),
     "component_sizes" -> ((s, dir) =>
       graft.operators.Graph.componentSizes(LogSource.readEvents(s, dir))),
+    // Watts-Strogatz per-node clustering coefficient (exact ppm)
+    "clustering_coeff" -> ((s, dir) =>
+      graft.operators.Graph.clusteringCoeff(LogSource.readEvents(s, dir))),
     // Half-sample stability band for the corpus mean (hash-bit replicas)
     "half_sample_ci" -> ((s, dir) =>
       graft.operators.Sampling.halfSampleCi(LogSource.readEvents(s, dir))),
@@ -922,6 +925,13 @@ object SparkEntry {
       val path = s"/tmp/graft_orc_$tag"
       graft.sources.OrcSource.writeOrc(LogSource.readEvents(s, dir), path)
       graft.sources.OrcSource.readOrc(s, path).orderBy("event_id")
+    }),
+    // Blob-store interchange: docs exported one file per object, read
+    // back via the binaryFile DSv2 scan, manifest = integrity contract
+    "binaryfile_roundtrip" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.BinaryFileSource.roundtrip(docsPar(s, dir),
+        s"/tmp/graft_blobs_$tag")
     }),
     // CSV interchange round-trip: RFC 4180 quoting, explicit NULL token
     "csv_roundtrip" -> ((s, dir) => {
@@ -1361,6 +1371,13 @@ object SparkEntry {
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
              value, props
       FROM events ORDER BY event_id""",
+    "binaryfile_roundtrip" -> """
+      SELECT 'd' || doc_id || '.bin' AS file_name,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS length,
+             md5(text) AS content_md5
+      FROM documents WHERE doc_id < 64 AND text IS NOT NULL
+        AND length(text) > 0
+      ORDER BY file_name""",
     "orc_roundtrip" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
              value, props
@@ -1559,6 +1576,7 @@ object SparkEntry {
     "k_truss" -> OracleExt.kTruss(3, 12, 64, 2),
     "degree_assort" -> OracleExt.degreeAssortativity(64, 2),
     "user_components" -> OracleExt.userComponents(64, 2),
-    "component_sizes" -> OracleExt.componentSizes(64, 2)
+    "component_sizes" -> OracleExt.componentSizes(64, 2),
+    "clustering_coeff" -> OracleExt.clusteringCoeff(64, 2)
   )
 }

@@ -360,7 +360,23 @@ object Graph {
     * embeddedness. */
   def kCore(events: DataFrame, k: Int = 3, maxRounds: Int = 32,
             maxCellUsers: Int = 64, minShared: Int = 2): DataFrame = {
+    // the fixpoint is an iterative trained artifact like the LPA labels
+    // and the Lloyd model: staged once per (corpus, params) — consumers
+    // and every bench rerun read the nodes-sized parquet back.
+    // maxRounds is in the key although it can't change a SUCCESSFUL
+    // result (peeling is deterministic; the budget only gates the error
+    // path) so a tight-budget probe never short-circuits into an
+    // artifact a generous earlier call staged.
     val pairs = stagedPairs(events, maxCellUsers, minShared)
+    graft.Stage.parquet(events.sparkSession,
+      graft.Stage.key(events, "k_core", k, maxRounds, maxCellUsers,
+        minShared)) {
+      buildKCore(pairs, k, maxRounds)
+    }.orderBy("user_id")
+  }
+
+  private def buildKCore(pairs: DataFrame, k: Int,
+                         maxRounds: Int): DataFrame = {
     // the loop state is the SYMMETRIC LIVE EDGE SET, not an alive-node
     // list: each round's semi-joins then run against the shrinking
     // remainder (never re-filtering the full graph), and the
@@ -400,7 +416,6 @@ object Graph {
         s"maxRounds=$maxRounds; a partially-peeled core overstates " +
         "embeddedness. Raise maxRounds.")
     coreDeg.select(col("node").as("user_id"), col("deg").as("core_degree"))
-      .orderBy("user_id")
   }
 
   /** k-truss of the user co-occurrence graph (Cohen 2008): the maximal
@@ -425,7 +440,19 @@ object Graph {
              maxCellUsers: Int = 64, minShared: Int = 2): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3 (got $k): below that the " +
       "support threshold is 0 and every edge trivially survives")
+    // staged like kCore: the triangle-recount rounds are the most
+    // expensive build in the graph family (each is |E|·avgdeg), so the
+    // fixpoint is exactly the artifact a production pipeline keeps
     val pairs = stagedPairs(events, maxCellUsers, minShared)
+    graft.Stage.parquet(events.sparkSession,
+      graft.Stage.key(events, "k_truss", k, maxRounds, maxCellUsers,
+        minShared)) {
+      buildKTruss(pairs, k, maxRounds)
+    }.orderBy("user_a", "user_b")
+  }
+
+  private def buildKTruss(pairs: DataFrame, k: Int,
+                          maxRounds: Int): DataFrame = {
     var cur = pairs.select(col("ua"), col("ub")).localCheckpoint()
     var curEdges = cur.count()
     var truss: DataFrame = null
@@ -459,8 +486,49 @@ object Graph {
         s"maxRounds=$maxRounds; a partially-peeled truss overstates " +
         "cohesion. Raise maxRounds.")
     truss.select(col("ua").as("user_a"), col("ub").as("user_b"),
-        col("support"))
-      .orderBy("user_a", "user_b")
+      col("support"))
+  }
+
+  /** Per-node clustering coefficient of the user co-occurrence graph
+    * (Watts–Strogatz): how much of each user's neighborhood is itself
+    * interconnected — 2·triangles(v) / (deg(v)·(deg(v)−1)) in ppm.
+    * The local texture statistic between [[degreeDistribution]]
+    * (volume) and [[kTruss]] (global cohesion): a coordinated ring
+    * scores near 1e6 (everyone's contacts know each other), an
+    * organic hub scores near 0 — and the DIP of coefficient with
+    * rising degree is the classic hierarchical-structure signature.
+    *
+    * Exact integers throughout: triangles enumerated once via the
+    * oriented 2-path + closing-edge join over the staged (ua < ub)
+    * edge list (each triangle a < b < c produced exactly once, every
+    * corner credited via one explode — |E|·avgdeg work, the
+    * [[kTruss]] round shape, run ONCE), degrees from the symmetric
+    * closure, the ratio in BIGINT ppm with deg < 2 NULL (undefined,
+    * not zero). */
+  def clusteringCoeff(events: DataFrame, maxCellUsers: Int = 64,
+                      minShared: Int = 2): DataFrame = {
+    val pairs = stagedPairs(events, maxCellUsers, minShared)
+    val deg = pairs.select(col("ua").as("user_id"))
+      .union(pairs.select(col("ub").as("user_id")))
+      .groupBy("user_id").agg(count(lit(1)).as("degree"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e2.ua") === col("e1.ub"))
+      .join(pairs.as("e3"),
+        col("e3.ua") === col("e1.ua") && col("e3.ub") === col("e2.ub"),
+        "leftsemi")
+      .select(col("e1.ua").as("x"), col("e1.ub").as("y"),
+        col("e2.ub").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("user_id"), "left")
+      .select(col("user_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          expr("""(2000000 * coalesce(n_triangles, 0))
+                  div (degree * (degree - 1))"""))
+          .as("coeff_ppm"))
+      .orderBy("user_id")
   }
 
   /** Connected components of the user co-occurrence graph: every user

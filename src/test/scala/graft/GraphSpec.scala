@@ -115,6 +115,19 @@ class GraphSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("clusteringCoeff: triangle corners at 1e6, the bridging hub " +
+    "below, pendant NULL") {
+    // triangle {1,2,3} + pendant 4 on user 1: deg(1)=3, tri(1)=1 →
+    // 2e6·1 div 6 = 333333; users 2,3 deg 2 tri 1 → 1e6; user 4 deg 1
+    // → NULL
+    val r = Graph.clusteringCoeff(trianglePlusPendant)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(r == Seq(
+      (1L, 3L, 1L, Some(333333L)), (2L, 2L, 1L, Some(1000000L)),
+      (3L, 2L, 1L, Some(1000000L)), (4L, 1L, 0L, None)))
+    Caches.releaseAll()
+  }
+
   test("userComponents: two islands plus an isolated singleton, " +
     "min-id labels") {
     // island {1,2,3} (cells a,b), island {5,6} (cells c,d); user 9
