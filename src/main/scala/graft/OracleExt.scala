@@ -3491,6 +3491,41 @@ object OracleExt {
       ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
     GROUP BY ex.query_id ORDER BY ex.query_id"""
 
+  /** Twin of Similarity.ndcgAtK — annRecall's CTEs kept rank-ful, the
+    * SAME Scala-computed ppb discount literals ([[graft.operators
+    * .Similarity.ndcgWeights]]) indexed by approx rank, integer DCG. */
+  def ndcgAtK(nQueries: Int, k: Int, ps: Seq[Seq[Long]]): String = {
+    val wq = graft.operators.Similarity.ndcgWeights(k)
+    val idcg = graft.operators.Similarity.ndcgIdealUnits(k)
+    s"""
+    WITH $normCte,
+    nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n),
+    ex AS (SELECT query_id, cand_id, ${k + 1} - rank AS rel FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k),
+    ap AS (SELECT query_id, cand_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM nb q JOIN nb c
+          ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k),
+    g AS (SELECT ap.query_id,
+                 CAST(coalesce(ex.rel, 0) AS BIGINT) *
+                   ([${wq.mkString(", ")}])[ap.rank] AS g
+          FROM ap LEFT JOIN ex
+            ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id)
+    SELECT query_id, CAST(sum(g) AS BIGINT) AS dcg_units,
+           CAST((1000000 * CAST(sum(g) AS BIGINT)) // $idcg AS BIGINT)
+             AS ndcg_ppm
+    FROM g GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Twin of Similarity.projRecall — exact-cosine top-k vs the
     * JL-projected ranking; the projected vectors are rebuilt from the
     * same literal sign matrix and the same quantize recipe, so the

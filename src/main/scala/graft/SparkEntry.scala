@@ -1082,6 +1082,10 @@ object SparkEntry {
     // Recall@k evaluator: exact top-k vs the LSH path, integer percent
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(embPar(s, dir)).orderBy("query_id")),
+    // NDCG@k: retrieval ORDER quality vs the exact ideal (recall's
+    // blind spot), plan-time ppb log2 discounts, exact integer DCG
+    "ndcg_at_k" -> ((s, dir) =>
+      Similarity.ndcgAtK(embPar(s, dir))),
     // Recall@k of the JL-projected ranking against exact cosine
     "proj_recall" -> ((s, dir) =>
       Similarity.projRecall(embPar(s, dir)).orderBy("query_id")),
@@ -1562,6 +1566,7 @@ object SparkEntry {
     "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
     "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),
+    "ndcg_at_k" -> OracleExt.ndcgAtK(10, 5, Similarity.planes()),
     "proj_recall" -> OracleExt.projRecall(10, 5, 16, 64),
     "ann_lsh_multiprobe" -> OracleExt.lshTopKMultiProbe(50, 3, Similarity.planes()),
     "embed_neardup" -> OracleExt.nearDupPairs(350000,

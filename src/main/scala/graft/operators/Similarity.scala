@@ -344,6 +344,56 @@ object Similarity {
         expr(s"(100 * n_hit) div $k").as("recall_pct"))
   }
 
+  /** Position discounts for [[ndcgAtK]], ppb fixed-point: the i-th
+    * entry is floor(1e9 / log2(i+1)). Computed ONCE in Scala and
+    * embedded as literals in BOTH engines' plans, so neither engine
+    * ever evaluates the transcendental — the bm25/surprisal
+    * discipline applied to ranking discounts. */
+  def ndcgWeights(k: Int): Seq[Long] = (1 to k).map(i =>
+    math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** IDCG@k in the same units: the ideal list carries graded relevance
+    * k, k−1, …, 1 down the positions. */
+  def ndcgIdealUnits(k: Int): Long =
+    ndcgWeights(k).zipWithIndex.map { case (w, i0) =>
+      (k - i0).toLong * w
+    }.sum
+
+  /** NDCG@k of the single-table LSH retrieval against the exact-cosine
+    * ideal — [[annRecall]] upgraded from set overlap to ORDER quality:
+    * recall cannot see that the one neighbor an index missed was the
+    * top one, NDCG charges misses by position. Relevance grades are
+    * rank-based integers (k+1 − exact_rank, 0 for non-ideal
+    * candidates), discounts are the [[ndcgWeights]] plan-time ppb
+    * literals, DCG is an order-free BIGINT sum, and IDCG is a
+    * Scala-side constant — the whole metric is exact integer math in
+    * both engines. Queries whose bucket yielded no candidates are
+    * absent (no retrieval, no score), same as the recall evaluator.
+    *
+    * Scale shape: pure composition of the two k-bounded broadcast-query
+    * rank paths; the eval joins nQueries·k-row frames. Inherently a
+    * sampled evaluator at 100 TB — run on a query sample, like
+    * [[annRecall]]. */
+  def ndcgAtK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+              ps: Seq[Seq[Long]] = planes()): DataFrame = {
+    val wq = ndcgWeights(k)
+    val idcg = ndcgIdealUnits(k)
+    val exact = topkCosine(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"),
+        (lit(k + 1) - col("rank")).cast("long").as("rel"))
+    lshTopK(emb, nQueries, k, ps)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+      .join(exact, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("rel"), lit(0L)) *
+          element_at(array(wq.map(lit): _*), col("rank"))).as("g"))
+      .groupBy("query_id")
+      .agg(sum(col("g")).as("dcg_units"))
+      .select(col("query_id"), col("dcg_units"),
+        expr(s"(1000000 * dcg_units) div $idcg").as("ndcg_ppm"))
+      .orderBy("query_id")
+  }
+
   /** Reciprocal-rank fusion of the exact-cosine and int8-code retrieval
     * paths — the hybrid-retrieval primitive (Cormack et al., SIGIR'09):
     * each list contributes 1/(C + rank) for every candidate it ranked,

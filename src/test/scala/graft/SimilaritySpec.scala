@@ -152,6 +152,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(pcts.exists(_ > 0L), "LSH recall collapsed to zero")
   }
 
+  test("ndcgAtK equals NDCG recomputed from the two rank lists; " +
+    "identical lists score exactly 1e6") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 5
+    val wq = Similarity.ndcgWeights(k)
+    val idcg = Similarity.ndcgIdealUnits(k)
+    assert(wq.head == 1000000000L && wq == wq.sorted.reverse)
+    val rel = Similarity.topkCosine(e, nQueries = 10, k = k)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)]
+      .collect().map(t => (t._1, t._2) -> (k + 1 - t._3).toLong).toMap
+    val lsh = Similarity.lshTopK(e, nQueries = 10, k = k)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)]
+      .collect()
+    val expected = lsh.groupBy(_._1).map { case (q, rows) =>
+      val dcg = rows.map(r =>
+        rel.getOrElse((q, r._2), 0L) * wq(r._3 - 1)).sum
+      (q, dcg, 1000000L * dcg / idcg)
+    }.toSet
+    val got = Similarity.ndcgAtK(e, nQueries = 10, k = k)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"ndcg must match recomputation: $got")
+    assert(got.forall(_._3 <= 1000000L))
+    assert(got.exists(_._3 > 0L), "ndcg collapsed to zero")
+    // a retrieval that returns the ideal list scores exactly 1e6:
+    // colinear family — one bucket, identical order both paths
+    val fam = (0L to 5L).map(id =>
+      (id, vec(1f, 2f, 3f).map(_ * (id + 1)), 0))
+    val perfect = Similarity.ndcgAtK(emb(fam: _*), nQueries = 1, k = k)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(perfect == Seq((0L, idcg, 1000000L)))
+  }
+
   test("rrfFusion equals RRF recomputed from the two composed rank lists") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.topkCosine(e, nQueries = 5, k = 8)
