@@ -2180,6 +2180,32 @@ object OracleExt {
          AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""
 
+  /** Twin of Curation.sourceOverlap — the band-join candidate pairs
+    * bucketed to unordered source cells (least/greatest), doc volumes
+    * joined back. */
+  val sourceOverlap: String = s"""
+    $bandsCte,
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+    src AS (SELECT doc_id, source FROM documents),
+    nsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM src GROUP BY 1),
+    cells AS (SELECT least(sa.source, sb.source) AS source_a,
+                     greatest(sa.source, sb.source) AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM pairs p
+              JOIN src sa ON sa.doc_id = p.doc_a
+              JOIN src sb ON sb.doc_id = p.doc_b
+              GROUP BY 1, 2)
+    SELECT c.source_a, c.source_b, na.n_docs AS n_docs_a,
+           nb.n_docs AS n_docs_b, c.n_pairs
+    FROM cells c
+    JOIN nsrc na ON na.source = c.source_a
+    JOIN nsrc nb ON nb.source = c.source_b
+    ORDER BY 1, 2"""
+
   /** Twin of Dedup.editDistConfirm — same band-join candidates, plain
     * Levenshtein on the same bounded prefixes. */
   def editDistConfirm(prefixLen: Int, maxDist: Int): String = s"""

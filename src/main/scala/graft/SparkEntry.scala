@@ -851,6 +851,9 @@ object SparkEntry {
     // Per-source duplicate rates off the LSH keep-list
     "source_dup_rates" -> ((s, dir) =>
       graft.operators.Curation.sourceDupRates(docsPar(s, dir))),
+    // Cross-source near-dup matrix: which source PAIRS share content
+    "source_overlap" -> ((s, dir) =>
+      graft.operators.Curation.sourceOverlap(docsPar(s, dir))),
     // Mean quality gap: keep-list survivors vs dropped duplicates
     "dup_quality_gap" -> ((s, dir) =>
       graft.operators.Curation.dupQualityGap(docsPar(s, dir))),
@@ -1350,6 +1353,7 @@ object SparkEntry {
       TextAnalysis.stopwords("en"), 3000,
       graft.operators.Curation.gopherStopwords, 50, 100000),
     "source_dup_rates" -> OracleExt.sourceDupRates,
+    "source_overlap" -> OracleExt.sourceOverlap,
     "dup_quality_gap" -> OracleExt.dupQualityGap(
       TextAnalysis.stopwords("en"), 3000),
     "budget_allocation" -> OracleExt.budgetAllocation(

@@ -29,6 +29,20 @@ class CurationDashSpec extends SparkTestBase {
     assert(m("clean") == ((2L, 0L, 0L)))
   }
 
+  test("sourceOverlap: cross-source mirror cell, within-source cell, " +
+    "clean sources absent") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val d = docs(
+      (1L, "m1", dup), (2L, "m2", dup), (3L, "m2", dup),
+      (4L, "clean", "one unique sentence about apples and harvest"))
+    val r = Curation.sourceOverlap(d)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // pairs: (1,2) m1×m2, (1,3) m1×m2, (2,3) m2×m2 — and nothing
+    // touches the clean source
+    assert(r == Seq(("m1", "m2", 1L, 2L, 2L), ("m2", "m2", 2L, 2L, 1L)))
+    Caches.releaseAll()
+  }
+
   test("dupQualityGap: NULL when no duplicates exist") {
     val d = docs(
       (1L, "a", "totally unique words here about mountains"),
