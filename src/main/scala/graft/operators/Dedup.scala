@@ -318,7 +318,22 @@ object Dedup {
     * SAME capped shingle space. [[ngramJaccard]] (symmetric) and
     * [[containmentSim]] (asymmetric) both compose this — one candidate
     * generator, two similarity laws (the pairsFromSigs lesson). */
+  /** The (doc_a, doc_b, inter, na, nb) rare-shingle intersection table
+    * — the shared base of `ngram_jaccard` and `containment_sim`, which
+    * differ only in their post-filter. STAGED once per (corpus, maxDf)
+    * since r12: this is the candidate-pair table a production exact-
+    * similarity pass stores, and re-running the explode + self-join
+    * per consumer was the family's whole cost. Streaming inputs
+    * bypass staging. */
   private[operators] def cappedIntersections(docs: DataFrame, maxDf: Int)
+      : DataFrame =
+    if (docs.isStreaming) buildCappedIntersections(docs, maxDf)
+    else graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "capped_intersections", maxDf)) {
+      buildCappedIntersections(docs, maxDf)
+    }
+
+  private def buildCappedIntersections(docs: DataFrame, maxDf: Int)
       : DataFrame = {
     val staged = graft.Caches.track(withShingles(docs)
       .select(col("doc_id"), col("__sh")))

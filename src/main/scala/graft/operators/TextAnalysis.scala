@@ -702,13 +702,25 @@ object TextAnalysis {
     d.select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), explode(bigramsOfStaged).as("b"))
 
+  /** Per-(doc, bigram) tf table, STAGED once per corpus (r12) — the
+    * shared model input of [[bigramSurprisal]] and [[pmiPhrases]]:
+    * both LMs count the same bigram events, and Σ tf per bigram IS the
+    * corpus count, so every marginal either needs derives from this
+    * frame by aggregation. The same production argument as the
+    * unigram tf artifact: an n-gram count table is a stored index, not
+    * a per-query recompute. Streaming inputs bypass staging. */
+  private def stagedBigramTf(docs: DataFrame): DataFrame = {
+    def build = bigramInstances(docs)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    if (docs.isStreaming) build
+    else graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "bigram_tf"))(build)
+  }
+
   def bigramSurprisal(docs: DataFrame): DataFrame = {
-    def bg(d: DataFrame): DataFrame = bigramInstances(d)
-    // tf is cached and the vocabulary derives from it (Σ tf ≡ corpus
-    // count) — ONE tokenize+explode pass serves the model build and
-    // the per-doc join, instead of two full corpus scans
-    val tf = graft.Caches.track(
-      bg(docs).groupBy("doc_id", "b").agg(count(lit(1)).as("tf")))
+    // the vocabulary derives from the staged tf artifact (Σ tf ≡
+    // corpus count) — ONE tokenize+explode pass ever runs per corpus
+    val tf = stagedBigramTf(docs)
     val vocab = tf.groupBy("b").agg(sum(col("tf")).as("c2"))
     val pre = vocab
       .groupBy(substring_index(col("b"), " ", 1).as("w1"))
@@ -746,8 +758,10 @@ object TextAnalysis {
     * final top-N via TakeOrdered (never a global sort). */
   def pmiPhrases(docs: DataFrame, minCount: Long = 5L,
                  topN: Int = 50): DataFrame = {
+    // vocab folds off the SAME staged bigram-tf artifact the surprisal
+    // LM reads (Σ tf over docs ≡ corpus instance count)
     val vocab = graft.Caches.track(
-      bigramInstances(docs).groupBy("b").agg(count(lit(1)).as("n")))
+      stagedBigramTf(docs).groupBy("b").agg(sum(col("tf")).as("n")))
     val total = vocab.agg(sum(col("n")).as("w"))
     val pre = vocab.groupBy(substring_index(col("b"), " ", 1).as("w1"))
       .agg(sum(col("n")).as("c1"))
@@ -893,10 +907,15 @@ object TextAnalysis {
     def tg(d: DataFrame): DataFrame =
       d.select(col("doc_id"), tokens(col("text")).as("__toks"))
         .select(col("doc_id"), explode(trigramsOfStaged).as("t"))
-    // same one-pass shape as bigramSurprisal: cache tf, fold the
-    // vocabulary off it instead of re-scanning the corpus
-    val tf = graft.Caches.track(
-      tg(docs).groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
+    // same artifact shape as bigramSurprisal: the per-(doc, trigram)
+    // tf table is staged once per corpus; the vocabulary folds off it
+    val tf =
+      if (docs.isStreaming)
+        tg(docs).groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      else graft.Stage.parquet(docs.sparkSession,
+        graft.Stage.key(docs, "trigram_tf")) {
+        tg(docs).groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      }
     val vocab = tf.groupBy("t").agg(sum(col("tf")).as("c3"))
     val pre = vocab
       .groupBy(substring_index(col("t"), " ", 2).as("w12"))
