@@ -1138,6 +1138,46 @@ object OracleExt {
           FROM (SELECT doc_id, text, $toks AS toks FROM documents))
     ORDER BY doc_id"""
 
+  /** Twin of Stats.spearmanQuality — Pearson on DOUBLED average ranks
+    * (2m − c + 1 off the value-count tables' inclusive window
+    * cumulative), HUGEINT lanes, the house sign-explicit ρ² ppm. */
+  def spearmanQuality(enStop: Seq[String], threshold: Long): String = s"""
+    WITH xq AS (SELECT doc_id, score AS xs
+                FROM (${qualityScore(enStop, threshold)})),
+    yq AS (SELECT doc_id, surprisal_milli AS ys
+           FROM (${unigramSurprisal(2000, 9000)})),
+    p AS (SELECT xs, ys FROM xq JOIN yq USING (doc_id)),
+    cx AS (SELECT xs AS v, CAST(count(*) AS BIGINT) AS cnt
+           FROM p GROUP BY 1),
+    rx AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - cnt + 1 AS r2 FROM cx),
+    cy AS (SELECT ys AS v, CAST(count(*) AS BIGINT) AS cnt
+           FROM p GROUP BY 1),
+    ry AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - cnt + 1 AS r2 FROM cy),
+    pr AS (SELECT CAST(rx.r2 AS HUGEINT) AS r2x,
+                  CAST(ry.r2 AS HUGEINT) AS r2y
+           FROM p JOIN rx ON p.xs = rx.v JOIN ry ON p.ys = ry.v),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(r2x) AS sx, sum(r2y) AS sy,
+                   sum(r2x * r2y) AS sxy,
+                   sum(r2x * r2x) AS sxx,
+                   sum(r2y * r2y) AS syy FROM pr),
+    lanes AS (SELECT n,
+                     CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+                     CAST(n AS HUGEINT) * sxx - sx * sx AS varx,
+                     CAST(n AS HUGEINT) * syy - sy * sy AS vary
+              FROM agg)
+    SELECT n AS n_docs,
+           CASE WHEN varx > 0 AND vary > 0 THEN
+             CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+               ((CAST(1000000 AS HUGEINT) * num * num)
+                 // (varx * vary)) AS BIGINT)
+           END AS spearman2_signed_ppm
+    FROM lanes ORDER BY n_docs"""
+
   /** Twin of Sampling.paretoDocs — same score law as qualityScore,
     * skyline via the per-score min-length sweep. */
   def paretoDocs(enStop: Seq[String]): String = s"""

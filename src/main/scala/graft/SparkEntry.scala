@@ -854,6 +854,10 @@ object SparkEntry {
     // Cross-source near-dup matrix: which source PAIRS share content
     "source_overlap" -> ((s, dir) =>
       graft.operators.Curation.sourceOverlap(docsPar(s, dir))),
+    // Exact tie-corrected Spearman between the two quality laws:
+    // Pearson on doubled average ranks, no global sort
+    "spearman_quality" -> ((s, dir) =>
+      graft.operators.Stats.spearmanQuality(docsPar(s, dir))),
     // Mean quality gap: keep-list survivors vs dropped duplicates
     "dup_quality_gap" -> ((s, dir) =>
       graft.operators.Curation.dupQualityGap(docsPar(s, dir))),
@@ -1354,6 +1358,8 @@ object SparkEntry {
       graft.operators.Curation.gopherStopwords, 50, 100000),
     "source_dup_rates" -> OracleExt.sourceDupRates,
     "source_overlap" -> OracleExt.sourceOverlap,
+    "spearman_quality" -> OracleExt.spearmanQuality(
+      TextAnalysis.stopwords("en"), 3000),
     "dup_quality_gap" -> OracleExt.dupQualityGap(
       TextAnalysis.stopwords("en"), 3000),
     "budget_allocation" -> OracleExt.budgetAllocation(

@@ -596,4 +596,60 @@ object Stats {
                    * (n_a + n_b + 1)""").as("significant"))
       .orderBy(col("n_a"))
   }
+
+  /** Exact tie-corrected Spearman rank correlation between the two
+    * per-doc quality laws — the additive quality score and the
+    * unigram-LM surprisal: do the cheap heuristic and the statistical
+    * model even agree on ORDER? ([[graft.operators.Curation
+    * .filterKappa]] asks the same question of the binary verdicts;
+    * this asks it of the full rankings, which catches a filter pair
+    * that agrees on the extremes but shuffles the middle.)
+    *
+    * Exactness without a global sort: Spearman-with-ties is Pearson on
+    * average ranks, and DOUBLED average ranks are integers — for a
+    * value v with count c and inclusive cumulative count m,
+    * 2·avgrank(v) = 2m − c + 1 — computed from the value-COUNT table
+    * via the two-phase [[Prefix.inclusiveCumsum]] (no corpus-sized
+    * window, no sort; the rank join is value-domain-sized and
+    * broadcast). The Pearson combination runs in the
+    * DECIMAL(38,0)/HUGEINT lanes with the house sign-explicit ρ² ppm.
+    * One row. */
+  def spearmanQuality(docs: DataFrame): DataFrame = {
+    val x = TextAnalysis.qualityScoreStaged(docs)
+      .select(col("doc_id"), col("score").as("xs"))
+    val y = TextAnalysis.unigramSurprisal(docs)
+      .select(col("doc_id"), col("surprisal_milli").as("ys"))
+    val paired = graft.Caches.track(
+      x.join(y, "doc_id").select(col("xs"), col("ys")))
+    def rank2(vcol: String): DataFrame = {
+      val counts = paired.groupBy(col(vcol).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      Prefix.inclusiveCumsum(counts, expr("v div 1000"), col("v"),
+          Seq("cnt" -> col("cnt")))
+        .select(col("v"),
+          (lit(2L) * col("cum_cnt") - col("cnt") + lit(1L)).as("r2"))
+    }
+    paired
+      .join(rank2("xs").select(col("v").as("xs"), col("r2").as("r2x")),
+        "xs")
+      .join(rank2("ys").select(col("v").as("ys"), col("r2").as("r2y")),
+        "ys")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x").cast("decimal(38,0)")).as("sx"),
+        sum(col("r2y").cast("decimal(38,0)")).as("sy"),
+        sum(col("r2x").cast("decimal(38,0)") * col("r2y")).as("sxy"),
+        sum(col("r2x").cast("decimal(38,0)") * col("r2x")).as("sxx"),
+        sum(col("r2y").cast("decimal(38,0)") * col("r2y")).as("syy"))
+      .select(col("n").as("n_docs"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx").as("varx"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy").as("vary"))
+      .select(col("n_docs"),
+        when(col("varx") > 0 && col("vary") > 0,
+          when(col("num") >= 0, lit(1L)).otherwise(lit(-1L)) *
+            expr("""(CAST(1000000 AS DECIMAL(38,0)) * num * num)
+                    div (varx * vary)""").cast("long"))
+          .as("spearman2_signed_ppm"))
+      .orderBy("n_docs")
+  }
 }
