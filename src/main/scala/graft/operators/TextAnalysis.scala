@@ -646,12 +646,11 @@ object TextAnalysis {
     * optimizer owns. */
   def unigramSurprisal(docs: DataFrame, keepLoMilli: Long = 2000,
                        keepHiMilli: Long = 9000): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // both the per-doc tf and the vocabulary (Σ tf per term ≡ corpus
+    // count) read the ONE staged posting base — no tokenize pass here
+    val tf = stagedDocTermTf(docs)
     val vocab = graft.Caches.track(
-      docs.select(explode(tokens(col("text"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("c")))
+      tf.groupBy("term").agg(sum(col("tf")).as("c")))
     val total = vocab.agg(sum(col("c")).as("t"))
     val bits = vocab.crossJoin(broadcast(total))
       .select(col("term"),
