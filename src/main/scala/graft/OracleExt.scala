@@ -3592,6 +3592,32 @@ object OracleExt {
     FROM g GROUP BY 1 ORDER BY 1"""
   }
 
+  /** Twin of Similarity.rboOverlap — the SAME Scala-computed ppb
+    * suffix weights indexed at greatest(ra, rb) for matched
+    * candidates, 0 for misses. */
+  def rboOverlap(nQueries: Int, k: Int, pMilli: Long): String = {
+    val suffix = graft.operators.Similarity.rboSuffix(k, pMilli)
+    val perfect = graft.operators.Similarity.rboPerfectUnits(k, pMilli)
+    s"""
+    WITH ea AS (SELECT query_id, cand_id, rank AS ra
+                FROM (${topkCosine(nQueries, k)})),
+    eb AS (SELECT query_id, cand_id, rank AS rb
+           FROM (${topkQuantized(nQueries, k)})),
+    j AS (SELECT ea.query_id,
+                 CASE WHEN eb.cand_id IS NULL THEN 0 ELSE 1 END AS hit,
+                 CASE WHEN eb.cand_id IS NULL THEN 0
+                      ELSE ([${suffix.mkString(", ")}])
+                             [greatest(ea.ra, eb.rb)]
+                 END AS u
+          FROM ea LEFT JOIN eb
+            ON eb.query_id = ea.query_id AND eb.cand_id = ea.cand_id)
+    SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_both,
+           CAST(sum(u) AS BIGINT) AS rbo_units,
+           CAST((1000000 * CAST(sum(u) AS BIGINT)) // $perfect AS BIGINT)
+             AS rbo_ppm
+    FROM j GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Twin of Similarity.projRecall — exact-cosine top-k vs the
     * JL-projected ranking; the projected vectors are rebuilt from the
     * same literal sign matrix and the same quantize recipe, so the

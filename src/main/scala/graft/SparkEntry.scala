@@ -1093,6 +1093,10 @@ object SparkEntry {
     // blind spot), plan-time ppb log2 discounts, exact integer DCG
     "ndcg_at_k" -> ((s, dir) =>
       Similarity.ndcgAtK(embPar(s, dir))),
+    // RBO@k: top-weighted agreement between the exact and int8-
+    // quantized rankings (geometric patience, ppb literal weights)
+    "rbo_overlap" -> ((s, dir) =>
+      Similarity.rboOverlap(embPar(s, dir))),
     // Recall@k of the JL-projected ranking against exact cosine
     "proj_recall" -> ((s, dir) =>
       Similarity.projRecall(embPar(s, dir)).orderBy("query_id")),
@@ -1577,6 +1581,7 @@ object SparkEntry {
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
     "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),
     "ndcg_at_k" -> OracleExt.ndcgAtK(10, 5, Similarity.planes()),
+    "rbo_overlap" -> OracleExt.rboOverlap(10, 5, 900L),
     "proj_recall" -> OracleExt.projRecall(10, 5, 16, 64),
     "ann_lsh_multiprobe" -> OracleExt.lshTopKMultiProbe(50, 3, Similarity.planes()),
     "embed_neardup" -> OracleExt.nearDupPairs(350000,

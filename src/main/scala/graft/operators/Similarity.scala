@@ -394,6 +394,60 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** RBO depth weights, ppb fixed-point: v_d = floor(1e9·(1−p)·p^(d−1)
+    * / d) for d = 1..k (Webber et al. 2010's per-depth contribution of
+    * ONE agreed element). Scala-computed, embedded as literals in both
+    * engines' plans — the [[ndcgWeights]] discipline. */
+  def rboWeights(k: Int, pMilli: Long = 900L): Seq[Long] = {
+    val p = pMilli / 1000.0
+    (1 to k).map(d =>
+      math.floor(1e9 * (1 - p) * math.pow(p, d - 1) / d).toLong)
+  }
+
+  /** Suffix sums Σ_{d=m..k} v_d: a candidate ranked (ra, rb) in the
+    * two lists is inside both prefixes for every depth ≥ max(ra, rb),
+    * so its total RBO contribution is ONE lookup. */
+  def rboSuffix(k: Int, pMilli: Long = 900L): Seq[Long] =
+    rboWeights(k, pMilli).scanRight(0L)(_ + _).init
+
+  /** Perfect-agreement units (identical lists): Σ d·v_d. */
+  def rboPerfectUnits(k: Int, pMilli: Long = 900L): Long =
+    rboWeights(k, pMilli).zipWithIndex.map { case (v, i0) =>
+      (i0 + 1).toLong * v
+    }.sum
+
+  /** Rank-biased overlap @k between the exact-cosine ranking and the
+    * int8-quantized serving path ([[topkQuantized]]) — the fidelity
+    * audit the quantized index lacked: [[annRecall]] grades the LSH
+    * index, [[ndcgAtK]] its ordering, and this grades how much of the
+    * top-weighted exact list the COMPRESSED scorer preserves, with
+    * geometric patience p (ppb literal weights, no float ever
+    * evaluated by an engine). Per matched candidate the contribution
+    * is suffix(max(ra, rb)) — one literal-array lookup — so the whole
+    * metric is one nQueries·k-row join + an integer aggregate; the
+    * sampled-evaluator discipline at 100 TB, like the other evals. */
+  def rboOverlap(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                 pMilli: Long = 900L): DataFrame = {
+    val suffix = rboSuffix(k, pMilli)
+    val perfect = rboPerfectUnits(k, pMilli)
+    val a = topkCosine(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"), col("rank").as("ra"))
+    val b = topkQuantized(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"), col("rank").as("rb"))
+    a.join(b, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"),
+        when(col("rb").isNotNull, lit(1L)).otherwise(lit(0L)).as("hit"),
+        when(col("rb").isNotNull,
+          element_at(array(suffix.map(lit): _*),
+            greatest(col("ra"), col("rb")).cast("int")))
+          .otherwise(lit(0L)).as("u"))
+      .groupBy("query_id")
+      .agg(sum(col("hit")).as("n_both"), sum(col("u")).as("rbo_units"))
+      .select(col("query_id"), col("n_both"), col("rbo_units"),
+        expr(s"(1000000 * rbo_units) div $perfect").as("rbo_ppm"))
+      .orderBy("query_id")
+  }
+
   /** Reciprocal-rank fusion of the exact-cosine and int8-code retrieval
     * paths — the hybrid-retrieval primitive (Cormack et al., SIGIR'09):
     * each list contributes 1/(C + rank) for every candidate it ranked,

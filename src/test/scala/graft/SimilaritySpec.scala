@@ -184,6 +184,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(perfect == Seq((0L, idcg, 1000000L)))
   }
 
+  test("rboOverlap equals RBO recomputed from the two rank lists; " +
+    "identical lists score exactly 1e6") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 5
+    val suffix = Similarity.rboSuffix(k)
+    val perfect = Similarity.rboPerfectUnits(k)
+    // suffix sums are decreasing; depth-1 agreement carries the most
+    assert(suffix == suffix.sorted.reverse && suffix.head > suffix.last)
+    val ra = Similarity.topkCosine(e, nQueries = 10, k = k)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)]
+      .collect()
+    val rb = Similarity.topkQuantized(e, nQueries = 10, k = k)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val expected = ra.groupBy(_._1).map { case (q, rows) =>
+      val hits = rows.flatMap(r => rb.get((q, r._2)).map(br => (r._3, br)))
+      val units = hits.map { case (x, y) => suffix((x max y) - 1) }.sum
+      (q, hits.size.toLong, units, 1000000L * units / perfect)
+    }.toSet
+    val got = Similarity.rboOverlap(e, nQueries = 10, k = k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"rbo must match recomputation: $got")
+    assert(got.forall(_._4 <= 1000000L))
+    assert(got.exists(_._4 > 0L), "rbo collapsed to zero")
+    // identical lists: IDENTICAL vectors (not merely colinear — the
+    // two scorers' ulp noise could order colinear pairs differently)
+    // make every pairwise sim the same computation on both paths, so
+    // both rankings fall to the cand_id tie-break and agree exactly
+    val fam = (0L to 5L).map(id => (id, vec(1f, 2f, 3f), 0))
+    val perfectRow = Similarity.rboOverlap(emb(fam: _*), nQueries = 1,
+      k = k).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(perfectRow == Seq((0L, 5L, perfect, 1000000L)))
+  }
+
   test("rrfFusion equals RRF recomputed from the two composed rank lists") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.topkCosine(e, nQueries = 5, k = 8)
