@@ -3838,6 +3838,40 @@ object OracleExt {
              AS BIGINT) AS n_border
     FROM lab GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of Density.ariVsKmeans — the dbscan label chain and the
+    * Lloyd chain merged into ONE WITH clause (no CTE name collisions:
+    * the density side uses n/nb/pairs/…/lab, Lloyd uses e/c$i/d$i/…),
+    * noise keyed −(vec_id+1), doubled-binomial exact ARI in HUGEINT
+    * lanes. */
+  def partitionAri(minSimMicro: Long, minPts: Int, ps: Seq[Seq[Long]],
+                   k: Int, iters: Int): String = {
+    val kmBody = kmeansCte(k, iters).trim.stripPrefix("WITH")
+    s"""
+    ${dbscanCtes(minSimMicro, minPts, ps)},
+    $kmBody,
+    pa AS (SELECT vec_id, coalesce(cluster_id, -(vec_id + 1)) AS la
+           FROM lab),
+    pb AS (SELECT vec_id, cid AS lb FROM a${iters - 1}),
+    ct AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS nij
+           FROM pa JOIN pb USING (vec_id) GROUP BY 1, 2),
+    i2n AS (SELECT CAST(sum(nij * (nij - 1)) AS HUGEINT) AS i2,
+                   CAST(sum(nij) AS HUGEINT) AS n FROM ct),
+    am AS (SELECT CAST(sum(c * (c - 1)) AS HUGEINT) AS a2
+           FROM (SELECT sum(nij) AS c FROM ct GROUP BY la)),
+    bm AS (SELECT CAST(sum(c * (c - 1)) AS HUGEINT) AS b2
+           FROM (SELECT sum(nij) AS c FROM ct GROUP BY lb)),
+    lanes AS (SELECT n, i2 * (n * (n - 1)) - a2 * b2 AS half_num,
+                     n * (n - 1) * (a2 + b2) - 2 * a2 * b2 AS den
+              FROM i2n, am, bm)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CASE WHEN den > 0 THEN
+             CAST((CASE WHEN half_num >= 0 THEN 1 ELSE -1 END) *
+               ((CAST(2000000 AS HUGEINT) * abs(half_num)) // den)
+               AS BIGINT)
+           END AS ari_signed_ppm
+    FROM lanes ORDER BY n_points"""
+  }
+
   /** Twin of Similarity.nearDupPairsBanded: `bands` independent plane
     * tables; candidate = same bucket in ANY band, deduped, then exact
     * cosine verify against the normed table. */

@@ -1117,6 +1117,10 @@ object SparkEntry {
     "dbscan_stats" -> ((s, dir) =>
       graft.operators.Density.dbscanStats(embPar(s, dir))
         .orderBy("cluster_id")),
+    // Cross-family agreement: exact ARI between the staged DBSCAN
+    // labels (noise = singletons) and the staged Lloyd assignment
+    "partition_ari" -> ((s, dir) =>
+      graft.operators.Density.ariVsKmeans(embPar(s, dir))),
     // Deterministic Lloyd's k-means: the trained IVF coarse quantizer
     "ivf_kmeans" -> ((s, dir) =>
       KMeans.assignments(embPar(s, dir)).orderBy("vec_id")),
@@ -1592,6 +1596,8 @@ object SparkEntry {
       Similarity.planes(graft.operators.Density.defaultPlanes)),
     "dbscan_stats" -> OracleExt.dbscanStats(250000, 3,
       Similarity.planes(graft.operators.Density.defaultPlanes)),
+    "partition_ari" -> OracleExt.partitionAri(250000, 3,
+      Similarity.planes(graft.operators.Density.defaultPlanes), 8, 2),
     "k_core" -> OracleExt.kCore(3, 12, 64, 2),
     "k_truss" -> OracleExt.kTruss(3, 12, 64, 2),
     "degree_assort" -> OracleExt.degreeAssortativity(64, 2),

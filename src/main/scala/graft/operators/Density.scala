@@ -110,6 +110,63 @@ object Density {
       buildLabels(emb, minSimMicro, minPts, nPlanes)
     }
 
+  /** Adjusted Rand Index between two labelings of the same id space
+    * (Hubert & Arabie 1985) — chance-corrected pair-counting
+    * agreement, EXACT: with doubled binomials I2 = Σ n_ij(n_ij−1),
+    * A2/B2 the same over the two marginals and N2 = n(n−1),
+    * ARI = 2(I2·N2 − A2·B2) / (N2·(A2+B2) − 2·A2·B2) — every term an
+    * integer, combined in DECIMAL(38,0)/HUGEINT lanes, reported as
+    * the sign-explicit ppm (NULL when the denominator degenerates:
+    * both partitions all-singleton or both one cluster). Scale shape:
+    * one id-keyed join, one contingency aggregate (≤ |clusters_a| ×
+    * |clusters_b| rows), marginal folds off the contingency — nothing
+    * corpus-sized past the first groupBy. */
+  def adjustedRand(a: DataFrame, b: DataFrame): DataFrame = {
+    val ct = graft.Caches.track(
+      a.join(b, "vec_id").groupBy("la", "lb")
+        .agg(count(lit(1)).as("nij")))
+    val i2n = ct.agg(sum(expr("nij * (nij - 1)")).as("i2"),
+      sum(col("nij")).as("n"))
+    val a2 = ct.groupBy("la").agg(sum(col("nij")).as("c"))
+      .agg(sum(expr("c * (c - 1)")).as("a2"))
+    val b2 = ct.groupBy("lb").agg(sum(col("nij")).as("c"))
+      .agg(sum(expr("c * (c - 1)")).as("b2"))
+    i2n.crossJoin(broadcast(a2)).crossJoin(broadcast(b2))
+      .select(col("n").as("n_points"),
+        expr("""CAST(i2 AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))
+                * (n - 1)) - CAST(a2 AS DECIMAL(38,0)) * b2""")
+          .as("half_num"),
+        expr("""CAST(n AS DECIMAL(38,0)) * (n - 1) * (CAST(a2 AS
+                DECIMAL(38,0)) + b2) - 2 * CAST(a2 AS DECIMAL(38,0))
+                * b2""").as("den"))
+      .select(col("n_points"),
+        when(col("den") > 0,
+          when(col("half_num") >= 0, lit(1L)).otherwise(lit(-1L)) *
+            expr("""(CAST(2000000 AS DECIMAL(38,0)) * abs(half_num))
+                    div den""").cast("long"))
+          .as("ari_signed_ppm"))
+      .orderBy("n_points")
+  }
+
+  /** The cross-family sanity audit: ARI between the STAGED density
+    * labels (noise points as their own singletons — the standard
+    * treatment, keyed −(vec_id+1) so they can never collide with a
+    * real min-id label) and the STAGED Lloyd assignment. High
+    * agreement means the corpus has real block structure both methods
+    * see; near-zero means at least one partition is carving noise —
+    * read it before trusting either clustering downstream. Pure
+    * composition of two artifacts. */
+  def ariVsKmeans(emb: DataFrame, minSimMicro: Long = 250000,
+                  minPts: Int = 3, nPlanes: Int = defaultPlanes,
+                  k: Int = 8, iters: Int = 2): DataFrame = {
+    val da = dbscan(emb, minSimMicro, minPts, nPlanes)
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id") * -1 - 1).as("la"))
+    val kb = KMeans.fit(emb, k, iters)
+      .select(col("vec_id"), col("cluster").as("lb"))
+    adjustedRand(da, kb)
+  }
+
   /** The density dashboard [[dbscan]] feeds a curation run: per-cluster
     * sizes split core/border, plus ONE noise row (cluster_id = −1 so
     * the sort key is never NULL across engines). Aggregate-on-aggregate

@@ -70,6 +70,36 @@ class DensitySpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("adjustedRand: identical partitions 1e6, the classic crossing " +
+    "case -0.5, degenerate NULL") {
+    def lbl(name: String, rows: (Long, Long)*) =
+      rows.toDF("vec_id", name)
+    val a = lbl("la", 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L)
+    // identical partition (different label ids — ARI is label-invariant)
+    val same = lbl("lb", 1L -> 7L, 2L -> 7L, 3L -> 9L, 4L -> 9L)
+    assert(Density.adjustedRand(a, same)
+      .as[(Long, Option[Long])].head() == ((4L, Some(1000000L))))
+    // {1,2}{3,4} vs {1,3}{2,4}: every nij = 1 → ARI = −1/2 exactly
+    val cross = lbl("lb", 1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L)
+    assert(Density.adjustedRand(a, cross)
+      .as[(Long, Option[Long])].head() == ((4L, Some(-500000L))))
+    // all-singletons vs all-singletons: denominator degenerates
+    val sing = lbl("la", 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    val sing2 = lbl("lb", 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    assert(Density.adjustedRand(sing, sing2)
+      .as[(Long, Option[Long])].head() == ((4L, None)))
+    Caches.releaseAll()
+  }
+
+  test("ariVsKmeans runs on the fixture and stays in [-1e6, 1e6]") {
+    val e = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val r = Density.ariVsKmeans(e).as[(Long, Option[Long])].head()
+    assert(r._1 == 500L)
+    assert(r._2.forall(p => p >= -1000000L && p <= 1000000L))
+    Caches.releaseAll()
+  }
+
   test("DBSCAN invariants hold on a deterministic mixed corpus") {
     // pseudo-random spread + planted colinear families: role is a pure
     // function of blocked degree and core adjacency
