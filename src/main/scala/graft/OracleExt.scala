@@ -2715,6 +2715,60 @@ object OracleExt {
     FROM per LEFT JOIN dp ON per.doc_id = dp.doc_id
     ORDER BY per.doc_id"""
 
+  /** Twin of Dedup.substringDedup: positioned n-grams via lead over the
+    * token stream (non-null exactly at starts 0..len-n, matching the
+    * Spark side's sequence(0, len-n)), whole-text fallback row for docs
+    * shorter than n, row_number-over-(doc_id,pos) in place of Spark's
+    * min(struct) keeper (same lexicographic first), identical
+    * (n-1)-PRECEDING rows frame for span coverage, and the kept text
+    * re-assembled by ordered string_agg (NULL-skipping mirrors the
+    * when()-filtered collect_list; coalesce('') keeps the
+    * fully-removed-doc md5 equal to Spark's md5 of ""). */
+  def substringDedup(n: Int): String = {
+    val gram = (1 until n).map(i => s" || ' ' || lead(w, $i) OVER wd")
+      .mkString
+    val kept = "CASE WHEN rm = 0 THEN w END"
+    s"""
+    WITH tokl AS (SELECT doc_id, $toks AS toks FROM documents),
+    tok AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.w AS w
+            FROM (SELECT doc_id,
+                    unnest(list_transform(toks,
+                      (x, i) -> {'w': x, 'pos': i - 1})) AS s
+                  FROM tokl WHERE len(toks) > 0)),
+    g AS (SELECT doc_id, pos, w$gram AS gram
+          FROM tok WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+    occ0 AS (SELECT doc_id, pos, gram AS s FROM g WHERE gram IS NOT NULL
+             UNION ALL
+             SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+                    array_to_string(toks, ' ') AS s
+             FROM tokl WHERE len(toks) > 0 AND len(toks) < $n),
+    occ AS (SELECT doc_id, pos,
+                   ${graft.functions.PortableHash.sqlHash32("s")} AS h1,
+                   ${graft.functions.PortableHash.sqlHash32b("s")} AS h2
+            FROM occ0),
+    marked AS (SELECT doc_id, pos FROM (
+                 SELECT doc_id, pos,
+                        row_number() OVER (PARTITION BY h1, h2
+                                           ORDER BY doc_id, pos) AS rk,
+                        count(*) OVER (PARTITION BY h1, h2) AS nk
+                 FROM occ)
+               WHERE nk >= 2 AND rk > 1),
+    flags AS (SELECT t.doc_id, t.pos, t.w,
+                     max(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                             ROWS BETWEEN ${n - 1} PRECEDING
+                             AND CURRENT ROW) AS rm
+              FROM tok t LEFT JOIN marked m
+                ON m.doc_id = t.doc_id AND m.pos = t.pos)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(rm) AS BIGINT) AS removed_tokens,
+           CAST(count(*) - sum(rm) AS BIGINT) AS kept_tokens,
+           coalesce(string_agg($kept, ' ' ORDER BY pos), '') AS kept_text,
+           md5(coalesce(string_agg($kept, ' ' ORDER BY pos), ''))
+             AS kept_md5
+    FROM flags GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** Twin of Dedup.simhash: 64 ±1 bit sums over frequency-weighted token
     * hashes (two independent md5 lanes), recombined into an int64
     * signature. The bit-63 term is the BIGINT minimum literal (Scala's

@@ -1030,6 +1030,11 @@ object SparkEntry {
     // Span-level duplication stats (Lee et al.) — no self-join
     "dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(docsPar(s, dir)).orderBy("doc_id")),
+    // Exact-substring dedup (Lee et al.): REWRITES the corpus — every
+    // duplicated shingle span except its corpus-first occurrence is
+    // removed and the doc re-emitted from the surviving tokens
+    "substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(docsPar(s, dir)).orderBy("doc_id")),
     // Content-defined chunks: hash-boundary variable-size chunking
     "cdc_chunks" -> ((s, dir) =>
       Dedup.cdcChunks(docsPar(s, dir)).orderBy("doc_id", "chunk_id")),
@@ -1576,6 +1581,7 @@ object SparkEntry {
     "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
     "containment_sim" -> OracleExt.containmentSim(300, 5),
     "dup_spans" -> OracleExt.dupSpans,
+    "substring_dedup" -> OracleExt.substringDedup(3),
     "cdc_chunks" -> OracleExt.cdcChunks(16),
     "winnow_fingerprints" -> OracleExt.winnowFingerprints(3, 4),
     "simhash" -> OracleExt.simhash,

@@ -432,6 +432,80 @@ object Dedup {
         expr("(1000 * coalesce(n_dup0, 0L)) div n_spans").as("dup_milli"))
   }
 
+  /** Exact-substring deduplication — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") transform that REWRITES
+    * the corpus instead of scoring it: [[dupSpans]] measures how much of
+    * each doc is verbatim-duplicated text; this operator REMOVES it,
+    * keeping exactly one occurrence corpus-wide. Every n-token shingle
+    * occurrence that is not the corpus-first occurrence of a duplicated
+    * shingle (≥2 occurrences anywhere — cross-doc or a within-doc
+    * repeat) marks its n-token span for removal; per doc the marked
+    * spans union into intervals and the doc re-emits with the surviving
+    * tokens only. A verbatim passage planted in k docs survives exactly
+    * once, at its lexicographically-first (doc_id, pos) site, and the
+    * shingles straddling a planted passage's boundary contain unique
+    * context so removal stops at the passage edge (DedupSpec pins both).
+    * Keep-first policy matches [[clusterKeepList]]'s keep-lowest
+    * canonical, applied at span rather than doc granularity.
+    *
+    * 100 TB shape — no self-join anywhere (the quadratic pair table of
+    * the Jaccard family never exists, the [[dupSpans]] cost class):
+    *  - the occurrence table is ∝ corpus tokens and carries (doc_id,
+    *    pos, two 32-bit md5 lanes) — span TEXT never shuffles;
+    *  - ONE map-side-combinable groupBy on the 64-bit key (count +
+    *    min(struct)) picks each duplicated shingle's keeper; the
+    *    duplicated-key list is the small minority of a real corpus
+    *    (most shingles are unique) and joins back hash-partitioned;
+    *  - removal flags ride a per-doc window over DENSE posexplode
+    *    positions — a span covers [pos, pos+n-1], so "token covered by
+    *    a marked span" ≡ "a marked start within the n-1 PRECEDING rows"
+    *    and the interval union costs one bounded rows-frame, never a
+    *    range join against an interval table;
+    *  - the doc rebuild is one doc-keyed aggregate whose collect_list
+    *    is doc-bounded.
+    * Docs shorter than n tokens contribute one whole-text shingle at
+    * pos 0 (the [[shingles]] fallback, positioned), so short exact-dup
+    * docs dedup too. 32+32-bit key aliasing bound as [[dupSpans]]. */
+  def substringDedup(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) > 0)
+    val occ = graft.Caches.track(toked
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("__t")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
+          .as(Seq("p", "s")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        PortableHash.hash32(col("s")).as("h1"),
+        PortableHash.hash32b(col("s")).as("h2")))
+    val firsts = occ.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("doc_id"), col("pos"))).as("__f"))
+      .filter(col("__n") >= 2)
+      .select(col("h1"), col("h2"),
+        col("__f.doc_id").as("__fd"), col("__f.pos").as("__fp"))
+    val marked = occ.join(firsts, Seq("h1", "h2"))
+      .filter(col("doc_id") =!= col("__fd") || col("pos") =!= col("__fp"))
+      .select(col("doc_id"), col("pos"), lit(1L).as("__m"))
+    val tok = toked
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    tok.join(marked, Seq("doc_id", "pos"), "left")
+      .withColumn("__rm", max(coalesce(col("__m"), lit(0L))).over(w) === 1L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__rm").cast("long")).as("removed_tokens"),
+        array_join(transform(array_sort(collect_list(
+            when(!col("__rm"), struct(col("pos"), col("w"))))),
+          x => x.getField("w")), " ").as("kept_text"))
+      .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
+        (col("n_tokens") - col("removed_tokens")).as("kept_tokens"),
+        col("kept_text"), md5(col("kept_text")).as("kept_md5"))
+  }
+
   /** Content-defined chunking (the rsync/LBFS boundary trick, word
     * granularity): a word is a BOUNDARY when its salted hash lands in a
     * 1/avgWords slice of the hash space, and every boundary starts a

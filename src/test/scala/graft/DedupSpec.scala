@@ -508,4 +508,44 @@ class DedupSpec extends SparkTestBase {
     }
     assert(byHash == byText, "dual-lane keys must reproduce text-keyed truth")
   }
+
+  test("substringDedup: planted cross-doc passage survives exactly once") {
+    val passage = "zq1 zq2 zq3 zq4 zq5 zq6"
+    val d = docs(
+      (1L, s"a1 a2 a3 $passage a4 a5"),
+      (2L, s"b1 b2 $passage b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7"))
+    val out = Dedup.substringDedup(d).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "removed_tokens", "kept_text")
+      .as[(Long, Long, Long, String)].collect()
+    // doc 1 is the corpus-first site: passage kept verbatim
+    assert(out(0) == ((1L, 11L, 0L, s"a1 a2 a3 $passage a4 a5")))
+    // doc 2: exactly the 6 passage tokens removed — boundary shingles
+    // carry unique context, so removal stops at the passage edge
+    assert(out(1) == ((2L, 11L, 6L, "b1 b2 b3 b4 b5")))
+    // doc 3 shares nothing: untouched
+    assert(out(2) == ((3L, 7L, 0L, "c1 c2 c3 c4 c5 c6 c7")))
+  }
+
+  test("substringDedup: within-doc verbatim repeat keeps first occurrence") {
+    val d = docs((1L, "x1 x2 r1 r2 r3 x3 x4 r1 r2 r3 x5"))
+    val out = Dedup.substringDedup(d)
+      .select("doc_id", "removed_tokens", "kept_text")
+      .as[(Long, Long, String)].head()
+    assert(out == ((1L, 3L, "x1 x2 r1 r2 r3 x3 x4 x5")))
+  }
+
+  test("substringDedup: short-doc whole-text fallback + fully-removed doc") {
+    val d = docs((1L, "tiny pair"), (2L, "tiny pair"), (3L, "other text"))
+    val out = Dedup.substringDedup(d).orderBy("doc_id")
+      .select("doc_id", "removed_tokens", "kept_tokens", "kept_text",
+        "kept_md5")
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(out(0) == ((1L, 0L, 2L, "tiny pair",
+      out(0)._5))) // doc 1 keeps the first occurrence
+    // doc 2 is removed entirely; md5 of the empty string on both engines
+    assert(out(1) == ((2L, 2L, 0L, "",
+      "d41d8cd98f00b204e9800998ecf8427e")))
+    assert(out(2)._2 == 0L)
+  }
 }
