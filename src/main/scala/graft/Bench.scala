@@ -129,6 +129,7 @@ object Bench {
     // so their merged minima include clean-window samples, and stamp
     // from the widened probe set. Sustained load keeps the stamp.
     var healedN = 0
+    var healedNames: Seq[String] = Nil
     if (contaminated) {
       val fresh = (1 to 4).map(_ => calibOnce())
       if (!contamOf(fresh)) {
@@ -150,6 +151,7 @@ object Bench {
         if (!contamOf(fresh ++ post)) {
           contaminated = false
           healedN = affected.size
+          healedNames = affected.toSeq
           calib ++= fresh ++ post
         }
       }
@@ -186,6 +188,20 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - t0Wall) / 1e9
 
+    // staged-artifact build accounting (VERDICT r12 #2): every Stage
+    // artifact built this JVM — all during the untimed warmup pass,
+    // since staging is build-once — with its build wall-time and bytes,
+    // so the cost amortized OUT of the per-query timings is visible
+    // beside them instead of silently folded into whichever gated query
+    // first touched the artifact. Keys are tag:planhash:params.
+    val stageBuilds = graft.Stage.builds
+      .sortBy { case (k, _) => k }
+      .map { case (k, a) =>
+        "\"stage_build:" + k.replace("\"", "") + "\":" +
+          f"[${a.buildSec}%.4f,${a.bytes}]"
+      }.mkString("{", ",", "}")
+    val stagedBytes = graft.Stage.stagedBytes
+
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the JSON line out of that tail (BENCH_r07 recorded parsed:null when
     // the dispersion+calibration fields pushed the line past the window
@@ -196,8 +212,12 @@ object Bench {
     //  - the FINAL stdout line: the compact driver contract, kept under
     //    1800 chars (sbt's trailing "[success]" line shares the window) by
     //    degrading per-query decimal places before ever dropping a field.
+    // accounting note: "rerun" = spread-triggered rescue re-samples;
+    // "healed" = queries re-timed by the contamination self-heal (the
+    // two passes are independent — a query can appear in both, and
+    // healed_n == healed.length by construction; ADVICE r13 #2)
     val rich =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"calibration":$calibJson,"calib_median":$calibMedian%.4f,"contaminated":$contaminated,"healed_n":$healedN,"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"wall_sec":$wallSec%.1f,"sf":"$sfDir","runs":$runs}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"calibration":$calibJson,"calib_median":$calibMedian%.4f,"contaminated":$contaminated,"healed_n":$healedN,"healed":${healedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"stage_builds":$stageBuilds,"staged_bytes":$stagedBytes,"wall_sec":$wallSec%.1f,"sf":"$sfDir","runs":$runs}"""
     println("[bench-full] " + rich)
     try Files.writeString(Paths.get("bench_out.json"), rich)
     catch { case _: Throwable => () }

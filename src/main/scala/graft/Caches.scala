@@ -54,8 +54,16 @@ object Caches {
 
   /** Unpersist every tracked intermediate; returns the number
     * released. Safe to call at any time — unpersisting a frame another
-    * plan still needs only costs recomputation, never correctness. */
-  def releaseAll(blocking: Boolean = false): Int = {
+    * plan still needs only costs recomputation, never correctness.
+    *
+    * `dropStaged = true` extends the drain to [[Stage]]'s written
+    * artifacts (directories deleted, next caller rebuilds) — the
+    * full-lifecycle teardown a long-lived service calls between
+    * tenants; the default leaves staged artifacts alone because they
+    * are the warehouse tables a production run deliberately reuses
+    * (and what Bench measures read-backs against). */
+  def releaseAll(blocking: Boolean = false,
+                 dropStaged: Boolean = false): Int = {
     var n = 0
     var df = tracked.poll()
     while (df != null) {
@@ -63,6 +71,7 @@ object Caches {
       n += 1
       df = tracked.poll()
     }
+    if (dropStaged) n += Stage.dropAll()
     n
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,13 +24,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Keying: [[key]] hashes the input frame's canonicalized analyzed plan
   * (so sf0.001 / sf0.01 / sf0.1 runs stage separate artifacts) plus the
-  * build parameters. Process-global and build-once per JVM: concurrent
-  * first callers serialize on computeIfAbsent, and the artifact lives
-  * until the JVM exits (java.io.tmpdir cleanup).
+  * build parameters. Process-global and build-once per JVM.
+  *
+  * Concurrency (r12 VERDICT #3): entries are per-key PROMISES
+  * (CompletableFuture) installed with a lock-free putIfAbsent — the
+  * build itself runs OUTSIDE any map lock, so two first-callers of
+  * DIFFERENT keys never serialize on a map stripe (computeIfAbsent
+  * would run the whole parquet write under the bin lock), concurrent
+  * first-callers of the SAME key build once (losers join the winner's
+  * promise), and a build may stage a NESTED artifact under another key
+  * (resolve a staged input inside the build) without deadlock.
+  * Same-key re-entrance — a build resolving ITSELF — is a logic error
+  * and fails fast with IllegalStateException instead of self-joining
+  * forever. A FAILED build removes its promise before rethrowing, so
+  * the key is retryable (build-once applies to successes).
+  *
+  * Lifecycle (r12 VERDICT #4): every artifact records its build
+  * wall-time and on-disk bytes ([[builds]] — the bench artifact emits
+  * them as `stage_build:` entries so staged cost is visible beside the
+  * per-query times); [[drop]] evicts by key prefix (directory deleted,
+  * next caller rebuilds) and [[Caches.releaseAll]] can drain staged
+  * artifacts along with tracked persists via its `dropStaged` flag.
   */
 object Stage {
 
-  private val staged = new ConcurrentHashMap[String, String]()
+  /** A completed staged artifact: temp directory, build wall-clock,
+    * on-disk size. */
+  final case class Artifact(dir: String, buildSec: Double, bytes: Long)
+
+  private val staged = new ConcurrentHashMap[String, CompletableFuture[Artifact]]()
+
+  /** Keys currently being built by THIS thread — same-key re-entrance
+    * (a build resolving itself) would join its own unfinished promise;
+    * fail fast instead. Nested builds of other keys are supported. */
+  private val building = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
 
   /** Staging key for `build(df, params...)`: the canonicalized semantic
     * hash of `df`'s analyzed plan + a tag + the parameter values. */
@@ -38,31 +67,101 @@ object Stage {
     s"$tag:${df.queryExecution.analyzed.canonicalized.semanticHash()}" +
       params.map(p => s":$p").mkString
 
+  /** Resolve-or-build: install a fresh promise for `cacheKey` if absent
+    * (lock-free CAS — no build ever runs under a map lock); the winner
+    * builds and completes it, losers block on the promise. */
+  private def resolve(cacheKey: String)(build: String => Unit): Artifact = {
+    val fresh = new CompletableFuture[Artifact]()
+    val prior = staged.putIfAbsent(cacheKey, fresh)
+    if (prior != null) {
+      if (building.get().contains(cacheKey))
+        throw new IllegalStateException(
+          s"re-entrant Stage build of key '$cacheKey': a build must not " +
+            "resolve its own artifact (resolve nested staged INPUTS is " +
+            "fine — they use their own keys)")
+      prior.join()
+    } else {
+      building.set(building.get() + cacheKey)
+      try {
+        val d = java.nio.file.Files.createTempDirectory("graft_stage_")
+          .toAbsolutePath.toString
+        val t0 = System.nanoTime()
+        build(d)
+        val a = Artifact(d, (System.nanoTime() - t0) / 1e9, dirBytes(d))
+        fresh.complete(a)
+        a
+      } catch {
+        case e: Throwable =>
+          // a failed build must not poison the key: next caller retries
+          staged.remove(cacheKey, fresh)
+          fresh.completeExceptionally(e)
+          throw e
+      } finally building.set(building.get() - cacheKey)
+    }
+  }
+
   /** Materialize `build` to a temp parquet directory the first time
     * `cacheKey` is seen in this JVM; always return the read-back. */
   def parquet(spark: SparkSession, cacheKey: String)
              (build: => DataFrame): DataFrame = {
-    val dir = staged.computeIfAbsent(cacheKey, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_stage_")
-        .toAbsolutePath.toString
-      build.write.mode("overwrite").parquet(d)
-      d
-    })
-    spark.read.parquet(dir)
+    val a = resolve(cacheKey)(d =>
+      build.write.mode("overwrite").parquet(d))
+    spark.read.parquet(a.dir)
   }
 
   /** Multi-artifact variant for models with several output frames (a
     * trained quantizer's assignment + centroid tables): `build(dir)`
     * writes its artifacts under `dir` the first time `cacheKey` is
     * seen; returns the directory for the caller to read subpaths back.
-    * NB `build` must not call Stage with another key on the SAME map
-    * re-entrantly from the mapping function — resolve nested staged
-    * inputs BEFORE entering the build (computeIfAbsent must not nest). */
+    * Nested staged INPUTS may be resolved from inside `build` (each
+    * build runs outside the map locks); only resolving the SAME key
+    * re-entrantly is rejected. */
   def dir(cacheKey: String)(build: String => Unit): String =
-    staged.computeIfAbsent(cacheKey, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_stage_")
-        .toAbsolutePath.toString
-      build(d)
-      d
-    })
+    resolve(cacheKey)(build).dir
+
+  /** Completed builds of this JVM: (key, artifact) in no particular
+    * order. Bench emits these as `stage_build:` entries so per-artifact
+    * staged cost sits beside the per-query timings it was amortized
+    * out of. */
+  def builds: Seq[(String, Artifact)] = {
+    import scala.jdk.CollectionConverters._
+    staged.asScala.toSeq.collect {
+      case (k, f) if f.isDone && !f.isCompletedExceptionally => (k, f.join())
+    }
+  }
+
+  /** Total on-disk bytes across live staged artifacts. */
+  def stagedBytes: Long = builds.map(_._2.bytes).sum
+
+  /** Evict every artifact whose key starts with `keyPrefix`: the map
+    * entry is removed and the temp directory deleted, so the NEXT
+    * caller rebuilds (StageSpec pins rebuild-after-drop). In-flight
+    * builds of a matching key are left to complete — their promise is
+    * removed from the map, so they become unreachable one-off builds
+    * rather than a torn shared artifact. Returns evicted count. */
+  def drop(keyPrefix: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val victims = staged.keySet().asScala.filter(_.startsWith(keyPrefix)).toSeq
+    victims.count { k =>
+      val f = staged.remove(k)
+      if (f != null && f.isDone && !f.isCompletedExceptionally)
+        deleteRecursively(new java.io.File(f.join().dir))
+      f != null
+    }
+  }
+
+  /** Evict everything ([[drop]] with the empty prefix). */
+  def dropAll(): Int = drop("")
+
+  private def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(dir))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }

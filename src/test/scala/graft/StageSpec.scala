@@ -61,6 +61,96 @@ class StageSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$d1/right").as[Long].head() == 3L)
   }
 
+  test("concurrent first-callers of one key build once; both read back") {
+    val builds = new AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val k = freshKey("race")
+    def run() = {
+      gate.countDown(); gate.await() // maximize overlap
+      Stage.parquet(spark, k) {
+        builds.incrementAndGet()
+        Thread.sleep(200) // hold the build open so the loser must wait
+        Seq(7L).toDF("x")
+      }
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (a, b) = (Future(run()), Future(run()))
+    val ra = Await.result(a, 60.seconds)
+    val rb = Await.result(b, 60.seconds)
+    assert(builds.get() == 1, "the losing racer must join the winner's build")
+    assert(ra.as[Long].head() == 7L && rb.as[Long].head() == 7L)
+  }
+
+  test("a build may stage a NESTED artifact under another key") {
+    val k1 = freshKey("outer"); val k2 = freshKey("inner")
+    val out = Stage.parquet(spark, k1) {
+      val inner = Stage.parquet(spark, k2)(Seq(1L, 2L).toDF("x"))
+      inner.agg(sum("x").as("s"))
+    }
+    assert(out.as[Long].head() == 3L)
+    // and the nested artifact is independently resolvable
+    assert(Stage.parquet(spark, k2)(fail("must hit artifact"))
+      .count() == 2L)
+  }
+
+  test("same-key re-entrant build fails fast instead of deadlocking") {
+    val k = freshKey("reentrant")
+    val e = intercept[IllegalStateException] {
+      Stage.parquet(spark, k) {
+        Stage.parquet(spark, k)(Seq(1L).toDF("x")) // resolve ITSELF
+      }
+    }
+    assert(e.getMessage.contains("re-entrant"))
+    // the failed build must not poison the key
+    assert(Stage.parquet(spark, k)(Seq(9L).toDF("x")).as[Long].head() == 9L)
+  }
+
+  test("failed build leaves the key retryable") {
+    val k = freshKey("fail")
+    val attempts = new AtomicInteger(0)
+    intercept[RuntimeException] {
+      Stage.parquet(spark, k) {
+        attempts.incrementAndGet()
+        throw new RuntimeException("boom")
+      }
+    }
+    val ok = Stage.parquet(spark, k) {
+      attempts.incrementAndGet(); Seq(5L).toDF("x")
+    }
+    assert(attempts.get() == 2 && ok.as[Long].head() == 5L)
+  }
+
+  test("lifecycle: builds record time+bytes; drop evicts; rebuild after drop") {
+    val builds = new AtomicInteger(0)
+    val k = freshKey("lifecycle")
+    def resolve() = Stage.parquet(spark, k) {
+      builds.incrementAndGet(); Seq((1L, "payload")).toDF("id", "s")
+    }
+    resolve()
+    val rec = Stage.builds.find(_._1 == k).get._2
+    assert(rec.bytes > 0L, "artifact bytes must be measured")
+    assert(rec.buildSec >= 0.0)
+    assert(Stage.stagedBytes >= rec.bytes)
+    val dir = new java.io.File(rec.dir)
+    assert(dir.exists())
+    assert(Stage.drop(k) == 1)
+    assert(!dir.exists(), "drop must delete the artifact directory")
+    resolve()
+    assert(builds.get() == 2, "post-drop caller must rebuild")
+    assert(Stage.drop(k) == 1) // cleanup
+  }
+
+  test("Caches.releaseAll(dropStaged = true) drains staged artifacts too") {
+    val k = freshKey("drain")
+    Stage.parquet(spark, k)(Seq(1L).toDF("x"))
+    val dir = new java.io.File(Stage.builds.find(_._1 == k).get._2.dir)
+    assert(dir.exists())
+    Caches.releaseAll(dropStaged = true)
+    assert(!dir.exists() && !Stage.builds.exists(_._1 == k))
+  }
+
   test("staged operators bypass staging for streaming inputs") {
     // qualityScoreStaged is the canonical guard: a streaming frame
     // must flow through as a per-row plan, not hit a write
