@@ -10,11 +10,13 @@ import graft.functions.PortableHash
   * north-star mandate): media as opaque BINARY payloads with typed
   * metadata, plus decode / feature-extract / frame-sample operators.
   *
-  * Image and audio decode run on REAL pure-JDK codecs
+  * Image, audio, and video decode all run on REAL pure-JDK codecs
   * ([[Multimodal.ImageIoCodec]] on `javax.imageio`,
-  * [[Multimodal.WavCodec]] on `javax.sound.sampled`); only video —
-  * which the JDK cannot decode — stays behind a clearly-marked STUB
-  * (`StubCodec`) producing deterministic fake features. Every piece of
+  * [[Multimodal.WavCodec]] on `javax.sound.sampled`,
+  * [[Multimodal.AviMjpegCodec]] walking RIFF/AVI containers and
+  * decoding MJPEG frames through ImageIO); formats that genuinely need
+  * a native codec (inter-frame video) fail closed. `StubCodec` remains
+  * as the deterministic oracle-checkable fake. Every piece of
   * Spark plumbing is real and tested either way: binary column
   * handling, typed metadata structs, the
   * per-partition batched-decode shape (`decodeBatched`, the Scala analog
@@ -254,17 +256,99 @@ object Multimodal {
     }
   }
 
-  /** The codec a production binding would actually install: image and
-    * audio decode on pure-JDK codecs; only video — which the JDK cannot
-    * decode — fails closed. One instance per partition via
-    * [[decodeBatched]], exactly like the single-modality codecs. */
+  /** REAL video-container codec, pure JDK (VERDICT r12 #5): MJPEG-in-AVI
+    * is the one mainstream video format whose FRAMES are individually
+    * decodable by `javax.imageio` — each frame is a complete JPEG — so
+    * walking the RIFF container is all the "video decoding" the JDK
+    * needs no external library for. Parser: RIFF('AVI ') → LIST('movi')
+    * → '##dc'/'##db' stream chunks (fourcc = two stream digits + dc/db,
+    * word-aligned as RIFF requires), each frame decoded via the
+    * existing [[ImageIoCodec]]. Features: frame count, first-frame
+    * width/height, mean luma across frames (weighted equally per frame
+    * — the sampling a thumbnail/quality gate wants).
+    *
+    * FAIL-CLOSED contract (MultimodalSpec pins each): any chunk whose
+    * declared size runs past the buffer (truncated container), a
+    * missing movi list, zero frames, or any frame that does not decode
+    * as an image → ok = false with zero features; never a partial
+    * result that looks like a healthy asset. Inter-frame prediction
+    * formats (H.264 etc.) genuinely need a native codec and stay out of
+    * scope — they fail the movi/JPEG checks and drop, same contract. */
+  final class AviMjpegCodec extends Codec {
+    private val image = new ImageIoCodec
+    private def fail(modality: String): Decoded =
+      Decoded(-1L, modality, Array.fill(4)(0f), ok = false)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+
+    def decode(modality: String, payload: Array[Byte]): Decoded = {
+      if (modality != "video" || payload.length < 12 ||
+        fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ")
+        return fail(modality)
+      val riffEnd = 8L + u32(payload, 4)
+      if (riffEnd > payload.length) return fail(modality) // truncated
+      try {
+        var frames = 0
+        var w0 = 0f; var h0 = 0f
+        var lumaSum = 0.0
+        // walk top-level chunks for LIST('movi'); walk its sub-chunks
+        var off = 12L
+        while (off + 8 <= riffEnd) {
+          val id = fourcc(payload, off.toInt)
+          val sz = u32(payload, off.toInt + 4)
+          val dataEnd = off + 8 + sz
+          if (dataEnd > riffEnd) return fail(modality) // truncated chunk
+          if (id == "LIST" && sz >= 4 &&
+            fourcc(payload, off.toInt + 8) == "movi") {
+            var p = off + 12
+            while (p + 8 <= dataEnd) {
+              val fid = fourcc(payload, p.toInt)
+              val fsz = u32(payload, p.toInt + 4)
+              val fEnd = p + 8 + fsz
+              if (fEnd > dataEnd) return fail(modality) // truncated frame
+              if (isFrameId(fid) && fsz > 0) {
+                val bytes = java.util.Arrays.copyOfRange(
+                  payload, p.toInt + 8, fEnd.toInt)
+                val d = image.decode("image", bytes)
+                if (!d.ok) return fail(modality) // undecodable frame
+                if (frames == 0) { w0 = d.feature(0); h0 = d.feature(1) }
+                lumaSum += d.feature(2)
+                frames += 1
+              }
+              p = fEnd + (fsz % 2) // RIFF chunks are word-aligned
+            }
+          }
+          off = dataEnd + (sz % 2)
+        }
+        if (frames == 0) fail(modality)
+        else Decoded(-1L, modality,
+          Array(frames.toFloat, w0, h0, (lumaSum / frames).toFloat),
+          ok = true)
+      } catch { case _: Exception => fail(modality) }
+    }
+  }
+
+  /** The codec a production binding would actually install: image,
+    * audio, and MJPEG-in-AVI video all decode on pure-JDK codecs —
+    * no environmental stub left in the decode path (non-MJPEG video
+    * needs a native codec and fails closed, the malformed-drop
+    * contract). One instance per partition via [[decodeBatched]],
+    * exactly like the single-modality codecs. */
   final class JdkCodec extends Codec {
     private val image = new ImageIoCodec
     private val audio = new WavCodec
+    private val video = new AviMjpegCodec
     def decode(modality: String, payload: Array[Byte]): Decoded =
       modality match {
         case "image" => image.decode(modality, payload)
         case "audio" => audio.decode(modality, payload)
+        case "video" => video.decode(modality, payload)
         case _ => Decoded(-1L, modality, Array.fill(4)(0f), ok = false)
       }
   }

@@ -118,7 +118,80 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f(3) - 0.11f) < 0.005f, s"ZCR: ${f(3)}")
   }
 
-  test("JdkCodec: dispatches image and audio to real codecs, video fails closed") {
+  // REAL JPEG (pure-JDK encode): w×h solid-color frame
+  private def jpegSolid(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  // Minimal REAL MJPEG-in-AVI container: RIFF('AVI ' LIST('movi'
+  // 00dc{jpeg}…)) with RIFF word alignment — exactly the chunk walk
+  // AviMjpegCodec implements (hdrl omitted: frame data is
+  // self-describing for MJPEG)
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      movi.write("00dc".getBytes("US-ASCII"))
+      movi.write(le32(f.length))
+      movi.write(f)
+      if (f.length % 2 == 1) movi.write(0) // pad to word boundary
+    }
+    val m = movi.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(4 + 8 + m.length)) // 'AVI ' + LIST header + payload
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write("LIST".getBytes("US-ASCII"))
+    out.write(le32(m.length))
+    out.write(m)
+    out.toByteArray
+  }
+
+  test("AviMjpegCodec: 2-frame MJPEG AVI decodes; malformed fails closed") {
+    val avi = mjpegAvi(Seq(
+      jpegSolid(6, 4, 0x808080),   // luma ≈ 128
+      jpegSolid(6, 4, 0x404040)))  // luma ≈ 64
+    // mid-container truncation with a CONSISTENT RIFF size: the outer
+    // header claims exactly the bytes present, but the LIST chunk's
+    // declared size now runs past the buffer
+    val midTrunc = {
+      val t = avi.dropRight(10)
+      val sz = t.length - 8
+      t(4) = (sz & 0xff).toByte; t(5) = ((sz >> 8) & 0xff).toByte
+      t(6) = ((sz >> 16) & 0xff).toByte; t(7) = ((sz >> 24) & 0xff).toByte
+      t
+    }
+    val rows = Seq(
+      (0L, "video", avi),
+      (1L, "video", avi.dropRight(10)),               // truncated container
+      (2L, "video", midTrunc),                        // truncated chunk
+      (3L, "video", "junk".getBytes("UTF-8")),        // not RIFF at all
+      (4L, "video", mjpegAvi(Seq.empty)),             // movi with no frames
+      (5L, "video", mjpegAvi(Seq("notjpeg".getBytes("UTF-8")))), // bad frame
+      (6L, "image", avi))                             // wrong modality
+      .toDF("asset_id", "modality", "payload")
+    val d = Multimodal.decodeBatched(rows, new Multimodal.AviMjpegCodec)
+      .select("asset_id", "ok", "feature")
+      .as[(Long, Boolean, Seq[Float])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(d(0L)._1, "well-formed MJPEG AVI must decode")
+    val f = d(0L)._2
+    assert(f(0) == 2f, s"frame count: ${f(0)}")
+    assert(f(1) == 6f && f(2) == 4f, s"first-frame dims: $f")
+    assert(math.abs(f(3) - 96f) < 6f, s"mean luma across frames: ${f(3)}")
+    (1L to 6L).foreach(i =>
+      assert(!d(i)._1, s"asset $i must fail closed"))
+  }
+
+  test("JdkCodec: dispatches all three modalities to real codecs") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
     val img = new BufferedImage(3, 3, BufferedImage.TYPE_INT_RGB)
@@ -128,7 +201,8 @@ class MultimodalSpec extends SparkTestBase {
     val rows = Seq(
       (0L, "image", po.toByteArray),
       (1L, "audio", sineWav(8000, 440.0, 0.5)),
-      (2L, "video", po.toByteArray))
+      (2L, "video", mjpegAvi(Seq(jpegSolid(5, 3, 0x808080)))),
+      (3L, "video", po.toByteArray)) // a PNG is not an AVI container
       .toDF("asset_id", "modality", "payload")
     val d = Multimodal.decodeBatched(rows, new Multimodal.JdkCodec)
       .select("asset_id", "ok", "feature")
@@ -136,7 +210,9 @@ class MultimodalSpec extends SparkTestBase {
       .map(t => t._1 -> ((t._2, t._3))).toMap
     assert(d(0L)._1 && d(0L)._2.take(2) == Seq(3f, 3f))
     assert(d(1L)._1 && d(1L)._2.head == 8000f)
-    assert(!d(2L)._1, "video has no JDK codec — fail closed")
+    assert(d(2L)._1 && d(2L)._2.take(3) == Seq(1f, 5f, 3f),
+      "MJPEG AVI decodes through the video codec")
+    assert(!d(3L)._1, "non-AVI video payload fails closed")
   }
 
   test("mimeSniff: signatures classify; mislabeled assets flagged") {
