@@ -3212,17 +3212,21 @@ object OracleExt {
     * (prefixed CTEs so they coexist), final codes joined on vec_id;
     * recon_err_milli sums the per-block d2 in fixed block order before
     * the one output quantization, mirroring the Spark fold. */
-  /** The m prefixed per-subspace Lloyd chains over base frame `eb` —
-    * shared by the pqEncode and topkPqAdc twins. */
-  private def pqBlocksCte(m: Int, k: Int, iters: Int): String = {
+  /** The m prefixed per-subspace Lloyd chains over base frame `base` —
+    * shared by the pqEncode and topkPqAdc twins; `pfx` namespaces every
+    * CTE so several chains (the OPQ candidate transforms) coexist in
+    * one query. */
+  private def pqBlocksCte(m: Int, k: Int, iters: Int, pfx: String = "",
+                          base: String = "eb"): String = {
     val sub = 64 / m
     (0 until m).map { j =>
       val chain = (0 until iters)
-        .map(i => kmeansRoundP(s"b$j", i, s"b${j}c$i", s"b${j}c${i + 1}",
-          sub, s"e$j")).mkString(",")
-      s"""e$j AS (SELECT vec_id, v[${j * sub + 1}:${(j + 1) * sub}] AS v
-             FROM eb),
-      b${j}c0 AS (SELECT vec_id AS cid, v AS c FROM e$j
+        .map(i => kmeansRoundP(s"${pfx}b$j", i, s"${pfx}b${j}c$i",
+          s"${pfx}b${j}c${i + 1}", sub, s"${pfx}e$j")).mkString(",")
+      s"""${pfx}e$j AS (SELECT vec_id,
+               v[${j * sub + 1}:${(j + 1) * sub}] AS v
+             FROM $base),
+      ${pfx}b${j}c0 AS (SELECT vec_id AS cid, v AS c FROM ${pfx}e$j
                   WHERE vec_id < $k),
       $chain"""
     }.mkString(",")
@@ -3243,6 +3247,80 @@ object OracleExt {
            CAST(floor(($err) * 1000) AS BIGINT) AS recon_err_milli
     FROM b0a${iters - 1} a0 $joins
     ORDER BY a0.vec_id"""
+  }
+
+  /** Twin of KMeans.opqEval / opqEncode — the learned-candidate OPQ:
+    * the power-iteration chain (pcaCtes) yields the top component w;
+    * the Householder u = (w − e₁)/‖w − e₁‖ reflects every vector
+    * (v − 2(u·v)u, identity fallback when ‖u‖² = 0); one prefixed PQ
+    * chain trains per candidate; per-candidate total reconstruction
+    * error mirrors the Spark per-vector floor-then-sum. */
+  private def opqCtes(m: Int, k: Int, iters: Int, pcaIters: Int): String = {
+    val li = iters - 1
+    def errOf(pfx: String, cand: String): String = {
+      val joins = (1 until m)
+        .map(j => s"JOIN ${pfx}b${j}a$li a$j ON a0.vec_id = a$j.vec_id")
+        .mkString(" ")
+      val err = (0 until m).map(j => s"a$j.d2").mkString(" + ")
+      s"""SELECT '$cand' AS cand, CAST(SUM(em) AS BIGINT) AS recon_err_milli
+          FROM (SELECT CAST(floor(($err) * 1000) AS BIGINT) AS em
+                FROM ${pfx}b0a$li a0 $joins)"""
+    }
+    s"""${pcaCtes(pcaIters)},
+    hu0 AS (SELECT list_transform(w.w,
+              (x, i) -> CASE WHEN i = 1 THEN x - 1.0e0 ELSE x END) AS u0
+            FROM w$pcaIters w),
+    hu AS MATERIALIZED (
+      SELECT list_transform(u0, x -> x / sqrt(list_dot_product(u0, u0)))
+               AS u,
+             list_dot_product(u0, u0) AS n2
+      FROM hu0),
+    heb AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN n2 = 0 THEN v
+                  ELSE list_transform(v,
+                         (x, i) -> x - 2.0e0 * s * u[i]) END AS v
+      FROM (SELECT e.vec_id, e.v, list_dot_product(e.v, hu.u) AS s,
+                   hu.u AS u, hu.n2 AS n2
+            FROM e, hu)),
+    ${pqBlocksCte(m, k, iters, "i", "e")},
+    ${pqBlocksCte(m, k, iters, "h", "heb")},
+    errs AS (${errOf("i", "identity")}
+             UNION ALL
+             ${errOf("h", "householder")})"""
+  }
+
+  def opqEval(m: Int, k: Int, iters: Int, pcaIters: Int): String = s"""
+    WITH ${opqCtes(m, k, iters, pcaIters)}
+    SELECT cand, recon_err_milli,
+           row_number() OVER (ORDER BY recon_err_milli, cand) = 1
+             AS chosen
+    FROM errs ORDER BY cand"""
+
+  def opqEncode(m: Int, k: Int, iters: Int, pcaIters: Int): String = {
+    val li = iters - 1
+    def codesOf(pfx: String, cand: String): String = {
+      val codeCols = (0 until m)
+        .map(j => s"CAST(a$j.cid AS INTEGER) AS c$j").mkString(", ")
+      val err = (0 until m).map(j => s"a$j.d2").mkString(" + ")
+      val joins = (1 until m)
+        .map(j => s"JOIN ${pfx}b${j}a$li a$j ON a0.vec_id = a$j.vec_id")
+        .mkString(" ")
+      s"""SELECT '$cand' AS cand, a0.vec_id, $codeCols,
+                 CAST(floor(($err) * 1000) AS BIGINT) AS recon_err_milli
+          FROM ${pfx}b0a$li a0 $joins"""
+    }
+    val outCodes = (0 until m).map(j => s"c$j").mkString(", ")
+    s"""
+    WITH ${opqCtes(m, k, iters, pcaIters)},
+    codes AS (${codesOf("i", "identity")}
+              UNION ALL
+              ${codesOf("h", "householder")})
+    SELECT vec_id, $outCodes, recon_err_milli, cand
+    FROM codes
+    WHERE cand = (SELECT cand FROM errs
+                  ORDER BY recon_err_milli, cand LIMIT 1)
+    ORDER BY vec_id"""
   }
 
   /** Shared ADC search tail over PQ codes: per-query distance tables

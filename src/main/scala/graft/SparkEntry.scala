@@ -1167,6 +1167,14 @@ object SparkEntry {
     // vector -> 4 codeword ids + total squared reconstruction error
     "pq_encode" -> ((s, dir) =>
       KMeans.pqEncode(embPar(s, dir)).orderBy("vec_id")),
+    // OPQ model selection: per-candidate reconstruction error (learned
+    // Householder rotation vs identity) with the argmin flagged —
+    // chosen error <= plain PQ by construction (identity in the family)
+    "opq_eval" -> ((s, dir) =>
+      KMeans.opqEval(embPar(s, dir)).orderBy("cand")),
+    // PQ codes under the argmin OPQ transform, tagged with the choice
+    "opq_encode" -> ((s, dir) =>
+      KMeans.opqEncode(embPar(s, dir)).orderBy("vec_id")),
     // ADC top-k over the PQ codes: raw-query-vs-codeword distance
     // tables, m lookups + adds per candidate, rank-limited window
     "topk_pq" -> ((s, dir) =>
@@ -1441,6 +1449,8 @@ object SparkEntry {
     "hub_degree" -> OracleExt.hubDegree(10, 5),
     "rand_proj" -> OracleExt.randProj(16, 64),
     "pq_encode" -> OracleExt.pqEncode(4, 4, 2),
+    "opq_eval" -> OracleExt.opqEval(4, 4, 2, 3),
+    "opq_encode" -> OracleExt.opqEncode(4, 4, 2, 3),
     "topk_pq" -> OracleExt.topkPqAdc(4, 4, 2, 10, 3),
     "ann_ivfadc" -> OracleExt.annIvfAdc(8, 2, 4, 4, 2, 10, 3),
     "ann_ivfadc_nprobe" -> OracleExt.annIvfAdcNprobe(8, 2, 4, 4, 2, 10, 3, 2),

@@ -38,8 +38,10 @@ object Pca {
     org.apache.spark.sql.graft.DotF64Expr(a, b)
 
   /** One row: (w array — unit top component, nrm — ‖C·w‖ of the last
-    * round (the eigenvalue estimate, since ‖C·w‖ → λ‖w‖), mu array). */
-  private def model(emb: DataFrame, iters: Int): DataFrame = {
+    * round (the eigenvalue estimate, since ‖C·w‖ → λ‖w‖), mu array).
+    * `private[operators]`: [[KMeans.opqEval]] builds its learned
+    * Householder rotation candidate from this model. */
+  private[operators] def model(emb: DataFrame, iters: Int): DataFrame = {
     val spark = emb.sparkSession
     val d = graft.Stage.dir(
       graft.Stage.key(emb, "pca_power", iters)) { dir =>

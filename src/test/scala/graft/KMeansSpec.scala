@@ -361,4 +361,51 @@ class KMeansSpec extends SparkTestBase {
     }
     Caches.releaseAll()
   }
+
+  test("OPQ: identity candidate equals plain PQ; chosen error is the min") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val eval = KMeans.opqEval(emb)
+      .as[(String, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(eval.keySet == Set("identity", "householder"))
+    val pqTotal = KMeans.pqEncode(emb)
+      .agg(sum(col("recon_err_milli"))).as[Long].head()
+    assert(eval("identity")._1 == pqTotal,
+      "identity candidate IS plain PQ — errors must agree exactly")
+    val chosenErr = eval.values.collect { case (e, true) => e }.toSeq
+    assert(chosenErr.size == 1, "exactly one argmin")
+    assert(chosenErr.head == eval.values.map(_._1).min)
+    assert(chosenErr.head <= eval("identity")._1,
+      "OPQ reconstruction error must be <= plain PQ (identity in family)")
+    Caches.releaseAll()
+  }
+
+  test("OPQ encode: codes come from the argmin candidate; rotation is " +
+      "an isometry (norms preserved)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val eval = KMeans.opqEval(emb)
+      .as[(String, Long, Boolean)].collect()
+    val chosen = eval.collect { case (c, _, true) => c }.head
+    val enc = KMeans.opqEncode(emb)
+    assert(enc.select("cand").distinct().as[String].collect().toSeq
+      == Seq(chosen))
+    assert(enc.count() == emb.count())
+    // total error of the emitted codes equals the eval row's
+    val encErr = enc.agg(sum(col("recon_err_milli"))).as[Long].head()
+    assert(encErr == eval.collect { case (_, e, true) => e }.head)
+    // Householder reflection preserves L2 norms (orthogonal transform):
+    // reconstruct via a 1-row differential against the raw vectors
+    val dote = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.DotF64Expr(a, b)
+    val raw = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val mismatches = KMeans.opqRotatedForTest(emb)
+      .withColumnRenamed("v", "rv")
+      .join(raw, "vec_id")
+      .select((abs(dote(col("rv"), col("rv")) - dote(col("v"), col("v")))
+        > 1e-9).as("bad"))
+      .filter(col("bad")).count()
+    assert(mismatches == 0L, "reflection must preserve every norm")
+    Caches.releaseAll()
+  }
 }
