@@ -4987,6 +4987,65 @@ object OracleExt {
     ORDER BY 1, 2"""
   }
 
+  /** Twin of Graph.betweennessTopK — the sampled Brandes stages as a
+    * FIXED unroll (the operator's maxDepth is a fixed level count, not
+    * a convergence probe, precisely so this twin is the identical
+    * computation): salted-hash source sample, forward BFS levels f1..fD
+    * (frontier⋈edges, σ summed per (s,node), visited anti-join),
+    * backward dependency levels d(D-1)..d1 with the same quantized
+    * integer recursion δ = Σ (σ_v·(1e6+δ_w)) // σ_w, un-normalized
+    * sampled sum over levels 1..D, top-k by (score desc, user_id). */
+  def betweennessTopK(nSources: Int, maxDepth: Int, topK: Int,
+                      maxCellUsers: Int, minShared: Int): String = {
+    val fwd = (1 to maxDepth).map { l =>
+      s"""
+    f$l AS MATERIALIZED (
+      SELECT s, node, CAST(SUM(sigma) AS BIGINT) AS sigma FROM (
+        SELECT f.s, e.dst AS node, f.sigma
+        FROM f${l - 1} f JOIN sym e ON e.src = f.node) t
+      WHERE NOT EXISTS (SELECT 1 FROM vis${l - 1} v
+                        WHERE v.s = t.s AND v.node = t.node)
+      GROUP BY s, node),
+    vis$l AS MATERIALIZED (
+      SELECT s, node FROM vis${l - 1}
+      UNION ALL SELECT s, node FROM f$l)"""
+    }.mkString(",")
+    val bwd = ((maxDepth - 1) to 1 by -1).map { l =>
+      s"""
+    c$l AS (SELECT v.s, v.node,
+                   CAST(SUM((v.sigma * (1000000 + d.delta)) // w.sigma)
+                     AS BIGINT) AS cdelta
+            FROM f$l v
+            JOIN sym e ON e.src = v.node
+            JOIN f${l + 1} w ON w.s = v.s AND w.node = e.dst
+            JOIN d${l + 1} d ON d.s = w.s AND d.node = w.node
+            GROUP BY 1, 2),
+    d$l AS MATERIALIZED (
+      SELECT v.s, v.node, coalesce(c.cdelta, CAST(0 AS BIGINT)) AS delta
+      FROM f$l v LEFT JOIN c$l c ON c.s = v.s AND c.node = v.node)"""
+    }.mkString(",")
+    val unionDs = (1 to maxDepth)
+      .map(l => s"SELECT node, delta FROM d$l").mkString(" UNION ALL ")
+    s"""
+    WITH ${userGraphCtes(maxCellUsers, minShared)},
+    srcs AS MATERIALIZED (
+      SELECT node AS s FROM (SELECT DISTINCT src AS node FROM sym) n
+      ORDER BY ${graft.functions.PortableHash
+        .sqlHash32("'btw:' || CAST(node AS VARCHAR)")}, node
+      LIMIT $nSources),
+    f0 AS MATERIALIZED (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma
+                        FROM srcs),
+    vis0 AS (SELECT s, node FROM f0),
+    $fwd,
+    d$maxDepth AS (SELECT s, node, CAST(0 AS BIGINT) AS delta
+                   FROM f$maxDepth)${if (bwd.nonEmpty) s",$bwd" else ""}
+    SELECT user_id, betweenness_micro FROM (
+      SELECT node AS user_id, CAST(SUM(delta) AS BIGINT)
+               AS betweenness_micro
+      FROM ($unionDs) GROUP BY node)
+    ORDER BY betweenness_micro DESC, user_id LIMIT $topK"""
+  }
+
   /** Twin of Graph.clusteringCoeff — oriented 2-path + closing-edge
     * EXISTS (each triangle a < b < c once), one explode credits all
     * three corners, BIGINT ppm with deg < 2 NULL. */

@@ -717,6 +717,11 @@ object SparkEntry {
     "k_truss" -> ((s, dir) =>
       graft.operators.Graph.kTruss(LogSource.readEvents(s, dir),
         maxRounds = 12)),
+    // Sampled Brandes betweenness of the same staged graph: salted
+    // 8-source sample, depth-4 fixed unroll (matches the twin), exact
+    // quantized dependency recursion, top-20 bridge nodes
+    "betweenness_topk" -> ((s, dir) =>
+      graft.operators.Graph.betweennessTopK(LogSource.readEvents(s, dir))),
     // Newman degree assortativity: hub-hub vs hub-leaf attachment,
     // exact DECIMAL(38,0) lanes, sign-explicit squared corr in ppm
     "degree_assort" -> ((s, dir) =>
@@ -1615,6 +1620,7 @@ object SparkEntry {
     "partition_ari" -> OracleExt.partitionAri(250000, 3,
       Similarity.planes(graft.operators.Density.defaultPlanes), 8, 2),
     "k_core" -> OracleExt.kCore(3, 12, 64, 2),
+    "betweenness_topk" -> OracleExt.betweennessTopK(8, 4, 20, 64, 2),
     "k_truss" -> OracleExt.kTruss(3, 12, 64, 2),
     "degree_assort" -> OracleExt.degreeAssortativity(64, 2),
     "user_components" -> OracleExt.userComponents(64, 2),

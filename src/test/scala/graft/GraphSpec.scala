@@ -159,4 +159,46 @@ class GraphSpec extends SparkTestBase {
     assert(r == Seq((6L, None)))
     Caches.releaseAll()
   }
+
+  test("betweenness: path graph 1-2-3-4-5 matches hand-run Brandes") {
+    // all 5 sources sampled (nSources >= |V|), depth 4 = diameter: the
+    // directed-sum convention — b(v) = Σ_s δ_s(v) — gives 2× the
+    // undirected pair count. Pairs through 3: (1,4)(1,5)(2,4)(2,5) → 8;
+    // through 2: (1,3)(1,4)(1,5) → 6; endpoints 0. σ = 1 everywhere, so
+    // the quantized recursion divides by 1 and is exact micro.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("ua", "ub")
+    val b = Graph.betweennessFromPairs(pairs, nSources = 5, maxDepth = 4)
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(b == Seq(1L -> 0L, 2L -> 6000000L, 3L -> 8000000L,
+      4L -> 6000000L, 5L -> 0L))
+    Caches.releaseAll()
+  }
+
+  test("betweenness: diamond splits path credit across the two routes") {
+    // square 1-2-4-3-1: every s-t pair across the diagonal has TWO
+    // shortest paths, so each middle node gets σ_v/σ_w = 1/2 per
+    // direction — 1e6 micro total per node, all four by symmetry.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("ua", "ub")
+    val b = Graph.betweennessFromPairs(pairs, nSources = 4, maxDepth = 4)
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(b == Seq(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L,
+      4L -> 1000000L))
+    Caches.releaseAll()
+  }
+
+  test("betweenness: depth truncation drops pairs beyond the horizon") {
+    // path 1-2-3-4-5 at maxDepth 2: only pairs ≤ 2 hops apart count.
+    // Through 3: (1,... wait — (s,t) with d(s,t) <= 2 passing through
+    // 3: (2,4) both directions plus (1,3)/(3,5) endpoints don't count
+    // → 2e6; through 2: (1,3) → 2e6; through 4: (3,5) → 2e6.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("ua", "ub")
+    val b = Graph.betweennessFromPairs(pairs, nSources = 5, maxDepth = 2)
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(b == Seq(1L -> 0L, 2L -> 2000000L, 3L -> 2000000L,
+      4L -> 2000000L, 5L -> 0L))
+    Caches.releaseAll()
+  }
 }
