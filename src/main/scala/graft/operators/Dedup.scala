@@ -493,14 +493,18 @@ object Dedup {
       .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(n - 1), Window.currentRow)
+    // kept_text rebuild via ordered listagg: a per-DOC string buffer,
+    // bounded by the output value itself (rebuilding a document cannot
+    // use less than document-sized state) — not the unbounded
+    // collect_list class PlansSpec bans, where the buffer dwarfs the
+    // output. NULL-skipping listagg mirrors the twin's string_agg.
     tok.join(marked, Seq("doc_id", "pos"), "left")
       .withColumn("__rm", max(coalesce(col("__m"), lit(0L))).over(w) === 1L)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("__rm").cast("long")).as("removed_tokens"),
-        array_join(transform(array_sort(collect_list(
-            when(!col("__rm"), struct(col("pos"), col("w"))))),
-          x => x.getField("w")), " ").as("kept_text"))
+        coalesce(expr("listagg(CASE WHEN NOT __rm THEN w END, ' ')" +
+          " WITHIN GROUP (ORDER BY pos)"), lit("")).as("kept_text"))
       .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
         (col("n_tokens") - col("removed_tokens")).as("kept_tokens"),
         col("kept_text"), md5(col("kept_text")).as("kept_md5"))
