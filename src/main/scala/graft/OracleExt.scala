@@ -3283,12 +3283,45 @@ object OracleExt {
       FROM (SELECT e.vec_id, e.v, list_dot_product(e.v, hu.u) AS s,
                    hu.u AS u, hu.n2 AS n2
             FROM e, hu)),
+    vl AS (SELECT count(*) AS n, ${varLanes(64)} FROM e),
+    vars AS (SELECT s.j AS j, s.vx AS vx FROM (
+               SELECT unnest([${varStructs(64)}]) AS s FROM vl)),
+    vranked AS (SELECT j, row_number() OVER (ORDER BY vx DESC, j) - 1
+                  AS r FROM vars),
+    vslot AS (SELECT j, r,
+                CASE WHEN r % ${2 * m} < $m THEN r % ${2 * m}
+                     ELSE ${2 * m - 1} - (r % ${2 * m}) END AS blk
+              FROM vranked),
+    vpos AS (SELECT j, blk,
+               row_number() OVER (PARTITION BY blk ORDER BY r) - 1 AS pib
+             FROM vslot),
+    vperm AS MATERIALIZED (
+      SELECT list(j ORDER BY blk * ${64 / m} + pib) AS p FROM vpos),
+    peb AS MATERIALIZED (
+      SELECT e.vec_id, list_transform(vperm.p, src -> e.v[src]) AS v
+      FROM e, vperm),
     ${pqBlocksCte(m, k, iters, "i", "e")},
     ${pqBlocksCte(m, k, iters, "h", "heb")},
+    ${pqBlocksCte(m, k, iters, "p", "peb")},
     errs AS (${errOf("i", "identity")}
              UNION ALL
-             ${errOf("h", "householder")})"""
+             ${errOf("h", "householder")}
+             UNION ALL
+             ${errOf("p", "snake_perm")})"""
   }
+
+  /** 129 fixed-point lanes of the per-coordinate variance proxy
+    * (Σ floor(x·1e6), Σ floor(x²·1e6) per coordinate) and their
+    * HUGEINT n·Σxx − (Σx)² struct list — the snake-perm twin's exact
+    * mirror of the Spark driver-side BigInt ranking. */
+  private def varLanes(d: Int): String = (0 until d).map(j =>
+    s"SUM(CAST(floor(v[${j + 1}] * 1000000) AS BIGINT)) AS a$j, " +
+      s"SUM(CAST(floor(v[${j + 1}] * v[${j + 1}] * 1000000) AS BIGINT))" +
+      s" AS b$j").mkString(", ")
+
+  private def varStructs(d: Int): String = (0 until d).map(j =>
+    s"{'j': ${j + 1}, 'vx': CAST(b$j AS HUGEINT) * n" +
+      s" - CAST(a$j AS HUGEINT) * a$j}").mkString(", ")
 
   def opqEval(m: Int, k: Int, iters: Int, pcaIters: Int): String = s"""
     WITH ${opqCtes(m, k, iters, pcaIters)}
@@ -3315,7 +3348,9 @@ object OracleExt {
     WITH ${opqCtes(m, k, iters, pcaIters)},
     codes AS (${codesOf("i", "identity")}
               UNION ALL
-              ${codesOf("h", "householder")})
+              ${codesOf("h", "householder")}
+              UNION ALL
+              ${codesOf("p", "snake_perm")})
     SELECT vec_id, $outCodes, recon_err_milli, cand
     FROM codes
     WHERE cand = (SELECT cand FROM errs

@@ -459,6 +459,53 @@ object KMeans {
           .as("v"))
   }
 
+  /** Variance-balancing snake permutation — Ge et al.'s "eigenvalue
+    * allocation" idea on the coordinate basis: PQ error concentrates
+    * where one subspace hoards the corpus variance, so rank coordinates
+    * by exact per-coordinate variance and deal them across the m
+    * subspaces in snake order (0..m−1, m−1..0, …). A permutation is an
+    * orthogonal transform, so this is a legal OPQ candidate with an
+    * exact both-engines derivation: the variance proxy n·Σxx − (Σx)²
+    * is computed from fixed-point BIGINT lanes (ONE 129-lane corpus
+    * aggregate, the updateCentroids discipline) and compared in
+    * arbitrary-precision integers — the 1-row aggregate is collected
+    * and the 64-slot ranking runs driver-side (aggregate-sized driver
+    * action, the convergence-probe class), emitting the permutation as
+    * plan literals: the rotated vector is 64 codegen'd element_at
+    * picks, no lambda, no shuffle. DuckDB re-derives the identical
+    * permutation in HUGEINT + window rank. */
+  private def snakePermBase(emb: DataFrame, m: Int): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val lanes = (0 until dim).flatMap(j => Seq(
+      sum(floor(element_at(col("v"), j + 1) * 1000000L)).as(s"__a$j"),
+      sum(floor(element_at(col("v"), j + 1)
+        * element_at(col("v"), j + 1) * 1000000L)).as(s"__b$j")))
+    val row = base.agg(count(lit(1)).as("__n"), lanes: _*).head()
+    val n = BigInt(row.getLong(0))
+    val vx = (0 until dim).map { j =>
+      val a = BigInt(row.getLong(1 + 2 * j))
+      val b = BigInt(row.getLong(2 + 2 * j))
+      (j + 1, b * n - a * a) // 1-based coordinate, exact variance proxy
+    }
+    val sub = dim / m
+    // rank desc by variance (tie: coordinate), snake over 2m slots
+    val perm = vx.sortBy { case (j, v) => (-v, j) }.zipWithIndex
+      .map { case ((j, _), r) =>
+        val idx = r % (2 * m)
+        val blk = if (idx < m) idx else 2 * m - 1 - idx
+        (blk, r, j)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (blk, rows) =>
+        rows.sortBy(_._2).zipWithIndex.map { case ((_, _, j), pib) =>
+          (blk * sub + pib + 1, j) // (dst position, src coordinate)
+        }
+      }
+      .sortBy(_._1).map(_._2)
+    base.select(col("vec_id"),
+      array(perm.map(src => element_at(col("v"), src)): _*).as("v"))
+  }
+
   /** The learned orthogonal-candidate family OPQ selects over. Ge et
     * al.'s full OPQ alternates codebook training with an SVD Procrustes
     * solve; the SVD step has no closed-form both-engines expression, so
@@ -466,26 +513,29 @@ object KMeans {
     * transform's reconstruction error is the minimum over a family that
     * contains identity, hence ≤ plain PQ by construction, the same
     * monotone-improvement guarantee one exact alternation step gives —
-    * over a deterministic family: identity (= plain PQ) and the
-    * power-iteration Householder rotation. On a near-isotropic corpus
-    * (the fixture: top eigenvalue ≈ 1.8× the mean) the learned rotation
-    * buys nothing and the argmin falls back to identity — the honest
-    * OPQ answer there; on anisotropic production embeddings the
-    * rotation candidate wins. The family is the extension point: a
-    * variance-balancing coordinate permutation (eigenvalue-allocation
-    * analog) or a full Procrustes loop slot in as more candidates
+    * over a deterministic family: identity (= plain PQ), the
+    * power-iteration Householder rotation, and the variance-balancing
+    * snake permutation. On a near-isotropic corpus (the fixture: top
+    * eigenvalue ≈ 1.8× the mean) the rotation's edge is small but
+    * real — it wins the fixture argmin; on anisotropic production
+    * embeddings the rotation and allocation candidates separate
+    * further. A full Procrustes loop slots in as another candidate
     * without touching selection or encoding. */
-  private def opqBases(emb: DataFrame,
-                       pcaIters: Int): Seq[(String, DataFrame)] = Seq(
+  private def opqBases(emb: DataFrame, pcaIters: Int,
+                       m: Int): Seq[(String, DataFrame)] = Seq(
     "householder" -> householderBase(emb, pcaIters),
     "identity" -> emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v")))
+      col("embedding").cast("array<double>").as("v")),
+    "snake_perm" -> snakePermBase(emb, m))
 
-  /** Test seam: the Householder-rotated base frame (KMeansSpec checks
-    * the reflection is an isometry). */
+  /** Test seams: the Householder-rotated / snake-permuted base frames
+    * (KMeansSpec checks isometry and permutation-ness). */
   private[graft] def opqRotatedForTest(emb: DataFrame,
                                        pcaIters: Int = 3): DataFrame =
     householderBase(emb, pcaIters)
+  private[graft] def opqPermutedForTest(emb: DataFrame,
+                                        m: Int = 4): DataFrame =
+    snakePermBase(emb, m)
 
   private def opqErrFrame(name: String, base: DataFrame, m: Int, k: Int,
                           iters: Int): DataFrame =
@@ -503,7 +553,7 @@ object KMeans {
     * after the first run. */
   def opqEval(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
               pcaIters: Int = 3): DataFrame = {
-    val errs = opqBases(emb, pcaIters)
+    val errs = opqBases(emb, pcaIters, m)
       .map { case (n, b) => opqErrFrame(n, b, m, k, iters) }
       .reduce(_ unionByName _)
     errs
@@ -519,7 +569,7 @@ object KMeans {
     * from the chosen candidate's staged codebook artifact. */
   def opqEncode(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
                 pcaIters: Int = 3): DataFrame = {
-    val bases = opqBases(emb, pcaIters)
+    val bases = opqBases(emb, pcaIters, m)
     val chosen = bases.map { case (n, b) =>
       n -> opqErrFrame(n, b, m, k, iters)
         .select(col("recon_err_milli")).head().getLong(0)

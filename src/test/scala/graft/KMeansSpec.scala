@@ -367,7 +367,7 @@ class KMeansSpec extends SparkTestBase {
     val eval = KMeans.opqEval(emb)
       .as[(String, Long, Boolean)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
-    assert(eval.keySet == Set("identity", "householder"))
+    assert(eval.keySet == Set("identity", "householder", "snake_perm"))
     val pqTotal = KMeans.pqEncode(emb)
       .agg(sum(col("recon_err_milli"))).as[Long].head()
     assert(eval("identity")._1 == pqTotal,
@@ -406,6 +406,13 @@ class KMeansSpec extends SparkTestBase {
         > 1e-9).as("bad"))
       .filter(col("bad")).count()
     assert(mismatches == 0L, "reflection must preserve every norm")
+    // snake_perm is a PERMUTATION: per-vector coordinate multisets agree
+    val permBad = KMeans.opqPermutedForTest(emb)
+      .withColumnRenamed("v", "pv")
+      .join(raw, "vec_id")
+      .select((array_sort(col("pv")) =!= array_sort(col("v"))).as("bad"))
+      .filter(col("bad")).count()
+    assert(permBad == 0L, "snake_perm must permute, never alter, values")
     Caches.releaseAll()
   }
 }
