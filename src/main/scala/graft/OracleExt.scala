@@ -3283,32 +3283,45 @@ object OracleExt {
       FROM (SELECT e.vec_id, e.v, list_dot_product(e.v, hu.u) AS s,
                    hu.u AS u, hu.n2 AS n2
             FROM e, hu)),
-    vl AS (SELECT count(*) AS n, ${varLanes(64)} FROM e),
-    vars AS (SELECT s.j AS j, s.vx AS vx FROM (
-               SELECT unnest([${varStructs(64)}]) AS s FROM vl)),
-    vranked AS (SELECT j, row_number() OVER (ORDER BY vx DESC, j) - 1
-                  AS r FROM vars),
-    vslot AS (SELECT j, r,
-                CASE WHEN r % ${2 * m} < $m THEN r % ${2 * m}
-                     ELSE ${2 * m - 1} - (r % ${2 * m}) END AS blk
-              FROM vranked),
-    vpos AS (SELECT j, blk,
-               row_number() OVER (PARTITION BY blk ORDER BY r) - 1 AS pib
-             FROM vslot),
-    vperm AS MATERIALIZED (
-      SELECT list(j ORDER BY blk * ${64 / m} + pib) AS p FROM vpos),
-    peb AS MATERIALIZED (
-      SELECT e.vec_id, list_transform(vperm.p, src -> e.v[src]) AS v
-      FROM e, vperm),
+    ${snakeCtes("s", "e", m)},
+    ${snakeCtes("t", "heb", m)},
     ${pqBlocksCte(m, k, iters, "i", "e")},
     ${pqBlocksCte(m, k, iters, "h", "heb")},
-    ${pqBlocksCte(m, k, iters, "p", "peb")},
+    ${pqBlocksCte(m, k, iters, "p", "speb")},
+    ${pqBlocksCte(m, k, iters, "q", "tpeb")},
     errs AS (${errOf("i", "identity")}
              UNION ALL
              ${errOf("h", "householder")}
              UNION ALL
-             ${errOf("p", "snake_perm")})"""
+             ${errOf("p", "snake_perm")}
+             UNION ALL
+             ${errOf("q", "householder_snake")})"""
   }
+
+  /** Prefixable snake-permutation derivation over base frame `base`:
+    * exact HUGEINT variance ranking → snake block assignment →
+    * permuted frame `<pfx>peb`. Composed twice — over the raw vectors
+    * (snake_perm) and over the Householder-rotated frame
+    * (householder_snake, the OPQ-NP-init shape). */
+  private def snakeCtes(pfx: String, base: String, m: Int): String = s"""
+    ${pfx}vl AS (SELECT count(*) AS n, ${varLanes(64)} FROM $base),
+    ${pfx}vars AS (SELECT s.j AS j, s.vx AS vx FROM (
+               SELECT unnest([${varStructs(64)}]) AS s FROM ${pfx}vl)),
+    ${pfx}vranked AS (SELECT j,
+                row_number() OVER (ORDER BY vx DESC, j) - 1 AS r
+              FROM ${pfx}vars),
+    ${pfx}vslot AS (SELECT j, r,
+                CASE WHEN r % ${2 * m} < $m THEN r % ${2 * m}
+                     ELSE ${2 * m - 1} - (r % ${2 * m}) END AS blk
+              FROM ${pfx}vranked),
+    ${pfx}vpos AS (SELECT j, blk,
+               row_number() OVER (PARTITION BY blk ORDER BY r) - 1 AS pib
+             FROM ${pfx}vslot),
+    ${pfx}vperm AS MATERIALIZED (
+      SELECT list(j ORDER BY blk * ${64 / m} + pib) AS p FROM ${pfx}vpos),
+    ${pfx}peb AS MATERIALIZED (
+      SELECT b.vec_id, list_transform(${pfx}vperm.p, src -> b.v[src]) AS v
+      FROM $base b, ${pfx}vperm)"""
 
   /** 129 fixed-point lanes of the per-coordinate variance proxy
     * (Σ floor(x·1e6), Σ floor(x²·1e6) per coordinate) and their
@@ -3350,7 +3363,9 @@ object OracleExt {
               UNION ALL
               ${codesOf("h", "householder")}
               UNION ALL
-              ${codesOf("p", "snake_perm")})
+              ${codesOf("p", "snake_perm")}
+              UNION ALL
+              ${codesOf("q", "householder_snake")})
     SELECT vec_id, $outCodes, recon_err_milli, cand
     FROM codes
     WHERE cand = (SELECT cand FROM errs

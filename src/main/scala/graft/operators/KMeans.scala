@@ -474,9 +474,17 @@ object KMeans {
     * plan literals: the rotated vector is 64 codegen'd element_at
     * picks, no lambda, no shuffle. DuckDB re-derives the identical
     * permutation in HUGEINT + window rank. */
-  private def snakePermBase(emb: DataFrame, m: Int): DataFrame = {
-    val base = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
+  private def snakePermBase(emb: DataFrame, m: Int): DataFrame =
+    snakePermOf(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")), m)
+
+  /** Snake permutation of an arbitrary (vec_id, v) frame — also
+    * composed AFTER the Householder rotation for the fourth candidate
+    * (align the dominant direction to e₁, THEN balance what each
+    * subspace gets — the closest family member to Ge et al.'s OPQ-NP
+    * initialization, which is exactly PCA alignment + eigenvalue
+    * allocation). */
+  private def snakePermOf(base: DataFrame, m: Int): DataFrame = {
     val lanes = (0 until dim).flatMap(j => Seq(
       sum(floor(element_at(col("v"), j + 1) * 1000000L)).as(s"__a$j"),
       sum(floor(element_at(col("v"), j + 1)
@@ -524,6 +532,7 @@ object KMeans {
   private def opqBases(emb: DataFrame, pcaIters: Int,
                        m: Int): Seq[(String, DataFrame)] = Seq(
     "householder" -> householderBase(emb, pcaIters),
+    "householder_snake" -> snakePermOf(householderBase(emb, pcaIters), m),
     "identity" -> emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v")),
     "snake_perm" -> snakePermBase(emb, m))

@@ -367,7 +367,8 @@ class KMeansSpec extends SparkTestBase {
     val eval = KMeans.opqEval(emb)
       .as[(String, Long, Boolean)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
-    assert(eval.keySet == Set("identity", "householder", "snake_perm"))
+    assert(eval.keySet == Set("identity", "householder", "snake_perm",
+      "householder_snake"))
     val pqTotal = KMeans.pqEncode(emb)
       .agg(sum(col("recon_err_milli"))).as[Long].head()
     assert(eval("identity")._1 == pqTotal,
