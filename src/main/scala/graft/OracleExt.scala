@@ -2724,10 +2724,30 @@ object OracleExt {
     * re-assembled by ordered string_agg (NULL-skipping mirrors the
     * when()-filtered collect_list; coalesce('') keeps the
     * fully-removed-doc md5 equal to Spark's md5 of ""). */
-  def substringDedup(n: Int): String = {
+  def substringDedup(n: Int, minSpan: Int = 0): String = {
     val gram = (1 until n).map(i => s" || ' ' || lead(w, $i) OVER wd")
       .mkString
     val kept = "CASE WHEN rm = 0 THEN w END"
+    // minSpan gate (islands-and-gaps run length over the rm0 flags),
+    // mirroring the Spark windows; minSpan <= n is a no-op
+    val spanCtes = if (minSpan <= n) "" else s""",
+    runs AS (SELECT doc_id, pos, w, rm0,
+                    SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS run
+             FROM (SELECT doc_id, pos, w, rm0,
+                          CASE WHEN lag(rm0) OVER wd IS NULL
+                                 OR lag(rm0) OVER wd != rm0
+                               THEN 1 ELSE 0 END AS chg
+                   FROM flags0
+                   WINDOW wd AS (PARTITION BY doc_id ORDER BY pos))),
+    flags AS (SELECT doc_id, pos, w,
+                     CASE WHEN rm0 = 1
+                            AND count(*) OVER (PARTITION BY doc_id, run)
+                                >= $minSpan
+                          THEN 1 ELSE 0 END AS rm
+              FROM runs)"""
+    val flagsName = if (minSpan <= n) "flags0" else "flags"
+    val rmCol = if (minSpan <= n) "rm0 AS rm" else "rm"
     s"""
     WITH tokl AS (SELECT doc_id, $toks AS toks FROM documents),
     tok AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.w AS w
@@ -2753,20 +2773,21 @@ object OracleExt {
                         count(*) OVER (PARTITION BY h1, h2) AS nk
                  FROM occ)
                WHERE nk >= 2 AND rk > 1),
-    flags AS (SELECT t.doc_id, t.pos, t.w,
+    flags0 AS (SELECT t.doc_id, t.pos, t.w,
                      max(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
                        OVER (PARTITION BY t.doc_id ORDER BY t.pos
                              ROWS BETWEEN ${n - 1} PRECEDING
-                             AND CURRENT ROW) AS rm
+                             AND CURRENT ROW) AS rm0
               FROM tok t LEFT JOIN marked m
-                ON m.doc_id = t.doc_id AND m.pos = t.pos)
+                ON m.doc_id = t.doc_id AND m.pos = t.pos)$spanCtes
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(rm) AS BIGINT) AS removed_tokens,
            CAST(count(*) - sum(rm) AS BIGINT) AS kept_tokens,
            coalesce(string_agg($kept, ' ' ORDER BY pos), '') AS kept_text,
            md5(coalesce(string_agg($kept, ' ' ORDER BY pos), ''))
              AS kept_md5
-    FROM flags GROUP BY doc_id ORDER BY doc_id"""
+    FROM (SELECT doc_id, pos, w, $rmCol FROM $flagsName)
+    GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** Twin of Dedup.simhash: 64 ±1 bit sums over frequency-weighted token

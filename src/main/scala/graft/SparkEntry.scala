@@ -1040,6 +1040,11 @@ object SparkEntry {
     // removed and the doc re-emitted from the surviving tokens
     "substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docsPar(s, dir)).orderBy("doc_id")),
+    // Lee et al. minimum-match-length contract: only maximal removed
+    // runs of >= 6 tokens actually remove (3-token echoes survive)
+    "substring_dedup_minspan" -> ((s, dir) =>
+      Dedup.substringDedup(docsPar(s, dir), minSpan = 6)
+        .orderBy("doc_id")),
     // Content-defined chunks: hash-boundary variable-size chunking
     "cdc_chunks" -> ((s, dir) =>
       Dedup.cdcChunks(docsPar(s, dir)).orderBy("doc_id", "chunk_id")),
@@ -1597,6 +1602,7 @@ object SparkEntry {
     "containment_sim" -> OracleExt.containmentSim(300, 5),
     "dup_spans" -> OracleExt.dupSpans,
     "substring_dedup" -> OracleExt.substringDedup(3),
+    "substring_dedup_minspan" -> OracleExt.substringDedup(3, 6),
     "cdc_chunks" -> OracleExt.cdcChunks(16),
     "winnow_fingerprints" -> OracleExt.winnowFingerprints(3, 4),
     "simhash" -> OracleExt.simhash,

@@ -466,7 +466,15 @@ object Dedup {
     * Docs shorter than n tokens contribute one whole-text shingle at
     * pos 0 (the [[shingles]] fallback, positioned), so short exact-dup
     * docs dedup too. 32+32-bit key aliasing bound as [[dupSpans]]. */
-  def substringDedup(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** `minSpan`: the Lee-et-al minimum-match-length contract — only
+    * maximal REMOVED RUNS of ≥ minSpan tokens are actually removed
+    * (shorter marked runs un-mark; a 3-token echo of a common phrase
+    * survives, a lifted paragraph does not). minSpan ≤ n is a no-op
+    * (any marked run is ≥ n tokens by construction). Cost: two more
+    * per-doc window passes over the SAME doc-keyed partitioning
+    * (islands-and-gaps run ids + run length), no new shuffle. */
+  def substringDedup(docs: DataFrame, n: Int = 3,
+                     minSpan: Int = 0): DataFrame = {
     val toked = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
       .filter(size(col("__t")) > 0)
@@ -493,13 +501,33 @@ object Dedup {
       .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(n - 1), Window.currentRow)
+    val flagged = tok.join(marked, Seq("doc_id", "pos"), "left")
+      .withColumn("__rm0",
+        max(coalesce(col("__m"), lit(0L))).over(w) === 1L)
+    val withRm =
+      if (minSpan <= n) flagged.withColumn("__rm", col("__rm0"))
+      else {
+        // islands-and-gaps over the SAME doc partitioning: run id =
+        // cumsum of flag changes, run length = full-partition count
+        // over (doc, run); removal holds only for runs ≥ minSpan
+        val wd = Window.partitionBy("doc_id").orderBy("pos")
+        flagged
+          .withColumn("__chg",
+            when(lag(col("__rm0"), 1).over(wd).isNull
+              || lag(col("__rm0"), 1).over(wd) =!= col("__rm0"), 1L)
+              .otherwise(0L))
+          .withColumn("__run", sum(col("__chg")).over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__rm", col("__rm0") &&
+            count(lit(1)).over(Window.partitionBy("doc_id", "__run"))
+              >= minSpan)
+      }
     // kept_text rebuild via ordered listagg: a per-DOC string buffer,
     // bounded by the output value itself (rebuilding a document cannot
     // use less than document-sized state) — not the unbounded
     // collect_list class PlansSpec bans, where the buffer dwarfs the
     // output. NULL-skipping listagg mirrors the twin's string_agg.
-    tok.join(marked, Seq("doc_id", "pos"), "left")
-      .withColumn("__rm", max(coalesce(col("__m"), lit(0L))).over(w) === 1L)
+    withRm
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("__rm").cast("long")).as("removed_tokens"),

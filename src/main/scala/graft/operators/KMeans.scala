@@ -485,31 +485,46 @@ object KMeans {
     * initialization, which is exactly PCA alignment + eigenvalue
     * allocation). */
   private def snakePermOf(base: DataFrame, m: Int): DataFrame = {
-    val lanes = (0 until dim).flatMap(j => Seq(
-      sum(floor(element_at(col("v"), j + 1) * 1000000L)).as(s"__a$j"),
-      sum(floor(element_at(col("v"), j + 1)
-        * element_at(col("v"), j + 1) * 1000000L)).as(s"__b$j")))
-    val row = base.agg(count(lit(1)).as("__n"), lanes: _*).head()
-    val n = BigInt(row.getLong(0))
-    val vx = (0 until dim).map { j =>
-      val a = BigInt(row.getLong(1 + 2 * j))
-      val b = BigInt(row.getLong(2 + 2 * j))
-      (j + 1, b * n - a * a) // 1-based coordinate, exact variance proxy
-    }
-    val sub = dim / m
-    // rank desc by variance (tie: coordinate), snake over 2m slots
-    val perm = vx.sortBy { case (j, v) => (-v, j) }.zipWithIndex
-      .map { case ((j, _), r) =>
-        val idx = r % (2 * m)
-        val blk = if (idx < m) idx else 2 * m - 1 - idx
-        (blk, r, j)
-      }
-      .groupBy(_._1).toSeq.flatMap { case (blk, rows) =>
-        rows.sortBy(_._2).zipWithIndex.map { case ((_, _, j), pib) =>
-          (blk * sub + pib + 1, j) // (dst position, src coordinate)
+    val spark = base.sparkSession
+    // the variance pass is a full corpus scan — staged once per
+    // (base, m) like every other trained artifact, so repeat callers
+    // (opq_eval + opq_encode, every bench rerun) read a 64-row parquet
+    // instead of re-scanning the corpus
+    val d = graft.Stage.dir(graft.Stage.key(base, "snake_perm", m)) {
+      dir =>
+        val lanes = (0 until dim).flatMap(j => Seq(
+          sum(floor(element_at(col("v"), j + 1) * 1000000L)).as(s"__a$j"),
+          sum(floor(element_at(col("v"), j + 1)
+            * element_at(col("v"), j + 1) * 1000000L)).as(s"__b$j")))
+        val row = base.agg(count(lit(1)).as("__n"), lanes: _*).head()
+        val n = BigInt(row.getLong(0))
+        val vx = (0 until dim).map { j =>
+          val a = BigInt(row.getLong(1 + 2 * j))
+          val b = BigInt(row.getLong(2 + 2 * j))
+          (j + 1, b * n - a * a) // 1-based coordinate, exact variance
         }
-      }
-      .sortBy(_._1).map(_._2)
+        val sub = dim / m
+        // rank desc by variance (tie: coordinate), snake over 2m slots
+        val perm = vx.sortBy { case (j, v) => (-v, j) }.zipWithIndex
+          .map { case ((j, _), r) =>
+            val idx = r % (2 * m)
+            val blk = if (idx < m) idx else 2 * m - 1 - idx
+            (blk, r, j)
+          }
+          .groupBy(_._1).toSeq.flatMap { case (blk, rows) =>
+            rows.sortBy(_._2).zipWithIndex.map { case ((_, _, j), pib) =>
+              (blk * sub + pib + 1, j) // (dst position, src coordinate)
+            }
+          }
+          .sortBy(_._1).map(_._2)
+        val sq = spark
+        import sq.implicits._
+        perm.zipWithIndex.map { case (src, i) => (i + 1, src) }
+          .toDF("dst", "src")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/perm")
+    }
+    val perm = spark.read.parquet(s"$d/perm").orderBy("dst")
+      .select("src").collect().map(_.getInt(0)).toSeq
     base.select(col("vec_id"),
       array(perm.map(src => element_at(col("v"), src)): _*).as("v"))
   }
@@ -579,10 +594,14 @@ object KMeans {
   def opqEncode(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
                 pcaIters: Int = 3): DataFrame = {
     val bases = opqBases(emb, pcaIters, m)
-    val chosen = bases.map { case (n, b) =>
-      n -> opqErrFrame(n, b, m, k, iters)
-        .select(col("recon_err_milli")).head().getLong(0)
-    }.minBy { case (n, e) => (e, n) }._1
+    // one action for the whole candidate-row table (4 rows), not one
+    // head() per candidate
+    val chosen = bases
+      .map { case (n, b) => opqErrFrame(n, b, m, k, iters) }
+      .reduce(_ unionByName _)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .minBy { case (n, e) => (e, n) }._1
     pqEncodeBase(bases.toMap.apply(chosen), m, k, iters)
       .withColumn("cand", lit(chosen))
   }

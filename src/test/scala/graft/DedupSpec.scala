@@ -535,6 +535,26 @@ class DedupSpec extends SparkTestBase {
     assert(out == ((1L, 3L, "x1 x2 r1 r2 r3 x3 x4 x5")))
   }
 
+  test("substringDedup minSpan: short echoes survive, long lifts remove") {
+    // "c1 c2 c3" echoes across docs (3-token run, < minSpan=6);
+    // the 6-token passage is a real lift and still removes
+    val passage = "zq1 zq2 zq3 zq4 zq5 zq6"
+    val d = docs(
+      (1L, s"a1 a2 c1 c2 c3 $passage a3 a4"),
+      (2L, s"b1 b2 c1 c2 c3 b3 $passage b4"))
+    val strict = Dedup.substringDedup(d).orderBy("doc_id")
+      .select("doc_id", "removed_tokens", "kept_text")
+      .as[(Long, Long, String)].collect()
+    val lee = Dedup.substringDedup(d, minSpan = 6).orderBy("doc_id")
+      .select("doc_id", "removed_tokens", "kept_text")
+      .as[(Long, Long, String)].collect()
+    // strict removes both the echo and the passage from doc 2
+    assert(strict(1) == ((2L, 9L, "b1 b2 b3 b4")))
+    // minSpan=6 keeps the 3-token echo, removes only the passage
+    assert(lee(0) == ((1L, 0L, s"a1 a2 c1 c2 c3 $passage a3 a4")))
+    assert(lee(1) == ((2L, 6L, "b1 b2 c1 c2 c3 b3 b4")))
+  }
+
   test("substringDedup: short-doc whole-text fallback + fully-removed doc") {
     val d = docs((1L, "tiny pair"), (2L, "tiny pair"), (3L, "other text"))
     val out = Dedup.substringDedup(d).orderBy("doc_id")
