@@ -3394,6 +3394,101 @@ object OracleExt {
     ORDER BY vec_id"""
   }
 
+  /** Twin of KMeans.topkOpq — the ADC read path under the argmin OPQ
+    * candidate: one prefixed ADC tail per family member over the SAME
+    * trained chains opqCtes builds (queries drawn from each
+    * candidate's own transformed base, so query and codebook share the
+    * rotation), unioned and filtered to the scalar argmin. */
+  private def adcOf(pfx: String, cand: String, m: Int, k: Int,
+                    iters: Int, nQueries: Int, topK: Int): String = {
+    val sub = 64 / m
+    val li = iters - 1
+    val dtabs = (0 until m).map { j =>
+      s"""${pfx}t$j AS (SELECT q.vec_id AS query_id, c.cid,
+                   ${sqlDist2D("q.v", "c.c", sub)} AS dj
+           FROM (SELECT vec_id, v FROM ${pfx}e$j
+                 WHERE vec_id < $nQueries) q
+           CROSS JOIN ${pfx}b${j}c$li c)"""
+    }.mkString(",")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN ${pfx}b${j}a$li pa$j ON pa$j.vec_id = pa0.vec_id")
+      .mkString(" ")
+    val tJoins = (0 until m).map { j =>
+      if (j == 0) s"JOIN ${pfx}t0 ON ${pfx}t0.cid = pa0.cid"
+      else s"JOIN ${pfx}t$j ON ${pfx}t$j.cid = pa$j.cid" +
+        s" AND ${pfx}t$j.query_id = ${pfx}t0.query_id"
+    }.mkString(" ")
+    val dist = (0 until m).map(j => s"${pfx}t$j.dj").mkString(" + ")
+    s"""$dtabs,
+    ${pfx}adc AS (
+      SELECT '$cand' AS cand, query_id, CAST(rank AS INTEGER) AS rank,
+             vec_id, CAST(floor(dist * 1000) AS BIGINT) AS adc_milli
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rank
+            FROM (SELECT ${pfx}t0.query_id, pa0.vec_id, ($dist) AS dist
+                  FROM ${pfx}b0a$li pa0 $codeJoins $tJoins
+                  WHERE ${pfx}t0.query_id != pa0.vec_id))
+      WHERE rank <= $topK)"""
+  }
+
+  def topkOpq(m: Int, k: Int, iters: Int, pcaIters: Int, nQueries: Int,
+              topK: Int): String = {
+    val cands = Seq("i" -> "identity", "h" -> "householder",
+      "p" -> "snake_perm", "q" -> "householder_snake")
+    val tails = cands.map { case (pfx, cand) =>
+      adcOf(pfx, cand, m, k, iters, nQueries, topK)
+    }.mkString(",")
+    val unioned = cands.map { case (pfx, _) =>
+      s"SELECT * FROM ${pfx}adc"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH ${opqCtes(m, k, iters, pcaIters)},
+    $tails
+    SELECT query_id, rank, vec_id, adc_milli, cand
+    FROM ($unioned)
+    WHERE cand = (SELECT cand FROM errs
+                  ORDER BY recon_err_milli, cand LIMIT 1)
+    ORDER BY query_id, rank"""
+  }
+
+  /** Twin of KMeans.opqRecall — exact brute-force L2 top-k over the
+    * raw vectors (orthogonal candidates ⇒ rotated L2 ≡ raw L2) LEFT
+    * JOINed with the argmin candidate's ADC top-k, annRecall's
+    * all-integer recall face. */
+  def opqRecall(m: Int, k: Int, iters: Int, pcaIters: Int, nQueries: Int,
+                topK: Int): String = {
+    val cands = Seq("i" -> "identity", "h" -> "householder",
+      "p" -> "snake_perm", "q" -> "householder_snake")
+    val tails = cands.map { case (pfx, cand) =>
+      adcOf(pfx, cand, m, k, iters, nQueries, topK)
+    }.mkString(",")
+    val unioned = cands.map { case (pfx, _) =>
+      s"SELECT * FROM ${pfx}adc"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH ${opqCtes(m, k, iters, pcaIters)},
+    $tails,
+    ap AS (SELECT query_id, vec_id FROM ($unioned) u
+           WHERE u.cand = (SELECT cand FROM errs
+                           ORDER BY recon_err_milli, cand LIMIT 1)),
+    ex AS (SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${sqlDist2D("q.v", "c.v", 64)}, c.vec_id)
+                 AS rank
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $topK)
+    SELECT ex.query_id, count(*) AS n_true,
+           CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_hit,
+           CAST((100 * sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1
+                           END)) // $topK AS BIGINT) AS recall_pct
+    FROM ex LEFT JOIN ap
+      ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+    GROUP BY ex.query_id ORDER BY ex.query_id"""
+  }
+
   /** Shared ADC search tail over PQ codes: per-query distance tables
     * against the per-subspace codebooks (`b*c{iters-1}`, the same
     * final centroid tables the assignment ran against), summed in

@@ -1185,6 +1185,14 @@ object SparkEntry {
     // PQ codes under the argmin OPQ transform, tagged with the choice
     "opq_encode" -> ((s, dir) =>
       KMeans.opqEncode(embPar(s, dir)).orderBy("vec_id")),
+    // ADC top-k under the argmin OPQ transform — the OPQ read path
+    // (query + codebooks share the chosen rotation)
+    "topk_opq" -> ((s, dir) =>
+      KMeans.topkOpq(embPar(s, dir)).orderBy("query_id", "rank")),
+    // Recall@k of the OPQ ADC ranking vs exact L2 truth (the
+    // ann_recall harness pointed at the OPQ read path)
+    "opq_recall" -> ((s, dir) =>
+      KMeans.opqRecall(embPar(s, dir)).orderBy("query_id")),
     // ADC top-k over the PQ codes: raw-query-vs-codeword distance
     // tables, m lookups + adds per candidate, rank-limited window
     "topk_pq" -> ((s, dir) =>
@@ -1461,6 +1469,8 @@ object SparkEntry {
     "pq_encode" -> OracleExt.pqEncode(4, 4, 2),
     "opq_eval" -> OracleExt.opqEval(4, 4, 2, 3),
     "opq_encode" -> OracleExt.opqEncode(4, 4, 2, 3),
+    "topk_opq" -> OracleExt.topkOpq(4, 4, 2, 3, 10, 3),
+    "opq_recall" -> OracleExt.opqRecall(4, 4, 2, 3, 10, 3),
     "topk_pq" -> OracleExt.topkPqAdc(4, 4, 2, 10, 3),
     "ann_ivfadc" -> OracleExt.annIvfAdc(8, 2, 4, 4, 2, 10, 3),
     "ann_ivfadc_nprobe" -> OracleExt.annIvfAdcNprobe(8, 2, 4, 4, 2, 10, 3, 2),

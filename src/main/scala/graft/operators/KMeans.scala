@@ -591,19 +591,74 @@ object KMeans {
     * 2-row aggregate collect (driver action on aggregate-sized data,
     * the convergence-probe class); codes and errors then read back
     * from the chosen candidate's staged codebook artifact. */
-  def opqEncode(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
-                pcaIters: Int = 3): DataFrame = {
-    val bases = opqBases(emb, pcaIters, m)
-    // one action for the whole candidate-row table (4 rows), not one
-    // head() per candidate
-    val chosen = bases
-      .map { case (n, b) => opqErrFrame(n, b, m, k, iters) }
+  /** The argmin over the candidate family — one action for the whole
+    * candidate-row table (4 rows), not one head() per candidate. */
+  private def opqChoose(bases: Seq[(String, DataFrame)], m: Int, k: Int,
+                        iters: Int): String =
+    bases.map { case (n, b) => opqErrFrame(n, b, m, k, iters) }
       .reduce(_ unionByName _)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .minBy { case (n, e) => (e, n) }._1
+
+  def opqEncode(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
+                pcaIters: Int = 3): DataFrame = {
+    val bases = opqBases(emb, pcaIters, m)
+    val chosen = opqChoose(bases, m, k, iters)
     pqEncodeBase(bases.toMap.apply(chosen), m, k, iters)
       .withColumn("cand", lit(chosen))
+  }
+
+  /** ADC top-k search under the argmin OPQ transform — the READ half
+    * of [[opqEncode]]: queries and codebooks live in the SAME rotated
+    * space (the chosen candidate's base frame supplies both the query
+    * subvectors and the staged codebooks), so the m-lookup ADC
+    * approximation targets the rotated-but-isometric L2 distances —
+    * identical to raw L2 because every family member is orthogonal.
+    * Composition of [[opqChoose]] + [[topkPqAdcBase]]; everything
+    * after the argmin reads the chosen candidate's staged artifact. */
+  def topkOpq(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
+              pcaIters: Int = 3, nQueries: Int = 10,
+              topK: Int = 3): DataFrame = {
+    val bases = opqBases(emb, pcaIters, m)
+    val chosen = opqChoose(bases, m, k, iters)
+    topkPqAdcBase(bases.toMap.apply(chosen), m, k, iters, nQueries, topK)
+      .withColumn("cand", lit(chosen))
+  }
+
+  /** Recall@k of the OPQ ADC ranking against the exact L2 top-k — the
+    * [[Similarity.annRecall]] harness pointed at the OPQ read path
+    * (the directive's eval contract): exact truth is brute-force L2
+    * over the RAW vectors (every family member is orthogonal, so
+    * rotated L2 ≡ raw L2 and one truth table serves any candidate),
+    * approx is [[topkOpq]]'s m-lookup ADC ranking. Same all-integer
+    * recall_pct face as annRecall; the truth join is nQ·k-bounded
+    * regardless of corpus size (run on a query sample at 100 TB). */
+  def opqRecall(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
+                pcaIters: Int = 3, nQueries: Int = 10,
+                topK: Int = 3): DataFrame = {
+    val d2e = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.Dist2F64Expr(a, b)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = base.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        d2e(col("qv"), col("v")).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id")
+    val approx = topkOpq(emb, m, k, iters, pcaIters, nQueries, topK)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        expr(s"(100 * n_hit) div $topK").as("recall_pct"))
   }
 
   /** ADC (asymmetric distance computation) top-k search over PQ codes
@@ -621,12 +676,20 @@ object KMeans {
     * in the paper. Ranking orders on the raw double sum (bit-exact
     * cross-engine) and quantizes only the output column. */
   def topkPqAdc(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
-                nQueries: Int = 10, topK: Int = 3): DataFrame = {
+                nQueries: Int = 10, topK: Int = 3): DataFrame =
+    topkPqAdcBase(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")), m, k, iters,
+      nQueries, topK)
+
+  /** ADC search over an arbitrary (vec_id, v) base — the OPQ read path
+    * ([[topkOpq]]) runs this against the argmin candidate's frame, so
+    * queries are transformed by the SAME rotation as the codebooks
+    * (the base's own subvectors feed the distance tables). */
+  private def topkPqAdcBase(base: DataFrame, m: Int, k: Int, iters: Int,
+                            nQueries: Int, topK: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val d2e = (a: Column, b: Column) =>
       org.apache.spark.sql.graft.Dist2F64Expr(a, b)
-    val base = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
     val (assigned, cents) = stagedBlocks(base, m, k, iters, dim / m)
     // (query, blk, cid, dj) table — nQueries × m × k rows, broadcast;
     // queries reuse the staged long-format assignment the trainer wrote

@@ -416,4 +416,30 @@ class KMeansSpec extends SparkTestBase {
     assert(permBad == 0L, "snake_perm must permute, never alter, values")
     Caches.releaseAll()
   }
+
+  test("OPQ read path: topkOpq carries the eval's argmin; opqRecall is " +
+      "a valid per-query recall over the exact L2 truth") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val chosen = KMeans.opqEval(emb)
+      .as[(String, Long, Boolean)].collect()
+      .collect { case (c, _, true) => c }.head
+    val adc = KMeans.topkOpq(emb)
+      .as[(Long, Int, Long, Long, String)].collect()
+    assert(adc.nonEmpty)
+    assert(adc.map(_._5).distinct.toSeq == Seq(chosen),
+      "ADC codes must come from the eval's argmin candidate")
+    assert(adc.forall(r => r._1 != r._3), "no self-matches")
+    adc.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.size).toSeq,
+        "ranks are dense from 1 per query")
+    }
+    val rec = KMeans.opqRecall(emb)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rec.length == 10, "one row per query")
+    rec.foreach { case (_, nTrue, nHit, pct) =>
+      assert(nTrue == 3L && nHit >= 0L && nHit <= 3L)
+      assert(pct == 100L * nHit / 3L)
+    }
+    Caches.releaseAll()
+  }
 }
