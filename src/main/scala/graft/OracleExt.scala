@@ -286,6 +286,35 @@ object OracleExt {
     ORDER BY event_id"""
   }
 
+  /** Twin of Layout.hilbertIndexed over the zorderLayout base frame —
+    * the identical xy2d quadrant walk as `bits` chained subqueries
+    * over (x, y, d) state (DuckDB xor() ≡ Spark bitwiseXOR on BIGINT;
+    * the full-width complement is the same integer subtract). */
+  val hilbertLayout: String = {
+    val bits = 10
+    val m = (1L << bits) - 1
+    var inner =
+      s"""SELECT event_id, user_id % 1024 AS x,
+             ((epoch_us(ts) // 1000000) // 3600) % 1024 AS y,
+             CAST(0 AS BIGINT) AS d
+          FROM events"""
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      inner = s"""SELECT event_id,
+        CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $m - y ELSE y END
+             ELSE x END AS x,
+        CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $m - x ELSE x END
+             ELSE y END AS y,
+        d + ${s * s} * xor(3 * rx, ry) AS d
+        FROM (SELECT event_id, x, y, d,
+                CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+              FROM ($inner))"""
+    }
+    s"""SELECT event_id, CAST(d AS BIGINT) AS h FROM ($inner)
+        ORDER BY event_id"""
+  }
+
   /** Twin of Events.funnelLag — the same three-phase chain; the
     * empirical p50/p90 as single-window rank-selects over the gap
     * counts. */
@@ -963,10 +992,52 @@ object OracleExt {
     FROM byhod b JOIN pt t USING (event_type)
     ORDER BY b.event_type, b.hod"""
 
-  /** Twin of LinearProbe.train — `iters` unrolled full-batch rounds.
-    * Hard-sigmoid link, fixed-point BIGINT gradient sums, identical
-    * float association everywhere (see LinearProbe.scala). */
-  def linearProbe(iters: Int, lr: Double): String = {
+  /** Twin of Classify.nbConfusion — add-one multinomial NB in the
+    * identical whole-bit surprisal lanes: the full vocab×lang grid
+    * (absent cells get the unseen-term cost), exact length(bin)−1
+    * integer log2, argmin with (score, lang) tie-break, |langs|²
+    * confusion output. */
+  val nbConfusion: String = s"""
+    WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    ctl AS (SELECT t.term, d.lang, CAST(sum(t.tf) AS BIGINT) AS c_tl
+            FROM tf t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+    cl AS (SELECT lang, CAST(sum(c_tl) AS BIGINT) AS c_l
+           FROM ctl GROUP BY 1),
+    vocab AS (SELECT DISTINCT term FROM tf),
+    vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+           FROM documents GROUP BY 1),
+    ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    grid AS (SELECT vo.term, l.lang,
+                    CAST(length(bin((l.c_l + z.v)
+                      // (coalesce(c.c_tl, CAST(0 AS BIGINT)) + 1)))
+                      - 1 AS BIGINT) AS wbits
+             FROM vocab vo CROSS JOIN cl l CROSS JOIN vsz z
+             LEFT JOIN ctl c ON c.term = vo.term AND c.lang = l.lang),
+    prior AS (SELECT lang, CAST(length(bin(x.n // n_l)) - 1 AS BIGINT)
+                             AS pbits
+              FROM nl, ntot x),
+    pred AS (SELECT doc_id, lang AS predicted FROM (
+               SELECT s.doc_id, s.lang,
+                      row_number() OVER (PARTITION BY s.doc_id
+                        ORDER BY p.pbits + s.sbits, s.lang) AS rn
+               FROM (SELECT t.doc_id, g.lang,
+                            CAST(sum(t.tf * g.wbits) AS BIGINT) AS sbits
+                     FROM tf t JOIN grid g USING (term)
+                     GROUP BY 1, 2) s
+               JOIN prior p ON p.lang = s.lang)
+             WHERE rn = 1)
+    SELECT d.lang, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Shared CTE chain of the probe twins — feature frame `f`, weight
+    * rounds wt0..wt$iters (hard-sigmoid link, fixed-point BIGINT
+    * gradient sums, identical float association everywhere; see
+    * LinearProbe.scala). */
+  private def probeCtes(iters: Int, lr: Double): String = {
     val p = "least(greatest((x0*w0 + x1*w1 + x2*w2 + x3*w3) * 0.25 + 0.5, 0.0), 1.0)"
     def g(j: Int) =
       s"CAST(sum(CAST(floor(((p - y) * x$j) * 1000000.0) AS BIGINT)) AS BIGINT) AS g$j"
@@ -979,14 +1050,7 @@ object OracleExt {
     wt${k + 1} AS (SELECT ${(0 to 3).map(upd).mkString(", ")}
           FROM wt$k w, gr$k g)"""
     }.mkString(",")
-    val outs = Seq("w0" -> "bias", "w1" -> "chars_1k",
-      "w2" -> "tokens_64", "w3" -> "ttr").map { case (c, name) =>
-      s"""SELECT '$name' AS feature,
-          CAST(floor($c * 1000000.0) AS BIGINT) AS weight_micro
-          FROM wt$iters"""
-    }.mkString(" UNION ALL ")
-    s"""
-    WITH f AS MATERIALIZED (
+    s"""f AS MATERIALIZED (
       SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
              1.0 AS x0,
              CAST(n_chars AS DOUBLE) / 1024.0 AS x1,
@@ -995,9 +1059,52 @@ object OracleExt {
                   ELSE CAST(len(list_distinct(l)) AS DOUBLE)
                          / CAST(len(l) AS DOUBLE) END AS x3
       FROM (SELECT $toks AS l, lang, n_chars FROM documents)),
-    wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),$rounds
+    wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),$rounds"""
+  }
+
+  /** Twin of LinearProbe.train — `iters` unrolled full-batch rounds. */
+  def linearProbe(iters: Int, lr: Double): String = {
+    val outs = Seq("w0" -> "bias", "w1" -> "chars_1k",
+      "w2" -> "tokens_64", "w3" -> "ttr").map { case (c, name) =>
+      s"""SELECT '$name' AS feature,
+          CAST(floor($c * 1000000.0) AS BIGINT) AS weight_micro
+          FROM wt$iters"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH ${probeCtes(iters, lr)}
     SELECT feature, weight_micro FROM ($outs) ORDER BY feature"""
   }
+
+  /** Twin of LinearProbe.calibration — scoring restarts from the
+    * FLOORED micro weights (the gated cross-engine artifact), then
+    * per-row hard sigmoid, floor-quantized BIGINT confidences, integer
+    * bin aggregates. */
+  def probeCalibration(iters: Int, lr: Double): String = s"""
+    WITH ${probeCtes(iters, lr)},
+    wm AS (SELECT CAST(floor(w0 * 1000000.0) AS BIGINT) AS wm0,
+                  CAST(floor(w1 * 1000000.0) AS BIGINT) AS wm1,
+                  CAST(floor(w2 * 1000000.0) AS BIGINT) AS wm2,
+                  CAST(floor(w3 * 1000000.0) AS BIGINT) AS wm3
+           FROM wt$iters),
+    scored AS (SELECT f.y,
+        CAST(floor(least(greatest(
+          (f.x0 * (CAST(wm0 AS DOUBLE) / 1000000.0)
+           + f.x1 * (CAST(wm1 AS DOUBLE) / 1000000.0)
+           + f.x2 * (CAST(wm2 AS DOUBLE) / 1000000.0)
+           + f.x3 * (CAST(wm3 AS DOUBLE) / 1000000.0)) * 0.25 + 0.5,
+          0.0), 1.0) * 1000000.0) AS BIGINT) AS conf
+      FROM f, wm),
+    b AS (SELECT least(conf // 100000, 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pos,
+                 CAST(sum(conf) AS BIGINT) AS sc
+          FROM scored GROUP BY 1)
+    SELECT bin, n_docs,
+           sc // n_docs AS conf_micro,
+           (1000000 * pos) // n_docs AS acc_micro,
+           abs(sc // n_docs - (1000000 * pos) // n_docs) AS gap_micro
+    FROM b ORDER BY bin"""
 
   /** Twin of TextAnalysis.tokens. */
   private def toks: String =
@@ -1596,6 +1703,75 @@ object OracleExt {
              AS surprisal_milli
     FROM tf JOIN bits USING (b)
     GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Twin of TextAnalysis.knBigram — interpolated Kneser-Ney in the
+    * identical integer ppm lanes: discounted term, λ_ppm, pcont_ppm
+    * each its own HUGEINT-laned truncating division (Spark side:
+    * DECIMAL(38,0)), then the ppm-scaled product — operation-for-
+    * operation the same truncation order. */
+  def knBigram(minCount: Long, topK: Int): String = s"""
+    WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    bg AS (SELECT unnest(list_transform(toks[2:],
+                    (x, i) -> toks[i] || ' ' || x)) AS b
+           FROM t),
+    vocab AS (SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY b),
+    pre AS (SELECT split_part(b, ' ', 1) AS w1,
+                   CAST(sum(c2) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1u
+            FROM vocab GROUP BY 1),
+    suf AS (SELECT split_part(b, ' ', -1) AS w2,
+                   CAST(count(*) AS BIGINT) AS n1w
+            FROM vocab GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM vocab)
+    SELECT b AS bigram, c2 AS cnt,
+           CAST(CAST(1000000 AS HUGEINT) * (4 * c2 - 3)
+                // (CAST(4 AS HUGEINT) * c1) AS BIGINT)
+           + (CAST(CAST(750000 AS HUGEINT) * n1u // c1 AS BIGINT)
+              * CAST(CAST(1000000 AS HUGEINT) * n1w // bb AS BIGINT))
+             // 1000000 AS p_kn_ppm
+    FROM vocab
+    JOIN pre ON split_part(vocab.b, ' ', 1) = pre.w1
+    JOIN suf ON split_part(vocab.b, ' ', -1) = suf.w2
+    CROSS JOIN tot
+    WHERE c2 >= $minCount
+    ORDER BY p_kn_ppm DESC, bigram LIMIT $topK"""
+
+  /** Twin of TextAnalysis.termChi2 — |sources|×2 document-presence
+    * contingency per term, the independenceTest per-cell ppm-floor
+    * quantization in HUGEINT lanes, absent cells via the full
+    * term×source grid, degenerate all-docs column guarded. */
+  def termChi2(k: Int, minDf: Long): String = s"""
+    WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    presence AS (SELECT t.term, d.source, CAST(count(*) AS BIGINT) AS o1
+                 FROM tf t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+    nsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+             FROM documents GROUP BY 1),
+    n1t AS (SELECT term, CAST(sum(o1) AS BIGINT) AS n1
+            FROM presence GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    grid AS (SELECT t.term, t.n1, s.source, s.ns,
+                    coalesce(p.o1, CAST(0 AS BIGINT)) AS o1, x.n
+             FROM n1t t
+             CROSS JOIN nsrc s
+             LEFT JOIN presence p ON p.term = t.term
+                                 AND p.source = s.source
+             CROSS JOIN tot x
+             WHERE t.n1 >= $minDf),
+    cells AS (SELECT term, n1,
+        CAST(((CAST(o1 AS HUGEINT) * n - CAST(ns AS HUGEINT) * n1)
+              * (CAST(o1 AS HUGEINT) * n - CAST(ns AS HUGEINT) * n1)
+              * 1000000)
+             // (CAST(n AS HUGEINT) * ns * n1) AS BIGINT)
+        + CASE WHEN n > n1 THEN
+            CAST(((CAST(o1 AS HUGEINT) * n - CAST(ns AS HUGEINT) * n1)
+                  * (CAST(o1 AS HUGEINT) * n - CAST(ns AS HUGEINT) * n1)
+                  * 1000000)
+                 // (CAST(n AS HUGEINT) * ns * (n - n1)) AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS cell
+        FROM grid)
+    SELECT term, n1 AS df, CAST(sum(cell) AS BIGINT) AS chi2_ppm
+    FROM cells GROUP BY 1, 2 ORDER BY chi2_ppm DESC, term LIMIT $k"""
 
   /** Twin of TextAnalysis.pmiPhrases — bigram-event-space PMI lift in
     * exact integer math: the product c_xy·W runs in HUGEINT (Spark
@@ -5211,6 +5387,69 @@ object OracleExt {
       FROM ($unionDs) GROUP BY node)
     ORDER BY betweenness_micro DESC, user_id LIMIT $topK"""
   }
+
+  /** Shared CTE chain of the distance-centrality twins: the salted
+    * source sample and the first-visit BFS levels f0..fD as a FIXED
+    * unroll (twin of Graph.bfsLevelsFromPairs — frontier⋈edges,
+    * DISTINCT new nodes, visited anti-join), collected into a single
+    * `lv (s, node, level)` table. */
+  private def bfsLevelCtes(nSources: Int, maxDepth: Int,
+                           maxCellUsers: Int, minShared: Int): String = {
+    val fwd = (1 to maxDepth).map { l =>
+      s"""
+    f$l AS MATERIALIZED (
+      SELECT DISTINCT t.s, t.node FROM (
+        SELECT f.s, e.dst AS node
+        FROM f${l - 1} f JOIN sym e ON e.src = f.node) t
+      WHERE NOT EXISTS (SELECT 1 FROM vis${l - 1} v
+                        WHERE v.s = t.s AND v.node = t.node)),
+    vis$l AS MATERIALIZED (
+      SELECT s, node FROM vis${l - 1}
+      UNION ALL SELECT s, node FROM f$l)"""
+    }.mkString(",")
+    val unionLv = (0 to maxDepth)
+      .map(l => s"SELECT s, node, CAST($l AS BIGINT) AS level FROM f$l")
+      .mkString(" UNION ALL ")
+    s"""${userGraphCtes(maxCellUsers, minShared)},
+    srcs AS MATERIALIZED (
+      SELECT node AS s FROM (SELECT DISTINCT src AS node FROM sym) n
+      ORDER BY ${graft.functions.PortableHash
+        .sqlHash32("'bfs:' || CAST(node AS VARCHAR)")}, node
+      LIMIT $nSources),
+    f0 AS MATERIALIZED (SELECT s, s AS node FROM srcs),
+    vis0 AS (SELECT s, node FROM f0),
+    $fwd,
+    lv AS ($unionLv)"""
+  }
+
+  /** Twin of Graph.harmonicTopK — per-node Σ 1e6 // level over levels
+    * ≥ 1 of the shared BFS unroll, top-k by (score desc, user_id). */
+  def harmonicTopK(nSources: Int, maxDepth: Int, topK: Int,
+                   maxCellUsers: Int, minShared: Int): String = s"""
+    WITH ${bfsLevelCtes(nSources, maxDepth, maxCellUsers, minShared)}
+    SELECT node AS user_id,
+           CAST(SUM(1000000 // level) AS BIGINT) AS harmonic_micro
+    FROM lv WHERE level >= 1
+    GROUP BY 1 ORDER BY harmonic_micro DESC, user_id LIMIT $topK"""
+
+  /** Twin of Graph.graphReach — per-level pair counts off the shared
+    * BFS unroll, running cumulative, reach fraction in ppm of
+    * sources × graph nodes. */
+  def graphReach(nSources: Int, maxDepth: Int, maxCellUsers: Int,
+                 minShared: Int): String = s"""
+    WITH ${bfsLevelCtes(nSources, maxDepth, maxCellUsers, minShared)},
+    per AS (SELECT level, CAST(count(*) AS BIGINT) AS pairs_at_level
+            FROM lv GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM srcs)
+                     AS n_sources,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM (SELECT DISTINCT src FROM sym)) AS n_nodes)
+    SELECT level, pairs_at_level,
+           CAST(SUM(pairs_at_level) OVER (ORDER BY level) AS BIGINT)
+             AS cum_pairs,
+           CAST((1000000 * SUM(pairs_at_level) OVER (ORDER BY level))
+             // (t.n_sources * t.n_nodes) AS BIGINT) AS reach_ppm
+    FROM per, tot t ORDER BY level"""
 
   /** Twin of Graph.clusteringCoeff — oriented 2-path + closing-edge
     * EXISTS (each triangle a < b < c once), one explode credits all

@@ -319,6 +319,16 @@ object SparkEntry {
             expr("(cast(ts as long) div 3600) % 1024")).as("z"))
         .orderBy("event_id")
     }),
+    // Hilbert-curve layout index over the same (user, hour) plane:
+    // unit-step locality where the Z-curve jumps quadrant seams
+    "hilbert_layout" -> ((s, dir) => {
+      val ev = LogSource.readEvents(s, dir)
+      graft.operators.Layout.hilbertIndexed(ev,
+          col("user_id") % 1024,
+          expr("(cast(ts as long) div 3600) % 1024"))
+        .select(col("event_id"), col("h"))
+        .orderBy("event_id")
+    }),
     // Hive-partitioned parquet sink: write documents partitioned by
     // (lang, source), read the manifest back — the oracle pins BOTH
     // round-trip row fidelity and the one-file-per-directory layout
@@ -349,6 +359,10 @@ object SparkEntry {
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(docsPar(s, dir))
         .orderBy("declared", "detected")),
+    // Multinomial Naive Bayes lang classifier in whole-bit surprisal
+    // lanes: one counting pass, add-one smoothing, confusion matrix
+    "nb_classify" -> ((s, dir) =>
+      graft.operators.Classify.nbConfusion(docsPar(s, dir))),
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(docsPar(s, dir)).orderBy("pct")),
     "text_termfreq" -> ((s, dir) =>
@@ -391,6 +405,14 @@ object SparkEntry {
     "pmi_phrases" -> ((s, dir) =>
       TextAnalysis.pmiPhrases(docsPar(s, dir), minCount = 5L, topN = 50)
         .orderBy(col("pmi_bits").desc, col("n").desc, col("phrase"))),
+    // Interpolated Kneser-Ney bigram LM: discounted + continuation
+    // mass in exact integer ppm lanes, top smoothed bigrams
+    "kn_bigram" -> ((s, dir) =>
+      TextAnalysis.knBigram(docsPar(s, dir))),
+    // Chi-square term-source feature selection (Yang & Pedersen):
+    // terms ranked by source-imbalance, independenceTest cell lanes
+    "term_chi2" -> ((s, dir) =>
+      TextAnalysis.termChi2(docsPar(s, dir))),
     // Distributed BPE trainer: 8 merge rounds over word types
     "bpe_train" -> ((s, dir) =>
       graft.operators.Bpe.stagedMerges(docsPar(s, dir), merges = 8)
@@ -414,6 +436,10 @@ object SparkEntry {
     "linear_probe" -> ((s, dir) =>
       graft.operators.LinearProbe.train(docsPar(s, dir), iters = 3)
         .orderBy("feature")),
+    // Reliability bins / ECE of the probe's scores: mean confidence
+    // vs empirical positive rate per decile, integer micro lanes
+    "probe_calibration" -> ((s, dir) =>
+      graft.operators.LinearProbe.calibration(docsPar(s, dir), iters = 3)),
     // Integer-ppm PageRank over the event-type transition digraph
     "pagerank_events" -> ((s, dir) =>
       graft.operators.Graph.pagerankEvents(LogSource.readEvents(s, dir))
@@ -722,6 +748,14 @@ object SparkEntry {
     // quantized dependency recursion, top-20 bridge nodes
     "betweenness_topk" -> ((s, dir) =>
       graft.operators.Graph.betweennessTopK(LogSource.readEvents(s, dir))),
+    // Sampled harmonic centrality off the shared staged BFS-levels
+    // artifact: Σ 1/d(s,v) in exact micro units, top-20
+    "harmonic_topk" -> ((s, dir) =>
+      graft.operators.Graph.harmonicTopK(LogSource.readEvents(s, dir))),
+    // Neighborhood function / effective-diameter curve off the same
+    // staged BFS levels: pairs within distance l + reach ppm
+    "graph_reach" -> ((s, dir) =>
+      graft.operators.Graph.graphReach(LogSource.readEvents(s, dir))),
     // Newman degree assortativity: hub-hub vs hub-leaf attachment,
     // exact DECIMAL(38,0) lanes, sign-explicit squared corr in ppm
     "degree_assort" -> ((s, dir) =>
@@ -1380,6 +1414,7 @@ object SparkEntry {
     "domain_mix" -> OracleExt.domainMix(domainMixTargets),
     "bloom_semi_join" -> OracleExt.bloomSemiJoin,
     "zorder_layout" -> OracleExt.zorderLayout,
+    "hilbert_layout" -> OracleExt.hilbertLayout,
     "partitioned_write" -> """
       SELECT lang, source, count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
       FROM documents GROUP BY lang, source ORDER BY lang, source""",
@@ -1448,6 +1483,7 @@ object SparkEntry {
     "token_count" -> OracleExt.tokenCounts,
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
     "lang_confusion" -> OracleExt.langConfusion(TextAnalysis.stopwords),
+    "nb_classify" -> OracleExt.nbConfusion,
     "char_profile" -> OracleExt.charProfile,
     "quality_score" -> OracleExt.qualityScore(TextAnalysis.stopwords("en"), 3000),
     "doc_fingerprint" -> OracleExt.fingerprints,
@@ -1480,12 +1516,15 @@ object SparkEntry {
     "unigram_surprisal" -> OracleExt.unigramSurprisal(4000, 4179),
     "bigram_surprisal" -> OracleExt.bigramSurprisal,
     "pmi_phrases" -> OracleExt.pmiPhrases(5L, 50),
+    "kn_bigram" -> OracleExt.knBigram(5L, 50),
+    "term_chi2" -> OracleExt.termChi2(20, 5L),
     "bpe_train" -> OracleExt.bpeTrain(8),
     "bpe_encode" -> OracleExt.bpeEncode(8),
     "stutter_trim" -> OracleExt.stutterTrim,
     "trigram_surprisal" -> OracleExt.trigramSurprisal,
     "zipf_fit" -> OracleExt.zipfFit(256),
     "linear_probe" -> OracleExt.linearProbe(3, 0.5),
+    "probe_calibration" -> OracleExt.probeCalibration(3, 0.5),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
     "active_users" -> OracleExt.activeUsers(7, 30),
     "cdc_apply" -> OracleExt.cdcApply("error"),
@@ -1637,6 +1676,8 @@ object SparkEntry {
       Similarity.planes(graft.operators.Density.defaultPlanes), 8, 2),
     "k_core" -> OracleExt.kCore(3, 12, 64, 2),
     "betweenness_topk" -> OracleExt.betweennessTopK(8, 4, 20, 64, 2),
+    "harmonic_topk" -> OracleExt.harmonicTopK(8, 4, 20, 64, 2),
+    "graph_reach" -> OracleExt.graphReach(8, 4, 64, 2),
     "k_truss" -> OracleExt.kTruss(3, 12, 64, 2),
     "degree_assort" -> OracleExt.degreeAssortativity(64, 2),
     "user_components" -> OracleExt.userComponents(64, 2),

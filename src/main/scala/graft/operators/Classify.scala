@@ -166,4 +166,60 @@ object Classify {
       .orderBy(col("r2_ppm").desc, col("dim_a"), col("dim_b"))
       .limit(k)
   }
+
+  /** Multinomial Naive Bayes language classifier in whole-bit
+    * surprisal lanes (McCallum & Nigam 1998's event model; add-one
+    * smoothing) — the generative text classifier a pipeline trains in
+    * one counting pass when the GD probe ([[LinearProbe]]) is too
+    * heavy, here predicting `lang` from term counts and reporting the
+    * resubstitution confusion matrix.
+    *
+    * The log-space trick under the no-floats contract: instead of
+    * Σ log P (cross-engine float), each smoothed probability becomes a
+    * whole-bit COST, w(t,l) = floor(log2((c_l+V)/(c_tl+1))) via the
+    * exact length(bin(·))−1 integer log2 (the surprisal-lane
+    * discipline), priors likewise; a doc's class score is the exact
+    * BIGINT Σ tf·w + prior_bits, argmin with (score, lang) tie-break.
+    * Coarser than float NB — and identically coarse in both engines,
+    * which is the gate's requirement.
+    *
+    * Scale shape: counts fold off the ONE staged posting base joined
+    * to the doc→lang map (posting-sized shuffle); the smoothed model
+    * is the full vocab×|langs| grid (absent cells ARE model mass —
+    * the unseen-term cost); scoring is a term-keyed join with |langs|
+    * fan-out + a (doc, lang) aggregate + a |langs|-row-per-doc rank
+    * window; the confusion output is |langs|²-bounded. Zero-token
+    * docs have no posting rows and drop from the matrix (both engines
+    * identically). */
+  def nbConfusion(docs: DataFrame): DataFrame = {
+    val tf = TextAnalysis.stagedDocTermTf(docs)
+    val ctl = graft.Caches.track(
+      tf.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("term", "lang").agg(sum(col("tf")).as("c_tl")))
+    val cl = ctl.groupBy("lang").agg(sum(col("c_tl")).as("c_l"))
+    val vocab = tf.select("term").distinct()
+    val vsz = vocab.agg(count(lit(1)).as("v"))
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val ntot = docs.agg(count(lit(1)).as("n"))
+    val grid = vocab.crossJoin(broadcast(cl)).crossJoin(broadcast(vsz))
+      .join(ctl, Seq("term", "lang"), "left")
+      .select(col("term"), col("lang"),
+        (length(bin(expr(
+          "(c_l + v) div (coalesce(c_tl, CAST(0 AS BIGINT)) + 1)"))) - 1)
+          .cast("long").as("wbits"))
+    val prior = nl.crossJoin(broadcast(ntot))
+      .select(col("lang"),
+        (length(bin(expr("n div n_l"))) - 1).cast("long").as("pbits"))
+    val pred = tf.join(grid, "term")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf") * col("wbits")).as("sbits"))
+      .join(broadcast(prior), "lang")
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("pbits") + col("sbits"), col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("predicted"))
+    docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
 }

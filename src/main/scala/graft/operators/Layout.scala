@@ -114,4 +114,68 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Hilbert-curve index of two non-negative dimensions, `bits` bits
+    * each — the locality-tighter sibling of [[zValue]]: consecutive
+    * Hilbert indexes are ALWAYS adjacent cells (unit Manhattan step),
+    * where the Z-curve takes long diagonal jumps at quadrant
+    * boundaries, so per-file bounding boxes come out measurably
+    * tighter on range-heavy workloads (the reason Delta/Iceberg offer
+    * both orders).
+    *
+    * The classic top-down quadrant walk (Wikipedia xy2d recurrence):
+    * per level s = 2^i, quadrant digit (3·rx) XOR ry weights s², then
+    * the frame rotates — (x, y) reflect-and-swap when ry = 0, with the
+    * reflection as the FULL-WIDTH complement m − v (= v XOR m): bits
+    * at or above s are never read again, so the full-width form is
+    * exactly the s-scoped one on every bit that matters, and it keeps
+    * the lanes pure integer subtract (identical in any engine).
+    *
+    * The walk is stateful, so it is expressed as `bits` CHAINED
+    * projections over three state columns — per-row integer math,
+    * no shuffle, linear plan size (CollapseProject will not duplicate
+    * the multiply-referenced non-cheap state expressions). Inputs are
+    * reduced mod 2^bits (callers bucket first, as with [[zValue]]). */
+  def hilbertIndexed(df: DataFrame, a: Column, b: Column,
+                     bits: Int = 10, out: String = "h"): DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits must fit both lanes in a long")
+    val m = (1L << bits) - 1
+    var cur = df
+      .withColumn("__hx", pmod(a.cast("long"), lit(1L << bits)))
+      .withColumn("__hy", pmod(b.cast("long"), lit(1L << bits)))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("__hd", col("__hd") + lit(s * s) *
+          (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx", when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(m) - col("__hy"))
+              .otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__ny", when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(m) - col("__hx"))
+              .otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny", "__rx", "__ry")
+    }
+    cur.withColumn(out, col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
+  /** The Hilbert write-side layout pass — [[zorderRepartition]] with
+    * the tighter curve. */
+  def hilbertRepartition(df: DataFrame, a: Column, b: Column,
+                         numFiles: Int, bits: Int = 10): DataFrame =
+    hilbertIndexed(df, a, b, bits, "__h")
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
 }

@@ -38,19 +38,25 @@ object LinearProbe {
   /** Train `iters` full-batch rounds; returns (feature, weight_micro)
     * — 4 rows, the trained probe. lr = 0.5 (a power of two, so the
     * update's scale step is exact). */
-  def train(docs: DataFrame, iters: Int = 3, lr: Double = 0.5)
-      : DataFrame = {
+  /** The probe's feature frame (y, x0..x3) — ONE corpus pass; x1/x2
+    * scale by powers of two (exact), x3 is the type-token ratio (one
+    * IEEE divide, identical both engines). Shared by [[train]] and
+    * [[calibration]]. */
+  private[graft] def features(docs: DataFrame): DataFrame = {
     val toksC = TextAnalysis.tokens(col("text"))
-    // ONE corpus pass; x1/x2 scale by powers of two (exact), x3 is the
-    // type-token ratio (one IEEE divide, identical both engines)
-    val feats = graft.Caches.track(docs.select(
+    docs.select(
       when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
       lit(1.0d).as("x0"),
       (col("n_chars").cast("double") / 1024.0d).as("x1"),
       (size(toksC).cast("double") / 64.0d).as("x2"),
       when(size(toksC) === 0, 0.0d)
         .otherwise(size(array_distinct(toksC)).cast("double") /
-          size(toksC).cast("double")).as("x3")))
+          size(toksC).cast("double")).as("x3"))
+  }
+
+  def train(docs: DataFrame, iters: Int = 3, lr: Double = 0.5)
+      : DataFrame = {
+    val feats = graft.Caches.track(features(docs))
 
     var w = docs.sparkSession.range(1).select(
       lit(0.0d).as("w0"), lit(0.0d).as("w1"),
@@ -81,5 +87,52 @@ object LinearProbe {
       w.select(lit(name).as("feature"),
         floor(col(c) * lit(1000000.0d)).cast("long").as("weight_micro"))
     }.reduce(_.union(_)).orderBy("feature")
+  }
+
+  /** Reliability diagram / expected-calibration-error bins (Naeini et
+    * al. 2015's ECE, the standard post-hoc audit of a filter model's
+    * scores): the trained probe's predicted probabilities bucketed
+    * into `nBins` equal-width bins, each reporting mean confidence vs
+    * empirical positive rate and their absolute gap — the table a
+    * curation pipeline reads before trusting probe scores as sampling
+    * weights ([[graft.operators.Sampling]]'s importance lanes).
+    *
+    * Determinism contract: scoring starts from the FLOORED micro
+    * weights [[train]] emits (the gated, cross-engine-identical
+    * artifact), not the trainer's float state — so the only float ops
+    * here are per-row IEEE multiply/add/compare (the hard-sigmoid
+    * link), and every aggregate runs on floor-quantized BIGINT
+    * confidences (order-free sums; the LinearProbe gradient
+    * discipline). bin = conf_micro div 100000 capped at nBins−1 —
+    * derived from the already-quantized integer, not a second float
+    * pass. Scale shape: one corpus scoring pass against the broadcast
+    * 1-row weight frame, one nBins-row aggregate. */
+  def calibration(docs: DataFrame, iters: Int = 3, lr: Double = 0.5)
+      : DataFrame = {
+    val wRow = train(docs, iters, lr).agg(
+      sum(when(col("feature") === "bias", col("weight_micro"))).as("wm0"),
+      sum(when(col("feature") === "chars_1k", col("weight_micro")))
+        .as("wm1"),
+      sum(when(col("feature") === "tokens_64", col("weight_micro")))
+        .as("wm2"),
+      sum(when(col("feature") === "ttr", col("weight_micro"))).as("wm3"))
+    def wd(j: Int) = col(s"wm$j").cast("double") / lit(1000000.0d)
+    val margin = col("x0") * wd(0) + col("x1") * wd(1) +
+      col("x2") * wd(2) + col("x3") * wd(3)
+    val p = least(greatest(margin * lit(0.25d) + lit(0.5d),
+      lit(0.0d)), lit(1.0d))
+    features(docs).crossJoin(broadcast(wRow))
+      .select(col("y"),
+        floor(p * lit(1000000.0d)).cast("long").as("conf"))
+      .groupBy(least(expr("conf div 100000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1.0d, 1L).otherwise(0L)).as("pos"),
+        sum(col("conf")).as("sc"))
+      .select(col("bin"), col("n_docs"),
+        expr("sc div n_docs").as("conf_micro"),
+        expr("(1000000 * pos) div n_docs").as("acc_micro"),
+        abs(expr("sc div n_docs") -
+          expr("(1000000 * pos) div n_docs")).as("gap_micro"))
+      .orderBy("bin")
   }
 }

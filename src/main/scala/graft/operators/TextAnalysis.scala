@@ -737,6 +737,113 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Chi-square term–source association (the Yang & Pedersen 1997
+    * feature-selection statistic, which their study found matches or
+    * beats information gain): for each term, the chi² of the
+    * |sources|×2 document-presence contingency — the terms a quality/
+    * domain classifier should be built ON, and the complement of
+    * [[sourceTerms]]' per-source lift view (this ranks terms globally
+    * by how much ANY source imbalance they carry).
+    *
+    * Same per-cell ppm-floor quantization as Stats.independenceTest:
+    * cell = ((o·N − r·c)²·1e6) div (N·r·c) in DECIMAL(38,0) lanes,
+    * present and absent cells both counted (the absent cell's
+    * numerator is the same square — (o₀N − n_s·n₀) = −(o₁N − n_s·n₁)),
+    * the all-docs column guarded (n₀ = 0 ⇒ absent cells contribute
+    * zero, exactly the degenerate-margin convention). Integer cell
+    * sums are order-free. Lane audit: (o·N)² < 10³⁸ holds to ~10⁹
+    * docs — the independenceTest bound.
+    *
+    * Scale shape: the presence table is the staged posting base joined
+    * to the doc→source map on doc_id (posting-base-sized shuffle, the
+    * one corpus-scale stage); the grid is vocab×|sources| with both
+    * margins broadcast; top-k via TakeOrdered. */
+  def termChi2(docs: DataFrame, k: Int = 20, minDf: Long = 5L)
+      : DataFrame = {
+    val presence = graft.Caches.track(
+      stagedDocTermTf(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("term", "source").agg(count(lit(1)).as("o1")))
+    val srcDocs = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+    val termDocs = presence.groupBy("term").agg(sum(col("o1")).as("n1"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    termDocs.filter(col("n1") >= minDf)
+      .crossJoin(broadcast(srcDocs))
+      .join(presence, Seq("term", "source"), "left")
+      .withColumn("o1", coalesce(col("o1"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("n1"),
+        expr("""CAST(((CAST(o1 AS DECIMAL(38,0)) * n
+                       - CAST(ns AS DECIMAL(38,0)) * n1)
+                      * (CAST(o1 AS DECIMAL(38,0)) * n
+                         - CAST(ns AS DECIMAL(38,0)) * n1)
+                      * 1000000)
+                     div (CAST(n AS DECIMAL(38,0)) * ns * n1) AS BIGINT)
+                + CASE WHEN n > n1 THEN
+                    CAST(((CAST(o1 AS DECIMAL(38,0)) * n
+                           - CAST(ns AS DECIMAL(38,0)) * n1)
+                          * (CAST(o1 AS DECIMAL(38,0)) * n
+                             - CAST(ns AS DECIMAL(38,0)) * n1)
+                          * 1000000)
+                         div (CAST(n AS DECIMAL(38,0)) * ns * (n - n1))
+                      AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END""").as("cell"))
+      .groupBy("term", "n1").agg(sum(col("cell")).as("chi2_ppm"))
+      .select(col("term"), col("n1").as("df"), col("chi2_ppm"))
+      .orderBy(col("chi2_ppm").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Interpolated Kneser-Ney smoothed bigram probabilities (Kneser &
+    * Ney 1995; Chen & Goodman 1998's interpolated form) — the LM
+    * smoothing every perplexity-filter pipeline (CCNet's KenLM stage)
+    * actually ships, where the MLE surprisal lanes above assign unseen
+    * mass zero: P_KN(w|u) = (c(uw)−D)/c(u) + λ(u)·P_cont(w), with
+    * absolute discount D = 0.75, λ(u) = D·N1+(u·)/c(u) the mass freed
+    * by discounting, and the continuation probability
+    * P_cont(w) = N1+(·w)/B counting distinct left CONTEXTS (the
+    * "Francisco" correction: frequent-but-predictable words get low
+    * continuation mass).
+    *
+    * All-integer ppm lanes, no logs and no floats: D = 3/4 exactly, so
+    * the discounted term is (1e6·(4c₂−3)) div (4c₁) in DECIMAL(38,0)
+    * (positive whenever c₂ ≥ 1 — the max(·,0) clamp is vacuous on
+    * observed bigrams); λ_ppm and pcont_ppm each get their own
+    * DECIMAL-laned truncating division BEFORE the ppm-scaled product
+    * (documented truncation order — the twin mirrors it operation for
+    * operation). Scale shape: everything folds off the ONE staged
+    * bigram-tf artifact — two vocab-sized marginal aggregates
+    * (contexts by first word, continuation fan-in by second), a 1-row
+    * distinct-bigram total broadcast, TakeOrdered top-k. The corpus
+    * never re-tokenizes. */
+  def knBigram(docs: DataFrame, minCount: Long = 5L,
+               topK: Int = 50): DataFrame = {
+    val vocab = graft.Caches.track(
+      stagedBigramTf(docs).groupBy("b").agg(sum(col("tf")).as("c2")))
+    val pre = vocab
+      .groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1u"))
+    val suf = vocab
+      .groupBy(substring_index(col("b"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1w"))
+    val tot = vocab.agg(count(lit(1)).as("bb"))
+    vocab
+      .join(pre, substring_index(col("b"), " ", 1) === col("w1"))
+      .join(suf, substring_index(col("b"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("c2") >= minCount)
+      .select(col("b").as("bigram"), col("c2").as("cnt"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (4 * c2 - 3))
+                     div (CAST(4 AS DECIMAL(38,0)) * c1) AS BIGINT)
+                + (CAST((CAST(750000 AS DECIMAL(38,0)) * n1u)
+                        div c1 AS BIGINT)
+                   * CAST((CAST(1000000 AS DECIMAL(38,0)) * n1w)
+                          div bb AS BIGINT))
+                  div 1000000""").as("p_kn_ppm"))
+      .orderBy(col("p_kn_ppm").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** PMI phrase miner — the top-N adjacent word pairs that co-occur
     * far more than their parts predict: over the bigram event space,
     * PMI(x,y) = log2(c_xy·W / (c_x·c_y)) with W the total bigram

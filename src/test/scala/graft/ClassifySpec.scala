@@ -75,4 +75,30 @@ class ClassifySpec extends SparkTestBase {
     // dim 0: q = 2, 4 → sum 6, sum2 20; dim 1: q = -2, 1 → sum -1, sum2 5
     assert(r == Seq((0L, 2L, 6L, 20L, 2L, 4L), (1L, 2L, -1L, 5L, -2L, 1L)))
   }
+
+  test("nbConfusion: separable bilingual corpus classifies cleanly") {
+    // V=4; en: c_l=6, costs cat/dog 1 bit, chat/chien 3; fr: c_l=5,
+    // costs cat 2, chat 1, chien 2, dog 3; priors 1 bit each. Doc
+    // scores hand-run: every doc prefers its own language.
+    val d = Seq(
+      (1L, "cat cat dog", "en"), (2L, "chat chat chien", "fr"),
+      (3L, "cat dog dog", "en"), (4L, "cat chat", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = Classify.nbConfusion(d)
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("en", "en", 2L), ("fr", "fr", 2L)))
+    Caches.releaseAll()
+  }
+
+  test("nbConfusion: exact score ties break to the smaller lang") {
+    // identical one-token docs in two one-doc languages: every cost
+    // and prior equal → both docs predict the lexicographically
+    // smaller class 'aa'
+    val d = Seq((1L, "x", "aa"), (2L, "x", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val r = Classify.nbConfusion(d)
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("aa", "aa", 1L), ("bb", "aa", 1L)))
+    Caches.releaseAll()
+  }
 }

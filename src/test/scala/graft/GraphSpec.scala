@@ -201,4 +201,47 @@ class GraphSpec extends SparkTestBase {
       4L -> 2000000L, 5L -> 0L))
     Caches.releaseAll()
   }
+
+  test("harmonic: path graph matches hand sums in exact micro") {
+    // path 1-2-3-4-5, all sources, full diameter: H(3) = 2·1 + 2·1/2
+    // = 3e6; H(2) = 1 + 1 + 1/2 + 1/3 → 2833333 (truncating div);
+    // H(1) = 1 + 1/2 + 1/3 + 1/4 → 2083333.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("ua", "ub")
+    val lv = Graph.bfsLevelsFromPairs(pairs, nSources = 5, maxDepth = 4)
+    val h = Graph.harmonicFromLevels(lv, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(h == Seq(3L -> 3000000L, 2L -> 2833333L, 4L -> 2833333L,
+      1L -> 2083333L, 5L -> 2083333L))
+    Caches.releaseAll()
+  }
+
+  test("harmonic: depth truncation reduces to degree within 1 hop") {
+    // maxDepth 1: only direct neighbors contribute, each a full 1e6 —
+    // harmonic collapses to degree·1e6.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("ua", "ub")
+    val lv = Graph.bfsLevelsFromPairs(pairs, nSources = 5, maxDepth = 1)
+    val h = Graph.harmonicFromLevels(lv, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(h == Seq(2L -> 2000000L, 3L -> 2000000L, 4L -> 2000000L,
+      1L -> 1000000L, 5L -> 1000000L))
+    Caches.releaseAll()
+  }
+
+  test("graphReach: path graph cumulative pair counts and reach ppm") {
+    // path 1-2-3-4-5, 5 sources: pairs at distance exactly l are
+    // 5, 8, 6, 4, 2 (directed), cum 5/13/19/23/25 over a 25-pair
+    // denominator — the curve ends at exactly 1e6 ppm (connected
+    // graph, depth = diameter).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("ua", "ub")
+    val lv = Graph.bfsLevelsFromPairs(pairs, nSources = 5, maxDepth = 4)
+    val r = Graph.reachFromLevels(lv, pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 5L, 5L, 200000L), (1L, 8L, 13L, 520000L),
+      (2L, 6L, 19L, 760000L), (3L, 4L, 23L, 920000L),
+      (4L, 2L, 25L, 1000000L)))
+    Caches.releaseAll()
+  }
 }

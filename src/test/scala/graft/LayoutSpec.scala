@@ -93,6 +93,46 @@ class LayoutSpec extends SparkTestBase {
       (2L, 2L, 3000L, 3000L), (3L, 2L, 4000L, 4000L)))
   }
 
+  test("hilbertIndexed: bijective and unit-step over the full 4x4 grid") {
+    // the two defining Hilbert properties, checked exhaustively at
+    // bits=2: indexes are a permutation of 0..15, and consecutive
+    // indexes are ADJACENT cells (|Δx|+|Δy| = 1) — the property the
+    // Z-curve violates at every quadrant seam
+    val grid = (for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y))
+      .toDF("x", "y")
+    val cells = Layout.hilbertIndexed(grid, col("x"), col("y"), bits = 2)
+      .select("h", "x", "y").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L to 15L))
+    val steps = cells.sliding(2).map { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x2 - x1) + math.abs(y2 - y1)
+    }.toSeq
+    assert(steps.forall(_ == 1L),
+      s"every consecutive Hilbert step must be unit Manhattan: $steps")
+    assert(cells.head._2 == 0L && cells.head._3 == 0L,
+      "the curve starts at the origin")
+  }
+
+  test("hilbertIndexed: beats z-order on worst-seam neighbor distance") {
+    // at the central seam the Z-curve jumps diagonally across the
+    // grid; Hilbert never exceeds step 1 — compare max consecutive
+    // Manhattan step over the full 8x8 grid
+    val grid = (for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y))
+      .toDF("x", "y")
+    def maxStep(indexed: Seq[(Long, Long, Long)]): Long =
+      indexed.sortBy(_._1).sliding(2).map {
+        case Seq((_, x1, y1), (_, x2, y2)) =>
+          math.abs(x2 - x1) + math.abs(y2 - y1)
+      }.max
+    val h = maxStep(Layout.hilbertIndexed(grid, col("x"), col("y"), 3)
+      .select("h", "x", "y").as[(Long, Long, Long)].collect().toSeq)
+    val z = maxStep(grid.select(
+        Layout.zValue(col("x"), col("y"), 3).as("z"), col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().toSeq)
+    assert(h == 1L, s"hilbert max step must be 1, got $h")
+    assert(z > 1L, s"z-order max step must exceed 1, got $z")
+  }
+
   test("rangePartitionAudit: heavy ties make range partitions lopsided") {
     // nine 1.0s and one 2.0 with k=2: the median cut IS 1.0, every tie
     // lands left of the strict cut — the audit must SHOW the 9/1 skew

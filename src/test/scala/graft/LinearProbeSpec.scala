@@ -40,6 +40,29 @@ class LinearProbeSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("calibration: zero-round probe scores exactly 0.5 — one bin") {
+    // w = 0 → every doc lands at conf 500000, bin 5; 2 of 4 docs en
+    // → acc 500000, gap 0: a perfectly calibrated constant predictor
+    val d = docs(
+      (1L, "a b", "en", 100L), (2L, "c d", "en", 200L),
+      (3L, "e f", "fr", 300L), (4L, "g h", "de", 400L))
+    val r = LinearProbe.calibration(d, iters = 0)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((5L, 4L, 500000L, 500000L, 0L)))
+    Caches.releaseAll()
+  }
+
+  test("calibration: one-round weights score the closed-form confs") {
+    // the one-round fixture's floored micro weights are exact doubles
+    // (-0.125, 0.0625): doc1 conf = 484375, doc2 = 445312 — both bin
+    // 4, conf_micro = 929687 div 2 = 464843, acc 500000, gap 35157
+    val d = docs((1L, "a b", "en", 1024L), (2L, "a a", "fr", 2048L))
+    val r = LinearProbe.calibration(d, iters = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((4L, 2L, 464843L, 500000L, 35157L)))
+    Caches.releaseAll()
+  }
+
   test("training is bit-deterministic across runs") {
     val d = docs(
       (1L, "a b c a", "en", 100L), (2L, "d d d", "fr", 900L),

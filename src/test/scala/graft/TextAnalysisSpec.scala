@@ -324,6 +324,35 @@ class TextAnalysisSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("knBigram: interpolated KN matches hand-computed ppm lanes") {
+    // corpus bigrams: "a b"×2, "b a"×2, "a c", "d b"; B = 4 distinct.
+    // "b a": disc = (1e6·5) div 8 = 625000, λ_b = 750000·1 div 2,
+    //        pcont_a = 1e6·1 div 4 → 625000 + (375000·250000) div 1e6
+    //        = 718750. "a b": 416666 + (500000·500000) div 1e6
+    //        = 666666. "d b": 250000 + (750000·500000) div 1e6
+    //        = 625000. "a c": 83333 + (500000·250000) div 1e6 = 208333.
+    val d = Seq((1L, "a b a b a c"), (2L, "d b")).toDF("doc_id", "text")
+    val r = TextAnalysis.knBigram(d, minCount = 1L, topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("b a", 2L, 718750L), ("a b", 2L, 666666L),
+      ("d b", 1L, 625000L), ("a c", 1L, 208333L)))
+    Caches.releaseAll()
+  }
+
+  test("termChi2: perfect association scores 4e6 ppm; independence 0") {
+    // x only in s1 (both docs) → chi² = N = 4 → 4e6 ppm exactly;
+    // z once per source → 0; y (3 of 4 docs, skewed 1:2) and w (1 doc)
+    // both 4/3 → 1333332 with the per-cell ppm floor.
+    val d = Seq((1L, "x y", "s1"), (2L, "x z", "s1"),
+      (3L, "y z", "s2"), (4L, "y w", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.termChi2(d, k = 10, minDf = 1L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("x", 2L, 4000000L), ("w", 1L, 1333332L),
+      ("y", 3L, 1333332L), ("z", 2L, 0L)))
+    Caches.releaseAll()
+  }
+
   test("zipfFit: perfect power-law ranks produce the expected integer sums") {
     // counts 8,4,2,1 -> y = 3,2,1,0 at ranks 1..4 -> x = 0,1,1,2
     // n=4 sx=4 sy=6 sxy=(0*3+1*2+1*1+2*0)=3 sxx=6
