@@ -4031,6 +4031,93 @@ object OracleExt {
       ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
     GROUP BY ex.query_id ORDER BY ex.query_id"""
 
+  /** Twin of Similarity.mrlRecall — the annRecall tail with the
+    * approximate side rebuilt over the `dims`-prefix slice (prefix
+    * norm recomputed, same sequential-fold dot). */
+  def mrlRecall(nQueries: Int, k: Int, dims: Int): String = s"""
+    WITH $normCte,
+    t AS (SELECT vec_id, v[1:$dims] AS v,
+                 list_dot_product(v[1:$dims], v[1:$dims]) AS norm2
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings)),
+    ex AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k),
+    ap AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM t q JOIN t c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k)
+    SELECT ex.query_id, count(*) AS n_true,
+           CAST(sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_hit,
+           CAST((100 * sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1
+                           END)) // $k AS BIGINT) AS recall_pct
+    FROM ex LEFT JOIN ap
+      ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
+    GROUP BY ex.query_id ORDER BY ex.query_id"""
+
+  /** Twin of Curation.kmvOverlap — identical bottom-k sketches off the
+    * portable md5 lane, the same integer estimate lanes. */
+  def kmvOverlap(k: Int): String = s"""
+    WITH st AS (SELECT DISTINCT source, unnest($toks) AS term
+                FROM documents),
+    hh AS (SELECT DISTINCT source,
+                  ${graft.functions.PortableHash
+                    .sqlHash32("'kmv:' || term")} AS h
+           FROM st),
+    sk AS (SELECT source, h FROM (
+             SELECT source, h, row_number() OVER (PARTITION BY source
+               ORDER BY h) AS rn FROM hh)
+           WHERE rn <= $k),
+    est AS (SELECT source,
+                   CASE WHEN cnt < $k THEN cnt
+                        ELSE (($k - 1) * 4294967296) // greatest(hk, 1)
+                   END AS est
+            FROM (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(max(h) AS BIGINT) AS hk
+                  FROM sk GROUP BY 1)),
+    prs AS (SELECT a.source AS src_a, b.source AS src_b
+            FROM (SELECT DISTINCT source FROM sk) a,
+                 (SELECT DISTINCT source FROM sk) b
+            WHERE a.source < b.source),
+    mg AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+           FROM prs p JOIN sk s
+             ON s.source = p.src_a OR s.source = p.src_b),
+    topu AS (SELECT src_a, src_b, h FROM (
+               SELECT src_a, src_b, h, row_number() OVER (
+                 PARTITION BY src_a, src_b ORDER BY h) AS rn FROM mg)
+             WHERE rn <= $k),
+    agg AS (SELECT t.src_a, t.src_b,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(max(t.h) AS BIGINT) AS hk,
+                   CAST(sum(CASE WHEN a.h IS NOT NULL
+                                  AND b.h IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c_both
+            FROM topu t
+            LEFT JOIN sk a ON a.source = t.src_a AND a.h = t.h
+            LEFT JOIN sk b ON b.source = t.src_b AND b.h = t.h
+            GROUP BY 1, 2),
+    au AS (SELECT src_a, src_b, cnt, c_both,
+                  CASE WHEN cnt < $k THEN cnt
+                       ELSE (($k - 1) * 4294967296) // greatest(hk, 1)
+                  END AS est_union
+           FROM agg)
+    SELECT g.src_a, g.src_b, ea.est AS est_a, eb.est AS est_b,
+           g.est_union,
+           (g.c_both * g.est_union) // g.cnt AS est_inter,
+           (1000000 * g.c_both) // g.cnt AS jaccard_ppm
+    FROM au g
+    JOIN est ea ON ea.source = g.src_a
+    JOIN est eb ON eb.source = g.src_b
+    ORDER BY 1, 2"""
+
   /** Twin of Similarity.ndcgAtK — annRecall's CTEs kept rank-ful, the
     * SAME Scala-computed ppb discount literals ([[graft.operators
     * .Similarity.ndcgWeights]]) indexed by approx rank, integer DCG. */

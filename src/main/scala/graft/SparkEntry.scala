@@ -893,6 +893,10 @@ object SparkEntry {
     // Cross-source near-dup matrix: which source PAIRS share content
     "source_overlap" -> ((s, dir) =>
       graft.operators.Curation.sourceOverlap(docsPar(s, dir))),
+    // KMV / bottom-k vocabulary-cardinality sketches per source with
+    // pairwise union/intersection/Jaccard estimates (theta-sketch kin)
+    "kmv_overlap" -> ((s, dir) =>
+      graft.operators.Curation.kmvOverlap(docsPar(s, dir))),
     // Exact tie-corrected Spearman between the two quality laws:
     // Pearson on doubled average ranks, no global sort
     "spearman_quality" -> ((s, dir) =>
@@ -1138,6 +1142,10 @@ object SparkEntry {
     // Recall@k evaluator: exact top-k vs the LSH path, integer percent
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(embPar(s, dir)).orderBy("query_id")),
+    // Matryoshka truncation eval: recall@k of the 16-dim prefix
+    // ranking against the full 64-dim exact top-k
+    "mrl_recall" -> ((s, dir) =>
+      Similarity.mrlRecall(embPar(s, dir))),
     // NDCG@k: retrieval ORDER quality vs the exact ideal (recall's
     // blind spot), plan-time ppb log2 discounts, exact integer DCG
     "ndcg_at_k" -> ((s, dir) =>
@@ -1432,6 +1440,7 @@ object SparkEntry {
       graft.operators.Curation.gopherStopwords, 50, 100000),
     "source_dup_rates" -> OracleExt.sourceDupRates,
     "source_overlap" -> OracleExt.sourceOverlap,
+    "kmv_overlap" -> OracleExt.kmvOverlap(64),
     "spearman_quality" -> OracleExt.spearmanQuality(
       TextAnalysis.stopwords("en"), 3000),
     "dup_quality_gap" -> OracleExt.dupQualityGap(
@@ -1660,6 +1669,7 @@ object SparkEntry {
     "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
     "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),
+    "mrl_recall" -> OracleExt.mrlRecall(10, 5, 16),
     "ndcg_at_k" -> OracleExt.ndcgAtK(10, 5, Similarity.planes()),
     "rbo_overlap" -> OracleExt.rboOverlap(10, 5, 900L),
     "proj_recall" -> OracleExt.projRecall(10, 5, 16, 64),

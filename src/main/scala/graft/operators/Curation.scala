@@ -277,4 +277,78 @@ object Curation {
         expr("(1000000 * n_gopher_keep) div n_docs")
           .as("gopher_keep_ppm"))
   }
+
+  /** KMV (bottom-k / k-minimum-values, Bar-Yossef et al. 2002 — the
+    * theta-sketch family's simplest member) vocabulary-cardinality
+    * sketches per source, with pairwise union/intersection estimates:
+    * "how big is each crawl slice's vocabulary, and how much do two
+    * slices share" WITHOUT ever materializing a cross-source distinct
+    * union — the sketch is k rows per source, mergeable by
+    * construction, which is exactly why warehouses ship theta sketches
+    * for slice-overlap questions at scale.
+    *
+    * Determinism: the "uniform randomness" is the portable md5 lane
+    * (hash32 of 'kmv:'||term — reproducible in any engine, no RNG);
+    * every estimate is an integer truncating division of BIGINTs:
+    * n̂ = (k−1)·2³² div h_k (exact count when a sketch holds the whole
+    * set, i.e. cnt < k), Ĵ_ppm = 1e6·|both| div cnt over the union's
+    * bottom-k, n̂_∩ = |both|·n̂_∪ div cnt.
+    *
+    * Scale shape: one (source, term) distinct pass → per-source
+    * bottom-k via a WindowGroupLimit-pruned rank window (map-side
+    * top-k, k rows per source survive); everything pairwise runs on
+    * k·|sources| rows. */
+  def kmvOverlap(docs: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hh = docs.select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select(col("source"), graft.functions.PortableHash
+        .hash32(concat(lit("kmv:"), col("term"))).as("h"))
+      .distinct()
+    val sk = graft.Caches.track(hh
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+      .select("source", "h"))
+    val est = sk.groupBy("source")
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
+      .select(col("source"),
+        when(col("cnt") < k, col("cnt"))
+          .otherwise(expr(
+            s"(($k - 1) * 4294967296) div greatest(hk, 1)")).as("est"))
+    val pairs = sk.select(col("source").as("src_a")).distinct()
+      .crossJoin(sk.select(col("source").as("src_b")).distinct())
+      .filter(col("src_a") < col("src_b"))
+    val ua = sk.select(col("source").as("src_a"), col("h"))
+    val ub = sk.select(col("source").as("src_b"), col("h"))
+    val merged = pairs.join(ua, "src_a")
+      .select(col("src_a"), col("src_b"), col("h"))
+      .union(pairs.join(ub, "src_b")
+        .select(col("src_a"), col("src_b"), col("h")))
+      .distinct()
+    val topu = merged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .filter(col("rn") <= k)
+    topu
+      .join(ua.withColumn("ina", lit(1L)), Seq("src_a", "h"), "left")
+      .join(ub.withColumn("inb", lit(1L)), Seq("src_b", "h"), "left")
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"),
+        sum(when(col("ina") === 1L && col("inb") === 1L, 1L)
+          .otherwise(0L)).as("c_both"))
+      .withColumn("est_union",
+        when(col("cnt") < k, col("cnt"))
+          .otherwise(expr(
+            s"(($k - 1) * 4294967296) div greatest(hk, 1)")))
+      .join(broadcast(est.select(col("source").as("src_a"),
+        col("est").as("est_a"))), "src_a")
+      .join(broadcast(est.select(col("source").as("src_b"),
+        col("est").as("est_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        expr("(c_both * est_union) div cnt").as("est_inter"),
+        expr("(1000000 * c_both) div cnt").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
 }

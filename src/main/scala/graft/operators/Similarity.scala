@@ -344,6 +344,46 @@ object Similarity {
         expr(s"(100 * n_hit) div $k").as("recall_pct"))
   }
 
+  /** Matryoshka truncation evaluator (Kusupati et al. 2022, MRL): the
+    * recall@k of brute-force cosine over only the FIRST `dims`
+    * coordinates against the full-dimension exact top-k — the
+    * measurement that decides whether stored vectors can be cut to a
+    * prefix (the MRL deployment move: 4× less memory and bandwidth if
+    * the prefix ranking holds). Pure composition of the [[topkCosine]]
+    * discipline at both widths: the truncated side is a `slice` +
+    * recomputed prefix norm (the norm must be OF the prefix, not the
+    * full vector, for the quotient to be the prefix cosine), broadcast
+    * query set, WindowGroupLimit-pruned rank windows, integer hit
+    * counting. Sampled-evaluator class at 100 TB, like [[annRecall]]. */
+  def mrlRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                dims: Int = 16): DataFrame = {
+    val exact = topkCosine(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"))
+    val t = emb.select(col("vec_id"),
+        expr(s"slice(CAST(embedding AS array<double>), 1, $dims)").as("v"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+    val q = t.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"))
+    val c = t.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"))
+    val sim = cosine(col("qv"), col("qn"), col("cv"), col("cn"))
+    val approx = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        expr(s"(100 * n_hit) div $k").as("recall_pct"))
+      .orderBy("query_id")
+  }
+
   /** Position discounts for [[ndcgAtK]], ppb fixed-point: the i-th
     * entry is floor(1e9 / log2(i+1)). Computed ONCE in Scala and
     * embedded as literals in BOTH engines' plans, so neither engine

@@ -84,4 +84,43 @@ class CurationDashSpec extends SparkTestBase {
     assert(r.head._3 >= 2L)
     Caches.releaseAll()
   }
+
+  test("kmvOverlap: sketches holding the whole set are exact") {
+    // k >= vocab → every estimate is the true cardinality: |A|=3,
+    // |B|=3, |A∪B|=4, |A∩B|=2, J = 500000 ppm
+    val d = docs((1L, "s1", "a b c"), (2L, "s2", "b c d"))
+    val r = Curation.kmvOverlap(d, k = 64)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(r == Seq(("s1", "s2", 3L, 3L, 4L, 2L, 500000L)))
+    Caches.releaseAll()
+  }
+
+  test("kmvOverlap: truncated sketches match a hand-run md5 reference") {
+    // k=2 < vocab: replicate the estimator in plain Scala off the
+    // same md5 lane and demand bit-equality
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kmv:$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val k = 2
+    val a = Seq("a", "b", "c", "e").map(h32).sorted.take(k)
+    val b = Seq("b", "c", "d", "f").map(h32).sorted.take(k)
+    def est(sk: Seq[Long], full: Boolean) =
+      if (!full) sk.size.toLong
+      else ((k - 1).toLong * 4294967296L) / math.max(sk.last, 1L)
+    val union = (a ++ b).distinct.sorted.take(k)
+    val cBoth = union.count(h => a.contains(h) && b.contains(h)).toLong
+    val eu = est(union, full = union.size == k)
+    val expect = (("s1", "s2", est(a, a.size == k), est(b, b.size == k),
+      eu, cBoth * eu / union.size, 1000000L * cBoth / union.size))
+    val d2 = docs((1L, "s1", "a b c e"), (2L, "s2", "b c d f"))
+    val r = Curation.kmvOverlap(d2, k = k)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(r == Seq(expect), s"got $r expected $expect")
+    Caches.releaseAll()
+  }
 }

@@ -297,4 +297,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(Seq(10L, 11L, 12L).map(got.getOrElse(_, 0L)).sum >
       Seq(20L, 21L).map(got.getOrElse(_, 0L)).sum)
   }
+
+  test("mrlRecall: a prefix-degenerate corpus loses exactly one of two") {
+    // dims=1 collapses direction to sign: c1/c2/c4 all tie at prefix
+    // cosine 1 and the tie-break keeps {1, 2}; the exact top-2 is
+    // {2, 4} — recall 1/2
+    val e = emb(
+      (0L, vec(1f, 0f), 0),
+      (1L, vec(1f, 10f), 0),     // prefix-identical, full cos ~0.0995
+      (2L, vec(1f, 0f), 0),      // full cos 1
+      (3L, vec(-1f, 0.1f), 0),   // negative both ways
+      (4L, vec(0.5f, 0.05f), 0)) // full cos ~0.995
+    val r = Similarity.mrlRecall(e, nQueries = 1, k = 2, dims = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 2L, 1L, 50L)))
+  }
+
+  test("mrlRecall: a prefix-faithful corpus keeps recall at 100") {
+    // all signal lives in the first coordinate, so the 1-dim prefix
+    // ranking equals the full ranking
+    val e = emb(
+      (0L, vec(1f, 0f), 0),
+      (1L, vec(2f, 0f), 0),
+      (2L, vec(1f, 0f), 0),
+      (3L, vec(-3f, 0f), 0))
+    val r = Similarity.mrlRecall(e, nQueries = 1, k = 2, dims = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 2L, 2L, 100L)))
+  }
 }
