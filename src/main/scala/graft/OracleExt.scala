@@ -1681,6 +1681,33 @@ object OracleExt {
     FROM tf JOIN bits USING (term)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Twin of TextAnalysis.surprisalMix — the unigramSurprisal CTEs
+    * re-aggregated to the source × band matrix with per-source ppm
+    * shares. */
+  def surprisalMix(bandMilli: Long): String = s"""
+    WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT sum(c) AS t FROM vocab),
+    bits AS (SELECT term, CAST(length(bin(t // c)) - 1 AS BIGINT) AS b
+             FROM vocab, tot),
+    s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST((sum(tf * b) * 1000) // sum(tf) AS BIGINT)
+                   AS surprisal_milli
+          FROM tf JOIN bits USING (term)
+          GROUP BY doc_id),
+    cells AS (SELECT d.source, s.surprisal_milli // $bandMilli AS band,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
+              FROM s JOIN documents d USING (doc_id)
+              GROUP BY 1, 2),
+    st AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS t
+           FROM cells GROUP BY 1)
+    SELECT c.source, c.band, c.n_docs, c.n_tokens,
+           (1000000 * c.n_docs) // st.t AS share_ppm
+    FROM cells c JOIN st USING (source)
+    ORDER BY c.source, c.band"""
+
   /** Twin of TextAnalysis.bigramSurprisal — bigram instances from an
     * indexed list lambda (1-based i indexes the PREVIOUS token of the
     * [2:]-sliced stream); prefix totals derived from the bigram vocab;
@@ -2196,6 +2223,63 @@ object OracleExt {
            regexp_extract(f.url, '${p("fragment")}', 1) AS fragment,
            regexp_extract(f.host, '${p("regdomain")}', 1) AS reg_domain
     FROM f ORDER BY f.doc_id"""
+  }
+
+  /** Twin of UrlOps.urlDedup — identical dirty-URL injection CASE
+    * chain, canonicalization with the SAME pattern text, canonical-key
+    * aggregate. */
+  val urlDedup: String = {
+    val p = graft.operators.UrlOps.sqlPatterns
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+             'https://'
+             || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+             || source || '.example'
+             || (CASE WHEN (doc_id // 2) % 2 = 0 THEN '.com'
+                      ELSE '.org' END)
+             || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+             || '/p/' || CAST(doc_id // 2 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=feed&q=' || lang
+                      ELSE '?q=' || lang || '&utm_campaign=x' END)
+             || (CASE WHEN doc_id % 9 = 0 THEN '#s1' ELSE '' END) AS url
+      FROM documents),
+    h AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '${p("scheme")}', 1)) AS scheme,
+             lower(regexp_extract(url, '${p("hostport")}', 1))
+               AS hostport,
+             regexp_extract(url, '${p("path")}', 1) AS path,
+             regexp_extract(url, '${p("query")}', 1) AS q
+      FROM d),
+    f AS (
+      SELECT doc_id, scheme,
+             regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''),
+                            '^www\\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$$', 1) AS portstr,
+             path, q
+      FROM h),
+    c AS (
+      SELECT doc_id,
+             scheme || '://' || host
+             || (CASE WHEN portstr = '' THEN ''
+                      WHEN scheme = 'https' AND portstr = '443' THEN ''
+                      WHEN scheme = 'http' AND portstr = '80' THEN ''
+                      ELSE ':' || portstr END)
+             || path
+             || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
+               AS canon_url
+      FROM (SELECT f.*,
+              array_to_string(list_sort(list_filter(
+                string_split(q, '&'),
+                pp -> NOT (regexp_matches(pp, '^utm_')
+                           OR regexp_matches(pp, '^(fbclid|gclid|ref)=')
+                           OR pp = ''))), '&') AS kept
+            FROM f))
+    SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM c GROUP BY 1 ORDER BY 1"""
   }
 
   /** Twin of Assoc.assocRules — identical basket/support/pair math,

@@ -399,6 +399,10 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(docsPar(s, dir), 4000, 4179)
         .orderBy("doc_id")),
     // Bigram-LM conditional surprisal (word-salad detector)
+    // Source x surprisal-band mixture matrix (the CCNet head/middle/
+    // tail report): which slices a perplexity filter would cut
+    "surprisal_mix" -> ((s, dir) =>
+      TextAnalysis.surprisalMix(docsPar(s, dir))),
     "bigram_surprisal" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(docsPar(s, dir)).orderBy("doc_id")),
     // PMI phrase miner: top collocations by integer likelihood lift
@@ -950,6 +954,10 @@ object SparkEntry {
         .select(col("doc_id"), col("n_pii"), col("redacted"))
         .orderBy("doc_id")),
     // URL field extraction with public-suffix-aware registrable domain
+    // Canonical-URL dedup: normalize scheme/host/port/params, group
+    // by canonical form — the crawl-side "same page, many URLs" pass
+    "url_dedup" -> ((s, dir) =>
+      graft.operators.UrlOps.urlDedup(docsPar(s, dir))),
     "url_parse" -> ((s, dir) =>
       graft.operators.UrlOps.urlParse(
           graft.operators.UrlOps.withInjectedUrls(docsPar(s, dir)),
@@ -1460,6 +1468,7 @@ object SparkEntry {
     "text_normalize" -> OracleExt.normalizeText,
     "assoc_rules" -> OracleExt.assocRules(1L),
     "url_parse" -> OracleExt.urlParse,
+    "url_dedup" -> OracleExt.urlDedup,
     "jsonl_roundtrip" -> """
       SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
              value, props
@@ -1524,6 +1533,7 @@ object SparkEntry {
     "heavy_hitters" -> OracleExt.heavyHitters(10),
     "unigram_surprisal" -> OracleExt.unigramSurprisal(4000, 4179),
     "bigram_surprisal" -> OracleExt.bigramSurprisal,
+    "surprisal_mix" -> OracleExt.surprisalMix(2000L),
     "pmi_phrases" -> OracleExt.pmiPhrases(5L, 50),
     "kn_bigram" -> OracleExt.knBigram(5L, 50),
     "term_chi2" -> OracleExt.termChi2(20, 5L),

@@ -666,6 +666,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Source × surprisal-band mixture matrix — the CCNet "head/middle/
+    * tail" report generalized: every doc's unigram surprisal
+    * ([[unigramSurprisal]], already whole-bit exact) bucketed into
+    * fixed milli-bit bands, crossed with its source, with doc and
+    * token counts and the band's share of the source in ppm. This is
+    * the table a mixture designer reads to see WHICH slices a
+    * perplexity filter would cut, per source, before committing.
+    *
+    * Composition-only cost: the surprisal frame folds off the staged
+    * posting base; one doc-keyed join to the source map; the matrix
+    * aggregate is |sources|·|bands|-bounded with per-source totals
+    * broadcast back. */
+  def surprisalMix(docs: DataFrame, bandMilli: Long = 2000L)
+      : DataFrame = {
+    val s = unigramSurprisal(docs)
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_milli"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val cells = s.groupBy(col("source"),
+        expr(s"surprisal_milli div $bandMilli").as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val totals = cells.groupBy("source").agg(sum(col("n_docs")).as("t"))
+    cells.join(broadcast(totals), "source")
+      .select(col("source"), col("band"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_docs) div t").as("share_ppm"))
+      .orderBy("source", "band")
+  }
+
   /** Bigram instances of a staged token array (`__toks`), WITH
     * multiplicity — [[graft.operators.Dedup.shingles]] is set-semantic,
     * which is right for LSH but wrong for language-model counts. Docs

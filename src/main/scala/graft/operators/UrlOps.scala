@@ -75,4 +75,64 @@ object UrlOps {
     "scheme" -> schemeRe, "hostport" -> hostportRe, "path" -> pathRe,
     "query" -> queryRe, "fragment" -> fragmentRe,
     "regdomain" -> regDomainRe)
+
+  /** Dirty-URL injector for the canonicalization gate: doc PAIRS
+    * (doc_id div 2) point at the same page, each with independent
+    * cosmetic noise — www prefix, explicit default :443 port,
+    * utm_* tracking params in shuffled positions, fragments — so the
+    * raw URLs differ while the canonical forms collide exactly when
+    * the page and surviving params agree. */
+  def withInjectedDirtyUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 5 === 0, "www.").otherwise(""),
+      col("source"), lit(".example"),
+      when(expr("(doc_id div 2) % 2") === 0, ".com").otherwise(".org"),
+      when(col("doc_id") % 11 === 0, ":443").otherwise(""),
+      lit("/p/"), expr("CAST(doc_id div 2 AS STRING)"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&q="), col("lang")))
+        .otherwise(concat(lit("?q="), col("lang"),
+          lit("&utm_campaign=x"))),
+      when(col("doc_id") % 9 === 0, "#s1").otherwise("")))
+
+  /** Canonical URL — the normalization pass a crawl dedup runs before
+    * any content hash (the "same page, different URL string" class
+    * that URL-keyed dedup misses entirely): lowercase scheme+host,
+    * strip a leading www., drop the scheme's default port (:443 on
+    * https, :80 on http), drop the fragment, drop tracking params
+    * (utm_*, fbclid, gclid, ref), and SORT the surviving params so
+    * param order stops mattering. All RE2-portable regex + array
+    * column math (split → filter → array_sort → array_join — DuckDB:
+    * string_split → list_filter → list_sort → array_to_string), so
+    * the twin is the same expression text. Map-only at any scale. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, schemeRe, 1))
+    val hostport = lower(regexp_extract(url, hostportRe, 1))
+    val portStr = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val host = regexp_replace(
+      regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val port = when(portStr === "", lit(""))
+      .when(scheme === "https" && portStr === "443", lit(""))
+      .when(scheme === "http" && portStr === "80", lit(""))
+      .otherwise(concat(lit(":"), portStr))
+    val kept = array_join(array_sort(filter(
+      split(regexp_extract(url, queryRe, 1), "&"),
+      p => !(p.rlike("^utm_") || p.rlike("^(fbclid|gclid|ref)=") ||
+        p === lit("")))), "&")
+    concat(scheme, lit("://"), host, port,
+      regexp_extract(url, pathRe, 1),
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Canonical-URL dedup keeplist: group the injected dirty URLs by
+    * canonical form — n_docs per canonical page and the lowest doc_id
+    * as keeper (the cluster_keeplist policy). One map-only
+    * canonicalization + one canonical-key aggregate. */
+  def urlDedup(docs: DataFrame): DataFrame =
+    withInjectedDirtyUrls(docs)
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canon_url"))
+      .groupBy("canon_url").agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keep_doc"))
+      .orderBy("canon_url")
 }

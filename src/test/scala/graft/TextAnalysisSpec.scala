@@ -324,6 +324,19 @@ class TextAnalysisSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("surprisalMix: rare-token docs land in higher bands, exact shares") {
+    // vocab x:4 y:1, T=5 → bits(x)=0, bits(y)=2; doc1 surprisal 0
+    // (band 0), doc2 surprisal 2000 milli (band 1); each source has
+    // one doc → share 1e6
+    val d = Seq((1L, "x x x x", "A"), (2L, "y", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.surprisalMix(d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("A", 0L, 1L, 4L, 1000000L),
+      ("B", 1L, 1L, 1L, 1000000L)))
+    Caches.releaseAll()
+  }
+
   test("knBigram: interpolated KN matches hand-computed ppm lanes") {
     // corpus bigrams: "a b"×2, "b a"×2, "a c", "d b"; B = 4 distinct.
     // "b a": disc = (1e6·5) div 8 = 625000, λ_b = 750000·1 div 2,

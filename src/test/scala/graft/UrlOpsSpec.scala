@@ -46,4 +46,39 @@ class UrlOpsSpec extends SparkTestBase {
     assert(parsed._3 == "http" && parsed._5 == Some(8080L) &&
       parsed._9 == "example.com" && parsed._8 == "s1")
   }
+
+  test("canonicalUrl: strips noise, keeps signal, sorts params") {
+    def canon(u: String): String =
+      Seq((1L, u)).toDF("doc_id", "url")
+        .select(UrlOps.canonicalUrl(col("url"))).as[String].head()
+    // www + default port + tracking + fragment all vanish; params sort
+    assert(canon("https://www.Site.example:443/p/1?utm_source=a&q=en#f")
+      == "https://site.example/p/1?q=en")
+    assert(canon("https://site.example/p/1?b=2&a=1")
+      == "https://site.example/p/1?a=1&b=2")
+    // non-default port and non-tracking params survive
+    assert(canon("http://site.example:8080/x?ref=spam&keep=1")
+      == "http://site.example:8080/x?keep=1")
+    // http default port 80 drops; all-tracking query drops the '?'
+    assert(canon("http://site.example:80/x?utm_campaign=z&fbclid=abc")
+      == "http://site.example/x")
+  }
+
+  test("urlDedup: cosmetic variants of one page collapse to one key") {
+    // docs 2 and 3 share page p/1 (same source+lang): raw URLs differ
+    // in www/tracking-position, canonical forms collide -> n_docs 2,
+    // keeper 2. Docs 0/1 share p/0 but differ in lang -> q param
+    // differs, two singleton groups.
+    val d = Seq(
+      (0L, "t", "en", "s0"), (1L, "t", "fr", "s0"),
+      (2L, "t", "en", "s0"), (3L, "t", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = UrlOps.urlDedup(d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r.map(x => (x._2, x._3)).sortBy(_._2) ==
+      Seq((1L, 0L), (1L, 1L), (2L, 2L)),
+      s"expected two singletons and one pair, got $r")
+    assert(r.find(_._2 == 2L).get._1 ==
+      "https://s0.example.org/p/1?q=en")
+  }
 }
