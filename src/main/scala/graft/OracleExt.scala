@@ -1681,6 +1681,29 @@ object OracleExt {
     FROM tf JOIN bits USING (term)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Twin of TextAnalysis.repeatDepth — the same doubling ladder as
+    * per-row list expressions (distinct L-gram count vs L-gram count,
+    * short-doc guard first). */
+  val repeatDepth: String = {
+    val terms = Seq(1, 2, 4, 8, 16, 32).map { l =>
+      s"""CASE WHEN len(toks) - ${l - 1} >= 2
+               AND len(list_distinct(list_transform(
+                     range(0, len(toks) - ${l - 1}),
+                     i -> array_to_string(toks[i+1:i+$l], ' '))))
+                   < len(toks) - ${l - 1}
+          THEN $l ELSE 0 END"""
+    }.mkString(", ")
+    s"""
+    WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    m AS (SELECT doc_id, CAST(greatest($terms) AS BIGINT) AS max_rep
+          FROM t),
+    c AS (SELECT max_rep, CAST(count(*) AS BIGINT) AS n_docs
+          FROM m GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT max_rep, n_docs, (1000000 * n_docs) // tot.n AS share_ppm
+    FROM c, tot ORDER BY max_rep"""
+  }
+
   /** Twin of TextAnalysis.surprisalMix — the unigramSurprisal CTEs
     * re-aggregated to the source × band matrix with per-source ppm
     * shares. */
@@ -4114,6 +4137,39 @@ object OracleExt {
     FROM ex LEFT JOIN ap
       ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
     GROUP BY ex.query_id ORDER BY ex.query_id"""
+
+  /** Twin of Similarity.mrrEval — exact top-1 truth, rank-ful
+    * MULTI-PROBE LSH list, rr_ppm = 1e6 // rank with a 0 miss. */
+  def mrrEval(nQueries: Int, k: Int, ps: Seq[Seq[Long]]): String = {
+    val masks = (0L +: ps.indices.map(i => 1L << i))
+      .mkString("[", ", ", "]")
+    s"""
+    WITH $normCte,
+    nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n),
+    qp AS (SELECT vec_id, v, norm2,
+                  xor(bucket, CAST(m AS BIGINT)) AS bucket
+           FROM nb CROSS JOIN (SELECT unnest($masks) AS m)
+           WHERE vec_id < $nQueries),
+    ex AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= 1),
+    ap AS (SELECT query_id, cand_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM qp q JOIN nb c
+          ON q.bucket = c.bucket AND c.vec_id != q.vec_id)
+      WHERE rank <= $k)
+    SELECT ex.query_id,
+           coalesce(1000000 // ap.rank, CAST(0 AS BIGINT)) AS rr_ppm
+    FROM ex LEFT JOIN ap
+      ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
+    ORDER BY ex.query_id"""
+  }
 
   /** Twin of Similarity.mrlRecall — the annRecall tail with the
     * approximate side rebuilt over the `dims`-prefix slice (prefix

@@ -403,6 +403,10 @@ object SparkEntry {
     // tail report): which slices a perplexity filter would cut
     "surprisal_mix" -> ((s, dir) =>
       TextAnalysis.surprisalMix(docsPar(s, dir))),
+    // Longest-repeated-run doubling probe: largest L in {1..32} with
+    // a within-doc repeated L-gram, histogrammed over the corpus
+    "repeat_depth" -> ((s, dir) =>
+      TextAnalysis.repeatDepth(docsPar(s, dir))),
     "bigram_surprisal" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(docsPar(s, dir)).orderBy("doc_id")),
     // PMI phrase miner: top collocations by integer likelihood lift
@@ -1154,6 +1158,9 @@ object SparkEntry {
     // ranking against the full 64-dim exact top-k
     "mrl_recall" -> ((s, dir) =>
       Similarity.mrlRecall(embPar(s, dir))),
+    // MRR: where the single true nearest landed in the LSH list
+    "mrr_eval" -> ((s, dir) =>
+      Similarity.mrrEval(embPar(s, dir))),
     // NDCG@k: retrieval ORDER quality vs the exact ideal (recall's
     // blind spot), plan-time ppb log2 discounts, exact integer DCG
     "ndcg_at_k" -> ((s, dir) =>
@@ -1534,6 +1541,7 @@ object SparkEntry {
     "unigram_surprisal" -> OracleExt.unigramSurprisal(4000, 4179),
     "bigram_surprisal" -> OracleExt.bigramSurprisal,
     "surprisal_mix" -> OracleExt.surprisalMix(2000L),
+    "repeat_depth" -> OracleExt.repeatDepth,
     "pmi_phrases" -> OracleExt.pmiPhrases(5L, 50),
     "kn_bigram" -> OracleExt.knBigram(5L, 50),
     "term_chi2" -> OracleExt.termChi2(20, 5L),
@@ -1680,6 +1688,7 @@ object SparkEntry {
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
     "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),
     "mrl_recall" -> OracleExt.mrlRecall(10, 5, 16),
+    "mrr_eval" -> OracleExt.mrrEval(10, 5, Similarity.planes()),
     "ndcg_at_k" -> OracleExt.ndcgAtK(10, 5, Similarity.planes()),
     "rbo_overlap" -> OracleExt.rboOverlap(10, 5, 900L),
     "proj_recall" -> OracleExt.projRecall(10, 5, 16, 64),

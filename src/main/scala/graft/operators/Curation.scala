@@ -300,8 +300,11 @@ object Curation {
     * k·|sources| rows. */
   def kmvOverlap(docs: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hh = docs.select(col("source"),
-        explode(TextAnalysis.tokens(col("text"))).as("term"))
+    // fold off the staged posting base (doc, term, tf) instead of a
+    // fresh tokenize pass — the (source, term) distinct only needs
+    // presence, which the posting rows already are
+    val hh = TextAnalysis.stagedDocTermTf(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), graft.functions.PortableHash
         .hash32(concat(lit("kmv:"), col("term"))).as("h"))
       .distinct()

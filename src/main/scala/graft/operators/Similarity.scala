@@ -344,6 +344,30 @@ object Similarity {
         expr(s"(100 * n_hit) div $k").as("recall_pct"))
   }
 
+  /** Mean-reciprocal-rank evaluator — the retrieval-eval family's
+    * fourth lens beside [[annRecall]] (set overlap), [[ndcgAtK]]
+    * (graded order) and [[rboOverlap]] (list agreement): per query,
+    * WHERE in the LSH list the single true nearest neighbor landed,
+    * as rr_ppm = 1e6 div rank (0 when the index missed it entirely) —
+    * the metric that matches "the user clicks the first result"
+    * retrieval, where recall@k treats rank 1 and rank k the same.
+    * Evaluates the MULTI-PROBE list (the production recall dial —
+    * single-probe strands the true top-1 in a neighboring bucket
+    * often enough to zero the metric on hyperplane LSH). Exact
+    * integer lanes; composition of the two k-bounded rank paths;
+    * sampled-evaluator class at scale. */
+  def mrrEval(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+              ps: Seq[Seq[Long]] = planes()): DataFrame = {
+    val truth = topkCosine(emb, nQueries, 1)
+      .select(col("query_id"), col("cand_id"))
+    val approx = lshTopKMultiProbe(emb, nQueries, k, ps)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    truth.join(approx, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"),
+        coalesce(expr("1000000 div rank"), lit(0L)).as("rr_ppm"))
+      .orderBy("query_id")
+  }
+
   /** Matryoshka truncation evaluator (Kusupati et al. 2022, MRL): the
     * recall@k of brute-force cosine over only the FIRST `dims`
     * coordinates against the full-dimension exact top-k — the

@@ -500,6 +500,40 @@ object TextAnalysis {
       .withColumn("flagged", col("dup_milli") >= flagMilli)
   }
 
+  /** Longest-repeated-run probe ladder — [[repeatedNgrams]] asks "how
+    * much duplication at n = 3"; this asks "how LONG is the longest
+    * within-doc verbatim repeat", the degenerate-generation /
+    * boilerplate-loop signal (Holtzman-style repetition collapses and
+    * templated pages repeat long spans; natural prose repeats words,
+    * not paragraphs). Exact longest-repeat needs a suffix structure;
+    * the scalable standard is a DOUBLING probe — L ∈ {1,2,4,8,16,32} —
+    * reporting the largest probed L at which some L-gram occurs twice
+    * (a power-of-two lower bound of the true maximum, the documented
+    * contract).
+    *
+    * Entirely map-only per doc: a repeat at width L exists iff the
+    * distinct L-shingle count (the codegen'd WordShinglesExpr set)
+    * is < the L-gram count — six per-row array expressions, ZERO
+    * shuffle before the |ladder|-bounded histogram aggregate. Docs
+    * with fewer than two L-grams cannot repeat at L (guard excludes
+    * the whole-text shingle fallback identically in both engines). */
+  def repeatDepth(docs: DataFrame): DataFrame = {
+    val nToks = size(tokens(col("text"))).cast("long")
+    val ladder = Seq(1, 2, 4, 8, 16, 32)
+    val maxRep = greatest(ladder.map { l =>
+      when(nToks - (l - 1) >= 2 &&
+        size(Dedup.shingles(col("text"), l)).cast("long") <
+          nToks - (l - 1),
+        lit(l.toLong)).otherwise(lit(0L))
+    }: _*)
+    docs.select(col("doc_id"), maxRep.as("max_rep"))
+      .groupBy("max_rep").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(col("max_rep"), col("n_docs"),
+        expr("(1000000 * n_docs) div n").as("share_ppm"))
+      .orderBy("max_rep")
+  }
+
   /** Heavy hitters with a Count-Min sketch cross-check — the
     * bounded-memory frequency sketch beside the library's HLL
     * (approx_distinct) and t-digest (approx_percentiles): the CMS is

@@ -298,6 +298,25 @@ class SimilaritySpec extends SparkTestBase {
       Seq(20L, 21L).map(got.getOrElse(_, 0L)).sum)
   }
 
+  test("mrrEval equals RR recomputed from the two rank lists") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val truth = Similarity.topkCosine(e, nQueries = 10, k = 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopKMultiProbe(e, nQueries = 10, k = 5)
+      .select("query_id", "rank", "cand_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._3 -> r._2.toLong).toMap).toMap
+    val expected = truth.map { case (q, t) =>
+      (q, lsh.getOrElse(q, Map.empty).get(t)
+        .map(1000000L / _).getOrElse(0L))
+    }.toSet
+    val got = Similarity.mrrEval(e, nQueries = 10, k = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected, s"rr must match recomputation: $got")
+    assert(got.exists(_._2 > 0L), "MRR collapsed to zero")
+  }
+
   test("mrlRecall: a prefix-degenerate corpus loses exactly one of two") {
     // dims=1 collapses direction to sign: c1/c2/c4 all tie at prefix
     // cosine 1 and the tie-break keeps {1, 2}; the exact top-2 is

@@ -337,6 +337,21 @@ class TextAnalysisSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("repeatDepth: the doubling ladder finds the longest probed run") {
+    // doc1 "a b a b a": repeats at L=1,2 but its two 4-grams are
+    // distinct → max 2; doc2 all-distinct → 0; doc3 repeats the
+    // 4-token phrase three times → 8-grams repeat (max 8), 16 cannot
+    // (too short)
+    val d = docs(
+      (1L, "a b a b a"),
+      (2L, "x y z"),
+      (3L, "p q r s p q r s p q r s"))
+    val r = TextAnalysis.repeatDepth(d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 1L, 333333L), (2L, 1L, 333333L),
+      (8L, 1L, 333333L)))
+  }
+
   test("knBigram: interpolated KN matches hand-computed ppm lanes") {
     // corpus bigrams: "a b"×2, "b a"×2, "a c", "d b"; B = 4 distinct.
     // "b a": disc = (1e6·5) div 8 = 625000, λ_b = 750000·1 div 2,
