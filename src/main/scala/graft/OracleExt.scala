@@ -5649,6 +5649,31 @@ object OracleExt {
     lv AS ($unionLv)"""
   }
 
+  /** Twin of Graph.eccentricity — per-source max level + reach count
+    * off the shared BFS unroll. */
+  def eccentricity(nSources: Int, maxDepth: Int, maxCellUsers: Int,
+                   minShared: Int): String = s"""
+    WITH ${bfsLevelCtes(nSources, maxDepth, maxCellUsers, minShared)}
+    SELECT s AS source_node, CAST(max(level) AS BIGINT) AS ecc_capped,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM lv GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Sampling.temperatureMix — ⌊√n⌋ weights (IEEE sqrt,
+    * correctly rounded both engines), ppm shares, HUGEINT boost. */
+  val temperatureMix: String = """
+    WITH w AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+                        AS BIGINT) AS w
+               FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+                   CAST(sum(w) AS BIGINT) AS tw FROM w)
+    SELECT source, n_docs,
+           (1000000 * n_docs) // tn AS natural_ppm,
+           (1000000 * w) // tw AS temp_ppm,
+           CAST((CAST(1000000 AS HUGEINT) * w * tn)
+                // (CAST(tw AS HUGEINT) * n_docs) AS BIGINT) AS boost_ppm
+    FROM w, tot ORDER BY source"""
+
   /** Twin of Graph.harmonicTopK — per-node Σ 1e6 // level over levels
     * ≥ 1 of the shared BFS unroll, top-k by (score desc, user_id). */
   def harmonicTopK(nSources: Int, maxDepth: Int, topK: Int,

@@ -764,6 +764,9 @@ object SparkEntry {
     // staged BFS levels: pairs within distance l + reach ppm
     "graph_reach" -> ((s, dir) =>
       graft.operators.Graph.graphReach(LogSource.readEvents(s, dir))),
+    // Per-source BFS eccentricity (capped) + reach off the same levels
+    "eccentricity" -> ((s, dir) =>
+      graft.operators.Graph.eccentricity(LogSource.readEvents(s, dir))),
     // Newman degree assortativity: hub-hub vs hub-leaf attachment,
     // exact DECIMAL(38,0) lanes, sign-explicit squared corr in ppm
     "degree_assort" -> ((s, dir) =>
@@ -947,6 +950,10 @@ object SparkEntry {
     "domain_cap" -> ((s, dir) =>
       Sampling.domainCap(docsPar(s, dir), cap = 10).orderBy("source", "rk")),
     // Target-share domain mixture (50/30/20) via BIGINT keep rates
+    // Temperature-scaled (alpha = 1/2) domain mixture: sqrt-count
+    // weights, natural vs temp shares, per-source boost factor
+    "temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(docsPar(s, dir))),
     "domain_mix" -> ((s, dir) =>
       Sampling.domainMix(docsPar(s, dir), domainMixTargets).orderBy("doc_id")),
     // Gopher-style intra-doc repeated-ngram quality signal
@@ -1434,6 +1441,7 @@ object SparkEntry {
     "funnel_levels" -> OracleExt.funnelLevels,
     "cohort_retention" -> OracleExt.cohortRetention,
     "time_decay_agg" -> OracleExt.timeDecayAgg,
+    "temperature_mix" -> OracleExt.temperatureMix,
     "domain_mix" -> OracleExt.domainMix(domainMixTargets),
     "bloom_semi_join" -> OracleExt.bloomSemiJoin,
     "zorder_layout" -> OracleExt.zorderLayout,
@@ -1707,6 +1715,7 @@ object SparkEntry {
     "betweenness_topk" -> OracleExt.betweennessTopK(8, 4, 20, 64, 2),
     "harmonic_topk" -> OracleExt.harmonicTopK(8, 4, 20, 64, 2),
     "graph_reach" -> OracleExt.graphReach(8, 4, 64, 2),
+    "eccentricity" -> OracleExt.eccentricity(8, 4, 64, 2),
     "k_truss" -> OracleExt.kTruss(3, 12, 64, 2),
     "degree_assort" -> OracleExt.degreeAssortativity(64, 2),
     "user_components" -> OracleExt.userComponents(64, 2),

@@ -319,8 +319,11 @@ object Curation {
         when(col("cnt") < k, col("cnt"))
           .otherwise(expr(
             s"(($k - 1) * 4294967296) div greatest(hk, 1)")).as("est"))
+    // |sources|-sized frames: broadcast the right side explicitly so
+    // the pair enumeration plans as BroadcastNestedLoopJoin, never a
+    // CartesianProduct (the PlansSpec contract)
     val pairs = sk.select(col("source").as("src_a")).distinct()
-      .crossJoin(sk.select(col("source").as("src_b")).distinct())
+      .crossJoin(broadcast(sk.select(col("source").as("src_b")).distinct()))
       .filter(col("src_a") < col("src_b"))
     val ua = sk.select(col("source").as("src_a"), col("h"))
     val ub = sk.select(col("source").as("src_b"), col("h"))

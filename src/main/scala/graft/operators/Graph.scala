@@ -811,6 +811,26 @@ object Graph {
       .orderBy(col("harmonic_micro").desc, col("user_id"))
       .limit(topK)
 
+  /** Sampled eccentricity — per sampled source, how deep its BFS
+    * actually ran (capped at maxDepth: the documented truncation, same
+    * contract as the whole distance family) and how many nodes it
+    * reached: the per-source complement of [[graphReach]]'s aggregate
+    * curve, and the standard radius/diameter lower-bound estimator
+    * (max over sampled eccentricities ≤ diameter). Pure read-back of
+    * the SHARED staged BFS-levels artifact — one |sources|-bounded
+    * aggregate, no new graph pass. */
+  def eccentricity(events: DataFrame, nSources: Int = 8,
+                   maxDepth: Int = 4, maxCellUsers: Int = 64,
+                   minShared: Int = 2): DataFrame =
+    eccFromLevels(
+      stagedBfsLevels(events, nSources, maxDepth, maxCellUsers, minShared))
+
+  private[graft] def eccFromLevels(lv: DataFrame): DataFrame =
+    lv.groupBy(col("s").as("source_node"))
+      .agg(max(col("level")).as("ecc_capped"),
+        count(lit(1)).as("n_reached"))
+      .orderBy("source_node")
+
   /** Neighborhood function / effective-diameter curve (the exact
     * sampled counterpart of HyperANF, Boldi-Rosa-Vigna 2011): per BFS
     * level, how many (source, node) pairs lie within distance l, as a

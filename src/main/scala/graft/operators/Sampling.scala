@@ -133,6 +133,32 @@ object Sampling {
     * hash join. Domains absent from `targetsPermille` are dropped
     * (target 0). All arithmetic is BIGINT div — no double ever decides
     * membership. */
+  /** Temperature-scaled domain mixture weights (the exponent-smoothed
+    * sampling of multilingual pretraining — Devlin et al.'s mBERT
+    * exponent and XLM-R's α: p_s ∝ n_s^α flattens head domains and
+    * boosts the tail): fixed α = 1/2, i.e. w_s = ⌊√n_s⌋, the one
+    * exponent with an engine-exact evaluation (IEEE sqrt is correctly
+    * rounded in both engines, floor is exact — no pow/log lanes).
+    * Emits natural vs temperature shares in ppm plus the per-source
+    * boost factor (temp/natural) in DECIMAL(38,0)/HUGEINT lanes —
+    * boost > 1e6 ⇒ the schedule upsamples that source. Where
+    * [[domainMix]] enforces CALLER-CHOSEN targets, this DERIVES the
+    * targets from corpus counts. One |sources|-bounded aggregate. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val w = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = w.agg(sum(col("n_docs")).as("tn"), sum(col("w")).as("tw"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(1000000 * n_docs) div tn").as("natural_ppm"),
+        expr("(1000000 * w) div tw").as("temp_ppm"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * w * tn)
+                     div (CAST(tw AS DECIMAL(38,0)) * n_docs)
+                  AS BIGINT)""").as("boost_ppm"))
+      .orderBy("source")
+  }
+
   def domainMix(docs: DataFrame, targetsPermille: Map[String, Int],
                 salt: String = "mix"): DataFrame = {
     val target = typedLit(targetsPermille)

@@ -229,6 +229,24 @@ class GraphSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("eccentricity: path-graph per-source depths, capped by maxDepth") {
+    // path 1-2-3-4-5 at full depth: endpoint eccentricity 4, center 2;
+    // at maxDepth 2 the endpoints CAP at 2 and reach only 3 nodes
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("ua", "ub")
+    val full = Graph.eccFromLevels(
+      Graph.bfsLevelsFromPairs(pairs, nSources = 5, maxDepth = 4))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(full == Seq((1L, 4L, 5L), (2L, 3L, 5L), (3L, 2L, 5L),
+      (4L, 3L, 5L), (5L, 4L, 5L)))
+    val capped = Graph.eccFromLevels(
+      Graph.bfsLevelsFromPairs(pairs, nSources = 5, maxDepth = 2))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(capped == Seq((1L, 2L, 3L), (2L, 2L, 4L), (3L, 2L, 5L),
+      (4L, 2L, 4L), (5L, 2L, 3L)))
+    Caches.releaseAll()
+  }
+
   test("graphReach: path graph cumulative pair counts and reach ppm") {
     // path 1-2-3-4-5, 5 sources: pairs at distance exactly l are
     // 5, 8, 6, 4, 2 (directed), cum 5/13/19/23/25 over a 25-pair

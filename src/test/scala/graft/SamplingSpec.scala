@@ -289,4 +289,17 @@ class SamplingSpec extends SparkTestBase {
     // totals conserve the corpus
     assert(r.map(_._3).sum == 12L + 26L + 6L)
   }
+
+  test("temperatureMix: sqrt weights flatten the head, boost the tail") {
+    import spark.implicits._
+    // A 9 docs, B 1: w = (3, 1), tn = 10, tw = 4 — natural 9:1
+    // flattens to 3:1; A's boost < 1e6 (downsampled), B's 2.5e6
+    val d = ((1L to 9L).map(i => (i, "t", "A")).toList :+
+      ((10L, "t", "B")))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Sampling.temperatureMix(d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("A", 9L, 900000L, 750000L, 833333L),
+      ("B", 1L, 100000L, 250000L, 2500000L)))
+  }
 }
