@@ -5658,6 +5658,27 @@ object OracleExt {
            CAST(count(*) AS BIGINT) AS n_reached
     FROM lv GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of Scrub.kAnonymity — the three lattice levels as explicit
+    * grouped subqueries (equivalent to the Spark cube+grouping_id pick
+    * on non-NULL quasi-identifiers, which the fixture's are). */
+  def kAnonymity(k: Long): String = s"""
+    WITH c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                GROUP BY lang, source),
+    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+           GROUP BY lang),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    cls AS (SELECT 0 AS level, n FROM c0
+            UNION ALL SELECT 1, n FROM c1
+            UNION ALL SELECT 2, n FROM c2)
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(n) AS BIGINT) AS min_class,
+           CAST(sum(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT)
+             AS risky_classes,
+           CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT)
+             AS risky_docs
+    FROM cls GROUP BY 1 ORDER BY 1"""
+
   /** Twin of Sampling.temperatureMix — ⌊√n⌋ weights (IEEE sqrt,
     * correctly rounded both engines), ppm shares, HUGEINT boost. */
   val temperatureMix: String = """

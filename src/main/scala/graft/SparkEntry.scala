@@ -960,6 +960,10 @@ object SparkEntry {
     "repeat_ngrams" -> ((s, dir) =>
       TextAnalysis.repeatedNgrams(docsPar(s, dir)).orderBy("doc_id")),
     // PII redaction (emails + phones) with audit count
+    // k-anonymity generalization ladder over (lang, source) QIs:
+    // one CUBE pass, per-level class/risk counts
+    "k_anonymity" -> ((s, dir) =>
+      graft.operators.Scrub.kAnonymity(docsPar(s, dir))),
     "pii_redact" -> ((s, dir) =>
       Scrub.piiRedact(Scrub.withInjectedPii(docsPar(s, dir)), col("text"))
         .select(col("doc_id"), col("n_pii"), col("redacted"))
@@ -1479,6 +1483,7 @@ object SparkEntry {
     "quality_deciles" -> OracleExt.qualityDeciles(TextAnalysis.stopwords("en")),
     "domain_cap" -> OracleExt.domainCap(10),
     "repeat_ngrams" -> OracleExt.repeatNgrams,
+    "k_anonymity" -> OracleExt.kAnonymity(5L),
     "pii_redact" -> OracleExt.piiRedact,
     "text_normalize" -> OracleExt.normalizeText,
     "assoc_rules" -> OracleExt.assocRules(1L),

@@ -153,4 +153,28 @@ object Scrub {
       length(norm).cast("long").as("n_chars_out"),
       (norm =!= text).as("changed"))
   }
+
+  /** k-anonymity audit over the generalization ladder (Sweeney 2002 —
+    * the release-gate question "can any record be singled out by its
+    * quasi-identifiers, and how much coarsening fixes it"): equivalence
+    * classes under (lang, source), then (lang), then nothing — one
+    * CUBE pass, levels picked by grouping_id, so the whole lattice
+    * walk is a single aggregate over the corpus (never one scan per
+    * level). Per level: class count, smallest class, classes below k
+    * and the records they expose. NULL-valued quasi-identifiers would
+    * alias cube's roll-up rows (the standard cube caveat — the
+    * fixture's QIs are non-null; a production caller pre-coalesces).
+    * Output is 3 rows at any corpus scale. */
+  def kAnonymity(docs: DataFrame, k: Long = 5L): DataFrame =
+    docs.cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .filter(col("gid").isin(0, 1, 3))
+      .select(when(col("gid") === 0, 0L).when(col("gid") === 1, 1L)
+        .otherwise(2L).as("level"), col("n"))
+      .groupBy("level").agg(
+        count(lit(1)).as("n_classes"),
+        min(col("n")).as("min_class"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("risky_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("risky_docs"))
+      .orderBy("level")
 }

@@ -127,4 +127,17 @@ class ScrubSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"map-only pass expected:\n$p")
   }
+
+  test("kAnonymity: the generalization ladder restores k step by step") {
+    // (en,a)×5 (en,b)×1 (fr,a)×2 with k=5: the full-QI level exposes
+    // two classes (sizes 1 and 2, 3 docs); generalizing source away
+    // still exposes fr (2 docs); the root class of 8 is safe
+    val rows = (1L to 5L).map(i => (i, "t", "en", "a")) ++
+      Seq((6L, "t", "en", "b"), (7L, "t", "fr", "a"), (8L, "t", "fr", "a"))
+    val d = rows.toList.toDF("doc_id", "text", "lang", "source")
+    val r = graft.operators.Scrub.kAnonymity(d, k = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 3L, 1L, 2L, 3L), (1L, 2L, 2L, 1L, 2L),
+      (2L, 1L, 8L, 0L, 0L)))
+  }
 }
