@@ -308,11 +308,16 @@ object Curation {
       .select(col("source"), graft.functions.PortableHash
         .hash32(concat(lit("kmv:"), col("term"))).as("h"))
       .distinct()
+    // the sketch table is k·|sources| rows at ANY corpus scale —
+    // coalesce the cached frame to ONE partition so the ~10 downstream
+    // pairwise stages schedule 1 task each instead of a full
+    // shuffle-partition fan (the sourceDivergence measurement)
     val sk = graft.Caches.track(hh
       .withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy("h")))
       .filter(col("rn") <= k)
-      .select("source", "h"))
+      .select("source", "h")
+      .coalesce(1))
     val est = sk.groupBy("source")
       .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
       .select(col("source"),
