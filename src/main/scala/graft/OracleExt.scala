@@ -594,7 +594,9 @@ object OracleExt {
     * the identical table), then each round's (pattern, replacement)
     * applied IN ORDER to the chr(3)-joined wrapped-token doc string.
     * Token counts are chr(1)-sentinel counts, as on the Spark side. */
-  def bpeEncode(merges: Int): String = {
+  /** Shared CTE body of the BPE-encode twins: merge rounds + the
+    * encoded stream enc0..enc$merges. */
+  private def bpeEncChain(merges: Int): String = {
     val applied = (0 until merges).map { i =>
       s"""
     enc${i + 1} AS MATERIALIZED (SELECT doc_id, n_tokens, n_chars,
@@ -602,8 +604,7 @@ object OracleExt {
             chr(1) || replace(replace(b.pat, chr(1), ''), chr(2), '') || chr(2)) AS s
         FROM enc$i, b$i b)"""
     }.mkString(",")
-    s"""
-    WITH ${bpeRounds(merges)},
+    s"""${bpeRounds(merges)},
     enc0 AS MATERIALIZED (
       SELECT doc_id, n_tokens,
              CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
@@ -613,14 +614,34 @@ object OracleExt {
                    array_to_string(list_transform($toks,
                      t -> regexp_replace(t, '(.)', chr(1) || '\\1' || chr(2), 'g')),
                      chr(3)) AS s
-            FROM documents)),$applied
+            FROM documents)),$applied"""
+  }
+
+  def bpeEncode(merges: Int): String = s"""
+    WITH ${bpeEncChain(merges)}
     SELECT doc_id, n_tokens, n_chars,
            CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
              AS n_bpe_tokens,
            CAST(n_chars - (length(s) - length(replace(s, chr(1), '')))
              AS BIGINT) AS n_merges_applied
     FROM enc$merges ORDER BY doc_id"""
-  }
+
+  /** Twin of Bpe.fertility — the encode chain aggregated per lang. */
+  def bpeFertility(merges: Int): String = s"""
+    WITH ${bpeEncChain(merges)},
+    e AS (SELECT doc_id, n_tokens,
+            CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
+              AS n_bpe
+          FROM enc$merges)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e.n_tokens) AS BIGINT) AS n_words,
+           CAST(sum(e.n_bpe) AS BIGINT) AS n_bpe,
+           CASE WHEN sum(e.n_tokens) > 0
+                THEN (1000000 * CAST(sum(e.n_bpe) AS BIGINT))
+                     // CAST(sum(e.n_tokens) AS BIGINT)
+                ELSE NULL END AS fertility_ppm
+    FROM e JOIN documents d USING (doc_id)
+    GROUP BY 1 ORDER BY 1"""
 
   /** Twin of TextAnalysis.stutterTrim — DuckDB's lambda index and []
     * are 1-based where Spark's are 0-based; both reference the same
@@ -991,6 +1012,41 @@ object OracleExt {
            b.cnt = t.mx AS is_peak
     FROM byhod b JOIN pt t USING (event_type)
     ORDER BY b.event_type, b.hod"""
+
+  /** Twin of TextAnalysis.langIdChargram — identical padded-trigram
+    * stream, rank windows, out-of-place scoring with the N penalty. */
+  def langIdChargram(profN: Int, docM: Int): String = s"""
+    WITH tok AS (SELECT doc_id, lang, unnest($toks) AS t
+                 FROM documents),
+    gr AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, length(t) + 1),
+                    i -> substr('_' || t || '_', i, 3))) AS g
+           FROM tok),
+    lp AS (SELECT lang AS plang, g, lrank FROM (
+             SELECT lang, g, row_number() OVER (PARTITION BY lang
+                      ORDER BY count(*) DESC, g) AS lrank
+             FROM gr GROUP BY lang, g)
+           WHERE lrank <= $profN),
+    dp AS (SELECT doc_id, g, drank FROM (
+             SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY count(*) DESC, g) AS drank
+             FROM gr GROUP BY doc_id, g)
+           WHERE drank <= $docM),
+    langs AS (SELECT DISTINCT plang FROM lp),
+    sc AS (SELECT d.doc_id, l.plang,
+                  CAST(sum(coalesce(abs(d.drank - p.lrank), $profN))
+                    AS BIGINT) AS oop
+           FROM dp d CROSS JOIN langs l
+           LEFT JOIN lp p ON p.plang = l.plang AND p.g = d.g
+           GROUP BY 1, 2),
+    pred AS (SELECT doc_id, plang AS predicted FROM (
+               SELECT doc_id, plang, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY oop, plang) AS rn
+               FROM sc)
+             WHERE rn = 1)
+    SELECT d.lang, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Twin of Classify.nbConfusion — add-one multinomial NB in the
     * identical whole-bit surprisal lanes: the full vocab×lang grid

@@ -363,6 +363,10 @@ object SparkEntry {
     // lanes: one counting pass, add-one smoothing, confusion matrix
     "nb_classify" -> ((s, dir) =>
       graft.operators.Classify.nbConfusion(docsPar(s, dir))),
+    // Cavnar-Trenkle char-trigram LID: ranked n-gram profiles,
+    // out-of-place scoring, trains its own evidence from the corpus
+    "langid_chargram" -> ((s, dir) =>
+      TextAnalysis.langIdChargram(docsPar(s, dir))),
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(docsPar(s, dir)).orderBy("pct")),
     "text_termfreq" -> ((s, dir) =>
@@ -427,6 +431,10 @@ object SparkEntry {
         .orderBy("step")),
     // BPE encoder: the staged merge table applied to the corpus —
     // per-doc whitespace/char/BPE token counts, one map-only pass
+    // Per-language tokenizer fertility (BPE tokens per word): the
+    // "is this vocab fair to language X" audit off the staged merges
+    "bpe_fertility" -> ((s, dir) =>
+      graft.operators.Bpe.fertility(docsPar(s, dir))),
     "bpe_encode" -> ((s, dir) =>
       graft.operators.Bpe.encode(docsPar(s, dir), merges = 8)
         .orderBy("doc_id")),
@@ -1522,6 +1530,7 @@ object SparkEntry {
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
     "lang_confusion" -> OracleExt.langConfusion(TextAnalysis.stopwords),
     "nb_classify" -> OracleExt.nbConfusion,
+    "langid_chargram" -> OracleExt.langIdChargram(64, 20),
     "char_profile" -> OracleExt.charProfile,
     "quality_score" -> OracleExt.qualityScore(TextAnalysis.stopwords("en"), 3000),
     "doc_fingerprint" -> OracleExt.fingerprints,
@@ -1560,6 +1569,7 @@ object SparkEntry {
     "term_chi2" -> OracleExt.termChi2(20, 5L),
     "bpe_train" -> OracleExt.bpeTrain(8),
     "bpe_encode" -> OracleExt.bpeEncode(8),
+    "bpe_fertility" -> OracleExt.bpeFertility(8),
     "stutter_trim" -> OracleExt.stutterTrim,
     "trigram_surprisal" -> OracleExt.trigramSurprisal,
     "zipf_fit" -> OracleExt.zipfFit(256),

@@ -155,4 +155,24 @@ object Bpe {
       countL(col("s")).as("n_bpe_tokens"),
       (col("n_chars") - countL(col("s"))).as("n_merges_applied"))
   }
+
+  /** Per-language tokenizer fertility — BPE tokens per whitespace
+    * word, the standard "is this tokenizer fair to language X" audit
+    * (a vocabulary trained on the head language inflates the tail's
+    * sequence lengths, which multiplies its training and inference
+    * cost): fertility_ppm = 1e6·Σ bpe_tokens div Σ words per lang,
+    * NULL on a wordless language. Pure composition of [[encode]]
+    * (which reads the staged merge table) + one doc-keyed join to the
+    * lang map + a |langs|-bounded aggregate. */
+  def fertility(docs: DataFrame, merges: Int = 8): DataFrame =
+    encode(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        when(col("n_words") > 0,
+          expr("(1000000 * n_bpe) div n_words")).as("fertility_ppm"))
+      .orderBy("lang")
 }

@@ -798,6 +798,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Char-trigram language identification (Cavnar & Trenkle 1994's
+    * n-gram-profile "out-of-place" classifier — the textcat method,
+    * and what fastText-style LID approximates): per language a ranked
+    * top-N profile of padded char trigrams, per doc a top-M profile,
+    * and the doc's score against each language is Σ |doc_rank −
+    * lang_rank| with the max penalty N for trigrams absent from the
+    * profile; argmin wins (tie → lang asc). Where [[langId]] needs a
+    * curated stopword list per language, this TRAINS its evidence from
+    * the corpus and works at the character level (robust to unseen
+    * words and agglutinative languages). Resubstitution confusion
+    * matrix out, like Classify.nbConfusion.
+    *
+    * All-integer rank arithmetic. Scale shape: the trigram stream is
+    * ~3× corpus chars (two explodes, the char_profile cost class);
+    * both profile builds are rank windows pruned map-side by
+    * WindowGroupLimit; language profiles are \|langs\|·N rows
+    * BROADCAST; the scoring fan-out is docM·\|langs\| rows per doc;
+    * confusion output \|langs\|²-bounded. */
+  def langIdChargram(docs: DataFrame, profN: Int = 64, docM: Int = 20)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.Caches.track(docs
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, length(t)),
+             i -> substring(concat('_', t, '_'), i, 3))""")).as("g")))
+    val langProf = grams.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
+      .filter(col("lrank") <= profN)
+      .select(col("lang").as("plang"), col("g"), col("lrank"))
+    val docProf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
+      .filter(col("drank") <= docM)
+      .select(col("doc_id"), col("g"), col("drank"))
+    val langs = langProf.select(col("plang")).distinct()
+    val pred = docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("plang", "g"), "left")
+      .groupBy("doc_id", "plang")
+      .agg(sum(coalesce(abs(col("drank") - col("lrank")),
+        lit(profN.toLong))).as("oop"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("oop"), col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("predicted"))
+    docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
   /** Chi-square term–source association (the Yang & Pedersen 1997
     * feature-selection statistic, which their study found matches or
     * beats information gain): for each term, the chi² of the

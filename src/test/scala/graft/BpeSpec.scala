@@ -38,6 +38,32 @@ class BpeSpec extends SparkTestBase {
     assert(out(0).getString(3) == "ab")
   }
 
+  test("fertility: per-lang BPE-per-word ratios; more merges lower it") {
+    // one merge (a,a)→aa: en "aa aa" encodes to one token per word
+    // (fertility 1e6); fr "b" is untouched (1e6); the unmergeable
+    // lang keeps its char count visible in n_bpe vs n_words
+    val d = Seq((1L, "aa aa", "en"), (2L, "b", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r1 = Bpe.fertility(d, merges = 1)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(r1 == Seq(("en", 1L, 2L, 2L, Some(1000000L)),
+      ("fr", 1L, 1L, 1L, Some(1000000L))))
+    Caches.releaseAll()
+    // deeper merge ladder strictly lowers a repetitive lang's
+    // fertility: merges=1 leaves "aaaa" as aa+aa (2e6), merges=2
+    // fuses it whole (1e6)
+    val rep = Seq((1L, "aaaa aaaa aaaa", "en"))
+      .toDF("doc_id", "text", "lang")
+    val f1 = Bpe.fertility(rep, merges = 1)
+      .as[(String, Long, Long, Long, Option[Long])].head()._5.get
+    Caches.releaseAll()
+    val f2 = Bpe.fertility(rep, merges = 2)
+      .as[(String, Long, Long, Long, Option[Long])].head()._5.get
+    assert(f1 == 2000000L && f2 == 1000000L,
+      s"merging must lower fertility: $f1 -> $f2")
+    Caches.releaseAll()
+  }
+
   test("multi-char symbols participate in later pair counts") {
     // er:er composition — "beer" ×3 has e-e, e-r; "ee" would tie with…
     // keep it simple: "xee xee xee" → (e,e) wins round 0 @3; round 1

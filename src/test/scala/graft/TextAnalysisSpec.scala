@@ -324,6 +324,30 @@ class TextAnalysisSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("langIdChargram: separable bilingual corpus classifies cleanly") {
+    val d = Seq(
+      (1L, "the cat and the dog run there", "en"),
+      (2L, "the quick thing went the other way", "en"),
+      (3L, "le chat et le chien vont ensemble", "fr"),
+      (4L, "le monde est une chose entiere", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langIdChargram(d)
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("en", "en", 2L), ("fr", "fr", 2L)))
+    Caches.releaseAll()
+  }
+
+  test("langIdChargram: exact score ties break to the smaller lang") {
+    // identical docs in two one-doc languages: both profiles equal →
+    // every score ties → both predict 'aa'
+    val d = Seq((1L, "zzz yyy", "aa"), (2L, "zzz yyy", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langIdChargram(d)
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("aa", "aa", 1L), ("bb", "aa", 1L)))
+    Caches.releaseAll()
+  }
+
   test("surprisalMix: rare-token docs land in higher bands, exact shares") {
     // vocab x:4 y:1, T=5 → bits(x)=0, bits(y)=2; doc1 surprisal 0
     // (band 0), doc2 surprisal 2000 milli (band 1); each source has
