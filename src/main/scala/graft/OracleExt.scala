@@ -1093,20 +1093,10 @@ object OracleExt {
     * rounds wt0..wt$iters (hard-sigmoid link, fixed-point BIGINT
     * gradient sums, identical float association everywhere; see
     * LinearProbe.scala). */
-  private def probeCtes(iters: Int, lr: Double): String = {
-    val p = "least(greatest((x0*w0 + x1*w1 + x2*w2 + x3*w3) * 0.25 + 0.5, 0.0), 1.0)"
-    def g(j: Int) =
-      s"CAST(sum(CAST(floor(((p - y) * x$j) * 1000000.0) AS BIGINT)) AS BIGINT) AS g$j"
-    def upd(j: Int) =
-      s"w.w$j - $lr * (CAST(g.g$j AS DOUBLE) / 1000000.0 / CAST(g.n AS DOUBLE)) AS w$j"
-    val rounds = (0 until iters).map { k =>
-      s"""
-    gr$k AS (SELECT count(*) AS n, ${(0 to 3).map(g).mkString(", ")}
-          FROM (SELECT f.*, $p AS p FROM f, wt$k)),
-    wt${k + 1} AS (SELECT ${(0 to 3).map(upd).mkString(", ")}
-          FROM wt$k w, gr$k g)"""
-    }.mkString(",")
-    s"""f AS MATERIALIZED (
+  /** The probe feature projection over an optionally-filtered
+    * documents scan (shared by the trainer chain and the CV test
+    * sides). */
+  private def probeFeatureSql(where: String): String = s"""
       SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
              1.0 AS x0,
              CAST(n_chars AS DOUBLE) / 1024.0 AS x1,
@@ -1114,8 +1104,24 @@ object OracleExt {
              CASE WHEN len(l) = 0 THEN 0.0
                   ELSE CAST(len(list_distinct(l)) AS DOUBLE)
                          / CAST(len(l) AS DOUBLE) END AS x3
-      FROM (SELECT $toks AS l, lang, n_chars FROM documents)),
-    wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),$rounds"""
+      FROM (SELECT $toks AS l, lang, n_chars FROM documents $where)"""
+
+  private def probeCtes(iters: Int, lr: Double, ns: String = "",
+                        where: String = ""): String = {
+    val p = "least(greatest((x0*w0 + x1*w1 + x2*w2 + x3*w3) * 0.25 + 0.5, 0.0), 1.0)"
+    def g(j: Int) =
+      s"CAST(sum(CAST(floor(((p - y) * x$j) * 1000000.0) AS BIGINT)) AS BIGINT) AS g$j"
+    def upd(j: Int) =
+      s"w.w$j - $lr * (CAST(g.g$j AS DOUBLE) / 1000000.0 / CAST(g.n AS DOUBLE)) AS w$j"
+    val rounds = (0 until iters).map { k =>
+      s"""
+    ${ns}gr$k AS (SELECT count(*) AS n, ${(0 to 3).map(g).mkString(", ")}
+          FROM (SELECT f.*, $p AS p FROM ${ns}f f, ${ns}wt$k)),
+    ${ns}wt${k + 1} AS (SELECT ${(0 to 3).map(upd).mkString(", ")}
+          FROM ${ns}wt$k w, ${ns}gr$k g)"""
+    }.mkString(",")
+    s"""${ns}f AS MATERIALIZED (${probeFeatureSql(where)}),
+    ${ns}wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),$rounds"""
   }
 
   /** Twin of LinearProbe.train — `iters` unrolled full-batch rounds. */
@@ -1161,6 +1167,50 @@ object OracleExt {
            (1000000 * pos) // n_docs AS acc_micro,
            abs(sc // n_docs - (1000000 * pos) // n_docs) AS gap_micro
     FROM b ORDER BY bin"""
+
+  /** Twin of LinearProbe.crossValidate — k namespaced trainer chains
+    * (one per fold, each over the other folds' docs), per-fold scoring
+    * from the floored micro weights on the held-out slice, UNION ALL
+    * of the fold rows. */
+  def probeCv(k: Int, iters: Int, lr: Double): String = {
+    val foldExpr = graft.functions.PortableHash
+      .sqlHash32("'fold:' || CAST(doc_id AS VARCHAR)") + s" % $k"
+    val chains = (0 until k).map { f =>
+      probeCtes(iters, lr, ns = s"cv${f}_",
+        where = s"WHERE $foldExpr != $f")
+    }.mkString(",")
+    val extras = (0 until k).map { f =>
+      s""",
+    cv${f}_test AS (${probeFeatureSql(s"WHERE $foldExpr = $f")}),
+    cv${f}_wm AS (SELECT CAST(floor(w0 * 1000000.0) AS BIGINT) AS wm0,
+                         CAST(floor(w1 * 1000000.0) AS BIGINT) AS wm1,
+                         CAST(floor(w2 * 1000000.0) AS BIGINT) AS wm2,
+                         CAST(floor(w3 * 1000000.0) AS BIGINT) AS wm3
+                  FROM cv${f}_wt$iters)"""
+    }.mkString
+    val hit = "CASE WHEN (conf >= 500000) = (y = 1.0) THEN 1 ELSE 0 END"
+    val rows = (0 until k).map { f =>
+      s"""SELECT CAST($f AS BIGINT) AS fold,
+            CAST(count(*) AS BIGINT) AS n_test,
+            CAST(sum($hit) AS BIGINT) AS n_correct,
+            CASE WHEN count(*) > 0 THEN
+              (1000000 * CAST(sum($hit) AS BIGINT))
+                // CAST(count(*) AS BIGINT)
+            END AS acc_ppm
+          FROM (
+            SELECT t.y, CAST(floor(least(greatest(
+              (t.x0 * (CAST(wm0 AS DOUBLE) / 1000000.0)
+               + t.x1 * (CAST(wm1 AS DOUBLE) / 1000000.0)
+               + t.x2 * (CAST(wm2 AS DOUBLE) / 1000000.0)
+               + t.x3 * (CAST(wm3 AS DOUBLE) / 1000000.0)) * 0.25 + 0.5,
+              0.0), 1.0) * 1000000.0) AS BIGINT) AS conf
+            FROM cv${f}_test t, cv${f}_wm)"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH $chains$extras
+    SELECT fold, n_test, n_correct, acc_ppm FROM ($rows)
+    ORDER BY fold"""
+  }
 
   /** Twin of TextAnalysis.tokens. */
   private def toks: String =

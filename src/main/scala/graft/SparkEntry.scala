@@ -456,6 +456,10 @@ object SparkEntry {
     // vs empirical positive rate per decile, integer micro lanes
     "probe_calibration" -> ((s, dir) =>
       graft.operators.LinearProbe.calibration(docsPar(s, dir), iters = 3)),
+    // 5-fold cross-validated probe accuracy: held-out generalization,
+    // salted-hash folds, scoring from the floored micro weights
+    "probe_cv" -> ((s, dir) =>
+      graft.operators.LinearProbe.crossValidate(docsPar(s, dir))),
     // Integer-ppm PageRank over the event-type transition digraph
     "pagerank_events" -> ((s, dir) =>
       graft.operators.Graph.pagerankEvents(LogSource.readEvents(s, dir))
@@ -1575,6 +1579,7 @@ object SparkEntry {
     "zipf_fit" -> OracleExt.zipfFit(256),
     "linear_probe" -> OracleExt.linearProbe(3, 0.5),
     "probe_calibration" -> OracleExt.probeCalibration(3, 0.5),
+    "probe_cv" -> OracleExt.probeCv(5, 3, 0.5),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
     "active_users" -> OracleExt.activeUsers(7, 30),
     "cdc_apply" -> OracleExt.cdcApply("error"),

@@ -107,23 +107,35 @@ object LinearProbe {
     * derived from the already-quantized integer, not a second float
     * pass. Scale shape: one corpus scoring pass against the broadcast
     * 1-row weight frame, one nBins-row aggregate. */
-  def calibration(docs: DataFrame, iters: Int = 3, lr: Double = 0.5)
-      : DataFrame = {
-    val wRow = train(docs, iters, lr).agg(
+  /** The trained weights pivoted to one broadcastable row of floored
+    * micro lanes — the scoring input of [[calibration]] and
+    * [[crossValidate]]. */
+  private def weightsRow(docs: DataFrame, iters: Int, lr: Double)
+      : DataFrame =
+    train(docs, iters, lr).agg(
       sum(when(col("feature") === "bias", col("weight_micro"))).as("wm0"),
       sum(when(col("feature") === "chars_1k", col("weight_micro")))
         .as("wm1"),
       sum(when(col("feature") === "tokens_64", col("weight_micro")))
         .as("wm2"),
       sum(when(col("feature") === "ttr", col("weight_micro"))).as("wm3"))
+
+  /** floor(p·1e6) under the hard-sigmoid link from the micro weight
+    * row — per-row IEEE ops only, the calibration determinism
+    * contract. */
+  private def confCol: Column = {
     def wd(j: Int) = col(s"wm$j").cast("double") / lit(1000000.0d)
     val margin = col("x0") * wd(0) + col("x1") * wd(1) +
       col("x2") * wd(2) + col("x3") * wd(3)
     val p = least(greatest(margin * lit(0.25d) + lit(0.5d),
       lit(0.0d)), lit(1.0d))
-    features(docs).crossJoin(broadcast(wRow))
-      .select(col("y"),
-        floor(p * lit(1000000.0d)).cast("long").as("conf"))
+    floor(p * lit(1000000.0d)).cast("long")
+  }
+
+  def calibration(docs: DataFrame, iters: Int = 3, lr: Double = 0.5)
+      : DataFrame = {
+    features(docs).crossJoin(broadcast(weightsRow(docs, iters, lr)))
+      .select(col("y"), confCol.as("conf"))
       .groupBy(least(expr("conf div 100000"), lit(9L)).as("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("y") === 1.0d, 1L).otherwise(0L)).as("pos"),
@@ -134,5 +146,35 @@ object LinearProbe {
         abs(expr("sc div n_docs") -
           expr("(1000000 * pos) div n_docs")).as("gap_micro"))
       .orderBy("bin")
+  }
+
+  /** k-fold cross-validated probe accuracy — the evaluation
+    * resubstitution metrics ([[calibration]]) cannot give: each fold's
+    * model never saw its test docs, so acc_ppm is the generalization
+    * estimate a filter model must clear before its scores gate a
+    * corpus. Folds are [[Sampling.kfoldSplit]]'s salted-hash
+    * assignment (deterministic, engine-portable, no RNG); per fold the
+    * FULL trainer runs on the other k−1 folds and scoring restarts
+    * from the floored micro weights (the calibration determinism
+    * contract: per-row IEEE only, integer aggregates; predicted
+    * positive ⇔ conf ≥ 5e5). The plan is k independent
+    * train+score chains unioned — k·iters constant-size gradient
+    * aggregates plus k scoring passes, each over a (k−1)/k slice. */
+  def crossValidate(docs: DataFrame, k: Int = 5, iters: Int = 3,
+                    lr: Double = 0.5): DataFrame = {
+    val fold = graft.functions.PortableHash.hash32(
+      concat(lit("fold:"), col("doc_id").cast("string"))) % k
+    (0 until k).map { f =>
+      val w = weightsRow(docs.filter(fold =!= f), iters, lr)
+      features(docs.filter(fold === f)).crossJoin(broadcast(w))
+        .select(col("y"), confCol.as("conf"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when((col("conf") >= 500000L) === (col("y") === 1.0d), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .select(lit(f.toLong).as("fold"), col("n_test"),
+          col("n_correct"),
+          when(col("n_test") > 0,
+            expr("(1000000 * n_correct) div n_test")).as("acc_ppm"))
+    }.reduce(_ union _).orderBy("fold")
   }
 }

@@ -63,6 +63,33 @@ class LinearProbeSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("crossValidate: folds partition the corpus; accuracies bounded") {
+    // 20 docs, 5 folds: n_test sums to the corpus; every acc_ppm in
+    // [0, 1e6]; fold ids are exactly 0..4 (salted hash covers all)
+    val d = docs((1L to 20L).map(i =>
+      (i, s"w$i x", if (i % 2 == 0) "en" else "fr", 100L * i)): _*)
+    val r = LinearProbe.crossValidate(d, k = 5, iters = 1)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(r.map(_._1) == (0L to 4L))
+    assert(r.map(_._2).sum == 20L)
+    assert(r.forall(x => x._3 <= x._2))
+    assert(r.flatMap(_._4).forall(a => a >= 0L && a <= 1000000L))
+    Caches.releaseAll()
+  }
+
+  test("crossValidate: a perfectly separable corpus scores 1e6 per fold") {
+    // en docs long, others short, strongly separable on chars_1k —
+    // three GD rounds push every held-out doc to the right side
+    val d = docs((1L to 30L).map(i =>
+      (i, "w x", if (i % 2 == 0) "en" else "fr",
+        if (i % 2 == 0) 65536L else 16L)): _*)
+    val r = LinearProbe.crossValidate(d, k = 3, iters = 3)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(r.forall(_._4.contains(1000000L)),
+      s"separable corpus must be perfectly classified per fold: $r")
+    Caches.releaseAll()
+  }
+
   test("training is bit-deterministic across runs") {
     val d = docs(
       (1L, "a b c a", "en", 100L), (2L, "d d d", "fr", 900L),
