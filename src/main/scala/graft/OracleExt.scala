@@ -3209,6 +3209,48 @@ object OracleExt {
     $simhashCte
     SELECT doc_id, simhash FROM shash ORDER BY doc_id"""
 
+  /** Twin of Dedup.dedupMethodAgreement — both pair chains in one
+    * query (the simhash chain's WITH stripped for splicing), full
+    * outer join on the pair key, 1-row overlap summary. */
+  def dedupMethodAgreement(maxHamming: Int): String = {
+    val simSpliced = simhashCte.trim.stripPrefix("WITH")
+    s"""
+    $bandsCte,
+    $simSpliced,
+    mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+    band2 AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS band_id,
+                     (simhash >> (j * 16)) & 65535 AS band_val
+              FROM shash CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    sh2 AS (SELECT doc_a, doc_b FROM (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash))
+                       AS INTEGER) AS hamming
+              FROM band2 a JOIN band2 b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id)
+            WHERE hamming <= $maxHamming),
+    u AS (SELECT m.doc_a IS NOT NULL AS in_mh,
+                 s.doc_a IS NOT NULL AS in_sh
+          FROM mh m FULL OUTER JOIN sh2 s
+            ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+    SELECT CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minhash,
+           CAST(sum(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_simhash,
+           CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_both,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CASE WHEN count(*) > 0 THEN
+             (1000000 * CAST(sum(CASE WHEN in_mh AND in_sh THEN 1
+                                 ELSE 0 END) AS BIGINT))
+               // CAST(count(*) AS BIGINT)
+           END AS jaccard_ppm
+    FROM u ORDER BY n_union"""
+  }
+
   def simhashPairs(maxHamming: Int): String = s"""
     $simhashCte,
     band AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS band_id,

@@ -1155,6 +1155,10 @@ object SparkEntry {
     "simhash" -> ((s, dir) =>
       Dedup.simhash(docsPar(s, dir)).orderBy("doc_id")),
     // SimHash byte-band candidates verified by Hamming distance
+    // MinHash-vs-SimHash pair agreement: 1-row overlap summary, the
+    // method-selection audit before trusting either keeplist
+    "dedup_method_agreement" -> ((s, dir) =>
+      graft.operators.Dedup.dedupMethodAgreement(docsPar(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
 
@@ -1711,6 +1715,7 @@ object SparkEntry {
     "winnow_fingerprints" -> OracleExt.winnowFingerprints(3, 4),
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),
+    "dedup_method_agreement" -> OracleExt.dedupMethodAgreement(6),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),
     "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),

@@ -969,6 +969,35 @@ object Dedup {
     * scale path), then verified with exact Hamming distance ≤
     * maxHamming. The shift is arithmetic in both engines; the & 65535
     * mask makes the band value sign-independent. */
+  /** Agreement audit between the two near-dup detectors — the
+    * method-selection question ("do MinHash banding and SimHash
+    * banding even flag the same pairs on THIS corpus?") answered as a
+    * 1-row overlap summary: pair counts per method, the intersection,
+    * the union, and their Jaccard in ppm. Low agreement on a corpus
+    * means the thresholds are mistuned or the duplication mode
+    * (set-overlap vs near-identical text) doesn't match the detector —
+    * the audit to read before trusting either keeplist. Composition of
+    * the two existing staged/persisted pair paths + ONE full-outer
+    * equi-join on the pair key + a 1-row aggregate; both pair sets are
+    * candidate-scale (band-join bounded), never corpus². */
+  def dedupMethodAgreement(docs: DataFrame, maxHamming: Int = 6)
+      : DataFrame = {
+    val mh = minhashPairs(docs).withColumn("mh", lit(1L))
+    val sh = simhashPairs(docs, maxHamming)
+      .select(col("doc_a"), col("doc_b")).withColumn("sh", lit(1L))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full")
+      .agg(sum(coalesce(col("mh"), lit(0L))).as("n_minhash"),
+        sum(coalesce(col("sh"), lit(0L))).as("n_simhash"),
+        sum(when(col("mh").isNotNull && col("sh").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+        col("n_union"),
+        when(col("n_union") > 0,
+          expr("(1000000 * n_both) div n_union")).as("jaccard_ppm"))
+      .orderBy("n_union")
+  }
+
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     // one signature row per doc, persisted: the 64-bit-sum aggregation
     // runs once, not once per join side

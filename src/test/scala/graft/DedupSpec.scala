@@ -568,4 +568,19 @@ class DedupSpec extends SparkTestBase {
       "d41d8cd98f00b204e9800998ecf8427e")))
     assert(out(2)._2 == 0L)
   }
+
+  test("dedupMethodAgreement: an exact dup pair is flagged by both") {
+    // docs 1/2 identical (minhash bands collide, simhash hamming 0);
+    // docs 3/4 unrelated — union = intersection = the one pair,
+    // Jaccard exactly 1e6
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words about rivers and stone"),
+      (4L, "yet another unrelated sentence mentioning harvest"))
+    val r = graft.operators.Dedup.dedupMethodAgreement(d)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(r == Seq((1L, 1L, 1L, 1L, Some(1000000L))))
+    Caches.releaseAll()
+  }
 }
