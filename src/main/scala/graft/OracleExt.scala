@@ -739,6 +739,40 @@ object OracleExt {
     FROM r$iters ORDER BY event_type"""
   }
 
+  /** Twin of Graph.hitsScores — `iters` unrolled a←Aᵀh / h←Aa
+    * alternations with L1 ppm normalization per half-step; HUGEINT
+    * mirrors Spark's DECIMAL(38,0) re-division lane. */
+  def hitsScores(iters: Int): String = {
+    val rounds = (0 until iters).map { k =>
+      s"""
+    ar$k AS (SELECT e.dst, CAST(sum(h.h_ppm * e.c) AS BIGINT) AS s
+          FROM h$k h JOIN pairs e ON h.node = e.src GROUP BY e.dst),
+    at$k AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM ar$k),
+    a${k + 1} AS (SELECT n.node,
+            CAST((CAST(1000000 AS HUGEINT) * COALESCE(r.s, 0)) // t.t
+              AS BIGINT) AS a_ppm
+          FROM nodes n LEFT JOIN ar$k r ON n.node = r.dst, at$k t),
+    hr$k AS (SELECT e.src, CAST(sum(a.a_ppm * e.c) AS BIGINT) AS s
+          FROM a${k + 1} a JOIN pairs e ON a.node = e.dst GROUP BY e.src),
+    ht$k AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM hr$k),
+    h${k + 1} AS (SELECT n.node,
+            CAST((CAST(1000000 AS HUGEINT) * COALESCE(r.s, 0)) // t.t
+              AS BIGINT) AS h_ppm
+          FROM nodes n LEFT JOIN hr$k r ON n.node = r.src, ht$k t)"""
+    }.mkString(",")
+    s"""
+    WITH pairs AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL GROUP BY 1, 2),
+    nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h_ppm FROM nodes),$rounds
+    SELECT h.node AS event_type, h.h_ppm AS hub_ppm, a.a_ppm AS auth_ppm
+    FROM h$iters h JOIN a$iters a USING (node) ORDER BY event_type"""
+  }
+
   /** Twin of Lifecycle.activeUsers — DuckDB can afford the naive
     * distinct-over-trailing-window join at gate scale; the Spark side's
     * interval-merge + delta sweep must agree with it exactly. */
@@ -2259,6 +2293,18 @@ object OracleExt {
       ORDER BY ${graft.functions.PortableHash
         .sqlHash32("'uni:' || CAST(doc_id AS VARCHAR)")}, doc_id
       LIMIT 100)
+    ORDER BY doc_id"""
+
+  /** Twin of Sampling.weightedSample (salt "wsamp", k = 100) —
+    * bottom-k of the (1e6·u) // w priority lane, ties by doc_id. */
+  val weightedSample: String = s"""
+    SELECT doc_id, source, n_chars, pri FROM (
+      SELECT doc_id, source, n_chars,
+             (1000000 * ${graft.functions.PortableHash
+               .sqlHash32("'wsamp:' || CAST(doc_id AS VARCHAR)")})
+               // greatest(n_chars, 1) AS pri
+      FROM documents
+      ORDER BY pri, doc_id LIMIT 100)
     ORDER BY doc_id"""
 
   /** Twin of Sampling.domainCap — the salted two-phase top-k reduces to
@@ -5261,6 +5307,22 @@ object OracleExt {
            CAST(count(*) AS BIGINT) AS n_docs
     FROM d WHERE n > 0 GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of TextShape.readability — Flesch milli lanes: each ratio
+    * truncating-divides BEFORE the subtraction, sentences clamped ≥ 1,
+    * syllables = [aeiouy]+ vowel groups on the lowercased text. */
+  val readability: String = s"""
+    WITH d AS (SELECT doc_id,
+                 CAST(len($toks) AS BIGINT) AS n_words,
+                 greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT), 1) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS n_syllables
+               FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206835 - (1015 * n_words) // n_sentences
+                  - (84600 * n_syllables) // n_words AS flesch_milli
+    FROM d WHERE n_words > 0 ORDER BY doc_id"""
+
   /** Twin of Behavior.peakDays: strict two-sided local maxima on the
     * per-type daily series. */
   val peakDays: String = """
@@ -5826,6 +5888,18 @@ object OracleExt {
            CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT)
              AS risky_docs
     FROM cls GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of Scrub.lDiversity — distinct-l + modal-share per lang
+    * class, sensitive attribute = source. */
+  def lDiversity(l: Long): String = s"""
+    WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1, 2)
+    SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS l_distinct,
+           (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT)
+             AS modal_ppm,
+           count(*) >= $l AS diverse
+    FROM c GROUP BY 1 ORDER BY 1"""
 
   /** Twin of Sampling.temperatureMix — ⌊√n⌋ weights (IEEE sqrt,
     * correctly rounded both engines), ppm shares, HUGEINT boost. */

@@ -464,6 +464,9 @@ object SparkEntry {
     "pagerank_events" -> ((s, dir) =>
       graft.operators.Graph.pagerankEvents(LogSource.readEvents(s, dir))
         .orderBy("event_type")),
+    // HITS hubs/authorities, L1-ppm half-step normalization
+    "hits_scores" -> ((s, dir) =>
+      graft.operators.Graph.hitsScores(LogSource.readEvents(s, dir))),
     // DAU/WAU/MAU via interval-merge + delta sweep (no window re-scan)
     "active_users" -> ((s, dir) =>
       graft.operators.Lifecycle.activeUsers(LogSource.readEvents(s, dir))),
@@ -705,6 +708,9 @@ object SparkEntry {
     // Type-token-ratio centile histogram (boilerplate sinks low)
     "doc_ttr" -> ((s, dir) =>
       graft.operators.TextShape.docTtr(docsPar(s, dir))),
+    // Flesch reading-ease in exact milli lanes (vowel-group syllables)
+    "readability" -> ((s, dir) =>
+      graft.operators.TextShape.readability(docsPar(s, dir))),
     // k-NN majority-vote label propagation (broadcast test set; the
     // fixture's labels are uniform-random, so accuracy ≈ chance — the
     // gate pins the exact votes and tie-breaks, not model quality)
@@ -955,6 +961,9 @@ object SparkEntry {
     // Fixed-size global uniform sample (TakeOrdered on salted hash)
     "uniform_sample" -> ((s, dir) =>
       Sampling.uniformSample(docsPar(s, dir)).orderBy("doc_id")),
+    // Size-weighted priority sample (bottom-k of hash/weight lanes)
+    "weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(docsPar(s, dir)).orderBy("doc_id")),
     // Corpus-wide quality deciles WITHOUT a global sort (cuts broadcast)
     "quality_deciles" -> ((s, dir) =>
       Sampling.qualityDeciles(docsPar(s, dir)).orderBy("doc_id")),
@@ -976,6 +985,9 @@ object SparkEntry {
     // one CUBE pass, per-level class/risk counts
     "k_anonymity" -> ((s, dir) =>
       graft.operators.Scrub.kAnonymity(docsPar(s, dir))),
+    // Distinct l-diversity per lang class (homogeneity-attack audit)
+    "l_diversity" -> ((s, dir) =>
+      graft.operators.Scrub.lDiversity(docsPar(s, dir))),
     "pii_redact" -> ((s, dir) =>
       Scrub.piiRedact(Scrub.withInjectedPii(docsPar(s, dir)), col("text"))
         .select(col("doc_id"), col("n_pii"), col("redacted"))
@@ -1496,10 +1508,12 @@ object SparkEntry {
     "kfold_split" -> OracleExt.kfoldSplit(5),
     "stratified_sample" -> OracleExt.stratifiedSample,
     "uniform_sample" -> OracleExt.uniformSample,
+    "weighted_sample" -> OracleExt.weightedSample,
     "quality_deciles" -> OracleExt.qualityDeciles(TextAnalysis.stopwords("en")),
     "domain_cap" -> OracleExt.domainCap(10),
     "repeat_ngrams" -> OracleExt.repeatNgrams,
     "k_anonymity" -> OracleExt.kAnonymity(5L),
+    "l_diversity" -> OracleExt.lDiversity(3L),
     "pii_redact" -> OracleExt.piiRedact,
     "text_normalize" -> OracleExt.normalizeText,
     "assoc_rules" -> OracleExt.assocRules(1L),
@@ -1585,6 +1599,7 @@ object SparkEntry {
     "probe_calibration" -> OracleExt.probeCalibration(3, 0.5),
     "probe_cv" -> OracleExt.probeCv(5, 3, 0.5),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
+    "hits_scores" -> OracleExt.hitsScores(4),
     "active_users" -> OracleExt.activeUsers(7, 30),
     "cdc_apply" -> OracleExt.cdcApply("error"),
     "scd2_intervals" -> OracleExt.scd2Intervals,
@@ -1646,6 +1661,7 @@ object SparkEntry {
     "length_buckets" -> OracleExt.lengthBuckets,
     "heaps_law" -> OracleExt.heapsLaw,
     "doc_ttr" -> OracleExt.docTtr,
+    "readability" -> OracleExt.readability,
     "peak_days" -> OracleExt.peakDays,
     "bot_regularity" -> OracleExt.botRegularity(10, 20),
     "user_diversity" -> OracleExt.userDiversity,

@@ -57,6 +57,59 @@ object Graph {
     r.select(col("node").as("event_type"), col("r_ppm").as("rank_ppm"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) on the weighted
+    * event-type transition graph — the directed-role decomposition
+    * [[pagerankEvents]]'s single centrality cannot express: a type that
+    * FUNNELS INTO important states (hub) vs one important states land
+    * ON (authority). Classic alternation a ← Aᵀh, h ← A·a with
+    * transition counts as edge weights.
+    *
+    * Determinism: Kleinberg's L2 normalization has no cross-engine
+    * closed integer form, and HITS rankings are normalization-scheme
+    * invariant — so each half-step L1-normalizes to a 1e6 total
+    * (ppm lanes, truncating div AFTER the full BIGINT sum; the raw
+    * Σ h_ppm·c products are exact integers summed order-free). The
+    * ppm-scaled re-division runs in DECIMAL(38,0) so corpus-scale edge
+    * masses cannot overflow the 64-bit lane.
+    *
+    * Scale shape: identical to [[pagerankEvents]] — the corpus pass is
+    * the shared staged transition-pair artifact; every half-step is one
+    * vocab²-bounded join + vocab-sized aggregate + 1-row broadcast
+    * total; score frames localCheckpoint per round. */
+  def hitsScores(events: DataFrame, iters: Int = 4): DataFrame = {
+    val edges = graft.Caches.track(Events.stagedTransitionPairs(events))
+    val nodes = graft.Caches.track(
+      events.select(col("event_type").as("node")).distinct())
+
+    def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("s")).as("t"))
+      nodes.join(raw, col("node") === col(key), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * coalesce(s, 0))
+                       div t AS BIGINT)""").as(out))
+        .localCheckpoint()
+    }
+
+    var h = nodes.select(col("node"), lit(1000000L).as("h_ppm"))
+      .localCheckpoint()
+    var a = h.select(col("node"), col("h_ppm").as("a_ppm"))
+    (0 until iters).foreach { _ =>
+      a = normalize(
+        h.join(edges, col("node") === col("src"))
+          .groupBy(col("dst")).agg(sum(col("h_ppm") * col("c")).as("s")),
+        "dst", "a_ppm")
+      h = normalize(
+        a.join(edges, col("node") === col("dst"))
+          .groupBy(col("src")).agg(sum(col("a_ppm") * col("c")).as("s")),
+        "src", "h_ppm")
+    }
+    h.join(a, "node")
+      .select(col("node").as("event_type"), col("h_ppm").as("hub_ppm"),
+        col("a_ppm").as("auth_ppm"))
+      .orderBy("event_type")
+  }
+
   /** Per-node triangle counts on the undirected event-type transition
     * graph — the clustering/cohesion signal next to [[pagerankEvents]]'s
     * centrality (triangle density is the classic spam-vs-community

@@ -467,4 +467,28 @@ object Sampling {
           .as("take_ppm"))
       .orderBy(col("mean_score").desc, col("source"))
   }
+
+  /** Size-weighted sample without replacement — priority sampling
+    * (Duffield, Lund & Thorup 2007; the fixed-u analogue of
+    * Efraimidis–Spirakis A-ES keys): each doc draws a deterministic
+    * uniform u = hash32(salt:doc_id) and keeps priority q = u / w with
+    * w = n_chars; the k SMALLEST priorities win, so inclusion odds
+    * scale with document size — the "sample by token mass, not by doc
+    * count" draw a corpus auditor wants when long docs carry most of
+    * the training signal.
+    *
+    * Exactness: q is ranked as the BIGINT lane (1e6·u) div w
+    * (truncating integer division — u < 2³² keeps the product under
+    * 2⁵², well inside 64 bits), ties broken by doc_id; no float, no
+    * RNG.
+    * Scale shape: one map-only projection then TakeOrdered-k — the
+    * [[uniformSample]] plan with a weighted key, no shuffle wider than
+    * the top-k partials. */
+  def weightedSample(docs: DataFrame, k: Int = 100,
+                     salt: String = "wsamp"): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+        splitHash(salt, col("doc_id")).cast("long").as("__u"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("(1000000 * __u) div greatest(n_chars, 1)").as("pri"))
+      .orderBy(col("pri"), col("doc_id")).limit(k)
 }

@@ -177,4 +177,28 @@ object Scrub {
         sum(when(col("n") < k, 1L).otherwise(0L)).as("risky_classes"),
         sum(when(col("n") < k, col("n")).otherwise(0L)).as("risky_docs"))
       .orderBy("level")
+
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    * companion release gate [[kAnonymity]] cannot answer: a class can
+    * be large (k-anonymous) yet still leak its sensitive attribute when
+    * every member SHARES it (the homogeneity attack). Equivalence
+    * classes under the lang quasi-identifier, sensitive attribute =
+    * source; per class the distinct-sensitive-value count l, the modal
+    * sensitive value's share (the attacker's best-guess confidence),
+    * and the pass/fail flag l ≥ `l`.
+    *
+    * Shape: one (lang, source) aggregate — |langs|·|sources| bounded —
+    * then a |langs|-bounded re-aggregate; ppm share by truncating
+    * integer division. Output is |langs| rows at any corpus scale. */
+  def lDiversity(docs: DataFrame, l: Long = 3L): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("l_distinct"),
+        max(col("n")).as("modal_n"))
+      .select(col("lang"), col("n_docs"), col("l_distinct"),
+        expr("(1000000 * modal_n) div n_docs").as("modal_ppm"),
+        (col("l_distinct") >= l).as("diverse"))
+      .orderBy("lang")
 }

@@ -109,4 +109,32 @@ object TextShape {
       .groupBy(col("ttr_centile"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("ttr_centile"))
+
+  /** Flesch reading-ease per document (Flesch 1948; the readability
+    * prior readability-stratified corpus mixes and edu-quality filters
+    * bucket on): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), in exact milli lanes — term1 = (1015·W) div S and
+    * term2 = (84600·Y) div W with truncating integer division
+    * (documented order: each ratio divides BEFORE the subtraction, the
+    * twin mirrors both). Sentences = [.!?]+ runs (clamped to ≥ 1 so a
+    * fragment is one sentence), syllables = [aeiouy]+ vowel groups of
+    * the lowercased text — the standard orthographic approximation;
+    * both are single regexp_count columns, so the whole op is one
+    * codegen'd map-only projection over the corpus (no shuffle, no
+    * explode; the tokenizer's array is built once per row). */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = size(tokens(col("text"))).cast("long")
+    val s = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val y = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    docs
+      .select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        y.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206835L) - expr("(1015 * n_words) div n_sentences")
+          - expr("(84600 * n_syllables) div n_words")).as("flesch_milli"))
+      .orderBy("doc_id")
+  }
 }

@@ -49,6 +49,42 @@ class GraphSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("hitsScores: a→b separates the pure hub from the pure authority") {
+    val ev = events((1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"))
+    val r = Graph.hitsScores(ev)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 1000000L, 0L), ("b", 0L, 1000000L)))
+    Caches.releaseAll()
+  }
+
+  test("hitsScores: co-citing hubs split hub mass, sink takes all authority") {
+    // a→c and b→c: both sources are equal hubs at 500000; c is the
+    // whole authority mass and no hub at all
+    val ev = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "c"),
+      (3L, 1000L, 2L, "b"), (4L, 2000L, 2L, "c"))
+    val r = Graph.hitsScores(ev).as[(String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r("a") == ((500000L, 0L)))
+    assert(r("b") == ((500000L, 0L)))
+    assert(r("c") == ((0L, 1000000L)))
+    Caches.releaseAll()
+  }
+
+  test("hitsScores: transition counts weight authority 2:1 exactly") {
+    // a→b twice, a→c once: auth(b) = 666666 ppm, auth(c) = 333333 ppm
+    val ev = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+      (3L, 1000L, 2L, "a"), (4L, 2000L, 2L, "b"),
+      (5L, 1000L, 3L, "a"), (6L, 2000L, 3L, "c"))
+    val r = Graph.hitsScores(ev).as[(String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r("a") == ((1000000L, 0L)))
+    assert(r("b") == ((0L, 666666L)))
+    assert(r("c") == ((0L, 333333L)))
+    Caches.releaseAll()
+  }
+
   // triangle {1,2,3} (all pairs share cells a#0+b#0) + pendant user 4
   // (shares c#0+d#0 with user 1 only)
   private def trianglePlusPendant = events(

@@ -185,6 +185,34 @@ class SamplingSpec extends SparkTestBase {
     assert(k50 != other, "salt must key the draw")
   }
 
+  test("weightedSample: deterministic, size-biased, priority-exact") {
+    import spark.implicits._
+    val r = Sampling.weightedSample(docs, k = 100)
+      .as[(Long, String, Long, Long)].collect()
+    assert(r.length == 100)
+    // layout independence: repartitioned input draws the same set
+    val again = Sampling.weightedSample(docs.repartition(7), k = 100)
+      .as[(Long, String, Long, Long)].collect()
+    assert(r.map(_._1).toSet == again.map(_._1).toSet)
+    // the emitted priority IS the lane the rank used: recompute per row
+    r.foreach { case (id, _, w, pri) =>
+      val u = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"wsamp:$id").substring(0, 8), 16)
+      assert(pri == 1000000L * u / math.max(w, 1L), s"doc $id lane")
+    }
+    // size bias: the weighted draw's mean doc length must exceed the
+    // uniform draw's (P[i] ~ w_i under priority sampling)
+    val uni = Sampling.uniformSample(docs, k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    val lens = docs.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap
+    val wMean = r.map(x => lens(x._1)).sum.toDouble / r.length
+    val uMean = uni.toSeq.map(lens).sum.toDouble / uni.size
+    assert(wMean > uMean,
+      s"weighted mean $wMean must exceed uniform mean $uMean")
+  }
+
   test("domainMix: binding domain keeps all, others thin to target shares") {
     import spark.implicits._
     // a: 100 docs / target 500‰ -> binding (100e6/500 is the min ratio)

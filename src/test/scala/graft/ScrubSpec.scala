@@ -140,4 +140,17 @@ class ScrubSpec extends SparkTestBase {
     assert(r == Seq((0L, 3L, 1L, 2L, 3L), (1L, 2L, 2L, 1L, 2L),
       (2L, 1L, 8L, 0L, 0L)))
   }
+
+  test("lDiversity: homogeneous class fails even when k-anonymous") {
+    // en: sources a×4, b×1, c×1 → l=3 diverse, modal 4/6
+    // fr: source a×5 → l=1, modal 5/5 — large class, still leaks
+    val rows = (1L to 4L).map(i => (i, "t", "en", "a")) ++
+      Seq((5L, "t", "en", "b"), (6L, "t", "en", "c")) ++
+      (7L to 11L).map(i => (i, "t", "fr", "a"))
+    val d = rows.toList.toDF("doc_id", "text", "lang", "source")
+    val r = graft.operators.Scrub.lDiversity(d, l = 3L)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(("en", 6L, 3L, 666666L, true),
+      ("fr", 5L, 1L, 1000000L, false)))
+  }
 }

@@ -59,4 +59,31 @@ class TextShapeSpec extends SparkTestBase {
     val r = TextShape.docTtr(d).as[(Long, Long)].collect().toMap
     assert(r == Map(100L -> 1L, 50L -> 1L))
   }
+
+  test("readability: hand-computed Flesch milli lanes") {
+    // doc 0: "the cat sat. it ran!" → 5 words, 2 sentences,
+    // syllables: e/a/a/i/a → 5 vowel groups
+    // flesch = 206835 − (1015·5) div 2 − (84600·5) div 5
+    //        = 206835 − 2537 − 84600 = 119698
+    val d = docs((0L, "the cat sat. it ran!", "s"))
+    val r = TextShape.readability(d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 5L, 2L, 5L, 119698L)))
+  }
+
+  test("readability: no terminator clamps to one sentence; y is a vowel") {
+    // "rhythm by" → 2 words, 1 sentence (clamped), vowel groups: y, y → 2
+    // flesch = 206835 − 2030 − (84600·2) div 2 = 206835 − 2030 − 84600
+    val d = docs((0L, "rhythm by", "s"))
+    val r = TextShape.readability(d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 2L, 1L, 2L, 120205L)))
+  }
+
+  test("readability: '!?.' runs collapse to one sentence boundary") {
+    val d = docs((0L, "go now!?. stop", "s"))
+    val r = TextShape.readability(d)
+      .select("n_sentences").as[Long].collect().toSeq
+    assert(r == Seq(1L))
+  }
 }
