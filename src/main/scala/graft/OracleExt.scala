@@ -1246,6 +1246,55 @@ object OracleExt {
     ORDER BY fold"""
   }
 
+  /** Twin of LinearProbe.conformal — trainer chain over band < 6,
+    * floored micro weights, calibration order statistic via a grouped
+    * value-count running sum (10·cum ≥ 9·(n+1)), coverage + set size
+    * on the band ≥ 8 slice. */
+  def probeConformal(iters: Int, lr: Double): String = {
+    val bandExpr = graft.functions.PortableHash
+      .sqlHash32("'conf:' || CAST(doc_id AS VARCHAR)") + " % 10"
+    def confSql(f: String) = s"""
+      SELECT y, CAST(floor(least(greatest(
+        (x0 * (CAST(wm0 AS DOUBLE) / 1000000.0)
+         + x1 * (CAST(wm1 AS DOUBLE) / 1000000.0)
+         + x2 * (CAST(wm2 AS DOUBLE) / 1000000.0)
+         + x3 * (CAST(wm3 AS DOUBLE) / 1000000.0)) * 0.25 + 0.5,
+        0.0), 1.0) * 1000000.0) AS BIGINT) AS conf
+      FROM $f, wm"""
+    s"""
+    WITH ${probeCtes(iters, lr, where = s"WHERE $bandExpr < 6")},
+    wm AS (SELECT CAST(floor(w0 * 1000000.0) AS BIGINT) AS wm0,
+                  CAST(floor(w1 * 1000000.0) AS BIGINT) AS wm1,
+                  CAST(floor(w2 * 1000000.0) AS BIGINT) AS wm2,
+                  CAST(floor(w3 * 1000000.0) AS BIGINT) AS wm3
+           FROM wt$iters),
+    calf AS (${probeFeatureSql(s"WHERE $bandExpr IN (6, 7)")}),
+    testf AS (${probeFeatureSql(s"WHERE $bandExpr >= 8")}),
+    cals AS (SELECT CASE WHEN y = 1.0 THEN 1000000 - conf ELSE conf END
+               AS s_true
+             FROM (${confSql("calf")})),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM cals),
+    qv AS (SELECT CAST(coalesce(min(s_true), 1000000) AS BIGINT)
+               AS q_score
+           FROM (SELECT s_true,
+                   sum(count(*)) OVER (ORDER BY s_true) AS cum
+                 FROM cals GROUP BY 1), nc
+           WHERE cum * 10 >= 9 * (n_calib + 1)),
+    tests AS (SELECT CASE WHEN y = 1.0 THEN 1000000 - conf ELSE conf END
+                AS s_true,
+                1000000 - conf AS s_pos, conf AS s_neg
+              FROM (${confSql("testf")}))
+    SELECT nc.n_calib, qv.q_score, CAST(count(*) AS BIGINT) AS n_test,
+           (1000000 * CAST(sum(CASE WHEN s_true <= q_score THEN 1
+               ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+             AS coverage_ppm,
+           (1000 * CAST(sum((CASE WHEN s_pos <= q_score THEN 1 ELSE 0
+               END) + (CASE WHEN s_neg <= q_score THEN 1 ELSE 0 END))
+               AS BIGINT)) // CAST(count(*) AS BIGINT) AS avg_set_milli
+    FROM tests, qv, nc
+    GROUP BY 1, 2"""
+  }
+
   /** Twin of TextAnalysis.tokens. */
   private def toks: String =
     "list_filter(string_split(lower(text), ' '), t -> t != '')"
@@ -2629,6 +2678,24 @@ object OracleExt {
                          i -> array_to_string(toks[i+1:i+3], ' ')))
                   ELSE [array_to_string(toks, ' ')] END AS sh
            FROM (SELECT doc_id, $toks AS toks FROM documents))"""
+
+  /** Twin of Dedup.shingleNovelty — min(doc_id) per dual-md5 shingle
+    * key, joined back for the per-doc first-occurrence fraction. */
+  val shingleNovelty: String = s"""
+    WITH $shingleCte,
+    ex AS (SELECT doc_id,
+             ${graft.functions.PortableHash.sqlHash32("s")} AS h1,
+             ${graft.functions.PortableHash.sqlHash32b("s")} AS h2
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+    fo AS (SELECT h1, h2, min(doc_id) AS first_doc FROM ex GROUP BY 1, 2)
+    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN fo.first_doc = e.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           (1000000 * CAST(sum(CASE WHEN fo.first_doc = e.doc_id THEN 1
+               ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+             AS novel_ppm
+    FROM ex e JOIN fo USING (h1, h2)
+    GROUP BY 1 ORDER BY 1"""
 
   /** Twin of Dedup.minhashSig + minhashBands (16 lanes, 4 bands). */
   private def bandsCte: String = s"""

@@ -458,6 +458,9 @@ object SparkEntry {
       graft.operators.LinearProbe.calibration(docsPar(s, dir), iters = 3)),
     // 5-fold cross-validated probe accuracy: held-out generalization,
     // salted-hash folds, scoring from the floored micro weights
+    // Split-conformal coverage guarantee at alpha = 0.1 (one row)
+    "probe_conformal" -> ((s, dir) =>
+      graft.operators.LinearProbe.conformal(docsPar(s, dir))),
     "probe_cv" -> ((s, dir) =>
       graft.operators.LinearProbe.crossValidate(docsPar(s, dir))),
     // Integer-ppm PageRank over the event-type transition digraph
@@ -1120,6 +1123,9 @@ object SparkEntry {
     // Span-level duplication stats (Lee et al.) — no self-join
     "dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(docsPar(s, dir)).orderBy("doc_id")),
+    // Per-doc first-occurrence shingle fraction in corpus order
+    "shingle_novelty" -> ((s, dir) =>
+      Dedup.shingleNovelty(docsPar(s, dir))),
     // Exact-substring dedup (Lee et al.): REWRITES the corpus — every
     // duplicated shingle span except its corpus-first occurrence is
     // removed and the doc re-emitted from the surviving tokens
@@ -1598,6 +1604,7 @@ object SparkEntry {
     "linear_probe" -> OracleExt.linearProbe(3, 0.5),
     "probe_calibration" -> OracleExt.probeCalibration(3, 0.5),
     "probe_cv" -> OracleExt.probeCv(5, 3, 0.5),
+    "probe_conformal" -> OracleExt.probeConformal(3, 0.5),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
     "hits_scores" -> OracleExt.hitsScores(4),
     "active_users" -> OracleExt.activeUsers(7, 30),
@@ -1725,6 +1732,7 @@ object SparkEntry {
     "ngram_jaccard" -> OracleExt.ngramJaccard(50, 5),
     "containment_sim" -> OracleExt.containmentSim(300, 5),
     "dup_spans" -> OracleExt.dupSpans,
+    "shingle_novelty" -> OracleExt.shingleNovelty,
     "substring_dedup" -> OracleExt.substringDedup(3),
     "substring_dedup_minspan" -> OracleExt.substringDedup(3, 6),
     "cdc_chunks" -> OracleExt.cdcChunks(16),

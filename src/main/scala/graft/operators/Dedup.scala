@@ -432,6 +432,37 @@ object Dedup {
         expr("(1000 * coalesce(n_dup0, 0L)) div n_spans").as("dup_milli"))
   }
 
+  /** Per-doc shingle NOVELTY in corpus order — the marginal-content
+    * question [[dupSpans]]'s symmetric duplication score cannot answer:
+    * of this doc's distinct shingles, what fraction appears here FIRST
+    * (no lower doc_id contains it)? A curation pipeline reads this as
+    * "how much new text does each successive source/batch contribute" —
+    * the diminishing-returns curve of continued crawling (doc_id is
+    * ingestion order in the fixture; any monotone ingestion key works).
+    *
+    * Shape: the [[dupSpans]] plan with min(doc_id) in place of the df
+    * count — one explode to (doc_id, 64-bit dual-md5 key), one
+    * map-side-combinable groupBy picking each shingle's first doc, one
+    * hash join back, one doc-keyed aggregate. No self-join; shuffles
+    * carry (long, long, long); aliasing bound as [[dupSpans]]. The
+    * lowest doc is 100% novel by construction. */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val ex = graft.Caches.track(withShingles(docs)
+      .select(col("doc_id"), explode(col("__sh")).as("s"))
+      .select(col("doc_id"), PortableHash.hash32(col("s")).as("h1"),
+        PortableHash.hash32b(col("s")).as("h2")))
+    val first = ex.groupBy("h1", "h2")
+      .agg(min(col("doc_id")).as("first_doc"))
+    ex.join(first, Seq("h1", "h2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(1000000 * n_novel) div n_shingles").as("novel_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring deduplication — the Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better") transform that REWRITES
     * the corpus instead of scoring it: [[dupSpans]] measures how much of

@@ -177,4 +177,63 @@ object LinearProbe {
             expr("(1000000 * n_correct) div n_test")).as("acc_ppm"))
     }.reduce(_ union _).orderBy("fold")
   }
+
+  /** Split-conformal prediction audit at α = 0.1 (Vovk et al. 2005;
+    * Angelopoulos & Bates 2021) — the distribution-free guarantee a
+    * filter model can actually promise: train on a 60% slice, take the
+    * ⌈0.9·(n+1)⌉-th smallest calibration nonconformity score as the
+    * threshold q, and the prediction set {c : s_c(x) ≤ q} on fresh docs
+    * covers the true label with probability ≥ 90% — whatever the
+    * probe's calibration looks like ([[calibration]] measures how
+    * honest the scores are; this measures what they GUARANTEE).
+    *
+    * Nonconformity is the quantized true-class complement
+    * s = 1e6 − conf (y=1) / conf (y=0) — integer lanes end to end, so
+    * the exact order statistic comes from the [[graft.operators.Prefix
+    * .inclusiveCumsum]] value-count sweep (never a global sort):
+    * q = min score with 10·cum ≥ 9·(n+1), the integer form of
+    * ⌈0.9(n+1)⌉; an undersized calibration set (k > n) degrades to
+    * q = 1e6 (every set is {0,1} — coverage 100%, sets useless), never
+    * an error. Bands split by salted hash (train 0-5, calib 6-7, test
+    * 8-9); scoring restarts from the floored micro weights (the
+    * [[calibration]] determinism contract). Output is ONE row. */
+  def conformal(docs: DataFrame, iters: Int = 3, lr: Double = 0.5)
+      : DataFrame = {
+    val band = graft.functions.PortableHash.hash32(
+      concat(lit("conf:"), col("doc_id").cast("string"))) % 10
+    val w = weightsRow(docs.filter(band < 6), iters, lr)
+    def scored(part: DataFrame): DataFrame =
+      features(part).crossJoin(broadcast(w))
+        .select(col("y"), confCol.as("conf"))
+        .select(
+          when(col("y") === 1.0d, lit(1000000L) - col("conf"))
+            .otherwise(col("conf")).as("s_true"),
+          (lit(1000000L) - col("conf")).as("s_pos"),
+          col("conf").as("s_neg"))
+
+    val cal = graft.Caches.track(
+      scored(docs.filter(band === 6 || band === 7)))
+    val nCal = cal.agg(count(lit(1)).as("n_calib"))
+    val counts = cal.groupBy("s_true").agg(count(lit(1)).as("n"))
+    val qv = Prefix.inclusiveCumsum(counts,
+        length(bin(col("s_true"))), col("s_true"), Seq("n" -> col("n")))
+      .crossJoin(broadcast(nCal))
+      .filter(col("cum_n") * 10 >= (col("n_calib") + 1) * 9)
+      .agg(min(col("s_true")).as("__q"))
+      .select(coalesce(col("__q"), lit(1000000L)).as("q_score"))
+
+    scored(docs.filter(band >= 8))
+      .crossJoin(broadcast(qv)).crossJoin(broadcast(nCal))
+      .agg(max(col("n_calib")).as("n_calib"),
+        max(col("q_score")).as("q_score"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("s_true") <= col("q_score"), 1L).otherwise(0L))
+          .as("__cov"),
+        sum(when(col("s_pos") <= col("q_score"), 1L).otherwise(0L)
+          + when(col("s_neg") <= col("q_score"), 1L).otherwise(0L))
+          .as("__set"))
+      .select(col("n_calib"), col("q_score"), col("n_test"),
+        expr("(1000000 * __cov) div n_test").as("coverage_ppm"),
+        expr("(1000 * __set) div n_test").as("avg_set_milli"))
+  }
 }

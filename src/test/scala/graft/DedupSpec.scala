@@ -470,6 +470,24 @@ class DedupSpec extends SparkTestBase {
       3L -> ((2L, 0L, 0L))))
   }
 
+  test("shingleNovelty: first occurrence wins in corpus order") {
+    // doc 0 introduces {a b c, b c d}: fully novel. doc 1 re-uses
+    // "a b c" but adds "b c x": half novel. doc 2 repeats doc 0
+    // verbatim: zero novel. doc 3 is a short-doc whole-text shingle,
+    // unseen: fully novel.
+    val d = docs((0L, "a b c d"), (1L, "a b c x"), (2L, "a b c d"),
+      (3L, "zz"))
+    val r = Dedup.shingleNovelty(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r == Map(
+      0L -> ((2L, 2L, 1000000L)),
+      1L -> ((2L, 1L, 500000L)),
+      2L -> ((2L, 0L, 0L)),
+      3L -> ((1L, 1L, 1000000L))))
+    Caches.releaseAll()
+  }
+
   test("dupSpans counts spans, not pair multiplicity") {
     // a span shared by THREE docs still counts once per doc
     val d = docs((1L, "a b c x1 y1"), (2L, "a b c x2 y2"),

@@ -100,4 +100,47 @@ class LinearProbeSpec extends SparkTestBase {
     assert(a == b)
     Caches.releaseAll()
   }
+
+  private def band(id: Long): Long =
+    java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(s"conf:$id").substring(0, 8), 16) % 10
+
+  test("conformal: structural invariants + the coverage guarantee") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = LinearProbe.conformal(d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.length == 1)
+    val (nCal, q, nTest, cov, set) = r.head
+    assert(nCal > 0 && nTest > 0)
+    assert(q >= 0L && q <= 1000000L)
+    // covered rows have the true label in the set, so every covered
+    // row contributes >= 1 to set size: exact structural inequality
+    assert(set >= cov / 1000, s"set $set vs coverage $cov")
+    // finite-sample 90% guarantee with slack for split noise
+    assert(cov >= 800000L, s"coverage collapsed: $cov")
+    Caches.releaseAll()
+    // bit-deterministic on re-run
+    val r2 = LinearProbe.conformal(d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == r2)
+    Caches.releaseAll()
+  }
+
+  test("conformal: empty calibration slice degrades to full sets") {
+    // keep only docs whose salted band avoids the calibration slice
+    // {6,7}: q must clamp to 1e6 -> coverage 100%, every set = {0,1}
+    val ids = (1L to 400L).filter(i => band(i) != 6L && band(i) != 7L)
+    val d = ids.map(i =>
+        (i, "w x", if (i % 2 == 0) "en" else "fr", 100L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val r = LinearProbe.conformal(d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.length == 1)
+    val (nCal, q, nTest, cov, set) = r.head
+    assert(nCal == 0L)
+    assert(nTest > 0L)
+    assert(q == 1000000L, s"empty calibration must clamp q: $q")
+    assert(cov == 1000000L && set == 2000L)
+    Caches.releaseAll()
+  }
 }
