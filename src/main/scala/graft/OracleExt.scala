@@ -3577,6 +3577,35 @@ object OracleExt {
     FROM intra i LEFT JOIN inter n ON n.cluster = i.cluster
     ORDER BY i.cluster"""
 
+  /** Twin of KMeans.silhouette — per-point a/b micro lanes off the same
+    * unrolled Lloyd chain (a = own-centroid d2, b = min over OTHER
+    * centroids), milli coefficient with the sign split out so `//`
+    * (floor) only ever sees non-negative operands — the exact pairing
+    * of Spark's truncating `div`. */
+  def silhouette(k: Int, iters: Int): String = s"""
+    ${kmeansCte(k, iters)},
+    pt AS (SELECT a.vec_id, a.cid AS cluster,
+                  CAST(floor(a.d2 * 1000000) AS BIGINT) AS a_micro,
+                  MIN(CAST(floor(${sqlDist2("a.v", "c.c")} * 1000000)
+                        AS BIGINT)) AS b_micro
+           FROM a${iters - 1} a JOIN c${iters - 1} c ON c.cid <> a.cid
+           GROUP BY 1, 2, 3),
+    sc AS (SELECT cluster,
+                  CASE WHEN b_micro >= a_micro
+                    THEN (1000 * (b_micro - a_micro))
+                           // GREATEST(GREATEST(a_micro, b_micro), 1)
+                    ELSE -((1000 * (a_micro - b_micro))
+                           // GREATEST(GREATEST(a_micro, b_micro), 1))
+                  END AS s_milli
+           FROM pt)
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(SUM(s_milli) AS BIGINT) AS sum_s_milli,
+           CAST(CASE WHEN SUM(s_milli) >= 0
+                  THEN SUM(s_milli) // count(*)
+                  ELSE -((-SUM(s_milli)) // count(*))
+                END AS BIGINT) AS mean_s_milli
+    FROM sc GROUP BY cluster ORDER BY cluster"""
+
   /** Twin of KMeans.annIvfNprobe: queries ranked against the trained
     * centroid table c{iters-1}, probing their `nprobe` nearest
     * clusters. */

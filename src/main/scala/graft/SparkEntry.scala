@@ -1245,6 +1245,10 @@ object SparkEntry {
     // Davies-Bouldin-style per-cluster spread vs nearest-centroid gap
     "cluster_quality" -> ((s, dir) =>
       KMeans.clusterQuality(embPar(s, dir))),
+    // Simplified (centroid-based) silhouette: per-POINT membership
+    // quality averaged per cluster — the O(n·k) Hruschka form
+    "silhouette" -> ((s, dir) =>
+      KMeans.silhouette(embPar(s, dir))),
     // IVF ANN: top-3 within the query's trained cluster
     "ann_ivf" -> ((s, dir) =>
       KMeans.annIvf(embPar(s, dir)).orderBy("query_id", "rank")),
@@ -1568,6 +1572,7 @@ object SparkEntry {
     "multimodal_decode" -> OracleExt.multimodalDecode,
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "cluster_quality" -> OracleExt.clusterQuality(8, 2),
+    "silhouette" -> OracleExt.silhouette(8, 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
     "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
     "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),

@@ -945,4 +945,50 @@ object KMeans {
           .as("sep_ratio_ppm"))
       .orderBy("cluster")
   }
+
+  /** Per-cluster simplified silhouette (Rousseeuw 1987's coefficient
+    * in its centroid-based linear form — Hruschka et al.'s "simplified
+    * silhouette"): per point a = dist² to its OWN centroid, b = dist²
+    * to the NEAREST OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1];
+    * the per-cluster mean is the membership-quality dial next to
+    * [[clusterQuality]]'s centroid-level separation ratio (a cluster
+    * can have tight centroid spacing yet members sitting on the
+    * boundary — only a per-POINT statistic sees that). Full silhouette
+    * is O(n²) pairwise; the centroid form is O(n·k) — the only version
+    * that exists at corpus scale.
+    *
+    * Integer discipline: a and b floor-quantize to micro lanes
+    * (the [[clusterQuality]] quantization), s_milli divides
+    * positive-operand-only — sign split out explicitly, because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, and they
+    * only agree on non-negative operands (same split on the mean).
+    * Shape: one crossJoin(broadcast(k-row centroids)) + per-point min
+    * — linear, no shuffle beyond the k-row broadcast and the final
+    * k-row aggregate. k = 1 yields no rows (no "other" centroid). */
+  def silhouette(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val (assigned, centroids) = fitModel(emb, k, iters)
+    val pt = assigned
+      .crossJoin(broadcast(centroids))
+      .filter(col("cid") =!= col("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        floor(col("d2") * 1000000L).cast("long").as("a_micro"),
+        floor(dist2(col("v"), col("c")) * 1000000L).cast("long").as("b0"))
+      .groupBy("vec_id", "cluster", "a_micro")
+      .agg(min(col("b0")).as("b_micro"))
+    pt.select(col("cluster"),
+        when(col("b_micro") >= col("a_micro"),
+          expr("""(1000 * (b_micro - a_micro))
+                  div greatest(greatest(a_micro, b_micro), 1)"""))
+          .otherwise(-expr("""(1000 * (a_micro - b_micro))
+                  div greatest(greatest(a_micro, b_micro), 1)"""))
+          .as("s_milli"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("s_milli")).as("sum_s_milli"))
+      .select(col("cluster"), col("n_points"), col("sum_s_milli"),
+        when(col("sum_s_milli") >= 0, expr("sum_s_milli div n_points"))
+          .otherwise(-expr("(-sum_s_milli) div n_points"))
+          .as("mean_s_milli"))
+      .orderBy("cluster")
+  }
 }

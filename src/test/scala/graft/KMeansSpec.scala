@@ -362,6 +362,40 @@ class KMeansSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("silhouette: exact coefficients on two separable blobs") {
+    // same converged fixture as the clusterQuality test: centroids at
+    // (±100, 0), members at y ∈ {0, ±1}. Per point a = d2 to own
+    // centroid ∈ {0, 1, 1} micro-floored; b = d2 to the other centroid
+    // (40000 for y=0; 40001 for y=±1). s_milli = (1000·(b−a)) div b:
+    // y=0 → 1000 exactly; y=±1 → floor(1000·40000e6/40001e6) = 999.
+    val rows = Seq(
+      (0L, vec(100f, 0f)), (2L, vec(100f, 1f)), (4L, vec(100f, -1f)),
+      (1L, vec(-100f, 0f)), (3L, vec(-100f, 1f)), (5L, vec(-100f, -1f)))
+      .map { case (id, v) => (id, v, 0) }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = KMeans.silhouette(emb, k = 2, iters = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 3L, 2998L, 999L), (1L, 3L, 2998L, 999L)))
+    Caches.releaseAll()
+  }
+
+  test("silhouette covers the shared model's populated clusters; " +
+    "coefficients stay in [-1000, 1000]") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val s = KMeans.silhouette(emb)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val pops = KMeans.fit(emb).groupBy("cluster")
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(s.map(_._1).toSet == pops.keySet)
+    s.foreach { case (cl, n, sumS, meanS) =>
+      assert(n == pops(cl))
+      assert(meanS >= -1000L && meanS <= 1000L)
+      assert(sumS >= -1000L * n && sumS <= 1000L * n)
+    }
+    Caches.releaseAll()
+  }
+
   test("OPQ: identity candidate equals plain PQ; chosen error is the min") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val eval = KMeans.opqEval(emb)
