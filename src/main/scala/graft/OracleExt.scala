@@ -5997,6 +5997,31 @@ object OracleExt {
            count(*) >= $l AS diverse
     FROM c GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of Scrub.tCloseness — categorical EMD (= total variation)
+    * per lang class over the FULL lang×source grid, cross-multiplied
+    * HUGEINT numerators, `//` on non-negative operands. */
+  def tCloseness(tPpm: Long): String = s"""
+    WITH cell AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cv
+                  FROM documents GROUP BY 1, 2),
+    g AS (SELECT source, CAST(sum(n_cv) AS BIGINT) AS n_v
+          FROM cell GROUP BY 1),
+    cl AS (SELECT lang, CAST(sum(n_cv) AS BIGINT) AS n_c
+           FROM cell GROUP BY 1),
+    t AS (SELECT CAST(sum(n_cv) AS BIGINT) AS n_total FROM cell),
+    grid AS (SELECT cl.lang, cl.n_c, t.n_total,
+                    ABS(CAST(COALESCE(c.n_cv, 0) AS HUGEINT) * t.n_total
+                      - CAST(g.n_v AS HUGEINT) * cl.n_c) AS dev
+             FROM cl CROSS JOIN g CROSS JOIN t
+             LEFT JOIN cell c ON c.lang = cl.lang AND c.source = g.source)
+    SELECT lang, n_c AS n_docs,
+           CAST((CAST(1000000 AS HUGEINT) * SUM(dev))
+                // (2 * CAST(n_c AS HUGEINT) * n_total) AS BIGINT)
+             AS emd_ppm,
+           CAST((CAST(1000000 AS HUGEINT) * SUM(dev))
+                // (2 * CAST(n_c AS HUGEINT) * n_total) AS BIGINT)
+             <= $tPpm AS close
+    FROM grid GROUP BY lang, n_c, n_total ORDER BY lang"""
+
   /** Twin of Sampling.temperatureMix — ⌊√n⌋ weights (IEEE sqrt,
     * correctly rounded both engines), ppm shares, HUGEINT boost. */
   val temperatureMix: String = """

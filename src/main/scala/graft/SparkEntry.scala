@@ -991,6 +991,10 @@ object SparkEntry {
     // Distinct l-diversity per lang class (homogeneity-attack audit)
     "l_diversity" -> ((s, dir) =>
       graft.operators.Scrub.lDiversity(docsPar(s, dir))),
+    // t-closeness: per-class categorical EMD vs the corpus sensitive
+    // distribution — the skewness-attack gate l-diversity can't see
+    "t_closeness" -> ((s, dir) =>
+      graft.operators.Scrub.tCloseness(docsPar(s, dir))),
     "pii_redact" -> ((s, dir) =>
       Scrub.piiRedact(Scrub.withInjectedPii(docsPar(s, dir)), col("text"))
         .select(col("doc_id"), col("n_pii"), col("redacted"))
@@ -1524,6 +1528,7 @@ object SparkEntry {
     "repeat_ngrams" -> OracleExt.repeatNgrams,
     "k_anonymity" -> OracleExt.kAnonymity(5L),
     "l_diversity" -> OracleExt.lDiversity(3L),
+    "t_closeness" -> OracleExt.tCloseness(200000L),
     "pii_redact" -> OracleExt.piiRedact,
     "text_normalize" -> OracleExt.normalizeText,
     "assoc_rules" -> OracleExt.assocRules(1L),

@@ -201,4 +201,49 @@ object Scrub {
         expr("(1000000 * modal_n) div n_docs").as("modal_ppm"),
         (col("l_distinct") >= l).as("diverse"))
       .orderBy("lang")
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * release gate of the privacy trio: [[lDiversity]] counts distinct
+    * sensitive values, but a class whose sensitive DISTRIBUTION skews
+    * far from the corpus still leaks (the skewness attack — "90% of
+    * this class is source X" is a disclosure even when l other sources
+    * appear). Per lang class, the Earth-Mover's Distance between the
+    * class's source distribution and the global one; for a categorical
+    * attribute under the uniform ground metric EMD collapses to the
+    * total-variation distance ½·Σ_v |p_c(v) − p(v)| — and THAT is
+    * exact in integers by cross-multiplying the two ratios:
+    * ½·Σ_v |n_cv·N − n_v·n_c| / (n_c·N). Absent (class, value) cells
+    * are distribution mass (they contribute n_v·n_c), so the sum runs
+    * over the full lang×source grid, never just observed cells.
+    *
+    * Shape: ONE corpus aggregate to the |langs|·|sources|-bounded cell
+    * table (tracked-persisted — globals, class sizes, and the total
+    * all fold off it, so the corpus is scanned once, not four times);
+    * grid = classes × broadcast globals, left-joined to cells. Products
+    * run in DECIMAL(38,0) lanes (n_cv·N reaches ~1e26 at 100 TB —
+    * past BIGINT); the final ppm division truncates on non-negative
+    * operands, where Spark `div` = DuckDB `//`. */
+  def tCloseness(docs: DataFrame, tPpm: Long = 200000L): DataFrame = {
+    val cell = graft.Caches.track(
+      docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_cv")))
+    val global = cell.groupBy("source").agg(sum(col("n_cv")).as("n_v"))
+    val classes = cell.groupBy("lang").agg(sum(col("n_cv")).as("n_c"))
+    val total = cell.agg(sum(col("n_cv")).as("n_total"))
+    classes.crossJoin(broadcast(global))
+      .crossJoin(broadcast(total))
+      .join(cell, Seq("lang", "source"), "left")
+      .select(col("lang"), col("n_c"), col("n_total"),
+        abs(coalesce(col("n_cv"), lit(0L)).cast("decimal(38,0)")
+            * col("n_total")
+          - col("n_v").cast("decimal(38,0)") * col("n_c")).as("dev"))
+      .groupBy("lang", "n_c", "n_total")
+      .agg(sum(col("dev")).as("sum_dev"))
+      .select(col("lang"), col("n_c").as("n_docs"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_dev)
+                     div (2 * CAST(n_c AS DECIMAL(38,0)) * n_total)
+                  AS BIGINT)""").as("emd_ppm"))
+      .withColumn("close", col("emd_ppm") <= tPpm)
+      .orderBy("lang")
+  }
 }

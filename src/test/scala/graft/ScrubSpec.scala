@@ -153,4 +153,35 @@ class ScrubSpec extends SparkTestBase {
     assert(r == Seq(("en", 6L, 3L, 666666L, true),
       ("fr", 5L, 1L, 1000000L, false)))
   }
+
+  test("tCloseness: skewed class fails; absent cells count as mass") {
+    // global: a×9 b×1 c×1 over N=11. en (a4,b1,c1, n=6):
+    // Σ|n_cv·N − n_v·n_c| = |44−54| + |11−6| + |11−6| = 20 →
+    // emd = 1e6·20 div (2·6·11) = 151515 ppm. fr (a5, n=5) never saw
+    // b or c — those cells still contribute |0 − n_v·n_c| = 5 each:
+    // Σ = 10+5+5 = 20 → 1e6·20 div (2·5·11) = 181818 ppm. At
+    // t = 160000 the mild en skew passes, fr's concentration fails.
+    val rows = (1L to 4L).map(i => (i, "t", "en", "a")) ++
+      Seq((5L, "t", "en", "b"), (6L, "t", "en", "c")) ++
+      (7L to 11L).map(i => (i, "t", "fr", "a"))
+    val d = rows.toList.toDF("doc_id", "text", "lang", "source")
+    val r = graft.operators.Scrub.tCloseness(d, tPpm = 160000L)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(("en", 6L, 151515L, true),
+      ("fr", 5L, 181818L, false)))
+    Caches.releaseAll()
+  }
+
+  test("tCloseness: a class mirroring the corpus distribution is at " +
+    "EMD zero") {
+    // both classes are a:b = 2:1 — exactly the global mix
+    val rows = Seq((1L, "en", "a"), (2L, "en", "a"), (3L, "en", "b"),
+      (4L, "fr", "a"), (5L, "fr", "a"), (6L, "fr", "b"))
+      .map { case (id, lg, src) => (id, "t", lg, src) }
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val r = graft.operators.Scrub.tCloseness(d)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(("en", 3L, 0L, true), ("fr", 3L, 0L, true)))
+    Caches.releaseAll()
+  }
 }
