@@ -6093,6 +6093,30 @@ object OracleExt {
     FROM deg d LEFT JOIN pern p ON p.user_id = d.user_id
     ORDER BY d.user_id"""
 
+  /** Twin of Graph.linkPredict — hinge self-join wedges over sym with
+    * degrees pre-joined, anti-join on the undirected edge list `pr`,
+    * whole-bit Adamic-Adar lanes, `//` on non-negative operands. */
+  def linkPredict(topK: Int, maxCellUsers: Int, minShared: Int): String = s"""
+    WITH ${userGraphCtes(maxCellUsers, minShared)},
+    deg AS (SELECT src AS z, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1),
+    cand AS (SELECT s1.dst AS ua, s2.dst AS ub,
+                    CAST(count(*) AS BIGINT) AS cn,
+                    CAST(SUM(1000000 // (length(bin(d.deg)) - 1))
+                      AS BIGINT) AS aa_micro
+             FROM sym s1
+             JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+             JOIN deg d ON d.z = s1.src
+             GROUP BY 1, 2),
+    ne AS (SELECT c.* FROM cand c
+           LEFT JOIN pr ON pr.ua = c.ua AND pr.ub = c.ub
+           WHERE pr.ua IS NULL)
+    SELECT ne.ua, ne.ub, ne.cn, ne.aa_micro,
+           (1000000 * ne.cn) // (da.deg + db.deg - ne.cn) AS jaccard_ppm
+    FROM ne JOIN deg da ON da.z = ne.ua
+            JOIN deg db ON db.z = ne.ub
+    ORDER BY ne.cn DESC, ne.aa_micro DESC, ne.ua, ne.ub LIMIT $topK"""
+
   /** Shared CTE chain of the component twins: min-reachable-label over
     * the symmetric user graph (recursive reach — the dedup-cluster
     * twins' device), singletons self-labeled via the left join. */

@@ -802,6 +802,10 @@ object SparkEntry {
     // Watts-Strogatz per-node clustering coefficient (exact ppm)
     "clustering_coeff" -> ((s, dir) =>
       graft.operators.Graph.clusteringCoeff(LogSource.readEvents(s, dir))),
+    // Link prediction: top-k non-adjacent pairs by common neighbors,
+    // whole-bit Adamic-Adar, and neighborhood Jaccard
+    "link_predict" -> ((s, dir) =>
+      graft.operators.Graph.linkPredict(LogSource.readEvents(s, dir))),
     // Half-sample stability band for the corpus mean (hash-bit replicas)
     "half_sample_ci" -> ((s, dir) =>
       graft.operators.Sampling.halfSampleCi(LogSource.readEvents(s, dir))),
@@ -1779,6 +1783,7 @@ object SparkEntry {
     "degree_assort" -> OracleExt.degreeAssortativity(64, 2),
     "user_components" -> OracleExt.userComponents(64, 2),
     "component_sizes" -> OracleExt.componentSizes(64, 2),
-    "clustering_coeff" -> OracleExt.clusteringCoeff(64, 2)
+    "clustering_coeff" -> OracleExt.clusteringCoeff(64, 2),
+    "link_predict" -> OracleExt.linkPredict(20, 64, 2)
   )
 }

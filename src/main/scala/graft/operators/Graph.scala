@@ -584,6 +584,57 @@ object Graph {
       .orderBy("user_id")
   }
 
+  /** Link prediction over the staged co-occurrence graph (Liben-Nowell
+    * & Kleinberg 2003): score NON-adjacent pairs by shared
+    * neighborhood — common-neighbor count, Adamic-Adar (a rare shared
+    * friend is stronger evidence than a hub), and neighborhood
+    * Jaccard. AA's 1/log(deg z) runs in the whole-bit lane
+    * 1e6 div (length(bin(deg_z)) − 1) — the unigram_surprisal
+    * floor-log2 discipline; a wedge hinge has both endpoints as
+    * neighbors, so deg_z ≥ 2 and the divisor is ≥ 1 (exact both
+    * engines).
+    *
+    * Shape: degrees pre-join onto the symmetric edge list ONCE
+    * (node-sized), so the single hinge self-join emits each wedge
+    * a<b already carrying deg_z — the join partitions on z, no second
+    * exchange for the weight; existing edges leave via anti-join
+    * AFTER the (a,b) aggregate (candidate-pairs-sized, never
+    * wedge-sized); Jaccard's |N(a)∪N(b)| = deg_a + deg_b − cn needs
+    * only two node-sized joins; top-k by (cn, aa, pair) is a
+    * TakeOrderedAndProject, never a global sort. Wedge fan-out is
+    * deg² at the hinge, bounded by the staged graph's maxCellUsers
+    * cap — the same bound every triangle/truss consumer rides. */
+  def linkPredict(events: DataFrame, topK: Int = 20,
+                  maxCellUsers: Int = 64, minShared: Int = 2): DataFrame =
+    linkPredictFromPairs(
+      stagedPairs(events, maxCellUsers, minShared), topK)
+
+  /** [[linkPredict]] over an explicit undirected (ua < ub) edge frame —
+    * `private[graft]` so the spec drives hand-checkable toy graphs. */
+  private[graft] def linkPredictFromPairs(pairs: DataFrame,
+                                          topK: Int): DataFrame = {
+    val sym = pairs.select(col("ua").as("z"), col("ub").as("n"))
+      .unionByName(pairs.select(col("ub").as("z"), col("ua").as("n")))
+    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val symd = sym.join(deg, Seq("z"))
+    val cand = symd.select(col("z"), col("n").as("a"), col("deg"))
+      .join(symd.select(col("z"), col("n").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("ua"), col("b").as("ub"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div (length(bin(deg)) - 1)")).as("aa_micro"))
+      .join(pairs, Seq("ua", "ub"), "leftanti")
+    cand
+      .join(deg.select(col("z").as("ua"), col("deg").as("deg_a")),
+        Seq("ua"))
+      .join(deg.select(col("z").as("ub"), col("deg").as("deg_b")),
+        Seq("ub"))
+      .select(col("ua"), col("ub"), col("cn"), col("aa_micro"),
+        expr("(1000000 * cn) div (deg_a + deg_b - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("aa_micro").desc, col("ua"), col("ub"))
+      .limit(topK)
+  }
+
   /** Connected components of the user co-occurrence graph: every user
     * labeled with the MIN user id reachable through shared-activity
     * edges — singletons (users with no qualifying co-occurrence) are

@@ -298,4 +298,47 @@ class GraphSpec extends SparkTestBase {
       (4L, 2L, 25L, 1000000L)))
     Caches.releaseAll()
   }
+
+  test("linkPredict: diamond predicts both diagonals, never an edge") {
+    // square 1-2-4-3-1: only (1,4) and (2,3) share neighbors and are
+    // non-adjacent — cn=2, AA = 2·(1e6 div bits(deg 2)=1) = 2e6,
+    // Jaccard = 2/(2+2−2) = 1e6. Every existing edge is excluded.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("ua", "ub")
+    val r = Graph.linkPredictFromPairs(pairs, topK = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 4L, 2L, 2000000L, 1000000L),
+      (2L, 3L, 2L, 2000000L, 1000000L)))
+    Caches.releaseAll()
+  }
+
+  test("linkPredict: Adamic-Adar downweights the hub shared neighbor") {
+    // hub 5 — {1,2,3,4}; rare neighbor 6 — {1,2}. The (1,2) pair
+    // shares hub (deg 4 → bits 2 → 500000) + rare (deg 2 → bits 1 →
+    // 1e6) = 1.5e6; (5,6) shares {1,2} (deg 2 each) = 2e6; every
+    // other pair shares the hub only at 500000. Ranking: cn desc,
+    // then AA — (5,6) and (1,2) lead the cn=1 crowd.
+    val pairs = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L),
+      (1L, 6L), (2L, 6L)).toDF("ua", "ub")
+    val r = Graph.linkPredictFromPairs(pairs, topK = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.take(2) == Seq((5L, 6L, 2L, 2000000L, 500000L),
+      (1L, 2L, 2L, 1500000L, 1000000L)))
+    assert(r.drop(2) == Seq(
+      (1L, 3L, 1L, 500000L, 500000L), (1L, 4L, 1L, 500000L, 500000L),
+      (2L, 3L, 1L, 500000L, 500000L), (2L, 4L, 1L, 500000L, 500000L),
+      (3L, 4L, 1L, 500000L, 1000000L)))
+    Caches.releaseAll()
+  }
+
+  test("linkPredict end-to-end: pendant pairs with the far triangle " +
+    "corners through the shared bridge") {
+    // triangle {1,2,3} + pendant 4 on 1: candidates (2,4) and (3,4)
+    // share neighbor 1 (deg 3 → bits 1 → 1e6); Jaccard 1/(2+1−1)
+    val r = Graph.linkPredict(trianglePlusPendant)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((2L, 4L, 1L, 1000000L, 500000L),
+      (3L, 4L, 1L, 1000000L, 500000L)))
+    Caches.releaseAll()
+  }
 }
