@@ -707,11 +707,11 @@ object OracleExt {
                         / (n * sxx - sx * sx)) AS BIGINT) AS slope_ppm
     FROM s ORDER BY n_terms"""
 
-  /** Twin of Graph.pagerankEvents — `iters` unrolled power iterations
-    * in exact ppm integer arithmetic (positive operands, so truncating
-    * division agrees between Spark `div` and DuckDB `//`). */
-  def pagerankEvents(iters: Int): String = {
-    val rounds = (0 until iters).map { k =>
+  /** The unrolled damped ppm power rounds shared by the pagerank and
+    * textrank twins — references CTEs `edges`, `nodes`, `nc`, `r0`,
+    * the exact SQL of Graph.pagerankCore's per-round update. */
+  private def pagerankRounds(iters: Int): String =
+    (0 until iters).map { k =>
       s"""
     c$k AS (SELECT e.dst, CAST(sum(r.r_ppm * e.p_ppm) AS BIGINT) AS s
           FROM r$k r JOIN edges e ON r.node = e.src GROUP BY e.dst),
@@ -720,6 +720,12 @@ object OracleExt {
               + (150000 // nc.n) AS r_ppm
           FROM nodes n LEFT JOIN c$k c ON n.node = c.dst, nc)"""
     }.mkString(",")
+
+  /** Twin of Graph.pagerankEvents — `iters` unrolled power iterations
+    * in exact ppm integer arithmetic (positive operands, so truncating
+    * division agrees between Spark `div` and DuckDB `//`). */
+  def pagerankEvents(iters: Int): String = {
+    val rounds = pagerankRounds(iters)
     s"""
     WITH pairs AS MATERIALIZED (
       SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
@@ -2873,6 +2879,35 @@ object OracleExt {
                   // (CAST(dfa AS HUGEINT) * dfb) AS BIGINT))) - 1
              AS BIGINT)) AS ppmi_bits
     FROM pairs, nd ORDER BY ta, tb"""
+
+  /** Twin of TextAnalysis.textrankTerms — termCooc's df-capped pair
+    * table made symmetric, then the SHARED pagerank round unroll. */
+  def textrankTerms(iters: Int, topK: Int, maxDf: Int,
+                    minPairCount: Long): String = s"""
+    WITH dt AS (SELECT DISTINCT doc_id, term FROM (
+                  SELECT doc_id, unnest($toks) AS term FROM documents)),
+    dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM dt GROUP BY term HAVING count(*) <= $maxDf),
+    kept AS (SELECT dt.doc_id, dt.term FROM dt JOIN dfs USING (term)),
+    und AS MATERIALIZED (
+      SELECT a.term AS ta, b.term AS tb, CAST(count(*) AS BIGINT) AS c
+      FROM kept a JOIN kept b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= $minPairCount),
+    pairs AS MATERIALIZED (
+      SELECT ta AS src, tb AS dst, c FROM und
+      UNION ALL SELECT tb AS src, ta AS dst, c FROM und),
+    edges AS MATERIALIZED (
+      SELECT p.src, p.dst, (1000000 * p.c) // t.o AS p_ppm
+      FROM pairs p
+      JOIN (SELECT src, CAST(sum(c) AS BIGINT) AS o FROM pairs
+            GROUP BY src) t USING (src)),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM pairs),
+    nc AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1000000 // n AS r_ppm FROM nodes, nc),
+    ${pagerankRounds(iters)}
+    SELECT node AS term, CAST(r_ppm AS BIGINT) AS rank_ppm
+    FROM r$iters ORDER BY rank_ppm DESC, term LIMIT $topK"""
 
   /** Twin of Dedup.tieredNearDup — LSH candidates → lane-agreement
     * estimate gate → exact shingle Jaccard for survivors only. Union

@@ -869,6 +869,9 @@ object SparkEntry {
     // Doc-level term co-occurrence with whole-bit positive PMI
     "term_cooc" -> ((s, dir) =>
       TextAnalysis.termCooc(docsPar(s, dir))),
+    // TextRank: corpus keyword salience from co-occurrence centrality
+    "textrank_terms" -> ((s, dir) =>
+      TextAnalysis.textrankTerms(docsPar(s, dir))),
     // Lexical k-means end to end: hashed count vectors -> Lloyd
     "doc_clusters" -> ((s, dir) =>
       KMeans.assignments(TextAnalysis.docVectors(docsPar(s, dir)))
@@ -1708,6 +1711,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> OracleExt.dedupThresholdSweep(
       Seq(300L, 400L, 500L, 600L, 700L, 800L)),
     "term_cooc" -> OracleExt.termCooc(100000, 5L),
+    "textrank_terms" -> OracleExt.textrankTerms(4, 25, 100000, 5L),
     "doc_clusters" -> OracleExt.docClusters(8, 2, 64),
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),

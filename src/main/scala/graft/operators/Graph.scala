@@ -30,14 +30,23 @@ import org.apache.spark.sql.functions._
   * rounds of join+agg+outer-join lineage is still worth truncating. */
 object Graph {
 
-  def pagerankEvents(events: DataFrame, iters: Int = 5): DataFrame = {
-    val pairs = Events.stagedTransitionPairs(events)
+  def pagerankEvents(events: DataFrame, iters: Int = 5): DataFrame =
+    pagerankCore(Events.stagedTransitionPairs(events),
+      events.select(col("event_type").as("node")).distinct(), iters)
+      .select(col("node").as("event_type"), col("r_ppm").as("rank_ppm"))
+
+  /** The damped ppm power iteration over an arbitrary weighted
+    * (src, dst, c) edge frame plus a node frame — the engine under
+    * [[pagerankEvents]] and TextAnalysis.textrankTerms (identical
+    * update, so both oracle twins unroll the SAME round SQL).
+    * Returns (node, r_ppm). */
+  private[graft] def pagerankCore(pairs: DataFrame, nodes0: DataFrame,
+                                  iters: Int): DataFrame = {
     val edges = graft.Caches.track(
       pairs.join(pairs.groupBy("src").agg(sum(col("c")).as("out")), "src")
         .select(col("src"), col("dst"),
           expr("(1000000 * c) div out").as("p_ppm")))
-    val nodes = graft.Caches.track(
-      events.select(col("event_type").as("node")).distinct())
+    val nodes = graft.Caches.track(nodes0)
     val nc = nodes.agg(count(lit(1)).as("n"))
 
     var r = nodes.crossJoin(broadcast(nc))
@@ -54,7 +63,7 @@ object Graph {
             " + (150000 div n)").as("r_ppm"))
         .localCheckpoint()
     }
-    r.select(col("node").as("event_type"), col("r_ppm").as("rank_ppm"))
+    r
   }
 
   /** HITS hubs-and-authorities (Kleinberg 1999) on the weighted

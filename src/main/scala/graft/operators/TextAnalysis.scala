@@ -454,6 +454,39 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score_micro"))
   }
 
+  /** TextRank keyword ranking (Mihalcea & Tarau 2004) — corpus-level
+    * term salience from graph centrality instead of [[keywordExtract]]'s
+    * per-doc tf/df ratio: terms vote for the terms they co-occur with,
+    * weighted by co-occurrence count, and votes recirculate until hubs
+    * of the co-occurrence topology surface. The graph is [[termCooc]]'s
+    * df-capped pair table made symmetric (TextRank is undirected), the
+    * iteration is [[Graph.pagerankCore]]'s exact damped ppm power
+    * method — one shared update, one shared oracle round SQL.
+    *
+    * Scale shape: corpus appears once (the doc-term self-join inside
+    * termCooc, df-capped); the symmetric edge table and every
+    * iteration are vocab²-bounded; top-k is a TakeOrderedAndProject.
+    * Isolated terms (no qualifying pair) hold no rank by construction —
+    * TextRank over a co-occurrence graph only ranks connected terms. */
+  def textrankTerms(docs: DataFrame, iters: Int = 4, topK: Int = 25,
+                    maxDf: Int = 100000,
+                    minPairCount: Long = 5L): DataFrame = {
+    val und = termCooc(docs, maxDf, minPairCount)
+      .select(col("ta"), col("tb"), col("c_ab"))
+    // tracked: the edge normalization inside pagerankCore references
+    // this frame twice, and each occurrence would otherwise re-run the
+    // corpus-sized doc-term self-join
+    val sym = graft.Caches.track(
+      und.select(col("ta").as("src"), col("tb").as("dst"),
+          col("c_ab").as("c"))
+        .unionByName(und.select(col("tb").as("src"), col("ta").as("dst"),
+          col("c_ab").as("c"))))
+    Graph.pagerankCore(sym,
+      sym.select(col("src").as("node")).distinct(), iters)
+      .select(col("node").as("term"), col("r_ppm").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("term")).limit(topK)
+  }
+
   /** Document fingerprints: a 31-polynomial rolling hash over the raw
     * characters (mod 1e9+7 — stays in 35 bits, no overflow in any
     * engine) plus a 32-bit md5 lane. Content-addressed dedup keys; pure

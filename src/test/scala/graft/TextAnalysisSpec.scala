@@ -415,4 +415,31 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].head()
     assert(r == ((4L, -12L, 8L, -1500000L)))
   }
+
+  test("textrankTerms: star co-occurrence — the hub outranks every " +
+    "leaf, exact ppm hand-run") {
+    // 4 docs each pairing `hub` with one leaf → star graph, n=5,
+    // r0 = 200000. Round 1: hub ← 4·(200000·1e6) → 710000; leaf ←
+    // 200000·250000 → 72500. Round 2: hub 276500, leaf 180875
+    // (the exact truncating-div choreography of pagerankCore).
+    val d = docs((1L, "hub alpha"), (2L, "hub beta"),
+      (3L, "hub gamma"), (4L, "hub delta"))
+    val r = TextAnalysis.textrankTerms(d, iters = 2, topK = 10,
+      minPairCount = 1L).as[(String, Long)].collect().toSeq
+    assert(r == Seq(("hub", 276500L), ("alpha", 180875L),
+      ("beta", 180875L), ("delta", 180875L), ("gamma", 180875L)))
+    Caches.releaseAll()
+  }
+
+  test("textrankTerms: minPairCount gates the graph; topK truncates " +
+    "deterministically") {
+    val d = docs((1L, "hub alpha"), (2L, "hub alpha"),
+      (3L, "hub beta"))
+    // at minPairCount=2 only (alpha, hub) survives → a 2-node graph
+    val r = TextAnalysis.textrankTerms(d, iters = 3, topK = 1,
+      minPairCount = 2L).as[(String, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq("alpha"), "tie broken by term asc")
+    assert(r.forall(t => t._2 > 0L && t._2 <= 1000000L))
+    Caches.releaseAll()
+  }
 }
