@@ -3641,6 +3641,44 @@ object OracleExt {
                 END AS BIGINT) AS mean_s_milli
     FROM sc GROUP BY cluster ORDER BY cluster"""
 
+  /** Twin of KMeans.elbowCurve — one prefixed unrolled Lloyd chain per
+    * sweep k over the shared `e`, inertia micro sums, HUGEINT drop
+    * ratio with the sign split out. */
+  def elbowCurve(ks: Seq[Int], iters: Int): String = {
+    val chains = ks.map { k =>
+      val p = s"k${k}_"
+      val rounds = (0 until iters)
+        .map(i => kmeansRoundP(p, i, s"${p}c$i", s"${p}c${i + 1}", 64, "e"))
+        .mkString(",")
+      s"""
+    ${p}c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $k),
+    $rounds"""
+    }.mkString(",")
+    val pers = ks.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+              CAST(count(*) AS BIGINT) AS n_points,
+              CAST(SUM(CAST(floor(d2 * 1000000) AS BIGINT)) AS BIGINT)
+                AS inertia_micro
+          FROM k${k}_a${iters - 1}"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    $chains,
+    per AS ($pers),
+    lagd AS (SELECT k, n_points, inertia_micro,
+                    lag(inertia_micro) OVER (ORDER BY k) AS prev FROM per)
+    SELECT k, n_points, inertia_micro,
+           CASE WHEN prev > 0 THEN
+             CASE WHEN prev >= inertia_micro
+               THEN CAST((1000000 * CAST(prev - inertia_micro AS HUGEINT))
+                      // prev AS BIGINT)
+               ELSE -CAST((1000000 * CAST(inertia_micro - prev AS HUGEINT))
+                      // prev AS BIGINT)
+             END END AS drop_ppm
+    FROM lagd ORDER BY k"""
+  }
+
   /** Twin of KMeans.annIvfNprobe: queries ranked against the trained
     * centroid table c{iters-1}, probing their `nprobe` nearest
     * clusters. */

@@ -1260,6 +1260,10 @@ object SparkEntry {
     // quality averaged per cluster — the O(n·k) Hruschka form
     "silhouette" -> ((s, dir) =>
       KMeans.silhouette(embPar(s, dir))),
+    // Elbow curve: inertia at each sweep k + marginal drop ppm (the
+    // k=8 member reuses the family's staged model)
+    "elbow_curve" -> ((s, dir) =>
+      KMeans.elbowCurve(embPar(s, dir))),
     // IVF ANN: top-3 within the query's trained cluster
     "ann_ivf" -> ((s, dir) =>
       KMeans.annIvf(embPar(s, dir)).orderBy("query_id", "rank")),
@@ -1585,6 +1589,7 @@ object SparkEntry {
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "cluster_quality" -> OracleExt.clusterQuality(8, 2),
     "silhouette" -> OracleExt.silhouette(8, 2),
+    "elbow_curve" -> OracleExt.elbowCurve(Seq(2, 4, 8, 16), 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
     "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
     "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),

@@ -991,4 +991,42 @@ object KMeans {
           .as("mean_s_milli"))
       .orderBy("cluster")
   }
+
+  /** The elbow curve — total within-cluster inertia at each k of a
+    * sweep, plus the marginal drop vs the previous k in ppm: the
+    * model-selection dashboard behind "how many clusters does this
+    * corpus actually have" (pick the k where drop_ppm collapses).
+    * Each k's model comes from [[fitModel]] — STAGED per (corpus, k,
+    * iters), so the sweep member matching the family default (k=8)
+    * reuses the shared artifact rather than retraining, and a repeat
+    * sweep is pure artifact reads. Inertia = Σ floor(d2·1e6), the
+    * [[clusterQuality]] micro lane (order-free BIGINT sums). The drop
+    * ratio runs in DECIMAL(38,0) (1e6·inertia overflows the 64-bit
+    * lane at corpus scale) with the sign split out — a sweep under a
+    * fixed round budget is NOT guaranteed monotone, and Spark `div`
+    * (truncate) only agrees with DuckDB `//` (floor) on non-negative
+    * operands. The window is over |ks| rows — never corpus-sized. */
+  def elbowCurve(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16),
+                 iters: Int = 2): DataFrame = {
+    val per = ks.map { k =>
+      val (assigned, _) = fitModel(emb, k, iters)
+      assigned.agg(count(lit(1)).as("n_points"),
+          sum(floor(col("d2") * 1000000L).cast("long"))
+            .as("inertia_micro"))
+        .select(lit(k.toLong).as("k"), col("n_points"),
+          col("inertia_micro"))
+    }.reduce(_ unionByName _)
+    per.withColumn("prev",
+        lag(col("inertia_micro"), 1).over(Window.orderBy("k")))
+      .select(col("k"), col("n_points"), col("inertia_micro"),
+        when(col("prev") > 0,
+          when(col("prev") >= col("inertia_micro"),
+            expr("""CAST((1000000 * CAST(prev - inertia_micro
+                            AS DECIMAL(38,0))) div prev AS BIGINT)"""))
+            .otherwise(-expr(
+              """CAST((1000000 * CAST(inertia_micro - prev
+                        AS DECIMAL(38,0))) div prev AS BIGINT)""")))
+          .as("drop_ppm"))
+      .orderBy("k")
+  }
 }

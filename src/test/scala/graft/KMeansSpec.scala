@@ -396,6 +396,43 @@ class KMeansSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("elbowCurve: k=2 captures both blobs exactly; k=1 row has no " +
+    "drop; inertia at the separating k collapses") {
+    // two blobs at x = ±100 with y-spread 1. k=1 (init vec 0 only):
+    // centroid converges to the global fixed-point mean; k=2 separates
+    // and leaves inertia = Σ y² = 4e6 micro (2 per blob at y ±1)
+    val rows = Seq(
+      (0L, vec(100f, 0f)), (2L, vec(100f, 1f)), (4L, vec(100f, -1f)),
+      (1L, vec(-100f, 0f)), (3L, vec(-100f, 1f)), (5L, vec(-100f, -1f)))
+      .map { case (id, v) => (id, v, 0) }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = KMeans.elbowCurve(emb, ks = Seq(1, 2), iters = 2)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L))
+    assert(r.forall(_._2 == 6L))
+    val Seq(i1, i2) = r.map(_._3)
+    assert(i2 == 4000000L, "separated blobs leave only the y spread")
+    assert(i1 > i2, "one centroid cannot separate the blobs")
+    assert(r.head._4.isEmpty, "first sweep row has no predecessor")
+    // exact drop ratio replay from the two inertia values
+    assert(r(1)._4.contains(1000000L * (i1 - i2) / i1))
+    Caches.releaseAll()
+  }
+
+  test("elbowCurve on the shared fixture: one row per k, k=8 matches " +
+    "the family model's own inertia") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = KMeans.elbowCurve(emb)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(r.map(_._1) == Seq(2L, 4L, 8L, 16L))
+    val fam = KMeans.fit(emb)
+      .agg(sum(floor(col("d2") * 1000000L).cast("long")))
+      .as[Long].head()
+    assert(r.find(_._1 == 8L).get._3 == fam,
+      "sweep k=8 must read the SAME staged artifact as the family")
+    Caches.releaseAll()
+  }
+
   test("OPQ: identity candidate equals plain PQ; chosen error is the min") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val eval = KMeans.opqEval(emb)
