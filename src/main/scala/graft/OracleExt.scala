@@ -2880,6 +2880,34 @@ object OracleExt {
              AS BIGINT)) AS ppmi_bits
     FROM pairs, nd ORDER BY ta, tb"""
 
+  /** Twin of TextAnalysis.cmsTopk — lane×bucket counter grid summed
+    * from the exact term totals, min-over-lanes point estimates for
+    * the top-k terms, md5 `lane:term` hash family. */
+  def cmsTopk(lanes: Int, width: Int, topK: Int): String = {
+    val h = graft.functions.PortableHash.sqlHash32(
+      "CAST(l.lane AS VARCHAR) || ':' || e.term")
+    s"""
+    WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+                GROUP BY 1, 2),
+    exact AS (SELECT term, CAST(sum(tf) AS BIGINT) AS exact
+              FROM tf GROUP BY 1),
+    ln AS (SELECT unnest(range(0, $lanes)) AS lane),
+    ex AS (SELECT e.term, e.exact, l.lane, $h % $width AS bucket
+           FROM exact e CROSS JOIN ln l),
+    cells AS (SELECT lane, bucket, CAST(sum(exact) AS BIGINT) AS cell
+              FROM ex GROUP BY 1, 2),
+    top AS (SELECT term FROM exact ORDER BY exact DESC, term
+            LIMIT $topK),
+    est AS (SELECT x.term, x.exact, MIN(c.cell) AS est
+            FROM ex x JOIN top t USING (term)
+            JOIN cells c ON c.lane = x.lane AND c.bucket = x.bucket
+            GROUP BY 1, 2)
+    SELECT term, exact, est,
+           (1000000 * (est - exact)) // exact AS over_ppm
+    FROM est ORDER BY exact DESC, term"""
+  }
+
   /** Twin of TextAnalysis.textrankTerms — termCooc's df-capped pair
     * table made symmetric, then the SHARED pagerank round unroll. */
   def textrankTerms(iters: Int, topK: Int, maxDf: Int,

@@ -872,6 +872,10 @@ object SparkEntry {
     // TextRank: corpus keyword salience from co-occurrence centrality
     "textrank_terms" -> ((s, dir) =>
       TextAnalysis.textrankTerms(docsPar(s, dir))),
+    // Count-Min sketch: min-over-lanes estimates vs exact for the
+    // top-k terms (one-sided overcount audit)
+    "cms_topk" -> ((s, dir) =>
+      TextAnalysis.cmsTopk(docsPar(s, dir))),
     // Lexical k-means end to end: hashed count vectors -> Lloyd
     "doc_clusters" -> ((s, dir) =>
       KMeans.assignments(TextAnalysis.docVectors(docsPar(s, dir)))
@@ -1717,6 +1721,7 @@ object SparkEntry {
       Seq(300L, 400L, 500L, 600L, 700L, 800L)),
     "term_cooc" -> OracleExt.termCooc(100000, 5L),
     "textrank_terms" -> OracleExt.textrankTerms(4, 25, 100000, 5L),
+    "cms_topk" -> OracleExt.cmsTopk(4, 1024, 20),
     "doc_clusters" -> OracleExt.docClusters(8, 2, 64),
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),

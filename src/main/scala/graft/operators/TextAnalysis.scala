@@ -487,6 +487,45 @@ object TextAnalysis {
       .orderBy(col("rank_ppm").desc, col("term")).limit(topK)
   }
 
+  /** Count-Min sketch audit (Cormode & Muthukrishnan 2005) — the
+    * point-query sketch completing the family next to HLL
+    * (approx_distinct), KMV (kmv_overlap), and SimHash: d independent
+    * hash lanes × w counters, point estimate = min over lanes, with
+    * the one-sided guarantee est ≥ exact (a cell only ever ADDS other
+    * terms' mass). Reported for the top-k exact terms so the output
+    * row set is deterministic and the overcount is measured where it
+    * matters (heavy hitters are what CMS is consulted for).
+    *
+    * Batch equivalence: a streaming CMS increments cell (i, h_i(t))
+    * per occurrence; summing per-term totals into cells is the same
+    * grid, so the sketch builds from the vocab-sized exact table —
+    * corpus touched once through the staged tf artifact, everything
+    * after is vocab-bounded (×d). Lanes are the md5 `lane:term`
+    * family (PortableHash — independent because md5 mixes the prefix
+    * fully); over_ppm divides non-negative operands only, where Spark
+    * `div` = DuckDB `//`. */
+  def cmsTopk(docs: DataFrame, lanes: Int = 4, width: Int = 1024,
+              topK: Int = 20): DataFrame = {
+    val exact = graft.Caches.track(
+      stagedDocTermTf(docs).groupBy("term")
+        .agg(sum(col("tf")).as("exact")))
+    val expanded = graft.Caches.track(
+      exact.select(col("term"), col("exact"),
+          explode(array((0 until lanes).map(i => lit(i)): _*)).as("lane"))
+        .withColumn("bucket", pmod(PortableHash.hash32(
+          concat(col("lane").cast("string"), lit(":"), col("term"))),
+          lit(width.toLong))))
+    val cells = expanded.groupBy("lane", "bucket")
+      .agg(sum(col("exact")).as("cell"))
+    val top = exact.orderBy(col("exact").desc, col("term")).limit(topK)
+    expanded.join(top.select(col("term")), Seq("term"))
+      .join(cells, Seq("lane", "bucket"))
+      .groupBy("term", "exact").agg(min(col("cell")).as("est"))
+      .select(col("term"), col("exact"), col("est"),
+        expr("(1000000 * (est - exact)) div exact").as("over_ppm"))
+      .orderBy(col("exact").desc, col("term"))
+  }
+
   /** Document fingerprints: a 31-polynomial rolling hash over the raw
     * characters (mod 1e9+7 — stays in 35 bits, no overflow in any
     * engine) plus a 32-bit md5 lane. Content-addressed dedup keys; pure

@@ -431,6 +431,31 @@ class TextAnalysisSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("cmsTopk: width=1 collapses every lane to the corpus total; " +
+    "the estimate never undercounts") {
+    // exact: a=2, b=2, c=1 (total 5). At width 1 every term's every
+    // lane holds the full 5 → est=5 for all; over_ppm is the exact
+    // truncating ratio. Ordering: (exact desc, term).
+    val d = docs((1L, "a a b"), (2L, "b c"))
+    val r = TextAnalysis.cmsTopk(d, lanes = 4, width = 1, topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 2L, 5L, 1500000L), ("b", 2L, 5L, 1500000L),
+      ("c", 1L, 5L, 4000000L)))
+    Caches.releaseAll()
+  }
+
+  test("cmsTopk: a wide sketch resolves a tiny vocabulary exactly; " +
+    "one-sided everywhere") {
+    val d = docs((1L, "a a b"), (2L, "b c"))
+    val r = TextAnalysis.cmsTopk(d, lanes = 4, width = 1 << 20,
+      topK = 10).as[(String, Long, Long, Long)].collect().toSeq
+    assert(r.forall(t => t._3 >= t._2), "CMS never undercounts")
+    // 3 terms across 4 independent 2^20 lanes: no term pair collides
+    // in every lane (deterministic md5 — pinned by this run)
+    assert(r.forall(t => t._3 == t._2 && t._4 == 0L))
+    Caches.releaseAll()
+  }
+
   test("textrankTerms: minPairCount gates the graph; topK truncates " +
     "deterministically") {
     val d = docs((1L, "hub alpha"), (2L, "hub alpha"),
