@@ -1298,7 +1298,7 @@ object OracleExt {
                END) + (CASE WHEN s_neg <= q_score THEN 1 ELSE 0 END))
                AS BIGINT)) // CAST(count(*) AS BIGINT) AS avg_set_milli
     FROM tests, qv, nc
-    GROUP BY 1, 2"""
+    GROUP BY 1, 2 ORDER BY n_calib"""
   }
 
   /** Twin of TextAnalysis.tokens. */
@@ -3669,6 +3669,27 @@ object OracleExt {
                 END AS BIGINT) AS mean_s_milli
     FROM sc GROUP BY cluster ORDER BY cluster"""
 
+  /** Twin of KMeans.clusterPurity — cells off the unrolled Lloyd
+    * assignment joined to the parquet labels, modal pick via
+    * row_number (n desc, label asc). */
+  def clusterPurity(k: Int, iters: Int): String = s"""
+    ${kmeansCte(k, iters)},
+    cell AS (SELECT a.cid AS cluster, e.label,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM a${iters - 1} a
+             JOIN embeddings e ON e.vec_id = a.vec_id
+             GROUP BY 1, 2),
+    modal AS (SELECT cluster, label AS modal_label, n AS modal_n FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster
+                  ORDER BY n DESC, label) AS rn FROM cell)
+              WHERE rn = 1),
+    tot AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_points
+            FROM cell GROUP BY 1)
+    SELECT t.cluster, t.n_points, m.modal_label, m.modal_n,
+           (1000000 * m.modal_n) // t.n_points AS purity_ppm
+    FROM tot t JOIN modal m ON m.cluster = t.cluster
+    ORDER BY t.cluster"""
+
   /** Twin of KMeans.elbowCurve — one prefixed unrolled Lloyd chain per
     * sweep k over the shared `e`, inertia micro sums, HUGEINT drop
     * ratio with the sign split out. */
@@ -5461,6 +5482,25 @@ object OracleExt {
            CAST(1000000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
                 // count(*) AS BIGINT) AS hapax_ppm
     FROM c GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of TextShape.goodTuring — frequency-of-frequencies rollup,
+    * HUGEINT n1² lane, bias-corrected Chao1. */
+  val goodTuring: String = s"""
+    WITH c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT source, unnest($toks) AS term FROM documents)
+               GROUP BY 1, 2),
+    r AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+                 CAST(sum(cnt) AS BIGINT) AS n_tokens
+          FROM c GROUP BY 1)
+    SELECT source, vocab, n1, n2, n_tokens,
+           (1000000 * n1) // n_tokens AS unseen_ppm,
+           CAST(vocab + (CAST(n1 AS HUGEINT) * (n1 - 1))
+                  // (2 * (n2 + 1)) AS BIGINT) AS chao1
+    FROM r ORDER BY source"""
 
   /** Twin of TextShape.lengthBuckets — ⌊log2⌋ via binary-string length
     * on both engines, never a float log. */

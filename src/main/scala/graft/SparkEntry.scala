@@ -460,7 +460,8 @@ object SparkEntry {
     // salted-hash folds, scoring from the floored micro weights
     // Split-conformal coverage guarantee at alpha = 0.1 (one row)
     "probe_conformal" -> ((s, dir) =>
-      graft.operators.LinearProbe.conformal(docsPar(s, dir))),
+      graft.operators.LinearProbe.conformal(docsPar(s, dir))
+        .orderBy("n_calib")),
     "probe_cv" -> ((s, dir) =>
       graft.operators.LinearProbe.crossValidate(docsPar(s, dir))),
     // Integer-ppm PageRank over the event-type transition digraph
@@ -702,6 +703,9 @@ object SparkEntry {
     // Singleton-term (hapax) share per source, exact ppm
     "hapax_stats" -> ((s, dir) =>
       graft.operators.TextShape.hapaxStats(docsPar(s, dir))),
+    // Good-Turing unseen mass + bias-corrected Chao1 richness per source
+    "good_turing" -> ((s, dir) =>
+      graft.operators.TextShape.goodTuring(docsPar(s, dir))),
     // Power-of-2 doc-length buckets via integer bit-length (no float log)
     "length_buckets" -> ((s, dir) =>
       graft.operators.TextShape.lengthBuckets(docsPar(s, dir))),
@@ -1268,6 +1272,9 @@ object SparkEntry {
     // k=8 member reuses the family's staged model)
     "elbow_curve" -> ((s, dir) =>
       KMeans.elbowCurve(embPar(s, dir))),
+    // External validation: per-cluster modal ground-truth label + purity
+    "cluster_purity" -> ((s, dir) =>
+      KMeans.clusterPurity(embPar(s, dir))),
     // IVF ANN: top-3 within the query's trained cluster
     "ann_ivf" -> ((s, dir) =>
       KMeans.annIvf(embPar(s, dir)).orderBy("query_id", "rank")),
@@ -1594,6 +1601,7 @@ object SparkEntry {
     "cluster_quality" -> OracleExt.clusterQuality(8, 2),
     "silhouette" -> OracleExt.silhouette(8, 2),
     "elbow_curve" -> OracleExt.elbowCurve(Seq(2, 4, 8, 16), 2),
+    "cluster_purity" -> OracleExt.clusterPurity(8, 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
     "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
     "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),
@@ -1691,6 +1699,7 @@ object SparkEntry {
     "dim_stats" -> OracleExt.dimStats(1024),
     "word_len_hist" -> OracleExt.wordLenHist,
     "hapax_stats" -> OracleExt.hapaxStats,
+    "good_turing" -> OracleExt.goodTuring,
     "length_buckets" -> OracleExt.lengthBuckets,
     "heaps_law" -> OracleExt.heapsLaw,
     "doc_ttr" -> OracleExt.docTtr,

@@ -992,6 +992,38 @@ object KMeans {
       .orderBy("cluster")
   }
 
+  /** Cluster purity against the embedding table's ground-truth label —
+    * the external-validation dial next to [[silhouette]]'s internal
+    * one (a clustering can be geometrically tight yet split every
+    * label): per cluster the modal label, its count, and purity =
+    * modal_n/n in ppm. The label-agreement complement of
+    * Density.ariVsKmeans (which compares two clusterings to each
+    * other, not to truth).
+    *
+    * Shape: assignment read from the SHARED staged Lloyd model, one
+    * join with the (vec_id, label) projection, then everything runs on
+    * the k·|labels|-bounded cell table — the modal pick is a bounded
+    * window (rank ties broken (n desc, label asc), total). Non-negative
+    * operands only in the ppm division. */
+  def clusterPurity(emb: DataFrame, k: Int = 8, iters: Int = 2)
+      : DataFrame = {
+    val cell = fit(emb, k, iters).select(col("vec_id"), col("cluster"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+    val modal = cell.withColumn("rn", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("modal_label"),
+        col("n").as("modal_n"))
+    cell.groupBy("cluster").agg(sum(col("n")).as("n_points"))
+      .join(modal, Seq("cluster"))
+      .select(col("cluster"), col("n_points"), col("modal_label"),
+        col("modal_n"),
+        expr("(1000000 * modal_n) div n_points").as("purity_ppm"))
+      .orderBy("cluster")
+  }
+
   /** The elbow curve — total within-cluster inertia at each k of a
     * sweep, plus the marginal drop vs the previous k in ppm: the
     * model-selection dashboard behind "how many clusters does this

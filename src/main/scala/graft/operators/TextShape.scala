@@ -47,6 +47,32 @@ object TextShape {
         expr("1000000 * n_hapax div vocab").as("hapax_ppm"))
       .orderBy(col("source"))
 
+  /** Good-Turing / Chao1 coverage estimates per source — the "how much
+    * vocabulary have we NOT crawled yet" companion to [[hapaxStats]]'
+    * noise dial: the Good-Turing unseen-probability mass n1/N (the
+    * chance the next token is a new type) and the bias-corrected Chao1
+    * richness V + n1(n1−1)/(2(n2+1)) (Chao 1984 — a lower bound on the
+    * true type count; always defined, no n2=0 special case). Same
+    * (source, term) count shuffle as hapaxStats, frequency-of-
+    * frequencies folded in the same vocab-sized rollup; n1² runs in
+    * DECIMAL(38,0) (a 1e9-hapax source squares past the 64-bit lane);
+    * all operands non-negative, Spark `div` = DuckDB `//`. */
+  def goodTuring(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(col("cnt")).as("n_tokens"))
+      .select(col("source"), col("vocab"), col("n1"), col("n2"),
+        col("n_tokens"),
+        expr("(1000000 * n1) div n_tokens").as("unseen_ppm"),
+        expr("""CAST(vocab + (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1))
+                  div (2 * (n2 + 1)) AS BIGINT)""").as("chao1"))
+      .orderBy(col("source"))
+
   /** Power-of-2 document-length buckets (the batching curriculum view:
     * which padded sequence lengths the corpus needs and how full each
     * bucket runs). bucket = ⌊log2(n_tokens)⌋, computed as

@@ -396,6 +396,34 @@ class KMeansSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("clusterPurity: modal label per blob, mislabeled member costs " +
+    "exactly one third") {
+    // blob A (ids 0,2,4) labeled 7 except id 4 labeled 9 → purity
+    // 666666 with modal 7; blob B (ids 1,3,5) uniformly 9 → 1e6.
+    val rows = Seq(
+      (0L, vec(100f, 0f), 7), (2L, vec(100f, 1f), 7),
+      (4L, vec(100f, -1f), 9),
+      (1L, vec(-100f, 0f), 9), (3L, vec(-100f, 1f), 9),
+      (5L, vec(-100f, -1f), 9))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = KMeans.clusterPurity(emb, k = 2, iters = 2)
+      .as[(Long, Long, Int, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 3L, 7, 2L, 666666L), (1L, 3L, 9, 3L, 1000000L)))
+    Caches.releaseAll()
+  }
+
+  test("clusterPurity: modal ties break on the smaller label") {
+    // one blob, labels 1 and 2 twice each → modal must be 1
+    val rows = Seq(
+      (0L, vec(50f, 0f), 2), (1L, vec(50f, 1f), 1),
+      (2L, vec(50f, -1f), 2), (3L, vec(50f, 2f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = KMeans.clusterPurity(emb, k = 1, iters = 2)
+      .as[(Long, Long, Int, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 4L, 1, 2L, 500000L)))
+    Caches.releaseAll()
+  }
+
   test("elbowCurve: k=2 captures both blobs exactly; k=1 row has no " +
     "drop; inertia at the separating k collapses") {
     // two blobs at x = ±100 with y-spread 1. k=1 (init vec 0 only):

@@ -27,6 +27,18 @@ class TextShapeSpec extends SparkTestBase {
     assert(r == Seq(("s1", 2L, 1L, 3L, 500000L), ("s2", 1L, 1L, 1L, 1000000L)))
   }
 
+  test("goodTuring: unseen mass and bias-corrected Chao1 hand-run") {
+    // s1 = "a a b c d": vocab 4, n1=3 (b,c,d), n2=1 (a), N=5 →
+    // unseen = (1e6·3) div 5 = 600000; chao1 = 4 + (3·2) div (2·2) = 5.
+    // s2 = "x x y y": n1=0 → unseen 0, chao1 = vocab (nothing missing
+    // that the estimator can see).
+    val d = docs((0L, "a a b c d", "s1"), (1L, "x x y y", "s2"))
+    val r = TextShape.goodTuring(d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("s1", 4L, 3L, 1L, 5L, 600000L, 5L),
+      ("s2", 2L, 0L, 2L, 4L, 0L, 2L)))
+  }
+
   test("lengthBuckets: exact bit-length boundaries (4 tokens ≠ 3 tokens)") {
     val d = docs(
       (0L, "a b c", "s"),      // 3 tokens → bucket 1
