@@ -2880,6 +2880,41 @@ object OracleExt {
              AS BIGINT)) AS ppmi_bits
     FROM pairs, nd ORDER BY ta, tb"""
 
+  /** Twin of Routing.rendezvousShards — k+1 md5 lanes per doc, argmax
+    * via row_number (h DESC, s DESC) = Spark's greatest(struct(h, s))
+    * lexicographic pick. */
+  def rendezvousShards(k: Int): String = {
+    val h = graft.functions.PortableHash.sqlHash32(
+      "CAST(sc.s AS VARCHAR) || ':' || CAST(sc.doc_id AS VARCHAR)")
+    s"""
+    WITH sc AS (SELECT d.doc_id, l.s
+                FROM documents d
+                CROSS JOIN (SELECT unnest(range(0, ${k + 1})) AS s) l),
+    sh AS (SELECT sc.doc_id, sc.s, $h AS h FROM sc),
+    sel_k AS (SELECT doc_id, s AS shard_k FROM (
+                SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY h DESC, s DESC) AS rn
+                FROM sh WHERE s < $k) WHERE rn = 1),
+    sel_k1 AS (SELECT doc_id, s AS shard_k1 FROM (
+                 SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY h DESC, s DESC) AS rn
+                 FROM sh) WHERE rn = 1),
+    j AS (SELECT a.doc_id, a.shard_k, b.shard_k1
+          FROM sel_k a JOIN sel_k1 b USING (doc_id)),
+    ak AS (SELECT shard_k AS shard, CAST(count(*) AS BIGINT) AS n_k
+           FROM j GROUP BY 1),
+    ak1 AS (SELECT shard_k1 AS shard, CAST(count(*) AS BIGINT) AS n_k1,
+                   CAST(sum(CASE WHEN shard_k <> shard_k1 THEN 1
+                            ELSE 0 END) AS BIGINT) AS moved_in
+            FROM j GROUP BY 1)
+    SELECT COALESCE(a.shard, b.shard) AS shard,
+           COALESCE(a.n_k, 0) AS n_k,
+           COALESCE(b.n_k1, 0) AS n_k1,
+           COALESCE(b.moved_in, 0) AS moved_in
+    FROM ak a FULL OUTER JOIN ak1 b ON a.shard = b.shard
+    ORDER BY 1"""
+  }
+
   /** Twin of TextAnalysis.cmsTopk — lane×bucket counter grid summed
     * from the exact term totals, min-over-lanes point estimates for
     * the top-k terms, md5 `lane:term` hash family. */

@@ -880,6 +880,10 @@ object SparkEntry {
     // top-k terms (one-sided overcount audit)
     "cms_topk" -> ((s, dir) =>
       TextAnalysis.cmsTopk(docsPar(s, dir))),
+    // Rendezvous (HRW) routing: only the new shard's mass moves on
+    // k -> k+1 (vs modulo's near-total remap)
+    "rendezvous_shards" -> ((s, dir) =>
+      graft.operators.Routing.rendezvousShards(docsPar(s, dir))),
     // Lexical k-means end to end: hashed count vectors -> Lloyd
     "doc_clusters" -> ((s, dir) =>
       KMeans.assignments(TextAnalysis.docVectors(docsPar(s, dir)))
@@ -1731,6 +1735,7 @@ object SparkEntry {
     "term_cooc" -> OracleExt.termCooc(100000, 5L),
     "textrank_terms" -> OracleExt.textrankTerms(4, 25, 100000, 5L),
     "cms_topk" -> OracleExt.cmsTopk(4, 1024, 20),
+    "rendezvous_shards" -> OracleExt.rendezvousShards(8),
     "doc_clusters" -> OracleExt.docClusters(8, 2, 64),
     "grouped_percentiles" -> OracleExt.groupedPercentiles(Seq(50, 90)),
     "pareto_docs" -> OracleExt.paretoDocs(TextAnalysis.stopwords("en")),

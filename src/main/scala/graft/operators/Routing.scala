@@ -28,6 +28,43 @@ object Routing {
     payload.withColumn("shard", shardFor(col(keyCol), numShards))
       .repartition(numShards, col("shard"))
 
+  /** Rendezvous / highest-random-weight routing audit (Thaler & Ravi-
+    * shankar 1998) — the resharding story [[shardFor]]'s modulo can't
+    * tell: under modulo, growing k→k+1 remaps ~k/(k+1) of ALL keys;
+    * under HRW (shard = argmax over s of h(s:key)) a key moves ONLY
+    * when the NEW shard's lane wins, so exactly the ~1/(k+1) mass that
+    * lands on the new shard moves and no key ever moves BETWEEN old
+    * shards. Emits per shard the population at k and at k+1 plus the
+    * arrivals; the structural invariant (moved_in = 0 for every old
+    * shard, n_k1 ≤ n_k) is the gate.
+    *
+    * Shape: pure map pass — per doc, argmax of k+1 md5 lanes as a
+    * lexicographic greatest(struct(h, s)) (tie to the higher shard id;
+    * the twin's row_number (h DESC, s DESC) picks identically) — then
+    * two shard-count aggregates full-outer-joined; |shards|+1 rows out
+    * at any corpus scale. */
+  def rendezvousShards(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, "need at least two shards for greatest()")
+    def lane(s: Int) = struct(
+      PortableHash.hash32(
+        concat(lit(s"$s:"), col("doc_id").cast("string"))).as("h"),
+      lit(s.toLong).as("s"))
+    val assigned = docs.select(col("doc_id"),
+      greatest((0 until k).map(lane): _*).getField("s").as("shard_k"),
+      greatest((0 to k).map(lane): _*).getField("s").as("shard_k1"))
+    val atK = assigned.groupBy(col("shard_k").as("shard"))
+      .agg(count(lit(1)).as("n_k"))
+    val atK1 = assigned.groupBy(col("shard_k1").as("shard"))
+      .agg(count(lit(1)).as("n_k1"),
+        sum(when(col("shard_k") =!= col("shard_k1"), 1L).otherwise(0L))
+          .as("moved_in"))
+    atK.join(atK1, Seq("shard"), "full_outer")
+      .select(col("shard"), coalesce(col("n_k"), lit(0L)).as("n_k"),
+        coalesce(col("n_k1"), lit(0L)).as("n_k1"),
+        coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+      .orderBy("shard")
+  }
+
   /** S3/S11: the producer groups buffered records into batches of
     * `batchSize` per shard in arrival order (go batchproducer, config
     * :139).

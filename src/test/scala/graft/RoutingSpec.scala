@@ -68,4 +68,24 @@ class RoutingSpec extends SparkTestBase {
     assert(got.count() == 10)
     assert(got.agg(min("event_id")).as[Long].head() == 90L)
   }
+
+  test("rendezvousShards: growing k moves keys ONLY onto the new " +
+    "shard; every old shard monotonically shrinks") {
+    val docs = spark.range(2000).toDF("doc_id")
+    val r = Routing.rendezvousShards(docs, k = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == (0L to 8L), "all k+1 shards populated")
+    assert(r.map(_._2).sum == 2000L && r.map(_._3).sum == 2000L)
+    r.filter(_._1 < 8L).foreach { case (s, nK, nK1, movedIn) =>
+      assert(movedIn == 0L, s"old shard $s must receive no arrivals")
+      assert(nK1 <= nK, s"old shard $s can only shrink")
+    }
+    val newRow = r.find(_._1 == 8L).get
+    assert(newRow._2 == 0L, "new shard holds nothing at k")
+    assert(newRow._3 == newRow._4 && newRow._4 > 0L,
+      "every new-shard resident is an arrival")
+    // HRW expectation: ~1/(k+1) of the corpus moves (modulo would
+    // remap ~8/9); generous band for a 2000-key draw
+    assert(newRow._4 > 2000L / 18 && newRow._4 < 2000L / 3)
+  }
 }
