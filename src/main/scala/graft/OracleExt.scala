@@ -745,6 +745,40 @@ object OracleExt {
     FROM r$iters ORDER BY event_type"""
   }
 
+  /** Twin of Graph.pprEvents — the seed-concentrated restart variant
+    * of the pagerank unroll (init 1e6 on the seed, +150000 restart on
+    * the seed only). */
+  def pprEvents(iters: Int): String = {
+    val rounds = (0 until iters).map { k =>
+      s"""
+    c$k AS (SELECT e.dst, CAST(sum(r.r_ppm * e.p_ppm) AS BIGINT) AS s
+          FROM r$k r JOIN edges e ON r.node = e.src GROUP BY e.dst),
+    r${k + 1} AS (SELECT n.node,
+            (850000 * (COALESCE(c.s, 0) // 1000000)) // 1000000
+              + (CASE WHEN n.node = sd.seed THEN 150000 ELSE 0 END)
+              AS r_ppm
+          FROM nodes n LEFT JOIN c$k c ON n.node = c.dst, sd)"""
+    }.mkString(",")
+    s"""
+    WITH pairs AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL GROUP BY 1, 2),
+    edges AS MATERIALIZED (
+      SELECT p.src, p.dst, (1000000 * p.c) // t.o AS p_ppm
+      FROM pairs p
+      JOIN (SELECT src, CAST(sum(c) AS BIGINT) AS o FROM pairs
+            GROUP BY src) t USING (src)),
+    nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+    sd AS (SELECT min(node) AS seed FROM nodes),
+    r0 AS (SELECT node, CASE WHEN node = sd.seed THEN 1000000
+                        ELSE 0 END AS r_ppm FROM nodes, sd),$rounds
+    SELECT node AS event_type, CAST(r_ppm AS BIGINT) AS ppr_ppm
+    FROM r$iters ORDER BY event_type"""
+  }
+
   /** Twin of Graph.hitsScores — `iters` unrolled a←Aᵀh / h←Aa
     * alternations with L1 ppm normalization per half-step; HUGEINT
     * mirrors Spark's DECIMAL(38,0) re-division lane. */

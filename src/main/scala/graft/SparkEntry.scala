@@ -464,6 +464,10 @@ object SparkEntry {
         .orderBy("n_calib")),
     "probe_cv" -> ((s, dir) =>
       graft.operators.LinearProbe.crossValidate(docsPar(s, dir))),
+    // Personalized PageRank from the lexicographically-first type:
+    // random-walk-with-restart proximity to the seed
+    "ppr_events" -> ((s, dir) =>
+      graft.operators.Graph.pprEvents(LogSource.readEvents(s, dir))),
     // Integer-ppm PageRank over the event-type transition digraph
     "pagerank_events" -> ((s, dir) =>
       graft.operators.Graph.pagerankEvents(LogSource.readEvents(s, dir))
@@ -1644,6 +1648,7 @@ object SparkEntry {
     "probe_cv" -> OracleExt.probeCv(5, 3, 0.5),
     "probe_conformal" -> OracleExt.probeConformal(3, 0.5),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
+    "ppr_events" -> OracleExt.pprEvents(5),
     "hits_scores" -> OracleExt.hitsScores(4),
     "active_users" -> OracleExt.activeUsers(7, 30),
     "cdc_apply" -> OracleExt.cdcApply("error"),

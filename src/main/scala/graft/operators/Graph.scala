@@ -66,6 +66,49 @@ object Graph {
     r
   }
 
+  /** Personalized PageRank (the random-walk-with-restart proximity of
+    * Haveliwala 2002/Jeh-Widom 2003) from a deterministic seed — the
+    * lexicographically-first event type: where [[pagerankEvents]]
+    * teleports uniformly ("globally important"), PPR teleports to the
+    * SEED only, so scores rank nodes by proximity to it (the
+    * recommendation / related-items primitive). Same integer ppm
+    * discipline; the restart term is 150000 on the seed and 0
+    * elsewhere (init likewise concentrates the full 1e6 on the seed),
+    * so every operand stays non-negative and both engines truncate
+    * identically. Same scale shape as the shared core: corpus appears
+    * once via the staged transition pairs, every round is
+    * vocab²-bounded, rank frames localCheckpoint per round. */
+  def pprEvents(events: DataFrame, iters: Int = 5): DataFrame = {
+    val pairs = Events.stagedTransitionPairs(events)
+    val edges = graft.Caches.track(
+      pairs.join(pairs.groupBy("src").agg(sum(col("c")).as("out")), "src")
+        .select(col("src"), col("dst"),
+          expr("(1000000 * c) div out").as("p_ppm")))
+    val nodes = graft.Caches.track(
+      events.select(col("event_type").as("node")).distinct())
+    val seed = nodes.agg(min(col("node")).as("seed"))
+
+    var r = nodes.crossJoin(broadcast(seed))
+      .select(col("node"),
+        when(col("node") === col("seed"), 1000000L).otherwise(0L)
+          .as("r_ppm"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val contrib = r.join(edges, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r_ppm") * col("p_ppm")).as("s"))
+      r = nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(seed))
+        .select(col("node"),
+          (expr("(850000 * (coalesce(s, 0) div 1000000)) div 1000000") +
+            when(col("node") === col("seed"), 150000L).otherwise(0L))
+            .as("r_ppm"))
+        .localCheckpoint()
+    }
+    r.select(col("node").as("event_type"), col("r_ppm").as("ppr_ppm"))
+      .orderBy("event_type")
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) on the weighted
     * event-type transition graph — the directed-role decomposition
     * [[pagerankEvents]]'s single centrality cannot express: a type that

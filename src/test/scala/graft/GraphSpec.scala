@@ -49,6 +49,32 @@ class GraphSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("pprEvents: 2-cycle hand-run — restart mass concentrates at " +
+    "the seed's side of the alternation") {
+    // seed = "a" (lexicographic min). r0 = (1e6, 0); per round the
+    // whole mass crosses the cycle, damped, +150000 restart on a:
+    // (150000, 850000) → (872500, 127500) → (258375, 741625) →
+    // (780381, 219618) → (336675, 663323) after 5 rounds.
+    val ev = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+      (3L, 3000L, 1L, "a"), (4L, 4000L, 1L, "b"))
+    val r = Graph.pprEvents(ev).as[(String, Long)].collect().toSeq
+    assert(r == Seq("a" -> 336675L, "b" -> 663323L))
+    Caches.releaseAll()
+  }
+
+  test("pprEvents: a seed with no inbound edges holds exactly the " +
+    "restart mass; its successor reaches the damped fixed point") {
+    // a→b only: from round 2 on, a = 150000 (pure restart) and
+    // b = 850000·150000 div 1e6 = 127500 — a fixed point.
+    val ev = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+      (3L, 1000L, 2L, "a"), (4L, 2000L, 2L, "b"))
+    val r = Graph.pprEvents(ev).as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 150000L, "b" -> 127500L))
+    Caches.releaseAll()
+  }
+
   test("hitsScores: a→b separates the pure hub from the pure authority") {
     val ev = events((1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"))
     val r = Graph.hitsScores(ev)
