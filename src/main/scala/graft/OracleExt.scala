@@ -1286,6 +1286,42 @@ object OracleExt {
     ORDER BY fold"""
   }
 
+  /** Twin of LinearProbe.labelNoise — trainer chain + floored micro
+    * weights, per-doc confidence with doc_id carried, extremity
+    * ranking (conf vs 1e6−conf by label). */
+  def labelNoise(iters: Int, lr: Double, hi: Long, topK: Int): String = s"""
+    WITH ${probeCtes(iters, lr)},
+    wm AS (SELECT CAST(floor(w0 * 1000000.0) AS BIGINT) AS wm0,
+                  CAST(floor(w1 * 1000000.0) AS BIGINT) AS wm1,
+                  CAST(floor(w2 * 1000000.0) AS BIGINT) AS wm2,
+                  CAST(floor(w3 * 1000000.0) AS BIGINT) AS wm3
+           FROM wt$iters),
+    fid AS (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x0,
+               CAST(n_chars AS DOUBLE) / 1024.0 AS x1,
+               CAST(len(l) AS DOUBLE) / 64.0 AS x2,
+               CASE WHEN len(l) = 0 THEN 0.0
+                    ELSE CAST(len(list_distinct(l)) AS DOUBLE)
+                           / CAST(len(l) AS DOUBLE) END AS x3
+            FROM (SELECT doc_id, $toks AS l, lang, n_chars
+                  FROM documents)),
+    scored AS (SELECT doc_id, CAST(y AS BIGINT) AS label,
+        CAST(floor(least(greatest(
+          (x0 * (CAST(wm0 AS DOUBLE) / 1000000.0)
+           + x1 * (CAST(wm1 AS DOUBLE) / 1000000.0)
+           + x2 * (CAST(wm2 AS DOUBLE) / 1000000.0)
+           + x3 * (CAST(wm3 AS DOUBLE) / 1000000.0)) * 0.25 + 0.5,
+          0.0), 1.0) * 1000000.0) AS BIGINT) AS conf_micro
+      FROM fid, wm)
+    SELECT doc_id, label, conf_micro,
+           CASE WHEN label = 0 THEN conf_micro
+                ELSE 1000000 - conf_micro END AS extremity_micro,
+           (CASE WHEN label = 0 THEN conf_micro
+                 ELSE 1000000 - conf_micro END) >= $hi AS flagged
+    FROM scored
+    ORDER BY extremity_micro DESC, doc_id LIMIT $topK"""
+
   /** Twin of LinearProbe.conformal — trainer chain over band < 6,
     * floored micro weights, calibration order statistic via a grouped
     * value-count running sum (10·cum ≥ 9·(n+1)), coverage + set size

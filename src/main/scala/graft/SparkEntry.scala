@@ -464,6 +464,10 @@ object SparkEntry {
         .orderBy("n_calib")),
     "probe_cv" -> ((s, dir) =>
       graft.operators.LinearProbe.crossValidate(docsPar(s, dir))),
+    // Label-noise audit: top-k docs where the trained probe disagrees
+    // hardest with their label (confident-learning triage)
+    "label_noise" -> ((s, dir) =>
+      graft.operators.LinearProbe.labelNoise(docsPar(s, dir))),
     // Personalized PageRank from the lexicographically-first type:
     // random-walk-with-restart proximity to the seed
     "ppr_events" -> ((s, dir) =>
@@ -1647,6 +1651,7 @@ object SparkEntry {
     "probe_calibration" -> OracleExt.probeCalibration(3, 0.5),
     "probe_cv" -> OracleExt.probeCv(5, 3, 0.5),
     "probe_conformal" -> OracleExt.probeConformal(3, 0.5),
+    "label_noise" -> OracleExt.labelNoise(3, 0.5, 800000L, 20),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
     "ppr_events" -> OracleExt.pprEvents(5),
     "hits_scores" -> OracleExt.hitsScores(4),

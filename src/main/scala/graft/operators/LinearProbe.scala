@@ -42,9 +42,14 @@ object LinearProbe {
     * scale by powers of two (exact), x3 is the type-token ratio (one
     * IEEE divide, identical both engines). Shared by [[train]] and
     * [[calibration]]. */
-  private[graft] def features(docs: DataFrame): DataFrame = {
+  private[graft] def features(docs: DataFrame): DataFrame =
+    docs.select(featureCols: _*)
+
+  /** The feature expressions themselves — [[labelNoise]] re-selects
+    * them beside doc_id (the audit needs to NAME its suspects). */
+  private def featureCols: Seq[Column] = {
     val toksC = TextAnalysis.tokens(col("text"))
-    docs.select(
+    Seq(
       when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
       lit(1.0d).as("x0"),
       (col("n_chars").cast("double") / 1024.0d).as("x1"),
@@ -236,4 +241,29 @@ object LinearProbe {
         expr("(1000000 * __cov) div n_test").as("coverage_ppm"),
         expr("(1000 * __set) div n_test").as("avg_set_milli"))
   }
+
+  /** Label-noise audit (the confident-learning idea of Northcutt et
+    * al. 2021, reduced to its actionable core): rank documents by how
+    * hard the trained probe DISAGREES with their label — extremity =
+    * conf for label-0 docs (the model is sure it's positive) and
+    * 1e6 − conf for label-1 docs. The top of this list is where
+    * annotation errors, scraper mislabels, and distribution leaks
+    * concentrate; `flagged` marks extremity ≥ `hi` (the symmetric
+    * threshold pair hi / 1e6−hi). Scoring RESTARTS from the floored
+    * micro weights (the gated cross-engine artifact) exactly like
+    * [[calibration]]; one corpus pass against the broadcast 1-row
+    * weight frame, top-k = TakeOrderedAndProject. */
+  def labelNoise(docs: DataFrame, iters: Int = 3, lr: Double = 0.5,
+                 hi: Long = 800000L, topK: Int = 20): DataFrame =
+    docs.select(col("doc_id") +: featureCols: _*)
+      .crossJoin(broadcast(weightsRow(docs, iters, lr)))
+      .select(col("doc_id"), col("y").cast("long").as("label"),
+        confCol.as("conf_micro"))
+      .select(col("doc_id"), col("label"), col("conf_micro"),
+        when(col("label") === 0L, col("conf_micro"))
+          .otherwise(lit(1000000L) - col("conf_micro"))
+          .as("extremity_micro"))
+      .withColumn("flagged", col("extremity_micro") >= hi)
+      .orderBy(col("extremity_micro").desc, col("doc_id"))
+      .limit(topK)
 }

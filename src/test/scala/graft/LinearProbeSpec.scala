@@ -143,4 +143,37 @@ class LinearProbeSpec extends SparkTestBase {
     assert(cov == 1000000L && set == 2000L)
     Caches.releaseAll()
   }
+
+  test("labelNoise: the planted mislabel tops the extremity ranking") {
+    // strongly separable (en ⇔ long): 30 clean docs + doc 99, which
+    // has the full positive feature signature but carries label fr —
+    // the probe scores it like the positives, so its extremity
+    // (= conf for a 0-label) must beat every clean doc's.
+    val clean = (1L to 30L).map(i =>
+      (i, "w x", if (i % 2 == 0) "en" else "fr",
+        if (i % 2 == 0) 65536L else 16L))
+    val d = docs(clean :+ ((99L, "w x", "fr", 65536L)): _*)
+    val r = LinearProbe.labelNoise(d, topK = 31)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(r.head._1 == 99L, s"mislabel must rank first: ${r.take(3)}")
+    assert(r.head._2 == 0L, "the suspect carries the wrong 0 label")
+    // the ranking is by extremity desc and every value is a valid
+    // distance-from-own-label confidence
+    assert(r.map(_._4) == r.map(_._4).sorted.reverse)
+    r.foreach { case (_, label, conf, ext, flagged) =>
+      assert(ext == (if (label == 0L) conf else 1000000L - conf))
+      assert(flagged == (ext >= 800000L))
+    }
+    Caches.releaseAll()
+  }
+
+  test("labelNoise: a clean separable corpus flags nothing") {
+    val d = docs((1L to 30L).map(i =>
+      (i, "w x", if (i % 2 == 0) "en" else "fr",
+        if (i % 2 == 0) 65536L else 16L)): _*)
+    val r = LinearProbe.labelNoise(d, topK = 30)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(r.forall(!_._5), s"no clean doc may be flagged")
+    Caches.releaseAll()
+  }
 }
