@@ -6210,6 +6210,31 @@ object OracleExt {
            CAST(count(*) AS BIGINT) AS n_reached
     FROM lv GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of Stats.forecastBacktest — daily table + two calendar lag
+    * joins + per-type MASE, `//` on non-negative operands with the
+    * greatest(·,1) floor. */
+  val forecastBacktest: String = """
+    WITH daily AS (SELECT event_type,
+                          epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+    j AS (SELECT d.event_type, d.n, l1.n AS f1, l7.n AS f7
+          FROM daily d
+          JOIN daily l1 ON l1.event_type = d.event_type
+                       AND l1.day + 1 = d.day
+          JOIN daily l7 ON l7.event_type = d.event_type
+                       AND l7.day + 7 = d.day)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(n - f1)) AS BIGINT) AS sae_naive,
+           CAST(sum(abs(n - f7)) AS BIGINT) AS sae_seasonal,
+           (1000000 * CAST(sum(abs(n - f7)) AS BIGINT))
+             // greatest(CAST(sum(abs(n - f1)) AS BIGINT), 1)
+             AS mase_ppm,
+           (1000000 * CAST(sum(abs(n - f7)) AS BIGINT))
+             // greatest(CAST(sum(abs(n - f1)) AS BIGINT), 1) < 1000000
+             AS seasonal_wins
+    FROM j GROUP BY 1 ORDER BY 1"""
+
   /** Twin of Scrub.kAnonymity — the three lattice levels as explicit
     * grouped subqueries (equivalent to the Spark cube+grouping_id pick
     * on non-NULL quasi-identifiers, which the fixture's are). */

@@ -830,6 +830,9 @@ object SparkEntry {
     // Lag-1 persistence of the daily series, exact rational + signed r²
     "autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(LogSource.readEvents(s, dir))),
+    // Seasonal-naive backtest: MASE of the day-7 forecast vs day-1
+    "forecast_backtest" -> ((s, dir) =>
+      graft.operators.Stats.forecastBacktest(LogSource.readEvents(s, dir))),
     // Benford first-digit audit with plan-time expectation literals
     "benford_check" -> ((s, dir) =>
       graft.operators.Stats.benfordCheck(LogSource.readEvents(s, dir))),
@@ -1698,6 +1701,7 @@ object SparkEntry {
     "order_backlog" -> OracleExt.orderBacklog,
     "neyman_alloc" -> OracleExt.neymanAlloc(10000),
     "autocorr" -> OracleExt.autocorr(3),
+    "forecast_backtest" -> OracleExt.forecastBacktest,
     "benford_check" -> OracleExt.benfordCheck,
     "trend_cycle" -> OracleExt.trendCycle,
     "grouping_sets_counts" -> OracleExt.groupingSetsCounts,

@@ -324,6 +324,45 @@ object Stats {
       .orderBy("event_type", "hod")
   }
 
+  /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler
+    * 2006) per event type — the volume-guard loop run IN the engine:
+    * forecast each day's count by the count 7 CALENDAR days earlier
+    * (seasonal naive) and score it against the 1-day-earlier naive
+    * baseline: MASE = Σ|n − n₋₇| / Σ|n − n₋₁| in ppm, < 1e6 ⇔ weekly
+    * seasonality genuinely predicts (the acceptance test any anomaly
+    * threshold on daily volume should pass first). Lags are equi-JOINS
+    * on day−1/day−7, not row-offset windows — a gap day must break the
+    * lag, not silently slide it; only days with BOTH references
+    * evaluate (documented contract, identical both engines).
+    *
+    * Shape: the corpus collapses to the |types|×|days| daily table
+    * once (tracked — it is referenced three times); the two lag joins
+    * and the final aggregate all run at that bounded size. All-integer:
+    * absolute errors sum exactly, the MASE division truncates
+    * non-negative operands with a max(·,1) floor on the denominator
+    * (a constant series has zero naive error). */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val daily = graft.Caches.track(events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
+    def lagged(off: Int, as: String) = daily.select(col("event_type"),
+      (col("day") + off).as("day"), col("n").as(as))
+    daily
+      .join(lagged(1, "f1"), Seq("event_type", "day"))
+      .join(lagged(7, "f7"), Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("f1"))).as("sae_naive"),
+        sum(abs(col("n") - col("f7"))).as("sae_seasonal"))
+      .select(col("event_type"), col("n_days"), col("sae_naive"),
+        col("sae_seasonal"),
+        expr("""(1000000 * sae_seasonal)
+                div greatest(sae_naive, 1)""").as("mase_ppm"))
+      .withColumn("seasonal_wins", col("mase_ppm") < 1000000L)
+      .orderBy("event_type")
+  }
+
   /** Lag-1 autocorrelation of the per-type daily series — the "is
     * today's volume predicted by yesterday's" persistence test. Pairs
     * are consecutive rows of the daily table in day order (per-type

@@ -164,4 +164,38 @@ class TimeSeriesSpec extends SparkTestBase {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(r == Seq(("a", 0L, 0L, 2000L, 2000L)))
   }
+
+  // ---- forecastBacktest --------------------------------------------
+
+  private def dailySeries(counts: Seq[(Int, Int)], tpe: String = "a") = {
+    var eid = 0L
+    events(counts.flatMap { case (d, c) =>
+      (0 until c).map { i =>
+        eid += 1; (eid, d * day + i * 1000L, 1L, tpe, 0.0)
+      }
+    }: _*)
+  }
+
+  test("forecastBacktest: a clean weekly spike gives MASE 0 — the " +
+    "seasonal forecast is exact where the naive one keeps missing") {
+    // counts 5,1,1,1,1,1,1 repeated twice: days 7..13 evaluate;
+    // seasonal error 0 everywhere, naive error 4 at both spike edges
+    val counts = (0 until 14).map(d => (d, if (d % 7 == 0) 5 else 1))
+    val r = Stats.forecastBacktest(dailySeries(counts))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(("a", 7L, 8L, 0L, 0L, true)))
+    Caches.releaseAll()
+  }
+
+  test("forecastBacktest: a linear trend punishes the 7-day lag 7×; " +
+    "a gap day breaks the lag instead of sliding it") {
+    // counts d+1 on days 0..13 with day 10 MISSING: only days with
+    // both day−1 and day−7 present evaluate → {7,8,9,12,13}; per day
+    // naive error 1, seasonal error 7 → MASE = 7e6, seasonal loses
+    val counts = (0 until 14).filter(_ != 10).map(d => (d, d + 1))
+    val r = Stats.forecastBacktest(dailySeries(counts))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(("a", 5L, 5L, 35L, 7000000L, false)))
+    Caches.releaseAll()
+  }
 }
