@@ -2950,6 +2950,37 @@ object OracleExt {
              AS BIGINT)) AS ppmi_bits
     FROM pairs, nd ORDER BY ta, tb"""
 
+  /** Twin of BloomJoin.bloomFpr — identical md5 `lane:key` filter over
+    * orders custkeys, probed with the non-member customer keys. */
+  def bloomFpr(mBits: Int, kLanes: Int): String = {
+    val h = graft.functions.PortableHash.sqlHash32(
+      "CAST(x.lane AS VARCHAR) || ':' || CAST(x.k AS VARCHAR)")
+    s"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    ln AS (SELECT unnest(range(0, $kLanes)) AS lane),
+    bits AS (SELECT DISTINCT $h % $mBits AS bit
+             FROM (SELECT ky.k, l.lane
+                   FROM keys ky CROSS JOIN ln l) x),
+    nonm AS (SELECT DISTINCT c_custkey AS k FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM keys)),
+    probed AS (SELECT x.k, $h % $mBits AS bit
+               FROM (SELECT nm.k, l.lane
+                     FROM nonm nm CROSS JOIN ln l) x),
+    fp AS (SELECT CAST(count(*) AS BIGINT) AS false_pos FROM (
+             SELECT p.k FROM probed p JOIN bits b ON b.bit = p.bit
+             GROUP BY p.k HAVING count(*) = $kLanes))
+    SELECT CAST($mBits AS BIGINT) AS m_bits,
+           CAST($kLanes AS BIGINT) AS k_lanes,
+           (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM nonm) AS n_probes,
+           fp.false_pos,
+           (1000000 * fp.false_pos)
+             // greatest((SELECT CAST(count(*) AS BIGINT) FROM nonm), 1)
+             AS fpr_ppm
+    FROM fp"""
+  }
+
   /** Twin of Routing.rendezvousShards — k+1 md5 lanes per doc, argmax
     * via row_number (h DESC, s DESC) = Spark's greatest(struct(h, s))
     * lexicographic pick. */

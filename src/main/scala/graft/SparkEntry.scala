@@ -341,6 +341,15 @@ object SparkEntry {
         out, Seq("lang", "source"))
         .orderBy("lang", "source")
     }),
+    // Portable Bloom filter: measured false-positive rate on the
+    // orderless-customer probe set (md5 lanes — twin-identical filter)
+    "bloom_fpr" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      BloomJoin.bloomFpr(
+        R.orders(s, dir).select(col("o_custkey")),
+        R.customer(s, dir).select(col("c_custkey")))
+        .orderBy("m_bits")
+    }),
     // Bloom-prefiltered EXACT semi-join (runtime row-level filter shape)
     "bloom_semi_join" -> ((s, dir) => {
       val ev = LogSource.readEvents(s, dir)
@@ -1527,6 +1536,7 @@ object SparkEntry {
     "temperature_mix" -> OracleExt.temperatureMix,
     "domain_mix" -> OracleExt.domainMix(domainMixTargets),
     "bloom_semi_join" -> OracleExt.bloomSemiJoin,
+    "bloom_fpr" -> OracleExt.bloomFpr(65536, 3),
     "zorder_layout" -> OracleExt.zorderLayout,
     "hilbert_layout" -> OracleExt.hilbertLayout,
     "partitioned_write" -> """

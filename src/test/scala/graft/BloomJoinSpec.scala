@@ -37,4 +37,28 @@ class BloomJoinSpec extends SparkTestBase {
     assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
     assert(p.contains("LeftSemi"), s"exactness join missing:\n$p")
   }
+
+  test("bloomFpr: a 1-bit filter is saturated — every probe false-" +
+    "positive; member keys never count as probes") {
+    val members = (1L to 10L).toDF("key")
+    val probes = (5L to 20L).toDF("key") // 5..10 overlap → excluded
+    val r = BloomJoin.bloomFpr(members, probes, mBits = 1, kLanes = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((1L, 3L, 10L, 1L, 10L, 10L, 1000000L)))
+    Caches.releaseAll()
+  }
+
+  test("bloomFpr: a wide filter on few keys measures a near-zero rate " +
+    "and a load of ≤ n·k bits") {
+    val members = (1L to 10L).toDF("key")
+    val probes = (100L to 1099L).toDF("key")
+    val (m, k, nKeys, bitsSet, nProbes, fp, ppm) =
+      BloomJoin.bloomFpr(members, probes, mBits = 1 << 20, kLanes = 3)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert((m, k, nKeys, nProbes) == ((1048576L, 3L, 10L, 1000L)))
+    assert(bitsSet <= 30L && bitsSet > 0L)
+    assert(fp == 0L && ppm == 0L,
+      "30 bits in 2^20 cannot triple-collide a probe (deterministic md5)")
+    Caches.releaseAll()
+  }
 }
