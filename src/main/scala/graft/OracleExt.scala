@@ -6241,6 +6241,38 @@ object OracleExt {
            CAST(count(*) AS BIGINT) AS n_reached
     FROM lv GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of Classify.giniStump — value-count table, window cumsum in
+    * v order, two independently-floored side scores, row_number argmin
+    * (gini, threshold). */
+  val giniStump: String = """
+    WITH vc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS pos
+                FROM documents GROUP BY 1),
+    cum AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v) AS BIGINT) AS cum_n,
+                   CAST(SUM(pos) OVER (ORDER BY v) AS BIGINT) AS cum_pos
+            FROM vc),
+    tot AS (SELECT CAST(max(cum_n) AS BIGINT) AS tn,
+                   CAST(max(cum_pos) AS BIGINT) AS tp FROM cum),
+    sc AS (SELECT v AS threshold, cum_n AS n_left, cum_pos AS pos_left,
+                  tn - cum_n AS n_right, tp - cum_pos AS pos_right
+           FROM cum, tot WHERE cum_n < tn),
+    g AS (SELECT *,
+            CAST((2000000 * CAST(pos_left AS HUGEINT)
+                    * (n_left - pos_left)) // n_left AS BIGINT)
+            + CAST((2000000 * CAST(pos_right AS HUGEINT)
+                    * (n_right - pos_right)) // n_right AS BIGINT)
+              AS gini_micro
+          FROM sc),
+    best AS (SELECT * FROM (
+               SELECT *, row_number() OVER (ORDER BY gini_micro,
+                 threshold) AS rn FROM g) WHERE rn = 1)
+    SELECT b.threshold, b.n_left, b.pos_left, b.n_right, b.pos_right,
+           b.gini_micro,
+           CAST((2000000 * CAST(t.tp AS HUGEINT) * (t.tn - t.tp))
+                  // t.tn AS BIGINT) AS gini_base_micro
+    FROM best b, tot t ORDER BY b.threshold"""
+
   /** Twin of Stats.forecastBacktest — daily table + two calendar lag
     * joins + per-type MASE, `//` on non-negative operands with the
     * greatest(·,1) floor. */

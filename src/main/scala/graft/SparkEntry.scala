@@ -372,6 +372,9 @@ object SparkEntry {
     // lanes: one counting pass, add-one smoothing, confusion matrix
     "nb_classify" -> ((s, dir) =>
       graft.operators.Classify.nbConfusion(docsPar(s, dir))),
+    // CART root stump: the exact-Gini best single n_chars split
+    "gini_stump" -> ((s, dir) =>
+      graft.operators.Classify.giniStump(docsPar(s, dir))),
     // Cavnar-Trenkle char-trigram LID: ranked n-gram profiles,
     // out-of-place scoring, trains its own evidence from the corpus
     "langid_chargram" -> ((s, dir) =>
@@ -1614,6 +1617,7 @@ object SparkEntry {
     "lang_id" -> OracleExt.langId(TextAnalysis.stopwords),
     "lang_confusion" -> OracleExt.langConfusion(TextAnalysis.stopwords),
     "nb_classify" -> OracleExt.nbConfusion,
+    "gini_stump" -> OracleExt.giniStump,
     "langid_chargram" -> OracleExt.langIdChargram(64, 20),
     "char_profile" -> OracleExt.charProfile,
     "quality_score" -> OracleExt.qualityScore(TextAnalysis.stopwords("en"), 3000),

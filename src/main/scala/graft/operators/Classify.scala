@@ -222,4 +222,64 @@ object Classify {
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
   }
+
+  /** The CART split primitive (Breiman et al. 1984) run at corpus
+    * scale: the single n_chars threshold minimizing weighted Gini
+    * impurity for the lang='en' label — the root-node decision-stump
+    * the probe family's linear/NB models bracket from the other side
+    * (one exact, interpretable split vs a weighted sum). Emits the
+    * best split beside the unsplit baseline so the Gini GAIN is
+    * readable in one row.
+    *
+    * All-integer: a side's weighted Gini contribution collapses to
+    * 2p(n−p)/n (exact rational), scored as
+    * (2e6·p·(n−p)) div n in DECIMAL(38,0) lanes (p·(n−p)·1e6 ≈ 1e32
+    * at 100 TB — far past BIGINT); operands non-negative throughout.
+    *
+    * Shape: the corpus collapses ONCE to the value-count table
+    * (distinct n_chars values); left-side cumulatives come from the
+    * shared Prefix sweep (block = bit-length — an order-preserving
+    * coarsening, never a global sort); every candidate threshold is
+    * one row of that bounded table and the argmin is a min_by
+    * aggregate. */
+  def giniStump(docs: DataFrame): DataFrame = {
+    val vc = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+    val cum = Prefix.inclusiveCumsum(vc,
+      length(bin(col("v"))).cast("long"), col("v"),
+      Seq("n" -> col("n"), "pos" -> col("pos")))
+    val tot = cum.agg(max(col("cum_n")).as("tn"),
+      max(col("cum_pos")).as("tp"))
+    val scoredCols = cum.crossJoin(broadcast(tot))
+      .filter(col("cum_n") < col("tn")) // right side must be non-empty
+      .select(col("v").as("threshold"),
+        col("cum_n").as("n_left"), col("cum_pos").as("pos_left"),
+        (col("tn") - col("cum_n")).as("n_right"),
+        (col("tp") - col("cum_pos")).as("pos_right"),
+        col("tn"), col("tp"))
+      .select(col("threshold"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"), col("tn"), col("tp"),
+        (expr("""CAST((2000000 * CAST(pos_left AS DECIMAL(38,0))
+                    * (n_left - pos_left)) div n_left AS BIGINT)""") +
+          expr("""CAST((2000000 * CAST(pos_right AS DECIMAL(38,0))
+                    * (n_right - pos_right)) div n_right AS BIGINT)"""))
+          .as("gini_micro"))
+    scoredCols
+      .agg(min_by(
+        struct(col("threshold"), col("n_left"), col("pos_left"),
+          col("n_right"), col("pos_right"), col("gini_micro")),
+        struct(col("gini_micro"), col("threshold"))).as("__b"),
+        max(col("tn")).as("n_total"), max(col("tp")).as("pos_total"))
+      .select(col("__b.threshold").as("threshold"),
+        col("__b.n_left").as("n_left"),
+        col("__b.pos_left").as("pos_left"),
+        col("__b.n_right").as("n_right"),
+        col("__b.pos_right").as("pos_right"),
+        col("__b.gini_micro").as("gini_micro"),
+        expr("""CAST((2000000 * CAST(pos_total AS DECIMAL(38,0))
+                  * (n_total - pos_total)) div n_total AS BIGINT)""")
+          .as("gini_base_micro"))
+      .orderBy("threshold")
+  }
 }

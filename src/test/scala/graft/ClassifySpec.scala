@@ -101,4 +101,32 @@ class ClassifySpec extends SparkTestBase {
     assert(r == Seq(("aa", "aa", 1L), ("bb", "aa", 1L)))
     Caches.releaseAll()
   }
+
+  test("giniStump: the perfect split is found at Gini 0 against a " +
+    "maximal baseline") {
+    // en docs long (100, 200), fr short (10, 20): threshold 20 puts
+    // both classes pure — weighted Gini 0; the unsplit baseline is
+    // maximal (2e6·2·2 div 4 = 2e6).
+    val d = Seq(
+      (1L, "t", "fr", 10L), (2L, "t", "fr", 20L),
+      (3L, "t", "en", 100L), (4L, "t", "en", 200L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val r = Classify.giniStump(d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((20L, 2L, 0L, 2L, 2L, 0L, 2000000L)))
+    Caches.releaseAll()
+  }
+
+  test("giniStump: equal-impurity splits break to the smaller " +
+    "threshold") {
+    // en(10), fr(20), en(30): t=10 and t=20 both score 1e6 — the
+    // argmin's (gini, threshold) order picks 10
+    val d = Seq(
+      (1L, "t", "en", 10L), (2L, "t", "fr", 20L), (3L, "t", "en", 30L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val r = Classify.giniStump(d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((10L, 1L, 1L, 2L, 1L, 1000000L, 1333333L)))
+    Caches.releaseAll()
+  }
 }
