@@ -6241,6 +6241,37 @@ object OracleExt {
            CAST(count(*) AS BIGINT) AS n_reached
     FROM lv GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of Profile.lengthW1 — per-source CDF grid over the shared
+    * support, cross-multiplied HUGEINT terms, one end division. */
+  val lengthW1: String = """
+    WITH vc AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2),
+    sup AS (SELECT * FROM (
+              SELECT v, lead(v) OVER (ORDER BY v) - v AS gap
+              FROM (SELECT DISTINCT v FROM vc))
+            WHERE gap IS NOT NULL),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+            FROM vc GROUP BY 1),
+    grid AS (SELECT s.source, p.v, p.gap,
+                    CAST(SUM(COALESCE(vc.c, 0)) OVER (
+                      PARTITION BY s.source ORDER BY p.v) AS BIGINT)
+                      AS cum
+             FROM (SELECT DISTINCT source FROM vc) s
+             CROSS JOIN sup p
+             LEFT JOIN vc ON vc.source = s.source AND vc.v = p.v),
+    j AS (SELECT a.source AS source_a, b.source AS source_b,
+                 ta.n_s AS n_a, tb.n_s AS n_b,
+                 ABS(CAST(a.cum AS HUGEINT) * tb.n_s
+                   - CAST(b.cum AS HUGEINT) * ta.n_s) * a.gap AS term
+          FROM grid a JOIN grid b ON a.v = b.v AND a.source < b.source
+          JOIN tot ta ON ta.source = a.source
+          JOIN tot tb ON tb.source = b.source)
+    SELECT source_a, source_b, n_a, n_b,
+           CAST((1000 * SUM(term))
+             // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+             AS w1_milli_chars
+    FROM j GROUP BY 1, 2, 3, 4 ORDER BY 1, 2"""
+
   /** Twin of Classify.giniStump — value-count table, window cumsum in
     * v order, two independently-floored side scores, row_number argmin
     * (gini, threshold). */

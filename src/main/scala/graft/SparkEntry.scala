@@ -290,6 +290,10 @@ object SparkEntry {
       graft.operators.Profile.ksDrift(
           LogSource.readEvents(s, dir), "click", "error")
         .orderBy("n_a")), // 1 row; satisfies the order contract
+    // Pairwise Wasserstein-1 between source length distributions —
+    // drift in interpretable character units (KS's integral sibling)
+    "length_w1" -> ((s, dir) =>
+      graft.operators.Profile.lengthW1(docsPar(s, dir))),
     // View->click attribution pairs (stream-stream-join-shaped)
     "attribution_join" -> ((s, dir) => {
       val ev = LogSource.readEvents(s, dir)
@@ -1531,6 +1535,7 @@ object SparkEntry {
     "top_paths" -> OracleExt.topPaths(3, 20),
     "data_profile" -> OracleExt.dataProfile,
     "ks_drift" -> OracleExt.ksDrift("click", "error"),
+    "length_w1" -> OracleExt.lengthW1,
     "mad_outliers" -> OracleExt.madOutliers("purchase", 3),
     "attribution_join" -> OracleExt.attributionJoin(3600),
     "funnel_levels" -> OracleExt.funnelLevels,

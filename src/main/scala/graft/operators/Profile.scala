@@ -257,4 +257,54 @@ object Profile {
           .as("was_clipped"))
       .orderBy("event_id")
   }
+
+  /** Pairwise Wasserstein-1 (earth-mover) distance between the
+    * per-source doc-length distributions — the INTEGRAL drift measure
+    * beside [[ksDrift]]'s sup-gap: on an ordered domain
+    * W1 = Σᵥ |CDF_a(v) − CDF_b(v)|·Δv, so the answer reads in
+    * CHARACTERS ("source b's docs are ~340 chars longer-shifted"),
+    * which a sup statistic can't say. Exact by cross-multiplying the
+    * two CDFs: |cum_a·N_b − cum_b·N_a|·Δv summed in DECIMAL(38,0)
+    * lanes, divided once by N_a·N_b at the end (milli-char units,
+    * non-negative operands).
+    *
+    * Shape: corpus collapses ONCE to the tracked (source, length)
+    * count table; the support (distinct lengths + gap-to-next) and the
+    * |sources|×|lengths| CDF grid stay value-range-bounded; per-source
+    * cumsums are bounded windows over the grid; the pair join is keyed
+    * on v (|sources|² combos per value). The last support value drops
+    * out structurally (both CDFs are 1 there — zero term). */
+  def lengthW1(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = graft.Caches.track(
+      docs.groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c")))
+    val support = vc.select("v").distinct()
+      .withColumn("gap",
+        lead(col("v"), 1).over(Window.orderBy("v")) - col("v"))
+      .filter(col("gap").isNotNull)
+    val totals = vc.groupBy("source").agg(sum(col("c")).as("n_s"))
+    val grid = vc.select("source").distinct()
+      .crossJoin(broadcast(support))
+      .join(vc, Seq("source", "v"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("source"), col("v"), col("gap"), col("cum"))
+    def side(tag: String) = grid
+      .join(totals, Seq("source"))
+      .select(col("source").as(s"source_$tag"), col("v"), col("gap"),
+        col("cum").as(s"cum_$tag"), col("n_s").as(s"n_$tag"))
+    side("a").join(side("b").drop("gap"), Seq("v"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b", "n_a", "n_b")
+      .agg(sum(abs(col("cum_a").cast("decimal(38,0)") * col("n_b")
+          - col("cum_b").cast("decimal(38,0)") * col("n_a"))
+        * col("gap")).as("__s"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        expr("""CAST((1000 * __s)
+                  div (CAST(n_a AS DECIMAL(38,0)) * n_b)
+                AS BIGINT)""").as("w1_milli_chars"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -117,4 +117,29 @@ class ProfileSpec extends SparkTestBase {
     assert(got == ((na, nb, counts.length.toLong,
       1000000L * dnum / (na * nb))))
   }
+
+  test("lengthW1: a pure 10-char shift measures exactly 10 chars") {
+    // a = {10, 20}, b = {20, 30}: both CDF gaps contribute 1/2·10 →
+    // W1 = 10 chars = 10000 milli
+    val d = Seq((1L, "a", 10L), (2L, "a", 20L),
+      (3L, "b", 20L), (4L, "b", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = graft.operators.Profile.lengthW1(d)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", "b", 2L, 2L, 10000L)))
+    Caches.releaseAll()
+  }
+
+  test("lengthW1: identical distributions sit at zero; every pair " +
+    "appears once (a < b)") {
+    val d = Seq((1L, "a", 10L), (2L, "a", 30L),
+      (3L, "b", 10L), (4L, "b", 30L),
+      (5L, "c", 10L), (6L, "c", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = graft.operators.Profile.lengthW1(d)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", "b", 2L, 2L, 0L), ("a", "c", 2L, 2L, 0L),
+      ("b", "c", 2L, 2L, 0L)))
+    Caches.releaseAll()
+  }
 }
