@@ -4609,6 +4609,22 @@ object OracleExt {
           WHERE q.vec_id < $nQueries)
     WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Twin of Similarity.hardNegatives — the topkCosine twin with the
+    * label-mismatch predicate in the join. */
+  def hardNegatives(nQueries: Int, k: Int): String = s"""
+    WITH $normCte,
+    nl AS (SELECT n.vec_id, n.v, n.norm2, e.label
+           FROM n JOIN embeddings e USING (vec_id))
+    SELECT query_id, q_label, CAST(rank AS INTEGER) AS rank, cand_id,
+           c_label, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+    FROM (SELECT q.vec_id AS query_id, q.label AS q_label,
+                 c.vec_id AS cand_id, c.label AS c_label, $cosSql AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY $cosSql DESC, c.vec_id) AS rank
+          FROM nl q JOIN nl c ON c.label != q.label
+          WHERE q.vec_id < $nQueries)
+    WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** Twin of Similarity.rrfFusion — the exact-cosine and int8-code
     * rank CTEs full-outer joined; each contributes 1e9 // (C + rank)
     * ppb, missing-list candidates contribute 0. All-integer fusion, so

@@ -1238,6 +1238,11 @@ object SparkEntry {
     "topk_cosine" -> ((s, dir) =>
       Similarity.topkCosine(embPar(s, dir))
         .orderBy("query_id", "rank")),
+    // Hard-negative mining: top-k most-similar DIFFERENT-label
+    // candidates per query (contrastive-training curation)
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(embPar(s, dir))
+        .orderBy("query_id", "rank")),
     // Hyperplane-LSH bucketed ANN top-k (the scale path)
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embPar(s, dir))
@@ -1816,6 +1821,7 @@ object SparkEntry {
     "simhash_pairs" -> OracleExt.simhashPairs(6),
     "dedup_method_agreement" -> OracleExt.dedupMethodAgreement(6),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),
+    "hard_negatives" -> OracleExt.hardNegatives(10, 3),
     "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
     "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),

@@ -87,6 +87,36 @@ object Similarity {
       col("cand_id"), simMicro(col("sim")).as("sim_micro"))
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * ANCE-style curation step): per query, the top-k most-similar
+    * candidates whose LABEL DIFFERS — the "looks like a positive, is
+    * a negative" examples that make a contrastive objective learn
+    * anything (random negatives are trivially separable). Same
+    * broadcast-query shape as [[topkCosine]] with the label-mismatch
+    * predicate fused into the join, so same-label candidates never
+    * reach the rank window; the window sorts only each query's
+    * survivor set. Emits both labels so the pair is auditable. */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 10, k: Int = 3)
+      : DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"), col("label").as("q_label"))
+    val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"), col("label").as("c_label"))
+    c.join(broadcast(q), col("c_label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"), col("cand_id"),
+        col("c_label"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"),
+        col("rank").cast("int").as("rank"), col("cand_id"),
+        col("c_label"), simMicro(col("sim")).as("sim_micro"))
+  }
+
   /** LSH-bucketed ANN top-k: both sides get a bucket id from the fixed
     * hyperplanes; the join is an EQUI-join on the bucket — at scale each
     * bucket is one hash partition and the candidate set per query is

@@ -344,4 +344,27 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(r == Seq((0L, 2L, 2L, 100L)))
   }
+
+  test("hardNegatives: the identical same-label twin is excluded; " +
+    "cross-label candidates rank by similarity") {
+    val e = emb(
+      (0L, vec(1f, 0f), 1),   // query, label 1
+      (1L, vec(2f, 0f), 1),   // cos 1 but SAME label → excluded
+      (2L, vec(1f, 1f), 2),   // cos ~0.707, different label → rank 1
+      (3L, vec(0f, 1f), 2))   // cos 0 → rank 2
+    val r = Similarity.hardNegatives(e, nQueries = 1, k = 3)
+      .as[(Long, Int, Int, Long, Int, Long)].collect().toSeq
+    assert(r.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      Seq((0L, 1, 1, 2L, 2), (0L, 1, 2, 3L, 2)))
+    assert(r.head._6 == 707106L)
+    assert(r(1)._6 == 0L)
+    Caches.releaseAll()
+  }
+
+  test("hardNegatives: a single-label corpus mines nothing") {
+    val e = emb((0L, vec(1f, 0f), 1), (1L, vec(2f, 0f), 1),
+      (2L, vec(0f, 1f), 1))
+    assert(Similarity.hardNegatives(e, nQueries = 2, k = 3).isEmpty)
+    Caches.releaseAll()
+  }
 }
