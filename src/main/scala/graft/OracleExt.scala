@@ -6475,9 +6475,11 @@ object OracleExt {
     ORDER BY d.user_id"""
 
   /** Twin of Graph.linkPredict — hinge self-join wedges over sym with
-    * degrees pre-joined, anti-join on the undirected edge list `pr`,
-    * whole-bit Adamic-Adar lanes, `//` on non-negative operands. */
-  def linkPredict(topK: Int, maxCellUsers: Int, minShared: Int): String = s"""
+    * degrees pre-joined and the hinge-degree cap applied, anti-join on
+    * the undirected edge list `pr`, whole-bit Adamic-Adar lanes, `//`
+    * on non-negative operands. */
+  def linkPredict(topK: Int, maxCellUsers: Int, minShared: Int,
+                  maxHinge: Int = 64): String = s"""
     WITH ${userGraphCtes(maxCellUsers, minShared)},
     deg AS (SELECT src AS z, CAST(count(*) AS BIGINT) AS deg
             FROM sym GROUP BY 1),
@@ -6487,7 +6489,7 @@ object OracleExt {
                       AS BIGINT) AS aa_micro
              FROM sym s1
              JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
-             JOIN deg d ON d.z = s1.src
+             JOIN deg d ON d.z = s1.src AND d.deg <= $maxHinge
              GROUP BY 1, 2),
     ne AS (SELECT c.* FROM cand c
            LEFT JOIN pr ON pr.ua = c.ua AND pr.ub = c.ub

