@@ -1286,6 +1286,56 @@ object OracleExt {
     ORDER BY fold"""
   }
 
+  /** Twin of LinearProbe.brier — exact per-row squared term, Murphy
+    * REL/RES from the floored micro decile means, HUGEINT lanes. */
+  def probeBrier(iters: Int, lr: Double): String = s"""
+    WITH ${probeCtes(iters, lr)},
+    wm AS (SELECT CAST(floor(w0 * 1000000.0) AS BIGINT) AS wm0,
+                  CAST(floor(w1 * 1000000.0) AS BIGINT) AS wm1,
+                  CAST(floor(w2 * 1000000.0) AS BIGINT) AS wm2,
+                  CAST(floor(w3 * 1000000.0) AS BIGINT) AS wm3
+           FROM wt$iters),
+    scored AS (SELECT f.y,
+        CAST(floor(least(greatest(
+          (f.x0 * (CAST(wm0 AS DOUBLE) / 1000000.0)
+           + f.x1 * (CAST(wm1 AS DOUBLE) / 1000000.0)
+           + f.x2 * (CAST(wm2 AS DOUBLE) / 1000000.0)
+           + f.x3 * (CAST(wm3 AS DOUBLE) / 1000000.0)) * 0.25 + 0.5,
+          0.0), 1.0) * 1000000.0) AS BIGINT) AS conf
+      FROM f, wm),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS p,
+                   SUM(CAST(conf - CAST(y * 1000000 AS BIGINT)
+                         AS HUGEINT)
+                       * (conf - CAST(y * 1000000 AS BIGINT))) AS sq
+            FROM scored),
+    tot2 AS (SELECT *, (1000000 * p) // n AS base_micro FROM tot),
+    bins AS (SELECT least(conf // 100000, 9) AS bin,
+                    CAST(count(*) AS BIGINT) AS n_k,
+                    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pos,
+                    CAST(sum(conf) AS BIGINT) AS sc
+             FROM scored GROUP BY 1),
+    bm AS (SELECT n_k, sc // n_k AS cbar,
+                  (1000000 * pos) // n_k AS abar FROM bins),
+    ag AS (SELECT SUM(CAST(n_k AS HUGEINT) * (cbar - abar)
+                      * (cbar - abar)) AS rel_s,
+                  SUM(CAST(n_k AS HUGEINT) * (abar - t.base_micro)
+                      * (abar - t.base_micro)) AS res_s
+           FROM bm, tot2 t)
+    SELECT t.n AS n_docs,
+           CAST(t.sq // (CAST(t.n AS HUGEINT) * 1000000) AS BIGINT)
+             AS brier_micro,
+           CAST(a.rel_s // (CAST(t.n AS HUGEINT) * 1000000) AS BIGINT)
+             AS rel_micro,
+           CAST(a.res_s // (CAST(t.n AS HUGEINT) * 1000000) AS BIGINT)
+             AS res_micro,
+           t.base_micro,
+           (t.base_micro * (1000000 - t.base_micro)) // 1000000
+             AS unc_micro
+    FROM tot2 t, ag a ORDER BY n_docs"""
+
   /** Twin of LinearProbe.labelNoise — trainer chain + floored micro
     * weights, per-doc confidence with doc_id carried, extremity
     * ranking (conf vs 1e6−conf by label). */
@@ -2797,6 +2847,28 @@ object OracleExt {
       ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""
+
+  /** Twin of Dedup.dupTransitivity — wedges and closing edges over the
+    * band-join candidate pairs. */
+  val dupTransitivity: String = s"""
+    $bandsCte,
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+    sym AS (SELECT doc_a AS z, doc_b AS n FROM pairs
+            UNION ALL SELECT doc_b AS z, doc_a AS n FROM pairs),
+    wedges AS (SELECT s1.n AS a, s2.n AS c
+               FROM sym s1 JOIN sym s2
+                 ON s1.z = s2.z AND s1.n < s2.n),
+    closed AS (SELECT w.a, w.c FROM wedges w
+               JOIN pairs p ON p.doc_a = w.a AND p.doc_b = w.c)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_closed,
+           (1000000 * (SELECT CAST(count(*) AS BIGINT) FROM closed))
+             // greatest((SELECT CAST(count(*) AS BIGINT) FROM wedges),
+                         1) AS closure_ppm"""
 
   /** Twin of Curation.sourceOverlap — the band-join candidate pairs
     * bucketed to unordered source cells (least/greatest), doc volumes

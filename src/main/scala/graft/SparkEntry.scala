@@ -480,6 +480,9 @@ object SparkEntry {
         .orderBy("n_calib")),
     "probe_cv" -> ((s, dir) =>
       graft.operators.LinearProbe.crossValidate(docsPar(s, dir))),
+    // Brier score + Murphy decomposition off the calibration deciles
+    "probe_brier" -> ((s, dir) =>
+      graft.operators.LinearProbe.brier(docsPar(s, dir))),
     // Label-noise audit: top-k docs where the trained probe disagrees
     // hardest with their label (confident-learning triage)
     "label_noise" -> ((s, dir) =>
@@ -1138,6 +1141,10 @@ object SparkEntry {
     // LSH candidate pairs via band equi-join
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // Pair-graph closure rate: is near-dup similarity transitive
+    // enough for component clustering on THIS corpus?
+    "dup_transitivity" -> ((s, dir) =>
+      Dedup.dupTransitivity(docsPar(s, dir))),
     // Lane-agreement Jaccard estimate for the candidate pairs
     "minhash_est" -> ((s, dir) =>
       Dedup.minhashJaccardEst(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
@@ -1679,6 +1686,7 @@ object SparkEntry {
     "probe_cv" -> OracleExt.probeCv(5, 3, 0.5),
     "probe_conformal" -> OracleExt.probeConformal(3, 0.5),
     "label_noise" -> OracleExt.labelNoise(3, 0.5, 800000L, 20),
+    "probe_brier" -> OracleExt.probeBrier(3, 0.5),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
     "ppr_events" -> OracleExt.pprEvents(5),
     "hits_scores" -> OracleExt.hitsScores(4),
@@ -1797,6 +1805,7 @@ object SparkEntry {
       FROM events WHERE event_id // 4 >= 100 ORDER BY seq, shard""",
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
+    "dup_transitivity" -> OracleExt.dupTransitivity,
     "minhash_est" -> OracleExt.minhashJaccardEst,
     "tiered_neardup" -> OracleExt.tieredNearDup(500L, 800L),
     "minhash_eval" -> OracleExt.minhashEval(500L),

@@ -1051,4 +1051,39 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Near-dup pair transitivity audit — the question to answer BEFORE
+    * trusting any connected-components cluster keeplist: near-duplicate
+    * similarity is NOT transitive (a~b and b~c permit a≁c — chained
+    * drift), so component clustering over-merges exactly when this
+    * closure rate is low. Counts the open wedges of the candidate-pair
+    * graph ((a,b),(b,c) present) and how many close ((a,c) also a
+    * pair); closure_ppm near 1e6 ⇒ components ≈ cliques and the
+    * keeplist is safe, low ⇒ star-dedup (dedup_clusters_star) or
+    * per-pair verification before deletion.
+    *
+    * Shape: runs entirely on the band-join candidate table (tracked —
+    * candidate-scale, bounded by the banding parameters, never corpus²);
+    * the hinge self-join + the closing-edge semi-join are the
+    * triangle_count shape on that small table; 1 row out. */
+  def dupTransitivity(docs: DataFrame): DataFrame = {
+    val pairs = graft.Caches.track(minhashPairs(docs))
+    val sym = pairs.select(col("doc_a").as("z"), col("doc_b").as("n"))
+      .unionByName(pairs.select(col("doc_b").as("z"),
+        col("doc_a").as("n")))
+    val wedges = graft.Caches.track(
+      sym.select(col("z"), col("n").as("a"))
+        .join(sym.select(col("z"), col("n").as("c")), Seq("z"))
+        .filter(col("a") < col("c")))
+    val closed = wedges.join(pairs,
+      wedges("a") === pairs("doc_a") && wedges("c") === pairs("doc_b"),
+      "leftsemi")
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_closed"))))
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+        expr("(1000000 * n_closed) div greatest(n_wedges, 1)")
+          .as("closure_ppm"))
+      .orderBy("n_pairs")
+  }
 }

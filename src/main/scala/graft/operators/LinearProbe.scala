@@ -242,6 +242,58 @@ object LinearProbe {
         expr("(1000 * __set) div n_test").as("avg_set_milli"))
   }
 
+  /** Brier score with the Murphy (1973) decomposition — the single
+    * proper-scoring-rule number the [[calibration]] table rolls up to,
+    * split into its three readable parts: BS = REL − RES + UNC
+    * (reliability: how far bin confidence sits from bin accuracy;
+    * resolution: how much the bins separate the base rate;
+    * uncertainty: the base rate's own variance). The mean-squared term
+    * is EXACT per row (Σ(conf − y·1e6)² in DECIMAL(38,0) — ≤1e25 at
+    * 1e13 rows); REL/RES use the FLOORED micro decile means the
+    * calibration table already publishes (c̄ = sc div n,
+    * ā = 1e6·pos div n, floored base rate), so the decomposition
+    * identity holds up to that documented quantization and every lane
+    * is engine-identical. One corpus scoring pass, a 10-row bin
+    * aggregate, one summary row. */
+  def brier(docs: DataFrame, iters: Int = 3, lr: Double = 0.5)
+      : DataFrame = {
+    val scored = graft.Caches.track(
+      features(docs).crossJoin(broadcast(weightsRow(docs, iters, lr)))
+        .select(col("y"), confCol.as("conf")))
+    val tot = scored.agg(count(lit(1)).as("n"),
+      sum(when(col("y") === 1.0d, 1L).otherwise(0L)).as("p"),
+      sum(expr("""CAST(conf - CAST(y * 1000000 AS BIGINT)
+                    AS DECIMAL(38,0))
+                  * (conf - CAST(y * 1000000 AS BIGINT))"""))
+        .as("sq"))
+      .withColumn("base_micro", expr("(1000000 * p) div n"))
+    val bins = scored
+      .groupBy(least(expr("conf div 100000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(when(col("y") === 1.0d, 1L).otherwise(0L)).as("pos"),
+        sum(col("conf")).as("sc"))
+      .select(col("n_k"), expr("sc div n_k").as("cbar"),
+        expr("(1000000 * pos) div n_k").as("abar"))
+    bins.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_docs"), max(col("sq")).as("sq"),
+        max(col("base_micro")).as("base_micro"),
+        sum(expr("""CAST(n_k AS DECIMAL(38,0))
+                    * (cbar - abar) * (cbar - abar)""")).as("rel_s"),
+        sum(expr("""CAST(n_k AS DECIMAL(38,0)) * (abar - base_micro)
+                    * (abar - base_micro)""")).as("res_s"))
+      .select(col("n_docs"),
+        expr("""CAST(sq div (CAST(n_docs AS DECIMAL(38,0)) * 1000000)
+                AS BIGINT)""").as("brier_micro"),
+        expr("""CAST(rel_s div (CAST(n_docs AS DECIMAL(38,0)) * 1000000)
+                AS BIGINT)""").as("rel_micro"),
+        expr("""CAST(res_s div (CAST(n_docs AS DECIMAL(38,0)) * 1000000)
+                AS BIGINT)""").as("res_micro"),
+        col("base_micro"),
+        expr("""(base_micro * (1000000 - base_micro)) div 1000000""")
+          .as("unc_micro"))
+      .orderBy("n_docs")
+  }
+
   /** Label-noise audit (the confident-learning idea of Northcutt et
     * al. 2021, reduced to its actionable core): rank documents by how
     * hard the trained probe DISAGREES with their label — extremity =

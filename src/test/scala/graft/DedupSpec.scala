@@ -74,6 +74,29 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dupTransitivity: a 3-clique of exact dups closes every wedge; " +
+    "an isolated pair adds no wedge") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different words about spark catalyst tungsten yes"
+    val d = docs((1L, t1), (2L, t1), (3L, t1), (4L, t2), (5L, t2))
+    // pairs: (1,2),(1,3),(2,3) clique + isolated (4,5) → 3 wedges,
+    // all closed
+    val r = Dedup.dupTransitivity(d)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((4L, 3L, 3L, 1000000L)))
+    Caches.releaseAll()
+  }
+
+  test("dupTransitivity: no pairs means no wedges and a zero-floored " +
+    "closure") {
+    val d = docs((1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "one two three four five six seven eight nine"))
+    val r = Dedup.dupTransitivity(d)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((0L, 0L, 0L, 0L)))
+    Caches.releaseAll()
+  }
+
   test("ngramJaccard: exact arithmetic on a crafted pair") {
     // shingles1 = {a b c, b c d, c d e}; shingles2 = {a b c, b c d, c d f}
     // inter=2, union=4 -> 500 milli

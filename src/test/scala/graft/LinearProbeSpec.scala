@@ -144,6 +144,33 @@ class LinearProbeSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("brier: the zero-round constant predictor is pure uncertainty") {
+    // iters=0 → conf 500000 everywhere; balanced labels → base 1/2:
+    // BS = 250000 micro, REL = RES = 0, UNC = 250000 (BS = REL−RES+UNC)
+    val d = docs((1L, "a", "en", 100L), (2L, "b", "en", 200L),
+      (3L, "c", "fr", 300L), (4L, "d", "fr", 400L))
+    val r = LinearProbe.brier(d, iters = 0)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((4L, 250000L, 0L, 0L, 500000L, 250000L)))
+    Caches.releaseAll()
+  }
+
+  test("brier: a separable trained probe scores far below the " +
+    "constant predictor; decomposition parts stay consistent") {
+    val d = docs((1L to 30L).map(i =>
+      (i, "w x", if (i % 2 == 0) "en" else "fr",
+        if (i % 2 == 0) 65536L else 16L)): _*)
+    val (n, bs, rel, res, base, unc) = LinearProbe.brier(d)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(n == 30L && base == 500000L && unc == 250000L)
+    assert(bs < 250000L, "training must beat the constant predictor")
+    assert(rel >= 0L && res >= 0L && res <= unc + 1L)
+    // Murphy identity up to the documented floored-mean quantization
+    assert(math.abs(bs - (rel - res + unc)) < 2000L,
+      s"BS=$bs REL=$rel RES=$res UNC=$unc")
+    Caches.releaseAll()
+  }
+
   test("labelNoise: the planted mislabel tops the extremity ranking") {
     // strongly separable (en ⇔ long): 30 clean docs + doc 99, which
     // has the full positive feature signature but carries label fr —
