@@ -745,6 +745,26 @@ object OracleExt {
     FROM r$iters ORDER BY event_type"""
   }
 
+  /** Twin of Graph.transitionEntropy — the staged-pair window rebuilt
+    * inline, whole-bit per-cell logs, milli-bit weighted mean. */
+  val transitionEntropy: String = """
+    WITH pairs AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS o,
+                   CAST(count(*) AS BIGINT) AS n_next
+            FROM pairs GROUP BY 1)
+    SELECT p.src AS event_type, t.o AS n_transitions,
+           t.n_next AS n_next_types,
+           (1000 * CAST(sum(p.c * (length(bin(t.o // p.c)) - 1))
+             AS BIGINT)) // t.o AS h_milli_bits,
+           CAST(length(bin(t.n_next)) - 1 AS BIGINT) AS hmax_bits
+    FROM pairs p JOIN tot t USING (src)
+    GROUP BY 1, 2, 3, 5 ORDER BY 1"""
+
   /** Twin of Graph.pprEvents — the seed-concentrated restart variant
     * of the pagerank unroll (init 1e6 on the seed, +150000 restart on
     * the seed only). */

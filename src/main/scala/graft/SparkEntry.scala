@@ -487,6 +487,10 @@ object SparkEntry {
     // hardest with their label (confident-learning triage)
     "label_noise" -> ((s, dir) =>
       graft.operators.LinearProbe.labelNoise(docsPar(s, dir))),
+    // Whole-bit next-event entropy per type: template/bot traffic
+    // sits near 0, organic near the uniform bound
+    "transition_entropy" -> ((s, dir) =>
+      graft.operators.Graph.transitionEntropy(LogSource.readEvents(s, dir))),
     // Personalized PageRank from the lexicographically-first type:
     // random-walk-with-restart proximity to the seed
     "ppr_events" -> ((s, dir) =>
@@ -1689,6 +1693,7 @@ object SparkEntry {
     "probe_brier" -> OracleExt.probeBrier(3, 0.5),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
     "ppr_events" -> OracleExt.pprEvents(5),
+    "transition_entropy" -> OracleExt.transitionEntropy,
     "hits_scores" -> OracleExt.hitsScores(4),
     "active_users" -> OracleExt.activeUsers(7, 30),
     "cdc_apply" -> OracleExt.cdcApply("error"),

@@ -162,6 +162,31 @@ object Graph {
       .orderBy("event_type")
   }
 
+  /** Per-type transition entropy in whole-bit lanes — "given the
+    * current event, how predictable is the NEXT one": the Shannon
+    * entropy of each row of the transition matrix, with every log
+    * floored to whole bits (bits(out div c) = length(bin)−1 — the
+    * unigram_surprisal discipline: engine-exact, no float log crosses
+    * the oracle) and the weighted mean carried in milli-bits. A
+    * deterministic template/bot emits near 0; organic traffic sits
+    * near the hmax_bits = ⌊log2(n_next)⌋ uniform bound. The
+    * predictability complement of transition_matrix's raw counts and
+    * pagerank/HITS' importance views, off the SAME staged pair
+    * artifact — zero new corpus passes, one vocab²-bounded aggregate. */
+  def transitionEntropy(events: DataFrame): DataFrame = {
+    val pairs = Events.stagedTransitionPairs(events)
+    val tot = pairs.groupBy("src").agg(sum(col("c")).as("out"),
+      count(lit(1)).as("n_next"))
+    pairs.join(tot, Seq("src"))
+      .groupBy(col("src").as("event_type"), col("out"), col("n_next"))
+      .agg(sum(expr("c * (length(bin(out div c)) - 1)")).as("__h"))
+      .select(col("event_type"), col("out").as("n_transitions"),
+        col("n_next").as("n_next_types"),
+        expr("(1000 * __h) div out").as("h_milli_bits"),
+        (length(bin(col("n_next"))) - 1).cast("long").as("hmax_bits"))
+      .orderBy("event_type")
+  }
+
   /** Per-node triangle counts on the undirected event-type transition
     * graph — the clustering/cohesion signal next to [[pagerankEvents]]'s
     * centrality (triangle density is the classic spam-vs-community

@@ -49,6 +49,29 @@ class GraphSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("transitionEntropy: a deterministic alternation scores 0 bits; " +
+    "a uniform 4-way fan scores exactly 2") {
+    // user 1 alternates a,b,a,b,a → both rows deterministic (0 bits);
+    // user 2 fans a→{b,c,d,e} uniformly via a,b,a,c,a,d,a,e
+    val ev = events(
+      (1L, 1000L, 1L, "a"), (2L, 2000L, 1L, "b"),
+      (3L, 3000L, 1L, "a"), (4L, 4000L, 1L, "b"), (5L, 5000L, 1L, "a"),
+      (6L, 1000L, 2L, "a"), (7L, 2000L, 2L, "b"),
+      (8L, 3000L, 2L, "a"), (9L, 4000L, 2L, "c"),
+      (10L, 5000L, 2L, "a"), (11L, 6000L, 2L, "d"),
+      (12L, 7000L, 2L, "a"), (13L, 8000L, 2L, "e"))
+    val r = Graph.transitionEntropy(ev)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // user 1: a→b ×2, b→a ×2; user 2: a→{b,c,d,e} ×1 each, b/c/d→a ×1
+    // row a: out 6, cells {b:3, c:1, d:1, e:1}: h = (3·bits(2) +
+    // 3·bits(6)) = 3·1 + 3·2 = 9 → 1500 milli; n_next 4, hmax 2
+    assert(r.find(_._1 == "a").get == (("a", 6L, 4L, 1500L, 2L)))
+    // row b: out 3, all → a (bits(1)=0) → 0 bits, hmax 0
+    assert(r.find(_._1 == "b").get == (("b", 3L, 1L, 0L, 0L)))
+    assert(r.find(_._1 == "c").get == (("c", 1L, 1L, 0L, 0L)))
+    Caches.releaseAll()
+  }
+
   test("pprEvents: 2-cycle hand-run — restart mass concentrates at " +
     "the seed's side of the alternation") {
     // seed = "a" (lexicographic min). r0 = (1e6, 0); per round the
