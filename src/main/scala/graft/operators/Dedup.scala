@@ -1067,7 +1067,12 @@ object Dedup {
     * the hinge self-join + the closing-edge semi-join are the
     * triangle_count shape on that small table; 1 row out. */
   def dupTransitivity(docs: DataFrame): DataFrame = {
-    val pairs = graft.Caches.track(minhashPairs(docs))
+    // localCheckpoint, not just persist: the pair table appears SIX
+    // times downstream (sym×2 → wedges×2 sides, the closing join, the
+    // count), and each occurrence re-embeds the full signature+band
+    // lineage — 984 physical-plan lines; truncating it keeps the plan
+    // at the candidate-scale subtree (PlansSpec size budget)
+    val pairs = minhashPairs(docs).localCheckpoint()
     val sym = pairs.select(col("doc_a").as("z"), col("doc_b").as("n"))
       .unionByName(pairs.select(col("doc_b").as("z"),
         col("doc_a").as("n")))

@@ -374,6 +374,30 @@ class PlansSpec extends SparkTestBase {
       s"exchange budget (128) exceeded: ${overEx.mkString(", ")}")
   }
 
+  test("r14b additions keep their declared shapes: windows absent " +
+    "where argmax is an expression, broadcasts where a side is small, " +
+    "TakeOrdered where a top-k is claimed") {
+    // rendezvous: the per-doc argmax is greatest(struct) — a pure
+    // projection; a Window here would mean the lanes exploded
+    assert(!plans("rendezvous_shards").contains("Window"),
+      "rendezvous argmax must be a projection, not a window")
+    // CMS: the ≤m-row bit set reaches the probe side as a broadcast
+    assert(plans("cms_topk").contains("BroadcastHashJoin"),
+      "cms bit-set join must broadcast")
+    // hard negatives: the query side is broadcast like topk_cosine
+    // (label-mismatch is a non-equi predicate → nested-loop flavor,
+    // fine because the broadcast side is the tiny query set)
+    assert(plans("hard_negatives").contains("BroadcastNestedLoopJoin")
+        || plans("hard_negatives").contains("BroadcastHashJoin"),
+      "hard-negative query side must broadcast")
+    // claimed top-k cuts compile to TakeOrderedAndProject, not a
+    // global sort
+    Seq("link_predict", "textrank_terms", "label_noise").foreach { q =>
+      assert(plans(q).contains("TakeOrderedAndProject"),
+        s"$q top-k must be TakeOrdered, got:\n${plans(q).take(400)}")
+    }
+  }
+
   test("no driver-side collect() in any query path (source-level guard)") {
     val src = Files.readString(
       Paths.get("src/main/scala/graft/SparkEntry.scala"))
