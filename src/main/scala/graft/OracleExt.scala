@@ -1356,6 +1356,41 @@ object OracleExt {
              AS unc_micro
     FROM tot2 t, ag a ORDER BY n_docs"""
 
+  /** Twin of LinearProbe.auc — conf value counts, window negatives-
+    * below, rank-sum numerator in HUGEINT, one end division. */
+  def probeAuc(iters: Int, lr: Double): String = s"""
+    WITH ${probeCtes(iters, lr)},
+    wm AS (SELECT CAST(floor(w0 * 1000000.0) AS BIGINT) AS wm0,
+                  CAST(floor(w1 * 1000000.0) AS BIGINT) AS wm1,
+                  CAST(floor(w2 * 1000000.0) AS BIGINT) AS wm2,
+                  CAST(floor(w3 * 1000000.0) AS BIGINT) AS wm3
+           FROM wt$iters),
+    scored AS (SELECT f.y,
+        CAST(floor(least(greatest(
+          (f.x0 * (CAST(wm0 AS DOUBLE) / 1000000.0)
+           + f.x1 * (CAST(wm1 AS DOUBLE) / 1000000.0)
+           + f.x2 * (CAST(wm2 AS DOUBLE) / 1000000.0)
+           + f.x3 * (CAST(wm3 AS DOUBLE) / 1000000.0)) * 0.25 + 0.5,
+          0.0), 1.0) * 1000000.0) AS BIGINT) AS conf
+      FROM f, wm),
+    vc AS (SELECT conf,
+                  CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos_v,
+                  CAST(sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS neg_v
+           FROM scored GROUP BY 1),
+    cum AS (SELECT pos_v, neg_v,
+                   CAST(SUM(neg_v) OVER (ORDER BY conf) AS BIGINT)
+                     - neg_v AS neg_lt
+            FROM vc)
+    SELECT CAST(sum(pos_v) AS BIGINT) AS n_pos,
+           CAST(sum(neg_v) AS BIGINT) AS n_neg,
+           CAST((CAST(1000000 AS HUGEINT)
+                 * SUM(CAST(pos_v AS HUGEINT) * (2 * neg_lt + neg_v)))
+             // greatest(2 * CAST(sum(pos_v) AS HUGEINT) * sum(neg_v),
+                         1) AS BIGINT) AS auc_ppm
+    FROM cum ORDER BY n_pos"""
+
   /** Twin of LinearProbe.labelNoise — trainer chain + floored micro
     * weights, per-doc confidence with doc_id carried, extremity
     * ranking (conf vs 1e6−conf by label). */

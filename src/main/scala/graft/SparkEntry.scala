@@ -480,6 +480,9 @@ object SparkEntry {
         .orderBy("n_calib")),
     "probe_cv" -> ((s, dir) =>
       graft.operators.LinearProbe.crossValidate(docsPar(s, dir))),
+    // Exact ROC AUC via the rank-sum identity over conf value counts
+    "probe_auc" -> ((s, dir) =>
+      graft.operators.LinearProbe.auc(docsPar(s, dir))),
     // Brier score + Murphy decomposition off the calibration deciles
     "probe_brier" -> ((s, dir) =>
       graft.operators.LinearProbe.brier(docsPar(s, dir))),
@@ -1691,6 +1694,7 @@ object SparkEntry {
     "probe_conformal" -> OracleExt.probeConformal(3, 0.5),
     "label_noise" -> OracleExt.labelNoise(3, 0.5, 800000L, 20),
     "probe_brier" -> OracleExt.probeBrier(3, 0.5),
+    "probe_auc" -> OracleExt.probeAuc(3, 0.5),
     "pagerank_events" -> OracleExt.pagerankEvents(5),
     "ppr_events" -> OracleExt.pprEvents(5),
     "transition_entropy" -> OracleExt.transitionEntropy,

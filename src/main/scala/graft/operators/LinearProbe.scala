@@ -294,6 +294,40 @@ object LinearProbe {
       .orderBy("n_docs")
   }
 
+  /** Exact ROC AUC of the trained probe — the DISCRIMINATION dial
+    * beside [[brier]]'s calibration one (a model can be perfectly
+    * calibrated yet rank nothing, and vice versa): AUC =
+    * P(conf⁺ > conf⁻) + ½P(tie), computed exactly from the confidence
+    * value-count table via the rank-sum identity — per distinct conf
+    * value v, pos_v·(2·neg_below(v) + neg_v) summed, divided once by
+    * 2·P·N. No sort of the corpus: negatives-below comes from the
+    * shared Prefix sweep over the ≤1e6-row value table (block =
+    * conf div 1e5 — an order-preserving coarsening). Numerator in
+    * DECIMAL(38,0); a single-class corpus floors the denominator and
+    * reports 0. One row out. */
+  def auc(docs: DataFrame, iters: Int = 3, lr: Double = 0.5)
+      : DataFrame = {
+    val vc = features(docs)
+      .crossJoin(broadcast(weightsRow(docs, iters, lr)))
+      .select(col("y"), confCol.as("conf"))
+      .groupBy(col("conf"))
+      .agg(sum(when(col("y") === 1.0d, 1L).otherwise(0L)).as("pos_v"),
+        sum(when(col("y") === 1.0d, 0L).otherwise(1L)).as("neg_v"))
+    Prefix.inclusiveCumsum(vc, expr("conf div 100000"), col("conf"),
+        Seq("neg" -> col("neg_v")))
+      .select(col("pos_v"), col("neg_v"),
+        (col("cum_neg") - col("neg_v")).as("neg_lt"))
+      .agg(sum(col("pos_v")).as("n_pos"), sum(col("neg_v")).as("n_neg"),
+        sum(expr("""CAST(pos_v AS DECIMAL(38,0))
+                    * (2 * neg_lt + neg_v)""")).as("num"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * num)
+                     div greatest(2 * CAST(n_pos AS DECIMAL(38,0))
+                                    * n_neg, 1)
+                AS BIGINT)""").as("auc_ppm"))
+      .orderBy("n_pos")
+  }
+
   /** Label-noise audit (the confident-learning idea of Northcutt et
     * al. 2021, reduced to its actionable core): rank documents by how
     * hard the trained probe DISAGREES with their label — extremity =

@@ -171,6 +171,29 @@ class LinearProbeSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("auc: the zero-round constant predictor is pure ties at " +
+    "exactly 1/2; a separable trained probe reaches 1") {
+    val d = docs((1L to 30L).map(i =>
+      (i, "w x", if (i % 2 == 0) "en" else "fr",
+        if (i % 2 == 0) 65536L else 16L)): _*)
+    val tie = LinearProbe.auc(d, iters = 0)
+      .as[(Long, Long, Long)].head()
+    assert(tie == ((15L, 15L, 500000L)),
+      "constant conf → every pair a tie → AUC exactly 1/2")
+    val sep = LinearProbe.auc(d).as[(Long, Long, Long)].head()
+    assert(sep == ((15L, 15L, 1000000L)),
+      "separable corpus must rank every positive above every negative")
+    Caches.releaseAll()
+  }
+
+  test("auc: a single-class corpus reports the floored zero, not an " +
+    "error") {
+    val d = docs((1L, "a", "en", 100L), (2L, "b", "en", 200L))
+    assert(LinearProbe.auc(d).as[(Long, Long, Long)].head()
+      == ((2L, 0L, 0L)))
+    Caches.releaseAll()
+  }
+
   test("labelNoise: the planted mislabel tops the extremity ranking") {
     // strongly separable (en ⇔ long): 30 clean docs + doc 99, which
     // has the full positive feature signature but carries label fr —
