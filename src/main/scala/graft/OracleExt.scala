@@ -6505,6 +6505,20 @@ object OracleExt {
            count(*) >= $l AS diverse
     FROM c GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of Scrub.mojibakeAudit — the SAME marker list (single source
+    * of truth), plain substring contains() in both engines. */
+  val mojibakeAudit: String = {
+    val hit = graft.operators.Scrub.mojibakeMarkers
+      .map(m => s"contains(text, '$m')").mkString(" OR ")
+    s"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mojibake,
+           (1000000 * CAST(sum(CASE WHEN $hit THEN 1 ELSE 0 END)
+              AS BIGINT)) // CAST(count(*) AS BIGINT) AS mojibake_ppm
+    FROM documents GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Twin of Scrub.tCloseness — categorical EMD (= total variation)
     * per lang class over the FULL lang×source grid, cross-multiplied
     * HUGEINT numerators, `//` on non-negative operands. */

@@ -1047,6 +1047,10 @@ object SparkEntry {
     // Distinct l-diversity per lang class (homogeneity-attack audit)
     "l_diversity" -> ((s, dir) =>
       graft.operators.Scrub.lDiversity(docsPar(s, dir))),
+    // Mojibake audit: UTF-8 double-decode artifacts per source
+    // (plain substring markers; the spec plants corrupted docs)
+    "mojibake_audit" -> ((s, dir) =>
+      graft.operators.Scrub.mojibakeAudit(docsPar(s, dir))),
     // t-closeness: per-class categorical EMD vs the corpus sensitive
     // distribution — the skewness-attack gate l-diversity can't see
     "t_closeness" -> ((s, dir) =>
@@ -1603,6 +1607,7 @@ object SparkEntry {
     "k_anonymity" -> OracleExt.kAnonymity(5L),
     "l_diversity" -> OracleExt.lDiversity(3L),
     "t_closeness" -> OracleExt.tCloseness(200000L),
+    "mojibake_audit" -> OracleExt.mojibakeAudit,
     "pii_redact" -> OracleExt.piiRedact,
     "text_normalize" -> OracleExt.normalizeText,
     "assoc_rules" -> OracleExt.assocRules(1L),

@@ -202,6 +202,38 @@ object Scrub {
         (col("l_distinct") >= l).as("diverse"))
       .orderBy("lang")
 
+  /** Mojibake audit — docs carrying UTF-8-decoded-as-Latin-1/cp1252
+    * artifacts (the 'Ã©'/'â€™' class: a multi-byte sequence rendered
+    * as two Latin-1 chars), the single most common encoding corruption
+    * in crawled corpora and one a quality score built on length/
+    * stopword ratios sails straight past. Detection is PLAIN SUBSTRING
+    * search over a fixed artifact list (contains(), no regex — both
+    * engines compare codepoints identically), per-source doc counts
+    * and ppm. Map-only pass + one |sources|-bounded aggregate. The
+    * clean synthetic fixture gates at zero everywhere — the SPEC
+    * plants corrupted docs to prove detection. */
+  val mojibakeMarkers: Seq[String] = Seq(
+    "\u00c3\u00a9", // 'é' (U+00E9) re-read as Latin-1 → Ã©
+    "\u00c3\u00a8", // 'è' → Ã¨
+    "\u00c3\u00a4", // 'ä' → Ã¤
+    "\u00c3\u00b6", // 'ö' → Ã¶
+    "\u00c3\u00bc", // 'ü' → Ã¼
+    "\u00e2\u20ac\u2122", // '\u2019' re-read as cp1252 → â€™
+    "\u00e2\u20ac\u0153", // '\u201c' → â€œ
+    "\u00c2\u00a0") // NBSP → Â + NBSP
+
+  def mojibakeAudit(docs: DataFrame): DataFrame = {
+    val hit = mojibakeMarkers
+      .map(m => col("text").contains(m))
+      .reduce(_ || _)
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_mojibake"))
+      .select(col("source"), col("n_docs"), col("n_mojibake"),
+        expr("(1000000 * n_mojibake) div n_docs").as("mojibake_ppm"))
+      .orderBy("source")
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
     * release gate of the privacy trio: [[lDiversity]] counts distinct
     * sensitive values, but a class whose sensitive DISTRIBUTION skews

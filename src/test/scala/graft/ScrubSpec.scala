@@ -154,6 +154,22 @@ class ScrubSpec extends SparkTestBase {
       ("fr", 5L, 1L, 1000000L, false)))
   }
 
+  test("mojibakeAudit: planted double-decode artifacts are detected; " +
+    "clean text and PROPERLY-encoded accents are not") {
+    // doc 2 carries the classic 'Ã©' (é re-read as Latin-1); doc 4 the
+    // cp1252 smart-quote 'â€™'; doc 3 has a CORRECT é — not mojibake
+    val d = Seq(
+      (1L, "clean ascii text", "a"),
+      (2L, "cafÃ© corrupted", "a"),
+      (3L, "café proper accent", "a"),
+      (4L, "itâ€™s broken", "b"),
+      (5L, "fine here", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Scrub.mojibakeAudit(d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 3L, 1L, 333333L), ("b", 2L, 1L, 500000L)))
+  }
+
   test("tCloseness: skewed class fails; absent cells count as mass") {
     // global: a×9 b×1 c×1 over N=11. en (a4,b1,c1, n=6):
     // Σ|n_cv·N − n_v·n_c| = |44−54| + |11−6| + |11−6| = 20 →
