@@ -2903,6 +2903,43 @@ object OracleExt {
          AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""
 
+  /** Twin of Dedup.allPairsJaccard — same global (df, term) prefix
+    * order, prefix-prefix candidates with the length filter, full
+    * verification, floored milli threshold. */
+  def allPairsJaccard(tauMilli: Long): String = s"""
+    WITH $shingleCte,
+    tss AS (SELECT doc_id, list_sort(sh) AS ts,
+                   md5(array_to_string(list_sort(sh), ' ')) AS sig,
+                   CAST(len(sh) AS BIGINT) AS n
+            FROM sh),
+    reps AS (SELECT sig, CAST(min(doc_id) AS BIGINT) AS rep,
+                    CAST(count(*) AS BIGINT) AS m
+             FROM tss GROUP BY 1),
+    repd AS (SELECT r.rep AS doc_id, r.m, t.ts, t.n
+             FROM reps r JOIN tss t ON t.doc_id = r.rep),
+    dt AS (SELECT doc_id, unnest(ts) AS term FROM repd),
+    pre AS (SELECT doc_id, n, m,
+                   unnest(ts[1:CAST(n - (($tauMilli * n + 999) // 1000)
+                               + 1 AS INT)]) AS term
+            FROM repd),
+    cand AS (SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b,
+                    a.n AS na, b.n AS nb, a.m AS ma, b.m AS mb
+             FROM pre a JOIN pre b
+               ON a.term = b.term AND a.doc_id < b.doc_id
+             WHERE 1000 * least(a.n, b.n)
+                     >= $tauMilli * greatest(a.n, b.n)),
+    iv AS (SELECT c.rep_a, c.rep_b, c.na, c.nb, c.ma, c.mb,
+                  CAST(count(*) AS BIGINT) AS inter
+           FROM cand c
+           JOIN dt x ON x.doc_id = c.rep_a
+           JOIN dt y ON y.doc_id = c.rep_b AND y.term = x.term
+           GROUP BY 1, 2, 3, 4, 5, 6)
+    SELECT rep_a, rep_b, inter, na, nb,
+           (1000 * inter) // (na + nb - inter) AS jac_milli,
+           ma * mb AS n_doc_pairs
+    FROM iv WHERE (1000 * inter) // (na + nb - inter) >= $tauMilli
+    ORDER BY rep_a, rep_b"""
+
   /** Twin of Dedup.dupTransitivity — wedges and closing edges over the
     * band-join candidate pairs. */
   val dupTransitivity: String = s"""

@@ -1152,6 +1152,10 @@ object SparkEntry {
     // LSH candidate pairs via band equi-join
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // EXACT all-pairs Jaccard >= tau via prefix filtering — the
+    // complete join the probabilistic LSH path cannot guarantee
+    "allpairs_jaccard" -> ((s, dir) =>
+      Dedup.allPairsJaccard(docsPar(s, dir))),
     // Pair-graph closure rate: is near-dup similarity transitive
     // enough for component clustering on THIS corpus?
     "dup_transitivity" -> ((s, dir) =>
@@ -1820,6 +1824,7 @@ object SparkEntry {
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
     "dup_transitivity" -> OracleExt.dupTransitivity,
+    "allpairs_jaccard" -> OracleExt.allPairsJaccard(900L),
     "minhash_est" -> OracleExt.minhashJaccardEst,
     "tiered_neardup" -> OracleExt.tieredNearDup(500L, 800L),
     "minhash_eval" -> OracleExt.minhashEval(500L),

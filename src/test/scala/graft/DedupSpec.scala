@@ -74,6 +74,48 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("allPairsJaccard: hand pair at exactly 500 milli found at " +
+    "tau 500, excluded at 600") {
+    // shingle sets {abc,bcd,cde} vs {abc,bcd,cdf}: inter 2, union 4
+    val d = docs((1L, "a b c d e"), (2L, "a b c d f"),
+      (3L, "x y z w v"))
+    val r = Dedup.allPairsJaccard(d, tauMilli = 500L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 2L, 3L, 3L, 500L, 1L)))
+    assert(Dedup.allPairsJaccard(d, tauMilli = 600L).isEmpty)
+    Caches.releaseAll()
+  }
+
+  test("allPairsJaccard: COMPLETE against brute force over rep pairs; " +
+    "exact-dup clusters collapse and stamp their multiplicity") {
+    val texts = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g i",
+      3L -> "a b c x y z w v",
+      4L -> "p q r s t u",
+      5L -> "p q r s t u",      // exact dup of 4 → collapses into it
+      6L -> "p q r s t v")      // near-dup of the {4,5} cluster
+    val tau = 500L
+    val sets = texts.toMap.map { case (k, v) =>
+      k -> v.split(" ").sliding(3).map(_.mkString(" ")).toSet }
+    val reps = sets.groupBy(_._2).map { case (s, m) =>
+      (m.keys.min, s, m.size.toLong) }.toSeq
+    val expected = (for {
+      (a, sa, ma) <- reps; (b, sb, mb) <- reps if a < b
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if 1000L * inter / uni >= tau
+    } yield (a, b, inter.toLong, ma * mb)).toSet
+    val got = Dedup.allPairsJaccard(docs(texts: _*), tauMilli = tau)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3, t._7)).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // the identical-set pair (4,5) must NOT appear — that's the
+    // exact-dedup family's report; the (4,6) rep pair carries m=2
+    assert(!got.exists(p => p._1 == 4L && p._2 == 5L))
+    assert(got.contains((4L, 6L, 3L, 2L)))
+    Caches.releaseAll()
+  }
+
   test("dupTransitivity: a 3-clique of exact dups closes every wedge; " +
     "an isolated pair adds no wedge") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
