@@ -4,8 +4,12 @@ import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR. Discipline: one untimed warmup pass (JIT +
-  * page-cache), then min-of-3 timed runs per query so round-over-round
-  * numbers compare builder work, not JVM warmth. The LAST stdout line is
+  * page-cache), then min-of-3 timed runs per query — each timed run
+  * iterating the query list in its OWN seeded shuffle order, so a cost
+  * inherited from a query's run-order neighbors cannot repeat
+  * identically across runs (same order ⇒ repeatable ≠ real; VERDICT
+  * r14 #2) — so round-over-round numbers compare builder work, not JVM
+  * warmth or neighborhood GC. The LAST stdout line is
   * the compact driver-contract JSON (≤1800 chars — the driver parses it
   * out of a 2000-char stdout tail that sbt's trailer also shares); the
   * full diagnostics go to bench_out.json and an earlier [bench-full]
@@ -87,13 +91,42 @@ object Bench {
     // reading as a code regression (the round-4 bench artifact lesson).
     // The calibration probe interleaves every 10 queries so contention
     // is localized in TIME, not just per-query.
+    //
+    // Per-run ORDER SHUFFLE (VERDICT r14 #2): replaying the same map
+    // order in every timed run made order-coupled costs — GC/page-cache
+    // pressure inherited from a query's NEIGHBORS — repeat identically
+    // in all runs, a stable FALSE floor the min-of-3 cannot wash out
+    // (r14: hapax_stats 4.07× on byte-identical code). Each timed run
+    // now iterates the queries in its own deterministically-seeded
+    // shuffle (seeds recorded in the artifact), so a neighborhood cost
+    // strikes different queries per run and surfaces as DISPERSION
+    // (→ unstable flag) instead of a reproducible wrong minimum.
     calib += calibOnce()
+    val qnames = SparkEntry.queries.keys.toSeq
     val samples = collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    SparkEntry.queries.zipWithIndex.foreach { case ((name, fn), i) =>
-      samples(name) = (1 to runs).map(_ => timeOnce(fn)).filter(_ >= 0).sorted
-      if ((i + 1) % 10 == 0) calib += calibOnce()
+    qnames.foreach(n => samples(n) = Vector.empty[Double])
+    // windows(k) = queries timed immediately before calibration point k
+    // (index-aligned with `calib`): the self-heal pass needs the
+    // query↔probe mapping explicit now that order varies per run
+    val calibWindows = collection.mutable.ArrayBuffer[Seq[String]](Seq.empty)
+    val orderSeeds = (1 to runs).map(r => 0x9e3779b9L * r + 0x15L)
+    var window = collection.mutable.ArrayBuffer.empty[String]
+    orderSeeds.foreach { seed =>
+      val order = new scala.util.Random(seed).shuffle(qnames)
+      order.foreach { name =>
+        val t = timeOnce(SparkEntry.queries(name))
+        if (t >= 0) samples(name) = samples(name) :+ t
+        window += name
+        if (window.size >= 10) {
+          calib += calibOnce()
+          calibWindows += window.toSeq
+          window = collection.mutable.ArrayBuffer.empty[String]
+        }
+      }
     }
     calib += calibOnce()
+    calibWindows += window.toSeq
+    samples.keys.toSeq.foreach(n => samples(n) = samples(n).sorted)
 
     def spread2x(ts: Seq[Double]): Boolean =
       ts.nonEmpty && ts.min > 0.2 && ts.max > 2 * ts.min
@@ -135,12 +168,14 @@ object Bench {
       if (!contamOf(fresh)) {
         val sortedC = calib.filter(_ >= 0).toSeq.sorted
         val med = sortedC((sortedC.size - 1) / 2)
-        val qnames = SparkEntry.queries.keys.toSeq
+        // a spiked probe contaminates the queries timed just before it
+        // (its own window) and just after (the next window) — the
+        // explicit probe↔query mapping, since order varies per run
         val affected = calib.zipWithIndex.collect {
           case (v, j) if v >= 0 && v > 2 * med => j
         }.flatMap { j =>
-          qnames.slice(math.max(0, (j - 1) * 10),
-            math.min(qnames.size, (j + 1) * 10))
+          calibWindows.lift(j).getOrElse(Seq.empty) ++
+            calibWindows.lift(j + 1).getOrElse(Seq.empty)
         }.distinct
         affected.foreach { name =>
           val extra = (1 to runs).map(_ => timeOnce(SparkEntry.queries(name)))
@@ -216,8 +251,17 @@ object Bench {
     // "healed" = queries re-timed by the contamination self-heal (the
     // two passes are independent — a query can appear in both, and
     // healed_n == healed.length by construction; ADVICE r13 #2)
+    // calibration-normalized minima (VERDICT r14 #7): min ÷ the run's
+    // calibration median, so cross-round diffs read host-load-corrected
+    // units (a quiet round and a loaded round agree on the ratio even
+    // when raw seconds drift together)
+    val calnorm = results.map { case (k, v) =>
+      val r = if (v >= 0 && calibMedian > 0) v / calibMedian else -1.0
+      "\"" + k + "\":" + f"$r%.3f"
+    }.mkString("{", ",", "}")
+    val seedsJson = orderSeeds.map(_.toString).mkString("[", ",", "]")
     val rich =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"unstable":$unstableJson,"calibration":$calibJson,"calib_median":$calibMedian%.4f,"contaminated":$contaminated,"healed_n":$healedN,"healed":${healedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"stage_builds":$stageBuilds,"staged_bytes":$stagedBytes,"wall_sec":$wallSec%.1f,"sf":"$sfDir","runs":$runs}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"dispersion":$disp,"queries_calnorm":$calnorm,"order_seeds":$seedsJson,"unstable":$unstableJson,"calibration":$calibJson,"calib_median":$calibMedian%.4f,"contaminated":$contaminated,"healed_n":$healedN,"healed":${healedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"rerun":${firstUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")},"stage_builds":$stageBuilds,"staged_bytes":$stagedBytes,"wall_sec":$wallSec%.1f,"sf":"$sfDir","runs":$runs}"""
     println("[bench-full] " + rich)
     try Files.writeString(Paths.get("bench_out.json"), rich)
     catch { case _: Throwable => () }

@@ -2903,9 +2903,11 @@ object OracleExt {
          AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""
 
-  /** Twin of Dedup.allPairsJaccard — same global (df, term) prefix
-    * order, prefix-prefix candidates with the length filter, full
-    * verification, floored milli threshold. */
+  /** Twin of Dedup.allPairsJaccard — same global lexicographic prefix
+    * order (the operator deliberately skips the df-ascending ranking on
+    * the near-unique shingle domain; `ts` is list_sort'd, so prefixes
+    * are row-local slices), prefix-prefix candidates with the length
+    * filter, full verification, floored milli threshold. */
   def allPairsJaccard(tauMilli: Long): String = s"""
     WITH $shingleCte,
     tss AS (SELECT doc_id, list_sort(sh) AS ts,
@@ -3594,8 +3596,9 @@ object OracleExt {
       .mkString
     val kept = "CASE WHEN rm = 0 THEN w END"
     // minSpan gate (islands-and-gaps run length over the rm0 flags),
-    // mirroring the Spark windows; minSpan <= n is a no-op
-    val spanCtes = if (minSpan <= n) "" else s""",
+    // mirroring the Spark windows; only minSpan <= 1 is a true no-op
+    // (whole-text fallback runs can be < n tokens — ADVICE r14 #2)
+    val spanCtes = if (minSpan <= 1) "" else s""",
     runs AS (SELECT doc_id, pos, w, rm0,
                     SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
                                    ROWS UNBOUNDED PRECEDING) AS run
@@ -3611,8 +3614,8 @@ object OracleExt {
                                 >= $minSpan
                           THEN 1 ELSE 0 END AS rm
               FROM runs)"""
-    val flagsName = if (minSpan <= n) "flags0" else "flags"
-    val rmCol = if (minSpan <= n) "rm0 AS rm" else "rm"
+    val flagsName = if (minSpan <= 1) "flags0" else "flags"
+    val rmCol = if (minSpan <= 1) "rm0 AS rm" else "rm"
     s"""
     WITH tokl AS (SELECT doc_id, $toks AS toks FROM documents),
     tok AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.w AS w

@@ -138,14 +138,34 @@ object Stage {
     * caller rebuilds (StageSpec pins rebuild-after-drop). In-flight
     * builds of a matching key are left to complete — their promise is
     * removed from the map, so they become unreachable one-off builds
-    * rather than a torn shared artifact. Returns evicted count. */
+    * rather than a torn shared artifact, and their directory is
+    * deleted WHEN the build completes (a whenComplete hook — without
+    * it the orphaned build's temp dir outlived every later drop, a
+    * permanent leak in the long-lived-service teardown path;
+    * ADVICE r14 #1). Returns evicted count.
+    *
+    * Contract (unlike `unpersist`, which merely recomputes): dropping
+    * a COMPLETED artifact invalidates any read-back DataFrame already
+    * returned for it — later actions on such a frame fail with a
+    * missing-parquet error rather than rebuilding. Drop between
+    * pipelines, not under live consumers. */
   def drop(keyPrefix: String): Int = {
     import scala.jdk.CollectionConverters._
     val victims = staged.keySet().asScala.filter(_.startsWith(keyPrefix)).toSeq
     victims.count { k =>
       val f = staged.remove(k)
-      if (f != null && f.isDone && !f.isCompletedExceptionally)
-        deleteRecursively(new java.io.File(f.join().dir))
+      if (f != null) {
+        if (f.isDone) {
+          if (!f.isCompletedExceptionally)
+            deleteRecursively(new java.io.File(f.join().dir))
+        } else {
+          // in-flight victim: reap its directory at completion (the
+          // failure path already cleans up inside resolve)
+          f.whenComplete((a: Artifact, _: Throwable) =>
+            if (a != null) deleteRecursively(new java.io.File(a.dir)))
+          ()
+        }
+      }
       f != null
     }
   }

@@ -500,8 +500,12 @@ object Dedup {
   /** `minSpan`: the Lee-et-al minimum-match-length contract — only
     * maximal REMOVED RUNS of ≥ minSpan tokens are actually removed
     * (shorter marked runs un-mark; a 3-token echo of a common phrase
-    * survives, a lifted paragraph does not). minSpan ≤ n is a no-op
-    * (any marked run is ≥ n tokens by construction). Cost: two more
+    * survives, a lifted paragraph does not). Only minSpan ≤ 1 is a
+    * true no-op: a doc SHORTER than n tokens contributes one
+    * whole-text fallback shingle whose marked run is the whole doc —
+    * possibly < n tokens — so for minSpan in (doc_len, n] the run
+    * gate must still fire (ADVICE r14 #2; the old `minSpan ≤ n`
+    * shortcut violated the contract exactly there). Cost: two more
     * per-doc window passes over the SAME doc-keyed partitioning
     * (islands-and-gaps run ids + run length), no new shuffle. */
   def substringDedup(docs: DataFrame, n: Int = 3,
@@ -536,7 +540,7 @@ object Dedup {
       .withColumn("__rm0",
         max(coalesce(col("__m"), lit(0L))).over(w) === 1L)
     val withRm =
-      if (minSpan <= n) flagged.withColumn("__rm", col("__rm0"))
+      if (minSpan <= 1) flagged.withColumn("__rm", col("__rm0"))
       else {
         // islands-and-gaps over the SAME doc partitioning: run id =
         // cumsum of flag changes, run length = full-partition count
@@ -1074,6 +1078,12 @@ object Dedup {
     * completeness guarantee survives the integer lane. */
   def allPairsJaccard(docs: DataFrame, tauMilli: Long = 900L)
       : DataFrame = {
+    // τ ∈ (0, 1]: τ > 1000 would make the prefix slice length
+    // non-positive (missing pairs despite the completeness guarantee)
+    // and τ = 0 degenerates the prefix to the whole shingle set — a
+    // fully quadratic candidate join (ADVICE r14 #3)
+    require(tauMilli >= 1 && tauMilli <= 1000,
+      s"allPairsJaccard needs tauMilli in [1, 1000], got $tauMilli")
     // Collapse identical token SETS to one representative first (min
     // doc_id per set-md5) and carry the multiplicity: a cluster of k
     // exact dups would otherwise emit k²/2 J=1000 pairs AND drag k

@@ -560,12 +560,16 @@ object Graph {
     *
     * Scale shape: same discipline as [[kCore]] — the loop state is the
     * live undirected edge list (localCheckpoint'd per round, so the
-    * iterative lineage never nests); each round's support table is the
-    * standard edge ⋈ adjacency ⋈ adjacency common-neighbor count
-    * (|E|·avgdeg work on the SHRINKING remainder, never corpus²; the
-    * hot-cell cap in [[userPairs]] already bounds degree skew);
-    * convergence-round supports ARE the answer. An exhausted budget is
-    * an ERROR — a half-peeled truss overstates cohesion. */
+    * iterative lineage never nests); each round enumerates the live
+    * triangles ONCE via the id-oriented 2-path + closing-edge
+    * semi-join (the [[triangleCount]]/[[clusteringCoeff]] wedge
+    * discipline) and credits each triangle's three edges through a
+    * 3-row explode — wedge-bounded work on the SHRINKING remainder,
+    * never corpus², and ~4× cheaper per round than the former
+    * symmetric-adjacency probe (the hot-cell cap in [[userPairs]]
+    * already bounds degree skew); convergence-round supports ARE the
+    * answer. An exhausted budget is an ERROR — a half-peeled truss
+    * overstates cohesion. */
   def kTruss(events: DataFrame, k: Int = 3, maxRounds: Int = 32,
              maxCellUsers: Int = 64, minShared: Int = 2): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3 (got $k): below that the " +
@@ -589,16 +593,32 @@ object Graph {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val sym = cur.select(col("ua").as("src"), col("ub").as("dst"))
-        .union(cur.select(col("ub").as("src"), col("ua").as("dst")))
-      // common neighbor w of (ua, ub): both endpoints reach w through
-      // live edges — edges with ZERO triangles vanish from the
-      // aggregate, which is exactly the k ≥ 3 peel
-      val sup = cur
-        .join(sym.select(col("src").as("ua"), col("dst").as("w")), "ua")
-        .join(sym.select(col("src").as("ub"), col("dst").as("w")),
-          Seq("ub", "w"), "leftsemi")
-        .groupBy(col("ua"), col("ub"))
+      // ORIENTED triangle enumeration (VERDICT r14 #5 — the
+      // triangle_count/clusteringCoeff discipline): each live triangle
+      // a < b < c is produced exactly ONCE via the ordered 2-path
+      // (a,b)+(b,c) and the closing-edge semi-join, then credits all
+      // three of its edges through one 3-row explode. The old plan
+      // probed the SYMMETRIC adjacency from every live edge —
+      // Σ_e deg(ua) join rows; the oriented wedge probes only the
+      // higher-id tail of the middle vertex, roughly quartering the
+      // dominant per-round join. support(e) = common-neighbor count is
+      // IDENTICAL (each common neighbor of e closes exactly one
+      // triangle crediting e), so the fixpoint — and the staged
+      // artifact hash — is unchanged; edges with zero triangles vanish
+      // from the aggregate, which is exactly the k ≥ 3 peel.
+      val tri = cur.as("e1")
+        .join(cur.as("e2"), col("e2.ua") === col("e1.ub"))
+        .join(cur.as("e3"),
+          col("e3.ua") === col("e1.ua") && col("e3.ub") === col("e2.ub"),
+          "leftsemi")
+        .select(col("e1.ua").as("a"), col("e1.ub").as("b"),
+          col("e2.ub").as("c"))
+      val sup = tri
+        .select(explode(array(
+          struct(col("a").as("ua"), col("b").as("ub")),
+          struct(col("b").as("ua"), col("c").as("ub")),
+          struct(col("a").as("ua"), col("c").as("ub")))).as("e"))
+        .groupBy(col("e.ua").as("ua"), col("e.ub").as("ub"))
         .agg(count(lit(1)).as("support"))
       val next = sup.filter(col("support") >= k - 2).localCheckpoint()
       val n = next.count()

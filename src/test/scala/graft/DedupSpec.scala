@@ -638,6 +638,30 @@ class DedupSpec extends SparkTestBase {
     assert(lee(1) == ((2L, 6L, "b1 b2 c1 c2 c3 b3 b4")))
   }
 
+  test("substringDedup minSpan: short-doc fallback runs honor the contract") {
+    // ADVICE r14 #2: a doc SHORTER than n produces a whole-text
+    // fallback shingle whose marked run is the whole doc — here 2
+    // tokens. For minSpan = 3 (in (doc_len, n]) the old `minSpan <= n`
+    // shortcut skipped the run-length gate and removed the 2-token run
+    // anyway, violating "only maximal removed runs of >= minSpan
+    // tokens are removed". The run gate must fire: doc 2 survives.
+    val d = docs((1L, "tiny pair"), (2L, "tiny pair"),
+      (3L, "other words entirely"))
+    val out = Dedup.substringDedup(d, n = 3, minSpan = 3).orderBy("doc_id")
+      .select("doc_id", "removed_tokens", "kept_text")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) == ((1L, 0L, "tiny pair")))
+    assert(out(1) == ((2L, 0L, "tiny pair"))) // 2-token run < minSpan=3
+    assert(out(2) == ((3L, 0L, "other words entirely")))
+    // and a genuine >= minSpan dup still removes at the same setting
+    val d2 = docs((1L, "p1 p2 p3"), (2L, "p1 p2 p3"))
+    val out2 = Dedup.substringDedup(d2, n = 3, minSpan = 3)
+      .orderBy("doc_id").select("doc_id", "removed_tokens", "kept_text")
+      .as[(Long, Long, String)].collect()
+    assert(out2(0) == ((1L, 0L, "p1 p2 p3")))
+    assert(out2(1) == ((2L, 3L, "")))
+  }
+
   test("substringDedup: short-doc whole-text fallback + fully-removed doc") {
     val d = docs((1L, "tiny pair"), (2L, "tiny pair"), (3L, "other text"))
     val out = Dedup.substringDedup(d).orderBy("doc_id")

@@ -122,6 +122,43 @@ class StageSpec extends SparkTestBase {
     assert(attempts.get() == 2 && ok.as[Long].head() == 5L)
   }
 
+  test("drop of an IN-FLIGHT build reaps its directory at completion") {
+    // ADVICE r14 #1: dropping a key mid-build removed the promise from
+    // the map, so the orphaned build's temp dir escaped every later
+    // drop/dropAll — a permanent leak in the teardown path. The drop
+    // now hooks the promise: the directory is deleted when the
+    // orphaned build completes.
+    val k = freshKey("inflight")
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val victimDir = new java.util.concurrent.atomic.AtomicReference[String]()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
+      Stage.dir(k) { d =>
+        victimDir.set(d)
+        started.countDown()
+        release.await()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(d, "payload.txt"), "x"): Unit
+      }
+    }
+    started.await()
+    val dropped = Stage.drop(k) // victim is mid-build
+    assert(dropped == 1)
+    release.countDown()
+    Await.result(fut, 60.seconds): Unit
+    // the orphaned directory must disappear once the build completes
+    // (whenComplete hook runs on the completing thread); poll briefly
+    val f = new java.io.File(victimDir.get())
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (f.exists() && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(!f.exists(), "orphaned in-flight build dir must be reaped")
+    // and the key rebuilds fresh (drop evicted it)
+    assert(Stage.parquet(spark, k)(Seq(2L).toDF("x")).as[Long].head() == 2L)
+  }
+
   test("lifecycle: builds record time+bytes; drop evicts; rebuild after drop") {
     val builds = new AtomicInteger(0)
     val k = freshKey("lifecycle")
