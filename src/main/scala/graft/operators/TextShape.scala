@@ -15,16 +15,42 @@ import graft.operators.TextAnalysis.tokens
   * All statistics are exact integers (counts, ppm by integer division,
   * log2 via binary-string length — never a float log); every aggregate
   * is map-side combined with output bounded by |vocab|, |sources|, or a
-  * fixed bucket count, not corpus size. */
+  * fixed bucket count, not corpus size.
+  *
+  * Since r15 the whole family reads the staged `doc_term_tf` posting
+  * base ([[TextAnalysis.stagedDocTermTf]] — built once per corpus,
+  * shared with the lexical family) instead of each query paying its
+  * own tokenize + explode corpus pass (VERDICT r14 #4): per-source
+  * statistics attach `source` through one doc-keyed hash join of the
+  * two-column doc→source projection, per-doc token counts are sum(tf)
+  * over the artifact, and every downstream aggregate is unchanged —
+  * identical outputs, 3+ redundant corpus passes deleted. */
 object TextShape {
 
+  /** The (doc_id, source, term, tf) posting view: the staged artifact
+    * with source attached — ONE doc-keyed hash join of a two-column
+    * corpus projection, shared by the per-source family. */
+  private def postingsWithSource(docs: DataFrame): DataFrame =
+    TextAnalysis.stagedDocTermTf(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+
+  /** Per-doc token totals off the artifact: docs with ZERO tokens have
+    * no posting rows, so re-attach them with n = 0 (heapsLaw counts
+    * every doc in its checkpoints; the n > 0 consumers filter). */
+  private def perDocTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(TextAnalysis.stagedDocTermTf(docs)
+        .groupBy("doc_id").agg(sum(col("tf")).as("n")), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n"))
+
   /** Token-length spectrum: for each word length, total occurrences and
-    * distinct terms. One explode + one shuffle on (length-bounded)
-    * term, second aggregate over the vocab-sized table. */
+    * distinct terms. Term marginal of the staged posting base; the
+    * length rollup runs on the vocab-sized table. */
   def wordLenHist(docs: DataFrame): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("term"))
+    TextAnalysis.stagedDocTermTf(docs)
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tf")).as("cnt"))
       .groupBy(length(col("term")).cast("long").as("word_len"))
       .agg(sum(col("cnt")).as("n_tokens"),
         count(lit(1)).as("n_distinct_terms"))
@@ -32,13 +58,13 @@ object TextShape {
 
   /** Hapax-legomena audit per source: vocabulary size, singleton terms,
     * and the hapax share of the vocabulary in ppm. A high hapax rate
-    * signals noisy/OCR text; a low one, template spam. Shape:
-    * (source, term) counts shuffle once; the per-source rollup runs on
-    * the vocab-sized table. */
+    * signals noisy/OCR text; a low one, template spam. Shape: staged
+    * postings + the doc→source join shuffle once on (source, term);
+    * the per-source rollup runs on the vocab-sized table. */
   def hapaxStats(docs: DataFrame): DataFrame =
-    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+    postingsWithSource(docs)
       .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tf")).as("cnt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("vocab"),
         sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
@@ -58,9 +84,9 @@ object TextShape {
     * DECIMAL(38,0) (a 1e9-hapax source squares past the 64-bit lane);
     * all operands non-negative, Spark `div` = DuckDB `//`. */
   def goodTuring(docs: DataFrame): DataFrame =
-    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+    postingsWithSource(docs)
       .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tf")).as("cnt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("vocab"),
         sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n1"),
@@ -79,7 +105,7 @@ object TextShape {
     * length(bin(n)) − 1 — exact integer bit-length on any engine,
     * never a float log that could round across the boundary. */
   def lengthBuckets(docs: DataFrame): DataFrame =
-    docs.select(size(tokens(col("text"))).cast("long").as("n"))
+    perDocTokens(docs)
       .filter(col("n") > 0)
       .groupBy((length(bin(col("n"))) - 1).cast("long").as("len_bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"),
@@ -96,10 +122,9 @@ object TextShape {
     * ≤33-row broadcast checkpoint list — the corpus is never rescanned
     * per checkpoint. */
   def heapsLaw(docs: DataFrame): DataFrame = {
-    val perDoc = docs
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
-    val firstSeen = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val perDoc = perDocTokens(docs)
+      .select(col("doc_id"), col("n").as("n_toks"))
+    val firstSeen = TextAnalysis.stagedDocTermTf(docs)
       .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
     val nDocs = perDoc.agg(count(lit(1)).as("n_docs"))
     // powers of two below n_docs, plus n_docs itself (the full corpus)
@@ -126,11 +151,9 @@ object TextShape {
     * boilerplate sinks to low centiles; natural prose sits high — the
     * doc-granular companion to [[hapaxStats]]. */
   def docTtr(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n"),
-        size(array_distinct(tokens(col("text")))).cast("long").as("d"))
-      .filter(col("n") > 0)
+    TextAnalysis.stagedDocTermTf(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n"), count(lit(1)).as("d"))
       .select(expr("(1000000 * d div n) div 10000").as("ttr_centile"))
       .groupBy(col("ttr_centile"))
       .agg(count(lit(1)).as("n_docs"))

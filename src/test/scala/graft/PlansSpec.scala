@@ -346,6 +346,24 @@ class PlansSpec extends SparkTestBase {
       s"rank-filter queries lost WindowGroupLimit pruning: $missing")
   }
 
+  test("corpus-shape family reads the staged posting base, never re-tokenizes") {
+    // VERDICT r14 #4: hapax/good_turing/heaps_law/doc_ttr/word_len_hist/
+    // length_buckets formerly each paid a private tokenize+explode
+    // corpus pass to reach (a projection of) the staged doc_term_tf
+    // artifact. They must now scan the artifact: the plan contains a
+    // parquet scan of the staged [doc_id, term, tf] schema and NO
+    // tokenizer expression anywhere.
+    val family = Seq("hapax_stats", "good_turing", "heaps_law",
+      "doc_ttr", "word_len_hist", "length_buckets")
+    family.foreach { q =>
+      val p = plans(q)
+      assert(!p.contains("word_tokens") && !p.contains("word_shingles"),
+        s"$q re-tokenizes the corpus instead of reading doc_term_tf:\n$p")
+      assert(p.contains("graft_stage_"),
+        s"$q does not scan a staged artifact:\n$p")
+    }
+  }
+
   test("every physical plan stays inside the size budget (no lineage explosion)") {
     // the round-11 lesson: a consumer embedding an iterative result in
     // several sibling subtrees re-embeds the full lineage per occurrence
