@@ -4739,6 +4739,51 @@ object OracleExt {
            length(text) > 0 AS ok
     FROM documents ORDER BY asset_id"""
 
+  /** Twin of Multimodal.imageDhash — the lossless-PNG identity: the
+    * 9×8 grayscale asset's pixel (x, y) carries the character code of
+    * text at position (y·9 + x) mod len, PNG round-trips it exactly,
+    * and gray luma (299v+587v+114v)/1000 = v, so the decoded grid the
+    * Spark side reads off real ImageIO equals `ascii(substr(...))`
+    * here — no image decoding in the twin, same 64 gradient bits. Bit
+    * 63's term is the negative BIGINT-minimum literal (the simhash
+    * recombine trick); bits 0–62 total < 2^63, so the sum is exact. */
+  private def dhashSql: String = (0 until 64).map { b =>
+    val i = (b / 8) * 9 + (b % 8)
+    val l = s"ascii(substr(text, ($i % len) + 1, 1))"
+    val r = s"ascii(substr(text, (${i + 1} % len) + 1, 1))"
+    s"CASE WHEN $l < $r THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+  }.mkString(" + ")
+
+  private def dhashCte: String = s"""
+    dh AS (SELECT doc_id, CAST($dhashSql AS BIGINT) AS dhash
+           FROM (SELECT doc_id, text, length(text) AS len
+                 FROM documents WHERE length(text) >= 1))"""
+
+  val imageDhash: String = s"""
+    WITH $dhashCte
+    SELECT doc_id, dhash FROM dh ORDER BY doc_id"""
+
+  /** Twin of Dedup.hash64Neardup over the dHash table: identical-hash
+    * collapse to (min-doc rep, multiplicity), 4×16-bit band join,
+    * Hamming verify — the simhashPairs banding with the allPairsJaccard
+    * rep discipline. */
+  def imageNeardup(maxHamming: Int): String = s"""
+    WITH $dhashCte,
+    reps AS (SELECT dhash, CAST(min(doc_id) AS BIGINT) AS rep,
+                    CAST(count(*) AS BIGINT) AS m
+             FROM dh GROUP BY 1),
+    band AS (SELECT rep, dhash, m, CAST(j AS INTEGER) AS band_id,
+                    (dhash >> (j * 16)) & 65535 AS band_val
+             FROM reps CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+    SELECT rep_a, rep_b, hamming, n_doc_pairs FROM (
+      SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming,
+             a.m * b.m AS n_doc_pairs
+      FROM band a JOIN band b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.rep < b.rep)
+    WHERE hamming <= $maxHamming ORDER BY rep_a, rep_b"""
+
   // ---- similarity ops (graft.operators.Similarity) --------------------
 
   private def planeSql(p: Seq[Long]): String =

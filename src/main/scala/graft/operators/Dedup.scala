@@ -1149,6 +1149,46 @@ object Dedup {
       .orderBy("rep_a", "rep_b")
   }
 
+  /** Banded near-dup pairs over ANY 64-bit perceptual-hash table —
+    * the [[simhashPairs]] candidate discipline generalized to a
+    * precomputed (doc_id, hash) frame, so image dHash ([[
+    * graft.multimodal.Multimodal.imageDhash]]), audio fingerprints, or
+    * any other 64-bit signature reuses one band-join recipe: 4×16-bit
+    * bands generate candidates via equi-join, survivors verify by
+    * exact Hamming distance.
+    *
+    * Identical hash VALUES collapse to a min-doc representative FIRST
+    * with multiplicity stamped (the [[allPairsJaccard]] lesson: a
+    * cluster of k exact-hash dups would otherwise emit k²/2
+    * Hamming-0 pairs and drag k copies through the band join — the
+    * one quadratic blowup a dup-heavy corpus guarantees). Identical-
+    * hash groups are the exact-dup report (a groupBy over the hash
+    * table); THIS op returns the strictly-near structure: rep pairs
+    * with 1 ≤ hamming ≤ maxHamming, each stamped with the doc-pair
+    * count it stands for (ma·mb). */
+  def hash64Neardup(hashes: DataFrame, hashCol: String,
+                    maxHamming: Int = 6): DataFrame = {
+    val reps = graft.Caches.track(
+      hashes.groupBy(col(hashCol).as("h"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m")))
+    val banded = reps.select(col("rep"), col("h"), col("m"),
+        explode(array((0 until 4).map(j => struct(
+          lit(j).as("band_id"),
+          shiftright(col("h"), j * 16).bitwiseAND(65535)
+            .as("band_val"))): _*)).as("b"))
+      .select(col("rep"), col("h"), col("m"),
+        col("b.band_id"), col("b.band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"),
+        (col("a.m") * col("b.m")).as("n_doc_pairs"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup pair transitivity audit — the question to answer BEFORE
     * trusting any connected-components cluster keeplist: near-duplicate
     * similarity is NOT transitive (a~b and b~c permit a≁c — chained
