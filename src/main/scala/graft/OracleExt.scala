@@ -4784,6 +4784,73 @@ object OracleExt {
            AND a.rep < b.rep)
     WHERE hamming <= $maxHamming ORDER BY rep_a, rep_b"""
 
+  /** DuckDB rendering of the `rolling_hash31` fold over a string
+    * expression (the RollingHash31Expr contract, locked by
+    * RollingHashSpec's differential test). */
+  private def rollFold(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($e, ''), c -> ascii(c))),
+        (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+  /** Twin CTEs of the audio fingerprint path — the lossless-WAV
+    * identity: samples are charCode·256 (positive multiples of 256),
+    * so the Spark side's decoded 8-sample block mean quantized back to
+    * the byte lane, (Σ c·256)/8/256, equals sum(charCodes) // 8 here —
+    * no audio decoding in the twin. Windows of 4 block values assemble
+    * via lead() (the qgramFingerprints shape), hashed by the same
+    * rolling-31 fold over the ':'-joined rendering. */
+  private def audioFpCte: String = s"""
+    at AS (SELECT doc_id, text, length(text) AS len FROM documents
+           WHERE length(text) >= 32),
+    ach AS (SELECT doc_id, ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) AS c,
+                   i // 8 AS blk
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, (len // 8) * 8)) AS i
+                  FROM at)),
+    aq AS (SELECT doc_id, blk, sum(c) // 8 AS q FROM ach GROUP BY 1, 2),
+    aw AS (SELECT doc_id, blk, q, lead(q, 1) OVER wd AS q1,
+                  lead(q, 2) OVER wd AS q2, lead(q, 3) OVER wd AS q3
+           FROM aq WINDOW wd AS (PARTITION BY doc_id ORDER BY blk)),
+    afp AS (SELECT DISTINCT doc_id,
+                   ${rollFold("q || ':' || q1 || ':' || q2 || ':' || q3")}
+                     AS fp
+            FROM aw WHERE q3 IS NOT NULL)"""
+
+  val audioFingerprint: String = s"""
+    WITH $audioFpCte,
+    nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+           FROM aq GROUP BY 1),
+    nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+           FROM afp GROUP BY 1)
+    SELECT nb.doc_id AS doc_id, n_blocks,
+           coalesce(n_fp, CAST(0 AS BIGINT)) AS n_fp
+    FROM nb LEFT JOIN nf ON nf.doc_id = nb.doc_id ORDER BY nb.doc_id"""
+
+  /** Twin of Dedup.fingerprintNeardup over the audio fingerprint
+    * table: identical-set collapse (md5 of the fp-sorted listagg, the
+    * allPairsJaccard sig move), df-cap, posting self-join, shared-count
+    * gate. */
+  def audioNeardup(minShared: Long, maxDf: Int): String = s"""
+    WITH $audioFpCte,
+    sets AS (SELECT doc_id,
+                    md5(string_agg(CAST(fp AS VARCHAR), ' ' ORDER BY fp))
+                      AS sig
+             FROM afp GROUP BY 1),
+    reps AS (SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS m
+             FROM sets GROUP BY sig),
+    rfp AS (SELECT r.doc_id, r.m, f.fp
+            FROM reps r JOIN afp f ON f.doc_id = r.doc_id),
+    cold AS (SELECT * FROM rfp WHERE fp NOT IN (
+               SELECT fp FROM rfp GROUP BY fp HAVING count(*) > $maxDf)),
+    pairs AS (SELECT a.doc_id AS rep_a, b.doc_id AS rep_b,
+                     CAST(count(*) AS BIGINT) AS n_shared,
+                     a.m * b.m AS n_doc_pairs
+              FROM cold a JOIN cold b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, a.m, b.m)
+    SELECT rep_a, rep_b, n_shared, n_doc_pairs FROM pairs
+    WHERE n_shared >= $minShared ORDER BY rep_a, rep_b"""
+
   // ---- similarity ops (graft.operators.Similarity) --------------------
 
   private def planeSql(p: Seq[Long]): String =

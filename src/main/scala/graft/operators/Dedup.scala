@@ -1189,6 +1189,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** q-gram fingerprints of a (doc_id, blk, q) value SEQUENCE — the
+    * signal-side analog of text shingling, shared by the audio path
+    * ([[graft.multimodal.Multimodal.audioFingerprints]]) and any other
+    * per-doc ordered feature stream: windows of `w` consecutive values
+    * assemble via lead() on ONE doc-keyed window partitioning, each
+    * window hashes through the codegen'd `rolling_hash31` fold over
+    * its ':'-joined rendering, distinct per doc. Output ∝ input blocks;
+    * one shuffle (the window), no self-join. */
+  def qgramFingerprints(blocks: DataFrame, w: Int = 4): DataFrame = {
+    require(w >= 2, s"qgramFingerprints needs w >= 2, got $w")
+    val wd = Window.partitionBy("doc_id").orderBy("blk")
+    val leads = (1 until w).map(i => lead(col("q"), i).over(wd).as(s"q$i"))
+    val parts = col("q") +: (1 until w).map(i => col(s"q$i"))
+    blocks.select(col("doc_id") +: col("q") +: leads: _*)
+      .filter(col(s"q${w - 1}").isNotNull)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.RollingHash31Expr(
+          concat_ws(":", parts.map(_.cast("string")): _*)).as("fp"))
+      .distinct()
+  }
+
+  /** Shared-fingerprint near-dup pairs over ANY (doc_id, fp) table —
+    * the posting-list candidate discipline for fingerprint domains
+    * (audio q-grams, winnowed text, CDC chunk hashes): docs sharing
+    * ≥ minShared fingerprints are near-dups. Identical fingerprint
+    * SETS collapse to a multiplicity-stamped min-doc rep first (the
+    * [[hash64Neardup]]/[[allPairsJaccard]] exact-dup discipline — a
+    * k-cluster of exact dups costs one rep, never k²/2 pairs), and
+    * fingerprints hotter than maxDf drop before the self-join (the
+    * [[ngramJaccard]] df-cap: a boilerplate fingerprint shared by B
+    * docs would contribute B² join rows; near-dup pairs keep their
+    * many rare shared fingerprints). Output: rep pairs with the
+    * shared count and the doc-pair multiplicity. */
+  def fingerprintNeardup(fps: DataFrame, minShared: Long = 4,
+                         maxDf: Int = 64): DataFrame = {
+    val sets = fps.groupBy("doc_id")
+      .agg(md5(expr("listagg(CAST(fp AS STRING), ' ')" +
+        " WITHIN GROUP (ORDER BY fp)").cast("binary")).as("sig"))
+    val reps = sets.groupBy("sig")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
+      .select(col("doc_id"), col("m"))
+    val rfp = graft.Caches.track(
+      fps.join(reps, "doc_id"))
+    val hot = rfp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("fp")
+    val cold = rfp.join(broadcast(hot), Seq("fp"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.fp") === col("b.fp")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
+        col("a.m").as("__ma"), col("b.m").as("__mb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("rep_a"), col("rep_b"), col("n_shared"),
+        (col("__ma") * col("__mb")).as("n_doc_pairs"))
+  }
+
   /** Near-dup pair transitivity audit — the question to answer BEFORE
     * trusting any connected-components cluster keeplist: near-duplicate
     * similarity is NOT transitive (a~b and b~c permit a≁c — chained

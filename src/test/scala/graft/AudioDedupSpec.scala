@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
+
+/** Audio fingerprint near-dup (VERDICT r14 #6): WAV round-trip through
+  * real javax.sound codecs, block-mean quantization, q-gram rolling
+  * hashes, and the pairing contract — a clip sharing a segment pairs
+  * with its original, an exact re-encode collapses to multiplicity, a
+  * distinct clip stays out. */
+class AudioDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  // deterministic varied 64-char prefix: 8 distinct-sum blocks
+  private val prefix =
+    (0 until 64).map(i => ('a' + (i * 7 + i / 8) % 26).toChar).mkString
+
+  test("audioBlocks: WAV round-trip equals character block sums") {
+    val text = prefix // 64 chars → 8 blocks
+    val blocks = Multimodal.audioBlocks(docs((1L, text)))
+      .orderBy("blk").as[Multimodal.AudioBlock].collect().toSeq
+    val expected = (0 until 8).map { j =>
+      Multimodal.AudioBlock(1L, j.toLong,
+        (j * 8 until j * 8 + 8).map(text.charAt(_).toInt.toLong).sum / 8)
+    }
+    assert(blocks == expected)
+  }
+
+  test("audioAssets drops sub-window docs; assets are real RIFF-WAVE") {
+    val a = Multimodal.audioAssets(docs((1L, "short text"), (2L, prefix)))
+      .as[Multimodal.AudioAsset].collect().toSeq
+    assert(a.map(_.doc_id) == Seq(2L)) // 10 chars < 32 → dropped
+    val riff = a.head.payload
+    assert(new String(riff, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(riff, 8, 4, "US-ASCII") == "WAVE")
+  }
+
+  test("qgramFingerprints: lead-window q-grams hash by the rolling fold") {
+    val blocks = Seq((1L, 0L, 10L), (1L, 1L, 20L), (1L, 2L, 30L),
+      (1L, 3L, 40L), (1L, 4L, 50L)).toDF("doc_id", "blk", "q")
+    val fps = Dedup.qgramFingerprints(blocks)
+      .orderBy("fp").as[(Long, Long)].collect().toSeq
+    def roll(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val expected = Seq("10:20:30:40", "20:30:40:50").map(roll)
+    assert(fps.map(_._2).sorted == expected.sorted)
+  }
+
+  test("fingerprintNeardup: shared-segment clip pairs, re-encode collapses") {
+    val d = docs(
+      (1L, prefix + ("a" * 32)),  // 12 blocks → 9 windows
+      (2L, prefix + ("z" * 32)),  // shares the 5 prefix-only windows
+      (3L, (0 until 96).map(i => ('A' + (i * 11 + 3) % 26).toChar).mkString),
+      (4L, prefix + ("a" * 32)))  // exact dup of 1 → set collapse
+    val fps = Multimodal.audioFingerprints(d)
+    val pairs = Dedup.fingerprintNeardup(fps, minShared = 4, maxDf = 64)
+      .select("rep_a", "rep_b", "n_shared", "n_doc_pairs")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // windows fully inside the shared 8-block prefix: starts 0..4 → 5
+    // shared fps; docs 1/4 collapse to rep 1 with m = 2 → the (1, 2)
+    // rep pair stands for 2 doc pairs; doc 3 pairs with nothing
+    assert(pairs == Seq((1L, 2L, 5L, 2L)))
+    Caches.releaseAll()
+  }
+}
