@@ -3658,6 +3658,90 @@ object OracleExt {
     GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** Twin of Dedup.substringDedupInc over the even/odd doc_id split
+    * (corpus = even, batch = odd): the corpus side contributes only its
+    * DISTINCT shingle keys (the staged index); a batch occurrence marks
+    * when it hits a corpus key OR repeats a batch shingle off the
+    * batch's lexicographic first; the flags/rebuild tail is the
+    * [[substringDedup]] twin's verbatim over the batch token stream. */
+  def substringDedupInc(n: Int, minSpan: Int = 0): String = {
+    val gram = (1 until n).map(i => s" || ' ' || lead(w, $i) OVER wd")
+      .mkString
+    val kept = "CASE WHEN rm = 0 THEN w END"
+    val spanCtes = if (minSpan <= 1) "" else s""",
+    runs AS (SELECT doc_id, pos, w, rm0,
+                    SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS run
+             FROM (SELECT doc_id, pos, w, rm0,
+                          CASE WHEN lag(rm0) OVER wd IS NULL
+                                 OR lag(rm0) OVER wd != rm0
+                               THEN 1 ELSE 0 END AS chg
+                   FROM flags0
+                   WINDOW wd AS (PARTITION BY doc_id ORDER BY pos))),
+    flags AS (SELECT doc_id, pos, w,
+                     CASE WHEN rm0 = 1
+                            AND count(*) OVER (PARTITION BY doc_id, run)
+                                >= $minSpan
+                          THEN 1 ELSE 0 END AS rm
+              FROM runs)"""
+    val flagsName = if (minSpan <= 1) "flags0" else "flags"
+    val rmCol = if (minSpan <= 1) "rm0 AS rm" else "rm"
+    def tokCte(name: String, pred: String) = s"""
+    $name AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.w AS w
+              FROM (SELECT doc_id,
+                      unnest(list_transform(toks,
+                        (x, i) -> {'w': x, 'pos': i - 1})) AS s
+                    FROM tokl WHERE len(toks) > 0 AND $pred))"""
+    def occCte(gname: String, tname: String, oname: String,
+               pred: String) = s"""
+    $gname AS (SELECT doc_id, pos, w$gram AS gram
+               FROM $tname WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+    $oname AS (SELECT doc_id, pos,
+                      ${graft.functions.PortableHash.sqlHash32("s")} AS h1,
+                      ${graft.functions.PortableHash.sqlHash32b("s")} AS h2
+               FROM (SELECT doc_id, pos, gram AS s FROM $gname
+                     WHERE gram IS NOT NULL
+                     UNION ALL
+                     SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+                            array_to_string(toks, ' ') AS s
+                     FROM tokl
+                     WHERE len(toks) > 0 AND len(toks) < $n AND $pred))"""
+    s"""
+    WITH tokl AS (SELECT doc_id, $toks AS toks FROM documents),
+    ${tokCte("tokc", "doc_id % 2 = 0").trim},
+    ${tokCte("tok", "doc_id % 2 = 1").trim},
+    ${occCte("gc", "tokc", "occc", "doc_id % 2 = 0").trim},
+    ${occCte("g", "tok", "occ", "doc_id % 2 = 1").trim},
+    keys AS (SELECT DISTINCT h1, h2 FROM occc),
+    incorpus AS (SELECT DISTINCT b.doc_id, b.pos
+                 FROM occ b JOIN keys k ON k.h1 = b.h1 AND k.h2 = b.h2),
+    dupbatch AS (SELECT doc_id, pos FROM (
+                   SELECT doc_id, pos,
+                          row_number() OVER (PARTITION BY h1, h2
+                                             ORDER BY doc_id, pos) AS rk,
+                          count(*) OVER (PARTITION BY h1, h2) AS nk
+                   FROM occ)
+                 WHERE nk >= 2 AND rk > 1),
+    marked AS (SELECT doc_id, pos FROM incorpus
+               UNION
+               SELECT doc_id, pos FROM dupbatch),
+    flags0 AS (SELECT t.doc_id, t.pos, t.w,
+                     max(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                             ROWS BETWEEN ${n - 1} PRECEDING
+                             AND CURRENT ROW) AS rm0
+              FROM tok t LEFT JOIN marked m
+                ON m.doc_id = t.doc_id AND m.pos = t.pos)$spanCtes
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(rm) AS BIGINT) AS removed_tokens,
+           CAST(count(*) - sum(rm) AS BIGINT) AS kept_tokens,
+           coalesce(string_agg($kept, ' ' ORDER BY pos), '') AS kept_text,
+           md5(coalesce(string_agg($kept, ' ' ORDER BY pos), ''))
+             AS kept_md5
+    FROM (SELECT doc_id, pos, w, $rmCol FROM $flagsName)
+    GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** Twin of Dedup.simhash: 64 ±1 bit sums over frequency-weighted token
     * hashes (two independent md5 lanes), recombined into an int64
     * signature. The bit-63 term is the BIGINT minimum literal (Scala's

@@ -1208,6 +1208,14 @@ object SparkEntry {
     "substring_dedup_minspan" -> ((s, dir) =>
       Dedup.substringDedup(docsPar(s, dir), minSpan = 6)
         .orderBy("doc_id")),
+    // Incremental substring dedup (VERDICT r15 #3): the batch (odd
+    // doc_ids) probes the staged corpus (even doc_ids) shingle-key
+    // index — asymmetric, never old×old; only batch docs rewrite
+    "substring_dedup_inc" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.substringDedupInc(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1)).orderBy("doc_id")
+    }),
     // Content-defined chunks: hash-boundary variable-size chunking
     "cdc_chunks" -> ((s, dir) =>
       Dedup.cdcChunks(docsPar(s, dir)).orderBy("doc_id", "chunk_id")),
@@ -1876,6 +1884,7 @@ object SparkEntry {
     "shingle_novelty" -> OracleExt.shingleNovelty,
     "substring_dedup" -> OracleExt.substringDedup(3),
     "substring_dedup_minspan" -> OracleExt.substringDedup(3, 6),
+    "substring_dedup_inc" -> OracleExt.substringDedupInc(3),
     "cdc_chunks" -> OracleExt.cdcChunks(16),
     "winnow_fingerprints" -> OracleExt.winnowFingerprints(3, 4),
     "simhash" -> OracleExt.simhash,

@@ -510,18 +510,8 @@ object Dedup {
     * (islands-and-gaps run ids + run length), no new shuffle. */
   def substringDedup(docs: DataFrame, n: Int = 3,
                      minSpan: Int = 0): DataFrame = {
-    val toked = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
-      .filter(size(col("__t")) > 0)
-    val occ = graft.Caches.track(toked
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), greatest(size(col("__t")) - n, lit(0))),
-          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
-          .as(Seq("p", "s")))
-      .select(col("doc_id"), col("p").cast("long").as("pos"),
-        PortableHash.hash32(col("s")).as("h1"),
-        PortableHash.hash32b(col("s")).as("h2")))
+    val toked = tokedOf(docs)
+    val occ = graft.Caches.track(positionedOcc(toked, n))
     val firsts = occ.groupBy("h1", "h2")
       .agg(count(lit(1)).as("__n"),
         min(struct(col("doc_id"), col("pos"))).as("__f"))
@@ -531,6 +521,34 @@ object Dedup {
     val marked = occ.join(firsts, Seq("h1", "h2"))
       .filter(col("doc_id") =!= col("__fd") || col("pos") =!= col("__fp"))
       .select(col("doc_id"), col("pos"), lit(1L).as("__m"))
+    rebuildRemoved(toked, marked, n, minSpan)
+  }
+
+  /** (doc_id, nonempty token array) — the shared front of the
+    * substring-dedup family. */
+  private def tokedOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) > 0)
+
+  /** The positioned shingle-occurrence table (doc_id, pos, h1, h2) —
+    * ∝ corpus tokens, span TEXT never leaves the row. Docs shorter
+    * than n contribute one whole-text shingle at pos 0. */
+  private def positionedOcc(toked: DataFrame, n: Int): DataFrame =
+    toked.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("__t")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
+          .as(Seq("p", "s")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        PortableHash.hash32(col("s")).as("h1"),
+        PortableHash.hash32b(col("s")).as("h2"))
+
+  /** The removal tail shared by [[substringDedup]] and
+    * [[substringDedupInc]]: marked span starts → per-token removal
+    * flags via the bounded (n−1)-PRECEDING rows frame → minSpan
+    * run-length gate → doc rebuild. */
+  private def rebuildRemoved(toked: DataFrame, marked: DataFrame,
+                             n: Int, minSpan: Int): DataFrame = {
     val tok = toked
       .select(col("doc_id"), posexplode(col("__t")).as(Seq("p", "w")))
       .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
@@ -571,6 +589,68 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
         (col("n_tokens") - col("removed_tokens")).as("kept_tokens"),
         col("kept_text"), md5(col("kept_text")).as("kept_md5"))
+  }
+
+  /** The staged substring-dedup keeper index of a corpus: the DISTINCT
+    * 64-bit shingle keys (h1, h2) of every positioned occurrence — the
+    * artifact a continuous-ingestion pipeline stores and probes
+    * (∝ corpus distinct shingles, two longs per row; the corpus TEXT
+    * never ships). Rebuilt only when the corpus version changes; after
+    * absorbing a batch the updated index is this table unioned with
+    * the batch's keys ([[substringKeysUpdated]]). */
+  def substringKeys(corpus: DataFrame, n: Int = 3): DataFrame =
+    graft.Stage.parquet(corpus.sparkSession,
+      graft.Stage.key(corpus, "substring_keys", n)) {
+      positionedOcc(tokedOf(corpus), n).select("h1", "h2").distinct()
+    }
+
+  /** The keeper index after absorbing `batch`: corpus keys ∪ the
+    * batch's distinct shingle keys — what the NEXT batch probes. */
+  def substringKeysUpdated(corpus: DataFrame, batch: DataFrame,
+                           n: Int = 3): DataFrame =
+    substringKeys(corpus, n)
+      .unionByName(positionedOcc(tokedOf(batch), n)
+        .select("h1", "h2").distinct())
+      .distinct()
+
+  /** INCREMENTAL exact-substring dedup (VERDICT r14 #3) — the
+    * continuous-ingestion form of [[substringDedup]]: the corpus is
+    * canonical and already deduped; only the NEW batch is rewritten.
+    * A batch occurrence is removed when its shingle appears anywhere
+    * in the corpus (every corpus occurrence precedes the batch — the
+    * [[incrementalDedup]] corpus-is-prior policy at span granularity)
+    * or when it repeats a batch shingle and is not the batch's
+    * lexicographically-first site (batch-internal dups dedup within
+    * the batch, keep-first).
+    *
+    * 100 TB shape — asymmetric by construction, NEVER old×old: the
+    * corpus contributes exactly its staged [[substringKeys]] index
+    * (built once, probed by a hash semi-join from the batch side, so
+    * each daily batch costs ∝ batch tokens + one index probe);
+    * batch-internal firsts aggregate the batch's own occurrence table
+    * only; the removal/rebuild tail is [[substringDedup]]'s, windowed
+    * per batch doc. Output schema matches [[substringDedup]], batch
+    * docs only. */
+  def substringDedupInc(corpus: DataFrame, batch: DataFrame, n: Int = 3,
+                        minSpan: Int = 0): DataFrame = {
+    val keys = substringKeys(corpus, n)
+    val tokedB = tokedOf(batch)
+    val occB = graft.Caches.track(positionedOcc(tokedB, n))
+    val inCorpus = occB
+      .join(keys, Seq("h1", "h2"), "leftsemi")
+      .select(col("doc_id"), col("pos"))
+    val firstsB = occB.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("doc_id"), col("pos"))).as("__f"))
+      .filter(col("__n") >= 2)
+      .select(col("h1"), col("h2"),
+        col("__f.doc_id").as("__fd"), col("__f.pos").as("__fp"))
+    val dupInBatch = occB.join(firstsB, Seq("h1", "h2"))
+      .filter(col("doc_id") =!= col("__fd") || col("pos") =!= col("__fp"))
+      .select(col("doc_id"), col("pos"))
+    val marked = inCorpus.unionByName(dupInBatch).distinct()
+      .withColumn("__m", lit(1L))
+    rebuildRemoved(tokedB, marked, n, minSpan)
   }
 
   /** Content-defined chunking (the rsync/LBFS boundary trick, word

@@ -662,6 +662,40 @@ class DedupSpec extends SparkTestBase {
     assert(out2(1) == ((2L, 3L, "")))
   }
 
+  test("substringDedupInc: corpus passages leave the batch, corpus untouched") {
+    val passage = "zq1 zq2 zq3 zq4 zq5 zq6"
+    val corpus = docs((10L, s"c1 c2 $passage c3 c4"))
+    val batch = docs(
+      (21L, s"a1 a2 $passage a3 a4"), // contains the corpus passage
+      (23L, "n1 n2 n3 n4 n5"), // novel: untouched
+      (25L, "r1 r2 b1 b2 b3 r3 r4 b1 b2 b3 r5")) // batch-internal repeat
+    val out = Dedup.substringDedupInc(corpus, batch).orderBy("doc_id")
+      .select("doc_id", "removed_tokens", "kept_text")
+      .as[(Long, Long, String)].collect()
+    // ONLY batch docs in the output — the corpus is canonical
+    assert(out.map(_._1).toSeq == Seq(21L, 23L, 25L))
+    // the corpus passage is removed from the batch doc (the corpus
+    // keeper survives by not being rewritten at all); boundary shingles
+    // carry unique context so removal stops at the passage edge
+    assert(out(0) == ((21L, 6L, "a1 a2 a3 a4")))
+    assert(out(1) == ((23L, 0L, "n1 n2 n3 n4 n5")))
+    // batch-internal repeat: keep the batch-first occurrence
+    assert(out(2) == ((25L, 3L, "r1 r2 b1 b2 b3 r3 r4 r5")))
+    Caches.releaseAll()
+  }
+
+  test("substringDedupInc: a batch short-doc exact-dup of a corpus doc drops") {
+    val corpus = docs((2L, "tiny pair"))
+    val batch = docs((3L, "tiny pair"), (5L, "fresh words"))
+    val out = Dedup.substringDedupInc(corpus, batch).orderBy("doc_id")
+      .select("doc_id", "removed_tokens", "kept_text")
+      .as[(Long, Long, String)].collect()
+    // the whole-text fallback shingle hits the corpus index → removed
+    assert(out(0) == ((3L, 2L, "")))
+    assert(out(1) == ((5L, 0L, "fresh words")))
+    Caches.releaseAll()
+  }
+
   test("substringDedup: short-doc whole-text fallback + fully-removed doc") {
     val d = docs((1L, "tiny pair"), (2L, "tiny pair"), (3L, "other text"))
     val out = Dedup.substringDedup(d).orderBy("doc_id")
