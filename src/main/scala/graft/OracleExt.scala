@@ -4831,12 +4831,14 @@ object OracleExt {
     * here — no image decoding in the twin, same 64 gradient bits. Bit
     * 63's term is the negative BIGINT-minimum literal (the simhash
     * recombine trick); bits 0–62 total < 2^63, so the sum is exact. */
-  private def dhashSql: String = (0 until 64).map { b =>
+  private def dhashSqlAt(base: String): String = (0 until 64).map { b =>
     val i = (b / 8) * 9 + (b % 8)
-    val l = s"ascii(substr(text, ($i % len) + 1, 1))"
-    val r = s"ascii(substr(text, (${i + 1} % len) + 1, 1))"
+    val l = s"ascii(substr(text, (($base + $i) % len) + 1, 1))"
+    val r = s"ascii(substr(text, (($base + ${i + 1}) % len) + 1, 1))"
     s"CASE WHEN $l < $r THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
   }.mkString(" + ")
+
+  private def dhashSql: String = dhashSqlAt("0")
 
   private def dhashCte: String = s"""
     dh AS (SELECT doc_id, CAST($dhashSql AS BIGINT) AS dhash
@@ -4910,20 +4912,21 @@ object OracleExt {
            coalesce(n_fp, CAST(0 AS BIGINT)) AS n_fp
     FROM nb LEFT JOIN nf ON nf.doc_id = nb.doc_id ORDER BY nb.doc_id"""
 
-  /** Twin of Dedup.fingerprintNeardup over the audio fingerprint
-    * table: identical-set collapse (md5 of the fp-sorted listagg, the
-    * allPairsJaccard sig move), df-cap, posting self-join, shared-count
-    * gate. */
-  def audioNeardup(minShared: Long, maxDf: Int): String = s"""
-    WITH $audioFpCte,
+  /** The Dedup.fingerprintNeardup SQL tail over a (doc_id, fp) CTE
+    * named `fpName`: identical-set collapse (md5 of the fp-sorted
+    * listagg, the allPairsJaccard sig move), df-cap, posting
+    * self-join, shared-count gate. Shared by the audio and video
+    * twins. */
+  private def fpNeardupTail(fpName: String, minShared: Long,
+                            maxDf: Int): String = s"""
     sets AS (SELECT doc_id,
                     md5(string_agg(CAST(fp AS VARCHAR), ' ' ORDER BY fp))
                       AS sig
-             FROM afp GROUP BY 1),
+             FROM $fpName GROUP BY 1),
     reps AS (SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS m
              FROM sets GROUP BY sig),
     rfp AS (SELECT r.doc_id, r.m, f.fp
-            FROM reps r JOIN afp f ON f.doc_id = r.doc_id),
+            FROM reps r JOIN $fpName f ON f.doc_id = r.doc_id),
     cold AS (SELECT * FROM rfp WHERE fp NOT IN (
                SELECT fp FROM rfp GROUP BY fp HAVING count(*) > $maxDf)),
     pairs AS (SELECT a.doc_id AS rep_a, b.doc_id AS rep_b,
@@ -4934,6 +4937,35 @@ object OracleExt {
               GROUP BY 1, 2, a.m, b.m)
     SELECT rep_a, rep_b, n_shared, n_doc_pairs FROM pairs
     WHERE n_shared >= $minShared ORDER BY rep_a, rep_b"""
+
+  /** Twin of Dedup.fingerprintNeardup over the audio fingerprint
+    * table. */
+  def audioNeardup(minShared: Long, maxDf: Int): String = s"""
+    WITH $audioFpCte,
+    ${fpNeardupTail("afp", minShared, maxDf).trim}"""
+
+  /** Twin of Multimodal.videoFrameHash — the lossless-PNG identity
+    * swept across the doc: frame k's 9×8 grid carries charCode at
+    * (k·72 + i) mod len, so each frame's dHash recomputes from
+    * `ascii()` exactly as [[imageDhash]]'s does at offset 0. */
+  private def videoFhCte: String = s"""
+    vfh AS (SELECT doc_id, k AS frame_id,
+                   CAST(${dhashSqlAt("k * 72")} AS BIGINT) AS dhash
+            FROM (SELECT doc_id, text, len,
+                         unnest(range(0, greatest(1, len // 72))) AS k
+                  FROM (SELECT doc_id, text, length(text) AS len
+                        FROM documents WHERE length(text) >= 1)))"""
+
+  val videoFramehash: String = s"""
+    WITH $videoFhCte
+    SELECT doc_id, frame_id, dhash FROM vfh ORDER BY doc_id, frame_id"""
+
+  /** Twin of Dedup.fingerprintNeardup over the per-frame dHash table
+    * (fp = frame dhash, distinct per doc). */
+  def videoNeardup(minShared: Long, maxDf: Int): String = s"""
+    WITH $videoFhCte,
+    vfp AS (SELECT DISTINCT doc_id, dhash AS fp FROM vfh),
+    ${fpNeardupTail("vfp", minShared, maxDf).trim}"""
 
   // ---- similarity ops (graft.operators.Similarity) --------------------
 

@@ -1491,6 +1491,19 @@ object SparkEntry {
       Dedup.fingerprintNeardup(
         Multimodal.audioFingerprints(docsPar(s, dir)),
         minShared = 4, maxDf = 64).orderBy("rep_a", "rep_b")),
+    // Video frame-hash dedup (closing the modality triad): real RIFF
+    // container walk + per-frame ImageIO decode + dHash on the staged
+    // PNG-in-AVI assets; lossless frames keep the twin codec-free
+    "video_framehash" -> ((s, dir) =>
+      Multimodal.videoFrameHash(docsPar(s, dir))
+        .orderBy("doc_id", "frame_id")),
+    // docs sharing >= 2 frame hashes — the generic fingerprintNeardup
+    // with fp = frame dhash (identical frame-SET collapse + df-cap)
+    "video_neardup" -> ((s, dir) =>
+      Dedup.fingerprintNeardup(
+        Multimodal.videoFrameHash(docsPar(s, dir))
+          .select(col("doc_id"), col("dhash").as("fp")).distinct(),
+        minShared = 2, maxDf = 64).orderBy("rep_a", "rep_b")),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
       val d = Multimodal.decodeBatched(
@@ -1702,6 +1715,8 @@ object SparkEntry {
     "image_neardup" -> OracleExt.imageNeardup(12),
     "audio_fingerprint" -> OracleExt.audioFingerprint,
     "audio_neardup" -> OracleExt.audioNeardup(4, 64),
+    "video_framehash" -> OracleExt.videoFramehash,
+    "video_neardup" -> OracleExt.videoNeardup(2, 64),
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "cluster_quality" -> OracleExt.clusterQuality(8, 2),
     "silhouette" -> OracleExt.silhouette(8, 2),
