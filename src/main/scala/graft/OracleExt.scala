@@ -3529,11 +3529,11 @@ object OracleExt {
             FROM mv WHERE cnt = $winSize)"""
   }
 
-  /** Twin of Dedup.cdcChunks — identical boundary/window/positional-
-    * hash math; DuckDB's indexed list lambda (1-based i) supplies the
-    * token positions Spark gets from posexplode. */
-  def cdcChunks(avgWords: Int): String = s"""
-    WITH tok AS (
+  /** The cdcChunks CTE chain ending at `chunks` (doc_id, chunk_id,
+    * n_words, chunk_hash) — shared by the chunk listing and the
+    * chunk-sharing near-dup twin. */
+  private def cdcChunksCte(avgWords: Int): String = s"""
+    tok AS (
       SELECT doc_id, s.pos AS pos, s.w AS w
       FROM (SELECT doc_id,
               unnest(list_transform($toks,
@@ -3557,13 +3557,29 @@ object OracleExt {
              CAST(sum(${graft.functions.PortableHash.sqlHash32(
                "CAST(pos - start_pos AS VARCHAR) || ':' || w")})
                AS BIGINT) AS chunk_hash
-      FROM ch GROUP BY doc_id, chunk_id),
+      FROM ch GROUP BY doc_id, chunk_id)"""
+
+  /** Twin of Dedup.cdcChunks — identical boundary/window/positional-
+    * hash math; DuckDB's indexed list lambda (1-based i) supplies the
+    * token positions Spark gets from posexplode. */
+  def cdcChunks(avgWords: Int): String = s"""
+    WITH ${cdcChunksCte(avgWords).trim},
     shared AS (SELECT chunk_hash FROM chunks
                GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2)
     SELECT c.doc_id, c.chunk_id, c.n_words, c.chunk_hash,
            s.chunk_hash IS NOT NULL AS dup
     FROM chunks c LEFT JOIN shared s ON c.chunk_hash = s.chunk_hash
     ORDER BY c.doc_id, c.chunk_id"""
+
+  /** Twin of Dedup.fingerprintNeardup over the CDC chunk hashes (fp =
+    * chunk_hash of chunks with ≥ minWords words — sub-minWords chunks
+    * are the single-common-word Zipf head). */
+  def cdcNeardup(avgWords: Int, minWords: Int, minShared: Long,
+                 maxDf: Int): String = s"""
+    WITH ${cdcChunksCte(avgWords).trim},
+    cfp AS (SELECT DISTINCT doc_id, chunk_hash AS fp FROM chunks
+            WHERE n_words >= $minWords),
+    ${fpNeardupTail("cfp", minShared, maxDf).trim}"""
 
   val dupSpans: String = s"""
     WITH $shingleCte,

@@ -1219,6 +1219,17 @@ object SparkEntry {
     // Content-defined chunks: hash-boundary variable-size chunking
     "cdc_chunks" -> ((s, dir) =>
       Dedup.cdcChunks(docsPar(s, dir)).orderBy("doc_id", "chunk_id")),
+    // CDC-chunk shared-passage pairs: the generic fingerprintNeardup's
+    // third domain (fp = chunk hash) — INSERTION-robust, unlike the
+    // fixed-window audio/video lanes, because chunk boundaries
+    // re-synchronize on content; sub-4-word chunks (the
+    // single-common-word Zipf head) stay out of the fp domain
+    "cdc_neardup" -> ((s, dir) =>
+      Dedup.fingerprintNeardup(
+        Dedup.cdcChunks(docsPar(s, dir))
+          .filter(col("n_words") >= 4)
+          .select(col("doc_id"), col("chunk_hash").as("fp")).distinct(),
+        minShared = 2, maxDf = 64).orderBy("rep_a", "rep_b")),
     // Winnowing fingerprints (MOSS): rolling-window min k-gram hashes,
     // guaranteed density + shared-passage detection
     "winnow_fingerprints" -> ((s, dir) =>
@@ -1903,6 +1914,7 @@ object SparkEntry {
     "substring_dedup_minspan" -> OracleExt.substringDedup(3, 6),
     "substring_dedup_inc" -> OracleExt.substringDedupInc(3),
     "cdc_chunks" -> OracleExt.cdcChunks(16),
+    "cdc_neardup" -> OracleExt.cdcNeardup(16, 4, 2, 64),
     "winnow_fingerprints" -> OracleExt.winnowFingerprints(3, 4),
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6),

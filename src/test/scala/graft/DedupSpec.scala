@@ -65,6 +65,26 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("cdc_neardup composition: an insertion variant still pairs (re-sync)") {
+    // the fixed-window lanes (dupSpans, audio/video frames) lose every
+    // span downstream of an insertion; CDC chunk boundaries re-sync,
+    // so the chunk-sharing near-dup keeps the pair
+    val words = (0 until 200).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.take(10) ++ Seq("inserted") ++ words.drop(10))
+      .mkString(" ")
+    val c = (0 until 200).map(i => s"z$i").mkString(" ") // distinct
+    val fps = Dedup.cdcChunks(docs((0L, a), (1L, b), (2L, c)))
+      .filter(col("n_words") >= 4)
+      .select(col("doc_id"), col("chunk_hash").as("fp")).distinct()
+    val pairs = Dedup.fingerprintNeardup(fps, minShared = 2, maxDf = 64)
+      .select("rep_a", "rep_b", "n_shared")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    assert(pairs.head._3 >= 5, s"expected many re-synced shared chunks: $pairs")
+    Caches.releaseAll()
+  }
+
   test("minhashPairs: identical docs always collide; unrelated never") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
