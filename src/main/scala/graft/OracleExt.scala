@@ -4976,6 +4976,63 @@ object OracleExt {
     WITH $videoFhCte
     SELECT doc_id, frame_id, dhash FROM vfh ORDER BY doc_id, frame_id"""
 
+  /** Twin of Dedup.hash64NeardupInc over the even/odd doc split:
+    * batch (odd) bands probe corpus (even) + lower-odd bands,
+    * Hamming ≤ maxHamming INCLUDING exact matches, distinct prior
+    * partners counted per batch doc. */
+  def imageNeardupInc(maxHamming: Int): String = s"""
+    WITH $dhashCte,
+    dhf AS (SELECT doc_id, dhash, doc_id % 2 = 1 AS isnew FROM dh),
+    band AS (SELECT doc_id, dhash, isnew, CAST(j AS INTEGER) AS band_id,
+                    (dhash >> (j * 16)) & 65535 AS band_val
+             FROM dhf CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    dups AS (SELECT DISTINCT a.doc_id, b.doc_id AS prior
+             FROM band a JOIN band b
+               ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
+             WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxHamming),
+    nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+           FROM dups GROUP BY 1)
+    SELECT b.doc_id, coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+           n_dup IS NULL AS kept
+    FROM (SELECT doc_id FROM dhf WHERE isnew) b
+    LEFT JOIN nd ON nd.doc_id = b.doc_id ORDER BY b.doc_id"""
+
+  /** Twin of the image_quality projection over Multimodal.imageGridStats
+    * — grid cells recompute from character codes (the lossless-PNG
+    * identity), moments by the n·Σx²−(Σx)² integer identity. */
+  val imageQuality: String = s"""
+    WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+               WHERE length(text) >= 1),
+    cells AS (SELECT doc_id, ascii(substr(text, (i % len) + 1, 1)) AS v
+              FROM (SELECT doc_id, text, len, unnest(range(0, 72)) AS i
+                    FROM d)),
+    gs AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS lsum,
+                  CAST(sum(v * v) AS BIGINT) AS lsumsq,
+                  CAST(min(v) AS BIGINT) AS lmin,
+                  CAST(max(v) AS BIGINT) AS lmax
+           FROM cells GROUP BY 1)
+    SELECT doc_id, (1000 * lsum) // 72 AS mean_milli,
+           (1000 * (72 * lsumsq - lsum * lsum)) // 5184 AS var_milli,
+           lmax - lmin AS contrast, (lmax - lmin) <= 15 AS flat
+    FROM gs ORDER BY doc_id"""
+
+  /** Twin of the audio_quality projection over the decoded block
+    * means (the aq CTE of [[audioFpCte]]). */
+  val audioQuality: String = s"""
+    WITH $audioFpCte,
+    gs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+                  CAST(sum(q) AS BIGINT) AS qs,
+                  CAST(sum(q * q) AS BIGINT) AS qs2,
+                  CAST(min(q) AS BIGINT) AS qmin,
+                  CAST(max(q) AS BIGINT) AS qmax
+           FROM aq GROUP BY 1)
+    SELECT doc_id, n_blocks, (1000 * qs) // n_blocks AS q_mean_milli,
+           (1000 * (n_blocks * qs2 - qs * qs)) // (n_blocks * n_blocks)
+             AS q_var_milli,
+           qmax - qmin AS dyn_range, (qmax - qmin) <= 3 AS flat
+    FROM gs ORDER BY doc_id"""
+
   /** Twin of Dedup.fingerprintNeardup over the per-frame dHash table
     * (fp = frame dhash, distinct per doc). */
   def videoNeardup(minShared: Long, maxDf: Int): String = s"""

@@ -1502,6 +1502,32 @@ object SparkEntry {
       Dedup.fingerprintNeardup(
         Multimodal.audioFingerprints(docsPar(s, dir)),
         minShared = 4, maxDf = 64).orderBy("rep_a", "rep_b")),
+    // Media quality gates: integer-exact luma-grid moments off REAL
+    // image decode — flat/low-contrast curation filters (blank pages,
+    // dead thumbnails); variance via the n·Σx²−(Σx)² integer identity
+    "image_quality" -> ((s, dir) =>
+      Multimodal.imageGridStats(docsPar(s, dir))
+        .select(col("doc_id"),
+          expr("(1000 * lsum) div 72").as("mean_milli"),
+          expr("(1000 * (72 * lsumsq - lsum * lsum)) div 5184")
+            .as("var_milli"),
+          (col("lmax") - col("lmin")).as("contrast"),
+          ((col("lmax") - col("lmin")) <= 15).as("flat"))
+        .orderBy("doc_id")),
+    // decoded-PCM quality stats over the staged block means: level,
+    // variance, dynamic range, and the dead-air flag
+    "audio_quality" -> ((s, dir) =>
+      Multimodal.audioBlocks(docsPar(s, dir)).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"), sum(col("q")).as("__qs"),
+          sum(col("q") * col("q")).as("__qs2"),
+          min(col("q")).as("__qmin"), max(col("q")).as("__qmax"))
+        .select(col("doc_id"), col("n_blocks"),
+          expr("(1000 * __qs) div n_blocks").as("q_mean_milli"),
+          expr("""(1000 * (n_blocks * __qs2 - __qs * __qs))
+                  div (n_blocks * n_blocks)""").as("q_var_milli"),
+          (col("__qmax") - col("__qmin")).as("dyn_range"),
+          ((col("__qmax") - col("__qmin")) <= 3).as("flat"))
+        .orderBy("doc_id")),
     // Video frame-hash dedup (closing the modality triad): real RIFF
     // container walk + per-frame ImageIO decode + dHash on the staged
     // PNG-in-AVI assets; lossless frames keep the twin codec-free
@@ -1515,6 +1541,16 @@ object SparkEntry {
         Multimodal.videoFrameHash(docsPar(s, dir))
           .select(col("doc_id"), col("dhash").as("fp")).distinct(),
         minShared = 2, maxDf = 64).orderBy("rep_a", "rep_b")),
+    // Incremental perceptual dedup: odd-doc batch dHashes probe the
+    // even-doc corpus index — asymmetric (never old×old), identical
+    // hashes count (a dedup decision flags exact perceptual dups too)
+    "image_neardup_inc" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.hash64NeardupInc(
+        Multimodal.imageDhash(d.filter(col("doc_id") % 2 === 0)),
+        Multimodal.imageDhash(d.filter(col("doc_id") % 2 === 1)),
+        "dhash", maxHamming = 12).orderBy("doc_id")
+    }),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
       val d = Multimodal.decodeBatched(
@@ -1728,6 +1764,9 @@ object SparkEntry {
     "audio_neardup" -> OracleExt.audioNeardup(4, 64),
     "video_framehash" -> OracleExt.videoFramehash,
     "video_neardup" -> OracleExt.videoNeardup(2, 64),
+    "image_quality" -> OracleExt.imageQuality,
+    "image_neardup_inc" -> OracleExt.imageNeardupInc(12),
+    "audio_quality" -> OracleExt.audioQuality,
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "cluster_quality" -> OracleExt.clusterQuality(8, 2),
     "silhouette" -> OracleExt.silhouette(8, 2),

@@ -520,6 +520,47 @@ object Multimodal {
       dhashOf(imageAssets(docs))
     }
 
+  final case class ImageGridStats(doc_id: Long, lsum: Long, lsumsq: Long,
+                                  lmin: Long, lmax: Long)
+
+  /** Per-image luma-grid moments off REAL decode — the raw integer
+    * lanes (Σ, Σ², min, max over the 72 grid cells, each an exact int
+    * for grayscale assets) behind the `image_quality` gate: flat/
+    * low-contrast detection is the cheapest curation filter a media
+    * corpus runs (single-color thumbnails, blank pages, dead frames).
+    * Staged once; the quality projection is pure column math over the
+    * artifact so DuckDB mirrors it from character codes. */
+  def imageGridStats(docs: DataFrame): DataFrame = {
+    def plan = {
+      val enc = Encoders.product[ImageGridStats]
+      imageAssets(docs).select(col("doc_id"), col("payload"))
+        .mapPartitions { rows: Iterator[Row] =>
+          rows.flatMap { r =>
+            val img = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case _: Exception => null }
+            if (img == null) None
+            else {
+              val g = lumaGrid9x8(img)
+              var s = 0L; var s2 = 0L
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              var i = 0
+              while (i < 72) {
+                val v = math.round(g(i)) // exact ints for gray assets
+                s += v; s2 += v * v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              Some(ImageGridStats(r.getLong(0), s, s2, mn, mx))
+            }
+          }
+        }(enc).toDF()
+    }
+    graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "image_gridstats"))(plan)
+  }
+
   // ---- audio fingerprint dedup (VERDICT r14 #6) ---------------------
 
   final case class AudioAsset(doc_id: Long, payload: Array[Byte])

@@ -1246,18 +1246,27 @@ object Dedup {
     * table); THIS op returns the strictly-near structure: rep pairs
     * with 1 ≤ hamming ≤ maxHamming, each stamped with the doc-pair
     * count it stands for (ma·mb). */
+  /** The 4×16-bit band columns of a 64-bit hash column: one row per
+    * (input row, band). The arithmetic shift + mask is
+    * sign-independent; shared by every 64-bit banding consumer. */
+  private def with16Bands(df: DataFrame, hashCol: String): DataFrame =
+    df.withColumn("__b",
+        explode(array((0 until 4).map(j => struct(
+          lit(j).as("band_id"),
+          shiftright(col(hashCol), j * 16).bitwiseAND(65535)
+            .as("band_val"))): _*)))
+      .withColumn("band_id", col("__b.band_id"))
+      .withColumn("band_val", col("__b.band_val"))
+      .drop("__b")
+
   def hash64Neardup(hashes: DataFrame, hashCol: String,
                     maxHamming: Int = 6): DataFrame = {
     val reps = graft.Caches.track(
       hashes.groupBy(col(hashCol).as("h"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m")))
-    val banded = reps.select(col("rep"), col("h"), col("m"),
-        explode(array((0 until 4).map(j => struct(
-          lit(j).as("band_id"),
-          shiftright(col("h"), j * 16).bitwiseAND(65535)
-            .as("band_val"))): _*)).as("b"))
+    val banded = with16Bands(reps, "h")
       .select(col("rep"), col("h"), col("m"),
-        col("b.band_id"), col("b.band_val"))
+        col("band_id"), col("band_val"))
     banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_val") === col("b.band_val")
@@ -1267,6 +1276,44 @@ object Dedup {
         (col("a.m") * col("b.m")).as("n_doc_pairs"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** INCREMENTAL banded Hamming dedup — the [[incrementalDedup]]
+    * corpus-is-prior policy for 64-bit perceptual hashes (image dHash,
+    * simhash): the corpus is canonical; a BATCH doc is a duplicate
+    * when any corpus doc, or any lower-id batch doc, lies within
+    * maxHamming of its hash. Unlike [[hash64Neardup]]'s strictly-near
+    * contract, identical hashes COUNT (a dedup decision must flag
+    * exact perceptual dups too). Output per batch doc: (doc_id, n_dup
+    * distinct prior partners, kept). Requires disjoint doc_id spaces.
+    *
+    * 100 TB shape: asymmetric by construction — the probe side is
+    * batch bands only, so candidates are new×old plus new×lower-new,
+    * NEVER old×old; the corpus contributes one linear pass over its
+    * (precomputed, staged) hash table. The daily-batch cost scales
+    * with the batch. */
+  def hash64NeardupInc(corpusHashes: DataFrame, batchHashes: DataFrame,
+                       hashCol: String, maxHamming: Int = 6): DataFrame = {
+    val bNew = graft.Caches.track(
+      with16Bands(batchHashes.select(col("doc_id"),
+        col(hashCol).as("h")), "h"))
+    val bAll = with16Bands(corpusHashes.select(col("doc_id"),
+        col(hashCol).as("h")), "h")
+      .withColumn("__new", lit(false))
+      .unionByName(bNew.withColumn("__new", lit(true)))
+    val dups = bNew.as("a").join(bAll.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_val") === col("b.band_val")
+          && (!col("b.__new") || col("b.doc_id") < col("a.doc_id")))
+      .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= maxHamming)
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("__prior"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    batchHashes.select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("kept", col("n_dup") === 0L)
   }
 
   /** q-gram fingerprints of a (doc_id, blk, q) value SEQUENCE — the

@@ -127,6 +127,44 @@ class ImageDedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("hash64NeardupInc: batch probes corpus; exact AND near dups flag") {
+    val original = blockyImage(90, 80, salt = 0)
+    val corpusDh = Multimodal.dhashOf(Seq(
+      (2L, encode(original, "png"))).toDF("doc_id", "payload"))
+    val batchDh = Multimodal.dhashOf(Seq(
+      (11L, encode(original, "png")), // exact corpus dup (hamming 0)
+      (13L, encode(resize(watermark(original), 47, 41), "png")), // near
+      (15L, encode(blockyImage(90, 80, salt = 7), "png")), // novel
+      (17L, encode(original, "png")) // dup of corpus AND of batch 11
+    ).toDF("doc_id", "payload"))
+    val out = Dedup.hash64NeardupInc(corpusDh, batchDh, "dhash",
+        maxHamming = 10).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (11L, 1L, false), // corpus partner only (it is the lowest batch doc)
+      (13L, 2L, false), // corpus + batch 11, both within hamming 2
+      (15L, 0L, true),  // novel: kept
+      (17L, 3L, false))) // corpus + batch 11 + batch 13
+    Caches.releaseAll()
+  }
+
+  test("image_quality lanes: constant grid flags flat, varied does not") {
+    // constant text → constant luma grid → zero variance and contrast
+    val stats = Multimodal.imageGridStats(docs(
+        (1L, "a" * 80),
+        (2L, "the quick brown fox jumps over the lazy dog vexingly")))
+      .orderBy("doc_id")
+      .as[Multimodal.ImageGridStats].collect().toSeq
+    val a = 'a'.toInt.toLong
+    assert(stats(0) == Multimodal.ImageGridStats(1L, 72 * a, 72 * a * a, a, a))
+    assert(stats(1).lmax - stats(1).lmin > 15) // varied text: not flat
+    // and the moments match direct char math for the varied doc
+    val t = "the quick brown fox jumps over the lazy dog vexingly"
+    val vals = (0 until 72).map(i => t.charAt(i % t.length).toInt.toLong)
+    assert(stats(1) == Multimodal.ImageGridStats(2L, vals.sum,
+      vals.map(v => v * v).sum, vals.min, vals.max))
+  }
+
   test("dhashOf drops undecodable payloads; imageAssets matches char math") {
     val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
     assert(Multimodal.dhashOf(junk).count() == 0L)
