@@ -4998,6 +4998,28 @@ object OracleExt {
     FROM (SELECT doc_id FROM dhf WHERE isnew) b
     LEFT JOIN nd ON nd.doc_id = b.doc_id ORDER BY b.doc_id"""
 
+  /** Twin of Multimodal.videoScenes — one lead window over the frame
+    * hashes, cut where the inter-frame Hamming exceeds the threshold,
+    * mean jump in milli lanes. */
+  def videoScenes(cutHamming: Int): String = s"""
+    WITH $videoFhCte,
+    w AS (SELECT doc_id, dhash,
+                 lead(dhash) OVER (PARTITION BY doc_id ORDER BY frame_id)
+                   AS nh
+          FROM vfh),
+    g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                 CAST(sum(CASE WHEN nh IS NOT NULL
+                            AND bit_count(xor(dhash, nh)) > $cutHamming
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                 CAST(sum(CASE WHEN nh IS NOT NULL
+                          THEN bit_count(xor(dhash, nh)) ELSE 0 END)
+                   AS BIGINT) AS dsum
+          FROM w GROUP BY 1)
+    SELECT doc_id, n_frames, n_cuts, n_cuts + 1 AS n_scenes,
+           CASE WHEN n_frames > 1
+             THEN (1000 * dsum) // (n_frames - 1) END AS motion_milli
+    FROM g ORDER BY doc_id"""
+
   /** Twin of the image_quality projection over Multimodal.imageGridStats
     * — grid cells recompute from character codes (the lossless-PNG
     * identity), moments by the n·Σx²−(Σx)² integer identity. */

@@ -1551,6 +1551,10 @@ object SparkEntry {
         Multimodal.imageDhash(d.filter(col("doc_id") % 2 === 1)),
         "dhash", maxHamming = 12).orderBy("doc_id")
     }),
+    // Shot segmentation over the staged frame hashes: cuts where the
+    // inter-frame dHash jump exceeds 36 bits, mean jump = motion proxy
+    "video_scenes" -> ((s, dir) =>
+      Multimodal.videoScenes(docsPar(s, dir)).orderBy("doc_id")),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
       val d = Multimodal.decodeBatched(
@@ -1765,6 +1769,7 @@ object SparkEntry {
     "video_framehash" -> OracleExt.videoFramehash,
     "video_neardup" -> OracleExt.videoNeardup(2, 64),
     "image_quality" -> OracleExt.imageQuality,
+    "video_scenes" -> OracleExt.videoScenes(36),
     "image_neardup_inc" -> OracleExt.imageNeardupInc(12),
     "audio_quality" -> OracleExt.audioQuality,
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),

@@ -733,6 +733,31 @@ object Multimodal {
       graft.Stage.key(docs, "video_assets"))(plan)
   }
 
+  /** Shot-boundary segmentation over the staged frame hashes: a CUT is
+    * an inter-frame dHash jump above `cutHamming` (scene changes move
+    * most gradient signs; within-scene motion moves few — the classic
+    * cheap shot detector), scenes = cuts + 1, and the mean inter-frame
+    * Hamming is the motion proxy a sampling/curation pass reads
+    * (static slideshow vs action). One doc-keyed window over the
+    * staged artifact, doc-bounded aggregate, exact integer lanes. */
+  def videoScenes(docs: DataFrame, cutHamming: Int = 36): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_id")
+    val delta = bit_count(col("dhash").bitwiseXOR(col("__nh")))
+    videoFrameHash(docs)
+      .withColumn("__nh", lead(col("dhash"), 1).over(wd))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__nh").isNotNull && delta > cutHamming, 1L)
+          .otherwise(0L)).as("n_cuts"),
+        sum(when(col("__nh").isNotNull, delta.cast("long"))
+          .otherwise(0L)).as("__dsum"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + 1L).as("n_scenes"),
+        when(col("n_frames") > 1L,
+          expr("(1000 * __dsum) div (n_frames - 1)")).as("motion_milli"))
+  }
+
   /** The staged per-frame perceptual-hash table: the REAL container
     * walk ([[aviFrameBytes]]) extracts each frame, ImageIO decodes it,
     * and the [[dhashOfGrid]] gradient hash runs per frame — (doc_id,

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, explode, lit, shiftright, struct}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming perceptual-hash near-dup detection — the unbounded-stream
+  * sibling of [[graft.operators.Dedup.hash64Neardup]] for 64-bit
+  * signatures (image dHash, simhash): as hashed assets arrive, emit
+  * (doc_a, doc_b, hamming) for every pair within `maxHamming` — the
+  * online image-dedup gate a media-ingestion pipeline runs before
+  * paying for storage or featurization.
+  *
+  * Shape mirrors [[StreamingNearDup]] exactly: the stateless band
+  * projection (the batch 4×16-bit band recipe) runs unchanged on the
+  * stream; the stateful step keys by (band_id, band_val) — the key the
+  * batch band JOIN shuffles on — and keeps each bucket's seen (doc_id,
+  * hash) entries in `flatMapGroupsWithState` state; a new arrival
+  * compares against bucket-mates only (|bucket| XOR+popcounts, never
+  * corpus-wide).
+  *
+  * Contract divergences from the batch op, both deliberate:
+  * identical hashes are NOT collapsed (a stream can't know a hash's
+  * final multiplicity; exact dups emit as hamming-0 pairs, and the
+  * batch op's rep collapse is a compaction the nightly pass applies),
+  * and a pair sharing several bands emits once per shared band
+  * (windowed uniqueness composes downstream via
+  * `dropDuplicatesWithinWatermark`). State bounding: `stateTtlMs > 0`
+  * arms a processing-time timeout exactly as [[StreamingNearDup]]
+  * documents — pair with a paced trigger in production.
+  *
+  * Runs unchanged on a BATCH frame (state starts empty, one group per
+  * key) — the differential spec proves the streamed pair set equals
+  * the brute-force Hamming pairs sharing ≥ 1 band. */
+object StreamingHashDedup {
+
+  /** One banded hash row entering the bucket operator. */
+  case class BandedHash(doc_id: Long, h: Long, band_id: Int, band_val: Long)
+
+  case class HashEntry(doc_id: Long, h: Long)
+  case class HashBucket(entries: Seq[HashEntry])
+
+  /** An emitted candidate: ids lowest-first + exact Hamming. */
+  case class HashPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** `hashes`: a (doc_id, <hashCol>) frame or stream. */
+  def nearDupStream(hashes: DataFrame, hashCol: String = "dhash",
+                    maxHamming: Int = 10,
+                    stateTtlMs: Long = 0L): Dataset[HashPair] = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val banded = hashes
+      .select(col("doc_id"), col(hashCol).as("h"),
+        explode(org.apache.spark.sql.functions.array(
+          (0 until 4).map(j => struct(
+            lit(j).as("band_id"),
+            shiftright(col(hashCol), j * 16).bitwiseAND(65535)
+              .as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("h"), col("b.band_id"), col("b.band_val"))
+      .as[BandedHash]
+    val timeoutConf =
+      if (stateTtlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    def onBucket(key: (Int, Long), arrivals: Iterator[BandedHash],
+                 state: GroupState[HashBucket]): Iterator[HashPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var entries = state.getOption
+          .map(_.entries.toVector).getOrElse(Vector.empty)
+        val out = Seq.newBuilder[HashPair]
+        arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
+          if (!entries.exists(_.doc_id == d.doc_id)) {
+            entries.foreach { s =>
+              val ham = java.lang.Long.bitCount(s.h ^ d.h)
+              if (ham <= maxHamming) {
+                val (a, b) = if (s.doc_id < d.doc_id) (s.doc_id, d.doc_id)
+                             else (d.doc_id, s.doc_id)
+                out += HashPair(a, b, ham)
+              }
+            }
+            entries = entries :+ HashEntry(d.doc_id, d.h)
+          }
+        }
+        state.update(HashBucket(entries))
+        if (stateTtlMs > 0L) state.setTimeoutDuration(stateTtlMs)
+        out.result().iterator
+      }
+    }
+
+    banded.groupByKey(b => (b.band_id, b.band_val))
+      .flatMapGroupsWithState[HashBucket, HashPair](
+        OutputMode.Append, timeoutConf)(onBucket)
+  }
+}

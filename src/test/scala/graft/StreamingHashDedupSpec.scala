@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingHashDedup
+
+/** Streaming perceptual-hash dedup: the stateful band-bucket operator
+  * must find exactly the pairs a brute-force Hamming scan over the
+  * band-sharing pairs finds — including pairs whose members arrive in
+  * different triggers — and nothing among unrelated hashes. */
+case class Hashed(doc_id: Long, dhash: Long)
+
+class StreamingHashDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // hand-built 64-bit hashes with controlled band structure:
+  // doc 2 = base ^ 0x3 (hamming 2, bands 1-3 shared with doc 1);
+  // doc 6 = base ^ 0x7_0001 (hamming 4 to doc 1, bands 2-3 shared);
+  // doc 4 = ~base (hamming 64 — no shared band, never a candidate);
+  // doc 5 is unrelated filler (hamming 32 to base)
+  private val base = 0x1234_5678_9abc_def0L
+  private val batch1 = Seq(
+    Hashed(1L, base),
+    Hashed(5L, 0x0f0f_0f0f_0f0f_0f0fL)) // unrelated to base (ham 32)
+  private val batch2 = Seq(
+    Hashed(2L, base ^ 0x3L), // hamming 2, shares bands 1..3 with doc 1
+    Hashed(4L, ~base), // complement: hamming 64 to 1, 32 to 5
+    Hashed(6L, base ^ 0x7_0001L)) // hamming 4 to 1, 2 to... (bands 2,3 shared)
+
+  /** Brute-force reference: pairs sharing >= 1 of the 4 16-bit bands
+    * with Hamming <= maxHamming. */
+  private def reference(maxHamming: Int): Set[(Long, Long, Int)] = {
+    val all = batch1 ++ batch2
+    (for {
+      a <- all; b <- all if a.doc_id < b.doc_id
+      shared = (0 until 4).exists(j =>
+        ((a.dhash >> (j * 16)) & 65535) == ((b.dhash >> (j * 16)) & 65535))
+      ham = java.lang.Long.bitCount(a.dhash ^ b.dhash)
+      if shared && ham <= maxHamming
+    } yield (a.doc_id, b.doc_id, ham)).toSet
+  }
+
+  test("cross-trigger pairs: streamed set ≡ band-sharing Hamming pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Hashed]
+    val q = StreamingHashDedup.nearDupStream(input.toDF(), maxHamming = 10)
+      .writeStream.format("memory").queryName("hashdedup")
+      .outputMode("append").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    val afterFirst = spark.table("hashdedup").count()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(afterFirst == 0L, "unrelated first trigger must emit nothing")
+    val rows = spark.table("hashdedup")
+      .as[(Long, Long, Int)].collect().toSet
+    val ref = reference(10)
+    assert(rows == ref, s"streamed $rows != reference $ref")
+    // the hamming-2 pair crossed triggers: state carried over
+    assert(rows.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 2))
+  }
+
+  test("batch execution with armed TTL wiring changes nothing") {
+    val out = StreamingHashDedup.nearDupStream(
+        (batch1 ++ batch2).toDF(), maxHamming = 10, stateTtlMs = 60000L)
+      .collect().map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+    assert(out == reference(10))
+  }
+}

@@ -59,6 +59,24 @@ class VideoDedupSpec extends SparkTestBase {
       .head()._2).isEmpty)
   }
 
+  test("videoScenes: repeated frames never cut; scene jumps count") {
+    // frames: A, A, B — the repeat has delta 0 (no cut); the A→B jump
+    // cuts exactly when its Hamming exceeds the threshold, which the
+    // test derives from the same char math the twin uses
+    val text = sceneA + sceneA + sceneB
+    val hA = dhashOfChars(text, 0)
+    val hB = dhashOfChars(text, 144)
+    val jump = java.lang.Long.bitCount(hA ^ hB)
+    val out = Multimodal.videoScenes(docs((1L, text), (2L, "one frame")))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    val expCuts = if (jump > 36) 1L else 0L
+    assert(out(0) == ((1L, 3L, expCuts, expCuts + 1,
+      Some(1000L * jump / 2))))
+    // a single-frame doc: one scene, undefined motion
+    assert(out(1) == ((2L, 1L, 0L, 1L, None)))
+  }
+
   test("fingerprintNeardup over frame hashes: shared scenes pair") {
     val d = docs(
       (1L, sceneA + sceneB), // scenes A, B
