@@ -4960,6 +4960,27 @@ object OracleExt {
     WITH $audioFpCte,
     ${fpNeardupTail("afp", minShared, maxDf).trim}"""
 
+  /** Twin of Dedup.fingerprintNeardupInc over the audio fingerprint
+    * table split even/odd (corpus = even, batch = odd): batch postings
+    * probe corpus + lower-batch postings, df-cap over the union,
+    * prior partners sharing ≥ minShared fingerprints counted. */
+  def audioNeardupInc(minShared: Long, maxDf: Int): String = s"""
+    WITH $audioFpCte,
+    allf AS (SELECT doc_id, fp, doc_id % 2 = 1 AS isnew FROM afp),
+    cold AS (SELECT * FROM allf WHERE fp NOT IN (
+               SELECT fp FROM allf GROUP BY fp HAVING count(*) > $maxDf)),
+    dups AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM (
+               SELECT a.doc_id, b.doc_id AS prior
+               FROM cold a JOIN cold b
+                 ON a.fp = b.fp AND a.isnew
+                    AND (NOT b.isnew OR b.doc_id < a.doc_id)
+               GROUP BY 1, 2 HAVING count(*) >= $minShared)
+             GROUP BY 1)
+    SELECT b.doc_id AS doc_id, coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+           n_dup IS NULL AS kept
+    FROM (SELECT DISTINCT doc_id FROM allf WHERE isnew) b
+    LEFT JOIN dups ON dups.doc_id = b.doc_id ORDER BY b.doc_id"""
+
   /** Twin of Multimodal.videoFrameHash — the lossless-PNG identity
     * swept across the doc: frame k's 9×8 grid carries charCode at
     * (k·72 + i) mod len, so each frame's dHash recomputes from

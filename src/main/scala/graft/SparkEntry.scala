@@ -1528,6 +1528,16 @@ object SparkEntry {
           (col("__qmax") - col("__qmin")).as("dyn_range"),
           ((col("__qmax") - col("__qmin")) <= 3).as("flat"))
         .orderBy("doc_id")),
+    // Incremental fingerprint dedup: odd-doc batch fingerprints probe
+    // the even-doc corpus postings (asymmetric); completes the
+    // incremental triad (spans / perceptual hashes / fingerprints)
+    "audio_neardup_inc" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.fingerprintNeardupInc(
+        Multimodal.audioFingerprints(d.filter(col("doc_id") % 2 === 0)),
+        Multimodal.audioFingerprints(d.filter(col("doc_id") % 2 === 1)),
+        minShared = 4, maxDf = 64).orderBy("doc_id")
+    }),
     // Video frame-hash dedup (closing the modality triad): real RIFF
     // container walk + per-frame ImageIO decode + dHash on the staged
     // PNG-in-AVI assets; lossless frames keep the twin codec-free
@@ -1772,6 +1782,7 @@ object SparkEntry {
     "video_scenes" -> OracleExt.videoScenes(36),
     "image_neardup_inc" -> OracleExt.imageNeardupInc(12),
     "audio_quality" -> OracleExt.audioQuality,
+    "audio_neardup_inc" -> OracleExt.audioNeardupInc(4, 64),
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "cluster_quality" -> OracleExt.clusterQuality(8, 2),
     "silhouette" -> OracleExt.silhouette(8, 2),

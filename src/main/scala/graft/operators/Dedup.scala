@@ -1373,6 +1373,49 @@ object Dedup {
         (col("__ma") * col("__mb")).as("n_doc_pairs"))
   }
 
+  /** INCREMENTAL shared-fingerprint dedup — the [[incrementalDedup]]
+    * corpus-is-prior policy for fingerprint domains (audio q-grams,
+    * CDC chunks, winnowed text), completing the incremental triad
+    * beside [[substringDedupInc]] (spans) and [[hash64NeardupInc]]
+    * (perceptual hashes): a BATCH doc is a duplicate when it shares
+    * ≥ minShared fingerprints with any corpus doc or any lower-id
+    * batch doc. No set collapse (a dedup verdict wants every batch doc
+    * judged); the df-cap drops boilerplate fingerprints computed over
+    * corpus ∪ batch so both sides agree on the fp domain. Output per
+    * batch doc: (doc_id, n_dup distinct prior partners, kept).
+    * Requires disjoint doc_id spaces.
+    *
+    * 100 TB shape: the probe side is batch postings only — candidates
+    * are new×old plus new×lower-new, never old×old; the corpus
+    * contributes one linear pass over its (staged) fingerprint table. */
+  def fingerprintNeardupInc(corpusFps: DataFrame, batchFps: DataFrame,
+                            minShared: Long = 4,
+                            maxDf: Int = 64): DataFrame = {
+    val bNew = graft.Caches.track(
+      batchFps.select(col("doc_id"), col("fp"))
+        .withColumn("__new", lit(true)))
+    val all = corpusFps.select(col("doc_id"), col("fp"))
+      .withColumn("__new", lit(false))
+      .unionByName(bNew)
+    val hot = all.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("fp")
+    val cold = all.join(broadcast(hot), Seq("fp"), "left_anti")
+    val coldNew = bNew.join(broadcast(hot), Seq("fp"), "left_anti")
+    val dups = coldNew.as("a").join(cold.as("b"),
+        col("a.fp") === col("b.fp")
+          && (!col("b.__new") || col("b.doc_id") < col("a.doc_id")))
+      .groupBy(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("__prior"))
+      .agg(count(lit(1)).as("__n_shared"))
+      .filter(col("__n_shared") >= minShared)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    batchFps.select(col("doc_id")).distinct()
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("kept", col("n_dup") === 0L)
+  }
+
   /** Near-dup pair transitivity audit — the question to answer BEFORE
     * trusting any connected-components cluster keeplist: near-duplicate
     * similarity is NOT transitive (a~b and b~c permit a≁c — chained

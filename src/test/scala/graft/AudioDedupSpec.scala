@@ -51,6 +51,25 @@ class AudioDedupSpec extends SparkTestBase {
     assert(fps.map(_._2).sorted == expected.sorted)
   }
 
+  test("fingerprintNeardupInc: batch probes corpus; partners count once each") {
+    val corpusFps = Multimodal.audioFingerprints(
+      docs((2L, prefix + ("a" * 32))))
+    val batchFps = Multimodal.audioFingerprints(docs(
+      (11L, prefix + ("a" * 32)), // exact corpus dup
+      (13L, prefix + ("z" * 32)), // shares the 5 prefix windows
+      (15L, (0 until 96).map(i => ('A' + (i * 11 + 3) % 26).toChar).mkString),
+      (17L, prefix + ("a" * 32)))) // dup of corpus, 11, and (partially) 13
+    val out = Dedup.fingerprintNeardupInc(corpusFps, batchFps,
+        minShared = 4, maxDf = 64).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (11L, 1L, false), // corpus partner (lowest batch doc)
+      (13L, 2L, false), // corpus + batch 11 via the 5 shared windows
+      (15L, 0L, true),  // novel: kept
+      (17L, 3L, false))) // corpus + batch 11 + batch 13
+    Caches.releaseAll()
+  }
+
   test("fingerprintNeardup: shared-segment clip pairs, re-encode collapses") {
     val d = docs(
       (1L, prefix + ("a" * 32)),  // 12 blocks → 9 windows
