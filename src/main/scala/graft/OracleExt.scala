@@ -4856,10 +4856,17 @@ object OracleExt {
 
   private def dhashSql: String = dhashSqlAt("0")
 
+  /** ASCII gate shared by every media-asset twin (ADVICE r15 #2): the
+    * text→pixel/sample identity only holds for ASCII, so the asset
+    * builders filter to docs whose char count equals their UTF-8 byte
+    * count — the same predicate, both engines. */
+  private val asciiOnlySql = "length(text) = strlen(text)"
+
   private def dhashCte: String = s"""
     dh AS (SELECT doc_id, CAST($dhashSql AS BIGINT) AS dhash
            FROM (SELECT doc_id, text, length(text) AS len
-                 FROM documents WHERE length(text) >= 1))"""
+                 FROM documents
+                 WHERE length(text) >= 1 AND $asciiOnlySql))"""
 
   val imageDhash: String = s"""
     WITH $dhashCte
@@ -4903,7 +4910,7 @@ object OracleExt {
     * rolling-31 fold over the ':'-joined rendering. */
   private def audioFpCte: String = s"""
     at AS (SELECT doc_id, text, length(text) AS len FROM documents
-           WHERE length(text) >= 32),
+           WHERE length(text) >= 32 AND $asciiOnlySql),
     ach AS (SELECT doc_id, ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) AS c,
                    i // 8 AS blk
             FROM (SELECT doc_id, text,
@@ -4991,7 +4998,8 @@ object OracleExt {
             FROM (SELECT doc_id, text, len,
                          unnest(range(0, greatest(1, len // 72))) AS k
                   FROM (SELECT doc_id, text, length(text) AS len
-                        FROM documents WHERE length(text) >= 1)))"""
+                        FROM documents
+                        WHERE length(text) >= 1 AND $asciiOnlySql)))"""
 
   val videoFramehash: String = s"""
     WITH $videoFhCte
@@ -5046,7 +5054,7 @@ object OracleExt {
     * identity), moments by the n·Σx²−(Σx)² integer identity. */
   val imageQuality: String = s"""
     WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
-               WHERE length(text) >= 1),
+               WHERE length(text) >= 1 AND $asciiOnlySql),
     cells AS (SELECT doc_id, ascii(substr(text, (i % len) + 1, 1)) AS v
               FROM (SELECT doc_id, text, len, unnest(range(0, 72)) AS i
                     FROM d)),

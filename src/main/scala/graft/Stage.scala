@@ -133,16 +133,38 @@ object Stage {
   /** Total on-disk bytes across live staged artifacts. */
   def stagedBytes: Long = builds.map(_._2.bytes).sum
 
+  /** Orphaned one-off builds: promises evicted by [[drop]] while still
+    * in flight. Their directories are reaped by the NEXT drop/dropAll
+    * (never at promise completion — a whenComplete hook would run
+    * synchronously inside `fresh.complete(a)` on the builder thread and
+    * delete the dir BEFORE resolve() hands the Artifact back to the
+    * building caller or any losers joined on the promise, turning a
+    * successful one-off build into a missing-path failure downstream;
+    * ADVICE r15 #1). Still-running orphans stay queued. */
+  private val orphans =
+    new java.util.concurrent.ConcurrentLinkedQueue[CompletableFuture[Artifact]]()
+
+  /** Delete the directories of orphaned builds that have since
+    * completed; builds still in flight remain queued for a later reap. */
+  private def reapOrphans(): Unit = {
+    import scala.jdk.CollectionConverters._
+    orphans.asScala.filter(_.isDone).toList.foreach { f =>
+      if (orphans.remove(f) && !f.isCompletedExceptionally)
+        deleteRecursively(new java.io.File(f.join().dir))
+    }
+  }
+
   /** Evict every artifact whose key starts with `keyPrefix`: the map
     * entry is removed and the temp directory deleted, so the NEXT
     * caller rebuilds (StageSpec pins rebuild-after-drop). In-flight
     * builds of a matching key are left to complete — their promise is
     * removed from the map, so they become unreachable one-off builds
-    * rather than a torn shared artifact, and their directory is
-    * deleted WHEN the build completes (a whenComplete hook — without
-    * it the orphaned build's temp dir outlived every later drop, a
-    * permanent leak in the long-lived-service teardown path;
-    * ADVICE r14 #1). Returns evicted count.
+    * rather than a torn shared artifact (still fully usable by the
+    * builder and any already-joined losers), and their directory is
+    * queued on the [[orphans]] to-reap list processed by the next
+    * drop/dropAll (ADVICE r14 #1 fixed the leak; ADVICE r15 #1 moved
+    * the deletion off the completion path so the one-off build stays
+    * readable). Returns evicted count.
     *
     * Contract (unlike `unpersist`, which merely recomputes): dropping
     * a COMPLETED artifact invalidates any read-back DataFrame already
@@ -151,6 +173,7 @@ object Stage {
     * pipelines, not under live consumers. */
   def drop(keyPrefix: String): Int = {
     import scala.jdk.CollectionConverters._
+    reapOrphans()
     val victims = staged.keySet().asScala.filter(_.startsWith(keyPrefix)).toSeq
     victims.count { k =>
       val f = staged.remove(k)
@@ -159,11 +182,9 @@ object Stage {
           if (!f.isCompletedExceptionally)
             deleteRecursively(new java.io.File(f.join().dir))
         } else {
-          // in-flight victim: reap its directory at completion (the
-          // failure path already cleans up inside resolve)
-          f.whenComplete((a: Artifact, _: Throwable) =>
-            if (a != null) deleteRecursively(new java.io.File(a.dir)))
-          ()
+          // in-flight victim: defer to the to-reap list (the failure
+          // path already cleans up inside resolve)
+          orphans.add(f): Unit
         }
       }
       f != null

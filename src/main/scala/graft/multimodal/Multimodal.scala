@@ -399,14 +399,26 @@ object Multimodal {
     * decoding anything. Docs with empty text are dropped (no pixels to
     * derive — both engines filter identically).
     *
+    * ASCII PRECONDITION (ADVICE r15 #2): the text→pixel identity only
+    * holds for ASCII — Spark reads masked UTF-16 code units
+    * (charAt & 0xff) while the DuckDB twin reads full `ascii()` code
+    * points, so any code point ≥ 128 diverges. All three media-asset
+    * builders therefore FILTER to ASCII-only docs (chars == UTF-8
+    * bytes — the same predicate both engines evaluate), making the
+    * identity a checked invariant instead of a silent assumption.
+    * Non-ASCII docs simply have no derived media asset.
+    *
     * Staged once per corpus ([[graft.Stage]]): the encode pass is the
     * "binary payloads land in the warehouse" step of a real pipeline,
     * and both perceptual-dedup queries read the artifact back. Encode
     * runs per partition with no shuffle — ∝ corpus rows. */
+  private def asciiOnly: Column =
+    length(col("text")) === octet_length(col("text"))
+
   def imageAssets(docs: DataFrame): DataFrame = {
     def plan = {
       val enc = Encoders.product[ImageAsset]
-      docs.filter(length(col("text")) >= 1)
+      docs.filter(length(col("text")) >= 1 && asciiOnly)
         .select(col("doc_id"), col("text"))
         .mapPartitions { rows: Iterator[Row] =>
           rows.map { r =>
@@ -574,12 +586,15 @@ object Multimodal {
     * character sums in the DuckDB twin. Only whole 8-sample blocks are
     * written (len div 8 · 8 samples); docs shorter than 32 chars (< 4
     * blocks = one fingerprint window) are dropped — both engines
-    * filter identically. Staged once per corpus; encode is
-    * per-partition, no shuffle. */
+    * filter identically, as are non-ASCII docs (the [[imageAssets]]
+    * ASCII precondition: a code point ≥ 128 would wrap the 16-bit
+    * sample c·256 negative on signed decode, breaking the block-mean
+    * identity). Staged once per corpus; encode is per-partition, no
+    * shuffle. */
   def audioAssets(docs: DataFrame): DataFrame = {
     def plan = {
       val enc = Encoders.product[AudioAsset]
-      docs.filter(length(col("text")) >= 32)
+      docs.filter(length(col("text")) >= 32 && asciiOnly)
         .select(col("doc_id"), col("text"))
         .mapPartitions { rows: Iterator[Row] =>
           rows.map { r =>
@@ -702,11 +717,12 @@ object Multimodal {
     * and the DuckDB twin mirrors every frame grid from character codes
     * (the container walk, the real operator under test, is format-
     * agnostic: ##dc chunks decode through ImageIO either way). Docs
-    * with empty text drop. Staged once per corpus; map-only encode. */
+    * with empty text drop, as do non-ASCII docs (the [[imageAssets]]
+    * ASCII precondition). Staged once per corpus; map-only encode. */
   def videoAssets(docs: DataFrame): DataFrame = {
     def plan = {
       val enc = Encoders.product[VideoAsset]
-      docs.filter(length(col("text")) >= 1)
+      docs.filter(length(col("text")) >= 1 && asciiOnly)
         .select(col("doc_id"), col("text"))
         .mapPartitions { rows: Iterator[Row] =>
           rows.map { r =>

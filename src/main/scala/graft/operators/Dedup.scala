@@ -605,7 +605,10 @@ object Dedup {
     }
 
   /** The keeper index after absorbing `batch`: corpus keys ∪ the
-    * batch's distinct shingle keys — what the NEXT batch probes. */
+    * batch's distinct shingle keys — what the NEXT batch probes.
+    * DedupSpec pins the maintenance contract (ADVICE r15 #3): this
+    * union equals [[substringKeys]] rebuilt over corpus ∪ batch, so a
+    * production loop can absorb per batch instead of rebuilding. */
   def substringKeysUpdated(corpus: DataFrame, batch: DataFrame,
                            n: Int = 3): DataFrame =
     substringKeys(corpus, n)

@@ -27,7 +27,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (windowed uniqueness composes downstream via
   * `dropDuplicatesWithinWatermark`). State bounding: `stateTtlMs > 0`
   * arms a processing-time timeout exactly as [[StreamingNearDup]]
-  * documents — pair with a paced trigger in production.
+  * documents — pair with a paced trigger in production. The 0L default
+  * exists for the batch-execution differential gate (state must
+  * survive the whole run there); PRODUCTION ingestion should always
+  * set a non-zero TTL sized to the dedup lookback window (hours, not
+  * 0) — at TTL 0 every band bucket grows without bound, and each
+  * asset lands in FOUR buckets, so unbounded state quadruples
+  * (ADVICE r15 #4).
   *
   * Runs unchanged on a BATCH frame (state starts empty, one group per
   * key) — the differential spec proves the streamed pair set equals
@@ -66,11 +72,18 @@ object StreamingHashDedup {
                  state: GroupState[HashBucket]): Iterator[HashPair] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        var entries = state.getOption
-          .map(_.entries.toVector).getOrElse(Vector.empty)
+        // Mutable buffer + doc_id hash set per trigger: arrival dedup
+        // is O(1) membership instead of the O(|bucket|) exists-scan
+        // that made a hot bucket O(n²) per trigger (ADVICE r15 #4).
+        // The Hamming scan over bucket-mates below is the candidate
+        // generation itself, not overhead.
+        val entries = scala.collection.mutable.ArrayBuffer.empty[HashEntry]
+        state.getOption.foreach(b => entries ++= b.entries)
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        entries.foreach(e => seen += e.doc_id)
         val out = Seq.newBuilder[HashPair]
         arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
-          if (!entries.exists(_.doc_id == d.doc_id)) {
+          if (seen.add(d.doc_id)) {
             entries.foreach { s =>
               val ham = java.lang.Long.bitCount(s.h ^ d.h)
               if (ham <= maxHamming) {
@@ -79,10 +92,10 @@ object StreamingHashDedup {
                 out += HashPair(a, b, ham)
               }
             }
-            entries = entries :+ HashEntry(d.doc_id, d.h)
+            entries += HashEntry(d.doc_id, d.h)
           }
         }
-        state.update(HashBucket(entries))
+        state.update(HashBucket(entries.toSeq))
         if (stateTtlMs > 0L) state.setTimeoutDuration(stateTtlMs)
         out.result().iterator
       }

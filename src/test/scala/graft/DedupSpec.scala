@@ -716,6 +716,29 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("substringKeysUpdated: keys after absorbing a batch == rebuilt index") {
+    // the continuous-ingestion index-maintenance contract (ADVICE r15
+    // #3): unioning the staged corpus keys with the batch's keys must
+    // equal rebuilding the keeper index over corpus ∪ batch from
+    // scratch — absorb is a cheap union, never a stale approximation
+    val corpus = docs((10L, "c1 c2 zq1 zq2 zq3 zq4 c3"),
+      (12L, "m1 m2 m3 m4 m5"))
+    val batch = docs((21L, "a1 a2 zq1 zq2 zq3 zq4 a3"), // overlaps corpus
+      (23L, "n1 n2 n3 n4 n5")) // all-novel keys
+    val updated = Dedup.substringKeysUpdated(corpus, batch)
+      .as[(Long, Long)].collect().toSet
+    val rebuilt = Dedup.substringKeys(corpus.unionByName(batch))
+      .as[(Long, Long)].collect().toSet
+    assert(updated == rebuilt, "absorbed index must equal a full rebuild")
+    // and the overlap actually exercises the union-dedup: the corpus
+    // and batch key sets intersect (the shared zq passage)
+    val corpusKeys = Dedup.substringKeys(corpus)
+      .as[(Long, Long)].collect().toSet
+    assert(corpusKeys.intersect(updated).nonEmpty &&
+      corpusKeys != updated)
+    Caches.releaseAll()
+  }
+
   test("substringDedup: short-doc whole-text fallback + fully-removed doc") {
     val d = docs((1L, "tiny pair"), (2L, "tiny pair"), (3L, "other text"))
     val out = Dedup.substringDedup(d).orderBy("doc_id")

@@ -122,12 +122,15 @@ class StageSpec extends SparkTestBase {
     assert(attempts.get() == 2 && ok.as[Long].head() == 5L)
   }
 
-  test("drop of an IN-FLIGHT build reaps its directory at completion") {
+  test("drop of an IN-FLIGHT build defers reaping until the next drop") {
     // ADVICE r14 #1: dropping a key mid-build removed the promise from
     // the map, so the orphaned build's temp dir escaped every later
-    // drop/dropAll — a permanent leak in the teardown path. The drop
-    // now hooks the promise: the directory is deleted when the
-    // orphaned build completes.
+    // drop/dropAll — a permanent leak in the teardown path. ADVICE r15
+    // #1: deleting at promise completion ran synchronously inside
+    // fresh.complete(a) and destroyed the dir BEFORE resolve() returned
+    // the Artifact — the one-off build was unusable. The contract now:
+    // the orphaned build stays READABLE after completion, and its
+    // directory is reaped by the NEXT drop/dropAll.
     val k = freshKey("inflight")
     val started = new java.util.concurrent.CountDownLatch(1)
     val release = new java.util.concurrent.CountDownLatch(1)
@@ -136,25 +139,30 @@ class StageSpec extends SparkTestBase {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val fut = Future {
-      Stage.dir(k) { d =>
+      val d = Stage.dir(k) { d =>
         victimDir.set(d)
         started.countDown()
         release.await()
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(d, "payload.txt"), "x"): Unit
       }
+      // the builder's returned artifact must still be usable AFTER the
+      // drop — the whole point of deferring the reap
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(d, "payload.txt"))
     }
     started.await()
     val dropped = Stage.drop(k) // victim is mid-build
     assert(dropped == 1)
     release.countDown()
-    Await.result(fut, 60.seconds): Unit
-    // the orphaned directory must disappear once the build completes
-    // (whenComplete hook runs on the completing thread); poll briefly
+    assert(Await.result(fut, 60.seconds) == "x",
+      "orphaned build must remain readable by its builder")
     val f = new java.io.File(victimDir.get())
-    val deadline = System.nanoTime() + 10e9.toLong
-    while (f.exists() && System.nanoTime() < deadline) Thread.sleep(20)
-    assert(!f.exists(), "orphaned in-flight build dir must be reaped")
+    assert(f.exists(), "orphan is reaped at the NEXT drop, not at completion")
+    // the next drop (any prefix) processes the to-reap list
+    assert(Stage.drop(freshKey("unrelated")) == 0)
+    assert(!f.exists(), "orphaned in-flight build dir must be reaped " +
+      "by the next drop")
     // and the key rebuilds fresh (drop evicted it)
     assert(Stage.parquet(spark, k)(Seq(2L).toDF("x")).as[Long].head() == 2L)
   }
