@@ -4872,23 +4872,49 @@ object OracleExt {
     WITH $dhashCte
     SELECT doc_id, dhash FROM dh ORDER BY doc_id"""
 
-  /** Twin of Dedup.hash64Neardup over the dHash table: identical-hash
-    * collapse to (min-doc rep, multiplicity), 4×16-bit band join,
-    * Hamming verify — the simhashPairs banding with the allPairsJaccard
-    * rep discipline. */
-  def imageNeardup(maxHamming: Int): String = s"""
+  /** Per-doc luma-grid contrast from character codes (the imageQuality
+    * cell identity) — the flat gate both perceptual band joins share. */
+  private def contrastCte: String = s"""
+    ctr AS (SELECT doc_id, max(v) - min(v) AS contrast
+            FROM (SELECT doc_id, ascii(substr(text, (i % len) + 1, 1)) AS v
+                  FROM (SELECT doc_id, text, length(text) AS len,
+                               unnest(range(0, 72)) AS i
+                        FROM documents
+                        WHERE length(text) >= 1 AND $asciiOnlySql))
+            GROUP BY 1)"""
+
+  /** Band-bucket occupancy cap over a CTE named `band` with (band_id,
+    * band_val) columns — the twin of Dedup.dropHotBuckets. */
+  private def coldBandsCte(maxBucket: Int): String = s"""
+    hotb AS (SELECT band_id, band_val FROM band
+             GROUP BY 1, 2 HAVING count(*) > $maxBucket),
+    cold AS (SELECT * FROM band b WHERE NOT EXISTS (
+               SELECT 1 FROM hotb h
+               WHERE h.band_id = b.band_id AND h.band_val = b.band_val))"""
+
+  /** Twin of Dedup.hash64Neardup over the FLAT-GATED dHash table:
+    * flat images (contrast <= 15) pre-gated out, identical-hash
+    * collapse to (min-doc rep, multiplicity), 4×16-bit band join with
+    * the occupancy cap, Hamming verify — the simhashPairs banding with
+    * the allPairsJaccard rep discipline plus the VERDICT r15 #1
+    * hot-bucket discipline. */
+  def imageNeardup(maxHamming: Int, maxBucket: Int): String = s"""
     WITH $dhashCte,
+    $contrastCte,
+    gdh AS (SELECT dh.doc_id, dh.dhash FROM dh
+            JOIN ctr ON ctr.doc_id = dh.doc_id WHERE ctr.contrast > 15),
     reps AS (SELECT dhash, CAST(min(doc_id) AS BIGINT) AS rep,
                     CAST(count(*) AS BIGINT) AS m
-             FROM dh GROUP BY 1),
+             FROM gdh GROUP BY 1),
     band AS (SELECT rep, dhash, m, CAST(j AS INTEGER) AS band_id,
                     (dhash >> (j * 16)) & 65535 AS band_val
-             FROM reps CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+             FROM reps CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    ${coldBandsCte(maxBucket).trim}
     SELECT rep_a, rep_b, hamming, n_doc_pairs FROM (
       SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
              CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming,
              a.m * b.m AS n_doc_pairs
-      FROM band a JOIN band b
+      FROM cold a JOIN cold b
         ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.rep < b.rep)
     WHERE hamming <= $maxHamming ORDER BY rep_a, rep_b"""
@@ -5005,21 +5031,32 @@ object OracleExt {
     WITH $videoFhCte
     SELECT doc_id, frame_id, dhash FROM vfh ORDER BY doc_id, frame_id"""
 
-  /** Twin of Dedup.hash64NeardupInc over the even/odd doc split:
-    * batch (odd) bands probe corpus (even) + lower-odd bands,
-    * Hamming ≤ maxHamming INCLUDING exact matches, distinct prior
-    * partners counted per batch doc. */
-  def imageNeardupInc(maxHamming: Int): String = s"""
+  /** Twin of Dedup.hash64NeardupInc over the even/odd doc split — the
+    * two-lane shape: an EXACT-hash lane over every row (uncapped,
+    * ungated) plus the band lane over non-flat rows with the occupancy
+    * cap; distinct prior partners (corpus or lower-odd) counted per
+    * batch doc. */
+  def imageNeardupInc(maxHamming: Int, maxBucket: Int): String = s"""
     WITH $dhashCte,
+    $contrastCte,
     dhf AS (SELECT doc_id, dhash, doc_id % 2 = 1 AS isnew FROM dh),
+    ex AS (SELECT a.doc_id, b.doc_id AS prior
+           FROM dhf a JOIN dhf b
+             ON a.dhash = b.dhash AND a.isnew
+                AND (NOT b.isnew OR b.doc_id < a.doc_id)),
+    bnd0 AS (SELECT d.doc_id, d.dhash, d.isnew FROM dhf d
+             JOIN ctr ON ctr.doc_id = d.doc_id WHERE ctr.contrast > 15),
     band AS (SELECT doc_id, dhash, isnew, CAST(j AS INTEGER) AS band_id,
                     (dhash >> (j * 16)) & 65535 AS band_val
-             FROM dhf CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
-    dups AS (SELECT DISTINCT a.doc_id, b.doc_id AS prior
-             FROM band a JOIN band b
-               ON a.band_id = b.band_id AND a.band_val = b.band_val
-                  AND a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
-             WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxHamming),
+             FROM bnd0 CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    ${coldBandsCte(maxBucket).trim},
+    nr AS (SELECT a.doc_id, b.doc_id AS prior
+           FROM cold a JOIN cold b
+             ON a.band_id = b.band_id AND a.band_val = b.band_val
+                AND a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
+           WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxHamming),
+    dups AS (SELECT DISTINCT doc_id, prior FROM
+               (SELECT * FROM ex UNION ALL SELECT * FROM nr)),
     nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
            FROM dups GROUP BY 1)
     SELECT b.doc_id, coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,

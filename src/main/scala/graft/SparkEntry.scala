@@ -1479,10 +1479,20 @@ object SparkEntry {
     // 4×16-bit band join over the staged dHash table, Hamming-verified,
     // identical hashes collapsed to a multiplicity-stamped rep first.
     // Threshold 12/64 is fixture-calibrated: the distinct-hash Hamming
-    // tail starts at 11 at sf0.001 (every SF must gate on > 0 rows)
-    "image_neardup" -> ((s, dir) =>
-      Dedup.hash64Neardup(Multimodal.imageDhash(docsPar(s, dir)),
-        "dhash", maxHamming = 12).orderBy("rep_a", "rep_b")),
+    // tail starts at 11 at sf0.001 (every SF must gate on > 0 rows).
+    // Hot-bucket discipline (VERDICT r15 #1): FLAT images (contrast
+    // <= 15, the image_quality gate — the structurally-skewed mass
+    // around dHash 0) are pre-gated out (they are exact-hash dedup
+    // material), and band buckets above the occupancy cap drop
+    "image_neardup" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.hash64Neardup(
+        Multimodal.imageDhash(d).join(
+          Multimodal.imageGridStats(d)
+            .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
+          Seq("doc_id"), "leftsemi"),
+        "dhash", maxHamming = 12).orderBy("rep_a", "rep_b")
+    }),
     // Audio fingerprint dedup (VERDICT r15 #6): REAL WAV encode+decode
     // through javax.sound on the staged PCM assets; block means
     // quantize losslessly back to char sums, so the twin needs no codec
@@ -1553,13 +1563,20 @@ object SparkEntry {
         minShared = 2, maxDf = 64).orderBy("rep_a", "rep_b")),
     // Incremental perceptual dedup: odd-doc batch dHashes probe the
     // even-doc corpus index — asymmetric (never old×old), identical
-    // hashes count (a dedup decision flags exact perceptual dups too)
+    // hashes count (a dedup decision flags exact perceptual dups too:
+    // the uncapped exact-hash lane). Flat images participate in the
+    // exact lane only (band_ok gate); both splits filter the ONE
+    // staged full-corpus dHash/grid-stats artifacts
     "image_neardup_inc" -> ((s, dir) => {
       val d = docsPar(s, dir)
+      val dh = Multimodal.imageDhash(d).join(
+        Multimodal.imageGridStats(d).select(col("doc_id"),
+          (col("lmax") - col("lmin") > 15).as("band_ok")), "doc_id")
       Dedup.hash64NeardupInc(
-        Multimodal.imageDhash(d.filter(col("doc_id") % 2 === 0)),
-        Multimodal.imageDhash(d.filter(col("doc_id") % 2 === 1)),
-        "dhash", maxHamming = 12).orderBy("doc_id")
+        dh.filter(col("doc_id") % 2 === 0),
+        dh.filter(col("doc_id") % 2 === 1),
+        "dhash", maxHamming = 12, bandCol = Some("band_ok"))
+        .orderBy("doc_id")
     }),
     // Shot segmentation over the staged frame hashes: cuts where the
     // inter-frame dHash jump exceeds 36 bits, mean jump = motion proxy
@@ -1773,14 +1790,14 @@ object SparkEntry {
     "mime_sniff" -> OracleExt.mimeSniff,
     "multimodal_decode" -> OracleExt.multimodalDecode,
     "image_dhash" -> OracleExt.imageDhash,
-    "image_neardup" -> OracleExt.imageNeardup(12),
+    "image_neardup" -> OracleExt.imageNeardup(12, 64),
     "audio_fingerprint" -> OracleExt.audioFingerprint,
     "audio_neardup" -> OracleExt.audioNeardup(4, 64),
     "video_framehash" -> OracleExt.videoFramehash,
     "video_neardup" -> OracleExt.videoNeardup(2, 64),
     "image_quality" -> OracleExt.imageQuality,
     "video_scenes" -> OracleExt.videoScenes(36),
-    "image_neardup_inc" -> OracleExt.imageNeardupInc(12),
+    "image_neardup_inc" -> OracleExt.imageNeardupInc(12, 64),
     "audio_quality" -> OracleExt.audioQuality,
     "audio_neardup_inc" -> OracleExt.audioNeardupInc(4, 64),
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),

@@ -148,6 +148,75 @@ class ImageDedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("hash64Neardup: band-bucket occupancy cap drops hot-bucket pairs; " +
+      "a cold shared band still surfaces the pair") {
+    // VERDICT r15 #1: six hashes share band 0 (a structurally-hot
+    // bucket); docs 0/1 ALSO share band 3 (a cold 2-member bucket).
+    // With the cap at 4 the hot bucket's 15 candidate pairs vanish and
+    // only (0,1) survives via its cold band — the join stays linear in
+    // the face of a pile-up. With a generous cap all 15 pairs emit.
+    val hashes = (0 until 6).map { i =>
+      val band3 = if (i < 2) 0x3L << 48 else 1L << (48 + i)
+      (i.toLong, 0x1234L | (1L << (16 + i)) | (1L << (32 + i)) | band3)
+    }.toDF("doc_id", "dhash")
+    val capped = Dedup.hash64Neardup(hashes, "dhash", maxHamming = 8,
+        maxBucket = 4)
+      .select("rep_a", "rep_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(capped == Seq((0L, 1L, 4)),
+      s"hot band-0 bucket must be dropped, cold band-3 pair kept: $capped")
+    val open = Dedup.hash64Neardup(hashes, "dhash", maxHamming = 8,
+        maxBucket = 64).count()
+    assert(open == 15L, s"open cap must emit all C(6,2) pairs, got $open")
+    Caches.releaseAll()
+  }
+
+  test("image_neardup flat gate: a near-flat dHash halo produces no pairs") {
+    // Two near-flat docs (contrast 1 — solid-background material):
+    // their dHashes sit 2 bits apart, so UNGATED banding would pair
+    // them. The image_neardup composition pre-gates on the
+    // image_quality contrast, so the flat halo contributes NOTHING to
+    // the band join (flat images are exact-hash dedup material).
+    val flatA = "a" * 20 + "b" + "a" * 59
+    val flatB = "a" * 40 + "b" + "a" * 39
+    val d = docs((1L, flatA), (3L, flatB))
+    val dh = Multimodal.imageDhash(d)
+    // ungated: the halo pair IS within the production threshold
+    val ungated = Dedup.hash64Neardup(dh, "dhash", maxHamming = 12)
+    assert(ungated.count() == 1L, "fixture must plant a would-pair halo")
+    // gated (the registration's composition): no pairs
+    val gated = Dedup.hash64Neardup(
+      dh.join(Multimodal.imageGridStats(d)
+          .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
+        Seq("doc_id"), "leftsemi"),
+      "dhash", maxHamming = 12)
+    assert(gated.count() == 0L, "flat images must be pre-gated out")
+    Caches.releaseAll()
+  }
+
+  test("hash64NeardupInc two lanes: exact-hash flags gated rows; " +
+      "band lane respects the band_ok gate") {
+    val hFlat = 0L // the all-flat dHash
+    val hC = 0x0f0f0f0f0f0f0f0fL
+    val corpus = Seq((2L, hFlat, false), (4L, hC, true))
+      .toDF("doc_id", "dhash", "band_ok")
+    val batch = Seq(
+      (11L, hFlat, false),     // exact dup of flat corpus doc -> flagged
+      (13L, hFlat ^ 2L, false),// NEAR the flat mass but band-gated -> kept
+      (15L, hC ^ 3L, true),    // near dup of corpus 4 via band lane
+      (17L, 0x5a5a00ffL << 8, true)) // novel
+      .toDF("doc_id", "dhash", "band_ok")
+    val out = Dedup.hash64NeardupInc(corpus, batch, "dhash",
+        maxHamming = 6, bandCol = Some("band_ok"))
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (11L, 1L, false), // exact lane: corpus 2 (band lane never saw it)
+      (13L, 0L, true),  // hamming 1 from the flat mass, but gated: kept
+      (15L, 1L, false), // band lane: corpus 4
+      (17L, 0L, true)))
+    Caches.releaseAll()
+  }
+
   test("image_quality lanes: constant grid flags flat, varied does not") {
     // constant text → constant luma grid → zero variance and contrast
     val stats = Multimodal.imageGridStats(docs(
