@@ -2895,12 +2895,30 @@ object OracleExt {
     $bandsCte
     SELECT doc_id, band_id, band_key FROM bands ORDER BY doc_id, band_id"""
 
+  /** Exact-dup rep table (twin of Dedup.textReps): min-doc rep +
+    * multiplicity per identical-text group. Splice-able fragment. */
+  private val trepsCte: String = """
+    treps AS (SELECT CAST(min(doc_id) AS BIGINT) AS rep,
+                     CAST(count(*) AS BIGINT) AS m
+              FROM documents GROUP BY md5(text))"""
+
+  /** The COLLAPSED band-join pair chain (twin of Dedup.minhashPairs'
+    * rep discipline, VERDICT r15 #2): bands filtered to identical-text
+    * reps, multiplicities carried, rpairs = (doc_a, doc_b, ma, mb). */
+  private def repPairsCte: String = s"""
+    $bandsCte,
+    $trepsCte,
+    rbands AS (SELECT b.doc_id, b.band_id, b.band_key, t.m
+               FROM bands b JOIN treps t ON t.rep = b.doc_id),
+    rpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.m AS ma, b.m AS mb
+               FROM rbands a JOIN rbands b
+                 ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id)"""
+
   val minhashPairs: String = s"""
-    $bandsCte
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
+    $repPairsCte
+    SELECT doc_a, doc_b, ma * mb AS n_doc_pairs FROM rpairs
     ORDER BY doc_a, doc_b"""
 
   /** Twin of Dedup.allPairsJaccard — same global lexicographic prefix
@@ -2943,13 +2961,11 @@ object OracleExt {
     ORDER BY rep_a, rep_b"""
 
   /** Twin of Dedup.dupTransitivity — wedges and closing edges over the
-    * band-join candidate pairs. */
+    * COLLAPSED rep-pair graph (the strictly-near structure; exact-dup
+    * cliques no longer trivially inflate closure). */
   val dupTransitivity: String = s"""
-    $bandsCte,
-    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id),
+    $repPairsCte,
+    pairs AS (SELECT doc_a, doc_b FROM rpairs),
     sym AS (SELECT doc_a AS z, doc_b AS n FROM pairs
             UNION ALL SELECT doc_b AS z, doc_a AS n FROM pairs),
     wedges AS (SELECT s1.n AS a, s2.n AS c
@@ -2964,25 +2980,44 @@ object OracleExt {
              // greatest((SELECT CAST(count(*) AS BIGINT) FROM wedges),
                          1) AS closure_ppm"""
 
-  /** Twin of Curation.sourceOverlap — the band-join candidate pairs
-    * bucketed to unordered source cells (least/greatest), doc volumes
-    * joined back. */
+  /** The doc-pair source-cell mass fragment shared by the
+    * sourceOverlap and mirrorAudit twins (twin of
+    * Dedup.sourceCellWeights): near rep pairs expanded over per-source
+    * member histograms + within-group exact pairs, unordered cells.
+    * Requires $repPairsCte spliced before it; ends in `allw`
+    * (source_a, source_b, w, nearf). */
+  private def sourceCellsCte: String = s"""
+    keyed AS (SELECT doc_id, source, md5(text) AS tsig FROM documents),
+    grp AS (SELECT tsig, CAST(min(doc_id) AS BIGINT) AS grep
+            FROM keyed GROUP BY 1),
+    hist AS (SELECT g.grep AS rep, k.source, CAST(count(*) AS BIGINT) AS c
+             FROM keyed k JOIN grp g USING (tsig) GROUP BY 1, 2),
+    nearw AS (SELECT least(ha.source, hb.source) AS source_a,
+                     greatest(ha.source, hb.source) AS source_b,
+                     ha.c * hb.c AS w
+              FROM rpairs p
+              JOIN hist ha ON ha.rep = p.doc_a
+              JOIN hist hb ON hb.rep = p.doc_b),
+    excross AS (SELECT x.source AS source_a, y.source AS source_b,
+                       x.c * y.c AS w
+                FROM hist x JOIN hist y
+                  ON x.rep = y.rep AND x.source < y.source),
+    exsame AS (SELECT source AS source_a, source AS source_b,
+                      (c * (c - 1)) // 2 AS w
+               FROM hist WHERE c > 1),
+    allw AS (SELECT source_a, source_b, w, TRUE AS nearf FROM nearw
+             UNION ALL SELECT source_a, source_b, w, FALSE FROM excross
+             UNION ALL SELECT source_a, source_b, w, FALSE FROM exsame)"""
+
+  /** Twin of Curation.sourceOverlap — doc-pair mass per unordered
+    * source cell (near + exact components), doc volumes joined back. */
   val sourceOverlap: String = s"""
-    $bandsCte,
-    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id),
-    src AS (SELECT doc_id, source FROM documents),
+    $repPairsCte,
+    ${sourceCellsCte.trim},
     nsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-             FROM src GROUP BY 1),
-    cells AS (SELECT least(sa.source, sb.source) AS source_a,
-                     greatest(sa.source, sb.source) AS source_b,
-                     CAST(count(*) AS BIGINT) AS n_pairs
-              FROM pairs p
-              JOIN src sa ON sa.doc_id = p.doc_a
-              JOIN src sb ON sb.doc_id = p.doc_b
-              GROUP BY 1, 2)
+             FROM documents GROUP BY 1),
+    cells AS (SELECT source_a, source_b, CAST(sum(w) AS BIGINT) AS n_pairs
+              FROM allw GROUP BY 1, 2)
     SELECT c.source_a, c.source_b, na.n_docs AS n_docs_a,
            nb.n_docs AS n_docs_b, c.n_pairs
     FROM cells c
@@ -2990,14 +3025,11 @@ object OracleExt {
     JOIN nsrc nb ON nb.source = c.source_b
     ORDER BY 1, 2"""
 
-  /** Twin of Dedup.editDistConfirm — same band-join candidates, plain
-    * Levenshtein on the same bounded prefixes. */
+  /** Twin of Dedup.editDistConfirm — the collapsed rep-pair
+    * candidates, plain Levenshtein on the same bounded prefixes. */
   def editDistConfirm(prefixLen: Int, maxDist: Int): String = s"""
-    $bandsCte,
-    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id),
+    $repPairsCte,
+    pairs AS (SELECT doc_a, doc_b FROM rpairs),
     pref AS (SELECT doc_id, substr(text, 1, $prefixLen) AS p FROM documents)
     SELECT pr.doc_a, pr.doc_b,
            CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist,
@@ -3034,13 +3066,10 @@ object OracleExt {
     GROUP BY p.term, d.df ORDER BY p.term"""
 
   /** Twin of Dedup.minhashJaccardEst — lane-agreement Jaccard estimate
-    * over the LSH candidate pairs (16 lanes). */
+    * over the collapsed rep pairs (16 lanes). */
   val minhashJaccardEst: String = s"""
-    $bandsCte,
-    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id)
+    $repPairsCte,
+    pairs AS (SELECT doc_a, doc_b FROM rpairs)
     SELECT doc_a, doc_b, matches, (1000 * matches) // 16 AS est_milli
     FROM (SELECT p.doc_a, p.doc_b,
                  CAST(len(list_filter(range(1, 17),
@@ -3245,20 +3274,17 @@ object OracleExt {
     * where Spark `div 0` nulls — the floor keeps the case unreachable
     * in BOTH engines the same way). */
   def tieredNearDup(estMilli: Long, dupMilli: Long): String = s"""
-    $bandsCte,
-    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id),
-    est AS (SELECT p.doc_a, p.doc_b,
+    $repPairsCte,
+    est AS (SELECT p.doc_a, p.doc_b, p.ma * p.mb AS n_doc_pairs,
                  CAST(len(list_filter(range(1, 17),
                      i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS matches
-            FROM pairs p
+            FROM rpairs p
             JOIN sig sa ON sa.doc_id = p.doc_a
             JOIN sig sb ON sb.doc_id = p.doc_b),
-    surv AS (SELECT doc_a, doc_b, (1000 * matches) // 16 AS est_milli
+    surv AS (SELECT doc_a, doc_b, n_doc_pairs,
+                    (1000 * matches) // 16 AS est_milli
              FROM est WHERE (1000 * matches) // 16 >= $estMilli),
-    ex AS (SELECT s.doc_a, s.doc_b, s.est_milli,
+    ex AS (SELECT s.doc_a, s.doc_b, s.est_milli, s.n_doc_pairs,
                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
                 GREATEST(CAST(len(a.sh) + len(b.sh) AS BIGINT)
                   - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT),
@@ -3267,7 +3293,7 @@ object OracleExt {
            JOIN sh a ON a.doc_id = s.doc_a
            JOIN sh b ON b.doc_id = s.doc_b)
     SELECT doc_a, doc_b, est_milli, (1000 * inter) // u AS jac_milli,
-           (1000 * inter) // u >= $dupMilli AS is_dup
+           n_doc_pairs, (1000 * inter) // u >= $dupMilli AS is_dup
     FROM ex ORDER BY doc_a, doc_b"""
 
   /** Twin of StreamingNearDup.nearDupStream in BATCH execution — the
@@ -3343,22 +3369,19 @@ object OracleExt {
     $clustersCte
     SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
 
-  /** Twin of Dedup.mirrorAudit — the band-join pairs lifted to source
-    * cells. */
+  /** Twin of Dedup.mirrorAudit — doc-pair mass per unordered source
+    * cell, near/exact split, off the shared source-cell fragment. */
   val mirrorAudit: String = s"""
-    $bandsCte,
-    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id)
-    SELECT da.source AS source_a, db.source AS source_b,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(count(DISTINCT p.doc_a) AS BIGINT) AS n_docs_a,
-           CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_b,
-           da.source <> db.source AS cross_source
-    FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
-                 JOIN documents db ON p.doc_b = db.doc_id
-    GROUP BY da.source, db.source
+    $repPairsCte,
+    ${sourceCellsCte.trim}
+    SELECT source_a, source_b,
+           CAST(sum(CASE WHEN nearf THEN w ELSE 0 END) AS BIGINT)
+             AS n_near_doc_pairs,
+           CAST(sum(CASE WHEN NOT nearf THEN w ELSE 0 END) AS BIGINT)
+             AS n_exact_doc_pairs,
+           CAST(sum(w) AS BIGINT) AS n_doc_pairs,
+           source_a <> source_b AS cross_source
+    FROM allw GROUP BY 1, 2
     ORDER BY source_a, source_b"""
 
   /** Twin of Dedup.dedupSavings — the recursive-CTE clusters' dropped
@@ -3788,21 +3811,21 @@ object OracleExt {
     $simhashCte
     SELECT doc_id, simhash FROM shash ORDER BY doc_id"""
 
-  /** Twin of Dedup.dedupMethodAgreement — both pair chains in one
-    * query (the simhash chain's WITH stripped for splicing), full
-    * outer join on the pair key, 1-row overlap summary. */
+  /** Twin of Dedup.dedupMethodAgreement — both pair chains COLLAPSED
+    * to the same text-md5 rep space (the simhash chain's WITH stripped
+    * for splicing), full outer join on the rep-pair key, 1-row overlap
+    * summary. */
   def dedupMethodAgreement(maxHamming: Int): String = {
     val simSpliced = simhashCte.trim.stripPrefix("WITH")
     s"""
-    $bandsCte,
+    $repPairsCte,
     $simSpliced,
-    mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_id = b.band_id AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id),
+    mh AS (SELECT doc_a, doc_b FROM rpairs),
+    rsh AS (SELECT s.doc_id, s.simhash
+            FROM shash s JOIN treps t ON t.rep = s.doc_id),
     band2 AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS band_id,
                      (simhash >> (j * 16)) & 65535 AS band_val
-              FROM shash CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+              FROM rsh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
     sh2 AS (SELECT doc_a, doc_b FROM (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(bit_count(xor(a.simhash, b.simhash))
@@ -3832,12 +3855,16 @@ object OracleExt {
 
   def simhashPairs(maxHamming: Int): String = s"""
     $simhashCte,
-    band AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS band_id,
+    $trepsCte,
+    rsh AS (SELECT s.doc_id, s.simhash, t.m
+            FROM shash s JOIN treps t ON t.rep = s.doc_id),
+    band AS (SELECT doc_id, simhash, m, CAST(j AS INTEGER) AS band_id,
                     (simhash >> (j * 16)) & 65535 AS band_val
-             FROM shash CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
-    SELECT doc_a, doc_b, hamming FROM (
+             FROM rsh CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+    SELECT doc_a, doc_b, hamming, n_doc_pairs FROM (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+             a.m * b.m AS n_doc_pairs
       FROM band a JOIN band b
         ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.doc_id < b.doc_id)
@@ -4741,6 +4768,49 @@ object OracleExt {
     FROM nv n LEFT JOIN drops d ON n.vec_id = d.vec_id
     ORDER BY n.vec_id"""
 
+  /** Twin of KMeans.semDedupInc: the corpus (even vec_ids) trains the
+    * Lloyd chain (k derived from the CORPUS count), batch (odd
+    * vec_ids) assigns to the trained centroids with the same
+    * (d2, cid) tie-break, cluster-scoped cosine vs corpus + lower-odd
+    * members, distinct prior partners counted. */
+  def semDedupInc(targetClusterSize: Long, iters: Int,
+                  minSimMicro: Long): String = {
+    val eSql = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 2 = 0"""
+    s"""
+    ${kmeansCteOver(eSql, deriveKSql(targetClusterSize), iters, 64)},
+    nvc AS (SELECT vec_id, v, cid, list_dot_product(v, v) AS norm2,
+                   FALSE AS isnew
+            FROM a${iters - 1}),
+    bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 1),
+    bd AS (SELECT b.vec_id, b.v, c.cid,
+                  ${sqlDist2("b.v", "c.c")} AS d2
+           FROM bv b CROSS JOIN c${iters - 1} c),
+    ba AS (SELECT vec_id, v, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+             FROM bd) WHERE rn = 1),
+    nvb AS (SELECT vec_id, v, cid, list_dot_product(v, v) AS norm2,
+                   TRUE AS isnew
+            FROM ba),
+    prior AS (SELECT * FROM nvc UNION ALL SELECT * FROM nvb),
+    dups AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup FROM (
+               SELECT a.vec_id
+               FROM nvb a JOIN prior b
+                 ON a.cid = b.cid
+                    AND (NOT b.isnew OR b.vec_id < a.vec_id)
+               WHERE CAST(floor(list_dot_product(a.v, b.v)
+                       / (sqrt(a.norm2) * sqrt(b.norm2)) * 1000000)
+                     AS BIGINT) >= $minSimMicro)
+             GROUP BY 1)
+    SELECT n.vec_id, n.cid AS cluster,
+           coalesce(d.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+           d.n_dup IS NULL AS kept
+    FROM nvb n LEFT JOIN dups d ON d.vec_id = n.vec_id
+    ORDER BY n.vec_id"""
+  }
+
   /** Twin of KMeans.clusterOutliers — farthest-from-centroid top-k per
     * trained cluster. */
   def clusterOutliers(kSql: String, iters: Int, perCluster: Int): String = s"""
@@ -4919,6 +4989,80 @@ object OracleExt {
            AND a.rep < b.rep)
     WHERE hamming <= $maxHamming ORDER BY rep_a, rep_b"""
 
+  /** Twin of Dedup.hash64BandRecall over the flat-gated dHash table:
+    * brute-force Hamming truth on the deterministic doc sample vs the
+    * capped band join's candidates — tp/fn + recall ppm, one row. */
+  def imageBandRecall(maxHamming: Int, maxBucket: Int,
+                      sampleMod: Int): String = s"""
+    WITH $dhashCte,
+    $contrastCte,
+    gdh AS (SELECT dh.doc_id, dh.dhash FROM dh
+            JOIN ctr ON ctr.doc_id = dh.doc_id WHERE ctr.contrast > 15),
+    smp AS (SELECT DISTINCT dhash AS h FROM gdh
+            WHERE ${graft.functions.PortableHash
+              .sqlHash32("'ibr:' || CAST(doc_id AS VARCHAR)")}
+              % $sampleMod = 0),
+    truth AS (SELECT a.h AS ha, b.h AS hb
+              FROM smp a JOIN smp b ON a.h < b.h
+              WHERE bit_count(xor(a.h, b.h)) <= $maxHamming),
+    band AS (SELECT h, CAST(j AS INTEGER) AS band_id,
+                    (h >> (j * 16)) & 65535 AS band_val
+             FROM smp CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    ${coldBandsCte(maxBucket).trim},
+    cand AS (SELECT DISTINCT a.h AS ha, b.h AS hb
+             FROM cold a JOIN cold b
+               ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.h < b.h)
+    SELECT CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(coalesce(sum(CASE WHEN c.ha IS NOT NULL THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS tp,
+           CAST(coalesce(sum(CASE WHEN c.ha IS NULL THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS fn,
+           (1000000 * CAST(coalesce(sum(CASE WHEN c.ha IS NOT NULL
+               THEN 1 ELSE 0 END), 0) AS BIGINT))
+             // greatest(CAST(count(*) AS BIGINT), 1) AS recall_ppm
+    FROM truth t LEFT JOIN cand c ON c.ha = t.ha AND c.hb = t.hb
+    ORDER BY n_truth"""
+
+  /** Twin of the audio_cdc_neardup composition: content-defined chunks
+    * over the per-character sample lane (c = decoded sample / 256 =
+    * the character code — the lossless-WAV identity at sample
+    * granularity), chunk hashes as fingerprints, the shared
+    * posting-join tail. */
+  def audioCdcNeardup(avgLen: Int, minChunk: Int, minShared: Long,
+                      maxDf: Int): String = {
+    val h = graft.functions.PortableHash
+    s"""
+    WITH at AS (SELECT doc_id, text, length(text) AS len FROM documents
+                WHERE length(text) >= 32 AND $asciiOnlySql),
+    acs AS (SELECT doc_id, i AS pos,
+                   ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) AS c
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, (len // 8) * 8)) AS i
+                  FROM at)),
+    acb AS (SELECT doc_id, pos, c,
+                   CASE WHEN ${h.sqlHash32("'acdc:' || CAST(c AS VARCHAR)")}
+                     % $avgLen = 0 THEN 1 ELSE 0 END AS bnd
+            FROM acs),
+    acc AS (SELECT doc_id, pos, c,
+                   sum(bnd) OVER w AS chunk_id,
+                   coalesce(max(CASE WHEN bnd = 1 THEN pos END) OVER w, 0)
+                     AS start_pos
+            FROM acb
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+    ach2 AS (SELECT doc_id, chunk_id,
+                    CAST(count(*) AS BIGINT) AS n_vals,
+                    CAST(sum(${h.sqlHash32(
+                      "CAST(pos - start_pos AS VARCHAR) || ':' " +
+                        "|| CAST(c AS VARCHAR)")}) AS BIGINT) AS chunk_hash
+             FROM acc GROUP BY 1, 2),
+    acfp AS (SELECT DISTINCT doc_id, chunk_hash AS fp FROM ach2
+             WHERE n_vals >= $minChunk),
+    ${fpNeardupTail("acfp", minShared, maxDf).trim}"""
+  }
+
   /** DuckDB rendering of the `rolling_hash31` fold over a string
     * expression (the RollingHash31Expr contract, locked by
     * RollingHashSpec's differential test). */
@@ -4993,13 +5137,14 @@ object OracleExt {
     WITH $audioFpCte,
     ${fpNeardupTail("afp", minShared, maxDf).trim}"""
 
-  /** Twin of Dedup.fingerprintNeardupInc over the audio fingerprint
-    * table split even/odd (corpus = even, batch = odd): batch postings
-    * probe corpus + lower-batch postings, df-cap over the union,
-    * prior partners sharing ≥ minShared fingerprints counted. */
-  def audioNeardupInc(minShared: Long, maxDf: Int): String = s"""
-    WITH $audioFpCte,
-    allf AS (SELECT doc_id, fp, doc_id % 2 = 1 AS isnew FROM afp),
+  /** The Dedup.fingerprintNeardupInc SQL tail over a (doc_id, fp) CTE
+    * named `fpName`, split even/odd (corpus = even, batch = odd):
+    * batch postings probe corpus + lower-batch postings, df-cap over
+    * the union, prior partners sharing ≥ minShared fingerprints
+    * counted. Shared by the audio and video incremental twins. */
+  private def fpNeardupIncTail(fpName: String, minShared: Long,
+                               maxDf: Int): String = s"""
+    allf AS (SELECT doc_id, fp, doc_id % 2 = 1 AS isnew FROM $fpName),
     cold AS (SELECT * FROM allf WHERE fp NOT IN (
                SELECT fp FROM allf GROUP BY fp HAVING count(*) > $maxDf)),
     dups AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM (
@@ -5013,6 +5158,12 @@ object OracleExt {
            n_dup IS NULL AS kept
     FROM (SELECT DISTINCT doc_id FROM allf WHERE isnew) b
     LEFT JOIN dups ON dups.doc_id = b.doc_id ORDER BY b.doc_id"""
+
+  /** Twin of Dedup.fingerprintNeardupInc over the audio fingerprint
+    * table split even/odd. */
+  def audioNeardupInc(minShared: Long, maxDf: Int): String = s"""
+    WITH $audioFpCte,
+    ${fpNeardupIncTail("afp", minShared, maxDf).trim}"""
 
   /** Twin of Multimodal.videoFrameHash — the lossless-PNG identity
     * swept across the doc: frame k's 9×8 grid carries charCode at
@@ -5127,6 +5278,14 @@ object OracleExt {
     WITH $videoFhCte,
     vfp AS (SELECT DISTINCT doc_id, dhash AS fp FROM vfh),
     ${fpNeardupTail("vfp", minShared, maxDf).trim}"""
+
+  /** Twin of Dedup.fingerprintNeardupInc over the per-frame dHash
+    * table split even/odd — the video member of the incremental
+    * matrix. */
+  def videoNeardupInc(minShared: Long, maxDf: Int): String = s"""
+    WITH $videoFhCte,
+    vfp AS (SELECT DISTINCT doc_id, dhash AS fp FROM vfh),
+    ${fpNeardupIncTail("vfp", minShared, maxDf).trim}"""
 
   // ---- similarity ops (graft.operators.Similarity) --------------------
 

@@ -1255,7 +1255,7 @@ object SparkEntry {
     // Same clusters via alternating large-star/small-star (O(log n)
     // rounds — the adversarial-graph path), gated on the SAME oracle
     "dedup_clusters_star" -> ((s, dir) =>
-      Dedup.connectedComponentsStar(Dedup.minhashPairs(docsPar(s, dir)))
+      Dedup.connectedComponentsStar(Dedup.candidateEdges(docsPar(s, dir)))
         .orderBy("doc_id")),
     // Exact-duplicate removal by full-text md5 (keep lowest doc_id)
     "text_exact_dedup" -> ((s, dir) =>
@@ -1365,6 +1365,16 @@ object SparkEntry {
     "sem_dedup" -> ((s, dir) =>
       KMeans.semDedup(embPar(s, dir), targetClusterSize = 64)
         .orderBy("vec_id")),
+    // INCREMENTAL SemDeDup (VERDICT r15 #3): the even-vec corpus trains
+    // the staged Lloyd model; odd-vec batch vectors assign to its
+    // nearest centroid and near-dup only vs corpus members of that
+    // cluster + lower-batch rows — asymmetric, never old×old
+    "sem_dedup_inc" -> ((s, dir) => {
+      val e = embPar(s, dir)
+      KMeans.semDedupInc(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), targetClusterSize = 64)
+        .orderBy("vec_id")
+    }),
     // Prototypicality: farthest-from-centroid top-5 per trained cluster
     // (k derived via the same sentinel as sem_dedup)
     "cluster_outliers" -> ((s, dir) =>
@@ -1582,6 +1592,38 @@ object SparkEntry {
     // inter-frame dHash jump exceeds 36 bits, mean jump = motion proxy
     "video_scenes" -> ((s, dir) =>
       Multimodal.videoScenes(docsPar(s, dir)).orderBy("doc_id")),
+    // Banding-recall evaluator for the perceptual path (VERDICT r15
+    // #4): brute-force Hamming<=12 truth on a 1/8 doc sample vs the
+    // production capped 4x16-bit band join — tp/fn + recall ppm, the
+    // minhash_eval discipline pointed at image_neardup's dial
+    "image_band_recall" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.hash64BandRecall(
+        Multimodal.imageDhash(d).join(
+          Multimodal.imageGridStats(d)
+            .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
+          Seq("doc_id"), "leftsemi"),
+        "dhash", maxHamming = 12, sampleMod = 8)
+    }),
+    // SHIFT-ROBUST audio near-dup (VERDICT r15 #5): content-defined
+    // chunk fingerprints over the decoded sample stream — an unaligned
+    // re-trim re-syncs at the next boundary sample, where the
+    // fixed-window q-gram lane (audio_neardup) loses every block
+    "audio_cdc_neardup" -> ((s, dir) =>
+      Dedup.fingerprintNeardup(
+        Multimodal.audioCdcFingerprints(docsPar(s, dir)),
+        minShared = 4, maxDf = 64).orderBy("rep_a", "rep_b")),
+    // Incremental video dedup (VERDICT r15 #6): odd-doc batch frame
+    // hashes probe the even-doc corpus postings — completes the
+    // incremental matrix for the video modality
+    "video_neardup_inc" -> ((s, dir) => {
+      val fh = Multimodal.videoFrameHash(docsPar(s, dir))
+        .select(col("doc_id"), col("dhash").as("fp")).distinct()
+      Dedup.fingerprintNeardupInc(
+        fh.filter(col("doc_id") % 2 === 0),
+        fh.filter(col("doc_id") % 2 === 1),
+        minShared = 2, maxDf = 64).orderBy("doc_id")
+    }),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
       val d = Multimodal.decodeBatched(
@@ -1795,6 +1837,9 @@ object SparkEntry {
     "audio_neardup" -> OracleExt.audioNeardup(4, 64),
     "video_framehash" -> OracleExt.videoFramehash,
     "video_neardup" -> OracleExt.videoNeardup(2, 64),
+    "video_neardup_inc" -> OracleExt.videoNeardupInc(2, 64),
+    "image_band_recall" -> OracleExt.imageBandRecall(12, 64, 8),
+    "audio_cdc_neardup" -> OracleExt.audioCdcNeardup(16, 8, 4, 64),
     "image_quality" -> OracleExt.imageQuality,
     "video_scenes" -> OracleExt.videoScenes(36),
     "image_neardup_inc" -> OracleExt.imageNeardupInc(12, 64),
@@ -1808,6 +1853,7 @@ object SparkEntry {
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
     "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
     "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),
+    "sem_dedup_inc" -> OracleExt.semDedupInc(64, 2, 350000L),
     "cluster_outliers" ->
       OracleExt.clusterOutliers(OracleExt.deriveKSql(64), 2, 5),
     "embed_quantize" -> OracleExt.quantizeInt8,

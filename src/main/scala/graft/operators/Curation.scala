@@ -108,28 +108,22 @@ object Curation {
   }
 
   /** Cross-source near-duplicate MATRIX — [[sourceDupRates]]' pairwise
-    * complement: for every unordered source pair with ≥ 1 LSH
-    * candidate pair crossing it, the pair count plus both sides' doc
+    * complement: for every unordered source pair with ≥ 1 candidate
+    * DOC pair crossing it, the doc-pair count plus both sides' doc
     * volumes. The mirror-farm triage MAP: a hot off-diagonal cell is
     * two sources scraping each other (dedup one against the other
     * before training); the diagonal is within-source boilerplate.
-    * Pure composition of the staged-signature band join
-    * ([[Dedup.minhashPairs]]); sources normalize least/greatest so
-    * each unordered pair lands on ONE cell; doc counts are a
-    * sources-sized aggregate joined back. |sources|²-bounded output —
-    * nothing doc-sized survives the cell aggregate. */
+    * Composes [[Dedup.sourceCellWeights]] — since the r16 exact-dup
+    * collapse, n_pairs is the doc-pair MASS reconstructed from rep
+    * multiplicities (near rep pairs expanded over source histograms +
+    * within-group exact pairs), so the cell numbers keep doc-pair
+    * meaning while the band join runs rep-sized. |sources|²-bounded
+    * output — nothing doc-sized survives the cell aggregate. */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val src = docs.select(col("doc_id"), col("source"))
-    val n = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    Dedup.minhashPairs(docs)
-      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
-        "doc_a")
-      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
-        "doc_b")
-      .select(least(col("sa"), col("sb")).as("source_a"),
-        greatest(col("sa"), col("sb")).as("source_b"))
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    Dedup.sourceCellWeights(docs)
       .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("w")).as("n_pairs"))
       .join(n.select(col("source").as("source_a"),
         col("n_docs").as("n_docs_a")), "source_a")
       .join(n.select(col("source").as("source_b"),

@@ -86,4 +86,38 @@ class AudioDedupSpec extends SparkTestBase {
     assert(pairs == Seq((1L, 2L, 5L, 2L)))
     Caches.releaseAll()
   }
+
+  test("audio CDC lane: an UNALIGNED re-trim still pairs (boundaries " +
+      "re-sync on content); the fixed-window lane provably misses it") {
+    // VERDICT r15 #5: doc 2 is doc 1 re-trimmed by a 3-char prefix —
+    // NOT a multiple of the 8-sample block, so every fixed 8-sample
+    // block mean changes and the q-gram lane loses every fingerprint;
+    // CDC boundaries (content-defined: the sample values of '\'' 'Z'
+    // 'r' land in the 1/16 hash slice) re-synchronize at the first
+    // boundary sample, so every later chunk hashes identically.
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "around the riverbank for more than forty furlongs before " +
+      "resting quietly near the river mouth"
+    val d = docs(
+      (1L, base),
+      (2L, "xq " + base), // 3-char unaligned re-trim
+      (3L, (0 until 96).map(i => ('A' + (i * 7 + 5) % 25).toChar).mkString))
+    // fixed-window lane: NO pair survives the 4-shared-q-gram gate
+    val fixedPairs = Dedup.fingerprintNeardup(
+        Multimodal.audioFingerprints(d), minShared = 4, maxDf = 64)
+      .select("rep_a", "rep_b").as[(Long, Long)].collect().toSet
+    assert(!fixedPairs.contains((1L, 2L)),
+      "the unaligned copy must defeat the fixed-window lane " +
+        s"(got $fixedPairs) — otherwise this fixture proves nothing")
+    // CDC lane: the pair survives with many re-synced shared chunks
+    val cdcPairs = Dedup.fingerprintNeardup(
+        Multimodal.audioCdcFingerprints(d), minShared = 4, maxDf = 64)
+      .select("rep_a", "rep_b", "n_shared")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(cdcPairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"CDC lane must pair exactly the re-trimmed copy: $cdcPairs")
+    assert(cdcPairs.head._3 >= 4,
+      s"expected many re-synced shared chunks: $cdcPairs")
+    Caches.releaseAll()
+  }
 }

@@ -85,13 +85,26 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
-  test("minhashPairs: identical docs always collide; unrelated never") {
-    val d = docs(
-      (1L, "the quick brown fox jumps over the lazy dog again and again"),
-      (2L, "the quick brown fox jumps over the lazy dog again and again"),
-      (3L, "completely different words about spark catalyst tungsten"))
-    val pairs = Dedup.minhashPairs(d).as[(Long, Long)].collect().toSet
-    assert(pairs == Set((1L, 2L)))
+  test("minhashPairs: exact dups collapse to one rep; strictly-near " +
+      "reps pair with the doc-pair multiplicity") {
+    // VERDICT r15 #2: docs 1/2 are identical TEXT → one rep (m = 2),
+    // never a pair (that's textExactDedup's report). Doc 3 has the
+    // SAME shingle SET but DIFFERENT text — a deterministic strictly-
+    // near rep pair (identical signatures agree on every band),
+    // stamped with 2·1 doc pairs. Doc 4 never pairs.
+    val t = "a b c a b c a b c"
+    val d = docs((1L, t), (2L, t), (3L, t + " a b c"),
+      (4L, "completely different words about spark catalyst tungsten"))
+    val pairs = Dedup.minhashPairs(d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L, 2L)))
+    // the k-clique cost claim, directly: 3 exact copies of a text cost
+    // ONE rep — zero pairs — where the uncollapsed join paid k²/2
+    val dup3 = docs((1L, t), (2L, t), (3L, t),
+      (4L, "completely different words about spark catalyst tungsten"))
+    assert(Dedup.minhashPairs(dup3).count() == 0L,
+      "a pure exact-dup clique must collapse to zero pairs")
+    Caches.releaseAll()
   }
 
   test("allPairsJaccard: hand pair at exactly 500 milli found at " +
@@ -136,11 +149,15 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
-  test("dupTransitivity: a 3-clique of exact dups closes every wedge; " +
-    "an isolated pair adds no wedge") {
-    val t1 = "the quick brown fox jumps over the lazy dog again and again"
-    val t2 = "completely different words about spark catalyst tungsten yes"
-    val d = docs((1L, t1), (2L, t1), (3L, t1), (4L, t2), (5L, t2))
+  test("dupTransitivity: a 3-clique of strictly-near reps closes every " +
+    "wedge; an isolated pair adds no wedge") {
+    // three shingle-set-equal DISTINCT texts → a deterministic 3-clique
+    // of rep pairs (exact-dup cliques collapse away since r16 and no
+    // longer trivially inflate closure); (4,5) an isolated near pair
+    val t1 = "a b c a b c a b c"
+    val t2 = "x y z x y z x y z"
+    val d = docs((1L, t1), (2L, t1 + " a b c"), (3L, t1 + " a b c a b c"),
+      (4L, t2), (5L, t2 + " x y z"))
     // pairs: (1,2),(1,3),(2,3) clique + isolated (4,5) → 3 wedges,
     // all closed
     val r = Dedup.dupTransitivity(d)
@@ -212,20 +229,30 @@ class DedupSpec extends SparkTestBase {
     assert(r == Seq((1L, 2L, 3L, 3L, 3L)))
   }
 
-  test("mirrorAudit: cross-source mirror cell vs within-source boilerplate") {
-    val txt = "the quick brown fox jumps over the lazy dog again today"
+  test("mirrorAudit: cross-source exact mirror mass + near mass from " +
+      "rep-group source histograms") {
+    val txt = "a b c a b c a b c"
     val txt2 = "pack my box with five dozen liquor jugs right now then"
     val d = Seq(
       (1L, txt, "en", "srcA"), (2L, txt, "en", "srcB"),   // A mirrors B
       (3L, txt2, "en", "srcC"), (4L, txt2, "en", "srcC"), // C boilerplate
+      // shingle-set-equal VARIANT of txt at srcB: a strictly-near rep
+      // pair (rep 1) whose group spans {srcA, srcB} — the histogram
+      // expansion must attribute one doc pair to each source combo
+      (6L, txt + " a b c", "en", "srcB"),
       (5L, "completely different words about catalyst", "en", "srcA"))
       .toDF("doc_id", "text", "lang", "source")
     val r = Dedup.mirrorAudit(d)
       .as[(String, String, Long, Long, Long, Boolean)].collect()
       .map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6))).toMap
     assert(r == Map(
-      ("srcA", "srcB") -> ((1L, 1L, 1L, true)),
-      ("srcC", "srcC") -> ((1L, 1L, 1L, false))))
+      // near: (1@srcA, 6@srcB) expanded; exact: the {1, 2} mirror
+      ("srcA", "srcB") -> ((1L, 1L, 2L, true)),
+      // near: (2@srcB, 6@srcB) — the within-srcB member of group 1
+      ("srcB", "srcB") -> ((1L, 0L, 1L, false)),
+      // exact within-source boilerplate: C(2,2) = 1 doc pair
+      ("srcC", "srcC") -> ((0L, 1L, 1L, false))), s"got $r")
+    Caches.releaseAll()
   }
 
   test("dedupSavings: counts and chars of the cluster non-canonicals") {
@@ -241,12 +268,14 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("minhashEval: confusion row equals recomputation from the pair table") {
+    // two shingle-set-equal variant pairs (distinct texts, so they
+    // SURVIVE the r16 exact-dup collapse as strictly-near rep pairs)
     val d = docs(
-      (1L, "the quick brown fox jumps over the lazy dog today ok"),
-      (2L, "the quick brown fox jumps over the lazy dog today ok"),
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c a b c a b c"),
       (3L, "the quick brown fox jumps over the lazy dog yesterday no"),
-      (4L, "pack my box with five dozen liquor jugs right now then"),
-      (5L, "pack my box with five dozen liquor jugs right now then"))
+      (4L, "p q r p q r p q r"),
+      (5L, "p q r p q r p q r p q r"))
     val t = 500L
     val got = Dedup.minhashEval(d, t)
       .as[(Long, Long, Long, Long, Long, Long, Long)].head()
@@ -261,7 +290,7 @@ class DedupSpec extends SparkTestBase {
       1000000L * tp / math.max(tp + fn, 1L))))
     assert(got._1 == got._2 + got._3 + got._4 + got._5,
       "confusion cells must partition the candidate pairs")
-    assert(tp >= 2L, "both identical pairs must land in tp")
+    assert(tp >= 2L, "both set-equal near pairs must land in tp")
   }
 
   test("clusterStats: size histogram plus the singleton difference row") {
@@ -292,39 +321,39 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
-  test("minhashJaccardEst: identical docs estimate 1000; estimate tracks exact Jaccard") {
+  test("minhashJaccardEst: set-equal reps estimate 1000; estimate tracks exact Jaccard") {
     val d = docs(
-      (1L, "alpha beta gamma delta epsilon zeta"),
-      (2L, "alpha beta gamma delta epsilon zeta"), // identical to 1
-      (3L, "alpha beta gamma delta epsilon different"), // high overlap
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c a b c a b c"), // same shingle SET, distinct text
+      (3L, "alpha beta gamma delta epsilon different"),
       (4L, "totally unrelated words in here"))
     val est = Dedup.minhashJaccardEst(d)
       .select("doc_a", "doc_b", "matches", "est_milli")
       .as[(Long, Long, Long, Long)].collect()
       .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
-    // identical docs agree on every lane
+    // identical shingle sets agree on every lane
     assert(est((1L, 2L)) == ((16L, 1000L)))
     // est_milli is the integer lane fraction for every pair
     est.values.foreach { case (m, e) => assert(e == 1000L * m / 16) }
-    // the high-overlap pair (if banded as a candidate) estimates above
-    // any unrelated pair that might share a band
-    est.get((1L, 3L)).foreach { case (m, _) => assert(m >= 8L) }
     Caches.releaseAll()
   }
 
   test("tieredNearDup: est-gated exact verification, consistent across all tiers") {
-    val d = docs(
-      (1L, "alpha beta gamma delta epsilon zeta"),
-      (2L, "alpha beta gamma delta epsilon zeta"),      // identical to 1
-      (3L, "alpha beta gamma delta epsilon different"), // 3/5 shingle overlap
-      (4L, "totally unrelated words in here"))
+    val texts = Map(
+      1L -> "a b c a b c a b c",
+      2L -> "a b c a b c a b c a b c", // same shingle SET, distinct text
+      3L -> "a b c a b c a b c x y z", // high overlap, superset shingles
+      4L -> "totally unrelated words in here")
+    val d = docs(texts.toSeq.sortBy(_._1): _*)
     val out = Dedup.tieredNearDup(d)
-      .select("doc_a", "doc_b", "est_milli", "jac_milli", "is_dup")
-      .as[(Long, Long, Long, Long, Boolean)].collect()
-      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+      .select("doc_a", "doc_b", "est_milli", "jac_milli", "is_dup",
+        "n_doc_pairs")
+      .as[(Long, Long, Long, Long, Boolean, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5, t._6)).toMap
     Caches.releaseAll()
-    // the identical pair passes every tier with exact 1000s
-    assert(out((1L, 2L)) == ((1000L, 1000L, true)))
+    // the set-equal rep pair passes every tier with exact 1000s and
+    // stands for 1·1 doc pairs (both reps are singleton groups)
+    assert(out((1L, 2L)) == ((1000L, 1000L, true, 1L)))
     // test-side exact Jaccard from the raw shingle sets — every emitted
     // row's exact tier must match it, and is_dup must be jac >= 800
     def shingleSet(t: String): Set[String] = {
@@ -332,11 +361,7 @@ class DedupSpec extends SparkTestBase {
       if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
       else Set(toks.mkString(" "))
     }
-    val texts = Map(1L -> "alpha beta gamma delta epsilon zeta",
-      2L -> "alpha beta gamma delta epsilon zeta",
-      3L -> "alpha beta gamma delta epsilon different",
-      4L -> "totally unrelated words in here")
-    out.foreach { case ((a, b), (est, jac, dup)) =>
+    out.foreach { case ((a, b), (est, jac, dup, _)) =>
       val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
       val expect = 1000L * sa.intersect(sb).size /
         math.max(sa.union(sb).size, 1)
@@ -393,8 +418,10 @@ class DedupSpec extends SparkTestBase {
   test("one band-join path: pairs + estimate compose off a single persisted sig table") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // external composition — the caller-facing contract: persist the
-    // signature table once, derive candidates AND estimates from it
-    val sigs = Caches.track(Dedup.signatures(d))
+    // signature table once (filtered to the exact-dup reps, the r16
+    // collapse), derive candidates AND estimates from it
+    val sigs = Caches.track(
+      Dedup.signatures(d).join(Dedup.textReps(d), "doc_id"))
     val pairs = Dedup.pairsFromSigs(sigs)
     val composed = Dedup.jaccardEstForPairs(sigs, pairs)
     // every consumer side reads the ONE cached sig frame (two band-join
@@ -412,7 +439,7 @@ class DedupSpec extends SparkTestBase {
     assert(got == direct, "composed path diverged from minhashJaccardEst")
     // and minhashPairs' candidates are exactly the shared generator's
     val viaPairs = Dedup.minhashPairs(d)
-      .as[(Long, Long)].collect().toSet
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(viaPairs == got.map(t => (t._1, t._2)),
       "minhashPairs diverged from pairsFromSigs")
     Caches.releaseAll()
@@ -437,9 +464,9 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
-  test("dedupClusters == union-find over minhashPairs (fixture differential)") {
+  test("dedupClusters == union-find over candidateEdges (fixture differential)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val pairs = Dedup.minhashPairs(d)
+    val pairs = Dedup.candidateEdges(d)
       .as[(Long, Long)].collect().toSeq
     // test-side union-find reference
     val parent = collection.mutable.Map.empty[Long, Long]
@@ -512,16 +539,27 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
-  test("simhash: identical docs get identical signatures, hamming 0") {
+  test("simhash: identical docs get identical signatures; reordered " +
+      "tokens pair at hamming 0, exact dups collapse") {
     val d = docs(
       (1L, "spark catalyst optimizer rewrites logical plans"),
       (2L, "spark catalyst optimizer rewrites logical plans"))
     val sh = Dedup.simhash(d).as[(Long, Long)].collect().toMap
     assert(sh(1L) == sh(2L))
-    val pairs = Dedup.simhashPairs(d)
-      .select("doc_a", "doc_b", "hamming")
-      .as[(Long, Long, Int)].collect().toSeq
-    assert(pairs == Seq((1L, 2L, 0)))
+    // identical TEXTS collapse to one rep — no pair (r16)
+    assert(Dedup.simhashPairs(d).count() == 0L)
+    // a token-REORDERED variant is a DISTINCT text with the same
+    // frequency-weighted simhash: a strictly-near hamming-0 rep pair,
+    // stamped with the exact-dup multiplicity of side 1 (m = 2)
+    val d2 = docs(
+      (1L, "spark catalyst optimizer rewrites logical plans"),
+      (2L, "spark catalyst optimizer rewrites logical plans"),
+      (3L, "plans logical rewrites optimizer catalyst spark"))
+    val pairs = Dedup.simhashPairs(d2)
+      .select("doc_a", "doc_b", "hamming", "n_doc_pairs")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 3L, 0, 2L)))
+    Caches.releaseAll()
   }
 
   test("simhash signature uses all 64 bits (two independent lanes)") {
@@ -532,13 +570,17 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("simhash near-dup pair survives 16-bit banding; hamming is exact") {
+    // a reordered variant of the doc-1 text (same token multiset →
+    // identical simhash → all bands agree) against an unrelated doc
+    val t = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(
-      (1L, "the quick brown fox jumps over the lazy dog again and again"),
-      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, t),
+      (2L, t.split(" ").reverse.mkString(" ")),
       (3L, "completely different words about spark catalyst tungsten"))
     val pairs = Dedup.simhashPairs(d, maxHamming = 6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+    Caches.releaseAll()
   }
 
   test("dupSpans: per-doc duplicated-shingle stats, NULL-free zeros") {
@@ -753,13 +795,16 @@ class DedupSpec extends SparkTestBase {
     assert(out(2)._2 == 0L)
   }
 
-  test("dedupMethodAgreement: an exact dup pair is flagged by both") {
-    // docs 1/2 identical (minhash bands collide, simhash hamming 0);
-    // docs 3/4 unrelated — union = intersection = the one pair,
-    // Jaccard exactly 1e6
+  test("dedupMethodAgreement: a both-methods near pair in the shared rep space") {
+    // docs 1/2: DISTINCT texts where doc 2 repeats doc 1's cycle once
+    // more — same shingle SET (minhash bands collide) AND uniformly
+    // scaled token frequencies (identical simhash, hamming 0). Both
+    // methods flag the SAME rep pair because both collapse on the one
+    // text-md5 rep space; docs 3/4 unrelated — union = intersection =
+    // the one pair, Jaccard exactly 1e6.
     val d = docs(
-      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
-      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c a b c a b c"),
       (3L, "completely different words about rivers and stone"),
       (4L, "yet another unrelated sentence mentioning harvest"))
     val r = graft.operators.Dedup.dedupMethodAgreement(d)

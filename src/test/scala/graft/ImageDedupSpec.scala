@@ -217,6 +217,31 @@ class ImageDedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("hash64BandRecall: concentrated flips are found, straddling " +
+      "flips are counted as misses — the dial's recall is measured") {
+    // VERDICT r15 #4: 4×16-bit bands do NOT guarantee a collision at
+    // Hamming ≤ 12 — 12 flips can straddle all four bands. Plant both
+    // cases: h1 flips 3 bits inside band 0 (bands 1-3 still agree with
+    // h0 → candidate, tp); h2 flips 2 bits in EVERY band (8 total ≤ 12
+    // but no band agrees with h0 or h1 → missed, fn both times).
+    val hashes = Seq(
+      (1L, 0L),
+      (2L, 0x7L),
+      (3L, 0x0003000300030003L)).toDF("doc_id", "dhash")
+    val r = Dedup.hash64BandRecall(hashes, "dhash", maxHamming = 12,
+        maxBucket = 64, sampleMod = 1)
+      .as[(Long, Long, Long, Long)].head()
+    // truth = {(h0,h1) ham 3, (h0,h2) ham 8, (h1,h2) ham 7};
+    // candidates = {(h0,h1)} → recall 1/3
+    assert(r == ((3L, 1L, 2L, 333333L)), s"got $r")
+    // an empty sample reports a well-typed zero row, never NULL lanes
+    val empty = Dedup.hash64BandRecall(
+        hashes.filter(col("doc_id") < 0), "dhash", sampleMod = 1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(empty == ((0L, 0L, 0L, 0L)))
+    Caches.releaseAll()
+  }
+
   test("image_quality lanes: constant grid flags flat, varied does not") {
     // constant text → constant luma grid → zero variance and contrast
     val stats = Multimodal.imageGridStats(docs(

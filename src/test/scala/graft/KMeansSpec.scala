@@ -88,6 +88,40 @@ class KMeansSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("semDedupInc: exact copy / near copy / novel / batch-internal " +
+      "verdicts against the corpus-trained staged model") {
+    // VERDICT r15 #3. Orthonormal axes: corpus holds A = e0 and
+    // B = e1; targetClusterSize huge → k = 1 (one cluster, so the
+    // cluster scoping is out of the way and the four CASES drive the
+    // verdicts). Batch: an exact copy of A, a near copy of A, a novel
+    // axis e3, and a batch-internal dup of that novel vector.
+    def axis(i: Int, eps: Double = 0.0): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i) 1f
+        else if (eps != 0.0 && j == 8) eps.toFloat else 0f)
+    val corpus = Seq((0L, axis(0), 0), (2L, axis(1), 0))
+      .toDF("vec_id", "embedding", "label")
+    val batch = Seq(
+      (1L, axis(0), 0),        // exact copy of corpus 0
+      (3L, axis(0, 0.01), 0),  // near copy (cos ≈ 0.99995)
+      (5L, axis(3), 0),        // novel axis
+      (7L, axis(3), 0))        // batch-internal dup of 5
+      .toDF("vec_id", "embedding", "label")
+    val out = KMeans.semDedupInc(corpus, batch,
+        targetClusterSize = 1000L)
+      .orderBy("vec_id")
+      .select("vec_id", "n_dup", "kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, false), // corpus 0 only (cos(A, B) = 0)
+      (3L, 2L, false), // corpus 0 + lower batch 1
+      (5L, 0L, true),  // novel: kept
+      (7L, 1L, false)), // lower batch sibling 5 only
+      s"got $out")
+    // asymmetry: the corpus is canonical — only batch rows get verdicts
+    assert(out.map(_._1) == Seq(1L, 3L, 5L, 7L))
+    Caches.releaseAll()
+  }
+
   test("semDedup pairs are cluster-scoped; keep-count + drops = corpus") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val asg = KMeans.fit(emb).select(col("vec_id"), col("cluster"))

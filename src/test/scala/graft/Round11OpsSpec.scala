@@ -116,15 +116,19 @@ class Round11OpsSpec extends SparkTestBase {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
-  test("editDistConfirm: identical docs pair at distance 0, confirmed") {
-    // identical token sets → identical minhash signatures → candidate
+  test("editDistConfirm: a set-equal rep pair confirms within maxDist") {
+    // identical shingle SETS over distinct texts → identical minhash
+    // signatures → candidate rep pair (identical TEXTS collapse away
+    // since r16 — they are textExactDedup's report, not a candidate);
+    // the appended 6 characters are the whole edit distance
     val d = docs(
-      (1L, "alpha beta gamma delta epsilon zeta"),
-      (2L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c a b c a b c"),
       (3L, "utterly different words entirely here now"))
     val r = graft.operators.Dedup.editDistConfirm(d)
+      .select("doc_a", "doc_b", "edit_dist", "confirmed")
       .as[(Long, Long, Long, Boolean)].collect().toSeq
-    assert(r == Seq((1L, 2L, 0L, true)))
+    assert(r == Seq((1L, 2L, 6L, true)))
     Caches.releaseAll()
   }
 
@@ -208,10 +212,10 @@ class Round11OpsSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
-  test("dedupThresholdSweep: an identical pair is perfect at every threshold") {
+  test("dedupThresholdSweep: a set-equal rep pair is perfect at every threshold") {
     val d = docs(
-      (1L, "alpha beta gamma delta epsilon zeta"),
-      (2L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c a b c a b c"), // same shingle set, distinct text
       (3L, "wholly different content with other words"))
     val r = graft.operators.Dedup.dedupThresholdSweep(d)
       .select("thresh_milli", "n_pairs", "tp", "precision_ppm", "recall_ppm")
