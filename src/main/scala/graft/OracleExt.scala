@@ -5024,6 +5024,62 @@ object OracleExt {
     FROM truth t LEFT JOIN cand c ON c.ha = t.ha AND c.hb = t.hb
     ORDER BY n_truth"""
 
+  /** Twin of Dedup.hash64BandRecallCurve — planted-probe recall per
+    * Hamming distance: deterministic d distinct flip positions per
+    * (sampled doc, d) via the salted-hash position ranking, mask by
+    * summed bit powers (bit 63 as the BIGINT-minimum literal — DuckDB
+    * errors on 1 << 63 where Spark's shiftleft wraps), xor probe, the
+    * capped band join keyed back to the source doc. */
+  def imageBandRecallCurve(dists: Seq[Int], maxBucket: Int,
+                           sampleMod: Int): String = {
+    val h = graft.functions.PortableHash
+    s"""
+    WITH $dhashCte,
+    $contrastCte,
+    gdh AS (SELECT dh.doc_id, dh.dhash FROM dh
+            JOIN ctr ON ctr.doc_id = dh.doc_id WHERE ctr.contrast > 15),
+    smp AS (SELECT doc_id, dhash AS h FROM gdh
+            WHERE ${h.sqlHash32("'ibr:' || CAST(doc_id AS VARCHAR)")}
+              % $sampleMod = 0),
+    dp AS (SELECT doc_id, h, CAST(d AS INT) AS d, CAST(p AS INT) AS p,
+                  row_number() OVER (PARTITION BY doc_id, d
+                    ORDER BY ${h.sqlHash32(
+                      "'ibrf:' || CAST(doc_id AS VARCHAR) || ':' || " +
+                        "CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)")},
+                      p) AS rk
+           FROM smp
+           CROSS JOIN (SELECT unnest([${dists.mkString(", ")}]) AS d)
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS p)),
+    masks AS (SELECT doc_id, d, h,
+                     CAST(sum(CASE WHEN p = 63
+                         THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << p END) AS BIGINT)
+                       AS mask
+              FROM dp WHERE rk <= d GROUP BY 1, 2, 3),
+    probes AS (SELECT doc_id, d, xor(h, mask) AS h FROM masks),
+    band AS (SELECT doc_id, CAST(j AS INTEGER) AS band_id,
+                    (dhash >> (j * 16)) & 65535 AS band_val
+             FROM gdh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    ${coldBandsCte(maxBucket).trim},
+    pband AS (SELECT doc_id, d, CAST(j AS INTEGER) AS band_id,
+                     (h >> (j * 16)) & 65535 AS band_val
+              FROM probes CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    hits AS (SELECT d, CAST(count(*) AS BIGINT) AS n_hit FROM (
+               SELECT DISTINCT a.doc_id, a.d
+               FROM pband a JOIN cold b
+                 ON a.band_id = b.band_id AND a.band_val = b.band_val
+                    AND a.doc_id = b.doc_id)
+             GROUP BY 1),
+    pl AS (SELECT d, CAST(count(*) AS BIGINT) AS n_planted
+           FROM probes GROUP BY 1)
+    SELECT CAST(pl.d AS BIGINT) AS d, n_planted,
+           coalesce(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+           (1000000 * coalesce(n_hit, CAST(0 AS BIGINT)))
+             // greatest(n_planted, 1) AS recall_ppm
+    FROM pl LEFT JOIN hits ON hits.d = pl.d
+    ORDER BY d"""
+  }
+
   /** Twin of the audio_cdc_neardup composition: content-defined chunks
     * over the per-character sample lane (c = decoded sample / 256 =
     * the character code — the lossless-WAV identity at sample

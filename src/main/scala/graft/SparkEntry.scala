@@ -1603,7 +1603,22 @@ object SparkEntry {
           Multimodal.imageGridStats(d)
             .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
           Seq("doc_id"), "leftsemi"),
-        "dhash", maxHamming = 12, sampleMod = 8)
+        "dhash", maxHamming = 12, sampleMod = 1)
+    }),
+    // The same dial measured by PLANTED probes (real corpus truth at
+    // Hamming <= 12 is ~2 pairs in the whole sf0.01 corpus — measured
+    // — so the curve manufactures near-dups at each distance): per d,
+    // the fraction of d-bit-perturbed copies the capped band index
+    // still finds. d <= 3 is geometrically guaranteed (flips touch at
+    // most 3 of 4 bands); the curve shows where the dial fades
+    "image_band_recall_curve" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.hash64BandRecallCurve(
+        Multimodal.imageDhash(d).join(
+          Multimodal.imageGridStats(d)
+            .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
+          Seq("doc_id"), "leftsemi"),
+        "dhash", sampleMod = 8)
     }),
     // SHIFT-ROBUST audio near-dup (VERDICT r15 #5): content-defined
     // chunk fingerprints over the decoded sample stream — an unaligned
@@ -1838,7 +1853,9 @@ object SparkEntry {
     "video_framehash" -> OracleExt.videoFramehash,
     "video_neardup" -> OracleExt.videoNeardup(2, 64),
     "video_neardup_inc" -> OracleExt.videoNeardupInc(2, 64),
-    "image_band_recall" -> OracleExt.imageBandRecall(12, 64, 8),
+    "image_band_recall" -> OracleExt.imageBandRecall(12, 64, 1),
+    "image_band_recall_curve" ->
+      OracleExt.imageBandRecallCurve(Seq(2, 4, 6, 8, 10, 12), 64, 8),
     "audio_cdc_neardup" -> OracleExt.audioCdcNeardup(16, 8, 4, 64),
     "image_quality" -> OracleExt.imageQuality,
     "video_scenes" -> OracleExt.videoScenes(36),

@@ -1433,10 +1433,17 @@ object Dedup {
     * simhash lanes don't have this, gradient hashes do) costs at most
     * maxBucket² instead of |bucket|². RECALL TRADEOFF, documented: a
     * true pair is found iff at least ONE of its 4 bands lands in a
-    * cold bucket — `image_band_recall` measures the production dial.
-    * The default is ~64× the uniform per-bucket expectation at fixture
-    * scale; at corpus scale the dial sizes as c·E[occupancy] (and the
-    * real lever is wider/more bands). */
+    * cold bucket — `image_band_recall` / `image_band_recall_curve`
+    * measure the production dial. MEASURED (sf0.01, planted probes,
+    * cap at 64): recall 1 000 000 ppm at Hamming 2 (geometric — ≤ 3
+    * flips touch at most 3 of 4 bands), 885 714 at 4, 657 142 at 6,
+    * 442 857 at 8, 200 000 at 10, 71 428 at the production threshold
+    * 12; real-corpus brute-force truth at sf0.01 is 2 pairs with 1
+    * found (500 000 ppm). A pipeline that must CATCH 12-bit drift
+    * needs more/narrower bands (8×8-bit), not a looser verify.
+    * The cap default is ~64× the uniform per-bucket expectation at
+    * fixture scale; at corpus scale the dial sizes as c·E[occupancy]
+    * (and the real lever is wider/more bands). */
   private def dropHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
     val hot = banded.groupBy("band_id", "band_val")
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
@@ -1574,6 +1581,66 @@ object Dedup {
       .select(col("n_truth"), col("tp"), col("fn"),
         expr("(1000000 * tp) div greatest(n_truth, 1)").as("recall_ppm"))
       .orderBy("n_truth")
+  }
+
+  /** Banding-recall CURVE by PLANTED PROBES — the [[hash64BandRecall]]
+    * question asked with controlled truth density: real corpus truth
+    * at Hamming ≤ 12 is vanishingly rare on high-entropy fixtures
+    * (measured: 2 pairs in the WHOLE sf0.01 corpus, 0 in any sample),
+    * so this evaluator manufactures the near-dups. For each sampled
+    * corpus hash and each distance d, flip d DETERMINISTIC distinct
+    * bit positions (rank the 64 positions by a salted hash, take d)
+    * and probe the PRODUCTION capped band index with the perturbed
+    * copy: hit ⟺ the probe still shares a surviving band with its
+    * source. Output one row per d: (d, n_planted, n_hit, recall_ppm)
+    * — the curve that says how far a near-dup can drift before the
+    * 4×16-band dial loses it, at any corpus scale.
+    *
+    * Scale shape: probes ∝ sample × |dists|; the position ranking is a
+    * 64-way explode over the sample with one (doc, d) window; the hit
+    * test is the ordinary capped band equi-join keyed back to the
+    * source doc. */
+  def hash64BandRecallCurve(hashes: DataFrame, hashCol: String,
+                            dists: Seq[Int] = Seq(2, 4, 6, 8, 10, 12),
+                            maxBucket: Int = 64,
+                            sampleMod: Int = 8): DataFrame = {
+    val sample = graft.Caches.track(
+      hashes.filter(PortableHash.hash32(
+          concat(lit("ibr:"), col("doc_id").cast("string")))
+          % sampleMod === 0)
+        .select(col("doc_id"), col(hashCol).as("h")))
+    val masks = sample
+      .withColumn("d", explode(array(dists.map(lit(_)): _*)))
+      .withColumn("p", explode(sequence(lit(0), lit(63))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("doc_id", "d").orderBy(
+          PortableHash.hash32(concat_ws(":", lit("ibrf"), col("doc_id"),
+            col("d"), col("p"))), col("p"))))
+      .filter(col("__rk") <= col("d"))
+      .groupBy("doc_id", "d", "h")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), p)")).as("__mask"))
+    val probes = graft.Caches.track(
+      masks.select(col("doc_id"), col("d"),
+        col("h").bitwiseXOR(col("__mask")).as("h")))
+    val corpusBands = dropHotBuckets(
+      with16Bands(hashes.select(col("doc_id"), col(hashCol).as("h")), "h")
+        .select(col("doc_id"), col("band_id"), col("band_val")),
+      maxBucket)
+    val hits = with16Bands(probes, "h").as("a")
+      .join(corpusBands.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.doc_id") === col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("a.d").as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("n_hit"))
+    probes.groupBy("d").agg(count(lit(1)).as("n_planted"))
+      .join(hits, Seq("d"), "left")
+      .select(col("d").cast("long").as("d"), col("n_planted"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm",
+        expr("(1000000 * n_hit) div greatest(n_planted, 1)"))
+      .orderBy("d")
   }
 
   /** q-gram fingerprints of a (doc_id, blk, q) value SEQUENCE — the

@@ -242,6 +242,28 @@ class ImageDedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("hash64BandRecallCurve: planted probes are exact-Hamming, d<=3 " +
+      "is geometrically guaranteed, the curve fades with distance") {
+    // 40 spread-out hashes so no band bucket gets hot
+    val hashes = (0 until 40).map(i =>
+      (i.toLong, (i.toLong * 0x9e3779b97f4a7c15L) | 1L))
+      .toDF("doc_id", "dhash")
+    val r = Dedup.hash64BandRecallCurve(hashes, "dhash",
+        dists = Seq(2, 3, 8, 12), sampleMod = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(2L, 3L, 8L, 12L), s"one row per d: $r")
+    assert(r.forall(_._2 == 40L), s"every doc planted per d: $r")
+    // d <= 3 distinct flips touch at most 3 of the 4 bands -> at least
+    // one band survives untouched -> the probe ALWAYS finds its source
+    assert(r(0) == ((2L, 40L, 40L, 1000000L)), s"d=2 must be total: $r")
+    assert(r(1) == ((3L, 40L, 40L, 1000000L)), s"d=3 must be total: $r")
+    // larger drift can straddle all four bands; the curve is the point
+    assert(r(3)._3 <= r(2)._3,
+      s"recall must not grow from d=8 to d=12: $r")
+    assert(r.forall(x => x._4 == 1000000L * x._3 / x._2))
+    Caches.releaseAll()
+  }
+
   test("image_quality lanes: constant grid flags flat, varied does not") {
     // constant text → constant luma grid → zero variance and contrast
     val stats = Multimodal.imageGridStats(docs(
