@@ -3815,7 +3815,7 @@ object OracleExt {
     * to the same text-md5 rep space (the simhash chain's WITH stripped
     * for splicing), full outer join on the rep-pair key, 1-row overlap
     * summary. */
-  def dedupMethodAgreement(maxHamming: Int): String = {
+  def dedupMethodAgreement(maxHamming: Int, maxBucket: Int): String = {
     val simSpliced = simhashCte.trim.stripPrefix("WITH")
     s"""
     $repPairsCte,
@@ -3826,11 +3826,12 @@ object OracleExt {
     band2 AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS band_id,
                      (simhash >> (j * 16)) & 65535 AS band_val
               FROM rsh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    ${coldBandsCte(maxBucket, "band2", "cold2").trim},
     sh2 AS (SELECT doc_a, doc_b FROM (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(bit_count(xor(a.simhash, b.simhash))
                        AS INTEGER) AS hamming
-              FROM band2 a JOIN band2 b
+              FROM cold2 a JOIN cold2 b
                 ON a.band_id = b.band_id AND a.band_val = b.band_val
                    AND a.doc_id < b.doc_id)
             WHERE hamming <= $maxHamming),
@@ -3853,19 +3854,20 @@ object OracleExt {
     FROM u ORDER BY n_union"""
   }
 
-  def simhashPairs(maxHamming: Int): String = s"""
+  def simhashPairs(maxHamming: Int, maxBucket: Int): String = s"""
     $simhashCte,
     $trepsCte,
     rsh AS (SELECT s.doc_id, s.simhash, t.m
             FROM shash s JOIN treps t ON t.rep = s.doc_id),
     band AS (SELECT doc_id, simhash, m, CAST(j AS INTEGER) AS band_id,
                     (simhash >> (j * 16)) & 65535 AS band_val
-             FROM rsh CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+             FROM rsh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    ${coldBandsCte(maxBucket).trim}
     SELECT doc_a, doc_b, hamming, n_doc_pairs FROM (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
              a.m * b.m AS n_doc_pairs
-      FROM band a JOIN band b
+      FROM cold a JOIN cold b
         ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.doc_id < b.doc_id)
     WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b"""
@@ -4955,11 +4957,12 @@ object OracleExt {
 
   /** Band-bucket occupancy cap over a CTE named `band` with (band_id,
     * band_val) columns — the twin of Dedup.dropHotBuckets. */
-  private def coldBandsCte(maxBucket: Int): String = s"""
-    hotb AS (SELECT band_id, band_val FROM band
+  private def coldBandsCte(maxBucket: Int, bandName: String = "band",
+                           coldName: String = "cold"): String = s"""
+    ${coldName}_hot AS (SELECT band_id, band_val FROM $bandName
              GROUP BY 1, 2 HAVING count(*) > $maxBucket),
-    cold AS (SELECT * FROM band b WHERE NOT EXISTS (
-               SELECT 1 FROM hotb h
+    $coldName AS (SELECT * FROM $bandName b WHERE NOT EXISTS (
+               SELECT 1 FROM ${coldName}_hot h
                WHERE h.band_id = b.band_id AND h.band_val = b.band_val))"""
 
   /** Twin of Dedup.hash64Neardup over the FLAT-GATED dHash table:

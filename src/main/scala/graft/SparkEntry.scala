@@ -2052,8 +2052,8 @@ object SparkEntry {
     "cdc_neardup" -> OracleExt.cdcNeardup(16, 4, 2, 64),
     "winnow_fingerprints" -> OracleExt.winnowFingerprints(3, 4),
     "simhash" -> OracleExt.simhash,
-    "simhash_pairs" -> OracleExt.simhashPairs(6),
-    "dedup_method_agreement" -> OracleExt.dedupMethodAgreement(6),
+    "simhash_pairs" -> OracleExt.simhashPairs(6, 64),
+    "dedup_method_agreement" -> OracleExt.dedupMethodAgreement(6, 64),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),
     "hard_negatives" -> OracleExt.hardNegatives(10, 3),
     "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),

@@ -1270,26 +1270,35 @@ object Dedup {
       .orderBy("n_union")
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
+                   maxBucket: Int = 64): DataFrame = {
     // EXACT-DUP COLLAPSE first (VERDICT r15 #2): the 64-bit-sum
     // aggregation runs only on identical-text reps, and a k-cluster of
     // exact dups costs one rep instead of k²/2 hamming-0 all-band
     // pairs. One signature row per rep, persisted: the aggregation
     // runs once, not once per join side. Output is the strictly-near
     // structure over reps (hamming-0 pairs remain possible between
-    // DISTINCT texts whose simhashes collide), n_doc_pairs = ma·mb.
+    // DISTINCT texts whose simhashes collide — notably REORDERED
+    // boilerplate: simhash is frequency-weighted and order-blind, so k
+    // same-multiset rewrites share one simhash and would pay k²/2
+    // all-band pairs), n_doc_pairs = ma·mb. The [[dropHotBuckets]]
+    // occupancy cap bounds exactly that pile-up (the r15 watch note):
+    // a band bucket above maxBucket reps drops from both sides, same
+    // documented recall tradeoff as [[hash64Neardup]].
     val reps = textReps(docs)
     val sh = graft.Caches.track(
       simhash(docs.join(reps.select("doc_id"), Seq("doc_id"), "leftsemi"))
         .join(reps, "doc_id"))
-    val banded = sh.select(col("doc_id"), col("simhash"), col("m"),
-        explode(array((0 until 4).map(j => struct(
-          lit(j).as("band_id"),
-          shiftright(col("simhash"), j * 16).bitwiseAND(65535)
-            .as("band_val"))): _*))
-          .as("b"))
-      .select(col("doc_id"), col("simhash"), col("m"),
-        col("b.band_id"), col("b.band_val"))
+    val banded = dropHotBuckets(
+      sh.select(col("doc_id"), col("simhash"), col("m"),
+          explode(array((0 until 4).map(j => struct(
+            lit(j).as("band_id"),
+            shiftright(col("simhash"), j * 16).bitwiseAND(65535)
+              .as("band_val"))): _*))
+            .as("b"))
+        .select(col("doc_id"), col("simhash"), col("m"),
+          col("b.band_id"), col("b.band_val")),
+      maxBucket)
     banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_val") === col("b.band_val")

@@ -583,6 +583,32 @@ class DedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("simhashPairs: a reordered-boilerplate pile-up is capped; a cold " +
+      "near pair survives") {
+    // simhash is frequency-weighted and order-blind, so k same-multiset
+    // rewrites (rotations) share ONE simhash across k distinct texts —
+    // the text-rep collapse cannot merge them and all four band buckets
+    // hold k reps. The occupancy cap (r15 watch note) bounds the k²/2
+    // blowup; the unrelated reversed-sentence pair lives in cold
+    // buckets and survives.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val pile = (0 until 12).map(i =>
+      (i.toLong, (words.drop(i) ++ words.take(i)).mkString(" ")))
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(pile ++ Seq((20L, t),
+      (21L, t.split(" ").reverse.mkString(" "))): _*)
+    val capped = Dedup.simhashPairs(d, maxHamming = 6, maxBucket = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((20L, 21L)),
+      s"the pile's buckets must drop, the cold pair must survive: $capped")
+    val open = Dedup.simhashPairs(d, maxHamming = 6, maxBucket = 64)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(open.size == 66 + 1,
+      s"open cap must emit the C(12,2) pile pairs too: ${open.size}")
+    Caches.releaseAll()
+  }
+
   test("dupSpans: per-doc duplicated-shingle stats, NULL-free zeros") {
     // doc1 {a b c, b c d, c d e}, doc2 {a b c, b c x, c x y} share ONE
     // span; doc3 shares none
