@@ -5034,8 +5034,10 @@ object OracleExt {
     * errors on 1 << 63 where Spark's shiftleft wraps), xor probe, the
     * capped band join keyed back to the source doc. */
   def imageBandRecallCurve(dists: Seq[Int], maxBucket: Int,
-                           sampleMod: Int): String = {
+                           sampleMod: Int, nBands: Int = 4): String = {
     val h = graft.functions.PortableHash
+    val w = 64 / nBands
+    val mask = (1L << w) - 1
     s"""
     WITH $dhashCte,
     $contrastCte,
@@ -5061,12 +5063,12 @@ object OracleExt {
               FROM dp WHERE rk <= d GROUP BY 1, 2, 3),
     probes AS (SELECT doc_id, d, xor(h, mask) AS h FROM masks),
     band AS (SELECT doc_id, CAST(j AS INTEGER) AS band_id,
-                    (dhash >> (j * 16)) & 65535 AS band_val
-             FROM gdh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+                    (dhash >> (j * $w)) & $mask AS band_val
+             FROM gdh CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim},
     pband AS (SELECT doc_id, d, CAST(j AS INTEGER) AS band_id,
-                     (h >> (j * 16)) & 65535 AS band_val
-              FROM probes CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+                     (h >> (j * $w)) & $mask AS band_val
+              FROM probes CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     hits AS (SELECT d, CAST(count(*) AS BIGINT) AS n_hit FROM (
                SELECT DISTINCT a.doc_id, a.d
                FROM pband a JOIN cold b
@@ -5345,6 +5347,38 @@ object OracleExt {
     WITH $videoFhCte,
     vfp AS (SELECT DISTINCT doc_id, dhash AS fp FROM vfh),
     ${fpNeardupIncTail("vfp", minShared, maxDf).trim}"""
+
+  /** Twin of the video_scene_dedup composition: lag-cut scene
+    * segmentation over the frame hashes, position-salted scene-hash
+    * sums, the shared posting-join tail. */
+  def videoSceneDedup(cutHamming: Int, minShared: Long,
+                      maxDf: Int): String = s"""
+    WITH $videoFhCte,
+    vw AS (SELECT doc_id, frame_id, dhash,
+                  lag(dhash) OVER (PARTITION BY doc_id
+                    ORDER BY frame_id) AS ph
+           FROM vfh),
+    vc AS (SELECT doc_id, frame_id, dhash,
+                  CASE WHEN ph IS NOT NULL
+                        AND bit_count(xor(dhash, ph)) > $cutHamming
+                       THEN 1 ELSE 0 END AS cut
+           FROM vw),
+    vsc AS (SELECT doc_id, frame_id, dhash,
+                   sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS scene_id
+            FROM vc),
+    vsp AS (SELECT doc_id, scene_id, dhash,
+                   row_number() OVER (PARTITION BY doc_id, scene_id
+                     ORDER BY frame_id) - 1 AS p
+            FROM vsc),
+    vsh AS (SELECT doc_id, scene_id,
+                   CAST(sum(${graft.functions.PortableHash.sqlHash32(
+                     "CAST(p AS VARCHAR) || ':' || CAST(dhash AS VARCHAR)")})
+                     AS BIGINT) AS fp
+            FROM vsp GROUP BY 1, 2),
+    vsfp AS (SELECT DISTINCT doc_id, fp FROM vsh),
+    ${fpNeardupTail("vsfp", minShared, maxDf).trim}"""
 
   // ---- similarity ops (graft.operators.Similarity) --------------------
 

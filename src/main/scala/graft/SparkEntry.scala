@@ -1628,6 +1628,29 @@ object SparkEntry {
       Dedup.fingerprintNeardup(
         Multimodal.audioCdcFingerprints(docsPar(s, dir)),
         minShared = 4, maxDf = 64).orderBy("rep_a", "rep_b")),
+    // The SAME probes through 8x8-bit banding — the A/B that prices
+    // the scaladoc's upgrade path: 12 flips cannot often straddle all
+    // 8 bands, so recall at the production threshold jumps (at the
+    // cost of 256x hotter uniform buckets — the cap policy is shared,
+    // so the tradeoff is measured under production rules)
+    "image_band_recall_curve8" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.hash64BandRecallCurve(
+        Multimodal.imageDhash(d).join(
+          Multimodal.imageGridStats(d)
+            .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
+          Seq("doc_id"), "leftsemi"),
+        "dhash", sampleMod = 8, nBands = 8)
+    }),
+    // Scene-level video dedup: scene signatures (content-defined cut
+    // segmentation + position-salted frame-hash sums) as the fp
+    // domain — an index ∝ scenes instead of ∝ frames (2.5x smaller on
+    // the fixture, ~100x on real video) with the same re-edit
+    // matching power; docs sharing >= 1 full scene pair
+    "video_scene_dedup" -> ((s, dir) =>
+      Dedup.fingerprintNeardup(
+        Multimodal.videoSceneFingerprints(docsPar(s, dir)),
+        minShared = 1, maxDf = 64).orderBy("rep_a", "rep_b")),
     // Incremental video dedup (VERDICT r15 #6): odd-doc batch frame
     // hashes probe the even-doc corpus postings — completes the
     // incremental matrix for the video modality
@@ -1856,6 +1879,10 @@ object SparkEntry {
     "image_band_recall" -> OracleExt.imageBandRecall(12, 64, 1),
     "image_band_recall_curve" ->
       OracleExt.imageBandRecallCurve(Seq(2, 4, 6, 8, 10, 12), 64, 8),
+    "image_band_recall_curve8" ->
+      OracleExt.imageBandRecallCurve(Seq(2, 4, 6, 8, 10, 12), 64, 8,
+        nBands = 8),
+    "video_scene_dedup" -> OracleExt.videoSceneDedup(36, 1, 64),
     "audio_cdc_neardup" -> OracleExt.audioCdcNeardup(16, 8, 4, 64),
     "image_quality" -> OracleExt.imageQuality,
     "video_scenes" -> OracleExt.videoScenes(36),

@@ -838,6 +838,42 @@ object Multimodal {
           expr("(1000 * __dsum) div (n_frames - 1)")).as("motion_milli"))
   }
 
+  /** Staged SCENE-signature fingerprints (doc_id, fp): scenes are the
+    * content-defined segmentation [[videoScenes]] already computes
+    * (cut where the inter-frame dHash jump exceeds `cutHamming` — a
+    * CONTENT boundary, so re-edits re-synchronize at the next cut),
+    * and each scene's signature is the order-sensitive position-salted
+    * hash sum of its frame dHashes (the cdcChunks chunk-hash recipe at
+    * scene granularity). THE SCALE ARGUMENT: the frame-level fp table
+    * (`video_framehash`) is ∝ frames; this index is ∝ scenes — 2.5×
+    * smaller on the fixture and ~two orders at real video length —
+    * with the same re-edit matching power: an inserted ad adds scenes
+    * without touching the others' signatures. Two doc-keyed window
+    * shuffles; staged once. */
+  def videoSceneFingerprints(docs: DataFrame,
+                             cutHamming: Int = 36): DataFrame =
+    graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "video_scene_fp", cutHamming)) {
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_id")
+      val scenes = videoFrameHash(docs)
+        .withColumn("__ph", lag(col("dhash"), 1).over(wd))
+        .withColumn("__cut",
+          when(col("__ph").isNotNull &&
+            bit_count(col("dhash").bitwiseXOR(col("__ph"))) > cutHamming,
+            1L).otherwise(0L))
+        .withColumn("scene_id", sum(col("__cut")).over(
+          wd.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .withColumn("__p", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id", "scene_id").orderBy("frame_id")) - 1)
+      scenes.groupBy("doc_id", "scene_id")
+        .agg(sum(PortableHash.hash32(concat(col("__p").cast("string"),
+          lit(":"), col("dhash").cast("string")))).as("fp"))
+        .select(col("doc_id"), col("fp")).distinct()
+    }
+
   /** The staged per-frame perceptual-hash table: the REAL container
     * walk ([[aviFrameBytes]]) extracts each frame, ImageIO decodes it,
     * and the [[dhashOfGrid]] gradient hash runs per frame — (doc_id,

@@ -1421,18 +1421,27 @@ object Dedup {
     * table); THIS op returns the strictly-near structure: rep pairs
     * with 1 ≤ hamming ≤ maxHamming, each stamped with the doc-pair
     * count it stands for (ma·mb). */
-  /** The 4×16-bit band columns of a 64-bit hash column: one row per
-    * (input row, band). The arithmetic shift + mask is
-    * sign-independent; shared by every 64-bit banding consumer. */
-  private def with16Bands(df: DataFrame, hashCol: String): DataFrame =
+  /** The nBands × (64/nBands)-bit band columns of a 64-bit hash
+    * column: one row per (input row, band). The arithmetic shift +
+    * mask is sign-independent; shared by every 64-bit banding
+    * consumer. More/narrower bands trade join fan-out for recall —
+    * [[hash64BandRecallCurve]] measures the dial per geometry. */
+  private def withBandsN(df: DataFrame, hashCol: String,
+                         nBands: Int): DataFrame = {
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
     df.withColumn("__b",
-        explode(array((0 until 4).map(j => struct(
+        explode(array((0 until nBands).map(j => struct(
           lit(j).as("band_id"),
-          shiftright(col(hashCol), j * 16).bitwiseAND(65535)
+          shiftright(col(hashCol), j * width).bitwiseAND(mask)
             .as("band_val"))): _*)))
       .withColumn("band_id", col("__b.band_id"))
       .withColumn("band_val", col("__b.band_val"))
       .drop("__b")
+  }
+
+  private def with16Bands(df: DataFrame, hashCol: String): DataFrame =
+    withBandsN(df, hashCol, 4)
 
   /** Band-bucket occupancy cap (VERDICT r15 #1 — the ngramJaccard
     * hot-key move for 64-bit banding): buckets holding more than
@@ -1449,7 +1458,12 @@ object Dedup {
     * 442 857 at 8, 200 000 at 10, 71 428 at the production threshold
     * 12; real-corpus brute-force truth at sf0.01 is 2 pairs with 1
     * found (500 000 ppm). A pipeline that must CATCH 12-bit drift
-    * needs more/narrower bands (8×8-bit), not a looser verify.
+    * needs more/narrower bands, not a looser verify — measured A/B
+    * (`image_band_recall_curve8`, same probes, same cap): 8×8-bit
+    * banding holds 1 000 000 ppm through Hamming 8 and lifts the
+    * threshold-12 recall to 885 714 ppm, paying 256× hotter uniform
+    * buckets (the cap policy then binds much earlier at corpus
+    * scale — the recall/fan-out dial made a number).
     * The cap default is ~64× the uniform per-bucket expectation at
     * fixture scale; at corpus scale the dial sizes as c·E[occupancy]
     * (and the real lever is wider/more bands). */
@@ -1612,7 +1626,8 @@ object Dedup {
   def hash64BandRecallCurve(hashes: DataFrame, hashCol: String,
                             dists: Seq[Int] = Seq(2, 4, 6, 8, 10, 12),
                             maxBucket: Int = 64,
-                            sampleMod: Int = 8): DataFrame = {
+                            sampleMod: Int = 8,
+                            nBands: Int = 4): DataFrame = {
     val sample = graft.Caches.track(
       hashes.filter(PortableHash.hash32(
           concat(lit("ibr:"), col("doc_id").cast("string")))
@@ -1632,10 +1647,11 @@ object Dedup {
       masks.select(col("doc_id"), col("d"),
         col("h").bitwiseXOR(col("__mask")).as("h")))
     val corpusBands = dropHotBuckets(
-      with16Bands(hashes.select(col("doc_id"), col(hashCol).as("h")), "h")
+      withBandsN(hashes.select(col("doc_id"), col(hashCol).as("h")), "h",
+          nBands)
         .select(col("doc_id"), col("band_id"), col("band_val")),
       maxBucket)
-    val hits = with16Bands(probes, "h").as("a")
+    val hits = withBandsN(probes, "h", nBands).as("a")
       .join(corpusBands.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_val") === col("b.band_val")

@@ -99,4 +99,34 @@ class VideoDedupSpec extends SparkTestBase {
     assert(loose == Seq((1L, 2L, 1L, 2L)))
     Caches.releaseAll()
   }
+
+  test("videoSceneFingerprints: an inserted scene leaves the other " +
+      "scene signatures intact; WHOLE scenes are the match unit") {
+    val d = docs(
+      (1L, sceneA + sceneB),          // scenes [A], [B]
+      (2L, sceneA + sceneC + sceneB), // inserted C: scenes [A], [C], [B]
+      (4L, sceneC + sceneC))          // ONE two-frame scene [C, C]
+    // fixture sanity: every inter-scene jump cuts at this spec's dial
+    // (the fixture scenes sit 26-31 bits apart — real shot changes;
+    // the operator's cutHamming is the dial, 20 here)
+    val hA = dhashOfChars(sceneA, 0)
+    val hB = dhashOfChars(sceneB, 0)
+    val hC = dhashOfChars(sceneC, 0)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hA, hC) > 20 && ham(hC, hB) > 20 && ham(hA, hB) > 20,
+      "fixture scenes must cut at every boundary")
+    val fps = Multimodal.videoSceneFingerprints(d, cutHamming = 20)
+    // the scale story: the scene index is strictly smaller than the
+    // frame table (per-scene rows, not per-frame rows)
+    assert(fps.count() < Multimodal.videoFrameHash(d).count())
+    val pairs = Dedup.fingerprintNeardup(fps, minShared = 1, maxDf = 64)
+      .select("rep_a", "rep_b", "n_shared")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 2 shares BOTH of doc 1's scene signatures despite the
+    // insertion (scene boundaries are content-defined); the two-frame
+    // [C, C] scene signature differs from the single-frame [C] — the
+    // whole scene, not any frame, is the unit
+    assert(pairs == Seq((1L, 2L, 2L)), s"got $pairs")
+    Caches.releaseAll()
+  }
 }
