@@ -2124,6 +2124,60 @@ object OracleExt {
     FROM tf JOIN bits USING (b)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** The per-source bigram document-frequency CTE chain shared by the
+    * boilerplate twins (Boilerplate.scala): positioned bigram
+    * instances (1-based pos of each bigram start), per-(source, b)
+    * df + occurrence counts, per-source doc counts. */
+  private def boilerCte: String = s"""
+    bt AS (SELECT doc_id, source, $toks AS toks FROM documents),
+    bbg AS (SELECT doc_id, source,
+                   unnest(list_transform(toks[2:],
+                     (x, i) -> toks[i] || ' ' || x)) AS b,
+                   generate_subscripts(toks[2:], 1) AS pos
+            FROM bt),
+    sdf AS (SELECT source, b,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS occ
+            FROM bbg GROUP BY 1, 2),
+    bnd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1)"""
+
+  private def boilerGate(minDf: Long, divisor: Long): String =
+    s"df >= greatest($minDf, (n_docs + ${divisor - 1}) // $divisor)"
+
+  /** Twin of Boilerplate.boilerplateNgrams — the per-source template
+    * profile under the identical integer df threshold. */
+  def boilerplateNgrams(minDf: Long, divisor: Long): String = s"""
+    WITH $boilerCte
+    SELECT sdf.source AS source, n_docs,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN ${boilerGate(minDf, divisor)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(coalesce(sum(CASE WHEN ${boilerGate(minDf, divisor)}
+                             THEN occ END), 0) AS BIGINT) AS boiler_occ,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM sdf JOIN bnd ON bnd.source = sdf.source
+    GROUP BY 1, 2 ORDER BY source"""
+
+  /** Twin of Boilerplate.boilerplateStrip — boilerplate-covered token
+    * positions counted DISTINCT (overlaps share tokens). */
+  def boilerplateStrip(minDf: Long, divisor: Long): String = s"""
+    WITH $boilerCte,
+    bset AS (SELECT sdf.source AS source, b
+             FROM sdf JOIN bnd ON bnd.source = sdf.source
+             WHERE ${boilerGate(minDf, divisor)}),
+    cov AS (SELECT DISTINCT doc_id, cp FROM
+              (SELECT bbg.doc_id AS doc_id, unnest([pos, pos + 1]) AS cp
+               FROM bbg JOIN bset
+                 ON bbg.source = bset.source AND bbg.b = bset.b)),
+    nrm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+            FROM cov GROUP BY 1)
+    SELECT bt.doc_id AS doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           coalesce(n_removed, CAST(0 AS BIGINT)) AS removed_tokens,
+           CAST(len(toks) AS BIGINT)
+             - coalesce(n_removed, CAST(0 AS BIGINT)) AS kept_tokens
+    FROM bt LEFT JOIN nrm ON nrm.doc_id = bt.doc_id ORDER BY doc_id"""
+
   /** Twin of TextAnalysis.knBigram — interpolated Kneser-Ney in the
     * identical integer ppm lanes: discounted term, λ_ppm, pcont_ppm
     * each its own HUGEINT-laned truncating division (Spark side:
@@ -5333,6 +5387,42 @@ object OracleExt {
            qmax - qmin AS dyn_range, (qmax - qmin) <= 3 AS flat
     FROM gs ORDER BY doc_id"""
 
+  /** Twin of Multimodal.audioVad — the adaptive energy gate replayed
+    * from character sums (q·n_blocks ≥ Σq, integer-exact), then the
+    * identical islands-and-gaps run segmentation. */
+  def audioVad(minRun: Int): String = s"""
+    WITH $audioFpCte,
+    vtot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+                    CAST(sum(q) AS BIGINT) AS qs
+             FROM aq GROUP BY 1),
+    va AS (SELECT aq.doc_id AS doc_id, blk, n_blocks,
+                  (q * n_blocks >= qs) AS act
+           FROM aq JOIN vtot ON vtot.doc_id = aq.doc_id),
+    vchg AS (SELECT doc_id, blk, n_blocks, act,
+                    CASE WHEN lag(act) OVER wd IS NULL
+                          OR lag(act) OVER wd != act
+                         THEN 1 ELSE 0 END AS chg
+             FROM va WINDOW wd AS (PARTITION BY doc_id ORDER BY blk)),
+    vrun AS (SELECT doc_id, n_blocks, act,
+                    sum(chg) OVER (PARTITION BY doc_id ORDER BY blk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS run
+             FROM vchg),
+    vruns AS (SELECT doc_id, n_blocks, run, act,
+                     CAST(count(*) AS BIGINT) AS len
+              FROM vrun GROUP BY 1, 2, 3, 4)
+    SELECT doc_id, n_blocks,
+           CAST(coalesce(sum(CASE WHEN act THEN len END), 0) AS BIGINT)
+             AS n_active,
+           CAST((1000000 * coalesce(sum(CASE WHEN act THEN len END), 0))
+             // n_blocks AS BIGINT) AS active_ppm,
+           CAST(coalesce(sum(CASE WHEN act AND len >= $minRun
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_segments,
+           CAST(coalesce(max(CASE WHEN act THEN len END), 0) AS BIGINT)
+             AS longest_seg
+    FROM vruns GROUP BY 1, 2 ORDER BY doc_id"""
+
   /** Twin of Dedup.fingerprintNeardup over the per-frame dHash table
     * (fp = frame dhash, distinct per doc). */
   def videoNeardup(minShared: Long, maxDf: Int): String = s"""
@@ -5348,12 +5438,11 @@ object OracleExt {
     vfp AS (SELECT DISTINCT doc_id, dhash AS fp FROM vfh),
     ${fpNeardupIncTail("vfp", minShared, maxDf).trim}"""
 
-  /** Twin of the video_scene_dedup composition: lag-cut scene
-    * segmentation over the frame hashes, position-salted scene-hash
-    * sums, the shared posting-join tail. */
-  def videoSceneDedup(cutHamming: Int, minShared: Long,
-                      maxDf: Int): String = s"""
-    WITH $videoFhCte,
+  /** The scene-fingerprint CTE chain shared by [[videoSceneDedup]]
+    * and [[videoSceneDedupInc]]: lag-cut scene segmentation over the
+    * frame hashes, position-salted scene-hash sums, ends in a
+    * (doc_id, fp) CTE named `vsfp`. Requires $videoFhCte before it. */
+  private def videoSceneFpCte(cutHamming: Int): String = s"""
     vw AS (SELECT doc_id, frame_id, dhash,
                   lag(dhash) OVER (PARTITION BY doc_id
                     ORDER BY frame_id) AS ph
@@ -5377,8 +5466,24 @@ object OracleExt {
                      "CAST(p AS VARCHAR) || ':' || CAST(dhash AS VARCHAR)")})
                      AS BIGINT) AS fp
             FROM vsp GROUP BY 1, 2),
-    vsfp AS (SELECT DISTINCT doc_id, fp FROM vsh),
+    vsfp AS (SELECT DISTINCT doc_id, fp FROM vsh)"""
+
+  /** Twin of the video_scene_dedup composition: the scene-fp chain,
+    * then the shared posting-join tail. */
+  def videoSceneDedup(cutHamming: Int, minShared: Long,
+                      maxDf: Int): String = s"""
+    WITH $videoFhCte,
+    ${videoSceneFpCte(cutHamming).trim},
     ${fpNeardupTail("vsfp", minShared, maxDf).trim}"""
+
+  /** Twin of Dedup.fingerprintNeardupInc over the scene-signature
+    * table split even/odd — incremental dedup at SCENE granularity
+    * (the index ∝ scenes, the match unit a whole scene). */
+  def videoSceneDedupInc(cutHamming: Int, minShared: Long,
+                         maxDf: Int): String = s"""
+    WITH $videoFhCte,
+    ${videoSceneFpCte(cutHamming).trim},
+    ${fpNeardupIncTail("vsfp", minShared, maxDf).trim}"""
 
   // ---- similarity ops (graft.operators.Similarity) --------------------
 

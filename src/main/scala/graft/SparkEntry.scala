@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomJoin, Dedup, Events, KMeans, Logstash, Routing, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{BloomJoin, Boilerplate, Dedup, Events, KMeans, Logstash, Routing, Sampling, Scrub, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{LogSource, Tables}
 import graft.{OracleFragments => O}
@@ -1662,6 +1662,30 @@ object SparkEntry {
         fh.filter(col("doc_id") % 2 === 1),
         minShared = 2, maxDf = 64).orderBy("doc_id")
     }),
+    // Incremental scene dedup: odd-doc scene signatures probe the
+    // even-doc postings, both filtered off the ONE staged scene-fp
+    // artifact — dedup at the granularity a re-edited video preserves
+    "video_scene_dedup_inc" -> ((s, dir) => {
+      val fp = Multimodal.videoSceneFingerprints(docsPar(s, dir))
+      Dedup.fingerprintNeardupInc(
+        fp.filter(col("doc_id") % 2 === 0),
+        fp.filter(col("doc_id") % 2 === 1),
+        minShared = 1, maxDf = 64).orderBy("doc_id")
+    }),
+    // Adaptive-energy VAD over the real-decoded block means: per clip
+    // the speech-level mass, burst count (runs >= 2 blocks survive the
+    // min-duration gate), and longest burst — integer-exact
+    "audio_vad" -> ((s, dir) =>
+      Multimodal.audioVad(docsPar(s, dir)).orderBy("doc_id")),
+    // Per-source boilerplate profile: a bigram present in >= max(5,
+    // ceil(n_docs/10)) distinct docs of its source is template mass,
+    // not content (the C4 line-dedup recipe at n-gram granularity)
+    "boilerplate_ngrams" -> ((s, dir) =>
+      Boilerplate.boilerplateNgrams(docsPar(s, dir)).orderBy("source")),
+    // The strip pass: token positions covered by any source-boilerplate
+    // bigram occurrence, counted DISTINCT (overlaps share tokens)
+    "boilerplate_strip" -> ((s, dir) =>
+      Boilerplate.boilerplateStrip(docsPar(s, dir)).orderBy("doc_id")),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
       val d = Multimodal.decodeBatched(
@@ -1883,7 +1907,11 @@ object SparkEntry {
       OracleExt.imageBandRecallCurve(Seq(2, 4, 6, 8, 10, 12), 64, 8,
         nBands = 8),
     "video_scene_dedup" -> OracleExt.videoSceneDedup(36, 1, 64),
+    "video_scene_dedup_inc" -> OracleExt.videoSceneDedupInc(36, 1, 64),
     "audio_cdc_neardup" -> OracleExt.audioCdcNeardup(16, 8, 4, 64),
+    "audio_vad" -> OracleExt.audioVad(2),
+    "boilerplate_ngrams" -> OracleExt.boilerplateNgrams(5L, 10L),
+    "boilerplate_strip" -> OracleExt.boilerplateStrip(5L, 10L),
     "image_quality" -> OracleExt.imageQuality,
     "video_scenes" -> OracleExt.videoScenes(36),
     "image_neardup_inc" -> OracleExt.imageNeardupInc(12, 64),

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -741,6 +742,51 @@ object Multimodal {
         .filter(col("n_vals") >= minChunk)
         .select(col("doc_id"), col("chunk_hash").as("fp")).distinct()
     }
+
+  /** Adaptive-energy voice-activity detection over the REAL-decoded
+    * block means ([[audioBlocks]]) — the trim/keep dashboard of an
+    * audio curation pass (how much of each clip is speech-level
+    * signal, in how many bursts, and how long the longest burst is —
+    * the gates a 100 TB audio corpus applies before paying for
+    * transcription). A block is ACTIVE when its level reaches the
+    * clip's own mean — the classic adaptive energy gate, and
+    * integer-exact as q·n_blocks ≥ Σq so the DuckDB twin can replay
+    * it from character sums without a float crossing the oracle.
+    * Activity runs shorter than `minRun` blocks don't count as
+    * segments (minimum speech duration — the VAD hangover rule);
+    * n_active still counts every active block so the ppm lane
+    * measures raw level mass, not the smoothed segmentation.
+    *
+    * Shape: one doc-keyed aggregate for the clip means, one window
+    * pass for islands-and-gaps run ids (state per row O(1)), one
+    * run-sized aggregate — ∝ corpus blocks, nothing quadratic, no
+    * driver-side state. */
+  def audioVad(docs: DataFrame, minRun: Int = 2): DataFrame = {
+    val b = audioBlocks(docs)
+    val tot = b.groupBy("doc_id").agg(
+      count(lit(1)).as("n_blocks"), sum(col("q")).as("__qs"))
+    val wd = Window.partitionBy("doc_id").orderBy("blk")
+    val runs = b.join(tot, Seq("doc_id"))
+      .withColumn("__act", col("q") * col("n_blocks") >= col("__qs"))
+      .withColumn("__chg",
+        when(lag(col("__act"), 1).over(wd).isNull
+          || lag(col("__act"), 1).over(wd) =!= col("__act"), 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_blocks"), col("__run"), col("__act"))
+      .agg(count(lit(1)).as("__len"))
+    runs.groupBy("doc_id", "n_blocks")
+      .agg(
+        sum(when(col("__act"), col("__len")).otherwise(0L)).as("n_active"),
+        sum(when(col("__act") && col("__len") >= minRun, 1L)
+          .otherwise(0L)).as("n_segments"),
+        coalesce(max(when(col("__act"), col("__len"))), lit(0L))
+          .as("longest_seg"))
+      .select(col("doc_id"), col("n_blocks"), col("n_active"),
+        expr("(1000000 * n_active) div n_blocks").as("active_ppm"),
+        col("n_segments"), col("longest_seg"))
+  }
 
   // ---- video frame-hash dedup (closing the modality triad) ----------
 

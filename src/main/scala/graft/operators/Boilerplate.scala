@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-source boilerplate detection and stripping — the template-text
+  * curation lane. Web-crawl sources repeat navigation bars, cookie
+  * banners, and license footers across a large FRACTION of their own
+  * documents; those n-grams are site furniture, not content, and
+  * leaving them in a training corpus teaches the model the template
+  * (the C4/RefinedWeb line-dedup recipe, recast at n-gram granularity
+  * because this corpus's documents are single-line token streams with
+  * no line structure to key on).
+  *
+  * The boilerplate criterion is DOCUMENT FREQUENCY within the source:
+  * a bigram counts as boilerplate when it appears in at least
+  * max(minDf, ceil(n_docs / divisor)) distinct documents of its source
+  * (absolute floor so tiny sources don't flag noise; relative rule so
+  * the dial survives source growth — at 100 TB a source has millions
+  * of docs and any absolute count would saturate).
+  *
+  * Scale contract: the detector is ONE aggregate over the staged
+  * per-(doc, bigram) tf artifact (the bigram-LM base — no extra
+  * tokenize pass) keyed by (source, bigram) with map-side combine;
+  * never a pair join. The boilerplate set itself is SMALL by
+  * construction: Σ df over a source's bigrams equals its bigram
+  * occurrence count, so at most divisor·avg_doc_bigrams bigrams per
+  * source can clear the relative bar — broadcast material at any
+  * corpus size, which is exactly how [[boilerplateStrip]] ships it
+  * back to the token stream.
+  */
+object Boilerplate {
+
+  /** (source, b, df, occ): per-source bigram document frequency and
+    * occurrence count, off the staged bigram tf base. The doc→source
+    * attach is a doc_id equi-join (postings-sized, no text ships). */
+  private def sourceBigramDf(docs: DataFrame): DataFrame =
+    TextAnalysis.stagedBigramTf(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source", "b")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("occ"))
+
+  private def sourceDocCounts(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+
+  /** df ≥ max(minDf, ceil(n_docs/divisor)), all-integer on both
+    * engines: ceil(n/d) = (n + d − 1) div d. */
+  private def isBoiler(minDf: Long, divisor: Long) =
+    col("df") >= greatest(lit(minDf),
+      expr(s"(n_docs + ${divisor - 1}) div $divisor"))
+
+  /** The per-source boilerplate PROFILE — the dashboard a curation
+    * run reads before committing to a strip: how much of each
+    * source's bigram vocabulary is template mass, and how hot its
+    * hottest template runs. One row per source that has at least one
+    * bigram (a source of single-token docs has nothing to measure). */
+  def boilerplateNgrams(docs: DataFrame, minDf: Long = 5L,
+                        divisor: Long = 10L): DataFrame =
+    sourceBigramDf(docs)
+      .join(broadcast(sourceDocCounts(docs)), Seq("source"))
+      .groupBy("source", "n_docs")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(isBoiler(minDf, divisor), 1L).otherwise(0L))
+          .as("n_boiler"),
+        coalesce(sum(when(isBoiler(minDf, divisor), col("occ"))),
+          lit(0L)).as("boiler_occ"),
+        max(col("df")).as("max_df"))
+      .select(col("source"), col("n_docs"), col("n_ngrams"),
+        col("n_boiler"), col("boiler_occ"), col("max_df"))
+
+  /** The strip pass: every token position covered by an occurrence of
+    * one of its source's boilerplate bigrams is removed; per doc the
+    * removal accounting (n_tokens, removed_tokens, kept_tokens).
+    * Overlapping occurrences share tokens — coverage is counted as
+    * DISTINCT positions, so "a b a b a" under boilerplate "a b"/"b a"
+    * removes 5 tokens, not 8.
+    *
+    * Shape: the boilerplate set is broadcast (bounded — see the
+    * object scaladoc), the token stream is touched once
+    * (posexplode ∝ corpus tokens), coverage explodes a constant 2
+    * offsets per hit and distincts on (doc_id, pos) — every shuffle
+    * is corpus-token-bounded or smaller, nothing is quadratic. */
+  def boilerplateStrip(docs: DataFrame, minDf: Long = 5L,
+                       divisor: Long = 10L): DataFrame = {
+    val boiler = boilerplateSet(docs, minDf, divisor)
+    val toked = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokens(col("text")).as("__t"))
+    val occ = toked.filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          """zip_with(slice(__t, 1, size(__t) - 1),
+                      slice(__t, 2, size(__t) - 1),
+                      (x, y) -> concat(x, ' ', y))"""))
+          .as(Seq("pos", "b")))
+    val covered = occ
+      .join(broadcast(boiler), Seq("source", "b"), "leftsemi")
+      .select(col("doc_id"),
+        explode(array(col("pos"), col("pos") + 1)).as("cp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("__n_removed"))
+    toked
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("__n_removed"), lit(0L)).as("removed_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("removed_tokens"))
+  }
+
+  /** The (source, b) boilerplate keep-out set — broadcast material
+    * (see object scaladoc for the size bound). */
+  private[graft] def boilerplateSet(docs: DataFrame, minDf: Long = 5L,
+                                    divisor: Long = 10L): DataFrame =
+    sourceBigramDf(docs)
+      .join(broadcast(sourceDocCounts(docs)), Seq("source"))
+      .filter(isBoiler(minDf, divisor))
+      .select(col("source"), col("b"))
+}

@@ -841,7 +841,7 @@ object TextAnalysis {
     * frame by aggregation. The same production argument as the
     * unigram tf artifact: an n-gram count table is a stored index, not
     * a per-query recompute. Streaming inputs bypass staging. */
-  private def stagedBigramTf(docs: DataFrame): DataFrame = {
+  private[graft] def stagedBigramTf(docs: DataFrame): DataFrame = {
     def build = bigramInstances(docs)
       .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
     if (docs.isStreaming) build

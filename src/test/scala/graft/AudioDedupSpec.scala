@@ -120,4 +120,22 @@ class AudioDedupSpec extends SparkTestBase {
       s"expected many re-synced shared chunks: $cdcPairs")
     Caches.releaseAll()
   }
+
+  test("audioVad: adaptive energy gate + min-duration segment rule") {
+    // blocks of 8 identical chars give exact block means: 'z' → 122,
+    // '!' → 33; the gate q·n ≥ Σq is integer on both engines
+    val alt = "z" * 8 + "!" * 8 + "z" * 8 + "!" * 8 // 122,33,122,33
+    val run = "z" * 16 + "!" * 16                   // 122,122,33,33
+    val out = Multimodal.audioVad(docs((1L, alt), (2L, run)), minRun = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_blocks", "n_active", "n_segments",
+        "longest_seg")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // both docs: Σq = 310, n = 4, active iff 4q ≥ 310 → loud only.
+    // doc 1's two actives are isolated (runs of 1 → no segment at
+    // minRun 2 but still counted in n_active); doc 2's form one
+    // 2-block segment
+    assert(out == Seq((1L, 4L, 2L, 0L, 1L), (2L, 4L, 2L, 1L, 2L)))
+    Caches.releaseAll()
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingSemDedup
+
+/** Streaming SemDeDup: assign-to-staged-centroid + cluster-scoped
+  * cosine verdicts must reproduce a brute-force replay of the batch
+  * rule (floor(cos·1e6) ≥ minSimMicro, priors = same-cluster earlier
+  * arrivals), including across trigger boundaries. */
+case class Emb(vec_id: Long, embedding: Seq[Double])
+
+class StreamingSemDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two well-separated clusters on the first two axes
+  private val centroids = Seq(
+    0 -> Seq(1.0, 0.0, 0.0, 0.0),
+    1 -> Seq(0.0, 1.0, 0.0, 0.0))
+
+  // corpus arrivals (trigger 1), then batch arrivals (trigger 2):
+  // 10 = exact copy of 0; 11 = near copy of 2 (cos ≈ 0.9998);
+  // 12 = novel in cluster 0 (orthogonal-ish, cos ≈ 0.7 < 0.95);
+  // 13/15 = batch-internal exact dups of each other in cluster 1
+  private val corpus = Seq(
+    Emb(0L, Seq(0.9, 0.1, 0.0, 0.0)),
+    Emb(2L, Seq(0.1, 0.95, 0.0, 0.0)),
+    Emb(4L, Seq(0.8, 0.0, 0.2, 0.0)))
+  private val batch = Seq(
+    Emb(10L, Seq(0.9, 0.1, 0.0, 0.0)),
+    Emb(11L, Seq(0.1, 0.94, 0.01, 0.0)),
+    Emb(12L, Seq(0.6, 0.0, 0.0, 0.8)),
+    Emb(13L, Seq(0.0, 0.9, 0.3, 0.0)),
+    Emb(15L, Seq(0.0, 0.9, 0.3, 0.0)))
+
+  private val tau = 950000L
+
+  /** Brute-force replay of the operator contract over an arrival
+    * order: nearest centroid by (d2, cid), priors = same-cluster
+    * earlier arrivals (across lists; vec_id order within a list). */
+  private def reference(lists: Seq[Seq[Emb]])
+      : Map[Long, (Int, Long, Boolean)] = {
+    // minBy keeps the FIRST minimum and centroids are cid-ascending —
+    // the operator's (d2, cid) tie-break
+    def cluster(v: Seq[Double]): Int =
+      centroids.minBy { case (_, c) =>
+        v.zip(c).map(t => (t._1 - t._2) * (t._1 - t._2)).sum
+      }._1
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map(t => t._1 * t._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val ordered = lists.flatMap(_.sortBy(_.vec_id))
+    ordered.zipWithIndex.map { case (d, i) =>
+      val cl = cluster(d.embedding)
+      val priors = ordered.take(i)
+        .filter(p => cluster(p.embedding) == cl)
+      val nDup = priors.count(p =>
+        math.floor(cos(p.embedding, d.embedding) * 1000000d)
+          .toLong >= tau)
+      d.vec_id -> ((cl, nDup.toLong, nDup == 0))
+    }.toMap
+  }
+
+  test("cross-trigger verdicts ≡ brute-force replay of the batch rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Emb]
+    val q = StreamingSemDedup.semDedupStream(
+        input.toDF(), centroids, minSimMicro = tau)
+      .writeStream.format("memory").queryName("semdedup")
+      .outputMode("append").start()
+    input.addData(corpus: _*)
+    q.processAllAvailable()
+    input.addData(batch: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("semdedup")
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ref = reference(Seq(corpus, batch))
+    assert(rows == ref, s"streamed $rows != reference $ref")
+    // the exact copy (10) and near copy (11) flagged against CORPUS
+    // members — cross-trigger state; the novel arrival (12) kept;
+    // 15 flags its batch-internal lower-id twin 13 (which also sees
+    // corpus member 2 within cosine reach? — the reference decides)
+    assert(!rows(10L)._3 && !rows(11L)._3 && rows(12L)._3)
+    assert(rows(15L)._2 >= 1L && !rows(15L)._3)
+  }
+
+  test("batch execution + duplicate re-arrival dropped O(1)") {
+    val out = StreamingSemDedup.semDedupStream(
+        (corpus ++ batch ++ Seq(corpus.head)).toDF(), centroids,
+        minSimMicro = tau, stateTtlMs = 60000L)
+      .collect().map(v => v.vec_id -> ((v.cluster, v.n_dup, v.kept)))
+      .toMap
+    // the re-arrival of vec 0 is dropped, not double-counted
+    assert(out.size == corpus.size + batch.size)
+    assert(out == reference(Seq(corpus ++ batch)))
+  }
+}

@@ -129,4 +129,25 @@ class VideoDedupSpec extends SparkTestBase {
     assert(pairs == Seq((1L, 2L, 2L)), s"got $pairs")
     Caches.releaseAll()
   }
+
+  test("scene dedup incremental: batch probes corpus + lower-batch scenes") {
+    val d = docs(
+      (0L, sceneA + sceneB), // corpus: scenes [A], [B]
+      (1L, sceneA + sceneB), // batch: exact scene copy of corpus 0
+      (2L, sceneC),          // corpus: scene [C]
+      (3L, sceneC),          // batch: copies corpus 2's scene
+      (5L, sceneB + sceneA), // batch: REORDERED scenes — single-frame
+                             // scenes salt at p=0, so both signatures
+                             // still match corpus 0 and lower-batch 1
+      (7L, sceneA.reverse))  // batch: novel scene
+    val fps = Multimodal.videoSceneFingerprints(d, cutHamming = 20)
+    val out = Dedup.fingerprintNeardupInc(
+        fps.filter("doc_id % 2 = 0"), fps.filter("doc_id % 2 = 1"),
+        minShared = 1, maxDf = 64)
+      .orderBy("doc_id").select("doc_id", "n_dup", "kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, false), (3L, 1L, false),
+      (5L, 2L, false), (7L, 0L, true)), s"got $out")
+    Caches.releaseAll()
+  }
 }
