@@ -2178,6 +2178,43 @@ object OracleExt {
              - coalesce(n_removed, CAST(0 AS BIGINT)) AS kept_tokens
     FROM bt LEFT JOIN nrm ON nrm.doc_id = bt.doc_id ORDER BY doc_id"""
 
+  /** Twin of Boilerplate.boilerplateStripInc — the boilerplate set
+    * profiled on the EVEN-doc corpus, the ODD-doc batch stripped
+    * against it (corpus-is-prior; the batch's own df never counts). */
+  def boilerplateStripInc(minDf: Long, divisor: Long): String = s"""
+    WITH pt AS (SELECT doc_id, source, $toks AS toks FROM documents
+                WHERE doc_id % 2 = 0),
+    pbg AS (SELECT doc_id, source,
+                   unnest(list_transform(toks[2:],
+                     (x, i) -> toks[i] || ' ' || x)) AS b
+            FROM pt),
+    sdf AS (SELECT source, b,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM pbg GROUP BY 1, 2),
+    bnd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+    bset AS (SELECT sdf.source AS source, b
+             FROM sdf JOIN bnd ON bnd.source = sdf.source
+             WHERE ${boilerGate(minDf, divisor)}),
+    bt AS (SELECT doc_id, source, $toks AS toks FROM documents
+           WHERE doc_id % 2 = 1),
+    bbg AS (SELECT doc_id, source,
+                   unnest(list_transform(toks[2:],
+                     (x, i) -> toks[i] || ' ' || x)) AS b,
+                   generate_subscripts(toks[2:], 1) AS pos
+            FROM bt),
+    cov AS (SELECT DISTINCT doc_id, cp FROM
+              (SELECT bbg.doc_id AS doc_id, unnest([pos, pos + 1]) AS cp
+               FROM bbg JOIN bset
+                 ON bbg.source = bset.source AND bbg.b = bset.b)),
+    nrm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+            FROM cov GROUP BY 1)
+    SELECT bt.doc_id AS doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           coalesce(n_removed, CAST(0 AS BIGINT)) AS removed_tokens,
+           CAST(len(toks) AS BIGINT)
+             - coalesce(n_removed, CAST(0 AS BIGINT)) AS kept_tokens
+    FROM bt LEFT JOIN nrm ON nrm.doc_id = bt.doc_id ORDER BY doc_id"""
+
   /** Twin of TextAnalysis.knBigram — interpolated Kneser-Ney in the
     * identical integer ppm lanes: discounted term, λ_ppm, pcont_ppm
     * each its own HUGEINT-laned truncating division (Spark side:
@@ -5025,7 +5062,8 @@ object OracleExt {
     * the occupancy cap, Hamming verify — the simhashPairs banding with
     * the allPairsJaccard rep discipline plus the VERDICT r15 #1
     * hot-bucket discipline. */
-  def imageNeardup(maxHamming: Int, maxBucket: Int): String = s"""
+  def imageNeardup(maxHamming: Int, maxBucket: Int,
+                   nBands: Int = 4): String = s"""
     WITH $dhashCte,
     $contrastCte,
     gdh AS (SELECT dh.doc_id, dh.dhash FROM dh
@@ -5034,8 +5072,9 @@ object OracleExt {
                     CAST(count(*) AS BIGINT) AS m
              FROM gdh GROUP BY 1),
     band AS (SELECT rep, dhash, m, CAST(j AS INTEGER) AS band_id,
-                    (dhash >> (j * 16)) & 65535 AS band_val
-             FROM reps CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+                    (dhash >> (j * ${64 / nBands}))
+                      & ${(1L << (64 / nBands)) - 1} AS band_val
+             FROM reps CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim}
     SELECT rep_a, rep_b, hamming, n_doc_pairs FROM (
       SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,

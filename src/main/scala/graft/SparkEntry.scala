@@ -1686,6 +1686,29 @@ object SparkEntry {
     // bigram occurrence, counted DISTINCT (overlaps share tokens)
     "boilerplate_strip" -> ((s, dir) =>
       Boilerplate.boilerplateStrip(docsPar(s, dir)).orderBy("doc_id")),
+    // Incremental strip — the production shape: the odd-doc batch is
+    // stripped against the boilerplate set PROFILED ON the even-doc
+    // corpus (the staged nightly artifact), never on itself
+    "boilerplate_strip_inc" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Boilerplate.boilerplateStripInc(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1)).orderBy("doc_id")
+    }),
+    // The measured upgrade path made runnable: 8x8-bit banding lifts
+    // Hamming-12 recall from 71 428 to 885 714 ppm (the two recall
+    // curves) at the price of hotter uniform buckets — the lane a
+    // pipeline that must CATCH 12-bit drift deploys; same flat
+    // pre-gate, same cap policy
+    "image_neardup8" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.hash64Neardup(
+        Multimodal.imageDhash(d).join(
+          Multimodal.imageGridStats(d)
+            .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
+          Seq("doc_id"), "leftsemi"),
+        "dhash", maxHamming = 12, nBands = 8).orderBy("rep_a", "rep_b")
+    }),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
       val d = Multimodal.decodeBatched(
@@ -1912,6 +1935,8 @@ object SparkEntry {
     "audio_vad" -> OracleExt.audioVad(2),
     "boilerplate_ngrams" -> OracleExt.boilerplateNgrams(5L, 10L),
     "boilerplate_strip" -> OracleExt.boilerplateStrip(5L, 10L),
+    "boilerplate_strip_inc" -> OracleExt.boilerplateStripInc(5L, 10L),
+    "image_neardup8" -> OracleExt.imageNeardup(12, 64, nBands = 8),
     "image_quality" -> OracleExt.imageQuality,
     "video_scenes" -> OracleExt.videoScenes(36),
     "image_neardup_inc" -> OracleExt.imageNeardupInc(12, 64),

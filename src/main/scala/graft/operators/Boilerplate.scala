@@ -81,8 +81,15 @@ object Boilerplate {
     * offsets per hit and distincts on (doc_id, pos) — every shuffle
     * is corpus-token-bounded or smaller, nothing is quadratic. */
   def boilerplateStrip(docs: DataFrame, minDf: Long = 5L,
-                       divisor: Long = 10L): DataFrame = {
-    val boiler = boilerplateSet(docs, minDf, divisor)
+                       divisor: Long = 10L): DataFrame =
+    stripAgainst(docs, boilerplateSet(docs, minDf, divisor))
+
+  /** The strip tail shared by [[boilerplateStrip]] and
+    * [[boilerplateStripInc]]: one token pass over `docs`, broadcast
+    * semi-join against the (source, b) set, distinct-position
+    * coverage, per-doc accounting. */
+  private def stripAgainst(docs: DataFrame, boiler: DataFrame)
+      : DataFrame = {
     val toked = docs.select(col("doc_id"), col("source"),
       TextAnalysis.tokens(col("text")).as("__t"))
     val occ = toked.filter(size(col("__t")) >= 2)
@@ -114,4 +121,21 @@ object Boilerplate {
       .join(broadcast(sourceDocCounts(docs)), Seq("source"))
       .filter(isBoiler(minDf, divisor))
       .select(col("source"), col("b"))
+
+  /** INCREMENTAL strip — the production deployment shape (the
+    * [[graft.operators.Dedup.incrementalDedup]] corpus-is-prior
+    * policy for this family): the boilerplate SET is a corpus
+    * artifact the nightly pass computes and stores; a daily batch is
+    * stripped AGAINST that staged set, never against df counts
+    * re-derived from itself (a small batch's df is noise, and
+    * re-profiling per batch would re-tokenize the corpus daily).
+    * Asymmetric by construction: the batch pays one token pass + a
+    * broadcast semi-join; the corpus contributes only its (small)
+    * boilerplate set. New template mass that first appears inside a
+    * batch is invisible until the next corpus profile — the
+    * documented staleness of every corpus-is-prior lane. */
+  def boilerplateStripInc(corpus: DataFrame, batch: DataFrame,
+                          minDf: Long = 5L,
+                          divisor: Long = 10L): DataFrame =
+    stripAgainst(batch, boilerplateSet(corpus, minDf, divisor))
 }

@@ -1475,12 +1475,13 @@ object Dedup {
   }
 
   def hash64Neardup(hashes: DataFrame, hashCol: String,
-                    maxHamming: Int = 6, maxBucket: Int = 64): DataFrame = {
+                    maxHamming: Int = 6, maxBucket: Int = 64,
+                    nBands: Int = 4): DataFrame = {
     val reps = graft.Caches.track(
       hashes.groupBy(col(hashCol).as("h"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m")))
     val banded = dropHotBuckets(
-      with16Bands(reps, "h")
+      withBandsN(reps, "h", nBands)
         .select(col("rep"), col("h"), col("m"),
           col("band_id"), col("band_val")),
       maxBucket)

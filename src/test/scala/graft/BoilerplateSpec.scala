@@ -62,6 +62,21 @@ class BoilerplateSpec extends SparkTestBase {
       (2L, 4L, 2L, 2L)))
   }
 
+  test("boilerplateStripInc: batch strips on the CORPUS profile only") {
+    val corpus = docs(
+      (0L, "s", "the footer a0 a1"),
+      (2L, "s", "the footer b0 b1"))
+    val batch = docs(
+      (1L, "s", "the footer c0 c1"),      // corpus boilerplate strips
+      (3L, "s", "new banner d0 d1"),      // batch-internal template...
+      (5L, "s", "new banner e0 e1"))      // ...is INVISIBLE (staleness)
+    val out = Boilerplate.boilerplateStripInc(corpus, batch,
+        minDf = 2L, divisor = 10L)
+      .orderBy("doc_id").select("doc_id", "removed_tokens")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 0L), (5L, 0L)))
+  }
+
   test("boilerplateStrip: per-source isolation and untouched docs survive") {
     // "the footer" is boilerplate of s1 only; s2's doc containing it
     // is untouched, and a single-token doc still appears with 0 removed

@@ -127,6 +127,25 @@ class ImageDedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("hash64Neardup nBands=8: catches the straddle 4x16 provably misses") {
+    // 4 flips, one in the LOW byte of each 16-bit band: every 16-bit
+    // band differs (4x16 finds nothing) but the four HIGH bytes still
+    // match (8x8 finds 4 shared bands) — the geometry the two recall
+    // curves price
+    val base = 0x1234_5678_9abc_def0L
+    val straddle = base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))
+    val hashes = Seq((1L, base), (2L, straddle)).toDF("doc_id", "dhash")
+    val wide = Dedup.hash64Neardup(hashes, "dhash", maxHamming = 12)
+      .count()
+    val narrow = Dedup.hash64Neardup(hashes, "dhash", maxHamming = 12,
+        nBands = 8)
+      .select("rep_a", "rep_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(wide == 0L, "a flip in every 16-bit band must defeat 4x16")
+    assert(narrow == Seq((1L, 2L, 4)), s"got $narrow")
+    Caches.releaseAll()
+  }
+
   test("hash64NeardupInc: batch probes corpus; exact AND near dups flag") {
     val original = blockyImage(90, 80, salt = 0)
     val corpusDh = Multimodal.dhashOf(Seq(
