@@ -3012,6 +3012,31 @@ object OracleExt {
     SELECT doc_a, doc_b, ma * mb AS n_doc_pairs FROM rpairs
     ORDER BY doc_a, doc_b"""
 
+  /** Twin of Similarity.lexicalSemanticConfirm — the rpairs CTE
+    * re-scored by embedding cosine (vec_id = doc_id), one summary
+    * row; sum lane instead of a mean (signed // vs div hazard). */
+  def lexicalSemanticConfirm(minSimMicro: Long): String = s"""
+    $repPairsCte,
+    $normCte,
+    lsc AS (SELECT CAST(floor(list_dot_product(a.v, b.v)
+                     / (sqrt(a.norm2) * sqrt(b.norm2)) * 1000000)
+                   AS BIGINT) AS sim_micro
+            FROM rpairs JOIN n a ON a.vec_id = rpairs.doc_a
+                        JOIN n b ON b.vec_id = rpairs.doc_b),
+    ltot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM rpairs),
+    lagg AS (SELECT CAST(count(*) AS BIGINT) AS n_scored,
+                    CAST(coalesce(sum(CASE WHEN sim_micro
+                          >= $minSimMicro THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_confirmed,
+                    CAST(coalesce(sum(sim_micro), 0) AS BIGINT)
+                      AS sim_micro_sum
+             FROM lsc)
+    SELECT n_pairs, n_scored, n_confirmed,
+           (1000000 * n_confirmed) // greatest(n_scored, 1)
+             AS confirm_ppm,
+           sim_micro_sum
+    FROM ltot CROSS JOIN lagg ORDER BY n_pairs"""
+
   /** Twin of Dedup.allPairsJaccard — same global lexicographic prefix
     * order (the operator deliberately skips the df-ascending ranking on
     * the near-unique shingle domain; `ts` is list_sort'd, so prefixes
@@ -5899,6 +5924,74 @@ object OracleExt {
             ON q.bucket = c.bucket AND c.vec_id != q.vec_id
           WHERE q.vec_id < $nQueries)
     WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Twin of Similarity.knnRefineRecall — the full LSH kNN graph
+    * (all vectors as queries), the ρ-capped reverse edges, one
+    * two-hop expansion, the exact-cosine re-rank, recall per round
+    * against brute-force truth. */
+  def knnRefineRecall(nQueries: Int, k: Int,
+                      ps: Seq[Seq[Long]]): String = s"""
+    WITH $normCte,
+    nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n),
+    g0 AS (SELECT query_id, cand_id, sim FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                    list_dot_product(a.v, b.v)
+                      / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY list_dot_product(a.v, b.v)
+                        / (sqrt(a.norm2) * sqrt(b.norm2)) DESC,
+                        b.vec_id) AS r
+             FROM nb a JOIN nb b
+               ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+           WHERE r <= $k),
+    rev AS (SELECT cand_id AS query_id, query_id AS cand_id FROM (
+              SELECT query_id, cand_id, sim,
+                     row_number() OVER (PARTITION BY cand_id
+                       ORDER BY sim DESC, query_id) AS r
+              FROM g0)
+            WHERE r <= $k),
+    und AS (SELECT query_id, cand_id FROM g0
+            UNION ALL SELECT query_id, cand_id FROM rev),
+    cand1 AS (SELECT DISTINCT query_id, cand_id FROM (
+                SELECT query_id, cand_id FROM g0
+                UNION ALL
+                SELECT x.query_id AS query_id, y.cand_id AS cand_id
+                FROM und x JOIN und y
+                  ON x.cand_id = y.query_id
+                     AND x.query_id != y.cand_id)),
+    g1 AS (SELECT query_id, cand_id FROM (
+             SELECT c.query_id, c.cand_id,
+                    row_number() OVER (PARTITION BY c.query_id
+                      ORDER BY list_dot_product(q.v, t.v)
+                        / (sqrt(q.norm2) * sqrt(t.norm2)) DESC,
+                        c.cand_id) AS r
+             FROM cand1 c JOIN nb q ON q.vec_id = c.query_id
+                          JOIN nb t ON t.vec_id = c.cand_id)
+           WHERE r <= $k),
+    truth AS (SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY $cosSql DESC, c.vec_id) AS r
+                FROM n q JOIN n c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < $nQueries)
+              WHERE r <= $k),
+    scored AS (
+      SELECT 0 AS round, CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN g.query_id IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM truth t LEFT JOIN
+        (SELECT query_id, cand_id FROM g0 WHERE query_id < $nQueries) g
+        ON g.query_id = t.query_id AND g.cand_id = t.cand_id
+      UNION ALL
+      SELECT 1 AS round, CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN g.query_id IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM truth t LEFT JOIN
+        (SELECT query_id, cand_id FROM g1 WHERE query_id < $nQueries) g
+        ON g.query_id = t.query_id AND g.cand_id = t.cand_id)
+    SELECT round, n_truth, n_hits,
+           (1000000 * n_hits) // greatest(n_truth, 1) AS recall_ppm
+    FROM scored ORDER BY round"""
 
   /** Twin of Similarity.lshTopKMultiProbe: the query side is expanded
     * with XOR masks {0, 1<<0, ..., 1<<(nPlanes-1)} — own bucket plus

@@ -1152,6 +1152,12 @@ object SparkEntry {
     // LSH candidate pairs via band equi-join
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // Lexical x semantic agreement: every minhash pair re-scored by
+    // the embedding cosine of its endpoints (vec_id = doc_id) — do
+    // the two dedup lanes see the same duplicate population?
+    "lexical_semantic_confirm" -> ((s, dir) =>
+      Similarity.lexicalSemanticConfirm(docsPar(s, dir), embPar(s, dir))
+        .orderBy("n_pairs")),
     // EXACT all-pairs Jaccard >= tau via prefix filtering — the
     // complete join the probabilistic LSH path cannot guarantee
     "allpairs_jaccard" -> ((s, dir) =>
@@ -1295,6 +1301,12 @@ object SparkEntry {
     // Recall@k evaluator: exact top-k vs the LSH path, integer percent
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(embPar(s, dir)).orderBy("query_id")),
+    // One NN-Descent round over the full LSH kNN graph: two-hop
+    // candidates (reverse edges rho-capped at k — the hub discipline)
+    // re-ranked by exact cosine; recall@k per round vs brute force —
+    // the measured answer to "what does one refine round buy"
+    "knn_refine" -> ((s, dir) =>
+      Similarity.knnRefineRecall(embPar(s, dir)).orderBy("round")),
     // Matryoshka truncation eval: recall@k of the 16-dim prefix
     // ranking against the full 64-dim exact top-k
     "mrl_recall" -> ((s, dir) =>
@@ -2107,6 +2119,7 @@ object SparkEntry {
       FROM events WHERE event_id // 4 >= 100 ORDER BY seq, shard""",
     "minhash_bands" -> OracleExt.minhashBands,
     "minhash_pairs" -> OracleExt.minhashPairs,
+    "lexical_semantic_confirm" -> OracleExt.lexicalSemanticConfirm(350000L),
     "dup_transitivity" -> OracleExt.dupTransitivity,
     "allpairs_jaccard" -> OracleExt.allPairsJaccard(900L),
     "minhash_est" -> OracleExt.minhashJaccardEst,
@@ -2138,6 +2151,7 @@ object SparkEntry {
     "hard_negatives" -> OracleExt.hardNegatives(10, 3),
     "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),
     "ann_lsh" -> OracleExt.lshTopK(50, 3, Similarity.planes()),
+    "knn_refine" -> OracleExt.knnRefineRecall(10, 5, Similarity.planes()),
     "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),
     "mrl_recall" -> OracleExt.mrlRecall(10, 5, 16),
     "mrr_eval" -> OracleExt.mrrEval(10, 5, Similarity.planes()),

@@ -745,4 +745,138 @@ object Similarity {
       .select(col("query_id"), col("n_true"), col("n_hit"),
         expr(s"(100 * n_hit) div $k").as("recall_pct"))
   }
+
+  /** The FULL approximate kNN graph from one LSH table — round 0 of
+    * NN-Descent (Dong et al., "Efficient K-Nearest Neighbor Graph
+    * Construction for Generic Similarity Measures", WWW 2011): every
+    * vector ranks its bucket-mates by exact cosine and keeps k. Unlike
+    * [[lshTopK]] (a small broadcast query set) this is the GRAPH BUILD:
+    * all vectors are queries, so the bucket self-join costs
+    * Σ|bucket|² ≈ N²/2^planes dot products — the standard price of an
+    * LSH-seeded graph; at corpus scale the dial is more planes (the
+    * per-bucket cost falls exponentially) and the graph is built once
+    * and staged, like any index. Edges carry sim for the refine step. */
+  private def knnGraphLsh(n: DataFrame, k: Int): DataFrame = {
+    val a = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("norm2").as("qn"), col("bucket"))
+    val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"), col("bucket"))
+    a.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
+  /** ONE NN-Descent refinement round with measured recall uplift —
+    * "a neighbor of my neighbor is probably my neighbor": round-1
+    * candidates are the round-0 edges plus every two-hop path through
+    * the UNDIRECTED round-0 graph, re-ranked by exact cosine. The
+    * reverse edge list is CAPPED at k per vector (by sim, the same
+    * tie-break) — NN-Descent's reverse-neighbor sampling (ρ), and this
+    * repo's hot-key discipline: an ANN hub's in-degree is unbounded,
+    * and without the cap one hub makes the expansion quadratic. With
+    * it every vector's degree is ≤ 2k, the expansion is ≤ (2k)² pairs
+    * per vector, and the whole round is two edge-table self-joins —
+    * no second pass over the vectors beyond the ≤ N·(2k)² re-rank.
+    *
+    * Output: recall@k vs brute-force cosine truth on the nQueries
+    * probe set, per round — the measured answer to "what does one
+    * refinement round buy over the raw LSH graph". 2 rows. */
+  def knnRefineRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                      ps: Seq[Seq[Long]] = planes()): DataFrame = {
+    val n = graft.Caches.track(
+      withNorm(emb).withColumn("bucket", lshBucket(col("v"), ps))
+        .select(col("vec_id"), col("v"), col("norm2"), col("bucket")))
+    val g0 = graft.Caches.track(knnGraphLsh(n, k))
+    // ρ-cap: top-k INCOMING edges per vector, then the undirected view
+    val rev = g0
+      .select(col("cand_id").as("query_id"), col("query_id").as("cand_id"),
+        col("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"))
+    val undirected = g0.select(col("query_id"), col("cand_id"))
+      .unionByName(rev)
+    val expand = undirected.as("x").join(undirected.as("y"),
+        col("x.cand_id") === col("y.query_id")
+          && col("x.query_id") =!= col("y.cand_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("y.cand_id").as("cand_id"))
+    val cand1 = g0.select(col("query_id"), col("cand_id"))
+      .unionByName(expand).distinct()
+    val nq = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("norm2").as("qn"))
+    val nc = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"))
+    val g1 = cand1.join(nq, Seq("query_id")).join(nc, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"))
+    val truth = topkCosine(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"))
+    def recallOf(g: DataFrame, round: Int): DataFrame =
+      truth.join(
+          g.filter(col("query_id") < nQueries)
+            .select(col("query_id"), col("cand_id"), lit(1L).as("__hit")),
+          Seq("query_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        .select(lit(round).as("round"), col("n_truth"), col("n_hits"),
+          expr("(1000000 * n_hits) div greatest(n_truth, 1)")
+            .as("recall_ppm"))
+    recallOf(g0.select(col("query_id"), col("cand_id")), 0)
+      .unionByName(recallOf(g1, 1))
+  }
+
+  /** Lexical×semantic dedup agreement — the audit a pipeline runs
+    * before trusting EITHER dedup method alone: every minhash
+    * candidate pair (strictly-near rep pairs, the collapsed lane) is
+    * re-scored by the embedding cosine of its endpoints, and the
+    * summary says what fraction of lexically-near pairs the semantic
+    * threshold confirms. Low agreement means the two methods see
+    * different duplicate populations (reworded mirrors vs verbatim
+    * copies) and the pipeline needs both lanes; near-1e6 means the
+    * cheaper lane subsumes the dearer one at this τ. The companion of
+    * [[graft.operators.Dedup.dedupMethodAgreement]] (minhash×simhash —
+    * both lexical) across the lexical/semantic divide.
+    *
+    * Shape: the pair list is candidate-scale (band-join bounded);
+    * scoring is two vec_id equi-joins against the normed embedding
+    * table; output is ONE row. `sim_micro_sum` is an exact integer
+    * lane (a mean would divide a possibly-negative sum, where Spark
+    * `div` truncates and DuckDB `//` floors — the consumer divides). */
+  def lexicalSemanticConfirm(docs: DataFrame, emb: DataFrame,
+                             minSimMicro: Long = 350000L): DataFrame = {
+    val pairs = graft.Caches.track(
+      graft.operators.Dedup.minhashPairs(docs).select("doc_a", "doc_b"))
+    val nv = withNorm(emb).select(col("vec_id"), col("v"), col("norm2"))
+    val a = nv.select(col("vec_id").as("doc_a"), col("v").as("qv"),
+      col("norm2").as("qn"))
+    val b = nv.select(col("vec_id").as("doc_b"), col("v").as("cv"),
+      col("norm2").as("cn"))
+    val scored = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(simMicro(cosine(col("qv"), col("qn"), col("cv"),
+        col("cn"))).as("sim_micro"))
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    val sc = scored.agg(count(lit(1)).as("n_scored"),
+      coalesce(sum(when(col("sim_micro") >= minSimMicro, 1L)
+        .otherwise(0L)), lit(0L)).as("n_confirmed"),
+      coalesce(sum(col("sim_micro")), lit(0L)).as("sim_micro_sum"))
+    tot.crossJoin(sc)
+      .select(col("n_pairs"), col("n_scored"), col("n_confirmed"),
+        expr("(1000000 * n_confirmed) div greatest(n_scored, 1)")
+          .as("confirm_ppm"),
+        col("sim_micro_sum"))
+  }
 }

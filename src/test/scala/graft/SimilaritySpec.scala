@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** §2.4 similarity search: cosine top-k ordering, LSH bucket stability,
   * bucket-pruned near-dup detection. */
@@ -365,6 +365,106 @@ class SimilaritySpec extends SparkTestBase {
     val e = emb((0L, vec(1f, 0f), 1), (1L, vec(2f, 0f), 1),
       (2L, vec(0f, 1f), 1))
     assert(Similarity.hardNegatives(e, nQueries = 2, k = 3).isEmpty)
+    Caches.releaseAll()
+  }
+
+  test("knnRefineRecall ≡ a full scalar replay; round 1 never loses") {
+    val n = 40
+    val nQ = 8
+    val k = 3
+    val vecs: Map[Long, Array[Double]] = (0 until n).map { i =>
+      i.toLong -> Array.tabulate(dim)(d =>
+        (((i * 31 + d * 17) % 13) - 6).toDouble)
+    }.toMap
+    val e = emb(vecs.toSeq.sortBy(_._1).map { case (i, v) =>
+      (i, v.map(_.toFloat).toSeq, 0)
+    }: _*)
+
+    // scalar replay of the whole pipeline
+    val ps = Similarity.planes()
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def bucket(v: Array[Double]): Long =
+      ps.zipWithIndex.map { case (p, i) =>
+        if (dot(v, p.map(_.toDouble).toArray) > 0) 1L << i else 0L
+      }.sum
+    def sim(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    def topk(q: Long, cands: Iterable[Long]): Seq[Long] =
+      cands.toSeq.distinct.filter(_ != q)
+        .sortBy(c => (-sim(q, c), c)).take(k)
+    val buckets = vecs.keys.groupBy(i => bucket(vecs(i)))
+    val g0: Map[Long, Seq[Long]] = vecs.keys.map { q =>
+      q -> topk(q, buckets(bucket(vecs(q))))
+    }.toMap
+    val g0Edges = g0.toSeq.flatMap { case (q, cs) => cs.map(q -> _) }
+    val rev = g0Edges.groupBy(_._2).toSeq.flatMap { case (t, in) =>
+      in.map(_._1).sortBy(s => (-sim(t, s), s)).take(k).map(t -> _)
+    }
+    val und = g0Edges ++ rev
+    val byQ = und.groupBy(_._1)
+    val expand = und.flatMap { case (q, mid) =>
+      byQ.getOrElse(mid, Nil).map(_._2).filter(_ != q).map(q -> _)
+    }
+    val g1: Map[Long, Seq[Long]] =
+      (g0Edges ++ expand).groupBy(_._1).map { case (q, es) =>
+        q -> topk(q, es.map(_._2))
+      }
+    val truth: Map[Long, Set[Long]] = (0L until nQ).map { q =>
+      q -> topk(q, vecs.keys).toSet
+    }.toMap
+    def recall(g: Map[Long, Seq[Long]]): (Long, Long) = {
+      val hits = truth.map { case (q, t) =>
+        g.getOrElse(q, Nil).count(t.contains)
+      }.sum
+      (truth.values.map(_.size).sum.toLong, hits.toLong)
+    }
+    val (t0, h0) = recall(g0)
+    val (t1, h1) = recall(g1)
+
+    val rows = Similarity.knnRefineRecall(e, nQueries = nQ, k = k)
+      .orderBy("round")
+      .select("round", "n_truth", "n_hits", "recall_ppm")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (0, t0, h0, 1000000L * h0 / math.max(t0, 1)),
+      (1, t1, h1, 1000000L * h1 / math.max(t1, 1))), s"got $rows")
+    // monotone: g1 re-ranks a superset of g0's edges under the same
+    // total order, so a truth hit can only be displaced by another
+    // truth hit
+    assert(h1 >= h0)
+    Caches.releaseAll()
+  }
+
+  test("lexicalSemanticConfirm: lexical pairs scored by endpoint cosine") {
+    val w = (0 until 50).map(i => s"w$i")
+    val docs = Seq(
+      (0L, w.mkString(" ")),
+      (1L, (w.dropRight(1) :+ "zzz").mkString(" ")), // one-word rewrite
+      (2L, (0 until 50).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // precondition: the rewrite is a minhash candidate and nothing else
+    val pairs = Dedup.minhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"fixture must pair exactly (0,1): $pairs")
+    // identical endpoint embeddings → confirmed (cos exactly 1.0)
+    val e = emb((0L, vec(1f, 0f), 0), (1L, vec(1f, 0f), 0),
+      (2L, vec(0f, 1f), 0))
+    val row = Similarity.lexicalSemanticConfirm(docs, e)
+      .select("n_pairs", "n_scored", "n_confirmed", "confirm_ppm",
+        "sim_micro_sum")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(row == ((1L, 1L, 1L, 1000000L, 1000000L)), s"got $row")
+    // orthogonal endpoints → scored but unconfirmed
+    val e2 = emb((0L, vec(1f, 0f), 0), (1L, vec(0f, 1f), 0),
+      (2L, vec(1f, 1f), 0))
+    val row2 = Similarity.lexicalSemanticConfirm(docs, e2)
+      .select("n_confirmed", "confirm_ppm", "sim_micro_sum")
+      .as[(Long, Long, Long)].head()
+    assert(row2 == ((0L, 0L, 0L)), s"got $row2")
     Caches.releaseAll()
   }
 }
