@@ -2074,6 +2074,30 @@ object OracleExt {
     FROM c, tot ORDER BY max_rep"""
   }
 
+  /** Twin of TextAnalysis.longestRepeat — brute force over every
+    * (L, start) token n-gram per doc (O(n²) rows; the Spark side is a
+    * linear suffix automaton — the oracle pays what the engine
+    * avoids): lrs = max L whose gram multiset has a duplicate. */
+  val longestRepeat: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    tl AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    lg AS (SELECT doc_id, toks, n, unnest(range(1, n)) AS l
+           FROM tl WHERE n >= 2),
+    grams AS (SELECT doc_id, l,
+                     array_to_string(
+                       toks[CAST(p + 1 AS BIGINT):CAST(p + l AS BIGINT)],
+                       ' ') AS g
+              FROM (SELECT doc_id, toks, l,
+                           unnest(range(0, n - l + 1)) AS p
+                    FROM lg)),
+    dup AS (SELECT doc_id, l FROM grams
+            GROUP BY doc_id, l, g HAVING count(*) >= 2),
+    mx AS (SELECT doc_id, CAST(max(l) AS INTEGER) AS lrs
+           FROM dup GROUP BY 1)
+    SELECT t.doc_id AS doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           coalesce(lrs, 0) AS lrs
+    FROM t LEFT JOIN mx ON mx.doc_id = t.doc_id ORDER BY doc_id"""
+
   /** Twin of TextAnalysis.surprisalMix — the unigramSurprisal CTEs
     * re-aggregated to the source × band matrix with per-source ppm
     * shares. */
@@ -5911,6 +5935,75 @@ object OracleExt {
       ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
     GROUP BY ex.query_id ORDER BY ex.query_id"""
   }
+
+  /** Sign-bit packing of a 64-dim DOUBLE[] into one BIGINT — bit 63's
+    * power interpolates as the BIGINT-minimum literal (DuckDB errors
+    * on 1 << 63 where Spark's shiftleft wraps). */
+  private def signPackSql: String =
+    (0 until 64).map(i =>
+      s"(CASE WHEN v[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT)" +
+        " ELSE 0 END)").mkString(" + ")
+
+  /** Twin of Similarity.topkBinary — Hamming shortlist over the
+    * packed sign codes, exact-cosine rescore. */
+  def topkBinary(nQueries: Int, k: Int, shortlistFactor: Int): String = s"""
+    WITH $normCte,
+    ncd AS (SELECT vec_id, v, norm2, $signPackSql AS code FROM n),
+    short AS (SELECT query_id, cand_id, hamming, qv, qn, cv, cn FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               bit_count(xor(q.code, c.code)) AS hamming,
+               q.v AS qv, q.norm2 AS qn, c.v AS cv, c.norm2 AS cn,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.code, c.code)), c.vec_id) AS hr
+        FROM ncd q JOIN ncd c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE hr <= ${shortlistFactor * k})
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+           CAST(hamming AS INTEGER) AS hamming,
+           CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+    FROM (SELECT query_id, cand_id, hamming,
+                 list_dot_product(qv, cv) / (sqrt(qn) * sqrt(cn)) AS sim,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY list_dot_product(qv, cv)
+                     / (sqrt(qn) * sqrt(cn)) DESC, cand_id) AS rank
+          FROM short)
+    WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Twin of Similarity.binaryRecall — the projRecall evaluator shape
+    * over the binary two-stage path. */
+  def binaryRecall(nQueries: Int, k: Int, shortlistFactor: Int): String = s"""
+    WITH $normCte,
+    ncd AS (SELECT vec_id, v, norm2, $signPackSql AS code FROM n),
+    ex AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k),
+    short AS (SELECT query_id, cand_id, qv, qn, cv, cn FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               q.v AS qv, q.norm2 AS qn, c.v AS cv, c.norm2 AS cn,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.code, c.code)), c.vec_id) AS hr
+        FROM ncd q JOIN ncd c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE hr <= ${shortlistFactor * k}),
+    ap AS (SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, cv)
+                   / (sqrt(qn) * sqrt(cn)) DESC, cand_id) AS rank
+        FROM short)
+      WHERE rank <= $k)
+    SELECT ex.query_id, count(*) AS n_true,
+           CAST(sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_hit,
+           CAST((100 * sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1
+                           END)) // $k AS BIGINT) AS recall_pct
+    FROM ex LEFT JOIN ap
+      ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
+    GROUP BY ex.query_id ORDER BY ex.query_id"""
 
   def lshTopK(nQueries: Int, k: Int, ps: Seq[Seq[Long]]): String = s"""
     WITH $normCte,

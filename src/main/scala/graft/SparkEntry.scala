@@ -427,6 +427,12 @@ object SparkEntry {
     // a within-doc repeated L-gram, histogrammed over the corpus
     "repeat_depth" -> ((s, dir) =>
       TextAnalysis.repeatDepth(docsPar(s, dir))),
+    // EXACT per-doc longest repeated token span via the native
+    // suffix-automaton expression — one codegen'd map, no shuffle;
+    // the twin brute-forces every (L, pos) n-gram, which is why the
+    // twin is the oracle and this is the engine
+    "longest_repeat" -> ((s, dir) =>
+      TextAnalysis.longestRepeat(docsPar(s, dir)).orderBy("doc_id")),
     "bigram_surprisal" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(docsPar(s, dir)).orderBy("doc_id")),
     // PMI phrase miner: top collocations by integer likelihood lift
@@ -1143,6 +1149,15 @@ object SparkEntry {
     // Brute-force top-k on int8 codes (4× smaller candidate stream)
     "topk_quantized" -> ((s, dir) =>
       Similarity.topkQuantized(embPar(s, dir)).orderBy("query_id", "rank")),
+    // 1-bit binary quantization serving: Hamming shortlist over the
+    // packed sign codes (32x smaller than float32), exact rescore —
+    // the bottom rung of the storage ladder (int8 -> PQ/OPQ -> 1-bit)
+    "topk_binary" -> ((s, dir) =>
+      Similarity.topkBinary(embPar(s, dir)).orderBy("query_id", "rank")),
+    // recall@k of the two-stage binary path vs exact cosine — what the
+    // 32x compression costs at this shortlist factor
+    "binary_recall" -> ((s, dir) =>
+      Similarity.binaryRecall(embPar(s, dir)).orderBy("query_id")),
 
     // ---- §2.4 LLM-data-pipeline: near-dup detection -----------------
     // MinHash banded-LSH keys (16 lanes, 4 bands)
@@ -1913,6 +1928,8 @@ object SparkEntry {
     "importance_sample" -> OracleExt.importanceSample(TextAnalysis.stopwords("en")),
     "corpus_stats" -> OracleExt.corpusStats,
     "topk_quantized" -> OracleExt.topkQuantized(10, 5),
+    "topk_binary" -> OracleExt.topkBinary(10, 5, 4),
+    "binary_recall" -> OracleExt.binaryRecall(10, 5, 4),
     "text_termfreq" -> OracleExt.termFreq,
     "vocab_coverage" -> OracleExt.vocabCoverage(Seq(50, 90, 99)),
     "token_count" -> OracleExt.tokenCounts,
@@ -1984,6 +2001,7 @@ object SparkEntry {
     "bigram_surprisal" -> OracleExt.bigramSurprisal,
     "surprisal_mix" -> OracleExt.surprisalMix(2000L),
     "repeat_depth" -> OracleExt.repeatDepth,
+    "longest_repeat" -> OracleExt.longestRepeat,
     "pmi_phrases" -> OracleExt.pmiPhrases(5L, 50),
     "kn_bigram" -> OracleExt.knBigram(5L, 50),
     "term_chi2" -> OracleExt.termChi2(20, 5L),

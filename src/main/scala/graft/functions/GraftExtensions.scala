@@ -72,6 +72,8 @@ object GraftFunctions {
       cs => RollingHash31Expr(cs.head)),
     descriptor("word_tokens", classOf[WordTokensExpr],
       cs => WordTokensExpr(cs.head)),
+    descriptor("longest_repeat", classOf[LongestRepeatExpr],
+      cs => LongestRepeatExpr(cs.head)),
     descriptor("cms_estimate", classOf[CmsEstimateExpr],
       cs => CmsEstimateExpr(cs(0), cs(1))),
     descriptor("word_shingles", classOf[WordShinglesExpr], {

@@ -839,6 +839,74 @@ object Similarity {
       .unionByName(recallOf(g1, 1))
   }
 
+  /** 64-bit sign-bit code of a 64-dim vector — 1-bit-per-dimension
+    * binary quantization, the bottom rung of the embedding-storage
+    * ladder (float32 → int8 absmax → PQ/OPQ → THIS): 32× smaller than
+    * float32 and the distance is a popcount. Bit 63's power is the
+    * BIGINT minimum — Spark's shiftleft wraps to it and the twin
+    * interpolates the literal, so the packed value is identical. */
+  private def signBits(v: Column, dim: Int): Column =
+    (0 until dim).map(i =>
+      when(element_at(v, i + 1) > 0d, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Two-stage binary-quantized top-k — the serving pattern every
+    * binary-quantization deployment uses (Hamming SHORTLIST over the
+    * 1-bit codes, exact-cosine RESCORE of the survivors): the full
+    * float scan touches only shortlist·nQueries vectors, everything
+    * else is a popcount over codes 32× smaller than the embeddings.
+    * Shortlist r·k per query by (Hamming, cand_id); final k by exact
+    * cosine — recall is bought with r, measured by [[binaryRecall]].
+    * Same broadcast-query shape as [[topkCosine]]: the big side is
+    * scanned once, both rank windows are k-bounded per query. */
+  def topkBinary(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                 shortlistFactor: Int = 4, dim: Int = 64): DataFrame = {
+    val n = graft.Caches.track(withNorm(emb)
+      .select(col("vec_id"), col("v"), col("norm2"),
+        signBits(col("v"), dim).as("code")))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"), col("code").as("qc"))
+    val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm2").as("cn"), col("code").as("cc"))
+    val short = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("qn"),
+        col("cv"), col("cn"),
+        bit_count(col("qc").bitwiseXOR(col("cc"))).as("hamming"))
+      .withColumn("__hr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("cand_id"))))
+      .filter(col("__hr") <= shortlistFactor * k)
+    short
+      .select(col("query_id"), col("cand_id"), col("hamming"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cand_id"), col("hamming"),
+        simMicro(col("sim")).as("sim_micro"))
+  }
+
+  /** Recall@k of the binary-quantized two-stage serving path against
+    * exact cosine — the [[annRecall]] evaluator pointed at the 1-bit
+    * rung; the number that tells you whether 32× storage compression
+    * is free at this shortlist factor. */
+  def binaryRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                   shortlistFactor: Int = 4): DataFrame = {
+    val exact = topkCosine(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = topkBinary(emb, nQueries, k, shortlistFactor)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        expr(s"(100 * n_hit) div $k").as("recall_pct"))
+  }
+
   /** Lexical×semantic dedup agreement — the audit a pipeline runs
     * before trusting EITHER dedup method alone: every minhash
     * candidate pair (strictly-near rep pairs, the collapsed lane) is

@@ -606,6 +606,20 @@ object TextAnalysis {
       .orderBy("max_rep")
   }
 
+  /** EXACT longest repeated token span per doc — the suffix structure
+    * [[repeatDepth]]'s contract points at, delivered: a native
+    * codegen'd suffix-automaton expression
+    * ([[org.apache.spark.sql.graft.LongestRepeatExpr]]) makes the
+    * whole operator one map over the corpus (no explode, no shuffle,
+    * no per-L probe passes). The probe ladder remains the histogram
+    * view; this is the per-doc exact number a removal decision reads.
+    * TextAnalysisSpec pins the cross-op invariant: repeatDepth's
+    * max_rep is exactly the largest ladder rung ≤ lrs. */
+  def longestRepeat(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      org.apache.spark.sql.graft.LongestRepeatExpr(col("text")).as("lrs"))
+
   /** Heavy hitters with a Count-Min sketch cross-check — the
     * bounded-memory frequency sketch beside the library's HLL
     * (approx_distinct) and t-digest (approx_percentiles): the CMS is

@@ -439,6 +439,28 @@ class SimilaritySpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("topkBinary/binaryRecall: the shortlist factor buys back what sign codes lose") {
+    // q's cosine-nearest neighbor (1) crosses a sign boundary on the
+    // tiny dim (Hamming 1); a cosine-far decoy (2) shares all signs
+    // (Hamming 0). shortlist=1 admits only the decoy — the classic
+    // binary-quantization failure; shortlist=2 recovers the truth
+    val e = emb(
+      (0L, vec(1f, 100f), 0),      // query: signs (+,+)
+      (1L, vec(-0.01f, 100f), 0),  // true NN: cos ~1, signs (-,+)
+      (2L, vec(100f, 1f), 0))      // decoy: cos ~0.02, signs (+,+)
+    val r1 = Similarity.binaryRecall(e, nQueries = 1, k = 1,
+      shortlistFactor = 1).select("recall_pct").as[Long].head()
+    val r2 = Similarity.binaryRecall(e, nQueries = 1, k = 1,
+      shortlistFactor = 2).select("recall_pct").as[Long].head()
+    assert(r1 == 0L && r2 == 100L, s"got $r1 / $r2")
+    val top = Similarity.topkBinary(e, nQueries = 1, k = 1,
+        shortlistFactor = 2)
+      .select("rank", "cand_id", "hamming")
+      .as[(Int, Long, Int)].collect().toSeq
+    assert(top == Seq((1, 1L, 1)), s"got $top")
+    Caches.releaseAll()
+  }
+
   test("lexicalSemanticConfirm: lexical pairs scored by endpoint cosine") {
     val w = (0 until 50).map(i => s"w$i")
     val docs = Seq(

@@ -467,4 +467,55 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.forall(t => t._2 > 0L && t._2 <= 1000000L))
     Caches.releaseAll()
   }
+
+  test("longestRepeat: known spans, overlap convention, empty/clean docs") {
+    val d = docs(
+      (0L, "a b a b a"),    // "a b a" at 0 and 2 (overlap) → 3
+      (1L, "x y x y x y"),  // "x y x y" at 0 and 2 → 4
+      (2L, "a b c"),        // no token repeats → 0
+      (3L, "a a a"),        // "a a" at 0 and 1 → 2
+      (4L, "solo"),         // single token → 0
+      (5L, ""))             // empty → 0
+    val r = TextAnalysis.longestRepeat(d).orderBy("doc_id")
+      .select("doc_id", "lrs").as[(Long, Int)].collect().toSeq
+    assert(r == Seq((0L, 3), (1L, 4), (2L, 0), (3L, 2), (4L, 0), (5L, 0)),
+      s"got $r")
+  }
+
+  /** Scalar brute force: max L with a duplicated L-gram (overlaps
+    * allowed) — the oracle's O(n²) definition. */
+  private def bruteLrs(toks: Seq[String]): Int =
+    (1 until toks.length).filter { l =>
+      val grams = toks.sliding(l).map(_.mkString(" ")).toSeq
+      grams.distinct.size < grams.size
+    }.maxOption.getOrElse(0)
+
+  test("longestRepeat ≡ brute force; repeatDepth is its ladder floor") {
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val fixtures = (0 until 30).map { i =>
+      val len = 5 + (i * 7) % 36
+      val text = (0 until len)
+        .map(j => vocab((i * 13 + j * j + j / 3) % vocab.size))
+        .mkString(" ")
+      (i.toLong, text)
+    }
+    val d = docs(fixtures: _*)
+    val got = TextAnalysis.longestRepeat(d)
+      .select("doc_id", "lrs").as[(Long, Int)].collect().toMap
+    val want = fixtures.map { case (id, t) =>
+      id -> bruteLrs(t.split(" ").toSeq)
+    }.toMap
+    assert(got == want, s"diff: ${got.toSet diff want.toSet}")
+    // cross-op invariant: the doubling probe equals the largest
+    // ladder rung ≤ the exact lrs (a repeated lrs-gram contains a
+    // repeated L-gram for every L ≤ lrs)
+    val ladder = Seq(32, 16, 8, 4, 2, 1)
+    val wantHist = want.values
+      .map(lrs => ladder.find(_ <= lrs).getOrElse(0).toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotHist = TextAnalysis.repeatDepth(d)
+      .select("max_rep", "n_docs").as[(Long, Long)].collect().toMap
+    assert(gotHist == wantHist, s"got $gotHist want $wantHist")
+    Caches.releaseAll()
+  }
 }
