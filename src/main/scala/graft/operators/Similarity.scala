@@ -850,6 +850,18 @@ object Similarity {
       when(element_at(v, i + 1) > 0d, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
 
+  /** (doc_id, dhash) packed sign codes — the composition seam between
+    * the embedding ladder and the 64-bit hash dedup lanes: feed this
+    * into [[graft.operators.Dedup.hash64Neardup]] for batch
+    * binary-quantized embedding dedup, or into
+    * [[graft.streaming.StreamingHashDedup]] for the ONLINE embedding
+    * dedup gate — no new operator, the hash machinery (banding,
+    * hot-bucket cap, Hamming verify) is hash-source-agnostic.
+    * StreamingHashDedupSpec pins the streaming composition. */
+  def signCodes(emb: DataFrame, dim: Int = 64): DataFrame =
+    withNorm(emb).select(col("vec_id").as("doc_id"),
+      signBits(col("v"), dim).as("dhash"))
+
   /** Two-stage binary-quantized top-k — the serving pattern every
     * binary-quantization deployment uses (Hamming SHORTLIST over the
     * 1-bit codes, exact-cosine RESCORE of the survivors): the full

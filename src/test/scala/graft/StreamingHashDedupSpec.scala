@@ -67,4 +67,26 @@ class StreamingHashDedupSpec extends SparkTestBase {
       .collect().map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
     assert(out == reference(10))
   }
+
+  test("composition: sign codes make this the ONLINE embedding dedup gate") {
+    import graft.operators.Similarity
+    // an exact embedding copy (same signs → hamming 0) and a small
+    // perturbation that flips exactly one sign; an unrelated vector
+    // flips many — the stream flags the first two pairs and not the
+    // third, with NO embedding-specific streaming code
+    def v(head: Double*): Seq[Double] =
+      head ++ Seq.fill(64 - head.size)(0.25)
+    val emb = Seq(
+      (1L, v(1.0, 1.0)),            // all 64 signs positive
+      (2L, v(1.0, 1.0)),            // exact copy → hamming 0
+      (3L, v(1.0, -0.1)),           // one sign flip vs 1 → hamming 1
+      (4L, Seq.fill(64)(-0.5)))     // all signs flipped → no band shared
+      .map { case (id, vec) => (id, vec.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val pairs = StreamingHashDedup.nearDupStream(
+        Similarity.signCodes(emb), maxHamming = 1)
+      .collect().map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)),
+      s"got $pairs")
+  }
 }
