@@ -2890,6 +2890,28 @@ object OracleExt {
     GROUP BY corpus.doc_id HAVING count(*) >= 2
     ORDER BY doc_id"""
 
+  /** Twin of Scrub.decontamSweep — per-doc shared-shingle counts
+    * re-aggregated per minShared threshold, zero-preserving. */
+  def decontamSweep(threshes: Seq[Long]): String = s"""
+    WITH $shingleCte,
+    corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh
+               WHERE doc_id % 100 <> 0),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+              WHERE doc_id % 100 = 0),
+    hits AS (SELECT corpus.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+             FROM corpus JOIN bench ON corpus.s = bench.s
+             GROUP BY corpus.doc_id),
+    th AS (SELECT unnest([${threshes.mkString(", ")}]) AS thresh)
+    SELECT CAST(thresh AS BIGINT) AS thresh,
+           CAST(coalesce(sum(CASE WHEN n_shared >= thresh
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_docs,
+           CAST(coalesce(sum(CASE WHEN n_shared >= thresh
+                             THEN n_shared ELSE 0 END), 0) AS BIGINT)
+             AS total_shared
+    FROM th LEFT JOIN hits ON TRUE
+    GROUP BY thresh ORDER BY thresh"""
+
   /** Twin of Sampling.packSequences — the two-phase distributed prefix
     * sum reduces to one window cumsum.
     *
@@ -5313,8 +5335,11 @@ object OracleExt {
     * listagg, the allPairsJaccard sig move), df-cap, posting
     * self-join, shared-count gate. Shared by the audio and video
     * twins. */
-  private def fpNeardupTail(fpName: String, minShared: Long,
-                            maxDf: Int): String = s"""
+  /** The fingerprintNeardup CTE chain over a (doc_id, fp) CTE named
+    * `fpName`, ending in a `pairs` CTE (rep_a, rep_b, n_shared,
+    * n_doc_pairs) — splice-able for consumers that aggregate the pair
+    * list instead of emitting it ([[audioMinsharedSweep]]). */
+  private def fpPairsCtes(fpName: String, maxDf: Int): String = s"""
     sets AS (SELECT doc_id,
                     md5(string_agg(CAST(fp AS VARCHAR), ' ' ORDER BY fp))
                       AS sig
@@ -5330,9 +5355,29 @@ object OracleExt {
                      a.m * b.m AS n_doc_pairs
               FROM cold a JOIN cold b
                 ON a.fp = b.fp AND a.doc_id < b.doc_id
-              GROUP BY 1, 2, a.m, b.m)
+              GROUP BY 1, 2, a.m, b.m)"""
+
+  private def fpNeardupTail(fpName: String, minShared: Long,
+                            maxDf: Int): String = s"""
+    ${fpPairsCtes(fpName, maxDf).trim}
     SELECT rep_a, rep_b, n_shared, n_doc_pairs FROM pairs
     WHERE n_shared >= $minShared ORDER BY rep_a, rep_b"""
+
+  /** Twin of Dedup.fingerprintSweep over the audio fingerprint table
+    * — pair survivors per minShared threshold, zero-preserving. */
+  def audioMinsharedSweep(threshes: Seq[Long], maxDf: Int): String = s"""
+    WITH $audioFpCte,
+    ${fpPairsCtes("afp", maxDf).trim},
+    th AS (SELECT unnest([${threshes.mkString(", ")}]) AS thresh)
+    SELECT CAST(thresh AS BIGINT) AS thresh,
+           CAST(coalesce(sum(CASE WHEN n_shared >= thresh
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_rep_pairs,
+           CAST(coalesce(sum(CASE WHEN n_shared >= thresh
+                             THEN n_doc_pairs ELSE 0 END), 0) AS BIGINT)
+             AS n_doc_pairs
+    FROM th LEFT JOIN pairs ON TRUE
+    GROUP BY thresh ORDER BY thresh"""
 
   /** Twin of Dedup.fingerprintNeardup over the audio fingerprint
     * table. */

@@ -1123,6 +1123,14 @@ object SparkEntry {
           d.filter(col("doc_id") % 100 === 0))
         .orderBy("doc_id")
     }),
+    // The contamination dial-choice table: per minShared threshold,
+    // flagged docs + shared mass, from ONE benchmark-overlap join
+    "decontam_sweep" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Scrub.decontamSweep(d.filter(col("doc_id") % 100 =!= 0),
+          d.filter(col("doc_id") % 100 === 0))
+        .orderBy("thresh")
+    }),
     // IDF-weighted contamination: rarity-scored shared shingles
     "decontam_weighted" -> ((s, dir) => {
       val d = docsPar(s, dir)
@@ -1549,6 +1557,12 @@ object SparkEntry {
       Dedup.fingerprintNeardup(
         Multimodal.audioFingerprints(docsPar(s, dir)),
         minShared = 4, maxDf = 64).orderBy("rep_a", "rep_b")),
+    // The minShared dial-choice table for the audio lane: pair
+    // survivors per threshold from ONE pair-list materialization
+    "audio_minshared_sweep" -> ((s, dir) =>
+      Dedup.fingerprintSweep(
+        Multimodal.audioFingerprints(docsPar(s, dir)))
+        .orderBy("thresh")),
     // Media quality gates: integer-exact luma-grid moments off REAL
     // image decode — flat/low-contrast curation filters (blank pages,
     // dead thumbnails); variance via the n·Σx²−(Σx)² integer identity
@@ -1921,6 +1935,7 @@ object SparkEntry {
              value, props
       FROM events ORDER BY event_id""",
     "decontaminate" -> OracleExt.decontaminate,
+    "decontam_sweep" -> OracleExt.decontamSweep(Seq(1L, 2L, 4L, 8L, 16L)),
     "decontam_weighted" -> OracleExt.decontaminateWeighted,
     "pack_sequences" -> OracleExt.packSequences(2048L),
     "pack_fill" -> OracleExt.packFill(2048L),
@@ -1949,6 +1964,8 @@ object SparkEntry {
     "image_neardup" -> OracleExt.imageNeardup(12, 64),
     "audio_fingerprint" -> OracleExt.audioFingerprint,
     "audio_neardup" -> OracleExt.audioNeardup(4, 64),
+    "audio_minshared_sweep" ->
+      OracleExt.audioMinsharedSweep(Seq(1L, 2L, 4L, 8L), 64),
     "video_framehash" -> OracleExt.videoFramehash,
     "video_neardup" -> OracleExt.videoNeardup(2, 64),
     "video_neardup_inc" -> OracleExt.videoNeardupInc(2, 64),

@@ -1726,6 +1726,35 @@ object Dedup {
         (col("__ma") * col("__mb")).as("n_doc_pairs"))
   }
 
+  /** minShared threshold sweep over the shared-fingerprint pair list
+    * — the [[dedupThresholdSweep]] discipline pointed at fingerprint
+    * domains (audio q-grams, frame hashes, CDC chunks): how many rep
+    * pairs (and the doc pairs they stand for) survive each dial, from
+    * ONE pair-list materialization at minShared = 1 (tracked,
+    * candidate-scale — the sweep re-aggregates, it never re-joins).
+    * Zero-preserving so a dial past the cliff still prints its row —
+    * the table that turns "minShared 4 gives 13 pairs, 2 gives 7 770"
+    * from a notes measurement into a gated output. */
+  def fingerprintSweep(fps: DataFrame,
+                       threshes: Seq[Long] = Seq(1L, 2L, 4L, 8L),
+                       maxDf: Int = 64): DataFrame = {
+    val pairs = graft.Caches.track(
+      fingerprintNeardup(fps, minShared = 1, maxDf = maxDf))
+    val th = fps.sparkSession.range(1)
+      .select(explode(array(threshes.map(lit): _*)).as("thresh"))
+    val agg = pairs
+      .select(explode(array(threshes.map(lit): _*)).as("thresh"),
+        col("n_shared"), col("n_doc_pairs"))
+      .filter(col("n_shared") >= col("thresh"))
+      .groupBy("thresh")
+      .agg(count(lit(1)).as("n_rep_pairs"),
+        sum("n_doc_pairs").as("__ndp"))
+    th.join(agg, Seq("thresh"), "left")
+      .select(col("thresh"),
+        coalesce(col("n_rep_pairs"), lit(0L)).as("n_rep_pairs"),
+        coalesce(col("__ndp"), lit(0L)).as("n_doc_pairs"))
+  }
+
   /** INCREMENTAL shared-fingerprint dedup — the [[incrementalDedup]]
     * corpus-is-prior policy for fingerprint domains (audio q-grams,
     * CDC chunks, winnowed text), completing the incremental triad

@@ -73,6 +73,34 @@ object Scrub {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** minShared threshold sweep for decontamination — the dial-choice
+    * table run BEFORE committing to a contamination threshold (the
+    * n-gram-overlap bar is a named knob in every published
+    * decontamination recipe, and the right value depends on the
+    * corpus's natural phrase-overlap base rate): per threshold, how
+    * many corpus docs would flag and the total shared-shingle mass,
+    * from ONE benchmark-overlap join (tracked at minShared = 1 — the
+    * sweep re-aggregates the per-doc counts, it never re-joins the
+    * corpus). Zero-preserving rows. */
+  def decontamSweep(docs: DataFrame, benchmark: DataFrame,
+                    threshes: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L))
+      : DataFrame = {
+    val hits = graft.Caches.track(
+      decontaminate(docs, benchmark, minShared = 1))
+    val th = docs.sparkSession.range(1)
+      .select(explode(array(threshes.map(lit): _*)).as("thresh"))
+    val agg = hits
+      .select(explode(array(threshes.map(lit): _*)).as("thresh"),
+        col("n_shared"))
+      .filter(col("n_shared") >= col("thresh"))
+      .groupBy("thresh")
+      .agg(count(lit(1)).as("n_docs"), sum("n_shared").as("__ts"))
+    th.join(agg, Seq("thresh"), "left")
+      .select(col("thresh"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("__ts"), lit(0L)).as("total_shared"))
+  }
+
   /** IDF-weighted decontamination — [[decontaminate]]'s raw shared-
     * shingle count treats "the quick brown" and a rare 3-gram of an
     * eval answer as equal evidence; here each shared shingle scores

@@ -121,6 +121,23 @@ class AudioDedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("fingerprintSweep: thresholds re-aggregate ONE pair list; zero rows kept") {
+    // docs 1/2 have IDENTICAL fp sets (collapse to one rep — no pair);
+    // doc 3 shares 2 fps with the rep; doc 4 is unrelated
+    val fps = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L),
+      (3L, 10L), (3L, 11L), (3L, 90L), (3L, 91L),
+      (4L, 99L)).toDF("doc_id", "fp")
+    val r = Dedup.fingerprintSweep(fps, threshes = Seq(1L, 2L, 4L))
+      .orderBy("thresh")
+      .as[(Long, Long, Long)].collect().toSeq
+    // rep(1,2) ~ 3 share 2 fps → one rep pair standing for 2 doc
+    // pairs; survives t ∈ {1,2}, dies at 4
+    assert(r == Seq((1L, 1L, 2L), (2L, 1L, 2L), (4L, 0L, 0L)), s"got $r")
+    Caches.releaseAll()
+  }
+
   test("audioVad: adaptive energy gate + min-duration segment rule") {
     // blocks of 8 identical chars give exact block means: 'z' → 122,
     // '!' → 33; the gate q·n ≥ Σq is integer on both engines

@@ -200,4 +200,19 @@ class ScrubSpec extends SparkTestBase {
     assert(r == Seq(("en", 3L, 0L, true), ("fr", 3L, 0L, true)))
     Caches.releaseAll()
   }
+
+  test("decontamSweep: per-threshold flag counts, zero rows preserved") {
+    // bench shingles {a b c, b c d, c d e}; doc 1 shares all 3,
+    // doc 2 shares 1, doc 3 none
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val r = Scrub.decontamSweep(corpus, bench,
+        threshes = Seq(1L, 2L, 4L))
+      .orderBy("thresh")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 4L), (2L, 1L, 3L), (4L, 0L, 0L)), s"got $r")
+    Caches.releaseAll()
+  }
 }
