@@ -4016,6 +4016,61 @@ object OracleExt {
     FROM u ORDER BY n_union"""
   }
 
+  /** Twin of Dedup.dedupLaneMatrix — the three doc-level drop sets
+    * (exact star members, minhash candidateEdges doc_b, simhash rep
+    * pairs + star members) left-joined onto documents, per-source
+    * counts. */
+  def dedupLaneMatrix(maxHamming: Int, maxBucket: Int): String = {
+    val simSpliced = simhashCte.trim.stripPrefix("WITH")
+    s"""
+    $repPairsCte,
+    $simSpliced,
+    drep AS (SELECT doc_id,
+                    min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+             FROM documents),
+    exdrop AS (SELECT doc_id FROM drep WHERE doc_id != rep),
+    mhdrop AS (SELECT DISTINCT doc_id FROM
+                 (SELECT doc_b AS doc_id FROM rpairs
+                  UNION ALL SELECT doc_id FROM exdrop)),
+    rsh AS (SELECT s.doc_id, s.simhash
+            FROM shash s JOIN treps t ON t.rep = s.doc_id),
+    band2 AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS band_id,
+                     (simhash >> (j * 16)) & 65535 AS band_val
+              FROM rsh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    ${coldBandsCte(maxBucket, "band2", "cold2").trim},
+    sh2 AS (SELECT doc_a, doc_b FROM (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash))
+                       AS INTEGER) AS hamming
+              FROM cold2 a JOIN cold2 b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id)
+            WHERE hamming <= $maxHamming),
+    shdrop AS (SELECT DISTINCT doc_id FROM
+                 (SELECT doc_b AS doc_id FROM sh2
+                  UNION ALL SELECT doc_id FROM exdrop))
+    SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_exact,
+           CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_minhash,
+           CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_simhash,
+           CAST(sum(CASE WHEN e.doc_id IS NOT NULL
+                      OR m.doc_id IS NOT NULL
+                      OR s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_any,
+           CAST(count(*) - sum(CASE WHEN e.doc_id IS NOT NULL
+                      OR m.doc_id IS NOT NULL
+                      OR s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS kept
+    FROM documents d
+    LEFT JOIN exdrop e ON e.doc_id = d.doc_id
+    LEFT JOIN mhdrop m ON m.doc_id = d.doc_id
+    LEFT JOIN shdrop s ON s.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY source"""
+  }
+
   def simhashPairs(maxHamming: Int, maxBucket: Int): String = s"""
     $simhashCte,
     $trepsCte,

@@ -1299,6 +1299,11 @@ object SparkEntry {
       graft.operators.Dedup.dedupMethodAgreement(docsPar(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docsPar(s, dir)).orderBy("doc_a", "doc_b")),
+    // The lane DECISION MATRIX: per source, what exact/minhash/simhash
+    // would each delete under keep-lowest-canonical, and the union —
+    // method_agreement compares pair sets; this compares deletions
+    "dedup_lane_matrix" -> ((s, dir) =>
+      Dedup.dedupLaneMatrix(docsPar(s, dir)).orderBy("source")),
 
     // ---- §2.4 LLM-data-pipeline: similarity search ------------------
     // Brute-force cosine top-k (broadcast query set)
@@ -2182,6 +2187,7 @@ object SparkEntry {
     "simhash" -> OracleExt.simhash,
     "simhash_pairs" -> OracleExt.simhashPairs(6, 64),
     "dedup_method_agreement" -> OracleExt.dedupMethodAgreement(6, 64),
+    "dedup_lane_matrix" -> OracleExt.dedupLaneMatrix(6, 64),
     "topk_cosine" -> OracleExt.topkCosine(10, 5),
     "hard_negatives" -> OracleExt.hardNegatives(10, 3),
     "rrf_fusion" -> OracleExt.rrfFusion(10, 5, 10, 60),

@@ -1726,6 +1726,44 @@ object Dedup {
         (col("__ma") * col("__mb")).as("n_doc_pairs"))
   }
 
+  /** The multi-lane dedup DECISION MATRIX — per source, what each
+    * lexical lane would DELETE under the shared keep-lowest-canonical
+    * policy, and the union: exact (non-rep members of identical-text
+    * groups), minhash (the [[candidateEdges]] doc_b set — the
+    * [[dedupKeepList]] drop set), simhash (strictly-near rep pairs'
+    * doc_b plus the same exact-dup star edges, so both near lanes
+    * share doc-level semantics). [[dedupMethodAgreement]] reports how
+    * much the PAIR SETS overlap; this reports what the lanes DO — the
+    * table a pipeline reads to decide which lanes earn their cost and
+    * how much of each source survives. All three drop sets are
+    * doc-keyed distinct frames (candidate-scale); the matrix is three
+    * hash left-joins + one sources-sized aggregate. */
+  def dedupLaneMatrix(docs: DataFrame, maxHamming: Int = 6,
+                      maxBucket: Int = 64): DataFrame = {
+    val ex = graft.Caches.track(
+      repStarEdges(docs).select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("__ex", lit(true)))
+    val mh = candidateEdges(docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__mh", lit(true))
+    val sh = simhashPairs(docs, maxHamming, maxBucket)
+      .select(col("doc_b").as("doc_id"))
+      .unionByName(ex.select("doc_id"))
+      .distinct().withColumn("__sh", lit(true))
+    docs.select(col("doc_id"), col("source"))
+      .join(ex, Seq("doc_id"), "left")
+      .join(mh, Seq("doc_id"), "left")
+      .join(sh, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__ex"), 1L).otherwise(0L)).as("drop_exact"),
+        sum(when(col("__mh"), 1L).otherwise(0L)).as("drop_minhash"),
+        sum(when(col("__sh"), 1L).otherwise(0L)).as("drop_simhash"),
+        sum(when(col("__ex") || col("__mh") || col("__sh"), 1L)
+          .otherwise(0L)).as("drop_any"))
+      .withColumn("kept", col("n_docs") - col("drop_any"))
+  }
+
   /** minShared threshold sweep over the shared-fingerprint pair list
     * — the [[dedupThresholdSweep]] discipline pointed at fingerprint
     * domains (audio q-grams, frame hashes, CDC chunks): how many rep

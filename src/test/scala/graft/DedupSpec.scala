@@ -838,4 +838,22 @@ class DedupSpec extends SparkTestBase {
     assert(r == Seq((1L, 1L, 1L, 1L, Some(1000000L))))
     Caches.releaseAll()
   }
+
+  test("dedupLaneMatrix: per-source deletions per lane; rep survives") {
+    val d = Seq(
+      (0L, "srcA", "the same exact duplicated text in every copy"),
+      (1L, "srcA", "the same exact duplicated text in every copy"),
+      (2L, "srcA", "the same exact duplicated text in every copy"),
+      (3L, "srcA", "completely different words about rivers and stone"),
+      (4L, "srcB", "yet another unrelated sentence mentioning harvest"))
+      .toDF("doc_id", "source", "text")
+    val r = Dedup.dedupLaneMatrix(d).orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // srcA: docs 1 and 2 are non-rep exact members — every lane drops
+    // them via the shared star edges, rep 0 and unique 3 survive;
+    // srcB untouched
+    assert(r == Seq(("srcA", 4L, 2L, 2L, 2L, 2L, 2L),
+      ("srcB", 1L, 0L, 0L, 0L, 0L, 1L)), s"got $r")
+    Caches.releaseAll()
+  }
 }
