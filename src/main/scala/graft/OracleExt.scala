@@ -2239,6 +2239,61 @@ object OracleExt {
              - coalesce(n_removed, CAST(0 AS BIGINT)) AS kept_tokens
     FROM bt LEFT JOIN nrm ON nrm.doc_id = bt.doc_id ORDER BY doc_id"""
 
+  /** The synthesized-LINE instance CTE chain (VERDICT r16 #3 — twin
+    * of Boilerplate.lineInstances): line k = tokens
+    * [k·width+1 .. k·width+width] joined by ' ' (short last line
+    * honored), per-(source, line) df over DISTINCT docs + occurrence
+    * count, per-source doc counts. */
+  private def lineCte(width: Int): String = s"""
+    lt AS (SELECT doc_id, source, $toks AS toks FROM documents),
+    li AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  array_to_string(
+                    toks[(k * $width + 1):(k * $width + $width)], ' ')
+                    AS line,
+                  least($width, CAST(len(toks) AS BIGINT) - k * $width)
+                    AS line_len
+           FROM (SELECT doc_id, source, toks,
+                        unnest(range(0, (len(toks) + ${width - 1})
+                          // $width)) AS k
+                 FROM lt WHERE len(toks) >= 1)),
+    sldf AS (SELECT source, line,
+                    CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                    CAST(count(*) AS BIGINT) AS occ
+             FROM li GROUP BY 1, 2),
+    bnd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1)"""
+
+  /** Twin of Boilerplate.boilerplateLines. */
+  def boilerplateLines(width: Int, minDf: Long, divisor: Long): String = s"""
+    WITH ${lineCte(width).trim}
+    SELECT sldf.source AS source, n_docs,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN ${boilerGate(minDf, divisor)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(coalesce(sum(CASE WHEN ${boilerGate(minDf, divisor)}
+                             THEN occ END), 0) AS BIGINT) AS boiler_occ,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM sldf JOIN bnd ON bnd.source = sldf.source
+    GROUP BY 1, 2 ORDER BY source"""
+
+  /** Twin of Boilerplate.boilerplateLineStrip — lines are disjoint,
+    * so removal is an exact per-instance token sum. */
+  def boilerplateLineStrip(width: Int, minDf: Long,
+                           divisor: Long): String = s"""
+    WITH ${lineCte(width).trim},
+    bset AS (SELECT sldf.source AS source, line
+             FROM sldf JOIN bnd ON bnd.source = sldf.source
+             WHERE ${boilerGate(minDf, divisor)}),
+    nrm AS (SELECT doc_id, CAST(sum(line_len) AS BIGINT) AS n_removed
+            FROM li JOIN bset
+              ON li.source = bset.source AND li.line = bset.line
+            GROUP BY 1)
+    SELECT lt.doc_id AS doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           coalesce(n_removed, CAST(0 AS BIGINT)) AS removed_tokens,
+           CAST(len(toks) AS BIGINT)
+             - coalesce(n_removed, CAST(0 AS BIGINT)) AS kept_tokens
+    FROM lt LEFT JOIN nrm ON nrm.doc_id = lt.doc_id ORDER BY doc_id"""
+
   /** Twin of TextAnalysis.knBigram — interpolated Kneser-Ney in the
     * identical integer ppm lanes: discounted term, λ_ppm, pcont_ppm
     * each its own HUGEINT-laned truncating division (Spark side:
@@ -3061,9 +3116,20 @@ object OracleExt {
   /** Twin of Similarity.lexicalSemanticConfirm — the rpairs CTE
     * re-scored by embedding cosine (vec_id = doc_id), one summary
     * row; sum lane instead of a mean (signed // vs div hazard). */
-  def lexicalSemanticConfirm(minSimMicro: Long): String = s"""
+  def lexicalSemanticConfirm(minSimMicro: Long): String =
+    lexicalSemanticConfirmOn(normCte, minSimMicro)
+
+  /** The same audit over the TEXT-DERIVED trigram embedding
+    * (VERDICT r16 #2) — the lane where lexical pairs carry semantic
+    * signal by construction, so confirm_ppm measures the machinery,
+    * not the fixture's random vectors. */
+  def lexicalSemanticConfirmTg(minSimMicro: Long): String =
+    lexicalSemanticConfirmOn(trigramNormCte(64), minSimMicro)
+
+  private def lexicalSemanticConfirmOn(nCte: String,
+                                       minSimMicro: Long): String = s"""
     $repPairsCte,
-    $normCte,
+    $nCte,
     lsc AS (SELECT CAST(floor(list_dot_product(a.v, b.v)
                      / (sqrt(a.norm2) * sqrt(b.norm2)) * 1000000)
                    AS BIGINT) AS sim_micro
@@ -5310,37 +5376,48 @@ object OracleExt {
     * granularity), chunk hashes as fingerprints, the shared
     * posting-join tail. */
   def audioCdcNeardup(avgLen: Int, minChunk: Int, minShared: Long,
-                      maxDf: Int): String = {
-    val h = graft.functions.PortableHash
-    s"""
+                      maxDf: Int): String = s"""
     WITH at AS (SELECT doc_id, text, length(text) AS len FROM documents
                 WHERE length(text) >= 32 AND $asciiOnlySql),
-    acs AS (SELECT doc_id, i AS pos,
+    ${audioCdcFpCtes("ac", "doc_id", "0", avgLen, minChunk).trim},
+    acfp AS (SELECT DISTINCT doc_id, fp FROM acfp0),
+    ${fpNeardupTail("acfp", minShared, maxDf).trim}"""
+
+  /** The CDC chunk-fingerprint CTE chain over the character-code
+    * sample lane (twin of Dedup.cdcChunkStream on audioSamples),
+    * parameterized for the trim-variant instrument: `partCols` names
+    * the grouping columns beyond doc_id (e.g. "doc_id, d"), `offExpr`
+    * names the per-row trim offset expression (0 for the original
+    * stream). Requires `at` (and the offset frame if any) in scope;
+    * ends in `<p>fp0` = ($partCols, fp). */
+  private def audioCdcFpCtes(p: String, partCols: String, offExpr: String,
+                             avgLen: Int, minChunk: Int): String = {
+    val h = graft.functions.PortableHash
+    s"""
+    ${p}s AS (SELECT $partCols, i - ($offExpr) AS pos,
                    ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) AS c
-            FROM (SELECT doc_id, text,
-                         unnest(range(0, (len // 8) * 8)) AS i
-                  FROM at)),
-    acb AS (SELECT doc_id, pos, c,
+            FROM (SELECT *, unnest(range($offExpr, (len // 8) * 8)) AS i
+                  FROM ${if (offExpr == "0") "at" else "atd"})),
+    ${p}b AS (SELECT $partCols, pos, c,
                    CASE WHEN ${h.sqlHash32("'acdc:' || CAST(c AS VARCHAR)")}
                      % $avgLen = 0 THEN 1 ELSE 0 END AS bnd
-            FROM acs),
-    acc AS (SELECT doc_id, pos, c,
+            FROM ${p}s),
+    ${p}c AS (SELECT $partCols, pos, c,
                    sum(bnd) OVER w AS chunk_id,
                    coalesce(max(CASE WHEN bnd = 1 THEN pos END) OVER w, 0)
                      AS start_pos
-            FROM acb
-            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+            FROM ${p}b
+            WINDOW w AS (PARTITION BY $partCols ORDER BY pos
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)),
-    ach2 AS (SELECT doc_id, chunk_id,
+    ${p}h2 AS (SELECT $partCols, chunk_id,
                     CAST(count(*) AS BIGINT) AS n_vals,
                     CAST(sum(${h.sqlHash32(
                       "CAST(pos - start_pos AS VARCHAR) || ':' " +
                         "|| CAST(c AS VARCHAR)")}) AS BIGINT) AS chunk_hash
-             FROM acc GROUP BY 1, 2),
-    acfp AS (SELECT DISTINCT doc_id, chunk_hash AS fp FROM ach2
-             WHERE n_vals >= $minChunk),
-    ${fpNeardupTail("acfp", minShared, maxDf).trim}"""
+             FROM ${p}c GROUP BY ALL),
+    ${p}fp0 AS (SELECT DISTINCT $partCols, chunk_hash AS fp FROM ${p}h2
+             WHERE n_vals >= $minChunk)"""
   }
 
   /** DuckDB rendering of the `rolling_hash31` fold over a string
@@ -5468,6 +5545,63 @@ object OracleExt {
     WITH $audioFpCte,
     ${fpNeardupIncTail("afp", minShared, maxDf).trim}"""
 
+  /** The fingerprintPlantRecall SQL block over an original (doc_id,
+    * fp) CTE `ofp` and a variant (doc_id, d, fp) CTE `vfp`: df-cap on
+    * the original postings, own-original shared count, per-d recall.
+    * Ends in a `<p>rec` CTE (lane, d, n_planted, n_hit). */
+  private def plantRecallCtes(p: String, ofp: String, vfp: String,
+                              lane: String, minShared: Long,
+                              maxDf: Int): String = s"""
+    ${p}sh AS (SELECT v.doc_id, v.d, CAST(count(*) AS BIGINT) AS n
+             FROM $vfp v JOIN $ofp o
+               ON o.doc_id = v.doc_id AND o.fp = v.fp
+             WHERE o.fp NOT IN (SELECT fp FROM $ofp
+                                GROUP BY fp HAVING count(*) > $maxDf)
+             GROUP BY 1, 2),
+    ${p}pl AS (SELECT DISTINCT doc_id, d FROM $vfp),
+    ${p}rec AS (SELECT '$lane' AS lane, CAST(p.d AS BIGINT) AS d,
+                    CAST(count(*) AS BIGINT) AS n_planted,
+                    CAST(sum(CASE WHEN coalesce(s.n, 0) >= $minShared
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+             FROM ${p}pl p LEFT JOIN ${p}sh s
+               ON s.doc_id = p.doc_id AND s.d = p.d
+             GROUP BY p.d)"""
+
+  /** Twin of the audio_trim_recall composition (VERDICT r16 #4): the
+    * fixed-q-gram and CDC lanes' recovery of planted re-trims at each
+    * offset, one decision table. */
+  def audioTrimRecall(offsets: Seq[Int], minShared: Long, maxDf: Int,
+                      avgLen: Int = 16, minChunk: Int = 8): String = s"""
+    WITH $audioFpCte,
+    dly AS (SELECT unnest([${offsets.mkString(", ")}]) AS d),
+    atd AS (SELECT at.doc_id, at.text, at.len, dly.d
+            FROM at CROSS JOIN dly),
+    vch AS (SELECT doc_id, d, (i - d) // 8 AS blk,
+                   ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) AS c
+            FROM (SELECT doc_id, text, d,
+                         unnest(range(d,
+                           d + (((len // 8) * 8 - d) // 8) * 8)) AS i
+                  FROM atd)),
+    vaq AS (SELECT doc_id, d, blk, sum(c) // 8 AS q
+            FROM vch GROUP BY 1, 2, 3),
+    vaw AS (SELECT doc_id, d, blk, q, lead(q, 1) OVER wd AS q1,
+                   lead(q, 2) OVER wd AS q2, lead(q, 3) OVER wd AS q3
+            FROM vaq WINDOW wd AS (PARTITION BY doc_id, d ORDER BY blk)),
+    vafp AS (SELECT DISTINCT doc_id, d,
+                    ${rollFold(
+                      "q || ':' || q1 || ':' || q2 || ':' || q3")} AS fp
+             FROM vaw WHERE q3 IS NOT NULL),
+    ${audioCdcFpCtes("oc", "doc_id", "0", avgLen, minChunk).trim},
+    ${audioCdcFpCtes("vc2", "doc_id, d", "d", avgLen, minChunk).trim},
+    ${plantRecallCtes("f", "afp", "vafp", "fixed_qgram",
+      minShared, maxDf).trim},
+    ${plantRecallCtes("c", "ocfp0", "vc2fp0", "cdc",
+      minShared, maxDf).trim}
+    SELECT lane, d, n_planted, n_hit,
+           (1000000 * n_hit) // greatest(n_planted, 1) AS recall_ppm
+    FROM (SELECT * FROM frec UNION ALL SELECT * FROM crec)
+    ORDER BY lane, d"""
+
   /** Twin of Multimodal.videoFrameHash — the lossless-PNG identity
     * swept across the doc: frame k's 9×8 grid carries charCode at
     * (k·72 + i) mod len, so each frame's dHash recomputes from
@@ -5490,7 +5624,8 @@ object OracleExt {
     * ungated) plus the band lane over non-flat rows with the occupancy
     * cap; distinct prior partners (corpus or lower-odd) counted per
     * batch doc. */
-  def imageNeardupInc(maxHamming: Int, maxBucket: Int): String = s"""
+  def imageNeardupInc(maxHamming: Int, maxBucket: Int,
+                      nBands: Int = 4): String = s"""
     WITH $dhashCte,
     $contrastCte,
     dhf AS (SELECT doc_id, dhash, doc_id % 2 = 1 AS isnew FROM dh),
@@ -5501,8 +5636,9 @@ object OracleExt {
     bnd0 AS (SELECT d.doc_id, d.dhash, d.isnew FROM dhf d
              JOIN ctr ON ctr.doc_id = d.doc_id WHERE ctr.contrast > 15),
     band AS (SELECT doc_id, dhash, isnew, CAST(j AS INTEGER) AS band_id,
-                    (dhash >> (j * 16)) & 65535 AS band_val
-             FROM bnd0 CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+                    (dhash >> (j * ${64 / nBands}))
+                      & ${(1L << (64 / nBands)) - 1} AS band_val
+             FROM bnd0 CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim},
     nr AS (SELECT a.doc_id, b.doc_id AS prior
            FROM cold a JOIN cold b
@@ -5656,6 +5792,53 @@ object OracleExt {
             FROM vsp GROUP BY 1, 2),
     vsfp AS (SELECT DISTINCT doc_id, fp FROM vsh)"""
 
+  /** Twin of the video_trim_recall composition (VERDICT r16 #4): the
+    * frame-hash and scene-signature lanes' recovery of videos with
+    * their first d frames dropped. The variant scene chain reruns the
+    * cut/position windows partitioned by (doc_id, d). */
+  def videoTrimRecall(drops: Seq[Int], cutHamming: Int,
+                      maxDf: Int): String = s"""
+    WITH $videoFhCte,
+    ${videoSceneFpCte(cutHamming).trim},
+    dly AS (SELECT unnest([${drops.mkString(", ")}]) AS d),
+    vvf AS (SELECT doc_id, d, frame_id, dhash
+            FROM vfh CROSS JOIN dly WHERE frame_id >= d),
+    ofp AS (SELECT DISTINCT doc_id, dhash AS fp FROM vfh),
+    vfp AS (SELECT DISTINCT doc_id, d, dhash AS fp FROM vvf),
+    vvw AS (SELECT doc_id, d, frame_id, dhash,
+                   lag(dhash) OVER (PARTITION BY doc_id, d
+                     ORDER BY frame_id) AS ph
+            FROM vvf),
+    vvc AS (SELECT doc_id, d, frame_id, dhash,
+                   CASE WHEN ph IS NOT NULL
+                         AND bit_count(xor(dhash, ph)) > $cutHamming
+                        THEN 1 ELSE 0 END AS cut
+            FROM vvw),
+    vvsc AS (SELECT doc_id, d, frame_id, dhash,
+                    sum(cut) OVER (PARTITION BY doc_id, d
+                      ORDER BY frame_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS scene_id
+             FROM vvc),
+    vvsp AS (SELECT doc_id, d, scene_id, dhash,
+                    row_number() OVER (PARTITION BY doc_id, d, scene_id
+                      ORDER BY frame_id) - 1 AS p
+             FROM vvsc),
+    vvsh AS (SELECT doc_id, d, scene_id,
+                    CAST(sum(${graft.functions.PortableHash.sqlHash32(
+                      "CAST(p AS VARCHAR) || ':' || " +
+                        "CAST(dhash AS VARCHAR)")})
+                      AS BIGINT) AS fp
+             FROM vvsp GROUP BY 1, 2, 3),
+    vvsfp AS (SELECT DISTINCT doc_id, d, fp FROM vvsh),
+    ${plantRecallCtes("vf", "ofp", "vfp", "frame_hash", 2L, maxDf).trim},
+    ${plantRecallCtes("vs", "vsfp", "vvsfp", "scene_sig", 1L,
+      maxDf).trim}
+    SELECT lane, d, n_planted, n_hit,
+           (1000000 * n_hit) // greatest(n_planted, 1) AS recall_ppm
+    FROM (SELECT * FROM vfrec UNION ALL SELECT * FROM vsrec)
+    ORDER BY lane, d"""
+
   /** Twin of the video_scene_dedup composition: the scene-fp chain,
     * then the shared posting-join tail. */
   def videoSceneDedup(cutHamming: Int, minShared: Long,
@@ -5687,6 +5870,42 @@ object OracleExt {
     n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2
           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                 FROM embeddings))"""
+
+  /** Twin of Similarity.trigramEmbed's (vec_id, dim, cnt) counts:
+    * char trigrams of the lowercased text, dim = hash32('tge:'‖tri)
+    * mod `dim`, exact-integer counts. */
+  private def trigramCountsCte(dim: Int): String = s"""
+    tgd AS (SELECT doc_id, t, length(t) AS len
+            FROM (SELECT doc_id, lower(text) AS t FROM documents)
+            WHERE length(t) >= 3),
+    tgc AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id,
+                         CAST(${graft.functions.PortableHash
+                           .sqlHash32("'tge:' || substr(t, CAST(i AS INT), 3)")}
+                           % $dim AS INT) AS dim
+                  FROM (SELECT doc_id, t, unnest(range(1, len - 1)) AS i
+                        FROM tgd))
+            GROUP BY 1, 2)"""
+
+  /** The dense trigram embedding prepped into the `n` norm shape —
+    * drop-in for [[normCte]] so every embedding twin can run over the
+    * text-derived lane (VERDICT r16 #2). Integer-valued doubles: dots
+    * and norms are exact in both engines. */
+  private def trigramNormCte(dim: Int): String = s"""
+    ${trigramCountsCte(dim).trim},
+    tgv AS (SELECT d.doc_id AS vec_id,
+                   list(CAST(coalesce(c.cnt, 0) AS DOUBLE)
+                        ORDER BY j.j) AS v
+            FROM (SELECT DISTINCT doc_id FROM tgc) d
+            CROSS JOIN (SELECT unnest(range(0, $dim)) AS j) j
+            LEFT JOIN tgc c ON c.doc_id = d.doc_id AND c.dim = j.j
+            GROUP BY 1),
+    n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2 FROM tgv)"""
+
+  /** The artifact view itself: exploded exact-integer counts. */
+  def textTrigramEmbed(dim: Int): String = s"""
+    WITH ${trigramCountsCte(dim).trim}
+    SELECT doc_id AS vec_id, dim, cnt FROM tgc ORDER BY vec_id, dim"""
 
   private val cosSql =
     "list_dot_product(q.v, c.v) / (sqrt(q.norm2) * sqrt(c.norm2))"
@@ -6123,8 +6342,20 @@ object OracleExt {
     * two-hop expansion, the exact-cosine re-rank, recall per round
     * against brute-force truth. */
   def knnRefineRecall(nQueries: Int, k: Int,
-                      ps: Seq[Seq[Long]]): String = s"""
-    WITH $normCte,
+                      ps: Seq[Seq[Long]]): String =
+    knnRefineRecallOn(normCte, nQueries, k, ps)
+
+  /** The NN-Descent round measured on the TEXT-DERIVED trigram lane
+    * (VERDICT r16 #2) — embeddings correlated with the corpus's
+    * lexical structure, so the recall delta measures the refinement
+    * machinery on signal instead of on random vectors. */
+  def knnRefineRecallTg(nQueries: Int, k: Int,
+                        ps: Seq[Seq[Long]]): String =
+    knnRefineRecallOn(trigramNormCte(64), nQueries, k, ps)
+
+  private def knnRefineRecallOn(nCte: String, nQueries: Int, k: Int,
+                                ps: Seq[Seq[Long]]): String = s"""
+    WITH $nCte,
     nb AS (SELECT vec_id, v, norm2, ${bucketSql(ps)} AS bucket FROM n),
     g0 AS (SELECT query_id, cand_id, sim FROM (
              SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
@@ -6137,6 +6368,113 @@ object OracleExt {
              FROM nb a JOIN nb b
                ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
            WHERE r <= $k),
+    ${refineTailSql(nQueries, k).trim}"""
+
+  /** Twin of Similarity.signCodes — 1-bit sign quantization of the
+    * double-cast embedding; bit 63's power is the BIGINT-minimum
+    * literal (DuckDB errors on 1 << 63 where Spark's shiftleft
+    * wraps to it). */
+  private def signCodeCte: String = s"""
+    scv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+    sc AS (SELECT vec_id AS doc_id,
+                  CAST(sum(CASE WHEN v[i + 1] > 0
+                      THEN CASE WHEN i = 63
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << i END
+                      ELSE 0 END) AS BIGINT) AS h
+           FROM (SELECT vec_id, v, unnest(range(0, 64)) AS i FROM scv)
+           GROUP BY 1)"""
+
+  /** Twin of the embed_binary_neardup composition: sign codes through
+    * the hash64Neardup rep-collapse + banded join + cap. */
+  def embedBinaryNeardup(maxHamming: Int, maxBucket: Int,
+                         nBands: Int): String = s"""
+    WITH ${signCodeCte.trim},
+    reps AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS rep,
+                    CAST(count(*) AS BIGINT) AS m
+             FROM sc GROUP BY 1),
+    band AS (SELECT rep, h, m, CAST(j AS INTEGER) AS band_id,
+                    (h >> (j * ${64 / nBands}))
+                      & ${(1L << (64 / nBands)) - 1} AS band_val
+             FROM reps CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
+    ${coldBandsCte(maxBucket).trim}
+    SELECT rep_a, rep_b, hamming, n_doc_pairs FROM (
+      SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+             CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming,
+             a.m * b.m AS n_doc_pairs
+      FROM cold a JOIN cold b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.rep < b.rep)
+    WHERE hamming <= $maxHamming ORDER BY rep_a, rep_b"""
+
+  /** Twin of the embed_binary_neardup_inc composition — the
+    * hash64NeardupInc two-lane shape over the even/odd vec split (no
+    * flat gate: every code is band-eligible). */
+  def embedBinaryNeardupInc(maxHamming: Int, maxBucket: Int,
+                            nBands: Int): String = s"""
+    WITH ${signCodeCte.trim},
+    dhf AS (SELECT doc_id, h, doc_id % 2 = 1 AS isnew FROM sc),
+    ex AS (SELECT a.doc_id, b.doc_id AS prior
+           FROM dhf a JOIN dhf b
+             ON a.h = b.h AND a.isnew
+                AND (NOT b.isnew OR b.doc_id < a.doc_id)),
+    band AS (SELECT doc_id, h, isnew, CAST(j AS INTEGER) AS band_id,
+                    (h >> (j * ${64 / nBands}))
+                      & ${(1L << (64 / nBands)) - 1} AS band_val
+             FROM dhf CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
+    ${coldBandsCte(maxBucket).trim},
+    nr AS (SELECT a.doc_id, b.doc_id AS prior
+           FROM cold a JOIN cold b
+             ON a.band_id = b.band_id AND a.band_val = b.band_val
+                AND a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
+           WHERE bit_count(xor(a.h, b.h)) <= $maxHamming),
+    dups AS (SELECT DISTINCT doc_id, prior FROM
+               (SELECT * FROM ex UNION ALL SELECT * FROM nr)),
+    nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+           FROM dups GROUP BY 1)
+    SELECT b.doc_id, coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+           n_dup IS NULL AS kept
+    FROM (SELECT doc_id FROM dhf WHERE isnew) b
+    LEFT JOIN nd ON nd.doc_id = b.doc_id ORDER BY b.doc_id"""
+
+  /** Twin of Similarity.knnDescentRecall — the paper-faithful RANDOM
+    * seed (see the engine scaladoc's LSH fixed-point note). */
+  def knnDescentRecall(nQueries: Int, k: Int, seeds: Int): String =
+    knnDescentRecallOn(normCte, nQueries, k, seeds)
+
+  def knnDescentRecallTg(nQueries: Int, k: Int, seeds: Int): String =
+    knnDescentRecallOn(trigramNormCte(64), nQueries, k, seeds)
+
+  private def knnDescentRecallOn(nCte: String, nQueries: Int, k: Int,
+                                 seeds: Int): String = s"""
+    WITH $nCte,
+    nn AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS nmax FROM n),
+    sd AS (SELECT DISTINCT query_id, cand_id FROM (
+             SELECT q.vec_id AS query_id,
+                    ${graft.functions.PortableHash.sqlHash32(
+                      "'nnd:' || CAST(q.vec_id AS VARCHAR) || ':' || " +
+                        "CAST(j AS VARCHAR)")} % nmax AS cand_id
+             FROM n q
+             CROSS JOIN (SELECT unnest(range(0, $seeds)) AS j)
+             CROSS JOIN nn)
+           WHERE query_id != cand_id),
+    g0 AS (SELECT query_id, cand_id, sim FROM (
+             SELECT s.query_id, s.cand_id,
+                    list_dot_product(q.v, c.v)
+                      / (sqrt(q.norm2) * sqrt(c.norm2)) AS sim,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY list_dot_product(q.v, c.v)
+                        / (sqrt(q.norm2) * sqrt(c.norm2)) DESC,
+                        s.cand_id) AS r
+             FROM sd s JOIN n q ON q.vec_id = s.query_id
+                       JOIN n c ON c.vec_id = s.cand_id)
+           WHERE r <= $k),
+    ${refineTailSql(nQueries, k).trim}"""
+
+  /** The shared refine-and-score SQL tail — assumes CTEs `n` (vec_id,
+    * v, norm2) and `g0` (query_id, cand_id, sim) are in scope. */
+  private def refineTailSql(nQueries: Int, k: Int): String = s"""
     rev AS (SELECT cand_id AS query_id, query_id AS cand_id FROM (
               SELECT query_id, cand_id, sim,
                      row_number() OVER (PARTITION BY cand_id
@@ -6158,8 +6496,8 @@ object OracleExt {
                       ORDER BY list_dot_product(q.v, t.v)
                         / (sqrt(q.norm2) * sqrt(t.norm2)) DESC,
                         c.cand_id) AS r
-             FROM cand1 c JOIN nb q ON q.vec_id = c.query_id
-                          JOIN nb t ON t.vec_id = c.cand_id)
+             FROM cand1 c JOIN n q ON q.vec_id = c.query_id
+                          JOIN n t ON t.vec_id = c.cand_id)
            WHERE r <= $k),
     truth AS (SELECT query_id, cand_id FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

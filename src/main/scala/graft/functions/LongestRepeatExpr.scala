@@ -70,37 +70,77 @@ object LongestRepeatExpr {
     val len = new Array[Int](cap)
     val link = new Array[Int](cap)
     val cnt = new Array[Long](cap)
-    val trans = new Array[java.util.HashMap[Integer, Integer]](cap)
-    trans(0) = new java.util.HashMap[Integer, Integer]()
+    // Per-state transitions as primitive open-addressing int maps —
+    // two parallel int arrays, linear probing, key slot −1 = empty
+    // (symbols are dense ≥ 0). Boxed HashMaps here allocated an
+    // Integer pair per edge on the per-row codegen path
+    // (ADVICE r16 #1); these stay primitive and grow by doubling.
+    val tKeys = new Array[Array[Int]](cap)
+    val tVals = new Array[Array[Int]](cap)
+    val tLive = new Array[Int](cap)
+    def tInit(s: Int, capacity: Int): Unit = {
+      val k = new Array[Int](capacity)
+      java.util.Arrays.fill(k, -1)
+      tKeys(s) = k; tVals(s) = new Array[Int](capacity); tLive(s) = 0
+    }
+    // Fibonacci mix then mask: dense consecutive symbols spread fine
+    def slot(key: Int, mask: Int): Int = ((key * 0x9E3779B9) >>> 16) & mask
+    def tGet(s: Int, key: Int): Int = {
+      val ks = tKeys(s); val mask = ks.length - 1
+      var idx = slot(key, mask)
+      while (ks(idx) != -1) {
+        if (ks(idx) == key) return tVals(s)(idx)
+        idx = (idx + 1) & mask
+      }
+      -1
+    }
+    def tPut(s: Int, key: Int, value: Int): Unit = {
+      var ks = tKeys(s); var mask = ks.length - 1
+      if ((tLive(s) + 1) * 2 > ks.length) { // grow at 50% load
+        val ok = ks; val ov = tVals(s)
+        tInit(s, ks.length * 2)
+        var j = 0
+        while (j < ok.length) {
+          if (ok(j) != -1) tPut(s, ok(j), ov(j))
+          j += 1
+        }
+        ks = tKeys(s); mask = ks.length - 1
+      }
+      var idx = slot(key, mask)
+      while (ks(idx) != -1 && ks(idx) != key) idx = (idx + 1) & mask
+      if (ks(idx) == -1) { ks(idx) = key; tLive(s) += 1 }
+      tVals(s)(idx) = value
+    }
+    tInit(0, 4)
     link(0) = -1
     var size = 1
     var last = 0
     i = 0
     while (i < n) {
-      val c = Integer.valueOf(seq(i))
+      val c = seq(i)
       val cur = size; size += 1
       len(cur) = len(last) + 1
       cnt(cur) = 1L
-      trans(cur) = new java.util.HashMap[Integer, Integer]()
+      tInit(cur, 4)
       var p = last
-      while (p != -1 && !trans(p).containsKey(c)) {
-        trans(p).put(c, Integer.valueOf(cur)); p = link(p)
+      while (p != -1 && tGet(p, c) == -1) {
+        tPut(p, c, cur); p = link(p)
       }
       if (p == -1) link(cur) = 0
       else {
-        val q = trans(p).get(c).intValue()
+        val q = tGet(p, c)
         if (len(p) + 1 == len(q)) link(cur) = q
         else {
           val clone = size; size += 1
           len(clone) = len(p) + 1
           link(clone) = link(q)
           cnt(clone) = 0L
-          trans(clone) =
-            new java.util.HashMap[Integer, Integer](trans(q))
-          while (p != -1 && {
-            val t = trans(p).get(c); t != null && t.intValue() == q
-          }) {
-            trans(p).put(c, Integer.valueOf(clone)); p = link(p)
+          // exact layout copy: same capacity ⇒ same probe sequence
+          tKeys(clone) = tKeys(q).clone()
+          tVals(clone) = tVals(q).clone()
+          tLive(clone) = tLive(q)
+          while (p != -1 && tGet(p, c) == q) {
+            tPut(p, c, clone); p = link(p)
           }
           link(q) = clone
           link(cur) = clone
@@ -126,8 +166,7 @@ object LongestRepeatExpr {
     while (oi >= 0) {
       val s = order(oi)
       if (cnt(s) >= 2L && len(s) > best) best = len(s)
-      if (link(s) > 0) cnt(link(s)) += cnt(s)
-      else if (link(s) == 0) () // root collects everything; ignored
+      if (link(s) > 0) cnt(link(s)) += cnt(s) // root accumulation moot
       oi -= 1
     }
     best

@@ -743,6 +743,95 @@ object Multimodal {
         .select(col("doc_id"), col("chunk_hash").as("fp")).distinct()
     }
 
+  // ---- trim-variant builders for the recall instruments (VERDICT
+  // r16 #4): deterministic re-trims of the STAGED streams, output
+  // (doc_id, d, fp) for Dedup.fingerprintPlantRecall. Offsets ride a
+  // composite id (doc_id·16 + d) through the doc-keyed fingerprint
+  // machinery and decode back after — no operator grows a d column.
+
+  /** Fixed-window q-gram fingerprints of each clip re-trimmed by `d`
+    * SAMPLES: block means recomputed over the shifted stream
+    * (complete 8-blocks only — the decoder's truncation rule), then
+    * the production q-gram windows. An offset that is no multiple of
+    * 8 changes EVERY block mean — the lane's documented failure case,
+    * now a measured number. */
+  def audioTrimVariantsFixed(docs: DataFrame,
+                             offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(o => o >= 1 && o < 16))
+    val s = audioSamples(docs)
+    val n = s.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val blocks = s.join(n, "doc_id")
+      .select(col("doc_id"), col("pos"), col("c"), col("__n"),
+        explode(array(offsets.map(o => lit(o.toLong)): _*)).as("d"))
+      .filter(col("pos") >= col("d"))
+      .withColumn("blk", expr("(pos - d) div 8"))
+      .filter(col("blk") < expr("(__n - d) div 8"))
+      .groupBy("doc_id", "d", "blk")
+      .agg(expr("sum(c) div 8").as("q"))
+    graft.operators.Dedup.qgramFingerprints(
+        blocks.select((col("doc_id") * 16 + col("d")).as("doc_id"),
+          col("blk"), col("q")))
+      .select(expr("doc_id div 16").as("doc_id"),
+        expr("doc_id % 16").as("d"), col("fp"))
+  }
+
+  /** CDC chunk fingerprints of each clip re-trimmed by `d` samples —
+    * the shift-robust lane's side of the same A/B: boundaries are
+    * decided by sample CONTENT, so the trimmed stream re-syncs at the
+    * first boundary sample and shares every later chunk. */
+  def audioTrimVariantsCdc(docs: DataFrame, offsets: Seq[Int],
+                           avgLen: Int = 16,
+                           minChunk: Int = 8): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(o => o >= 1 && o < 16))
+    val s = audioSamples(docs)
+    val trimmed = s
+      .select(col("doc_id"), col("pos"), col("c"),
+        explode(array(offsets.map(o => lit(o.toLong)): _*)).as("d"))
+      .filter(col("pos") >= col("d"))
+      .select((col("doc_id") * 16 + col("d")).as("doc_id"),
+        (col("pos") - col("d")).as("pos"),
+        col("c").cast("string").as("v"))
+    graft.operators.Dedup.cdcChunkStream(trimmed, avgLen, "acdc:")
+      .filter(col("n_vals") >= minChunk)
+      .select(expr("doc_id div 16").as("doc_id"),
+        expr("doc_id % 16").as("d"), col("chunk_hash").as("fp"))
+      .distinct()
+  }
+
+  /** Frame-hash fingerprints of each video with its first `d` frames
+    * dropped (a re-cut opening): the hashes themselves are position-
+    * free, so the variant set is the original minus the dropped
+    * frames' hashes. */
+  def videoTrimVariantsFrames(docs: DataFrame,
+                              drops: Seq[Int]): DataFrame = {
+    require(drops.nonEmpty && drops.forall(o => o >= 1 && o < 4))
+    videoFrameHash(docs)
+      .select(col("doc_id"), col("frame_id"), col("dhash"),
+        explode(array(drops.map(o => lit(o.toLong)): _*)).as("d"))
+      .filter(col("frame_id") >= col("d"))
+      .select(col("doc_id"), col("d"), col("dhash").as("fp"))
+      .distinct()
+  }
+
+  /** Scene signatures of the same d-frame-dropped variants: cuts and
+    * within-scene positions recompute over the shortened sequence, so
+    * only the scene containing the trim point changes its signature —
+    * every later scene re-syncs (the content-defined boundary
+    * argument at scene granularity). */
+  def videoTrimVariantsScenes(docs: DataFrame, drops: Seq[Int],
+                              cutHamming: Int = 36): DataFrame = {
+    require(drops.nonEmpty && drops.forall(o => o >= 1 && o < 4))
+    val fh = videoFrameHash(docs)
+      .select(col("doc_id"), col("frame_id"), col("dhash"),
+        explode(array(drops.map(o => lit(o.toLong)): _*)).as("d"))
+      .filter(col("frame_id") >= col("d"))
+      .select((col("doc_id") * 4 + col("d")).as("doc_id"),
+        col("frame_id"), col("dhash"))
+    sceneFpsOf(fh, cutHamming)
+      .select(expr("doc_id div 4").as("doc_id"),
+        expr("doc_id % 4").as("d"), col("fp"))
+  }
+
   /** Adaptive-energy voice-activity detection over the REAL-decoded
     * block means ([[audioBlocks]]) — the trim/keep dashboard of an
     * audio curation pass (how much of each clip is speech-level
@@ -900,25 +989,34 @@ object Multimodal {
                              cutHamming: Int = 36): DataFrame =
     graft.Stage.parquet(docs.sparkSession,
       graft.Stage.key(docs, "video_scene_fp", cutHamming)) {
-      val wd = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("frame_id")
-      val scenes = videoFrameHash(docs)
-        .withColumn("__ph", lag(col("dhash"), 1).over(wd))
-        .withColumn("__cut",
-          when(col("__ph").isNotNull &&
-            bit_count(col("dhash").bitwiseXOR(col("__ph"))) > cutHamming,
-            1L).otherwise(0L))
-        .withColumn("scene_id", sum(col("__cut")).over(
-          wd.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)))
-        .withColumn("__p", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id", "scene_id").orderBy("frame_id")) - 1)
-      scenes.groupBy("doc_id", "scene_id")
-        .agg(sum(PortableHash.hash32(concat(col("__p").cast("string"),
-          lit(":"), col("dhash").cast("string")))).as("fp"))
-        .select(col("doc_id"), col("fp")).distinct()
+      sceneFpsOf(videoFrameHash(docs), cutHamming)
     }
+
+  /** The scene-signature core over ANY (doc_id, frame_id, dhash)
+    * frame table — shared by the staged corpus artifact and the
+    * trim-variant recall instrument (which feeds it perturbed frame
+    * sequences under composite ids). */
+  private def sceneFpsOf(frameHashes: DataFrame,
+                         cutHamming: Int): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_id")
+    val scenes = frameHashes
+      .withColumn("__ph", lag(col("dhash"), 1).over(wd))
+      .withColumn("__cut",
+        when(col("__ph").isNotNull &&
+          bit_count(col("dhash").bitwiseXOR(col("__ph"))) > cutHamming,
+          1L).otherwise(0L))
+      .withColumn("scene_id", sum(col("__cut")).over(
+        wd.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("__p", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id", "scene_id").orderBy("frame_id")) - 1)
+    scenes.groupBy("doc_id", "scene_id")
+      .agg(sum(PortableHash.hash32(concat(col("__p").cast("string"),
+        lit(":"), col("dhash").cast("string")))).as("fp"))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
 
   /** The staged per-frame perceptual-hash table: the REAL container
     * walk ([[aviFrameBytes]]) extracts each frame, ImageIO decodes it,

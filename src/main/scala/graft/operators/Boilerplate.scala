@@ -138,4 +138,79 @@ object Boilerplate {
                           minDf: Long = 5L,
                           divisor: Long = 10L): DataFrame =
     stripAgainst(batch, boilerplateSet(corpus, minDf, divisor))
+
+  // ---- LINE granularity (VERDICT r16 #3) -------------------------------
+  // C4/RefinedWeb's actual dedup unit is the LINE. This corpus's docs
+  // are single-line token streams, so the line view is SYNTHESIZED
+  // deterministically in both engines: line k of a doc = tokens
+  // [k·width+1 .. k·width+width] joined by a single space (the last
+  // line may be shorter). The template criterion and the broadcast
+  // size bound are the bigram lane's verbatim: Σ df over a source's
+  // lines = its line instance count, so at most divisor·avg_doc_lines
+  // lines per source clear the relative bar. Lines never overlap, so
+  // the strip accounting is a plain per-instance token sum — no
+  // distinct-position pass needed.
+
+  /** One row per (doc, line instance): the line string, its 0-based
+    * line number, its exact token count (short last line honored). */
+  private def lineInstances(docs: DataFrame, width: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .select(col("doc_id"), col("source"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        posexplode(expr(s"""transform(
+            sequence(0, (size(__t) + ${width - 1}) div $width - 1),
+            k -> array_join(slice(__t, k * $width + 1, $width), ' '))"""))
+          .as(Seq("line_no", "line")))
+      .withColumn("line_len",
+        least(lit(width.toLong),
+          col("n_tokens") - col("line_no").cast("long") * width))
+
+  /** (source, line, df, occ): per-source line document frequency. A
+    * line can repeat inside one doc, so df counts DISTINCT docs. */
+  private def sourceLineDf(docs: DataFrame, width: Int): DataFrame =
+    lineInstances(docs, width)
+      .groupBy("source", "line")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("occ"))
+
+  /** Per-source LINE template profile — [[boilerplateNgrams]] at line
+    * granularity over the synthesized `width`-token lines. */
+  def boilerplateLines(docs: DataFrame, width: Int = 8, minDf: Long = 5L,
+                       divisor: Long = 10L): DataFrame =
+    sourceLineDf(docs, width)
+      .join(broadcast(sourceDocCounts(docs)), Seq("source"))
+      .groupBy("source", "n_docs")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(isBoiler(minDf, divisor), 1L).otherwise(0L))
+          .as("n_boiler"),
+        coalesce(sum(when(isBoiler(minDf, divisor), col("occ"))),
+          lit(0L)).as("boiler_occ"),
+        max(col("df")).as("max_df"))
+      .select(col("source"), col("n_docs"), col("n_lines"),
+        col("n_boiler"), col("boiler_occ"), col("max_df"))
+
+  /** The line-unit strip pass: every instance of one of its source's
+    * boilerplate lines is removed whole (lines are disjoint —
+    * coverage is an exact per-instance token sum); per doc the same
+    * (n_tokens, removed_tokens, kept_tokens) accounting as
+    * [[boilerplateStrip]]. */
+  def boilerplateLineStrip(docs: DataFrame, width: Int = 8,
+                           minDf: Long = 5L,
+                           divisor: Long = 10L): DataFrame = {
+    val bset = sourceLineDf(docs, width)
+      .join(broadcast(sourceDocCounts(docs)), Seq("source"))
+      .filter(isBoiler(minDf, divisor))
+      .select(col("source"), col("line"))
+    val removed = lineInstances(docs, width)
+      .join(broadcast(bset), Seq("source", "line"), "leftsemi")
+      .groupBy("doc_id").agg(sum(col("line_len")).as("__n_removed"))
+    docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("__n_removed"), lit(0L)).as("removed_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("removed_tokens"))
+  }
 }

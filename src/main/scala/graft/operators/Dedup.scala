@@ -1520,11 +1520,24 @@ object Dedup {
     * column on BOTH inputs restricting band participation — the image
     * path passes the `image_quality` contrast gate, so flat images
     * (the structurally-hot near-zero dHash mass) route to exact-hash
-    * dedup, where they belong, and still receive a verdict. */
+    * dedup, where they belong, and still receive a verdict.
+    *
+    * `nBands` is the SAME recall/fan-out dial [[hash64Neardup]] has
+    * (VERDICT r16 #1): continuous ingestion is where near-dup
+    * admission matters most, so the incremental lane must be able to
+    * ride the measured-better geometry — 8×8-bit banding holds
+    * 885 714 ppm recall at Hamming 12 where 4×16 holds 71 428
+    * ([[hash64BandRecallCurve]] at both geometries). The occupancy
+    * cap applies per-geometry: 8-bit bands are 256× hotter under
+    * uniform hashing, so the cap binds earlier — size it as
+    * c·E[occupancy] for the chosen width (the default 64 is ~64× the
+    * uniform expectation at fixture scale for BOTH widths; at corpus
+    * scale recompute E = n/2^(64/nBands) per band). */
   def hash64NeardupInc(corpusHashes: DataFrame, batchHashes: DataFrame,
                        hashCol: String, maxHamming: Int = 6,
                        maxBucket: Int = 64,
-                       bandCol: Option[String] = None): DataFrame = {
+                       bandCol: Option[String] = None,
+                       nBands: Int = 4): DataFrame = {
     def sel(df: DataFrame, isNew: Boolean): DataFrame =
       df.select(col("doc_id"), col(hashCol).as("h"),
         bandCol.map(col).getOrElse(lit(true)).as("__band"),
@@ -1539,7 +1552,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("__prior"))
     // band lane: band-eligible rows only, hot buckets dropped
     val bandAll = graft.Caches.track(dropHotBuckets(
-      with16Bands(all.filter(col("__band")).drop("__band"), "h"),
+      withBandsN(all.filter(col("__band")).drop("__band"), "h", nBands),
       maxBucket))
     val near = bandAll.filter(col("__new")).as("a")
       .join(bandAll.as("b"),
@@ -1776,12 +1789,15 @@ object Dedup {
   def fingerprintSweep(fps: DataFrame,
                        threshes: Seq[Long] = Seq(1L, 2L, 4L, 8L),
                        maxDf: Int = 64): DataFrame = {
+    // a repeated dial would duplicate its output row AND its
+    // aggregation key (ADVICE r16 #3) — the sweep is over the SET
+    val ths = threshes.distinct
     val pairs = graft.Caches.track(
       fingerprintNeardup(fps, minShared = 1, maxDf = maxDf))
     val th = fps.sparkSession.range(1)
-      .select(explode(array(threshes.map(lit): _*)).as("thresh"))
+      .select(explode(array(ths.map(lit): _*)).as("thresh"))
     val agg = pairs
-      .select(explode(array(threshes.map(lit): _*)).as("thresh"),
+      .select(explode(array(ths.map(lit): _*)).as("thresh"),
         col("n_shared"), col("n_doc_pairs"))
       .filter(col("n_shared") >= col("thresh"))
       .groupBy("thresh")
@@ -1791,6 +1807,41 @@ object Dedup {
       .select(col("thresh"),
         coalesce(col("n_rep_pairs"), lit(0L)).as("n_rep_pairs"),
         coalesce(col("__ndp"), lit(0L)).as("n_doc_pairs"))
+  }
+
+  /** Planted-variant recall evaluator for FINGERPRINT lanes (VERDICT
+    * r16 #4 — the image_band_recall discipline pointed at posting
+    * joins): `variants` holds, per (doc_id, d), the fingerprint set
+    * of a deterministically perturbed copy of doc_id (an audio
+    * re-trim at offset d, a d-frame video drop); the planted pair
+    * (doc, variant) is RECOVERED when the two share ≥ minShared
+    * fingerprints after the production df-cap — computed on the
+    * ORIGINAL posting table, i.e. the staged artifact a production
+    * probe joins against. Output per d: planted count, recovered
+    * count, recall ppm, stamped with the lane name so the A/B unions
+    * into one decision table. Docs whose perturbed stream yields no
+    * fingerprint at all drop out of the planted set (the instrument
+    * measures the JOIN's recall, not the fingerprinter's coverage).
+    * Candidate-scale: one df aggregate, one (doc_id, fp) equi-join —
+    * the variant probes its OWN original only, never the corpus. */
+  def fingerprintPlantRecall(fps: DataFrame, variants: DataFrame,
+                             minShared: Long, maxDf: Int,
+                             lane: String): DataFrame = {
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("fp")
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val nsh = variants.join(cold, Seq("doc_id", "fp"))
+      .groupBy("doc_id", "d").agg(count(lit(1)).as("__n"))
+    variants.select("doc_id", "d").distinct()
+      .join(nsh, Seq("doc_id", "d"), "left")
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(when(coalesce(col("__n"), lit(0L)) >= minShared, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(lit(lane).as("lane"), col("d").cast("long").as("d"),
+        col("n_planted"), col("n_hit"),
+        expr("(1000000 * n_hit) div greatest(n_planted, 1)")
+          .as("recall_ppm"))
   }
 
   /** INCREMENTAL shared-fingerprint dedup — the [[incrementalDedup]]

@@ -417,7 +417,7 @@ object Sampling {
       .agg(count(lit(1)).as("n_replicas"),
         min(col("mean_milli")).as("mean_milli_min"),
         max(col("mean_milli")).as("mean_milli_max"))
-      .crossJoin(overall)
+      .crossJoin(broadcast(overall))
       .select(col("n_replicas"), col("mean_milli_min"), col("mean_milli_max"),
         (col("mean_milli_max") - col("mean_milli_min")).as("spread_milli"),
         col("mean_milli_all"), col("n_rows"))

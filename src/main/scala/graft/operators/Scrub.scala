@@ -85,12 +85,15 @@ object Scrub {
   def decontamSweep(docs: DataFrame, benchmark: DataFrame,
                     threshes: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L))
       : DataFrame = {
+    // a repeated dial would duplicate its output row AND its
+    // aggregation key (ADVICE r16 #3) — the sweep is over the SET
+    val ths = threshes.distinct
     val hits = graft.Caches.track(
       decontaminate(docs, benchmark, minShared = 1))
     val th = docs.sparkSession.range(1)
-      .select(explode(array(threshes.map(lit): _*)).as("thresh"))
+      .select(explode(array(ths.map(lit): _*)).as("thresh"))
     val agg = hits
-      .select(explode(array(threshes.map(lit): _*)).as("thresh"),
+      .select(explode(array(ths.map(lit): _*)).as("thresh"),
         col("n_shared"))
       .filter(col("n_shared") >= col("thresh"))
       .groupBy("thresh")

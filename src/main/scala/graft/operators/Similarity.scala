@@ -786,13 +786,84 @@ object Similarity {
     *
     * Output: recall@k vs brute-force cosine truth on the nQueries
     * probe set, per round — the measured answer to "what does one
-    * refinement round buy over the raw LSH graph". 2 rows. */
+    * refinement round buy over the raw LSH graph". 2 rows.
+    *
+    * MEASURED STRUCTURAL FACT (round 17): a SINGLE-TABLE-LSH-seeded
+    * graph is a FIXED POINT of the refine round on ANY corpus — every
+    * vector lives in exactly one bucket, so a two-hop path can never
+    * leave the query's bucket, and g0 is already the exact in-bucket
+    * top-k; g1 ≡ g0 identically (verified at 4/5/6/8 planes on both
+    * the random and the trigram lanes). This gate therefore PINS the
+    * fixed point; the round's real uplift is measured by
+    * [[knnDescentRecall]], whose random seed is what Dong et al.
+    * actually iterate from. */
   def knnRefineRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
                       ps: Seq[Seq[Long]] = planes()): DataFrame = {
     val n = graft.Caches.track(
       withNorm(emb).withColumn("bucket", lshBucket(col("v"), ps))
         .select(col("vec_id"), col("v"), col("norm2"), col("bucket")))
     val g0 = graft.Caches.track(knnGraphLsh(n, k))
+    refineRecall(emb, n, g0, nQueries, k)
+  }
+
+  /** ONE NN-Descent round from the paper's RANDOM seed (Dong et al.
+    * 2011 §2: the iteration starts from a random k-regular graph, not
+    * an LSH one — see the [[knnRefineRecall]] fixed-point note for
+    * why that matters): the seed candidates are `seedsPerQuery`
+    * deterministic pseudo-random partners per vector
+    * (hash32("nnd:id:j") mod (max_id+1) — identical in both engines;
+    * ids that miss a hole in the id space simply drop), g0 keeps the
+    * exact-cosine top-k among them, and the same two-hop + ρ-capped
+    * + re-rank round runs once. On an embedding space with real
+    * neighborhood structure the round buys measurable recall
+    * ("a neighbor of my neighbor is probably my neighbor" only helps
+    * when neighborhoods exist); on i.i.d. random vectors it buys
+    * little — the pair of gates documents exactly that contrast. */
+  def knnDescentRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                       seedsPerQuery: Int = 15): DataFrame = {
+    // norms and the seed graph are STAGED, not just cached: the graph
+    // is built once and read back like any index (the knnGraphLsh
+    // doctrine), and the read-back truncates the lineage the refine
+    // round's self-joins would otherwise re-embed at every reference
+    val spark = emb.sparkSession
+    val n = graft.Stage.parquet(spark,
+      graft.Stage.key(emb, "knnd_norms")) {
+      withNorm(emb).select(col("vec_id"), col("v"), col("norm2"))
+    }
+    val g0 = graft.Stage.parquet(spark,
+      graft.Stage.key(emb, "knnd_g0", k, seedsPerQuery)) {
+      val mx = broadcast(n.agg((max(col("vec_id")) + 1L).as("__n")))
+      val seeds = n.select(col("vec_id").as("query_id")).crossJoin(mx)
+        .select(col("query_id"), col("__n"),
+          explode(sequence(lit(0), lit(seedsPerQuery - 1))).as("__j"))
+        .select(col("query_id"),
+          pmod(graft.functions.PortableHash.hash32(
+            concat(lit("nnd:"), col("query_id").cast("string"),
+              lit(":"), col("__j").cast("string"))), col("__n"))
+            .as("cand_id"))
+        .filter(col("query_id") =!= col("cand_id")).distinct()
+      val nq = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"))
+      val nc = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("norm2").as("cn"))
+      seeds.join(nq, Seq("query_id")).join(nc, Seq("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col("cand_id"))))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("cand_id"), col("sim"))
+    }
+    refineRecall(emb, n, g0, nQueries, k)
+  }
+
+  /** The shared refine-and-score tail: one two-hop round over the
+    * ρ-capped undirected g0, exact re-rank, recall@k vs brute force
+    * per round. `n` must carry (vec_id, v, norm2); `g0` carries
+    * (query_id, cand_id, sim). */
+  private def refineRecall(emb: DataFrame, n: DataFrame, g0: DataFrame,
+                           nQueries: Int, k: Int): DataFrame = {
     // ρ-cap: top-k INCOMING edges per vector, then the undirected view
     val rev = g0
       .select(col("cand_id").as("query_id"), col("query_id").as("cand_id"),
@@ -936,6 +1007,50 @@ object Similarity {
     * table; output is ONE row. `sim_micro_sum` is an exact integer
     * lane (a mean would divide a possibly-negative sum, where Spark
     * `div` truncates and DuckDB `//` floors — the consumer divides). */
+  /** Deterministic TEXT-DERIVED embedding (VERDICT r16 #2): 64-dim
+    * hashed char-trigram counts per doc — dim = hash32("tge:" ‖
+    * trigram) mod 64 over the lowercased text's character trigrams,
+    * count per dim as an exact-integer double. Both engines can
+    * compute it from the text alone, so the cross-modal audits
+    * ([[lexicalSemanticConfirm]], [[knnRefineRecall]]) get an
+    * embedding space CORRELATED with lexical similarity: paraphrase
+    * pairs share most trigrams → high cosine, where the fixture's
+    * random `embeddings` table is text-independent and makes those
+    * audits vacuously zero. Integer-valued doubles keep every dot
+    * product exact — no float-discipline hazard at all.
+    *
+    * Exploded (vec_id, dim, cnt) counts when `dense = false` (the
+    * oracle-comparable artifact view); the dense 64-array embedding
+    * otherwise. 100 TB shape: one pass over the corpus, the trigram
+    * explode collapses into a 64-way conditional-sum aggregate
+    * (map-side combinable, no collect_list, vector width fixed). */
+  def trigramEmbed(docs: DataFrame, dim: Int = 64,
+                   dense: Boolean = true): DataFrame = {
+    val counts = docs
+      .select(col("doc_id").as("vec_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("vec_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
+      .select(col("vec_id"),
+        pmod(graft.functions.PortableHash.hash32(
+          concat(lit("tge:"), col("t").substr(col("i"), lit(3)))),
+          lit(dim.toLong)).cast("int").as("dim"))
+      .groupBy("vec_id", "dim").agg(count(lit(1)).as("cnt"))
+    if (!dense) counts
+    else graft.Stage.parquet(docs.sparkSession,
+        graft.Stage.key(docs, "trigram_embed", dim)) {
+      counts.groupBy("vec_id")
+        .agg(sum(when(col("dim") === 0, col("cnt")).otherwise(0L))
+            .as("__c0"),
+          (1 until dim).map(j =>
+            sum(when(col("dim") === j, col("cnt")).otherwise(0L))
+              .as(s"__c$j")): _*)
+        .select(col("vec_id"),
+          array((0 until dim).map(j => col(s"__c$j").cast("double")): _*)
+            .as("embedding"))
+    }
+  }
+
   def lexicalSemanticConfirm(docs: DataFrame, emb: DataFrame,
                              minSimMicro: Long = 350000L): DataFrame = {
     val pairs = graft.Caches.track(
@@ -953,7 +1068,7 @@ object Similarity {
       coalesce(sum(when(col("sim_micro") >= minSimMicro, 1L)
         .otherwise(0L)), lit(0L)).as("n_confirmed"),
       coalesce(sum(col("sim_micro")), lit(0L)).as("sim_micro_sum"))
-    tot.crossJoin(sc)
+    tot.crossJoin(broadcast(sc))
       .select(col("n_pairs"), col("n_scored"), col("n_confirmed"),
         expr("(1000000 * n_confirmed) div greatest(n_scored, 1)")
           .as("confirm_ppm"),

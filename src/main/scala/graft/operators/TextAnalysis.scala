@@ -1112,7 +1112,7 @@ object TextAnalysis {
       Seq("tok" -> col("tok"), "nb" -> col("nb"))))
     val total = broadcast(cum.agg(max(col("cum_tok")).as("__t")))
     val rows = pcts.map { p =>
-      cum.crossJoin(total)
+      cum.crossJoin(broadcast(total))
         .withColumn("__need", expr(s"($p * __t + 99) div 100"))
         .filter(col("cum_tok") >= col("__need"))
         // first qualifying row in count-desc order = max cnt among

@@ -12,12 +12,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * paying for storage or featurization.
   *
   * Shape mirrors [[StreamingNearDup]] exactly: the stateless band
-  * projection (the batch 4×16-bit band recipe) runs unchanged on the
-  * stream; the stateful step keys by (band_id, band_val) — the key the
-  * batch band JOIN shuffles on — and keeps each bucket's seen (doc_id,
-  * hash) entries in `flatMapGroupsWithState` state; a new arrival
-  * compares against bucket-mates only (|bucket| XOR+popcounts, never
-  * corpus-wide).
+  * projection (the batch nBands × (64/nBands)-bit band recipe, the
+  * SAME `nBands` dial as [[graft.operators.Dedup.hash64Neardup]] —
+  * VERDICT r16 #1: the measured 8×8 geometry holds 885 714 ppm recall
+  * at Hamming 12 where the 4×16 default holds 71 428, at the price of
+  * 256× hotter uniform buckets and 2× state rows) runs unchanged on
+  * the stream; the stateful step keys by (band_id, band_val) — the
+  * key the batch band JOIN shuffles on — and keeps each bucket's seen
+  * (doc_id, hash) entries in `flatMapGroupsWithState` state; a new
+  * arrival compares against bucket-mates only (|bucket| XOR+popcounts,
+  * never corpus-wide).
   *
   * Contract divergences from the batch op, both deliberate:
   * identical hashes are NOT collapsed (a stream can't know a hash's
@@ -32,8 +36,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * survive the whole run there); PRODUCTION ingestion should always
   * set a non-zero TTL sized to the dedup lookback window (hours, not
   * 0) — at TTL 0 every band bucket grows without bound, and each
-  * asset lands in FOUR buckets, so unbounded state quadruples
-  * (ADVICE r15 #4).
+  * asset lands in nBands buckets, so unbounded state multiplies by
+  * the band count (ADVICE r15 #4).
   *
   * Runs unchanged on a BATCH frame (state starts empty, one group per
   * key) — the differential spec proves the streamed pair set equals
@@ -52,15 +56,18 @@ object StreamingHashDedup {
   /** `hashes`: a (doc_id, <hashCol>) frame or stream. */
   def nearDupStream(hashes: DataFrame, hashCol: String = "dhash",
                     maxHamming: Int = 10,
-                    stateTtlMs: Long = 0L): Dataset[HashPair] = {
+                    stateTtlMs: Long = 0L,
+                    nBands: Int = 4): Dataset[HashPair] = {
     val spark = hashes.sparkSession
     import spark.implicits._
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
     val banded = hashes
       .select(col("doc_id"), col(hashCol).as("h"),
         explode(org.apache.spark.sql.functions.array(
-          (0 until 4).map(j => struct(
+          (0 until nBands).map(j => struct(
             lit(j).as("band_id"),
-            shiftright(col(hashCol), j * 16).bitwiseAND(65535)
+            shiftright(col(hashCol), j * width).bitwiseAND(mask)
               .as("band_val"))): _*)).as("b"))
       .select(col("doc_id"), col("h"), col("b.band_id"), col("b.band_val"))
       .as[BandedHash]

@@ -28,11 +28,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * lower-id-batch-member rule, so replaying corpus-then-batch through
   * the stream reproduces the batch verdicts (the differential spec).
   * Duplicate vec_id re-arrivals are dropped O(1) via the seen set
-  * (the ADVICE r15 #4 discipline). State bounding: `stateTtlMs > 0`
-  * arms a processing-time timeout per cluster; production ingestion
-  * should size it to the dedup lookback window — at TTL 0 every
-  * cluster's member list grows without bound (the 0L default exists
-  * for the batch-execution differential gate). */
+  * (the ADVICE r15 #4 discipline). State bounding (ADVICE r16 #2 —
+  * unbounded full-vector state is the production footgun, so the
+  * unbounded configuration is now BATCH-ONLY): a streaming input must
+  * arm `stateTtlMs > 0` (processing-time timeout per cluster, sized
+  * to the dedup lookback window — pair with a paced trigger, as
+  * [[StreamingNearDup]] documents) or `maxMembers > 0` (each cluster
+  * retains its most-recent maxMembers vectors — a per-cluster
+  * lookback that trades recall against arrivals older than the cap
+  * for O(maxMembers·d) bounded compare cost); the unbounded TTL-0 /
+  * cap-0 combination is reserved for the batch-execution differential
+  * gate, where state must survive the whole run by definition and
+  * the run itself bounds it. */
 object StreamingSemDedup {
 
   case class AssignedVec(vec_id: Long, cluster: Int, v: Seq[Double])
@@ -49,8 +56,13 @@ object StreamingSemDedup {
     * construction (the model artifact, not data). */
   def semDedupStream(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
                      minSimMicro: Long = 350000L,
-                     stateTtlMs: Long = 0L): Dataset[SemVerdict] = {
+                     stateTtlMs: Long = 0L,
+                     maxMembers: Int = 0): Dataset[SemVerdict] = {
     require(centroids.nonEmpty, "semDedupStream needs a trained model")
+    require(!emb.isStreaming || stateTtlMs > 0L || maxMembers > 0,
+      "a streaming input must bound its state: arm stateTtlMs (lookback " +
+        "window) or maxMembers (per-cluster cap); TTL 0 + cap 0 is " +
+        "reserved for the batch differential path")
     val spark = emb.sparkSession
     import spark.implicits._
     // ascending cid + strict < replicates the batch (d2, cid) min
@@ -84,6 +96,11 @@ object StreamingSemDedup {
         state.getOption.foreach(m => entries ++= m.entries)
         val seen = scala.collection.mutable.HashSet.empty[Long]
         entries.foreach(e => seen += e.vec_id)
+        // armed cap: a CONTINUOUS most-recent-maxMembers window — the
+        // start pointer advances as arrivals land, so mid-trigger
+        // arrivals see the same bounded lookback a cross-trigger one
+        // does (eviction order = arrival order)
+        var start = 0
         val out = Seq.newBuilder[SemVerdict]
         arrivals.toSeq.sortBy(_.vec_id).foreach { d =>
           if (seen.add(d.vec_id)) {
@@ -92,7 +109,9 @@ object StreamingSemDedup {
             var j = 0
             while (j < dv.length) { n2 += dv(j) * dv(j); j += 1 }
             var nDup = 0L
-            entries.foreach { e =>
+            var ei = start
+            while (ei < entries.length) {
+              val e = entries(ei)
               val ev = e.v.toArray
               var dot = 0d
               var i = 0
@@ -100,12 +119,15 @@ object StreamingSemDedup {
               val sim = dot / (math.sqrt(e.norm2) * math.sqrt(n2))
               if (math.floor(sim * 1000000d).toLong >= minSimMicro)
                 nDup += 1L
+              ei += 1
             }
             out += SemVerdict(d.vec_id, key, nDup, nDup == 0L)
             entries += VecEntry(d.vec_id, d.v, n2)
+            if (maxMembers > 0 && entries.length - start > maxMembers)
+              start += 1
           }
         }
-        state.update(ClusterMembers(entries.toSeq))
+        state.update(ClusterMembers(entries.drop(start).toSeq))
         if (stateTtlMs > 0L) state.setTimeoutDuration(stateTtlMs)
         out.result().iterator
       }

@@ -91,4 +91,51 @@ class BoilerplateSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSeq
     assert(out == Seq((0L, 2L), (1L, 2L), (2L, 0L), (3L, 0L)))
   }
+
+  test("line granularity (VERDICT r16 #3): a 3-line template header " +
+      "strips from every doc of its source; body lines survive") {
+    // width 4: the 12-token header = synthesized lines 0..2 of every
+    // s1 doc (df 6 >= max(5, ceil(6/10)=1)); each body is unique
+    // (df 1). The s2 doc shares the header text but its source has
+    // one doc — per-source isolation keeps it whole.
+    val header = (0 until 12).map(i => s"nav$i").mkString(" ")
+    val d = docs(
+      (0L to 5L).map(i =>
+        (i, "s1", s"$header body${i}a body${i}b body${i}c")) :+
+      (9L, "s2", s"$header solo"): _*)
+    val prof = Boilerplate.boilerplateLines(d, width = 4)
+      .orderBy("source")
+      .select("source", "n_docs", "n_boiler", "max_df")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // s1: exactly the 3 header lines flag; body lines have df 1
+    assert(prof == Seq(("s1", 6L, 3L, 6L), ("s2", 1L, 0L, 1L)),
+      s"got $prof")
+    val strip = Boilerplate.boilerplateLineStrip(d, width = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "removed_tokens", "kept_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // every s1 doc loses its 12 header tokens, keeps its 3 body
+    // tokens; the s2 doc is untouched
+    assert(strip == (0L to 5L).map(i => (i, 15L, 12L, 3L)) :+
+      ((9L, 13L, 0L, 13L)), s"got $strip")
+  }
+
+  test("line granularity: a line repeating INSIDE one doc counts df 1 " +
+      "but strips every instance once flagged") {
+    // "x0 x1 x2 x3" appears twice in docs 0..4 (df 5 ≥ 5): both
+    // instances of each doc strip (8 tokens)
+    val line = "x0 x1 x2 x3"
+    val d = docs((0L to 4L).map(i =>
+      (i, "s1", s"$line $line u${i}a u${i}b u${i}c u${i}d")): _*)
+    val prof = Boilerplate.boilerplateLines(d, width = 4)
+      .select("n_lines", "n_boiler", "max_df")
+      .as[(Long, Long, Long)].head()
+    // per doc: lines are {x-line, x-line, unique body line} → distinct
+    // (source, line) rows = 1 template + 5 bodies; df counts docs (5)
+    assert(prof == ((6L, 1L, 5L)), s"got $prof")
+    val strip = Boilerplate.boilerplateLineStrip(d, width = 4)
+      .orderBy("doc_id").select("removed_tokens", "kept_tokens")
+      .as[(Long, Long)].collect().toSeq
+    assert(strip == Seq.fill(5)((8L, 4L)), s"got $strip")
+  }
 }

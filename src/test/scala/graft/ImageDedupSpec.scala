@@ -146,6 +146,29 @@ class ImageDedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("hash64NeardupInc nBands=8: the incremental lane catches the " +
+      "straddle 4x16 misses (VERDICT r16 #1)") {
+    // Same geometry as the batch straddle test, on the CONTINUOUS
+    // lane: the corpus holds base, the batch arrival differs by one
+    // flip in the low byte of each 16-bit band — every 16-bit band
+    // differs (4x16 admits the near-dup as novel) but the four high
+    // bytes still match (8x8 flags it, hamming 4 <= 12)
+    val base = 0x1234_5678_9abc_def0L
+    val straddle = base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))
+    val corpus = Seq((2L, base)).toDF("doc_id", "dhash")
+    val batch = Seq((11L, straddle)).toDF("doc_id", "dhash")
+    val wide = Dedup.hash64NeardupInc(corpus, batch, "dhash",
+        maxHamming = 12).as[(Long, Long, Boolean)].collect().toSeq
+    val narrow = Dedup.hash64NeardupInc(corpus, batch, "dhash",
+        maxHamming = 12, nBands = 8)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(wide == Seq((11L, 0L, true)),
+      s"4x16 must miss the all-band straddle: $wide")
+    assert(narrow == Seq((11L, 1L, false)),
+      s"8x8 must flag the straddle via its shared high bytes: $narrow")
+    Caches.releaseAll()
+  }
+
   test("hash64NeardupInc: batch probes corpus; exact AND near dups flag") {
     val original = blockyImage(90, 80, salt = 0)
     val corpusDh = Multimodal.dhashOf(Seq(

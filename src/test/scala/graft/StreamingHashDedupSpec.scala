@@ -27,14 +27,18 @@ class StreamingHashDedupSpec extends SparkTestBase {
     Hashed(4L, ~base), // complement: hamming 64 to 1, 32 to 5
     Hashed(6L, base ^ 0x7_0001L)) // hamming 4 to 1, 2 to... (bands 2,3 shared)
 
-  /** Brute-force reference: pairs sharing >= 1 of the 4 16-bit bands
-    * with Hamming <= maxHamming. */
-  private def reference(maxHamming: Int): Set[(Long, Long, Int)] = {
-    val all = batch1 ++ batch2
+  /** Brute-force reference, GEOMETRY-AGNOSTIC (VERDICT r16 #1): pairs
+    * sharing >= 1 of the nBands (64/nBands)-bit bands with
+    * Hamming <= maxHamming. */
+  private def reference(maxHamming: Int, nBands: Int = 4,
+                        docs: Seq[Hashed] = batch1 ++ batch2)
+      : Set[(Long, Long, Int)] = {
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
     (for {
-      a <- all; b <- all if a.doc_id < b.doc_id
-      shared = (0 until 4).exists(j =>
-        ((a.dhash >> (j * 16)) & 65535) == ((b.dhash >> (j * 16)) & 65535))
+      a <- docs; b <- docs if a.doc_id < b.doc_id
+      shared = (0 until nBands).exists(j =>
+        ((a.dhash >> (j * width)) & mask) == ((b.dhash >> (j * width)) & mask))
       ham = java.lang.Long.bitCount(a.dhash ^ b.dhash)
       if shared && ham <= maxHamming
     } yield (a.doc_id, b.doc_id, ham)).toSet
@@ -59,6 +63,42 @@ class StreamingHashDedupSpec extends SparkTestBase {
     assert(rows == ref, s"streamed $rows != reference $ref")
     // the hamming-2 pair crossed triggers: state carried over
     assert(rows.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 2))
+  }
+
+  test("nBands=8 stream catches the cross-trigger straddle 4x16 misses " +
+      "(VERDICT r16 #1) and still equals its brute-force reference") {
+    // One flip in the low byte of each 16-bit band: no 16-bit band
+    // survives (the 4x16 stream admits the near-dup) but all four
+    // high bytes do (the 8x8 stream emits the hamming-4 pair) — the
+    // straddle arrives in a LATER trigger, so catching it exercises
+    // bucket state, not just the projection
+    implicit val sqlCtx = spark.sqlContext
+    val base2 = 0x0fed_cba9_8765_4321L
+    val straddle = Hashed(9L,
+      base2 ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)))
+    val first = Seq(Hashed(7L, base2))
+    def run(nBands: Int): Set[(Long, Long, Int)] = {
+      val input = MemoryStream[Hashed]
+      val name = s"hashdedup_g$nBands"
+      val q = StreamingHashDedup.nearDupStream(input.toDF(),
+          maxHamming = 12, nBands = nBands)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(straddle)
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[(Long, Long, Int)].collect().toSet
+    }
+    val docs = first :+ straddle
+    val wide = run(4)
+    val narrow = run(8)
+    assert(wide == reference(12, 4, docs) && wide.isEmpty,
+      s"4x16 must miss the all-band straddle: $wide")
+    assert(narrow == reference(12, 8, docs) &&
+        narrow == Set((7L, 9L, 4)),
+      s"8x8 must emit the straddle pair across triggers: $narrow")
   }
 
   test("batch execution with armed TTL wiring changes nothing") {

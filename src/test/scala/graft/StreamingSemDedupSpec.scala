@@ -66,8 +66,14 @@ class StreamingSemDedupSpec extends SparkTestBase {
   test("cross-trigger verdicts ≡ brute-force replay of the batch rule") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Emb]
+    // streaming inputs must bound state (ADVICE r16 #2). The bound
+    // here is a generous member CAP, not a TTL: an armed
+    // ProcessingTimeTimeout busy-spins empty timeout batches under
+    // the unit-test immediate trigger (see StreamingNearDupSpec's
+    // armed-TTL note), while the cap rides NoTimeout and — sized far
+    // above the fixture — provably alters no verdict
     val q = StreamingSemDedup.semDedupStream(
-        input.toDF(), centroids, minSimMicro = tau)
+        input.toDF(), centroids, minSimMicro = tau, maxMembers = 1000)
       .writeStream.format("memory").queryName("semdedup")
       .outputMode("append").start()
     input.addData(corpus: _*)
@@ -86,6 +92,34 @@ class StreamingSemDedupSpec extends SparkTestBase {
     // corpus member 2 within cosine reach? — the reference decides)
     assert(!rows(10L)._3 && !rows(11L)._3 && rows(12L)._3)
     assert(rows(15L)._2 >= 1L && !rows(15L)._3)
+  }
+
+  test("streaming input without a state bound is refused; an armed " +
+      "maxMembers cap bounds the lookback (ADVICE r16 #2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Emb]
+    val err = intercept[IllegalArgumentException] {
+      StreamingSemDedup.semDedupStream(input.toDF(), centroids,
+        minSimMicro = tau)
+    }
+    assert(err.getMessage.contains("bound its state"))
+    // cluster 0 arrivals: 0, then a far-but-same-cluster mate 4
+    // (cos ≈ 0.60 < tau), then an exact copy of 0. Uncapped: 20
+    // flags 0. With maxMembers = 1 only the most-recent member (4)
+    // survives the window, so the copy of the EVICTED 0 is admitted
+    // as novel — the documented lookback trade
+    val seq = Seq(
+      Emb(0L, Seq(0.9, 0.1, 0.0, 0.0)),
+      Emb(4L, Seq(0.6, 0.0, 0.0, 0.8)),
+      Emb(20L, Seq(0.9, 0.1, 0.0, 0.0)))
+    val open = StreamingSemDedup.semDedupStream(seq.toDF(), centroids,
+        minSimMicro = tau)
+      .collect().map(v => v.vec_id -> v.kept).toMap
+    val capped = StreamingSemDedup.semDedupStream(seq.toDF(), centroids,
+        minSimMicro = tau, maxMembers = 1)
+      .collect().map(v => v.vec_id -> v.kept).toMap
+    assert(!open(20L), "uncapped: the exact copy of 0 must flag")
+    assert(capped(20L), "cap 1: 0 was evicted, so its copy is novel")
   }
 
   test("batch execution + duplicate re-arrival dropped O(1)") {
