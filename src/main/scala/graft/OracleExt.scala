@@ -6472,6 +6472,83 @@ object OracleExt {
            WHERE r <= $k),
     ${refineTailSql(nQueries, k).trim}"""
 
+  /** Twin of Similarity.knnDescentRecallRounds on the trigram lane —
+    * the convergence curve, rounds unrolled. */
+  def knnDescentRoundsTg(nQueries: Int, k: Int, seeds: Int,
+                         rounds: Int): String = s"""
+    WITH ${trigramNormCte(64).trim},
+    nn AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS nmax FROM n),
+    sd AS (SELECT DISTINCT query_id, cand_id FROM (
+             SELECT q.vec_id AS query_id,
+                    ${graft.functions.PortableHash.sqlHash32(
+                      "'nnd:' || CAST(q.vec_id AS VARCHAR) || ':' || " +
+                        "CAST(j AS VARCHAR)")} % nmax AS cand_id
+             FROM n q
+             CROSS JOIN (SELECT unnest(range(0, $seeds)) AS j)
+             CROSS JOIN nn)
+           WHERE query_id != cand_id),
+    g0 AS (SELECT query_id, cand_id, sim FROM (
+             SELECT s.query_id, s.cand_id,
+                    list_dot_product(q.v, c.v)
+                      / (sqrt(q.norm2) * sqrt(c.norm2)) AS sim,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY list_dot_product(q.v, c.v)
+                        / (sqrt(q.norm2) * sqrt(c.norm2)) DESC,
+                        s.cand_id) AS r
+             FROM sd s JOIN n q ON q.vec_id = s.query_id
+                       JOIN n c ON c.vec_id = s.cand_id)
+           WHERE r <= $k),
+    ${(0 until rounds).map(i => descentRoundSql(i, k).trim)
+      .mkString(",\n    ")},
+    truth AS (SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY $cosSql DESC, c.vec_id) AS r
+                FROM n q JOIN n c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < $nQueries)
+              WHERE r <= $k),
+    scored AS (${(0 to rounds).map(i => s"""
+      SELECT $i AS round, CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN g.query_id IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM truth t LEFT JOIN
+        (SELECT query_id, cand_id FROM g$i WHERE query_id < $nQueries) g
+        ON g.query_id = t.query_id AND g.cand_id = t.cand_id""")
+      .mkString("\n      UNION ALL\n")})
+    SELECT round, n_truth, n_hits,
+           (1000000 * n_hits) // greatest(n_truth, 1) AS recall_ppm
+    FROM scored ORDER BY round"""
+
+  /** One unrolled NN-Descent step g{i} → g{i+1} (the refineTailSql
+    * round, sim kept so steps chain). */
+  private def descentRoundSql(i: Int, k: Int): String = s"""
+    rev$i AS (SELECT cand_id AS query_id, query_id AS cand_id FROM (
+              SELECT query_id, cand_id, sim,
+                     row_number() OVER (PARTITION BY cand_id
+                       ORDER BY sim DESC, query_id) AS r
+              FROM g$i)
+            WHERE r <= $k),
+    und$i AS (SELECT query_id, cand_id FROM g$i
+            UNION ALL SELECT query_id, cand_id FROM rev$i),
+    cnd$i AS (SELECT DISTINCT query_id, cand_id FROM (
+                SELECT query_id, cand_id FROM g$i
+                UNION ALL
+                SELECT x.query_id AS query_id, y.cand_id AS cand_id
+                FROM und$i x JOIN und$i y
+                  ON x.cand_id = y.query_id
+                     AND x.query_id != y.cand_id)),
+    g${i + 1} AS (SELECT query_id, cand_id, sim FROM (
+             SELECT c.query_id, c.cand_id,
+                    list_dot_product(q.v, t.v)
+                      / (sqrt(q.norm2) * sqrt(t.norm2)) AS sim,
+                    row_number() OVER (PARTITION BY c.query_id
+                      ORDER BY list_dot_product(q.v, t.v)
+                        / (sqrt(q.norm2) * sqrt(t.norm2)) DESC,
+                        c.cand_id) AS r
+             FROM cnd$i c JOIN n q ON q.vec_id = c.query_id
+                          JOIN n t ON t.vec_id = c.cand_id)
+           WHERE r <= $k)"""
+
   /** The shared refine-and-score SQL tail — assumes CTEs `n` (vec_id,
     * v, norm2) and `g0` (query_id, cand_id, sim) are in scope. */
   private def refineTailSql(nQueries: Int, k: Int): String = s"""

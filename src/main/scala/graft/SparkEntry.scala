@@ -1215,6 +1215,13 @@ object SparkEntry {
     // EXIST for neighbor-of-neighbor expansion to find them
     "knn_descent" -> ((s, dir) =>
       Similarity.knnDescentRecall(embPar(s, dir)).orderBy("round")),
+    // The convergence curve: NN-Descent run to 2 rounds on the
+    // structured lane — prices each extra round (Dong et al. iterate
+    // until few edges change; round 2's marginal gain vs round 1's
+    // is the stopping-rule evidence)
+    "knn_descent_rounds" -> ((s, dir) =>
+      Similarity.knnDescentRecallRounds(
+        Similarity.trigramEmbed(docsPar(s, dir))).orderBy("round")),
     // The binary-embedding dedup lane (VERDICT r16 #6): sign codes
     // fed into the hash-source-agnostic banded Hamming machinery —
     // the batch tier of the composition StreamingHashDedupSpec pins
@@ -2334,6 +2341,7 @@ object SparkEntry {
     "knn_refine_tg" ->
       OracleExt.knnRefineRecallTg(10, 5, Similarity.planes()),
     "knn_descent_tg" -> OracleExt.knnDescentRecallTg(10, 5, 15),
+    "knn_descent_rounds" -> OracleExt.knnDescentRoundsTg(10, 5, 15, 2),
     "knn_descent" -> OracleExt.knnDescentRecall(10, 5, 15),
     "embed_binary_neardup" -> OracleExt.embedBinaryNeardup(16, 64, 8),
     "embed_binary_neardup_inc" ->

@@ -821,16 +821,46 @@ object Similarity {
     * little — the pair of gates documents exactly that contrast. */
   def knnDescentRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
                        seedsPerQuery: Int = 15): DataFrame = {
-    // norms and the seed graph are STAGED, not just cached: the graph
-    // is built once and read back like any index (the knnGraphLsh
-    // doctrine), and the read-back truncates the lineage the refine
-    // round's self-joins would otherwise re-embed at every reference
-    val spark = emb.sparkSession
-    val n = graft.Stage.parquet(spark,
+    val n = descentNorms(emb)
+    refineRecall(emb, n, descentSeedGraph(emb, n, k, seedsPerQuery),
+      nQueries, k)
+  }
+
+  /** NN-Descent run to `rounds` iterations with the per-round recall
+    * curve — the convergence instrument (Dong et al. iterate until
+    * few edges change; this gate prices each extra round). Every
+    * intermediate graph is STAGED like the seed (each is an index
+    * snapshot; the read-back also keeps the chained self-joins inside
+    * the plan-text budget). rounds = 1 reproduces
+    * [[knnDescentRecall]]'s two rows. */
+  def knnDescentRecallRounds(emb: DataFrame, nQueries: Int = 10,
+                             k: Int = 5, seedsPerQuery: Int = 15,
+                             rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 4, s"rounds in [1,4], got $rounds")
+    val n = descentNorms(emb)
+    val g0 = descentSeedGraph(emb, n, k, seedsPerQuery)
+    val gs = (1 to rounds).scanLeft(g0) { (g, i) =>
+      graft.Stage.parquet(emb.sparkSession,
+        graft.Stage.key(emb, "knnd_g", k, seedsPerQuery, i)) {
+        refineOnce(n, g, k)
+      }
+    }
+    roundRecalls(emb, gs, nQueries, k)
+  }
+
+  // norms and the seed graph are STAGED, not just cached: the graph
+  // is built once and read back like any index (the knnGraphLsh
+  // doctrine), and the read-back truncates the lineage the refine
+  // round's self-joins would otherwise re-embed at every reference
+  private def descentNorms(emb: DataFrame): DataFrame =
+    graft.Stage.parquet(emb.sparkSession,
       graft.Stage.key(emb, "knnd_norms")) {
       withNorm(emb).select(col("vec_id"), col("v"), col("norm2"))
     }
-    val g0 = graft.Stage.parquet(spark,
+
+  private def descentSeedGraph(emb: DataFrame, n: DataFrame, k: Int,
+                               seedsPerQuery: Int): DataFrame =
+    graft.Stage.parquet(emb.sparkSession,
       graft.Stage.key(emb, "knnd_g0", k, seedsPerQuery)) {
       val mx = broadcast(n.agg((max(col("vec_id")) + 1L).as("__n")))
       val seeds = n.select(col("vec_id").as("query_id")).crossJoin(mx)
@@ -855,17 +885,13 @@ object Similarity {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("cand_id"), col("sim"))
     }
-    refineRecall(emb, n, g0, nQueries, k)
-  }
 
-  /** The shared refine-and-score tail: one two-hop round over the
-    * ρ-capped undirected g0, exact re-rank, recall@k vs brute force
-    * per round. `n` must carry (vec_id, v, norm2); `g0` carries
-    * (query_id, cand_id, sim). */
-  private def refineRecall(emb: DataFrame, n: DataFrame, g0: DataFrame,
-                           nQueries: Int, k: Int): DataFrame = {
-    // ρ-cap: top-k INCOMING edges per vector, then the undirected view
-    val rev = g0
+  /** ONE NN-Descent refinement step over a (query_id, cand_id, sim)
+    * graph: ρ-capped reverse edges, undirected two-hop expansion,
+    * exact-cosine re-rank to k — sim kept on the output edges so
+    * steps CHAIN ([[knnDescentRecallRounds]]). */
+  private def refineOnce(n: DataFrame, g: DataFrame, k: Int): DataFrame = {
+    val rev = g
       .select(col("cand_id").as("query_id"), col("query_id").as("cand_id"),
         col("sim"))
       .withColumn("rank", row_number().over(
@@ -873,27 +899,32 @@ object Similarity {
           .orderBy(col("sim").desc, col("cand_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"))
-    val undirected = g0.select(col("query_id"), col("cand_id"))
+    val undirected = g.select(col("query_id"), col("cand_id"))
       .unionByName(rev)
     val expand = undirected.as("x").join(undirected.as("y"),
         col("x.cand_id") === col("y.query_id")
           && col("x.query_id") =!= col("y.cand_id"))
       .select(col("x.query_id").as("query_id"),
         col("y.cand_id").as("cand_id"))
-    val cand1 = g0.select(col("query_id"), col("cand_id"))
+    val cand1 = g.select(col("query_id"), col("cand_id"))
       .unionByName(expand).distinct()
     val nq = n.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("norm2").as("qn"))
     val nc = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
       col("norm2").as("cn"))
-    val g1 = cand1.join(nq, Seq("query_id")).join(nc, Seq("cand_id"))
+    cand1.join(nq, Seq("query_id")).join(nc, Seq("cand_id"))
       .select(col("query_id"), col("cand_id"),
         cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("cand_id"))))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
+  /** Per-round recall@k of a graph sequence vs brute-force truth. */
+  private def roundRecalls(emb: DataFrame, gs: Seq[DataFrame],
+                           nQueries: Int, k: Int): DataFrame = {
     val truth = topkCosine(emb, nQueries, k)
       .select(col("query_id"), col("cand_id"))
     def recallOf(g: DataFrame, round: Int): DataFrame =
@@ -906,9 +937,17 @@ object Similarity {
         .select(lit(round).as("round"), col("n_truth"), col("n_hits"),
           expr("(1000000 * n_hits) div greatest(n_truth, 1)")
             .as("recall_ppm"))
-    recallOf(g0.select(col("query_id"), col("cand_id")), 0)
-      .unionByName(recallOf(g1, 1))
+    gs.zipWithIndex.map { case (g, i) => recallOf(g, i) }
+      .reduce(_.unionByName(_))
   }
+
+  /** The shared refine-and-score tail: one two-hop round over the
+    * ρ-capped undirected g0, exact re-rank, recall@k vs brute force
+    * per round. `n` must carry (vec_id, v, norm2); `g0` carries
+    * (query_id, cand_id, sim). */
+  private def refineRecall(emb: DataFrame, n: DataFrame, g0: DataFrame,
+                           nQueries: Int, k: Int): DataFrame =
+    roundRecalls(emb, Seq(g0, refineOnce(n, g0, k)), nQueries, k)
 
   /** 64-bit sign-bit code of a 64-dim vector — 1-bit-per-dimension
     * binary quantization, the bottom rung of the embedding-storage

@@ -53,11 +53,18 @@ object StreamingHashDedup {
   /** An emitted candidate: ids lowest-first + exact Hamming. */
   case class HashPair(doc_a: Long, doc_b: Long, hamming: Int)
 
-  /** `hashes`: a (doc_id, <hashCol>) frame or stream. */
+  /** `hashes`: a (doc_id, <hashCol>) frame or stream.
+    * `maxBucketEntries` (0 = unbounded): a CONTINUOUS most-recent
+    * window per band bucket — the [[StreamingSemDedup]] maxMembers
+    * discipline sized for 16-byte hash entries instead of full
+    * vectors; evicted hashes no longer pair with later arrivals (the
+    * documented lookback trade), and a hot bucket's per-trigger scan
+    * is bounded by the cap instead of its history. */
   def nearDupStream(hashes: DataFrame, hashCol: String = "dhash",
                     maxHamming: Int = 10,
                     stateTtlMs: Long = 0L,
-                    nBands: Int = 4): Dataset[HashPair] = {
+                    nBands: Int = 4,
+                    maxBucketEntries: Int = 0): Dataset[HashPair] = {
     val spark = hashes.sparkSession
     import spark.implicits._
     val width = 64 / nBands
@@ -88,21 +95,31 @@ object StreamingHashDedup {
         state.getOption.foreach(b => entries ++= b.entries)
         val seen = scala.collection.mutable.HashSet.empty[Long]
         entries.foreach(e => seen += e.doc_id)
+        // armed cap: a continuous most-recent window (the start
+        // pointer advances as arrivals land, so mid-trigger arrivals
+        // see the same bounded lookback a cross-trigger one does)
+        var start = 0
         val out = Seq.newBuilder[HashPair]
         arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
           if (seen.add(d.doc_id)) {
-            entries.foreach { s =>
+            var ei = start
+            while (ei < entries.length) {
+              val s = entries(ei)
               val ham = java.lang.Long.bitCount(s.h ^ d.h)
               if (ham <= maxHamming) {
                 val (a, b) = if (s.doc_id < d.doc_id) (s.doc_id, d.doc_id)
                              else (d.doc_id, s.doc_id)
                 out += HashPair(a, b, ham)
               }
+              ei += 1
             }
             entries += HashEntry(d.doc_id, d.h)
+            if (maxBucketEntries > 0 &&
+                entries.length - start > maxBucketEntries)
+              start += 1
           }
         }
-        state.update(HashBucket(entries.toSeq))
+        state.update(HashBucket(entries.drop(start).toSeq))
         if (stateTtlMs > 0L) state.setTimeoutDuration(stateTtlMs)
         out.result().iterator
       }

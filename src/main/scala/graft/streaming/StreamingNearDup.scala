@@ -59,9 +59,15 @@ object StreamingNearDup {
   case class Candidate(doc_a: Long, doc_b: Long,
                        matches: Long, est_milli: Long)
 
+  /** `maxBucketEntries` (0 = unbounded): a CONTINUOUS most-recent
+    * window per band bucket — the [[StreamingSemDedup]] maxMembers
+    * discipline for the signature lane (~16 longs per entry); evicted
+    * docs no longer pair with later arrivals (the lookback trade),
+    * and a hot bucket's per-trigger scan is bounded by the cap. */
   def nearDupStream(docs: DataFrame, estMilli: Long = 500L,
                     numHashes: Int = 16, bands: Int = 4,
-                    stateTtlMs: Long = 0L): Dataset[Candidate] = {
+                    stateTtlMs: Long = 0L,
+                    maxBucketEntries: Int = 0): Dataset[Candidate] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = Dedup.bandedSigs(Dedup.signatures(docs, numHashes),
@@ -97,6 +103,10 @@ object StreamingNearDup {
               }
             }
             entries = entries :+ SigEntry(d.doc_id, d.sig)
+            // armed cap: continuous most-recent window (eviction in
+            // arrival order, mid-trigger included)
+            if (maxBucketEntries > 0 && entries.length > maxBucketEntries)
+              entries = entries.drop(entries.length - maxBucketEntries)
           }
         }
         state.update(BucketState(entries))

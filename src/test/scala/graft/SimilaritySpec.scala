@@ -473,19 +473,21 @@ class SimilaritySpec extends SparkTestBase {
         .map(j => hash32(s"nnd:$q:$j") % n).filter(_ != q)
       q -> topk(q, seeds)
     }.toMap
-    val g0Edges = g0.toSeq.flatMap { case (q, cs) => cs.map(q -> _) }
-    val rev = g0Edges.groupBy(_._2).toSeq.flatMap { case (t, in) =>
-      in.map(_._1).sortBy(s => (-sim(t, s), s)).take(k).map(t -> _)
-    }
-    val und = g0Edges ++ rev
-    val byQ = und.groupBy(_._1)
-    val expand = und.flatMap { case (q, mid) =>
-      byQ.getOrElse(mid, Nil).map(_._2).filter(_ != q).map(q -> _)
-    }
-    val g1: Map[Long, Seq[Long]] =
-      (g0Edges ++ expand).groupBy(_._1).map { case (q, es) =>
+    def refine(g: Map[Long, Seq[Long]]): Map[Long, Seq[Long]] = {
+      val gEdges = g.toSeq.flatMap { case (q, cs) => cs.map(q -> _) }
+      val rev = gEdges.groupBy(_._2).toSeq.flatMap { case (t, in) =>
+        in.map(_._1).sortBy(s => (-sim(t, s), s)).take(k).map(t -> _)
+      }
+      val und = gEdges ++ rev
+      val byQ = und.groupBy(_._1)
+      val expand = und.flatMap { case (q, mid) =>
+        byQ.getOrElse(mid, Nil).map(_._2).filter(_ != q).map(q -> _)
+      }
+      (gEdges ++ expand).groupBy(_._1).map { case (q, es) =>
         q -> topk(q, es.map(_._2))
       }
+    }
+    val g1 = refine(g0)
     val truth: Map[Long, Set[Long]] = (0L until nQ).map { q =>
       q -> topk(q, vecs.keys).toSet
     }.toMap
@@ -515,6 +517,17 @@ class SimilaritySpec extends SparkTestBase {
       .orderBy("round").select("n_hits").as[Long].collect().toSeq
     assert(fixed(0) == fixed(1),
       s"single-table-LSH seed must be a fixed point: $fixed")
+    // the rounds curve: round 2 ≡ the scalar replay refined twice,
+    // and the curve is monotone
+    val (t2, h2) = recall(refine(g1))
+    val curve = Similarity.knnDescentRecallRounds(e, nQueries = nQ,
+        k = k, seedsPerQuery = seedsPer, rounds = 2)
+      .orderBy("round")
+      .select("round", "n_truth", "n_hits")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(curve == Seq((0, t0, h0), (1, t1, h1), (2, t2, h2)),
+      s"got $curve")
+    assert(h2 >= h1)
     Caches.releaseAll()
   }
 

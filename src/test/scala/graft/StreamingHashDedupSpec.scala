@@ -108,6 +108,22 @@ class StreamingHashDedupSpec extends SparkTestBase {
     assert(out == reference(10))
   }
 
+  test("maxBucketEntries caps the per-bucket lookback: an evicted " +
+      "hash no longer pairs with later arrivals") {
+    // three identical hashes in one bucket stream in doc_id order;
+    // with cap 1 the window holds only the most-recent entry, so doc
+    // 3 pairs with 2 but NOT with the evicted 1 — the uncapped run
+    // emits all three pairs
+    val same = Seq(Hashed(1L, base), Hashed(2L, base), Hashed(3L, base))
+    def pairsWith(cap: Int): Set[(Long, Long)] =
+      StreamingHashDedup.nearDupStream(same.toDF(), maxHamming = 0,
+          maxBucketEntries = cap)
+        .collect().map(p => (p.doc_a, p.doc_b)).toSet
+    assert(pairsWith(0) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairsWith(1) == Set((1L, 2L), (2L, 3L)),
+      "cap 1 must evict doc 1 before doc 3 arrives")
+  }
+
   test("composition: sign codes make this the ONLINE embedding dedup gate") {
     import graft.operators.Similarity
     // an exact embedding copy (same signs → hamming 0) and a small

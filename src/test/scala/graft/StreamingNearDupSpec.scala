@@ -89,6 +89,22 @@ class StreamingNearDupSpec extends SparkTestBase {
       "an armed-but-unexpired TTL must not alter the candidate set")
   }
 
+  test("maxBucketEntries caps the per-bucket lookback: evicted docs " +
+      "no longer pair with later arrivals") {
+    val same = Seq(
+      TwinDoc(1L, "alpha beta gamma delta epsilon zeta"),
+      TwinDoc(2L, "alpha beta gamma delta epsilon zeta"),
+      TwinDoc(3L, "alpha beta gamma delta epsilon zeta"))
+    def pairsWith(cap: Int): Set[(Long, Long)] =
+      StreamingNearDup.nearDupStream(same.toDF(),
+          maxBucketEntries = cap)
+        .collect().map(c => (c.doc_a, c.doc_b)).toSet
+    assert(pairsWith(0) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairsWith(1) == Set((1L, 2L), (2L, 3L)),
+      "cap 1 must evict doc 1 before doc 3 arrives")
+    Caches.releaseAll()
+  }
+
   test("batch mode: same operator, same candidates as the batch tier") {
     val ref = reference()
     val got = StreamingNearDup.nearDupStream((batch1 ++ batch2).toDF())
