@@ -5034,6 +5034,21 @@ object OracleExt {
     * float; the pack_sequences HUGEINT lesson generalized). */
   def semDedup(kSql: String, iters: Int, minSimMicro: Long): String = s"""
     ${kmeansCte(kSql, iters)},
+    ${semDedupTail(iters, minSimMicro).trim}"""
+
+  /** semDedup over the TRIGRAM lane (VERDICT r16 #2's optional leg):
+    * the full Lloyd chain + cluster-scoped cosine dedup on the
+    * text-derived vectors; tau is calibrated to the lane — background
+    * trigram cosine p99 ≈ 0.947 at sf0.01 vs paraphrase mass ≈ 0.997,
+    * so 0.98 separates cleanly where the random-lane 0.35 would drop
+    * half the corpus. */
+  def semDedupTg(targetClusterSize: Long, iters: Int,
+                 minSimMicro: Long): String = s"""
+    ${kmeansCteOver(trigramVecSql(64), deriveKSql(targetClusterSize),
+      iters, 64)},
+    ${semDedupTail(iters, minSimMicro).trim}"""
+
+  private def semDedupTail(iters: Int, minSimMicro: Long): String = s"""
     nv AS (SELECT a.vec_id, a.v, a.cid,
                   list_dot_product(a.v, a.v) AS norm2
            FROM a${iters - 1} a),
@@ -5059,16 +5074,32 @@ object OracleExt {
     * (d2, cid) tie-break, cluster-scoped cosine vs corpus + lower-odd
     * members, distinct prior partners counted. */
   def semDedupInc(targetClusterSize: Long, iters: Int,
-                  minSimMicro: Long): String = {
-    val eSql = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE vec_id % 2 = 0"""
+                  minSimMicro: Long): String =
+    semDedupIncOver(
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 2 = 0""",
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 1""",
+      targetClusterSize, iters, minSimMicro)
+
+  /** The incremental twin on the trigram lane — corpus (even docs)
+    * trains, batch (odd docs) assigns and dedups, same calibrated
+    * tau as [[semDedupTg]]. */
+  def semDedupIncTg(targetClusterSize: Long, iters: Int,
+                    minSimMicro: Long): String =
+    semDedupIncOver(trigramVecSql(64, "vec_id % 2 = 0"),
+      trigramVecSql(64, "vec_id % 2 = 1"),
+      targetClusterSize, iters, minSimMicro)
+
+  private def semDedupIncOver(eSql: String, bvSql: String,
+                              targetClusterSize: Long, iters: Int,
+                              minSimMicro: Long): String = {
     s"""
     ${kmeansCteOver(eSql, deriveKSql(targetClusterSize), iters, 64)},
     nvc AS (SELECT vec_id, v, cid, list_dot_product(v, v) AS norm2,
                    FALSE AS isnew
             FROM a${iters - 1}),
-    bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE vec_id % 2 = 1),
+    bv AS ($bvSql),
     bd AS (SELECT b.vec_id, b.v, c.cid,
                   ${sqlDist2("b.v", "c.c")} AS d2
            FROM bv b CROSS JOIN c${iters - 1} c),
@@ -5471,21 +5502,24 @@ object OracleExt {
     * `fpName`, ending in a `pairs` CTE (rep_a, rep_b, n_shared,
     * n_doc_pairs) — splice-able for consumers that aggregate the pair
     * list instead of emitting it ([[audioMinsharedSweep]]). */
-  private def fpPairsCtes(fpName: String, maxDf: Int): String = s"""
-    sets AS (SELECT doc_id,
+  private def fpPairsCtes(fpName: String, maxDf: Int,
+                          p: String = ""): String = s"""
+    ${p}sets AS (SELECT doc_id,
                     md5(string_agg(CAST(fp AS VARCHAR), ' ' ORDER BY fp))
                       AS sig
              FROM $fpName GROUP BY 1),
-    reps AS (SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS m
-             FROM sets GROUP BY sig),
-    rfp AS (SELECT r.doc_id, r.m, f.fp
-            FROM reps r JOIN $fpName f ON f.doc_id = r.doc_id),
-    cold AS (SELECT * FROM rfp WHERE fp NOT IN (
-               SELECT fp FROM rfp GROUP BY fp HAVING count(*) > $maxDf)),
-    pairs AS (SELECT a.doc_id AS rep_a, b.doc_id AS rep_b,
+    ${p}reps AS (SELECT min(doc_id) AS doc_id,
+                    CAST(count(*) AS BIGINT) AS m
+             FROM ${p}sets GROUP BY sig),
+    ${p}rfp AS (SELECT r.doc_id, r.m, f.fp
+            FROM ${p}reps r JOIN $fpName f ON f.doc_id = r.doc_id),
+    ${p}cold AS (SELECT * FROM ${p}rfp WHERE fp NOT IN (
+               SELECT fp FROM ${p}rfp GROUP BY fp
+               HAVING count(*) > $maxDf)),
+    ${p}pairs AS (SELECT a.doc_id AS rep_a, b.doc_id AS rep_b,
                      CAST(count(*) AS BIGINT) AS n_shared,
                      a.m * b.m AS n_doc_pairs
-              FROM cold a JOIN cold b
+              FROM ${p}cold a JOIN ${p}cold b
                 ON a.fp = b.fp AND a.doc_id < b.doc_id
               GROUP BY 1, 2, a.m, b.m)"""
 
@@ -5839,6 +5873,83 @@ object OracleExt {
     FROM (SELECT * FROM vfrec UNION ALL SELECT * FROM vsrec)
     ORDER BY lane, d"""
 
+  /** Twin of Multimodal.mediaLaneMatrix — per-source media-lane
+    * deletion attribution: identical-key star members ∪ near-pair
+    * rep_b per lane, keep-lowest policy throughout. */
+  def mediaLaneMatrix(imageMaxHamming: Int, imageNBands: Int,
+                      audioMinShared: Long, videoMinShared: Long,
+                      maxDf: Int, maxBucket: Int): String = s"""
+    WITH $dhashCte,
+    $contrastCte,
+    gdh AS (SELECT dh.doc_id, dh.dhash FROM dh
+            JOIN ctr ON ctr.doc_id = dh.doc_id WHERE ctr.contrast > 15),
+    ireps AS (SELECT dhash, CAST(min(doc_id) AS BIGINT) AS rep
+              FROM gdh GROUP BY 1),
+    iband AS (SELECT rep, dhash, CAST(j AS INTEGER) AS band_id,
+                     (dhash >> (j * ${64 / imageNBands}))
+                       & ${(1L << (64 / imageNBands)) - 1} AS band_val
+              FROM ireps
+              CROSS JOIN (SELECT unnest(range(0, $imageNBands)) AS j)),
+    ${coldBandsCte(maxBucket, "iband", "icold").trim},
+    ipairs AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+               FROM icold a JOIN icold b
+                 ON a.band_id = b.band_id AND a.band_val = b.band_val
+                    AND a.rep < b.rep
+               WHERE bit_count(xor(a.dhash, b.dhash))
+                       <= $imageMaxHamming
+                 AND bit_count(xor(a.dhash, b.dhash)) >= 1),
+    istar AS (SELECT s.doc_id FROM dh s
+              JOIN (SELECT dhash, min(doc_id) AS rep FROM dh
+                    GROUP BY 1) r
+                ON r.dhash = s.dhash AND s.doc_id != r.rep),
+    idrop AS (SELECT DISTINCT doc_id FROM (
+                SELECT rep_b AS doc_id FROM ipairs
+                UNION ALL SELECT doc_id FROM istar)),
+    at AS (SELECT doc_id, text, length(text) AS len FROM documents
+           WHERE length(text) >= 32 AND $asciiOnlySql),
+    ${audioCdcFpCtes("mc", "doc_id", "0", 16, 8).trim},
+    ${fpPairsCtes("mcfp0", maxDf, "a").trim},
+    astar AS (SELECT s.doc_id FROM asets s
+              JOIN (SELECT sig, min(doc_id) AS rep FROM asets
+                    GROUP BY 1) r
+                ON r.sig = s.sig AND s.doc_id != r.rep),
+    adrop AS (SELECT DISTINCT doc_id FROM (
+                SELECT rep_b AS doc_id FROM apairs
+                WHERE n_shared >= $audioMinShared
+                UNION ALL SELECT doc_id FROM astar)),
+    $videoFhCte,
+    ${videoSceneFpCte(36).trim},
+    ${fpPairsCtes("vsfp", maxDf, "v").trim},
+    vstar AS (SELECT s.doc_id FROM vsets s
+              JOIN (SELECT sig, min(doc_id) AS rep FROM vsets
+                    GROUP BY 1) r
+                ON r.sig = s.sig AND s.doc_id != r.rep),
+    vdrop AS (SELECT DISTINCT doc_id FROM (
+                SELECT rep_b AS doc_id FROM vpairs
+                WHERE n_shared >= $videoMinShared
+                UNION ALL SELECT doc_id FROM vstar))
+    SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_image,
+           CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_audio,
+           CAST(sum(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_video,
+           CAST(sum(CASE WHEN i.doc_id IS NOT NULL
+                      OR a.doc_id IS NOT NULL
+                      OR v.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_any,
+           CAST(count(*) AS BIGINT)
+             - CAST(sum(CASE WHEN i.doc_id IS NOT NULL
+                      OR a.doc_id IS NOT NULL
+                      OR v.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS kept
+    FROM documents d
+    LEFT JOIN idrop i ON i.doc_id = d.doc_id
+    LEFT JOIN adrop a ON a.doc_id = d.doc_id
+    LEFT JOIN vdrop v ON v.doc_id = d.doc_id
+    GROUP BY 1 ORDER BY source"""
+
   /** Twin of the video_scene_dedup composition: the scene-fp chain,
     * then the shared posting-join tail. */
   def videoSceneDedup(cutHamming: Int, minShared: Long,
@@ -5887,11 +5998,9 @@ object OracleExt {
                         FROM tgd))
             GROUP BY 1, 2)"""
 
-  /** The dense trigram embedding prepped into the `n` norm shape —
-    * drop-in for [[normCte]] so every embedding twin can run over the
-    * text-derived lane (VERDICT r16 #2). Integer-valued doubles: dots
-    * and norms are exact in both engines. */
-  private def trigramNormCte(dim: Int): String = s"""
+  /** The dense (vec_id, v DOUBLE[]) trigram-vector CTE chain ending
+    * in `tgv`. */
+  private def trigramDenseCte(dim: Int): String = s"""
     ${trigramCountsCte(dim).trim},
     tgv AS (SELECT d.doc_id AS vec_id,
                    list(CAST(coalesce(c.cnt, 0) AS DOUBLE)
@@ -5899,8 +6008,22 @@ object OracleExt {
             FROM (SELECT DISTINCT doc_id FROM tgc) d
             CROSS JOIN (SELECT unnest(range(0, $dim)) AS j) j
             LEFT JOIN tgc c ON c.doc_id = d.doc_id AND c.dim = j.j
-            GROUP BY 1),
+            GROUP BY 1)"""
+
+  /** The dense trigram embedding prepped into the `n` norm shape —
+    * drop-in for [[normCte]] so every embedding twin can run over the
+    * text-derived lane (VERDICT r16 #2). Integer-valued doubles: dots
+    * and norms are exact in both engines. */
+  private def trigramNormCte(dim: Int): String = s"""
+    ${trigramDenseCte(dim).trim},
     n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2 FROM tgv)"""
+
+  /** Standalone (vec_id, v) trigram subquery — the nested-WITH form
+    * spliceable where a twin takes an input-frame SQL parameter
+    * ([[kmeansCteOver]], the semDedup `bv` side). */
+  private def trigramVecSql(dim: Int, where: String = "TRUE"): String = s"""
+    WITH ${trigramDenseCte(dim).trim}
+    SELECT vec_id, v FROM tgv WHERE $where"""
 
   /** The artifact view itself: exploded exact-integer counts. */
   def textTrigramEmbed(dim: Int): String = s"""

@@ -1476,6 +1476,26 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1), targetClusterSize = 64)
         .orderBy("vec_id")
     }),
+    // SemDeDup on the TEXT-DERIVED trigram lane — the optional leg of
+    // VERDICT r16 #2: same Lloyd chain + cluster-scoped cosine, tau
+    // recalibrated to the lane (background trigram cosine p99 = 0.947
+    // at sf0.01, paraphrase mass = 0.997 -> 0.98 separates cleanly;
+    // the random-lane 0.35 would drop half the corpus here)
+    "sem_dedup_tg" -> ((s, dir) =>
+      KMeans.semDedup(Similarity.trigramEmbed(docsPar(s, dir)),
+        targetClusterSize = 64, minSimMicro = 980000L)
+        .orderBy("vec_id")),
+    // Its incremental twin: even-doc corpus trains the staged model,
+    // odd-doc batch assigns and dedups against it — the semantic
+    // incremental lane now runs on embeddings that carry corpus
+    // structure, not just the random fixture
+    "sem_dedup_inc_tg" -> ((s, dir) => {
+      val tg = Similarity.trigramEmbed(docsPar(s, dir))
+      KMeans.semDedupInc(tg.filter(col("vec_id") % 2 === 0),
+        tg.filter(col("vec_id") % 2 === 1),
+        targetClusterSize = 64, minSimMicro = 980000L)
+        .orderBy("vec_id")
+    }),
     // Prototypicality: farthest-from-centroid top-5 per trained cluster
     // (k derived via the same sentinel as sem_dedup)
     "cluster_outliers" -> ((s, dir) =>
@@ -1787,6 +1807,14 @@ object SparkEntry {
         fp.filter(col("doc_id") % 2 === 1),
         minShared = 1, maxDf = 64).orderBy("doc_id")
     }),
+    // The dedup decision matrix ACROSS MODALITIES — dedup_lane_matrix's
+    // per-source deletion attribution for the image (8x8-banded dHash
+    // + exact-hash stars), audio (shift-robust CDC postings + fp-set
+    // stars), and video (scene-signature postings + stars) lanes, all
+    // under the shared keep-lowest policy; reads beside the trim- and
+    // banding-recall instruments as the lane-selection table
+    "media_lane_matrix" -> ((s, dir) =>
+      Multimodal.mediaLaneMatrix(docsPar(s, dir)).orderBy("source")),
     // Banding/posting recall instruments for the audio lanes (VERDICT
     // r16 #4 — the image_band_recall discipline): planted re-trims at
     // offsets {1,3,8,9} samples; recovery = >= minShared shared fps
@@ -2134,6 +2162,7 @@ object SparkEntry {
     "audio_neardup_inc" -> OracleExt.audioNeardupInc(4, 64),
     "audio_trim_recall" ->
       OracleExt.audioTrimRecall(Seq(1, 3, 8, 9), 4L, 64),
+    "media_lane_matrix" -> OracleExt.mediaLaneMatrix(12, 8, 4L, 1L, 64, 64),
     "video_trim_recall" -> OracleExt.videoTrimRecall(Seq(1, 2), 36, 64),
     "ivf_kmeans" -> OracleExt.ivfKmeans(8, 2),
     "cluster_quality" -> OracleExt.clusterQuality(8, 2),
@@ -2144,6 +2173,8 @@ object SparkEntry {
     "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
     "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),
     "sem_dedup_inc" -> OracleExt.semDedupInc(64, 2, 350000L),
+    "sem_dedup_tg" -> OracleExt.semDedupTg(64, 2, 980000L),
+    "sem_dedup_inc_tg" -> OracleExt.semDedupIncTg(64, 2, 980000L),
     "cluster_outliers" ->
       OracleExt.clusterOutliers(OracleExt.deriveKSql(64), 2, 5),
     "embed_quantize" -> OracleExt.quantizeInt8,

@@ -743,6 +743,66 @@ object Multimodal {
         .select(col("doc_id"), col("chunk_hash").as("fp")).distinct()
     }
 
+  /** The dedup lane DECISION MATRIX across MODALITIES — per source,
+    * what each media lane would DELETE under the shared
+    * keep-lowest-canonical policy, completing
+    * [[graft.operators.Dedup.dedupLaneMatrix]]'s lexical table:
+    * IMAGE = identical-dHash star members (exact perceptual dups,
+    * flat included) ∪ rep_b of the flat-gated 8×8-banded near pairs
+    * (the image_neardup8 lane — the production geometry per the
+    * measured curves); AUDIO = identical-CDC-fingerprint-set star
+    * members ∪ rep_b of the shift-robust CDC posting pairs; VIDEO =
+    * the same at scene-signature granularity. The per-lane robustness
+    * prices live in the dedupLaneMatrix scaladoc (trim-recall and
+    * banding-recall instruments); THIS table shows what each lane
+    * does to each source — together they are the full
+    * which-lanes-earn-their-cost decision. All drop sets are
+    * doc-keyed distinct frames off STAGED artifacts (dhash / CDC fp /
+    * scene fp); the matrix is three hash left-joins + one
+    * sources-sized aggregate — nothing re-decodes, nothing is
+    * quadratic. */
+  def mediaLaneMatrix(docs: DataFrame, imageMaxHamming: Int = 12,
+                      imageNBands: Int = 8, audioMinShared: Long = 4,
+                      videoMinShared: Long = 1, maxDf: Int = 64,
+                      maxBucket: Int = 64): DataFrame = {
+    import graft.operators.Dedup
+    val dh = imageDhash(docs)
+    val gated = dh.join(imageGridStats(docs)
+        .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
+      Seq("doc_id"), "leftsemi")
+    val imgDrop = Dedup.hash64Neardup(gated, "dhash", imageMaxHamming,
+        maxBucket, imageNBands)
+      .select(col("rep_b").as("doc_id"))
+      .unionByName(Dedup.keyStarEdges(
+        dh.select(col("doc_id"), col("dhash")), "dhash")
+        .select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("__im", lit(true))
+    val afp = audioCdcFingerprints(docs)
+    val audDrop = Dedup.fingerprintNeardup(afp, audioMinShared, maxDf)
+      .select(col("rep_b").as("doc_id"))
+      .unionByName(Dedup.fpSetStarEdges(afp)
+        .select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("__au", lit(true))
+    val vfp = videoSceneFingerprints(docs)
+    val vidDrop = Dedup.fingerprintNeardup(vfp, videoMinShared, maxDf)
+      .select(col("rep_b").as("doc_id"))
+      .unionByName(Dedup.fpSetStarEdges(vfp)
+        .select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("__vi", lit(true))
+    docs.select(col("doc_id"), col("source"))
+      .join(imgDrop, Seq("doc_id"), "left")
+      .join(audDrop, Seq("doc_id"), "left")
+      .join(vidDrop, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__im"), 1L).otherwise(0L)).as("drop_image"),
+        sum(when(col("__au"), 1L).otherwise(0L)).as("drop_audio"),
+        sum(when(col("__vi"), 1L).otherwise(0L)).as("drop_video"),
+        sum(when(col("__im") || col("__au") || col("__vi"), 1L)
+          .otherwise(0L)).as("drop_any"))
+      .withColumn("kept", col("n_docs") - col("drop_any"))
+  }
+
   // ---- trim-variant builders for the recall instruments (VERDICT
   // r16 #4): deterministic re-trims of the STAGED streams, output
   // (doc_id, d, fp) for Dedup.fingerprintPlantRecall. Offsets ride a

@@ -1739,6 +1739,28 @@ object Dedup {
         (col("__ma") * col("__mb")).as("n_doc_pairs"))
   }
 
+  /** Exact-dup STAR EDGES over ANY (doc_id, <key>) table: within each
+    * identical-key group, (min-doc rep, member) edges — the doc-level
+    * expansion the keep-lowest policy needs after a rep collapse (the
+    * [[repStarEdges]] shape, key-generic; feeds the media lane
+    * matrix's identical-dhash component). */
+  private[graft] def keyStarEdges(df: DataFrame,
+                                  keyCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    df.withColumn("__rep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
+  }
+
+  /** The same discipline at identical fingerprint-SET granularity —
+    * the [[fingerprintNeardup]] collapse's sig, expanded back to
+    * doc-level star edges. */
+  private[graft] def fpSetStarEdges(fps: DataFrame): DataFrame =
+    keyStarEdges(
+      fps.groupBy("doc_id").agg(md5(expr(
+        "listagg(CAST(fp AS STRING), ' ') WITHIN GROUP (ORDER BY fp)")
+        .cast("binary")).as("sig")), "sig")
+
   /** The multi-lane dedup DECISION MATRIX — per source, what each
     * lexical lane would DELETE under the shared keep-lowest-canonical
     * policy, and the union: exact (non-rep members of identical-text

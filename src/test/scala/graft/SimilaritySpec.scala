@@ -592,6 +592,15 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Long)].head()
     assert(row == ((1L, 1L, 1L)),
       s"the paraphrase pair must confirm on the trigram lane: $row")
+    // SemDeDup on the same lane at the calibrated tau (0.98): the
+    // paraphrase (higher id of the pair) drops, the unrelated doc —
+    // lexically distinct, trigram cosine far below the bar — survives
+    val sd = graft.operators.KMeans.semDedup(
+        Similarity.trigramEmbed(docs), minSimMicro = 980000L,
+        targetClusterSize = 64)
+      .orderBy("vec_id").select("vec_id", "keep")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(sd == Seq((0L, true), (1L, false), (2L, true)), s"got $sd")
     Caches.releaseAll()
   }
 

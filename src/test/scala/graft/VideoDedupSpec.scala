@@ -150,4 +150,30 @@ class VideoDedupSpec extends SparkTestBase {
       (5L, 2L, false), (7L, 0L, true)), s"got $out")
     Caches.releaseAll()
   }
+
+  test("mediaLaneMatrix: an exact dup drops in every media lane under " +
+      "keep-lowest; uniques survive; drops attribute to THEIR source") {
+    // T is media-eligible in all three lanes (>= 72 chars for a video
+    // frame, >= 32 for audio, varied so the image flat gate passes);
+    // docs 1/2/9 share T exactly — the identical-dhash / identical-
+    // fp-set star groups are corpus-wide, keep-lowest keeps doc 1, so
+    // s1 loses doc 2 and s2 loses doc 9, each attributed to its OWN
+    // source; doc 3's distinct content drops nowhere
+    val t = sceneA + sceneB
+    val u = sceneC + sceneC.reverse
+    val d = Seq(
+      (1L, "s1", t), (2L, "s1", t), (3L, "s1", u),
+      (9L, "s2", t))
+      .toDF("doc_id", "source", "text")
+    val m = Multimodal.mediaLaneMatrix(d)
+      .orderBy("source")
+      .select("source", "n_docs", "drop_image", "drop_audio",
+        "drop_video", "drop_any", "kept")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(m == Seq(
+      ("s1", 3L, 1L, 1L, 1L, 1L, 2L),
+      ("s2", 1L, 1L, 1L, 1L, 1L, 0L)), s"got $m")
+    Caches.releaseAll()
+  }
 }
