@@ -5312,7 +5312,7 @@ object OracleExt {
     * brute-force Hamming truth on the deterministic doc sample vs the
     * capped band join's candidates — tp/fn + recall ppm, one row. */
   def imageBandRecall(maxHamming: Int, maxBucket: Int,
-                      sampleMod: Int): String = s"""
+                      sampleMod: Int, nBands: Int = 4): String = s"""
     WITH $dhashCte,
     $contrastCte,
     gdh AS (SELECT dh.doc_id, dh.dhash FROM dh
@@ -5325,8 +5325,9 @@ object OracleExt {
               FROM smp a JOIN smp b ON a.h < b.h
               WHERE bit_count(xor(a.h, b.h)) <= $maxHamming),
     band AS (SELECT h, CAST(j AS INTEGER) AS band_id,
-                    (h >> (j * 16)) & 65535 AS band_val
-             FROM smp CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+                    (h >> (j * ${64 / nBands}))
+                      & ${(1L << (64 / nBands)) - 1} AS band_val
+             FROM smp CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim},
     cand AS (SELECT DISTINCT a.h AS ha, b.h AS hb
              FROM cold a JOIN cold b

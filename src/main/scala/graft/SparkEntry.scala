@@ -1740,6 +1740,19 @@ object SparkEntry {
           Seq("doc_id"), "leftsemi"),
         "dhash", maxHamming = 12, sampleMod = 1)
     }),
+    // The real-corpus truth instrument at the 8x8 geometry — the
+    // instrument symmetry closed: the planted curves (curve/curve8)
+    // have had both geometries since r16, the brute-force-truth lane
+    // now does too
+    "image_band_recall8" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.hash64BandRecall(
+        Multimodal.imageDhash(d).join(
+          Multimodal.imageGridStats(d)
+            .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
+          Seq("doc_id"), "leftsemi"),
+        "dhash", maxHamming = 12, sampleMod = 1, nBands = 8)
+    }),
     // The same dial measured by PLANTED probes (real corpus truth at
     // Hamming <= 12 is ~2 pairs in the whole sf0.01 corpus — measured
     // — so the curve manufactures near-dups at each distance): per d,
@@ -2139,6 +2152,7 @@ object SparkEntry {
     "video_neardup" -> OracleExt.videoNeardup(2, 64),
     "video_neardup_inc" -> OracleExt.videoNeardupInc(2, 64),
     "image_band_recall" -> OracleExt.imageBandRecall(12, 64, 1),
+    "image_band_recall8" -> OracleExt.imageBandRecall(12, 64, 1, 8),
     "image_band_recall_curve" ->
       OracleExt.imageBandRecallCurve(Seq(2, 4, 6, 8, 10, 12), 64, 8),
     "image_band_recall_curve8" ->

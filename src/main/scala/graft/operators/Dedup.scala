@@ -1440,9 +1440,6 @@ object Dedup {
       .drop("__b")
   }
 
-  private def with16Bands(df: DataFrame, hashCol: String): DataFrame =
-    withBandsN(df, hashCol, 4)
-
   /** Band-bucket occupancy cap (VERDICT r15 #1 — the ngramJaccard
     * hot-key move for 64-bit banding): buckets holding more than
     * `maxBucket` distinct reps are dropped from BOTH join sides before
@@ -1588,7 +1585,8 @@ object Dedup {
     * band join. Output: 1 row (n_truth, tp, fn, recall_ppm). */
   def hash64BandRecall(hashes: DataFrame, hashCol: String,
                        maxHamming: Int = 12, maxBucket: Int = 64,
-                       sampleMod: Int = 64): DataFrame = {
+                       sampleMod: Int = 64,
+                       nBands: Int = 4): DataFrame = {
     val sample = graft.Caches.track(
       hashes.filter(PortableHash.hash32(
           concat(lit("ibr:"), col("doc_id").cast("string")))
@@ -1600,7 +1598,7 @@ object Dedup {
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
     val banded = dropHotBuckets(
-      with16Bands(sample, "h").select(col("h"), col("band_id"),
+      withBandsN(sample, "h", nBands).select(col("h"), col("band_id"),
         col("band_val")),
       maxBucket)
     val cand = banded.as("a").join(banded.as("b"),
