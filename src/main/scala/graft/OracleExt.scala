@@ -5269,6 +5269,15 @@ object OracleExt {
                         WHERE length(text) >= 1 AND $asciiOnlySql))
             GROUP BY 1)"""
 
+  /** Validated 64-bit band width — mirrors Dedup.withBandsN's geometry
+    * guard on the twin side (ADVICE r17 #1: a non-divisor leaves high
+    * bits unbanded; nBands = 1 wraps the mask to 0). */
+  private def bandW(nBands: Int): Int = {
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"nBands must be a divisor of 64 in [2, 64], got $nBands")
+    64 / nBands
+  }
+
   /** Band-bucket occupancy cap over a CTE named `band` with (band_id,
     * band_val) columns — the twin of Dedup.dropHotBuckets. */
   private def coldBandsCte(maxBucket: Int, bandName: String = "band",
@@ -5295,8 +5304,8 @@ object OracleExt {
                     CAST(count(*) AS BIGINT) AS m
              FROM gdh GROUP BY 1),
     band AS (SELECT rep, dhash, m, CAST(j AS INTEGER) AS band_id,
-                    (dhash >> (j * ${64 / nBands}))
-                      & ${(1L << (64 / nBands)) - 1} AS band_val
+                    (dhash >> (j * ${bandW(nBands)}))
+                      & ${(1L << bandW(nBands)) - 1} AS band_val
              FROM reps CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim}
     SELECT rep_a, rep_b, hamming, n_doc_pairs FROM (
@@ -5325,8 +5334,8 @@ object OracleExt {
               FROM smp a JOIN smp b ON a.h < b.h
               WHERE bit_count(xor(a.h, b.h)) <= $maxHamming),
     band AS (SELECT h, CAST(j AS INTEGER) AS band_id,
-                    (h >> (j * ${64 / nBands}))
-                      & ${(1L << (64 / nBands)) - 1} AS band_val
+                    (h >> (j * ${bandW(nBands)}))
+                      & ${(1L << bandW(nBands)) - 1} AS band_val
              FROM smp CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim},
     cand AS (SELECT DISTINCT a.h AS ha, b.h AS hb
@@ -5353,7 +5362,7 @@ object OracleExt {
   def imageBandRecallCurve(dists: Seq[Int], maxBucket: Int,
                            sampleMod: Int, nBands: Int = 4): String = {
     val h = graft.functions.PortableHash
-    val w = 64 / nBands
+    val w = bandW(nBands)
     val mask = (1L << w) - 1
     s"""
     WITH $dhashCte,
@@ -5671,8 +5680,8 @@ object OracleExt {
     bnd0 AS (SELECT d.doc_id, d.dhash, d.isnew FROM dhf d
              JOIN ctr ON ctr.doc_id = d.doc_id WHERE ctr.contrast > 15),
     band AS (SELECT doc_id, dhash, isnew, CAST(j AS INTEGER) AS band_id,
-                    (dhash >> (j * ${64 / nBands}))
-                      & ${(1L << (64 / nBands)) - 1} AS band_val
+                    (dhash >> (j * ${bandW(nBands)}))
+                      & ${(1L << bandW(nBands)) - 1} AS band_val
              FROM bnd0 CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim},
     nr AS (SELECT a.doc_id, b.doc_id AS prior
@@ -6519,8 +6528,8 @@ object OracleExt {
                     CAST(count(*) AS BIGINT) AS m
              FROM sc GROUP BY 1),
     band AS (SELECT rep, h, m, CAST(j AS INTEGER) AS band_id,
-                    (h >> (j * ${64 / nBands}))
-                      & ${(1L << (64 / nBands)) - 1} AS band_val
+                    (h >> (j * ${bandW(nBands)}))
+                      & ${(1L << bandW(nBands)) - 1} AS band_val
              FROM reps CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim}
     SELECT rep_a, rep_b, hamming, n_doc_pairs FROM (
@@ -6544,8 +6553,8 @@ object OracleExt {
              ON a.h = b.h AND a.isnew
                 AND (NOT b.isnew OR b.doc_id < a.doc_id)),
     band AS (SELECT doc_id, h, isnew, CAST(j AS INTEGER) AS band_id,
-                    (h >> (j * ${64 / nBands}))
-                      & ${(1L << (64 / nBands)) - 1} AS band_val
+                    (h >> (j * ${bandW(nBands)}))
+                      & ${(1L << bandW(nBands)) - 1} AS band_val
              FROM dhf CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim},
     nr AS (SELECT a.doc_id, b.doc_id AS prior

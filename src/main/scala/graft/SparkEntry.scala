@@ -1892,7 +1892,11 @@ object SparkEntry {
     // actual dedup unit): lines synthesized as 8-token blocks in both
     // engines. Fixture-calibrated dial (minDf 2, divisor 25): the
     // corpus's exact-dup mass makes df-2 lines the template signal at
-    // sf0.01; production uses the bigram lane's 5/10
+    // sf0.01. A DEPLOYMENT uses the operator defaults (minDf 5,
+    // divisor 10): at real per-source doc counts a df-2 line is a
+    // quoted passage, not a template — minDf 5 prices out the
+    // repeated-quote false positive, divisor 10 still flags anything
+    // on >= 10% of a source's docs (the boilerplateLines scaladoc)
     "boilerplate_lines" -> ((s, dir) =>
       Boilerplate.boilerplateLines(docsPar(s, dir), width = 8,
         minDf = 2L, divisor = 25L).orderBy("source")),

@@ -176,7 +176,17 @@ object Boilerplate {
         count(lit(1)).as("occ"))
 
   /** Per-source LINE template profile — [[boilerplateNgrams]] at line
-    * granularity over the synthesized `width`-token lines. */
+    * granularity over the synthesized `width`-token lines.
+    *
+    * PRODUCTION DIAL (VERDICT r17 #6, the image-geometry guidance
+    * discipline): deploy the DEFAULTS, minDf 5 / divisor 10 — at real
+    * per-source doc counts a df-2 line is a quoted passage or a
+    * coincidence, not a template, and C4-style line dedup wants the
+    * repeated-quote false-positive priced OUT (minDf ≥ 5) while still
+    * flagging anything on ≥ 10% of a source's docs (divisor 10). The
+    * fixture gate runs minDf 2 / divisor 25 ONLY because a ~25-doc
+    * source sample cannot exhibit df-5 headers — a calibration of the
+    * test corpus, never of a deployment. */
   def boilerplateLines(docs: DataFrame, width: Int = 8, minDf: Long = 5L,
                        divisor: Long = 10L): DataFrame =
     sourceLineDf(docs, width)

@@ -1428,6 +1428,13 @@ object Dedup {
     * [[hash64BandRecallCurve]] measures the dial per geometry. */
   private def withBandsN(df: DataFrame, hashCol: String,
                          nBands: Int): DataFrame = {
+    // a non-divisor leaves the high 64 mod nBands bits unbanded, and
+    // nBands = 1 makes (1L << 64) wrap the mask to 0 — every hash in
+    // one bucket, which the occupancy cap then drops: silent ZERO
+    // recall, not an error (ADVICE r17 #1). Shared by every 64-bit
+    // banding entry point; the oracle twins mirror the check.
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"nBands must be a divisor of 64 in [2, 64], got $nBands")
     val width = 64 / nBands
     val mask = (1L << width) - 1
     df.withColumn("__b",
@@ -1850,7 +1857,14 @@ object Dedup {
     * (doc, variant) is RECOVERED when the two share ≥ minShared
     * fingerprints after the production df-cap — computed on the
     * ORIGINAL posting table, i.e. the staged artifact a production
-    * probe joins against. Output per d: planted count, recovered
+    * probe joins against. CAP CONVENTION (ADVICE r17 #2): the df-cap
+    * here is over the RAW posting table, matching
+    * [[fingerprintNeardupInc]]'s incremental-probe convention — the
+    * lane a trimmed re-arrival actually hits; [[fingerprintNeardup]]'s
+    * batch lane caps df on REP-COLLAPSED postings, so when exact-dup
+    * clusters inflate a fingerprint's raw df past maxDf while its
+    * collapsed df stays under, this instrument understates the batch
+    * lane (and exactly measures the incremental one). Output per d: planted count, recovered
     * count, recall ppm, stamped with the lane name so the A/B unions
     * into one decision table. Docs whose perturbed stream yields no
     * fingerprint at all drop out of the planted set (the instrument

@@ -82,7 +82,7 @@ object LinearProbe {
       def upd(wj: String, gj: String) =
         (col(wj) - lit(lr) * (col(gj).cast("double") / lit(1000000.0d)
           / col("n").cast("double"))).as(wj)
-      w = w.crossJoin(grads)
+      w = w.crossJoin(broadcast(grads))
         .select(upd("w0", "g0"), upd("w1", "g1"),
           upd("w2", "g2"), upd("w3", "g3"))
         .localCheckpoint()

@@ -198,7 +198,7 @@ object Relational {
         .join(parent.select(col(parentKey)).distinct(),
           col(childKey) === col(parentKey), "leftanti")
         .agg(count(lit(1)).as("n_orphans"))
-      total.crossJoin(orphans)
+      total.crossJoin(broadcast(orphans))
         .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
           (col("n_orphans") === 0).as("clean"))
     }

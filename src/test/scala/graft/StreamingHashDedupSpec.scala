@@ -47,7 +47,10 @@ class StreamingHashDedupSpec extends SparkTestBase {
   test("cross-trigger pairs: streamed set ≡ band-sharing Hamming pairs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Hashed]
-    val q = StreamingHashDedup.nearDupStream(input.toDF(), maxHamming = 10)
+    // streaming inputs must arm a bound (VERDICT r17 #3); the cap of
+    // 64 is far above any fixture bucket, so behavior is unchanged
+    val q = StreamingHashDedup.nearDupStream(input.toDF(), maxHamming = 10,
+        maxBucketEntries = 64)
       .writeStream.format("memory").queryName("hashdedup")
       .outputMode("append").start()
     input.addData(batch1: _*)
@@ -81,7 +84,7 @@ class StreamingHashDedupSpec extends SparkTestBase {
       val input = MemoryStream[Hashed]
       val name = s"hashdedup_g$nBands"
       val q = StreamingHashDedup.nearDupStream(input.toDF(),
-          maxHamming = 12, nBands = nBands)
+          maxHamming = 12, nBands = nBands, maxBucketEntries = 64)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       input.addData(first: _*)
@@ -122,6 +125,57 @@ class StreamingHashDedupSpec extends SparkTestBase {
     assert(pairsWith(0) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(pairsWith(1) == Set((1L, 2L), (2L, 3L)),
       "cap 1 must evict doc 1 before doc 3 arrives")
+  }
+
+  test("streaming input without a state bound is refused; a non-divisor " +
+      "nBands is refused (VERDICT r17 #3, ADVICE r17 #1/#4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Hashed]
+    val err = intercept[IllegalArgumentException] {
+      StreamingHashDedup.nearDupStream(input.toDF())
+    }
+    assert(err.getMessage.contains("bound its state"))
+    // nBands = 3 would leave bit 63 unbanded; nBands = 1 would wrap
+    // the mask to 0 (every hash in one bucket) — both refused
+    Seq(1, 3).foreach { g =>
+      val geo = intercept[IllegalArgumentException] {
+        StreamingHashDedup.nearDupStream(batch1.toDF(), nBands = g)
+      }
+      assert(geo.getMessage.contains("divisor"), s"nBands=$g")
+    }
+  }
+
+  test("armed cap: a mid-trigger re-arrival of an EVICTED doc is " +
+      "admitted as new, same as a cross-trigger one (ADVICE r17 #3)") {
+    implicit val sqlCtx = spark.sqlContext
+    // state holds doc 5; the next trigger delivers [3, 9, 5] (doc_id
+    // order). With cap 1, doc 3 pairs with 5 and evicts it; 5's
+    // re-arrival is then NEW (it left the window, so it left the seen
+    // set too), re-enters, evicts 3, and pairs with 9 — the same
+    // verdicts the arrivals would get spread over three triggers
+    def run(triggers: Seq[Seq[Hashed]], name: String): Set[(Long, Long)] = {
+      val input = MemoryStream[Hashed]
+      val q = StreamingHashDedup.nearDupStream(input.toDF(),
+          maxHamming = 0, maxBucketEntries = 1)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      triggers.foreach { t =>
+        input.addData(t: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).as[(Long, Long, Int)].collect()
+        .map(p => (p._1, p._2)).toSet
+    }
+    val d3 = Hashed(3L, base); val d5 = Hashed(5L, base)
+    val d9 = Hashed(9L, base)
+    val oneTrigger = run(Seq(Seq(d5), Seq(d3, d9, d5)), "rearr_mid")
+    val spread = run(Seq(Seq(d5), Seq(d3), Seq(d5), Seq(d9)), "rearr_x")
+    assert(oneTrigger == Set((3L, 5L), (5L, 9L)),
+      s"mid-trigger re-arrival must re-enter the window: $oneTrigger")
+    assert(oneTrigger == spread,
+      s"mid-trigger ($oneTrigger) and cross-trigger ($spread) " +
+        "re-arrivals must agree")
   }
 
   test("composition: sign codes make this the ONLINE embedding dedup gate") {

@@ -122,6 +122,42 @@ class StreamingSemDedupSpec extends SparkTestBase {
     assert(capped(20L), "cap 1: 0 was evicted, so its copy is novel")
   }
 
+  test("armed cap: a mid-trigger re-arrival of an EVICTED vec is " +
+      "re-admitted, same as a cross-trigger one (ADVICE r17 #3)") {
+    implicit val sqlCtx = spark.sqlContext
+    // state holds vec 5 (cluster 0); one trigger delivers [3, 5, 9]
+    // (vec_id order). With maxMembers 1, vec 3 (dissimilar) evicts 5,
+    // so 5's re-arrival leaves the seen set with its entry and is
+    // re-admitted — it gets a verdict (dropped silently before the
+    // fix) and becomes the prior that flags the copy 9
+    val v0 = Seq(0.9, 0.1, 0.0, 0.0)
+    val vFar = Seq(0.6, 0.0, 0.0, 0.8) // cluster 0, cos ≈ 0.60 < tau
+    def run(triggers: Seq[Seq[Emb]], name: String): Seq[(Long, Boolean)] = {
+      val input = MemoryStream[Emb]
+      val q = StreamingSemDedup.semDedupStream(input.toDF(), centroids,
+          minSimMicro = tau, maxMembers = 1)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      triggers.foreach { t =>
+        input.addData(t: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).as[(Long, Int, Long, Boolean)].collect().toSeq
+        .map(r => r._1 -> r._4)
+    }
+    val mid = run(Seq(Seq(Emb(5L, v0)),
+      Seq(Emb(3L, vFar), Emb(9L, v0), Emb(5L, v0))), "sem_rearr_mid")
+    val spread = run(Seq(Seq(Emb(5L, v0)), Seq(Emb(3L, vFar)),
+      Seq(Emb(5L, v0)), Seq(Emb(9L, v0))), "sem_rearr_x")
+    assert(mid.count(_._1 == 5L) == 2,
+      s"the evicted 5 must get a verdict on re-arrival: $mid")
+    assert(mid.toSet == spread.toSet,
+      s"mid-trigger ($mid) and cross-trigger ($spread) must agree")
+    assert(mid.contains(9L -> false),
+      "the copy 9 must flag against the re-admitted 5")
+  }
+
   test("batch execution + duplicate re-arrival dropped O(1)") {
     val out = StreamingSemDedup.semDedupStream(
         (corpus ++ batch ++ Seq(corpus.head)).toDF(), centroids,
