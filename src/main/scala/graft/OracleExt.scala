@@ -6519,33 +6519,57 @@ object OracleExt {
            FROM (SELECT vec_id, v, unnest(range(0, 64)) AS i FROM scv)
            GROUP BY 1)"""
 
+  /** The 1-bit multi-probe flip list for a band width: [0, 1, 2, 4,
+    * ..., 1 << (w-1)] — flip 0 is the exact probe. */
+  private def mpFlips(w: Int): String =
+    (0L +: (0 until w).map(b => 1L << b)).mkString("[", ", ", "]")
+
   /** Twin of the embed_binary_neardup composition: sign codes through
-    * the hash64Neardup rep-collapse + banded join + cap. */
+    * the hash64Neardup rep-collapse + banded join + cap; probeBits = 1
+    * adds the post-cap probe-side flip fan (VERDICT r17 #1). */
   def embedBinaryNeardup(maxHamming: Int, maxBucket: Int,
-                         nBands: Int): String = s"""
+                         nBands: Int, probeBits: Int = 0): String = {
+    val w = bandW(nBands)
+    val probeCte =
+      if (probeBits == 0) "probe AS (SELECT * FROM cold)"
+      else s"""probe AS (SELECT rep, h, m, band_id,
+                    xor(band_val, CAST(f AS BIGINT)) AS band_val
+             FROM cold CROSS JOIN (SELECT unnest(${mpFlips(w)}) AS f))"""
+    s"""
     WITH ${signCodeCte.trim},
     reps AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS rep,
                     CAST(count(*) AS BIGINT) AS m
              FROM sc GROUP BY 1),
     band AS (SELECT rep, h, m, CAST(j AS INTEGER) AS band_id,
-                    (h >> (j * ${bandW(nBands)}))
-                      & ${(1L << bandW(nBands)) - 1} AS band_val
+                    (h >> (j * $w))
+                      & ${(1L << w) - 1} AS band_val
              FROM reps CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
-    ${coldBandsCte(maxBucket).trim}
+    ${coldBandsCte(maxBucket).trim},
+    $probeCte
     SELECT rep_a, rep_b, hamming, n_doc_pairs FROM (
       SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
              CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming,
              a.m * b.m AS n_doc_pairs
-      FROM cold a JOIN cold b
+      FROM probe a JOIN cold b
         ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.rep < b.rep)
     WHERE hamming <= $maxHamming ORDER BY rep_a, rep_b"""
+  }
 
   /** Twin of the embed_binary_neardup_inc composition — the
     * hash64NeardupInc two-lane shape over the even/odd vec split (no
-    * flat gate: every code is band-eligible). */
+    * flat gate: every code is band-eligible); probeBits = 1 fans the
+    * batch probe side post-cap, as in the engine. */
   def embedBinaryNeardupInc(maxHamming: Int, maxBucket: Int,
-                            nBands: Int): String = s"""
+                            nBands: Int, probeBits: Int = 0): String = {
+    val w = bandW(nBands)
+    val probeCte =
+      if (probeBits == 0) "probe AS (SELECT * FROM cold WHERE isnew)"
+      else s"""probe AS (SELECT doc_id, h, isnew, band_id,
+                    xor(band_val, CAST(f AS BIGINT)) AS band_val
+             FROM cold CROSS JOIN (SELECT unnest(${mpFlips(w)}) AS f)
+             WHERE isnew)"""
+    s"""
     WITH ${signCodeCte.trim},
     dhf AS (SELECT doc_id, h, doc_id % 2 = 1 AS isnew FROM sc),
     ex AS (SELECT a.doc_id, b.doc_id AS prior
@@ -6553,14 +6577,15 @@ object OracleExt {
              ON a.h = b.h AND a.isnew
                 AND (NOT b.isnew OR b.doc_id < a.doc_id)),
     band AS (SELECT doc_id, h, isnew, CAST(j AS INTEGER) AS band_id,
-                    (h >> (j * ${bandW(nBands)}))
-                      & ${(1L << bandW(nBands)) - 1} AS band_val
+                    (h >> (j * $w))
+                      & ${(1L << w) - 1} AS band_val
              FROM dhf CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim},
+    $probeCte,
     nr AS (SELECT a.doc_id, b.doc_id AS prior
-           FROM cold a JOIN cold b
+           FROM probe a JOIN cold b
              ON a.band_id = b.band_id AND a.band_val = b.band_val
-                AND a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
+                AND (NOT b.isnew OR b.doc_id < a.doc_id)
            WHERE bit_count(xor(a.h, b.h)) <= $maxHamming),
     dups AS (SELECT DISTINCT doc_id, prior FROM
                (SELECT * FROM ex UNION ALL SELECT * FROM nr)),
@@ -6570,6 +6595,79 @@ object OracleExt {
            n_dup IS NULL AS kept
     FROM (SELECT doc_id FROM dhf WHERE isnew) b
     LEFT JOIN nd ON nd.doc_id = b.doc_id ORDER BY b.doc_id"""
+  }
+
+  /** Twin of Dedup.hash64BandRecallMatrix over the sign codes — ONE
+    * planted-probe set (the imageBandRecallCurve flip recipe, salts
+    * bmr/bmrf) pushed through the capped band index at EVERY geometry,
+    * each cell reporting the exact-band recall and the 1-bit
+    * multi-probe recall. */
+  def embedBinaryBandRecall(dists: Seq[Int], maxBucket: Int,
+                            sampleMod: Int,
+                            geometries: Seq[Int]): String = {
+    val h = graft.functions.PortableHash
+    val geoBlocks = geometries.map { g =>
+      val w = bandW(g)
+      val mask = (1L << w) - 1
+      s"""
+    band$g AS (SELECT doc_id, CAST(j AS INTEGER) AS band_id,
+                    (h >> (j * $w)) & $mask AS band_val
+             FROM sc CROSS JOIN (SELECT unnest(range(0, $g)) AS j)),
+    ${coldBandsCte(maxBucket, s"band$g", s"cold$g").trim},
+    pband$g AS (SELECT doc_id, d, CAST(j AS INTEGER) AS band_id,
+                     (h >> (j * $w)) & $mask AS band_val
+              FROM probes CROSS JOIN (SELECT unnest(range(0, $g)) AS j)),
+    pexp$g AS (SELECT doc_id, d, band_id,
+                    xor(band_val, CAST(f AS BIGINT)) AS band_val,
+                    CASE WHEN f = 0 THEN 1 ELSE 0 END AS ex
+             FROM pband$g CROSS JOIN (SELECT unnest(${mpFlips(w)}) AS f)),
+    hp$g AS (SELECT a.doc_id, a.d, max(a.ex) AS ex
+           FROM pexp$g a JOIN cold$g b
+             ON a.band_id = b.band_id AND a.band_val = b.band_val
+                AND a.doc_id = b.doc_id
+           GROUP BY 1, 2),
+    hits$g AS (SELECT d, CAST(sum(ex) AS BIGINT) AS n_hit,
+                    CAST(count(*) AS BIGINT) AS n_hit_mp
+             FROM hp$g GROUP BY 1),
+    res$g AS (SELECT CAST($g AS BIGINT) AS n_bands,
+                   CAST(pl.d AS BIGINT) AS d, n_planted,
+                   coalesce(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+                   coalesce(n_hit_mp, CAST(0 AS BIGINT)) AS n_hit_mp,
+                   (1000000 * coalesce(n_hit, CAST(0 AS BIGINT)))
+                     // greatest(n_planted, 1) AS recall_ppm,
+                   (1000000 * coalesce(n_hit_mp, CAST(0 AS BIGINT)))
+                     // greatest(n_planted, 1) AS recall_mp_ppm
+            FROM pl LEFT JOIN hits$g ON hits$g.d = pl.d)"""
+    }
+    s"""
+    WITH ${signCodeCte.trim},
+    smp AS (SELECT doc_id, h FROM sc
+            WHERE ${h.sqlHash32("'bmr:' || CAST(doc_id AS VARCHAR)")}
+              % $sampleMod = 0),
+    dp AS (SELECT doc_id, h, CAST(d AS INT) AS d, CAST(p AS INT) AS p,
+                  row_number() OVER (PARTITION BY doc_id, d
+                    ORDER BY ${h.sqlHash32(
+                      "'bmrf:' || CAST(doc_id AS VARCHAR) || ':' || " +
+                        "CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)")},
+                      p) AS rk
+           FROM smp
+           CROSS JOIN (SELECT unnest([${dists.distinct.mkString(", ")}]) AS d)
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS p)),
+    masks AS (SELECT doc_id, d, h,
+                     CAST(sum(CASE WHEN p = 63
+                         THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << p END) AS BIGINT)
+                       AS mask
+              FROM dp WHERE rk <= d GROUP BY 1, 2, 3),
+    probes AS (SELECT doc_id, d, xor(h, mask) AS h FROM masks),
+    pl AS (SELECT d, CAST(count(*) AS BIGINT) AS n_planted
+           FROM probes GROUP BY 1),
+    ${geoBlocks.map(_.trim).mkString(",\n    ")}
+    SELECT * FROM (
+      ${geometries.map(g => s"SELECT * FROM res$g").mkString(
+        "\n      UNION ALL ")})
+    ORDER BY n_bands, d"""
+  }
 
   /** Twin of Similarity.knnDescentRecall — the paper-faithful RANDOM
     * seed (see the engine scaladoc's LSH fixed-point note). */

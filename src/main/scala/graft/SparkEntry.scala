@@ -1222,25 +1222,44 @@ object SparkEntry {
     "knn_descent_rounds" -> ((s, dir) =>
       Similarity.knnDescentRecallRounds(
         Similarity.trigramEmbed(docsPar(s, dir))).orderBy("round")),
+    // The sign-code banding DECISION TABLE (VERDICT r17 #1 — the
+    // image_band_recall discipline pointed at the newest lane):
+    // planted d-bit flips at d in {8,12,16,20} through the capped
+    // band index at nBands in {4,8,16}, each cell with the exact and
+    // the 1-bit-multi-probe recall. MEASURED (sf0.1 / sf0.01): 16x4
+    // reads 0 ppm everywhere at sf0.1 — 4-bit band values have 16
+    // buckets total, so E[occupancy] = n/16 crosses the cap at any
+    // corpus scale (its perfect sf0.01 column is a fixture-scale
+    // mirage at n=500); 8x8 exact holds 549k ppm at d=16; 8x8 + mp1
+    // holds 1 000 000 ppm through d=16 and 927k at d=20
+    "embed_binary_band_recall" -> ((s, dir) =>
+      Dedup.hash64BandRecallMatrix(
+        Similarity.signCodes(embPar(s, dir)), "dhash")
+        .orderBy("n_bands", "d")),
     // The binary-embedding dedup lane (VERDICT r16 #6): sign codes
     // fed into the hash-source-agnostic banded Hamming machinery —
     // the batch tier of the composition StreamingHashDedupSpec pins
-    // online. Dials are MEASURED at sf0.01: the fixture's planted
-    // near-dup embeddings quantize 13-16 sign bits apart (nothing
-    // <= 12), and at that distance 8x8 banding retains 3 of the 6
-    // true pairs where 4x16 keeps 1 — the binary lane NEEDS the wide
-    // geometry, organically confirming the image lane's A/B
+    // online. SHIPPED GEOMETRY (VERDICT r17 #1, decided by the
+    // embed_binary_band_recall matrix): 8x8 bands WITH 1-bit band
+    // multi-probe (probeBits = 1) — at the admission threshold
+    // Hamming 16, where this fixture's true pairs live (13-16 sign
+    // bits apart), exact 8x8 keeps 3 of 6 true pairs and mp1 keeps
+    // 6 of 6; do NOT reach for 16x4 instead (occupancy-dead: 16
+    // bucket values per band). Deploy mp1 whenever the threshold
+    // exceeds Hamming 8; below that, exact 8x8 is free and complete
     "embed_binary_neardup" -> ((s, dir) =>
       Dedup.hash64Neardup(Similarity.signCodes(embPar(s, dir)), "dhash",
-        maxHamming = 16, nBands = 8).orderBy("rep_a", "rep_b")),
+        maxHamming = 16, nBands = 8, probeBits = 1)
+        .orderBy("rep_a", "rep_b")),
     // Its incremental twin: odd-vec batch codes probe the even-vec
-    // corpus index, exact-code lane uncapped, band lane at 8x8
+    // corpus index, exact-code lane uncapped, band lane at the same
+    // decided 8x8 + mp1 geometry (the fan rides the batch side only)
     "embed_binary_neardup_inc" -> ((s, dir) => {
       val sc = Similarity.signCodes(embPar(s, dir))
       Dedup.hash64NeardupInc(
         sc.filter(col("doc_id") % 2 === 0),
         sc.filter(col("doc_id") % 2 === 1), "dhash",
-        maxHamming = 16, nBands = 8).orderBy("doc_id")
+        maxHamming = 16, nBands = 8, probeBits = 1).orderBy("doc_id")
     }),
     // EXACT all-pairs Jaccard >= tau via prefix filtering — the
     // complete join the probabilistic LSH path cannot guarantee
@@ -2392,9 +2411,12 @@ object SparkEntry {
     "knn_descent_tg" -> OracleExt.knnDescentRecallTg(10, 5, 15),
     "knn_descent_rounds" -> OracleExt.knnDescentRoundsTg(10, 5, 15, 2),
     "knn_descent" -> OracleExt.knnDescentRecall(10, 5, 15),
-    "embed_binary_neardup" -> OracleExt.embedBinaryNeardup(16, 64, 8),
+    "embed_binary_band_recall" -> OracleExt.embedBinaryBandRecall(
+      Seq(8, 12, 16, 20), 64, 8, Seq(4, 8, 16)),
+    "embed_binary_neardup" ->
+      OracleExt.embedBinaryNeardup(16, 64, 8, probeBits = 1),
     "embed_binary_neardup_inc" ->
-      OracleExt.embedBinaryNeardupInc(16, 64, 8),
+      OracleExt.embedBinaryNeardupInc(16, 64, 8, probeBits = 1),
     "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),
     "mrl_recall" -> OracleExt.mrlRecall(10, 5, 16),
     "mrr_eval" -> OracleExt.mrrEval(10, 5, Similarity.planes()),

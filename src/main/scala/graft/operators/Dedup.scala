@@ -1478,18 +1478,47 @@ object Dedup {
     banded.join(broadcast(hot), Seq("band_id", "band_val"), "left_anti")
   }
 
+  /** `probeBits` (VERDICT r17 #1 — the `ann_lsh_multiprobe` move
+    * applied to band values): at 1, ONE side of the band self-join
+    * also offers every single-bit flip of each band value, so a pair
+    * whose CLOSEST band differs by exactly one bit still collides —
+    * recall that exact banding must buy with more/narrower bands
+    * (which the occupancy cap punishes: 4-bit band values have 16
+    * buckets total, occupancy-dead at any corpus scale) is bought
+    * with a (1 + 64/nBands)× probe-side fan instead, verified exact
+    * afterwards as always. MEASURED ([[hash64BandRecallMatrix]] over
+    * the sign codes, sf0.1): 8×8 exact holds 549k ppm at planted
+    * d=16 where 8×8+mp1 holds 1 000 000 (927k at d=20) and 16×4 reads
+    * 0 everywhere (every 4-bit bucket is hot). */
   def hash64Neardup(hashes: DataFrame, hashCol: String,
                     maxHamming: Int = 6, maxBucket: Int = 64,
-                    nBands: Int = 4): DataFrame = {
+                    nBands: Int = 4, probeBits: Int = 0): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits is 0 (exact banding) or 1 (1-bit multi-probe), " +
+        s"got $probeBits")
     val reps = graft.Caches.track(
       hashes.groupBy(col(hashCol).as("h"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m")))
-    val banded = dropHotBuckets(
+    val banded0 = dropHotBuckets(
       withBandsN(reps, "h", nBands)
         .select(col("rep"), col("h"), col("m"),
           col("band_id"), col("band_val")),
       maxBucket)
-    banded.as("a").join(banded.as("b"),
+    val banded =
+      if (probeBits == 0) banded0 else graft.Caches.track(banded0)
+    val probe =
+      if (probeBits == 0) banded
+      else {
+        // the flip fan rides the PROBE side only, after the cap; the
+        // XOR is symmetric, so expanding one side of the self-join
+        // catches every 1-bit-off band pair exactly once per flip
+        val width = 64 / nBands
+        val flips = lit(0L) +: (0 until width).map(b => lit(1L << b))
+        banded.withColumn("__f", explode(array(flips: _*)))
+          .select(col("rep"), col("h"), col("m"), col("band_id"),
+            col("band_val").bitwiseXOR(col("__f")).as("band_val"))
+      }
+    probe.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_val") === col("b.band_val")
           && col("a.rep") < col("b.rep"))
@@ -1536,12 +1565,19 @@ object Dedup {
     * uniform hashing, so the cap binds earlier — size it as
     * c·E[occupancy] for the chosen width (the default 64 is ~64× the
     * uniform expectation at fixture scale for BOTH widths; at corpus
-    * scale recompute E = n/2^(64/nBands) per band). */
+    * scale recompute E = n/2^(64/nBands) per band). `probeBits` is
+    * the [[hash64Neardup]] 1-bit band multi-probe dial — continuous
+    * ingestion at a deep admission threshold (Hamming > 12) should
+    * arm it rather than narrow the bands further (see the measured
+    * matrix in the batch op's scaladoc). */
   def hash64NeardupInc(corpusHashes: DataFrame, batchHashes: DataFrame,
                        hashCol: String, maxHamming: Int = 6,
                        maxBucket: Int = 64,
                        bandCol: Option[String] = None,
-                       nBands: Int = 4): DataFrame = {
+                       nBands: Int = 4, probeBits: Int = 0): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits is 0 (exact banding) or 1 (1-bit multi-probe), " +
+        s"got $probeBits")
     def sel(df: DataFrame, isNew: Boolean): DataFrame =
       df.select(col("doc_id"), col(hashCol).as("h"),
         bandCol.map(col).getOrElse(lit(true)).as("__band"),
@@ -1558,7 +1594,21 @@ object Dedup {
     val bandAll = graft.Caches.track(dropHotBuckets(
       withBandsN(all.filter(col("__band")).drop("__band"), "h", nBands),
       maxBucket))
-    val near = bandAll.filter(col("__new")).as("a")
+    // probeBits = 1: the same post-cap probe-side flip fan the batch
+    // op documents — already asymmetric here (the batch side IS the
+    // probe side), so the fan multiplies only the batch bands
+    val bandNew = {
+      val bn = bandAll.filter(col("__new"))
+      if (probeBits == 0) bn
+      else {
+        val width = 64 / nBands
+        val flips = lit(0L) +: (0 until width).map(b => lit(1L << b))
+        bn.withColumn("__f", explode(array(flips: _*)))
+          .select(col("doc_id"), col("h"), col("__new"), col("band_id"),
+            col("band_val").bitwiseXOR(col("__f")).as("band_val"))
+      }
+    }
+    val near = bandNew.as("a")
       .join(bandAll.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_val") === col("b.band_val")
@@ -1685,6 +1735,91 @@ object Dedup {
       .withColumn("recall_ppm",
         expr("(1000000 * n_hit) div greatest(n_planted, 1)"))
       .orderBy("d")
+  }
+
+  /** The banding GEOMETRY × MULTI-PROBE decision matrix (VERDICT r17
+    * #1 — the [[hash64BandRecallCurve]] instrument asked across every
+    * geometry at once, plus the `ann_lsh_multiprobe` move applied to
+    * band values): ONE set of planted probes (per sampled doc and
+    * distance d, flip d deterministic distinct bit positions) is
+    * pushed through the PRODUCTION capped band index at each `nBands`
+    * geometry, and each (geometry, d) cell reports TWO recalls —
+    * `recall_ppm` for the exact band equi-join the batch self-join
+    * runs, and `recall_mp_ppm` for 1-bit band multi-probe (the probe
+    * side also offers every single-bit flip of each band value, so a
+    * pair whose closest band differs by exactly one bit still
+    * collides). The table that DECIDES a lane's shipped geometry: for
+    * the sign-code lanes it shows 16×4-bit banding is occupancy-DEAD
+    * at corpus scale (4-bit band values have 16 distinct buckets, so
+    * E[occupancy] = n/16 crosses any sane cap) while 8×8 + multi-probe
+    * recovers what plain 8×8 leaves behind.
+    *
+    * Scale shape: probes ∝ sample × |dists|; the multi-probe expansion
+    * multiplies the PROBE side only by (1 + 64/nBands); every hit test
+    * is the capped band equi-join keyed back to the source doc — the
+    * corpus side is banded once per geometry, never self-joined. */
+  def hash64BandRecallMatrix(hashes: DataFrame, hashCol: String,
+                             dists: Seq[Int] = Seq(8, 12, 16, 20),
+                             maxBucket: Int = 64,
+                             sampleMod: Int = 8,
+                             geometries: Seq[Int] = Seq(4, 8, 16))
+      : DataFrame = {
+    val ds = dists.distinct
+    val sample = graft.Caches.track(
+      hashes.filter(PortableHash.hash32(
+          concat(lit("bmr:"), col("doc_id").cast("string")))
+          % sampleMod === 0)
+        .select(col("doc_id"), col(hashCol).as("h")))
+    val masks = sample
+      .withColumn("d", explode(array(ds.map(lit(_)): _*)))
+      .withColumn("p", explode(sequence(lit(0), lit(63))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("doc_id", "d").orderBy(
+          PortableHash.hash32(concat_ws(":", lit("bmrf"), col("doc_id"),
+            col("d"), col("p"))), col("p"))))
+      .filter(col("__rk") <= col("d"))
+      .groupBy("doc_id", "d", "h")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), p)")).as("__mask"))
+    val probes = graft.Caches.track(
+      masks.select(col("doc_id"), col("d"),
+        col("h").bitwiseXOR(col("__mask")).as("h")))
+    val planted = graft.Caches.track(
+      probes.groupBy("d").agg(count(lit(1)).as("n_planted")))
+    geometries.distinct.map { g =>
+      val width = 64 / g // withBandsN validates the divisor
+      val corpusBands = dropHotBuckets(
+        withBandsN(hashes.select(col("doc_id"), col(hashCol).as("h")),
+            "h", g)
+          .select(col("doc_id"), col("band_id"), col("band_val")),
+        maxBucket)
+      // probe bands, then the multi-probe fan: flip 0 (the exact
+      // probe) plus each of the width in-band single-bit flips
+      val flips = lit(0L) +: (0 until width).map(b => lit(1L << b))
+      val pexp = withBandsN(probes, "h", g)
+        .withColumn("__flip", explode(array(flips: _*)))
+        .select(col("doc_id"), col("d"), col("band_id"),
+          col("band_val").bitwiseXOR(col("__flip")).as("band_val"),
+          when(col("__flip") === 0L, 1L).otherwise(0L).as("__ex"))
+      val hits = pexp.as("a").join(corpusBands.as("b"),
+          col("a.band_id") === col("b.band_id")
+            && col("a.band_val") === col("b.band_val")
+            && col("a.doc_id") === col("b.doc_id"))
+        .groupBy(col("a.doc_id"), col("a.d").as("d"))
+        .agg(max(col("a.__ex")).as("__ex"))
+        .groupBy("d")
+        .agg(sum(col("__ex")).as("n_hit"),
+          count(lit(1)).as("n_hit_mp"))
+      planted.join(hits, Seq("d"), "left")
+        .select(lit(g).cast("long").as("n_bands"),
+          col("d").cast("long").as("d"), col("n_planted"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          coalesce(col("n_hit_mp"), lit(0L)).as("n_hit_mp"))
+        .withColumn("recall_ppm",
+          expr("(1000000 * n_hit) div greatest(n_planted, 1)"))
+        .withColumn("recall_mp_ppm",
+          expr("(1000000 * n_hit_mp) div greatest(n_planted, 1)"))
+    }.reduce(_.unionByName(_))
+      .orderBy("n_bands", "d")
   }
 
   /** q-gram fingerprints of a (doc_id, blk, q) value SEQUENCE — the

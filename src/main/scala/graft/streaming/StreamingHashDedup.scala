@@ -43,7 +43,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Runs unchanged on a BATCH frame (state starts empty, one group per
   * key) — the differential spec proves the streamed pair set equals
-  * the brute-force Hamming pairs sharing ≥ 1 band. */
+  * the brute-force Hamming pairs sharing ≥ 1 band.
+  *
+  * NO multi-probe dial here, deliberately: the batch lanes' 1-bit
+  * band multi-probe ([[graft.operators.Dedup.hash64Neardup]]
+  * probeBits) widens the PROBE side of a join, but this operator's
+  * state is keyed by bucket — an arrival can only see its own
+  * bucket's entries, so probing flip buckets would need probe-only
+  * rows fanned into (1 + 64/nBands)× buckets per band. A stream that
+  * needs deep-threshold recall (Hamming > 8 at 8×8) should run the
+  * nightly batch pass with probeBits = 1 over the staged hash table,
+  * which re-judges every pair the online gate admitted. */
 object StreamingHashDedup {
 
   /** One banded hash row entering the bucket operator. */

@@ -306,6 +306,67 @@ class ImageDedupSpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("probeBits=1: the one-flip-per-band pair exact 8x8 provably " +
+      "misses collides via the band multi-probe (VERDICT r17 #1)") {
+    // 8 flips, one in the LOW bit of each 8-bit band: EVERY 8-bit
+    // band differs by exactly one bit, so exact 8x8 banding finds
+    // nothing — and every band is 1 flip away, so the 1-bit
+    // multi-probe fan collides on all 8 (hamming 8, verified exact)
+    val base = 0x1234_5678_9abc_def0L
+    val oneEach = base ^ (0 until 8).map(b => 1L << (8 * b))
+      .reduce(_ | _)
+    val hashes = Seq((1L, base), (2L, oneEach)).toDF("doc_id", "dhash")
+    val exact = Dedup.hash64Neardup(hashes, "dhash", maxHamming = 12,
+      nBands = 8).count()
+    val mp = Dedup.hash64Neardup(hashes, "dhash", maxHamming = 12,
+        nBands = 8, probeBits = 1)
+      .select("rep_a", "rep_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(exact == 0L, "one flip per band must defeat exact 8x8")
+    assert(mp == Seq((1L, 2L, 8)), s"got $mp")
+    // the incremental lane rides the same dial (batch side fans)
+    val inc = Dedup.hash64NeardupInc(
+        Seq((2L, base)).toDF("doc_id", "dhash"),
+        Seq((11L, oneEach)).toDF("doc_id", "dhash"), "dhash",
+        maxHamming = 12, nBands = 8, probeBits = 1)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(inc == Seq((11L, 1L, false)), s"got $inc")
+    // geometry guard (ADVICE r17 #1): non-divisors and nBands=1 refuse
+    Seq(1, 3).foreach { g =>
+      val err = intercept[IllegalArgumentException] {
+        Dedup.hash64Neardup(hashes, "dhash", nBands = g).count()
+      }
+      assert(err.getMessage.contains("divisor"), s"nBands=$g")
+    }
+    Caches.releaseAll()
+  }
+
+  test("hash64BandRecallMatrix: one cell per (geometry, d); d < nBands " +
+      "is geometrically total; multi-probe never loses to exact") {
+    // the 40-hash spread fixture (no hot buckets at any geometry
+    // except 16x4, where 40/16 = 2.5 stays under the cap too)
+    val hashes = (0 until 40).map(i =>
+      (i.toLong, (i.toLong * 0x9e3779b97f4a7c15L) | 1L))
+      .toDF("doc_id", "dhash")
+    val r = Dedup.hash64BandRecallMatrix(hashes, "dhash",
+        dists = Seq(2, 6, 20), sampleMod = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(x => (x._1, x._2)) ==
+      Seq(4L, 8L, 16L).flatMap(g => Seq(2L, 6L, 20L).map(d => (g, d))),
+      s"one row per (geometry, d): $r")
+    assert(r.forall(_._3 == 40L), s"every doc planted per cell: $r")
+    // d distinct flips touch at most d bands: every d < nBands cell
+    // keeps at least one clean band -> exact recall is total
+    r.filter(x => x._2 < x._1).foreach(x =>
+      assert(x._6 == 1000000L, s"d<g must be total: $x"))
+    // the multi-probe fan only ADDS candidate buckets
+    r.foreach(x => assert(x._5 >= x._4 && x._7 >= x._6,
+      s"mp must dominate exact: $x"))
+    r.foreach(x => assert(x._6 == 1000000L * x._4 / x._3
+      && x._7 == 1000000L * x._5 / x._3, s"ppm lanes: $x"))
+    Caches.releaseAll()
+  }
+
   test("image_quality lanes: constant grid flags flat, varied does not") {
     // constant text → constant luma grid → zero variance and contrast
     val stats = Multimodal.imageGridStats(docs(
