@@ -6398,8 +6398,17 @@ object OracleExt {
 
   /** Twin of Similarity.topkBinary — Hamming shortlist over the
     * packed sign codes, exact-cosine rescore. */
-  def topkBinary(nQueries: Int, k: Int, shortlistFactor: Int): String = s"""
-    WITH $normCte,
+  def topkBinary(nQueries: Int, k: Int, shortlistFactor: Int): String =
+    topkBinaryOn(normCte, nQueries, k, shortlistFactor)
+
+  /** The serving rung on the TEXT-DERIVED trigram lane (VERDICT r17
+    * #4) — recall measured where neighborhoods exist. */
+  def topkBinaryTg(nQueries: Int, k: Int, shortlistFactor: Int): String =
+    topkBinaryOn(trigramNormCte(64), nQueries, k, shortlistFactor)
+
+  private def topkBinaryOn(nCte: String, nQueries: Int, k: Int,
+                           shortlistFactor: Int): String = s"""
+    WITH $nCte,
     ncd AS (SELECT vec_id, v, norm2, $signPackSql AS code FROM n),
     short AS (SELECT query_id, cand_id, hamming, qv, qn, cv, cn FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -6423,8 +6432,15 @@ object OracleExt {
 
   /** Twin of Similarity.binaryRecall — the projRecall evaluator shape
     * over the binary two-stage path. */
-  def binaryRecall(nQueries: Int, k: Int, shortlistFactor: Int): String = s"""
-    WITH $normCte,
+  def binaryRecall(nQueries: Int, k: Int, shortlistFactor: Int): String =
+    binaryRecallOn(normCte, nQueries, k, shortlistFactor)
+
+  def binaryRecallTg(nQueries: Int, k: Int, shortlistFactor: Int): String =
+    binaryRecallOn(trigramNormCte(64), nQueries, k, shortlistFactor)
+
+  private def binaryRecallOn(nCte: String, nQueries: Int, k: Int,
+                             shortlistFactor: Int): String = s"""
+    WITH $nCte,
     ncd AS (SELECT vec_id, v, norm2, $signPackSql AS code FROM n),
     ex AS (SELECT query_id, cand_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -6749,6 +6765,68 @@ object OracleExt {
     SELECT round, n_truth, n_hits,
            (1000000 * n_hits) // greatest(n_truth, 1) AS recall_ppm
     FROM scored ORDER BY round"""
+
+  /** Twin of Similarity.knnDescentConverge on the trigram lane — the
+    * rounds twin plus Dong et al.'s termination statistic: per round,
+    * the edges absent from the previous graph, normalized by k·N. */
+  def knnDescentConvergeTg(nQueries: Int, k: Int, seeds: Int,
+                           rounds: Int, deltaPpm: Long): String = s"""
+    WITH ${trigramNormCte(64).trim},
+    nn AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS nmax FROM n),
+    kn AS (SELECT CAST(count(*) * $k AS BIGINT) AS kn FROM n),
+    sd AS (SELECT DISTINCT query_id, cand_id FROM (
+             SELECT q.vec_id AS query_id,
+                    ${graft.functions.PortableHash.sqlHash32(
+                      "'nnd:' || CAST(q.vec_id AS VARCHAR) || ':' || " +
+                        "CAST(j AS VARCHAR)")} % nmax AS cand_id
+             FROM n q
+             CROSS JOIN (SELECT unnest(range(0, $seeds)) AS j)
+             CROSS JOIN nn)
+           WHERE query_id != cand_id),
+    g0 AS (SELECT query_id, cand_id, sim FROM (
+             SELECT s.query_id, s.cand_id,
+                    list_dot_product(q.v, c.v)
+                      / (sqrt(q.norm2) * sqrt(c.norm2)) AS sim,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY list_dot_product(q.v, c.v)
+                        / (sqrt(q.norm2) * sqrt(c.norm2)) DESC,
+                        s.cand_id) AS r
+             FROM sd s JOIN n q ON q.vec_id = s.query_id
+                       JOIN n c ON c.vec_id = s.cand_id)
+           WHERE r <= $k),
+    ${(0 until rounds).map(i => descentRoundSql(i, k).trim)
+      .mkString(",\n    ")},
+    truth AS (SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY $cosSql DESC, c.vec_id) AS r
+                FROM n q JOIN n c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < $nQueries)
+              WHERE r <= $k),
+    nw AS (SELECT 0 AS round, CAST(count(*) AS BIGINT) AS n_new_edges
+           FROM g0
+           ${(1 to rounds).map(i => s"""
+           UNION ALL
+           SELECT $i, CAST(count(*) AS BIGINT) FROM g$i a
+           WHERE NOT EXISTS (SELECT 1 FROM g${i - 1} b
+             WHERE b.query_id = a.query_id
+               AND b.cand_id = a.cand_id)""").mkString}),
+    scored AS (${(0 to rounds).map(i => s"""
+      SELECT $i AS round, CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN g.query_id IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM truth t LEFT JOIN
+        (SELECT query_id, cand_id FROM g$i WHERE query_id < $nQueries) g
+        ON g.query_id = t.query_id AND g.cand_id = t.cand_id""")
+      .mkString("\n      UNION ALL\n")})
+    SELECT s.round, n_truth, n_hits,
+           (1000000 * n_hits) // greatest(n_truth, 1) AS recall_ppm,
+           n_new_edges,
+           (1000000 * n_new_edges) // greatest(kn, 1) AS new_edge_ppm,
+           (1000000 * n_new_edges) // greatest(kn, 1) < $deltaPpm
+             AS converged
+    FROM scored s JOIN nw ON nw.round = s.round CROSS JOIN kn
+    ORDER BY s.round"""
 
   /** One unrolled NN-Descent step g{i} → g{i+1} (the refineTailSql
     * round, sim kept so steps chain). */

@@ -1166,6 +1166,17 @@ object SparkEntry {
     // 32x compression costs at this shortlist factor
     "binary_recall" -> ((s, dir) =>
       Similarity.binaryRecall(embPar(s, dir)).orderBy("query_id")),
+    // The SAME serving rung on the TEXT-DERIVED trigram lane (VERDICT
+    // r17 #4): the random fixture barely has neighborhoods, so its
+    // recall says little — here sign codes quantize an embedding
+    // space with real lexical structure, and the shortlist-factor
+    // price is measured where a deployment would pay it
+    "topk_binary_tg" -> ((s, dir) =>
+      Similarity.topkBinary(Similarity.trigramEmbed(docsPar(s, dir)))
+        .orderBy("query_id", "rank")),
+    "binary_recall_tg" -> ((s, dir) =>
+      Similarity.binaryRecall(Similarity.trigramEmbed(docsPar(s, dir)))
+        .orderBy("query_id")),
 
     // ---- §2.4 LLM-data-pipeline: near-dup detection -----------------
     // MinHash banded-LSH keys (16 lanes, 4 bands)
@@ -1221,6 +1232,17 @@ object SparkEntry {
     // is the stopping-rule evidence)
     "knn_descent_rounds" -> ((s, dir) =>
       Similarity.knnDescentRecallRounds(
+        Similarity.trigramEmbed(docsPar(s, dir))).orderBy("round")),
+    // The STOPPING RULE gated (VERDICT r17 #3): per round, Dong et
+    // al.'s termination statistic — new edges vs the previous graph,
+    // normalized by k*N (the paper's c < delta*K*N with delta at ppm
+    // scale) — beside the recall it buys; `converged` flips when the
+    // rate crosses delta = 1000 ppm (the paper's 0.001). Production
+    // stops at the first converged round; each round is one staged
+    // snapshot (shared with knn_descent_rounds), so the decision is
+    // a one-row read before paying for the next round
+    "knn_descent_converge" -> ((s, dir) =>
+      Similarity.knnDescentConverge(
         Similarity.trigramEmbed(docsPar(s, dir))).orderBy("round")),
     // The sign-code banding DECISION TABLE (VERDICT r17 #1 — the
     // image_band_recall discipline pointed at the newest lane):
@@ -2150,6 +2172,8 @@ object SparkEntry {
     "topk_quantized" -> OracleExt.topkQuantized(10, 5),
     "topk_binary" -> OracleExt.topkBinary(10, 5, 4),
     "binary_recall" -> OracleExt.binaryRecall(10, 5, 4),
+    "topk_binary_tg" -> OracleExt.topkBinaryTg(10, 5, 4),
+    "binary_recall_tg" -> OracleExt.binaryRecallTg(10, 5, 4),
     "text_termfreq" -> OracleExt.termFreq,
     "vocab_coverage" -> OracleExt.vocabCoverage(Seq(50, 90, 99)),
     "token_count" -> OracleExt.tokenCounts,
@@ -2410,6 +2434,8 @@ object SparkEntry {
       OracleExt.knnRefineRecallTg(10, 5, Similarity.planes()),
     "knn_descent_tg" -> OracleExt.knnDescentRecallTg(10, 5, 15),
     "knn_descent_rounds" -> OracleExt.knnDescentRoundsTg(10, 5, 15, 2),
+    "knn_descent_converge" ->
+      OracleExt.knnDescentConvergeTg(10, 5, 15, 3, 1000L),
     "knn_descent" -> OracleExt.knnDescentRecall(10, 5, 15),
     "embed_binary_band_recall" -> OracleExt.embedBinaryBandRecall(
       Seq(8, 12, 16, 20), 64, 8, Seq(4, 8, 16)),

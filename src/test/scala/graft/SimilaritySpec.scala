@@ -528,6 +528,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(curve == Seq((0, t0, h0), (1, t1, h1), (2, t2, h2)),
       s"got $curve")
     assert(h2 >= h1)
+    // the convergence instrument: per-round NEW edges (Dong et al.'s
+    // update count) replayed scalar-side — round 0 counts the whole
+    // seed graph; converged flips on new_edge_ppm < delta
+    def edges(g: Map[Long, Seq[Long]]): Set[(Long, Long)] =
+      g.toSeq.flatMap { case (q, cs) => cs.map(q -> _) }.toSet
+    val (e0, e1, e2) = (edges(g0), edges(g1), edges(refine(g1)))
+    val kn = (n * k).toLong
+    def row(i: Int, h: Long, nw: Long) =
+      (i, h, nw, 1000000L * nw / kn, 1000000L * nw / kn < 1000L)
+    val conv = Similarity.knnDescentConverge(e, nQueries = nQ, k = k,
+        seedsPerQuery = seedsPer, rounds = 2)
+      .orderBy("round")
+      .select("round", "n_hits", "n_new_edges", "new_edge_ppm",
+        "converged")
+      .as[(Int, Long, Long, Long, Boolean)].collect().toSeq
+    assert(conv == Seq(row(0, h0, e0.size.toLong),
+      row(1, h1, (e1 -- e0).size.toLong),
+      row(2, h2, (e2 -- e1).size.toLong)), s"got $conv")
     Caches.releaseAll()
   }
 
