@@ -45,19 +45,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * key) — the differential spec proves the streamed pair set equals
   * the brute-force Hamming pairs sharing ≥ 1 band.
   *
-  * NO multi-probe dial here, deliberately: the batch lanes' 1-bit
-  * band multi-probe ([[graft.operators.Dedup.hash64Neardup]]
-  * probeBits) widens the PROBE side of a join, but this operator's
-  * state is keyed by bucket — an arrival can only see its own
-  * bucket's entries, so probing flip buckets would need probe-only
-  * rows fanned into (1 + 64/nBands)× buckets per band. A stream that
-  * needs deep-threshold recall (Hamming > 8 at 8×8) should run the
-  * nightly batch pass with probeBits = 1 over the staged hash table,
-  * which re-judges every pair the online gate admitted. */
+  * `probeBits = 1` is the batch lanes' 1-bit band multi-probe
+  * ([[graft.operators.Dedup.hash64Neardup]] probeBits — the decided
+  * sign-code geometry) made ONLINE via PROBE-ONLY rows: each arrival
+  * fans, per band, its stored row plus the width single-bit flips
+  * marked store = false; probe rows compare against a flip-bucket's
+  * entries but never enter state, so state size is UNCHANGED and only
+  * the per-trigger compare fan pays the (1 + 64/nBands)× price. A
+  * pair whose closest band differs by one bit is caught by whichever
+  * member arrives second (its probe row lands in the first member's
+  * stored bucket — the XOR symmetry that lets the batch op expand one
+  * join side only); within a trigger the doc_id sort gives the
+  * later-sorted doc the probing role. Probe rows are STATELESS: a
+  * duplicate delivery re-probes (and may re-emit), the same
+  * per-colliding-bucket multiplicity contract as shared bands. */
 object StreamingHashDedup {
 
-  /** One banded hash row entering the bucket operator. */
-  case class BandedHash(doc_id: Long, h: Long, band_id: Int, band_val: Long)
+  /** One banded hash row entering the bucket operator; `store = false`
+    * marks a PROBE-ONLY row (a 1-bit band flip of the arrival), which
+    * compares against the bucket's entries but never enters state. */
+  case class BandedHash(doc_id: Long, h: Long, band_id: Int,
+                        band_val: Long, store: Boolean)
 
   case class HashEntry(doc_id: Long, h: Long)
   case class HashBucket(entries: Seq[HashEntry])
@@ -76,12 +84,16 @@ object StreamingHashDedup {
                     maxHamming: Int = 10,
                     stateTtlMs: Long = 0L,
                     nBands: Int = 4,
-                    maxBucketEntries: Int = 0): Dataset[HashPair] = {
+                    maxBucketEntries: Int = 0,
+                    probeBits: Int = 0): Dataset[HashPair] = {
     // same silent-zero-recall guard as the batch band projection
     // (ADVICE r17 #1): a non-divisor leaves high bits unbanded and
     // nBands = 1 wraps the mask to 0
     require(nBands >= 2 && 64 % nBands == 0,
       s"nBands must be a divisor of 64 in [2, 64], got $nBands")
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits is 0 (exact banding) or 1 (1-bit multi-probe), " +
+        s"got $probeBits")
     // the StreamingSemDedup bounded-state contract (VERDICT r17 #3):
     // a STREAMING input must arm a TTL or the bucket cap — each asset
     // lands in nBands buckets, so unbounded state multiplies by the
@@ -95,14 +107,22 @@ object StreamingHashDedup {
     import spark.implicits._
     val width = 64 / nBands
     val mask = (1L << width) - 1
+    // flip 0 is the STORED row; with probeBits = 1 each band also
+    // fans the width single-bit flips as probe-only rows — a doc's
+    // rows land in (1 + width) DISTINCT buckets per band, so no
+    // bucket ever sees two rows of one doc
+    val flips: Seq[Long] =
+      if (probeBits == 0) Seq(0L) else 0L +: (0 until width).map(b => 1L << b)
     val banded = hashes
       .select(col("doc_id"), col(hashCol).as("h"),
         explode(org.apache.spark.sql.functions.array(
-          (0 until nBands).map(j => struct(
+          (for (j <- 0 until nBands; f <- flips) yield struct(
             lit(j).as("band_id"),
             shiftright(col(hashCol), j * width).bitwiseAND(mask)
-              .as("band_val"))): _*)).as("b"))
-      .select(col("doc_id"), col("h"), col("b.band_id"), col("b.band_val"))
+              .bitwiseXOR(lit(f)).as("band_val"),
+            lit(f == 0L).as("store"))): _*)).as("b"))
+      .select(col("doc_id"), col("h"), col("b.band_id"), col("b.band_val"),
+        col("b.store"))
       .as[BandedHash]
     val timeoutConf =
       if (stateTtlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
@@ -131,19 +151,25 @@ object StreamingHashDedup {
         // re-arrivals too, not just first arrivals)
         var start = 0
         val out = Seq.newBuilder[HashPair]
-        arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
-          if (seen.add(d.doc_id)) {
-            var ei = start
-            while (ei < entries.length) {
-              val s = entries(ei)
+        def scan(d: BandedHash): Unit = {
+          var ei = start
+          while (ei < entries.length) {
+            val s = entries(ei)
+            if (s.doc_id != d.doc_id) {
               val ham = java.lang.Long.bitCount(s.h ^ d.h)
               if (ham <= maxHamming) {
                 val (a, b) = if (s.doc_id < d.doc_id) (s.doc_id, d.doc_id)
                              else (d.doc_id, s.doc_id)
                 out += HashPair(a, b, ham)
               }
-              ei += 1
             }
+            ei += 1
+          }
+        }
+        arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
+          if (!d.store) scan(d) // probe-only: compare, never store
+          else if (seen.add(d.doc_id)) {
+            scan(d)
             entries += HashEntry(d.doc_id, d.h)
             if (maxBucketEntries > 0 &&
                 entries.length - start > maxBucketEntries) {
