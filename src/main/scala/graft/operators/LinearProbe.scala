@@ -82,7 +82,11 @@ object LinearProbe {
       def upd(wj: String, gj: String) =
         (col(wj) - lit(lr) * (col(gj).cast("double") / lit(1000000.0d)
           / col("n").cast("double"))).as(wj)
-      w = w.crossJoin(broadcast(grads))
+      // hint the 1-row WEIGHTS side (the loop's convention at the
+      // feats join above): hinting grads instead forces a
+      // BroadcastExchange on the aggregate per GD iteration —
+      // measured +28-55% on the probe family in the r18 bench
+      w = broadcast(w).crossJoin(grads)
         .select(upd("w0", "g0"), upd("w1", "g1"),
           upd("w2", "g2"), upd("w3", "g3"))
         .localCheckpoint()
