@@ -166,25 +166,80 @@ object LinearProbe {
     * FULL trainer runs on the other k−1 folds and scoring restarts
     * from the floored micro weights (the calibration determinism
     * contract: per-row IEEE only, integer aggregates; predicted
-    * positive ⇔ conf ≥ 5e5). The plan is k independent
-    * train+score chains unioned — k·iters constant-size gradient
-    * aggregates plus k scoring passes, each over a (k−1)/k slice. */
+    * positive ⇔ conf ≥ 5e5).
+    *
+    * ALL k MODELS TRAIN IN ONE GROUPED AGGREGATE PER ITERATION (r18;
+    * the update that took probe_cv off the top-expensive list): each
+    * doc explodes into the k−1 models its fold doesn't test, the
+    * gradient aggregate groups by model (buffer = k × 5 longs,
+    * map-side combined), and the k-row weight frame broadcasts back —
+    * so a GD run is `iters` corpus passes instead of k·iters, and
+    * scoring is ONE pass (each doc joins its own fold's floored micro
+    * weights) instead of k. Numerically IDENTICAL to the k
+    * independent chains: per-model gradient contributions are the
+    * same floor-quantized longs, and integer addition is associative
+    * regardless of grouping — the oracle twin is untouched. */
   def crossValidate(docs: DataFrame, k: Int = 5, iters: Int = 3,
                     lr: Double = 0.5): DataFrame = {
-    val fold = graft.functions.PortableHash.hash32(
-      concat(lit("fold:"), col("doc_id").cast("string"))) % k
-    (0 until k).map { f =>
-      val w = weightsRow(docs.filter(fold =!= f), iters, lr)
-      features(docs.filter(fold === f)).crossJoin(broadcast(w))
-        .select(col("y"), confCol.as("conf"))
-        .agg(count(lit(1)).as("n_test"),
-          sum(when((col("conf") >= 500000L) === (col("y") === 1.0d), 1L)
-            .otherwise(0L)).as("n_correct"))
-        .select(lit(f.toLong).as("fold"), col("n_test"),
-          col("n_correct"),
-          when(col("n_test") > 0,
-            expr("(1000000 * n_correct) div n_test")).as("acc_ppm"))
-    }.reduce(_ union _).orderBy("fold")
+    val spark = docs.sparkSession
+    val fold = (graft.functions.PortableHash.hash32(
+      concat(lit("fold:"), col("doc_id").cast("string"))) % k)
+      .cast("int")
+    val feats = graft.Caches.track(
+      docs.select(fold.as("fold") +: featureCols: _*))
+    val trainView = feats
+      .withColumn("model", explode(array((0 until k).map(lit(_)): _*)))
+      .filter(col("model") =!= col("fold"))
+
+    var w = spark.range(k).select(
+      col("id").cast("int").as("model"),
+      lit(0.0d).as("w0"), lit(0.0d).as("w1"),
+      lit(0.0d).as("w2"), lit(0.0d).as("w3"))
+
+    (0 until iters).foreach { _ =>
+      val joined = trainView.join(broadcast(w), "model")
+      val margin = col("x0") * col("w0") + col("x1") * col("w1") +
+        col("x2") * col("w2") + col("x3") * col("w3")
+      val p = least(greatest(margin * lit(0.25d) + lit(0.5d),
+        lit(0.0d)), lit(1.0d))
+      def g(xj: String) =
+        sum(floor(((p - col("y")) * col(xj)) * lit(1000000.0d))
+          .cast("long")).as("g" + xj.drop(1))
+      val grads = joined.groupBy("model").agg(count(lit(1)).as("n"),
+        g("x0"), g("x1"), g("x2"), g("x3"))
+      def upd(wj: String, gj: String) =
+        (col(wj) - lit(lr) * (col(gj).cast("double") / lit(1000000.0d)
+          / col("n").cast("double"))).as(wj)
+      w = w.join(broadcast(grads), Seq("model"))
+        .select(col("model"), upd("w0", "g0"), upd("w1", "g1"),
+          upd("w2", "g2"), upd("w3", "g3"))
+        .localCheckpoint()
+    }
+
+    // the train() emission contract: weights floor-quantize to micro
+    // lanes BEFORE scoring (the calibration determinism boundary)
+    val wm = w.select(col("model"),
+      floor(col("w0") * lit(1000000.0d)).cast("long").as("wm0"),
+      floor(col("w1") * lit(1000000.0d)).cast("long").as("wm1"),
+      floor(col("w2") * lit(1000000.0d)).cast("long").as("wm2"),
+      floor(col("w3") * lit(1000000.0d)).cast("long").as("wm3"))
+    val scored = feats
+      .join(broadcast(wm), col("fold") === col("model"))
+      .select(col("fold"), col("y"), confCol.as("conf"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when((col("conf") >= 500000L) === (col("y") === 1.0d), 1L)
+          .otherwise(0L)).as("n_correct"))
+    // an empty test fold still prints its row (the per-f agg emitted
+    // (f, 0, 0, null) before the grouping rewrite)
+    spark.range(k).select(col("id").cast("int").as("fold"))
+      .join(scored, Seq("fold"), "left")
+      .select(col("fold").cast("long").as("fold"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        when(coalesce(col("n_test"), lit(0L)) > 0,
+          expr("(1000000 * n_correct) div n_test")).as("acc_ppm"))
+      .orderBy("fold")
   }
 
   /** Split-conformal prediction audit at α = 0.1 (Vovk et al. 2005;
