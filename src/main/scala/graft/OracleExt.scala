@@ -6613,6 +6613,37 @@ object OracleExt {
     LEFT JOIN nd ON nd.doc_id = b.doc_id ORDER BY b.doc_id"""
   }
 
+  /** Twin of the embed_binary_stream composition —
+    * StreamingHashDedup.nearDupStream(probeBits = 1) in BATCH
+    * execution over the sign codes, DISTINCT pair set: a pair is
+    * streamed iff some band differs by at most one bit (one member's
+    * probe fan lands in the other's stored bucket; f = 0 covers the
+    * exact-band case) and the full Hamming clears the gate. No rep
+    * collapse, no occupancy cap — the streaming operator's contract
+    * (its cap is the count-based lookback, unarmed in batch). */
+  def embedBinaryStream(maxHamming: Int, nBands: Int): String = {
+    val w = bandW(nBands)
+    s"""
+    WITH ${signCodeCte.trim},
+    band AS (SELECT doc_id, h, CAST(j AS INTEGER) AS band_id,
+                    (h >> (j * $w)) & ${(1L << w) - 1} AS band_val
+             FROM sc CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
+    probe AS (SELECT doc_id, h, band_id,
+                     xor(band_val, CAST(f AS BIGINT)) AS band_val
+              FROM band CROSS JOIN (SELECT unnest(${mpFlips(w)}) AS f))
+    SELECT DISTINCT
+           CASE WHEN a.doc_id < b.doc_id THEN a.doc_id ELSE b.doc_id END
+             AS doc_a,
+           CASE WHEN a.doc_id < b.doc_id THEN b.doc_id ELSE a.doc_id END
+             AS doc_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+    FROM probe a JOIN band b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id != b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= $maxHamming
+    ORDER BY doc_a, doc_b, hamming"""
+  }
+
   /** Twin of Dedup.hash64BandRecallMatrix over the sign codes — ONE
     * planted-probe set (the imageBandRecallCurve flip recipe, salts
     * bmr/bmrf) pushed through the capped band index at EVERY geometry,

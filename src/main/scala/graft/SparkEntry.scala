@@ -1273,6 +1273,15 @@ object SparkEntry {
       Dedup.hash64Neardup(Similarity.signCodes(embPar(s, dir)), "dhash",
         maxHamming = 16, nBands = 8, probeBits = 1)
         .orderBy("rep_a", "rep_b")),
+    // The ONLINE gate itself, oracle-gated in batch execution: the
+    // streaming bucket operator (probe-only rows carrying the mp fan)
+    // over the sign codes — DISTINCT pair set; per-bucket emission
+    // multiplicity stays spec-pinned (StreamingHashDedupSpec)
+    "embed_binary_stream" -> ((s, dir) =>
+      graft.streaming.StreamingHashDedup.nearDupStream(
+        Similarity.signCodes(embPar(s, dir)), maxHamming = 16,
+        nBands = 8, probeBits = 1).toDF()
+        .distinct().orderBy("doc_a", "doc_b", "hamming")),
     // Its incremental twin: odd-vec batch codes probe the even-vec
     // corpus index, exact-code lane uncapped, band lane at the same
     // decided 8x8 + mp1 geometry (the fan rides the batch side only)
@@ -2443,6 +2452,7 @@ object SparkEntry {
       OracleExt.embedBinaryNeardup(16, 64, 8, probeBits = 1),
     "embed_binary_neardup_inc" ->
       OracleExt.embedBinaryNeardupInc(16, 64, 8, probeBits = 1),
+    "embed_binary_stream" -> OracleExt.embedBinaryStream(16, 8),
     "ann_recall" -> OracleExt.annRecall(10, 5, Similarity.planes()),
     "mrl_recall" -> OracleExt.mrlRecall(10, 5, 16),
     "mrr_eval" -> OracleExt.mrrEval(10, 5, Similarity.planes()),
