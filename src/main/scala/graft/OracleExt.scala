@@ -4587,6 +4587,64 @@ object OracleExt {
           WHERE q.vec_id < $nQueries)
     WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** Twin of KMeans.ivfRecall — brute-force truth and the single-probe
+    * cell-scoped top-k from ONE Lloyd chain; per-query recall. */
+  def ivfRecall(k: Int, iters: Int, nQueries: Int, topK: Int): String =
+    ivfRecallOn(kmeansCte(k, iters), iters, nQueries, topK)
+
+  /** The same evaluator on the TEXT-DERIVED trigram lane. */
+  def ivfRecallTg(k: Int, iters: Int, nQueries: Int, topK: Int): String =
+    ivfRecallOn(kmeansCteOver(trigramVecSql(64), k.toString, iters, 64),
+      iters, nQueries, topK)
+
+  /** SPHERICAL variant — L2-normalized vectors into the same Lloyd
+    * chain (x / sqrt(list_dot_product(v, v)), the DotF64 fold both
+    * engines share); cosine truth is scale-invariant, so only the
+    * cell assignment moves. */
+  def ivfRecallTgSph(k: Int, iters: Int, nQueries: Int,
+                     topK: Int): String = {
+    val normSql = s"""
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+               AS v
+      FROM (${trigramVecSql(64)})"""
+    ivfRecallOn(kmeansCteOver(normSql, k.toString, iters, 64),
+      iters, nQueries, topK)
+  }
+
+  private def ivfRecallOn(head: String, iters: Int, nQueries: Int,
+                          topK: Int): String = {
+    val sim = "list_dot_product(q.v, c.v) / (sqrt(q.norm2) * sqrt(c.norm2))"
+    s"""
+    ${head.trim},
+    nv AS (SELECT a.vec_id, a.v, a.cid,
+                  list_dot_product(a.v, a.v) AS norm2
+           FROM a${iters - 1} a),
+    truth AS (SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY $sim DESC, c.vec_id) AS r
+                FROM nv q JOIN nv c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < $nQueries)
+              WHERE r <= $topK),
+    ap AS (SELECT query_id, cand_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY $sim DESC, c.vec_id) AS r
+             FROM nv q JOIN nv c
+               ON q.cid = c.cid AND c.vec_id != q.vec_id
+             WHERE q.vec_id < $nQueries)
+           WHERE r <= $topK)
+    SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_hit,
+           CAST((100 * sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1
+                           END)) // $topK AS BIGINT) AS recall_pct
+    FROM truth t LEFT JOIN ap
+      ON ap.query_id = t.query_id AND ap.cand_id = t.cand_id
+    GROUP BY t.query_id ORDER BY t.query_id"""
+  }
+
   /** Twin of TextAnalysis.heavyHitters — HLL-style gate: exact top-N
     * counts cross the hash compare; the CMS estimate stays
     * engine-internal and only its guarantees (≥ truth, ≤ truth+ε·total)

@@ -1509,6 +1509,26 @@ object SparkEntry {
     // IVF ANN with nprobe=2 (the IVF recall dial, like multi-probe LSH)
     "ann_ivf_nprobe" -> ((s, dir) =>
       KMeans.annIvfNprobe(embPar(s, dir)).orderBy("query_id", "rank")),
+    // Single-probe IVF recall vs exact cosine, BOTH lanes (the
+    // de-vacuation discipline). MEASURED (sf0.01, k=8, top-3): random
+    // 51% mean, trigram 33% — the structured lane is WORSE, not
+    // better: L2 Lloyd cells over uncentered non-negative counts cut
+    // ACROSS cosine neighborhoods (magnitude clusters, direction
+    // queries). The pair of gates is the evidence for how many
+    // probes (annIvfNprobe) or what normalization a deployment's
+    // embedding geometry needs before trusting nprobe=1
+    "ivf_recall" -> ((s, dir) =>
+      KMeans.ivfRecall(embPar(s, dir)).orderBy("query_id")),
+    "ivf_recall_tg" -> ((s, dir) =>
+      KMeans.ivfRecall(Similarity.trigramEmbed(docsPar(s, dir)))
+        .orderBy("query_id")),
+    // The prescribed FIX, measured: spherical coarse quantization
+    // (L2-normalize before Lloyd's, so cells partition by direction)
+    // lifts the flagged lane 33 -> 53 mean recall_pct — above the
+    // random lane — confirming the diagnosis was metric mismatch
+    "ivf_recall_tg_sph" -> ((s, dir) =>
+      KMeans.ivfRecall(Similarity.trigramEmbed(docsPar(s, dir)),
+        normalize = true).orderBy("query_id")),
     // SemDeDup: cluster-scoped embedding near-dedup keep list. k is
     // NOT pinned: the k=0 sentinel derives it from the corpus count
     // (targetClusterSize=64 keeps the small fixture multi-cluster —
@@ -2241,6 +2261,9 @@ object SparkEntry {
     "cluster_purity" -> OracleExt.clusterPurity(8, 2),
     "ann_ivf" -> OracleExt.annIvf(8, 2, 20, 3),
     "ann_ivf_nprobe" -> OracleExt.annIvfNprobe(8, 2, 20, 3, 2),
+    "ivf_recall" -> OracleExt.ivfRecall(8, 2, 20, 3),
+    "ivf_recall_tg" -> OracleExt.ivfRecallTg(8, 2, 20, 3),
+    "ivf_recall_tg_sph" -> OracleExt.ivfRecallTgSph(8, 2, 20, 3),
     "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),
     "sem_dedup_inc" -> OracleExt.semDedupInc(64, 2, 350000L),
     "sem_dedup_tg" -> OracleExt.semDedupTg(64, 2, 980000L),

@@ -221,6 +221,54 @@ object KMeans {
         col("cand_id"), floor(col("sim") * 1000000L).cast("long").as("sim_micro"))
   }
 
+  /** Recall@k of the single-probe IVF serving path against exact
+    * cosine — the [[graft.operators.Similarity.binaryRecall]]
+    * evaluator pointed at the coarse-quantizer rung: how much of the
+    * true top-k the query's OWN Voronoi cell contains (nprobe = 1's
+    * recall ceiling; [[annIvfNprobe]] buys the rest with more
+    * probes). MEASURED ON BOTH LANES (the r17/r18 de-vacuation
+    * discipline; sf0.01, k=8, top-3, mean recall_pct): random 51,
+    * trigram 33 — the STRUCTURED lane is worse: L2 Lloyd cells over
+    * uncentered non-negative counts separate by magnitude while
+    * cosine queries by direction, so true neighbors straddle cell
+    * boundaries. The FIX, also measured: `normalize = true`
+    * (spherical coarse quantization) lifts the trigram lane to 53 —
+    * above the random lane — by making the cell metric the query
+    * metric. Deploy rule: L2-normalize count-like embedding spaces
+    * before the coarse quantizer, or pay for it in nprobe. */
+  def ivfRecall(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                nQueries: Int = 20, topK: Int = 3,
+                normalize: Boolean = false): DataFrame = {
+    // normalize = true is SPHERICAL coarse quantization (the fix the
+    // unnormalized measurement prescribes): L2-normalize every vector
+    // before Lloyd's, so the L2 cells partition by DIRECTION — the
+    // metric cosine queries actually use. Cosine itself is
+    // scale-invariant, so the truth side is the same ranking either
+    // way; only the cell assignment changes.
+    val e =
+      if (!normalize) emb
+      else {
+        val dot = (a: Column, b: Column) =>
+          org.apache.spark.sql.graft.DotF64Expr(a, b)
+        emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), col("v"),
+            sqrt(dot(col("v"), col("v"))).as("__nrm"))
+          .select(col("vec_id"),
+            transform(col("v"), x => x / col("__nrm")).as("embedding"))
+      }
+    val exact = graft.operators.Similarity.topkCosine(e, nQueries, topK)
+      .select(col("query_id"), col("cand_id"))
+    val approx = annIvf(e, k, iters, nQueries, topK)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        expr(s"(100 * n_hit) div $topK").as("recall_pct"))
+  }
+
   /** SemDeDup — semantic (embedding-space) deduplication, the published
     * cluster-scoped recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication"): k-means

@@ -575,4 +575,30 @@ class KMeansSpec extends SparkTestBase {
     }
     Caches.releaseAll()
   }
+
+  test("ivfRecall: one cell is exact; spherical recall is scale-invariant") {
+    val rows = Seq(
+      (0L, vec(1f, 0.2f)), (1L, vec(0.1f, 1f)), (2L, vec(0.9f, 0.3f)),
+      (3L, vec(0.2f, 1.1f)), (4L, vec(1.1f, 0.1f)), (5L, vec(0.3f, 0.9f)))
+    val emb = rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    // k = 1: a single Voronoi cell holds every candidate, so the
+    // "approximate" path IS the exact scan — recall must read 100
+    val one = KMeans.ivfRecall(emb, k = 1, iters = 2, nQueries = 3,
+        topK = 2)
+      .select("query_id", "recall_pct").as[(Long, Long)].collect().toMap
+    assert(one.size == 3 && one.values.forall(_ == 100L), s"got $one")
+    // spherical quantization sees DIRECTION only: scaling any vector
+    // by a positive constant must change neither the cells nor the
+    // cosine truth, hence not one output row
+    val scaled = rows.map { case (id, v) =>
+      (id, v.map(_ * (if (id % 2 == 0) 7f else 1f)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    def sph(e: org.apache.spark.sql.DataFrame) =
+      KMeans.ivfRecall(e, k = 2, iters = 2, nQueries = 3, topK = 2,
+          normalize = true)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sph(emb) == sph(scaled))
+    Caches.releaseAll()
+  }
 }
