@@ -4228,6 +4228,67 @@ object OracleExt {
     $rounds"""
   }
 
+  /** [[kmeansCteOver]] with every CTE name prefixed and NO leading
+    * WITH — spliceable, so two independent Lloyd chains (the
+    * cell-loss lanes) coexist in one WITH clause. Ends in
+    * `${p}a{iters-1}`. */
+  private def kmeansCtesOverP(p: String, eSql: String, kSql: String,
+                              iters: Int, dim: Int): String = {
+    val rounds = (0 until iters)
+      .map(i => kmeansRoundP(p, i, s"${p}c$i", s"${p}c${i + 1}", dim,
+        s"${p}e"))
+      .mkString(",")
+    s"""
+    ${p}e AS ($eSql),
+    ${p}c0 AS (SELECT vec_id AS cid, v AS c FROM ${p}e
+               WHERE vec_id < ($kSql)),
+    $rounds"""
+  }
+
+  /** Twin of KMeans.semDedupCellLoss on the trigram lane: ONE truth
+    * pair list (raw-vector cosine ≥ τ over the sampled slice), two
+    * prefixed Lloyd chains (raw and L2-normalized input), per-lane
+    * capture counts. */
+  def semDedupCellLossTg(targetClusterSize: Long, iters: Int,
+                         minSimMicro: Long, sampleMod: Int): String = {
+    val h = graft.functions.PortableHash
+    def kSql(p: String) =
+      s"SELECT GREATEST(1, LEAST(count(*) // $targetClusterSize," +
+        s" 2147483647)) FROM ${p}e"
+    val normSql = s"""
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+               AS v
+      FROM (${trigramVecSql(64)})"""
+    def laneSql(name: String, p: String) = s"""
+    SELECT '$name' AS lane, CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(coalesce(sum(CASE WHEN ca.cid = cb.cid
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_captured
+    FROM pairs p JOIN ${p}a${iters - 1} ca ON ca.vec_id = p.va
+                 JOIN ${p}a${iters - 1} cb ON cb.vec_id = p.vb"""
+    s"""
+    WITH ${kmeansCtesOverP("l2", trigramVecSql(64), kSql("l2"),
+        iters, 64).trim},
+    ${kmeansCtesOverP("sp", normSql, kSql("sp"), iters, 64).trim},
+    nvr AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2
+            FROM l2e),
+    smp AS (SELECT * FROM nvr
+            WHERE ${h.sqlHash32("'sdcl:' || CAST(vec_id AS VARCHAR)")}
+              % $sampleMod = 0),
+    pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM smp a JOIN smp b ON a.vec_id < b.vec_id
+              WHERE CAST(floor(list_dot_product(a.v, b.v)
+                  / (sqrt(a.norm2) * sqrt(b.norm2)) * 1000000)
+                AS BIGINT) >= $minSimMicro),
+    res AS (${laneSql("l2", "l2")}
+            UNION ALL
+            ${laneSql("spherical", "sp")})
+    SELECT lane, n_truth, n_captured,
+           (1000000 * (n_truth - n_captured)) // greatest(n_truth, 1)
+             AS loss_ppm
+    FROM res ORDER BY lane"""
+  }
+
   /** Shared CTE chain of the PCA twins — the exact float choreography
     * of Pca.model: fixed-point BIGINT lanes for every corpus-sized sum,
     * list_dot_product (sequential fold, matches DotF64Expr

@@ -1555,6 +1555,21 @@ object SparkEntry {
       KMeans.semDedup(Similarity.trigramEmbed(docsPar(s, dir)),
         targetClusterSize = 64, minSimMicro = 980000L)
         .orderBy("vec_id")),
+    // SemDeDup's cell-split price, measured (the ivf_recall metric-
+    // mismatch finding pointed at the dedup gate): true cosine >= tau
+    // pairs whose members land in different Lloyd cells are invisible
+    // to the cluster-scoped search — one truth list, two cluster
+    // lanes (shipped L2 vs spherical), per-lane loss_ppm. MEASURED
+    // (sf0.01, tau 0.98): l2 loses 0 of 4, spherical 1 of 4 — at the
+    // dedup gate's deep threshold truth pairs are near-identical in
+    // any metric, so the cell approximation is cheap HERE while the
+    // same mismatch costs the serving path 20 recall points
+    // (ivf_recall_tg); the instrument prices the dial per corpus
+    "sem_dedup_cell_loss" -> ((s, dir) =>
+      KMeans.semDedupCellLoss(
+        Similarity.trigramEmbed(docsPar(s, dir)),
+        targetClusterSize = 64, minSimMicro = 980000L, sampleMod = 2)
+        .orderBy("lane")),
     // Its incremental twin: even-doc corpus trains the staged model,
     // odd-doc batch assigns and dedups against it — the semantic
     // incremental lane now runs on embeddings that carry corpus
@@ -2267,6 +2282,8 @@ object SparkEntry {
     "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),
     "sem_dedup_inc" -> OracleExt.semDedupInc(64, 2, 350000L),
     "sem_dedup_tg" -> OracleExt.semDedupTg(64, 2, 980000L),
+    "sem_dedup_cell_loss" ->
+      OracleExt.semDedupCellLossTg(64, 2, 980000L, 2),
     "sem_dedup_inc_tg" -> OracleExt.semDedupIncTg(64, 2, 980000L),
     "cluster_outliers" ->
       OracleExt.clusterOutliers(OracleExt.deriveKSql(64), 2, 5),
