@@ -1286,7 +1286,7 @@ object OracleExt {
     val rows = (0 until k).map { f =>
       s"""SELECT CAST($f AS BIGINT) AS fold,
             CAST(count(*) AS BIGINT) AS n_test,
-            CAST(sum($hit) AS BIGINT) AS n_correct,
+            CAST(coalesce(sum($hit), 0) AS BIGINT) AS n_correct,
             CASE WHEN count(*) > 0 THEN
               (1000000 * CAST(sum($hit) AS BIGINT))
                 // CAST(count(*) AS BIGINT)
@@ -4245,6 +4245,18 @@ object OracleExt {
     $rounds"""
   }
 
+  /** Twin of KMeans.l2Normalize over an arbitrary (vec_id, v) query:
+    * x / sqrt(list_dot_product(v, v)) — the identical sequential-fold
+    * norm and IEEE division — with the engine's zero-norm guard
+    * mirrored (a zero vector has no direction; filtering beats
+    * NaN-poisoning, the one place Spark/DuckDB semantics could
+    * diverge). */
+  private def l2NormSql(eSql: String): String = s"""
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+               AS v
+      FROM ($eSql) WHERE list_dot_product(v, v) > 0"""
+
   /** Twin of KMeans.semDedupCellLoss on the trigram lane: ONE truth
     * pair list (raw-vector cosine ≥ τ over the sampled slice), two
     * prefixed Lloyd chains (raw and L2-normalized input), per-lane
@@ -4255,11 +4267,7 @@ object OracleExt {
     def kSql(p: String) =
       s"SELECT GREATEST(1, LEAST(count(*) // $targetClusterSize," +
         s" 2147483647)) FROM ${p}e"
-    val normSql = s"""
-      SELECT vec_id,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-               AS v
-      FROM (${trigramVecSql(64)})"""
+    val normSql = l2NormSql(trigramVecSql(64))
     def laneSql(name: String, p: String) = s"""
     SELECT '$name' AS lane, CAST(count(*) AS BIGINT) AS n_truth,
            CAST(coalesce(sum(CASE WHEN ca.cid = cb.cid
@@ -4631,8 +4639,21 @@ object OracleExt {
           WHERE q.vec_id < """ + nQueries + s""")
     WHERE rank <= $k ORDER BY query_id, rank"""
 
-  def annIvf(k: Int, iters: Int, nQueries: Int, topK: Int): String = s"""
-    ${kmeansCte(k, iters)},
+  def annIvf(k: Int, iters: Int, nQueries: Int, topK: Int): String =
+    annIvfOn(kmeansCte(k, iters), iters, nQueries, topK)
+
+  /** Twin of KMeans.annIvf(normalize = true) on the trigram lane —
+    * the PRODUCTION serving entry point under spherical coarse
+    * quantization (VERDICT r18 #1): the [[l2NormSql]] guard + Lloyd
+    * chain feed the same single-probe cell-scoped top-k body. */
+  def annIvfTgSph(k: Int, iters: Int, nQueries: Int,
+                  topK: Int): String =
+    annIvfOn(kmeansCteOver(l2NormSql(trigramVecSql(64)), k.toString,
+      iters, 64), iters, nQueries, topK)
+
+  private def annIvfOn(head: String, iters: Int, nQueries: Int,
+                       topK: Int): String = s"""
+    ${head.trim},
     nv AS (SELECT a.vec_id, a.v, a.cid,
                   list_dot_product(a.v, a.v) AS norm2
            FROM a${iters - 1} a)
@@ -4663,15 +4684,9 @@ object OracleExt {
     * engines share); cosine truth is scale-invariant, so only the
     * cell assignment moves. */
   def ivfRecallTgSph(k: Int, iters: Int, nQueries: Int,
-                     topK: Int): String = {
-    val normSql = s"""
-      SELECT vec_id,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-               AS v
-      FROM (${trigramVecSql(64)})"""
-    ivfRecallOn(kmeansCteOver(normSql, k.toString, iters, 64),
-      iters, nQueries, topK)
-  }
+                     topK: Int): String =
+    ivfRecallOn(kmeansCteOver(l2NormSql(trigramVecSql(64)), k.toString,
+      iters, 64), iters, nQueries, topK)
 
   private def ivfRecallOn(head: String, iters: Int, nQueries: Int,
                           topK: Int): String = {
@@ -4704,6 +4719,81 @@ object OracleExt {
     FROM truth t LEFT JOIN ap
       ON ap.query_id = t.query_id AND ap.cand_id = t.cand_id
     GROUP BY t.query_id ORDER BY t.query_id"""
+  }
+
+  /** Twins of KMeans.ivfRecallCurve — recall vs probed-cell budget on
+    * each lane × quantizer-metric combination. */
+  def ivfNprobeCurve(k: Int, iters: Int, nQueries: Int, topK: Int,
+                     nprobes: Seq[Int]): String =
+    ivfNprobeCurveOn(kmeansCte(k, iters), iters, nQueries, topK, nprobes)
+
+  def ivfNprobeCurveSph(k: Int, iters: Int, nQueries: Int, topK: Int,
+                        nprobes: Seq[Int]): String =
+    ivfNprobeCurveOn(kmeansCteOver(l2NormSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
+      k.toString, iters, 64), iters, nQueries, topK, nprobes)
+
+  def ivfNprobeCurveTg(k: Int, iters: Int, nQueries: Int, topK: Int,
+                       nprobes: Seq[Int]): String =
+    ivfNprobeCurveOn(kmeansCteOver(trigramVecSql(64), k.toString,
+      iters, 64), iters, nQueries, topK, nprobes)
+
+  def ivfNprobeCurveTgSph(k: Int, iters: Int, nQueries: Int, topK: Int,
+                          nprobes: Seq[Int]): String =
+    ivfNprobeCurveOn(kmeansCteOver(l2NormSql(trigramVecSql(64)),
+      k.toString, iters, 64), iters, nQueries, topK, nprobes)
+
+  /** ONE Lloyd chain + ONE truth table + ONE max-budget cluster
+    * ranking serve every curve point (the engine's staged-model
+    * shape); nv/truth/qp are MATERIALIZED so the per-nprobe approx
+    * CTEs re-read them instead of re-running the Lloyd chain per
+    * reference (the knn_descent_converge twin lesson). */
+  private def ivfNprobeCurveOn(head: String, iters: Int, nQueries: Int,
+                               topK: Int, nprobes: Seq[Int]): String = {
+    val sim = "list_dot_product(q.v, c.v) / (sqrt(q.norm2) * sqrt(c.norm2))"
+    val aps = nprobes.map { np =>
+      s""",
+    ap$np AS (SELECT query_id, cand_id FROM (
+             SELECT q.query_id, c.vec_id AS cand_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY $sim DESC, c.vec_id) AS r
+             FROM (SELECT * FROM qp WHERE crank <= $np) q
+             JOIN nv c
+               ON q.cid = c.cid AND c.vec_id != q.query_id)
+           WHERE r <= $topK)"""
+    }.mkString
+    val rows = nprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+            CAST(count(*) AS BIGINT) AS n_true,
+            CAST(sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_hit,
+            CAST((100 * sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1
+                            END)) // greatest(count(*), 1) AS BIGINT)
+              AS recall_pct
+          FROM truth t LEFT JOIN ap$np ap
+            ON ap.query_id = t.query_id AND ap.cand_id = t.cand_id"""
+    }.mkString(" UNION ALL ")
+    s"""
+    ${head.trim},
+    nv AS MATERIALIZED (SELECT a.vec_id, a.v, a.cid,
+                  list_dot_product(a.v, a.v) AS norm2
+           FROM a${iters - 1} a),
+    truth AS MATERIALIZED (SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY $sim DESC, c.vec_id) AS r
+                FROM nv q JOIN nv c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < $nQueries)
+              WHERE r <= $topK),
+    qp AS MATERIALIZED (SELECT query_id, v, norm2, cid, crank FROM (
+             SELECT q.vec_id AS query_id, q.v, q.norm2, c.cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${sqlDist2("q.v", "c.c")}, c.cid) AS crank
+             FROM nv q CROSS JOIN c${iters - 1} c
+             WHERE q.vec_id < $nQueries)
+           WHERE crank <= ${nprobes.max})$aps
+    SELECT nprobe, n_true, n_hit, recall_pct FROM ($rows)
+    ORDER BY nprobe"""
   }
 
   /** Twin of TextAnalysis.heavyHitters — HLL-style gate: exact top-N

@@ -1529,6 +1529,28 @@ object SparkEntry {
     "ivf_recall_tg_sph" -> ((s, dir) =>
       KMeans.ivfRecall(Similarity.trigramEmbed(docsPar(s, dir)),
         normalize = true).orderBy("query_id")),
+    // The fix DEPLOYED (VERDICT r18 #1): the PRODUCTION single-probe
+    // serving entry point under spherical coarse quantization — the
+    // normalize dial threaded through annIvf (and its nprobe/ADC
+    // siblings), gated on the lane the measurement flagged
+    "ann_ivf_tg_sph" -> ((s, dir) =>
+      KMeans.annIvf(Similarity.trigramEmbed(docsPar(s, dir)),
+        normalize = true).orderBy("query_id", "rank")),
+    // Recall as a FUNCTION of nprobe (VERDICT r18 #3) — the number a
+    // deployer actually picks, measured on both lanes × both
+    // quantizer metrics. MEASURED (sf0.01, k=8, top-3, nprobe 1/2/4,
+    // corpus recall_pct): see KMeans.ivfRecallCurve scaladoc — the
+    // spherical fix is worth ~2 probes at every budget on the
+    // count-like lane
+    "ivf_nprobe_curve" -> ((s, dir) =>
+      KMeans.ivfRecallCurve(embPar(s, dir))),
+    "ivf_nprobe_curve_sph" -> ((s, dir) =>
+      KMeans.ivfRecallCurve(embPar(s, dir), normalize = true)),
+    "ivf_nprobe_curve_tg" -> ((s, dir) =>
+      KMeans.ivfRecallCurve(Similarity.trigramEmbed(docsPar(s, dir)))),
+    "ivf_nprobe_curve_tg_sph" -> ((s, dir) =>
+      KMeans.ivfRecallCurve(Similarity.trigramEmbed(docsPar(s, dir)),
+        normalize = true)),
     // SemDeDup: cluster-scoped embedding near-dedup keep list. k is
     // NOT pinned: the k=0 sentinel derives it from the corpus count
     // (targetClusterSize=64 keeps the small fixture multi-cluster —
@@ -2279,6 +2301,15 @@ object SparkEntry {
     "ivf_recall" -> OracleExt.ivfRecall(8, 2, 20, 3),
     "ivf_recall_tg" -> OracleExt.ivfRecallTg(8, 2, 20, 3),
     "ivf_recall_tg_sph" -> OracleExt.ivfRecallTgSph(8, 2, 20, 3),
+    "ann_ivf_tg_sph" -> OracleExt.annIvfTgSph(8, 2, 20, 3),
+    "ivf_nprobe_curve" ->
+      OracleExt.ivfNprobeCurve(8, 2, 20, 3, Seq(1, 2, 4)),
+    "ivf_nprobe_curve_sph" ->
+      OracleExt.ivfNprobeCurveSph(8, 2, 20, 3, Seq(1, 2, 4)),
+    "ivf_nprobe_curve_tg" ->
+      OracleExt.ivfNprobeCurveTg(8, 2, 20, 3, Seq(1, 2, 4)),
+    "ivf_nprobe_curve_tg_sph" ->
+      OracleExt.ivfNprobeCurveTgSph(8, 2, 20, 3, Seq(1, 2, 4)),
     "sem_dedup" -> OracleExt.semDedup(OracleExt.deriveKSql(64), 2, 350000L),
     "sem_dedup_inc" -> OracleExt.semDedupInc(64, 2, 350000L),
     "sem_dedup_tg" -> OracleExt.semDedupTg(64, 2, 980000L),

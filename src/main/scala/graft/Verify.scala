@@ -77,9 +77,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // Defense (VERDICT r18): an empty selection would write an empty
+    // artifact that reads as a vacuous pass downstream — fail loudly.
+    require(selected.nonEmpty,
+      s"Verify selected zero queries (registry=${SparkEntry.queries.size}," +
+        s" only=$only) — refusing to emit an empty correctness artifact")
+    require(SparkEntry.oracleSql.nonEmpty,
+      "SparkEntry.oracleSql is empty — refusing to emit an empty oracle map")
+    selected.foreach { case (name, fn) =>
       // release the previous query's tracked persists: 65 queries in
       // one session would otherwise stack cache entries + plan handles
       Caches.releaseAll()

@@ -230,8 +230,10 @@ object LinearProbe {
       .agg(count(lit(1)).as("n_test"),
         sum(when((col("conf") >= 500000L) === (col("y") === 1.0d), 1L)
           .otherwise(0L)).as("n_correct"))
-    // an empty test fold still prints its row (the per-f agg emitted
-    // (f, 0, 0, null) before the grouping rewrite)
+    // an empty test fold still prints its row as (f, 0, 0, null) —
+    // n_correct coalesces to 0 to match the twin's
+    // coalesce(sum(hit), 0) (sum over zero rows is NULL in both
+    // engines; both sides pin the 0 explicitly)
     spark.range(k).select(col("id").cast("int").as("fold"))
       .join(scored, Seq("fold"), "left")
       .select(col("fold").cast("long").as("fold"),

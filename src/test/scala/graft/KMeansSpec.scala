@@ -601,4 +601,57 @@ class KMeansSpec extends SparkTestBase {
     assert(sph(emb) == sph(scaled))
     Caches.releaseAll()
   }
+
+  test("normalize dial ≡ pre-applied l2Normalize on every IVF serving " +
+      "entry point (the r19 deploy contract)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pre = KMeans.l2Normalize(emb)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(rows(KMeans.annIvf(emb, nQueries = 6, normalize = true)
+        .orderBy("query_id", "rank"))
+      == rows(KMeans.annIvf(pre, nQueries = 6).orderBy("query_id", "rank")))
+    assert(rows(KMeans.annIvfNprobe(emb, nQueries = 6, nprobe = 2,
+        normalize = true).orderBy("query_id", "rank"))
+      == rows(KMeans.annIvfNprobe(pre, nQueries = 6, nprobe = 2)
+        .orderBy("query_id", "rank")))
+    assert(rows(KMeans.annIvfAdc(emb, nQueries = 4, normalize = true)
+        .orderBy("query_id", "rank"))
+      == rows(KMeans.annIvfAdc(pre, nQueries = 4)
+        .orderBy("query_id", "rank")))
+    assert(rows(KMeans.annIvfAdcNprobe(emb, nQueries = 4, nprobe = 2,
+        normalize = true).orderBy("query_id", "rank"))
+      == rows(KMeans.annIvfAdcNprobe(pre, nQueries = 4, nprobe = 2)
+        .orderBy("query_id", "rank")))
+    Caches.releaseAll()
+  }
+
+  test("l2Normalize: unit norms out, zero-norm vectors filtered " +
+      "(never NaN-poisoned)") {
+    val emb = Seq(
+      (0L, vec(3f, 4f), 0), (1L, vec(), 0), (2L, vec(0f, 0f, 5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = KMeans.l2Normalize(emb)
+      .select(col("vec_id"),
+        org.apache.spark.sql.graft.DotF64Expr(
+          col("embedding"), col("embedding")).as("n2"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(0L, 2L), "zero vector (vec 1) filtered")
+    out.values.foreach(n2 => assert(math.abs(n2 - 1d) < 1e-12))
+  }
+
+  test("ivfRecallCurve: monotone non-decreasing in nprobe; " +
+      "nprobe = k is exact (recall 100)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cur = KMeans.ivfRecallCurve(emb, k = 4, iters = 2, nQueries = 5,
+        topK = 3, nprobes = Seq(1, 2, 4))
+      .select("nprobe", "n_hit", "recall_pct")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(cur.map(_._1) == Seq(1L, 2L, 4L))
+    // widening the probe budget can only add candidates
+    assert(cur.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 })
+    // probing every cell of k=4 IS the exact scan
+    assert(cur.last._3 == 100L, s"nprobe=k must be exact, got $cur")
+    Caches.releaseAll()
+  }
 }

@@ -39,6 +39,12 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# Defense (VERDICT r18 "What's wrong" #1): an empty oracle map means the
+# gate has nothing to check — that is a FAILURE, not a vacuous pass. The
+# r18 driver artifact shipped as literally {} and nothing failed loudly.
+if not oracle:
+    print("FAIL: oracle_sql.json is empty — no correctness evidence")
+    sys.exit(1)
 
 def norm(v):
     if v is None: return "NULL"
@@ -107,5 +113,9 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"OK   {name} ({len(srows)} rows)")
 
+compared = sum(1 for name in oracle if not (ONLY and name not in ONLY.split(",")))
+if compared == 0:
+    print("FAIL: zero queries compared — empty selection is not a pass")
+    sys.exit(1)
 print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
 sys.exit(1 if fails else 0)
