@@ -5504,7 +5504,14 @@ object OracleExt {
     * the allPairsJaccard rep discipline plus the VERDICT r15 #1
     * hot-bucket discipline. */
   def imageNeardup(maxHamming: Int, maxBucket: Int,
-                   nBands: Int = 4): String = s"""
+                   nBands: Int = 4, probeBits: Int = 0): String = {
+    val w = bandW(nBands)
+    val probeCte =
+      if (probeBits == 0) "probe AS (SELECT * FROM cold)"
+      else s"""probe AS (SELECT rep, dhash, m, band_id,
+                    xor(band_val, CAST(f AS BIGINT)) AS band_val
+             FROM cold CROSS JOIN (SELECT unnest(${mpFlips(w)}) AS f))"""
+    s"""
     WITH $dhashCte,
     $contrastCte,
     gdh AS (SELECT dh.doc_id, dh.dhash FROM dh
@@ -5513,18 +5520,20 @@ object OracleExt {
                     CAST(count(*) AS BIGINT) AS m
              FROM gdh GROUP BY 1),
     band AS (SELECT rep, dhash, m, CAST(j AS INTEGER) AS band_id,
-                    (dhash >> (j * ${bandW(nBands)}))
-                      & ${(1L << bandW(nBands)) - 1} AS band_val
+                    (dhash >> (j * $w))
+                      & ${(1L << w) - 1} AS band_val
              FROM reps CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
-    ${coldBandsCte(maxBucket).trim}
+    ${coldBandsCte(maxBucket).trim},
+    $probeCte
     SELECT rep_a, rep_b, hamming, n_doc_pairs FROM (
       SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
              CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming,
              a.m * b.m AS n_doc_pairs
-      FROM cold a JOIN cold b
+      FROM probe a JOIN cold b
         ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.rep < b.rep)
     WHERE hamming <= $maxHamming ORDER BY rep_a, rep_b"""
+  }
 
   /** Twin of Dedup.hash64BandRecall over the flat-gated dHash table:
     * brute-force Hamming truth on the deterministic doc sample vs the
@@ -5878,7 +5887,15 @@ object OracleExt {
     * cap; distinct prior partners (corpus or lower-odd) counted per
     * batch doc. */
   def imageNeardupInc(maxHamming: Int, maxBucket: Int,
-                      nBands: Int = 4): String = s"""
+                      nBands: Int = 4, probeBits: Int = 0): String = {
+    val w = bandW(nBands)
+    val probeCte =
+      if (probeBits == 0) "probe AS (SELECT * FROM cold WHERE isnew)"
+      else s"""probe AS (SELECT doc_id, dhash, isnew, band_id,
+                    xor(band_val, CAST(f AS BIGINT)) AS band_val
+             FROM cold CROSS JOIN (SELECT unnest(${mpFlips(w)}) AS f)
+             WHERE isnew)"""
+    s"""
     WITH $dhashCte,
     $contrastCte,
     dhf AS (SELECT doc_id, dhash, doc_id % 2 = 1 AS isnew FROM dh),
@@ -5889,14 +5906,15 @@ object OracleExt {
     bnd0 AS (SELECT d.doc_id, d.dhash, d.isnew FROM dhf d
              JOIN ctr ON ctr.doc_id = d.doc_id WHERE ctr.contrast > 15),
     band AS (SELECT doc_id, dhash, isnew, CAST(j AS INTEGER) AS band_id,
-                    (dhash >> (j * ${bandW(nBands)}))
-                      & ${(1L << bandW(nBands)) - 1} AS band_val
+                    (dhash >> (j * $w))
+                      & ${(1L << w) - 1} AS band_val
              FROM bnd0 CROSS JOIN (SELECT unnest(range(0, $nBands)) AS j)),
     ${coldBandsCte(maxBucket).trim},
+    $probeCte,
     nr AS (SELECT a.doc_id, b.doc_id AS prior
-           FROM cold a JOIN cold b
+           FROM probe a JOIN cold b
              ON a.band_id = b.band_id AND a.band_val = b.band_val
-                AND a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
+                AND (NOT b.isnew OR b.doc_id < a.doc_id)
            WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxHamming),
     dups AS (SELECT DISTINCT doc_id, prior FROM
                (SELECT * FROM ex UNION ALL SELECT * FROM nr)),
@@ -5906,6 +5924,7 @@ object OracleExt {
            n_dup IS NULL AS kept
     FROM (SELECT doc_id FROM dhf WHERE isnew) b
     LEFT JOIN nd ON nd.doc_id = b.doc_id ORDER BY b.doc_id"""
+  }
 
   /** Twin of Multimodal.videoScenes — one lead window over the frame
     * hashes, cut where the inter-frame Hamming exceeds the threshold,
@@ -6860,7 +6879,29 @@ object OracleExt {
     * multi-probe recall. */
   def embedBinaryBandRecall(dists: Seq[Int], maxBucket: Int,
                             sampleMod: Int,
-                            geometries: Seq[Int]): String = {
+                            geometries: Seq[Int]): String =
+    bandRecallMatrixOver(signCodeCte, dists, maxBucket, sampleMod,
+      geometries)
+
+  /** The SAME matrix over the flat-gated image dHash lane (VERDICT
+    * r18 #2) — the generic instrument pointed at the lane whose
+    * shipped probeBits the r18 deploy rule contradicted. */
+  def imageBandRecallMatrix(dists: Seq[Int], maxBucket: Int,
+                            sampleMod: Int,
+                            geometries: Seq[Int]): String =
+    bandRecallMatrixOver(s"""
+    $dhashCte,
+    $contrastCte,
+    sc AS (SELECT dh.doc_id, dh.dhash AS h FROM dh
+           JOIN ctr ON ctr.doc_id = dh.doc_id
+           WHERE ctr.contrast > 15)""", dists, maxBucket, sampleMod,
+      geometries)
+
+  /** The matrix body over any head-CTE chain ending in
+    * `sc(doc_id, h BIGINT)`. */
+  private def bandRecallMatrixOver(scCtes: String, dists: Seq[Int],
+                                   maxBucket: Int, sampleMod: Int,
+                                   geometries: Seq[Int]): String = {
     val h = graft.functions.PortableHash
     val geoBlocks = geometries.map { g =>
       val w = bandW(g)
@@ -6896,7 +6937,7 @@ object OracleExt {
             FROM pl LEFT JOIN hits$g ON hits$g.d = pl.d)"""
     }
     s"""
-    WITH ${signCodeCte.trim},
+    WITH ${scCtes.trim},
     smp AS (SELECT doc_id, h FROM sc
             WHERE ${h.sqlHash32("'bmr:' || CAST(doc_id AS VARCHAR)")}
               % $sampleMod = 0),

@@ -1897,6 +1897,20 @@ object SparkEntry {
           Seq("doc_id"), "leftsemi"),
         "dhash", sampleMod = 8, nBands = 8)
     }),
+    // The geometry × multi-probe DECISION MATRIX pointed at the dHash
+    // lane (VERDICT r18 #2 — the generic instrument finally run where
+    // the image probeBits decision lives). MEASURED at sf0.01 AND
+    // sf0.1 (the 16x4-mirage two-SF discipline; ppm, exact/mp1):
+    // see the image_neardup8 registration comment for the decision
+    "image_band_recall_matrix" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      Dedup.hash64BandRecallMatrix(
+        Multimodal.imageDhash(d).join(
+          Multimodal.imageGridStats(d)
+            .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
+          Seq("doc_id"), "leftsemi"),
+        "dhash", sampleMod = 8).orderBy("n_bands", "d")
+    }),
     // Scene-level video dedup: scene signatures (content-defined cut
     // segmentation + position-salted frame-hash sums) as the fp
     // domain — an index ∝ scenes instead of ∝ frames (2.5x smaller on
@@ -2013,10 +2027,17 @@ object SparkEntry {
       Boilerplate.boilerplateLineStrip(docsPar(s, dir), width = 8,
         minDf = 2L, divisor = 25L).orderBy("doc_id")),
     // The measured upgrade path made runnable: 8x8-bit banding lifts
-    // Hamming-12 recall from 71 428 to 885 714 ppm (the two recall
-    // curves) at the price of hotter uniform buckets — the lane a
-    // pipeline that must CATCH 12-bit drift deploys; same flat
-    // pre-gate, same cap policy
+    // Hamming-12 recall over 4x16 (the two recall curves) at the
+    // price of hotter uniform buckets — the lane a pipeline that must
+    // CATCH 12-bit drift deploys; same flat pre-gate, same cap
+    // policy. SHIPPED GEOMETRY DECIDED BY image_band_recall_matrix
+    // (VERDICT r18 #2, the two-SF discipline): at sf0.1 exact 8x8
+    // keeps only 496 159 ppm of planted d=12 probes (the r18 885k
+    // figure was the sf0.01 column — itself a partial fixture-scale
+    // reading) while 8x8+mp1 holds 909 370; 16x4 collapses to 124k
+    // (occupancy-hot). probeBits = 1, consistent with the sign-code
+    // deploy rule: mp1 whenever the admission threshold exceeds
+    // Hamming 8
     "image_neardup8" -> ((s, dir) => {
       val d = docsPar(s, dir)
       Dedup.hash64Neardup(
@@ -2024,14 +2045,16 @@ object SparkEntry {
           Multimodal.imageGridStats(d)
             .filter(col("lmax") - col("lmin") > 15).select("doc_id"),
           Seq("doc_id"), "leftsemi"),
-        "dhash", maxHamming = 12, nBands = 8).orderBy("rep_a", "rep_b")
+        "dhash", maxHamming = 12, nBands = 8, probeBits = 1)
+        .orderBy("rep_a", "rep_b")
     }),
     // The 8x8 geometry on the INCREMENTAL lane (VERDICT r16 #1):
     // continuous ingestion is where near-dup admission matters most,
-    // so the daily-batch path can now ride the measured 12x recall
-    // improvement (885714 vs 71428 ppm at Hamming 12) instead of
-    // being stranded at 4x16; same flat gate, same two-lane shape,
-    // same cap policy
+    // so the daily-batch path rides the decided geometry — 8x8 WITH
+    // 1-bit band multi-probe (image_band_recall_matrix at sf0.1:
+    // 909k vs 496k ppm at the Hamming-12 threshold; the fan rides
+    // the batch probe side only); same flat gate, same two-lane
+    // shape, same cap policy
     "image_neardup_inc8" -> ((s, dir) => {
       val d = docsPar(s, dir)
       val dh = Multimodal.imageDhash(d).join(
@@ -2040,8 +2063,8 @@ object SparkEntry {
       Dedup.hash64NeardupInc(
         dh.filter(col("doc_id") % 2 === 0),
         dh.filter(col("doc_id") % 2 === 1),
-        "dhash", maxHamming = 12, bandCol = Some("band_ok"), nBands = 8)
-        .orderBy("doc_id")
+        "dhash", maxHamming = 12, bandCol = Some("band_ok"), nBands = 8,
+        probeBits = 1).orderBy("doc_id")
     }),
     // mapPartitions batched decode through the (stub) codec seam
     "multimodal_decode" -> ((s, dir) => {
@@ -2280,11 +2303,13 @@ object SparkEntry {
     "boilerplate_strip_inc" -> OracleExt.boilerplateStripInc(5L, 10L),
     "boilerplate_lines" -> OracleExt.boilerplateLines(8, 2L, 25L),
     "boilerplate_line_strip" -> OracleExt.boilerplateLineStrip(8, 2L, 25L),
-    "image_neardup8" -> OracleExt.imageNeardup(12, 64, nBands = 8),
+    "image_neardup8" ->
+      OracleExt.imageNeardup(12, 64, nBands = 8, probeBits = 1),
     "image_quality" -> OracleExt.imageQuality,
     "video_scenes" -> OracleExt.videoScenes(36),
     "image_neardup_inc" -> OracleExt.imageNeardupInc(12, 64),
-    "image_neardup_inc8" -> OracleExt.imageNeardupInc(12, 64, nBands = 8),
+    "image_neardup_inc8" ->
+      OracleExt.imageNeardupInc(12, 64, nBands = 8, probeBits = 1),
     "audio_quality" -> OracleExt.audioQuality,
     "audio_neardup_inc" -> OracleExt.audioNeardupInc(4, 64),
     "audio_trim_recall" ->
@@ -2518,6 +2543,8 @@ object SparkEntry {
       OracleExt.knnDescentConvergeTg(10, 5, 15, 3, 1000L),
     "knn_descent" -> OracleExt.knnDescentRecall(10, 5, 15),
     "embed_binary_band_recall" -> OracleExt.embedBinaryBandRecall(
+      Seq(8, 12, 16, 20), 64, 8, Seq(4, 8, 16)),
+    "image_band_recall_matrix" -> OracleExt.imageBandRecallMatrix(
       Seq(8, 12, 16, 20), 64, 8, Seq(4, 8, 16)),
     "embed_binary_neardup" ->
       OracleExt.embedBinaryNeardup(16, 64, 8, probeBits = 1),

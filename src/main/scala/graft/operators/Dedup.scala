@@ -1465,9 +1465,14 @@ object Dedup {
     * needs more/narrower bands, not a looser verify — measured A/B
     * (`image_band_recall_curve8`, same probes, same cap): 8×8-bit
     * banding holds 1 000 000 ppm through Hamming 8 and lifts the
-    * threshold-12 recall to 885 714 ppm, paying 256× hotter uniform
-    * buckets (the cap policy then binds much earlier at corpus
-    * scale — the recall/fan-out dial made a number).
+    * threshold-12 recall to 885 714 ppm at sf0.01, paying 256× hotter
+    * uniform buckets. CORRECTED at sf0.1 by the full decision matrix
+    * (`image_band_recall_matrix`, r19 — the two-SF discipline): exact
+    * 8×8 at d=12 drops to 496 159 ppm as the buckets heat, while
+    * 8×8 + 1-bit multi-probe holds 909 370 — the image lanes
+    * therefore ship probeBits = 1 (and 16×4 narrowing reads 124k,
+    * occupancy-hot: the cap policy binds earlier at corpus scale —
+    * the recall/fan-out dial made a number, twice).
     * The cap default is ~64× the uniform per-bucket expectation at
     * fixture scale; at corpus scale the dial sizes as c·E[occupancy]
     * (and the real lever is wider/more bands). */
@@ -1752,7 +1757,13 @@ object Dedup {
     * the sign-code lanes it shows 16×4-bit banding is occupancy-DEAD
     * at corpus scale (4-bit band values have 16 distinct buckets, so
     * E[occupancy] = n/16 crosses any sane cap) while 8×8 + multi-probe
-    * recovers what plain 8×8 leaves behind.
+    * recovers what plain 8×8 leaves behind. Run on the dHash lane
+    * (r19, `image_band_recall_matrix`, sf0.1): same verdict with a
+    * skew twist — 16×4 reads 124k ppm at d=12 (hot but not dead:
+    * dHash values skew, some 4-bit buckets stay cold), exact 8×8
+    * 496k, 8×8+mp1 909k — so the image lanes ship 8×8 probeBits=1.
+    * BOTH lanes' sf0.01 columns flatter every geometry (16×4 reads
+    * 1 000 000 there); only the two-SF reading is a decision.
     *
     * Scale shape: probes ∝ sample × |dists|; the multi-probe expansion
     * multiplies the PROBE side only by (1 + 64/nBands); every hit test
