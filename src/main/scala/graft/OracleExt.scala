@@ -6252,9 +6252,11 @@ object OracleExt {
     * drop-in for [[normCte]] so every embedding twin can run over the
     * text-derived lane (VERDICT r16 #2). Integer-valued doubles: dots
     * and norms are exact in both engines. */
-  private def trigramNormCte(dim: Int): String = s"""
+  private def trigramNormCte(dim: Int,
+                             materialized: Boolean = false): String = s"""
     ${trigramDenseCte(dim).trim},
-    n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2 FROM tgv)"""
+    n AS ${if (materialized) "MATERIALIZED " else ""}(SELECT vec_id, v,
+      list_dot_product(v, v) AS norm2 FROM tgv)"""
 
   /** Standalone (vec_id, v) trigram subquery — the nested-WITH form
     * spliceable where a twin takes an input-frame SQL parameter
@@ -6987,7 +6989,7 @@ object OracleExt {
              CROSS JOIN (SELECT unnest(range(0, $seeds)) AS j)
              CROSS JOIN nn)
            WHERE query_id != cand_id),
-    g0 AS (SELECT query_id, cand_id, sim FROM (
+    g0 AS MATERIALIZED (SELECT query_id, cand_id, sim FROM (
              SELECT s.query_id, s.cand_id,
                     list_dot_product(q.v, c.v)
                       / (sqrt(q.norm2) * sqrt(c.norm2)) AS sim,
@@ -7004,7 +7006,7 @@ object OracleExt {
     * the convergence curve, rounds unrolled. */
   def knnDescentRoundsTg(nQueries: Int, k: Int, seeds: Int,
                          rounds: Int): String = s"""
-    WITH ${trigramNormCte(64).trim},
+    WITH ${trigramNormCte(64, materialized = true).trim},
     nn AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS nmax FROM n),
     sd AS (SELECT DISTINCT query_id, cand_id FROM (
              SELECT q.vec_id AS query_id,
@@ -7015,7 +7017,7 @@ object OracleExt {
              CROSS JOIN (SELECT unnest(range(0, $seeds)) AS j)
              CROSS JOIN nn)
            WHERE query_id != cand_id),
-    g0 AS (SELECT query_id, cand_id, sim FROM (
+    g0 AS MATERIALIZED (SELECT query_id, cand_id, sim FROM (
              SELECT s.query_id, s.cand_id,
                     list_dot_product(q.v, c.v)
                       / (sqrt(q.norm2) * sqrt(c.norm2)) AS sim,
@@ -7028,7 +7030,7 @@ object OracleExt {
            WHERE r <= $k),
     ${(0 until rounds).map(i => descentRoundSql(i, k).trim)
       .mkString(",\n    ")},
-    truth AS (SELECT query_id, cand_id FROM (
+    truth AS MATERIALIZED (SELECT query_id, cand_id FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                        row_number() OVER (PARTITION BY q.vec_id
                          ORDER BY $cosSql DESC, c.vec_id) AS r
@@ -7052,7 +7054,7 @@ object OracleExt {
     * the edges absent from the previous graph, normalized by k·N. */
   def knnDescentConvergeTg(nQueries: Int, k: Int, seeds: Int,
                            rounds: Int, deltaPpm: Long): String = s"""
-    WITH ${trigramNormCte(64).trim},
+    WITH ${trigramNormCte(64, materialized = true).trim},
     nn AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS nmax FROM n),
     kn AS (SELECT CAST(count(*) * $k AS BIGINT) AS kn FROM n),
     sd AS (SELECT DISTINCT query_id, cand_id FROM (
@@ -7064,7 +7066,7 @@ object OracleExt {
              CROSS JOIN (SELECT unnest(range(0, $seeds)) AS j)
              CROSS JOIN nn)
            WHERE query_id != cand_id),
-    g0 AS (SELECT query_id, cand_id, sim FROM (
+    g0 AS MATERIALIZED (SELECT query_id, cand_id, sim FROM (
              SELECT s.query_id, s.cand_id,
                     list_dot_product(q.v, c.v)
                       / (sqrt(q.norm2) * sqrt(c.norm2)) AS sim,
@@ -7077,7 +7079,7 @@ object OracleExt {
            WHERE r <= $k),
     ${(0 until rounds).map(i => descentRoundSql(i, k).trim)
       .mkString(",\n    ")},
-    truth AS (SELECT query_id, cand_id FROM (
+    truth AS MATERIALIZED (SELECT query_id, cand_id FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                        row_number() OVER (PARTITION BY q.vec_id
                          ORDER BY $cosSql DESC, c.vec_id) AS r
@@ -7110,7 +7112,12 @@ object OracleExt {
     ORDER BY s.round"""
 
   /** One unrolled NN-Descent step g{i} → g{i+1} (the refineTailSql
-    * round, sim kept so steps chain). */
+    * round, sim kept so steps chain). Every multiply-referenced CTE
+    * is MATERIALIZED (VERDICT r18 wrong-list #3): DuckDB 1.0 inlines
+    * CTEs by default, so without the hint each g{i} re-evaluates its
+    * whole ancestor chain at every reference — the converge twin's
+    * per-round NOT EXISTS made it the gate's slowest comparison by an
+    * order of magnitude. */
   private def descentRoundSql(i: Int, k: Int): String = s"""
     rev$i AS (SELECT cand_id AS query_id, query_id AS cand_id FROM (
               SELECT query_id, cand_id, sim,
@@ -7118,7 +7125,7 @@ object OracleExt {
                        ORDER BY sim DESC, query_id) AS r
               FROM g$i)
             WHERE r <= $k),
-    und$i AS (SELECT query_id, cand_id FROM g$i
+    und$i AS MATERIALIZED (SELECT query_id, cand_id FROM g$i
             UNION ALL SELECT query_id, cand_id FROM rev$i),
     cnd$i AS (SELECT DISTINCT query_id, cand_id FROM (
                 SELECT query_id, cand_id FROM g$i
@@ -7127,7 +7134,7 @@ object OracleExt {
                 FROM und$i x JOIN und$i y
                   ON x.cand_id = y.query_id
                      AND x.query_id != y.cand_id)),
-    g${i + 1} AS (SELECT query_id, cand_id, sim FROM (
+    g${i + 1} AS MATERIALIZED (SELECT query_id, cand_id, sim FROM (
              SELECT c.query_id, c.cand_id,
                     list_dot_product(q.v, t.v)
                       / (sqrt(q.norm2) * sqrt(t.norm2)) AS sim,
@@ -7166,7 +7173,7 @@ object OracleExt {
              FROM cand1 c JOIN n q ON q.vec_id = c.query_id
                           JOIN n t ON t.vec_id = c.cand_id)
            WHERE r <= $k),
-    truth AS (SELECT query_id, cand_id FROM (
+    truth AS MATERIALIZED (SELECT query_id, cand_id FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                        row_number() OVER (PARTITION BY q.vec_id
                          ORDER BY $cosSql DESC, c.vec_id) AS r
