@@ -4297,6 +4297,56 @@ object OracleExt {
     FROM res ORDER BY lane"""
   }
 
+  /** Twin of KMeans.semDedupCellLossSweep — the cell-loss instrument
+    * over a τ grid: one materialized truth pass keeping each sampled
+    * pair's floored sim_micro, one materialized (sim_micro, captured)
+    * join per lane, one re-aggregate per (lane, τ) row. */
+  def semDedupCellLossSweepTg(targetClusterSize: Long, iters: Int,
+                              tausMicro: Seq[Long],
+                              sampleMod: Int): String = {
+    val h = graft.functions.PortableHash
+    def kSql(p: String) =
+      s"SELECT GREATEST(1, LEAST(count(*) // $targetClusterSize," +
+        s" 2147483647)) FROM ${p}e"
+    val normSql = l2NormSql(trigramVecSql(64))
+    def laneRows(name: String, p: String) = tausMicro.sorted.map { t =>
+      s"""SELECT '$name' AS lane, CAST($t AS BIGINT) AS tau_micro,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(coalesce(sum(CASE WHEN cap THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_captured
+    FROM j$p WHERE sim_micro >= $t"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH ${kmeansCtesOverP("l2", trigramVecSql(64), kSql("l2"),
+        iters, 64).trim},
+    ${kmeansCtesOverP("sp", normSql, kSql("sp"), iters, 64).trim},
+    nvr AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2
+            FROM l2e),
+    smp AS MATERIALIZED (SELECT * FROM nvr
+            WHERE ${h.sqlHash32("'sdcl:' || CAST(vec_id AS VARCHAR)")}
+              % $sampleMod = 0),
+    pairs AS MATERIALIZED (SELECT * FROM (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     CAST(floor(list_dot_product(a.v, b.v)
+                         / (sqrt(a.norm2) * sqrt(b.norm2)) * 1000000)
+                       AS BIGINT) AS sim_micro
+              FROM smp a JOIN smp b ON a.vec_id < b.vec_id)
+            WHERE sim_micro >= ${tausMicro.min}),
+    jl2 AS MATERIALIZED (SELECT p.sim_micro, ca.cid = cb.cid AS cap
+           FROM pairs p JOIN l2a${iters - 1} ca ON ca.vec_id = p.va
+                        JOIN l2a${iters - 1} cb ON cb.vec_id = p.vb),
+    jsp AS MATERIALIZED (SELECT p.sim_micro, ca.cid = cb.cid AS cap
+           FROM pairs p JOIN spa${iters - 1} ca ON ca.vec_id = p.va
+                        JOIN spa${iters - 1} cb ON cb.vec_id = p.vb),
+    res AS (${laneRows("l2", "l2")}
+    UNION ALL
+    ${laneRows("spherical", "sp")})
+    SELECT lane, tau_micro, n_truth, n_captured,
+           (1000000 * (n_truth - n_captured)) // greatest(n_truth, 1)
+             AS loss_ppm
+    FROM res ORDER BY lane, tau_micro"""
+  }
+
   /** Shared CTE chain of the PCA twins — the exact float choreography
     * of Pca.model: fixed-point BIGINT lanes for every corpus-sized sum,
     * list_dot_product (sequential fold, matches DotF64Expr
@@ -6660,6 +6710,23 @@ object OracleExt {
           FROM short)
     WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mean-centered sign packing — bit i set iff v[i]·n > Σv[i], the
+    * exact-integer centering predicate (Similarity.centeredSignBits):
+    * with integer-valued inputs every term is exact in a double, so
+    * both engines pack identical codes regardless of summation
+    * order. Requires `mu(nn DOUBLE, sv DOUBLE[])` in scope. */
+  private def centerPackSql: String =
+    (0 until 64).map(i =>
+      s"(CASE WHEN v[${i + 1}] * mu.nn > mu.sv[${i + 1}]" +
+        s" THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+
+  private def muCte: String = s"""
+    mu AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         ${(0 until 64).map(i => s"sum(v[${i + 1}])")
+           .mkString("[", ", ", "]")} AS sv
+       FROM n)"""
+
   /** Twin of Similarity.binaryRecall — the projRecall evaluator shape
     * over the binary two-stage path. */
   def binaryRecall(nQueries: Int, k: Int, shortlistFactor: Int): String =
@@ -6668,10 +6735,22 @@ object OracleExt {
   def binaryRecallTg(nQueries: Int, k: Int, shortlistFactor: Int): String =
     binaryRecallOn(trigramNormCte(64), nQueries, k, shortlistFactor)
 
+  /** The centered-codes rung on the trigram lane (VERDICT r18 #4) —
+    * shortlist over MEAN-CENTERED sign codes, truth and rescore still
+    * raw cosine. */
+  def binaryRecallTgCtr(nQueries: Int, k: Int,
+                        shortlistFactor: Int): String =
+    binaryRecallOn(trigramNormCte(64), nQueries, k, shortlistFactor,
+      centered = true)
+
   private def binaryRecallOn(nCte: String, nQueries: Int, k: Int,
-                             shortlistFactor: Int): String = s"""
+                             shortlistFactor: Int,
+                             centered: Boolean = false): String = s"""
     WITH $nCte,
-    ncd AS (SELECT vec_id, v, norm2, $signPackSql AS code FROM n),
+    ${if (centered) s"${muCte.trim},\n    ncd AS (SELECT vec_id, v," +
+        s" norm2, $centerPackSql AS code FROM n CROSS JOIN mu),"
+      else s"ncd AS (SELECT vec_id, v, norm2, $signPackSql AS code" +
+        " FROM n),"}
     ex AS (SELECT query_id, cand_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                row_number() OVER (PARTITION BY q.vec_id

@@ -398,15 +398,13 @@ object KMeans {
     * input — the [[ivfRecall]] fix offered to the dedup gate).
     * MEASURED (trigram lane, sf0.01, τ = 0.98, target cell 64):
     * l2 loss 0 ppm (4/4 truth pairs captured), spherical 250 000
-    * (3/4 — one boundary coincidence at a 4-pair truth count, not a
-    * structural edge). The honest contrast with [[ivfRecall]]'s
-    * 33 → 53 story: at SemDeDup's deep operating threshold, true
-    * pairs are near-IDENTICAL vectors, near-identical in any metric
-    * — the cell approximation is cheap there, and the metric
-    * mismatch bites the top-k SERVING path (whose truth lives at
-    * much lower cosine), not the dedup gate. The instrument is the
-    * deliverable: run it at YOUR τ on YOUR corpus before trusting
-    * either conclusion.
+    * (3/4). r19 CORRECTION: that 4-pair reading was fixture-thin —
+    * [[semDedupCellLossSweep]]'s denser two-SF grid shows the cell
+    * scope losing ~85–90% of true pairs at τ=0.95 and 16–23% even at
+    * τ=0.98 at sf0.1, with neither metric dominating across τ. The
+    * instrument is the deliverable: run the SWEEP at YOUR τ on YOUR
+    * corpus at two scale slices before trusting any one-point
+    * conclusion (including r18's "the cell approximation is cheap").
     *
     * Scale shape: the truth tier is the documented sample-run class
     * (broadcast nested loop over n/sampleMod sampled vectors); the
@@ -415,7 +413,45 @@ object KMeans {
   def semDedupCellLoss(emb: DataFrame, k: Int = 0, iters: Int = 2,
                        minSimMicro: Long = 350000L,
                        targetClusterSize: Long = 1000L,
-                       sampleMod: Int = 4): DataFrame = {
+                       sampleMod: Int = 4): DataFrame =
+    semDedupCellLossSweep(emb, k, iters, Seq(minSimMicro),
+      targetClusterSize, sampleMod)
+      .drop("tau_micro").orderBy("lane")
+
+  /** [[semDedupCellLoss]] swept over a τ GRID (VERDICT r18 #5: an n=4
+    * truth set at one τ at one scale factor is an anecdote, not a
+    * decision) — ONE sampled truth pass keeps each pair's floored
+    * sim_micro, each lane joins its cluster map ONCE, and every
+    * (lane, τ) row is a cheap re-aggregate of that joined pair list.
+    * Output reports n_truth per row so thin truth sets are VISIBLE.
+    *
+    * MEASURED (trigram lane, sampleMod 2, targetCell 64 so k scales
+    * with the corpus; loss_ppm l2 / spherical over n_truth):
+    *
+    *   - sf0.01: τ=0.98 → 0 / 250 000 over 4 pairs;
+    *             τ=0.95 → 360 153 / 528 735 over 261 pairs
+    *   - sf0.1:  τ=0.98 → 161 290 / 225 806 over 62 pairs;
+    *             τ=0.95 → 902 584 / 837 955 over 24 339 pairs
+    *
+    * The denser two-SF reading REVERSES the r18 n=4 conclusion: the
+    * cell approximation is NOT generically cheap at the dedup gate —
+    * at τ=0.95 the cell scope misses ~85–90% of true pairs (k grows
+    * with the corpus at fixed target cell size, so splits multiply),
+    * and even τ=0.98 pays 16–23% at sf0.1. Nor does either metric
+    * dominate: spherical cells lose LESS at τ=0.95 and MORE at
+    * τ=0.98 on this corpus. Deploy rule, corrected: treat SemDeDup's
+    * within-cell scope as a measured RECALL DIAL, not a free
+    * approximation — run this sweep at your τ, your cell size, and
+    * two scale slices before trusting a one-point reading (exactly
+    * the mistake the r18 0-of-4 anecdote invited), and buy recall
+    * with coarser cells (larger targetClusterSize) when the sweep
+    * says the split loss is above your budget. */
+  def semDedupCellLossSweep(emb: DataFrame, k: Int = 0, iters: Int = 2,
+                            tausMicro: Seq[Long] =
+                              Seq(950000L, 980000L),
+                            targetClusterSize: Long = 1000L,
+                            sampleMod: Int = 4): DataFrame = {
+    require(tausMicro.nonEmpty, "tausMicro must be non-empty")
     val dot = (a: Column, b: Column) =>
       org.apache.spark.sql.graft.DotF64Expr(a, b)
     val raw = emb.select(col("vec_id"),
@@ -434,25 +470,32 @@ object KMeans {
       (sqrt(col("an")) * sqrt(col("bn")))
     val pairs = graft.Caches.track(
       sa.join(broadcast(sb), col("vec_a") < col("vec_b"))
-        .filter(floor(sim * 1000000L).cast("long") >= minSimMicro)
-        .select(col("vec_a"), col("vec_b")))
+        .select(col("vec_a"), col("vec_b"),
+          floor(sim * 1000000L).cast("long").as("sim_micro"))
+        .filter(col("sim_micro") >= tausMicro.min))
     def lane(e: DataFrame, name: String): DataFrame = {
       val kk = resolveK(e, k, targetClusterSize)
       val cl = fit(e, kk, iters).select(col("vec_id"), col("cluster"))
-      pairs
+      val j = graft.Caches.track(pairs
         .join(cl.select(col("vec_id").as("vec_a"),
           col("cluster").as("__ca")), Seq("vec_a"))
         .join(cl.select(col("vec_id").as("vec_b"),
           col("cluster").as("__cb")), Seq("vec_b"))
-        .agg(count(lit(1)).as("n_truth"),
-          coalesce(sum(when(col("__ca") === col("__cb"), 1L)
-            .otherwise(0L)), lit(0L)).as("n_captured"))
-        .select(lit(name).as("lane"), col("n_truth"), col("n_captured"),
-          expr("(1000000 * (n_truth - n_captured))" +
-            " div greatest(n_truth, 1)").as("loss_ppm"))
+        .select(col("sim_micro"),
+          (col("__ca") === col("__cb")).as("__cap")))
+      tausMicro.sorted.map { t =>
+        j.filter(col("sim_micro") >= t)
+          .agg(count(lit(1)).as("n_truth"),
+            coalesce(sum(when(col("__cap"), 1L).otherwise(0L)),
+              lit(0L)).as("n_captured"))
+          .select(lit(name).as("lane"), lit(t).as("tau_micro"),
+            col("n_truth"), col("n_captured"),
+            expr("(1000000 * (n_truth - n_captured))" +
+              " div greatest(n_truth, 1)").as("loss_ppm"))
+      }.reduce(_.unionByName(_))
     }
     lane(emb, "l2").unionByName(lane(l2Normalize(emb), "spherical"))
-      .orderBy("lane")
+      .orderBy("lane", "tau_micro")
   }
 
   /** SemDeDup — semantic (embedding-space) deduplication, the published

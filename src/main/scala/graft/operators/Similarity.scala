@@ -1022,6 +1022,43 @@ object Similarity {
       when(element_at(v, i + 1) > 0d, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
 
+  /** CENTERED sign bits — bit i set iff v[i] exceeds the corpus
+    * per-dim MEAN (VERDICT r18 #4: the binary rung's deploy rule said
+    * "center dims before packing" on count-like spaces without the
+    * engine being able to). The predicate is v[i] · n > Σv[i], NOT
+    * v[i] − μ[i] > 0: with integer-valued inputs (the trigram lane)
+    * every term is exact in a double, so the bit never flips on a
+    * summation-order ulp — the float-discipline trick that lets the
+    * DuckDB twin match bit-for-bit. */
+  private def centeredSignBits(v: Column, sv: Column, nn: Column,
+                               dim: Int): Column =
+    (0 until dim).map(i =>
+      when(element_at(v, i + 1) * nn > element_at(sv, i + 1),
+        lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** (vec_id, v, norm2, code) — the shared coded frame behind
+    * [[signCodes]] / [[topkBinary]]: raw sign codes, or mean-centered
+    * ones (one corpus aggregate for the per-dim sums, broadcast into
+    * the packing pass — the `weightsRow` one-row-frame shape, hinted
+    * because it is computed ONCE, not per iteration). */
+  private def codedFrame(emb: DataFrame, dim: Int,
+                         centered: Boolean): DataFrame = {
+    val base = withNorm(emb).select(col("vec_id"), col("v"), col("norm2"))
+    if (!centered)
+      base.withColumn("code", signBits(col("v"), dim))
+    else {
+      val st = base.agg(
+        count(lit(1)).cast("double").as("__nn"),
+        array((0 until dim).map(i =>
+          sum(element_at(col("v"), i + 1))): _*).as("__sv"))
+      base.crossJoin(broadcast(st))
+        .withColumn("code",
+          centeredSignBits(col("v"), col("__sv"), col("__nn"), dim))
+        .drop("__sv", "__nn")
+    }
+  }
+
   /** (doc_id, dhash) packed sign codes — the composition seam between
     * the embedding ladder and the 64-bit hash dedup lanes: feed this
     * into [[graft.operators.Dedup.hash64Neardup]] for batch
@@ -1039,9 +1076,10 @@ object Similarity {
     * (927k at d=20, sf0.1) where exact 8×8 reads 549k at d=16; never
     * 16×4, whose 16 bucket values per band are occupancy-dead at any
     * corpus scale (measured 0 ppm at sf0.1 across every distance). */
-  def signCodes(emb: DataFrame, dim: Int = 64): DataFrame =
-    withNorm(emb).select(col("vec_id").as("doc_id"),
-      signBits(col("v"), dim).as("dhash"))
+  def signCodes(emb: DataFrame, dim: Int = 64,
+                centered: Boolean = false): DataFrame =
+    codedFrame(emb, dim, centered).select(col("vec_id").as("doc_id"),
+      col("code").as("dhash"))
 
   /** Two-stage binary-quantized top-k — the serving pattern every
     * binary-quantization deployment uses (Hamming SHORTLIST over the
@@ -1053,10 +1091,9 @@ object Similarity {
     * Same broadcast-query shape as [[topkCosine]]: the big side is
     * scanned once, both rank windows are k-bounded per query. */
   def topkBinary(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-                 shortlistFactor: Int = 4, dim: Int = 64): DataFrame = {
-    val n = graft.Caches.track(withNorm(emb)
-      .select(col("vec_id"), col("v"), col("norm2"),
-        signBits(col("v"), dim).as("code")))
+                 shortlistFactor: Int = 4, dim: Int = 64,
+                 centered: Boolean = false): DataFrame = {
+    val n = graft.Caches.track(codedFrame(emb, dim, centered))
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn"), col("code").as("qc"))
@@ -1094,16 +1131,30 @@ object Similarity {
     * ([[trigramEmbed]]), where neighborhoods are real, reads
     * 16/18/32/52. The gap is structural, not a bug: trigram counts
     * are all non-negative, so a sign code degenerates to a
-    * dim-PRESENCE bitmap and Hamming stops tracking cosine. DEPLOY
-    * RULE: the 1-bit rung is for roughly centered embedding spaces
-    * (learned embeddings post mean-subtraction); on count-like or
-    * all-positive spaces stop the ladder at int8
-    * ([[topkQuantized]]) or center the dims before packing. */
+    * dim-PRESENCE bitmap and Hamming stops tracking cosine.
+    *
+    * `centered = true` packs MEAN-CENTERED codes ([[centeredSignBits]]
+    * — the r18 rule's "center dims before packing" clause, made
+    * runnable) and r19 MEASURED it (`binary_recall_tg_ctr`, same
+    * ladder): 18/20/32/52 at sf0.01 and 8/10/18/24 at sf0.1 vs raw's
+    * 16/18/32/52 and 4/8/12/22 — a couple of points at small
+    * shortlists, NOWHERE NEAR the random lane's 50/64/80/96. The
+    * honest finding: mean-centering does NOT rescue the 1-bit rung on
+    * count-like spaces (sign(v−μ) is still dominated by doc-length
+    * and term-frequency skew, not direction). DEPLOY RULE, corrected:
+    * the 1-bit rung is for spaces that are roughly ISOTROPIC around
+    * their mean (learned embeddings); on count-like or all-positive
+    * spaces stop the ladder at int8 ([[topkQuantized]]) or move to a
+    * metric-correct coarse quantizer
+    * ([[graft.operators.KMeans.annIvf]] with `normalize = true`) —
+    * centering alone is measured insufficient. */
   def binaryRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-                   shortlistFactor: Int = 4): DataFrame = {
+                   shortlistFactor: Int = 4,
+                   centered: Boolean = false): DataFrame = {
     val exact = topkCosine(emb, nQueries, k)
       .select(col("query_id"), col("cand_id"))
-    val approx = topkBinary(emb, nQueries, k, shortlistFactor)
+    val approx = topkBinary(emb, nQueries, k, shortlistFactor,
+        centered = centered)
       .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")
       .groupBy("query_id")

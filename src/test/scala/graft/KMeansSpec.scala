@@ -654,4 +654,34 @@ class KMeansSpec extends SparkTestBase {
     assert(cur.last._3 == 100L, s"nprobe=k must be exact, got $cur")
     Caches.releaseAll()
   }
+
+  test("semDedupCellLossSweep: hand-exact per-tau rows; single-tau " +
+      "instrument agrees (VERDICT r18 #5)") {
+    // two ±x blobs, k=2 (init one seed per blob) → every truth pair
+    // is within-blob and within-cell, loss 0 on both lanes. Scalar
+    // cosines: (0,2) 999950, (0,4) 980580, (2,4) 982495 micro (and
+    // the mirrored blob identically) — so tau 0.98 reads 3 truth
+    // pairs per blob and tau 0.999 reads 1, all captured.
+    val rows = Seq(
+      (0L, vec(100f, 0f)), (2L, vec(100f, 1f)), (4L, vec(100f, 20f)),
+      (1L, vec(-100f, 0f)), (3L, vec(-100f, 1f)), (5L, vec(-100f, 20f)))
+      .map { case (id, v) => (id, v, 0) }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val sweep = KMeans.semDedupCellLossSweep(e, k = 2,
+        tausMicro = Seq(980000L, 999000L), sampleMod = 1)
+      .select("lane", "tau_micro", "n_truth", "n_captured", "loss_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(sweep == Set(
+      ("l2", 980000L, 6L, 6L, 0L), ("l2", 999000L, 2L, 2L, 0L),
+      ("spherical", 980000L, 6L, 6L, 0L),
+      ("spherical", 999000L, 2L, 2L, 0L)), s"got $sweep")
+    // the single-tau instrument is the sweep at one grid point
+    val one = KMeans.semDedupCellLoss(e, k = 2, minSimMicro = 999000L,
+        sampleMod = 1)
+      .select("lane", "n_truth", "n_captured", "loss_ppm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(one == Set(("l2", 2L, 2L, 0L), ("spherical", 2L, 2L, 0L)),
+      s"got $one")
+    Caches.releaseAll()
+  }
 }

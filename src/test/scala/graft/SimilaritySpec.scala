@@ -650,4 +650,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(row2 == ((0L, 0L, 0L)), s"got $row2")
     Caches.releaseAll()
   }
+
+  test("centered sign codes discriminate where all-positive raw codes " +
+      "tie (VERDICT r18 #4)") {
+    // all-positive 2-dim payload: every raw sign code is identical
+    // (count-like degeneration — the dim-presence bitmap), so the
+    // Hamming shortlist ties everywhere and shortlist=1 admits the
+    // lowest cand_id — the decoy. Mean-centering (bit i = v_i·n >
+    // Σv_i, the exact-integer predicate) separates the length-skewed
+    // decoy from the true neighbor.
+    val e = emb(
+      (0L, vec(1f, 100f), 0),    // query
+      (1L, vec(100f, 1f), 0),    // decoy: cos ~0.02, raw Hamming 0
+      (2L, vec(2f, 90f), 0))     // true NN: cos ~1, raw Hamming 0
+    val raw = Similarity.binaryRecall(e, nQueries = 1, k = 1,
+      shortlistFactor = 1).select("recall_pct").as[Long].head()
+    val ctr = Similarity.binaryRecall(e, nQueries = 1, k = 1,
+      shortlistFactor = 1, centered = true)
+      .select("recall_pct").as[Long].head()
+    assert(raw == 0L && ctr == 100L, s"got raw=$raw ctr=$ctr")
+    // the codes themselves: query and true NN share a centered code
+    // (both below the dim-1 mean, above the dim-2 mean); the decoy
+    // flips both payload bits; raw codes are all identical
+    val rawCodes = Similarity.signCodes(e)
+      .as[(Long, Long)].collect().toMap
+    assert(rawCodes.values.toSet.size == 1, s"got $rawCodes")
+    val ctrCodes = Similarity.signCodes(e, centered = true)
+      .as[(Long, Long)].collect().toMap
+    assert(ctrCodes(0L) == ctrCodes(2L), s"got $ctrCodes")
+    assert(java.lang.Long.bitCount(ctrCodes(0L) ^ ctrCodes(1L)) == 2,
+      s"got $ctrCodes")
+    Caches.releaseAll()
+  }
 }
