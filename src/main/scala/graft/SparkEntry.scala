@@ -1619,6 +1619,24 @@ object SparkEntry {
         Similarity.trigramEmbed(docsPar(s, dir)),
         targetClusterSize = 64, tausMicro = Seq(950000L, 980000L),
         sampleMod = 2).orderBy("lane", "tau_micro")),
+    // The corrected deploy rule's remedy MEASURED (r19 wave 2): the
+    // same sweep at 4x coarser cells (targetClusterSize 256 -> k/4)
+    // — fewer cell boundaries, fewer split pairs, 4x the within-cell
+    // candidate work; beside the c64 sweep the recall/work dial is
+    // two gated tables, not prose. MEASURED (sf0.1, loss_ppm
+    // l2/spherical): tau=0.98 161290/225806 -> 32258/96774 (4x
+    // coarser cells buy back ~80% of the deep-threshold split loss)
+    // but tau=0.95 only 902584/837955 -> 778626/711491 — at shallow
+    // tau the truth mass spans cells no matter the size and the real
+    // remedy is a cross-cell lane, not coarser cells. CAVEAT the
+    // fixture teaches: at sf0.01 c256 -> k=1 (single cell, loss
+    // trivially 0) — a coarser-cell reading is only meaningful where
+    // corpus/cellSize still gives k >> 1
+    "sem_dedup_cell_loss_sweep_c256" -> ((s, dir) =>
+      KMeans.semDedupCellLossSweep(
+        Similarity.trigramEmbed(docsPar(s, dir)),
+        targetClusterSize = 256, tausMicro = Seq(950000L, 980000L),
+        sampleMod = 2).orderBy("lane", "tau_micro")),
     // Its incremental twin: even-doc corpus trains the staged model,
     // odd-doc batch assigns and dedups against it — the semantic
     // incremental lane now runs on embeddings that carry corpus
@@ -2370,6 +2388,9 @@ object SparkEntry {
       OracleExt.semDedupCellLossTg(64, 2, 980000L, 2),
     "sem_dedup_cell_loss_sweep" ->
       OracleExt.semDedupCellLossSweepTg(64, 2,
+        Seq(950000L, 980000L), 2),
+    "sem_dedup_cell_loss_sweep_c256" ->
+      OracleExt.semDedupCellLossSweepTg(256, 2,
         Seq(950000L, 980000L), 2),
     "sem_dedup_inc_tg" -> OracleExt.semDedupIncTg(64, 2, 980000L),
     "cluster_outliers" ->

@@ -295,12 +295,17 @@ object KMeans {
     * — the [[l2Normalize]] fix is worth MORE than doubling the probe
     * budget on the count-like lane (raw at nprobe=4 of 8 cells — half
     * the corpus scanned — still reads 63%, below spherical's
-    * nprobe=2). Deploy sentence: on count-like spaces normalize
-    * FIRST — spherical clears ≥90% at nprobe=4 (95%) where raw
-    * reaches no sane budget; on roughly-isotropic spaces the dial is
-    * free and nprobe=4 at k=8 buys 85%. At production
-    * k ≈ corpus/1000 the curve shape holds with each probe costing
-    * 1/k of the corpus, which is the point of measuring the elbow.
+    * nprobe=2). The sf0.1 column (two-SF discipline, r19 wave 2)
+    * CONFIRMS and strengthens: random 53/63/83 (spherical again
+    * identical), trigram 36/53/63 raw vs 78/93/100 spherical —
+    * at the denser corpus the spherical lane clears ≥90% already at
+    * nprobe 2. Deploy sentence: on count-like spaces normalize
+    * FIRST — spherical clears ≥90% at nprobe ≤ 4 on both measured
+    * scales where raw reaches no sane budget; on roughly-isotropic
+    * spaces the dial is free and nprobe=4 at k=8 buys 83–85%. At
+    * production k ≈ corpus/1000 the curve shape holds with each
+    * probe costing 1/k of the corpus, which is the point of
+    * measuring the elbow.
     *
     * Scale shape: ONE staged Lloyd model + ONE tracked truth table
     * serve every curve point; the per-nprobe work is the
@@ -443,9 +448,22 @@ object KMeans {
     * within-cell scope as a measured RECALL DIAL, not a free
     * approximation — run this sweep at your τ, your cell size, and
     * two scale slices before trusting a one-point reading (exactly
-    * the mistake the r18 0-of-4 anecdote invited), and buy recall
-    * with coarser cells (larger targetClusterSize) when the sweep
-    * says the split loss is above your budget. */
+    * the mistake the r18 0-of-4 anecdote invited).
+    *
+    * THE REMEDY PRICED (`sem_dedup_cell_loss_sweep_c256` — the same
+    * sweep at 4× coarser cells, sf0.1, loss_ppm l2/spherical): 4×
+    * coarser cells buy back ~80% of the DEEP-threshold loss (τ=0.98:
+    * 161 290/225 806 → 32 258/96 774) at 4× the within-cell
+    * candidate work, but barely move the shallow-τ loss (τ=0.95:
+    * 902 584/837 955 → 778 626/711 491) — at shallow τ the truth
+    * mass spans cells regardless of size, and the remedy is a
+    * CROSS-CELL lane (banded sign-code dedup,
+    * [[graft.operators.Dedup.hash64Neardup]] over
+    * [[graft.operators.Similarity.signCodes]], whose candidates
+    * ignore cell boundaries), not coarser cells. Fixture caveat: a
+    * coarser-cell reading is only meaningful where corpus/cellSize
+    * still gives k ≫ 1 (at sf0.01, 256 → k = 1: one cell, loss
+    * trivially 0 — the reading says nothing). */
   def semDedupCellLossSweep(emb: DataFrame, k: Int = 0, iters: Int = 2,
                             tausMicro: Seq[Long] =
                               Seq(950000L, 980000L),
