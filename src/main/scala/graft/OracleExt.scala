@@ -4347,6 +4347,57 @@ object OracleExt {
     FROM res ORDER BY lane, tau_micro"""
   }
 
+  /** Twin of Similarity.signCodeCosineCapture on the trigram lane —
+    * the same `sdcl:`-salted truth pass as the cell-loss sweep, each
+    * pair's code-xor tested per band (bit_count of the shifted byte;
+    * arithmetic >> then & mask keeps the original band bits) and
+    * against the whole-code Hamming threshold. */
+  def signCodeCosineCaptureTg(tausMicro: Seq[Long], sampleMod: Int,
+                              nBands: Int, maxHamming: Int,
+                              probeBits: Int): String = {
+    val h = graft.functions.PortableHash
+    val w = 64 / nBands
+    val mask = (1L << w) - 1
+    val bandHit = (0 until nBands).map(j =>
+      s"bit_count((x >> ${j * w}) & $mask) <= $probeBits")
+      .mkString("(", " OR ", ")")
+    val rows = tausMicro.sorted.map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS tau_micro,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(coalesce(sum(CASE WHEN hamok THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_ham,
+           CAST(coalesce(sum(CASE WHEN bandok THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_band_hit,
+           CAST(coalesce(sum(CASE WHEN hamok AND bandok THEN 1
+                             ELSE 0 END), 0) AS BIGINT) AS n_admitted
+    FROM scored WHERE sim_micro >= $t"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH ${trigramNormCte(64, materialized = true).trim},
+    cd AS MATERIALIZED (SELECT vec_id, $signPackSql AS code FROM n),
+    smp AS MATERIALIZED (SELECT * FROM n
+            WHERE ${h.sqlHash32("'sdcl:' || CAST(vec_id AS VARCHAR)")}
+              % $sampleMod = 0),
+    pr AS (SELECT * FROM (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(floor(list_dot_product(a.v, b.v)
+                       / (sqrt(a.norm2) * sqrt(b.norm2)) * 1000000)
+                     AS BIGINT) AS sim_micro
+            FROM smp a JOIN smp b ON a.vec_id < b.vec_id)
+          WHERE sim_micro >= ${tausMicro.min}),
+    scored AS MATERIALIZED (SELECT sim_micro,
+            bit_count(x) <= $maxHamming AS hamok,
+            $bandHit AS bandok
+          FROM (SELECT p.sim_micro, xor(ca.code, cb.code) AS x
+                FROM pr p JOIN cd ca ON ca.vec_id = p.va
+                          JOIN cd cb ON cb.vec_id = p.vb)),
+    res AS ($rows)
+    SELECT tau_micro, n_truth, n_ham, n_band_hit, n_admitted,
+           (1000000 * n_admitted) // greatest(n_truth, 1)
+             AS capture_ppm
+    FROM res ORDER BY tau_micro"""
+  }
+
   /** Shared CTE chain of the PCA twins — the exact float choreography
     * of Pca.model: fixed-point BIGINT lanes for every corpus-sized sum,
     * list_dot_product (sequential fold, matches DotF64Expr

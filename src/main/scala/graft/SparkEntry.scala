@@ -1637,6 +1637,18 @@ object SparkEntry {
         Similarity.trigramEmbed(docsPar(s, dir)),
         targetClusterSize = 256, tausMicro = Seq(950000L, 980000L),
         sampleMod = 2).orderBy("lane", "tau_micro")),
+    // The cross-cell clause of the corrected rule PRICED (r19 wave
+    // 2): the SAME sdcl-salted truth pairs tested against the banded
+    // sign-code lane's admission geometry (8x8 mp1, Hamming <= 16 —
+    // the shipped embed-binary config): per tau, what the cross-cell
+    // lane would CATCH of what the cells split. Uncapped geometric
+    // capture; the cap's price composes from the band-recall matrix.
+    // MEASURED readings in signCodeCosineCapture's scaladoc
+    "sem_dedup_crosscell_capture" -> ((s, dir) =>
+      Similarity.signCodeCosineCapture(
+        Similarity.trigramEmbed(docsPar(s, dir)),
+        tausMicro = Seq(950000L, 980000L), sampleMod = 2)
+        .orderBy("tau_micro")),
     // Its incremental twin: even-doc corpus trains the staged model,
     // odd-doc batch assigns and dedups against it — the semantic
     // incremental lane now runs on embeddings that carry corpus
@@ -2392,6 +2404,9 @@ object SparkEntry {
     "sem_dedup_cell_loss_sweep_c256" ->
       OracleExt.semDedupCellLossSweepTg(256, 2,
         Seq(950000L, 980000L), 2),
+    "sem_dedup_crosscell_capture" ->
+      OracleExt.signCodeCosineCaptureTg(
+        Seq(950000L, 980000L), 2, 8, 16, 1),
     "sem_dedup_inc_tg" -> OracleExt.semDedupIncTg(64, 2, 980000L),
     "cluster_outliers" ->
       OracleExt.clusterOutliers(OracleExt.deriveKSql(64), 2, 5),

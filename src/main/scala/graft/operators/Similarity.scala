@@ -1164,6 +1164,100 @@ object Similarity {
         expr(s"(100 * n_hit) div $k").as("recall_pct"))
   }
 
+  /** CROSS-CELL capture of cosine truth by the sign-code band lane —
+    * the instrument that prices the corrected SemDeDup deploy rule's
+    * OTHER clause (r19: "at shallow τ pair SemDeDup with a cross-cell
+    * lane"): over the SAME deterministic sampled truth pass as
+    * [[graft.operators.KMeans.semDedupCellLossSweep]] (salt `sdcl:`,
+    * so both instruments read the SAME pair population), each
+    * cosine ≥ τ pair is tested against the banded sign-code lane's
+    * admission geometry — band collision (exact, or ≤`probeBits`
+    * band-Hamming for the multi-probe lane) AND whole-code
+    * Hamming ≤ `maxHamming`. Per-τ row: n_truth, n_ham (pairs within
+    * the verify threshold), n_band_hit (pairs some band would
+    * bucket-join), n_admitted (both — what the lane CATCHES),
+    * capture_ppm. This is the UNCAPPED geometric capture — the
+    * hot-bucket cap's price on top is the
+    * [[graft.operators.Dedup.hash64BandRecallMatrix]] instrument's
+    * job; the two compose.
+    *
+    * MEASURED (trigram lane, sampleMod 2, shipped geometry 8×8 /
+    * mp1 / Hamming ≤ 16): capture_ppm = 1 000 000 at EVERY (τ, SF)
+    * cell — τ ∈ {0.95, 0.98} × {sf0.01, sf0.1}, truth up to 24 339
+    * pairs; exact bands (probeBits 0) read 999 178 at τ=0.95/sf0.1
+    * (20 of 24 339 missed, recovered by mp1), and every truth pair
+    * sits within Hamming 16 (n_ham = n_truth throughout). The
+    * validated deploy story, in one line: where SemDeDup's cells
+    * split ~90% of τ=0.95 truth, the cross-cell sign-code lane
+    * catches ALL of it — the 1-bit rung that is measured USELESS for
+    * mid-cosine top-k ranking on count-like spaces
+    * ([[binaryRecall]]'s 16% ladder) is measured EXCELLENT at the
+    * dedup-admission threshold, because cosine ≥ 0.95 count vectors
+    * share nearly every sign bit. The rung's applicability is
+    * threshold-dependent, not space-dependent.
+    *
+    * Scale shape: truth tier is the documented brute-force sample
+    * class (broadcast triangular join over n/sampleMod vectors);
+    * the capture test is two vec_id equi-joins against the code
+    * table and a per-pair scalar band expression — no band explode,
+    * no self-join; |taus| rows out. */
+  def signCodeCosineCapture(emb: DataFrame,
+                            tausMicro: Seq[Long] =
+                              Seq(950000L, 980000L),
+                            sampleMod: Int = 4, nBands: Int = 8,
+                            maxHamming: Int = 16,
+                            probeBits: Int = 1): DataFrame = {
+    require(tausMicro.nonEmpty, "tausMicro must be non-empty")
+    require(nBands > 0 && 64 % nBands == 0,
+      s"nBands=$nBands must divide 64")
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits=$probeBits must be 0 or 1")
+    val w = 64 / nBands
+    val n = withNorm(emb).select(col("vec_id"), col("v"), col("norm2"))
+    val s = graft.Caches.track(n.filter(
+      graft.functions.PortableHash.hash32(
+        concat(lit("sdcl:"), col("vec_id").cast("string")))
+        % sampleMod === 0))
+    val sa = s.select(col("vec_id").as("vec_a"), col("v").as("av"),
+      col("norm2").as("an"))
+    val sb = s.select(col("vec_id").as("vec_b"), col("v").as("bv"),
+      col("norm2").as("bn"))
+    val sim = dot(col("av"), col("bv")) /
+      (sqrt(col("an")) * sqrt(col("bn")))
+    val codes = signCodes(emb)
+    val x = col("__ca").bitwiseXOR(col("__cb"))
+    val bandHit = (0 until nBands).map(j =>
+      bit_count(shiftrightunsigned(x, j * w)
+        .bitwiseAND(lit((1L << w) - 1))) <= probeBits)
+      .reduce(_ || _)
+    val scored = graft.Caches.track(
+      sa.join(broadcast(sb), col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          floor(sim * 1000000L).cast("long").as("sim_micro"))
+        .filter(col("sim_micro") >= tausMicro.min)
+        .join(codes.select(col("doc_id").as("vec_a"),
+          col("dhash").as("__ca")), Seq("vec_a"))
+        .join(codes.select(col("doc_id").as("vec_b"),
+          col("dhash").as("__cb")), Seq("vec_b"))
+        .select(col("sim_micro"),
+          (bit_count(x) <= maxHamming).as("__ham"),
+          bandHit.as("__band")))
+    tausMicro.sorted.map { t =>
+      scored.filter(col("sim_micro") >= t)
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(when(col("__ham"), 1L).otherwise(0L)), lit(0L))
+            .as("n_ham"),
+          coalesce(sum(when(col("__band"), 1L).otherwise(0L)), lit(0L))
+            .as("n_band_hit"),
+          coalesce(sum(when(col("__ham") && col("__band"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_admitted"))
+        .select(lit(t).as("tau_micro"), col("n_truth"), col("n_ham"),
+          col("n_band_hit"), col("n_admitted"),
+          expr("(1000000 * n_admitted) div greatest(n_truth, 1)")
+            .as("capture_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("tau_micro")
+  }
+
   /** Lexical×semantic dedup agreement — the audit a pipeline runs
     * before trusting EITHER dedup method alone: every minhash
     * candidate pair (strictly-near rep pairs, the collapsed lane) is

@@ -682,4 +682,28 @@ class SimilaritySpec extends SparkTestBase {
       s"got $ctrCodes")
     Caches.releaseAll()
   }
+
+  test("signCodeCosineCapture: hand-exact truth/band/Hamming lanes " +
+      "on the 20-flip adversary") {
+    // ids 0,1: identical (cos 1, xor 0 — admitted). id 2: 20 tiny
+    // sign-flipped dims against 0/1 — cos = 9980/10020 (micro
+    // 996007, in truth at both taus), whole-code Hamming 20 > 16
+    // (hamok false), but bands 3..7 untouched (bandok true even at
+    // probeBits 0). So per tau: 3 truth pairs, 1 within Hamming, 3
+    // band hits, 1 admitted — capture 333333.
+    val flip = Seq.fill(20)(1f)
+    val e = emb(
+      (0L, vec(100f +: flip: _*), 0),
+      (1L, vec(100f +: flip: _*), 0),
+      (2L, vec(100f +: flip.map(-_): _*), 0))
+    val got = Similarity.signCodeCosineCapture(e,
+        tausMicro = Seq(950000L, 980000L), sampleMod = 1)
+      .select("tau_micro", "n_truth", "n_ham", "n_band_hit",
+        "n_admitted", "capture_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (950000L, 3L, 1L, 3L, 1L, 333333L),
+      (980000L, 3L, 1L, 3L, 1L, 333333L)), s"got $got")
+    Caches.releaseAll()
+  }
 }
