@@ -538,7 +538,19 @@ object KMeans {
     * Output: (vec_id, cluster, keep, dup_sim_micro) with dup_sim_micro
     * = max similarity to a lower-id cluster-mate above the threshold,
     * or -1 for kept vectors (kept non-null so the oracle never depends
-    * on a fetch path's NULL-int widening). */
+    * on a fetch path's NULL-int widening).
+    *
+    * RECALL CAVEAT (r19, measured): the within-cell scope is a
+    * priced recall dial, not a free approximation —
+    * [[semDedupCellLossSweep]] measures the split loss (~90% of
+    * τ=0.95 truth at sf0.1; 16–23% at τ=0.98), the c256 sweep prices
+    * the coarser-cells remedy (deep-τ only), and
+    * [[graft.operators.Similarity.signCodeCosineCapture]] shows the
+    * banded sign-code lane captures ALL of the split truth — a
+    * pipeline that cannot afford the loss runs
+    * [[graft.operators.Dedup.hash64Neardup]] over
+    * [[graft.operators.Similarity.signCodes]] beside (or instead of)
+    * the cell-scoped search. */
   /** k that bounds the EXPECTED within-cluster pair work: the SemDeDup
     * self-join emits ~Σ|cluster|²/2 candidate rows, so clusters must
     * stay bounded as the corpus grows — k = corpus/targetClusterSize

@@ -39,7 +39,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * for O(maxMembers·d) bounded compare cost); the unbounded TTL-0 /
   * cap-0 combination is reserved for the batch-execution differential
   * gate, where state must survive the whole run by definition and
-  * the run itself bounds it. */
+  * the run itself bounds it.
+  *
+  * RECALL CAVEAT (r19, measured): the cluster-scoped candidate set
+  * inherits SemDeDup's cell-split loss — the
+  * `sem_dedup_cell_loss_sweep` instruments price it (~90% of
+  * τ=0.95 truth pairs cross cells at sf0.1; 16–23% even at τ=0.98),
+  * and the banded sign-code stream ([[StreamingHashDedup]] over
+  * [[graft.operators.Similarity.signCodes]], the gated
+  * `embed_binary_stream` composition) was measured to capture ALL of
+  * that truth geometrically (`sem_dedup_crosscell_capture`). An
+  * online pipeline that cannot afford cell-split misses should run
+  * the sign-code stream as its admission gate, or beside this one. */
 object StreamingSemDedup {
 
   case class AssignedVec(vec_id: Long, cluster: Int, v: Seq[Double])
