@@ -803,19 +803,25 @@ object OracleExt {
     * alternations with L1 ppm normalization per half-step; HUGEINT
     * mirrors Spark's DECIMAL(38,0) re-division lane. */
   def hitsScores(iters: Int): String = {
+    // each round's frames are MATERIALIZED (the descentRoundSql
+    // lesson): ar/hr are referenced by both their total and the
+    // normalized frame, so inlining doubles the chain per level —
+    // 2^iters re-evaluations by the final join without the hint
     val rounds = (0 until iters).map { k =>
       s"""
-    ar$k AS (SELECT e.dst, CAST(sum(h.h_ppm * e.c) AS BIGINT) AS s
+    ar$k AS MATERIALIZED (SELECT e.dst,
+            CAST(sum(h.h_ppm * e.c) AS BIGINT) AS s
           FROM h$k h JOIN pairs e ON h.node = e.src GROUP BY e.dst),
     at$k AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM ar$k),
-    a${k + 1} AS (SELECT n.node,
+    a${k + 1} AS MATERIALIZED (SELECT n.node,
             CAST((CAST(1000000 AS HUGEINT) * COALESCE(r.s, 0)) // t.t
               AS BIGINT) AS a_ppm
           FROM nodes n LEFT JOIN ar$k r ON n.node = r.dst, at$k t),
-    hr$k AS (SELECT e.src, CAST(sum(a.a_ppm * e.c) AS BIGINT) AS s
+    hr$k AS MATERIALIZED (SELECT e.src,
+            CAST(sum(a.a_ppm * e.c) AS BIGINT) AS s
           FROM a${k + 1} a JOIN pairs e ON a.node = e.dst GROUP BY e.src),
     ht$k AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM hr$k),
-    h${k + 1} AS (SELECT n.node,
+    h${k + 1} AS MATERIALIZED (SELECT n.node,
             CAST((CAST(1000000 AS HUGEINT) * COALESCE(r.s, 0)) // t.t
               AS BIGINT) AS h_ppm
           FROM nodes n LEFT JOIN hr$k r ON n.node = r.src, ht$k t)"""
@@ -4185,14 +4191,14 @@ object OracleExt {
     ${p}d$i AS (SELECT e.vec_id, e.v, c.cid,
                        ${sqlDist2D("e.v", "c.c", dim)} AS d2
             FROM $eName e CROSS JOIN $cPrev c),
-    ${p}a$i AS (SELECT vec_id, v, cid, d2 FROM (
+    ${p}a$i AS MATERIALIZED (SELECT vec_id, v, cid, d2 FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id
                                            ORDER BY d2, cid) AS rn
               FROM ${p}d$i) WHERE rn = 1),
     ${p}m$i AS (SELECT cid, count(*) AS cnt, $sums
                 FROM ${p}a$i GROUP BY cid),
     ${p}u$i AS (SELECT cid, $mean AS c_new FROM ${p}m$i),
-    $cNext AS (SELECT p.cid, COALESCE(u.c_new, p.c) AS c
+    $cNext AS MATERIALIZED (SELECT p.cid, COALESCE(u.c_new, p.c) AS c
                FROM $cPrev p LEFT JOIN ${p}u$i u ON p.cid = u.cid)"""
   }
 
@@ -5268,7 +5274,7 @@ object OracleExt {
     pqAdcQuery(m, k, iters, nQueries, topK,
       withPrefix = s"""
     ${kmeansCte(kc.toString, citers)},
-    eb AS (SELECT a.vec_id, a.cid AS ccell,
+    eb AS MATERIALIZED (SELECT a.vec_id, a.cid AS ccell,
                   list_transform(range(1, 65),
                     i -> a.v[i] - c.c[i]) AS v
            FROM a$ci a JOIN c$ci c ON a.cid = c.cid)""",
@@ -5288,7 +5294,7 @@ object OracleExt {
     val li = iters - 1
     val sub = 64 / m
     val dtabs = (0 until m).map { j =>
-      s"""t$j AS (SELECT query_id, qcell, c.cid,
+      s"""t$j AS MATERIALIZED (SELECT query_id, qcell, c.cid,
                    ${sqlDist2D("q.v", "c.c", sub)} AS dj
            FROM (SELECT query_id, qcell,
                         vr[${j * sub + 1}:${(j + 1) * sub}] AS v
@@ -5306,7 +5312,7 @@ object OracleExt {
     val dist = (0 until m).map(j => s"t$j.dj").mkString(" + ")
     s"""
     ${kmeansCte(kc.toString, citers)},
-    eb AS (SELECT a.vec_id, a.cid AS ccell,
+    eb AS MATERIALIZED (SELECT a.vec_id, a.cid AS ccell,
                   list_transform(range(1, 65),
                     i -> a.v[i] - c.c[i]) AS v
            FROM a$ci a JOIN c$ci c ON a.cid = c.cid),
@@ -5319,7 +5325,7 @@ object OracleExt {
              FROM (SELECT vec_id, v FROM e WHERE vec_id < $nQueries) q
              CROSS JOIN c$ci c)
            WHERE rn <= $nprobe),
-    qres AS (SELECT qc.query_id, qc.qcell,
+    qres AS MATERIALIZED (SELECT qc.query_id, qc.qcell,
                     list_transform(range(1, 65),
                       i -> q.v[i] - c.c[i]) AS vr
              FROM qc JOIN e q ON q.vec_id = qc.query_id
