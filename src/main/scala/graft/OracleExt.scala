@@ -4746,6 +4746,56 @@ object OracleExt {
           WHERE q.vec_id < """ + nQueries + s""")
     WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Twin of Similarity.quantizedRecall — exact-cosine truth vs the
+    * int8-code ranking, the projRecall evaluator shape at the int8
+    * rung; generic over any `n(vec_id, v)` head so the trigram lane
+    * measures where the deploy rule points. */
+  def quantizedRecall(nQueries: Int, k: Int): String =
+    quantizedRecallOn(normCte, nQueries, k)
+
+  def quantizedRecallTg(nQueries: Int, k: Int): String =
+    quantizedRecallOn(trigramNormCte(64, materialized = true),
+      nQueries, k)
+
+  private def quantizedRecallOn(nCte: String, nQueries: Int,
+                                k: Int): String = s"""
+    WITH $nCte,
+    codes AS MATERIALIZED (
+      SELECT vec_id, q, list_dot_product(q, q) AS q2
+      FROM (SELECT vec_id,
+              CASE WHEN scale = 0
+                   THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                   ELSE list_transform(v, x -> floor(x * 127.0 / scale))
+              END AS q
+            FROM (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) AS scale
+                  FROM n))),
+    ex AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY $cosSql DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k),
+    ap AS (SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CASE WHEN q.q2 = 0 OR c.q2 = 0 THEN 0
+                      ELSE list_dot_product(q.q, c.q)
+                           / sqrt(q.q2 * c.q2)
+                 END DESC, c.vec_id) AS rank
+        FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $nQueries)
+      WHERE rank <= $k)
+    SELECT ex.query_id, count(*) AS n_true,
+           CAST(sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_hit,
+           CAST((100 * sum(CASE WHEN ap.cand_id IS NULL THEN 0 ELSE 1
+                           END)) // $k AS BIGINT) AS recall_pct
+    FROM ex LEFT JOIN ap
+      ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
+    GROUP BY ex.query_id ORDER BY ex.query_id"""
+
   def annIvf(k: Int, iters: Int, nQueries: Int, topK: Int): String =
     annIvfOn(kmeansCte(k, iters), iters, nQueries, topK)
 

@@ -1162,6 +1162,15 @@ object SparkEntry {
     // the bottom rung of the storage ladder (int8 -> PQ/OPQ -> 1-bit)
     "topk_binary" -> ((s, dir) =>
       Similarity.topkBinary(embPar(s, dir)).orderBy("query_id", "rank")),
+    // recall@k of the int8 rung vs exact cosine, on BOTH lanes — the
+    // measurement the corrected 1-bit deploy rule leans on ("stop the
+    // ladder at int8 on count-like spaces"): see quantizedRecall's
+    // scaladoc for the measured readings
+    "quantized_recall" -> ((s, dir) =>
+      Similarity.quantizedRecall(embPar(s, dir)).orderBy("query_id")),
+    "quantized_recall_tg" -> ((s, dir) =>
+      Similarity.quantizedRecall(Similarity.trigramEmbed(docsPar(s, dir)))
+        .orderBy("query_id")),
     // recall@k of the two-stage binary path vs exact cosine — what the
     // 32x compression costs at this shortlist factor
     "binary_recall" -> ((s, dir) =>
@@ -2316,6 +2325,8 @@ object SparkEntry {
     "importance_sample" -> OracleExt.importanceSample(TextAnalysis.stopwords("en")),
     "corpus_stats" -> OracleExt.corpusStats,
     "topk_quantized" -> OracleExt.topkQuantized(10, 5),
+    "quantized_recall" -> OracleExt.quantizedRecall(10, 5),
+    "quantized_recall_tg" -> OracleExt.quantizedRecallTg(10, 5),
     "topk_binary" -> OracleExt.topkBinary(10, 5, 4),
     "binary_recall" -> OracleExt.binaryRecall(10, 5, 4),
     "topk_binary_tg" -> OracleExt.topkBinaryTg(10, 5, 4),

@@ -683,6 +683,21 @@ class SimilaritySpec extends SparkTestBase {
     Caches.releaseAll()
   }
 
+  test("quantizedRecall: int8 codes preserve the exact ranking on a " +
+      "scale-spread fixture") {
+    // magnitudes spread 100x across vectors — absmax scales cancel in
+    // the cosine ratio, so the code ranking matches the float one
+    val e = emb(
+      (0L, vec(1f, 0.2f), 0),
+      (1L, vec(200f, 40.2f), 0),   // same direction (quantizes coarse)
+      (2L, vec(0.5f, 1f), 0),      // off-direction
+      (3L, vec(-3f, -0.6f), 0))    // opposite
+    val r = Similarity.quantizedRecall(e, nQueries = 1, k = 2)
+      .select("recall_pct").as[Long].head()
+    assert(r == 100L, s"got $r")
+    Caches.releaseAll()
+  }
+
   test("signCodeCosineCapture: hand-exact truth/band/Hamming lanes " +
       "on the 20-flip adversary") {
     // ids 0,1: identical (cos 1, xor 0 — admitted). id 2: 20 tiny
