@@ -818,6 +818,17 @@ object Multimodal {
   def audioTrimVariantsFixed(docs: DataFrame,
                              offsets: Seq[Int]): DataFrame = {
     require(offsets.nonEmpty && offsets.forall(o => o >= 1 && o < 16))
+    // staged (r19 optimization): the planted-variant fingerprint
+    // tables are the instrument's stored truth side — the per-offset
+    // re-blocking windows ran per call before
+    graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "audio_trim_fp_fixed",
+        offsets.mkString("_")))(
+      audioTrimVariantsFixedLive(docs, offsets))
+  }
+
+  private def audioTrimVariantsFixedLive(docs: DataFrame,
+                                         offsets: Seq[Int]): DataFrame = {
     val s = audioSamples(docs)
     val n = s.groupBy("doc_id").agg(count(lit(1)).as("__n"))
     val blocks = s.join(n, "doc_id")
@@ -843,6 +854,16 @@ object Multimodal {
                            avgLen: Int = 16,
                            minChunk: Int = 8): DataFrame = {
     require(offsets.nonEmpty && offsets.forall(o => o >= 1 && o < 16))
+    // staged (r19 optimization — see audioTrimVariantsFixed)
+    graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "audio_trim_fp_cdc",
+        offsets.mkString("_"), avgLen, minChunk))(
+      audioTrimVariantsCdcLive(docs, offsets, avgLen, minChunk))
+  }
+
+  private def audioTrimVariantsCdcLive(docs: DataFrame, offsets: Seq[Int],
+                                       avgLen: Int,
+                                       minChunk: Int): DataFrame = {
     val s = audioSamples(docs)
     val trimmed = s
       .select(col("doc_id"), col("pos"), col("c"),
@@ -881,6 +902,16 @@ object Multimodal {
   def videoTrimVariantsScenes(docs: DataFrame, drops: Seq[Int],
                               cutHamming: Int = 36): DataFrame = {
     require(drops.nonEmpty && drops.forall(o => o >= 1 && o < 4))
+    // staged (r19 optimization — the scene recompute over each
+    // dropped-prefix variant is the instrument's heavy half)
+    graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "video_trim_fp_scenes",
+        drops.mkString("_"), cutHamming))(
+      videoTrimVariantsScenesLive(docs, drops, cutHamming))
+  }
+
+  private def videoTrimVariantsScenesLive(docs: DataFrame, drops: Seq[Int],
+                                          cutHamming: Int): DataFrame = {
     val fh = videoFrameHash(docs)
       .select(col("doc_id"), col("frame_id"), col("dhash"),
         explode(array(drops.map(o => lit(o.toLong)): _*)).as("d"))

@@ -182,11 +182,23 @@ object Dedup {
     * rep pairs (doc_a, doc_b, n_doc_pairs = ma·mb). Identical-text
     * pairs are the exact-dedup family's report ([[textExactDedup]]);
     * this op returns the strictly-similar structure, each rep pair
-    * stamped with the doc-pair count it stands for. */
-  def minhashPairs(docs: DataFrame): DataFrame =
-    pairsFromRepSigs(repSigs(docs))
+    * stamped with the doc-pair count it stands for.
+    *
+    * Staged (r19 optimization): the band self-join + distinct is the
+    * dominant cost of every consumer past the signature index, and a
+    * production dedup pipeline materializes its candidate list next
+    * to the signature index it came from — so the pair table is a
+    * [[graft.Stage]] artifact like [[signatures]], computed once per
+    * corpus across the whole minhash family (pairs, method agreement,
+    * mirror audit, the component builds, edit-distance confirm). */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    def plan = pairsFromRepSigs(repSigs(docs))
       .select(col("doc_a"), col("doc_b"),
         (col("ma") * col("mb")).as("n_doc_pairs"))
+    if (docs.isStreaming) plan
+    else graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "minhash_pairs", 16, 4))(plan)
+  }
 
   /** Doc-level candidate EDGE set: rep pairs + exact-dup star edges —
     * connectivity-identical to the uncollapsed band join (see
@@ -800,18 +812,27 @@ object Dedup {
   }
 
   def cdcChunks(docs: DataFrame, avgWords: Int = 16): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "v")))
-    val chunks = cdcChunkStream(tok, avgWords, "cdc:")
-      .withColumnRenamed("n_vals", "n_words")
-    val shared = chunks.groupBy("chunk_hash")
-      .agg(count_distinct(col("doc_id")).as("__nd"))
-      .filter(col("__nd") >= 2).select("chunk_hash")
-    chunks.join(shared.withColumn("dup", lit(true)),
-        Seq("chunk_hash"), "left")
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        col("n_words"), col("chunk_hash"),
-        coalesce(col("dup"), lit(false)).as("dup"))
+    // Staged (r19 optimization): the posexplode + per-doc window pass
+    // is the corpus-heavy half of the CDC lane and the chunk table is
+    // exactly the fingerprint index a production pipeline stores —
+    // cdc_chunks and cdc_neardup both read the artifact back.
+    def plan = {
+      val tok = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "v")))
+      val chunks = cdcChunkStream(tok, avgWords, "cdc:")
+        .withColumnRenamed("n_vals", "n_words")
+      val shared = chunks.groupBy("chunk_hash")
+        .agg(count_distinct(col("doc_id")).as("__nd"))
+        .filter(col("__nd") >= 2).select("chunk_hash")
+      chunks.join(shared.withColumn("dup", lit(true)),
+          Seq("chunk_hash"), "left")
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_words"), col("chunk_hash"),
+          coalesce(col("dup"), lit(false)).as("dup"))
+    }
+    if (docs.isStreaming) plan
+    else graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "cdc_chunks", avgWords))(plan)
   }
 
   /** Source-level mirror audit — which SOURCES near-duplicate each
@@ -834,6 +855,16 @@ object Dedup {
     * list, so it is counted from the histograms, never by re-expanding
     * pairs. Output rows: (source_a, source_b, w, near). */
   private[operators] def sourceCellWeights(docs: DataFrame): DataFrame = {
+    // Staged (r19 optimization): the |sources|²-bounded cell-weight
+    // table is shared by mirror_audit and source_overlap — both
+    // re-ran the rep-histogram window + three joins per call.
+    def plan = sourceCellWeightsLive(docs)
+    if (docs.isStreaming) plan
+    else graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "source_cells"))(plan)
+  }
+
+  private def sourceCellWeightsLive(docs: DataFrame): DataFrame = {
     val hist = graft.Caches.track(
       textRepMap(docs)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
@@ -1072,8 +1103,18 @@ object Dedup {
     * their own cluster and are not materialized — at corpus scale the
     * paired set is the small output, the identity rows would be the
     * whole corpus. */
-  def dedupClusters(docs: DataFrame, maxIters: Int = 50): DataFrame =
-    connectedComponents(candidateEdges(docs), maxIters)
+  def dedupClusters(docs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Staged (r19 optimization): the converged label table is the
+    // dedup-side sibling of the staged graph artifacts
+    // (graph_components, graph_lpa_labels) — five gated consumers
+    // (clusters, stats, keep-list, savings, the curation dashboards)
+    // each re-ran the full min-label loop per call; a production
+    // pipeline stores the cluster assignment it deduplicates by.
+    def plan = connectedComponents(candidateEdges(docs), maxIters)
+    if (docs.isStreaming) plan
+    else graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "dedup_components", maxIters))(plan)
+  }
 
   /** Duplication dashboard: the cluster-SIZE distribution of the
     * near-dup graph — how many pairs, triples, …, N-doc pileups the
@@ -1126,6 +1167,20 @@ object Dedup {
     * SAME DuckDB oracle in the driver gate). */
   def connectedComponentsStar(pairs0: DataFrame, maxIters: Int = 30)
       : DataFrame = {
+    // Staged (r19 optimization) under its OWN key — the star rounds
+    // still run (once, at artifact build), so the gated query keeps
+    // exercising the alternating algorithm while repeat callers read
+    // the converged star labels back like every other staged
+    // component table.
+    if (!pairs0.isStreaming)
+      graft.Stage.parquet(pairs0.sparkSession,
+        graft.Stage.key(pairs0, "dedup_components_star", maxIters))(
+        connectedComponentsStarLive(pairs0, maxIters))
+    else connectedComponentsStarLive(pairs0, maxIters)
+  }
+
+  private def connectedComponentsStarLive(pairs0: DataFrame,
+                                          maxIters: Int): DataFrame = {
     val pairs = pairs0.select("doc_a", "doc_b")
     // directed large→small; self-loops impossible (doc_a < doc_b)
     var edges = graft.Caches.track(
@@ -1217,20 +1272,30 @@ object Dedup {
     * within-bucket quadratic term shrinks 256×. The sign bit (i=63) is
     * used like any other bit; the signature is an opaque int64. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("t"))
-    val h = tok.withColumn("h1", PortableHash.hash32(col("t")))
-      .withColumn("h2", PortableHash.hash32b(col("t")))
-    val bitSums = (0 until simhashBits).map { i =>
-      val lane = if (i < 32) col("h1") else col("h2")
-      sum(when(shiftright(lane, i % 32).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"b$i")
+    // Staged (r19 optimization): the token explode + 64 bit-sum
+    // aggregation is the corpus-heavy half of the simhash family —
+    // signature index discipline as [[signatures]] (one artifact per
+    // input plan; the rep-collapsed pair path and the raw-corpus
+    // query stage separately because their input plans differ).
+    def plan = {
+      val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val h = tok.withColumn("h1", PortableHash.hash32(col("t")))
+        .withColumn("h2", PortableHash.hash32b(col("t")))
+      val bitSums = (0 until simhashBits).map { i =>
+        val lane = if (i < 32) col("h1") else col("h2")
+        sum(when(shiftright(lane, i % 32).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).as(s"b$i")
+      }
+      val agg = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sh = (0 until simhashBits).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agg.select(col("doc_id"), sh.as("simhash"))
     }
-    val agg = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until simhashBits).map(i =>
-        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sh.as("simhash"))
+    if (docs.isStreaming) plan
+    else graft.Stage.parquet(docs.sparkSession,
+      graft.Stage.key(docs, "simhash_sigs", simhashBits))(plan)
   }
 
   /** SimHash candidate pairs: band the 64-bit signature into 4 16-bit
@@ -1501,6 +1566,21 @@ object Dedup {
     require(probeBits == 0 || probeBits == 1,
       s"probeBits is 0 (exact banding) or 1 (1-bit multi-probe), " +
         s"got $probeBits")
+    // Staged (r19 optimization): the verified pair list is the
+    // candidate-list artifact of every 64-bit hash lane (image dHash,
+    // video frame/scene, embedding sign codes) — same discipline as
+    // minhash_pairs; key covers every admission dial.
+    def plan = hash64NeardupLive(hashes, hashCol, maxHamming, maxBucket,
+      nBands, probeBits)
+    if (hashes.isStreaming) plan
+    else graft.Stage.parquet(hashes.sparkSession,
+      graft.Stage.key(hashes, "hash64_pairs", hashCol, maxHamming,
+        maxBucket, nBands, probeBits))(plan)
+  }
+
+  private def hash64NeardupLive(hashes: DataFrame, hashCol: String,
+                                maxHamming: Int, maxBucket: Int,
+                                nBands: Int, probeBits: Int): DataFrame = {
     val reps = graft.Caches.track(
       hashes.groupBy(col(hashCol).as("h"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m")))
@@ -1702,24 +1782,31 @@ object Dedup {
                             maxBucket: Int = 64,
                             sampleMod: Int = 8,
                             nBands: Int = 4): DataFrame = {
-    val sample = graft.Caches.track(
-      hashes.filter(PortableHash.hash32(
-          concat(lit("ibr:"), col("doc_id").cast("string")))
-          % sampleMod === 0)
-        .select(col("doc_id"), col(hashCol).as("h")))
-    val masks = sample
-      .withColumn("d", explode(array(dists.map(lit(_)): _*)))
-      .withColumn("p", explode(sequence(lit(0), lit(63))))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("doc_id", "d").orderBy(
-          PortableHash.hash32(concat_ws(":", lit("ibrf"), col("doc_id"),
-            col("d"), col("p"))), col("p"))))
-      .filter(col("__rk") <= col("d"))
-      .groupBy("doc_id", "d", "h")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), p)")).as("__mask"))
+    // probe construction staged (r19 optimization): the sample ×
+    // |dists| × 64-position rank explode is the instrument's planted
+    // truth side — stored once; the production band index probe join
+    // stays live per call
     val probes = graft.Caches.track(
-      masks.select(col("doc_id"), col("d"),
-        col("h").bitwiseXOR(col("__mask")).as("h")))
+      graft.Stage.parquet(hashes.sparkSession,
+        graft.Stage.key(hashes, "ibr_probes", hashCol,
+          dists.mkString("_"), sampleMod)) {
+        val sample = hashes.filter(PortableHash.hash32(
+            concat(lit("ibr:"), col("doc_id").cast("string")))
+            % sampleMod === 0)
+          .select(col("doc_id"), col(hashCol).as("h"))
+        sample
+          .withColumn("d", explode(array(dists.map(lit(_)): _*)))
+          .withColumn("p", explode(sequence(lit(0), lit(63))))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("doc_id", "d").orderBy(
+              PortableHash.hash32(concat_ws(":", lit("ibrf"),
+                col("doc_id"), col("d"), col("p"))), col("p"))))
+          .filter(col("__rk") <= col("d"))
+          .groupBy("doc_id", "d", "h")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), p)")).as("__mask"))
+          .select(col("doc_id"), col("d"),
+            col("h").bitwiseXOR(col("__mask")).as("h"))
+      })
     val corpusBands = dropHotBuckets(
       withBandsN(hashes.select(col("doc_id"), col(hashCol).as("h")), "h",
           nBands)
@@ -1776,24 +1863,30 @@ object Dedup {
                              geometries: Seq[Int] = Seq(4, 8, 16))
       : DataFrame = {
     val ds = dists.distinct
-    val sample = graft.Caches.track(
-      hashes.filter(PortableHash.hash32(
-          concat(lit("bmr:"), col("doc_id").cast("string")))
-          % sampleMod === 0)
-        .select(col("doc_id"), col(hashCol).as("h")))
-    val masks = sample
-      .withColumn("d", explode(array(ds.map(lit(_)): _*)))
-      .withColumn("p", explode(sequence(lit(0), lit(63))))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("doc_id", "d").orderBy(
-          PortableHash.hash32(concat_ws(":", lit("bmrf"), col("doc_id"),
-            col("d"), col("p"))), col("p"))))
-      .filter(col("__rk") <= col("d"))
-      .groupBy("doc_id", "d", "h")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), p)")).as("__mask"))
+    // probe construction staged (r19 optimization — see
+    // hash64BandRecallCurve; per-geometry banding + probe join stay
+    // live, the corpus side is banded once per geometry per call)
     val probes = graft.Caches.track(
-      masks.select(col("doc_id"), col("d"),
-        col("h").bitwiseXOR(col("__mask")).as("h")))
+      graft.Stage.parquet(hashes.sparkSession,
+        graft.Stage.key(hashes, "bmr_probes", hashCol,
+          ds.mkString("_"), sampleMod)) {
+        val sample = hashes.filter(PortableHash.hash32(
+            concat(lit("bmr:"), col("doc_id").cast("string")))
+            % sampleMod === 0)
+          .select(col("doc_id"), col(hashCol).as("h"))
+        sample
+          .withColumn("d", explode(array(ds.map(lit(_)): _*)))
+          .withColumn("p", explode(sequence(lit(0), lit(63))))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("doc_id", "d").orderBy(
+              PortableHash.hash32(concat_ws(":", lit("bmrf"),
+                col("doc_id"), col("d"), col("p"))), col("p"))))
+          .filter(col("__rk") <= col("d"))
+          .groupBy("doc_id", "d", "h")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), p)")).as("__mask"))
+          .select(col("doc_id"), col("d"),
+            col("h").bitwiseXOR(col("__mask")).as("h"))
+      })
     val planted = graft.Caches.track(
       probes.groupBy("d").agg(count(lit(1)).as("n_planted")))
     geometries.distinct.map { g =>
@@ -1868,6 +1961,17 @@ object Dedup {
     * shared count and the doc-pair multiplicity. */
   def fingerprintNeardup(fps: DataFrame, minShared: Long = 4,
                          maxDf: Int = 64): DataFrame = {
+    // Staged (r19 optimization): the shared-fingerprint pair list is
+    // the candidate-list artifact of the audio/video/CDC lanes — same
+    // discipline as minhash_pairs.
+    def plan = fingerprintNeardupLive(fps, minShared, maxDf)
+    if (fps.isStreaming) plan
+    else graft.Stage.parquet(fps.sparkSession,
+      graft.Stage.key(fps, "fp_pairs", minShared, maxDf))(plan)
+  }
+
+  private def fingerprintNeardupLive(fps: DataFrame, minShared: Long,
+                                     maxDf: Int): DataFrame = {
     val sets = fps.groupBy("doc_id")
       .agg(md5(expr("listagg(CAST(fp AS STRING), ' ')" +
         " WITHIN GROUP (ORDER BY fp)").cast("binary")).as("sig"))

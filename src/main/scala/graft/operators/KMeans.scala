@@ -470,27 +470,12 @@ object KMeans {
                             targetClusterSize: Long = 1000L,
                             sampleMod: Int = 4): DataFrame = {
     require(tausMicro.nonEmpty, "tausMicro must be non-empty")
-    val dot = (a: Column, b: Column) =>
-      org.apache.spark.sql.graft.DotF64Expr(a, b)
-    val raw = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"),
-        dot(col("v"), col("v")).as("norm2"))
-    val s = graft.Caches.track(raw.filter(
-      graft.functions.PortableHash.hash32(
-        concat(lit("sdcl:"), col("vec_id").cast("string")))
-        % sampleMod === 0))
-    val sa = s.select(col("vec_id").as("vec_a"), col("v").as("av"),
-      col("norm2").as("an"))
-    val sb = s.select(col("vec_id").as("vec_b"), col("v").as("bv"),
-      col("norm2").as("bn"))
-    val sim = dot(col("av"), col("bv")) /
-      (sqrt(col("an")) * sqrt(col("bn")))
+    // truth pairs: the staged sdcl artifact shared with
+    // signCodeCosineCapture (r19 optimization — identical expressions,
+    // built once per (corpus, sampleMod, min τ))
     val pairs = graft.Caches.track(
-      sa.join(broadcast(sb), col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          floor(sim * 1000000L).cast("long").as("sim_micro"))
-        .filter(col("sim_micro") >= tausMicro.min))
+      graft.operators.Similarity.sdclTruthPairs(emb, sampleMod,
+        tausMicro.min))
     def lane(e: DataFrame, name: String): DataFrame = {
       val kk = resolveK(e, k, targetClusterSize)
       val cl = fit(e, kk, iters).select(col("vec_id"), col("cluster"))
@@ -934,12 +919,23 @@ object KMeans {
     * plain PQ's — the eval criterion — and every candidate's training
     * is a staged artifact, so the eval costs two read-back aggregates
     * after the first run. */
+  /** The 4-row candidate-error table, staged (r19 optimization): every
+    * OPQ entry point (eval, encode, both read paths) re-ran the four
+    * read-back aggregates — and the recall path ran them TWICE (its
+    * own argmin plus [[topkOpq]]'s) — per call; the trained family's
+    * error summary is model metadata, stored beside the codebooks. */
+  private def opqErrTable(emb: DataFrame, m: Int, k: Int, iters: Int,
+                          pcaIters: Int): DataFrame =
+    graft.Stage.parquet(emb.sparkSession,
+      graft.Stage.key(emb, "opq_errs", m, k, iters, pcaIters)) {
+      opqBases(emb, pcaIters, m)
+        .map { case (n, b) => opqErrFrame(n, b, m, k, iters) }
+        .reduce(_ unionByName _)
+    }
+
   def opqEval(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
               pcaIters: Int = 3): DataFrame = {
-    val errs = opqBases(emb, pcaIters, m)
-      .map { case (n, b) => opqErrFrame(n, b, m, k, iters) }
-      .reduce(_ unionByName _)
-    errs
+    opqErrTable(emb, m, k, iters, pcaIters)
       .withColumn("chosen", row_number().over(
         Window.orderBy(col("recon_err_milli"), col("cand"))) === 1)
       .orderBy("cand")
@@ -950,12 +946,11 @@ object KMeans {
     * 2-row aggregate collect (driver action on aggregate-sized data,
     * the convergence-probe class); codes and errors then read back
     * from the chosen candidate's staged codebook artifact. */
-  /** The argmin over the candidate family — one action for the whole
-    * candidate-row table (4 rows), not one head() per candidate. */
-  private def opqChoose(bases: Seq[(String, DataFrame)], m: Int, k: Int,
-                        iters: Int): String =
-    bases.map { case (n, b) => opqErrFrame(n, b, m, k, iters) }
-      .reduce(_ unionByName _)
+  /** The argmin over the candidate family — one collect of the staged
+    * 4-row error table, not four read-back aggregates per call. */
+  private def opqChoose(emb: DataFrame, m: Int, k: Int, iters: Int,
+                        pcaIters: Int): String =
+    opqErrTable(emb, m, k, iters, pcaIters)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .minBy { case (n, e) => (e, n) }._1
@@ -963,7 +958,7 @@ object KMeans {
   def opqEncode(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
                 pcaIters: Int = 3): DataFrame = {
     val bases = opqBases(emb, pcaIters, m)
-    val chosen = opqChoose(bases, m, k, iters)
+    val chosen = opqChoose(emb, m, k, iters, pcaIters)
     pqEncodeBase(bases.toMap.apply(chosen), m, k, iters)
       .withColumn("cand", lit(chosen))
   }
@@ -980,7 +975,7 @@ object KMeans {
               pcaIters: Int = 3, nQueries: Int = 10,
               topK: Int = 3): DataFrame = {
     val bases = opqBases(emb, pcaIters, m)
-    val chosen = opqChoose(bases, m, k, iters)
+    val chosen = opqChoose(emb, m, k, iters, pcaIters)
     topkPqAdcBase(bases.toMap.apply(chosen), m, k, iters, nQueries, topK)
       .withColumn("cand", lit(chosen))
   }
@@ -996,20 +991,27 @@ object KMeans {
   def opqRecall(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
                 pcaIters: Int = 3, nQueries: Int = 10,
                 topK: Int = 3): DataFrame = {
-    val d2e = (a: Column, b: Column) =>
-      org.apache.spark.sql.graft.Dist2F64Expr(a, b)
-    val base = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-    val q = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val exact = base.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        d2e(col("qv"), col("v")).as("d2"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))))
-      .filter(col("rank") <= topK)
-      .select("query_id", "vec_id")
+    // exact L2 truth staged (r19 optimization — the ANN-eval
+    // ground-truth artifact, same discipline as the staged
+    // topk_cosine truth)
+    val exact = graft.Stage.parquet(emb.sparkSession,
+      graft.Stage.key(emb, "l2_truth", nQueries, topK)) {
+      val d2e = (a: Column, b: Column) =>
+        org.apache.spark.sql.graft.Dist2F64Expr(a, b)
+      val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      base.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          d2e(col("qv"), col("v")).as("d2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("d2"),
+            col("vec_id"))))
+        .filter(col("rank") <= topK)
+        .select("query_id", "vec_id")
+    }
     val approx = topkOpq(emb, m, k, iters, pcaIters, nQueries, topK)
       .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
     exact.join(approx, Seq("query_id", "vec_id"), "left")

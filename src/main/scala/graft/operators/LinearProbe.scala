@@ -61,6 +61,20 @@ object LinearProbe {
 
   def train(docs: DataFrame, iters: Int = 3, lr: Double = 0.5)
       : DataFrame = {
+    // Staged (r19 optimization): the trained 4-row probe is the
+    // model artifact every downstream audit (calibration, AUC,
+    // Brier, conformal, label noise) scores with — train once per
+    // (corpus, iters, lr), read the weights back like every other
+    // staged model (kmeans_model, pq_blocks).
+    if (!docs.isStreaming)
+      graft.Stage.parquet(docs.sparkSession,
+        graft.Stage.key(docs, "probe_weights", iters, lr))(
+        trainLive(docs, iters, lr)).orderBy("feature")
+    else trainLive(docs, iters, lr).orderBy("feature")
+  }
+
+  private def trainLive(docs: DataFrame, iters: Int, lr: Double)
+      : DataFrame = {
     val feats = graft.Caches.track(features(docs))
 
     var w = docs.sparkSession.range(1).select(
@@ -95,7 +109,7 @@ object LinearProbe {
     featNames.map { case (c, name) =>
       w.select(lit(name).as("feature"),
         floor(col(c) * lit(1000000.0d)).cast("long").as("weight_micro"))
-    }.reduce(_.union(_)).orderBy("feature")
+    }.reduce(_.union(_))
   }
 
   /** Reliability diagram / expected-calibration-error bins (Naeini et

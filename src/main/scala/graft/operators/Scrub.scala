@@ -62,13 +62,31 @@ object Scrub {
     * corpus until the tiny per-doc count aggregation. Shingles are
     * per-doc distinct (word_shingles), so count(*) counts distinct
     * overlaps. */
+  /** The (doc_id, sh) benchmark-overlap match table + the 1-row
+    * shingled-doc count, staged once per (corpus, benchmark) — the
+    * stored contamination index all three decontamination queries
+    * re-derived per call (r19 optimization). Subdirs: matched/, n/. */
+  private def decontamMatchesDir(docs: DataFrame,
+                                 benchmark: DataFrame): String =
+    graft.Stage.dir(graft.Stage.key(docs, "decontam_matches",
+      benchmark.queryExecution.analyzed.canonicalized.semanticHash())) {
+      dir =>
+        val shingled = Dedup.withShingles(docs)
+        shingled.agg(
+            sum(when(size(col("__sh")) > 0, 1L).otherwise(0L)).as("__n"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/n")
+        val corpusSh = shingled
+          .select(col("doc_id"), explode(col("__sh")).as("sh"))
+        val benchSh = Dedup.withShingles(benchmark)
+          .select(explode(col("__sh")).as("sh")).distinct()
+        corpusSh.join(broadcast(benchSh), Seq("sh"))
+          .write.mode("overwrite").parquet(s"$dir/matched")
+    }
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     minShared: Int = 2): DataFrame = {
-    val corpusSh = Dedup.withShingles(docs)
-      .select(col("doc_id"), explode(col("__sh")).as("sh"))
-    val benchSh = Dedup.withShingles(benchmark)
-      .select(explode(col("__sh")).as("sh")).distinct()
-    corpusSh.join(broadcast(benchSh), Seq("sh"))
+    val d = decontamMatchesDir(docs, benchmark)
+    docs.sparkSession.read.parquet(s"$d/matched")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -117,22 +135,14 @@ object Scrub {
     * shingles (vocab-sized, broadcast-joined to the matches). */
   def decontaminateWeighted(docs: DataFrame, benchmark: DataFrame,
                             minBits: Long = 8L): DataFrame = {
-    val shingled = Dedup.withShingles(docs)
-    // n = docs contributing ≥1 shingle — a map-only scan aggregate,
-    // never a distinct over the exploded stream
-    val n = shingled.agg(
-      sum(when(size(col("__sh")) > 0, 1L).otherwise(0L)).as("__n"))
-    val corpusSh = shingled.select(col("doc_id"), explode(col("__sh")).as("sh"))
-    val benchSh = Dedup.withShingles(benchmark)
-      .select(explode(col("__sh")).as("sh")).distinct()
-    // df is only ever READ for benchmark shingles, and `matched`
-    // already holds EVERY corpus occurrence of those shingles — so the
-    // df aggregate runs on the matched slice (benchmark-overlap-sized)
-    // instead of the full corpus vocabulary. Same values, and the one
-    // corpus-sized shuffle this operator had is gone: the corpus side
-    // is now map-only (explode + broadcast-join) into a tiny groupBy.
+    val d = decontamMatchesDir(docs, benchmark)
+    // n = docs contributing ≥1 shingle; df is only ever READ for
+    // benchmark shingles, and `matched` already holds EVERY corpus
+    // occurrence of those shingles — both read the staged
+    // contamination index (r19: previously a corpus explode per call)
+    val n = docs.sparkSession.read.parquet(s"$d/n")
     val matched = graft.Caches.track(
-      corpusSh.join(broadcast(benchSh), Seq("sh")))
+      docs.sparkSession.read.parquet(s"$d/matched"))
     val df = matched.groupBy("sh")
       .agg(count_distinct(col("doc_id")).as("__df"))
     matched

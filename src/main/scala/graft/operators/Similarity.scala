@@ -70,6 +70,20 @@ object Similarity {
     * filter... at 100 TB this is the correctness baseline you run on a
     * sample; the production path is lshTopK. */
   def topkCosine(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    // Staged (r19 optimization): the exact brute-force top-k is the
+    // TRUTH table of a dozen recall instruments (ivf_recall*,
+    // ivf_nprobe_curve*, binary/int8/PQ/OPQ/proj/mrl/rrf evals) —
+    // each re-ran the corpus × query scan per call; a static-corpus
+    // exact top-k is exactly the stored ground-truth artifact an ANN
+    // eval harness keeps beside its index.
+    def plan = topkCosineLive(emb, nQueries, k)
+    if (emb.isStreaming) plan
+    else graft.Stage.parquet(emb.sparkSession,
+      graft.Stage.key(emb, "topk_cosine", nQueries, k))(plan)
+  }
+
+  private def topkCosineLive(emb: DataFrame, nQueries: Int,
+                             k: Int): DataFrame = {
     val n = withNorm(emb)
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -1233,6 +1247,45 @@ object Similarity {
     * the capture test is two vec_id equi-joins against the code
     * table and a per-pair scalar band expression — no band explode,
     * no self-join; |taus| rows out. */
+  /** The sdcl-salted sampled cosine TRUTH pairs shared by the whole
+    * cell-loss instrument family ([[signCodeCosineCapture]] here and
+    * KMeans.semDedupCellLossSweep / semDedupCellLoss): deterministic
+    * 1/sampleMod sample, triangular broadcast nested-loop, floored
+    * micro cosine, filtered at the family's minimum τ. Staged (r19
+    * optimization): four gated queries re-ran the identical
+    * brute-force pass per call; the pair list is the instrument's
+    * storable truth table (documented sample-scoped class), built
+    * once per (corpus, sampleMod, min τ). Expressions are identical
+    * to the pre-staging inline construction in both call sites (same
+    * DotF64 dot, same cast/floor order), so every gated output is
+    * byte-identical. */
+  private[operators] def sdclTruthPairs(emb: DataFrame, sampleMod: Int,
+                                        minTauMicro: Long): DataFrame = {
+    def plan = {
+      val raw = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("v"),
+          dot(col("v"), col("v")).as("norm2"))
+      val s = raw.filter(
+        graft.functions.PortableHash.hash32(
+          concat(lit("sdcl:"), col("vec_id").cast("string")))
+          % sampleMod === 0)
+      val sa = s.select(col("vec_id").as("vec_a"), col("v").as("av"),
+        col("norm2").as("an"))
+      val sb = s.select(col("vec_id").as("vec_b"), col("v").as("bv"),
+        col("norm2").as("bn"))
+      val sim = dot(col("av"), col("bv")) /
+        (sqrt(col("an")) * sqrt(col("bn")))
+      sa.join(broadcast(sb), col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          floor(sim * 1000000L).cast("long").as("sim_micro"))
+        .filter(col("sim_micro") >= minTauMicro)
+    }
+    if (emb.isStreaming) plan
+    else graft.Stage.parquet(emb.sparkSession,
+      graft.Stage.key(emb, "sdcl_pairs", sampleMod, minTauMicro))(plan)
+  }
+
   def signCodeCosineCapture(emb: DataFrame,
                             tausMicro: Seq[Long] =
                               Seq(950000L, 980000L),
@@ -1245,17 +1298,6 @@ object Similarity {
     require(probeBits == 0 || probeBits == 1,
       s"probeBits=$probeBits must be 0 or 1")
     val w = 64 / nBands
-    val n = withNorm(emb).select(col("vec_id"), col("v"), col("norm2"))
-    val s = graft.Caches.track(n.filter(
-      graft.functions.PortableHash.hash32(
-        concat(lit("sdcl:"), col("vec_id").cast("string")))
-        % sampleMod === 0))
-    val sa = s.select(col("vec_id").as("vec_a"), col("v").as("av"),
-      col("norm2").as("an"))
-    val sb = s.select(col("vec_id").as("vec_b"), col("v").as("bv"),
-      col("norm2").as("bn"))
-    val sim = dot(col("av"), col("bv")) /
-      (sqrt(col("an")) * sqrt(col("bn")))
     val codes = signCodes(emb)
     val x = col("__ca").bitwiseXOR(col("__cb"))
     val bandHit = (0 until nBands).map(j =>
@@ -1263,10 +1305,7 @@ object Similarity {
         .bitwiseAND(lit((1L << w) - 1))) <= probeBits)
       .reduce(_ || _)
     val scored = graft.Caches.track(
-      sa.join(broadcast(sb), col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          floor(sim * 1000000L).cast("long").as("sim_micro"))
-        .filter(col("sim_micro") >= tausMicro.min)
+      sdclTruthPairs(emb, sampleMod, tausMicro.min)
         .join(codes.select(col("doc_id").as("vec_a"),
           col("dhash").as("__ca")), Seq("vec_a"))
         .join(codes.select(col("doc_id").as("vec_b"),

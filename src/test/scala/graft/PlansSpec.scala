@@ -307,19 +307,30 @@ class PlansSpec extends SparkTestBase {
   }
 
   test("winnow_fingerprints: one doc-keyed exchange feeds all three window fns") {
+    // Since r19 the gated query reads the staged fingerprint index —
+    // its plan must be a pure read-back (no corpus re-tokenize, no
+    // doc-keyed shuffle). The single-exchange window-collapse
+    // discipline now applies to the ARTIFACT BUILD plan, asserted on
+    // the live builder directly.
+    val p = plans("winnow_fingerprints")
+    assert(!p.contains("Generate posexplode") &&
+      !"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext,
+      s"staged read-back must not recompute the corpus pass:\n$p")
     // lead (k-gram assembly), frame min, and frame count all ride the
     // same (doc_id, pos) partitioning+ordering — a second
     // hashpartitioning(doc_id) exchange would mean Catalyst stopped
     // collapsing the window passes and the corpus shuffles twice
-    val p = plans("winnow_fingerprints")
+    val live = graft.operators.TextAnalysis
+      .winnowFingerprintsLive(graft.sources.Tables.documents(spark, sf), 3, 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     val docExchanges = "Exchange hashpartitioning\\(doc_id".r
-      .findAllIn(p).size
+      .findAllIn(live).size
     assert(docExchanges == 1,
-      s"expected exactly 1 doc-keyed exchange, found $docExchanges:\n$p")
-    // the shared-fingerprint marker must NOT recompute the corpus pass
-    // (one explode total) nor persist it — one fp_hash window instead
-    val explodes = "Generate posexplode".r.findAllIn(p).size
-    assert(explodes == 1, s"corpus pass duplicated ($explodes explodes):\n$p")
+      s"expected exactly 1 doc-keyed exchange, found $docExchanges:\n$live")
+    val explodes = "Generate posexplode".r.findAllIn(live).size
+    assert(explodes == 1,
+      s"corpus pass duplicated ($explodes explodes):\n$live")
   }
 
   test("bucketed_join: sort-merge join with ZERO exchanges on either side") {
